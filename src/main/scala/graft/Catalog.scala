@@ -1,0 +1,14 @@
+package graft
+
+/** Full operator catalog (SURVEY.md §2). Order matters only for
+  * readability; the driver addresses entries by name.
+  */
+object Catalog {
+  def all: Seq[QueryDef] =
+    queries.RelationalCore.defs ++
+      queries.RelationalExt.defs
+
+  def byName(name: String): QueryDef =
+    all.find(_.name == name)
+      .getOrElse(sys.error(s"unknown query: $name"))
+}

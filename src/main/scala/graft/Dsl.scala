@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Shared column helpers enforcing SURVEY.md §4 determinism rules:
+  * money aggregates accumulate in decimal (exact, associative — safe
+  * under any partitioning/shuffle order) and surface as double so the
+  * result schema matches the DuckDB oracle's.
+  */
+object Dsl {
+
+  /** Exact sum of a 2-decimal money column: DECIMAL(18,2) accumulate,
+    * DOUBLE out. `CAST(SUM(CAST(x AS DECIMAL(18,2))) AS DOUBLE)`. */
+  def moneySum(c: Column): Column =
+    sum(c.cast(DecimalType(18, 2))).cast(DoubleType)
+
+  /** Revenue terms must multiply IN decimal, not cast a double
+    * product: Spark's double→decimal cast goes through the shortest
+    * string repr (BigDecimal.valueOf) while DuckDB rounds the binary
+    * expansion, so per-row products can differ at the last decimal.
+    * Casting each 2-decimal factor is exact in both engines; decimal
+    * multiplication/addition is then exact and associative. */
+  private val one = lit(new java.math.BigDecimal("1.00")).cast(DecimalType(3, 2))
+
+  /** SUM(price * (1 - disc)) exactly:
+    * `CAST(SUM(CAST(p AS DECIMAL(12,2)) * (CAST(1.00 AS DECIMAL(3,2)) -
+    * CAST(d AS DECIMAL(4,2)))) AS DOUBLE)`. */
+  def revSum(price: Column, disc: Column): Column =
+    sum(price.cast(DecimalType(12, 2)) * (one - disc.cast(DecimalType(4, 2))))
+      .cast(DoubleType)
+
+  /** SUM(price * (1 - disc) * (1 + tax)) exactly. */
+  def revTaxSum(price: Column, disc: Column, tax: Column): Column =
+    sum(price.cast(DecimalType(12, 2)) * (one - disc.cast(DecimalType(4, 2)))
+      * (one + tax.cast(DecimalType(4, 2)))).cast(DoubleType)
+
+  /** Deterministic mean: exact decimal sum divided by count, in
+    * double — never `avg(decimal)` (Spark/DuckDB scale rules differ). */
+  def moneyAvg(c: Column): Column =
+    moneySum(c) / count(lit(1))
+
+  /** Left-fold dot product of two DOUBLE array columns. Sequential
+    * fold = bit-identical to the DuckDB `list_reduce` oracle. */
+  def dotFold(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+
+  /** L2 norm via the same sequential fold. */
+  def l2Fold(a: Column): Column = sqrt(dotFold(a, a))
+
+  /** Cast a float-array column to double before any arithmetic so both
+    * engines do identical IEEE double ops. */
+  def asDoubleArray(c: Column): Column = c.cast(ArrayType(DoubleType))
+}

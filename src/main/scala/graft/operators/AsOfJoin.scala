@@ -1,0 +1,53 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** As-of join: for each left row, attach the most recent right row
+  * (by time, `right.ts <= left.ts`) with the same key.
+  *
+  * Spark-first plan: instead of a range join (O(n·m) nested loop) or a
+  * per-key sort-merge in `mapPartitions`, tag and UNION the two
+  * streams, then carry the latest right-side payload forward with a
+  * `last(..., ignoreNulls)` running window per key. One shuffle on
+  * (key), one sort on (ts) — the same cost profile as a sort-merge
+  * as-of join, fully inside Catalyst/WholeStageCodegen, and safe at
+  * 100 TB because state never leaves the window operator.
+  */
+object AsOfJoin {
+
+  /** @param left      probe side (keeps all rows, like ASOF LEFT JOIN)
+    * @param right     reference side
+    * @param keyCol    equi-key column name present on both sides
+    * @param tsCol     event-time column name present on both sides
+    * @param rightCols right-side columns to carry (renamed as given)
+    */
+  def leftAsOf(
+      left: DataFrame,
+      right: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      rightCols: Map[String, String]): DataFrame = {
+    val leftTagged = left.withColumn("__side", lit(1))
+    val rightTagged = right.withColumn("__side", lit(0))
+    val unioned = leftTagged.unionByName(rightTagged, allowMissingColumns = true)
+
+    // Right rows sort before left rows at equal ts => `<=` semantics.
+    val w = Window.partitionBy(keyCol)
+      .orderBy(col(tsCol), col("__side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val payload: Column = when(col("__side") === 0,
+      struct(rightCols.keys.toSeq.map(col): _*))
+    val carried = unioned
+      .withColumn("__asof", last(payload, ignoreNulls = true).over(w))
+      .filter(col("__side") === 1)
+
+    val withRight = rightCols.foldLeft(carried) { case (df, (src, dst)) =>
+      df.withColumn(dst, col("__asof").getField(src))
+    }
+    // Keep the left schema + the carried columns; drop right-only cols.
+    val rightOnly = right.columns.filterNot(left.columns.contains)
+    withRight.drop("__side", "__asof").drop(rightOnly.toSeq: _*)
+  }
+}
