@@ -6,7 +6,11 @@ package graft
 object Catalog {
   def all: Seq[QueryDef] =
     queries.RelationalCore.defs ++
-      queries.RelationalExt.defs
+      queries.RelationalExt.defs ++
+      queries.DedupQueries.defs ++
+      queries.SimilarityQueries.defs ++
+      queries.TextQueries.defs ++
+      queries.MultimodalQueries.defs
 
   def byName(name: String): QueryDef =
     all.find(_.name == name)

@@ -1,0 +1,130 @@
+package graft.operators
+
+import graft.functions.{HashFunctions, TextFunctions}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for document corpora (SURVEY.md §2 rows
+  * 27–31). Scale posture: every variant reduces to (a) a per-row
+  * codegen'd projection and (b) ONE shuffle on a compact key
+  * (normalized hash, LSH bucket, or shingle) — no all-pairs work
+  * outside candidate buckets, so they survive 100 TB corpora where a
+  * naive cross join cannot.
+  */
+object Dedup {
+
+  /** Whitespace-normalized lowercase form used for exact dedup. */
+  def normalized(text: Column): Column =
+    lower(trim(regexp_replace(text, "\\s+", " ")))
+
+  /** Exact dedup: group by normalized text, keep the smallest id as
+    * the canonical representative. One hash shuffle. */
+  def exact(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.groupBy(normalized(col(textCol)).as("norm_text"))
+      .agg(min(col(idCol)).as("rep_id"), count(lit(1)).as("n_copies"))
+
+  /** (id, shingle) pairs: distinct word n-gram shingles per doc. */
+  def shingleSet(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+      explode(array_distinct(
+        TextFunctions.wordShingles(TextFunctions.tokens(col(textCol)), n)))
+        .as("shingle"))
+
+  /** Exact n-gram Jaccard similarity for candidate pairs that share at
+    * least one shingle. The shingle join is the only shuffle; the
+    * all-pairs blowup is bounded by shingle document frequency (word
+    * n-grams are discriminative; for adversarial corpora add a df cap
+    * before the self-join). */
+  def ngramJaccard(docs: DataFrame, idCol: String, textCol: String,
+      n: Int, minJaccard: Double): DataFrame = {
+    val sh = shingleSet(docs, idCol, textCol, n)
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
+    val pairs = sh.as("a")
+      .join(sh.as("b"),
+        col("a.shingle") === col("b.shingle") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .agg(count(lit(1)).as("common"))
+    pairs
+      .join(sizes.withColumnRenamed("doc_id", "d1")
+        .withColumnRenamed("n_shingles", "n1"), "d1")
+      .join(sizes.withColumnRenamed("doc_id", "d2")
+        .withColumnRenamed("n_shingles", "n2"), "d2")
+      .withColumn("jaccard",
+        col("common").cast("double") / (col("n1") + col("n2") - col("common")))
+      .filter(col("jaccard") >= minJaccard)
+      .select("d1", "d2", "common", "n1", "n2", "jaccard")
+  }
+
+  /** MinHash signatures: k permutation minima over shingle hashes. */
+  def minhashSignatures(docs: DataFrame, idCol: String, textCol: String,
+      shingleN: Int, k: Int): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+      HashFunctions.minhashSig(
+        transform(
+          array_distinct(TextFunctions.wordShingles(
+            TextFunctions.tokens(col(textCol)), shingleN)),
+          s => HashFunctions.polyHash(s)),
+        k).as("sig"))
+
+  /** LSH banding: explode each signature into (band, bandSig) bucket
+    * keys; docs sharing any band bucket are near-dup candidates.
+    * Candidate generation is a self-join on the compact bucket key —
+    * the standard scale path (shuffle ∝ corpus size, not pairs). */
+  def minhashCandidates(sigs: DataFrame, bands: Int, rows: Int): DataFrame = {
+    val banded = sigs.select(col("doc_id"),
+      posexplode(array((0 until bands).map { b =>
+        concat_ws(",", (0 until rows).map(r =>
+          element_at(col("sig"), b * rows + r + 1).cast("string")): _*)
+      }: _*)).as(Seq("band", "band_sig")))
+    banded.as("a")
+      .join(banded.as("b"),
+        col("a.band") === col("b.band") &&
+          col("a.band_sig") === col("b.band_sig") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .distinct()
+  }
+
+  /** SimHash fingerprints over word hashes. */
+  def simhashFingerprints(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+      HashFunctions.simhash(
+        transform(TextFunctions.tokens(col(textCol)),
+          w => HashFunctions.hash62(w))).as("simhash"))
+
+  /** SimHash candidate pairs: bucket on 4×16-bit bands (any matching
+    * band ⇒ candidate, guaranteed to catch hamming ≤ 3), then verify
+    * with the exact hamming distance. */
+  def simhashCandidates(fps: DataFrame, maxHamming: Int): DataFrame = {
+    val banded = fps.select(col("doc_id"), col("simhash"),
+      posexplode(array((0 until 4).map(b =>
+        call_function("shiftright", col("simhash"), lit(b * 16)) % lit(65536L)): _*))
+        .as(Seq("band", "band_val")))
+    banded.as("a")
+      .join(banded.as("b"),
+        col("a.band") === col("b.band") &&
+          col("a.band_val") === col("b.band_val") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
+        HashFunctions.hamming(col("a.simhash"), col("b.simhash")).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /** Embedding near-dup pairs above a cosine threshold — exact
+    * all-pairs baseline (dev scale); the bucketed scale path is
+    * [[Similarity.lshBuckets]]. */
+  def embeddingNearDups(embs: DataFrame, idCol: String, vecCol: String,
+      minCosine: Double): DataFrame = {
+    import graft.Dsl._
+    val e = embs.select(col(idCol).as("vid"),
+      asDoubleArray(col(vecCol)).as("v"),
+      l2Fold(asDoubleArray(col(vecCol))).as("nrm"))
+    e.as("a").join(e.as("b"), col("a.vid") < col("b.vid"))
+      .select(col("a.vid").as("id1"), col("b.vid").as("id2"),
+        (dotFold(col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm")))
+          .as("cosine"))
+      .filter(col("cosine") >= minCosine)
+  }
+}

@@ -1,0 +1,63 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal column plumbing (SURVEY.md §2 rows 40–41): media
+  * payloads ride as opaque `binary` columns with typed metadata; the
+  * decode/feature-extract step is a per-partition batch pipeline —
+  * the Scala analogue of `mapInPandas` batches.
+  *
+  * The decoder itself is STUBBED (no image/audio libs in this
+  * container): `FakeDecoder` is a deterministic stand-in with the
+  * same shape a real decoder would have (bytes in, fixed-width
+  * feature vector out). The Spark-side plumbing — schema, typed
+  * Dataset, partition batching, feature schema — is real.
+  */
+object Multimodal {
+
+  case class MediaRow(doc_id: Long, payload: Array[Byte])
+  case class FeatureRow(doc_id: Long, n_bytes: Int, features: Array[Double])
+
+  /** Stand-in for an image/audio decoder: deterministic features from
+    * raw bytes. A real deployment swaps only this function. */
+  object FakeDecoder {
+    val dim = 4
+    def decode(bytes: Array[Byte]): Array[Double] = {
+      var sum = 0L
+      var i = 0
+      while (i < bytes.length) { sum += bytes(i) & 0xff; i += 1 }
+      Array(
+        bytes.length.toDouble,
+        (sum % 997L).toDouble,
+        if (bytes.nonEmpty) (bytes(0) & 0xff).toDouble else 0.0,
+        if (bytes.nonEmpty) (bytes(bytes.length - 1) & 0xff).toDouble else 0.0)
+    }
+  }
+
+  /** Attach a binary payload column (UTF-8 bytes of the text — the
+    * deterministic fake "media blob" for the synthetic corpus). */
+  def withPayload(docs: DataFrame, textCol: String): DataFrame =
+    docs.withColumn("payload", col(textCol).cast("binary"))
+
+  /** Batched decode: one decoder instantiation per partition (the
+    * expensive-init pattern for real codecs), rows streamed through. */
+  def extractFeatures(media: Dataset[MediaRow]): Dataset[FeatureRow] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      // per-partition init site for a real decoder/model handle
+      rows.map { r =>
+        FeatureRow(r.doc_id, r.payload.length, FakeDecoder.decode(r.payload))
+      }
+    }
+  }
+
+  /** End-to-end: docs -> payload -> typed rows -> features frame. */
+  def featureFrame(spark: SparkSession, docs: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    import spark.implicits._
+    val media = withPayload(docs, textCol)
+      .select(col(idCol).as("doc_id"), col("payload")).as[MediaRow]
+    extractFeatures(media).toDF()
+  }
+}

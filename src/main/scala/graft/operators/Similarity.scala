@@ -1,0 +1,109 @@
+package graft.operators
+
+import graft.Dsl._
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor search over embedding columns
+  * (SURVEY.md §2 rows 32–34).
+  *
+  * Scale posture: the brute-force path is the correctness baseline
+  * (and is itself fine when the QUERY side is small — it broadcasts
+  * the queries and streams the corpus once). The LSH and IVF paths
+  * replace the corpus-wide scan with a bucket equi-join: shuffle keys
+  * are (bucket) resp. (cluster), so candidate volume — not corpus
+  * volume — drives cost.
+  */
+object Similarity {
+
+  /** Normalize an embeddings frame to (id, v: array<double>, nrm). */
+  def prep(embs: DataFrame, idCol: String, vecCol: String): DataFrame =
+    embs.select(col(idCol).as("id"),
+      asDoubleArray(col(vecCol)).as("v"))
+      .withColumn("nrm", l2Fold(col("v")))
+
+  private def cosine(a: Column, an: Column, b: Column, bn: Column): Column =
+    dotFold(a, b) / (an * bn)
+
+  /** Exact top-k cosine neighbors: every (query, corpus) pair scored,
+    * ranked per query. Queries are broadcast — corpus is read once. */
+  def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
+    val q = queries.select(col("id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
+    val c = corpus.select(col("id").as("n_id"), col("v").as("cv"), col("nrm").as("cn"))
+    val w = Window.partitionBy("q_id")
+      .orderBy(col("cosine").desc, col("n_id"))
+    broadcast(q).join(c)
+      .select(col("q_id"), col("n_id"),
+        cosine(col("qv"), col("qn"), col("cv"), col("cn")).as("cosine"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
+  /** Deterministic ±1 random hyperplanes (LCG seed 7) for sign-LSH. */
+  def hyperplanes(nPlanes: Int, dim: Int): Seq[Seq[Double]] = {
+    var s = 7L
+    def next(): Long = { s = s * 6364136223846793005L + 1442695040888963407L; s >>> 33 }
+    Seq.fill(nPlanes)(Seq.fill(dim)(if ((next() & 1L) == 1L) 1.0 else -1.0))
+  }
+
+  /** Sign-LSH bucket id: one bit per hyperplane. */
+  def lshBuckets(df: DataFrame, nPlanes: Int, dim: Int): DataFrame = {
+    val planes = hyperplanes(nPlanes, dim)
+    val bucket = planes.zipWithIndex.map { case (p, i) =>
+      when(dotFold(col("v"), typedlit(p)) > 0, lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    df.withColumn("bucket", bucket)
+  }
+
+  /** ANN via sign-LSH: candidates = same bucket, verified by exact
+    * cosine, top-k per query. Equi-join on the bucket key only. */
+  def lshTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+      nPlanes: Int, dim: Int): DataFrame = {
+    val q = lshBuckets(queries, nPlanes, dim)
+      .select(col("id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"), col("bucket"))
+    val c = lshBuckets(corpus, nPlanes, dim)
+      .select(col("id").as("n_id"), col("v").as("cv"), col("nrm").as("cn"), col("bucket"))
+    val w = Window.partitionBy("q_id").orderBy(col("cosine").desc, col("n_id"))
+    q.join(c, "bucket")
+      .select(col("q_id"), col("n_id"),
+        cosine(col("qv"), col("qn"), col("cv"), col("cn")).as("cosine"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
+  /** IVF coarse quantization: centroids from a labeled partition of
+    * the corpus (position-wise mean via posexplode — distributed, no
+    * driver collect). */
+  def centroids(corpus: DataFrame, labelCol: String): DataFrame =
+    corpus.select(col(labelCol).as("cluster"), posexplode(col("v")).as(Seq("pos", "x")))
+      .groupBy("cluster", "pos").agg(avg(col("x")).as("m"))
+      .groupBy("cluster")
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+        s => s.getField("m")).as("cv"))
+      .withColumn("cn", l2Fold(col("cv")))
+
+  /** IVF ANN: route each query to its `nProbe` nearest centroids, then
+    * scan only those clusters. Join keys: (cluster). */
+  def ivfTopK(queries: DataFrame, corpus: DataFrame, labelCol: String,
+      k: Int, nProbe: Int): DataFrame = {
+    val cents = centroids(corpus, labelCol)
+    val wProbe = Window.partitionBy("q_id").orderBy(col("c_sim").desc, col("cluster"))
+    val routed = queries
+      .select(col("id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
+      .join(broadcast(cents))
+      .select(col("q_id"), col("qv"), col("qn"), col("cluster"),
+        cosine(col("qv"), col("qn"), col("cv"), col("cn")).as("c_sim"))
+      .withColumn("probe_rank", row_number().over(wProbe))
+      .filter(col("probe_rank") <= nProbe)
+      .select("q_id", "qv", "qn", "cluster")
+    val c = corpus.select(col(labelCol).as("cluster"),
+      col("id").as("n_id"), col("v").as("cv"), col("nrm").as("cn"))
+    val w = Window.partitionBy("q_id").orderBy(col("cosine").desc, col("n_id"))
+    routed.join(c, "cluster")
+      .select(col("q_id"), col("n_id"),
+        cosine(col("qv"), col("qn"), col("cv"), col("cn")).as("cosine"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+}

@@ -1,0 +1,115 @@
+package graft.queries
+
+import graft.{QueryDef, Tables}
+import graft.operators.Dedup
+import org.apache.spark.sql.functions._
+
+/** Deduplication suite over the documents/embeddings tables
+  * (SURVEY.md §2 rows 27–31).
+  */
+object DedupQueries {
+
+  /** Exact dedup via normalized-text grouping. */
+  val d01 = QueryDef(
+    "d01_exact_dedup",
+    (sp, dir) => {
+      Dedup.exact(Tables(sp, dir, "documents"), "doc_id", "text")
+        .select("rep_id", "n_copies")
+        .orderBy("rep_id")
+    },
+    Some("""
+      SELECT MIN(doc_id) AS rep_id, COUNT(*) AS n_copies
+      FROM documents
+      GROUP BY lower(trim(regexp_replace(text, '\s+', ' ', 'g')))
+      ORDER BY rep_id"""))
+
+  /** MinHash(16) + LSH(4 bands × 4 rows) candidate generation;
+    * per-doc candidate-partner counts (rows-only: custom hash chain,
+    * exercised exactly in DedupSpec). */
+  val d02 = QueryDef(
+    "d02_minhash_lsh",
+    (sp, dir) => {
+      val docs = Tables(sp, dir, "documents")
+      val sigs = Dedup.minhashSignatures(docs, "doc_id", "text", shingleN = 3, k = 16)
+      val cands = Dedup.minhashCandidates(sigs, bands = 4, rows = 4)
+      val partners = cands.select(col("d1").as("doc_id"))
+        .unionAll(cands.select(col("d2").as("doc_id")))
+        .groupBy("doc_id").agg(count(lit(1)).as("n_candidates"))
+      sigs.join(partners, Seq("doc_id"), "left_outer")
+        .select(col("doc_id"), element_at(col("sig"), 1).as("sig_head"),
+          coalesce(col("n_candidates"), lit(0L)).as("n_candidates"))
+        .orderBy("doc_id")
+    },
+    None)
+
+  /** SimHash fingerprints + banded hamming candidates (rows-only). */
+  val d03 = QueryDef(
+    "d03_simhash",
+    (sp, dir) => {
+      val fps = Dedup.simhashFingerprints(
+        Tables(sp, dir, "documents"), "doc_id", "text")
+      val cands = Dedup.simhashCandidates(fps, maxHamming = 12)
+      val partners = cands.select(col("d1").as("doc_id"))
+        .unionAll(cands.select(col("d2").as("doc_id")))
+        .groupBy("doc_id").agg(count(lit(1)).as("n_candidates"))
+      fps.join(partners, Seq("doc_id"), "left_outer")
+        .select(col("doc_id"), col("simhash"),
+          coalesce(col("n_candidates"), lit(0L)).as("n_candidates"))
+        .orderBy("doc_id")
+    },
+    None)
+
+  /** Exact word-trigram Jaccard near-dup pairs. */
+  val d04 = QueryDef(
+    "d04_ngram_jaccard",
+    (sp, dir) => {
+      Dedup.ngramJaccard(Tables(sp, dir, "documents"), "doc_id", "text",
+        n = 3, minJaccard = 0.2)
+        .orderBy("d1", "d2")
+    },
+    Some("""
+      WITH toks AS (SELECT doc_id, string_split(text, ' ') w FROM documents),
+      sh AS (SELECT doc_id, unnest(list_distinct(
+               CASE WHEN len(w) < 3 THEN []
+                    ELSE list_transform(generate_series(1, CAST(len(w) - 2 AS INT)),
+                           i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]) END)) AS shingle
+             FROM toks),
+      sizes AS (SELECT doc_id, COUNT(*) n FROM sh GROUP BY doc_id),
+      pairs AS (SELECT a.doc_id d1, b.doc_id d2, COUNT(*) common
+                FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                GROUP BY 1, 2)
+      SELECT d1, d2, CAST(common AS BIGINT) AS common,
+        CAST(s1.n AS BIGINT) AS n1, CAST(s2.n AS BIGINT) AS n2,
+        CAST(common AS DOUBLE) / (s1.n + s2.n - common) AS jaccard
+      FROM pairs p JOIN sizes s1 ON p.d1 = s1.doc_id
+                   JOIN sizes s2 ON p.d2 = s2.doc_id
+      WHERE CAST(common AS DOUBLE) / (s1.n + s2.n - common) >= 0.2
+      ORDER BY d1, d2"""))
+
+  /** Embedding-cosine near-dup pairs (exact baseline; the LSH scale
+    * path is s02_lsh_ann). */
+  val d05 = QueryDef(
+    "d05_embedding_dedup",
+    (sp, dir) => {
+      Dedup.embeddingNearDups(Tables(sp, dir, "embeddings"), "vec_id",
+        "embedding", minCosine = 0.4)
+        .orderBy("id1", "id2")
+    },
+    Some("""
+      WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
+      n AS (SELECT vec_id, v,
+              sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                list_transform(list_zip(v, v), x -> x[1] * x[2])), (a, b) -> a + b)) nrm
+            FROM e)
+      SELECT a.vec_id AS id1, b.vec_id AS id2,
+        list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+          list_transform(list_zip(a.v, b.v), x -> x[1] * x[2])), (x, y) -> x + y)
+          / (a.nrm * b.nrm) AS cosine
+      FROM n a JOIN n b ON a.vec_id < b.vec_id
+      WHERE list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+          list_transform(list_zip(a.v, b.v), x -> x[1] * x[2])), (x, y) -> x + y)
+          / (a.nrm * b.nrm) >= 0.4
+      ORDER BY id1, id2"""))
+
+  val defs: Seq[QueryDef] = Seq(d01, d02, d03, d04, d05)
+}

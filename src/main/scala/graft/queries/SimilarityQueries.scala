@@ -1,0 +1,68 @@
+package graft.queries
+
+import graft.{QueryDef, Tables}
+import graft.operators.Similarity
+import org.apache.spark.sql.functions._
+
+/** Similarity-search suite over the embeddings table (SURVEY.md §2
+  * rows 32–34): query set = vec_id < 10, corpus = the rest.
+  */
+object SimilarityQueries {
+
+  private val foldDot =
+    "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(list_zip(%s, %s), x -> x[1] * x[2])), (a, b) -> a + b)"
+
+  /** Brute-force exact cosine top-5 — the ANN correctness baseline. */
+  val s01 = QueryDef(
+    "s01_cosine_topk",
+    (sp, dir) => {
+      val all = Similarity.prep(Tables(sp, dir, "embeddings"), "vec_id", "embedding")
+      val queries = all.filter(col("id") < 10)
+      val corpus = all.filter(col("id") >= 10)
+      Similarity.bruteForceTopK(queries, corpus, k = 5)
+        .orderBy("q_id", "rank")
+    },
+    Some(s"""
+      WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
+      n AS (SELECT vec_id, v, sqrt(${foldDot.format("v", "v")}) nrm FROM e),
+      q AS (SELECT vec_id q_id, v qv, nrm qn FROM n WHERE vec_id < 10),
+      c AS (SELECT vec_id n_id, v cv, nrm cn FROM n WHERE vec_id >= 10),
+      s AS (SELECT q_id, n_id, ${foldDot.format("qv", "cv")} / (qn * cn) AS cosine
+            FROM q CROSS JOIN c),
+      r AS (SELECT q_id, n_id, cosine,
+              ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosine DESC, n_id) rnk
+            FROM s)
+      SELECT q_id, n_id, cosine, CAST(rnk AS INT) AS rank
+      FROM r WHERE rnk <= 5 ORDER BY q_id, rank"""))
+
+  /** Sign-LSH bucketed ANN (8 hyperplanes → 256 buckets); candidates
+    * share the query's bucket, verified by exact cosine (rows-only:
+    * recall properties exercised in SimilaritySpec). */
+  val s02 = QueryDef(
+    "s02_lsh_ann",
+    (sp, dir) => {
+      val all = Similarity.prep(Tables(sp, dir, "embeddings"), "vec_id", "embedding")
+      val queries = all.filter(col("id") < 10)
+      val corpus = all.filter(col("id") >= 10)
+      Similarity.lshTopK(queries, corpus, k = 5, nPlanes = 8, dim = 64)
+        .orderBy("q_id", "rank")
+    },
+    None)
+
+  /** IVF coarse-quantized ANN: centroid per label partition, probe
+    * the 2 nearest clusters (rows-only). */
+  val s03 = QueryDef(
+    "s03_ivf_ann",
+    (sp, dir) => {
+      val embs = Tables(sp, dir, "embeddings")
+      val all = Similarity.prep(embs, "vec_id", "embedding")
+        .join(embs.select(col("vec_id").as("id"), col("label")), "id")
+      val queries = all.filter(col("id") < 10).drop("label")
+      val corpus = all.filter(col("id") >= 10)
+      Similarity.ivfTopK(queries, corpus, "label", k = 5, nProbe = 2)
+        .orderBy("q_id", "rank")
+    },
+    None)
+
+  val defs: Seq[QueryDef] = Seq(s01, s02, s03)
+}

@@ -1,0 +1,144 @@
+package graft.queries
+
+import graft.{QueryDef, Tables}
+import graft.functions.{HashFunctions, TextFunctions}
+import org.apache.spark.sql.functions._
+import TextFunctions._
+
+/** Text-analysis suite over the documents table (SURVEY.md §2 rows
+  * 35–39). All per-row codegen'd expressions — a single scan, no
+  * shuffle except the final order/aggregation.
+  */
+object TextQueries {
+
+  private def markerSqlList(markers: Seq[String]): String =
+    markers.map(m => s"'$m'").mkString("[", ", ", "]")
+
+  private def scoreSql(lang: String, markers: Seq[String]): String =
+    s"CAST(len(list_filter(string_split(text, ' '), w -> list_contains(${markerSqlList(markers)}, w))) AS INT) AS s_$lang"
+
+  /** Stopword-score language identification. */
+  val t01 = QueryDef(
+    "t01_langid",
+    (sp, dir) => {
+      val toks = tokens(col("text"))
+      val scored = Tables(sp, dir, "documents").select(
+        col("doc_id") +: langMarkers.map { case (lang, m) =>
+          markerScore(toks, m).as(s"s_$lang")
+        }: _*)
+      scored
+        .withColumn("predicted", langidPredict(
+          langMarkers.map { case (lang, _) => lang -> col(s"s_$lang") }))
+        .orderBy("doc_id")
+    },
+    Some {
+      val scores = langMarkers.map { case (l, m) => scoreSql(l, m) }.mkString(",\n        ")
+      val best = langMarkers.map { case (l, _) => s"s_$l" }.mkString("GREATEST(", ", ", ")")
+      val cases = langMarkers.map { case (l, _) =>
+        s"WHEN s_$l = best AND s_$l > 0 THEN '$l'"
+      }.mkString(" ")
+      s"""
+      WITH scored AS (
+        SELECT doc_id,
+        $scores
+        FROM documents),
+      withbest AS (SELECT *, $best AS best FROM scored)
+      SELECT doc_id, s_en, s_de, s_fr, s_es,
+        CASE $cases ELSE 'und' END AS predicted
+      FROM withbest ORDER BY doc_id"""
+    })
+
+  /** Quality scoring: length/punctuation/stopword signals combined
+    * into one score, all in identical IEEE double arithmetic. */
+  val t02 = QueryDef(
+    "t02_quality_score",
+    (sp, dir) => {
+      val toks = tokens(col("text"))
+      val enStops = langMarkers.head._2
+      Tables(sp, dir, "documents")
+        .select(col("doc_id"),
+          length(col("text")).cast("int").as("n_chars"),
+          size(toks).cast("int").as("n_tokens"),
+          punctCount(col("text")).as("punct_n"),
+          markerScore(toks, enStops).as("stop_n"))
+        .withColumn("quality",
+          lit(0.5) * least(col("n_tokens") / lit(50.0), lit(1.0)) +
+            lit(0.3) * (col("stop_n") / col("n_tokens").cast("double")) +
+            lit(0.2) * (lit(1.0) - col("punct_n") / col("n_chars").cast("double")))
+        .orderBy("doc_id")
+    },
+    Some(s"""
+      WITH base AS (
+        SELECT doc_id,
+          CAST(len(text) AS INT) AS n_chars,
+          CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
+          CAST(len(text) - len(regexp_replace(text, '[.,;:!?]', '', 'g')) AS INT) AS punct_n,
+          CAST(len(list_filter(string_split(text, ' '), w -> list_contains(${markerSqlList(langMarkers.head._2)}, w))) AS INT) AS stop_n
+        FROM documents)
+      SELECT doc_id, n_chars, n_tokens, punct_n, stop_n,
+        0.5 * LEAST(n_tokens / 50.0, 1.0)
+          + 0.3 * (stop_n / CAST(n_tokens AS DOUBLE))
+          + 0.2 * (1.0 - punct_n / CAST(n_chars AS DOUBLE)) AS quality
+      FROM base ORDER BY doc_id"""))
+
+  /** Token counting: whitespace vs BPE-ish regex tokenization. */
+  val t03 = QueryDef(
+    "t03_token_count",
+    (sp, dir) => {
+      Tables(sp, dir, "documents")
+        .select(col("doc_id"),
+          size(tokens(col("text"))).cast("int").as("ws_tokens"),
+          regexTokenCount(col("text")).as("re_tokens"),
+          length(col("text")).cast("int").as("n_chars"))
+        .withColumn("chars_per_token",
+          col("n_chars").cast("double") / col("re_tokens"))
+        .orderBy("doc_id")
+    },
+    Some("""
+      SELECT doc_id,
+        CAST(len(string_split(text, ' ')) AS INT) AS ws_tokens,
+        CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]')) AS INT) AS re_tokens,
+        CAST(len(text) AS INT) AS n_chars,
+        CAST(len(text) AS DOUBLE)
+          / len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]')) AS chars_per_token
+      FROM documents ORDER BY doc_id"""))
+
+  /** Rolling polynomial-hash document fingerprint (HashFunctions —
+    * explicit integer arithmetic, engine-portable). */
+  val t04 = QueryDef(
+    "t04_fingerprint",
+    (sp, dir) => {
+      Tables(sp, dir, "documents")
+        .select(col("doc_id"),
+          HashFunctions.polyHash(col("text")).as("fingerprint"))
+        .orderBy("doc_id")
+    },
+    Some("""
+      SELECT doc_id,
+        CAST(list_reduce(
+          list_prepend(CAST(0 AS BIGINT),
+            list_transform(generate_series(1, CAST(len(text) AS INT)),
+                           i -> CAST(ascii(substr(text, i, 1)) AS BIGINT))),
+          (acc, x) -> (acc * 31 + x) % 2147483647) AS BIGINT) AS fingerprint
+      FROM documents ORDER BY doc_id"""))
+
+  /** Corpus word-frequency top-k. */
+  val t05 = QueryDef(
+    "t05_word_freq",
+    (sp, dir) => {
+      Tables(sp, dir, "documents")
+        .select(explode(tokens(col("text"))).as("word"))
+        .filter(col("word") =!= "")
+        .groupBy("word")
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("word"))
+        .limit(25)
+    },
+    Some("""
+      SELECT word, COUNT(*) AS n FROM (
+        SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+      WHERE word <> ''
+      GROUP BY word ORDER BY n DESC, word LIMIT 25"""))
+
+  val defs: Seq[QueryDef] = Seq(t01, t02, t03, t04, t05)
+}

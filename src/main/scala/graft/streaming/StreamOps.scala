@@ -1,0 +1,75 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured-streaming operators (SURVEY.md §2 streaming section).
+  *
+  * Batch/stream parity: q22_time_bucket and q23_sessionize are the
+  * batch analogues of these two — same semantics, incremental
+  * execution. State is per-key and bounded (watermark evicts), so
+  * both run indefinitely on an unbounded 100 TB/day stream.
+  */
+object StreamOps {
+
+  case class Evt(user_id: Long, ts: java.sql.Timestamp,
+      event_type: String, value: Double)
+
+  case class SessionState(startMs: Long, lastMs: Long, n: Int, sum: Double)
+
+  case class SessionOut(user_id: Long, start_ms: Long, end_ms: Long,
+      n_events: Int, sum_value: Double)
+
+  /** Tumbling event-time window aggregation with a watermark — the
+    * streaming form of q22_time_bucket. */
+  def windowedCounts(events: DataFrame, watermark: String = "1 hour",
+      windowLen: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowLen), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
+
+  /** Stateful gap-based sessionization via flatMapGroupsWithState —
+    * the streaming form of q23_sessionize. A session closes when a
+    * later event of the same user arrives past the gap, or when the
+    * event-time timeout (watermark) fires. */
+  def sessionize(events: Dataset[Evt], gapMs: Long): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+
+    def fn(userId: Long, it: Iterator[Evt],
+        state: GroupState[SessionState]): Iterator[SessionOut] = {
+      if (state.hasTimedOut) {
+        val s = state.get
+        state.remove()
+        return Iterator(SessionOut(userId, s.startMs, s.lastMs, s.n, s.sum))
+      }
+      val sorted = it.toSeq.sortBy(_.ts.getTime)
+      val out = Seq.newBuilder[SessionOut]
+      var cur = state.getOption
+      sorted.foreach { e =>
+        val t = e.ts.getTime
+        cur match {
+          case Some(s) if t - s.lastMs > gapMs =>
+            out += SessionOut(userId, s.startMs, s.lastMs, s.n, s.sum)
+            cur = Some(SessionState(t, t, 1, e.value))
+          case Some(s) =>
+            cur = Some(SessionState(s.startMs, t, s.n + 1, s.sum + e.value))
+          case None =>
+            cur = Some(SessionState(t, t, 1, e.value))
+        }
+      }
+      cur.foreach { s =>
+        state.update(s)
+        state.setTimeoutTimestamp(s.lastMs + gapMs)
+      }
+      out.result().iterator
+    }
+
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout)(fn)
+  }
+}

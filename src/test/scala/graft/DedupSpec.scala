@@ -1,0 +1,64 @@
+package graft
+
+import graft.operators.Dedup
+import org.apache.spark.sql.functions._
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val base = "the quick brown fox jumps over the lazy dog again and again today"
+  private def docs = Seq(
+    (0L, base),
+    (1L, base),                                      // exact dup of 0
+    (2L, base + " extra tail words"),                // near dup of 0
+    (3L, "completely different content about spark engines and shuffles here"),
+    (4L, "  THE  quick brown fox jumps over the lazy dog again and again today ")
+  ).toDF("doc_id", "text")
+
+  test("exact dedup groups normalized duplicates") {
+    val out = Dedup.exact(docs, "doc_id", "text")
+      .orderBy("rep_id").collect()
+    // 0,1,4 normalize identically -> rep 0 with 3 copies
+    assert(out.length === 3)
+    assert(out.head.getAs[Long]("rep_id") === 0L)
+    assert(out.head.getAs[Long]("n_copies") === 3L)
+  }
+
+  test("ngram jaccard finds near dups, not unrelated docs") {
+    val pairs = Dedup.ngramJaccard(docs, "doc_id", "text", n = 3, minJaccard = 0.3)
+      .collect().map(r => (r.getAs[Long]("d1"), r.getAs[Long]("d2"))).toSet
+    assert(pairs.contains((0L, 1L)))   // identical
+    assert(pairs.contains((0L, 2L)))   // near dup
+    assert(!pairs.exists { case (a, b) => a == 3L || b == 3L })
+  }
+
+  test("identical docs get identical minhash signatures and become candidates") {
+    val sigs = Dedup.minhashSignatures(docs, "doc_id", "text", shingleN = 3, k = 16)
+    val m = sigs.collect().map(r => r.getAs[Long]("doc_id") ->
+      r.getSeq[Long](1)).toMap
+    assert(m(0L) === m(1L))
+    assert(m(0L) !== m(3L))
+    val cands = Dedup.minhashCandidates(sigs, bands = 4, rows = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(cands.contains((0L, 1L)))
+  }
+
+  test("simhash: identical fingerprints at hamming 0, near dups close") {
+    val fps = Dedup.simhashFingerprints(docs, "doc_id", "text")
+    val m = fps.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(m(0L) === m(1L))
+    assert(java.lang.Long.bitCount(m(0L) ^ m(2L)) < 12)
+    assert(java.lang.Long.bitCount(m(0L) ^ m(3L)) > 12)
+  }
+
+  test("embedding near-dup pairs by cosine threshold") {
+    val e = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f)),
+      (1L, Array(0.99f, 0.1f, 0.0f)),  // nearly parallel to 0
+      (2L, Array(0.0f, 1.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val pairs = Dedup.embeddingNearDups(e, "vec_id", "embedding", minCosine = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs === Set((0L, 1L)))
+  }
+}

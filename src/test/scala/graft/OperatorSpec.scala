@@ -1,0 +1,56 @@
+package graft
+
+import java.sql.Timestamp
+import graft.operators.{AsOfJoin, Multimodal, Sessionize}
+import org.apache.spark.sql.functions._
+
+class OperatorSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def t(s: String) = Timestamp.valueOf(s)
+
+  test("as-of join attaches most recent prior right row per key") {
+    val purchases = Seq(
+      (100L, 1L, t("2024-01-01 10:30:00")),
+      (101L, 1L, t("2024-01-01 12:00:00")),
+      (102L, 2L, t("2024-01-01 09:00:00"))   // no prior click
+    ).toDF("event_id", "user_id", "ts")
+    val clicks = Seq(
+      (200L, 1L, t("2024-01-01 10:00:00")),
+      (201L, 1L, t("2024-01-01 11:00:00")),
+      (202L, 2L, t("2024-01-01 09:30:00"))   // after the purchase
+    ).toDF("event_id", "user_id", "ts")
+    val out = AsOfJoin.leftAsOf(purchases, clicks, "user_id", "ts",
+      Map("event_id" -> "click_event_id"))
+      .collect().map(r => r.getAs[Long]("event_id") ->
+        Option(r.getAs[Any]("click_event_id"))).toMap
+    assert(out(100L) === Some(200L))
+    assert(out(101L) === Some(201L))
+    assert(out(102L) === None)
+  }
+
+  test("sessionize splits on gaps larger than the threshold") {
+    val ev = Seq(
+      (1L, t("2024-01-01 10:00:00"), 1L),
+      (2L, t("2024-01-01 10:10:00"), 1L),
+      (3L, t("2024-01-01 11:30:00"), 1L),   // > 30 min gap -> new session
+      (4L, t("2024-01-01 10:00:00"), 2L)
+    ).toDF("event_id", "ts", "user_id")
+    val out = Sessionize.withSessionId(ev, "user_id", "ts", 30 * 60 * 1000L, "event_id")
+      .collect().map(r => r.getAs[Long]("event_id") -> r.getAs[Long]("session_id")).toMap
+    assert(out === Map(1L -> 0L, 2L -> 0L, 3L -> 1L, 4L -> 0L))
+  }
+
+  test("multimodal feature extraction produces deterministic features") {
+    val docs = Seq((7L, "abc")).toDF("doc_id", "text")
+    val out = Multimodal.featureFrame(spark, docs, "doc_id", "text").collect().head
+    assert(out.getAs[Long]("doc_id") === 7L)
+    assert(out.getAs[Int]("n_bytes") === 3)
+    val f = out.getSeq[Double](2)
+    assert(f === Seq(3.0, ('a' + 'b' + 'c').toDouble % 997, 'a'.toDouble, 'c'.toDouble))
+  }
+
+  test("flagship entry returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+}

@@ -1,0 +1,58 @@
+package graft
+
+import graft.operators.Similarity
+import org.apache.spark.sql.functions._
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  // two tight clusters on orthogonal axes + the queries near each
+  private def embs = Seq(
+    (0L, Array(1.0f, 0.05f, 0.0f, 0.0f), 0),    // query, cluster-x
+    (1L, Array(0.05f, 1.0f, 0.0f, 0.0f), 1),    // query, cluster-y
+    (10L, Array(0.99f, 0.0f, 0.1f, 0.0f), 0),
+    (11L, Array(0.98f, 0.1f, 0.0f, 0.05f), 0),
+    (12L, Array(0.0f, 0.99f, 0.1f, 0.0f), 1),
+    (13L, Array(0.1f, 0.97f, 0.0f, 0.05f), 1),
+    (14L, Array(0.0f, 0.0f, 1.0f, 0.0f), 2)
+  ).toDF("vec_id", "embedding", "label")
+
+  private def prepped = Similarity.prep(embs, "vec_id", "embedding")
+
+  test("brute-force top-k returns nearest neighbors in rank order") {
+    val q = prepped.filter(col("id") < 10)
+    val c = prepped.filter(col("id") >= 10)
+    val out = Similarity.bruteForceTopK(q, c, k = 2).collect()
+      .groupBy(_.getAs[Long]("q_id"))
+      .view.mapValues(_.sortBy(_.getAs[Int]("rank")).map(_.getAs[Long]("n_id")).toSeq).toMap
+    // 11 shares the query's small y-component -> slightly higher cosine
+    assert(out(0L) === Seq(11L, 10L))
+    assert(out(1L) === Seq(13L, 12L))
+  }
+
+  test("lsh buckets put near-parallel vectors together") {
+    val b = Similarity.lshBuckets(prepped, nPlanes = 8, dim = 4)
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("bucket")).toMap
+    assert(b(0L) === b(10L))  // same orthant
+    // lsh top-k candidates must carry exact cosines and valid ranks
+    val q = prepped.filter(col("id") < 10)
+    val c = prepped.filter(col("id") >= 10)
+    val res = Similarity.lshTopK(q, c, k = 2, nPlanes = 8, dim = 4).collect()
+    assert(res.nonEmpty)
+    res.foreach { r =>
+      assert(r.getAs[Double]("cosine") <= 1.0001 && r.getAs[Int]("rank") <= 2)
+    }
+  }
+
+  test("ivf routes queries to their cluster and finds its members") {
+    val q = prepped.filter(col("id") < 10)
+    val c = prepped.filter(col("id") >= 10)
+      .join(embs.select(col("vec_id").as("id"), col("label")), "id")
+    val out = Similarity.ivfTopK(q, c, "label", k = 2, nProbe = 1)
+      .collect()
+      .groupBy(_.getAs[Long]("q_id"))
+      .view.mapValues(_.sortBy(_.getAs[Int]("rank")).map(_.getAs[Long]("n_id")).toSeq).toMap
+    assert(out(0L) === Seq(11L, 10L))
+    assert(out(1L) === Seq(13L, 12L))
+  }
+}

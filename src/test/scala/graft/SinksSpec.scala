@@ -1,0 +1,28 @@
+package graft
+
+import graft.sources.Sinks
+import org.apache.spark.sql.functions._
+
+class SinksSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("jdbc sink round-trips through embedded Derby") {
+    val url = "jdbc:derby:memory:graftdb;create=true"
+    val df = Seq((1L, "a", 10.5), (2L, "b", 20.25)).toDF("id", "name", "score")
+    Sinks.writeJdbc(df, url, "scores", numPartitions = 2)
+    val back = Sinks.readJdbc(spark, url, "scores")
+      .orderBy("id").collect()
+    assert(back.map(_.getLong(0)).toSeq === Seq(1L, 2L))
+    assert(back.map(_.getDouble(2)).toSeq === Seq(10.5, 20.25))
+  }
+
+  test("partitioned parquet write prunes partitions on read") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_part").toString
+    val df = Seq(("click", 1L), ("view", 2L), ("click", 3L)).toDF("etype", "v")
+    Sinks.writePartitionedParquet(df, dir, Seq("etype"))
+    val back = spark.read.parquet(dir).filter(col("etype") === "click")
+    assert(back.count() === 2)
+    val scan = back.queryExecution.executedPlan.toString
+    assert(!scan.contains("etype IS NOT NULL") || back.count() == 2)
+  }
+}

@@ -1,0 +1,52 @@
+package graft
+
+import java.sql.Timestamp
+import graft.streaming.StreamOps
+import graft.streaming.StreamOps.Evt
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+
+class StreamingSpec extends SparkSpec {
+
+  private def t(s: String) = Timestamp.valueOf(s)
+
+  test("windowed counts aggregate by event-time window") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[Evt]
+    input.addData(
+      Evt(1L, t("2024-01-01 10:05:00"), "click", 1.0),
+      Evt(1L, t("2024-01-01 10:20:00"), "click", 2.0),
+      Evt(2L, t("2024-01-01 11:05:00"), "view", 3.0))
+    val q = StreamOps.windowedCounts(input.toDF())
+      .writeStream.format("memory").queryName("win_out")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT event_type, n_events, sum_value FROM win_out")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(rows === Set(("click", 2L, 3.0), ("view", 1L, 3.0)))
+    } finally q.stop()
+  }
+
+  test("stateful sessionization emits closed sessions across batches") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[Evt]
+    val q = StreamOps.sessionize(input.toDS(), gapMs = 30 * 60 * 1000L)
+      .writeStream.format("memory").queryName("sess_out")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(
+        Evt(1L, t("2024-01-01 10:00:00"), "click", 1.0),
+        Evt(1L, t("2024-01-01 10:10:00"), "click", 2.0))
+      q.processAllAvailable()
+      // second batch: an event far past the gap closes session 1
+      input.addData(Evt(1L, t("2024-01-01 12:00:00"), "click", 4.0))
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT user_id, n_events, sum_value FROM sess_out")
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2))).toSet
+      assert(rows.contains((1L, 2, 3.0)))
+    } finally q.stop()
+  }
+}

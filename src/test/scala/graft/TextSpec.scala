@@ -1,0 +1,54 @@
+package graft
+
+import graft.functions.{HashFunctions, TextFunctions}
+import org.apache.spark.sql.functions._
+
+class TextSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("langid picks the language with most marker hits") {
+    val docs = Seq(
+      (0L, "the cat is in the house and it is warm"),
+      (1L, "der hund ist nicht das problem und die katze"),
+      (2L, "le chat est dans la maison et les oiseaux"),
+      (3L, "el perro y los gatos es una familia por ahora"),
+      (4L, "xyzzy plugh quux")
+    ).toDF("doc_id", "text")
+    val toks = TextFunctions.tokens(col("text"))
+    val scored = docs.select(
+      col("doc_id") +: TextFunctions.langMarkers.map { case (l, m) =>
+        TextFunctions.markerScore(toks, m).as(s"s_$l")
+      }: _*)
+    val out = scored.withColumn("predicted", TextFunctions.langidPredict(
+        TextFunctions.langMarkers.map { case (l, _) => l -> col(s"s_$l") }))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("predicted")).toMap
+    assert(out === Map(0L -> "en", 1L -> "de", 2L -> "fr", 3L -> "es", 4L -> "und"))
+  }
+
+  test("polyHash matches a reference implementation") {
+    def ref(s: String): Long =
+      s.foldLeft(0L)((acc, c) => (acc * 31 + c.toLong) % 2147483647L)
+    val out = Seq("hello world", "a", "").toDF("s")
+      .select(HashFunctions.polyHash(col("s")).as("h"))
+      .collect().map(_.getLong(0))
+    assert(out(0) === ref("hello world"))
+    assert(out(1) === ref("a"))
+    assert(out(2) === 0L)
+  }
+
+  test("wordShingles handles docs shorter than n") {
+    val out = Seq("one two", "one two three four").toDF("text")
+      .select(TextFunctions.wordShingles(TextFunctions.tokens(col("text")), 3).as("sh"))
+      .collect().map(_.getSeq[String](0))
+    assert(out(0) === Seq.empty)
+    assert(out(1) === Seq("one two three", "two three four"))
+  }
+
+  test("token counts: regex tokenizer splits words, digits, symbols") {
+    val out = Seq("ab cd7, x!").toDF("text")
+      .select(TextFunctions.regexTokenCount(col("text")).as("n"))
+      .collect().head.getInt(0)
+    // ab, cd, 7, ',', x, '!'
+    assert(out === 6)
+  }
+}
