@@ -42,8 +42,14 @@ object Dsl {
     moneySum(c) / count(lit(1))
 
   /** Left-fold dot product of two DOUBLE array columns. Sequential
-    * fold = bit-identical to the DuckDB `list_reduce` oracle. */
+    * fold = bit-identical to the DuckDB `list_reduce` oracle. Runs as
+    * the native codegen'd [[graft.functions.DotFold]] kernel. */
   def dotFold(a: Column, b: Column): Column =
+    graft.functions.DotFold(a, b)
+
+  /** HOF reference form of [[dotFold]] (same semantics, interpreted);
+    * kept for equivalence testing. */
+  def dotFoldHof(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
 
   /** L2 norm via the same sequential fold. */

@@ -30,6 +30,14 @@ object Dedup {
         TextFunctions.wordShingles(TextFunctions.tokens(col(textCol)), n)))
         .as("shingle"))
 
+  /** (id, shingle-hash) pairs: like [[shingleSet]] but carrying 62-bit
+    * hashes — an 8-byte shuffle/join key instead of a ~20-char string.
+    * Collision odds over d distinct shingles ≈ d²/2⁶³ (negligible even
+    * at 10⁹ shingles), and the join/count semantics are unchanged. */
+  def shingleHashSet(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+      explode(graft.functions.ShingleHashes(col(textCol), n)).as("shingle"))
+
   /** Exact n-gram Jaccard similarity for candidate pairs that share at
     * least one shingle. The shingle join is the only shuffle; the
     * all-pairs blowup is bounded by shingle document frequency (word
@@ -37,13 +45,24 @@ object Dedup {
     * before the self-join). */
   def ngramJaccard(docs: DataFrame, idCol: String, textCol: String,
       n: Int, minJaccard: Double): DataFrame = {
-    val sh = shingleSet(docs, idCol, textCol, n)
+    // persist: the shingle set feeds the size aggregate AND both sides
+    // of the self-join — without it the (HOF-heavy) shingle generation
+    // runs three times.
+    val sh = shingleHashSet(docs, idCol, textCol, n)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
-    val pairs = sh.as("a")
-      .join(sh.as("b"),
-        col("a.shingle") === col("b.shingle") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+    // Pair generation without a self-join: group docs per shingle and
+    // emit in-bucket (d1 < d2) combinations — one shuffle on the
+    // shingle key instead of join + sort. Bucket fanout is bounded by
+    // shingle document frequency (word n-grams are discriminative).
+    val buckets = sh.groupBy("shingle")
+      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+      .filter(size(col("ids")) > 1)
+    val pairs = buckets
+      .select(explode(flatten(transform(col("ids"), (x, i) =>
+        transform(slice(col("ids"), i + lit(2), size(col("ids")) - i - lit(1)),
+          y => struct(x.as("d1"), y.as("d2")))))).as("p"))
+      .groupBy(col("p.d1").as("d1"), col("p.d2").as("d2"))
       .agg(count(lit(1)).as("common"))
     pairs
       .join(sizes.withColumnRenamed("doc_id", "d1")
@@ -56,15 +75,16 @@ object Dedup {
       .select("d1", "d2", "common", "n1", "n2", "jaccard")
   }
 
-  /** MinHash signatures: k permutation minima over shingle hashes. */
+  /** MinHash signatures: k permutation minima over shingle hashes
+    * (fused native shingle hashing; bases reduced mod P so the
+    * permutation products stay in 62 bits). */
   def minhashSignatures(docs: DataFrame, idCol: String, textCol: String,
       shingleN: Int, k: Int): DataFrame =
     docs.select(col(idCol).as("doc_id"),
       HashFunctions.minhashSig(
         transform(
-          array_distinct(TextFunctions.wordShingles(
-            TextFunctions.tokens(col(textCol)), shingleN)),
-          s => HashFunctions.polyHash(s)),
+          graft.functions.ShingleHashes(col(textCol), shingleN),
+          h => h % lit(HashFunctions.P)),
         k).as("sig"))
 
   /** LSH banding: explode each signature into (band, bandSig) bucket

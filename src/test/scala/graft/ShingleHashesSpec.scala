@@ -1,0 +1,36 @@
+package graft
+
+import graft.functions.{Hash62Expr, HashFunctions, ShingleHashes, TextFunctions}
+import org.apache.spark.sql.functions._
+
+class ShingleHashesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val tricky = Seq(
+    "one two three four five",
+    "a  b c d",            // empty token from double space
+    "one two",             // shorter than n
+    "",                    // empty text
+    "trailing space ok ",  // trailing empty token
+    "x y z x y z x y z")   // repeated shingles -> dedupe
+    .toDF("text")
+
+  test("fused shingle hashes == composed HOF + Hash62 chain") {
+    val composed = tricky.select(
+      array_sort(array_distinct(transform(
+        TextFunctions.wordShingles(TextFunctions.tokens(col("text")), 3),
+        s => Hash62Expr(s)))).as("h"))
+    val fused = tricky.select(
+      array_sort(ShingleHashes(col("text"), 3)).as("h"))
+    val c = composed.collect().map(_.getSeq[Long](0))
+    val f = fused.collect().map(_.getSeq[Long](0))
+    assert(f.toSeq === c.toSeq)
+  }
+
+  test("native Hash62 matches the HOF hash62 on ascii strings") {
+    val df = Seq("hello world", "", "a", "the quick brown fox").toDF("s")
+    val out = df.select(Hash62Expr(col("s")).as("native"),
+      HashFunctions.hash62(col("s")).as("hof")).collect()
+    out.foreach(r => assert(r.getLong(0) === r.getLong(1)))
+  }
+}
