@@ -7,6 +7,7 @@ object Catalog {
   def all: Seq[QueryDef] =
     queries.RelationalCore.defs ++
       queries.RelationalExt.defs ++
+      queries.RelationalMore.defs ++
       queries.DedupQueries.defs ++
       queries.SimilarityQueries.defs ++
       queries.TextQueries.defs ++

@@ -1,0 +1,90 @@
+package graft.queries
+
+import graft.{Dsl, QueryDef, Tables}
+import org.apache.spark.sql.functions._
+import Dsl._
+
+/** Relational analytics core, part 3 (SURVEY.md §2 rows 42–45):
+  * correlated subqueries, regex extraction, array aggregation, approx
+  * distinct.
+  */
+object RelationalMore {
+
+  /** Correlated max-per-group subquery (TPC-H Q2 shape): customers at
+    * their nation's maximum balance. Spark plan: broadcast the
+    * per-group max aggregate back onto the fact — no correlation
+    * re-execution per row. */
+  val q27 = QueryDef(
+    "q27_min_per_group",
+    (sp, dir) => {
+      val cust = Tables(sp, dir, "customer")
+      val maxes = cust.groupBy(col("c_nationkey").as("mk"))
+        .agg(max(col("c_acctbal")).as("max_bal"))
+      cust.join(broadcast(maxes),
+        col("c_nationkey") === col("mk") && col("c_acctbal") === col("max_bal"))
+        .select("c_custkey", "c_nationkey", "c_acctbal")
+        .orderBy("c_nationkey", "c_custkey")
+    },
+    Some("""
+      SELECT c_custkey, c_nationkey, c_acctbal
+      FROM customer c
+      WHERE c_acctbal = (SELECT MAX(c2.c_acctbal) FROM customer c2
+                         WHERE c2.c_nationkey = c.c_nationkey)
+      ORDER BY c_nationkey, c_custkey"""))
+
+  /** Regex capture-group extraction over part names. */
+  val q28 = QueryDef(
+    "q28_regexp_extract",
+    (sp, dir) => {
+      Tables(sp, dir, "part")
+        .select(col("p_partkey"),
+          regexp_extract(col("p_name"), "^([a-z]+) ([a-z]+)$", 1).as("color"),
+          regexp_extract(col("p_name"), "^([a-z]+) ([a-z]+)$", 2).as("shape"))
+        .groupBy("color")
+        .agg(count(lit(1)).as("n_parts"),
+          countDistinct(col("shape")).as("n_shapes"))
+        .orderBy("color")
+    },
+    Some("""
+      SELECT regexp_extract(p_name, '^([a-z]+) ([a-z]+)$', 1) AS color,
+        COUNT(*) AS n_parts,
+        COUNT(DISTINCT regexp_extract(p_name, '^([a-z]+) ([a-z]+)$', 2)) AS n_shapes
+      FROM part GROUP BY 1 ORDER BY color"""))
+
+  /** Array aggregation: deterministic sorted distinct lists, surfaced
+    * as joined strings (engine-portable array rendering). */
+  val q29 = QueryDef(
+    "q29_array_agg",
+    (sp, dir) => {
+      Tables(sp, dir, "nation")
+        .join(Tables(sp, dir, "customer"),
+          col("n_nationkey") === col("c_nationkey"))
+        .groupBy("n_name")
+        .agg(
+          array_join(sort_array(collect_set(col("c_mktsegment"))), ",")
+            .as("segments"),
+          count(lit(1)).as("n_cust"))
+        .orderBy("n_name")
+    },
+    Some("""
+      SELECT n_name,
+        array_to_string(list_sort(list(DISTINCT c_mktsegment)), ',') AS segments,
+        COUNT(*) AS n_cust
+      FROM nation JOIN customer ON n_nationkey = c_nationkey
+      GROUP BY n_name ORDER BY n_name"""))
+
+  /** HyperLogLog approximate distinct (rows-only: sketch estimates
+    * are engine-specific; accuracy asserted in RelationalMoreSpec). */
+  val q30 = QueryDef(
+    "q30_approx_distinct",
+    (sp, dir) => {
+      Tables(sp, dir, "events")
+        .groupBy("event_type")
+        .agg(approx_count_distinct(col("user_id")).as("approx_users"),
+          count(lit(1)).as("n_events"))
+        .orderBy("event_type")
+    },
+    None)
+
+  val defs: Seq[QueryDef] = Seq(q27, q28, q29, q30)
+}
