@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.{QueryDef, Tables}
+import graft.functions.HashFunctions
 import graft.operators.Dedup
 import org.apache.spark.sql.functions._
 
@@ -23,9 +24,29 @@ object DedupQueries {
       GROUP BY lower(trim(regexp_replace(text, '\s+', ' ', 'g')))
       ORDER BY rep_id"""))
 
+  /** The word-trigram shingle + 62-bit-hash pipeline, in DuckDB SQL
+    * (ascii() per char == byte-level hashing on this ASCII corpus). */
+  private def shingleHashSql: String = """
+      toks AS (SELECT doc_id, string_split(text, ' ') w FROM documents),
+      sh AS (SELECT doc_id, unnest(list_distinct(
+               CASE WHEN len(w) < 3 THEN []
+                    ELSE list_transform(generate_series(1, CAST(len(w) - 2 AS INT)),
+                           i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]) END)) AS s
+             FROM toks),
+      hs AS (SELECT doc_id,
+               (list_reduce(list_prepend(CAST(0 AS BIGINT),
+                  list_transform(generate_series(1, CAST(len(s) AS INT)),
+                    i -> CAST(ascii(substr(s, i, 1)) AS BIGINT))),
+                  (a, b) -> (a * 31 + b) % 2147483647)
+                + (list_reduce(list_prepend(CAST(0 AS BIGINT),
+                    list_transform(generate_series(1, CAST(len(s) AS INT)),
+                      i -> CAST(ascii(substr(s, i, 1)) AS BIGINT))),
+                    (a, b) -> (a * 131 + b) % 2147483647) << 31)) AS h
+             FROM sh)"""
+
   /** MinHash(16) + LSH(4 bands × 4 rows) candidate generation;
-    * per-doc candidate-partner counts (rows-only: custom hash chain,
-    * exercised exactly in DedupSpec). */
+    * per-doc candidate-partner counts. Oracle mirrors the whole
+    * integer chain (same LCG-derived permutation constants). */
   val d02 = QueryDef(
     "d02_minhash_lsh",
     (sp, dir) => {
@@ -40,9 +61,45 @@ object DedupQueries {
           coalesce(col("n_candidates"), lit(0L)).as("n_candidates"))
         .orderBy("doc_id")
     },
-    None)
+    Some {
+      val perms = HashFunctions.minhashPerms(16)
+      val sigCols = perms.zipWithIndex.map { case ((a, b), i) =>
+        s"list_min(list_transform(hl, h -> ((h % 2147483647) * $a + $b) % 2147483647)) AS sig$i"
+      }.mkString(",\n          ")
+      val bandCols = (0 until 4).map { bnd =>
+        val parts = (0 until 4).map(r => s"CAST(sig${bnd * 4 + r} AS VARCHAR)")
+        s"(${parts.mkString(" || ',' || ")}) AS band$bnd"
+      }.mkString(",\n          ")
+      s"""
+      WITH $shingleHashSql,
+      hl AS (SELECT doc_id, list(h) AS hl FROM hs GROUP BY doc_id),
+      sigs AS (SELECT doc_id,
+          $sigCols
+        FROM hl),
+      banded0 AS (SELECT doc_id,
+          $bandCols
+        FROM sigs),
+      banded AS (
+        SELECT doc_id, 0 AS band, band0 AS band_sig FROM banded0
+        UNION ALL SELECT doc_id, 1, band1 FROM banded0
+        UNION ALL SELECT doc_id, 2, band2 FROM banded0
+        UNION ALL SELECT doc_id, 3, band3 FROM banded0),
+      cands AS (SELECT DISTINCT a.doc_id d1, b.doc_id d2
+                FROM banded a JOIN banded b
+                  ON a.band = b.band AND a.band_sig = b.band_sig
+                 AND a.doc_id < b.doc_id),
+      partners AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) n FROM (
+          SELECT d1 AS doc_id FROM cands UNION ALL SELECT d2 FROM cands)
+        GROUP BY doc_id)
+      SELECT s.doc_id, s.sig0 AS sig_head,
+        COALESCE(p.n, 0) AS n_candidates
+      FROM sigs s LEFT JOIN partners p ON s.doc_id = p.doc_id
+      ORDER BY s.doc_id"""
+    })
 
-  /** SimHash fingerprints + banded hamming candidates (rows-only). */
+  /** SimHash fingerprints + banded hamming candidates. Oracle mirrors
+    * the full integer chain: per-word dual-poly hash, per-bit majority
+    * vote, 4×16-bit band buckets, exact hamming verify. */
   val d03 = QueryDef(
     "d03_simhash",
     (sp, dir) => {
@@ -57,7 +114,42 @@ object DedupQueries {
           coalesce(col("n_candidates"), lit(0L)).as("n_candidates"))
         .orderBy("doc_id")
     },
-    None)
+    Some("""
+      WITH toks AS (SELECT doc_id, string_split(text, ' ') w FROM documents),
+      wh AS (SELECT doc_id, list_transform(w,
+               s -> list_reduce(list_prepend(CAST(0 AS BIGINT),
+                      list_transform(generate_series(1, CAST(len(s) AS INT)),
+                        i -> CAST(ascii(substr(s, i, 1)) AS BIGINT))),
+                      (a, b) -> (a * 31 + b) % 2147483647)
+                  + (list_reduce(list_prepend(CAST(0 AS BIGINT),
+                      list_transform(generate_series(1, CAST(len(s) AS INT)),
+                        i -> CAST(ascii(substr(s, i, 1)) AS BIGINT))),
+                      (a, b) -> (a * 131 + b) % 2147483647) << 31)) AS hl
+             FROM toks),
+      sim AS (SELECT doc_id,
+               list_reduce(list_prepend(CAST(0 AS BIGINT),
+                 list_transform(generate_series(0, 62),
+                   j -> CASE WHEN list_reduce(list_prepend(CAST(0 AS BIGINT),
+                          list_transform(hl, h -> ((h >> j) % 2) * 2 - 1)),
+                          (a, b) -> a + b) > 0
+                        THEN (CAST(1 AS BIGINT) << j) ELSE CAST(0 AS BIGINT) END)),
+                 (a, b) -> a + b) AS simhash
+              FROM wh),
+      banded AS (SELECT doc_id, simhash, b AS band,
+                   (simhash >> (b * 16)) % 65536 AS band_val
+                 FROM sim, (SELECT unnest([0, 1, 2, 3]) AS b)),
+      cands AS (SELECT DISTINCT a.doc_id d1, b.doc_id d2,
+                  bit_count(xor(a.simhash, b.simhash)) AS hamming
+                FROM banded a JOIN banded b
+                  ON a.band = b.band AND a.band_val = b.band_val
+                 AND a.doc_id < b.doc_id),
+      filtered AS (SELECT d1, d2 FROM cands WHERE hamming <= 12),
+      partners AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) n FROM (
+          SELECT d1 AS doc_id FROM filtered UNION ALL SELECT d2 FROM filtered)
+        GROUP BY doc_id)
+      SELECT s.doc_id, s.simhash, COALESCE(p.n, 0) AS n_candidates
+      FROM sim s LEFT JOIN partners p ON s.doc_id = p.doc_id
+      ORDER BY s.doc_id"""))
 
   /** Exact word-trigram Jaccard near-dup pairs. */
   val d04 = QueryDef(

@@ -36,8 +36,8 @@ object SimilarityQueries {
       FROM r WHERE rnk <= 5 ORDER BY q_id, rank"""))
 
   /** Sign-LSH bucketed ANN (8 hyperplanes → 256 buckets); candidates
-    * share the query's bucket, verified by exact cosine (rows-only:
-    * recall properties exercised in SimilaritySpec). */
+    * share the query's bucket, verified by exact cosine. Oracle
+    * reproduces the buckets from the same deterministic hyperplanes. */
   val s02 = QueryDef(
     "s02_lsh_ann",
     (sp, dir) => {
@@ -47,7 +47,28 @@ object SimilarityQueries {
       Similarity.lshTopK(queries, corpus, k = 5, nPlanes = 8, dim = 64)
         .orderBy("q_id", "rank")
     },
-    None)
+    Some {
+      val planes = Similarity.hyperplanes(8, 64)
+      def planeLit(p: Seq[Double]): String =
+        p.map(x => if (x > 0) "1.0" else "-1.0").mkString("[", ", ", "]")
+      val bucketExpr = planes.zipWithIndex.map { case (p, i) =>
+        s"(CASE WHEN ${foldDot.format("v", s"${planeLit(p)}::DOUBLE[]")} > 0 THEN ${1L << i} ELSE 0 END)"
+      }.mkString("(", " + ", ")")
+      s"""
+      WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
+      n AS (SELECT vec_id, v, sqrt(${foldDot.format("v", "v")}) nrm,
+              $bucketExpr AS bucket
+            FROM e),
+      q AS (SELECT vec_id q_id, v qv, nrm qn, bucket FROM n WHERE vec_id < 10),
+      c AS (SELECT vec_id n_id, v cv, nrm cn, bucket FROM n WHERE vec_id >= 10),
+      s AS (SELECT q_id, n_id, ${foldDot.format("qv", "cv")} / (qn * cn) AS cosine
+            FROM q JOIN c USING (bucket)),
+      r AS (SELECT q_id, n_id, cosine,
+              ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosine DESC, n_id) rnk
+            FROM s)
+      SELECT q_id, n_id, cosine, CAST(rnk AS INT) AS rank
+      FROM r WHERE rnk <= 5 ORDER BY q_id, rank"""
+    })
 
   /** IVF coarse-quantized ANN: centroid per label partition, probe
     * the 2 nearest clusters (rows-only). */
