@@ -59,10 +59,11 @@ object Dedup {
       .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
       .filter(size(col("ids")) > 1)
     val pairs = buckets
-      .select(explode(flatten(transform(col("ids"), (x, i) =>
-        transform(slice(col("ids"), i + lit(2), size(col("ids")) - i - lit(1)),
-          y => struct(x.as("d1"), y.as("d2")))))).as("p"))
-      .groupBy(col("p.d1").as("d1"), col("p.d2").as("d2"))
+      .select(col("ids"), posexplode(col("ids")).as(Seq("i", "d1")))
+      .select(col("d1"), explode(
+        slice(col("ids"), col("i") + lit(2), size(col("ids")) - col("i") - lit(1)))
+        .as("d2"))
+      .groupBy("d1", "d2")
       .agg(count(lit(1)).as("common"))
     pairs
       .join(sizes.withColumnRenamed("doc_id", "d1")

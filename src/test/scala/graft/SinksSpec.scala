@@ -16,6 +16,17 @@ class SinksSpec extends SparkSpec {
     assert(back.map(_.getDouble(2)).toSeq === Seq(10.5, 20.25))
   }
 
+  test("bucketed write removes the exchange from a bucket-key aggregation") {
+    val df = Seq((1L, 10.0), (2L, 20.0), (1L, 30.0), (3L, 5.0)).toDF("k", "v")
+    graft.sources.BucketedWriter.writeBucketed(df, "graft_bucketed", "k", 4)
+    val back = graft.sources.BucketedWriter.readTable(spark, "graft_bucketed")
+    val agg = back.groupBy("k").agg(sum(col("v")).as("s"))
+    val plan = agg.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"bucketed agg should not shuffle:\n$plan")
+    assert(agg.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap ===
+      Map(1L -> 40.0, 2L -> 20.0, 3L -> 5.0))
+  }
+
   test("partitioned parquet write prunes partitions on read") {
     val dir = java.nio.file.Files.createTempDirectory("graft_part").toString
     val df = Seq(("click", 1L), ("view", 2L), ("click", 3L)).toDF("etype", "v")

@@ -29,6 +29,25 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("sliding windows assign events to overlapping buckets") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val input = MemoryStream[Evt]
+    input.addData(Evt(1L, t("2024-01-01 10:45:00"), "click", 1.0))
+    val slid = input.toDF()
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour", "30 minutes"))
+      .count()
+    val q = slid.writeStream.format("memory").queryName("slide_out")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      q.processAllAvailable()
+      // one event falls into two overlapping 1h windows (10:00, 10:30)
+      assert(spark.sql("SELECT * FROM slide_out").count() === 2)
+    } finally q.stop()
+  }
+
   test("stateful sessionization emits closed sessions across batches") {
     implicit val sq = spark.sqlContext
     import spark.implicits._
