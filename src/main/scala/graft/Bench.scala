@@ -18,7 +18,10 @@ object Bench {
       .foreach(f => try f(spark, sfDir).count() catch { case _: Throwable => })
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      // noop sink: materializes every output column (count() would let
+      // Catalyst prune projection-only queries down to nothing).
+      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+      catch { case _: Throwable => }
       name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }

@@ -82,11 +82,8 @@ object Dedup {
   def minhashSignatures(docs: DataFrame, idCol: String, textCol: String,
       shingleN: Int, k: Int): DataFrame =
     docs.select(col(idCol).as("doc_id"),
-      HashFunctions.minhashSig(
-        transform(
-          graft.functions.ShingleHashes(col(textCol), shingleN),
-          h => h % lit(HashFunctions.P)),
-        k).as("sig"))
+      graft.functions.MinHashSigExpr(
+        graft.functions.ShingleHashes(col(textCol), shingleN), k).as("sig"))
 
   /** LSH banding: explode each signature into (band, bandSig) bucket
     * keys; docs sharing any band bucket are near-dup candidates.
@@ -107,12 +104,12 @@ object Dedup {
       .distinct()
   }
 
-  /** SimHash fingerprints over word hashes. */
+  /** SimHash fingerprints over word hashes (native kernels; identical
+    * values to the HOF chain — see SimHashSpec). */
   def simhashFingerprints(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     docs.select(col(idCol).as("doc_id"),
-      HashFunctions.simhash(
-        transform(TextFunctions.tokens(col(textCol)),
-          w => HashFunctions.hash62(w))).as("simhash"))
+      graft.functions.SimHashExpr(
+        graft.functions.TokenHashes(col(textCol))).as("simhash"))
 
   /** SimHash candidate pairs: bucket on 4×16-bit bands (any matching
     * band ⇒ candidate, guaranteed to catch hamming ≤ 3), then verify

@@ -86,5 +86,33 @@ object RelationalMore {
     },
     None)
 
-  val defs: Seq[QueryDef] = Seq(q27, q28, q29, q30)
+  /** Navigation windows: lead/lag deltas and ntile quartiles over each
+    * customer's order history. */
+  val q31 = QueryDef(
+    "q31_lead_lag_ntile",
+    (sp, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      import org.apache.spark.sql.types._
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      Tables(sp, dir, "orders")
+        .filter(col("o_custkey") < 200)
+        .select(col("o_custkey"), col("o_orderkey"),
+          col("o_orderdate").cast(DateType).as("o_orderdate"),
+          datediff(col("o_orderdate"),
+            lag(col("o_orderdate"), 1).over(w)).as("days_since_prev"),
+          lead(col("o_orderkey"), 1).over(w).as("next_orderkey"),
+          ntile(4).over(w).as("quartile"))
+        .orderBy("o_custkey", "o_orderdate", "o_orderkey")
+    },
+    Some("""
+      SELECT o_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS o_orderdate,
+        CAST(date_diff('day', LAG(o_orderdate, 1) OVER w, o_orderdate) AS INT) AS days_since_prev,
+        LEAD(o_orderkey, 1) OVER w AS next_orderkey,
+        CAST(NTILE(4) OVER w AS INT) AS quartile
+      FROM orders WHERE o_custkey < 200
+      WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+      ORDER BY o_custkey, o_orderdate, o_orderkey"""))
+
+  val defs: Seq[QueryDef] = Seq(q27, q28, q29, q30, q31)
 }

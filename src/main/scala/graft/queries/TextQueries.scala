@@ -110,7 +110,7 @@ object TextQueries {
     (sp, dir) => {
       Tables(sp, dir, "documents")
         .select(col("doc_id"),
-          HashFunctions.polyHash(col("text")).as("fingerprint"))
+          graft.functions.PolyHashExpr(col("text"), 31L).as("fingerprint"))
         .orderBy("doc_id")
     },
     Some("""
