@@ -1,6 +1,6 @@
 package graft.plans
 
-import graft.functions.DotFold
+import graft.functions.{DotFold, Hash62Expr, SimHashExpr, TokenHashes}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
@@ -13,12 +13,19 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
   override def apply(ext: SparkSessionExtensions): Unit = {
-    ext.injectFunction((
-      FunctionIdentifier("graft_dot"),
-      new ExpressionInfo(classOf[DotFold].getName, "graft_dot"),
-      (args: Seq[Expression]) => {
-        require(args.length == 2, "graft_dot(arrayA, arrayB) takes 2 arguments")
-        DotFold(args.head, args(1))
-      }: Expression))
+    def register(name: String, clazz: Class[_], arity: Int)(
+        build: Seq[Expression] => Expression): Unit =
+      ext.injectFunction((
+        FunctionIdentifier(name),
+        new ExpressionInfo(clazz.getName, name),
+        (args: Seq[Expression]) => {
+          require(args.length == arity, s"$name takes $arity argument(s)")
+          build(args)
+        }: Expression))
+
+    register("graft_dot", classOf[DotFold], 2)(a => DotFold(a.head, a(1)))
+    register("graft_hash62", classOf[Hash62Expr], 1)(a => Hash62Expr(a.head))
+    register("graft_token_hashes", classOf[TokenHashes], 1)(a => TokenHashes(a.head))
+    register("graft_simhash", classOf[SimHashExpr], 1)(a => SimHashExpr(a.head))
   }
 }
