@@ -43,13 +43,23 @@ object Dedup {
     * all-pairs blowup is bounded by shingle document frequency (word
     * n-grams are discriminative; for adversarial corpora add a df cap
     * before the self-join). */
+  /** @param maxDf optional document-frequency cap: shingles appearing
+    *   in more than `maxDf` docs are dropped BEFORE pair generation.
+    *   This bounds bucket fanout on adversarial/boilerplate-heavy
+    *   corpora (sum of df² drives the pair count) at the cost of
+    *   computing Jaccard over discriminative shingles only — the
+    *   standard stop-shingle trade-off. Any oracle must mirror the cap.
+    */
   def ngramJaccard(docs: DataFrame, idCol: String, textCol: String,
-      n: Int, minJaccard: Double): DataFrame = {
-    // persist: the shingle set feeds the size aggregate AND both sides
-    // of the self-join — without it the (HOF-heavy) shingle generation
-    // runs three times.
-    val sh = shingleHashSet(docs, idCol, textCol, n)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      n: Int, minJaccard: Double, maxDf: Option[Int] = None): DataFrame = {
+    // persist: the shingle set feeds the size aggregate AND the bucket
+    // build — without it the shingle generation runs multiple times.
+    val shAll = shingleHashSet(docs, idCol, textCol, n)
+    val sh = maxDf.fold(shAll) { cap =>
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("shingle")
+      shAll.withColumn("__df", count(lit(1)).over(w))
+        .filter(col("__df") <= cap).drop("__df")
+    }.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
     // Pair generation without a self-join: group docs per shingle and
     // emit in-bucket (d1 < d2) combinations — one shuffle on the

@@ -1,0 +1,40 @@
+package graft
+
+import graft.operators.Dedup
+import graft.sources.ClusteredWriter
+import org.apache.spark.sql.functions._
+
+class ScaleOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("ngramJaccard maxDf cap drops high-df shingles but keeps true near-dups") {
+    val boiler = "common header boilerplate text appears everywhere in every doc"
+    val docs = Seq(
+      (0L, s"$boiler unique alpha beta gamma delta epsilon zeta eta theta"),
+      (1L, s"$boiler unique alpha beta gamma delta epsilon zeta eta iota"),
+      (2L, s"$boiler totally different body content here nothing shared at all"),
+      (3L, s"$boiler another unrelated document body with its own words")
+    ).toDF("doc_id", "text")
+    // cap df at 3: the boilerplate shingles (df=4) vanish, the shared
+    // "unique alpha beta..." run (df=2) survives
+    val pairs = Dedup.ngramJaccard(docs, "doc_id", "text", n = 3,
+      minJaccard = 0.3, maxDf = Some(3))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs === Set((0L, 1L)))
+  }
+
+  test("range-clustered write produces narrow per-file key ranges") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_cluster").toString
+    val df = spark.range(10000).select(col("id"),
+      (col("id") % 7).as("payload"))
+    ClusteredWriter.writeRangeClustered(df, dir, nFiles = 8, Seq("id"))
+    // each file must cover a disjoint narrow range: per-file max-min
+    // far below the global range
+    val spans = spark.read.parquet(dir)
+      .select(col("id"), input_file_name().as("f"))
+      .groupBy("f").agg((max("id") - min("id")).as("span"))
+      .collect().map(_.getLong(1))
+    assert(spans.length >= 4)
+    assert(spans.forall(_ < 10000 / 4))
+  }
+}
