@@ -52,6 +52,28 @@ object Multimodal {
     }
   }
 
+  case class FrameRow(doc_id: Long, frame_idx: Int, offset: Int,
+      width: Int, height: Int, frame_features: Array[Double])
+
+  /** Frame sampling for "video" payloads: every `stride`-th chunk of
+    * the byte stream becomes a frame record, "decoded" and "resized"
+    * by the stub to fixed W×H metadata + features. One input row fans
+    * out to ~len/stride frame rows — the Spark-side shape (explode-in-
+    * mapPartitions, bounded memory per row) is what matters; a real
+    * demuxer replaces only the inner loop. */
+  def sampleFrames(media: Dataset[MediaRow], stride: Int,
+      resizeTo: (Int, Int) = (32, 32)): Dataset[FrameRow] = {
+    import media.sparkSession.implicits._
+    val (w, h) = resizeTo
+    media.flatMap { r =>
+      Iterator.range(0, math.max(r.payload.length, 1), stride).zipWithIndex.map {
+        case (off, idx) =>
+          val chunk = r.payload.slice(off, math.min(off + stride, r.payload.length))
+          FrameRow(r.doc_id, idx, off, w, h, FakeDecoder.decode(chunk))
+      }
+    }
+  }
+
   /** End-to-end: docs -> payload -> typed rows -> features frame. */
   def featureFrame(spark: SparkSession, docs: DataFrame, idCol: String,
       textCol: String): DataFrame = {

@@ -44,5 +44,22 @@ object MultimodalQueries {
     },
     None)
 
-  val defs: Seq[QueryDef] = Seq(m01, m02)
+  /** Frame-sampling plumbing over fake video payloads (rows-only:
+    * flatMap fan-out; shape and determinism exercised in
+    * MultimodalSpec). */
+  val m03 = QueryDef(
+    "m03_frame_sample",
+    (sp, dir) => {
+      import sp.implicits._
+      val media = Multimodal.withPayload(Tables(sp, dir, "documents"), "text")
+        .select(col("doc_id"), col("payload")).as[Multimodal.MediaRow]
+      Multimodal.sampleFrames(media, stride = 64).toDF()
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_frames"),
+          max(col("frame_idx")).as("last_idx"))
+        .orderBy("doc_id")
+    },
+    None)
+
+  val defs: Seq[QueryDef] = Seq(m01, m02, m03)
 }

@@ -114,5 +114,34 @@ object RelationalMore {
       WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
       ORDER BY o_custkey, o_orderdate, o_orderkey"""))
 
-  val defs: Seq[QueryDef] = Seq(q27, q28, q29, q30, q31)
+  /** Two-level aggregation: per-customer order totals, then the
+    * distribution of those totals per market segment. */
+  val q32 = QueryDef(
+    "q32_nested_agg",
+    (sp, dir) => {
+      val perCust = Tables(sp, dir, "orders")
+        .groupBy(col("o_custkey"))
+        .agg(moneySum(col("o_totalprice")).as("cust_total"),
+          count(lit(1)).as("cust_orders"))
+      Tables(sp, dir, "customer")
+        .join(perCust, col("c_custkey") === col("o_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_customers"),
+          (moneySum(col("cust_total")) / count(lit(1))).as("avg_cust_total"),
+          max(col("cust_orders")).as("max_orders"))
+        .orderBy("c_mktsegment")
+    },
+    Some("""
+      WITH per_cust AS (
+        SELECT o_custkey,
+          CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS cust_total,
+          COUNT(*) AS cust_orders
+        FROM orders GROUP BY o_custkey)
+      SELECT c_mktsegment, COUNT(*) AS n_customers,
+        CAST(SUM(CAST(cust_total AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_cust_total,
+        CAST(MAX(cust_orders) AS BIGINT) AS max_orders
+      FROM customer JOIN per_cust ON c_custkey = o_custkey
+      GROUP BY c_mktsegment ORDER BY c_mktsegment"""))
+
+  val defs: Seq[QueryDef] = Seq(q27, q28, q29, q30, q31, q32)
 }

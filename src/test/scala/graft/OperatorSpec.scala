@@ -50,6 +50,18 @@ class OperatorSpec extends SparkSpec {
     assert(f === Seq(3.0, ('a' + 'b' + 'c').toDouble % 997, 'a'.toDouble, 'c'.toDouble))
   }
 
+  test("frame sampling fans out strided deterministic frames") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val media = Seq(Multimodal.MediaRow(1L, Array.tabulate(150)(_.toByte)))
+      .toDS()
+    val frames = Multimodal.sampleFrames(media, stride = 64).collect()
+    assert(frames.length === 3)                      // offsets 0, 64, 128
+    assert(frames.map(_.offset).toSeq === Seq(0, 64, 128))
+    assert(frames.forall(f => f.width == 32 && f.height == 32))
+    assert(frames(2).frame_features(0) === 22.0)     // last chunk is 150-128 bytes
+  }
+
   test("flagship entry returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
