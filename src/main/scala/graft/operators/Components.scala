@@ -1,0 +1,67 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Connected components over an undirected edge list via min-label
+  * propagation — the step that turns near-dup PAIRS into dedup
+  * CLUSTERS (keep one canonical doc per component).
+  *
+  * Each round is one shuffle (neighbor-min aggregation); rounds needed
+  * = component diameter, which for near-dup clusters is tiny. The
+  * early-stop check is a single aggregate scalar per round — the
+  * standard driver-coordinated iteration for 100 TB graphs (same loop
+  * GraphX/GraphFrames run internally), with no per-row driver work.
+  */
+object Components {
+
+  /** @param edges two long columns (`srcCol`, `dstCol`), undirected.
+    * @return (id, component) — component = min node id reachable.
+    */
+  def connectedComponents(edges: DataFrame, srcCol: String, dstCol: String,
+      maxIter: Int = 20): DataFrame = {
+    val both = edges.select(col(srcCol).as("a"), col(dstCol).as("b"))
+      .unionAll(edges.select(col(dstCol).as("a"), col(srcCol).as("b")))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // localCheckpoint (not persist): iterative self-reference would
+    // otherwise grow the logical plan exponentially — each round must
+    // truncate lineage, not just cache data. (On a cluster with an HDFS
+    // checkpoint dir, swap for checkpoint() to survive executor loss.)
+    var labels = both.select(col("a").as("id")).distinct()
+      .withColumn("comp", col("id"))
+      .localCheckpoint(eager = true)
+    var iter = 0
+    var converged = false
+    while (iter < maxIter && !converged) {
+      // neighbor minimum ∪ own label
+      val neighborMin = both
+        .join(labels, col("b") === col("id"))
+        .groupBy(col("a")).agg(min(col("comp")).as("n_comp"))
+      val next = labels
+        .join(neighborMin, col("id") === col("a"), "left_outer")
+        .select(col("id"),
+          least(col("comp"), coalesce(col("n_comp"), col("comp"))).as("comp"))
+        .localCheckpoint(eager = true)
+      val changed = next.as("n").join(labels.as("o"), "id")
+        .filter(col("n.comp") =!= col("o.comp")).count()
+      labels = next
+      converged = changed == 0
+      iter += 1
+    }
+    both.unpersist()
+    labels
+  }
+
+  /** Full dedup resolution: every doc mapped to the canonical (min id)
+    * member of its near-dup cluster; singletons map to themselves. */
+  def canonicalize(allIds: DataFrame, idCol: String, pairs: DataFrame,
+      srcCol: String, dstCol: String): DataFrame = {
+    val comps = connectedComponents(pairs, srcCol, dstCol)
+    allIds.select(col(idCol).as("doc"))
+      .join(comps, col("doc") === col("id"), "left_outer")
+      .select(col("doc").as("doc_id"),
+        coalesce(col("comp"), col("doc")).as("canonical_id"))
+      .withColumn("is_duplicate", col("doc_id") =!= col("canonical_id"))
+  }
+}

@@ -203,5 +203,37 @@ object DedupQueries {
           / (a.nrm * b.nrm) >= 0.4
       ORDER BY id1, id2"""))
 
-  val defs: Seq[QueryDef] = Seq(d01, d02, d03, d04, d05)
+  /** Near-dup cluster resolution: trigram-Jaccard pairs → connected
+    * components → canonical doc per cluster. Oracle computes the same
+    * components with a recursive reachability CTE. */
+  val d06 = QueryDef(
+    "d06_dedup_clusters",
+    (sp, dir) => {
+      val docs = Tables(sp, dir, "documents")
+      val pairs = Dedup.ngramJaccard(docs, "doc_id", "text", n = 3, minJaccard = 0.2)
+      graft.operators.Components.canonicalize(docs, "doc_id", pairs, "d1", "d2")
+        .orderBy("doc_id")
+    },
+    Some(s"""
+      WITH RECURSIVE $shingleHashSql,
+      sizes AS (SELECT doc_id, COUNT(*) n FROM hs GROUP BY doc_id),
+      cnt AS (SELECT a.doc_id d1, b.doc_id d2, COUNT(*) common
+              FROM hs a JOIN hs b ON a.h = b.h AND a.doc_id < b.doc_id
+              GROUP BY 1, 2),
+      pairs AS (SELECT d1, d2 FROM cnt
+                JOIN sizes s1 ON d1 = s1.doc_id JOIN sizes s2 ON d2 = s2.doc_id
+                WHERE CAST(common AS DOUBLE) / (s1.n + s2.n - common) >= 0.2),
+      edges AS (SELECT d1 a, d2 b FROM pairs UNION SELECT d2, d1 FROM pairs),
+      reach AS (
+        SELECT a, b FROM edges
+        UNION
+        SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+      comp AS (SELECT a AS id, LEAST(a, MIN(b)) AS comp
+               FROM reach GROUP BY a)
+      SELECT d.doc_id, COALESCE(c.comp, d.doc_id) AS canonical_id,
+        COALESCE(c.comp, d.doc_id) <> d.doc_id AS is_duplicate
+      FROM documents d LEFT JOIN comp c ON d.doc_id = c.id
+      ORDER BY d.doc_id"""))
+
+  val defs: Seq[QueryDef] = Seq(d01, d02, d03, d04, d05, d06)
 }

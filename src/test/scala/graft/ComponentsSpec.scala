@@ -1,0 +1,34 @@
+package graft
+
+import graft.operators.Components
+import org.apache.spark.sql.functions._
+
+class ComponentsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("connected components find min label per cluster") {
+    // chain 1-2-3, pair 10-11, singleton edge 20-21
+    val edges = Seq((2L, 3L), (1L, 2L), (10L, 11L), (21L, 20L))
+      .toDF("d1", "d2")
+    val comps = Components.connectedComponents(edges, "d1", "d2")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comps === Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L))
+  }
+
+  test("long chain converges to global min") {
+    val edges = (1L until 12L).map(i => (i, i + 1)).toDF("d1", "d2")
+    val comps = Components.connectedComponents(edges, "d1", "d2")
+      .collect().map(_.getLong(1)).distinct
+    assert(comps.toSeq === Seq(1L))
+  }
+
+  test("canonicalize maps singletons to themselves and dups to cluster min") {
+    val all = Seq(0L, 1L, 2L, 5L).toDF("doc_id")
+    val pairs = Seq((1L, 2L)).toDF("d1", "d2")
+    val out = Components.canonicalize(all, "doc_id", pairs, "d1", "d2")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    assert(out === Set((0L, 0L, false), (1L, 1L, false),
+      (2L, 1L, true), (5L, 5L, false)))
+  }
+}
