@@ -143,5 +143,60 @@ object RelationalMore {
       FROM customer JOIN per_cust ON c_custkey = o_custkey
       GROUP BY c_mktsegment ORDER BY c_mktsegment"""))
 
-  val defs: Seq[QueryDef] = Seq(q27, q28, q29, q30, q31, q32)
+  /** As-of join with tolerance (pandas merge_asof semantics): the
+    * most recent prior click counts only if within 1 hour. */
+  val q33 = QueryDef(
+    "q33_asof_tolerance",
+    (sp, dir) => {
+      import graft.operators.AsOfJoin
+      val ev = Tables(sp, dir, "events")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select("event_id", "user_id", "ts")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select("event_id", "user_id", "ts")
+      val tolMs = 3600L * 1000
+      AsOfJoin.leftAsOf(purchases, clicks, "user_id", "ts",
+        Map("event_id" -> "click_event_id", "ts" -> "click_ts"))
+        .withColumn("ms_since",
+          unix_millis(col("ts")) - unix_millis(col("click_ts")))
+        .select(col("event_id"), col("user_id"),
+          when(col("ms_since") <= tolMs, col("click_event_id"))
+            .as("click_event_id"),
+          when(col("ms_since") <= tolMs, col("ms_since")).as("ms_since_click"))
+        .orderBy("event_id")
+    },
+    Some("""
+      SELECT p.event_id, p.user_id,
+        CASE WHEN epoch_ms(p.ts) - epoch_ms(c.ts) <= 3600000
+             THEN c.event_id END AS click_event_id,
+        CASE WHEN epoch_ms(p.ts) - epoch_ms(c.ts) <= 3600000
+             THEN epoch_ms(p.ts) - epoch_ms(c.ts) END AS ms_since_click
+      FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+      ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        ON p.user_id = c.user_id AND p.ts >= c.ts
+      ORDER BY p.event_id"""))
+
+  /** Null-aware NOT IN subquery — plans as Spark's null-aware anti
+    * join, a distinct operator from NOT EXISTS (q12). Expressed in
+    * SQL (the DataFrame API has no NOT IN form). */
+  val q34 = QueryDef(
+    "q34_not_in_subquery",
+    (sp, dir) => {
+      Tables(sp, dir, "customer").createOrReplaceTempView("customer")
+      Tables(sp, dir, "orders").createOrReplaceTempView("orders")
+      sp.sql("""
+        SELECT c_custkey, c_mktsegment
+        FROM customer
+        WHERE c_custkey NOT IN (SELECT o_custkey FROM orders
+                                WHERE o_totalprice > 100000.0)
+        ORDER BY c_custkey""")
+    },
+    Some("""
+      SELECT c_custkey, c_mktsegment
+      FROM customer
+      WHERE c_custkey NOT IN (SELECT o_custkey FROM orders
+                              WHERE o_totalprice > 100000.0)
+      ORDER BY c_custkey"""))
+
+  val defs: Seq[QueryDef] = Seq(q27, q28, q29, q30, q31, q32, q33, q34)
 }
