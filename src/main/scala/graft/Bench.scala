@@ -17,18 +17,25 @@ object Bench {
     // the queries, not first-query JIT + session init.
     SparkEntry.queries.get("q01_pricing_summary")
       .foreach(f => try f(spark, sfDir).count() catch { case _: Throwable => })
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    val results = SparkEntry.queries.toSeq.map { case (name, fn) =>
       val t0 = System.nanoTime()
       // noop sink: materializes every output column (count() would let
       // Catalyst prune projection-only queries down to nothing).
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case _: Throwable => }
-      name -> (System.nanoTime() - t0) / 1e9
+      val ok =
+        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); false
+        }
+      (name, (System.nanoTime() - t0) / 1e9, ok)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val failed = results.collect { case (k, _, false) => s"\"" + k + "\"" }
+      .mkString("[", ",", "]")
+    // A failed query must not pass off its (near-zero) elapsed time as a
+    // healthy run: the failure list rides in the same JSON line.
+    val total = results.map(_._2).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
