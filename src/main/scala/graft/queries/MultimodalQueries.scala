@@ -33,20 +33,43 @@ object MultimodalQueries {
              ELSE 'large' END AS kind
       FROM documents ORDER BY doc_id"""))
 
-  /** Batched feature extraction through the typed Dataset pipeline
-    * (rows-only: mapPartitions is not SQL-expressible; exact values
-    * exercised in MultimodalSpec). */
+  /** Batched feature extraction through the typed Dataset pipeline.
+    * The mapPartitions decode runs for real; the output projects the
+    * feature vector to scalar columns so downstream consumers (and the
+    * driver's pandas compare) see a flat schema. The stub decoder is
+    * integer arithmetic over the payload bytes, so a full DuckDB
+    * oracle exists: byte sums are recomputed from hex() pairs. */
   val m02 = QueryDef(
     "m02_feature_extract",
     (sp, dir) => {
       Multimodal.featureFrame(sp, Tables(sp, dir, "documents"), "doc_id", "text")
+        .select(col("doc_id"), col("n_bytes"),
+          element_at(col("features"), 1).as("f_len"),
+          element_at(col("features"), 2).as("f_sum_mod"),
+          element_at(col("features"), 3).as("f_first"),
+          element_at(col("features"), 4).as("f_last"))
         .orderBy("doc_id")
     },
-    None)
+    Some("""
+      WITH b AS (
+        SELECT doc_id, hex(encode(text)) AS hx,
+               octet_length(encode(text)) AS n
+        FROM documents)
+      SELECT doc_id, CAST(n AS INT) AS n_bytes,
+        CAST(n AS DOUBLE) AS f_len,
+        CAST(COALESCE(list_sum(list_transform(range(1, n + 1),
+               i -> CAST('0x' || substring(hx, 2*i - 1, 2) AS INT))), 0) % 997
+             AS DOUBLE) AS f_sum_mod,
+        CAST(CASE WHEN n > 0 THEN CAST('0x' || substring(hx, 1, 2) AS INT)
+                  ELSE 0 END AS DOUBLE) AS f_first,
+        CAST(CASE WHEN n > 0 THEN CAST('0x' || substring(hx, 2*n - 1, 2) AS INT)
+                  ELSE 0 END AS DOUBLE) AS f_last
+      FROM b ORDER BY doc_id"""))
 
-  /** Frame-sampling plumbing over fake video payloads (rows-only:
-    * flatMap fan-out; shape and determinism exercised in
-    * MultimodalSpec). */
+  /** Frame-sampling plumbing over fake video payloads. The flatMap
+    * fan-out runs for real; the frame count per doc is a closed form
+    * of the byte length (ceil(max(len,1)/stride)), so the aggregate
+    * shape is DuckDB-checkable. */
   val m03 = QueryDef(
     "m03_frame_sample",
     (sp, dir) => {
@@ -59,7 +82,13 @@ object MultimodalQueries {
           max(col("frame_idx")).as("last_idx"))
         .orderBy("doc_id")
     },
-    None)
+    Some("""
+      SELECT doc_id,
+        CAST(ceil(greatest(octet_length(encode(text)), 1) / 64.0) AS BIGINT)
+          AS n_frames,
+        CAST(ceil(greatest(octet_length(encode(text)), 1) / 64.0) - 1 AS INT)
+          AS last_idx
+      FROM documents ORDER BY doc_id"""))
 
   val defs: Seq[QueryDef] = Seq(m01, m02, m03)
 }
