@@ -73,10 +73,12 @@ case class MinHashSigExpr(child: Expression, k: Int)
   override def dataType: DataType = ArrayType(LongType, containsNull = true)
   override def prettyName: String = "graft_minhash_sig"
 
+  // containsNull must be false: eval reads arr.getLong(i) without a
+  // null check, so a nullable array would silently read garbage.
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
-    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case ArrayType(LongType, false) => TypeCheckResult.TypeCheckSuccess
     case dt => TypeCheckResult.TypeCheckFailure(
-      s"graft_minhash_sig expects array<bigint>, got ${dt.simpleString}")
+      s"graft_minhash_sig expects array<bigint not null>, got ${dt.simpleString}")
   }
 
   override def nullSafeEval(input: Any): Any = {

@@ -65,10 +65,12 @@ case class SimHashExpr(child: Expression)
   override def dataType: DataType = LongType
   override def prettyName: String = "graft_simhash"
 
+  // containsNull must be false: eval reads arr.getLong(i) without a
+  // null check, so a nullable array would silently read garbage.
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
-    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case ArrayType(LongType, false) => TypeCheckResult.TypeCheckSuccess
     case dt => TypeCheckResult.TypeCheckFailure(
-      s"graft_simhash expects array<bigint>, got ${dt.simpleString}")
+      s"graft_simhash expects array<bigint not null>, got ${dt.simpleString}")
   }
 
   override def nullSafeEval(input: Any): Any = {

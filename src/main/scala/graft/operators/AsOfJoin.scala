@@ -34,20 +34,29 @@ object AsOfJoin {
     val unioned = leftTagged.unionByName(rightTagged, allowMissingColumns = true)
 
     // Right rows sort before left rows at equal ts => `<=` semantics.
-    val w = Window.partitionBy(keyCol)
-      .orderBy(col(tsCol), col("__side"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // The payload struct itself is the final sort key: multiple right
+    // rows at an equal (key, ts) would otherwise leave `last` picking
+    // a shuffle-order-dependent winner; ordering by the carried values
+    // makes the max payload win, deterministically.
     val payload: Column = when(col("__side") === 0,
       struct(rightCols.keys.toSeq.map(col): _*))
+    val w = Window.partitionBy(keyCol)
+      .orderBy(col(tsCol), col("__side"), col("__p"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val carried = unioned
-      .withColumn("__asof", last(payload, ignoreNulls = true).over(w))
+      .withColumn("__p", payload)
+      .withColumn("__asof", last(col("__p"), ignoreNulls = true).over(w))
       .filter(col("__side") === 1)
 
     val withRight = rightCols.foldLeft(carried) { case (df, (src, dst)) =>
       df.withColumn(dst, col("__asof").getField(src))
     }
-    // Keep the left schema + the carried columns; drop right-only cols.
-    val rightOnly = right.columns.filterNot(left.columns.contains)
-    withRight.drop("__side", "__asof").drop(rightOnly.toSeq: _*)
+    // Keep the left schema + the carried columns; drop right-only cols
+    // — but never a carried destination name (a mapping like
+    // "price" -> "price" with no left "price" column must survive).
+    val dstNames = rightCols.values.toSet
+    val rightOnly = right.columns
+      .filterNot(left.columns.contains).filterNot(dstNames.contains)
+    withRight.drop("__side", "__p", "__asof").drop(rightOnly.toSeq: _*)
   }
 }

@@ -50,6 +50,12 @@ object Components {
       iter += 1
     }
     both.unpersist()
+    // A silent stop at maxIter would return labels that LOOK final but
+    // aren't (components wider than maxIter hops keep split labels).
+    // Fail loudly; callers with genuinely deep graphs raise maxIter.
+    if (!converged) throw new IllegalStateException(
+      s"connectedComponents: not converged after $maxIter rounds " +
+        "(component diameter exceeds maxIter); raise maxIter")
     labels
   }
 

@@ -72,7 +72,12 @@ object DedupQueries {
       }.mkString(",\n          ")
       s"""
       WITH $shingleHashSql,
-      hl AS (SELECT doc_id, list(h) AS hl FROM hs GROUP BY doc_id),
+      -- anchored on documents: a doc with <3 tokens has an empty hash
+      -- list -> NULL signature (mirrors the Spark side's all-null sig)
+      hl AS (SELECT d.doc_id,
+               list(h.h) FILTER (WHERE h.h IS NOT NULL) AS hl
+             FROM documents d LEFT JOIN hs h ON d.doc_id = h.doc_id
+             GROUP BY d.doc_id),
       sigs AS (SELECT doc_id,
           $sigCols
         FROM hl),

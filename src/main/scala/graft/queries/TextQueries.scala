@@ -62,9 +62,11 @@ object TextQueries {
           punctCount(col("text")).as("punct_n"),
           markerScore(toks, enStops).as("stop_n"))
         .withColumn("quality",
+          // try_divide: an empty doc (n_chars = 0) must yield NULL like
+          // DuckDB's x/0, not an ANSI divide-by-zero error
           lit(0.5) * least(col("n_tokens") / lit(50.0), lit(1.0)) +
-            lit(0.3) * (col("stop_n") / col("n_tokens").cast("double")) +
-            lit(0.2) * (lit(1.0) - col("punct_n") / col("n_chars").cast("double")))
+            lit(0.3) * try_divide(col("stop_n"), col("n_tokens").cast("double")) +
+            lit(0.2) * (lit(1.0) - try_divide(col("punct_n"), col("n_chars").cast("double"))))
         .orderBy("doc_id")
     },
     Some(s"""
@@ -91,7 +93,8 @@ object TextQueries {
           regexTokenCount(col("text")).as("re_tokens"),
           length(col("text")).cast("int").as("n_chars"))
         .withColumn("chars_per_token",
-          col("n_chars").cast("double") / col("re_tokens"))
+          // NULL (not ANSI error) when an empty doc has zero regex tokens
+          try_divide(col("n_chars").cast("double"), col("re_tokens")))
         .orderBy("doc_id")
     },
     Some("""

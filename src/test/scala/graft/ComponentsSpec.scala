@@ -23,6 +23,14 @@ class ComponentsSpec extends SparkSpec {
     assert(comps.toSeq === Seq(1L))
   }
 
+  test("non-convergence within maxIter fails loudly instead of returning split labels") {
+    val edges = (1L until 6L).map(i => (i, i + 1)).toDF("d1", "d2")
+    val e = intercept[IllegalStateException] {
+      Components.connectedComponents(edges, "d1", "d2", maxIter = 1)
+    }
+    assert(e.getMessage.contains("not converged"))
+  }
+
   test("canonicalize maps singletons to themselves and dups to cluster min") {
     val all = Seq(0L, 1L, 2L, 5L).toDF("doc_id")
     val pairs = Seq((1L, 2L)).toDF("d1", "d2")

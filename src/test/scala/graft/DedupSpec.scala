@@ -43,6 +43,21 @@ class DedupSpec extends SparkSpec {
     assert(cands.contains((0L, 1L)))
   }
 
+  test("short docs (<3 tokens) get null signatures and never become candidates") {
+    val short = Seq((0L, "hi"), (1L, "yo"), (2L, "one two"),
+      (3L, "a proper sentence with enough words to shingle"),
+      (4L, "a proper sentence with enough words to shingle"))
+      .toDF("doc_id", "text")
+    val sigs = Dedup.minhashSignatures(short, "doc_id", "text", shingleN = 3, k = 16)
+    val m = sigs.collect().map(r => r.getAs[Long]("doc_id") -> r.getSeq[Any](1)).toMap
+    assert(m.size === 5)                        // every doc keeps a row
+    assert(m(0L).forall(_ == null))             // empty shingle set -> null sig
+    val cands = Dedup.minhashCandidates(sigs, bands = 4, rows = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // two null-sig docs must NOT bucket together; real dups still match
+    assert(cands === Set((3L, 4L)))
+  }
+
   test("simhash: identical fingerprints at hamming 0, near dups close") {
     val fps = Dedup.simhashFingerprints(docs, "doc_id", "text")
     val m = fps.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap

@@ -29,6 +29,32 @@ class OperatorSpec extends SparkSpec {
     assert(out(102L) === None)
   }
 
+  test("as-of join keeps a carried column whose name collides with a right-only column") {
+    val purchases = Seq((100L, 1L, t("2024-01-01 10:30:00")))
+      .toDF("event_id", "user_id", "ts")
+    val clicks = Seq((1L, t("2024-01-01 10:00:00"), 9.5))
+      .toDF("user_id", "ts", "price")
+    // "price" -> "price": dst is absent from the left schema, so the
+    // right-only cleanup must not drop the carried value.
+    val out = AsOfJoin.leftAsOf(purchases, clicks, "user_id", "ts",
+      Map("price" -> "price")).collect()
+    assert(out.head.getAs[Double]("price") === 9.5)
+  }
+
+  test("as-of join breaks equal (key, ts) right-side ties deterministically (max payload)") {
+    val purchases = Seq((100L, 1L, t("2024-01-01 10:30:00")))
+      .toDF("event_id", "user_id", "ts")
+    val dup = t("2024-01-01 10:00:00")
+    val clicks = Seq((200L, 1L, dup), (203L, 1L, dup), (201L, 1L, dup))
+      .toDF("event_id", "user_id", "ts")
+    (1 to 3).foreach { _ =>
+      val out = AsOfJoin.leftAsOf(
+        purchases, clicks.repartition(4), "user_id", "ts",
+        Map("event_id" -> "click_event_id")).collect()
+      assert(out.head.getAs[Long]("click_event_id") === 203L)
+    }
+  }
+
   test("sessionize splits on gaps larger than the threshold") {
     val ev = Seq(
       (1L, t("2024-01-01 10:00:00"), 1L),
