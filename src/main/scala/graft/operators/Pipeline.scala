@@ -1,0 +1,63 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Training-data pipeline operators: deterministic sampling, data
+  * mixing with a reproducible global shuffle, and sequence packing.
+  *
+  * Everything is keyed on explicit integer hashes of the row id
+  * (SURVEY.md §4 rule 6) — engine-portable, reproducible across runs
+  * and cluster sizes, and cheap: each operator is one codegen'd
+  * projection plus at most one shuffle, so the shapes hold at 100 TB
+  * (sampling/mixing never materialize more than the kept rows; packing
+  * shuffles once on the group key).
+  */
+object Pipeline {
+
+  /** LCG-style id hash onto [0, P): deterministic per row, uniform
+    * enough for rate sampling, trivially re-expressible in SQL.
+    * Products stay < 2^62 for ids up to ~4·10^9 (no overflow in
+    * engines that check, unlike a wrapping engine hash). */
+  def idHash(id: Column, mult: Long = 1103515245L, add: Long = 12345L): Column =
+    (id * lit(mult) + lit(add)) % lit(2147483647L)
+
+  /** Per-stratum deterministic rate sampling: keep a row iff
+    * `idHash(id) mod 1000` falls under its stratum's per-mille
+    * threshold. Unsampled strata fall back to `defaultPerMille`.
+    * A pure filter — no shuffle, scan-pushdown friendly. */
+  def stratifiedSample(df: DataFrame, idCol: String, strataCol: String,
+      perMille: Map[String, Int], defaultPerMille: Int): DataFrame = {
+    val thr = perMille.foldLeft(lit(defaultPerMille)) { case (acc, (k, v)) =>
+      when(col(strataCol) === k, lit(v)).otherwise(acc)
+    }
+    df.filter(idHash(col(idCol)) % lit(1000L) < thr)
+  }
+
+  /** Deterministic global shuffle of a (possibly mixed) sample: each
+    * row lands in shard `idHash(id) mod shards` at a position given by
+    * an independent second hash. One shuffle on the shard key; within-
+    * shard ordering is a per-shard sort (shard count scales with the
+    * cluster, keeping sorts partition-local). */
+  def deterministicShuffle(df: DataFrame, idCol: String, shards: Int): DataFrame = {
+    val h2 = idHash(col(idCol), mult = 69069L, add = 1L)
+    val w = Window.partitionBy(col("shard")).orderBy(h2, col(idCol))
+    df.withColumn("shard", (idHash(col(idCol)) % lit(shards.toLong)).cast("int"))
+      .withColumn("pos", row_number().over(w).cast("long"))
+  }
+
+  /** Sequence packing by token offset: concatenate each group's docs
+    * in `orderCol` order and chop the token stream into fixed-size
+    * context windows; a doc belongs to the bin its first token lands
+    * in. One shuffle on the group key; the running sum is a single
+    * window pass, so group size — not corpus size — bounds the sort. */
+  def packSequences(df: DataFrame, groupCol: String, orderCol: String,
+      nTokensCol: String, maxTokens: Int): DataFrame = {
+    val w = Window.partitionBy(groupCol).orderBy(orderCol)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    df.withColumn("start_off",
+        coalesce(sum(col(nTokensCol)).over(w), lit(0L)))
+      .withColumn("bin_id", floor(col("start_off") / lit(maxTokens)))
+  }
+}

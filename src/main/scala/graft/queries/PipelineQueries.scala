@@ -1,0 +1,232 @@
+package graft.queries
+
+import graft.{QueryDef, Tables}
+import graft.operators.Pipeline
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Training-data pipeline suite over the documents table: sampling,
+  * mixing/shuffling, packing, PII scrubbing, repetition signals, and
+  * corpus-relative term weighting. All hashes are the explicit integer
+  * forms from [[Pipeline]] so every query has a DuckDB oracle.
+  */
+object PipelineQueries {
+
+  /** id-hash expression in DuckDB SQL (mirrors Pipeline.idHash). */
+  private def hashSql(mult: Long, add: Long): String =
+    s"(doc_id * $mult + $add) % 2147483647"
+
+  private val langPerMille: Map[String, Int] =
+    Map("en" -> 800, "de" -> 500, "fr" -> 300, "es" -> 200)
+  private val defaultPerMille = 100
+
+  /** Deterministic stratified sampling: per-language keep rates,
+    * summarized per (source, lang) so the rate structure is visible. */
+  val p01 = QueryDef(
+    "p01_stratified_sample",
+    (sp, dir) => {
+      val docs = Tables(sp, dir, "documents")
+      val sampled = Pipeline.stratifiedSample(docs, "doc_id", "lang",
+        langPerMille, defaultPerMille)
+        .groupBy("source", "lang").agg(count(lit(1)).as("n_sampled"))
+      docs.groupBy("source", "lang").agg(count(lit(1)).as("n_total"))
+        .join(sampled, Seq("source", "lang"), "left_outer")
+        .select(col("source"), col("lang"), col("n_total"),
+          coalesce(col("n_sampled"), lit(0L)).as("n_sampled"))
+        .orderBy("source", "lang")
+    },
+    Some {
+      val thr = langPerMille.foldLeft(defaultPerMille.toString) {
+        case (acc, (k, v)) => s"CASE WHEN lang = '$k' THEN $v ELSE $acc END"
+      }
+      s"""
+      WITH s AS (
+        SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS n_sampled
+        FROM documents WHERE ${hashSql(1103515245L, 12345L)} % 1000 < $thr
+        GROUP BY source, lang),
+      t AS (
+        SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS n_total
+        FROM documents GROUP BY source, lang)
+      SELECT t.source, t.lang, t.n_total, COALESCE(s.n_sampled, 0) AS n_sampled
+      FROM t LEFT JOIN s ON t.source = s.source AND t.lang = s.lang
+      ORDER BY t.source, t.lang"""
+    })
+
+  /** Weighted mix + reproducible global shuffle: the stratified sample
+    * lands in hash shards with deterministic within-shard positions —
+    * the "fixed training order" primitive. */
+  val p02 = QueryDef(
+    "p02_mix_shuffle",
+    (sp, dir) => {
+      val sampled = Pipeline.stratifiedSample(
+        Tables(sp, dir, "documents"), "doc_id", "lang",
+        langPerMille, defaultPerMille)
+      Pipeline.deterministicShuffle(sampled, "doc_id", shards = 8)
+        .select("doc_id", "source", "lang", "shard", "pos")
+        .orderBy("doc_id")
+    },
+    Some {
+      val thr = langPerMille.foldLeft(defaultPerMille.toString) {
+        case (acc, (k, v)) => s"CASE WHEN lang = '$k' THEN $v ELSE $acc END"
+      }
+      s"""
+      WITH sampled AS (
+        SELECT doc_id, source, lang
+        FROM documents WHERE ${hashSql(1103515245L, 12345L)} % 1000 < $thr)
+      SELECT doc_id, source, lang,
+        CAST(${hashSql(1103515245L, 12345L)} % 8 AS INT) AS shard,
+        CAST(row_number() OVER (
+          PARTITION BY ${hashSql(1103515245L, 12345L)} % 8
+          ORDER BY ${hashSql(69069L, 1L)}, doc_id) AS BIGINT) AS pos
+      FROM sampled ORDER BY doc_id"""
+    })
+
+  /** Sequence packing: per-source token streams chopped into 2048-
+    * token context windows by cumulative offset. */
+  val p03 = QueryDef(
+    "p03_sequence_packing",
+    (sp, dir) => {
+      val docs = Tables(sp, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          size(split(col("text"), " ")).cast("int").as("n_tokens"))
+      Pipeline.packSequences(docs, "source", "doc_id", "n_tokens", maxTokens = 2048)
+        .select("doc_id", "source", "n_tokens", "start_off", "bin_id")
+        .orderBy("doc_id")
+    },
+    Some("""
+      SELECT doc_id, source,
+        CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
+        CAST(COALESCE(SUM(len(string_split(text, ' '))) OVER (
+          PARTITION BY source ORDER BY doc_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+          AS start_off,
+        CAST(floor(COALESCE(SUM(len(string_split(text, ' '))) OVER (
+          PARTITION BY source ORDER BY doc_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 2048.0)
+          AS BIGINT) AS bin_id
+      FROM documents ORDER BY doc_id"""))
+
+  /** PII scrubbing: email/phone patterns plus a term lexicon, with
+    * the redacted length as the scrub's effect measure. */
+  val p04 = QueryDef(
+    "p04_pii_redact",
+    (sp, dir) => {
+      val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z][A-Za-z]+"
+      val phone = "[0-9]{3}-[0-9]{3}-[0-9]{4}"
+      val terms = "\\b(customer|key|value)\\b"
+      val redacted = regexp_replace(regexp_replace(regexp_replace(
+        col("text"), email, "<EMAIL>"), phone, "<PHONE>"), terms, "<PII>")
+      Tables(sp, dir, "documents")
+        .select(col("doc_id"),
+          size(call_function("regexp_extract_all", col("text"), lit(email), lit(0)))
+            .cast("int").as("n_emails"),
+          size(call_function("regexp_extract_all", col("text"), lit(phone), lit(0)))
+            .cast("int").as("n_phones"),
+          size(call_function("regexp_extract_all", col("text"), lit(terms), lit(0)))
+            .cast("int").as("n_terms"),
+          length(redacted).cast("int").as("len_redacted"))
+        .orderBy("doc_id")
+    },
+    Some("""
+      SELECT doc_id,
+        CAST(len(regexp_extract_all(text,
+          '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z][A-Za-z]+')) AS INT)
+          AS n_emails,
+        CAST(len(regexp_extract_all(text, '[0-9]{3}-[0-9]{3}-[0-9]{4}')) AS INT)
+          AS n_phones,
+        CAST(len(regexp_extract_all(text, '\b(customer|key|value)\b')) AS INT)
+          AS n_terms,
+        CAST(len(regexp_replace(regexp_replace(regexp_replace(text,
+          '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z][A-Za-z]+', '<EMAIL>', 'g'),
+          '[0-9]{3}-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g'),
+          '\b(customer|key|value)\b', '<PII>', 'g')) AS INT) AS len_redacted
+      FROM documents ORDER BY doc_id"""))
+
+  /** Repetition signals (Gopher-style quality filters): duplicate-word
+    * fraction and top-word mass per document. */
+  val p05 = QueryDef(
+    "p05_repetition",
+    (sp, dir) => {
+      val docs = Tables(sp, dir, "documents")
+      val counts = docs
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+        .filter(col("word") =!= "")
+        .groupBy("doc_id", "word").agg(count(lit(1)).as("cnt"))
+        .groupBy("doc_id").agg(
+          sum(col("cnt")).as("n_words"),
+          count(lit(1)).as("n_distinct"),
+          max(col("cnt")).as("top_cnt"))
+      docs.select("doc_id").join(counts, Seq("doc_id"), "left_outer")
+        .select(col("doc_id"),
+          coalesce(col("n_words"), lit(0L)).as("n_words"),
+          coalesce(col("n_distinct"), lit(0L)).as("n_distinct"),
+          coalesce(col("top_cnt"), lit(0L)).as("top_cnt"),
+          (lit(1.0) - try_divide(col("n_distinct"), col("n_words").cast("double")))
+            .as("dup_frac"),
+          try_divide(col("top_cnt"), col("n_words").cast("double")).as("top_frac"))
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH w AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+      c AS (
+        SELECT doc_id, word, COUNT(*) AS cnt FROM w WHERE word <> ''
+        GROUP BY doc_id, word),
+      per_doc AS (
+        SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n_words,
+          CAST(COUNT(*) AS BIGINT) AS n_distinct,
+          CAST(MAX(cnt) AS BIGINT) AS top_cnt
+        FROM c GROUP BY doc_id)
+      SELECT d.doc_id,
+        COALESCE(p.n_words, 0) AS n_words,
+        COALESCE(p.n_distinct, 0) AS n_distinct,
+        COALESCE(p.top_cnt, 0) AS top_cnt,
+        1.0 - p.n_distinct / CAST(p.n_words AS DOUBLE) AS dup_frac,
+        p.top_cnt / CAST(p.n_words AS DOUBLE) AS top_frac
+      FROM documents d LEFT JOIN per_doc p ON d.doc_id = p.doc_id
+      ORDER BY d.doc_id"""))
+
+  /** Corpus-relative term weighting (integer tf·idf): per doc, the
+    * highest-scoring term under score = tf · (10^6 div df). Integer
+    * arithmetic end-to-end so the ranking is engine-exact. */
+  val p06 = QueryDef(
+    "p06_tfidf_top_term",
+    (sp, dir) => {
+      val docs = Tables(sp, dir, "documents")
+      val tf = docs
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+        .filter(col("word") =!= "")
+        .groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
+      val df = tf.groupBy("word").agg(count(lit(1)).as("df"))
+      val scored = tf.join(df, "word")
+        .withColumn("score", col("tf") * expr("CAST(1000000 AS BIGINT) div df"))
+      val w = Window.partitionBy("doc_id")
+        .orderBy(col("score").desc, col("word"))
+      val top = scored.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("doc_id"), col("word").as("top_word"),
+          col("tf"), col("df"), col("score"))
+      docs.select("doc_id").join(top, Seq("doc_id"), "left_outer")
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH t AS (
+        SELECT doc_id, word, CAST(COUNT(*) AS BIGINT) AS tf FROM (
+          SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents)
+        WHERE word <> '' GROUP BY doc_id, word),
+      d AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS df FROM t GROUP BY word),
+      scored AS (
+        SELECT t.doc_id, t.word, t.tf, d.df, t.tf * (1000000 // d.df) AS score
+        FROM t JOIN d ON t.word = d.word),
+      top AS (
+        SELECT doc_id, word AS top_word, tf, df, score,
+          row_number() OVER (PARTITION BY doc_id
+            ORDER BY score DESC, word) AS rn
+        FROM scored)
+      SELECT docs.doc_id, top.top_word, top.tf, top.df, top.score
+      FROM documents docs LEFT JOIN top
+        ON docs.doc_id = top.doc_id AND top.rn = 1
+      ORDER BY docs.doc_id"""))
+
+  val defs: Seq[QueryDef] = Seq(p01, p02, p03, p04, p05, p06)
+}

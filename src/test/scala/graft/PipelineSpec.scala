@@ -1,0 +1,53 @@
+package graft
+
+import graft.operators.Pipeline
+import org.apache.spark.sql.functions._
+
+class PipelineSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = (0L until 200L).map(i =>
+    (i, if (i % 2 == 0) "en" else "de", s"word$i text")).toDF("doc_id", "lang", "text")
+
+  test("stratified sample is deterministic and rate-ordered by stratum") {
+    val s1 = Pipeline.stratifiedSample(docs, "doc_id", "lang",
+      Map("en" -> 800, "de" -> 200), 0).select("doc_id").collect().map(_.getLong(0)).toSet
+    val s2 = Pipeline.stratifiedSample(docs, "doc_id", "lang",
+      Map("en" -> 800, "de" -> 200), 0).select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(s1 === s2)                                  // reproducible
+    val en = s1.count(_ % 2 == 0)
+    val de = s1.size - en
+    assert(en > de)                                    // 80% vs 20% rate
+    assert(s1.forall(id => id % 2 == 0 || de > 0))
+  }
+
+  test("zero default rate drops unlisted strata entirely") {
+    val s = Pipeline.stratifiedSample(docs, "doc_id", "lang",
+      Map("en" -> 1000), 0).select("lang").distinct().as[String].collect()
+    assert(s.toSeq === Seq("en"))
+  }
+
+  test("deterministic shuffle gives dense 1..n positions per shard, stable across runs") {
+    val out = Pipeline.deterministicShuffle(docs, "doc_id", shards = 4)
+      .select("doc_id", "shard", "pos").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(out.length === 200)
+    out.groupBy(_._2).foreach { case (_, rows) =>
+      assert(rows.map(_._3).sorted.toSeq === (1L to rows.length).toSeq)
+    }
+    val again = Pipeline.deterministicShuffle(docs.repartition(7), "doc_id", shards = 4)
+      .select("doc_id", "shard", "pos").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(out.sortBy(_._1).toSeq === again.sortBy(_._1).toSeq)  // layout-independent
+  }
+
+  test("sequence packing chops the cumulative token stream at the bin size") {
+    val d = Seq((0L, "g", 100), (1L, "g", 100), (2L, "g", 100), (3L, "g", 100))
+      .toDF("doc_id", "grp", "n_tokens")
+    val out = Pipeline.packSequences(d, "grp", "doc_id", "n_tokens", maxTokens = 250)
+      .select("doc_id", "start_off", "bin_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    assert(out.toSeq === Seq((0L, 0L, 0L), (1L, 100L, 0L),
+      (2L, 200L, 0L), (3L, 300L, 1L)))
+  }
+}
