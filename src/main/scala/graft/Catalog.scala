@@ -8,6 +8,7 @@ object Catalog {
     queries.RelationalCore.defs ++
       queries.RelationalExt.defs ++
       queries.RelationalMore.defs ++
+      queries.RelationalWide.defs ++
       queries.PipelineQueries.defs ++
       queries.DedupQueries.defs ++
       queries.SimilarityQueries.defs ++

@@ -1,0 +1,276 @@
+package graft.queries
+
+import graft.{Dsl, QueryDef, Tables}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Relational coverage extensions (q35–q44): explicit-formula moment
+  * statistics, unpivot, full outer join, RANGE-frame time windows,
+  * rank distributions, ordered string aggregation, lateral explode
+  * with ordinality, histograms, navigation frames, and argmax dedup.
+  *
+  * Determinism: every floating-point result is either (a) derived
+  * from exact decimal sums with the identical double formula on both
+  * engines, or (b) a single double division of exact integers
+  * (SURVEY.md §4).
+  */
+object RelationalWide {
+
+  /** Moment statistics from exact decimal power sums — stddev and
+    * correlation via the textbook formulas, NOT the engines' native
+    * stddev/corr (their internal accumulation orders differ). */
+  val q35 = QueryDef(
+    "q35_stats_moments",
+    (sp, dir) => {
+      val li = Tables(sp, dir, "lineitem")
+      val q = col("l_quantity").cast(DecimalType(12, 2))
+      val p = col("l_extendedprice").cast(DecimalType(12, 2))
+      val agg = li.groupBy("l_returnflag").agg(
+        count(lit(1)).as("n"),
+        sum(q).cast(DoubleType).as("sq"),
+        sum(q * q).cast(DoubleType).as("sq2"),
+        sum(p).cast(DoubleType).as("sp"),
+        sum(p * p).cast(DoubleType).as("sp2"),
+        sum(q * p).cast(DoubleType).as("sqp"))
+      val n = col("n").cast(DoubleType)
+      agg.select(col("l_returnflag"), col("n"),
+          (col("sq") / n).as("mean_qty"),
+          sqrt((col("sq2") * n - col("sq") * col("sq")) / (n * (n - lit(1.0))))
+            .as("sd_qty"),
+          ((col("sqp") * n - col("sq") * col("sp")) /
+            (sqrt(col("sq2") * n - col("sq") * col("sq")) *
+              sqrt(col("sp2") * n - col("sp") * col("sp")))).as("corr_qty_price"))
+        .orderBy("l_returnflag")
+    },
+    Some("""
+      WITH a AS (
+        SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n,
+          CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sq,
+          CAST(SUM(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sq2,
+          CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sp,
+          CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sp2,
+          CAST(SUM(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sqp
+        FROM lineitem GROUP BY l_returnflag)
+      SELECT l_returnflag, n,
+        sq / CAST(n AS DOUBLE) AS mean_qty,
+        sqrt((sq2 * CAST(n AS DOUBLE) - sq * sq)
+             / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0))) AS sd_qty,
+        (sqp * CAST(n AS DOUBLE) - sq * sp)
+          / (sqrt(sq2 * CAST(n AS DOUBLE) - sq * sq)
+             * sqrt(sp2 * CAST(n AS DOUBLE) - sp * sp)) AS corr_qty_price
+      FROM a ORDER BY l_returnflag"""))
+
+  /** Wide→long unpivot of per-part measures (Dataset.unpivot). */
+  val q36 = QueryDef(
+    "q36_unpivot",
+    (sp, dir) => {
+      Tables(sp, dir, "part").filter(col("p_partkey") < 100)
+        .select(col("p_partkey"),
+          col("p_size").cast(DoubleType).as("size"),
+          col("p_retailprice").cast(DoubleType).as("retail"))
+        .unpivot(Array(col("p_partkey")), Array(col("size"), col("retail")),
+          "metric", "value")
+        .orderBy("p_partkey", "metric")
+    },
+    Some("""
+      SELECT p_partkey, 'size' AS metric, CAST(p_size AS DOUBLE) AS value
+      FROM part WHERE p_partkey < 100
+      UNION ALL
+      SELECT p_partkey, 'retail', CAST(p_retailprice AS DOUBLE)
+      FROM part WHERE p_partkey < 100
+      ORDER BY p_partkey, metric"""))
+
+  /** Full outer join: per-nation customer and supplier counts, nations
+    * appearing on either side. */
+  val q37 = QueryDef(
+    "q37_full_outer_join",
+    (sp, dir) => {
+      val cust = Tables(sp, dir, "customer")
+        .groupBy(col("c_nationkey").as("nk")).agg(count(lit(1)).as("n_cust"))
+      val supp = Tables(sp, dir, "supplier")
+        .groupBy(col("s_nationkey").as("nk")).agg(count(lit(1)).as("n_supp"))
+      cust.withColumnRenamed("nk", "c_nk")
+        .join(supp.withColumnRenamed("nk", "s_nk"),
+          col("c_nk") === col("s_nk"), "full_outer")
+        .select(coalesce(col("c_nk"), col("s_nk")).as("nationkey"),
+          coalesce(col("n_cust"), lit(0L)).as("n_cust"),
+          coalesce(col("n_supp"), lit(0L)).as("n_supp"))
+        .orderBy("nationkey")
+    },
+    Some("""
+      WITH c AS (SELECT c_nationkey nk, CAST(COUNT(*) AS BIGINT) n_cust
+                 FROM customer GROUP BY 1),
+           s AS (SELECT s_nationkey nk, CAST(COUNT(*) AS BIGINT) n_supp
+                 FROM supplier GROUP BY 1)
+      SELECT COALESCE(c.nk, s.nk) AS nationkey,
+        COALESCE(n_cust, 0) AS n_cust, COALESCE(n_supp, 0) AS n_supp
+      FROM c FULL JOIN s ON c.nk = s.nk
+      ORDER BY nationkey"""))
+
+  /** Time-RANGE window frame: per-user trailing-hour spend at every
+    * event, framed on integer epoch millis so both engines share the
+    * same peer semantics. */
+  val q38 = QueryDef(
+    "q38_range_frame",
+    (sp, dir) => {
+      val w = Window.partitionBy("user_id")
+        .orderBy(unix_millis(col("ts")))
+        .rangeBetween(-3600000L, 0L)
+      Tables(sp, dir, "events")
+        .withColumn("hour_sum",
+          sum(col("value").cast(DecimalType(18, 2))).over(w).cast(DoubleType))
+        .select("event_id", "user_id", "hour_sum")
+        .orderBy("event_id")
+    },
+    Some("""
+      SELECT event_id, user_id,
+        CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER (
+          PARTITION BY user_id ORDER BY epoch_ms(ts)
+          RANGE BETWEEN 3600000 PRECEDING AND CURRENT ROW) AS DOUBLE)
+          AS hour_sum
+      FROM events ORDER BY event_id"""))
+
+  /** Rank-distribution windows: percent_rank and cume_dist are single
+    * double divisions of exact integers — engine-identical. */
+  val q39 = QueryDef(
+    "q39_rank_distribution",
+    (sp, dir) => {
+      val w = Window.partitionBy("l_returnflag")
+        .orderBy(col("l_quantity"), col("l_orderkey"), col("l_linenumber"))
+      Tables(sp, dir, "lineitem").filter(col("l_orderkey") < 200)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+          col("l_quantity").cast(DoubleType).as("qty"),
+          percent_rank().over(w).as("pr"),
+          cume_dist().over(w).as("cd"))
+        .orderBy("l_orderkey", "l_linenumber")
+    },
+    Some("""
+      SELECT l_orderkey, l_linenumber, l_returnflag,
+        CAST(l_quantity AS DOUBLE) AS qty,
+        percent_rank() OVER (PARTITION BY l_returnflag
+          ORDER BY l_quantity, l_orderkey, l_linenumber) AS pr,
+        cume_dist() OVER (PARTITION BY l_returnflag
+          ORDER BY l_quantity, l_orderkey, l_linenumber) AS cd
+      FROM lineitem WHERE l_orderkey < 200
+      ORDER BY l_orderkey, l_linenumber"""))
+
+  /** Ordered string aggregation: rich customers per nation, names
+    * concatenated in (acctbal, name) order — collect + sort + join,
+    * the shuffle-safe form of an ordered LISTAGG. */
+  val q40 = QueryDef(
+    "q40_string_agg",
+    (sp, dir) => {
+      Tables(sp, dir, "customer").filter(col("c_acctbal") > 9000)
+        .groupBy("c_nationkey")
+        .agg(count(lit(1)).as("n"),
+          concat_ws(",", transform(
+            sort_array(collect_list(struct(
+              col("c_acctbal").cast(DecimalType(12, 2)).as("b"),
+              col("c_name").as("nm")))),
+            s => s.getField("nm"))).as("names"))
+        .orderBy("c_nationkey")
+    },
+    Some("""
+      SELECT c_nationkey, CAST(COUNT(*) AS BIGINT) AS n,
+        string_agg(c_name, ',' ORDER BY CAST(c_acctbal AS DECIMAL(12,2)), c_name)
+          AS names
+      FROM customer WHERE c_acctbal > 9000
+      GROUP BY c_nationkey ORDER BY c_nationkey"""))
+
+  /** Lateral explode with ordinality: part-name tokens with their
+    * positions (posexplode ≡ UNNEST WITH ORDINALITY). */
+  val q41 = QueryDef(
+    "q41_posexplode",
+    (sp, dir) => {
+      Tables(sp, dir, "part").filter(col("p_partkey") < 50)
+        .select(col("p_partkey"),
+          posexplode(split(col("p_name"), " ")).as(Seq("pos", "word")))
+        .orderBy("p_partkey", "pos")
+    },
+    Some("""
+      SELECT * FROM (
+        SELECT p_partkey,
+          unnest(list_transform(string_split(p_name, ' '),
+            (w, i) -> {'pos': i - 1, 'word': w}), recursive := true)
+        FROM part WHERE p_partkey < 50)
+      ORDER BY p_partkey, pos"""))
+
+  /** Fixed-width histogram of order totals: bucket by explicit floor
+    * division (identical double op), exact decimal min/max/sum. */
+  val q42 = QueryDef(
+    "q42_histogram",
+    (sp, dir) => {
+      Tables(sp, dir, "orders")
+        .withColumn("bucket",
+          least(floor(col("o_totalprice") / lit(60000.0)), lit(9L)).cast("int"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n"),
+          min(col("o_totalprice").cast(DecimalType(12, 2))).cast(DoubleType)
+            .as("lo"),
+          max(col("o_totalprice").cast(DecimalType(12, 2))).cast(DoubleType)
+            .as("hi"),
+          Dsl.moneySum(col("o_totalprice")).as("total"))
+        .orderBy("bucket")
+    },
+    Some("""
+      SELECT CAST(LEAST(floor(o_totalprice / 60000.0), 9) AS INT) AS bucket,
+        CAST(COUNT(*) AS BIGINT) AS n,
+        CAST(MIN(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS lo,
+        CAST(MAX(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS hi,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+      FROM orders GROUP BY 1 ORDER BY bucket"""))
+
+  /** Navigation frames: first/last/2nd event per user over the full
+    * partition frame, reduced to one row per user. */
+  val q43 = QueryDef(
+    "q43_first_last_value",
+    (sp, dir) => {
+      val order = Seq(col("ts"), col("event_id"))
+      val wFull = Window.partitionBy("user_id").orderBy(order: _*)
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      val wRow = Window.partitionBy("user_id").orderBy(order: _*)
+      Tables(sp, dir, "events")
+        .select(col("user_id"),
+          first(col("event_id")).over(wFull).as("first_event"),
+          last(col("event_id")).over(wFull).as("last_event"),
+          nth_value(col("event_id"), 2).over(wFull).as("second_event"),
+          row_number().over(wRow).as("rn"))
+        .filter(col("rn") === 1).drop("rn")
+        .orderBy("user_id")
+    },
+    Some("""
+      SELECT user_id, first_event, last_event, second_event FROM (
+        SELECT user_id,
+          first_value(event_id) OVER w AS first_event,
+          last_value(event_id) OVER w AS last_event,
+          nth_value(event_id, 2) OVER w AS second_event,
+          row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING))
+      WHERE rn = 1 ORDER BY user_id"""))
+
+  /** Argmax dedup: latest event per (user, type) — the keep-newest ETL
+    * staple, as a row_number window + filter. */
+  val q44 = QueryDef(
+    "q44_latest_per_key",
+    (sp, dir) => {
+      val w = Window.partitionBy("user_id", "event_type")
+        .orderBy(col("ts").desc, col("event_id").desc)
+      Tables(sp, dir, "events")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("user_id"), col("event_type"), col("event_id"),
+          unix_millis(col("ts")).as("ts_ms"))
+        .orderBy("user_id", "event_type")
+    },
+    Some("""
+      SELECT user_id, event_type, event_id, epoch_ms(ts) AS ts_ms FROM (
+        SELECT *, row_number() OVER (PARTITION BY user_id, event_type
+          ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events)
+      WHERE rn = 1 ORDER BY user_id, event_type"""))
+
+  val defs: Seq[QueryDef] = Seq(q35, q36, q37, q38, q39, q40, q41, q42, q43, q44)
+}
