@@ -74,10 +74,20 @@ object Similarity {
 
   /** IVF coarse quantization: centroids from a labeled partition of
     * the corpus (position-wise mean via posexplode — distributed, no
-    * driver collect). */
+    * driver collect). The per-position mean is a SEQUENTIAL id-ordered
+    * fold divided by the count, not avg(): avg's accumulation order
+    * follows the physical partitioning, while an ordered left fold is
+    * bit-reproducible across runs, cluster layouts, and engines.
+    * Collected state per group = one cluster's values at one position,
+    * bounded by cluster size — fine for IVF's ~√N-sized clusters. */
   def centroids(corpus: DataFrame, labelCol: String): DataFrame =
-    corpus.select(col(labelCol).as("cluster"), posexplode(col("v")).as(Seq("pos", "x")))
-      .groupBy("cluster", "pos").agg(avg(col("x")).as("m"))
+    corpus.select(col(labelCol).as("cluster"), col("id"),
+        posexplode(col("v")).as(Seq("pos", "x")))
+      .groupBy("cluster", "pos")
+      .agg((aggregate(
+          transform(sort_array(collect_list(struct(col("id"), col("x")))),
+            s => s.getField("x")),
+          lit(0.0), (a, x) => a + x) / count(lit(1))).as("m"))
       .groupBy("cluster")
       .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
         s => s.getField("m")).as("cv"))

@@ -71,7 +71,9 @@ object SimilarityQueries {
     })
 
   /** IVF coarse-quantized ANN: centroid per label partition, probe
-    * the 2 nearest clusters (rows-only). */
+    * the 2 nearest clusters. Centroids are id-ordered sequential-fold
+    * means (bit-reproducible), so the full chain — quantize, route,
+    * probe, verify — has an exact DuckDB oracle. */
   val s03 = QueryDef(
     "s03_ivf_ann",
     (sp, dir) => {
@@ -83,7 +85,36 @@ object SimilarityQueries {
       Similarity.ivfTopK(queries, corpus, "label", k = 5, nProbe = 2)
         .orderBy("q_id", "rank")
     },
-    None)
+    Some(s"""
+      WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] v FROM embeddings),
+      n AS (SELECT vec_id, label, v, sqrt(${foldDot.format("v", "v")}) nrm FROM e),
+      q AS (SELECT vec_id q_id, v qv, nrm qn FROM n WHERE vec_id < 10),
+      c AS (SELECT vec_id n_id, label cl, v cv, nrm cn FROM n WHERE vec_id >= 10),
+      cx AS (SELECT n_id, cl,
+               unnest(list_transform(cv, (x, i) -> {'pos': i - 1, 'x': x}),
+                 recursive := true)
+             FROM c),
+      cm AS (SELECT cl, pos,
+               list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                 list(x ORDER BY n_id)), (a, b) -> a + b) / COUNT(*) AS m
+             FROM cx GROUP BY cl, pos),
+      cents AS (SELECT cl, list(m ORDER BY pos) AS cv FROM cm
+                GROUP BY cl),
+      cn AS (SELECT cl, cv, sqrt(${foldDot.format("cv", "cv")}) AS cn
+             FROM cents),
+      probe AS (SELECT q_id, qv, qn, cl,
+                  ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY
+                    ${foldDot.format("qv", "cv")} / (qn * cn.cn) DESC, cl)
+                    AS probe_rank
+                FROM q CROSS JOIN cn),
+      routed AS (SELECT q_id, qv, qn, cl FROM probe WHERE probe_rank <= 2),
+      s AS (SELECT q_id, n_id, ${foldDot.format("qv", "cv")} / (qn * cn) AS cosine
+            FROM routed r JOIN c USING (cl)),
+      r AS (SELECT q_id, n_id, cosine,
+              ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosine DESC, n_id) rnk
+            FROM s)
+      SELECT q_id, n_id, cosine, CAST(rnk AS INT) AS rank
+      FROM r WHERE rnk <= 5 ORDER BY q_id, rank"""))
 
   val defs: Seq[QueryDef] = Seq(s01, s02, s03)
 }
