@@ -31,6 +31,15 @@ object Components {
     var labels = both.select(col("a").as("id")).distinct()
       .withColumn("comp", col("id"))
       .localCheckpoint(eager = true)
+    // Convergence check: min-propagation only ever DECREASES labels,
+    // so the label sum strictly decreases until the fixpoint — one
+    // cheap scan-aggregate per round instead of a self-join diff.
+    // decimal accumulator: 10^9 nodes × 10^18-sized ids would overflow
+    // a BIGINT sum
+    def labelSum(df: org.apache.spark.sql.DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("comp").cast(org.apache.spark.sql.types.DecimalType(38, 0))))
+        .head().getDecimal(0)
+    var prevSum = labelSum(labels)
     var iter = 0
     var converged = false
     while (iter < maxIter && !converged) {
@@ -38,15 +47,22 @@ object Components {
       val neighborMin = both
         .join(labels, col("b") === col("id"))
         .groupBy(col("a")).agg(min(col("comp")).as("n_comp"))
-      val next = labels
+      val propagated = labels
         .join(neighborMin, col("id") === col("a"), "left_outer")
         .select(col("id"),
-          least(col("comp"), coalesce(col("n_comp"), col("comp"))).as("comp"))
+          least(col("comp"), coalesce(col("n_comp"), col("comp"))).as("c1"))
+      // pointer jump: also adopt the label OF my label (comp values are
+      // always node ids within the same component, so this is safe and
+      // cuts rounds from O(diameter) to O(log diameter))
+      val next = propagated
+        .join(labels.select(col("id").as("jid"), col("comp").as("jcomp")),
+          col("c1") === col("jid"), "left_outer")
+        .select(col("id"), least(col("c1"), coalesce(col("jcomp"), col("c1"))).as("comp"))
         .localCheckpoint(eager = true)
-      val changed = next.as("n").join(labels.as("o"), "id")
-        .filter(col("n.comp") =!= col("o.comp")).count()
+      val nextSum = labelSum(next)
       labels = next
-      converged = changed == 0
+      converged = nextSum.compareTo(prevSum) == 0
+      prevSum = nextSum
       iter += 1
     }
     both.unpersist()
