@@ -16,6 +16,9 @@ object StreamOps {
   case class Evt(user_id: Long, ts: java.sql.Timestamp,
       event_type: String, value: Double)
 
+  case class IdEvt(event_id: Long, user_id: Long, ts: java.sql.Timestamp,
+      event_type: String, value: Double)
+
   case class SessionState(startMs: Long, lastMs: Long, n: Int, sum: Double)
 
   case class SessionOut(user_id: Long, start_ms: Long, end_ms: Long,
@@ -29,6 +32,35 @@ object StreamOps {
       .withWatermark("ts", watermark)
       .groupBy(window(col("ts"), windowLen), col("event_type"))
       .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
+
+  /** Stream-stream interval join: attribute each purchase to the
+    * clicks of the same user in the preceding `maxDelay`. Watermarks
+    * on BOTH sides + the time-range predicate bound the join state
+    * (rows older than ts - maxDelay - watermark are evicted), so the
+    * join runs indefinitely on unbounded streams. */
+  def attributedPurchases(clicks: DataFrame, purchases: DataFrame,
+      maxDelay: String = "1 hour", watermark: String = "1 hour"): DataFrame = {
+    val c = clicks.withWatermark("ts", watermark)
+      .select(col("user_id").as("c_user"), col("ts").as("click_ts"),
+        col("event_id").as("click_id"))
+    val p = purchases.withWatermark("ts", watermark)
+      .select(col("user_id").as("p_user"), col("ts").as("purchase_ts"),
+        col("event_id").as("purchase_id"), col("value"))
+    p.join(c,
+      col("p_user") === col("c_user") &&
+        col("click_ts") <= col("purchase_ts") &&
+        col("click_ts") >= col("purchase_ts") - expr(s"INTERVAL $maxDelay"))
+      .select(col("p_user").as("user_id"), col("purchase_id"),
+        col("purchase_ts"), col("click_id"), col("click_ts"), col("value"))
+  }
+
+  /** Exactly-once-ish id dedup on an at-least-once stream: duplicates
+    * of an event id arriving within the watermark horizon are dropped;
+    * state per id is evicted once the watermark passes it. */
+  def dedupWithinWatermark(events: DataFrame, idCol: String,
+      watermark: String = "1 hour"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark(idCol)
 
   /** Stateful gap-based sessionization via flatMapGroupsWithState —
     * the streaming form of q23_sessionize. A session closes when a

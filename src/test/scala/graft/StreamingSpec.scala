@@ -48,6 +48,54 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream interval join attributes purchases to prior clicks only") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    import graft.streaming.StreamOps.IdEvt
+    val clicks = MemoryStream[IdEvt]
+    val purchases = MemoryStream[IdEvt]
+    clicks.addData(
+      IdEvt(1L, 7L, t("2024-01-01 10:00:00"), "click", 0.0),
+      IdEvt(2L, 7L, t("2024-01-01 10:50:00"), "click", 0.0),
+      IdEvt(3L, 8L, t("2024-01-01 10:05:00"), "click", 0.0))
+    purchases.addData(
+      IdEvt(10L, 7L, t("2024-01-01 10:30:00"), "purchase", 9.99))
+    val q = StreamOps.attributedPurchases(clicks.toDF(), purchases.toDF())
+      .writeStream.format("memory").queryName("attr_out")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT purchase_id, click_id FROM attr_out")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      // only user 7's 10:00 click precedes the 10:30 purchase;
+      // the 10:50 click and user 8's click must not attribute
+      assert(rows === Set((10L, 1L)))
+    } finally q.stop()
+  }
+
+  test("dropDuplicatesWithinWatermark suppresses replayed event ids") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    import graft.streaming.StreamOps.IdEvt
+    val input = MemoryStream[IdEvt]
+    val q = StreamOps.dedupWithinWatermark(input.toDF(), "event_id")
+      .writeStream.format("memory").queryName("dedup_out")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(
+        IdEvt(1L, 7L, t("2024-01-01 10:00:00"), "click", 1.0),
+        IdEvt(1L, 7L, t("2024-01-01 10:00:01"), "click", 1.0))  // same-batch dup
+      q.processAllAvailable()
+      input.addData(
+        IdEvt(1L, 7L, t("2024-01-01 10:05:00"), "click", 1.0),  // replay
+        IdEvt(2L, 7L, t("2024-01-01 10:06:00"), "click", 2.0))
+      q.processAllAvailable()
+      val ids = spark.sql("SELECT event_id FROM dedup_out")
+        .collect().map(_.getLong(0)).sorted
+      assert(ids.toSeq === Seq(1L, 2L))
+    } finally q.stop()
+  }
+
   test("stateful sessionization emits closed sessions across batches") {
     implicit val sq = spark.sqlContext
     import spark.implicits._
