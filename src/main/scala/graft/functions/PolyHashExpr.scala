@@ -65,10 +65,13 @@ object PolyHashExpr {
   * arithmetic to [[HashFunctions.minhashSig]], one fused JVM loop
   * instead of k interpreted array traversals. */
 case class MinHashSigExpr(child: Expression, k: Int)
-    extends UnaryExpression
-    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+    extends UnaryExpression {
 
   private val perms = HashFunctions.minhashPerms(k).toArray
+
+  /** (a0, b0, a1, b1, …) flattened for the codegen reference object. */
+  private lazy val permsFlat: Array[Long] =
+    perms.flatMap { case (a, b) => Array(a, b) }
 
   override def dataType: DataType = ArrayType(LongType, containsNull = true)
   override def prettyName: String = "graft_minhash_sig"
@@ -100,6 +103,37 @@ case class MinHashSigExpr(child: Expression, k: Int)
     // (array_min([]) per permutation); mirror it exactly
     if (n == 0) new GenericArrayData(Array.fill[Any](k)(null))
     else new GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val permsRef = ctx.addReferenceObj("minhashPerms", permsFlat, "long[]")
+    nullSafeCodeGen(ctx, ev, c => {
+      val n = ctx.freshName("n")
+      val out = ctx.freshName("out")
+      val i = ctx.freshName("i")
+      val h = ctx.freshName("h")
+      val p = ctx.freshName("p")
+      val v = ctx.freshName("v")
+      s"""
+         |final int $n = $c.numElements();
+         |if ($n == 0) {
+         |  ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+         |    new Object[$k]);
+         |} else {
+         |  final long[] $out = new long[$k];
+         |  java.util.Arrays.fill($out, Long.MAX_VALUE);
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    final long $h = $c.getLong($i) % 2147483647L;
+         |    for (int $p = 0; $p < $k; $p++) {
+         |      final long $v = ($h * $permsRef[2 * $p] + $permsRef[2 * $p + 1])
+         |        % 2147483647L;
+         |      if ($v < $out[$p]) $out[$p] = $v;
+         |    }
+         |  }
+         |  ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+         |}
+       """.stripMargin
+    })
   }
 
   override protected def withNewChildInternal(newChild: Expression): MinHashSigExpr =

@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graft.Bridge
 import org.apache.spark.sql.types._
@@ -15,7 +15,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * `transform(split(text,' '), hash62)` on ASCII text.
   */
 case class TokenHashes(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "graft_token_hashes"
@@ -46,6 +46,38 @@ case class TokenHashes(child: Expression)
     new GenericArrayData(out.toArray)
   }
 
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val bytes = ctx.freshName("bytes")
+      val cnt = ctx.freshName("cnt")
+      val out = ctx.freshName("out")
+      val h1 = ctx.freshName("h1")
+      val h2 = ctx.freshName("h2")
+      val idx = ctx.freshName("idx")
+      val i = ctx.freshName("i")
+      val b = ctx.freshName("b")
+      s"""
+         |final byte[] $bytes = $c.getBytes();
+         |int $cnt = 1;
+         |for (int $i = 0; $i < $bytes.length; $i++) {
+         |  if ($bytes[$i] == 32) $cnt++;
+         |}
+         |final long[] $out = new long[$cnt];
+         |long $h1 = 0L; long $h2 = 0L; int $idx = 0;
+         |for (int $i = 0; $i < $bytes.length; $i++) {
+         |  if ($bytes[$i] == 32) {
+         |    $out[$idx++] = $h1 + ($h2 << 31); $h1 = 0L; $h2 = 0L;
+         |  } else {
+         |    final long $b = $bytes[$i] & 0xff;
+         |    $h1 = ($h1 * 31L + $b) % 2147483647L;
+         |    $h2 = ($h2 * 131L + $b) % 2147483647L;
+         |  }
+         |}
+         |$out[$idx] = $h1 + ($h2 << 31);
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+       """.stripMargin
+    })
+
   override protected def withNewChildInternal(newChild: Expression): TokenHashes =
     copy(child = newChild)
 }
@@ -60,7 +92,7 @@ object TokenHashes {
   * loop — the HOF form is O(63·|words|) *interpreted lambda calls*
   * per document, which measured ~40 ms/doc; this is ~µs. */
 case class SimHashExpr(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   override def dataType: DataType = LongType
   override def prettyName: String = "graft_simhash"
@@ -95,6 +127,31 @@ case class SimHashExpr(child: Expression)
     }
     fp
   }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val n = ctx.freshName("n")
+      val votes = ctx.freshName("votes")
+      val i = ctx.freshName("i")
+      val h = ctx.freshName("h")
+      val j = ctx.freshName("j")
+      val fp = ctx.freshName("fp")
+      s"""
+         |final int $n = $c.numElements();
+         |final long[] $votes = new long[63];
+         |for (int $i = 0; $i < $n; $i++) {
+         |  final long $h = $c.getLong($i);
+         |  for (int $j = 0; $j < 63; $j++) {
+         |    $votes[$j] += (($h >> $j) & 1L) * 2L - 1L;
+         |  }
+         |}
+         |long $fp = 0L;
+         |for (int $j = 0; $j < 63; $j++) {
+         |  if ($votes[$j] > 0) $fp |= 1L << $j;
+         |}
+         |${ev.value} = $fp;
+       """.stripMargin
+    })
 
   override protected def withNewChildInternal(newChild: Expression): SimHashExpr =
     copy(child = newChild)
