@@ -27,6 +27,34 @@ class SinksSpec extends SparkSpec {
       Map(1L -> 40.0, 2L -> 20.0, 3L -> 5.0))
   }
 
+  test("csv reader round-trips with an explicit schema") {
+    import org.apache.spark.sql.types._
+    val dir = java.nio.file.Files.createTempDirectory("graft_csv").toString
+    val df = Seq((1L, "alpha,x", 1.5), (2L, "beta", 2.25), (3L, "", 0.0))
+      .toDF("id", "name", "score")
+    df.write.mode("overwrite").option("header", "true").csv(dir)
+    val schema = StructType(Seq(StructField("id", LongType),
+      StructField("name", StringType), StructField("score", DoubleType)))
+    val back = Sinks.readCsv(spark, dir, schema).orderBy("id").collect()
+    assert(back.map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSeq
+      === Seq((1L, "alpha,x", 1.5), (2L, "beta", 2.25), (3L, null, 0.0)))
+  }
+
+  test("json reader round-trips with an explicit schema, missing fields -> null") {
+    import org.apache.spark.sql.types._
+    val dir = java.nio.file.Files.createTempDirectory("graft_json").toString
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(dir, "part-0.json"),
+      """{"id": 1, "name": "alpha", "score": 1.5}
+        |{"id": 2, "score": 2.25}
+        |""".stripMargin)
+    val schema = StructType(Seq(StructField("id", LongType),
+      StructField("name", StringType), StructField("score", DoubleType)))
+    val back = Sinks.readJson(spark, dir, schema).orderBy("id").collect()
+    assert(back.map(r => (r.getLong(0), Option(r.getString(1)), r.getDouble(2))).toSeq
+      === Seq((1L, Some("alpha"), 1.5), (2L, None, 2.25)))
+  }
+
   test("partitioned parquet write prunes partitions on read") {
     val dir = java.nio.file.Files.createTempDirectory("graft_part").toString
     val df = Seq(("click", 1L), ("view", 2L), ("click", 3L)).toDF("etype", "v")
