@@ -47,6 +47,32 @@ object Pipeline {
       .withColumn("pos", row_number().over(w).cast("long"))
   }
 
+  /** Deterministic fixed-size sample: the k rows with the smallest id
+    * hash per stratum — a reproducible "reservoir" whose membership is
+    * stable under corpus growth only when ids are stable (the standard
+    * trade-off). One shuffle on the stratum key. */
+  def topKSample(df: DataFrame, idCol: String, strataCol: String, k: Int): DataFrame = {
+    val w = Window.partitionBy(strataCol)
+      .orderBy(idHash(col(idCol)), col(idCol))
+    df.withColumn("samp_rank", row_number().over(w).cast("long"))
+      .filter(col("samp_rank") <= k)
+  }
+
+  /** Benchmark decontamination: count shingle hashes each corpus doc
+    * shares with a (small, broadcast) benchmark set; a doc is
+    * contaminated at `minShared` overlapping shingles. The benchmark
+    * side is distinct-shingles only — its size, not the corpus size,
+    * bounds the broadcast. */
+  def decontaminate(corpusShingles: DataFrame, benchShingles: DataFrame,
+      minShared: Int): DataFrame = {
+    val bench = benchShingles.select("shingle").distinct()
+    corpusShingles
+      .join(broadcast(bench), "shingle")
+      .groupBy("doc_id")
+      .agg(countDistinct(col("shingle")).as("n_shared"))
+      .withColumn("is_contaminated", col("n_shared") >= minShared)
+  }
+
   /** Sequence packing by token offset: concatenate each group's docs
     * in `orderCol` order and chop the token stream into fixed-size
     * context windows; a doc belongs to the bin its first token lands

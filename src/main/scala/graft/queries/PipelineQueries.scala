@@ -228,5 +228,60 @@ object PipelineQueries {
         ON docs.doc_id = top.doc_id AND top.rn = 1
       ORDER BY docs.doc_id"""))
 
-  val defs: Seq[QueryDef] = Seq(p01, p02, p03, p04, p05, p06)
+  /** Deterministic fixed-k per-stratum sample (reproducible
+    * "reservoir" by id hash). */
+  val p07 = QueryDef(
+    "p07_topk_sample",
+    (sp, dir) => {
+      graft.operators.Pipeline.topKSample(
+        Tables(sp, dir, "documents"), "doc_id", "source", k = 5)
+        .select("doc_id", "source", "samp_rank")
+        .orderBy("doc_id")
+    },
+    Some(s"""
+      SELECT doc_id, source, samp_rank FROM (
+        SELECT doc_id, source,
+          CAST(row_number() OVER (PARTITION BY source
+            ORDER BY ${hashSql(1103515245L, 12345L)}, doc_id) AS BIGINT)
+            AS samp_rank
+        FROM documents)
+      WHERE samp_rank <= 5 ORDER BY doc_id"""))
+
+  /** Benchmark decontamination: trigram-shingle overlap between the
+    * corpus (doc_id >= 10) and a small benchmark set (doc_id < 10). */
+  val p08 = QueryDef(
+    "p08_decontaminate",
+    (sp, dir) => {
+      import graft.operators.{Dedup, Pipeline}
+      val docs = Tables(sp, dir, "documents")
+      val bench = Dedup.shingleHashSet(docs.filter(col("doc_id") < 10),
+        "doc_id", "text", n = 3)
+      val corpus = docs.filter(col("doc_id") >= 10)
+      val corpusSh = Dedup.shingleHashSet(corpus, "doc_id", "text", n = 3)
+      corpus.select("doc_id")
+        .join(Pipeline.decontaminate(corpusSh, bench, minShared = 5),
+          Seq("doc_id"), "left_outer")
+        .select(col("doc_id"),
+          coalesce(col("n_shared"), lit(0L)).as("n_shared"),
+          coalesce(col("is_contaminated"), lit(false)).as("is_contaminated"))
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH toks AS (SELECT doc_id, string_split(text, ' ') w FROM documents),
+      sh AS (SELECT doc_id, unnest(list_distinct(
+               CASE WHEN len(w) < 3 THEN []
+                    ELSE list_transform(generate_series(1, CAST(len(w) - 2 AS INT)),
+                           i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]) END)) AS s
+             FROM toks),
+      bench AS (SELECT DISTINCT s FROM sh WHERE doc_id < 10),
+      shared AS (SELECT c.doc_id,
+                   CAST(COUNT(DISTINCT c.s) AS BIGINT) AS n_shared
+                 FROM sh c JOIN bench b ON c.s = b.s
+                 WHERE c.doc_id >= 10 GROUP BY c.doc_id)
+      SELECT d.doc_id, COALESCE(s.n_shared, 0) AS n_shared,
+        COALESCE(s.n_shared >= 5, FALSE) AS is_contaminated
+      FROM documents d LEFT JOIN shared s ON d.doc_id = s.doc_id
+      WHERE d.doc_id >= 10 ORDER BY d.doc_id"""))
+
+  val defs: Seq[QueryDef] = Seq(p01, p02, p03, p04, p05, p06, p07, p08)
 }

@@ -22,6 +22,39 @@ object Sinks {
       props: Properties = new Properties()): DataFrame =
     spark.read.jdbc(url, table, props)
 
+  /** Upsert into a JDBC table without engine MERGE support (SQLite-
+    * class targets): union the incoming batch with the current rows,
+    * keep the winner per key (incoming beats existing; ties within the
+    * batch break on the version column, then deterministically on the
+    * remaining columns), rewrite. The read-modify-write is the
+    * portable JDBC merge; at warehouse scale swap the final write for
+    * the engine's native MERGE and keep the same dedup plan. */
+  def upsertJdbc(spark: SparkSession, batch: DataFrame, url: String,
+      table: String, keyCols: Seq[String], versionCol: String,
+      numPartitions: Int = 8, props: Properties = new Properties()): Unit = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val existing =
+      try Some(readJdbc(spark, url, table, props)) catch { case _: Exception => None }
+    val merged = existing match {
+      case None => batch
+      case Some(cur) =>
+        val tagged = batch.withColumn("__new", lit(1))
+          .unionByName(cur.withColumn("__new", lit(0)))
+        val others = batch.columns.filterNot(keyCols.contains)
+          .filterNot(_ == versionCol).map(col).toSeq
+        val w = Window.partitionBy(keyCols.map(col): _*)
+          .orderBy(col("__new").desc +: col(versionCol).desc +: others.map(_.desc): _*)
+        tagged.withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") === 1).drop("__new", "__rn")
+    }
+    // checkpoint before overwrite: the merged plan still reads `table`,
+    // and SaveMode.Overwrite truncates it first. localCheckpoint cuts
+    // the lineage distributively (no driver collect).
+    writeJdbc(merged.localCheckpoint(eager = true), url, table,
+      numPartitions, props)
+  }
+
   /** Hive-style partitioned parquet layout — partition pruning on the
     * partition columns at read time. */
   def writePartitionedParquet(df: DataFrame, path: String,

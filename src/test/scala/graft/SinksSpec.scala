@@ -27,6 +27,26 @@ class SinksSpec extends SparkSpec {
       Map(1L -> 40.0, 2L -> 20.0, 3L -> 5.0))
   }
 
+  test("jdbc upsert updates existing keys and inserts new ones") {
+    val url = "jdbc:derby:memory:graftup;create=true"
+    val v1 = Seq((1L, "a", 1), (2L, "b", 1)).toDF("id", "name", "ver")
+    Sinks.writeJdbc(v1, url, "items", numPartitions = 1)
+    val batch = Seq((2L, "b2", 2), (3L, "c", 1)).toDF("id", "name", "ver")
+    Sinks.upsertJdbc(spark, batch, url, "items", Seq("id"), "ver",
+      numPartitions = 1)
+    val back = Sinks.readJdbc(spark, url, "items").orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2)))
+    assert(back.toSeq === Seq((1L, "a", 1), (2L, "b2", 2), (3L, "c", 1)))
+  }
+
+  test("jdbc upsert creates the table when it does not exist") {
+    val url = "jdbc:derby:memory:graftup2;create=true"
+    val batch = Seq((1L, "a", 1)).toDF("id", "name", "ver")
+    Sinks.upsertJdbc(spark, batch, url, "fresh", Seq("id"), "ver",
+      numPartitions = 1)
+    assert(Sinks.readJdbc(spark, url, "fresh").count() === 1)
+  }
+
   test("csv reader round-trips with an explicit schema") {
     import org.apache.spark.sql.types._
     val dir = java.nio.file.Files.createTempDirectory("graft_csv").toString
