@@ -1,0 +1,58 @@
+package graft
+
+/** Physical-plan shape assertions for the properties SURVEY.md §5
+  * promises — pushdown, pruning, broadcasts, top-k, shuffle counts.
+  * These fail loudly if a refactor silently degrades a plan.
+  */
+class PlanAuditSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String =
+    Catalog.byName(name).build(spark, dir).queryExecution.executedPlan.toString
+
+  private def shuffles(p: String): Int = "Exchange".r.findAllIn(p).length
+
+  test("q02 filter and projection reach the parquet scan") {
+    val p = plan("q02_filter_project")
+    assert(p.contains("PushedFilters: [") && !p.contains("PushedFilters: []"))
+    val read = "ReadSchema: [^\n]*".r.findFirstIn(p).get
+    assert(!read.contains("l_comment") && !read.contains("l_shipinstruct"))
+  }
+
+  test("q05 star join broadcasts the dimension chain") {
+    val p = plan("q05_star_join")
+    assert("BroadcastHashJoin".r.findAllIn(p).length >= 3,
+      s"expected >=3 broadcast joins:\n${p.take(2000)}")
+  }
+
+  test("q03 top-k compiles to TakeOrderedAndProject, not a global sort") {
+    val p = plan("q03_join_agg_topk")
+    assert(p.contains("TakeOrderedAndProject"))
+  }
+
+  test("p01 sampling never reads the text column") {
+    val p = plan("p01_stratified_sample")
+    assert(!p.contains("text"), "sampling summary must prune the text column")
+  }
+
+  test("p07 fixed-k sample reads only id/stratum columns") {
+    val p = plan("p07_topk_sample")
+    assert(!p.contains("text"))
+  }
+
+  test("d01 exact dedup is a single aggregation shuffle plus the output sort") {
+    val p = plan("d01_exact_dedup")
+    assert(shuffles(p) <= 3, s"unexpected extra shuffles:\n${p.take(2000)}")
+  }
+
+  test("s03 routing broadcasts centroids to the query side") {
+    val p = plan("s03_ivf_ann")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("q42 histogram reads only the aggregated column") {
+    val read = "ReadSchema: [^\n]*".r.findFirstIn(plan("q42_histogram")).get
+    assert(read.contains("o_totalprice") && !read.contains("o_orderpriority"))
+  }
+}
