@@ -272,5 +272,31 @@ object RelationalWide {
         FROM events)
       WHERE rn = 1 ORDER BY user_id, event_type"""))
 
-  val defs: Seq[QueryDef] = Seq(q35, q36, q37, q38, q39, q40, q41, q42, q43, q44)
+  /** Skew-resistant salted join: events (large, potentially one hot
+    * user) joined to the customer dim through `nSalts` sub-keys —
+    * result-identical to the plain join, so the oracle IS the plain
+    * join. */
+  val q45 = QueryDef(
+    "q45_salted_join",
+    (sp, dir) => {
+      import graft.operators.SaltedJoin
+      val events = Tables(sp, dir, "events")
+        .select("event_id", "user_id", "value")
+      val cust = Tables(sp, dir, "customer")
+        .select(col("c_custkey"), col("c_mktsegment"))
+      SaltedJoin.inner(events, cust, "user_id", "c_custkey",
+        col("event_id"), nSalts = 8)
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_events"),
+          Dsl.moneySum(col("value")).as("sum_value"))
+        .orderBy("c_mktsegment")
+    },
+    Some("""
+      SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n_events,
+        CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      FROM events JOIN customer ON user_id = c_custkey
+      GROUP BY c_mktsegment ORDER BY c_mktsegment"""))
+
+  val defs: Seq[QueryDef] =
+    Seq(q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q45)
 }
