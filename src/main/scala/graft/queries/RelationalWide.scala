@@ -297,6 +297,64 @@ object RelationalWide {
       FROM events JOIN customer ON user_id = c_custkey
       GROUP BY c_mktsegment ORDER BY c_mktsegment"""))
 
+  /** Column profiling (the ETL data-quality staple): per-column row /
+    * null / distinct counts and lexicographic min/max, computed in ONE
+    * pass (multi-distinct plans as a single expand) and unpivoted to
+    * a row per column. Values surface as strings — doubles via an
+    * exact decimal cast so both engines render identically. */
+  val q46 = QueryDef(
+    "q46_column_profile",
+    (sp, dir) => {
+      val strCols: Map[String, org.apache.spark.sql.Column] = Map(
+        "o_orderstatus" -> col("o_orderstatus"),
+        "o_orderpriority" -> col("o_orderpriority"),
+        "o_custkey" -> col("o_custkey").cast("string"),
+        "o_totalprice" -> col("o_totalprice").cast(DecimalType(12, 2)).cast("string"))
+      val aggs = strCols.toSeq.sortBy(_._1).flatMap { case (name, c) => Seq(
+        count(c).as(s"${name}__cnt"),
+        countDistinct(c).as(s"${name}__dist"),
+        min(c).as(s"${name}__min"),
+        max(c).as(s"${name}__max"))
+      }
+      val one = Tables(sp, dir, "orders")
+        .agg(count(lit(1)).as("__n"), aggs: _*)
+      val rows = strCols.keys.toSeq.sorted.map { name =>
+        struct(lit(name).as("col_name"), col("__n").as("n"),
+          (col("__n") - col(s"${name}__cnt")).as("n_null"),
+          col(s"${name}__dist").as("n_distinct"),
+          col(s"${name}__min").as("min_s"), col(s"${name}__max").as("max_s"))
+      }
+      one.select(explode(array(rows: _*)).as("p")).select("p.*")
+        .orderBy("col_name")
+    },
+    Some("""
+      SELECT 'o_custkey' AS col_name, CAST(COUNT(*) AS BIGINT) AS n,
+        CAST(COUNT(*) - COUNT(o_custkey) AS BIGINT) AS n_null,
+        CAST(COUNT(DISTINCT CAST(o_custkey AS VARCHAR)) AS BIGINT) AS n_distinct,
+        MIN(CAST(o_custkey AS VARCHAR)) AS min_s,
+        MAX(CAST(o_custkey AS VARCHAR)) AS max_s
+      FROM orders
+      UNION ALL
+      SELECT 'o_orderpriority', CAST(COUNT(*) AS BIGINT),
+        CAST(COUNT(*) - COUNT(o_orderpriority) AS BIGINT),
+        CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT),
+        MIN(o_orderpriority), MAX(o_orderpriority)
+      FROM orders
+      UNION ALL
+      SELECT 'o_orderstatus', CAST(COUNT(*) AS BIGINT),
+        CAST(COUNT(*) - COUNT(o_orderstatus) AS BIGINT),
+        CAST(COUNT(DISTINCT o_orderstatus) AS BIGINT),
+        MIN(o_orderstatus), MAX(o_orderstatus)
+      FROM orders
+      UNION ALL
+      SELECT 'o_totalprice', CAST(COUNT(*) AS BIGINT),
+        CAST(COUNT(*) - COUNT(o_totalprice) AS BIGINT),
+        CAST(COUNT(DISTINCT CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS VARCHAR)) AS BIGINT),
+        MIN(CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS VARCHAR)),
+        MAX(CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS VARCHAR))
+      FROM orders
+      ORDER BY col_name"""))
+
   val defs: Seq[QueryDef] =
-    Seq(q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q45)
+    Seq(q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q45, q46)
 }
