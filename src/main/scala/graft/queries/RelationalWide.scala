@@ -26,13 +26,21 @@ object RelationalWide {
       val li = Tables(sp, dir, "lineitem")
       val q = col("l_quantity").cast(DecimalType(12, 2))
       val p = col("l_extendedprice").cast(DecimalType(12, 2))
+      // The three power sums FLOOR to integer decimals before the
+      // double cast. Two engine quirks force this: DuckDB's
+      // fractional int128-decimal -> double conversion double-rounds
+      // (1-ulp drift observed at sf0.001), and DuckDB's decimal
+      // downscale cast truncates while Spark's rounds half-up —
+      // floor() is the one rescaling both engines agree on, and an
+      // integer below 2^53 then converts to double exactly. sq/sp
+      // stay exact (scaled units < 2^53 at any realistic SF).
       val agg = li.groupBy("l_returnflag").agg(
         count(lit(1)).as("n"),
         sum(q).cast(DoubleType).as("sq"),
-        sum(q * q).cast(DoubleType).as("sq2"),
+        floor(sum(q * q)).cast(DoubleType).as("sq2"),
         sum(p).cast(DoubleType).as("sp"),
-        sum(p * p).cast(DoubleType).as("sp2"),
-        sum(q * p).cast(DoubleType).as("sqp"))
+        floor(sum(p * p)).cast(DoubleType).as("sp2"),
+        floor(sum(q * p)).cast(DoubleType).as("sqp"))
       val n = col("n").cast(DoubleType)
       agg.select(col("l_returnflag"), col("n"),
           (col("sq") / n).as("mean_qty"),
@@ -47,10 +55,10 @@ object RelationalWide {
       WITH a AS (
         SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n,
           CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sq,
-          CAST(SUM(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sq2,
+          CAST(floor(SUM(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(12,2)))) AS DOUBLE) AS sq2,
           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sp,
-          CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sp2,
-          CAST(SUM(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sqp
+          CAST(floor(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_extendedprice AS DECIMAL(12,2)))) AS DOUBLE) AS sp2,
+          CAST(floor(SUM(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_extendedprice AS DECIMAL(12,2)))) AS DOUBLE) AS sqp
         FROM lineitem GROUP BY l_returnflag)
       SELECT l_returnflag, n,
         sq / CAST(n AS DOUBLE) AS mean_qty,

@@ -36,18 +36,18 @@ object Sinks {
     import org.apache.spark.sql.functions._
     val existing =
       try Some(readJdbc(spark, url, table, props)) catch { case _: Exception => None }
-    val merged = existing match {
-      case None => batch
-      case Some(cur) =>
-        val tagged = batch.withColumn("__new", lit(1))
-          .unionByName(cur.withColumn("__new", lit(0)))
-        val others = batch.columns.filterNot(keyCols.contains)
-          .filterNot(_ == versionCol).map(col).toSeq
-        val w = Window.partitionBy(keyCols.map(col): _*)
-          .orderBy(col("__new").desc +: col(versionCol).desc +: others.map(_.desc): _*)
-        tagged.withColumn("__rn", row_number().over(w))
-          .filter(col("__rn") === 1).drop("__new", "__rn")
+    // the batch itself dedups through the same window whether or not
+    // the table exists — duplicate keys within a first-load batch must
+    // not survive either
+    val tagged = existing.foldLeft(batch.withColumn("__new", lit(1))) {
+      (b, cur) => b.unionByName(cur.withColumn("__new", lit(0)))
     }
+    val others = batch.columns.filterNot(keyCols.contains)
+      .filterNot(_ == versionCol).map(col).toSeq
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col("__new").desc +: col(versionCol).desc +: others.map(_.desc): _*)
+    val merged = tagged.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__new", "__rn")
     // checkpoint before overwrite: the merged plan still reads `table`,
     // and SaveMode.Overwrite truncates it first. localCheckpoint cuts
     // the lineage distributively (no driver collect).

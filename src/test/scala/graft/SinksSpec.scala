@@ -39,12 +39,13 @@ class SinksSpec extends SparkSpec {
     assert(back.toSeq === Seq((1L, "a", 1), (2L, "b2", 2), (3L, "c", 1)))
   }
 
-  test("jdbc upsert creates the table when it does not exist") {
+  test("jdbc upsert creates the table and dedups keys within a first-load batch") {
     val url = "jdbc:derby:memory:graftup2;create=true"
-    val batch = Seq((1L, "a", 1)).toDF("id", "name", "ver")
+    val batch = Seq((1L, "a", 1), (1L, "a2", 2)).toDF("id", "name", "ver")
     Sinks.upsertJdbc(spark, batch, url, "fresh", Seq("id"), "ver",
       numPartitions = 1)
-    assert(Sinks.readJdbc(spark, url, "fresh").count() === 1)
+    val back = Sinks.readJdbc(spark, url, "fresh").collect()
+    assert(back.length === 1 && back.head.getString(1) === "a2")
   }
 
   test("csv reader round-trips with an explicit schema") {
