@@ -313,27 +313,24 @@ object RelationalWide {
   val q46 = QueryDef(
     "q46_column_profile",
     (sp, dir) => {
-      val strCols: Map[String, org.apache.spark.sql.Column] = Map(
-        "o_orderstatus" -> col("o_orderstatus"),
-        "o_orderpriority" -> col("o_orderpriority"),
+      val strCols: Seq[(String, org.apache.spark.sql.Column)] = Seq(
         "o_custkey" -> col("o_custkey").cast("string"),
+        "o_orderpriority" -> col("o_orderpriority"),
+        "o_orderstatus" -> col("o_orderstatus"),
         "o_totalprice" -> col("o_totalprice").cast(DecimalType(12, 2)).cast("string"))
-      val aggs = strCols.toSeq.sortBy(_._1).flatMap { case (name, c) => Seq(
-        count(c).as(s"${name}__cnt"),
-        countDistinct(c).as(s"${name}__dist"),
-        min(c).as(s"${name}__min"),
-        max(c).as(s"${name}__max"))
-      }
-      val one = Tables(sp, dir, "orders")
-        .agg(count(lit(1)).as("__n"), aggs: _*)
-      val rows = strCols.keys.toSeq.sorted.map { name =>
-        struct(lit(name).as("col_name"), col("__n").as("n"),
-          (col("__n") - col(s"${name}__cnt")).as("n_null"),
-          col(s"${name}__dist").as("n_distinct"),
-          col(s"${name}__min").as("min_s"), col(s"${name}__max").as("max_s"))
-      }
-      one.select(explode(array(rows: _*)).as("p")).select("p.*")
-        .orderBy("col_name")
+      // one branch per column, each a pruned single-column scan +
+      // group-by-value partial — four distinct columns in ONE agg
+      // would plan as a x5 expand of every row instead
+      val orders = Tables(sp, dir, "orders")
+      strCols.map { case (name, c) =>
+        orders.select(c.as("v"))
+          .groupBy("v").agg(count(lit(1)).as("cnt"))
+          .agg(lit(name).as("col_name"),
+            sum(col("cnt")).as("n"),
+            coalesce(sum(when(col("v").isNull, col("cnt"))), lit(0L)).as("n_null"),
+            count(col("v")).as("n_distinct"),
+            min(col("v")).as("min_s"), max(col("v")).as("max_s"))
+      }.reduce(_ unionByName _).orderBy("col_name")
     },
     Some("""
       SELECT 'o_custkey' AS col_name, CAST(COUNT(*) AS BIGINT) AS n,
