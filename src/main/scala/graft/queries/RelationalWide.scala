@@ -397,6 +397,60 @@ object RelationalWide {
       FROM months LEFT JOIN big ON mon = big.m
       ORDER BY mon"""))
 
+  /** Fuzzy matching by edit distance, bucketed on the first name
+    * token so candidate pairs stay bucket-bounded (no all-pairs scan)
+    * — the string analogue of the LSH dedup shape. Levenshtein is
+    * integer unit-cost DP in both engines. */
+  val q48 = QueryDef(
+    "q48_fuzzy_match",
+    (sp, dir) => {
+      val p = Tables(sp, dir, "part").filter(col("p_partkey") < 500)
+        .select(col("p_partkey"), col("p_name"),
+          split(col("p_name"), " ").getItem(0).as("b"))
+      p.as("a").join(p.as("c"),
+          col("a.b") === col("c.b") && col("a.p_partkey") < col("c.p_partkey"))
+        .select(col("a.p_partkey").as("k1"), col("c.p_partkey").as("k2"),
+          levenshtein(col("a.p_name"), col("c.p_name")).as("dist"))
+        .filter(col("dist") <= 4)
+        .orderBy("k1", "k2")
+    },
+    Some("""
+      WITH p AS (
+        SELECT p_partkey, p_name, string_split(p_name, ' ')[1] AS b
+        FROM part WHERE p_partkey < 500)
+      SELECT a.p_partkey AS k1, c.p_partkey AS k2,
+        CAST(levenshtein(a.p_name, c.p_name) AS INT) AS dist
+      FROM p a JOIN p c ON a.b = c.b AND a.p_partkey < c.p_partkey
+      WHERE levenshtein(a.p_name, c.p_name) <= 4
+      ORDER BY k1, k2"""))
+
+  /** Bitwise aggregation: per-user event-type presence mask via
+    * BIT_OR — the compact "which behaviors has this user shown"
+    * rollup. */
+  val q49 = QueryDef(
+    "q49_bitwise_agg",
+    (sp, dir) => {
+      val flag = when(col("event_type") === "click", 1L)
+        .when(col("event_type") === "view", 2L)
+        .when(col("event_type") === "purchase", 4L)
+        .when(col("event_type") === "signup", 8L)
+        .otherwise(16L)
+      Tables(sp, dir, "events")
+        .select(col("user_id"), flag.as("flag"))
+        .groupBy("user_id")
+        .agg(expr("bit_or(flag)").as("type_mask"),
+          count(lit(1)).as("n_events"))
+        .orderBy("user_id")
+    },
+    Some("""
+      SELECT user_id,
+        CAST(bit_or(CASE event_type WHEN 'click' THEN 1 WHEN 'view' THEN 2
+          WHEN 'purchase' THEN 4 WHEN 'signup' THEN 8 ELSE 16 END) AS BIGINT)
+          AS type_mask,
+        CAST(COUNT(*) AS BIGINT) AS n_events
+      FROM events GROUP BY user_id ORDER BY user_id"""))
+
   val defs: Seq[QueryDef] =
-    Seq(q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q45, q46, q47)
+    Seq(q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q45, q46, q47,
+      q48, q49)
 }
