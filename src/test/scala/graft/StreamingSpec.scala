@@ -96,6 +96,34 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("file sink with checkpoint recovers exactly-once across a restart") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    import graft.streaming.StreamOps.IdEvt
+    val out = java.nio.file.Files.createTempDirectory("graft_sink").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
+    val input = MemoryStream[IdEvt]
+    def start() = input.toDF()
+      .writeStream.format("parquet").option("path", out)
+      .option("checkpointLocation", ckpt)
+      .outputMode(OutputMode.Append()).start()
+
+    val q1 = start()
+    input.addData(IdEvt(1L, 7L, t("2024-01-01 10:00:00"), "click", 1.0))
+    q1.processAllAvailable()
+    q1.stop()
+
+    // restart from the same checkpoint; only NEW data may append
+    val q2 = start()
+    input.addData(IdEvt(2L, 7L, t("2024-01-01 10:01:00"), "view", 2.0))
+    q2.processAllAvailable()
+    q2.stop()
+
+    val ids = spark.read.parquet(out).select("event_id")
+      .collect().map(_.getLong(0)).sorted
+    assert(ids.toSeq === Seq(1L, 2L))   // no duplicates, nothing lost
+  }
+
   test("stateful sessionization emits closed sessions across batches") {
     implicit val sq = spark.sqlContext
     import spark.implicits._
