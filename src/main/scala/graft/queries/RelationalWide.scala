@@ -450,7 +450,37 @@ object RelationalWide {
         CAST(COUNT(*) AS BIGINT) AS n_events
       FROM events GROUP BY user_id ORDER BY user_id"""))
 
+  /** Correlated LATERAL subquery: each customer's two largest orders
+    * — per-row subquery semantics, a different operator from the
+    * window top-n (q21). Spark plans it as a lateral join. */
+  val q50 = QueryDef(
+    "q50_lateral_topn",
+    (sp, dir) => {
+      Tables(sp, dir, "customer").createOrReplaceTempView("customer_q50")
+      Tables(sp, dir, "orders").createOrReplaceTempView("orders_q50")
+      sp.sql("""
+        SELECT c_custkey, o_orderkey,
+          CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DOUBLE) AS price
+        FROM customer_q50,
+        LATERAL (
+          SELECT o_orderkey, o_totalprice
+          FROM orders_q50 WHERE o_custkey = c_custkey
+          ORDER BY o_totalprice DESC, o_orderkey LIMIT 2)
+        WHERE c_acctbal > 9000
+        ORDER BY c_custkey, o_orderkey""")
+    },
+    Some("""
+      SELECT c_custkey, o_orderkey,
+        CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DOUBLE) AS price
+      FROM customer,
+      LATERAL (
+        SELECT o_orderkey, o_totalprice
+        FROM orders WHERE o_custkey = c_custkey
+        ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+      WHERE c_acctbal > 9000
+      ORDER BY c_custkey, o_orderkey"""))
+
   val defs: Seq[QueryDef] =
     Seq(q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q45, q46, q47,
-      q48, q49)
+      q48, q49, q50)
 }
