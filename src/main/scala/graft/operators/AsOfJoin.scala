@@ -37,11 +37,20 @@ object AsOfJoin {
     // The payload struct itself is the final sort key: multiple right
     // rows at an equal (key, ts) would otherwise leave `last` picking
     // a shuffle-order-dependent winner; ordering by the carried values
-    // makes the max payload win, deterministically.
+    // makes the max payload win, deterministically. Carried columns of
+    // unorderable types (maps) can't join the sort key — those fall
+    // back to the (ts, side) ordering with engine-order ties.
     val payload: Column = when(col("__side") === 0,
       struct(rightCols.keys.toSeq.map(col): _*))
+    val payloadOrderable = rightCols.keys.forall { src =>
+      org.apache.spark.sql.catalyst.expressions.RowOrdering
+        .isOrderable(right.schema(src).dataType)
+    }
+    val orderKeys =
+      if (payloadOrderable) Seq(col(tsCol), col("__side"), col("__p"))
+      else Seq(col(tsCol), col("__side"))
     val w = Window.partitionBy(keyCol)
-      .orderBy(col(tsCol), col("__side"), col("__p"))
+      .orderBy(orderKeys: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val carried = unioned
       .withColumn("__p", payload)

@@ -35,9 +35,12 @@ object Components {
     // so the label sum strictly decreases until the fixpoint — one
     // cheap scan-aggregate per round instead of a self-join diff.
     // decimal accumulator: 10^9 nodes × 10^18-sized ids would overflow
-    // a BIGINT sum
+    // a BIGINT sum; coalesce because sum over an EMPTY label set (no
+    // edges at all) is null, not zero
     def labelSum(df: org.apache.spark.sql.DataFrame): java.math.BigDecimal =
-      df.agg(sum(col("comp").cast(org.apache.spark.sql.types.DecimalType(38, 0))))
+      df.agg(coalesce(
+          sum(col("comp").cast(org.apache.spark.sql.types.DecimalType(38, 0))),
+          lit(java.math.BigDecimal.ZERO)))
         .head().getDecimal(0)
     var prevSum = labelSum(labels)
     var iter = 0

@@ -19,9 +19,13 @@ object Pipeline {
   /** LCG-style id hash onto [0, P): deterministic per row, uniform
     * enough for rate sampling, trivially re-expressible in SQL.
     * Products stay < 2^62 for ids up to ~4·10^9 (no overflow in
-    * engines that check, unlike a wrapping engine hash). */
+    * engines that check, unlike a wrapping engine hash). pmod (not
+    * %): a negative id would otherwise hash negative, and a negative
+    * residue passes every `< threshold` sampling filter — silently
+    * keeping 100% of those rows. For non-negative ids pmod ≡ %, so
+    * the SQL oracles (which run on non-negative doc_ids) still match. */
   def idHash(id: Column, mult: Long = 1103515245L, add: Long = 12345L): Column =
-    (id * lit(mult) + lit(add)) % lit(2147483647L)
+    pmod(id * lit(mult) + lit(add), lit(2147483647L))
 
   /** Per-stratum deterministic rate sampling: keep a row iff
     * `idHash(id) mod 1000` falls under its stratum's per-mille

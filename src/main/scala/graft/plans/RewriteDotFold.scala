@@ -41,7 +41,10 @@ object RewriteDotFold extends Rule[LogicalPlan] {
           Literal(zero, DoubleType),
           LambdaFunction(Add(ax, ay, _), aggArgs, _),
           LambdaFunction(fin: NamedLambdaVariable, Seq(finArg: NamedLambdaVariable), _))
-        if zero == 0.0 &&
+        // raw-bits check: -0.0 == 0.0 numerically, but DotFold seeds
+        // +0.0, and an all-(-0.0) fold would flip the result's sign bit
+        if zero.isInstanceOf[Double] &&
+          java.lang.Double.doubleToRawLongBits(zero.asInstanceOf[Double]) == 0L &&
           isDoubleArray(a) && isDoubleArray(b) &&
           sameVars((mx, my), zipArgs.collect { case v: NamedLambdaVariable => v }) &&
           sameVars((ax, ay), aggArgs.collect { case v: NamedLambdaVariable => v }) &&

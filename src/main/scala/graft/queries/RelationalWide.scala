@@ -41,14 +41,17 @@ object RelationalWide {
         sum(p).cast(DoubleType).as("sp"),
         floor(sum(p * p)).cast(DoubleType).as("sp2"),
         floor(sum(q * p)).cast(DoubleType).as("sqp"))
+      // try_divide: a single-row group (n-1 = 0) or zero-variance
+      // group must yield NULL like the oracle engine's x/0, not an
+      // ANSI divide-by-zero error
       val n = col("n").cast(DoubleType)
       agg.select(col("l_returnflag"), col("n"),
           (col("sq") / n).as("mean_qty"),
-          sqrt((col("sq2") * n - col("sq") * col("sq")) / (n * (n - lit(1.0))))
-            .as("sd_qty"),
-          ((col("sqp") * n - col("sq") * col("sp")) /
-            (sqrt(col("sq2") * n - col("sq") * col("sq")) *
-              sqrt(col("sp2") * n - col("sp") * col("sp")))).as("corr_qty_price"))
+          sqrt(try_divide(col("sq2") * n - col("sq") * col("sq"),
+            n * (n - lit(1.0)))).as("sd_qty"),
+          try_divide(col("sqp") * n - col("sq") * col("sp"),
+            sqrt(col("sq2") * n - col("sq") * col("sq")) *
+              sqrt(col("sp2") * n - col("sp") * col("sp"))).as("corr_qty_price"))
         .orderBy("l_returnflag")
     },
     Some("""

@@ -34,8 +34,12 @@ object Sinks {
       numPartitions: Int = 8, props: Properties = new Properties()): Unit = {
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.functions._
+    // existence is decided by catalog metadata, not by whether a read
+    // throws: a transient read failure must surface as an error, never
+    // silently downgrade the merge to a table-clobbering first load
     val existing =
-      try Some(readJdbc(spark, url, table, props)) catch { case _: Exception => None }
+      if (jdbcTableExists(url, table, props)) Some(readJdbc(spark, url, table, props))
+      else None
     // the batch itself dedups through the same window whether or not
     // the table exists — duplicate keys within a first-load batch must
     // not survive either
@@ -53,6 +57,24 @@ object Sinks {
     // the lineage distributively (no driver collect).
     writeJdbc(merged.localCheckpoint(eager = true), url, table,
       numPartitions, props)
+  }
+
+  private def jdbcTableExists(url: String, table: String,
+      props: Properties): Boolean = {
+    val conn = java.sql.DriverManager.getConnection(url, props)
+    try {
+      val md = conn.getMetaData
+      // getTables treats the name as a LIKE pattern: escape _ and %
+      // so "user_stats" can't wildcard-match "userXstats"
+      val esc = Option(md.getSearchStringEscape).getOrElse("\\")
+      def escaped(name: String) = name
+        .replace(esc, esc + esc).replace("_", esc + "_").replace("%", esc + "%")
+      def probe(name: String) = {
+        val rs = md.getTables(null, null, escaped(name), null)
+        try rs.next() finally rs.close()
+      }
+      probe(table) || probe(table.toUpperCase) || probe(table.toLowerCase)
+    } finally conn.close()
   }
 
   /** Hive-style partitioned parquet layout — partition pruning on the

@@ -23,6 +23,15 @@ class ComponentsSpec extends SparkSpec {
     assert(comps.toSeq === Seq(1L))
   }
 
+  test("empty edge set yields empty labels (clean corpus, no near-dups)") {
+    val edges = Seq.empty[(Long, Long)].toDF("d1", "d2")
+    assert(Components.connectedComponents(edges, "d1", "d2").count() === 0)
+    val all = Seq(0L, 1L).toDF("doc_id")
+    val out = Components.canonicalize(all, "doc_id", edges, "d1", "d2")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    assert(out === Set((0L, 0L, false), (1L, 1L, false)))
+  }
+
   test("non-convergence within maxIter fails loudly instead of returning split labels") {
     val edges = (1L until 6L).map(i => (i, i + 1)).toDF("d1", "d2")
     val e = intercept[IllegalStateException] {
