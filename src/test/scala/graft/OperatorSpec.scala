@@ -55,6 +55,16 @@ class OperatorSpec extends SparkSpec {
     }
   }
 
+  test("as-of join carries map-typed columns via the orderable-fallback path") {
+    val purchases = Seq((100L, 1L, t("2024-01-01 10:30:00")))
+      .toDF("event_id", "user_id", "ts")
+    val clicks = Seq((1L, t("2024-01-01 10:00:00"), Map("k" -> 2L)))
+      .toDF("user_id", "ts", "attrs")
+    val out = AsOfJoin.leftAsOf(purchases, clicks, "user_id", "ts",
+      Map("attrs" -> "attrs")).collect()
+    assert(out.head.getAs[Map[String, Long]]("attrs") === Map("k" -> 2L))
+  }
+
   test("sessionize splits on gaps larger than the threshold") {
     val ev = Seq(
       (1L, t("2024-01-01 10:00:00"), 1L),
