@@ -90,5 +90,35 @@ object MultimodalQueries {
           AS last_idx
       FROM documents ORDER BY doc_id"""))
 
-  val defs: Seq[QueryDef] = Seq(m01, m02, m03)
+  /** Chunked-blob round trip: split each payload into bounded 64-byte
+    * chunk rows (the shape large media ships in — no row ever holds
+    * more than a chunk) and reassemble by ordered position, verifying
+    * byte equality with the original. All pure Catalyst: explode for
+    * the split, sorted collect + hex join for the reassembly. */
+  val m04 = QueryDef(
+    "m04_chunk_roundtrip",
+    (sp, dir) => {
+      val chunked = Multimodal.withPayload(Tables(sp, dir, "documents"), "text")
+        .select(col("doc_id"), col("payload"),
+          explode(sequence(lit(0),
+            greatest(ceil(length(col("payload")) / 64.0).cast("int"), lit(1))
+              - lit(1))).as("i"))
+        .select(col("doc_id"), col("payload"), col("i"),
+          hex(substring(col("payload"), col("i") * 64 + 1, lit(64))).as("chunk_hex"))
+      chunked.groupBy("doc_id")
+        .agg(count(lit(1)).as("n_chunks"),
+          (array_join(transform(
+            sort_array(collect_list(struct(col("i"), col("chunk_hex")))),
+            s => s.getField("chunk_hex")), "")
+            === first(hex(col("payload")))).as("roundtrip_ok"))
+        .orderBy("doc_id")
+    },
+    Some("""
+      SELECT doc_id,
+        CAST(greatest(ceil(octet_length(encode(text)) / 64.0), 1) AS BIGINT)
+          AS n_chunks,
+        TRUE AS roundtrip_ok
+      FROM documents ORDER BY doc_id"""))
+
+  val defs: Seq[QueryDef] = Seq(m01, m02, m03, m04)
 }
