@@ -283,5 +283,33 @@ object PipelineQueries {
       FROM documents d LEFT JOIN shared s ON d.doc_id = s.doc_id
       WHERE d.doc_id >= 10 ORDER BY d.doc_id"""))
 
-  val defs: Seq[QueryDef] = Seq(p01, p02, p03, p04, p05, p06, p07, p08)
+  /** Sequence-length distribution (batch-shaping diagnostic): docs
+    * bucketed by token count in 16-token bands, with per-bucket doc
+    * and token totals — the histogram that drives context-length and
+    * packing decisions. */
+  val p09 = QueryDef(
+    "p09_length_histogram",
+    (sp, dir) => {
+      Tables(sp, dir, "documents")
+        .select(size(split(col("text"), " ")).cast("long").as("n_tokens"))
+        .withColumn("bucket", floor(col("n_tokens") / 16).cast("int"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("total_tokens"),
+          min(col("n_tokens")).as("min_tokens"),
+          max(col("n_tokens")).as("max_tokens"))
+        .orderBy("bucket")
+    },
+    Some("""
+      WITH t AS (
+        SELECT CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        FROM documents)
+      SELECT CAST(floor(n_tokens / 16) AS INT) AS bucket,
+        CAST(COUNT(*) AS BIGINT) AS n_docs,
+        CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+        CAST(MIN(n_tokens) AS BIGINT) AS min_tokens,
+        CAST(MAX(n_tokens) AS BIGINT) AS max_tokens
+      FROM t GROUP BY 1 ORDER BY bucket"""))
+
+  val defs: Seq[QueryDef] = Seq(p01, p02, p03, p04, p05, p06, p07, p08, p09)
 }
