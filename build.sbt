@@ -15,6 +15,10 @@ run / fork := true
 // sbt's default LoggedOutput prefixes every line with [info]/[error],
 // which breaks line-oriented JSON consumers of Bench/Verify output.
 run / outputStrategy := Some(StdoutOutput)
+// ...and sbt's own trailing "[success] Total time: ..." line must not
+// follow the JSON, or a last-line parser reads "[success]" instead of
+// the benchmark result (BENCH_r01/r02 both recorded parsed:null).
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
