@@ -146,19 +146,32 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
-  /** Embedding near-dup pairs above a cosine threshold — exact
-    * all-pairs baseline (dev scale); the bucketed scale path is
-    * [[Similarity.lshBuckets]]. */
+  /** Embedding near-dup pairs above a cosine threshold. Candidates
+    * come from banded sign-LSH buckets ([[Similarity.lshBandKeys]]):
+    * pairs sharing any band's bucket, then exact-cosine verification.
+    * Same scale shape as [[Similarity.lshTopK]] — a bucket equi-join,
+    * so shuffle cost follows candidate volume, never corpus². Recall
+    * is the standard LSH trade-off (tune `bands`/`planesPerBand`);
+    * an exact answer at dev scale is the brute-force s01 path. */
   def embeddingNearDups(embs: DataFrame, idCol: String, vecCol: String,
-      minCosine: Double): DataFrame = {
+      minCosine: Double, dim: Int, bands: Int = 2, planesPerBand: Int = 8): DataFrame = {
     import graft.Dsl._
     val e = embs.select(col(idCol).as("vid"),
       asDoubleArray(col(vecCol)).as("v"),
       l2Fold(asDoubleArray(col(vecCol))).as("nrm"))
-    e.as("a").join(e.as("b"), col("a.vid") < col("b.vid"))
-      .select(col("a.vid").as("id1"), col("b.vid").as("id2"),
-        (dotFold(col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm")))
-          .as("cosine"))
+    val keys = Similarity.lshBandKeys(
+      e.select(col("vid").as("id"), col("v")), bands, planesPerBand, dim)
+    val cands = keys.as("a")
+      .join(keys.as("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id1"), col("b.id").as("id2"))
+      .distinct()
+    cands
+      .join(e.select(col("vid").as("id1"), col("v").as("v1"), col("nrm").as("n1")), "id1")
+      .join(e.select(col("vid").as("id2"), col("v").as("v2"), col("nrm").as("n2")), "id2")
+      .select(col("id1"), col("id2"),
+        (dotFold(col("v1"), col("v2")) / (col("n1") * col("n2"))).as("cosine"))
       .filter(col("cosine") >= minCosine)
   }
 }

@@ -56,6 +56,26 @@ object Similarity {
     df.withColumn("bucket", bucket)
   }
 
+  /** Banded sign-LSH keys: `bands` independent groups of
+    * `planesPerBand` hyperplanes; rows sharing ANY band's bucket are
+    * candidates — the MinHash-banding trick applied to sign-LSH (more
+    * bands = higher recall, more planes per band = fewer candidates).
+    * One output row per (id, band); the (band, bucket) pair is the
+    * compact candidate-join key, so downstream shuffle cost follows
+    * candidate volume, never corpus². Input schema: (id, v). */
+  def lshBandKeys(df: DataFrame, bands: Int, planesPerBand: Int, dim: Int): DataFrame = {
+    val planes = hyperplanes(bands * planesPerBand, dim)
+    val keyStructs = (0 until bands).map { b =>
+      val bucket = (0 until planesPerBand).map { r =>
+        when(dotFold(col("v"), typedlit(planes(b * planesPerBand + r))) > 0,
+          lit(1L << r)).otherwise(lit(0L))
+      }.reduce(_ + _)
+      struct(lit(b).as("band"), bucket.as("bucket"))
+    }
+    df.select(col("id"), explode(array(keyStructs: _*)).as("bk"))
+      .select(col("id"), col("bk.band").as("band"), col("bk.bucket").as("bucket"))
+  }
+
   /** ANN via sign-LSH: candidates = same bucket, verified by exact
     * cosine, top-k per query. Equi-join on the bucket key only. */
   def lshTopK(queries: DataFrame, corpus: DataFrame, k: Int,

@@ -156,21 +156,29 @@ object DedupQueries {
       FROM sim s LEFT JOIN partners p ON s.doc_id = p.doc_id
       ORDER BY s.doc_id"""))
 
-  /** Exact word-trigram Jaccard near-dup pairs. */
+  /** Exact word-trigram Jaccard near-dup pairs. The document-frequency
+    * cap (df ≤ 64) drops boilerplate shingles BEFORE pair generation,
+    * bounding the Σdf² candidate blowup on adversarial corpora; the
+    * oracle mirrors the cap (Jaccard is then over discriminative
+    * shingles only — the standard stop-shingle trade-off). */
   val d04 = QueryDef(
     "d04_ngram_jaccard",
     (sp, dir) => {
       Dedup.ngramJaccard(Tables(sp, dir, "documents"), "doc_id", "text",
-        n = 3, minJaccard = 0.2)
+        n = 3, minJaccard = 0.2, maxDf = Some(64))
         .orderBy("d1", "d2")
     },
     Some("""
       WITH toks AS (SELECT doc_id, string_split(text, ' ') w FROM documents),
-      sh AS (SELECT doc_id, unnest(list_distinct(
+      sh0 AS (SELECT doc_id, unnest(list_distinct(
                CASE WHEN len(w) < 3 THEN []
                     ELSE list_transform(generate_series(1, CAST(len(w) - 2 AS INT)),
                            i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]) END)) AS shingle
              FROM toks),
+      sh AS (SELECT doc_id, shingle FROM (
+               SELECT doc_id, shingle,
+                 COUNT(*) OVER (PARTITION BY shingle) AS df FROM sh0)
+             WHERE df <= 64),
       sizes AS (SELECT doc_id, COUNT(*) n FROM sh GROUP BY doc_id),
       pairs AS (SELECT a.doc_id d1, b.doc_id d2, COUNT(*) common
                 FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
@@ -183,30 +191,45 @@ object DedupQueries {
       WHERE CAST(common AS DOUBLE) / (s1.n + s2.n - common) >= 0.2
       ORDER BY d1, d2"""))
 
-  /** Embedding-cosine near-dup pairs (exact baseline; the LSH scale
-    * path is s02_lsh_ann). */
+  /** Embedding-cosine near-dup pairs via banded sign-LSH candidates +
+    * exact-cosine verify (the bucket-equi-join scale shape; the exact
+    * brute-force baseline lives in s01). Oracle reproduces the band
+    * buckets from the same deterministic hyperplanes. */
   val d05 = QueryDef(
     "d05_embedding_dedup",
     (sp, dir) => {
       Dedup.embeddingNearDups(Tables(sp, dir, "embeddings"), "vec_id",
-        "embedding", minCosine = 0.4)
+        "embedding", minCosine = 0.4, dim = 64, bands = 2, planesPerBand = 8)
         .orderBy("id1", "id2")
     },
-    Some("""
+    Some {
+      val foldDot =
+        "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(list_zip(%s, %s), x -> x[1] * x[2])), (a, b) -> a + b)"
+      val bands = 2; val ppb = 8
+      val planes = graft.operators.Similarity.hyperplanes(bands * ppb, 64)
+      def planeLit(p: Seq[Double]): String =
+        p.map(x => if (x > 0) "1.0" else "-1.0").mkString("[", ", ", "]")
+      def bucketExpr(b: Int): String = (0 until ppb).map { r =>
+        s"(CASE WHEN ${foldDot.format("v", s"${planeLit(planes(b * ppb + r))}::DOUBLE[]")} > 0 THEN ${1L << r} ELSE 0 END)"
+      }.mkString("(", " + ", ")")
+      s"""
       WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
       n AS (SELECT vec_id, v,
-              sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-                list_transform(list_zip(v, v), x -> x[1] * x[2])), (a, b) -> a + b)) nrm
-            FROM e)
-      SELECT a.vec_id AS id1, b.vec_id AS id2,
-        list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-          list_transform(list_zip(a.v, b.v), x -> x[1] * x[2])), (x, y) -> x + y)
-          / (a.nrm * b.nrm) AS cosine
-      FROM n a JOIN n b ON a.vec_id < b.vec_id
-      WHERE list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-          list_transform(list_zip(a.v, b.v), x -> x[1] * x[2])), (x, y) -> x + y)
-          / (a.nrm * b.nrm) >= 0.4
-      ORDER BY id1, id2"""))
+              sqrt(${foldDot.format("v", "v")}) nrm,
+              ${bucketExpr(0)} AS b0,
+              ${bucketExpr(1)} AS b1
+            FROM e),
+      k AS (SELECT vec_id AS id, 0 AS band, b0 AS bucket FROM n
+            UNION ALL SELECT vec_id, 1, b1 FROM n),
+      cand AS (SELECT DISTINCT a.id id1, b.id id2
+               FROM k a JOIN k b ON a.band = b.band AND a.bucket = b.bucket
+                AND a.id < b.id)
+      SELECT c.id1, c.id2,
+        ${foldDot.format("a.v", "b.v")} / (a.nrm * b.nrm) AS cosine
+      FROM cand c JOIN n a ON c.id1 = a.vec_id JOIN n b ON c.id2 = b.vec_id
+      WHERE ${foldDot.format("a.v", "b.v")} / (a.nrm * b.nrm) >= 0.4
+      ORDER BY id1, id2"""
+    })
 
   /** Near-dup cluster resolution: trigram-Jaccard pairs → connected
     * components → canonical doc per cluster. Oracle computes the same
@@ -215,15 +238,19 @@ object DedupQueries {
     "d06_dedup_clusters",
     (sp, dir) => {
       val docs = Tables(sp, dir, "documents")
-      val pairs = Dedup.ngramJaccard(docs, "doc_id", "text", n = 3, minJaccard = 0.2)
+      val pairs = Dedup.ngramJaccard(docs, "doc_id", "text", n = 3,
+        minJaccard = 0.2, maxDf = Some(64))
       graft.operators.Components.canonicalize(docs, "doc_id", pairs, "d1", "d2")
         .orderBy("doc_id")
     },
     Some(s"""
       WITH RECURSIVE $shingleHashSql,
-      sizes AS (SELECT doc_id, COUNT(*) n FROM hs GROUP BY doc_id),
+      hsc AS (SELECT doc_id, h FROM (
+                SELECT doc_id, h, COUNT(*) OVER (PARTITION BY h) AS df FROM hs)
+              WHERE df <= 64),
+      sizes AS (SELECT doc_id, COUNT(*) n FROM hsc GROUP BY doc_id),
       cnt AS (SELECT a.doc_id d1, b.doc_id d2, COUNT(*) common
-              FROM hs a JOIN hs b ON a.h = b.h AND a.doc_id < b.doc_id
+              FROM hsc a JOIN hsc b ON a.h = b.h AND a.doc_id < b.doc_id
               GROUP BY 1, 2),
       pairs AS (SELECT d1, d2 FROM cnt
                 JOIN sizes s1 ON d1 = s1.doc_id JOIN sizes s2 ON d2 = s2.doc_id

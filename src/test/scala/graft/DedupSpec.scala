@@ -72,8 +72,37 @@ class DedupSpec extends SparkSpec {
       (1L, Array(0.99f, 0.1f, 0.0f)),  // nearly parallel to 0
       (2L, Array(0.0f, 1.0f, 0.0f))
     ).toDF("vec_id", "embedding")
-    val pairs = Dedup.embeddingNearDups(e, "vec_id", "embedding", minCosine = 0.9)
+    // nearly-parallel vectors land in the same sign-LSH bucket in every
+    // band (the larger component dominates every ±1 hyperplane dot), so
+    // the candidate path must surface (0,1); (0,2)/(1,2) are orthogonal
+    // and die at the cosine verify even when buckets collide
+    val pairs = Dedup.embeddingNearDups(e, "vec_id", "embedding",
+      minCosine = 0.9, dim = 3)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(pairs === Set((0L, 1L)))
+  }
+
+  test("maxDf cap bounds pair generation on a boilerplate-heavy corpus") {
+    // 40 docs sharing one boilerplate trigram; each otherwise unique.
+    // Uncapped, that single hot shingle alone emits C(40,2) = 780 pairs.
+    val boiler = "all rights reserved"
+    val hot = (0L until 40L).map(i =>
+      (i, s"$boiler unique$i content$i marker$i")).toDF("doc_id", "text")
+    val uncapped = Dedup.ngramJaccard(hot, "doc_id", "text",
+      n = 3, minJaccard = 0.0).count()
+    assert(uncapped === 780L)
+    val capped = Dedup.ngramJaccard(hot, "doc_id", "text",
+      n = 3, minJaccard = 0.0, maxDf = Some(10))
+    assert(capped.count() === 0L)
+    // the cap must also rescale the Jaccard denominator: with the hot
+    // shingle dropped, a surviving pair's n1/n2 count only the capped set
+    val twin = hot.unionByName(Seq(
+      (100L, "all rights reserved shared tail here"),
+      (101L, "all rights reserved shared tail here")).toDF("doc_id", "text"))
+    val pair = Dedup.ngramJaccard(twin, "doc_id", "text",
+      n = 3, minJaccard = 0.5, maxDf = Some(10))
+      .filter(col("d1") === 100L && col("d2") === 101L).collect()
+    assert(pair.length === 1)
+    assert(pair.head.getAs[Double]("jaccard") === 1.0)
   }
 }
