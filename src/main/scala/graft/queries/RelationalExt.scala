@@ -85,17 +85,22 @@ object RelationalExt {
       FROM events GROUP BY event_type ORDER BY event_type"""))
 
   /** Scalar subquery: customers above the global average balance.
-    * Spark plan: single-row aggregate broadcast into a filter — no
-    * driver-side collect, works at any scale. */
+    * Expressed as a genuine SQL scalar subquery so Spark executes the
+    * one-row aggregate as a separate subquery stage and substitutes
+    * the result into a plain Filter — no join node at all (a non-equi
+    * join against the 1-row aggregate would plan as a nested loop). */
   val q17 = QueryDef(
     "q17_scalar_subquery",
     (sp, dir) => {
-      val cust = Tables(sp, dir, "customer")
-      val avgBal = cust.agg(
-        (moneySum(col("c_acctbal")) / count(lit(1))).as("avg_bal"))
-      cust.join(broadcast(avgBal), col("c_acctbal") > col("avg_bal"))
-        .select("c_custkey", "c_name", "c_acctbal")
-        .orderBy("c_custkey")
+      val view = s"q17_customer_${math.abs(dir.hashCode)}"
+      Tables(sp, dir, "customer").createOrReplaceTempView(view)
+      sp.sql(s"""
+        SELECT c_custkey, c_name, c_acctbal
+        FROM $view
+        WHERE c_acctbal > (
+          SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
+          FROM $view)
+        ORDER BY c_custkey""")
     },
     Some("""
       SELECT c_custkey, c_name, c_acctbal
@@ -277,8 +282,9 @@ object RelationalExt {
       ORDER BY p.event_id"""))
 
   /** Range/band join: events bucketed into irregular value bands via
-    * a broadcast nested-loop join — the right plan when one side is
-    * dimension-sized, at any scale. */
+    * the bucket-accelerated range join (equi-join on a quantized value
+    * bucket + exact re-verify) — a hash join, not a nested loop, so
+    * per-row cost is O(1) regardless of band count or fact size. */
   val q25 = QueryDef(
     "q25_range_join",
     (sp, dir) => {
@@ -287,9 +293,9 @@ object RelationalExt {
         ("p1_micro", 0.0, 5.0), ("p2_small", 5.0, 25.0),
         ("p3_mid", 25.0, 100.0), ("p4_large", 100.0, 250.0),
         ("p5_huge", 250.0, 1000.0)).toDF("band", "lo", "hi")
-      Tables(sp, dir, "events")
-        .join(broadcast(bands),
-          col("value") >= col("lo") && col("value") < col("hi"))
+      graft.operators.RangeJoin.banded(
+          Tables(sp, dir, "events"), bands, "value", "lo", "hi",
+          bucketWidth = 5.0)
         .groupBy("band")
         .agg(count(lit(1)).as("n_events"),
           moneySum(col("value")).as("sum_value"))

@@ -55,4 +55,27 @@ class PlanAuditSpec extends SparkSpec {
     val read = "ReadSchema: [^\n]*".r.findFirstIn(plan("q42_histogram")).get
     assert(read.contains("o_totalprice") && !read.contains("o_orderpriority"))
   }
+
+  test("d05 candidates come from the bucket equi-join, not an all-pairs join") {
+    val p = plan("d05_embedding_dedup")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"d05 must not plan an all-pairs join:\n${p.take(2000)}")
+  }
+
+  test("no catalog query plans a cartesian/nested-loop join outside declared baselines") {
+    // Declared baselines: s01 scores every (query, corpus) pair by
+    // definition (broadcast query side, corpus streamed once); s03
+    // routes queries against a broadcast table of ~√N centroids —
+    // bounded replication, not corpus². Everything else must join on
+    // a real key.
+    val allow = Set("s01_cosine_topk", "s03_ivf_ann")
+    val offenders = Catalog.all.filterNot(q => allow(q.name)).flatMap { q =>
+      val p = q.build(spark, dir).queryExecution.executedPlan.toString
+      if (p.contains("BroadcastNestedLoopJoin") || p.contains("CartesianProduct"))
+        Some(q.name)
+      else None
+    }
+    assert(offenders.isEmpty,
+      s"unexpected all-pairs join in: ${offenders.mkString(", ")}")
+  }
 }
