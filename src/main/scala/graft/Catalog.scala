@@ -13,7 +13,8 @@ object Catalog {
       queries.DedupQueries.defs ++
       queries.SimilarityQueries.defs ++
       queries.TextQueries.defs ++
-      queries.MultimodalQueries.defs
+      queries.MultimodalQueries.defs ++
+      queries.IngestQueries.defs
 
   def byName(name: String): QueryDef =
     all.find(_.name == name)

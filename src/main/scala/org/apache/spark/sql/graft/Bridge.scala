@@ -13,4 +13,28 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object Bridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Local lineage truncation with an explicit block-release handle.
+    *
+    * `Dataset.localCheckpoint` persists the materialized rows but gives
+    * the caller no way to free them — in an iterative algorithm the
+    * superseded rounds' blocks pile up until a GC-driven ContextCleaner
+    * pass. This does what `localCheckpoint(eager = true)` does (copy
+    * the unsafe rows, localCheckpoint the internal RDD, materialize),
+    * but returns the RDD's `unpersist` so each round can free its
+    * predecessor deterministically. Safe to call the release only
+    * once every downstream consumer has moved to a newer frame —
+    * after truncation the RDD cannot be recomputed.
+    */
+  def truncatedLocal(df: org.apache.spark.sql.DataFrame)
+      : (org.apache.spark.sql.DataFrame, () => Unit) = {
+    val ds = df.asInstanceOf[org.apache.spark.sql.classic.Dataset[org.apache.spark.sql.Row]]
+    // unsafe rows are reused by the scan — copy before persisting,
+    // exactly as Dataset.checkpoint does
+    val rdd = ds.queryExecution.toRdd.map(_.copy())
+    rdd.localCheckpoint()
+    rdd.count()
+    val out = ds.sparkSession.internalCreateDataFrame(rdd, ds.schema)
+    (out, () => { rdd.unpersist(blocking = false); () })
+  }
 }
