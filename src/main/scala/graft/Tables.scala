@@ -15,7 +15,29 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  def apply(spark: SparkSession, dir: String, name: String): DataFrame =
+  // One unresolved read per (session, dir, table): `spark.read.parquet`
+  // lists files and reads footers for schema on every call, a fixed
+  // ~100 ms tax each of the catalog's ~80 queries was paying again.
+  // DataFrames are immutable plans, so sharing across queries is safe.
+  // Weak session keys: test suites churn sessions; dead ones must not
+  // pin their plans (or their SparkContexts) in a process-wide map.
+  private val cache = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession,
+      scala.collection.concurrent.TrieMap[(String, String), DataFrame]]())
+
+  def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val perSession = cache.synchronized {
+      var m = cache.get(spark)
+      if (m == null) {
+        m = scala.collection.concurrent.TrieMap.empty
+        cache.put(spark, m)
+      }
+      m
+    }
+    perSession.getOrElseUpdate((dir, name), build(spark, dir, name))
+  }
+
+  private def build(spark: SparkSession, dir: String, name: String): DataFrame =
     if (name == "events") {
       // events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized
       // reader rejects; read it as raw nanos and floor to micros — the

@@ -15,6 +15,19 @@ import org.apache.spark.sql.functions._
   */
 object Components {
 
+  /** Lineage truncation for the iterative loop, pluggable by runtime:
+    * with a checkpoint dir set (cluster deployment) use reliable
+    * `checkpoint()` — survives executor loss, files reaped by the
+    * ContextCleaner; without one (local/test) use
+    * [[org.apache.spark.sql.graft.Bridge.truncatedLocal]], which
+    * checkpoints to local blocks AND hands back a release so each
+    * round can free its superseded predecessor deterministically
+    * instead of accumulating blocks until GC notices. */
+  private def truncate(df: DataFrame): (DataFrame, () => Unit) =
+    if (df.sparkSession.sparkContext.getCheckpointDir.isDefined)
+      (df.checkpoint(eager = true), () => ())
+    else org.apache.spark.sql.graft.Bridge.truncatedLocal(df)
+
   /** @param edges two long columns (`srcCol`, `dstCol`), undirected.
     * @return (id, component) — component = min node id reachable.
     */
@@ -24,13 +37,11 @@ object Components {
       .unionAll(edges.select(col(dstCol).as("a"), col(srcCol).as("b")))
       .distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // localCheckpoint (not persist): iterative self-reference would
+    // truncate (not persist): iterative self-reference would
     // otherwise grow the logical plan exponentially — each round must
-    // truncate lineage, not just cache data. (On a cluster with an HDFS
-    // checkpoint dir, swap for checkpoint() to survive executor loss.)
-    var labels = both.select(col("a").as("id")).distinct()
-      .withColumn("comp", col("id"))
-      .localCheckpoint(eager = true)
+    // cut lineage, not just cache data.
+    var (labels, release) = truncate(
+      both.select(col("a").as("id")).distinct().withColumn("comp", col("id")))
     // Convergence check: min-propagation only ever DECREASES labels,
     // so the label sum strictly decreases until the fixpoint — one
     // cheap scan-aggregate per round instead of a self-join diff.
@@ -57,13 +68,16 @@ object Components {
       // pointer jump: also adopt the label OF my label (comp values are
       // always node ids within the same component, so this is safe and
       // cuts rounds from O(diameter) to O(log diameter))
-      val next = propagated
+      val (next, nextRelease) = truncate(propagated
         .join(labels.select(col("id").as("jid"), col("comp").as("jcomp")),
           col("c1") === col("jid"), "left_outer")
-        .select(col("id"), least(col("c1"), coalesce(col("jcomp"), col("c1"))).as("comp"))
-        .localCheckpoint(eager = true)
+        .select(col("id"), least(col("c1"), coalesce(col("jcomp"), col("c1"))).as("comp")))
+      // `next` is eagerly materialized: the previous round's blocks
+      // have no remaining consumer — free them now, don't wait for GC.
+      release()
       val nextSum = labelSum(next)
       labels = next
+      release = nextRelease
       converged = nextSum.compareTo(prevSum) == 0
       prevSum = nextSum
       iter += 1

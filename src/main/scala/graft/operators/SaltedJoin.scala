@@ -26,9 +26,11 @@ object SaltedJoin {
     val salted = large.withColumn("__salt", pmod(hash(saltSource), lit(nSalts)))
     // replicate via explode, not crossJoin: a pure projection keeps the
     // bounded ×nSalts fan-out out of the join planner entirely (no
-    // cartesian/nested-loop node for a plan audit to flag)
+    // cartesian/nested-loop node for a plan audit to flag).
+    // sequence() keeps the plan constant-size in nSalts, where a
+    // literal array would grow the expression tree O(nSalts).
     val replicated = small.withColumn("__salt",
-      explode(array((0 until nSalts).map(lit): _*)))
+      explode(sequence(lit(0), lit(nSalts - 1))))
     salted.join(replicated,
       salted("__salt") === replicated("__salt") &&
         col(largeKey) === col(smallKey))

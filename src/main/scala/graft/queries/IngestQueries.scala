@@ -22,7 +22,7 @@ object IngestQueries {
     StructField("n_chars", LongType)))
 
   private def fixtureKey(dir: String, format: String) =
-    s"${format}_documents_${math.abs(dir.hashCode)}"
+    s"${format}_documents_${IngestFixtures.fingerprint(s"$dir/documents.parquet")}"
 
   /** CSV ingest: read the CSV copy, aggregate per (lang, source).
     * sum(length(text)) would drift on any quoting/escaping bug. */

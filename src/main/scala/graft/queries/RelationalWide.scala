@@ -321,19 +321,23 @@ object RelationalWide {
         "o_orderpriority" -> col("o_orderpriority"),
         "o_orderstatus" -> col("o_orderstatus"),
         "o_totalprice" -> col("o_totalprice").cast(DecimalType(12, 2)).cast("string"))
-      // one branch per column, each a pruned single-column scan +
-      // group-by-value partial — four distinct columns in ONE agg
-      // would plan as a x5 expand of every row instead
+      // ONE scan of orders: explode each row into (col_name, value)
+      // pairs, then a two-level aggregate — per-(col,value) counts with
+      // map-side partials, then per-col profile. Four per-column
+      // branches would scan the file four times; a multi-distinct
+      // single agg would plan as a ×5 expand without the partial
+      // aggregation the explode shape keeps.
       val orders = Tables(sp, dir, "orders")
-      strCols.map { case (name, c) =>
-        orders.select(c.as("v"))
-          .groupBy("v").agg(count(lit(1)).as("cnt"))
-          .agg(lit(name).as("col_name"),
-            sum(col("cnt")).as("n"),
-            coalesce(sum(when(col("v").isNull, col("cnt"))), lit(0L)).as("n_null"),
-            count(col("v")).as("n_distinct"),
-            min(col("v")).as("min_s"), max(col("v")).as("max_s"))
-      }.reduce(_ unionByName _).orderBy("col_name")
+      orders.select(explode(array(strCols.map { case (name, c) =>
+          struct(lit(name).as("col_name"), c.as("v")) }: _*)).as("s"))
+        .select(col("s.col_name"), col("s.v"))
+        .groupBy("col_name", "v").agg(count(lit(1)).as("cnt"))
+        .groupBy("col_name")
+        .agg(sum(col("cnt")).as("n"),
+          coalesce(sum(when(col("v").isNull, col("cnt"))), lit(0L)).as("n_null"),
+          count(col("v")).as("n_distinct"),
+          min(col("v")).as("min_s"), max(col("v")).as("max_s"))
+        .orderBy("col_name")
     },
     Some("""
       SELECT 'o_custkey' AS col_name, CAST(COUNT(*) AS BIGINT) AS n,

@@ -13,13 +13,34 @@ object IngestFixtures {
 
   private val done = new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  /** Content fingerprint of a parquet dataset: every part file's
+    * relative name, size, and mtime folded into one hex token. Keying
+    * the fixture path on this (not the directory path) means a
+    * regenerated dataset at the same path can never be served a stale
+    * on-disk fixture — the fingerprint changes, so the path changes.
+    */
+  def fingerprint(sourcePath: String): String = {
+    val root = new java.io.File(sourcePath)
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory) f.listFiles().sortBy(_.getName).toSeq.flatMap(walk)
+      else Seq(f)
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    walk(root).foreach { f =>
+      md.update(s"${f.getName}|${f.length}|${f.lastModified}\n"
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    }
+    md.digest().take(8).map(b => f"$b%02x").mkString
+  }
+
   /** Write `df` as `format` under a deterministic path derived from
-    * `key`, at most once per JVM (and skipped entirely when a complete
-    * `_SUCCESS`-marked copy already exists on disk). Multiple part
-    * files on purpose: the read side must handle a directory, not a
-    * single file. */
+    * `key` (which must embed a content [[fingerprint]] of the source),
+    * at most once per JVM. An on-disk `_SUCCESS`-marked copy is only
+    * trusted because the fingerprint makes the path content-addressed:
+    * stale content implies a different path. Multiple part files on
+    * purpose: the read side must handle a directory, not a single
+    * file. */
   def materialize(key: String, format: String, df: => DataFrame): String = {
-    val path = s"/tmp/graft_ingest_v1/$key"
+    val path = s"/tmp/graft_ingest_v2/$key"
     done.computeIfAbsent(path, _ => {
       if (!new java.io.File(path, "_SUCCESS").exists()) {
         df.coalesce(4).write.mode("overwrite").format(format)

@@ -86,7 +86,13 @@ object Sinks {
 
   def readCsv(spark: SparkSession, path: String, schema: StructType,
       header: Boolean = true): DataFrame =
-    spark.read.schema(schema).option("header", header.toString).csv(path)
+    spark.read.schema(schema).option("header", header.toString)
+      // multiLine: Spark's CSV writer quotes embedded newlines; without
+      // it the reader splits such records mid-row. Explicit quote/escape
+      // pins the dialect to what the writer emits.
+      .option("multiLine", "true")
+      .option("quote", "\"").option("escape", "\\")
+      .csv(path)
 
   def readJson(spark: SparkSession, path: String, schema: StructType): DataFrame =
     spark.read.schema(schema).json(path)

@@ -14,6 +14,20 @@ object Bridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 
+  /** Run `f` with the context's checkpoint dir temporarily swapped —
+    * `SparkContext.setCheckpointDir` has no public inverse, and tests
+    * of checkpoint-mode-sensitive operators (graft.operators.Components)
+    * must not leak a reliable-checkpoint setting into the shared
+    * session. `checkpointDir` is `private[spark]`, reachable from this
+    * package. The dir must already exist (setCheckpointDir's mkdirs is
+    * bypassed). */
+  def withCheckpointDir[T](sc: org.apache.spark.SparkContext,
+      dir: Option[String])(f: => T): T = {
+    val prev = sc.checkpointDir
+    sc.checkpointDir = dir
+    try f finally sc.checkpointDir = prev
+  }
+
   /** Local lineage truncation with an explicit block-release handle.
     *
     * `Dataset.localCheckpoint` persists the materialized rows but gives

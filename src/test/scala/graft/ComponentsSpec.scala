@@ -40,6 +40,25 @@ class ComponentsSpec extends SparkSpec {
     assert(e.getMessage.contains("not converged"))
   }
 
+  test("reliable-checkpoint mode (checkpoint dir set) gives identical labels") {
+    // chain + pair, deep enough to take several truncated rounds
+    val edges = ((1L until 8L).map(i => (i, i + 1)) :+ (30L, 31L))
+      .toDF("d1", "d2")
+    val expected = Components.connectedComponents(edges, "d1", "d2")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val ckDir = java.nio.file.Files.createTempDirectory("graft_ck").toString
+    val viaReliable = org.apache.spark.sql.graft.Bridge.withCheckpointDir(
+      spark.sparkContext, Some(ckDir)) {
+      Components.connectedComponents(edges, "d1", "d2")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    }
+    assert(viaReliable === expected)
+    // mode actually switched: reliable checkpoints leave files behind
+    assert(new java.io.File(ckDir).listFiles().nonEmpty)
+    // ...and did not leak into the shared session
+    assert(spark.sparkContext.getCheckpointDir.isEmpty)
+  }
+
   test("canonicalize maps singletons to themselves and dups to cluster min") {
     val all = Seq(0L, 1L, 2L, 5L).toDF("doc_id")
     val pairs = Seq((1L, 2L)).toDF("d1", "d2")

@@ -56,6 +56,12 @@ class PlanAuditSpec extends SparkSpec {
     assert(read.contains("o_totalprice") && !read.contains("o_orderpriority"))
   }
 
+  test("q46 column profile is a single scan of orders") {
+    val p = plan("q46_column_profile")
+    assert("Scan parquet".r.findAllIn(p).length == 1,
+      s"profile must read orders once, not per column:\n${p.take(2000)}")
+  }
+
   test("d05 candidates come from the bucket equi-join, not an all-pairs join") {
     val p = plan("d05_embedding_dedup")
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
