@@ -120,6 +120,40 @@ object Dedup {
       .distinct()
   }
 
+  /** The production two-phase near-dup shape: cheap MinHash/LSH
+    * candidate generation, then EXACT shingle-Jaccard verification of
+    * only the candidate pairs. Unlike [[ngramJaccard]] (whose pair
+    * count is Σ df² over shingles), verification cost here follows
+    * candidate volume × per-doc shingle count — the LSH bands bound
+    * the blowup, the exact verify removes LSH false positives. False
+    * negatives (pairs missed by every band) are the standard recall
+    * trade-off; tune bands/rows.
+    */
+  def minhashVerifiedPairs(docs: DataFrame, idCol: String, textCol: String,
+      shingleN: Int, k: Int, bands: Int, rows: Int,
+      minJaccard: Double): DataFrame = {
+    val sigs = minhashSignatures(docs, idCol, textCol, shingleN, k)
+    val cands = minhashCandidates(sigs, bands, rows)
+    val sh = shingleHashSet(docs, idCol, textCol, shingleN)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
+    // |A ∩ B| for candidate pairs only: fan each pair out over d1's
+    // shingles, then equi-join on (shingle, d2) — both joins are hash
+    // joins on real keys, no all-pairs work anywhere.
+    val common = cands
+      .join(sh.withColumnRenamed("doc_id", "d1"), "d1")
+      .join(sh.select(col("doc_id").as("d2"), col("shingle")), Seq("d2", "shingle"))
+      .groupBy("d1", "d2").agg(count(lit(1)).as("common"))
+    val out = common
+      .join(sizes.select(col("doc_id").as("d1"), col("n_shingles").as("n1")), "d1")
+      .join(sizes.select(col("doc_id").as("d2"), col("n_shingles").as("n2")), "d2")
+      .withColumn("jaccard",
+        col("common").cast("double") / (col("n1") + col("n2") - col("common")))
+      .filter(col("jaccard") >= minJaccard)
+      .select("d1", "d2", "common", "n1", "n2", "jaccard")
+    out
+  }
+
   /** SimHash fingerprints over word hashes (native kernels; identical
     * values to the HOF chain — see SimHashSpec). */
   def simhashFingerprints(docs: DataFrame, idCol: String, textCol: String): DataFrame =

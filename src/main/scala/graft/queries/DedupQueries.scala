@@ -44,34 +44,20 @@ object DedupQueries {
                     (a, b) -> (a * 131 + b) % 2147483647) << 31)) AS h
              FROM sh)"""
 
-  /** MinHash(16) + LSH(4 bands × 4 rows) candidate generation;
-    * per-doc candidate-partner counts. Oracle mirrors the whole
-    * integer chain (same LCG-derived permutation constants). */
-  val d02 = QueryDef(
-    "d02_minhash_lsh",
-    (sp, dir) => {
-      val docs = Tables(sp, dir, "documents")
-      val sigs = Dedup.minhashSignatures(docs, "doc_id", "text", shingleN = 3, k = 16)
-      val cands = Dedup.minhashCandidates(sigs, bands = 4, rows = 4)
-      val partners = cands.select(col("d1").as("doc_id"))
-        .unionAll(cands.select(col("d2").as("doc_id")))
-        .groupBy("doc_id").agg(count(lit(1)).as("n_candidates"))
-      sigs.join(partners, Seq("doc_id"), "left_outer")
-        .select(col("doc_id"), element_at(col("sig"), 1).as("sig_head"),
-          coalesce(col("n_candidates"), lit(0L)).as("n_candidates"))
-        .orderBy("doc_id")
-    },
-    Some {
-      val perms = HashFunctions.minhashPerms(16)
-      val sigCols = perms.zipWithIndex.map { case ((a, b), i) =>
-        s"list_min(list_transform(hl, h -> ((h % 2147483647) * $a + $b) % 2147483647)) AS sig$i"
-      }.mkString(",\n          ")
-      val bandCols = (0 until 4).map { bnd =>
-        val parts = (0 until 4).map(r => s"CAST(sig${bnd * 4 + r} AS VARCHAR)")
-        s"(${parts.mkString(" || ',' || ")}) AS band$bnd"
-      }.mkString(",\n          ")
-      s"""
-      WITH $shingleHashSql,
+  /** The MinHash(16)+LSH(4×4) candidate chain in DuckDB SQL, shared by
+    * d02 and d07: CTEs `hl` → `sigs` → `banded` → `cands` (requires the
+    * [[shingleHashSql]] prefix in the same WITH). Same LCG-derived
+    * permutation constants as the Spark kernel. */
+  private def minhashCandSql: String = {
+    val perms = HashFunctions.minhashPerms(16)
+    val sigCols = perms.zipWithIndex.map { case ((a, b), i) =>
+      s"list_min(list_transform(hl, h -> ((h % 2147483647) * $a + $b) % 2147483647)) AS sig$i"
+    }.mkString(",\n          ")
+    val bandCols = (0 until 4).map { bnd =>
+      val parts = (0 until 4).map(r => s"CAST(sig${bnd * 4 + r} AS VARCHAR)")
+      s"(${parts.mkString(" || ',' || ")}) AS band$bnd"
+    }.mkString(",\n          ")
+    s"""
       -- anchored on documents: a doc with <3 tokens has an empty hash
       -- list -> NULL signature (mirrors the Spark side's all-null sig)
       hl AS (SELECT d.doc_id,
@@ -92,15 +78,65 @@ object DedupQueries {
       cands AS (SELECT DISTINCT a.doc_id d1, b.doc_id d2
                 FROM banded a JOIN banded b
                   ON a.band = b.band AND a.band_sig = b.band_sig
-                 AND a.doc_id < b.doc_id),
+                 AND a.doc_id < b.doc_id)"""
+  }
+
+  /** MinHash(16) + LSH(4 bands × 4 rows) candidate generation;
+    * per-doc candidate-partner counts. Oracle mirrors the whole
+    * integer chain (same LCG-derived permutation constants). */
+  val d02 = QueryDef(
+    "d02_minhash_lsh",
+    (sp, dir) => {
+      val docs = Tables(sp, dir, "documents")
+      val sigs = Dedup.minhashSignatures(docs, "doc_id", "text", shingleN = 3, k = 16)
+      val cands = Dedup.minhashCandidates(sigs, bands = 4, rows = 4)
+      val partners = cands.select(col("d1").as("doc_id"))
+        .unionAll(cands.select(col("d2").as("doc_id")))
+        .groupBy("doc_id").agg(count(lit(1)).as("n_candidates"))
+      sigs.join(partners, Seq("doc_id"), "left_outer")
+        .select(col("doc_id"), element_at(col("sig"), 1).as("sig_head"),
+          coalesce(col("n_candidates"), lit(0L)).as("n_candidates"))
+        .orderBy("doc_id")
+    },
+    Some(s"""
+      WITH $shingleHashSql,
+      $minhashCandSql,
       partners AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) n FROM (
           SELECT d1 AS doc_id FROM cands UNION ALL SELECT d2 FROM cands)
         GROUP BY doc_id)
       SELECT s.doc_id, s.sig0 AS sig_head,
         COALESCE(p.n, 0) AS n_candidates
       FROM sigs s LEFT JOIN partners p ON s.doc_id = p.doc_id
-      ORDER BY s.doc_id"""
-    })
+      ORDER BY s.doc_id"""))
+
+  /** Two-phase near-dup detection, the production shape: MinHash/LSH
+    * candidates (cost ∝ corpus), exact shingle-Jaccard verify on
+    * candidates only (cost ∝ candidate volume). Oracle chains d02's
+    * candidate CTEs into d04's Jaccard arithmetic. */
+  val d07 = QueryDef(
+    "d07_minhash_verify",
+    (sp, dir) => {
+      Dedup.minhashVerifiedPairs(Tables(sp, dir, "documents"),
+        "doc_id", "text", shingleN = 3, k = 16, bands = 4, rows = 4,
+        minJaccard = 0.2)
+        .orderBy("d1", "d2")
+    },
+    Some(s"""
+      WITH $shingleHashSql,
+      $minhashCandSql,
+      sizes AS (SELECT doc_id, COUNT(*) n FROM hs GROUP BY doc_id),
+      common AS (SELECT c.d1, c.d2, COUNT(*) common
+                 FROM cands c
+                 JOIN hs a ON a.doc_id = c.d1
+                 JOIN hs b ON b.doc_id = c.d2 AND b.h = a.h
+                 GROUP BY 1, 2)
+      SELECT m.d1, m.d2, CAST(m.common AS BIGINT) AS common,
+        CAST(s1.n AS BIGINT) AS n1, CAST(s2.n AS BIGINT) AS n2,
+        CAST(m.common AS DOUBLE) / (s1.n + s2.n - m.common) AS jaccard
+      FROM common m JOIN sizes s1 ON m.d1 = s1.doc_id
+                    JOIN sizes s2 ON m.d2 = s2.doc_id
+      WHERE CAST(m.common AS DOUBLE) / (s1.n + s2.n - m.common) >= 0.2
+      ORDER BY d1, d2"""))
 
   /** SimHash fingerprints + banded hamming candidates. Oracle mirrors
     * the full integer chain: per-word dual-poly hash, per-bit majority
@@ -267,5 +303,5 @@ object DedupQueries {
       FROM documents d LEFT JOIN comp c ON d.doc_id = c.id
       ORDER BY d.doc_id"""))
 
-  val defs: Seq[QueryDef] = Seq(d01, d02, d03, d04, d05, d06)
+  val defs: Seq[QueryDef] = Seq(d01, d02, d03, d04, d05, d06, d07)
 }

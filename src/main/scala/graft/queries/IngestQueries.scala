@@ -73,5 +73,67 @@ object IngestQueries {
       GROUP BY source
       ORDER BY source"""))
 
-  val defs: Seq[QueryDef] = Seq(e01, e02)
+  /** Partitioned-parquet round trip: write documents Hive-partitioned
+    * by lang ([[Sinks.writePartitionedParquet]]), read back with a
+    * partition filter — the scan must prune to the lang=en directory
+    * (asserted in PlanAuditSpec), the 100 TB idiom for
+    * time/tenant-partitioned lakes. Oracle filters the original. */
+  val e03 = QueryDef(
+    "e03_partitioned_roundtrip",
+    (sp, dir) => {
+      val path = IngestFixtures.materializePartitioned(
+        s"part_documents_${IngestFixtures.fingerprint(s"$dir/documents.parquet")}",
+        Tables(sp, dir, "documents"), Seq("lang"))
+      sp.read.parquet(path)
+        .filter(col("lang") === "en")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("sum_chars"),
+          sum(length(col("text"))).as("sum_text_len"),
+          min(col("doc_id")).as("min_id"),
+          max(col("doc_id")).as("max_id"))
+        .orderBy("source")
+    },
+    Some("""
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+        CAST(SUM(length(text)) AS BIGINT) AS sum_text_len,
+        MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
+      FROM documents
+      WHERE lang = 'en'
+      GROUP BY source
+      ORDER BY source"""))
+
+  /** SCD type-2 historization through the oracle gate: each customer's
+    * order stream becomes an attribute-change stream; the operator
+    * chains validity intervals ([[graft.operators.Scd.applyChanges]]
+    * from an empty history — first load). o_orderkey rides as an attr
+    * to make the per-key change order total (ties on change_ts would
+    * otherwise make `lead` nondeterministic). */
+  val e04 = QueryDef(
+    "e04_scd2_history",
+    (sp, dir) => {
+      val orders = Tables(sp, dir, "orders").filter(col("o_custkey") < 100)
+      val changes = orders.select(col("o_custkey"), col("o_orderpriority"),
+        col("o_orderkey"), col("o_orderdate").as("change_ts"))
+      val emptyHistory = changes.filter(lit(false))
+        .select(col("o_custkey"), col("o_orderpriority"), col("o_orderkey"),
+          col("change_ts").as("valid_from"))
+        .withColumn("valid_to", col("valid_from"))
+      graft.operators.Scd.applyChanges(emptyHistory, changes,
+          "o_custkey", Seq("o_orderpriority", "o_orderkey"))
+        .orderBy("o_custkey", "valid_from", "o_orderkey")
+    },
+    Some("""
+      SELECT o_custkey, o_orderpriority, o_orderkey,
+        o_orderdate AS valid_from,
+        LEAD(o_orderdate) OVER (PARTITION BY o_custkey
+          ORDER BY o_orderdate, o_orderpriority, o_orderkey) AS valid_to,
+        LEAD(o_orderdate) OVER (PARTITION BY o_custkey
+          ORDER BY o_orderdate, o_orderpriority, o_orderkey) IS NULL AS is_current
+      FROM orders
+      WHERE o_custkey < 100
+      ORDER BY o_custkey, valid_from, o_orderkey"""))
+
+  val defs: Seq[QueryDef] = Seq(e01, e02, e03, e04)
 }

@@ -311,5 +311,42 @@ object PipelineQueries {
         CAST(MAX(n_tokens) AS BIGINT) AS max_tokens
       FROM t GROUP BY 1 ORDER BY bucket"""))
 
-  val defs: Seq[QueryDef] = Seq(p01, p02, p03, p04, p05, p06, p07, p08, p09)
+  /** Curriculum bucketing: rank the corpus by a difficulty proxy
+    * (token count, id tie-break — a total order, so NTILE is
+    * deterministic) into 4 training stages and profile each stage's
+    * token budget. At 100 TB the global sort behind NTILE is the
+    * real cost — Spark range-partitions it (sampled boundaries),
+    * one shuffle; the alternative (fixed difficulty thresholds from
+    * a first-pass histogram, p09) avoids the sort when approximate
+    * stage sizes are acceptable. */
+  val p10 = QueryDef(
+    "p10_curriculum_stages",
+    (sp, dir) => {
+      val staged = Tables(sp, dir, "documents")
+        .select(col("doc_id"),
+          size(split(col("text"), " ")).cast("long").as("n_tokens"))
+        .withColumn("stage",
+          ntile(4).over(Window.orderBy(col("n_tokens"), col("doc_id"))))
+      staged.groupBy("stage")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("stage_tokens"),
+          min(col("n_tokens")).as("min_tokens"),
+          max(col("n_tokens")).as("max_tokens"))
+        .orderBy("stage")
+    },
+    Some("""
+      WITH t AS (
+        SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        FROM documents),
+      staged AS (
+        SELECT n_tokens, NTILE(4) OVER (ORDER BY n_tokens, doc_id) AS stage
+        FROM t)
+      SELECT stage, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        CAST(SUM(n_tokens) AS BIGINT) AS stage_tokens,
+        CAST(MIN(n_tokens) AS BIGINT) AS min_tokens,
+        CAST(MAX(n_tokens) AS BIGINT) AS max_tokens
+      FROM staged GROUP BY stage ORDER BY stage"""))
+
+  val defs: Seq[QueryDef] =
+    Seq(p01, p02, p03, p04, p05, p06, p07, p08, p09, p10)
 }

@@ -487,7 +487,39 @@ object RelationalWide {
       WHERE c_acctbal > 9000
       ORDER BY c_custkey, o_orderkey"""))
 
+  /** Exact per-group mode (most frequent value, smallest-value
+    * tie-break): two-level aggregate + one rank window — the portable
+    * mode() shape (engines disagree on native mode()'s tie rules, so
+    * both sides spell the tie-break out). */
+  val q51 = QueryDef(
+    "q51_mode_per_group",
+    (sp, dir) => {
+      val counts = Tables(sp, dir, "orders")
+        .groupBy("o_orderstatus", "o_orderpriority")
+        .agg(count(lit(1)).as("n"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("o_orderstatus")
+        .orderBy(col("n").desc, col("o_orderpriority"))
+      counts.withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1)
+        .select(col("o_orderstatus"), col("o_orderpriority").as("mode_priority"),
+          col("n").as("mode_count"))
+        .orderBy("o_orderstatus")
+    },
+    Some("""
+      WITH c AS (
+        SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+        FROM orders GROUP BY 1, 2),
+      r AS (
+        SELECT o_orderstatus, o_orderpriority, n,
+          ROW_NUMBER() OVER (PARTITION BY o_orderstatus
+            ORDER BY n DESC, o_orderpriority) AS rn
+        FROM c)
+      SELECT o_orderstatus, o_orderpriority AS mode_priority,
+        CAST(n AS BIGINT) AS mode_count
+      FROM r WHERE rn = 1 ORDER BY o_orderstatus"""))
+
   val defs: Seq[QueryDef] =
     Seq(q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q45, q46, q47,
-      q48, q49, q50)
+      q48, q49, q50, q51)
 }

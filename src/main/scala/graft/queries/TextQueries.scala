@@ -143,5 +143,45 @@ object TextQueries {
       WHERE word <> ''
       GROUP BY word ORDER BY n DESC, word LIMIT 25"""))
 
-  val defs: Seq[QueryDef] = Seq(t01, t02, t03, t04, t05)
+  /** Collocation mining: corpus bigram statistics scored by forward
+    * association P(w2|w1) = c(w1 w2)/c(w1). Integer counts plus ONE
+    * IEEE double division — engine-portable without logs (PMI ranking
+    * by lift needs no logarithm: log is monotone). Two aggregations,
+    * one equi-join on the first word; shuffle follows distinct-bigram
+    * cardinality, not corpus size. */
+  val t06 = QueryDef(
+    "t06_collocations",
+    (sp, dir) => {
+      val docs = Tables(sp, dir, "documents")
+      val bigrams = docs
+        .select(explode(wordShingles(tokens(col("text")), 2)).as("bigram"))
+        .groupBy("bigram").agg(count(lit(1)).as("c_xy"))
+      val unigrams = docs
+        .select(explode(tokens(col("text"))).as("w1"))
+        .groupBy("w1").agg(count(lit(1)).as("c_x"))
+      bigrams
+        .withColumn("w1", substring_index(col("bigram"), " ", 1))
+        .join(unigrams, "w1")
+        .filter(col("c_xy") >= 20)
+        .select(col("bigram"), col("c_xy"), col("c_x"),
+          (col("c_xy").cast("double") / col("c_x")).as("cond_prob"))
+        .orderBy(col("cond_prob").desc, col("bigram"))
+        .limit(25)
+    },
+    Some("""
+      WITH toks AS (SELECT string_split(text, ' ') w FROM documents),
+      bi AS (SELECT unnest(CASE WHEN len(w) < 2 THEN []
+               ELSE list_transform(generate_series(1, CAST(len(w) - 1 AS INT)),
+                      i -> w[i] || ' ' || w[i+1]) END) AS bigram
+             FROM toks),
+      bc AS (SELECT bigram, COUNT(*) c_xy FROM bi GROUP BY bigram),
+      uc AS (SELECT w1, COUNT(*) c_x FROM (
+               SELECT unnest(w) AS w1 FROM toks) GROUP BY w1)
+      SELECT bigram, CAST(c_xy AS BIGINT) AS c_xy, CAST(c_x AS BIGINT) AS c_x,
+        CAST(c_xy AS DOUBLE) / c_x AS cond_prob
+      FROM bc JOIN uc ON split_part(bigram, ' ', 1) = w1
+      WHERE c_xy >= 20
+      ORDER BY cond_prob DESC, bigram LIMIT 25"""))
+
+  val defs: Seq[QueryDef] = Seq(t01, t02, t03, t04, t05, t06)
 }

@@ -49,4 +49,18 @@ object IngestFixtures {
       path
     })
   }
+
+  /** Like [[materialize]] but through [[Sinks.writePartitionedParquet]]
+    * — a Hive-style `col=value` directory layout, so the read side can
+    * prove partition pruning against the oracle. */
+  def materializePartitioned(key: String, df: => DataFrame,
+      partitionCols: Seq[String]): String = {
+    val path = s"/tmp/graft_ingest_v2/$key"
+    done.computeIfAbsent(path, _ => {
+      if (!new java.io.File(path, "_SUCCESS").exists()) {
+        Sinks.writePartitionedParquet(df, path, partitionCols)
+      }
+      path
+    })
+  }
 }

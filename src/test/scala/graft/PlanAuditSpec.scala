@@ -62,6 +62,13 @@ class PlanAuditSpec extends SparkSpec {
       s"profile must read orders once, not per column:\n${p.take(2000)}")
   }
 
+  test("e03 partitioned read prunes to the lang=en directory") {
+    val p = plan("e03_partitioned_roundtrip")
+    val pf = "PartitionFilters: [^\n]*".r.findFirstIn(p)
+    assert(pf.exists(_.contains("lang")),
+      s"expected a lang partition filter:\n${p.take(2000)}")
+  }
+
   test("d05 candidates come from the bucket equi-join, not an all-pairs join") {
     val p = plan("d05_embedding_dedup")
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
