@@ -77,6 +77,47 @@ object Pipeline {
       .withColumn("is_contaminated", col("n_shared") >= minShared)
   }
 
+  /** Exact NTILE over (orderCol, tieCol) without the single-partition
+    * global-sort window `ntile().over(Window.orderBy(...))` plans to.
+    * Global rank decomposes as
+    *   rank = (#rows with a smaller orderCol value) + (rank within my
+    *          orderCol value, by tieCol)
+    * — the first term comes from a per-value count frame (distinct
+    * orderCol values: bounded, dimension-sized, its cumulative window
+    * is over that tiny frame only), the second from a window
+    * PARTITIONED by orderCol, so no executor ever sees more than one
+    * value-group. NTILE's bucket arithmetic (first N mod n buckets get
+    * one extra row) is then a closed form of the rank. Skewed single
+    * values (one orderCol value dominating) inherit the window's skew
+    * — acceptable for difficulty proxies whose value counts are
+    * histogram-like; salt tieCol groups if a value exceeds a partition.
+    * @return df + `ntile` (int, 1-based). */
+  def distributedNtile(df: DataFrame, n: Int, orderCol: String,
+      tieCol: String): DataFrame = {
+    val within = row_number().over(
+      Window.partitionBy(orderCol).orderBy(tieCol)).cast("long")
+    val counts = df.groupBy(orderCol).agg(count(lit(1)).as("__cnt"))
+    val tiny = Window.orderBy(orderCol)
+    val cum = counts
+      .withColumn("__before", coalesce(sum(col("__cnt")).over(
+        tiny.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("__total", sum(col("__cnt")).over(
+        tiny.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      .drop("__cnt")
+    df.withColumn("__within", within)
+      .join(broadcast(cum), orderCol)
+      .withColumn("__r", col("__before") + col("__within"))
+      .withColumn("ntile", expr(
+        s"""CAST(CASE
+          WHEN __r <= (__total % $n) * (__total DIV $n + 1)
+          THEN (__r - 1) DIV (__total DIV $n + 1) + 1
+          ELSE (__total % $n)
+             + (__r - 1 - (__total % $n) * (__total DIV $n + 1))
+               DIV (__total DIV $n) + 1
+        END AS INT)"""))
+      .drop("__within", "__before", "__total", "__r")
+  }
+
   /** Sequence packing by token offset: concatenate each group's docs
     * in `orderCol` order and chop the token stream into fixed-size
     * context windows; a doc belongs to the bin its first token lands

@@ -267,20 +267,11 @@ object DedupQueries {
       ORDER BY id1, id2"""
     })
 
-  /** Near-dup cluster resolution: trigram-Jaccard pairs → connected
-    * components → canonical doc per cluster. Oracle computes the same
-    * components with a recursive reachability CTE. */
-  val d06 = QueryDef(
-    "d06_dedup_clusters",
-    (sp, dir) => {
-      val docs = Tables(sp, dir, "documents")
-      val pairs = Dedup.ngramJaccard(docs, "doc_id", "text", n = 3,
-        minJaccard = 0.2, maxDf = Some(64))
-      graft.operators.Components.canonicalize(docs, "doc_id", pairs, "d1", "d2")
-        .orderBy("doc_id")
-    },
-    Some(s"""
-      WITH RECURSIVE $shingleHashSql,
+  /** d06/d08's shared oracle chain (requires [[shingleHashSql]] under
+    * WITH RECURSIVE in the same query): df-capped trigram-Jaccard
+    * pairs → recursive reachability → `comp(id, comp)` = min reachable
+    * id per node, mirroring [[graft.operators.Components]]. */
+  private val componentsSql = """
       hsc AS (SELECT doc_id, h FROM (
                 SELECT doc_id, h, COUNT(*) OVER (PARTITION BY h) AS df FROM hs)
               WHERE df <= 64),
@@ -297,11 +288,56 @@ object DedupQueries {
         UNION
         SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
       comp AS (SELECT a AS id, LEAST(a, MIN(b)) AS comp
-               FROM reach GROUP BY a)
+               FROM reach GROUP BY a)"""
+
+  /** Near-dup cluster resolution: trigram-Jaccard pairs → connected
+    * components → canonical doc per cluster. Oracle computes the same
+    * components with a recursive reachability CTE. */
+  val d06 = QueryDef(
+    "d06_dedup_clusters",
+    (sp, dir) => {
+      val docs = Tables(sp, dir, "documents")
+      val pairs = Dedup.ngramJaccard(docs, "doc_id", "text", n = 3,
+        minJaccard = 0.2, maxDf = Some(64))
+      graft.operators.Components.canonicalize(docs, "doc_id", pairs, "d1", "d2")
+        .orderBy("doc_id")
+    },
+    Some(s"""
+      WITH RECURSIVE $shingleHashSql,
+      $componentsSql
       SELECT d.doc_id, COALESCE(c.comp, d.doc_id) AS canonical_id,
         COALESCE(c.comp, d.doc_id) <> d.doc_id AS is_duplicate
       FROM documents d LEFT JOIN comp c ON d.doc_id = c.id
       ORDER BY d.doc_id"""))
 
-  val defs: Seq[QueryDef] = Seq(d01, d02, d03, d04, d05, d06, d07)
+  /** Dedup impact report: the cluster-size distribution of d06's
+    * components — how many 2-clusters, 3-clusters, … the near-dup
+    * resolution found, plus the docs removed were every cluster
+    * reduced to its canonical. Singletons (size 1) ride along so the
+    * row counts reconcile against the corpus. */
+  val d08 = QueryDef(
+    "d08_cluster_sizes",
+    (sp, dir) => {
+      val docs = Tables(sp, dir, "documents")
+      val pairs = Dedup.ngramJaccard(docs, "doc_id", "text", n = 3,
+        minJaccard = 0.2, maxDf = Some(64))
+      graft.operators.Components.canonicalize(docs, "doc_id", pairs, "d1", "d2")
+        .groupBy("canonical_id").agg(count(lit(1)).as("cluster_size"))
+        .groupBy("cluster_size")
+        .agg(count(lit(1)).as("n_clusters"),
+          sum(col("cluster_size") - 1).as("docs_removed"))
+        .orderBy("cluster_size")
+    },
+    Some(s"""
+      WITH RECURSIVE $shingleHashSql,
+      $componentsSql,
+      canon AS (SELECT d.doc_id, COALESCE(c.comp, d.doc_id) AS canonical
+                FROM documents d LEFT JOIN comp c ON d.doc_id = c.id),
+      cs AS (SELECT canonical, COUNT(*) sz FROM canon GROUP BY canonical)
+      SELECT CAST(sz AS BIGINT) AS cluster_size,
+        CAST(COUNT(*) AS BIGINT) AS n_clusters,
+        CAST(SUM(sz - 1) AS BIGINT) AS docs_removed
+      FROM cs GROUP BY sz ORDER BY cluster_size"""))
+
+  val defs: Seq[QueryDef] = Seq(d01, d02, d03, d04, d05, d06, d07, d08)
 }

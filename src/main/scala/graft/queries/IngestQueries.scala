@@ -135,5 +135,57 @@ object IngestQueries {
       WHERE o_custkey < 100
       ORDER BY o_custkey, valid_from, o_orderkey"""))
 
-  val defs: Seq[QueryDef] = Seq(e01, e02, e03, e04)
+  private val streamRuns = new java.util.concurrent.atomic.AtomicInteger()
+
+  /** Structured Streaming through the oracle gate: replay the events
+    * table as a file stream (Trigger.AvailableNow), run the same
+    * tumbling-window aggregation q22 runs in batch, land it in a
+    * memory sink, and hand the sink's table to the driver — so the
+    * incremental engine's arithmetic itself is DuckDB-checked, not
+    * just spec-asserted. Complete output mode: AvailableNow may fold
+    * the whole replay into one micro-batch, where append mode would
+    * withhold every window past the final watermark — complete emits
+    * them all, deterministically. The double sum accumulates in
+    * DECIMAL(18,2) exactly as q22's batch oracle does. */
+  val e05 = QueryDef(
+    "e05_stream_windows",
+    (sp, dir) => {
+      import graft.Dsl.moneySum
+      // events.parquet is TIMESTAMP(NANOS) — same nanos-as-long read +
+      // micros floor as graft.Tables, via an explicit stream schema.
+      sp.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val schema = sp.read.parquet(s"$dir/events.parquet").schema
+      // The source path must be a GLOB: FileStreamSource force-sets
+      // basePath to a non-glob path verbatim, and here that would be
+      // the single parquet FILE the test dir ships (basePath must be a
+      // directory). A real deployment points at a landing directory.
+      val stream = sp.readStream.schema(schema).option("basePath", dir)
+        .parquet(s"$dir/events.parque[t]")
+        .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      val agg = stream
+        .withWatermark("ts", "1 hour")
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          moneySum(col("value")).as("sum_value"),
+          min(col("value")).as("min_value"),
+          max(col("value")).as("max_value"))
+      val sink = s"e05_windows_${streamRuns.incrementAndGet()}"
+      val q = agg.writeStream.format("memory").queryName(sink)
+        .outputMode("complete")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      sp.table(sink)
+        .select(col("window.start").as("bucket"), col("event_type"),
+          col("n_events"), col("sum_value"), col("min_value"), col("max_value"))
+        .orderBy("bucket", "event_type")
+    },
+    Some("""
+      SELECT DATE_TRUNC('hour', ts) AS bucket, event_type,
+        COUNT(*) AS n_events,
+        CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+        MIN(value) AS min_value, MAX(value) AS max_value
+      FROM events GROUP BY 1, 2 ORDER BY bucket, event_type"""))
+
+  val defs: Seq[QueryDef] = Seq(e01, e02, e03, e04, e05)
 }

@@ -314,19 +314,20 @@ object PipelineQueries {
   /** Curriculum bucketing: rank the corpus by a difficulty proxy
     * (token count, id tie-break — a total order, so NTILE is
     * deterministic) into 4 training stages and profile each stage's
-    * token budget. At 100 TB the global sort behind NTILE is the
-    * real cost — Spark range-partitions it (sampled boundaries),
-    * one shuffle; the alternative (fixed difficulty thresholds from
-    * a first-pass histogram, p09) avoids the sort when approximate
-    * stage sizes are acceptable. */
+    * token budget. NOT `ntile().over(Window.orderBy(...))`: that plans
+    * an Exchange SinglePartition — every row through one task.
+    * [[Pipeline.distributedNtile]] computes the identical bucketing
+    * from a partitioned within-value rank plus a broadcast per-value
+    * cumulative (distinct token counts ≈ a histogram, dimension-sized
+    * at any corpus scale), so the oracle keeps plain NTILE. */
   val p10 = QueryDef(
     "p10_curriculum_stages",
     (sp, dir) => {
-      val staged = Tables(sp, dir, "documents")
+      val t = Tables(sp, dir, "documents")
         .select(col("doc_id"),
           size(split(col("text"), " ")).cast("long").as("n_tokens"))
-        .withColumn("stage",
-          ntile(4).over(Window.orderBy(col("n_tokens"), col("doc_id"))))
+      val staged = Pipeline.distributedNtile(t, 4, "n_tokens", "doc_id")
+        .withColumnRenamed("ntile", "stage")
       staged.groupBy("stage")
         .agg(count(lit(1)).as("n_docs"),
           sum(col("n_tokens")).as("stage_tokens"),
@@ -347,6 +348,39 @@ object PipelineQueries {
         CAST(MAX(n_tokens) AS BIGINT) AS max_tokens
       FROM staged GROUP BY stage ORDER BY stage"""))
 
+  /** Deterministic train/val/test assignment: split = id-hash bucket
+    * (800/100/100 per mille), so membership is a pure row-local
+    * projection — reproducible across runs and cluster layouts, never
+    * resampled when the corpus grows (a doc's split follows its id,
+    * not its position). The leakage-prone alternative (rand() with a
+    * seed) reshuffles under repartitioning; this cannot. One
+    * aggregation over (split, source). */
+  val p11 = QueryDef(
+    "p11_hash_split",
+    (sp, dir) => {
+      val bucket = Pipeline.idHash(col("doc_id")) % lit(1000L)
+      Tables(sp, dir, "documents")
+        .withColumn("split",
+          when(bucket < 800, "train").when(bucket < 900, "val")
+            .otherwise("test"))
+        .groupBy("split", "source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("sum_chars"),
+          min(col("doc_id")).as("min_id"),
+          max(col("doc_id")).as("max_id"))
+        .orderBy("split", "source")
+    },
+    Some(s"""
+      WITH t AS (
+        SELECT *, CASE WHEN ${hashSql(1103515245L, 12345L)} % 1000 < 800 THEN 'train'
+                       WHEN ${hashSql(1103515245L, 12345L)} % 1000 < 900 THEN 'val'
+                       ELSE 'test' END AS split
+        FROM documents)
+      SELECT split, source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+        MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
+      FROM t GROUP BY split, source ORDER BY split, source"""))
+
   val defs: Seq[QueryDef] =
-    Seq(p01, p02, p03, p04, p05, p06, p07, p08, p09, p10)
+    Seq(p01, p02, p03, p04, p05, p06, p07, p08, p09, p10, p11)
 }

@@ -116,5 +116,56 @@ object SimilarityQueries {
       SELECT q_id, n_id, cosine, CAST(rnk AS INT) AS rank
       FROM r WHERE rnk <= 5 ORDER BY q_id, rank"""))
 
-  val defs: Seq[QueryDef] = Seq(s01, s02, s03)
+  /** kNN classification on top of the similarity search: majority
+    * label among each query's 10 exact nearest neighbors (ties broken
+    * toward the smaller label — engines disagree on native mode()'s
+    * tie rule, so the vote is spelled out). The neighbor join carries
+    * only (n_id → label): candidate volume, not corpus volume, crosses
+    * the wire after the top-k cut. */
+  val s04 = QueryDef(
+    "s04_knn_classify",
+    (sp, dir) => {
+      val embs = Tables(sp, dir, "embeddings")
+      val all = Similarity.prep(embs, "vec_id", "embedding")
+      val queries = all.filter(col("id") < 10)
+      val corpus = all.filter(col("id") >= 10)
+      val labels = embs.select(col("vec_id").as("n_id"), col("label"))
+      val votes = Similarity.bruteForceTopK(queries, corpus, k = 10)
+        .join(labels, "n_id")
+        .groupBy("q_id", "label")
+        .agg(count(lit(1)).as("n_votes"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("q_id").orderBy(col("n_votes").desc, col("label"))
+      val pred = votes.withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1)
+        .select(col("q_id"), col("label").as("pred_label"), col("n_votes"))
+      pred
+        .join(embs.select(col("vec_id").as("q_id"),
+          col("label").as("true_label")), "q_id")
+        .withColumn("correct", col("pred_label") === col("true_label"))
+        .orderBy("q_id")
+    },
+    Some(s"""
+      WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] v FROM embeddings),
+      n AS (SELECT vec_id, label, v, sqrt(${foldDot.format("v", "v")}) nrm FROM e),
+      q AS (SELECT vec_id q_id, v qv, nrm qn FROM n WHERE vec_id < 10),
+      c AS (SELECT vec_id n_id, label, v cv, nrm cn FROM n WHERE vec_id >= 10),
+      s AS (SELECT q_id, n_id, label,
+              ${foldDot.format("qv", "cv")} / (qn * cn) AS cosine
+            FROM q CROSS JOIN c),
+      r AS (SELECT q_id, n_id, label,
+              ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosine DESC, n_id) rnk
+            FROM s),
+      v AS (SELECT q_id, label, COUNT(*) n_votes FROM r WHERE rnk <= 10
+            GROUP BY q_id, label),
+      p AS (SELECT q_id, label, n_votes,
+              ROW_NUMBER() OVER (PARTITION BY q_id
+                ORDER BY n_votes DESC, label) vr
+            FROM v)
+      SELECT p.q_id, p.label AS pred_label, CAST(p.n_votes AS BIGINT) AS n_votes,
+        e.label AS true_label, p.label = e.label AS correct
+      FROM p JOIN e ON p.q_id = e.vec_id
+      WHERE vr = 1 ORDER BY q_id"""))
+
+  val defs: Seq[QueryDef] = Seq(s01, s02, s03, s04)
 }

@@ -183,5 +183,50 @@ object TextQueries {
       WHERE c_xy >= 20
       ORDER BY cond_prob DESC, bigram LIMIT 25"""))
 
-  val defs: Seq[QueryDef] = Seq(t01, t02, t03, t04, t05, t06)
+  /** Readability scoring (ARI formula over chars/words/sentences):
+    * per-row codegen'd arithmetic, one scan, no shuffle before the
+    * output sort. Portability: both divisions are single IEEE ops on
+    * exact integers and the 4.71/0.5/21.43 literals parse to the same
+    * binary64 in both engines, so the double chain is bit-identical;
+    * `try_divide` mirrors DuckDB's NULL on a sentence-less doc. */
+  val t07 = QueryDef(
+    "t07_readability",
+    (sp, dir) => {
+      Tables(sp, dir, "documents")
+        .select(col("doc_id"),
+          length(col("text")).cast("long").as("n_chars_txt"),
+          size(split(col("text"), " ")).cast("long").as("n_words"),
+          (length(col("text")) -
+            length(expr("replace(text, '.', '')"))).cast("long").as("n_sentences"))
+        .withColumn("ari",
+          lit(4.71) * expr("try_divide(n_chars_txt, n_words)")
+            + lit(0.5) * expr("try_divide(n_words, n_sentences)")
+            - lit(21.43))
+        .withColumn("band",
+          when(col("ari").isNull, "unscored")
+            .when(col("ari") < 8, "easy")
+            .when(col("ari") < 12, "medium")
+            .otherwise("hard"))
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH t AS (
+        SELECT doc_id,
+          CAST(length(text) AS BIGINT) AS n_chars_txt,
+          CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+          CAST(length(text) - length(replace(text, '.', '')) AS BIGINT)
+            AS n_sentences
+        FROM documents),
+      s AS (
+        SELECT *, 4.71 * (n_chars_txt / n_words)
+                + 0.5 * (n_words / n_sentences) - 21.43 AS ari
+        FROM t)
+      SELECT doc_id, n_chars_txt, n_words, n_sentences, ari,
+        CASE WHEN ari IS NULL THEN 'unscored'
+             WHEN ari < 8 THEN 'easy'
+             WHEN ari < 12 THEN 'medium'
+             ELSE 'hard' END AS band
+      FROM s ORDER BY doc_id"""))
+
+  val defs: Seq[QueryDef] = Seq(t01, t02, t03, t04, t05, t06, t07)
 }

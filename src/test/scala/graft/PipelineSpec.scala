@@ -50,4 +50,18 @@ class PipelineSpec extends SparkSpec {
     assert(out.toSeq === Seq((0L, 0L, 0L), (1L, 100L, 0L),
       (2L, 200L, 0L), (3L, 300L, 1L)))
   }
+
+  test("distributedNtile matches the window ntile exactly, ties and remainders included") {
+    import org.apache.spark.sql.expressions.Window
+    // heavy ties (v = i/7) + sizes where N < n, N % n == 0, N % n != 0
+    for (size <- Seq(2, 12, 17, 200); n <- Seq(3, 4, 5)) {
+      val d = (0L until size.toLong).map(i => (i, i / 7)).toDF("id", "v")
+      val expected = d.withColumn("ntile",
+          ntile(n).over(Window.orderBy(col("v"), col("id"))))
+        .select("id", "ntile").collect().map(r => (r.getLong(0), r.getInt(1))).sortBy(_._1)
+      val got = Pipeline.distributedNtile(d, n, "v", "id")
+        .select("id", "ntile").collect().map(r => (r.getLong(0), r.getInt(1))).sortBy(_._1)
+      assert(got.toSeq === expected.toSeq, s"size=$size n=$n")
+    }
+  }
 }

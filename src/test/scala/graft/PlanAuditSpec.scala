@@ -81,7 +81,8 @@ class PlanAuditSpec extends SparkSpec {
     // routes queries against a broadcast table of ~√N centroids —
     // bounded replication, not corpus². Everything else must join on
     // a real key.
-    val allow = Set("s01_cosine_topk", "s03_ivf_ann")
+    // s04 votes over s01's exact top-k (same declared baseline).
+    val allow = Set("s01_cosine_topk", "s03_ivf_ann", "s04_knn_classify")
     val offenders = Catalog.all.filterNot(q => allow(q.name)).flatMap { q =>
       val p = q.build(spark, dir).queryExecution.executedPlan.toString
       if (p.contains("BroadcastNestedLoopJoin") || p.contains("CartesianProduct"))
