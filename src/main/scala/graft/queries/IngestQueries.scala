@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.{QueryDef, Tables}
-import graft.sources.{IngestFixtures, Sinks}
+import graft.sources.{BucketedWriter, IngestFixtures, Sinks}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -187,5 +187,76 @@ object IngestQueries {
         MIN(value) AS min_value, MAX(value) AS max_value
       FROM events GROUP BY 1, 2 ORDER BY bucket, event_type"""))
 
-  val defs: Seq[QueryDef] = Seq(e01, e02, e03, e04, e05)
+  /** Streaming at-least-once → effectively-once dedup through the
+    * oracle gate: the event stream REPLAYED TWICE (every event a
+    * duplicate) into [[graft.streaming.StreamOps.dedupWithinWatermark]],
+    * append-mode memory sink, then a batch aggregate of the sink. The
+    * oracle aggregates the ORIGINAL events once — n_events must equal
+    * n_ids per type, so a single surviving duplicate (or a dropped
+    * original) breaks the hash match. */
+  val e06 = QueryDef(
+    "e06_stream_dedup",
+    (sp, dir) => {
+      import graft.Dsl.moneySum
+      sp.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val schema = sp.read.parquet(s"$dir/events.parquet").schema
+      def src = sp.readStream.schema(schema).option("basePath", dir)
+        .parquet(s"$dir/events.parque[t]")
+        .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      val deduped = graft.streaming.StreamOps
+        .dedupWithinWatermark(src.unionAll(src), "event_id")
+      val sink = s"e06_dedup_${streamRuns.incrementAndGet()}"
+      val q = deduped.writeStream.format("memory").queryName(sink)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      sp.table(sink)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_events"),
+          countDistinct(col("event_id")).as("n_ids"),
+          moneySum(col("value")).as("sum_value"))
+        .orderBy("event_type")
+    },
+    Some("""
+      SELECT event_type, COUNT(*) AS n_events,
+        COUNT(DISTINCT event_id) AS n_ids,
+        CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      FROM events GROUP BY event_type ORDER BY event_type"""))
+
+  /** Bucketed co-located join: orders and customer pre-bucketed on the
+    * join key ([[Sinks]]' BucketedWriter — the amortize-the-shuffle-
+    * once idiom), so the sort-merge join runs with NO exchange on
+    * either side (asserted in PlanAuditSpec); the only shuffles left
+    * are the aggregate's and the output sort's. The `merge` hint pins
+    * SMJ so a broadcast doesn't mask the bucket elision at test scale.
+    * Tables are content-fingerprinted; written once per session. */
+  val e07 = QueryDef(
+    "e07_bucketed_join",
+    (sp, dir) => {
+      import graft.Dsl.moneySum
+      val fp = IngestFixtures.fingerprint(s"$dir/orders.parquet")
+      val ot = s"graft_e07_orders_$fp"
+      val ct = s"graft_e07_cust_$fp"
+      if (!sp.catalog.tableExists(ot))
+        BucketedWriter.writeBucketed(Tables(sp, dir, "orders"), ot,
+          "o_custkey", nBuckets = 8, sortCol = Some("o_custkey"))
+      if (!sp.catalog.tableExists(ct))
+        BucketedWriter.writeBucketed(Tables(sp, dir, "customer"), ct,
+          "c_custkey", nBuckets = 8, sortCol = Some("c_custkey"))
+      val o = BucketedWriter.readTable(sp, ot)
+      val c = BucketedWriter.readTable(sp, ct)
+      o.join(c.hint("merge"), o("o_custkey") === c("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_orders"),
+          moneySum(col("o_totalprice")).as("sum_price"))
+        .orderBy("c_mktsegment")
+    },
+    Some("""
+      SELECT c_mktsegment, COUNT(*) AS n_orders,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      GROUP BY c_mktsegment ORDER BY c_mktsegment"""))
+
+  val defs: Seq[QueryDef] = Seq(e01, e02, e03, e04, e05, e06, e07)
 }

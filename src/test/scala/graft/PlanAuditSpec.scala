@@ -69,6 +69,14 @@ class PlanAuditSpec extends SparkSpec {
       s"expected a lang partition filter:\n${p.take(2000)}")
   }
 
+  test("e07 bucketed join elides both join-side exchanges") {
+    val p = plan("e07_bucketed_join")
+    assert(p.contains("SortMergeJoin"), s"merge hint must pin SMJ:\n${p.take(2000)}")
+    // without buckets: 2 join exchanges + aggregate + output sort = 4
+    assert(shuffles(p) <= 2,
+      s"bucketed join must not shuffle its inputs:\n${p.take(3000)}")
+  }
+
   test("d05 candidates come from the bucket equi-join, not an all-pairs join") {
     val p = plan("d05_embedding_dedup")
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
