@@ -238,12 +238,24 @@ object IngestQueries {
       val fp = IngestFixtures.fingerprint(s"$dir/orders.parquet")
       val ot = s"graft_e07_orders_$fp"
       val ct = s"graft_e07_cust_$fp"
-      if (!sp.catalog.tableExists(ot))
-        BucketedWriter.writeBucketed(Tables(sp, dir, "orders"), ot,
-          "o_custkey", nBuckets = 8, sortCol = Some("o_custkey"))
-      if (!sp.catalog.tableExists(ct))
-        BucketedWriter.writeBucketed(Tables(sp, dir, "customer"), ct,
-          "c_custkey", nBuckets = 8, sortCol = Some("c_custkey"))
+      // The in-memory catalog forgets tables between JVMs but their
+      // warehouse directories persist; saveAsTable refuses to reuse an
+      // orphaned location, so clear it before the (re)write.
+      def ensure(table: String, df: => org.apache.spark.sql.DataFrame,
+          key: String): Unit = if (!sp.catalog.tableExists(table)) {
+        val loc = new java.io.File(
+          new java.net.URI(sp.conf.get("spark.sql.warehouse.dir")).getPath,
+          table)
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) f.listFiles().foreach(rm)
+          f.delete()
+        }
+        if (loc.exists()) rm(loc)
+        BucketedWriter.writeBucketed(df, table, key, nBuckets = 8,
+          sortCol = Some(key))
+      }
+      ensure(ot, Tables(sp, dir, "orders"), "o_custkey")
+      ensure(ct, Tables(sp, dir, "customer"), "c_custkey")
       val o = BucketedWriter.readTable(sp, ot)
       val c = BucketedWriter.readTable(sp, ct)
       o.join(c.hint("merge"), o("o_custkey") === c("c_custkey"))
@@ -258,5 +270,64 @@ object IngestQueries {
       FROM orders JOIN customer ON o_custkey = c_custkey
       GROUP BY c_mktsegment ORDER BY c_mktsegment"""))
 
-  val defs: Seq[QueryDef] = Seq(e01, e02, e03, e04, e05, e06, e07)
+  /** Stateful streaming sessionization (flatMapGroupsWithState,
+    * event-time timeout) through the oracle gate. The landing fixture
+    * replays the events table in batch 1 and a far-future sentinel
+    * event per user in batch 2 — the second batch advances the
+    * watermark past every real session, so each user's FINAL session
+    * flushes (closed inline by the sentinel's gap, or by the fired
+    * timeout — identical output either way); the sentinel's own
+    * session stays open and is filtered. Output carries only
+    * timestamps and counts: session BOUNDARIES depend only on event
+    * times (same-ms ties always co-session), where a state-accumulated
+    * double sum would be tie-order-sensitive. Oracle = q23's batch
+    * gap-split SQL, aggregated to (start, end, n). */
+  val e08 = QueryDef(
+    "e08_stream_sessions",
+    (sp, dir) => {
+      import sp.implicits._
+      val far = to_timestamp(lit("2099-01-01 00:00:00"))
+      val ev = Tables(sp, dir, "events")
+        .select(col("user_id"), col("ts"), col("event_type"), col("value"))
+      val land = IngestFixtures.materializeLanding(
+        s"e08_events_${IngestFixtures.fingerprint(s"$dir/events.parquet")}",
+        ev,
+        ev.select(col("user_id")).distinct()
+          .select(col("user_id"), far.as("ts"),
+            lit("__end").as("event_type"), lit(0.0).as("value")))
+      val stream = sp.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1").parquet(land)
+        .as[graft.streaming.StreamOps.Evt]
+      val sessions =
+        graft.streaming.StreamOps.sessionize(stream, gapMs = 30L * 60 * 1000)
+      val sink = s"e08_sessions_${streamRuns.incrementAndGet()}"
+      val q = sessions.toDF().writeStream.format("memory").queryName(sink)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      sp.table(sink)
+        .filter(col("start_ms") < unix_millis(far))
+        .select(col("user_id"), col("start_ms"), col("end_ms"), col("n_events"))
+        .orderBy("user_id", "start_ms")
+    },
+    Some("""
+      WITH flagged AS (
+        SELECT user_id, ts, event_id,
+          CASE WHEN LAG(epoch_ms(ts)) OVER w IS NULL
+                 OR epoch_ms(ts) - LAG(epoch_ms(ts)) OVER w > 1800000
+               THEN 1 ELSE 0 END AS is_new
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      tagged AS (
+        SELECT user_id, ts,
+          SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        FROM flagged)
+      SELECT user_id, epoch_ms(MIN(ts)) AS start_ms,
+        epoch_ms(MAX(ts)) AS end_ms, CAST(COUNT(*) AS INT) AS n_events
+      FROM tagged GROUP BY user_id, sid
+      ORDER BY user_id, start_ms"""))
+
+  val defs: Seq[QueryDef] = Seq(e01, e02, e03, e04, e05, e06, e07, e08)
 }

@@ -519,7 +519,81 @@ object RelationalWide {
         CAST(n AS BIGINT) AS mode_count
       FROM r WHERE rn = 1 ORDER BY o_orderstatus"""))
 
+  /** A fully oracle-checked cardinality sketch: HyperLogLog with 64
+    * registers built from engine-portable arithmetic only. Unlike q30
+    * (Spark's native HLL — rows-only, sketch internals opaque), every
+    * step here is deterministic across engines: LCG id hash → bucket =
+    * low 6 bits, rho = 1-based position of the remaining bits' lowest
+    * set bit (`length(bin(w & -w))` — both engines print minimal
+    * binary), register = max rho. The harmonic sum accumulates as an
+    * exact BIGINT (`1 << (26 - rho)`, i.e. fixed-point scaled by 2^26)
+    * so summation order is irrelevant, and the α·m²-scaled estimate is
+    * a single double division at the end. One shuffle (64 groups) +
+    * one exact-distinct pass for the reported error. */
+  val q52 = QueryDef(
+    "q52_hll_sketch",
+    (sp, dir) => {
+      // The LCG hash is injective on [0, 2^31-1) and (bucket, w) ↔ h,
+      // so Σ_buckets COUNT(DISTINCT w) IS the exact distinct-user
+      // count — the reference figure rides in the SAME single-shuffle
+      // aggregation instead of a second scan + 1×1 join (which
+      // Catalyst constant-folds into a nested-loop join).
+      val regs = Tables(sp, dir, "events")
+        .select(pmod(col("user_id") * lit(1103515245L) + lit(12345L),
+          lit(2147483647L)).as("h"))
+        .select(expr("CAST(h % 64 AS INT)").as("bucket"),
+          expr("h DIV 64").as("w"))
+        .select(col("bucket"), col("w"),
+          // bin() prints minimal binary (no padding) in BOTH engines,
+          // so length(bin(lowest-set-bit)) IS the 1-based bit position
+          when(col("w") === 0, lit(26))
+            .otherwise(length(expr("bin(w & -w)"))).as("rho"))
+        .groupBy("bucket").agg(max(col("rho")).as("maxrho"),
+          countDistinct(col("w")).as("nd"))
+      val spine = sp.range(0, 64).select(col("id").cast("int").as("bucket"))
+      spine.join(regs, Seq("bucket"), "left_outer")
+        .select(coalesce(col("maxrho"), lit(0)).as("maxrho"),
+          coalesce(col("nd"), lit(0L)).as("nd"))
+        .agg(count(lit(1)).as("n_buckets"),
+          sum(when(col("maxrho") === 0, 1L).otherwise(0L)).as("zero_buckets"),
+          sum(expr("shiftleft(CAST(1 AS BIGINT), 26 - maxrho)")).as("sum_scaled"),
+          sum(col("nd")).as("exact_distinct"))
+        .withColumn("est_distinct",
+          lit(0.709) * lit(4096) * lit(67108864)
+            / col("sum_scaled").cast("double"))
+        .withColumn("rel_err",
+          col("est_distinct") / col("exact_distinct") - 1)
+        .select("n_buckets", "zero_buckets", "sum_scaled", "est_distinct",
+          "exact_distinct", "rel_err")
+    },
+    Some("""
+      WITH h AS (SELECT (user_id * 1103515245 + 12345) % 2147483647 AS h
+                 FROM events),
+      b AS (SELECT CAST(h % 64 AS INT) AS bucket, h // 64 AS w FROM h),
+      r AS (SELECT bucket, w,
+              CASE WHEN w = 0 THEN 26
+                   ELSE length(bin(w & -w)) END AS rho
+            FROM b),
+      m AS (SELECT bucket, MAX(rho) AS maxrho, COUNT(DISTINCT w) AS nd
+            FROM r GROUP BY bucket),
+      spine AS (SELECT unnest(generate_series(0, 63)) AS bucket),
+      reg AS (SELECT COALESCE(m.maxrho, 0) AS maxrho, COALESCE(m.nd, 0) AS nd
+              FROM spine s LEFT JOIN m ON s.bucket = m.bucket),
+      agg AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_buckets,
+                CAST(SUM(CASE WHEN maxrho = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                  AS zero_buckets,
+                CAST(SUM(1::BIGINT << (26 - maxrho)) AS BIGINT) AS sum_scaled,
+                CAST(SUM(nd) AS BIGINT) AS exact_distinct
+              FROM reg)
+      SELECT n_buckets, zero_buckets, sum_scaled,
+        CAST(0.709 AS DOUBLE) * 4096 * 67108864 / CAST(sum_scaled AS DOUBLE)
+          AS est_distinct,
+        exact_distinct,
+        (CAST(0.709 AS DOUBLE) * 4096 * 67108864 / CAST(sum_scaled AS DOUBLE))
+          / exact_distinct - 1 AS rel_err
+      FROM agg"""))
+
   val defs: Seq[QueryDef] =
     Seq(q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q45, q46, q47,
-      q48, q49, q50, q51)
+      q48, q49, q50, q51, q52)
 }

@@ -50,6 +50,39 @@ object IngestFixtures {
     })
   }
 
+  /** A two-micro-batch streaming landing directory: `first` and
+    * `second` each become ONE parquet file with fixed, strictly
+    * increasing mtimes, so a FileStreamSource with
+    * `maxFilesPerTrigger=1` replays them as two ordered batches —
+    * batch boundaries (and therefore watermark advances) are part of
+    * streaming semantics, and a single-batch replay would never fire
+    * event-time timeouts for the tail. */
+  def materializeLanding(key: String, first: => DataFrame,
+      second: => DataFrame): String = {
+    val path = s"/tmp/graft_ingest_v2/$key"
+    done.computeIfAbsent(path, _ => {
+      val dirF = new java.io.File(path)
+      if (!new java.io.File(dirF, "batch2.parquet").exists()) {
+        dirF.mkdirs()
+        def writeOne(df: DataFrame, name: String, mtime: Long): Unit = {
+          val tmp = new java.io.File(dirF, s"__tmp_$name")
+          df.coalesce(1).write.mode("overwrite").parquet(tmp.getAbsolutePath)
+          val part = tmp.listFiles()
+            .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+            .getOrElse(sys.error(s"no part file under $tmp"))
+          val dst = new java.io.File(dirF, name)
+          java.nio.file.Files.move(part.toPath, dst.toPath,
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+          dst.setLastModified(mtime)
+          tmp.listFiles().foreach(_.delete()); tmp.delete()
+        }
+        writeOne(first, "batch1.parquet", 1700000000000L)
+        writeOne(second, "batch2.parquet", 1700000100000L)
+      }
+      path
+    })
+  }
+
   /** Like [[materialize]] but through [[Sinks.writePartitionedParquet]]
     * — a Hive-style `col=value` directory layout, so the read side can
     * prove partition pruning against the oracle. */
