@@ -290,18 +290,40 @@ object DedupQueries {
       comp AS (SELECT a AS id, LEAST(a, MIN(b)) AS comp
                FROM reach GROUP BY a)"""
 
+  // d06 and d08 both consume the doc→canonical mapping, and building
+  // it RUNS the iterative component loop (per-round convergence
+  // aggregates execute at plan-build time) — share one persisted copy
+  // per (session, dir) instead of running the loop twice. Weak session
+  // keys so dead test sessions don't pin blocks.
+  private val canonCache = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[org.apache.spark.sql.SparkSession,
+      scala.collection.concurrent.TrieMap[String, org.apache.spark.sql.DataFrame]]())
+
+  private def canonicalDocs(sp: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    val perSession = canonCache.synchronized {
+      var m = canonCache.get(sp)
+      if (m == null) {
+        m = scala.collection.concurrent.TrieMap.empty
+        canonCache.put(sp, m)
+      }
+      m
+    }
+    perSession.getOrElseUpdate(dir, {
+      val docs = Tables(sp, dir, "documents")
+      val pairs = Dedup.ngramJaccard(docs, "doc_id", "text", n = 3,
+        minJaccard = 0.2, maxDf = Some(64))
+      graft.operators.Components.canonicalize(docs, "doc_id", pairs, "d1", "d2")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    })
+  }
+
   /** Near-dup cluster resolution: trigram-Jaccard pairs → connected
     * components → canonical doc per cluster. Oracle computes the same
     * components with a recursive reachability CTE. */
   val d06 = QueryDef(
     "d06_dedup_clusters",
-    (sp, dir) => {
-      val docs = Tables(sp, dir, "documents")
-      val pairs = Dedup.ngramJaccard(docs, "doc_id", "text", n = 3,
-        minJaccard = 0.2, maxDf = Some(64))
-      graft.operators.Components.canonicalize(docs, "doc_id", pairs, "d1", "d2")
-        .orderBy("doc_id")
-    },
+    (sp, dir) => canonicalDocs(sp, dir).orderBy("doc_id"),
     Some(s"""
       WITH RECURSIVE $shingleHashSql,
       $componentsSql
@@ -318,10 +340,7 @@ object DedupQueries {
   val d08 = QueryDef(
     "d08_cluster_sizes",
     (sp, dir) => {
-      val docs = Tables(sp, dir, "documents")
-      val pairs = Dedup.ngramJaccard(docs, "doc_id", "text", n = 3,
-        minJaccard = 0.2, maxDf = Some(64))
-      graft.operators.Components.canonicalize(docs, "doc_id", pairs, "d1", "d2")
+      canonicalDocs(sp, dir)
         .groupBy("canonical_id").agg(count(lit(1)).as("cluster_size"))
         .groupBy("cluster_size")
         .agg(count(lit(1)).as("n_clusters"),

@@ -329,5 +329,37 @@ object IngestQueries {
       FROM tagged GROUP BY user_id, sid
       ORDER BY user_id, start_ms"""))
 
-  val defs: Seq[QueryDef] = Seq(e01, e02, e03, e04, e05, e06, e07, e08)
+  /** Range-clustered layout: events rewritten via `repartitionByRange
+    * + sortWithinPartitions` on user_id (each file covers a narrow id
+    * range — parquet min/max stats then skip non-matching files AND
+    * row groups for selective id scans, the poor-man's Z-order), read
+    * back with a user_id band filter that must reach the scan as a
+    * pushed filter (PlanAuditSpec). Oracle filters the original. */
+  val e09 = QueryDef(
+    "e09_clustered_scan",
+    (sp, dir) => {
+      import graft.Dsl.moneySum
+      val path = IngestFixtures.materializeClustered(
+        s"clustered_events_${IngestFixtures.fingerprint(s"$dir/events.parquet")}",
+        Tables(sp, dir, "events"), nFiles = 8, clusterCols = Seq("user_id"))
+      sp.read.parquet(path)
+        .filter(col("user_id") >= 100 && col("user_id") < 200)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_events"),
+          countDistinct(col("user_id")).as("n_users"),
+          min(col("ts")).as("first_ts"),
+          max(col("ts")).as("last_ts"),
+          moneySum(col("value")).as("sum_value"))
+        .orderBy("event_type")
+    },
+    Some("""
+      SELECT event_type, COUNT(*) AS n_events,
+        COUNT(DISTINCT user_id) AS n_users,
+        MIN(ts) AS first_ts, MAX(ts) AS last_ts,
+        CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      FROM events
+      WHERE user_id >= 100 AND user_id < 200
+      GROUP BY event_type ORDER BY event_type"""))
+
+  val defs: Seq[QueryDef] = Seq(e01, e02, e03, e04, e05, e06, e07, e08, e09)
 }

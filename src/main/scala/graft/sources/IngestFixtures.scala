@@ -83,6 +83,20 @@ object IngestFixtures {
     })
   }
 
+  /** Like [[materialize]] but through
+    * [[ClusteredWriter.writeRangeClustered]] — each file covers a
+    * narrow key range so parquet min/max stats prune whole files. */
+  def materializeClustered(key: String, df: => DataFrame, nFiles: Int,
+      clusterCols: Seq[String]): String = {
+    val path = s"/tmp/graft_ingest_v2/$key"
+    done.computeIfAbsent(path, _ => {
+      if (!new java.io.File(path, "_SUCCESS").exists()) {
+        ClusteredWriter.writeRangeClustered(df, path, nFiles, clusterCols)
+      }
+      path
+    })
+  }
+
   /** Like [[materialize]] but through [[Sinks.writePartitionedParquet]]
     * — a Hive-style `col=value` directory layout, so the read side can
     * prove partition pruning against the oracle. */

@@ -69,6 +69,14 @@ class PlanAuditSpec extends SparkSpec {
       s"expected a lang partition filter:\n${p.take(2000)}")
   }
 
+  test("e09 clustered scan pushes the user_id band filter into the parquet scan") {
+    val p = plan("e09_clustered_scan")
+    val pf = "PushedFilters: [^\n]*".r.findFirstIn(p)
+    assert(pf.exists(s => s.contains("GreaterThanOrEqual(user_id,100)")
+        && s.contains("LessThan(user_id,200)")),
+      s"expected the id band in PushedFilters:\n${p.take(2000)}")
+  }
+
   test("e07 bucketed join elides both join-side exchanges") {
     val p = plan("e07_bucketed_join")
     assert(p.contains("SortMergeJoin"), s"merge hint must pin SMJ:\n${p.take(2000)}")
