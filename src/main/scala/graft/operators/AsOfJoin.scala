@@ -68,4 +68,41 @@ object AsOfJoin {
       .filterNot(left.columns.contains).filterNot(dstNames.contains)
     withRight.drop("__side", "__p", "__asof").drop(rightOnly.toSeq: _*)
   }
+
+  /** The native-physical-operator formulation
+    * ([[graft.plans.AsOfJoinExec]]): hash-cluster each side on its
+    * key, sort by (key, ts[, tie]), one-pass partition merge with O(1)
+    * state. Output = all left columns ++ all right columns (nullable;
+    * rename the right side first if names collide). Requires the
+    * [[graft.plans.GraftExtensions]] strategy (installed via
+    * `spark.sql.extensions`).
+    *
+    * Contract: key and ts must be 64-bit-backed (long /
+    * timestamp-micros); right (key, ts) ties resolve to max `tieCol`.
+    */
+  def nativeLeftAsOf(
+      left: DataFrame,
+      right: DataFrame,
+      leftKeyCol: String, leftTsCol: String,
+      rightKeyCol: String, rightTsCol: String,
+      rightTieCol: String): DataFrame = {
+    import org.apache.spark.sql.graft.Bridge
+    import org.apache.spark.sql.types.{LongType, TimestampType}
+    val l = Bridge.analyzed(left)
+    val r = Bridge.analyzed(right)
+    def attr(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+        name: String) = p.output.find(_.name == name)
+      .getOrElse(sys.error(s"as-of: no column '$name' in ${p.output.map(_.name)}"))
+    val (lk, lt) = (attr(l, leftKeyCol), attr(l, leftTsCol))
+    val (rk, rt, tie) = (attr(r, rightKeyCol), attr(r, rightTsCol),
+      attr(r, rightTieCol))
+    Seq(lk, lt, rk, rt).foreach { a =>
+      require(a.dataType == LongType || a.dataType == TimestampType,
+        s"as-of key/ts must be long/timestamp, got ${a.name}: ${a.dataType}")
+    }
+    require(l.outputSet.intersect(r.outputSet).isEmpty,
+      "as-of: the two sides must not share attributes (self-join: alias one side)")
+    Bridge.ofRows(left.sparkSession,
+      graft.plans.AsOfJoinNode(l, r, lk, lt, rk, rt, tie))
+  }
 }

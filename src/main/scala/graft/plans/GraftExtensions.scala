@@ -26,6 +26,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // HOF dot-product pattern -> native DotFold kernel (exact rewrite)
     ext.injectOptimizerRule(_ => RewriteDotFold)
 
+    // custom whole-operator: logical AsOfJoinNode -> AsOfJoinExec
+    ext.injectPlannerStrategy(_ => AsOfJoinStrategy)
+
     register("graft_dot", classOf[DotFold], 2)(a => DotFold(a.head, a(1)))
     register("graft_hash62", classOf[Hash62Expr], 1)(a => Hash62Expr(a.head))
     register("graft_token_hashes", classOf[TokenHashes], 1)(a => TokenHashes(a.head))

@@ -593,7 +593,48 @@ object RelationalWide {
           / exact_distinct - 1 AS rel_err
       FROM agg"""))
 
+  /** q24's as-of semantics through the NATIVE physical operator
+    * ([[graft.plans.AsOfJoinExec]]; logical node + strategy injected
+    * by GraftExtensions): purchase → latest same-user click at or
+    * before it, ties to max click event_id. The oracle spells the
+    * tie rule out with an explicit ROW_NUMBER instead of DuckDB's
+    * ASOF (whose tie choice is unspecified), so the hash match pins
+    * the custom exec's full ordering contract. */
+  val q53 = QueryDef(
+    "q53_asof_native",
+    (sp, dir) => {
+      val ev = Tables(sp, dir, "events")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select("event_id", "user_id", "ts")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
+          col("event_id").as("click_event_id"), col("value").as("click_value"))
+      graft.operators.AsOfJoin.nativeLeftAsOf(purchases, clicks,
+          "user_id", "ts", "c_user", "c_ts", "click_event_id")
+        .select(col("event_id"), col("user_id"), col("click_event_id"),
+          (unix_millis(col("ts")) - unix_millis(col("c_ts")))
+            .as("ms_since_click"),
+          col("click_value"))
+        .orderBy("event_id")
+    },
+    Some("""
+      WITH p AS (SELECT event_id, user_id, ts FROM events
+                 WHERE event_type = 'purchase'),
+      c AS (SELECT user_id, ts, event_id, value FROM events
+            WHERE event_type = 'click'),
+      cand AS (SELECT p.event_id, c.event_id AS click_event_id,
+          epoch_ms(p.ts) - epoch_ms(c.ts) AS ms_since_click,
+          c.value AS click_value,
+          ROW_NUMBER() OVER (PARTITION BY p.event_id
+            ORDER BY c.ts DESC, c.event_id DESC) AS rn
+        FROM p JOIN c ON c.user_id = p.user_id AND c.ts <= p.ts)
+      SELECT p.event_id, p.user_id, k.click_event_id, k.ms_since_click,
+        k.click_value
+      FROM p LEFT JOIN (SELECT * FROM cand WHERE rn = 1) k
+        ON p.event_id = k.event_id
+      ORDER BY p.event_id"""))
+
   val defs: Seq[QueryDef] =
     Seq(q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q45, q46, q47,
-      q48, q49, q50, q51, q52)
+      q48, q49, q50, q51, q52, q53)
 }

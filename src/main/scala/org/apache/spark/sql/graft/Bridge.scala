@@ -14,6 +14,23 @@ object Bridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 
+  /** The analyzed logical plan behind a DataFrame — input for building
+    * custom logical nodes (graft.plans.AsOfJoinNode) whose children
+    * are existing frames. */
+  def analyzed(df: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
+    df.asInstanceOf[org.apache.spark.sql.classic.Dataset[org.apache.spark.sql.Row]]
+      .queryExecution.analyzed
+
+  /** Wrap a custom logical plan as a DataFrame (`Dataset.ofRows` is
+    * `private[sql]`) — the entry point every Spark extension library
+    * needs to surface a custom operator through the public API. */
+  def ofRows(spark: org.apache.spark.sql.SparkSession,
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+      : org.apache.spark.sql.DataFrame =
+    org.apache.spark.sql.classic.Dataset.ofRows(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
+
   /** Run `f` with the context's checkpoint dir temporarily swapped —
     * `SparkContext.setCheckpointDir` has no public inverse, and tests
     * of checkpoint-mode-sensitive operators (graft.operators.Components)
