@@ -358,5 +358,38 @@ object DedupQueries {
         CAST(SUM(sz - 1) AS BIGINT) AS docs_removed
       FROM cs GROUP BY sz ORDER BY cluster_size"""))
 
-  val defs: Seq[QueryDef] = Seq(d01, d02, d03, d04, d05, d06, d07, d08)
+  /** The actual dedup KEEP decision: within each near-dup cluster,
+    * retain the highest-quality member (longest doc, id tie-break)
+    * rather than d06's min-id canonical — the rule real corpus dedup
+    * ships with. One partitioned window over the shared components
+    * result; singletons keep themselves. */
+  val d09 = QueryDef(
+    "d09_best_of_cluster",
+    (sp, dir) => {
+      val docs = Tables(sp, dir, "documents")
+      val scored = canonicalDocs(sp, dir)
+        .join(docs.select(col("doc_id"), col("n_chars")), "doc_id")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("canonical_id")
+        .orderBy(col("n_chars").desc, col("doc_id"))
+      scored.withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1)
+        .select(col("canonical_id"), col("doc_id").as("kept_doc"),
+          col("n_chars").as("kept_chars"))
+        .orderBy("canonical_id")
+    },
+    Some(s"""
+      WITH RECURSIVE $shingleHashSql,
+      $componentsSql,
+      canon AS (SELECT d.doc_id, COALESCE(c.comp, d.doc_id) AS canonical_id,
+                  d.n_chars
+                FROM documents d LEFT JOIN comp c ON d.doc_id = c.id),
+      r AS (SELECT canonical_id, doc_id, n_chars,
+              ROW_NUMBER() OVER (PARTITION BY canonical_id
+                ORDER BY n_chars DESC, doc_id) AS rn
+            FROM canon)
+      SELECT canonical_id, doc_id AS kept_doc, n_chars AS kept_chars
+      FROM r WHERE rn = 1 ORDER BY canonical_id"""))
+
+  val defs: Seq[QueryDef] = Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09)
 }

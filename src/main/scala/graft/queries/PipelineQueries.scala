@@ -381,6 +381,51 @@ object PipelineQueries {
         MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
       FROM t GROUP BY split, source ORDER BY split, source"""))
 
+  /** Quality-gate attrition report: the chained corpus filters a
+    * training pipeline applies (length → language → token count →
+    * no-URL), each gate's survivor count computed as a conditional
+    * sum in ONE scan — no per-stage re-reads, no shuffle beyond the
+    * single scalar aggregate. Survival rates are single IEEE
+    * divisions of exact integers. */
+  val p12 = QueryDef(
+    "p12_filter_funnel",
+    (sp, dir) => {
+      val f1 = col("n_chars") >= 100
+      val f2 = f1 && col("lang").isin("en", "de", "fr", "es")
+      val f3 = f2 && size(split(col("text"), " ")) >= 20
+      val f4 = f3 && !col("text").contains("http")
+      def n(c: org.apache.spark.sql.Column) =
+        sum(when(c, 1L).otherwise(0L))
+      Tables(sp, dir, "documents")
+        .agg(count(lit(1)).as("n_total"),
+          n(f1).as("n_len"), n(f2).as("n_lang"),
+          n(f3).as("n_tok"), n(f4).as("n_clean"))
+        .withColumn("keep_rate",
+          col("n_clean").cast("double") / col("n_total"))
+    },
+    Some("""
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_total,
+        CAST(SUM(CASE WHEN n_chars >= 100 THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_len,
+        CAST(SUM(CASE WHEN n_chars >= 100
+              AND lang IN ('en','de','fr','es') THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_lang,
+        CAST(SUM(CASE WHEN n_chars >= 100
+              AND lang IN ('en','de','fr','es')
+              AND len(string_split(text, ' ')) >= 20 THEN 1 ELSE 0 END)
+          AS BIGINT) AS n_tok,
+        CAST(SUM(CASE WHEN n_chars >= 100
+              AND lang IN ('en','de','fr','es')
+              AND len(string_split(text, ' ')) >= 20
+              AND NOT contains(text, 'http') THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_clean,
+        CAST(SUM(CASE WHEN n_chars >= 100
+              AND lang IN ('en','de','fr','es')
+              AND len(string_split(text, ' ')) >= 20
+              AND NOT contains(text, 'http') THEN 1 ELSE 0 END) AS DOUBLE)
+          / COUNT(*) AS keep_rate
+      FROM documents"""))
+
   val defs: Seq[QueryDef] =
-    Seq(p01, p02, p03, p04, p05, p06, p07, p08, p09, p10, p11)
+    Seq(p01, p02, p03, p04, p05, p06, p07, p08, p09, p10, p11, p12)
 }

@@ -634,7 +634,36 @@ object RelationalWide {
         ON p.event_id = k.event_id
       ORDER BY p.event_id"""))
 
+  /** Per-user EWMA (α = 0.5) over the time-ordered event stream — the
+    * order-dependent recursive aggregate engines usually disagree on.
+    * Portable because BOTH sides run the identical sequential left
+    * fold over the identically-ordered list (SURVEY §4: ordered folds
+    * are bit-reproducible; 0.5 is exact in binary64). State per group
+    * = that user's event list — bounded by per-user activity, the
+    * documented collect_list caveat. */
+  val q54 = QueryDef(
+    "q54_ewma",
+    (sp, dir) => {
+      Tables(sp, dir, "events").filter(col("user_id") < 200)
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_events"),
+          aggregate(
+            transform(
+              array_sort(collect_list(struct(col("ts"), col("event_id"),
+                col("value")))),
+              s => s.getField("value")),
+            lit(0.0), (acc, x) => acc * lit(0.5) + x * lit(0.5)).as("ewma"))
+        .orderBy("user_id")
+    },
+    Some("""
+      SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+        list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+          list(value ORDER BY ts, event_id)),
+          (a, b) -> a * 0.5 + b * 0.5) AS ewma
+      FROM events WHERE user_id < 200
+      GROUP BY user_id ORDER BY user_id"""))
+
   val defs: Seq[QueryDef] =
     Seq(q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q45, q46, q47,
-      q48, q49, q50, q51, q52, q53)
+      q48, q49, q50, q51, q52, q53, q54)
 }
