@@ -361,5 +361,39 @@ object IngestQueries {
       WHERE user_id >= 100 AND user_id < 200
       GROUP BY event_type ORDER BY event_type"""))
 
-  val defs: Seq[QueryDef] = Seq(e01, e02, e03, e04, e05, e06, e07, e08, e09)
+  /** The reference pipeline's terminal hop — a JDBC sink — through the
+    * oracle gate: customer written to an embedded Derby database
+    * ([[Sinks.writeJdbc]], the same `DataFrameWriter.jdbc` call that
+    * targets SQLite/Postgres/warehouses), read back over JDBC, and
+    * aggregated; the oracle aggregates the original parquet, so a pass
+    * proves the round trip is value-faithful (DOUBLE survives
+    * bit-exactly, the decimal money sum pins the rest). In-memory DB:
+    * process-lifetime fixture, written once per JVM. */
+  val e10 = QueryDef(
+    "e10_jdbc_roundtrip",
+    (sp, dir) => {
+      import graft.Dsl.moneySum
+      val url = "jdbc:derby:memory:graft_e10;create=true"
+      val table = s"customer_${IngestFixtures.fingerprint(s"$dir/customer.parquet")}"
+      IngestFixtures.once(s"jdbc_$table") {
+        Sinks.writeJdbc(Tables(sp, dir, "customer")
+            .select("c_custkey", "c_mktsegment", "c_acctbal"),
+          url, table, numPartitions = 2)
+      }
+      Sinks.readJdbc(sp, url, table)
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_customers"),
+          moneySum(col("c_acctbal")).as("sum_acctbal"),
+          min(col("c_custkey")).as("min_key"),
+          max(col("c_custkey")).as("max_key"))
+        .orderBy("c_mktsegment")
+    },
+    Some("""
+      SELECT c_mktsegment, COUNT(*) AS n_customers,
+        CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_acctbal,
+        MIN(c_custkey) AS min_key, MAX(c_custkey) AS max_key
+      FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment"""))
+
+  val defs: Seq[QueryDef] =
+    Seq(e01, e02, e03, e04, e05, e06, e07, e08, e09, e10)
 }

@@ -83,6 +83,12 @@ object IngestFixtures {
     })
   }
 
+  /** Run `body` at most once per JVM for `key` — for fixtures whose
+    * lifetime is the process itself (e.g. an in-memory JDBC database
+    * that cannot outlive the JVM, so no on-disk staleness to probe). */
+  def once(key: String)(body: => Unit): Unit =
+    done.computeIfAbsent(s"once:$key", _ => { body; key })
+
   /** Like [[materialize]] but through
     * [[ClusteredWriter.writeRangeClustered]] — each file covers a
     * narrow key range so parquet min/max stats prune whole files. */
