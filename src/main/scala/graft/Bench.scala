@@ -29,9 +29,13 @@ object Bench {
     // Warm the JVM/codegen/scan paths once so per-query timings measure
     // the queries, not first-query JIT + session init. e01/e02 warm-up
     // also materializes the CSV/JSON fixtures OUTSIDE the timed region.
-    // e07's warm-up also writes the bucketed tables outside the timing.
+    // Every fixture-backed entry warms up too, so one-off fixture /
+    // bucketed-table / Derby writes land outside the timed region on a
+    // clean machine (their guards skip the write on the timed pass).
     Seq("q01_pricing_summary", "e01_csv_ingest", "e02_json_ingest",
-        "e07_bucketed_join").foreach {
+        "e03_partitioned_roundtrip", "e07_bucketed_join",
+        "e08_stream_sessions", "e09_clustered_scan",
+        "e10_jdbc_roundtrip").foreach {
       n => SparkEntry.queries.get(n)
         .foreach(f => try f(spark, sfDir).count() catch { case _: Throwable => })
     }
@@ -72,8 +76,12 @@ object Bench {
     val keys = results.map(_._1)
     val keyOf: String => String =
       if (keys.map(shortKey).distinct.size == keys.size) shortKey else identity
-    val candidates = Seq[Double => String](
-      v => f"$v%.3f", v => f"$v%.2f", v => f"$v%.1f").map(line(keyOf, _))
+    // Locale.ROOT: the f-interpolator uses the default locale, whose
+    // decimal separator may be ',' — which would make the line invalid
+    // JSON and silently null the driver's perf gate on such JVMs.
+    def fixed(digits: Int)(v: Double): String =
+      String.format(java.util.Locale.ROOT, s"%.${digits}f", Double.box(v))
+    val candidates = Seq(fixed(3) _, fixed(2) _, fixed(1) _).map(line(keyOf, _))
     println(candidates.find(_.length <= MaxLine).getOrElse(candidates.last))
     spark.stop()
   }

@@ -21,9 +21,16 @@ object Tables {
   // DataFrames are immutable plans, so sharing across queries is safe.
   // Weak session keys: test suites churn sessions; dead ones must not
   // pin their plans (or their SparkContexts) in a process-wide map.
+  // SOFT references around the values: a DataFrame strong-references
+  // its SparkSession, i.e. the weak KEY — held strongly, the entry
+  // could never be collected (the WeakHashMap value→key caveat); held
+  // softly, the chain breaks under memory pressure and the entry (and
+  // with it the dead session) becomes reclaimable. A cleared ref just
+  // rebuilds the plan.
   private val cache = java.util.Collections.synchronizedMap(
     new java.util.WeakHashMap[SparkSession,
-      scala.collection.concurrent.TrieMap[(String, String), DataFrame]]())
+      scala.collection.concurrent.TrieMap[(String, String),
+        java.lang.ref.SoftReference[DataFrame]]]())
 
   def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
     val perSession = cache.synchronized {
@@ -34,7 +41,13 @@ object Tables {
       }
       m
     }
-    perSession.getOrElseUpdate((dir, name), build(spark, dir, name))
+    perSession.get((dir, name)).flatMap(r => Option(r.get())) match {
+      case Some(df) => df
+      case None =>
+        val df = build(spark, dir, name)
+        perSession.put((dir, name), new java.lang.ref.SoftReference(df))
+        df
+    }
   }
 
   private def build(spark: SparkSession, dir: String, name: String): DataFrame =

@@ -17,15 +17,16 @@ object Components {
 
   /** Lineage truncation for the iterative loop, pluggable by runtime:
     * with a checkpoint dir set (cluster deployment) use reliable
-    * `checkpoint()` — survives executor loss, files reaped by the
-    * ContextCleaner; without one (local/test) use
-    * [[org.apache.spark.sql.graft.Bridge.truncatedLocal]], which
-    * checkpoints to local blocks AND hands back a release so each
-    * round can free its superseded predecessor deterministically
-    * instead of accumulating blocks until GC notices. */
+    * checkpointing — survives executor loss; without one (local/test)
+    * checkpoint to local blocks. BOTH paths hand back a release so
+    * each round frees its superseded predecessor deterministically:
+    * blocks would otherwise pile up until GC notices, and reliable
+    * checkpoint files are never reaped at all by default
+    * (`spark.cleaner.referenceTracking.cleanCheckpoints` is false) —
+    * an N-round run would leave N full label snapshots on disk. */
   private def truncate(df: DataFrame): (DataFrame, () => Unit) =
     if (df.sparkSession.sparkContext.getCheckpointDir.isDefined)
-      (df.checkpoint(eager = true), () => ())
+      org.apache.spark.sql.graft.Bridge.truncatedReliable(df)
     else org.apache.spark.sql.graft.Bridge.truncatedLocal(df)
 
   /** @param edges two long columns (`srcCol`, `dstCol`), undirected.

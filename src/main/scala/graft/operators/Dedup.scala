@@ -134,8 +134,11 @@ object Dedup {
       minJaccard: Double): DataFrame = {
     val sigs = minhashSignatures(docs, idCol, textCol, shingleN, k)
     val cands = minhashCandidates(sigs, bands, rows)
+    // not persisted: all three consumers live in ONE query, where
+    // ReusedExchange already shares the shuffled shingle set; a
+    // persist here would pin blocks with no owner to unpersist them
+    // (the operator never sees the action boundary).
     val sh = shingleHashSet(docs, idCol, textCol, shingleN)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
     // |A ∩ B| for candidate pairs only: fan each pair out over d1's
     // shingles, then equi-join on (shingle, d2) — both joins are hash

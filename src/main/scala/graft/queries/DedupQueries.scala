@@ -290,14 +290,19 @@ object DedupQueries {
       comp AS (SELECT a AS id, LEAST(a, MIN(b)) AS comp
                FROM reach GROUP BY a)"""
 
-  // d06 and d08 both consume the doc→canonical mapping, and building
+  // d06/d08/d09 all consume the doc→canonical mapping, and building
   // it RUNS the iterative component loop (per-round convergence
   // aggregates execute at plan-build time) — share one persisted copy
-  // per (session, dir) instead of running the loop twice. Weak session
-  // keys so dead test sessions don't pin blocks.
+  // per (session, dir) instead of running the loop three times. Weak
+  // session keys + SOFT value refs: the DataFrame strong-references
+  // the session (the weak key), so a strongly-held value would pin the
+  // entry forever (WeakHashMap value→key caveat); softly held, memory
+  // pressure clears the ref, the dead session becomes collectable, and
+  // the ContextCleaner then reaps the unreachable persisted blocks.
   private val canonCache = java.util.Collections.synchronizedMap(
     new java.util.WeakHashMap[org.apache.spark.sql.SparkSession,
-      scala.collection.concurrent.TrieMap[String, org.apache.spark.sql.DataFrame]]())
+      scala.collection.concurrent.TrieMap[String,
+        java.lang.ref.SoftReference[org.apache.spark.sql.DataFrame]]]())
 
   private def canonicalDocs(sp: org.apache.spark.sql.SparkSession,
       dir: String): org.apache.spark.sql.DataFrame = {
@@ -309,13 +314,18 @@ object DedupQueries {
       }
       m
     }
-    perSession.getOrElseUpdate(dir, {
-      val docs = Tables(sp, dir, "documents")
-      val pairs = Dedup.ngramJaccard(docs, "doc_id", "text", n = 3,
-        minJaccard = 0.2, maxDf = Some(64))
-      graft.operators.Components.canonicalize(docs, "doc_id", pairs, "d1", "d2")
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    })
+    perSession.get(dir).flatMap(r => Option(r.get())) match {
+      case Some(df) => df
+      case None =>
+        val docs = Tables(sp, dir, "documents")
+        val pairs = Dedup.ngramJaccard(docs, "doc_id", "text", n = 3,
+          minJaccard = 0.2, maxDf = Some(64))
+        val df = graft.operators.Components
+          .canonicalize(docs, "doc_id", pairs, "d1", "d2")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        perSession.put(dir, new java.lang.ref.SoftReference(df))
+        df
+    }
   }
 
   /** Near-dup cluster resolution: trigram-Jaccard pairs → connected

@@ -21,8 +21,15 @@ object IngestFixtures {
     */
   def fingerprint(sourcePath: String): String = {
     val root = new java.io.File(sourcePath)
+    // fail at the boundary: a typo'd path would otherwise hash as
+    // "name|0|0" and surface later as a baffling downstream read error
+    require(root.exists(), s"fingerprint: no such path $sourcePath")
     def walk(f: java.io.File): Seq[java.io.File] =
-      if (f.isDirectory) f.listFiles().sortBy(_.getName).toSeq.flatMap(walk)
+      if (f.isDirectory)
+        // listFiles is null on IO/permission errors, not just missing
+        Option(f.listFiles()).getOrElse(
+          sys.error(s"fingerprint: cannot list $f"))
+          .sortBy(_.getName).toSeq.flatMap(walk)
       else Seq(f)
     val md = java.security.MessageDigest.getInstance("SHA-256")
     walk(root).foreach { f =>

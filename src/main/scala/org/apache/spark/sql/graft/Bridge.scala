@@ -57,6 +57,34 @@ object Bridge {
     * once every downstream consumer has moved to a newer frame —
     * after truncation the RDD cannot be recomputed.
     */
+  /** Reliable lineage truncation with an explicit file-release handle.
+    *
+    * `Dataset.checkpoint(eager = true)` leaves every round's snapshot
+    * on the checkpoint dir: the ContextCleaner only deletes checkpoint
+    * files when `spark.cleaner.referenceTracking.cleanCheckpoints` is
+    * on (default FALSE) — an iterative loop would otherwise write one
+    * full copy of its state per round and delete none. Same shape as
+    * [[truncatedLocal]]: the release deletes the superseded round's
+    * files deterministically; call it only once every consumer has
+    * moved to a newer frame (the data is gone afterwards). Requires a
+    * checkpoint dir on the context. */
+  def truncatedReliable(df: org.apache.spark.sql.DataFrame)
+      : (org.apache.spark.sql.DataFrame, () => Unit) = {
+    val ds = df.asInstanceOf[org.apache.spark.sql.classic.Dataset[org.apache.spark.sql.Row]]
+    val sc = ds.sparkSession.sparkContext
+    require(sc.getCheckpointDir.isDefined,
+      "truncatedReliable needs SparkContext.setCheckpointDir")
+    val rdd = ds.queryExecution.toRdd.map(_.copy())
+    rdd.checkpoint()
+    rdd.count()
+    val out = ds.sparkSession.internalCreateDataFrame(rdd, ds.schema)
+    val release = () => rdd.getCheckpointFile.foreach { p =>
+      val path = new org.apache.hadoop.fs.Path(p)
+      path.getFileSystem(sc.hadoopConfiguration).delete(path, true)
+    }
+    (out, release)
+  }
+
   def truncatedLocal(df: org.apache.spark.sql.DataFrame)
       : (org.apache.spark.sql.DataFrame, () => Unit) = {
     val ds = df.asInstanceOf[org.apache.spark.sql.classic.Dataset[org.apache.spark.sql.Row]]
