@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.Dedup
+import graft.operators.{AsOfJoin, Dedup, Pipeline}
 import graft.sources.ClusteredWriter
 import org.apache.spark.sql.functions._
 
@@ -21,6 +21,35 @@ class ScaleOpsSpec extends SparkSpec {
       minJaccard = 0.3, maxDf = Some(3))
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(pairs === Set((0L, 1L)))
+  }
+
+  test("native as-of join matches the window formulation at 200k x 100k") {
+    val left = spark.range(200000).select(
+      (col("id") % 1000).as("k"), (col("id") * 7 % 1000000).as("ts"),
+      col("id").as("lid"))
+    val right = spark.range(100000).select(
+      (col("id") % 1000).as("rk"), (col("id") * 13 % 1000000).as("rts"),
+      col("id").as("rid"))
+    val native = AsOfJoin.nativeLeftAsOf(left, right,
+      "k", "ts", "rk", "rts", "rid").select("lid", "rid")
+    // window formulation breaks equal-(key, ts) ties by max payload =
+    // max rid — the same rule the native exec's tie sort encodes
+    val window = AsOfJoin.leftAsOf(left,
+        right.select(col("rk").as("k"), col("rts").as("ts"), col("rid")),
+        "k", "ts", Map("rid" -> "rid"))
+      .select("lid", "rid")
+    assert(native.exceptAll(window).count() === 0)
+    assert(window.exceptAll(native).count() === 0)
+  }
+
+  test("distributedNtile at 1M rows yields the exact NTILE bucket sizes") {
+    val n = 1000003  // remainder 3: first three buckets get the extra row
+    val df = spark.range(n).select(col("id"), (col("id") % 977).as("v"))
+    val sizes = Pipeline.distributedNtile(df, 4, "v", "id")
+      .groupBy("ntile").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(sizes === Map(1 -> 250001L, 2 -> 250001L, 3 -> 250001L,
+      4 -> 250000L))
   }
 
   test("range-clustered write produces narrow per-file key ranges") {
