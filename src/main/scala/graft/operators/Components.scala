@@ -23,11 +23,20 @@ object Components {
     * blocks would otherwise pile up until GC notices, and reliable
     * checkpoint files are never reaped at all by default
     * (`spark.cleaner.referenceTracking.cleanCheckpoints` is false) —
-    * an N-round run would leave N full label snapshots on disk. */
-  private def truncate(df: DataFrame): (DataFrame, () => Unit) =
+    * an N-round run would leave N full label snapshots on disk. The
+    * convergence scalar (exact sum of the `comp` column, index 1)
+    * rides in the SAME materialization job — one action per round,
+    * not materialize-then-aggregate. */
+  private def truncate(df: DataFrame)
+      : (DataFrame, java.math.BigInteger, () => Unit) = {
+    // the fused sum reads the raw 8-byte slot (InternalRow.getLong) —
+    // a non-long label column would be misread SILENTLY, so refuse it
+    require(df.schema(1).dataType == org.apache.spark.sql.types.LongType,
+      s"connectedComponents needs LONG node ids, got ${df.schema(1).dataType}")
     if (df.sparkSession.sparkContext.getCheckpointDir.isDefined)
-      org.apache.spark.sql.graft.Bridge.truncatedReliable(df)
-    else org.apache.spark.sql.graft.Bridge.truncatedLocal(df)
+      org.apache.spark.sql.graft.Bridge.truncatedReliableSum(df, sumIdx = 1)
+    else org.apache.spark.sql.graft.Bridge.truncatedLocalSum(df, sumIdx = 1)
+  }
 
   /** @param edges two long columns (`srcCol`, `dstCol`), undirected.
     * @return (id, component) — component = min node id reachable.
@@ -41,20 +50,12 @@ object Components {
     // truncate (not persist): iterative self-reference would
     // otherwise grow the logical plan exponentially — each round must
     // cut lineage, not just cache data.
-    var (labels, release) = truncate(
-      both.select(col("a").as("id")).distinct().withColumn("comp", col("id")))
     // Convergence check: min-propagation only ever DECREASES labels,
-    // so the label sum strictly decreases until the fixpoint — one
-    // cheap scan-aggregate per round instead of a self-join diff.
-    // decimal accumulator: 10^9 nodes × 10^18-sized ids would overflow
-    // a BIGINT sum; coalesce because sum over an EMPTY label set (no
-    // edges at all) is null, not zero
-    def labelSum(df: org.apache.spark.sql.DataFrame): java.math.BigDecimal =
-      df.agg(coalesce(
-          sum(col("comp").cast(org.apache.spark.sql.types.DecimalType(38, 0))),
-          lit(java.math.BigDecimal.ZERO)))
-        .head().getDecimal(0)
-    var prevSum = labelSum(labels)
+    // so the label sum strictly decreases until the fixpoint — and the
+    // sum comes fused out of each round's materialization job (exact
+    // BigInteger accumulation; an empty label set sums to zero).
+    var (labels, prevSum, release) = truncate(
+      both.select(col("a").as("id")).distinct().withColumn("comp", col("id")))
     var iter = 0
     var converged = false
     while (iter < maxIter && !converged) {
@@ -69,14 +70,13 @@ object Components {
       // pointer jump: also adopt the label OF my label (comp values are
       // always node ids within the same component, so this is safe and
       // cuts rounds from O(diameter) to O(log diameter))
-      val (next, nextRelease) = truncate(propagated
+      val (next, nextSum, nextRelease) = truncate(propagated
         .join(labels.select(col("id").as("jid"), col("comp").as("jcomp")),
           col("c1") === col("jid"), "left_outer")
         .select(col("id"), least(col("c1"), coalesce(col("jcomp"), col("c1"))).as("comp")))
       // `next` is eagerly materialized: the previous round's blocks
       // have no remaining consumer — free them now, don't wait for GC.
       release()
-      val nextSum = labelSum(next)
       labels = next
       release = nextRelease
       converged = nextSum.compareTo(prevSum) == 0

@@ -45,6 +45,33 @@ object Bridge {
     try f finally sc.checkpointDir = prev
   }
 
+  /** The materialization action for the truncation helpers below,
+    * fused with an exact sum of a long column — an iterative driver
+    * loop (graft.operators.Components) needs a convergence scalar
+    * every round, and computing it during the materialization pass
+    * halves the jobs per round versus materialize-then-aggregate.
+    * Long-chunked BigInteger accumulation: exact at any node count
+    * (the decimal-overflow rationale: 10^9 nodes × 10^18-sized ids
+    * overflow a plain long sum), order-independent. */
+  private def materializeWithSum(
+      rdd: org.apache.spark.rdd.RDD[org.apache.spark.sql.catalyst.InternalRow],
+      sumIdx: Int): java.math.BigInteger =
+    rdd.mapPartitions { it =>
+      var big = java.math.BigInteger.ZERO
+      var acc = 0L
+      while (it.hasNext) {
+        val r = it.next()
+        if (!r.isNullAt(sumIdx)) {
+          val v = r.getLong(sumIdx)
+          if ((v > 0 && acc > Long.MaxValue - v) ||
+              (v < 0 && acc < Long.MinValue - v)) {
+            big = big.add(java.math.BigInteger.valueOf(acc)); acc = v
+          } else acc += v
+        }
+      }
+      Iterator.single(big.add(java.math.BigInteger.valueOf(acc)))
+    }.fold(java.math.BigInteger.ZERO)(_.add(_))
+
   /** Local lineage truncation with an explicit block-release handle.
     *
     * `Dataset.localCheckpoint` persists the materialized rows but gives
@@ -53,10 +80,22 @@ object Bridge {
     * pass. This does what `localCheckpoint(eager = true)` does (copy
     * the unsafe rows, localCheckpoint the internal RDD, materialize),
     * but returns the RDD's `unpersist` so each round can free its
-    * predecessor deterministically. Safe to call the release only
-    * once every downstream consumer has moved to a newer frame —
-    * after truncation the RDD cannot be recomputed.
-    */
+    * predecessor deterministically — plus the fused exact sum of the
+    * long column at `sumIdx`. Safe to call the release only once every
+    * downstream consumer has moved to a newer frame — after truncation
+    * the RDD cannot be recomputed. */
+  def truncatedLocalSum(df: org.apache.spark.sql.DataFrame, sumIdx: Int)
+      : (org.apache.spark.sql.DataFrame, java.math.BigInteger, () => Unit) = {
+    val ds = df.asInstanceOf[org.apache.spark.sql.classic.Dataset[org.apache.spark.sql.Row]]
+    // unsafe rows are reused by the scan — copy before persisting,
+    // exactly as Dataset.checkpoint does
+    val rdd = ds.queryExecution.toRdd.map(_.copy())
+    rdd.localCheckpoint()
+    val sum = materializeWithSum(rdd, sumIdx)
+    val out = ds.sparkSession.internalCreateDataFrame(rdd, ds.schema)
+    (out, sum, () => { rdd.unpersist(blocking = false); () })
+  }
+
   /** Reliable lineage truncation with an explicit file-release handle.
     *
     * `Dataset.checkpoint(eager = true)` leaves every round's snapshot
@@ -64,36 +103,30 @@ object Bridge {
     * files when `spark.cleaner.referenceTracking.cleanCheckpoints` is
     * on (default FALSE) — an iterative loop would otherwise write one
     * full copy of its state per round and delete none. Same shape as
-    * [[truncatedLocal]]: the release deletes the superseded round's
+    * [[truncatedLocalSum]]: the release deletes the superseded round's
     * files deterministically; call it only once every consumer has
-    * moved to a newer frame (the data is gone afterwards). Requires a
-    * checkpoint dir on the context. */
-  def truncatedReliable(df: org.apache.spark.sql.DataFrame)
-      : (org.apache.spark.sql.DataFrame, () => Unit) = {
+    * moved to a newer frame (the data is gone afterwards). The RDD is
+    * cached across the materialize action so the checkpoint write
+    * reads the cache instead of recomputing the whole round's lineage
+    * (RDD.checkpoint's documented recomputation pitfall); the cache is
+    * dropped as soon as the file is written. Requires a checkpoint dir
+    * on the context. */
+  def truncatedReliableSum(df: org.apache.spark.sql.DataFrame, sumIdx: Int)
+      : (org.apache.spark.sql.DataFrame, java.math.BigInteger, () => Unit) = {
     val ds = df.asInstanceOf[org.apache.spark.sql.classic.Dataset[org.apache.spark.sql.Row]]
     val sc = ds.sparkSession.sparkContext
     require(sc.getCheckpointDir.isDefined,
-      "truncatedReliable needs SparkContext.setCheckpointDir")
+      "truncatedReliableSum needs SparkContext.setCheckpointDir")
     val rdd = ds.queryExecution.toRdd.map(_.copy())
+    rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     rdd.checkpoint()
-    rdd.count()
+    val sum = materializeWithSum(rdd, sumIdx)  // also writes the checkpoint
+    rdd.unpersist(blocking = false)            // reads now hit the file
     val out = ds.sparkSession.internalCreateDataFrame(rdd, ds.schema)
     val release = () => rdd.getCheckpointFile.foreach { p =>
       val path = new org.apache.hadoop.fs.Path(p)
       path.getFileSystem(sc.hadoopConfiguration).delete(path, true)
     }
-    (out, release)
-  }
-
-  def truncatedLocal(df: org.apache.spark.sql.DataFrame)
-      : (org.apache.spark.sql.DataFrame, () => Unit) = {
-    val ds = df.asInstanceOf[org.apache.spark.sql.classic.Dataset[org.apache.spark.sql.Row]]
-    // unsafe rows are reused by the scan — copy before persisting,
-    // exactly as Dataset.checkpoint does
-    val rdd = ds.queryExecution.toRdd.map(_.copy())
-    rdd.localCheckpoint()
-    rdd.count()
-    val out = ds.sparkSession.internalCreateDataFrame(rdd, ds.schema)
-    (out, () => { rdd.unpersist(blocking = false); () })
+    (out, sum, release)
   }
 }
