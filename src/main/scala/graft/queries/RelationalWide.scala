@@ -663,7 +663,40 @@ object RelationalWide {
       FROM events WHERE user_id < 200
       GROUP BY user_id ORDER BY user_id"""))
 
+  /** CUBE over return flag × line status: all four grouping levels in
+    * one pass (Spark plans a single Expand + hash aggregate — one
+    * shuffle regardless of how many grouping sets, exactly what a
+    * reporting layer wants at 100 TB instead of four separate scans).
+    * GROUPING() columns disambiguate rolled-up NULLs from data NULLs. */
+  val q55 = QueryDef(
+    "q55_cube",
+    (sp, dir) => {
+      Tables(sp, dir, "lineitem")
+        .cube("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("n_items"),
+          sum(col("l_quantity").cast(DecimalType(18, 2))).cast(DoubleType)
+            .as("sum_qty"),
+          Dsl.revSum(col("l_extendedprice"), col("l_discount"))
+            .as("sum_disc_price"),
+          grouping(col("l_returnflag")).as("g_flag"),
+          grouping(col("l_linestatus")).as("g_status"))
+        .orderBy(col("g_flag"), col("g_status"),
+          col("l_returnflag").asc_nulls_first,
+          col("l_linestatus").asc_nulls_first)
+    },
+    Some("""
+      SELECT l_returnflag, l_linestatus, COUNT(*) AS n_items,
+        CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) *
+          (CAST(1.00 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2))))
+          AS DOUBLE) AS sum_disc_price,
+        CAST(GROUPING(l_returnflag) AS TINYINT) AS g_flag,
+        CAST(GROUPING(l_linestatus) AS TINYINT) AS g_status
+      FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+      ORDER BY g_flag, g_status,
+        l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST"""))
+
   val defs: Seq[QueryDef] =
     Seq(q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q45, q46, q47,
-      q48, q49, q50, q51, q52, q53, q54)
+      q48, q49, q50, q51, q52, q53, q54, q55)
 }

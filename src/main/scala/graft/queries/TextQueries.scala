@@ -228,5 +228,46 @@ object TextQueries {
              ELSE 'hard' END AS band
       FROM s ORDER BY doc_id"""))
 
-  val defs: Seq[QueryDef] = Seq(t01, t02, t03, t04, t05, t06, t07)
+  /** Character-trigram language profile — the classic n-gram feature
+    * table a fastText-style language identifier trains on: the top 10
+    * trigrams per language with corpus counts. One scan; the explode
+    * fans each doc into length-2 trigram rows but the shuffle carries
+    * only (lang, trigram) compact keys, and the per-lang top-k is a
+    * rank-window cut over the aggregated (not raw) rows. */
+  val t08 = QueryDef(
+    "t08_char_ngrams",
+    (sp, dir) => {
+      val tri = Tables(sp, dir, "documents")
+        .select(col("lang"),
+          explode(
+            when(length(col("text")) < 3, array().cast("array<string>"))
+              .otherwise(transform(
+                sequence(lit(1), length(col("text")) - lit(2)),
+                i => col("text").substr(i, lit(3))))).as("trigram"))
+      val counted = tri.groupBy("lang", "trigram")
+        .agg(count(lit(1)).as("n"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("lang").orderBy(col("n").desc, col("trigram"))
+      counted.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 10)
+        .select(col("lang"), col("trigram"), col("n"),
+          col("rank").cast("int").as("rank"))
+        .orderBy("lang", "rank")
+    },
+    Some("""
+      WITH tri AS (
+        SELECT lang, unnest(CASE WHEN length(text) < 3 THEN []
+          ELSE list_transform(generate_series(1, CAST(length(text) - 2 AS INT)),
+                 i -> text[i:i+2]) END) AS trigram
+        FROM documents),
+      c AS (SELECT lang, trigram, COUNT(*) AS n FROM tri
+            GROUP BY lang, trigram),
+      r AS (SELECT lang, trigram, CAST(n AS BIGINT) AS n,
+              ROW_NUMBER() OVER (PARTITION BY lang
+                ORDER BY n DESC, trigram) AS rank
+            FROM c)
+      SELECT lang, trigram, n, CAST(rank AS INT) AS rank
+      FROM r WHERE rank <= 10 ORDER BY lang, rank"""))
+
+  val defs: Seq[QueryDef] = Seq(t01, t02, t03, t04, t05, t06, t07, t08)
 }
