@@ -394,6 +394,92 @@ object IngestQueries {
         MIN(c_custkey) AS min_key, MAX(c_custkey) AS max_key
       FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment"""))
 
+  /** Z-order clustered layout: events rewritten with a Morton
+    * bit-interleave of (user_id, ts) as the range-clustering key
+    * ([[graft.sources.ClusteredWriter.writeZOrdered]]), so BOTH
+    * dimensions get file/row-group locality — e09's lexicographic
+    * layout only prunes on its leading column. Read back with a band
+    * filter on each dimension; both predicates must reach the parquet
+    * scan as pushed filters (PlanAuditSpec). The oracle filters the
+    * original table — layout must never change results. */
+  val e11 = QueryDef(
+    "e11_zorder_scan",
+    (sp, dir) => {
+      import graft.Dsl.moneySum
+      val path = IngestFixtures.materializeZOrdered(
+        s"zorder_events_${IngestFixtures.fingerprint(s"$dir/events.parquet")}",
+        Tables(sp, dir, "events"), nFiles = 8, zCols = Seq("user_id", "ts"))
+      sp.read.parquet(path)
+        .filter(col("user_id") >= 2 && col("user_id") < 10 &&
+          col("ts") >= lit("2024-01-05").cast("timestamp") &&
+          col("ts") < lit("2024-01-25").cast("timestamp"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_events"),
+          countDistinct(col("user_id")).as("n_users"),
+          min(col("ts")).as("first_ts"),
+          max(col("ts")).as("last_ts"),
+          moneySum(col("value")).as("sum_value"))
+        .orderBy("event_type")
+    },
+    Some("""
+      SELECT event_type, COUNT(*) AS n_events,
+        COUNT(DISTINCT user_id) AS n_users,
+        MIN(ts) AS first_ts, MAX(ts) AS last_ts,
+        CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      FROM events
+      WHERE user_id >= 2 AND user_id < 10
+        AND ts >= TIMESTAMP '2024-01-05 00:00:00'
+        AND ts <  TIMESTAMP '2024-01-25 00:00:00'
+      GROUP BY event_type ORDER BY event_type"""))
+
+  /** Stream-stream interval join through the oracle gate: clicks and
+    * purchases of the same replayed event stream joined on user within
+    * a 1-hour attribution window
+    * ([[graft.streaming.StreamOps.attributedPurchases]] — watermarks
+    * on both sides + the time-range predicate bound the join state, so
+    * it runs indefinitely on unbounded streams). Inner-join matches
+    * emit in the arriving micro-batch (nothing watermark-withheld), so
+    * the AvailableNow replay yields the complete pair set; the sink is
+    * then batch-aggregated per user and DuckDB re-derives it with a
+    * batch self-join. Counts + a decimal sum keep the compare
+    * tie-order-insensitive. */
+  val e12 = QueryDef(
+    "e12_stream_join",
+    (sp, dir) => {
+      import graft.Dsl.moneySum
+      sp.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val schema = sp.read.parquet(s"$dir/events.parquet").schema
+      def src = sp.readStream.schema(schema).option("basePath", dir)
+        .parquet(s"$dir/events.parque[t]")
+        .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      val joined = graft.streaming.StreamOps.attributedPurchases(
+        clicks = src.filter(col("event_type") === "click"),
+        purchases = src.filter(col("event_type") === "purchase"))
+      val sink = s"e12_attr_${streamRuns.incrementAndGet()}"
+      val q = joined.writeStream.format("memory").queryName(sink)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      sp.table(sink)
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_pairs"),
+          countDistinct(col("purchase_id")).as("n_purchases"),
+          countDistinct(col("click_id")).as("n_clicks"),
+          moneySum(col("value")).as("sum_attributed"))
+        .orderBy("user_id")
+    },
+    Some("""
+      SELECT p.user_id, COUNT(*) AS n_pairs,
+        COUNT(DISTINCT p.event_id) AS n_purchases,
+        COUNT(DISTINCT c.event_id) AS n_clicks,
+        CAST(SUM(CAST(p.value AS DECIMAL(18,2))) AS DOUBLE) AS sum_attributed
+      FROM events p JOIN events c
+        ON c.user_id = p.user_id
+        AND p.event_type = 'purchase' AND c.event_type = 'click'
+        AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL 1 HOUR
+      GROUP BY p.user_id ORDER BY p.user_id"""))
+
   val defs: Seq[QueryDef] =
-    Seq(e01, e02, e03, e04, e05, e06, e07, e08, e09, e10)
+    Seq(e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11, e12)
 }

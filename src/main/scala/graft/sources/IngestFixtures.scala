@@ -110,6 +110,20 @@ object IngestFixtures {
     })
   }
 
+  /** Like [[materialize]] but through [[ClusteredWriter.writeZOrdered]]
+    * — Morton-interleaved multi-column clustering, so band filters on
+    * EITHER clustered column prune files/row-groups. */
+  def materializeZOrdered(key: String, df: => DataFrame, nFiles: Int,
+      zCols: Seq[String]): String = {
+    val path = s"/tmp/graft_ingest_v2/$key"
+    done.computeIfAbsent(path, _ => {
+      if (!new java.io.File(path, "_SUCCESS").exists()) {
+        ClusteredWriter.writeZOrdered(df, path, nFiles, zCols)
+      }
+      path
+    })
+  }
+
   /** Like [[materialize]] but through [[Sinks.writePartitionedParquet]]
     * — a Hive-style `col=value` directory layout, so the read side can
     * prove partition pruning against the oracle. */

@@ -77,6 +77,19 @@ class PlanAuditSpec extends SparkSpec {
       s"expected the id band in PushedFilters:\n${p.take(2000)}")
   }
 
+  test("e11 z-ordered scan pushes BOTH band filters into the parquet scan") {
+    // default maxMetadataStringLength (100) truncates the scan line
+    // before the ts predicates — widen it for this render
+    spark.conf.set("spark.sql.maxMetadataStringLength", "4000")
+    val pushed = try plan("e11_zorder_scan")
+      finally spark.conf.unset("spark.sql.maxMetadataStringLength")
+    assert(pushed.contains("GreaterThanOrEqual(user_id,2)")
+        && pushed.contains("LessThan(user_id,10)")
+        && pushed.contains("GreaterThanOrEqual(ts,")
+        && pushed.contains("LessThan(ts,"),
+      s"expected both bands in PushedFilters:\n${pushed.take(3000)}")
+  }
+
   test("e07 bucketed join elides both join-side exchanges") {
     val p = plan("e07_bucketed_join")
     assert(p.contains("SortMergeJoin"), s"merge hint must pin SMJ:\n${p.take(2000)}")
