@@ -62,6 +62,27 @@ object Pipeline {
       .filter(col("samp_rank") <= k)
   }
 
+  /** Class-balanced undersampling: every class kept at (approximately)
+    * the minimum class frequency, so the output distribution is
+    * uniform over classes. Per-class integer keep-thresholds
+    * `minCount * resolution div count` are derived from one small
+    * aggregate over the input (num-classes rows — broadcast join back;
+    * the window-min runs over that tiny frame, never the data), then
+    * membership is the same pure [[idHash]] filter rate sampling uses:
+    * deterministic, re-runnable, no shuffle of the data itself. */
+  def classBalance(df: DataFrame, idCol: String, classCol: String,
+      resolution: Long = 100000L): DataFrame = {
+    val counts = df.groupBy(classCol).agg(count(lit(1)).as("__n"))
+    // integer `div`, not double `/`: a double quotient can round up
+    // across an integer boundary and admit one extra per-mille bucket
+    val thr = counts
+      .withColumn("__min", min(col("__n")).over(Window.partitionBy()))
+      .withColumn("__thr", expr(s"(__min * ${resolution}L) div __n"))
+    df.join(broadcast(thr), classCol)
+      .filter(idHash(col(idCol)) % lit(resolution) < col("__thr"))
+      .drop("__n", "__min", "__thr")
+  }
+
   /** Benchmark decontamination: count shingle hashes each corpus doc
     * shares with a (small, broadcast) benchmark set; a doc is
     * contaminated at `minShared` overlapping shingles. The benchmark

@@ -480,6 +480,58 @@ object IngestQueries {
         AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL 1 HOUR
       GROUP BY p.user_id ORDER BY p.user_id"""))
 
+  /** CDC merge-apply ([[graft.operators.Cdc]]): fold a keyed
+    * upsert/delete change batch into a base snapshot — MERGE INTO as
+    * a batch operator. The change batch here is derived from lineitem
+    * (one version per line, line number as the sequence; returned
+    * lines become deletes), so the merge exercises multi-version keys,
+    * deletes, and untouched base rows against real data. The oracle
+    * re-derives the final-version pick, anti-join, and union in SQL. */
+  val e13 = QueryDef(
+    "e13_cdc_apply",
+    (sp, dir) => {
+      import graft.Dsl.moneySum
+      val base = Tables(sp, dir, "orders")
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+      val changes = Tables(sp, dir, "lineitem")
+        .filter(col("l_orderkey") % 3 === 0)
+        .select(col("l_orderkey").as("o_orderkey"),
+          col("l_linestatus").as("o_orderstatus"),
+          col("l_extendedprice").as("o_totalprice"),
+          when(col("l_returnflag") === "R", "D").otherwise("U").as("op"),
+          col("l_linenumber").as("seq"))
+      graft.operators.Cdc(base, changes, "o_orderkey", "op", "seq")
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n_orders"),
+          moneySum(col("o_totalprice")).as("sum_price"),
+          min(col("o_orderkey")).as("min_key"),
+          max(col("o_orderkey")).as("max_key"))
+        .orderBy("o_orderstatus")
+    },
+    Some("""
+      WITH ch AS (
+        SELECT l_orderkey AS o_orderkey, l_linestatus AS o_orderstatus,
+          l_extendedprice AS o_totalprice,
+          CASE WHEN l_returnflag = 'R' THEN 'D' ELSE 'U' END AS op,
+          l_linenumber AS seq
+        FROM lineitem WHERE l_orderkey % 3 = 0),
+      fin AS (
+        SELECT * FROM (
+          SELECT ch.*, ROW_NUMBER() OVER (PARTITION BY o_orderkey
+            ORDER BY seq DESC, op DESC, o_orderstatus DESC,
+              o_totalprice DESC) AS rn
+          FROM ch) WHERE rn = 1),
+      next AS (
+        SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+        WHERE o_orderkey NOT IN (SELECT o_orderkey FROM fin)
+        UNION ALL
+        SELECT o_orderkey, o_orderstatus, o_totalprice FROM fin
+        WHERE op = 'U')
+      SELECT o_orderstatus, COUNT(*) AS n_orders,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+        MIN(o_orderkey) AS min_key, MAX(o_orderkey) AS max_key
+      FROM next GROUP BY o_orderstatus ORDER BY o_orderstatus"""))
+
   val defs: Seq[QueryDef] =
-    Seq(e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11, e12)
+    Seq(e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11, e12, e13)
 }

@@ -426,6 +426,33 @@ object PipelineQueries {
           / COUNT(*) AS keep_rate
       FROM documents"""))
 
+  /** Class-balanced undersampling ([[Pipeline.classBalance]]): every
+    * language resampled down to ~the rarest language's frequency —
+    * the de-skew step before mixing a multilingual training corpus.
+    * Output is the per-class audit (kept vs total vs threshold); the
+    * oracle re-derives the integer thresholds and the LCG membership
+    * filter in SQL. */
+  val p13 = QueryDef(
+    "p13_class_balance",
+    (sp, dir) => {
+      val docs = Tables(sp, dir, "documents")
+      Pipeline.classBalance(docs, "doc_id", "lang")
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_kept"),
+          sum(col("n_chars")).as("sum_chars"))
+        .join(docs.groupBy("lang").agg(count(lit(1)).as("n_total")), "lang")
+        .orderBy("lang")
+    },
+    Some("""
+      WITH c AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang),
+      t AS (SELECT lang, n, (MIN(n) OVER ()) * 100000 // n AS thr FROM c)
+      SELECT d.lang, CAST(COUNT(*) AS BIGINT) AS n_kept,
+        CAST(SUM(d.n_chars) AS BIGINT) AS sum_chars,
+        CAST(MAX(t.n) AS BIGINT) AS n_total
+      FROM documents d JOIN t USING (lang)
+      WHERE (d.doc_id * 1103515245 + 12345) % 2147483647 % 100000 < t.thr
+      GROUP BY d.lang ORDER BY d.lang"""))
+
   val defs: Seq[QueryDef] =
-    Seq(p01, p02, p03, p04, p05, p06, p07, p08, p09, p10, p11, p12)
+    Seq(p01, p02, p03, p04, p05, p06, p07, p08, p09, p10, p11, p12, p13)
 }

@@ -51,6 +51,28 @@ class PipelineSpec extends SparkSpec {
       (2L, 200L, 0L), (3L, 300L, 1L)))
   }
 
+  test("classBalance undersamples every class toward the rarest class's count") {
+    // 3 classes with 40/200/1000 members: balanced output keeps ~40 each
+    val rows = (0 until 40).map(i => (i.toLong, "rare")) ++
+      (1000 until 1200).map(i => (i.toLong, "mid")) ++
+      (10000 until 11000).map(i => (i.toLong, "big"))
+    val d = rows.toDF("doc_id", "cls")
+    val kept = Pipeline.classBalance(d, "doc_id", "cls")
+      .groupBy("cls").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // the rare class keeps everything (threshold = resolution)
+    assert(kept("rare") === 40L)
+    // LCG-hash membership is approximate at small n — allow ±40%
+    assert(kept("mid") >= 24 && kept("mid") <= 56, s"mid=${kept("mid")}")
+    assert(kept("big") >= 24 && kept("big") <= 56, s"big=${kept("big")}")
+    // deterministic: a re-run keeps exactly the same rows
+    val a = Pipeline.classBalance(d, "doc_id", "cls")
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    val b = Pipeline.classBalance(d, "doc_id", "cls")
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(a === b)
+  }
+
   test("distributedNtile matches the window ntile exactly, ties and remainders included") {
     import org.apache.spark.sql.expressions.Window
     // heavy ties (v = i/7) + sizes where N < n, N % n == 0, N % n != 0
