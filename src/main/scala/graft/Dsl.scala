@@ -31,6 +31,12 @@ object Dsl {
     sum(price.cast(DecimalType(12, 2)) * (one - disc.cast(DecimalType(4, 2))))
       .cast(DoubleType)
 
+  /** [[revSum]] without the final double cast — keeps the exact
+    * decimal so a second aggregation level can re-sum it losslessly
+    * (pre-aggregate → CUBE/ROLLUP re-aggregation). */
+  def revSumDec(price: Column, disc: Column): Column =
+    sum(price.cast(DecimalType(12, 2)) * (one - disc.cast(DecimalType(4, 2))))
+
   /** SUM(price * (1 - disc) * (1 + tax)) exactly. */
   def revTaxSum(price: Column, disc: Column, tax: Column): Column =
     sum(price.cast(DecimalType(12, 2)) * (one - disc.cast(DecimalType(4, 2)))
