@@ -66,4 +66,33 @@ class ScaleOpsSpec extends SparkSpec {
     assert(spans.length >= 4)
     assert(spans.forall(_ < 10000 / 4))
   }
+
+  test("bloom semi-join stays exact at 1M fact rows against a 10k dim") {
+    val fact = spark.range(1000000).select(
+      (col("id") * 2654435761L % 3000000L).as("k"), col("id").as("v"))
+    val dim = spark.range(10000).select((col("id") * 31L).as("dk"))
+    val got = graft.operators.BloomSemi
+      .semiJoin(fact, "k", dim, "dk", mBits = 1 << 20)
+    val want = fact.join(dim, col("k") === col("dk"), "left_semi")
+    assert(got.exceptAll(want).count() === 0)
+    assert(want.exceptAll(got).count() === 0)
+  }
+
+  test("cdc apply at 1M base with a 100k multi-version change batch") {
+    val base = spark.range(1000000).select(col("id").as("k"),
+      lit("base").as("s"), (col("id") % 1000).cast("double").as("v"))
+    // 100k versions over 50k keys: even seq upserts, odd seq deletes —
+    // per key the final op is seq=2's, i.e. keys 0..49999 all get a
+    // final U (seq 2 even) with v = k + 2
+    val changes = spark.range(100000).select(
+      (col("id") % 50000).as("k"), lit("chg").as("s"),
+      (col("id") % 50000 + expr("id div 50000") + 1).cast("double").as("v"),
+      when((expr("id div 50000") + 1) % 2 === 0, "U").otherwise("D").as("op"),
+      (expr("id div 50000") + 1).as("seq"))
+    val out = graft.operators.Cdc(base, changes, "k", "op", "seq")
+    assert(out.count() === 1000000L)  // 950k untouched + 50k final upserts
+    val changed = out.filter(col("s") === "chg")
+    assert(changed.count() === 50000L)
+    assert(changed.filter(col("v") =!= col("k") + 2).count() === 0L)
+  }
 }
