@@ -35,7 +35,8 @@ object Bench {
     Seq("q01_pricing_summary", "e01_csv_ingest", "e02_json_ingest",
         "e03_partitioned_roundtrip", "e07_bucketed_join",
         "e08_stream_sessions", "e09_clustered_scan",
-        "e10_jdbc_roundtrip", "e11_zorder_scan", "e12_stream_join").foreach {
+        "e10_jdbc_roundtrip", "e11_zorder_scan", "e12_stream_join",
+        "e14_schema_evolution").foreach {
       n => SparkEntry.queries.get(n)
         .foreach(f => try f(spark, sfDir).count() catch { case _: Throwable => })
     }

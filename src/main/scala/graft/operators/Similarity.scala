@@ -40,6 +40,22 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
+  /** Radius (range) search: every corpus vector with cosine >= the
+    * threshold, per query — the "find ALL near neighbors" variant
+    * top-k can't express (k is unknown a priori). Same scale shape as
+    * [[bruteForceTopK]]: queries broadcast, corpus streamed once, no
+    * per-query state — and no rank window at all, so the filter runs
+    * entirely inside the scan's codegen stage. */
+  def radiusSearch(queries: DataFrame, corpus: DataFrame,
+      minCosine: Double): DataFrame = {
+    val q = queries.select(col("id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
+    val c = corpus.select(col("id").as("n_id"), col("v").as("cv"), col("nrm").as("cn"))
+    broadcast(q).join(c)
+      .select(col("q_id"), col("n_id"),
+        cosine(col("qv"), col("qn"), col("cv"), col("cn")).as("cosine"))
+      .filter(col("cosine") >= minCosine)
+  }
+
   /** Deterministic ±1 random hyperplanes (LCG seed 7) for sign-LSH. */
   def hyperplanes(nPlanes: Int, dim: Int): Seq[Seq[Double]] = {
     var s = 7L

@@ -532,6 +532,47 @@ object IngestQueries {
         MIN(o_orderkey) AS min_key, MAX(o_orderkey) AS max_key
       FROM next GROUP BY o_orderstatus ORDER BY o_orderstatus"""))
 
+  /** Schema-evolution read: two producer generations land in one
+    * dataset — the old batch (even doc ids) has no `score` column, the
+    * new batch (odd ids) does. `mergeSchema` unifies them at read time
+    * (old rows surface NULL scores) with no rewrite of the old files —
+    * at 100 TB, rewriting history for every added column is the thing
+    * a lake must never do. The oracle re-derives the union (NULL
+    * score for evens) from the original table. */
+  val e14 = QueryDef(
+    "e14_schema_evolution",
+    (sp, dir) => {
+      val path = IngestFixtures.materializeEvolved(
+        s"evolved_documents_${IngestFixtures.fingerprint(s"$dir/documents.parquet")}",
+        Seq(
+          "v1" -> (() => Tables(sp, dir, "documents")
+            .filter(col("doc_id") % 2 === 0)
+            .select("doc_id", "lang", "n_chars")),
+          "v2" -> (() => Tables(sp, dir, "documents")
+            .filter(col("doc_id") % 2 === 1)
+            .select(col("doc_id"), col("lang"), col("n_chars"),
+              (col("n_chars") * 2).as("score")))))
+      sp.read.option("mergeSchema", "true").parquet(path)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          count(col("score")).as("n_scored"),
+          sum(col("n_chars")).as("sum_chars"),
+          sum(coalesce(col("score"), lit(0L))).as("sum_score"))
+        .orderBy("lang")
+    },
+    Some("""
+      WITH unified AS (
+        SELECT doc_id, lang, n_chars, NULL AS score
+        FROM documents WHERE doc_id % 2 = 0
+        UNION ALL
+        SELECT doc_id, lang, n_chars, n_chars * 2 AS score
+        FROM documents WHERE doc_id % 2 = 1)
+      SELECT lang, COUNT(*) AS n_docs,
+        CAST(COUNT(score) AS BIGINT) AS n_scored,
+        CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+        CAST(SUM(COALESCE(score, 0)) AS BIGINT) AS sum_score
+      FROM unified GROUP BY lang ORDER BY lang"""))
+
   val defs: Seq[QueryDef] =
-    Seq(e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11, e12, e13)
+    Seq(e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11, e12, e13, e14)
 }

@@ -167,5 +167,27 @@ object SimilarityQueries {
       FROM p JOIN e ON p.q_id = e.vec_id
       WHERE vr = 1 ORDER BY q_id"""))
 
-  val defs: Seq[QueryDef] = Seq(s01, s02, s03, s04)
+  /** Cosine radius search ([[Similarity.radiusSearch]]): ALL corpus
+    * vectors within the threshold, per query — the range variant of
+    * s01 (k unknown a priori; no rank window, pure codegen filter). */
+  val s05 = QueryDef(
+    "s05_radius_search",
+    (sp, dir) => {
+      val all = Similarity.prep(Tables(sp, dir, "embeddings"), "vec_id", "embedding")
+      val queries = all.filter(col("id") < 10)
+      val corpus = all.filter(col("id") >= 10)
+      Similarity.radiusSearch(queries, corpus, minCosine = 0.15)
+        .orderBy("q_id", "n_id")
+    },
+    Some(s"""
+      WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
+      n AS (SELECT vec_id, v, sqrt(${foldDot.format("v", "v")}) nrm FROM e),
+      q AS (SELECT vec_id q_id, v qv, nrm qn FROM n WHERE vec_id < 10),
+      c AS (SELECT vec_id n_id, v cv, nrm cn FROM n WHERE vec_id >= 10)
+      SELECT q_id, n_id, ${foldDot.format("qv", "cv")} / (qn * cn) AS cosine
+      FROM q CROSS JOIN c
+      WHERE ${foldDot.format("qv", "cv")} / (qn * cn) >= 0.15
+      ORDER BY q_id, n_id"""))
+
+  val defs: Seq[QueryDef] = Seq(s01, s02, s03, s04, s05)
 }

@@ -124,6 +124,25 @@ object IngestFixtures {
     })
   }
 
+  /** A schema-evolution landing zone: each named batch written as a
+    * `batch=<name>` partition directory with ITS OWN schema (older
+    * batches typically lack newer columns). The read side must
+    * `mergeSchema` — a root `_SUCCESS` marks the whole set complete. */
+  def materializeEvolved(key: String,
+      batches: Seq[(String, () => DataFrame)]): String = {
+    val path = s"/tmp/graft_ingest_v2/$key"
+    done.computeIfAbsent(path, _ => {
+      if (!new java.io.File(path, "_SUCCESS").exists()) {
+        batches.foreach { case (name, df) =>
+          df().coalesce(2).write.mode("overwrite")
+            .parquet(s"$path/batch=$name")
+        }
+        new java.io.File(path, "_SUCCESS").createNewFile()
+      }
+      path
+    })
+  }
+
   /** Like [[materialize]] but through [[Sinks.writePartitionedParquet]]
     * — a Hive-style `col=value` directory layout, so the read side can
     * prove partition pruning against the oracle. */

@@ -111,7 +111,9 @@ class PlanAuditSpec extends SparkSpec {
     // bounded replication, not corpus². Everything else must join on
     // a real key.
     // s04 votes over s01's exact top-k (same declared baseline).
-    val allow = Set("s01_cosine_topk", "s03_ivf_ann", "s04_knn_classify")
+    // s05 is s01's range variant: same broadcast-queries × corpus scan.
+    val allow = Set("s01_cosine_topk", "s03_ivf_ann", "s04_knn_classify",
+      "s05_radius_search")
     val offenders = Catalog.all.filterNot(q => allow(q.name)).flatMap { q =>
       val p = q.build(spark, dir).queryExecution.executedPlan.toString
       if (p.contains("BroadcastNestedLoopJoin") || p.contains("CartesianProduct"))
