@@ -9,6 +9,7 @@ object Catalog {
       queries.RelationalExt.defs ++
       queries.RelationalMore.defs ++
       queries.RelationalWide.defs ++
+      queries.RelationalNext.defs ++
       queries.PipelineQueries.defs ++
       queries.DedupQueries.defs ++
       queries.SimilarityQueries.defs ++

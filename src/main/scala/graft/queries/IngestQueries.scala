@@ -573,6 +573,37 @@ object IngestQueries {
         CAST(SUM(COALESCE(score, 0)) AS BIGINT) AS sum_score
       FROM unified GROUP BY lang ORDER BY lang"""))
 
+  /** ORC round trip: write orders as ORC (Spark's second columnar
+    * format — same predicate-pushdown/column-pruning contract as
+    * parquet), read it back, aggregate. The oracle reads the original
+    * parquet, so any encode/decode drift (decimals, nulls, string
+    * enc) between the two formats fails the hash. */
+  val e15 = QueryDef(
+    "e15_orc_roundtrip",
+    (sp, dir) => {
+      import graft.Dsl.moneySum
+      val path = IngestFixtures.materialize(
+        s"orc_orders_${IngestFixtures.fingerprint(s"$dir/orders.parquet")}",
+        "orc", Tables(sp, dir, "orders"))
+      sp.read.orc(path)
+        .filter(col("o_totalprice") > 1000.0)
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_orders"),
+          moneySum(col("o_totalprice")).as("sum_price"),
+          countDistinct(col("o_custkey")).as("n_custs"),
+          min(col("o_orderkey")).as("min_key"),
+          max(col("o_orderkey")).as("max_key"))
+        .orderBy("o_orderpriority")
+    },
+    Some("""
+      SELECT o_orderpriority, COUNT(*) AS n_orders,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+        CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_custs,
+        MIN(o_orderkey) AS min_key, MAX(o_orderkey) AS max_key
+      FROM orders WHERE o_totalprice > 1000.0
+      GROUP BY o_orderpriority ORDER BY o_orderpriority"""))
+
   val defs: Seq[QueryDef] =
-    Seq(e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11, e12, e13, e14)
+    Seq(e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11, e12, e13,
+      e14, e15)
 }

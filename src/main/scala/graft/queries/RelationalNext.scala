@@ -1,0 +1,159 @@
+package graft.queries
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Relational coverage, continued (q57+): interval-sweep concurrency,
+  * Count-Min heavy hitters, gaps-and-islands streaks.
+  *
+  * Determinism: all integer arithmetic (counts, epoch-microsecond
+  * sweeps, sketch counters) or date arithmetic — nothing here touches
+  * order-dependent floating-point accumulation.
+  */
+object RelationalNext {
+
+  /** Peak concurrency via the classic interval sweep: each event opens
+    * a session of `60 + floor(value)` seconds (clipped to its day, end
+    * exclusive); +1/-1 boundary points, a running sum per
+    * (event_type, day) partition, max prefix = peak concurrent
+    * sessions. The sweep window partitions on type×day, so partition
+    * width is bounded by a day's traffic per type — no global sort at
+    * any scale; ties carry equal deltas, so the peak is
+    * order-invariant within a tie group. Epoch-microsecond BIGINTs
+    * sidestep engine interval-arithmetic differences. */
+  val q57 = QueryDef(
+    "q57_peak_concurrency",
+    (sp, dir) => {
+      val iv = Tables(sp, dir, "events")
+        .select(col("event_type"),
+          date_trunc("day", col("ts")).as("day"),
+          unix_micros(col("ts")).as("t0"),
+          floor(col("value")).cast("long").as("dur_s"))
+        .withColumn("t1",
+          least(col("t0") + (col("dur_s") + 60L) * 1000000L,
+            unix_micros(col("day")) + lit(86400000000L)))
+      graft.operators.IntervalSweep.peakConcurrency(iv,
+          Seq("event_type", "day"), "t0", "t1")
+        .orderBy("event_type", "day")
+    },
+    Some("""
+      WITH iv AS (
+        SELECT event_type, DATE_TRUNC('day', ts) AS day,
+          epoch_us(ts) AS t0,
+          least(epoch_us(ts) + (CAST(FLOOR(value) AS BIGINT) + 60) * 1000000,
+                epoch_us(DATE_TRUNC('day', ts)) + 86400000000) AS t1
+        FROM events),
+      pts AS (
+        SELECT event_type, day, t0 AS t, 1 AS delta FROM iv
+        UNION ALL
+        SELECT event_type, day, t1 AS t, -1 AS delta FROM iv),
+      swept AS (
+        SELECT event_type, day, delta,
+          SUM(delta) OVER (PARTITION BY event_type, day
+            ORDER BY t, delta ROWS UNBOUNDED PRECEDING) AS run
+        FROM pts)
+      SELECT event_type, day,
+        CAST(SUM(CASE WHEN delta = 1 THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_intervals,
+        CAST(MAX(run) AS BIGINT) AS peak
+      FROM swept GROUP BY event_type, day
+      ORDER BY event_type, day"""))
+
+  /** Count-Min heavy hitters ([[graft.operators.CountMin]]): top-20
+    * part keys by sketch estimate, exact count and overcount alongside.
+    * The oracle replays the identical integer hash rows and counters,
+    * so the sketch's exact contents — not just its error bound — are
+    * DuckDB-checked. */
+  val q58 = QueryDef(
+    "q58_heavy_hitters",
+    (sp, dir) => {
+      graft.operators.CountMin.heavyHitters(
+          Tables(sp, dir, "lineitem").select(col("l_partkey")),
+          "l_partkey", w = 1024, k = 20)
+        .orderBy("rank")
+    },
+    Some {
+      val hashRows = graft.operators.CountMin.rowParams.zipWithIndex
+        .map { case ((a, b), i) =>
+          s"SELECT $i AS row, (($a * key + $b) % 2147483647) % 1024 AS bucket, key FROM keys"
+        }.mkString("\n        UNION ALL ")
+      s"""
+      WITH keys AS (
+        SELECT l_partkey AS key, COUNT(*) AS exact_cnt
+        FROM lineitem GROUP BY 1),
+      routed AS (
+        SELECT r.row, r.bucket, k.key, k.exact_cnt
+        FROM ($hashRows) r JOIN keys k USING (key)),
+      counters AS (
+        SELECT row, bucket, SUM(exact_cnt) AS counter
+        FROM routed GROUP BY row, bucket),
+      est AS (
+        SELECT r.key, r.exact_cnt, MIN(c.counter) AS cms_estimate
+        FROM routed r JOIN counters c USING (row, bucket)
+        GROUP BY r.key, r.exact_cnt),
+      ranked AS (
+        SELECT key, exact_cnt, cms_estimate,
+          ROW_NUMBER() OVER (ORDER BY cms_estimate DESC, key) AS rank
+        FROM est)
+      SELECT key, CAST(exact_cnt AS BIGINT) AS exact_cnt,
+        CAST(cms_estimate AS BIGINT) AS cms_estimate,
+        CAST(cms_estimate - exact_cnt AS BIGINT) AS overcount,
+        CAST(rank AS INT) AS rank
+      FROM ranked WHERE rank <= 20 ORDER BY rank"""
+    })
+
+  /** Gaps-and-islands: longest consecutive-active-day streak per user.
+    * The `day - row_number()` trick turns each run of consecutive days
+    * into a constant group key — two window/agg passes, both
+    * partitioned by user, no self-join; per-user longest streak breaks
+    * ties toward the earliest start. */
+  val q59 = QueryDef(
+    "q59_activity_streaks",
+    (sp, dir) => {
+      val days = Tables(sp, dir, "events")
+        .select(col("user_id"), to_date(col("ts")).as("day"))
+        .distinct()
+      val byDay = Window.partitionBy("user_id").orderBy("day")
+      val streaks = days
+        .withColumn("grp", date_sub(col("day"), row_number().over(byDay)))
+        .groupBy("user_id", "grp")
+        .agg(count(lit(1)).as("len"), min(col("day")).as("start"))
+      val best = Window.partitionBy("user_id")
+        .orderBy(col("len").desc, col("start"))
+      val perUser = Window.partitionBy("user_id")
+      streaks
+        .withColumn("rn", row_number().over(best))
+        .withColumn("n_streaks", count(lit(1)).over(perUser))
+        .withColumn("n_active_days", sum(col("len")).over(perUser))
+        .filter(col("rn") === 1)
+        .select(col("user_id"), col("len").as("best_len"),
+          col("start").as("best_start"), col("n_streaks"),
+          col("n_active_days"))
+        .orderBy("user_id")
+    },
+    Some("""
+      WITH days AS (
+        SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+      isl AS (
+        SELECT user_id, day,
+          day - CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY day)
+            AS INT) AS grp
+        FROM days),
+      streaks AS (
+        SELECT user_id, grp, COUNT(*) AS len, MIN(day) AS start
+        FROM isl GROUP BY user_id, grp),
+      ranked AS (
+        SELECT user_id, len, start,
+          ROW_NUMBER() OVER (PARTITION BY user_id
+            ORDER BY len DESC, start) AS rn,
+          COUNT(*) OVER (PARTITION BY user_id) AS n_streaks,
+          SUM(len) OVER (PARTITION BY user_id) AS n_active_days
+        FROM streaks)
+      SELECT user_id, CAST(len AS BIGINT) AS best_len, start AS best_start,
+        CAST(n_streaks AS BIGINT) AS n_streaks,
+        CAST(n_active_days AS BIGINT) AS n_active_days
+      FROM ranked WHERE rn = 1 ORDER BY user_id"""))
+
+  val defs: Seq[QueryDef] = Seq(q57, q58, q59)
+}

@@ -12,6 +12,17 @@ object SimilarityQueries {
   private val foldDot =
     "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(list_zip(%s, %s), x -> x[1] * x[2])), (a, b) -> a + b)"
 
+  /** The s02 sign-LSH bucket id, in DuckDB SQL: one bit per
+    * deterministic hyperplane, reproduced from the same
+    * [[Similarity.hyperplanes]] the Spark side uses. */
+  private def bucketSql(nPlanes: Int, dim: Int): String = {
+    def planeLit(p: Seq[Double]): String =
+      p.map(x => if (x > 0) "1.0" else "-1.0").mkString("[", ", ", "]")
+    Similarity.hyperplanes(nPlanes, dim).zipWithIndex.map { case (p, i) =>
+      s"(CASE WHEN ${foldDot.format("v", s"${planeLit(p)}::DOUBLE[]")} > 0 THEN ${1L << i} ELSE 0 END)"
+    }.mkString("(", " + ", ")")
+  }
+
   /** Brute-force exact cosine top-5 — the ANN correctness baseline. */
   val s01 = QueryDef(
     "s01_cosine_topk",
@@ -48,16 +59,10 @@ object SimilarityQueries {
         .orderBy("q_id", "rank")
     },
     Some {
-      val planes = Similarity.hyperplanes(8, 64)
-      def planeLit(p: Seq[Double]): String =
-        p.map(x => if (x > 0) "1.0" else "-1.0").mkString("[", ", ", "]")
-      val bucketExpr = planes.zipWithIndex.map { case (p, i) =>
-        s"(CASE WHEN ${foldDot.format("v", s"${planeLit(p)}::DOUBLE[]")} > 0 THEN ${1L << i} ELSE 0 END)"
-      }.mkString("(", " + ", ")")
       s"""
       WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
       n AS (SELECT vec_id, v, sqrt(${foldDot.format("v", "v")}) nrm,
-              $bucketExpr AS bucket
+              ${bucketSql(8, 64)} AS bucket
             FROM e),
       q AS (SELECT vec_id q_id, v qv, nrm qn, bucket FROM n WHERE vec_id < 10),
       c AS (SELECT vec_id n_id, v cv, nrm cn, bucket FROM n WHERE vec_id >= 10),
@@ -189,5 +194,67 @@ object SimilarityQueries {
       WHERE ${foldDot.format("qv", "cv")} / (qn * cn) >= 0.15
       ORDER BY q_id, n_id"""))
 
-  val defs: Seq[QueryDef] = Seq(s01, s02, s03, s04, s05)
+  /** ANN quality evaluation: per-query recall@5 of the LSH index (s02)
+    * against exact brute force (s01) — the report every ANN deployment
+    * ships next to its index build. A left-semi join counts the
+    * overlap; queries whose bucket starved still appear (zero recall),
+    * via the left join from the exact side. Recall is a single double
+    * division of two small ints — deterministic. */
+  val s06 = QueryDef(
+    "s06_recall_report",
+    (sp, dir) => {
+      val all = Similarity.prep(Tables(sp, dir, "embeddings"), "vec_id", "embedding")
+      val queries = all.filter(col("id") < 10)
+      val corpus = all.filter(col("id") >= 10)
+      val exact = Similarity.bruteForceTopK(queries, corpus, k = 5)
+        .select("q_id", "n_id")
+      val approx = Similarity.lshTopK(queries, corpus, k = 5, nPlanes = 8, dim = 64)
+        .select(col("q_id"), col("n_id"))
+      val hits = exact.join(approx, Seq("q_id", "n_id"), "left_semi")
+        .groupBy("q_id").agg(count(lit(1)).as("n_hits"))
+      val nApprox = approx.groupBy("q_id").agg(count(lit(1)).as("n_lsh"))
+      exact.groupBy("q_id").agg(count(lit(1)).as("n_exact"))
+        .join(nApprox, Seq("q_id"), "left")
+        .join(hits, Seq("q_id"), "left")
+        .select(col("q_id"), col("n_exact"),
+          coalesce(col("n_lsh"), lit(0L)).as("n_lsh"),
+          coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+          (coalesce(col("n_hits"), lit(0L)) / lit(5.0)).as("recall"))
+        .orderBy("q_id")
+    },
+    Some(s"""
+      WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
+      n AS (SELECT vec_id, v, sqrt(${foldDot.format("v", "v")}) nrm,
+              ${bucketSql(8, 64)} AS bucket
+            FROM e),
+      q AS (SELECT vec_id q_id, v qv, nrm qn, bucket FROM n WHERE vec_id < 10),
+      c AS (SELECT vec_id n_id, v cv, nrm cn, bucket FROM n WHERE vec_id >= 10),
+      xs AS (SELECT q_id, n_id, ${foldDot.format("qv", "cv")} / (qn * cn) AS cosine
+             FROM q CROSS JOIN c),
+      xr AS (SELECT q_id, n_id,
+               ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosine DESC, n_id) rnk
+             FROM xs),
+      exact AS (SELECT q_id, n_id FROM xr WHERE rnk <= 5),
+      ls AS (SELECT q_id, n_id, ${foldDot.format("qv", "cv")} / (qn * cn) AS cosine
+             FROM q JOIN c USING (bucket)),
+      lr AS (SELECT q_id, n_id,
+               ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosine DESC, n_id) rnk
+             FROM ls),
+      approx AS (SELECT q_id, n_id FROM lr WHERE rnk <= 5),
+      hits AS (SELECT q_id, COUNT(*) AS n_hits FROM exact
+               WHERE EXISTS (SELECT 1 FROM approx a
+                             WHERE a.q_id = exact.q_id AND a.n_id = exact.n_id)
+               GROUP BY q_id),
+      napprox AS (SELECT q_id, COUNT(*) AS n_lsh FROM approx GROUP BY q_id)
+      SELECT x.q_id, CAST(COUNT(*) AS BIGINT) AS n_exact,
+        CAST(COALESCE(MIN(napprox.n_lsh), 0) AS BIGINT) AS n_lsh,
+        CAST(COALESCE(MIN(hits.n_hits), 0) AS BIGINT) AS n_hits,
+        CAST(COALESCE(MIN(hits.n_hits), 0) AS DOUBLE) / CAST(5.0 AS DOUBLE)
+          AS recall
+      FROM exact x
+      LEFT JOIN napprox ON napprox.q_id = x.q_id
+      LEFT JOIN hits ON hits.q_id = x.q_id
+      GROUP BY x.q_id ORDER BY x.q_id"""))
+
+  val defs: Seq[QueryDef] = Seq(s01, s02, s03, s04, s05, s06)
 }

@@ -112,8 +112,10 @@ class PlanAuditSpec extends SparkSpec {
     // a real key.
     // s04 votes over s01's exact top-k (same declared baseline).
     // s05 is s01's range variant: same broadcast-queries × corpus scan.
+    // s06 measures the LSH index AGAINST s01's exact baseline, so the
+    // exact side's scan is the same declared baseline.
     val allow = Set("s01_cosine_topk", "s03_ivf_ann", "s04_knn_classify",
-      "s05_radius_search")
+      "s05_radius_search", "s06_recall_report")
     val offenders = Catalog.all.filterNot(q => allow(q.name)).flatMap { q =>
       val p = q.build(spark, dir).queryExecution.executedPlan.toString
       if (p.contains("BroadcastNestedLoopJoin") || p.contains("CartesianProduct"))
