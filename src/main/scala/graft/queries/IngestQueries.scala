@@ -137,6 +137,23 @@ object IngestQueries {
 
   private val streamRuns = new java.util.concurrent.atomic.AtomicInteger()
 
+  /** Run `body` (which starts and drains a streaming query) with a
+    * reduced shuffle-partition count, restoring the session value
+    * after. Every micro-batch opens/commits one state store PER
+    * shuffle partition PER stateful operator (a stream-stream join
+    * keeps four); at local test scale that fixed store overhead — not
+    * data — dominates, so these short replays cap the state partition
+    * count. A real deployment sizes it to the state volume instead.
+    * Catalog queries run sequentially (Bench/Verify; test suites run
+    * one at a time in the forked JVM), so the scoped change is safe. */
+  private def withFewStatePartitions[A](sp: org.apache.spark.sql.SparkSession,
+      n: Int)(body: => A): A = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = sp.conf.get(key)
+    sp.conf.set(key, n.toString)
+    try body finally sp.conf.set(key, prev)
+  }
+
   /** Structured Streaming through the oracle gate: replay the events
     * table as a file stream (Trigger.AvailableNow), run the same
     * tumbling-window aggregation q22 runs in batch, land it in a
@@ -170,11 +187,13 @@ object IngestQueries {
           min(col("value")).as("min_value"),
           max(col("value")).as("max_value"))
       val sink = s"e05_windows_${streamRuns.incrementAndGet()}"
-      val q = agg.writeStream.format("memory").queryName(sink)
-        .outputMode("complete")
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
+      withFewStatePartitions(sp, 8) {
+        val q = agg.writeStream.format("memory").queryName(sink)
+          .outputMode("complete")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
       sp.table(sink)
         .select(col("window.start").as("bucket"), col("event_type"),
           col("n_events"), col("sum_value"), col("min_value"), col("max_value"))
@@ -206,11 +225,13 @@ object IngestQueries {
       val deduped = graft.streaming.StreamOps
         .dedupWithinWatermark(src.unionAll(src), "event_id")
       val sink = s"e06_dedup_${streamRuns.incrementAndGet()}"
-      val q = deduped.writeStream.format("memory").queryName(sink)
-        .outputMode("append")
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
+      withFewStatePartitions(sp, 8) {
+        val q = deduped.writeStream.format("memory").queryName(sink)
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
       sp.table(sink)
         .groupBy("event_type")
         .agg(count(lit(1)).as("n_events"),
@@ -301,11 +322,13 @@ object IngestQueries {
       val sessions =
         graft.streaming.StreamOps.sessionize(stream, gapMs = 30L * 60 * 1000)
       val sink = s"e08_sessions_${streamRuns.incrementAndGet()}"
-      val q = sessions.toDF().writeStream.format("memory").queryName(sink)
-        .outputMode("append")
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
+      withFewStatePartitions(sp, 8) {
+        val q = sessions.toDF().writeStream.format("memory").queryName(sink)
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
       sp.table(sink)
         .filter(col("start_ms") < unix_millis(far))
         .select(col("user_id"), col("start_ms"), col("end_ms"), col("n_events"))
@@ -456,11 +479,13 @@ object IngestQueries {
         clicks = src.filter(col("event_type") === "click"),
         purchases = src.filter(col("event_type") === "purchase"))
       val sink = s"e12_attr_${streamRuns.incrementAndGet()}"
-      val q = joined.writeStream.format("memory").queryName(sink)
-        .outputMode("append")
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
+      withFewStatePartitions(sp, 8) {
+        val q = joined.writeStream.format("memory").queryName(sink)
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
       sp.table(sink)
         .groupBy("user_id")
         .agg(count(lit(1)).as("n_pairs"),
