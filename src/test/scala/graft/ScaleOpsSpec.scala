@@ -78,6 +78,36 @@ class ScaleOpsSpec extends SparkSpec {
     assert(want.exceptAll(got).count() === 0)
   }
 
+  test("count-min at 1M rows: estimates never undercount, true heavy hitter tops") {
+    // one planted heavy key over a 100k-key tail: 200k hits from the
+    // id%5 rows plus the 10 tail ids congruent to 42 mod 100000 (none
+    // of which are divisible by 5)
+    val df = spark.range(1000000).select(
+      when(col("id") % 5 === 0, 42L)
+        .otherwise(col("id") % 100000L).as("k"))
+    val hh = graft.operators.CountMin.heavyHitters(df, "k", w = 4096, k = 10)
+    val rows = hh.orderBy("rank")
+      .select("key", "exact_cnt", "cms_estimate")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.head._1 === 42L && rows.head._2 === 200010L)
+    assert(rows.forall { case (_, exact, est) => est >= exact })
+  }
+
+  test("interval sweep at 1M intervals matches the per-group analytic peak") {
+    // group g gets 10k intervals [i, i+1000): at any t in the steady
+    // region exactly 1000 overlap — peak is exactly 1000 per group
+    val df = spark.range(1000000).select(
+      (col("id") % 100).as("g"),
+      expr("id div 100").as("s"),
+      (expr("id div 100") + 1000L).as("e"))
+    val peaks = graft.operators.IntervalSweep
+      .peakConcurrency(df, Seq("g"), "s", "e")
+      .select("g", "n_intervals", "peak")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(peaks.length === 100)
+    assert(peaks.forall { case (_, n, p) => n === 10000L && p === 1000L })
+  }
+
   test("cdc apply at 1M base with a 100k multi-version change batch") {
     val base = spark.range(1000000).select(col("id").as("k"),
       lit("base").as("s"), (col("id") % 1000).cast("double").as("v"))
