@@ -401,5 +401,38 @@ object DedupQueries {
       SELECT canonical_id, doc_id AS kept_doc, n_chars AS kept_chars
       FROM r WHERE rn = 1 ORDER BY canonical_id"""))
 
-  val defs: Seq[QueryDef] = Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09)
+  /** Per-source dedup attrition: what fraction of each source's docs
+    * the near-dup resolution removes — the acceptance report a corpus
+    * pipeline publishes before committing a dedup pass. One join of
+    * the shared components result against the source column; the rate
+    * is a single double division of exact counts. */
+  val d10 = QueryDef(
+    "d10_dedup_rate",
+    (sp, dir) => {
+      val src = Tables(sp, dir, "documents").select("doc_id", "source")
+      canonicalDocs(sp, dir).join(src, "doc_id")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("is_duplicate"), 1L).otherwise(0L)).as("n_dupes"),
+          countDistinct(col("canonical_id")).as("n_canonicals"))
+        .withColumn("dup_rate", col("n_dupes") / col("n_docs"))
+        .orderBy("source")
+    },
+    Some(s"""
+      WITH RECURSIVE $shingleHashSql,
+      $componentsSql,
+      canon AS (SELECT d.doc_id, d.source,
+                  COALESCE(c.comp, d.doc_id) AS canonical_id,
+                  COALESCE(c.comp, d.doc_id) <> d.doc_id AS is_duplicate
+                FROM documents d LEFT JOIN comp c ON d.doc_id = c.id)
+      SELECT source, COUNT(*) AS n_docs,
+        CAST(SUM(CASE WHEN is_duplicate THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_dupes,
+        CAST(COUNT(DISTINCT canonical_id) AS BIGINT) AS n_canonicals,
+        CAST(SUM(CASE WHEN is_duplicate THEN 1 ELSE 0 END) AS DOUBLE)
+          / COUNT(*) AS dup_rate
+      FROM canon GROUP BY source ORDER BY source"""))
+
+  val defs: Seq[QueryDef] =
+    Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09, d10)
 }

@@ -155,5 +155,53 @@ object RelationalNext {
         CAST(n_active_days AS BIGINT) AS n_active_days
       FROM ranked WHERE rn = 1 ORDER BY user_id"""))
 
-  val defs: Seq[QueryDef] = Seq(q57, q58, q59)
+  /** Rolling distinct-user count: a sliding 100-row set cardinality
+    * per event type (`size(collect_set(...))` over a ROWS frame —
+    * Spark has no COUNT(DISTINCT) window, the set-size formulation is
+    * the idiomatic equivalent and stays a bounded per-frame state).
+    * The frame is bounded, so state per window slot is O(frame), and
+    * the partition key keeps the sort distributed. */
+  val q60 = QueryDef(
+    "q60_rolling_distinct",
+    (sp, dir) => {
+      val w = Window.partitionBy("event_type")
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(-99, Window.currentRow)
+      Tables(sp, dir, "events")
+        .select(col("event_type"), col("event_id"), col("ts"),
+          size(collect_set(col("user_id")).over(w)).cast("long")
+            .as("rolling_users"))
+        .orderBy("event_type", "ts", "event_id")
+    },
+    Some("""
+      SELECT event_type, event_id, ts,
+        CAST(COUNT(DISTINCT user_id) OVER (PARTITION BY event_type
+          ORDER BY ts, event_id
+          ROWS BETWEEN 99 PRECEDING AND CURRENT ROW) AS BIGINT)
+          AS rolling_users
+      FROM events ORDER BY event_type, ts, event_id"""))
+
+  /** Ratio-to-report: each order's share of its customer's lifetime
+    * spend — the windowed part-of-whole every BI layer ships. The
+    * denominator accumulates in DECIMAL (exact, order-insensitive);
+    * the share is then ONE double division, so both engines agree
+    * bit-for-bit. */
+  val q61 = QueryDef(
+    "q61_ratio_to_report",
+    (sp, dir) => {
+      val w = Window.partitionBy("o_custkey")
+      Tables(sp, dir, "orders")
+        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+          (col("o_totalprice") /
+            sum(col("o_totalprice").cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+              .over(w).cast("double")).as("share_of_customer"))
+        .orderBy("o_custkey", "o_orderkey")
+    },
+    Some("""
+      SELECT o_custkey, o_orderkey, o_totalprice,
+        o_totalprice / CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+          OVER (PARTITION BY o_custkey) AS DOUBLE) AS share_of_customer
+      FROM orders ORDER BY o_custkey, o_orderkey"""))
+
+  val defs: Seq[QueryDef] = Seq(q57, q58, q59, q60, q61)
 }
