@@ -203,5 +203,103 @@ object RelationalNext {
           OVER (PARTITION BY o_custkey) AS DOUBLE) AS share_of_customer
       FROM orders ORDER BY o_custkey, o_orderkey"""))
 
-  val defs: Seq[QueryDef] = Seq(q57, q58, q59, q60, q61)
+  /** Forward fill (LOCF imputation): every third reading is knocked
+    * out deterministically, then recovered as the last non-null value
+    * in (ts, event_id) order per user — `last(ignoreNulls)` over a
+    * running frame is Spark's LOCF idiom (DuckDB: LAST_VALUE IGNORE
+    * NULLS). Leading nulls stay null; the fill never crosses users. */
+  val q62 = QueryDef(
+    "q62_forward_fill",
+    (sp, dir) => {
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables(sp, dir, "events")
+        .filter(col("user_id") < 200)
+        .withColumn("metric",
+          when(col("event_id") % 3 === 0, lit(null)).otherwise(col("value")))
+        .select(col("user_id"), col("event_id"), col("ts"), col("metric"),
+          last(col("metric"), ignoreNulls = true).over(w).as("metric_filled"))
+        .orderBy("user_id", "ts", "event_id")
+    },
+    Some("""
+      WITH knocked AS (
+        SELECT user_id, event_id, ts,
+          CASE WHEN event_id % 3 = 0 THEN NULL ELSE value END AS metric
+        FROM events WHERE user_id < 200)
+      SELECT user_id, event_id, ts, metric,
+        LAST_VALUE(metric IGNORE NULLS) OVER (PARTITION BY user_id
+          ORDER BY ts, event_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS metric_filled
+      FROM knocked ORDER BY user_id, ts, event_id"""))
+
+  /** Ordered conversion funnel: view → click within a day of the
+    * first view → purchase within a day of that click, per user;
+    * step order is enforced by the strict ts inequality and each step
+    * has a bounded attribution window (otherwise every long-lived
+    * user trivially converts). Three keyed aggregates + left joins on
+    * user_id — each stage's frame shrinks, and everything shuffles on
+    * the same key. Conversion time accumulates as exact
+    * epoch-microsecond sums. */
+  val q63 = QueryDef(
+    "q63_event_funnel",
+    (sp, dir) => {
+      val ev = Tables(sp, dir, "events")
+      val v = ev.filter(col("event_type") === "view")
+        .groupBy("user_id").agg(min(col("ts")).as("v"))
+      val dayUs = 86400000000L
+      val c = ev.join(v, "user_id")
+        .filter(col("event_type") === "click" && col("ts") > col("v") &&
+          unix_micros(col("ts")) <= unix_micros(col("v")) + dayUs)
+        .groupBy("user_id").agg(min(col("ts")).as("c"))
+      val p = ev.join(c, "user_id")
+        .filter(col("event_type") === "purchase" && col("ts") > col("c") &&
+          unix_micros(col("ts")) <= unix_micros(col("c")) + dayUs)
+        .groupBy("user_id").agg(min(col("ts")).as("p"))
+      ev.select("user_id").distinct()
+        .join(v, Seq("user_id"), "left")
+        .join(c, Seq("user_id"), "left")
+        .join(p, Seq("user_id"), "left")
+        .withColumn("stage",
+          when(col("p").isNotNull, "3_purchase")
+            .when(col("c").isNotNull, "2_click")
+            .when(col("v").isNotNull, "1_view")
+            .otherwise("0_none"))
+        .groupBy("stage")
+        .agg(count(lit(1)).as("n_users"),
+          sum(when(col("p").isNotNull,
+            unix_micros(col("p")) - unix_micros(col("v"))))
+            .as("sum_conv_us"))
+        .orderBy("stage")
+    },
+    Some("""
+      WITH v AS (SELECT user_id, MIN(ts) AS v FROM events
+                 WHERE event_type = 'view' GROUP BY user_id),
+      c AS (SELECT e.user_id, MIN(e.ts) AS c
+            FROM events e JOIN v ON e.user_id = v.user_id
+            WHERE e.event_type = 'click' AND e.ts > v.v
+              AND epoch_us(e.ts) <= epoch_us(v.v) + 86400000000
+            GROUP BY e.user_id),
+      p AS (SELECT e.user_id, MIN(e.ts) AS p
+            FROM events e JOIN c ON e.user_id = c.user_id
+            WHERE e.event_type = 'purchase' AND e.ts > c.c
+              AND epoch_us(e.ts) <= epoch_us(c.c) + 86400000000
+            GROUP BY e.user_id),
+      staged AS (
+        SELECT u.user_id,
+          CASE WHEN p.p IS NOT NULL THEN '3_purchase'
+               WHEN c.c IS NOT NULL THEN '2_click'
+               WHEN v.v IS NOT NULL THEN '1_view'
+               ELSE '0_none' END AS stage,
+          CASE WHEN p.p IS NOT NULL
+               THEN epoch_us(p.p) - epoch_us(v.v) END AS conv_us
+        FROM (SELECT DISTINCT user_id FROM events) u
+        LEFT JOIN v ON u.user_id = v.user_id
+        LEFT JOIN c ON u.user_id = c.user_id
+        LEFT JOIN p ON u.user_id = p.user_id)
+      SELECT stage, COUNT(*) AS n_users,
+        CAST(SUM(conv_us) AS BIGINT) AS sum_conv_us
+      FROM staged GROUP BY stage ORDER BY stage"""))
+
+  val defs: Seq[QueryDef] = Seq(q57, q58, q59, q60, q61, q62, q63)
 }
