@@ -26,7 +26,7 @@ object DedupQueries {
 
   /** The word-trigram shingle + 62-bit-hash pipeline, in DuckDB SQL
     * (ascii() per char == byte-level hashing on this ASCII corpus). */
-  private def shingleHashSql: String = """
+  private[queries] def shingleHashSql: String = """
       toks AS (SELECT doc_id, string_split(text, ' ') w FROM documents),
       sh AS (SELECT doc_id, unnest(list_distinct(
                CASE WHEN len(w) < 3 THEN []
@@ -271,7 +271,7 @@ object DedupQueries {
     * WITH RECURSIVE in the same query): df-capped trigram-Jaccard
     * pairs → recursive reachability → `comp(id, comp)` = min reachable
     * id per node, mirroring [[graft.operators.Components]]. */
-  private val componentsSql = """
+  private[queries] val componentsSql = """
       hsc AS (SELECT doc_id, h FROM (
                 SELECT doc_id, h, COUNT(*) OVER (PARTITION BY h) AS df FROM hs)
               WHERE df <= 64),
@@ -304,7 +304,7 @@ object DedupQueries {
       scala.collection.concurrent.TrieMap[String,
         java.lang.ref.SoftReference[org.apache.spark.sql.DataFrame]]]())
 
-  private def canonicalDocs(sp: org.apache.spark.sql.SparkSession,
+  private[queries] def canonicalDocs(sp: org.apache.spark.sql.SparkSession,
       dir: String): org.apache.spark.sql.DataFrame = {
     val perSession = canonCache.synchronized {
       var m = canonCache.get(sp)

@@ -453,6 +453,53 @@ object PipelineQueries {
       WHERE (d.doc_id * 1103515245 + 12345) % 2147483647 % 100000 < t.thr
       GROUP BY d.lang ORDER BY d.lang"""))
 
+  /** The dataset card: the per-language summary a training-data
+    * pipeline publishes with every corpus release — volume (docs,
+    * chars, whitespace tokens), near-dup attrition (from the shared
+    * components result), and corpus share. Composes the text and
+    * dedup suites into one artifact; every number is an exact count or
+    * a single double division, so the whole card is oracle-checked. */
+  val p14 = QueryDef(
+    "p14_dataset_card",
+    (sp, dir) => {
+      val docs = Tables(sp, dir, "documents")
+      val base = docs.select(col("doc_id"), col("lang"), col("n_chars"),
+          size(graft.functions.TextFunctions.tokens(col("text")))
+            .cast("long").as("n_toks"))
+        .join(DedupQueries.canonicalDocs(sp, dir)
+          .select("doc_id", "is_duplicate"), "doc_id")
+      val total = Window.partitionBy()
+      base.groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("is_duplicate"), 1L).otherwise(0L)).as("n_dupes"),
+          sum(col("n_chars")).as("sum_chars"),
+          sum(col("n_toks")).as("n_tokens"))
+        .withColumn("dup_rate", col("n_dupes") / col("n_docs"))
+        .withColumn("pct_of_corpus",
+          col("n_docs") / sum(col("n_docs")).over(total))
+        .orderBy("lang")
+    },
+    Some(s"""
+      WITH RECURSIVE ${DedupQueries.shingleHashSql},
+      ${DedupQueries.componentsSql},
+      canon AS (SELECT d.doc_id, d.lang, d.n_chars,
+                  CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_toks,
+                  COALESCE(c.comp, d.doc_id) <> d.doc_id AS is_duplicate
+                FROM documents d LEFT JOIN comp c ON d.doc_id = c.id),
+      card AS (
+        SELECT lang, COUNT(*) AS n_docs,
+          CAST(SUM(CASE WHEN is_duplicate THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_dupes,
+          CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+          CAST(SUM(n_toks) AS BIGINT) AS n_tokens
+        FROM canon GROUP BY lang)
+      SELECT lang, n_docs, n_dupes, sum_chars, n_tokens,
+        CAST(n_dupes AS DOUBLE) / n_docs AS dup_rate,
+        CAST(n_docs AS DOUBLE) / CAST(SUM(n_docs) OVER () AS DOUBLE)
+          AS pct_of_corpus
+      FROM card ORDER BY lang"""))
+
   val defs: Seq[QueryDef] =
-    Seq(p01, p02, p03, p04, p05, p06, p07, p08, p09, p10, p11, p12, p13)
+    Seq(p01, p02, p03, p04, p05, p06, p07, p08, p09, p10, p11, p12, p13,
+      p14)
 }
