@@ -23,9 +23,11 @@ object ExplainAudit {
       println(s"  $pushed")
       schema.take(2).foreach(s => println(s"  ${s.take(160)}"))
     }
-    Seq("q01_pricing_summary", "q02_filter_project", "q03_join_agg_topk",
-      "q05_star_join", "q06_conditional_agg", "d04_ngram_jaccard",
-      "d05_embedding_dedup", "s01_cosine_topk", "q23_sessionize").foreach(audit)
+    val defaults = Seq("q01_pricing_summary", "q02_filter_project",
+      "q03_join_agg_topk", "q05_star_join", "q06_conditional_agg",
+      "d04_ngram_jaccard", "d05_embedding_dedup", "s01_cosine_topk",
+      "q23_sessionize")
+    (if (args.nonEmpty) args.toSeq else defaults).foreach(audit)
     spark.stop()
   }
 }
