@@ -628,7 +628,51 @@ object IngestQueries {
       FROM orders WHERE o_totalprice > 1000.0
       GROUP BY o_orderpriority ORDER BY o_orderpriority"""))
 
+  /** Malformed rows a landing zone WILL contain (wrong arity, type
+    * violations) — written as a deterministic `bad.csv` alongside the
+    * clean CSV copy. PERMISSIVE mode quarantines them into
+    * `_corrupt_record` instead of failing the job or (worse) silently
+    * coercing; the clean-row aggregate must still hash-match the
+    * oracle's view of the original parquet, proving quarantine removes
+    * EXACTLY the garbage. The quarantine count itself is asserted in
+    * CorruptIngestSpec. */
+  val e16 = QueryDef(
+    "e16_corrupt_quarantine",
+    (sp, dir) => {
+      val clean = IngestFixtures.materialize(fixtureKey(dir, "csv"), "csv",
+        Tables(sp, dir, "documents"))
+      val bad = IngestFixtures.badCsvDir(
+        s"corrupt_documents_${IngestFixtures.fingerprint(s"$dir/documents.parquet")}",
+        header = "doc_id,text,lang,source,n_chars",
+        rows = Seq(
+          "notalong,some text,en,webcrawl,42",   // type violation
+          "7,only three fields,en",              // arity violation
+          "8,ok text,en,webcrawl,notanum,extra") // arity + type
+      )
+      val schema = docSchema.add(StructField("_corrupt_record", StringType))
+      sp.read.schema(schema)
+        .option("header", "true").option("multiLine", "true")
+        .option("quote", "\"").option("escape", "\\")
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .csv(clean, bad)
+        .filter(col("_corrupt_record").isNull)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("sum_chars"),
+          sum(length(col("text"))).as("sum_text_len"),
+          min(col("doc_id")).as("min_id"),
+          max(col("doc_id")).as("max_id"))
+        .orderBy("lang")
+    },
+    Some("""
+      SELECT lang, COUNT(*) AS n_docs,
+        CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+        CAST(SUM(length(text)) AS BIGINT) AS sum_text_len,
+        MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
+      FROM documents GROUP BY lang ORDER BY lang"""))
+
   val defs: Seq[QueryDef] =
     Seq(e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11, e12, e13,
-      e14, e15)
+      e14, e15, e16)
 }

@@ -96,6 +96,28 @@ object IngestFixtures {
   def once(key: String)(body: => Unit): Unit =
     done.computeIfAbsent(s"once:$key", _ => { body; key })
 
+  /** A directory holding ONE hand-written `bad.csv` of deliberately
+    * malformed rows (plus the header line, which the `header=true`
+    * reader skips per file). Written atomically via rename so a
+    * concurrent reader never sees a half-written file. */
+  def badCsvDir(key: String, header: String, rows: Seq[String]): String = {
+    val path = s"/tmp/graft_ingest_v2/$key"
+    done.computeIfAbsent(path, _ => {
+      val dst = new java.io.File(path, "bad.csv")
+      if (!dst.exists()) {
+        new java.io.File(path).mkdirs()
+        val tmp = java.io.File.createTempFile("bad", ".csv",
+          new java.io.File(path))
+        java.nio.file.Files.write(tmp.toPath,
+          (header +: rows).mkString("", "\n", "\n")
+            .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        java.nio.file.Files.move(tmp.toPath, dst.toPath,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      }
+      path
+    })
+  }
+
   /** Like [[materialize]] but through
     * [[ClusteredWriter.writeRangeClustered]] — each file covers a
     * narrow key range so parquet min/max stats prune whole files. */

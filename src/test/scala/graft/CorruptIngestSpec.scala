@@ -1,0 +1,60 @@
+package graft
+
+import graft.sources.IngestFixtures
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+class CorruptIngestSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val schema = StructType(Seq(
+    StructField("id", LongType),
+    StructField("name", StringType),
+    StructField("n", LongType),
+    StructField("_corrupt_record", StringType)))
+
+  test("permissive read quarantines exactly the malformed rows") {
+    val dir = IngestFixtures.badCsvDir("spec_corrupt_mixed",
+      header = "id,name,n",
+      rows = Seq(
+        "1,alpha,10",          // clean
+        "2,beta,20",           // clean
+        "x,gamma,30",          // type violation on id
+        "3,delta",             // too few fields
+        "4,eps,40,extra",      // too many fields
+        "5,zeta,notanum"))     // type violation on n
+    // cache() first: Spark disallows queries over raw CSV whose
+    // referenced columns are ONLY the corrupt-record column (the
+    // parser would have nothing real to parse) — the documented
+    // pattern is to materialize the parsed result, then slice it
+    val df = spark.read.schema(schema)
+      .option("header", "true").option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .csv(dir)
+      .cache()
+    val clean = df.filter(col("_corrupt_record").isNull)
+    val bad = df.filter(col("_corrupt_record").isNotNull)
+    assert(bad.count() === 4L)
+    assert(clean.select("id", "name", "n").as[(Long, String, Long)]
+      .collect().sorted.toSeq ===
+      Seq((1L, "alpha", 10L), (2L, "beta", 20L)))
+    // the quarantined originals survive verbatim for replay/forensics
+    assert(bad.select("_corrupt_record").as[String].collect().toSet ===
+      Set("x,gamma,30", "3,delta", "4,eps,40,extra", "5,zeta,notanum"))
+  }
+
+  test("e16 clean-row aggregate equals the direct parquet aggregate") {
+    val dir = "/root/testdata/sf0.001"
+    val got = Catalog.byName("e16_corrupt_quarantine").build(spark, dir)
+    val want = Tables(spark, dir, "documents")
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("sum_chars"),
+        sum(length(col("text"))).as("sum_text_len"),
+        min(col("doc_id")).as("min_id"),
+        max(col("doc_id")).as("max_id"))
+      .orderBy("lang")
+    assert(got.exceptAll(want).count() === 0)
+    assert(want.exceptAll(got).count() === 0)
+  }
+}
