@@ -672,7 +672,60 @@ object IngestQueries {
         MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
       FROM documents GROUP BY lang ORDER BY lang"""))
 
+  /** Snapshot diff ([[graft.operators.TableDiff]]): classify every key
+    * as added / removed / changed / unchanged between two versions of
+    * the orders table (the new version deterministically drops the
+    * %13 keys, bumps prices on the %7 keys, and appends shifted-key
+    * rows). The audit a pipeline runs before promoting a rewrite; the
+    * oracle re-derives the classification with a full outer join. */
+  val e17 = QueryDef(
+    "e17_snapshot_diff",
+    (sp, dir) => {
+      import graft.Dsl.moneySum
+      val a = Tables(sp, dir, "orders")
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+      val b = a.filter(col("o_orderkey") % 13 =!= 0)
+        .withColumn("o_totalprice",
+          when(col("o_orderkey") % 7 === 0, col("o_totalprice") + 10.0)
+            .otherwise(col("o_totalprice")))
+        .unionByName(a.filter(col("o_orderkey") % 11 === 0)
+          .select((col("o_orderkey") + 100000000L).as("o_orderkey"),
+            col("o_orderstatus"), col("o_totalprice")))
+      graft.operators.TableDiff.diff(a, b, Seq("o_orderkey"))
+        .groupBy("diff_status")
+        .agg(count(lit(1)).as("n_rows"),
+          min(col("o_orderkey")).as("min_key"),
+          max(col("o_orderkey")).as("max_key"),
+          moneySum(coalesce(col("b_o_totalprice"), lit(0.0))).as("sum_b_price"))
+        .orderBy("diff_status")
+    },
+    Some("""
+      WITH a AS (SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders),
+      b AS (
+        SELECT o_orderkey, o_orderstatus,
+          CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice + 10.0
+               ELSE o_totalprice END AS o_totalprice
+        FROM a WHERE o_orderkey % 13 <> 0
+        UNION ALL
+        SELECT o_orderkey + 100000000, o_orderstatus, o_totalprice
+        FROM a WHERE o_orderkey % 11 = 0),
+      d AS (
+        SELECT COALESCE(a.o_orderkey, b.o_orderkey) AS o_orderkey,
+          CASE WHEN a.o_orderkey IS NULL THEN 'added'
+               WHEN b.o_orderkey IS NULL THEN 'removed'
+               WHEN a.o_orderstatus IS NOT DISTINCT FROM b.o_orderstatus
+                AND a.o_totalprice IS NOT DISTINCT FROM b.o_totalprice
+               THEN 'unchanged'
+               ELSE 'changed' END AS diff_status,
+          b.o_totalprice AS b_price
+        FROM a FULL OUTER JOIN b ON a.o_orderkey = b.o_orderkey)
+      SELECT diff_status, COUNT(*) AS n_rows,
+        MIN(o_orderkey) AS min_key, MAX(o_orderkey) AS max_key,
+        CAST(SUM(CAST(COALESCE(b_price, 0.0) AS DECIMAL(18,2))) AS DOUBLE)
+          AS sum_b_price
+      FROM d GROUP BY diff_status ORDER BY diff_status"""))
+
   val defs: Seq[QueryDef] =
     Seq(e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11, e12, e13,
-      e14, e15, e16)
+      e14, e15, e16, e17)
 }

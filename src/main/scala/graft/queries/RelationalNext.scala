@@ -301,5 +301,37 @@ object RelationalNext {
         CAST(SUM(conv_us) AS BIGINT) AS sum_conv_us
       FROM staged GROUP BY stage ORDER BY stage"""))
 
-  val defs: Seq[QueryDef] = Seq(q57, q58, q59, q60, q61, q62, q63)
+  /** Weekly cohort retention: users grouped by first-activity week,
+    * counted in each subsequent activity week — the retention triangle.
+    * Two aggregates and one join, all shuffling on user_id, then a
+    * small group-count; weeks difference is exact integer day
+    * arithmetic (never months_between's fractional double). */
+  val q64 = QueryDef(
+    "q64_cohort_retention",
+    (sp, dir) => {
+      val ev = Tables(sp, dir, "events")
+        .select(col("user_id"), to_date(date_trunc("week", col("ts"))).as("week"))
+      val cohort = ev.groupBy("user_id").agg(min(col("week")).as("cohort_week"))
+      ev.distinct()
+        .join(cohort, "user_id")
+        .withColumn("weeks_since",
+          expr("datediff(week, cohort_week) div 7").cast("int"))
+        .groupBy("cohort_week", "weeks_since")
+        .agg(count(lit(1)).as("n_users"))
+        .orderBy("cohort_week", "weeks_since")
+    },
+    Some("""
+      WITH act AS (
+        SELECT DISTINCT user_id, CAST(DATE_TRUNC('week', ts) AS DATE) AS week
+        FROM events),
+      cohort AS (
+        SELECT user_id, MIN(week) AS cohort_week FROM act GROUP BY user_id)
+      SELECT c.cohort_week,
+        CAST(date_diff('day', c.cohort_week, a.week) // 7 AS INT)
+          AS weeks_since,
+        COUNT(*) AS n_users
+      FROM act a JOIN cohort c ON a.user_id = c.user_id
+      GROUP BY 1, 2 ORDER BY cohort_week, weeks_since"""))
+
+  val defs: Seq[QueryDef] = Seq(q57, q58, q59, q60, q61, q62, q63, q64)
 }
