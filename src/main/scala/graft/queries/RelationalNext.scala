@@ -333,5 +333,37 @@ object RelationalNext {
       FROM act a JOIN cohort c ON a.user_id = c.user_id
       GROUP BY 1, 2 ORDER BY cohort_week, weeks_since"""))
 
-  val defs: Seq[QueryDef] = Seq(q57, q58, q59, q60, q61, q62, q63, q64)
+  /** k-th smallest via the typed-Aggregator UDAF
+    * ([[graft.functions.KthSmallest]]): 3rd-lowest line price per
+    * (returnflag, linestatus) WITHOUT sorting whole groups — each
+    * map-side partial carries at most k doubles per group. The oracle
+    * picks row 3 of the value-ordered window; duplicates count, and
+    * ties among equal values can't change the k-th VALUE, so both
+    * formulations agree exactly. */
+  val q65 = QueryDef(
+    "q65_kth_smallest",
+    (sp, dir) => {
+      val kth = udaf(new graft.functions.KthSmallest(3))
+      Tables(sp, dir, "lineitem")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("n_items"),
+          min(col("l_extendedprice")).as("min_price"),
+          kth(col("l_extendedprice")).as("third_lowest"))
+        .orderBy("l_returnflag", "l_linestatus")
+    },
+    Some("""
+      WITH r AS (
+        SELECT l_returnflag, l_linestatus, l_extendedprice,
+          ROW_NUMBER() OVER (PARTITION BY l_returnflag, l_linestatus
+            ORDER BY l_extendedprice) AS rn,
+          COUNT(*) OVER (PARTITION BY l_returnflag, l_linestatus) AS n,
+          MIN(l_extendedprice) OVER (PARTITION BY l_returnflag,
+            l_linestatus) AS mn
+        FROM lineitem)
+      SELECT l_returnflag, l_linestatus, CAST(n AS BIGINT) AS n_items,
+        mn AS min_price, l_extendedprice AS third_lowest
+      FROM r WHERE rn = 3
+      ORDER BY l_returnflag, l_linestatus"""))
+
+  val defs: Seq[QueryDef] = Seq(q57, q58, q59, q60, q61, q62, q63, q64, q65)
 }
