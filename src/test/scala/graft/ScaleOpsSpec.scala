@@ -108,6 +108,28 @@ class ScaleOpsSpec extends SparkSpec {
     assert(peaks.forall { case (_, n, p) => n === 10000L && p === 1000L })
   }
 
+  test("table diff at 1M x 1M classifies exact counts") {
+    val a = spark.range(1000000).select(col("id").as("k"),
+      (col("id") % 97).as("v"))
+    // drop the %13 keys, change v on the %7 keys (of those kept),
+    // append 50k new keys
+    val b = a.filter(col("k") % 13 =!= 0)
+      .withColumn("v", when(col("k") % 7 === 0, col("v") + 1000)
+        .otherwise(col("v")))
+      .unionByName(spark.range(1000000, 1050000)
+        .select(col("id").as("k"), lit(0L).as("v")))
+    val counts = graft.operators.TableDiff.diff(a, b, Seq("k"))
+      .groupBy("diff_status").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val removed = 1000000L / 13 + 1  // k=0 counts: 0 % 13 == 0
+    val changedKept = (0L until 1000000L)
+      .count(k => k % 13 != 0 && k % 7 == 0).toLong
+    assert(counts("removed") === removed)
+    assert(counts("added") === 50000L)
+    assert(counts("changed") === changedKept)
+    assert(counts("unchanged") === 1000000L - removed - changedKept)
+  }
+
   test("cdc apply at 1M base with a 100k multi-version change batch") {
     val base = spark.range(1000000).select(col("id").as("k"),
       lit("base").as("s"), (col("id") % 1000).cast("double").as("v"))
