@@ -120,5 +120,30 @@ object MultimodalQueries {
         TRUE AS roundtrip_ok
       FROM documents ORDER BY doc_id"""))
 
-  val defs: Seq[QueryDef] = Seq(m01, m02, m03, m04)
+  /** Exact binary dedup: group payloads by SHA-256 digest — the
+    * content-addressed identity every multimodal lake dedups and
+    * caches on (hash the BYTES, never decode). Spark's `sha2` over the
+    * binary column and DuckDB's `sha256` over the source string hash
+    * the same UTF-8 bytes, so the digests — and the groups — match
+    * exactly. */
+  val m05 = QueryDef(
+    "m05_payload_dedup",
+    (sp, dir) => {
+      Multimodal.withPayload(Tables(sp, dir, "documents"), "text")
+        .select(col("doc_id"), sha2(col("payload"), 256).as("digest"),
+          length(col("payload")).cast("long").as("n_bytes"))
+        .groupBy("digest")
+        .agg(min(col("doc_id")).as("rep_id"),
+          count(lit(1)).as("n_copies"),
+          min(col("n_bytes")).as("n_bytes"))
+        .select("rep_id", "n_copies", "n_bytes", "digest")
+        .orderBy("rep_id")
+    },
+    Some("""
+      SELECT MIN(doc_id) AS rep_id, COUNT(*) AS n_copies,
+        CAST(MIN(octet_length(encode(text))) AS BIGINT) AS n_bytes,
+        sha256(text) AS digest
+      FROM documents GROUP BY sha256(text) ORDER BY rep_id"""))
+
+  val defs: Seq[QueryDef] = Seq(m01, m02, m03, m04, m05)
 }
