@@ -98,6 +98,22 @@ class PlanAuditSpec extends SparkSpec {
       s"bucketed join must not shuffle its inputs:\n${p.take(3000)}")
   }
 
+  test("e15 band filter is pushed into the ORC scan") {
+    val p = plan("e15_orc_roundtrip")
+    // the ORC reader must see the o_totalprice predicate, same contract
+    // as the parquet path — a full-scan-then-filter would be the bug
+    assert(p.contains("PushedFilters: [") && !p.contains("PushedFilters: []"),
+      s"ORC scan lost its pushed filter:\n${p.take(2000)}")
+  }
+
+  test("q58 sketch estimate join broadcasts the d*w counter table") {
+    val p = plan("q58_heavy_hitters")
+    assert(p.contains("BroadcastHashJoin"),
+      s"counter table (constant d*w rows) must broadcast:\n${p.take(2000)}")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-k must not be a global window sort:\n${p.take(2000)}")
+  }
+
   test("d05 candidates come from the bucket equi-join, not an all-pairs join") {
     val p = plan("d05_embedding_dedup")
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
