@@ -365,5 +365,90 @@ object RelationalNext {
       FROM r WHERE rn = 3
       ORDER BY l_returnflag, l_linestatus"""))
 
-  val defs: Seq[QueryDef] = Seq(q57, q58, q59, q60, q61, q62, q63, q64, q65)
+  /** Month-over-month growth: revenue per (priority, month) with the
+    * previous month's value and percent change — the lag-over-sorted-
+    * calendar idiom. Revenue accumulates in decimal; the growth rate
+    * is a double expression over two exact values, identical in both
+    * engines (NULL for each priority's first month). */
+  val q66 = QueryDef(
+    "q66_mom_growth",
+    (sp, dir) => {
+      import graft.Dsl.moneySum
+      val monthly = Tables(sp, dir, "orders")
+        .groupBy(col("o_orderpriority").as("priority"),
+          // to_date: Spark's date_trunc yields TIMESTAMP while DuckDB's
+          // DATE_TRUNC on a DATE column stays DATE — align on DATE
+          to_date(date_trunc("month", col("o_orderdate"))).as("month"))
+        .agg(moneySum(col("o_totalprice")).as("revenue"))
+      val w = Window.partitionBy("priority").orderBy("month")
+      monthly
+        .withColumn("prev_revenue", lag(col("revenue"), 1).over(w))
+        .withColumn("pct_change",
+          (col("revenue") - col("prev_revenue")) / col("prev_revenue") * 100.0)
+        .orderBy("priority", "month")
+    },
+    Some("""
+      WITH monthly AS (
+        SELECT o_orderpriority AS priority,
+          DATE_TRUNC('month', o_orderdate) AS month,
+          CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+            AS revenue
+        FROM orders GROUP BY 1, 2)
+      SELECT priority, month, revenue,
+        LAG(revenue) OVER (PARTITION BY priority ORDER BY month)
+          AS prev_revenue,
+        (revenue - LAG(revenue) OVER (PARTITION BY priority ORDER BY month))
+          / LAG(revenue) OVER (PARTITION BY priority ORDER BY month) * 100.0
+          AS pct_change
+      FROM monthly ORDER BY priority, month"""))
+
+  /** Pareto / ABC analysis: within each return flag, how many parts
+    * cover 80% of revenue. The running share is a per-row double
+    * division of two exact decimal sums, the order is total (revenue
+    * desc, partkey), and the window partitions on the flag — bounded
+    * partitions, no global sort. */
+  val q67 = QueryDef(
+    "q67_pareto_abc",
+    (sp, dir) => {
+      import graft.Dsl.revSumDec
+      val byPart = Tables(sp, dir, "lineitem")
+        .groupBy(col("l_returnflag").as("flag"),
+          col("l_partkey").as("part"))
+        .agg(revSumDec(col("l_extendedprice"), col("l_discount")).as("rev"))
+      val ord = Window.partitionBy("flag")
+        .orderBy(col("rev").desc, col("part"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val tot = Window.partitionBy("flag")
+      byPart
+        .withColumn("cum_share",
+          sum(col("rev")).over(ord).cast("double") /
+            sum(col("rev")).over(tot).cast("double"))
+        .groupBy("flag")
+        .agg(count(lit(1)).as("n_parts"),
+          sum(when(col("cum_share") <= 0.8, 1L).otherwise(0L)).as("n_a_parts"),
+          sum(col("rev")).cast("double").as("total_rev"))
+        .orderBy("flag")
+    },
+    Some("""
+      WITH byPart AS (
+        SELECT l_returnflag AS flag, l_partkey AS part,
+          SUM(CAST(l_extendedprice AS DECIMAL(12,2)) *
+            (CAST(1.00 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2))))
+            AS rev
+        FROM lineitem GROUP BY 1, 2),
+      shares AS (
+        SELECT flag, part, rev,
+          CAST(SUM(rev) OVER (PARTITION BY flag
+              ORDER BY rev DESC, part ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+            / CAST(SUM(rev) OVER (PARTITION BY flag) AS DOUBLE)
+            AS cum_share
+        FROM byPart)
+      SELECT flag, COUNT(*) AS n_parts,
+        CAST(SUM(CASE WHEN cum_share <= 0.8 THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_a_parts,
+        CAST(SUM(rev) AS DOUBLE) AS total_rev
+      FROM shares GROUP BY flag ORDER BY flag"""))
+
+  val defs: Seq[QueryDef] =
+    Seq(q57, q58, q59, q60, q61, q62, q63, q64, q65, q66, q67)
 }
