@@ -269,5 +269,45 @@ object TextQueries {
       SELECT lang, trigram, n, CAST(rank AS INT) AS rank
       FROM r WHERE rank <= 10 ORDER BY lang, rank"""))
 
-  val defs: Seq[QueryDef] = Seq(t01, t02, t03, t04, t05, t06, t07, t08)
+  /** Corpus novelty scoring: the fraction of each doc's trigram
+    * shingles that appear in ANY other doc — the redundancy signal a
+    * curation pipeline thresholds on before paying for near-dup
+    * resolution. One shingle shuffle for the document frequencies,
+    * one join back; the ratio is a single integer-over-integer double
+    * division (NULL for docs too short to shingle). Shares the d04
+    * shingle kernel, so the oracle reuses the same SQL chain. */
+  val t09 = QueryDef(
+    "t09_novelty",
+    (sp, dir) => {
+      val docs = Tables(sp, dir, "documents")
+      val sh = graft.operators.Dedup.shingleHashSet(docs, "doc_id", "text", 3)
+      val dfh = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
+      val per = sh.join(dfh, "shingle")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_shingles"),
+          sum(when(col("df") >= 2, 1L).otherwise(0L)).as("n_shared"))
+      docs.select("doc_id").join(per, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_shingles"), lit(0L)).as("n_shingles"),
+          coalesce(col("n_shared"), lit(0L)).as("n_shared"),
+          when(col("n_shingles") > 0,
+            col("n_shared") / col("n_shingles")).as("shared_ratio"))
+        .orderBy("doc_id")
+    },
+    Some(s"""
+      WITH ${graft.queries.DedupQueries.shingleHashSql},
+      dfh AS (SELECT h, COUNT(*) AS df FROM hs GROUP BY h),
+      per AS (SELECT doc_id, COUNT(*) AS n_shingles,
+                SUM(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS n_shared
+              FROM hs JOIN dfh USING (h) GROUP BY doc_id)
+      SELECT d.doc_id,
+        CAST(COALESCE(per.n_shingles, 0) AS BIGINT) AS n_shingles,
+        CAST(COALESCE(per.n_shared, 0) AS BIGINT) AS n_shared,
+        CASE WHEN per.n_shingles > 0
+             THEN CAST(per.n_shared AS DOUBLE) / per.n_shingles END
+          AS shared_ratio
+      FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id
+      ORDER BY d.doc_id"""))
+
+  val defs: Seq[QueryDef] = Seq(t01, t02, t03, t04, t05, t06, t07, t08, t09)
 }
