@@ -99,18 +99,25 @@ object Dedup {
     * keys; docs sharing any band bucket are near-dup candidates.
     * Candidate generation is a self-join on the compact bucket key —
     * the standard scale path (shuffle ∝ corpus size, not pairs). */
-  def minhashCandidates(sigs: DataFrame, bands: Int, rows: Int): DataFrame = {
-    // concat (NOT concat_ws): a doc with no shingles has an all-null
-    // signature, and null must propagate into the bucket key so such
-    // docs never bucket together — concat_ws would silently skip the
-    // nulls and give every empty doc the same "" bucket.
-    val banded = sigs.select(col("doc_id"),
+  /** The (doc_id, band, band_sig) bucket assignment behind
+    * [[minhashCandidates]] — also the input to index-tuning reports
+    * (bucket-size distributions predict candidate volume).
+    *
+    * concat (NOT concat_ws): a doc with no shingles has an all-null
+    * signature, and null must propagate into the bucket key so such
+    * docs never bucket together — concat_ws would silently skip the
+    * nulls and give every empty doc the same "" bucket. */
+  def minhashBanded(sigs: DataFrame, bands: Int, rows: Int): DataFrame =
+    sigs.select(col("doc_id"),
       posexplode(array((0 until bands).map { b =>
         concat((0 until rows).flatMap(r =>
           (if (r > 0) Seq(lit(",")) else Nil) :+
             element_at(col("sig"), b * rows + r + 1).cast("string")): _*)
       }: _*)).as(Seq("band", "band_sig")))
       .filter(col("band_sig").isNotNull)
+
+  def minhashCandidates(sigs: DataFrame, bands: Int, rows: Int): DataFrame = {
+    val banded = minhashBanded(sigs, bands, rows)
     banded.as("a")
       .join(banded.as("b"),
         col("a.band") === col("b.band") &&

@@ -433,6 +433,38 @@ object DedupQueries {
           / COUNT(*) AS dup_rate
       FROM canon GROUP BY source ORDER BY source"""))
 
+  /** LSH index tuning report: per-band bucket counts, collision-pair
+    * volume (Σ sz·(sz−1)/2 — the exact join cost the candidate stage
+    * will pay), and the hottest bucket. The observability artifact an
+    * index owner reads before changing bands/rows; integer arithmetic
+    * end to end. */
+  val d11 = QueryDef(
+    "d11_lsh_tuning",
+    (sp, dir) => {
+      val sigs = Dedup.minhashSignatures(Tables(sp, dir, "documents"),
+        "doc_id", "text", shingleN = 3, k = 16)
+      Dedup.minhashBanded(sigs, bands = 4, rows = 4)
+        .groupBy("band", "band_sig")
+        .agg(count(lit(1)).as("sz"))
+        .groupBy("band")
+        .agg(sum(col("sz")).as("n_docs"),
+          count(lit(1)).as("n_buckets"),
+          sum(expr("sz * (sz - 1) div 2")).as("n_pairs"),
+          max(col("sz")).as("max_bucket"))
+        .orderBy("band")
+    },
+    Some(s"""
+      WITH $shingleHashSql,
+      $minhashCandSql,
+      bsz AS (SELECT band, band_sig, COUNT(*) AS sz
+              FROM banded WHERE band_sig IS NOT NULL
+              GROUP BY band, band_sig)
+      SELECT band, CAST(SUM(sz) AS BIGINT) AS n_docs,
+        CAST(COUNT(*) AS BIGINT) AS n_buckets,
+        CAST(SUM(sz * (sz - 1) // 2) AS BIGINT) AS n_pairs,
+        CAST(MAX(sz) AS BIGINT) AS max_bucket
+      FROM bsz GROUP BY band ORDER BY band"""))
+
   val defs: Seq[QueryDef] =
-    Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09, d10)
+    Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11)
 }
