@@ -449,6 +449,61 @@ object RelationalNext {
         CAST(SUM(rev) AS DOUBLE) AS total_rev
       FROM shares GROUP BY flag ORDER BY flag"""))
 
+  /** Several COUNT(DISTINCT …) over DIFFERENT columns in one aggregate
+    * — planned through Expand (one row copy per distinct column), the
+    * engine feature single-distinct q09 never exercises. The non-
+    * distinct count and decimal sum ride in the same pass. */
+  val q68 = QueryDef(
+    "q68_multi_distinct",
+    (sp, dir) => {
+      import graft.Dsl.moneySum
+      Tables(sp, dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(countDistinct(col("o_custkey")).as("n_custs"),
+          countDistinct(col("o_orderstatus")).as("n_statuses"),
+          countDistinct(year(col("o_orderdate"))).as("n_years"),
+          count(lit(1)).as("n_orders"),
+          moneySum(col("o_totalprice")).as("sum_price"))
+        .orderBy("o_orderpriority")
+    },
+    Some("""
+      SELECT o_orderpriority,
+        COUNT(DISTINCT o_custkey) AS n_custs,
+        COUNT(DISTINCT o_orderstatus) AS n_statuses,
+        COUNT(DISTINCT YEAR(o_orderdate)) AS n_years,
+        COUNT(*) AS n_orders,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+      FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority"""))
+
+  /** Rolling DISCRETE median (lower middle — picks an existing value,
+    * zero float interpolation, so both engines agree bit-for-bit) over
+    * a 25-row trailing frame per priority: Spark has no windowed
+    * median, so the idiom is a sorted bounded frame + positional pick;
+    * the oracle uses DuckDB's windowed quantile_disc. */
+  val q69 = QueryDef(
+    "q69_rolling_median",
+    (sp, dir) => {
+      val w = Window.partitionBy("o_orderpriority")
+        .orderBy(col("o_orderkey"))
+        .rowsBetween(-24, Window.currentRow)
+      Tables(sp, dir, "orders")
+        .filter(col("o_custkey") < 200)
+        .select(col("o_orderpriority"), col("o_orderkey"), col("o_totalprice"),
+          sort_array(collect_list(col("o_totalprice")).over(w)).as("frame"))
+        .withColumn("n", size(col("frame")))
+        .select(col("o_orderpriority"), col("o_orderkey"), col("o_totalprice"),
+          element_at(col("frame"),
+            expr("(n + 1) div 2").cast("int")).as("rolling_median"))
+        .orderBy("o_orderpriority", "o_orderkey")
+    },
+    Some("""
+      SELECT o_orderpriority, o_orderkey, o_totalprice,
+        quantile_disc(o_totalprice, 0.5) OVER (PARTITION BY o_orderpriority
+          ORDER BY o_orderkey ROWS BETWEEN 24 PRECEDING AND CURRENT ROW)
+          AS rolling_median
+      FROM orders WHERE o_custkey < 200
+      ORDER BY o_orderpriority, o_orderkey"""))
+
   val defs: Seq[QueryDef] =
-    Seq(q57, q58, q59, q60, q61, q62, q63, q64, q65, q66, q67)
+    Seq(q57, q58, q59, q60, q61, q62, q63, q64, q65, q66, q67, q68, q69)
 }
