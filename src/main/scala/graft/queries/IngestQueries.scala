@@ -725,7 +725,43 @@ object IngestQueries {
           AS sum_b_price
       FROM d GROUP BY diff_status ORDER BY diff_status"""))
 
+  /** Federated ingest: the SAME dataset landed as CSV, JSON Lines, and
+    * parquet, unioned into one frame — the mixed-landing-zone reality
+    * of a lake migration. Every per-row value must survive all three
+    * codecs identically: the unioned aggregate is exactly 3× the
+    * single-copy oracle, and any per-format drift (quoting, number
+    * parsing, encoding) breaks the hash. */
+  val e18 = QueryDef(
+    "e18_federated_union",
+    (sp, dir) => {
+      val csv = Sinks.readCsv(sp,
+        IngestFixtures.materialize(fixtureKey(dir, "csv"), "csv",
+          Tables(sp, dir, "documents")), docSchema)
+      val json = Sinks.readJson(sp,
+        IngestFixtures.materialize(fixtureKey(dir, "json"), "json",
+          Tables(sp, dir, "documents")), docSchema)
+      val pq = Tables(sp, dir, "documents")
+        .select(docSchema.fieldNames.map(col).toSeq: _*)
+      csv.unionByName(json).unionByName(pq)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_rows"),
+          countDistinct(col("doc_id")).as("n_distinct_ids"),
+          sum(col("n_chars")).as("sum_chars"),
+          sum(length(col("text"))).as("sum_text_len"))
+        .orderBy("lang")
+    },
+    Some("""
+      WITH u AS (
+        SELECT * FROM documents
+        UNION ALL SELECT * FROM documents
+        UNION ALL SELECT * FROM documents)
+      SELECT lang, COUNT(*) AS n_rows,
+        COUNT(DISTINCT doc_id) AS n_distinct_ids,
+        CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+        CAST(SUM(length(text)) AS BIGINT) AS sum_text_len
+      FROM u GROUP BY lang ORDER BY lang"""))
+
   val defs: Seq[QueryDef] =
     Seq(e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11, e12, e13,
-      e14, e15, e16, e17)
+      e14, e15, e16, e17, e18)
 }
