@@ -465,6 +465,53 @@ object DedupQueries {
         CAST(MAX(sz) AS BIGINT) AS max_bucket
       FROM bsz GROUP BY band ORDER BY band"""))
 
+  /** LSH index evaluation: precision/recall of the MinHash candidate
+    * set against exact-Jaccard ground truth (the text analogue of
+    * s06's ANN recall report). One full-outer join of the two pair
+    * sets feeds a single aggregate — no cartesian anywhere; the rates
+    * are double divisions of exact counts. */
+  val d12 = QueryDef(
+    "d12_lsh_eval",
+    (sp, dir) => {
+      val docs = Tables(sp, dir, "documents")
+      val truth = Dedup.ngramJaccard(docs, "doc_id", "text", n = 3,
+        minJaccard = 0.2, maxDf = Some(64)).select("d1", "d2")
+      val sigs = Dedup.minhashSignatures(docs, "doc_id", "text",
+        shingleN = 3, k = 16)
+      val cands = Dedup.minhashCandidates(sigs, bands = 4, rows = 4)
+      truth.withColumn("t", lit(1L))
+        .join(cands.withColumn("c", lit(1L)), Seq("d1", "d2"), "full_outer")
+        .agg(sum(coalesce(col("t"), lit(0L))).as("n_true"),
+          sum(coalesce(col("c"), lit(0L))).as("n_candidates"),
+          sum(coalesce(col("t"), lit(0L)) * coalesce(col("c"), lit(0L)))
+            .as("n_hits"))
+        .withColumn("precision", col("n_hits") / col("n_candidates"))
+        .withColumn("recall", col("n_hits") / col("n_true"))
+    },
+    Some(s"""
+      WITH $shingleHashSql,
+      $minhashCandSql,
+      hsc AS (SELECT doc_id, h FROM (
+                SELECT doc_id, h, COUNT(*) OVER (PARTITION BY h) AS df FROM hs)
+              WHERE df <= 64),
+      szs AS (SELECT doc_id, COUNT(*) n FROM hsc GROUP BY doc_id),
+      cmn AS (SELECT a.doc_id d1, b.doc_id d2, COUNT(*) common
+              FROM hsc a JOIN hsc b ON a.h = b.h AND a.doc_id < b.doc_id
+              GROUP BY 1, 2),
+      truth AS (SELECT d1, d2 FROM cmn
+                JOIN szs s1 ON d1 = s1.doc_id JOIN szs s2 ON d2 = s2.doc_id
+                WHERE CAST(common AS DOUBLE) / (s1.n + s2.n - common) >= 0.2),
+      j AS (SELECT COALESCE(t.one, 0) AS t, COALESCE(c.one, 0) AS c
+            FROM (SELECT d1, d2, 1 AS one FROM truth) t
+            FULL OUTER JOIN (SELECT d1, d2, 1 AS one FROM cands) c
+              ON t.d1 = c.d1 AND t.d2 = c.d2)
+      SELECT CAST(SUM(t) AS BIGINT) AS n_true,
+        CAST(SUM(c) AS BIGINT) AS n_candidates,
+        CAST(SUM(t * c) AS BIGINT) AS n_hits,
+        CAST(SUM(t * c) AS DOUBLE) / SUM(c) AS precision,
+        CAST(SUM(t * c) AS DOUBLE) / SUM(t) AS recall
+      FROM j"""))
+
   val defs: Seq[QueryDef] =
-    Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11)
+    Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12)
 }
