@@ -17,11 +17,24 @@ object Dedup {
   def normalized(text: Column): Column =
     lower(trim(regexp_replace(text, "\\s+", " ")))
 
-  /** Exact dedup: group by normalized text, keep the smallest id as
-    * the canonical representative. One hash shuffle. */
-  def exact(docs: DataFrame, idCol: String, textCol: String): DataFrame =
-    docs.groupBy(normalized(col(textCol)).as("norm_text"))
+  /** Exact dedup: group by a 124-bit hash of the normalized text —
+    * two independent 62-bit packed poly-hash pairs (mults 31/131 and
+    * 37/149, mod 2³¹−1) — keeping the smallest id as the canonical
+    * representative. One hash shuffle whose key is 16 BYTES regardless
+    * of document length: grouping on the text itself would ship the
+    * whole corpus as shuffle keys when docs are mostly unique
+    * (map-side combine only collapses actual duplicates). Collision
+    * odds over d docs ≈ d²/2¹²⁵ — negligible past 10¹⁵ docs. The hash
+    * is the engine-portable byte-level poly fold, so oracles replay it
+    * with the ascii-fold SQL idiom (byte == codepoint on ASCII). */
+  def exact(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val norm = normalized(col(textCol))
+    def h62(m1: Long, m2: Long): Column =
+      graft.functions.PolyHashExpr(norm, m1) +
+        shiftleft(graft.functions.PolyHashExpr(norm, m2), 31)
+    docs.groupBy(h62(31L, 131L).as("h_a"), h62(37L, 149L).as("h_b"))
       .agg(min(col(idCol)).as("rep_id"), count(lit(1)).as("n_copies"))
+  }
 
   /** (id, shingle) pairs: distinct word n-gram shingles per doc. */
   def shingleSet(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
@@ -135,18 +148,41 @@ object Dedup {
     * the blowup, the exact verify removes LSH false positives. False
     * negatives (pairs missed by every band) are the standard recall
     * trade-off; tune bands/rows.
+    *
+    * @param bloomPrefilter when true, a Bloom filter over the
+    *   candidate doc ids ([[BloomSemi]]) prunes the shingle set
+    *   SCAN-SIDE before the verify joins: docs that reached no LSH
+    *   bucket pair — at 100 TB the overwhelming majority — never
+    *   enter either join exchange. No false negatives, so the result
+    *   is hash-identical; the candidate set is persisted (it is
+    *   consumed by the bloom build and the verify join).
     */
   def minhashVerifiedPairs(docs: DataFrame, idCol: String, textCol: String,
       shingleN: Int, k: Int, bands: Int, rows: Int,
-      minJaccard: Double): DataFrame = {
+      minJaccard: Double, bloomPrefilter: Boolean = false): DataFrame = {
     val sigs = minhashSignatures(docs, idCol, textCol, shingleN, k)
-    val cands = minhashCandidates(sigs, bands, rows)
+    val cands0 = minhashCandidates(sigs, bands, rows)
+    val cands =
+      if (bloomPrefilter)
+        cands0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else cands0
     // not persisted: all three consumers live in ONE query, where
     // ReusedExchange already shares the shuffled shingle set; a
     // persist here would pin blocks with no owner to unpersist them
     // (the operator never sees the action boundary).
-    val sh = shingleHashSet(docs, idCol, textCol, shingleN)
-    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
+    val shAll = shingleHashSet(docs, idCol, textCol, shingleN)
+    // sizes must count EVERY doc's shingles (the Jaccard denominator),
+    // so they aggregate the unfiltered set — only the join probe sides
+    // below get the bloom prune.
+    val sizes = shAll.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
+    val sh =
+      if (bloomPrefilter) {
+        val mBits = 1 << 17
+        val candIds = cands.select(col("d1").as("id"))
+          .unionAll(cands.select(col("d2").as("id"))).distinct()
+        val bits = BloomSemi.buildBits(candIds, "id", mBits, nHashes = 3)
+        shAll.filter(BloomSemi.mightContain(col("doc_id"), bits, mBits, 3))
+      } else shAll
     // |A ∩ B| for candidate pairs only: fan each pair out over d1's
     // shingles, then equi-join on (shingle, d2) — both joins are hash
     // joins on real keys, no all-pairs work anywhere.

@@ -1,0 +1,74 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Distributed prefix sum (running/cumulative sum over a total order)
+  * without the low-cardinality-partition window it naively plans to.
+  *
+  * `sum().over(Window.partitionBy(k).orderBy(o))` sorts EVERY row of a
+  * logical partition inside one task — fine when `k` has cardinality ≥
+  * the shuffle parallelism, a scale-killer when it doesn't (a 3-value
+  * flag column means 3 tasks each sorting a third of the data, however
+  * large the data grows). This operator decomposes the running sum the
+  * same way [[Pipeline.distributedNtile]] decomposes global rank:
+  *
+  *   1. range-repartition on (partitionCols ++ orderCols) into
+  *      `numPartitions` chunks — each chunk holds a contiguous slice
+  *      of the total order, sized by data volume, not key cardinality;
+  *   2. per-chunk local running sums (window partitioned by
+  *      (partitionCols, chunk id) — every window partition is at most
+  *      one chunk, so sorts stay partition-local);
+  *   3. per-chunk totals, cumulated over the TINY (≤ numPartitions
+  *      rows per logical partition) frame and broadcast back as
+  *      offsets. prefix = local + offset-of-earlier-chunks.
+  *
+  * Determinism: `orderCols` must be a total order within each logical
+  * partition (add a unique tie-break column); the prefix sum over a
+  * total order is well-defined under ANY chunk-boundary placement, and
+  * the explicit `numPartitions` keeps AQE from re-coalescing the range
+  * exchange (chunk ids must agree between the local-sum branch and the
+  * totals branch — same-subplan exchange reuse makes them literally
+  * the same shuffle, and RangePartitioner's fixed per-input-partition
+  * sampling seed makes boundaries reproducible even when it doesn't).
+  */
+object PrefixSum {
+
+  /** df + `outCol` = running sum of `valueCol` over `orderCols` within
+    * `partitionCols`, equal row-for-row to
+    * `sum(valueCol).over(Window.partitionBy(partitionCols).orderBy(orderCols)
+    * .rowsBetween(unboundedPreceding, currentRow))`. */
+  def withRunningSum(df: DataFrame, partitionCols: Seq[String],
+      orderCols: Seq[Column], valueCol: String, outCol: String,
+      numPartitions: Int = 0): DataFrame = {
+    val n =
+      if (numPartitions > 0) numPartitions
+      else df.sparkSession.sessionState.conf.numShufflePartitions
+    val part = partitionCols.map(col)
+    val ranged = df
+      .repartitionByRange(n, part ++ orderCols: _*)
+      .withColumn("__chunk", spark_partition_id())
+    // local running sums: every window partition ⊆ one range chunk,
+    // so no task ever sorts more than ~|df|/n rows
+    val local = Window.partitionBy(part :+ col("__chunk"): _*)
+      .orderBy(orderCols: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // per-chunk totals: ≤ n rows per logical partition — the cumulative
+    // window below runs over that bounded frame, never the data
+    val offsets = ranged
+      .groupBy(part :+ col("__chunk"): _*)
+      .agg(sum(col(valueCol)).as("__ctot"))
+      .withColumn("__off", coalesce(
+        sum(col("__ctot")).over(Window.partitionBy(part: _*)
+          .orderBy(col("__chunk"))
+          .rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0)))
+      .drop("__ctot")
+    ranged
+      .withColumn("__loc", sum(col(valueCol)).over(local))
+      .join(broadcast(offsets), partitionCols :+ "__chunk")
+      .withColumn(outCol, col("__loc") + col("__off"))
+      .drop("__chunk", "__loc", "__off")
+  }
+}

@@ -404,9 +404,13 @@ object RelationalNext {
 
   /** Pareto / ABC analysis: within each return flag, how many parts
     * cover 80% of revenue. The running share is a per-row double
-    * division of two exact decimal sums, the order is total (revenue
-    * desc, partkey), and the window partitions on the flag — bounded
-    * partitions, no global sort. */
+    * division of two exact decimal sums over a total order (revenue
+    * desc, partkey). The flag column has cardinality 3, so a window
+    * partitioned on it would sort ~a third of all parts inside each of
+    * 3 tasks — the cumulative sum instead goes through
+    * [[graft.operators.PrefixSum]] (range chunks + local sums +
+    * broadcast offsets), and the per-flag denominator is a 3-row
+    * broadcast aggregate, not a whole-partition window. */
   val q67 = QueryDef(
     "q67_pareto_abc",
     (sp, dir) => {
@@ -415,14 +419,12 @@ object RelationalNext {
         .groupBy(col("l_returnflag").as("flag"),
           col("l_partkey").as("part"))
         .agg(revSumDec(col("l_extendedprice"), col("l_discount")).as("rev"))
-      val ord = Window.partitionBy("flag")
-        .orderBy(col("rev").desc, col("part"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val tot = Window.partitionBy("flag")
-      byPart
+      val cum = graft.operators.PrefixSum.withRunningSum(byPart,
+        Seq("flag"), Seq(col("rev").desc, col("part")), "rev", "cum_rev")
+      val tot = byPart.groupBy("flag").agg(sum(col("rev")).as("flag_rev"))
+      cum.join(broadcast(tot), "flag")
         .withColumn("cum_share",
-          sum(col("rev")).over(ord).cast("double") /
-            sum(col("rev")).over(tot).cast("double"))
+          col("cum_rev").cast("double") / col("flag_rev").cast("double"))
         .groupBy("flag")
         .agg(count(lit(1)).as("n_parts"),
           sum(when(col("cum_share") <= 0.8, 1L).otherwise(0L)).as("n_a_parts"),
@@ -504,6 +506,33 @@ object RelationalNext {
       FROM orders WHERE o_custkey < 200
       ORDER BY o_orderpriority, o_orderkey"""))
 
+  /** The 100 TB twin of q26's exact percentiles: `approx_percentile`
+    * (Greenwald–Khanna summaries) holds aggregation state bounded by
+    * the accuracy parameter — NOT by group row count, which is what
+    * makes exact `percentile()` an executor-crusher on near-continuous
+    * values with few groups (its buffer holds every distinct value).
+    * Sketch internals are engine-specific, so no portable DuckDB
+    * oracle exists — rows-only by declared design (the q30/q52
+    * pairing); the rank-error bound (≤ 1/accuracy) is spec-asserted
+    * against the exact answer in RelationalMoreSpec. */
+  val q70 = QueryDef(
+    "q70_approx_percentiles",
+    (sp, dir) => {
+      Tables(sp, dir, "events")
+        .groupBy("event_type")
+        .agg(expr("approx_percentile(value, array(0.25, 0.5, 0.75), 10000)")
+            .as("pcts"),
+          count(lit(1)).as("n_events"))
+        .select(col("event_type"),
+          element_at(col("pcts"), 1).as("p25"),
+          element_at(col("pcts"), 2).as("p50"),
+          element_at(col("pcts"), 3).as("p75"),
+          col("n_events"))
+        .orderBy("event_type")
+    },
+    None)
+
   val defs: Seq[QueryDef] =
-    Seq(q57, q58, q59, q60, q61, q62, q63, q64, q65, q66, q67, q68, q69)
+    Seq(q57, q58, q59, q60, q61, q62, q63, q64, q65, q66, q67, q68,
+      q69, q70)
 }
