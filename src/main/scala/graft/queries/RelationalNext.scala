@@ -76,7 +76,7 @@ object RelationalNext {
     Some {
       val hashRows = graft.operators.CountMin.rowParams.zipWithIndex
         .map { case ((a, b), i) =>
-          s"SELECT $i AS row, (($a * key + $b) % 2147483647) % 1024 AS bucket, key FROM keys"
+          s"SELECT $i AS row, (($a * (key % 2147483647) + $b) % 2147483647) % 1024 AS bucket, key FROM keys"
         }.mkString("\n        UNION ALL ")
       s"""
       WITH keys AS (
@@ -349,6 +349,10 @@ object RelationalNext {
         .agg(count(lit(1)).as("n_items"),
           min(col("l_extendedprice")).as("min_price"),
           kth(col("l_extendedprice")).as("third_lowest"))
+        // groups with fewer than k values finish as NaN, but the
+        // oracle's `WHERE rn = 3` DROPS such groups — filter them here
+        // too so both engines agree structurally on any data
+        .filter(!isnan(col("third_lowest")))
         .orderBy("l_returnflag", "l_linestatus")
     },
     Some("""

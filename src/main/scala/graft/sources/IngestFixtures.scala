@@ -99,9 +99,15 @@ object IngestFixtures {
   /** A directory holding ONE hand-written `bad.csv` of deliberately
     * malformed rows (plus the header line, which the `header=true`
     * reader skips per file). Written atomically via rename so a
-    * concurrent reader never sees a half-written file. */
+    * concurrent reader never sees a half-written file. The path folds
+    * in a hash of the CONTENT (header + rows), preserving the fixture
+    * content-addressing invariant: editing the malformed rows yields a
+    * new directory instead of silently serving the stale file /tmp
+    * kept from an earlier JVM run. */
   def badCsvDir(key: String, header: String, rows: Seq[String]): String = {
-    val path = s"/tmp/graft_ingest_v2/$key"
+    val contentHash = java.lang.Long.toHexString(
+      (header +: rows).mkString("\n").hashCode.toLong & 0xffffffffL)
+    val path = s"/tmp/graft_ingest_v2/${key}_$contentHash"
     done.computeIfAbsent(path, _ => {
       val dst = new java.io.File(path, "bad.csv")
       if (!dst.exists()) {

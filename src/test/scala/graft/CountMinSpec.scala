@@ -52,4 +52,22 @@ class CountMinSpec extends SparkSpec {
     exact.foreach { case (k, c) => assert(got(k) >= c) }
     assert(got(3L) === 3L)
   }
+
+  test("keys beyond 2^31 and negative keys hash without overflow") {
+    // without the mod-P pre-reduction, a*key wraps past 2^63 for keys
+    // above ~8.3e9 (silently in Java, loudly in checked engines); the
+    // reduced hash must keep every bucket in [0, w) and the estimates
+    // sound for the full BIGINT domain
+    val rows = Seq(Long.MaxValue, Long.MaxValue, 9999999999L,
+      -42L, -42L, -42L, Long.MinValue + 1, 5L)
+    val df = rows.toDF("k")
+    val hh = CountMin.heavyHitters(df, "k", w = 1024, k = 10)
+      .select("key", "exact_cnt", "cms_estimate").as[(Long, Long, Long)]
+      .collect()
+    val exact = rows.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    assert(hh.length === exact.size)
+    hh.foreach { case (k, ex, est) =>
+      assert(ex === exact(k)); assert(est >= ex, s"key $k under-counted")
+    }
+  }
 }

@@ -40,4 +40,18 @@ class IntervalSweepSpec extends SparkSpec {
       .select("peak").as[Long].head()
     assert(peak === 7L)
   }
+
+  test("a null boundary fails loudly instead of corrupting the sweep") {
+    // Spark windows sort nulls FIRST, SQL oracles ORDER BY NULLS LAST —
+    // a null boundary would corrupt the running sum differently in each
+    // engine, so the operator raises per-row instead
+    val df = Seq((1, Some(0L), Some(10L)), (1, Some(5L), None))
+      .toDF("g", "s", "e")
+    val ex = intercept[Exception] {
+      IntervalSweep.peakConcurrency(df, Seq("g"), "s", "e").collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => e.getMessage +: msgs(e.getCause))
+    assert(msgs(ex).exists(m => m != null && m.contains("null e boundary")))
+  }
 }

@@ -39,4 +39,15 @@ class KthSmallestSpec extends SparkSpec {
     val kth = udaf(new KthSmallest(3))
     assert(df.groupBy("g").agg(kth(col("v"))).as[(Int, Double)].head()._2.isNaN)
   }
+
+  test("the q65 oracle-alignment filter drops undersized groups structurally") {
+    // the DuckDB oracle (WHERE rn = k) yields NO row for a group with
+    // fewer than k values; the Spark side must drop it too, not emit NaN
+    val df = Seq((1, 2.0), (1, 3.0), (1, 9.0), (2, 5.0)).toDF("g", "v")
+    val kth = udaf(new KthSmallest(3))
+    val rows = df.groupBy("g").agg(kth(col("v")).as("k3"))
+      .filter(!isnan(col("k3")))
+      .as[(Int, Double)].collect().toMap
+    assert(rows === Map(1 -> 9.0))
+  }
 }

@@ -46,6 +46,34 @@ class PlanAuditSpec extends SparkSpec {
     assert(shuffles(p) <= 3, s"unexpected extra shuffles:\n${p.take(2000)}")
   }
 
+  test("d01 shuffles 16-byte hash keys, never the normalized text") {
+    val p = plan("d01_exact_dedup")
+    // the grouping keys are aliased `_groupingexpression` longs fed by
+    // the native poly-hash — a string key would mean the whole corpus
+    // text rides the shuffle again
+    assert(p.contains("graft_polyhash"),
+      s"group-by must key on the native text hash:\n${p.take(2000)}")
+    assert(p.contains("hashpartitioning(_groupingexpression"),
+      s"aggregation shuffle must key on the hash projection:\n${p.take(2000)}")
+    assert(!p.contains("norm_text"),
+      s"the normalized text must not survive into the shuffle:\n${p.take(2000)}")
+  }
+
+  test("q67 cumulative share never windows a whole low-cardinality partition") {
+    val p = plan("q67_pareto_abc")
+    val specs = "windowspecdefinition\\([^)]*\\)".r.findAllIn(p).toList
+    assert(specs.nonEmpty && specs.forall(_.contains("__chunk")),
+      s"window partitioned below shuffle parallelism:\n${specs.mkString("\n")}")
+    assert(p.contains("BroadcastHashJoin"),
+      s"per-flag totals must broadcast:\n${p.take(2000)}")
+  }
+
+  test("d07 bloom prefilter prunes the shingle probe side before the verify join") {
+    val p = plan("d07_minhash_verify")
+    assert(p.contains("pmod(hash(doc_id"),
+      s"expected the bloom membership test on the shingle scan:\n${p.take(3000)}")
+  }
+
   test("s03 routing broadcasts centroids to the query side") {
     val p = plan("s03_ivf_ann")
     assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"))

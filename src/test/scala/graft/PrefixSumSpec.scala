@@ -1,0 +1,63 @@
+package graft
+
+import graft.operators.PrefixSum
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+class PrefixSumSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("distributed running sum equals the naive partitioned window") {
+    val rnd = new scala.util.Random(17)
+    val rows = (1 to 5000).map { i =>
+      (Seq("A", "B", "C")(rnd.nextInt(3)), i.toLong, rnd.nextInt(1000).toLong)
+    }
+    val df = rows.toDF("grp", "id", "v")
+    val naive = df.withColumn("cum",
+      sum(col("v")).over(Window.partitionBy("grp")
+        .orderBy(col("v").desc, col("id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select("grp", "id", "cum")
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val dist = PrefixSum.withRunningSum(df, Seq("grp"),
+      Seq(col("v").desc, col("id")), "v", "cum", numPartitions = 7)
+      .select("grp", "id", "cum")
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(dist === naive)
+  }
+
+  test("running sum over decimals keeps exact values") {
+    val df = (1 to 400)
+      .map(i => ("g" + (i % 2), i.toLong, BigDecimal(i) / 100))
+      .toDF("grp", "id", "v")
+      .withColumn("v", col("v").cast("decimal(12,2)"))
+    val naive = df.withColumn("cum",
+      sum(col("v")).over(Window.partitionBy("grp").orderBy("id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select("grp", "id", "cum")
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getDecimal(2)).toMap
+    val dist = PrefixSum.withRunningSum(df, Seq("grp"), Seq(col("id")),
+      "v", "cum", numPartitions = 5)
+      .select("grp", "id", "cum")
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getDecimal(2)).toMap
+    assert(dist.keySet === naive.keySet)
+    naive.foreach { case (k, v) =>
+      assert(dist(k).compareTo(v) == 0, s"row $k: ${dist(k)} vs $v")
+    }
+  }
+
+  test("no window partition ever spans more than one range chunk") {
+    val df = (1 to 1000).map(i => ("x", i.toLong, 1L)).toDF("grp", "id", "v")
+    val p = PrefixSum.withRunningSum(df, Seq("grp"), Seq(col("id")),
+      "v", "cum", numPartitions = 8)
+      .queryExecution.executedPlan.toString
+    // both data-side windows must carry the chunk id in their
+    // partition spec — a window partitioned on `grp` alone would be
+    // the low-cardinality single-task sort this operator exists to
+    // avoid
+    val specs = "windowspecdefinition\\([^)]*\\)".r.findAllIn(p).toList
+    assert(specs.nonEmpty)
+    assert(specs.forall(_.contains("__chunk")),
+      s"window spec without chunk id:\n${specs.mkString("\n")}")
+  }
+}

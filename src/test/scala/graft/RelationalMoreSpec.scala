@@ -19,6 +19,34 @@ class RelationalMoreSpec extends SparkSpec {
     }
   }
 
+  test("q70 approx percentiles honor the GK rank-error bound vs exact") {
+    val dir = "/root/testdata/sf0.01"
+    val approx = Catalog.byName("q70_approx_percentiles").build(spark, dir)
+      .collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2), r.getDouble(3)))
+      .toMap
+    val values = Tables(spark, dir, "events")
+      .select(col("event_type"), col("value"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1))
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).sorted }
+    // rank error ≤ n/accuracy (+2 slack for the discrete floor/ceil
+    // rank arithmetic); duplicates make the returned value occupy a
+    // rank INTERVAL [count(<v), count(<=v)], so the bound is checked
+    // against the interval, not a single rank
+    values.foreach { case (et, sorted) =>
+      val n = sorted.length
+      val tol = n.toDouble / 10000 + 2
+      val (p25, p50, p75) = approx(et)
+      Seq(0.25 -> p25, 0.5 -> p50, 0.75 -> p75).foreach { case (q, v) =>
+        val lo = sorted.count(_ < v)
+        val hi = sorted.count(_ <= v)
+        val target = q * n
+        assert(lo - tol <= target && target <= hi + tol,
+          s"$et q=$q: value $v spans ranks [$lo,$hi] of $n, target $target ± $tol")
+      }
+    }
+  }
+
   test("salted join equals plain join") {
     val large = Seq((1L, "a"), (1L, "b"), (2L, "c"), (1L, "d"))
       .toDF("k", "payload")
