@@ -761,7 +761,111 @@ object IngestQueries {
         CAST(SUM(length(text)) AS BIGINT) AS sum_text_len
       FROM u GROUP BY lang ORDER BY lang"""))
 
+  /** End-to-end incremental ingest — the scraper-shaped workflow the
+    * reference embodies, as ONE catalog entry: a landing directory
+    * grows in two installments; each installment is picked up by a
+    * checkpointed `Trigger.AvailableNow` pass that discovers NEW FILES
+    * ONLY (the FileStreamSource commit log skips everything already
+    * processed) and merges it into a JDBC table via
+    * [[Sinks.upsertJdbc]] (update beats insert per key). An audit
+    * table records per-pass row counts, and `n_ingested` rides on
+    * every output row — if pass 2 ever re-reads installment 1, the
+    * audit total (and the hash) breaks, so the incremental discovery
+    * itself is oracle-checked, not just the final table state.
+    *
+    * Installments from `documents`: pass 1 = even doc_ids (version 1,
+    * payload n_chars); pass 2 = doc_ids divisible by 3 (version 2,
+    * payload n_chars + 1000) — multiples of 6 exercise the upsert's
+    * update path, odd multiples of 3 its insert path. */
+  val e19 = QueryDef(
+    "e19_incremental_ingest",
+    (sp, dir) => {
+      val fp = IngestFixtures.fingerprint(s"$dir/documents.parquet")
+      val land = s"/tmp/graft_ingest_v2/e19_land_$fp"
+      val ckpt = s"/tmp/graft_ingest_v2/e19_ckpt_$fp"
+      val url = s"jdbc:derby:memory:graft_e19_$fp;create=true"
+      val table = "incr_docs"
+      val audit = "incr_audit"
+      IngestFixtures.once(s"e19_$fp") {
+        // the in-memory DB dies with the JVM but /tmp survives it —
+        // start each JVM from a clean landing + checkpoint so the two
+        // passes below are exactly the two installments
+        import scala.reflect.io.Directory
+        new Directory(new java.io.File(land)).deleteRecursively()
+        new Directory(new java.io.File(ckpt)).deleteRecursively()
+        val docs = Tables(sp, dir, "documents")
+        def ingestPass(): Unit = {
+          val schema = StructType(Seq(
+            StructField("doc_id", LongType),
+            StructField("source", StringType),
+            StructField("payload", LongType),
+            StructField("version", IntegerType)))
+          val q = sp.readStream.schema(schema).parquet(land)
+            .writeStream
+            .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+              val b = batch.localCheckpoint(true)
+              Sinks.upsertJdbc(sp, b, url, table,
+                keyCols = Seq("doc_id"), versionCol = "version",
+                numPartitions = 2)
+              b.agg(count(lit(1)).as("n_rows")).write
+                .mode(org.apache.spark.sql.SaveMode.Append)
+                .jdbc(url, audit, new java.util.Properties())
+            }
+            .option("checkpointLocation", ckpt)
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start()
+          q.awaitTermination()
+        }
+        IngestFixtures.addLandingFile(land,
+          docs.filter(col("doc_id") % 2 === 0)
+            .select(col("doc_id"), col("source"),
+              col("n_chars").cast("long").as("payload"),
+              lit(1).as("version")),
+          "batch1.parquet", 1700000000000L)
+        ingestPass()
+        IngestFixtures.addLandingFile(land,
+          docs.filter(col("doc_id") % 3 === 0)
+            .select(col("doc_id"), col("source"),
+              (col("n_chars") + 1000L).cast("long").as("payload"),
+              lit(2).as("version")),
+          "batch2.parquet", 1700000100000L)
+        ingestPass()
+      }
+      // the 1-row audit total rides on every output row via a
+      // broadcast hash join on a constant-valued but NON-foldable key
+      // (pmod(x, 1) ≡ 0 — a literal key would fold away and re-plan as
+      // the BroadcastNestedLoopJoin the no-cartesian sweep forbids)
+      val ingested = Sinks.readJdbc(sp, url, audit)
+        .agg(sum(col("n_rows")).as("n_ingested"))
+        .withColumn("__k", pmod(col("n_ingested"), lit(1L)))
+      Sinks.readJdbc(sp, url, table)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("payload")).as("sum_payload"),
+          sum(col("version").cast("long")).as("sum_version"))
+        .withColumn("__k", pmod(col("n_docs"), lit(1L)))
+        .join(broadcast(ingested), "__k")
+        .drop("__k")
+        .orderBy("source")
+    },
+    Some("""
+      WITH merged AS (
+        SELECT doc_id, source,
+          CAST(CASE WHEN doc_id % 3 = 0 THEN n_chars + 1000
+                    ELSE n_chars END AS BIGINT) AS payload,
+          CASE WHEN doc_id % 3 = 0 THEN 2 ELSE 1 END AS version
+        FROM documents
+        WHERE doc_id % 2 = 0 OR doc_id % 3 = 0)
+      SELECT source, COUNT(*) AS n_docs,
+        CAST(SUM(payload) AS BIGINT) AS sum_payload,
+        CAST(SUM(version) AS BIGINT) AS sum_version,
+        (SELECT CAST(
+            (SELECT COUNT(*) FROM documents WHERE doc_id % 2 = 0)
+          + (SELECT COUNT(*) FROM documents WHERE doc_id % 3 = 0)
+          AS BIGINT)) AS n_ingested
+      FROM merged GROUP BY source ORDER BY source"""))
+
   val defs: Seq[QueryDef] =
     Seq(e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11, e12, e13,
-      e14, e15, e16, e17, e18)
+      e14, e15, e16, e17, e18, e19)
 }

@@ -71,23 +71,33 @@ object IngestFixtures {
       val dirF = new java.io.File(path)
       if (!new java.io.File(dirF, "batch2.parquet").exists()) {
         dirF.mkdirs()
-        def writeOne(df: DataFrame, name: String, mtime: Long): Unit = {
-          val tmp = new java.io.File(dirF, s"__tmp_$name")
-          df.coalesce(1).write.mode("overwrite").parquet(tmp.getAbsolutePath)
-          val part = tmp.listFiles()
-            .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
-            .getOrElse(sys.error(s"no part file under $tmp"))
-          val dst = new java.io.File(dirF, name)
-          java.nio.file.Files.move(part.toPath, dst.toPath,
-            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-          dst.setLastModified(mtime)
-          tmp.listFiles().foreach(_.delete()); tmp.delete()
-        }
-        writeOne(first, "batch1.parquet", 1700000000000L)
-        writeOne(second, "batch2.parquet", 1700000100000L)
+        addLandingFile(path, first, "batch1.parquet", 1700000000000L)
+        addLandingFile(path, second, "batch2.parquet", 1700000100000L)
       }
       path
     })
+  }
+
+  /** Land `df` as ONE parquet file `dir/name` with a fixed mtime —
+    * the building block for STAGED landing directories (write a file,
+    * run an incremental pass, write the next file, run again), where
+    * [[materializeLanding]]'s all-at-once shape doesn't fit. Written
+    * to a temp dir then moved, so a concurrent directory listing
+    * never sees a partial file. */
+  def addLandingFile(dir: String, df: DataFrame, name: String,
+      mtime: Long): Unit = {
+    val dirF = new java.io.File(dir)
+    dirF.mkdirs()
+    val tmp = new java.io.File(dirF, s"__tmp_$name")
+    df.coalesce(1).write.mode("overwrite").parquet(tmp.getAbsolutePath)
+    val part = tmp.listFiles()
+      .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+      .getOrElse(sys.error(s"no part file under $tmp"))
+    val dst = new java.io.File(dirF, name)
+    java.nio.file.Files.move(part.toPath, dst.toPath,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    dst.setLastModified(mtime)
+    tmp.listFiles().foreach(_.delete()); tmp.delete()
   }
 
   /** Run `body` at most once per JVM for `key` — for fixtures whose
