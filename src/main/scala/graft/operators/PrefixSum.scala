@@ -46,9 +46,20 @@ object PrefixSum {
       if (numPartitions > 0) numPartitions
       else df.sparkSession.sessionState.conf.numShufflePartitions
     val part = partitionCols.map(col)
+    // localCheckpoint is LOAD-BEARING: the chunk id comes from a
+    // SAMPLING-based partitioner, and the frame below consumes it from
+    // two subtrees (local sums + chunk totals). Column pruning can make
+    // those subtrees structurally different, in which case ReuseExchange
+    // does NOT fire and each branch re-runs the range shuffle with its
+    // own sampled boundaries — local sums and offsets then disagree on
+    // chunk membership and the prefix sums silently corrupt. Pinning
+    // the assignment to materialized blocks makes both consumers read
+    // the SAME chunk ids; losing a block after truncation fails loudly
+    // instead of recomputing differently.
     val ranged = df
       .repartitionByRange(n, part ++ orderCols: _*)
       .withColumn("__chunk", spark_partition_id())
+      .localCheckpoint(true)
     // local running sums: every window partition ⊆ one range chunk,
     // so no task ever sorts more than ~|df|/n rows
     val local = Window.partitionBy(part :+ col("__chunk"): _*)

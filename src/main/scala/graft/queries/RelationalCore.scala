@@ -194,7 +194,14 @@ object RelationalCore {
       WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
         AND l_shipdate < TIMESTAMP '1996-07-01 00:00:00'"""))
 
-  /** Window ranking: top-5 customers by balance per market segment. */
+  /** Window ranking: top-5 customers by balance per market segment.
+    * The segment column has cardinality 5, but the naive window stays
+    * the right plan: Spark's InferWindowGroupLimit rewrites
+    * `filter(rank <= k)` into a PARTIAL WindowGroupLimit below the
+    * exchange (map-side per-partition top-k, like a combiner) plus a
+    * FINAL one above it, so no task ever ranks more than k·partitions
+    * rows per group. Asserted in PlanAuditSpec — a hand-rolled
+    * two-phase operator would just duplicate the engine. */
   val q07 = QueryDef(
     "q07_window_rank",
     (sp, dir) => {

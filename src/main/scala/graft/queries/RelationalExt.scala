@@ -180,7 +180,10 @@ object RelationalExt {
         CAST(SUM(CASE WHEN event_type='view' THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) AS view
       FROM events GROUP BY 1 ORDER BY user_bucket"""))
 
-  /** Top-n per group via row_number window. */
+  /** Top-n per group via row_number window. Safe on the 5-value
+    * priority partition at any scale: InferWindowGroupLimit plans a
+    * map-side partial top-n before the exchange (see q07's note;
+    * plan-audited). */
   val q21 = QueryDef(
     "q21_topk_per_group",
     (sp, dir) => {

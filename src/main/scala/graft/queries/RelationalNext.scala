@@ -164,13 +164,22 @@ object RelationalNext {
   val q60 = QueryDef(
     "q60_rolling_distinct",
     (sp, dir) => {
-      val w = Window.partitionBy("event_type")
-        .orderBy(col("ts"), col("event_id"))
-        .rowsBetween(-99, Window.currentRow)
-      Tables(sp, dir, "events")
-        .select(col("event_type"), col("event_id"), col("ts"),
-          size(collect_set(col("user_id")).over(w)).cast("long")
-            .as("rolling_users"))
+      // event_type has cardinality 5: a window partitioned on it alone
+      // sorts a fifth of all events per task, even though the frame
+      // needs only 100 rows of context. ChunkedWindow distributes it
+      // by halo-chunking: every task sees ≤ chunkRows + 99 rows.
+      // chunkRows = 8192 so even the sf0.1 bench run exercises real
+      // chunk boundaries, not just the single-chunk degenerate case.
+      graft.operators.ChunkedWindow.withRollingAggs(
+          Tables(sp, dir, "events")
+            .select(col("event_type"), col("event_id"), col("ts"),
+              col("user_id")),
+          Seq("event_type"), Seq(col("ts"), col("event_id")),
+          framePreceding = 99,
+          aggs = Map("rolling_users" ->
+            (w => size(collect_set(col("user_id")).over(w)).cast("long"))),
+          chunkRows = 8192)
+        .select("event_type", "event_id", "ts", "rolling_users")
         .orderBy("event_type", "ts", "event_id")
     },
     Some("""

@@ -59,6 +59,28 @@ class PlanAuditSpec extends SparkSpec {
       s"the normalized text must not survive into the shuffle:\n${p.take(2000)}")
   }
 
+  test("q07/q21 rank-limit filters push a map-side partial top-k below the exchange") {
+    // low-cardinality window partitions are safe here ONLY because of
+    // this rewrite — if a refactor loses the rank filter shape, the
+    // partial WindowGroupLimit disappears and each task sorts a fifth
+    // of the table again
+    for (q <- Seq("q07_window_rank", "q21_topk_per_group")) {
+      val p = plan(q)
+      val modes = "WindowGroupLimit[^\n]*".r.findAllIn(p)
+        .map(_.split(", ").last).toSet
+      assert(modes == Set("Partial", "Final"),
+        s"$q expected partial+final WindowGroupLimit, got $modes:\n${p.take(2000)}")
+    }
+  }
+
+  test("q60 rolling distinct windows only halo chunks, never a whole event type") {
+    val p = plan("q60_rolling_distinct")
+    val frameSpecs = "windowspecdefinition\\(event_type[^)]*\\)".r.findAllIn(p)
+      .toList.filter(_.contains("RowFrame, -99"))
+    assert(frameSpecs.nonEmpty && frameSpecs.forall(_.contains("__tgt")),
+      s"sliding frame must partition on (event_type, chunk):\n${frameSpecs.mkString("\n")}")
+  }
+
   test("q67 cumulative share never windows a whole low-cardinality partition") {
     val p = plan("q67_pareto_abc")
     val specs = "windowspecdefinition\\([^)]*\\)".r.findAllIn(p).toList
