@@ -542,6 +542,73 @@ object DedupQueries {
         CAST(SUM(t * c) AS DOUBLE) / SUM(t) AS recall
       FROM j"""))
 
+  /** Sub-document (block-level) dedup: each doc is cut into
+    * consecutive 16-word blocks, each block 62-bit poly-hashed, and a
+    * block is "duplicated" when its hash occurs at more than one
+    * (doc, position) corpus-wide — the boilerplate-detection pass a
+    * training pipeline runs when whole-doc dedup (d01) is too coarse.
+    * One explode + one hash-keyed aggregation (8-byte shuffle keys);
+    * per-doc shares are one double division. The trailing partial
+    * block is dropped on both sides (fixed-width semantics). */
+  val d13 = QueryDef(
+    "d13_block_dedup",
+    (sp, dir) => {
+      val docs = Tables(sp, dir, "documents")
+      val toks = graft.functions.TextFunctions.tokens(col("text"))
+      val nb = (size(toks) - size(toks) % 16) / 16
+      // sequence(0, -1) counts DOWN — guard the short-doc branch
+      val idxs = when(nb >= 1, sequence(lit(0), nb.cast("int") - 1))
+        .otherwise(array().cast("array<int>"))
+      val blocks = docs
+        .select(col("doc_id"), toks.as("w"), explode(idxs).as("i"))
+        .select(col("doc_id"),
+          concat_ws(" ", slice(col("w"), col("i") * 16 + 1, lit(16))).as("btext"))
+        .select(col("doc_id"),
+          (graft.functions.PolyHashExpr(col("btext"), 31L) +
+            shiftleft(graft.functions.PolyHashExpr(col("btext"), 131L), 31))
+            .as("h"))
+      val dfh = blocks.groupBy("h").agg(count(lit(1)).as("occ"))
+      val per = blocks.join(dfh, "h")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_blocks"),
+          sum(when(col("occ") >= 2, 1L).otherwise(0L)).as("n_dup_blocks"))
+      docs.select("doc_id").join(per, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_blocks"), lit(0L)).as("n_blocks"),
+          coalesce(col("n_dup_blocks"), lit(0L)).as("n_dup_blocks"),
+          when(col("n_blocks") > 0,
+            col("n_dup_blocks") / col("n_blocks")).as("dup_share"))
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH toks AS (SELECT doc_id, string_split(text, ' ') w FROM documents),
+      blocks AS (SELECT doc_id,
+          array_to_string(list_slice(w, i * 16 + 1, i * 16 + 16), ' ') AS btext
+        FROM toks, unnest(generate_series(0, CAST(len(w) // 16 AS INT) - 1))
+          AS u(i)),
+      hs AS (SELECT doc_id,
+          (list_reduce(list_prepend(CAST(0 AS BIGINT),
+             list_transform(generate_series(1, CAST(len(btext) AS INT)),
+               j -> CAST(ascii(substr(btext, j, 1)) AS BIGINT))),
+             (a, b) -> (a * 31 + b) % 2147483647)
+           + (list_reduce(list_prepend(CAST(0 AS BIGINT),
+               list_transform(generate_series(1, CAST(len(btext) AS INT)),
+                 j -> CAST(ascii(substr(btext, j, 1)) AS BIGINT))),
+               (a, b) -> (a * 131 + b) % 2147483647) << 31)) AS h
+        FROM blocks),
+      dfh AS (SELECT h, COUNT(*) AS occ FROM hs GROUP BY h),
+      per AS (SELECT doc_id, COUNT(*) AS n_blocks,
+                SUM(CASE WHEN occ >= 2 THEN 1 ELSE 0 END) AS n_dup_blocks
+              FROM hs JOIN dfh USING (h) GROUP BY doc_id)
+      SELECT d.doc_id,
+        CAST(COALESCE(per.n_blocks, 0) AS BIGINT) AS n_blocks,
+        CAST(COALESCE(per.n_dup_blocks, 0) AS BIGINT) AS n_dup_blocks,
+        CASE WHEN per.n_blocks > 0
+             THEN CAST(per.n_dup_blocks AS DOUBLE) / per.n_blocks END
+          AS dup_share
+      FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id
+      ORDER BY d.doc_id"""))
+
   val defs: Seq[QueryDef] =
-    Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12)
+    Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13)
 }

@@ -468,7 +468,10 @@ object PipelineQueries {
             .cast("long").as("n_toks"))
         .join(DedupQueries.canonicalDocs(sp, dir)
           .select("doc_id", "is_duplicate"), "doc_id")
-      val total = Window.partitionBy()
+      // constant non-foldable partition key: this window runs over the
+      // per-lang aggregate (bounded frame); the key silences
+      // WindowExec's no-partition warning without being foldable away
+      val total = Window.partitionBy(pmod(col("n_docs"), lit(1L)))
       base.groupBy("lang")
         .agg(count(lit(1)).as("n_docs"),
           sum(when(col("is_duplicate"), 1L).otherwise(0L)).as("n_dupes"),
@@ -499,7 +502,46 @@ object PipelineQueries {
           AS pct_of_corpus
       FROM card ORDER BY lang"""))
 
+  /** Packing-efficiency report over p03's context-window packing: per
+    * source, how many 2048-token bins the corpus needs, how full they
+    * are, and the doc count — the feedback number that decides whether
+    * to re-order docs before packing. Exact integers plus one double
+    * division; the fill ratio uses the bins' nominal capacity, so
+    * overflow docs (a doc straddling its start bin) show up as ratios
+    * above 1 rather than being silently clipped. */
+  val p15 = QueryDef(
+    "p15_pack_efficiency",
+    (sp, dir) => {
+      val docs = Tables(sp, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          size(split(col("text"), " ")).cast("int").as("n_tokens"))
+      Pipeline.packSequences(docs, "source", "doc_id", "n_tokens",
+          maxTokens = 2048)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("bin_id")).as("n_bins"),
+          sum(col("n_tokens").cast("long")).as("sum_tokens"))
+        .withColumn("fill_ratio",
+          col("sum_tokens") / (col("n_bins") * 2048.0))
+        .orderBy("source")
+    },
+    Some("""
+      WITH packed AS (
+        SELECT doc_id, source,
+          CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
+          CAST(floor(COALESCE(SUM(len(string_split(text, ' '))) OVER (
+            PARTITION BY source ORDER BY doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 2048.0)
+            AS BIGINT) AS bin_id
+        FROM documents)
+      SELECT source, COUNT(*) AS n_docs,
+        CAST(COUNT(DISTINCT bin_id) AS BIGINT) AS n_bins,
+        CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,
+        CAST(SUM(n_tokens) AS DOUBLE) / (COUNT(DISTINCT bin_id) * 2048.0)
+          AS fill_ratio
+      FROM packed GROUP BY source ORDER BY source"""))
+
   val defs: Seq[QueryDef] =
     Seq(p01, p02, p03, p04, p05, p06, p07, p08, p09, p10, p11, p12, p13,
-      p14)
+      p14, p15)
 }

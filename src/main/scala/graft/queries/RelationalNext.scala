@@ -545,7 +545,47 @@ object RelationalNext {
     },
     None)
 
+  /** KMV (k-minimum-values) distinct-count sketch — the third sketch
+    * family after HLL (q52) and Count-Min (q58), and like them built
+    * from EXACT integer hashing so the full sketch state is
+    * DuckDB-replayable: the estimator (k−1)·P/h_k uses the k-th
+    * smallest distinct LCG hash, an exact integer in both engines, so
+    * even the estimate's double division matches bit-for-bit. Scale
+    * shape: the distinct-hash aggregation map-side combines, and the
+    * k minima come from TakeOrderedAndProject (per-partition heaps),
+    * never a global sort. Error ~1/√(k−2) is spec-asserted. */
+  val q71 = QueryDef(
+    "q71_kmv_distinct",
+    (sp, dir) => {
+      val P = 2147483647L
+      val li = Tables(sp, dir, "lineitem")
+      val h = pmod(pmod(col("l_partkey"), lit(P)) * lit(1103515245L)
+        + lit(12345L), lit(P))
+      val topk = li.select(h.as("h")).distinct().orderBy("h").limit(64)
+      val sketch = topk.agg(count(lit(1)).as("k_used"), max(col("h")).as("h_k"))
+        .withColumn("__j", pmod(col("k_used"), lit(1L)))
+      val exact = li.agg(countDistinct(col("l_partkey")).as("n_exact"))
+        .withColumn("__j", pmod(col("n_exact"), lit(1L)))
+      exact.join(broadcast(sketch), "__j").drop("__j")
+        .withColumn("kmv_estimate",
+          ((col("k_used") - 1) * lit(P)).cast("double") /
+            col("h_k").cast("double"))
+    },
+    Some("""
+      WITH h AS (SELECT DISTINCT
+          ((l_partkey % 2147483647) * 1103515245 + 12345) % 2147483647 AS h
+        FROM lineitem),
+      topk AS (SELECT h FROM h ORDER BY h LIMIT 64),
+      kk AS (SELECT CAST(COUNT(*) AS BIGINT) AS k_used,
+               CAST(MAX(h) AS BIGINT) AS h_k FROM topk),
+      ex AS (SELECT CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS n_exact
+             FROM lineitem)
+      SELECT n_exact, k_used, h_k,
+        CAST((k_used - 1) * 2147483647 AS DOUBLE) / CAST(h_k AS DOUBLE)
+          AS kmv_estimate
+      FROM ex, kk"""))
+
   val defs: Seq[QueryDef] =
     Seq(q57, q58, q59, q60, q61, q62, q63, q64, q65, q66, q67, q68,
-      q69, q70)
+      q69, q70, q71)
 }

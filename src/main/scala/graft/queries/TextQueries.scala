@@ -309,5 +309,44 @@ object TextQueries {
       FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id
       ORDER BY d.doc_id"""))
 
-  val defs: Seq[QueryDef] = Seq(t01, t02, t03, t04, t05, t06, t07, t08, t09)
+  /** Per-language vocabulary statistics: token volume, vocabulary
+    * size, hapax legomena (words occurring exactly once in the
+    * language's slice), type-token ratio and hapax share — the
+    * corpus-linguistics health report, chosen over a Zipf-slope fit
+    * because ln() is NOT bit-portable across engines (libm vs JVM
+    * differ in the last ulp) while these are exact integers plus two
+    * double divisions. One word-keyed aggregation with map-side
+    * combine; shuffle follows vocabulary size, not corpus size. */
+  val t10 = QueryDef(
+    "t10_vocab_stats",
+    (sp, dir) => {
+      val wc = Tables(sp, dir, "documents")
+        .select(col("lang"), explode(tokens(col("text"))).as("word"))
+        .filter(col("word") =!= "")
+        .groupBy("lang", "word").agg(count(lit(1)).as("n"))
+      wc.groupBy("lang")
+        .agg(sum(col("n")).as("n_tokens"),
+          count(lit(1)).as("vocab"),
+          sum(when(col("n") === 1, 1L).otherwise(0L)).as("hapax"))
+        .withColumn("type_token_ratio", col("vocab") / col("n_tokens"))
+        .withColumn("hapax_share", col("hapax") / col("vocab"))
+        .orderBy("lang")
+    },
+    Some("""
+      WITH wc AS (
+        SELECT lang, word, COUNT(*) AS n FROM (
+          SELECT lang, unnest(string_split(text, ' ')) AS word
+          FROM documents)
+        WHERE word <> ''
+        GROUP BY lang, word)
+      SELECT lang, CAST(SUM(n) AS BIGINT) AS n_tokens,
+        CAST(COUNT(*) AS BIGINT) AS vocab,
+        CAST(SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hapax,
+        CAST(COUNT(*) AS DOUBLE) / SUM(n) AS type_token_ratio,
+        CAST(SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*)
+          AS hapax_share
+      FROM wc GROUP BY lang ORDER BY lang"""))
+
+  val defs: Seq[QueryDef] =
+    Seq(t01, t02, t03, t04, t05, t06, t07, t08, t09, t10)
 }

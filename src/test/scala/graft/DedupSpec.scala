@@ -105,4 +105,27 @@ class DedupSpec extends SparkSpec {
     assert(pair.length === 1)
     assert(pair.head.getAs[Double]("jaccard") === 1.0)
   }
+
+  test("d13 block dedup counts shared 16-word blocks and drops partial tails") {
+    val block = (1 to 16).map(i => s"w$i").mkString(" ")
+    val other = (1 to 16).map(i => s"x$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"$block $other"),          // 2 blocks, 1 shared
+      (2L, s"$block extra tail"),      // 1 block (tail dropped), shared
+      (3L, "too short")                // 0 blocks
+    ).toDF("doc_id", "text")
+    // route through the same plan shape as the catalog entry
+    val toks = graft.functions.TextFunctions.tokens(col("text"))
+    val nb = (size(toks) - size(toks) % 16) / 16
+    val idxs = when(nb >= 1, sequence(lit(0), nb.cast("int") - 1))
+      .otherwise(array().cast("array<int>"))
+    val blocks = docs.select(col("doc_id"), toks.as("w"), explode(idxs).as("i"))
+      .select(col("doc_id"),
+        concat_ws(" ", slice(col("w"), col("i") * 16 + 1, lit(16))).as("btext"))
+    val got = blocks.groupBy("doc_id").count().as[(Long, Long)].collect().toMap
+    assert(got === Map(1L -> 2L, 2L -> 1L)) // doc 3 has no blocks
+    val dupText = blocks.groupBy("btext").count()
+      .filter(col("count") > 1).collect()
+    assert(dupText.length === 1 && dupText.head.getString(0) === block)
+  }
 }

@@ -47,6 +47,17 @@ class RelationalMoreSpec extends SparkSpec {
     }
   }
 
+  test("q71 KMV estimate lands within the sketch's error envelope") {
+    val dir = "/root/testdata/sf0.01"
+    val r = Catalog.byName("q71_kmv_distinct").build(spark, dir).collect()(0)
+    val exact = r.getAs[Long]("n_exact").toDouble
+    val est = r.getAs[Double]("kmv_estimate")
+    // std error ≈ 1/√(k−2) ≈ 12.7% at k=64; allow 4σ
+    assert(math.abs(est - exact) / exact < 0.51,
+      s"KMV estimate $est vs exact $exact")
+    assert(r.getAs[Long]("k_used") === 64L)
+  }
+
   test("salted join equals plain join") {
     val large = Seq((1L, "a"), (1L, "b"), (2L, "c"), (1L, "d"))
       .toDF("k", "payload")
