@@ -82,4 +82,54 @@ object Multimodal {
       .select(col(idCol).as("doc_id"), col("payload")).as[MediaRow]
     extractFeatures(media).toDF()
   }
+
+  case class PackedShard(source: String, shard: Long, blob: Array[Byte])
+  case class UnpackedRecord(source: String, shard: Long, rec_idx: Int,
+      rec: Array[Byte])
+
+  /** Pack each (source, shard)'s payloads into ONE length-prefixed
+    * container blob — the record-file framing (tar/TFRecord-shaped)
+    * large media ships in. Each record is [4-byte big-endian length ||
+    * payload], concatenated in `orderCol` order, all as codegen'd
+    * column expressions (hex/unhex build the prefix; an aggregate fold
+    * concatenates). The SHARD is what keeps this scalable: a blob is
+    * one shard's rows, never a whole source, so row size stays bounded
+    * however large the corpus grows. */
+  def packRecords(df: DataFrame, sourceCol: String, shardCol: String,
+      orderCol: String, payloadCol: String): DataFrame =
+    df.groupBy(col(sourceCol).as("source"), col(shardCol).as("shard"))
+      .agg(aggregate(
+        transform(
+          array_sort(collect_list(struct(col(orderCol).as("o"),
+            col(payloadCol).as("p")))),
+          s => concat(
+            unhex(lpad(hex(length(s.getField("p"))), 8, "0")),
+            s.getField("p"))),
+        lit(Array.emptyByteArray),
+        (acc, rec) => concat(acc, rec)).as("blob"))
+
+  /** Unpack container blobs back into per-record rows — the decode
+    * half of the round trip, a streamed per-row parser (a real format
+    * swaps only the framing logic). Fails loudly on truncated or
+    * trailing bytes rather than emitting a short record. */
+  def unpackRecords(packed: Dataset[PackedShard]): Dataset[UnpackedRecord] = {
+    import packed.sparkSession.implicits._
+    packed.flatMap { p =>
+      val buf = java.nio.ByteBuffer.wrap(p.blob)
+      val out = Seq.newBuilder[UnpackedRecord]
+      var idx = 0
+      while (buf.remaining() >= 4) {
+        val len = buf.getInt
+        require(len >= 0 && len <= buf.remaining(),
+          s"corrupt record length $len at record $idx of ${p.source}/${p.shard}")
+        val rec = new Array[Byte](len)
+        buf.get(rec)
+        out += UnpackedRecord(p.source, p.shard, idx, rec)
+        idx += 1
+      }
+      require(buf.remaining() == 0,
+        s"trailing ${buf.remaining()} bytes in ${p.source}/${p.shard}")
+      out.result()
+    }
+  }
 }

@@ -865,7 +865,47 @@ object IngestQueries {
           AS BIGINT)) AS n_ingested
       FROM merged GROUP BY source ORDER BY source"""))
 
+  /** Small-file compaction through the oracle gate: the events table
+    * is first shattered into 64 tiny files (the debris an incremental
+    * writer leaves), then [[graft.sources.Compactor]] rewrites the
+    * directory into file counts derived from actual on-disk bytes. The
+    * aggregate over the COMPACTED copy must hash-match the oracle over
+    * the original table — layout maintenance must never change values
+    * — and CompactorSpec asserts the file-count collapse itself. */
+  val e20 = QueryDef(
+    "e20_compaction",
+    (sp, dir) => {
+      import graft.Dsl.moneySum
+      val fp = IngestFixtures.fingerprint(s"$dir/events.parquet")
+      val shattered = s"/tmp/graft_ingest_v2/e20_shatter_$fp"
+      val compacted = s"/tmp/graft_ingest_v2/e20_compact_$fp"
+      IngestFixtures.once(s"e20_$fp") {
+        if (!new java.io.File(compacted, "_SUCCESS").exists()) {
+          Tables(sp, dir, "events")
+            .select("event_id", "event_type", "user_id", "value")
+            .repartition(64)
+            .write.mode("overwrite").parquet(shattered)
+          graft.sources.Compactor.compact(sp, shattered, compacted,
+            targetBytes = 8L * 1024 * 1024)
+        }
+      }
+      sp.read.parquet(compacted)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_events"),
+          countDistinct(col("user_id")).as("n_users"),
+          moneySum(col("value")).as("sum_value"),
+          min(col("event_id")).as("min_id"),
+          max(col("event_id")).as("max_id"))
+        .orderBy("event_type")
+    },
+    Some("""
+      SELECT event_type, COUNT(*) AS n_events,
+        COUNT(DISTINCT user_id) AS n_users,
+        CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+        MIN(event_id) AS min_id, MAX(event_id) AS max_id
+      FROM events GROUP BY event_type ORDER BY event_type"""))
+
   val defs: Seq[QueryDef] =
     Seq(e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11, e12, e13,
-      e14, e15, e16, e17, e18, e19)
+      e14, e15, e16, e17, e18, e19, e20)
 }

@@ -145,5 +145,45 @@ object MultimodalQueries {
         sha256(text) AS digest
       FROM documents GROUP BY sha256(text) ORDER BY rep_id"""))
 
-  val defs: Seq[QueryDef] = Seq(m01, m02, m03, m04, m05)
+  /** Record-container round trip: payloads packed into length-prefixed
+    * shard blobs ([[Multimodal.packRecords]] — the record-file framing
+    * media corpora ship in), then unpacked by the streamed parser and
+    * verified per record: byte length and a 62-bit poly-hash of the
+    * recovered bytes, both against the ORIGINAL documents in DuckDB —
+    * a single corrupted length prefix or swapped record breaks the
+    * hash. Shards (doc_id mod 8 per source) bound every blob. */
+  val m06 = QueryDef(
+    "m06_record_unpack",
+    (sp, dir) => {
+      import sp.implicits._
+      val docs = Multimodal.withPayload(Tables(sp, dir, "documents"), "text")
+        .withColumn("shard", pmod(col("doc_id"), lit(8L)))
+      val packed = Multimodal.packRecords(docs, "source", "shard",
+        "doc_id", "payload").as[Multimodal.PackedShard]
+      Multimodal.unpackRecords(packed).toDF()
+        .select(col("source"), col("shard"), col("rec_idx"),
+          length(col("rec")).cast("int").as("rec_len"),
+          (graft.functions.PolyHashExpr(decode(col("rec"), "UTF-8"), 31L) +
+            shiftleft(graft.functions.PolyHashExpr(
+              decode(col("rec"), "UTF-8"), 131L), 31)).as("rec_hash"))
+        .orderBy("source", "shard", "rec_idx")
+    },
+    Some("""
+      WITH r AS (SELECT source, doc_id % 8 AS shard, text,
+          CAST(ROW_NUMBER() OVER (PARTITION BY source, doc_id % 8
+            ORDER BY doc_id) - 1 AS INT) AS rec_idx
+        FROM documents)
+      SELECT source, CAST(shard AS BIGINT) AS shard, rec_idx,
+        CAST(octet_length(encode(text)) AS INT) AS rec_len,
+        (list_reduce(list_prepend(CAST(0 AS BIGINT),
+           list_transform(generate_series(1, CAST(len(text) AS INT)),
+             j -> CAST(ascii(substr(text, j, 1)) AS BIGINT))),
+           (a, b) -> (a * 31 + b) % 2147483647)
+         + (list_reduce(list_prepend(CAST(0 AS BIGINT),
+             list_transform(generate_series(1, CAST(len(text) AS INT)),
+               j -> CAST(ascii(substr(text, j, 1)) AS BIGINT))),
+             (a, b) -> (a * 131 + b) % 2147483647) << 31)) AS rec_hash
+      FROM r ORDER BY source, shard, rec_idx"""))
+
+  val defs: Seq[QueryDef] = Seq(m01, m02, m03, m04, m05, m06)
 }
