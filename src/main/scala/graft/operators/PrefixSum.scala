@@ -41,7 +41,37 @@ object PrefixSum {
     * .rowsBetween(unboundedPreceding, currentRow))`. */
   def withRunningSum(df: DataFrame, partitionCols: Seq[String],
       orderCols: Seq[Column], valueCol: String, outCol: String,
-      numPartitions: Int = 0): DataFrame = {
+      numPartitions: Int = 0): DataFrame =
+    withRunningAgg(df, partitionCols, orderCols, valueCol, outCol,
+      numPartitions)(sum, (loc, off) => loc + coalesce(off, lit(0)))
+
+  /** Running MAX — the same chunk decomposition applied to another
+    * associative combine (max(a∪b) = max(max a, max b)); `greatest`
+    * skips the null offset of each logical partition's first chunk. */
+  def withRunningMax(df: DataFrame, partitionCols: Seq[String],
+      orderCols: Seq[Column], valueCol: String, outCol: String,
+      numPartitions: Int = 0): DataFrame =
+    withRunningAgg(df, partitionCols, orderCols, valueCol, outCol,
+      numPartitions)(max, (loc, off) => greatest(loc, off))
+
+  /** Running MIN (see [[withRunningMax]]). */
+  def withRunningMin(df: DataFrame, partitionCols: Seq[String],
+      orderCols: Seq[Column], valueCol: String, outCol: String,
+      numPartitions: Int = 0): DataFrame =
+    withRunningAgg(df, partitionCols, orderCols, valueCol, outCol,
+      numPartitions)(min, (loc, off) => least(loc, off))
+
+  /** The general decomposition: any aggregate whose combine is
+    * associative distributes over chunks as
+    * `combine(local running agg, agg of all earlier chunks)`.
+    * @param aggFn the aggregate (sum/min/max/bit_or/…)
+    * @param combineFn merges the local running value with the
+    *   (nullable — first chunk) offset aggregate of earlier chunks;
+    *   must treat a null offset as the aggregate's identity. */
+  def withRunningAgg(df: DataFrame, partitionCols: Seq[String],
+      orderCols: Seq[Column], valueCol: String, outCol: String,
+      numPartitions: Int = 0)(aggFn: Column => Column,
+      combineFn: (Column, Column) => Column): DataFrame = {
     val n =
       if (numPartitions > 0) numPartitions
       else df.sparkSession.sessionState.conf.numShufflePartitions
@@ -66,20 +96,21 @@ object PrefixSum {
       .orderBy(orderCols: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     // per-chunk totals: ≤ n rows per logical partition — the cumulative
-    // window below runs over that bounded frame, never the data
+    // window below runs over that bounded frame, never the data. The
+    // exclusive prefix of the FIRST chunk is null; combineFn owns
+    // treating that as the identity.
     val offsets = ranged
       .groupBy(part :+ col("__chunk"): _*)
-      .agg(sum(col(valueCol)).as("__ctot"))
-      .withColumn("__off", coalesce(
-        sum(col("__ctot")).over(Window.partitionBy(part: _*)
+      .agg(aggFn(col(valueCol)).as("__ctot"))
+      .withColumn("__off",
+        aggFn(col("__ctot")).over(Window.partitionBy(part: _*)
           .orderBy(col("__chunk"))
-          .rowsBetween(Window.unboundedPreceding, -1)),
-        lit(0)))
+          .rowsBetween(Window.unboundedPreceding, -1)))
       .drop("__ctot")
     ranged
-      .withColumn("__loc", sum(col(valueCol)).over(local))
+      .withColumn("__loc", aggFn(col(valueCol)).over(local))
       .join(broadcast(offsets), partitionCols :+ "__chunk")
-      .withColumn(outCol, col("__loc") + col("__off"))
+      .withColumn(outCol, combineFn(col("__loc"), col("__off")))
       .drop("__chunk", "__loc", "__off")
   }
 }

@@ -585,7 +585,34 @@ object RelationalNext {
           AS kmv_estimate
       FROM ex, kk"""))
 
+  /** Running max/min (record-to-date tracking) per order priority —
+    * another 5-value partition column, so the cumulative extrema run
+    * through [[graft.operators.PrefixSum.withRunningMax]]/`Min`: the
+    * chunk decomposition generalized to any associative combine
+    * (max(a∪b) = max(max a, max b)), never a 5-task whole-partition
+    * sort. Double comparisons are exact, so the oracle matches
+    * bit-for-bit. */
+  val q72 = QueryDef(
+    "q72_running_extrema",
+    (sp, dir) => {
+      val base = Tables(sp, dir, "orders")
+        .select(col("o_orderpriority").as("priority"), col("o_orderkey"),
+          col("o_totalprice"))
+      val withMax = graft.operators.PrefixSum.withRunningMax(base,
+        Seq("priority"), Seq(col("o_orderkey")), "o_totalprice", "run_max")
+      graft.operators.PrefixSum.withRunningMin(withMax,
+          Seq("priority"), Seq(col("o_orderkey")), "o_totalprice", "run_min")
+        .orderBy("priority", "o_orderkey")
+    },
+    Some("""
+      SELECT o_orderpriority AS priority, o_orderkey, o_totalprice,
+        MAX(o_totalprice) OVER (PARTITION BY o_orderpriority
+          ORDER BY o_orderkey ROWS UNBOUNDED PRECEDING) AS run_max,
+        MIN(o_totalprice) OVER (PARTITION BY o_orderpriority
+          ORDER BY o_orderkey ROWS UNBOUNDED PRECEDING) AS run_min
+      FROM orders ORDER BY priority, o_orderkey"""))
+
   val defs: Seq[QueryDef] =
     Seq(q57, q58, q59, q60, q61, q62, q63, q64, q65, q66, q67, q68,
-      q69, q70, q71)
+      q69, q70, q71, q72)
 }

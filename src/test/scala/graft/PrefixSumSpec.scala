@@ -1,6 +1,7 @@
 package graft
 
 import graft.operators.PrefixSum
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -44,6 +45,29 @@ class PrefixSumSpec extends SparkSpec {
     naive.foreach { case (k, v) =>
       assert(dist(k).compareTo(v) == 0, s"row $k: ${dist(k)} vs $v")
     }
+  }
+
+  test("running max/min equal the naive windows") {
+    val rnd = new scala.util.Random(41)
+    val rows = (1 to 4000).map { i =>
+      (Seq("A", "B")(rnd.nextInt(2)), i.toLong, rnd.nextDouble() * 1000)
+    }
+    val df = rows.toDF("grp", "id", "v")
+    def naive(fn: Column => Column): Map[(String, Long), Double] =
+      df.withColumn("r", fn(col("v")).over(Window.partitionBy("grp")
+        .orderBy("id").rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .select("grp", "id", "r")
+        .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val gotMax = PrefixSum.withRunningMax(df, Seq("grp"), Seq(col("id")),
+      "v", "r", numPartitions = 6)
+      .select("grp", "id", "r")
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val gotMin = PrefixSum.withRunningMin(df, Seq("grp"), Seq(col("id")),
+      "v", "r", numPartitions = 6)
+      .select("grp", "id", "r")
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(gotMax === naive(max))
+    assert(gotMin === naive(min))
   }
 
   test("no window partition ever spans more than one range chunk") {
