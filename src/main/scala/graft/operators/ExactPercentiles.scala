@@ -1,0 +1,90 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** EXACT interpolated percentiles at scale — the two-pass bucketed
+  * alternative to Spark's `percentile()`, whose aggregation buffer
+  * holds every distinct value per group (executor-crushing when values
+  * are near-continuous and groups are few; see q26 vs q70).
+  *
+  *   pass 1: a fixed-width value histogram per group — state is
+  *     (groups × value-range/width) counters, independent of row
+  *     count — plus exclusive prefix counts over that bounded frame,
+  *     locating the ONE bucket that holds each target rank;
+  *   pass 2: only rows of those target buckets (≤ 2·|qs| buckets per
+  *     group) are re-scanned and sorted WITHIN their bucket — a
+  *     bucket-bounded sort, never a group sort — and the rank offset
+  *     picks the exact boundary values; interpolation is the
+  *     `lower + (upper − lower) · frac` form (quantile_cont's).
+  *
+  * Values at a given rank are deterministic under value ties (equal
+  * values are interchangeable at equal ranks). Rank positions
+  * `q·(n−1)` are computed in doubles: exact for dyadic q (.25/.5/.75);
+  * for non-dyadic q the ±1 ulp on the position only matters when it
+  * crosses an integer, i.e. when adjacent values are equal anyway.
+  */
+object ExactPercentiles {
+
+  /** Per-`groupCol` row: n plus one `p_<label>` column per quantile.
+    * `bucketWidth` trades pass-1 state for pass-2 sort size. */
+  def compute(df: DataFrame, groupCol: String, valueCol: String,
+      qs: Seq[(String, Double)], bucketWidth: Double): DataFrame = {
+    require(qs.nonEmpty && bucketWidth > 0)
+    val base = df.select(col(groupCol).as("g"),
+      col(valueCol).cast("double").as("v"))
+      .withColumn("b", floor(col("v") / bucketWidth).cast("long"))
+    val counts = base.groupBy("g").agg(count(lit(1)).as("n"))
+    // bounded frame: value-range/bucketWidth buckets per group
+    val hist = base.groupBy("g", "b").agg(count(lit(1)).as("c"))
+      .withColumn("cum_before", coalesce(
+        sum(col("c")).over(Window.partitionBy("g").orderBy("b")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    // per (group, quantile): the two boundary ranks and the fraction
+    val targets = counts.select(col("g"), col("n"),
+      explode(array(qs.map { case (label, q) =>
+        struct(lit(label).as("ql"), lit(q).as("q"))
+      }: _*)).as("t"))
+      .select(col("g"), col("n"), col("t.ql").as("ql"),
+        (col("t.q") * (col("n") - 1)).as("pos"))
+      .select(col("g"), col("ql"), col("pos"),
+        floor(col("pos")).cast("long").as("k_lo"),
+        ceil(col("pos")).cast("long").as("k_hi"))
+    val ranks = targets
+      .select(col("g"), col("ql"), col("pos"),
+        explode(array(
+          struct(col("k_lo").as("k"), lit("lo").as("side")),
+          struct(col("k_hi").as("k"), lit("hi").as("side")))).as("r"))
+      .select(col("g"), col("ql"), col("pos"),
+        col("r.k").as("k"), col("r.side").as("side"))
+    // which bucket holds rank k: equi-join on the group, then the
+    // range predicate — both sides bounded (hist: buckets; ranks: 2|qs|)
+    val located = ranks.join(hist, Seq("g"))
+      .filter(col("cum_before") <= col("k") &&
+        col("k") < col("cum_before") + col("c"))
+      .select(col("g"), col("ql"), col("pos"), col("k"), col("side"),
+        col("b"), col("cum_before"))
+    val needed = located.select("g", "b", "cum_before").distinct()
+    // pass 2: sort ONLY the target buckets, each bounded by bucket size
+    val inBucket = base.join(broadcast(needed), Seq("g", "b"))
+      .withColumn("__r", row_number().over(
+        Window.partitionBy("g", "b").orderBy("v")).cast("long"))
+      .withColumn("grank", col("cum_before") + col("__r") - 1)
+    val boundary = located
+      .join(inBucket.select(col("g"), col("b"), col("grank"), col("v")),
+        Seq("g", "b"))
+      .filter(col("grank") === col("k"))
+    val perQ = boundary.groupBy("g", "ql", "pos")
+      .agg(min(when(col("side") === "lo", col("v"))).as("v_lo"),
+        min(when(col("side") === "hi", col("v"))).as("v_hi"))
+      .withColumn("val", col("v_lo") +
+        (col("v_hi") - col("v_lo")) * (col("pos") - floor(col("pos"))))
+    val wide = qs.foldLeft(
+      counts.select(col("g"), col("n"))) { case (acc, (label, _)) =>
+      acc.join(perQ.filter(col("ql") === label)
+        .select(col("g"), col("val").as(s"p_$label")), "g")
+    }
+    wide
+  }
+}

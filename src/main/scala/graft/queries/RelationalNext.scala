@@ -612,7 +612,37 @@ object RelationalNext {
           ORDER BY o_orderkey ROWS UNBOUNDED PRECEDING) AS run_min
       FROM orders ORDER BY priority, o_orderkey"""))
 
+  /** EXACT percentiles at scale — q26's same answer through
+    * [[graft.operators.ExactPercentiles]] (two-pass bucketed counting:
+    * bounded histogram state, then bucket-local sorts of target
+    * buckets only) instead of `percentile()`'s per-group
+    * every-distinct-value buffer. The third leg of the percentile
+    * triangle: q26 exact-but-buffered (dev), q70 approximate-bounded,
+    * q73 exact-AND-bounded. Same oracle as q26 (quantile_cont,
+    * rounded to 4 decimals). */
+  val q73 = QueryDef(
+    "q73_bucketed_percentiles",
+    (sp, dir) => {
+      val r = graft.operators.ExactPercentiles.compute(
+        Tables(sp, dir, "events"), "event_type", "value",
+        qs = Seq(("25", 0.25), ("50", 0.5), ("75", 0.75)),
+        bucketWidth = 16.0)
+      r.select(col("g").as("event_type"),
+          round(col("p_25"), 4).as("p25"),
+          round(col("p_50"), 4).as("p50"),
+          round(col("p_75"), 4).as("p75"),
+          col("n").as("n_events"))
+        .orderBy("event_type")
+    },
+    Some("""
+      SELECT event_type,
+        ROUND(quantile_cont(value, 0.25), 4) AS p25,
+        ROUND(quantile_cont(value, 0.5), 4) AS p50,
+        ROUND(quantile_cont(value, 0.75), 4) AS p75,
+        COUNT(*) AS n_events
+      FROM events GROUP BY event_type ORDER BY event_type"""))
+
   val defs: Seq[QueryDef] =
     Seq(q57, q58, q59, q60, q61, q62, q63, q64, q65, q66, q67, q68,
-      q69, q70, q71, q72)
+      q69, q70, q71, q72, q73)
 }

@@ -1,0 +1,59 @@
+package graft
+
+import graft.operators.ExactPercentiles
+import org.apache.spark.sql.functions._
+
+class ExactPercentilesSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("two-pass bucketed percentiles equal Spark's exact percentile()") {
+    val rnd = new scala.util.Random(47)
+    val rows = (1 to 30000).map { _ =>
+      (Seq("a", "b", "c")(rnd.nextInt(3)), rnd.nextDouble() * 500)
+    }
+    val df = rows.toDF("g", "v")
+    val want = df.groupBy("g")
+      .agg(expr("percentile(v, 0.25)").as("p25"),
+        expr("percentile(v, 0.5)").as("p50"),
+        expr("percentile(v, 0.9)").as("p90"))
+      .collect().map(r => r.getString(0) ->
+        (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    val got = ExactPercentiles.compute(df, "g", "v",
+      Seq(("25", 0.25), ("50", 0.5), ("90", 0.9)), bucketWidth = 8.0)
+      .collect().map(r => r.getAs[String]("g") ->
+        (r.getAs[Double]("p_25"), r.getAs[Double]("p_50"),
+          r.getAs[Double]("p_90"))).toMap
+    want.foreach { case (g, (a, b, c)) =>
+      val (x, y, z) = got(g)
+      assert(math.abs(x - a) < 1e-9 && math.abs(y - b) < 1e-9 &&
+        math.abs(z - c) < 1e-9, s"group $g: got ($x,$y,$z) want ($a,$b,$c)")
+    }
+  }
+
+  test("exact-integer rank positions and tiny groups") {
+    // 5 values => p50 position 2.0 exactly (lo == hi), p25 position 1.0
+    val df = Seq(("g", 10.0), ("g", 20.0), ("g", 30.0), ("g", 40.0),
+      ("g", 50.0), ("h", 7.0)).toDF("g", "v")
+    val r = ExactPercentiles.compute(df, "g", "v",
+      Seq(("25", 0.25), ("50", 0.5)), bucketWidth = 100.0)
+      .collect().map(x => x.getAs[String]("g") ->
+        (x.getAs[Double]("p_25"), x.getAs[Double]("p_50"))).toMap
+    assert(r("g") === ((20.0, 30.0)))
+    // single-value group: every percentile is that value
+    assert(r("h") === ((7.0, 7.0)))
+  }
+
+  test("histogram state is bounded and pass-2 sorts only target buckets") {
+    val df = (1 to 10000).map(i => ("x", i.toDouble % 997)).toDF("g", "v")
+    val plan = ExactPercentiles.compute(df, "g", "v",
+      Seq(("50", 0.5)), bucketWidth = 50.0)
+      .queryExecution.executedPlan.toString
+    // the only data-order sort is the in-bucket row_number window,
+    // partitioned by (g, b) — never by g alone
+    val sorts = "windowspecdefinition\\(g[^)]*row_number[^)]*\\)".r
+    val specs = "windowspecdefinition\\([^)]*\\)".r.findAllIn(plan).toList
+      .filter(_.contains("specifiedwindowframe(RowFrame, unboundedpreceding$(), currentrow$())"))
+    assert(specs.forall(s => s.contains("b#") || s.contains("__r")),
+      s"unexpected group-wide sort window:\n${specs.mkString("\n")}")
+  }
+}
