@@ -147,4 +147,29 @@ class ScaleOpsSpec extends SparkSpec {
     assert(changed.count() === 50000L)
     assert(changed.filter(col("v") =!= col("k") + 2).count() === 0L)
   }
+
+  test("prefix sum at 1M rows over 3 logical partitions is exact") {
+    // closed form: within each residue class g ∈ {0,1,2}, ordering by
+    // id gives the g-th, (g+3)-th, … values; running sum of a constant
+    // 1 equals the 1-based position — checked against a closed form,
+    // no window reference needed at this size
+    val df = spark.range(1500000).select((col("id") % 3).as("g"), col("id"))
+      .withColumn("one", lit(1L))
+    val out = graft.operators.PrefixSum.withRunningSum(
+      df, Seq("g"), Seq(col("id")), "one", "cum")
+    assert(out.filter(col("cum") =!= (col("id") - col("g")) / 3 + 1).count() === 0L)
+  }
+
+  test("chunked rolling sum at 1M rows matches a closed form") {
+    // v = id within one group: rolling 10-row sum ending at id is
+    // sum(id-9..id) = 10*id - 45 once id >= 9
+    val df = spark.range(1000000).select(lit("g").as("g"), col("id"))
+    val out = graft.operators.ChunkedWindow.withRollingAggs(
+      df, Seq("g"), Seq(col("id")), framePreceding = 9,
+      Map("rs" -> (w => sum(col("id")).over(w))), chunkRows = 65536)
+    val bad = out.filter(col("id") >= 9 &&
+      col("rs") =!= col("id") * 10 - 45).count()
+    assert(bad === 0L)
+    assert(out.count() === 1000000L)
+  }
 }
