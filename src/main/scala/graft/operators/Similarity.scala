@@ -56,6 +56,22 @@ object Similarity {
       .filter(col("cosine") >= minCosine)
   }
 
+  /** Exact top-k by MAX INNER PRODUCT (MIPS) — the retrieval metric
+    * when embedding MAGNITUDE carries signal (recommender scores,
+    * unnormalized retrieval heads); cosine's normalization erases it.
+    * Same scale shape as [[bruteForceTopK]]: broadcast queries, corpus
+    * streamed once, per-query rank over scored rows. */
+  def mipsTopK(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
+    val q = queries.select(col("id").as("q_id"), col("v").as("qv"))
+    val c = corpus.select(col("id").as("n_id"), col("v").as("cv"))
+    val w = Window.partitionBy("q_id")
+      .orderBy(col("dot").desc, col("n_id"))
+    broadcast(q).join(c)
+      .select(col("q_id"), col("n_id"), dotFold(col("qv"), col("cv")).as("dot"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
   /** Deterministic ±1 random hyperplanes (LCG seed 7) for sign-LSH. */
   def hyperplanes(nPlanes: Int, dim: Int): Seq[Seq[Double]] = {
     var s = 7L

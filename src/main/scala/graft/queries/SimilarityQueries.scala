@@ -256,5 +256,31 @@ object SimilarityQueries {
       LEFT JOIN hits ON hits.q_id = x.q_id
       GROUP BY x.q_id ORDER BY x.q_id"""))
 
-  val defs: Seq[QueryDef] = Seq(s01, s02, s03, s04, s05, s06)
+  /** Exact MIPS (max-inner-product) top-5 — the unnormalized metric
+    * next to s01's cosine: magnitude-aware retrieval scoring. The dot
+    * products ride the same native fold kernel (RewriteDotFold), and
+    * the oracle replays them with the list_zip fold. Top-k ordering
+    * breaks ties on the neighbor id, so ranks are total. */
+  val s07 = QueryDef(
+    "s07_mips_topk",
+    (sp, dir) => {
+      val all = Similarity.prep(Tables(sp, dir, "embeddings"), "vec_id", "embedding")
+      val queries = all.filter(col("id") < 10)
+      val corpus = all.filter(col("id") >= 10)
+      Similarity.mipsTopK(queries, corpus, k = 5)
+        .orderBy("q_id", "rank")
+    },
+    Some(s"""
+      WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
+      q AS (SELECT vec_id q_id, v qv FROM e WHERE vec_id < 10),
+      c AS (SELECT vec_id n_id, v cv FROM e WHERE vec_id >= 10),
+      s AS (SELECT q_id, n_id, ${foldDot.format("qv", "cv")} AS dot
+            FROM q CROSS JOIN c),
+      r AS (SELECT q_id, n_id, dot,
+              ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY dot DESC, n_id) rnk
+            FROM s)
+      SELECT q_id, n_id, dot, CAST(rnk AS INT) AS rank
+      FROM r WHERE rnk <= 5 ORDER BY q_id, rank"""))
+
+  val defs: Seq[QueryDef] = Seq(s01, s02, s03, s04, s05, s06, s07)
 }

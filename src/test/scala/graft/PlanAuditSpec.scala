@@ -180,8 +180,9 @@ class PlanAuditSpec extends SparkSpec {
     // s05 is s01's range variant: same broadcast-queries × corpus scan.
     // s06 measures the LSH index AGAINST s01's exact baseline, so the
     // exact side's scan is the same declared baseline.
+    // s07 is s01's MIPS twin: same declared broadcast-queries baseline.
     val allow = Set("s01_cosine_topk", "s03_ivf_ann", "s04_knn_classify",
-      "s05_radius_search", "s06_recall_report")
+      "s05_radius_search", "s06_recall_report", "s07_mips_topk")
     val offenders = Catalog.all.filterNot(q => allow(q.name)).flatMap { q =>
       val p = q.build(spark, dir).queryExecution.executedPlan.toString
       if (p.contains("BroadcastNestedLoopJoin") || p.contains("CartesianProduct"))

@@ -44,6 +44,25 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("mips top-k ranks by dot product, not cosine (magnitude wins)") {
+    // corpus 20 is perfectly aligned with query 0 but tiny; corpus 21
+    // is slightly off-axis but 4x longer. Cosine prefers 20, MIPS 21.
+    val data = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+      (20L, Array(0.5f, 0.0f, 0.0f, 0.0f)),
+      (21L, Array(2.0f, 0.5f, 0.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val p = Similarity.prep(data, "vec_id", "embedding")
+    val q = p.filter(col("id") === 0L)
+    val c = p.filter(col("id") >= 20L)
+    val mips = Similarity.mipsTopK(q, c, k = 2).collect()
+      .sortBy(_.getAs[Int]("rank")).map(_.getAs[Long]("n_id")).toSeq
+    val cos = Similarity.bruteForceTopK(q, c, k = 2).collect()
+      .sortBy(_.getAs[Int]("rank")).map(_.getAs[Long]("n_id")).toSeq
+    assert(mips === Seq(21L, 20L))
+    assert(cos === Seq(20L, 21L))
+  }
+
   test("ivf routes queries to their cluster and finds its members") {
     val q = prepped.filter(col("id") < 10)
     val c = prepped.filter(col("id") >= 10)
