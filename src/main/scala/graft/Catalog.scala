@@ -10,6 +10,7 @@ object Catalog {
       queries.RelationalMore.defs ++
       queries.RelationalWide.defs ++
       queries.RelationalNext.defs ++
+      queries.RelationalPlus.defs ++
       queries.PipelineQueries.defs ++
       queries.DedupQueries.defs ++
       queries.SimilarityQueries.defs ++

@@ -1,0 +1,214 @@
+package graft.queries
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Relational coverage, fifth block (q74–q77): one-pass correlation
+  * matrices, distributed skyline, robust dispersion (MAD), and linear
+  * gap interpolation.
+  *
+  * Determinism: q35's exact-decimal power-sum idiom for every moment
+  * statistic; double formulas written IDENTICALLY on both engines;
+  * percentile legs ride [[graft.operators.ExactPercentiles]] with
+  * round(4) guards at each engine boundary (SURVEY.md §4).
+  */
+object RelationalPlus {
+
+  /** Pairwise Pearson correlation of three lineitem measures in ONE
+    * scan — the multi-column generalization of q35: all nine power
+    * sums accumulate as exact decimals in a single aggregate (map-side
+    * partials, one-row result), then the three correlations unpivot to
+    * (pair, corr) rows. Discount is scaled ×100 BEFORE squaring so the
+    * q35 floor-to-integer guard (int128-decimal→double double-rounding
+    * differs per engine on fractions) costs nothing: corr is
+    * scale-invariant, and the scaled sums are integer-exact. */
+  val q74 = QueryDef(
+    "q74_corr_matrix",
+    (sp, dir) => {
+      val q = col("l_quantity").cast(DecimalType(12, 2))
+      val p = col("l_extendedprice").cast(DecimalType(12, 2))
+      val d = (col("l_discount").cast(DecimalType(12, 2)) * lit(100))
+        .cast(DecimalType(12, 2))
+      val agg = Tables(sp, dir, "lineitem").agg(
+        count(lit(1)).as("n"),
+        sum(q).cast(DoubleType).as("s_q"),
+        sum(p).cast(DoubleType).as("s_p"),
+        sum(d).cast(DoubleType).as("s_d"),
+        floor(sum(q * q)).cast(DoubleType).as("s_qq"),
+        floor(sum(p * p)).cast(DoubleType).as("s_pp"),
+        floor(sum(d * d)).cast(DoubleType).as("s_dd"),
+        floor(sum(q * p)).cast(DoubleType).as("s_qp"),
+        floor(sum(q * d)).cast(DoubleType).as("s_qd"),
+        floor(sum(p * d)).cast(DoubleType).as("s_pd"))
+      val n = col("n").cast(DoubleType)
+      def corr(sx: String, sy: String, sxx: String, syy: String,
+          sxy: String): org.apache.spark.sql.Column =
+        try_divide(col(sxy) * n - col(sx) * col(sy),
+          sqrt(col(sxx) * n - col(sx) * col(sx)) *
+            sqrt(col(syy) * n - col(sy) * col(sy)))
+      agg.select(col("n"), explode(array(
+          struct(lit("quantity_price").as("pair"),
+            corr("s_q", "s_p", "s_qq", "s_pp", "s_qp").as("corr")),
+          struct(lit("quantity_discount").as("pair"),
+            corr("s_q", "s_d", "s_qq", "s_dd", "s_qd").as("corr")),
+          struct(lit("price_discount").as("pair"),
+            corr("s_p", "s_d", "s_pp", "s_dd", "s_pd").as("corr"))))
+          .as("t"))
+        .select(col("t.pair").as("pair"), col("t.corr").as("corr"),
+          col("n"))
+        .orderBy("pair")
+    },
+    Some("""
+      WITH a AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+          CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS s_q,
+          CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS s_p,
+          CAST(SUM(CAST(CAST(l_discount AS DECIMAL(12,2)) * 100 AS DECIMAL(12,2))) AS DOUBLE) AS s_d,
+          CAST(floor(SUM(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(12,2)))) AS DOUBLE) AS s_qq,
+          CAST(floor(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_extendedprice AS DECIMAL(12,2)))) AS DOUBLE) AS s_pp,
+          CAST(floor(SUM(CAST(CAST(l_discount AS DECIMAL(12,2)) * 100 AS DECIMAL(12,2)) * CAST(CAST(l_discount AS DECIMAL(12,2)) * 100 AS DECIMAL(12,2)))) AS DOUBLE) AS s_dd,
+          CAST(floor(SUM(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_extendedprice AS DECIMAL(12,2)))) AS DOUBLE) AS s_qp,
+          CAST(floor(SUM(CAST(l_quantity AS DECIMAL(12,2)) * CAST(CAST(l_discount AS DECIMAL(12,2)) * 100 AS DECIMAL(12,2)))) AS DOUBLE) AS s_qd,
+          CAST(floor(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(CAST(l_discount AS DECIMAL(12,2)) * 100 AS DECIMAL(12,2)))) AS DOUBLE) AS s_pd
+        FROM lineitem)
+      SELECT pair, corr, n FROM (
+        SELECT 'quantity_price' AS pair,
+          (s_qp * CAST(n AS DOUBLE) - s_q * s_p)
+            / (sqrt(s_qq * CAST(n AS DOUBLE) - s_q * s_q)
+               * sqrt(s_pp * CAST(n AS DOUBLE) - s_p * s_p)) AS corr, n FROM a
+        UNION ALL
+        SELECT 'quantity_discount',
+          (s_qd * CAST(n AS DOUBLE) - s_q * s_d)
+            / (sqrt(s_qq * CAST(n AS DOUBLE) - s_q * s_q)
+               * sqrt(s_dd * CAST(n AS DOUBLE) - s_d * s_d)), n FROM a
+        UNION ALL
+        SELECT 'price_discount',
+          (s_pd * CAST(n AS DOUBLE) - s_p * s_d)
+            / (sqrt(s_pp * CAST(n AS DOUBLE) - s_p * s_p)
+               * sqrt(s_dd * CAST(n AS DOUBLE) - s_d * s_d)), n FROM a)
+      ORDER BY pair"""))
+
+  /** Skyline / Pareto frontier over parts: cheapest-for-their-size
+    * parts (no other part is both <= price and >= size with one
+    * strict). Runs through [[graft.operators.Skyline]]'s two-phase
+    * scan — partition-local frontiers, then one merge pass over the
+    * tiny survivor set; the fact table is never globally sorted. The
+    * oracle is the textbook NOT EXISTS dominance query. */
+  val q75 = QueryDef(
+    "q75_skyline",
+    (sp, dir) => {
+      graft.operators.Skyline.frontier(
+          Tables(sp, dir, "part"), "p_partkey", "p_retailprice", "p_size")
+        .select(col("p_partkey"), col("p_retailprice"),
+          col("p_size").cast("int").as("p_size"))
+        .orderBy("p_retailprice", "p_partkey")
+    },
+    Some("""
+      SELECT p_partkey, p_retailprice, p_size FROM part p
+      WHERE NOT EXISTS (
+        SELECT 1 FROM part q
+        WHERE q.p_retailprice <= p.p_retailprice AND q.p_size >= p.p_size
+          AND (q.p_retailprice < p.p_retailprice OR q.p_size > p.p_size))
+      ORDER BY p_retailprice, p_partkey"""))
+
+  /** Median absolute deviation (robust dispersion) per event type:
+    * MAD = median(|v − median(v)|), both medians through
+    * [[graft.operators.ExactPercentiles]] (bounded two-pass state,
+    * q73's path — never `percentile()`'s every-distinct-value
+    * buffer). The inner median is rounded to 4 decimals ON BOTH
+    * ENGINES before the deviations: the engine boundary is crossed
+    * once, under a round(4) guard, so the deviation doubles are
+    * bit-identical inputs to the outer median. */
+  val q76 = QueryDef(
+    "q76_mad",
+    (sp, dir) => {
+      val ev = Tables(sp, dir, "events")
+      val med = graft.operators.ExactPercentiles.compute(
+          ev, "event_type", "value", Seq(("50", 0.5)), bucketWidth = 16.0)
+        .select(col("g").as("event_type"),
+          round(col("p_50"), 4).as("med"))
+      val dev = ev.join(broadcast(med), "event_type")
+        .withColumn("adev", abs(col("value") - col("med")))
+      graft.operators.ExactPercentiles.compute(
+          dev, "event_type", "adev", Seq(("50", 0.5)), bucketWidth = 8.0)
+        .select(col("g").as("event_type"),
+          round(col("p_50"), 4).as("mad"), col("n").as("n_events"))
+        .orderBy("event_type")
+    },
+    Some("""
+      WITH med AS (
+        SELECT event_type, ROUND(quantile_cont(value, 0.5), 4) AS med
+        FROM events GROUP BY event_type)
+      SELECT e.event_type,
+        ROUND(quantile_cont(abs(e.value - m.med), 0.5), 4) AS mad,
+        COUNT(*) AS n_events
+      FROM events e JOIN med m ON e.event_type = m.event_type
+      GROUP BY e.event_type ORDER BY e.event_type"""))
+
+  /** Linear gap interpolation — q62's LOCF twin for numeric series:
+    * every third reading is knocked out, then recovered as the
+    * time-weighted blend of the nearest non-null neighbors on each
+    * side, `pv + (nv − pv) · (t − pt)/(nt − pt)` over microsecond
+    * epochs. Leading/trailing gaps (no neighbor on one side) stay
+    * null. The prev/next scans are running frames per user — state is
+    * one (ts, value) pair per direction, never a buffered group. */
+  val q77 = QueryDef(
+    "q77_interpolate",
+    (sp, dir) => {
+      val past = Window.partitionBy("user_id")
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val future = Window.partitionBy("user_id")
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(1, Window.unboundedFollowing)
+      val known = when(col("metric").isNotNull, col("t"))
+      val knownV = when(col("metric").isNotNull, col("metric"))
+      Tables(sp, dir, "events")
+        .filter(col("user_id") < 200)
+        .withColumn("metric",
+          when(col("event_id") % 3 === 0, lit(null)).otherwise(col("value")))
+        .withColumn("t", unix_micros(col("ts")))
+        .withColumn("pt", last(known, ignoreNulls = true).over(past))
+        .withColumn("pv", last(knownV, ignoreNulls = true).over(past))
+        .withColumn("nt", first(known, ignoreNulls = true).over(future))
+        .withColumn("nv", first(knownV, ignoreNulls = true).over(future))
+        .select(col("user_id"), col("event_id"), col("ts"), col("metric"),
+          when(col("metric").isNotNull, col("metric"))
+            .otherwise(col("pv") + (col("nv") - col("pv")) *
+              ((col("t") - col("pt")).cast("double") /
+                (col("nt") - col("pt")).cast("double")))
+            .as("metric_interp"))
+        .orderBy("user_id", "ts", "event_id")
+    },
+    Some("""
+      WITH knocked AS (
+        SELECT user_id, event_id, ts, epoch_us(ts) AS t,
+          CASE WHEN event_id % 3 = 0 THEN NULL ELSE value END AS metric
+        FROM events WHERE user_id < 200),
+      nbr AS (
+        SELECT user_id, event_id, ts, metric,
+          LAST_VALUE(CASE WHEN metric IS NOT NULL THEN t END IGNORE NULLS)
+            OVER (PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pt,
+          LAST_VALUE(CASE WHEN metric IS NOT NULL THEN metric END IGNORE NULLS)
+            OVER (PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pv,
+          FIRST_VALUE(CASE WHEN metric IS NOT NULL THEN t END IGNORE NULLS)
+            OVER (PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS nt,
+          FIRST_VALUE(CASE WHEN metric IS NOT NULL THEN metric END IGNORE NULLS)
+            OVER (PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS nv,
+          t
+        FROM knocked)
+      SELECT user_id, event_id, ts, metric,
+        CASE WHEN metric IS NOT NULL THEN metric
+             ELSE pv + (nv - pv) *
+               (CAST(t - pt AS DOUBLE) / CAST(nt - pt AS DOUBLE)) END
+          AS metric_interp
+      FROM nbr ORDER BY user_id, ts, event_id"""))
+
+  val defs: Seq[QueryDef] = Seq(q74, q75, q76, q77)
+}
