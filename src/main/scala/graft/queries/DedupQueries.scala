@@ -609,6 +609,70 @@ object DedupQueries {
       FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id
       ORDER BY d.doc_id"""))
 
+  /** URL canonicalization dedup — the scraper-shaped entry: crawl
+    * frontiers re-discover the same page under cosmetic URL variants
+    * (host case, default port, tracking params, trailing slash,
+    * fragments), and deduping on the CANONICAL form is what keeps a
+    * 100 TB crawl from re-fetching its whole history. URLs are
+    * synthesized deterministically from (source, doc_id) to exercise
+    * every variant class; canonicalization is pure string kernels
+    * (lowercased scheme://host, `:443` dropped, `utm_*` params and
+    * fragments stripped, pre-query and trailing slashes collapsed) —
+    * codegen-friendly, no UDF. Replacements avoid capture-group
+    * backrefs: Java (`$1`) and RE2 (`\\1`) spell them differently.
+    * Scale: groupBy on the canonical string; one shuffle, map-side
+    * combine collapses the variant fan-in. */
+  val d14 = QueryDef(
+    "d14_url_dedup",
+    (sp, dir) => {
+      val raw = concat(
+        lit("HTTPS://WWW."), upper(col("source")), lit(".Example.COM:443"),
+        lit("/articles/"), (col("doc_id") % 13).cast("string"),
+        when(col("doc_id") % 2 === 0, lit("/")).otherwise(lit("")),
+        when(col("doc_id") % 3 === 0,
+          lit("?utm_source=feed&utm_campaign=sync"))
+          .when(col("doc_id") % 3 === 1, lit("?ref=home"))
+          .otherwise(lit("")),
+        when(col("doc_id") % 5 === 0, lit("#section-2")).otherwise(lit("")))
+      val noFrag = regexp_replace(raw, "#.*$", "")
+      val prefix = regexp_extract(noFrag, "^[^/]*//[^/]*", 0)
+      val rest = expr("substring(__nofrag, length(__prefix) + 1)")
+      val canon = Tables(sp, dir, "documents")
+        .select(col("doc_id"), noFrag.as("__nofrag"), prefix.as("__prefix"))
+        .withColumn("__rest", rest)
+        .select(col("doc_id"), concat(
+          regexp_replace(lower(col("__prefix")), ":443$", ""),
+          regexp_replace(regexp_replace(
+            regexp_replace(col("__rest"), "[?&]utm_[^&#]*", ""),
+            "/\\?", "?"), "/$", "")).as("canon_url"))
+      canon.groupBy("canon_url")
+        .agg(count(lit(1)).as("n_urls"), min(col("doc_id")).as("first_doc"))
+        .orderBy("canon_url")
+    },
+    Some("""
+      WITH raw AS (
+        SELECT doc_id,
+          'HTTPS://WWW.' || upper(source) || '.Example.COM:443' ||
+          '/articles/' || CAST(doc_id % 13 AS VARCHAR) ||
+          CASE WHEN doc_id % 2 = 0 THEN '/' ELSE '' END ||
+          CASE WHEN doc_id % 3 = 0 THEN '?utm_source=feed&utm_campaign=sync'
+               WHEN doc_id % 3 = 1 THEN '?ref=home' ELSE '' END ||
+          CASE WHEN doc_id % 5 = 0 THEN '#section-2' ELSE '' END AS u
+        FROM documents),
+      nf AS (SELECT doc_id, regexp_replace(u, '#.*$', '') AS u FROM raw),
+      pr AS (SELECT doc_id, u,
+               regexp_extract(u, '^[^/]*//[^/]*') AS prefix FROM nf),
+      canon AS (SELECT doc_id,
+          regexp_replace(lower(prefix), ':443$', '') ||
+          regexp_replace(regexp_replace(regexp_replace(
+            substring(u, length(prefix) + 1),
+            '[?&]utm_[^&#]*', '', 'g'), '/\?', '?'), '/$', '')
+          AS canon_url
+        FROM pr)
+      SELECT canon_url, COUNT(*) AS n_urls, MIN(doc_id) AS first_doc
+      FROM canon GROUP BY canon_url ORDER BY canon_url"""))
+
   val defs: Seq[QueryDef] =
-    Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13)
+    Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13,
+      d14)
 }

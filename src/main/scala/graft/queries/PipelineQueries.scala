@@ -541,7 +541,51 @@ object PipelineQueries {
           AS fill_ratio
       FROM packed GROUP BY source ORDER BY source"""))
 
+  /** Largest-remainder (Hamilton) quota allocation: divide an exact
+    * sample budget of 100 slots across languages proportional to doc
+    * counts — floor quotas first, then the leftover slots go to the
+    * largest fractional remainders (ties broken by lang). The method
+    * guarantees Σquota = budget EXACTLY (spec-asserted), which
+    * proportional rates (p01) can't. All integer arithmetic — the
+    * remainders compare as scaled integers `(100·n) mod total`, never
+    * doubles. The windows run over one row per language — bounded by
+    * group cardinality, not data volume. */
+  val p16 = QueryDef(
+    "p16_quota_sample",
+    (sp, dir) => {
+      val everything = Window.partitionBy()
+      val counts = Tables(sp, dir, "documents")
+        .groupBy("lang").agg(count(lit(1)).as("n_docs"))
+        .withColumn("total", sum(col("n_docs")).over(everything))
+        .withColumn("base", expr("(100 * n_docs) div total"))
+        .withColumn("rem", (lit(100) * col("n_docs")) % col("total"))
+      counts
+        .withColumn("rk", row_number().over(
+          Window.partitionBy().orderBy(col("rem").desc, col("lang"))))
+        .withColumn("leftover", lit(100) - sum(col("base")).over(everything))
+        .select(col("lang"), col("n_docs"),
+          (col("base") + when(col("rk") <= col("leftover"), 1L)
+            .otherwise(0L)).as("quota"))
+        .orderBy("lang")
+    },
+    Some("""
+      WITH c AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs
+                 FROM documents GROUP BY lang),
+      t AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS total FROM c),
+      b AS (SELECT lang, n_docs,
+              (100 * n_docs) // total AS base,
+              (100 * n_docs) % total AS rem
+            FROM c, t),
+      r AS (SELECT lang, n_docs, base,
+              ROW_NUMBER() OVER (ORDER BY rem DESC, lang) AS rk,
+              100 - SUM(base) OVER () AS leftover
+            FROM b)
+      SELECT lang, n_docs,
+        CAST(base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END AS BIGINT)
+          AS quota
+      FROM r ORDER BY lang"""))
+
   val defs: Seq[QueryDef] =
     Seq(p01, p02, p03, p04, p05, p06, p07, p08, p09, p10, p11, p12, p13,
-      p14, p15)
+      p14, p15, p16)
 }

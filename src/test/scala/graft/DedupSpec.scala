@@ -106,6 +106,23 @@ class DedupSpec extends SparkSpec {
     assert(pair.head.getAs[Double]("jaccard") === 1.0)
   }
 
+  test("d14 canonicalization collapses case/port/utm/slash/fragment variants") {
+    val out = Catalog.byName("d14_url_dedup")
+      .build(spark, "/root/testdata/sf0.001").collect()
+    val urls = out.map(_.getAs[String]("canon_url"))
+    // every variant class is normalized away
+    urls.foreach { u =>
+      assert(u == u.toLowerCase || !u.takeWhile(_ != '?').exists(_.isUpper),
+        s"host not lowercased: $u")
+      assert(!u.contains(":443"), s"default port kept: $u")
+      assert(!u.contains("utm_"), s"tracking param kept: $u")
+      assert(!u.contains("#"), s"fragment kept: $u")
+      assert(!u.takeWhile(_ != '?').endsWith("/"), s"trailing slash kept: $u")
+    }
+    // the fan-in is real: at least one canonical url covers >1 raw url
+    assert(out.exists(_.getAs[Long]("n_urls") > 1L))
+  }
+
   test("d13 block dedup counts shared 16-word blocks and drops partial tails") {
     val block = (1 to 16).map(i => s"w$i").mkString(" ")
     val other = (1 to 16).map(i => s"x$i").mkString(" ")

@@ -73,6 +73,15 @@ class PipelineSpec extends SparkSpec {
     assert(a === b)
   }
 
+  test("p16 quota allocation sums to the budget exactly at every sf") {
+    for (sf <- Seq("sf0.001", "sf0.01")) {
+      val q = Catalog.byName("p16_quota_sample")
+        .build(spark, s"/root/testdata/$sf")
+        .agg(sum(col("quota"))).collect()(0).getLong(0)
+      assert(q === 100L, s"quota sum at $sf")
+    }
+  }
+
   test("distributedNtile matches the window ntile exactly, ties and remainders included") {
     import org.apache.spark.sql.expressions.Window
     // heavy ties (v = i/7) + sizes where N < n, N % n == 0, N % n != 0
