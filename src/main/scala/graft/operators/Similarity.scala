@@ -72,6 +72,45 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
+  /** Product quantization encode: split each vector into `m` equal
+    * subvectors; per subspace, the codebook is [[centroids]]' label
+    * means RESTRICTED to that slice, and a vector's code is its
+    * nearest codeword by squared L2 (ties → smaller code). Output per
+    * row: the m codes plus the total squared reconstruction error —
+    * the compression-quality number (a 64-dim float vector compresses
+    * to m bytes; err says what that cost).
+    *
+    * Scale shape: codebooks are tiny (labels × dim) and BROADCAST;
+    * encoding is a per-row argmin over |codebook| candidates — the
+    * corpus streams once, nothing shuffles but the (id, codes, err)
+    * rows. The L2 expansion `(v·v − 2·v·c) + c·c` reuses the
+    * sequential-fold dot kernel so every distance is bit-reproducible
+    * (same parenthesization in the oracle). */
+  def pqEncode(vectors: DataFrame, labeled: DataFrame, m: Int,
+      dim: Int): DataFrame = {
+    require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
+    val sub = dim / m
+    val cents = centroids(labeled, "label")
+      .select(col("cluster"), col("cv"))
+    val dists = (0 until m).map { s =>
+      val lo = s * sub + 1
+      val vS = slice(col("v"), lo, sub)
+      val cS = slice(col("cv"), lo, sub)
+      (dotFold(vS, vS) - lit(2.0) * dotFold(vS, cS) + dotFold(cS, cS))
+        .as(s"__d$s")
+    }
+    val scored = vectors.select(col("id"), col("v"))
+      .join(broadcast(cents))
+      .select(col("id") +: col("cluster") +: dists: _*)
+    val aggs = (0 until m).map(s =>
+      min(struct(col(s"__d$s").as("d"), col("cluster").as("cl")))
+        .as(s"__m$s"))
+    scored.groupBy("id").agg(aggs.head, aggs.tail: _*)
+      .select(col("id") +:
+        (0 until m).map(s => col(s"__m$s.cl").as(s"code$s")) :+
+        (0 until m).map(s => col(s"__m$s.d")).reduce(_ + _).as("sq_err"): _*)
+  }
+
   /** Deterministic ±1 random hyperplanes (LCG seed 7) for sign-LSH. */
   def hyperplanes(nPlanes: Int, dim: Int): Seq[Seq[Double]] = {
     var s = 7L

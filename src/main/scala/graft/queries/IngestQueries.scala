@@ -905,7 +905,54 @@ object IngestQueries {
         MIN(event_id) AS min_id, MAX(event_id) AS max_id
       FROM events GROUP BY event_type ORDER BY event_type"""))
 
+  /** Stream-static enrichment — the remaining streaming join shape
+    * after e12's stream-stream: a live event stream joined against a
+    * SLOW dimension (customer) that is re-read per micro-batch, no
+    * watermark needed on the static side, then windowed revenue per
+    * market segment. At cluster scale the dimension side broadcasts
+    * into every micro-batch task — the stream never shuffles for the
+    * join, only for its windowed aggregate. Complete-mode memory sink
+    * (e05's pattern) so every window surfaces under AvailableNow
+    * without sentinel plumbing; the oracle is the batch join+window
+    * over the same inputs. */
+  val e21 = QueryDef(
+    "e21_stream_enrich",
+    (sp, dir) => {
+      import graft.Dsl.moneySum
+      sp.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val schema = sp.read.parquet(s"$dir/events.parquet").schema
+      val stream = sp.readStream.schema(schema).option("basePath", dir)
+        .parquet(s"$dir/events.parque[t]")
+        .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      val dim = Tables(sp, dir, "customer")
+        .select(col("c_custkey"), col("c_mktsegment"))
+      val agg = stream
+        .join(broadcast(dim), col("user_id") === col("c_custkey"))
+        .withWatermark("ts", "1 hour")
+        .groupBy(window(col("ts"), "1 hour"), col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_events"),
+          moneySum(col("value")).as("sum_value"))
+      val sink = s"e21_enrich_${streamRuns.incrementAndGet()}"
+      withFewStatePartitions(sp, 8) {
+        val q = agg.writeStream.format("memory").queryName(sink)
+          .outputMode("complete")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      sp.table(sink)
+        .select(col("window.start").as("bucket"), col("c_mktsegment"),
+          col("n_events"), col("sum_value"))
+        .orderBy("bucket", "c_mktsegment")
+    },
+    Some("""
+      SELECT DATE_TRUNC('hour', e.ts) AS bucket, c.c_mktsegment,
+        COUNT(*) AS n_events,
+        CAST(SUM(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      FROM events e JOIN customer c ON e.user_id = c.c_custkey
+      GROUP BY 1, 2 ORDER BY bucket, c_mktsegment"""))
+
   val defs: Seq[QueryDef] =
     Seq(e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11, e12, e13,
-      e14, e15, e16, e17, e18, e19, e20)
+      e14, e15, e16, e17, e18, e19, e20, e21)
 }

@@ -210,5 +210,48 @@ object RelationalPlus {
           AS metric_interp
       FROM nbr ORDER BY user_id, ts, event_id"""))
 
-  val defs: Seq[QueryDef] = Seq(q74, q75, q76, q77)
+  /** Join-skew profile — the pre-flight number every big join needs:
+    * per-key row counts on BOTH sides, the per-key output fanout
+    * n_left·n_right, and each key's share of the total join output.
+    * The hottest keys are exactly the ones q45's salting exists for;
+    * this report is how you find them WITHOUT running the join (two
+    * count aggregations + a key-level join — never the fanout
+    * itself). Top-10 by (fanout desc, key) is a total order, so the
+    * limit is deterministic; the scalar total joins back through a
+    * derived constant key (q71's idiom — an equi-join the planner
+    * keeps a BroadcastHashJoin, not a cross join). */
+  val q78 = QueryDef(
+    "q78_join_skew",
+    (sp, dir) => {
+      val le = Tables(sp, dir, "events")
+        .groupBy(col("user_id").as("key"))
+        .agg(count(lit(1)).as("n_events"))
+      val ro = Tables(sp, dir, "orders")
+        .groupBy(col("o_custkey").as("key"))
+        .agg(count(lit(1)).as("n_orders"))
+      val j = le.join(ro, "key")
+        .withColumn("fanout", col("n_events") * col("n_orders"))
+      val total = j.agg(sum(col("fanout")).as("total"))
+        .withColumn("__j", pmod(col("total"), lit(1L)))
+      j.withColumn("__j", pmod(col("fanout"), lit(1L)))
+        .join(broadcast(total), "__j").drop("__j")
+        .select(col("key"), col("n_events"), col("n_orders"), col("fanout"),
+          (col("fanout").cast(DoubleType) / col("total").cast(DoubleType))
+            .as("share"))
+        .orderBy(col("fanout").desc, col("key")).limit(10)
+    },
+    Some("""
+      WITH le AS (SELECT user_id AS key, CAST(COUNT(*) AS BIGINT) AS n_events
+                  FROM events GROUP BY user_id),
+      ro AS (SELECT o_custkey AS key, CAST(COUNT(*) AS BIGINT) AS n_orders
+             FROM orders GROUP BY o_custkey),
+      j AS (SELECT key, n_events, n_orders,
+              n_events * n_orders AS fanout
+            FROM le JOIN ro USING (key)),
+      t AS (SELECT CAST(SUM(fanout) AS BIGINT) AS total FROM j)
+      SELECT key, n_events, n_orders, CAST(fanout AS BIGINT) AS fanout,
+        CAST(fanout AS DOUBLE) / CAST(total AS DOUBLE) AS share
+      FROM j, t ORDER BY fanout DESC, key LIMIT 10"""))
+
+  val defs: Seq[QueryDef] = Seq(q74, q75, q76, q77, q78)
 }

@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.{QueryDef, Tables}
+import graft.Dsl.dotFold
 import graft.operators.Similarity
 import org.apache.spark.sql.functions._
 
@@ -282,5 +283,107 @@ object SimilarityQueries {
       SELECT q_id, n_id, dot, CAST(rnk AS INT) AS rank
       FROM r WHERE rnk <= 5 ORDER BY q_id, rank"""))
 
-  val defs: Seq[QueryDef] = Seq(s01, s02, s03, s04, s05, s06, s07)
+  /** Product-quantization encode (`Similarity.pqEncode`): 64-dim
+    * float vectors compress to TWO byte-sized codes (32-dim subspaces,
+    * label-mean codebooks) plus the squared reconstruction error the
+    * compression cost. One broadcast of the tiny codebook, one
+    * aggregation shuffle of narrow (id, distance, code) rows — the
+    * argmin is `min(struct(dist, code))`, map-side combinable, never a
+    * per-id sort. Distances ride the sequential-fold dot kernel with
+    * the oracle's exact parenthesization. */
+  val s08 = QueryDef(
+    "s08_pq_encode",
+    (sp, dir) => {
+      val embs = Tables(sp, dir, "embeddings")
+      val all = Similarity.prep(embs, "vec_id", "embedding")
+      val labeled = all.join(
+        embs.select(col("vec_id").as("id"), col("label")), "id")
+      Similarity.pqEncode(all, labeled, m = 2, dim = 64)
+        .orderBy("id")
+    },
+    Some(s"""
+      WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] v FROM embeddings),
+      cx AS (SELECT vec_id, label,
+               unnest(list_transform(v, (x, i) -> {'pos': i - 1, 'x': x}),
+                 recursive := true)
+             FROM e),
+      cm AS (SELECT label AS cl, pos,
+               list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                 list(x ORDER BY vec_id)), (a, b) -> a + b) / COUNT(*) AS m
+             FROM cx GROUP BY cl, pos),
+      cents AS (SELECT cl, list(m ORDER BY pos) AS cv FROM cm GROUP BY cl),
+      pairs AS (SELECT vec_id, cl,
+          ${foldDot.format("list_slice(v, 1, 32)", "list_slice(v, 1, 32)")}
+            - 2.0 * ${foldDot.format("list_slice(v, 1, 32)", "list_slice(cv, 1, 32)")}
+            + ${foldDot.format("list_slice(cv, 1, 32)", "list_slice(cv, 1, 32)")} AS d0,
+          ${foldDot.format("list_slice(v, 33, 64)", "list_slice(v, 33, 64)")}
+            - 2.0 * ${foldDot.format("list_slice(v, 33, 64)", "list_slice(cv, 33, 64)")}
+            + ${foldDot.format("list_slice(cv, 33, 64)", "list_slice(cv, 33, 64)")} AS d1
+        FROM e CROSS JOIN cents),
+      b0 AS (SELECT vec_id, cl AS code0, d0 FROM (
+               SELECT vec_id, cl, d0,
+                 ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d0, cl) rn
+               FROM pairs) WHERE rn = 1),
+      b1 AS (SELECT vec_id, cl AS code1, d1 FROM (
+               SELECT vec_id, cl, d1,
+                 ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d1, cl) rn
+               FROM pairs) WHERE rn = 1)
+      SELECT b0.vec_id AS id, code0, code1, d0 + d1 AS sq_err
+      FROM b0 JOIN b1 ON b0.vec_id = b1.vec_id
+      ORDER BY id"""))
+
+  /** Multi-vector late-interaction scoring (ColBERT-style MaxSim):
+    * query tokens = the 10 query vectors grouped into 2 query docs,
+    * corpus docs = vec_id mod 50 groups; score(Q, D) = Σ over Q's
+    * tokens of the max cosine against D's tokens, top-3 docs per
+    * query. The per-token maxima aggregate map-side; the Σ runs in
+    * DECIMAL over round(6)-guarded maxima, so token order can't
+    * perturb the double sum (SURVEY §4). */
+  val s09 = QueryDef(
+    "s09_maxsim",
+    (sp, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      import org.apache.spark.sql.types.DecimalType
+      val all = Similarity.prep(Tables(sp, dir, "embeddings"), "vec_id", "embedding")
+      val q = all.filter(col("id") < 10)
+        .select((col("id") % 2).as("qdoc"), col("id").as("q_id"),
+          col("v").as("qv"), col("nrm").as("qn"))
+      val c = all.filter(col("id") >= 10)
+        .select((col("id") % 50).as("cdoc"), col("id").as("n_id"),
+          col("v").as("cv"), col("nrm").as("cn"))
+      val mx = broadcast(q).join(c)
+        .select(col("qdoc"), col("q_id"), col("cdoc"),
+          (dotFold(col("qv"), col("cv")) / (col("qn") * col("cn"))).as("cos"))
+        .groupBy("qdoc", "q_id", "cdoc").agg(max(col("cos")).as("mx"))
+      val w = Window.partitionBy("qdoc").orderBy(col("maxsim").desc, col("cdoc"))
+      mx.groupBy("qdoc", "cdoc")
+        .agg(sum(round(col("mx"), 6).cast(DecimalType(18, 6)))
+          .cast("double").as("maxsim"))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 3)
+        .orderBy("qdoc", "rank")
+    },
+    Some(s"""
+      WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
+      n AS (SELECT vec_id, v, sqrt(${foldDot.format("v", "v")}) nrm FROM e),
+      q AS (SELECT vec_id % 2 AS qdoc, vec_id q_id, v qv, nrm qn
+            FROM n WHERE vec_id < 10),
+      c AS (SELECT vec_id % 50 AS cdoc, vec_id n_id, v cv, nrm cn
+            FROM n WHERE vec_id >= 10),
+      mx AS (SELECT qdoc, q_id, cdoc,
+               MAX(${foldDot.format("qv", "cv")} / (qn * cn)) AS mx
+             FROM q CROSS JOIN c GROUP BY qdoc, q_id, cdoc),
+      sc AS (SELECT qdoc, cdoc,
+               CAST(SUM(CAST(ROUND(mx, 6) AS DECIMAL(18,6))) AS DOUBLE)
+                 AS maxsim
+             FROM mx GROUP BY qdoc, cdoc),
+      r AS (SELECT qdoc, cdoc, maxsim,
+              ROW_NUMBER() OVER (PARTITION BY qdoc
+                ORDER BY maxsim DESC, cdoc) rnk
+            FROM sc)
+      SELECT qdoc, cdoc, maxsim, CAST(rnk AS INT) AS rank
+      FROM r WHERE rnk <= 3 ORDER BY qdoc, rank"""))
+
+  val defs: Seq[QueryDef] = Seq(s01, s02, s03, s04, s05, s06, s07, s08,
+    s09)
 }
