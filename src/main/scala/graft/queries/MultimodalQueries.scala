@@ -185,5 +185,48 @@ object MultimodalQueries {
              (a, b) -> (a * 131 + b) % 2147483647) << 31)) AS rec_hash
       FROM r ORDER BY source, shard, rec_idx"""))
 
-  val defs: Seq[QueryDef] = Seq(m01, m02, m03, m04, m05, m06)
+  /** Shard-packing manifest (webdataset-style): binary payloads are
+    * assigned to size-bounded shards by the same greedy cumulative
+    * split p03 uses for tokens ([[graft.operators.Pipeline
+    * .packSequences]] over BYTE lengths, 4 KiB bins, doc order), and
+    * the output is the per-shard MANIFEST — record count, byte total,
+    * id span — the index a training loader reads instead of listing
+    * the archive. A payload longer than its bin's remainder spills
+    * (bin fill can exceed the nominal cap, never splits a record) —
+    * same contract as p03/p15, mirrored in the oracle's window. */
+  val m07 = QueryDef(
+    "m07_shard_manifest",
+    (sp, dir) => {
+      val docs = Multimodal
+        .withPayload(Tables(sp, dir, "documents"), "text")
+        .select(col("doc_id"), col("source"),
+          length(col("payload")).cast("long").as("n_bytes"))
+      graft.operators.Pipeline.packSequences(docs, "source", "doc_id",
+          "n_bytes", maxTokens = 4096)
+        .groupBy(col("source"), col("bin_id").as("shard"))
+        .agg(count(lit(1)).as("n_records"),
+          sum(col("n_bytes")).as("shard_bytes"),
+          min(col("doc_id")).as("first_doc"),
+          max(col("doc_id")).as("last_doc"))
+        .orderBy("source", "shard")
+    },
+    Some("""
+      WITH sized AS (
+        SELECT doc_id, source,
+          CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+        FROM documents),
+      packed AS (
+        SELECT doc_id, source, n_bytes,
+          CAST(floor(COALESCE(SUM(n_bytes) OVER (
+            PARTITION BY source ORDER BY doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 4096.0)
+            AS BIGINT) AS shard
+        FROM sized)
+      SELECT source, shard, COUNT(*) AS n_records,
+        CAST(SUM(n_bytes) AS BIGINT) AS shard_bytes,
+        MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+      FROM packed GROUP BY source, shard
+      ORDER BY source, shard"""))
+
+  val defs: Seq[QueryDef] = Seq(m01, m02, m03, m04, m05, m06, m07)
 }

@@ -585,7 +585,57 @@ object PipelineQueries {
           AS quota
       FROM r ORDER BY lang"""))
 
+  /** Token-budget mixture planner: given per-language available token
+    * counts and a target sampling mixture (basis points), compute each
+    * language's token quota inside a 1M-token training budget, its
+    * repeat factor (quota / available — >1 means epochs of reuse,
+    * the number data-mixing debates are about), and the whole-epoch
+    * count a loader needs (ceil, in integers). Quotas are exact
+    * integer arithmetic (budget·bp div 10⁴); only the repeat factor is
+    * a single double division. One scan + one 5-row aggregate. */
+  val p17 = QueryDef(
+    "p17_token_mix",
+    (sp, dir) => {
+      val bp = when(col("lang") === "en", 4000L)
+        .when(col("lang") === "de", 2000L)
+        .when(col("lang") === "fr", 2000L)
+        .when(col("lang") === "es", 1000L)
+        .otherwise(1000L)
+      Tables(sp, dir, "documents")
+        .select(col("lang"),
+          size(split(col("text"), " ")).cast("long").as("n_tokens"))
+        .groupBy("lang")
+        .agg(sum(col("n_tokens")).as("avail_tokens"))
+        .withColumn("weight_bp", bp)
+        .withColumn("quota_tokens",
+          expr("(1000000 * weight_bp) div 10000"))
+        .withColumn("repeat_factor",
+          col("quota_tokens").cast("double") /
+            col("avail_tokens").cast("double"))
+        .withColumn("epochs",
+          expr("(quota_tokens + avail_tokens - 1) div avail_tokens"))
+        .orderBy("lang")
+    },
+    Some("""
+      WITH a AS (
+        SELECT lang,
+          CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS avail_tokens
+        FROM documents GROUP BY lang),
+      b AS (
+        SELECT lang, avail_tokens,
+          CAST(CASE lang WHEN 'en' THEN 4000 WHEN 'de' THEN 2000
+               WHEN 'fr' THEN 2000 WHEN 'es' THEN 1000
+               ELSE 1000 END AS BIGINT) AS weight_bp
+        FROM a)
+      SELECT lang, avail_tokens, weight_bp,
+        (1000000 * weight_bp) // 10000 AS quota_tokens,
+        CAST((1000000 * weight_bp) // 10000 AS DOUBLE) / avail_tokens
+          AS repeat_factor,
+        (((1000000 * weight_bp) // 10000) + avail_tokens - 1)
+          // avail_tokens AS epochs
+      FROM b ORDER BY lang"""))
+
   val defs: Seq[QueryDef] =
     Seq(p01, p02, p03, p04, p05, p06, p07, p08, p09, p10, p11, p12, p13,
-      p14, p15, p16)
+      p14, p15, p16, p17)
 }

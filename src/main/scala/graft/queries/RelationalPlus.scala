@@ -253,5 +253,54 @@ object RelationalPlus {
         CAST(fanout AS DOUBLE) / CAST(total AS DOUBLE) AS share
       FROM j, t ORDER BY fanout DESC, key LIMIT 10"""))
 
-  val defs: Seq[QueryDef] = Seq(q74, q75, q76, q77, q78)
+  /** Cumulative (expanding-window) OLS regression slope of value on
+    * time, per user — "is this metric trending, as of each event".
+    * The five running sums (n, Σd, Σv, Σdv, Σd²) are each one running
+    * frame; days are integer offsets (≤ ~2·10⁴, so Σd² stays exactly
+    * double-representable) and Σv/Σdv accumulate in DECIMAL — the
+    * slope formula then runs in doubles IDENTICALLY on both engines.
+    * try_divide: a user's prefix with zero time variance (all events
+    * same day) has no slope — NULL, not an ANSI error. Partitions are
+    * per-user (high cardinality) — never a low-cardinality window. */
+  val q79 = QueryDef(
+    "q79_rolling_slope",
+    (sp, dir) => {
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val base = Tables(sp, dir, "events")
+        .filter(col("user_id") < 100)
+        .withColumn("d", expr("unix_micros(ts) div 86400000000"))
+        .withColumn("vDec", col("value").cast(DecimalType(18, 2)))
+      val n = count(lit(1)).over(w).cast(DoubleType)
+      val sd = sum(col("d")).over(w).cast(DoubleType)
+      val sv = sum(col("vDec")).over(w).cast(DoubleType)
+      val sdv = sum(col("vDec") * col("d")).over(w).cast(DoubleType)
+      val sdd = sum(col("d") * col("d")).over(w).cast(DoubleType)
+      base.select(col("user_id"), col("event_id"), col("ts"),
+          try_divide(sdv * n - sd * sv, sdd * n - sd * sd).as("slope"))
+        .orderBy("user_id", "ts", "event_id")
+    },
+    Some("""
+      WITH b AS (
+        SELECT user_id, event_id, ts,
+          epoch_us(ts) // 86400000000 AS d,
+          CAST(value AS DECIMAL(18,2)) AS v
+        FROM events WHERE user_id < 100),
+      s AS (
+        SELECT user_id, event_id, ts,
+          CAST(COUNT(*) OVER w AS DOUBLE) AS n,
+          CAST(SUM(d) OVER w AS DOUBLE) AS sd,
+          CAST(SUM(v) OVER w AS DOUBLE) AS sv,
+          CAST(SUM(v * d) OVER w AS DOUBLE) AS sdv,
+          CAST(SUM(d * d) OVER w AS DOUBLE) AS sdd
+        FROM b
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+      SELECT user_id, event_id, ts,
+        CASE WHEN sdd * n - sd * sd = 0 THEN NULL
+             ELSE (sdv * n - sd * sv) / (sdd * n - sd * sd) END AS slope
+      FROM s ORDER BY user_id, ts, event_id"""))
+
+  val defs: Seq[QueryDef] = Seq(q74, q75, q76, q77, q78, q79)
 }

@@ -347,6 +347,55 @@ object TextQueries {
           AS hapax_share
       FROM wc GROUP BY lang ORDER BY lang"""))
 
+  /** HTML strip + link extraction — the scraper's first transform:
+    * raw fetched markup → clean text + outlink count + title. Markup
+    * is synthesized deterministically around each document (title tag,
+    * body paragraph, `doc_id mod 4` trailing anchors) so every
+    * structural element the stripper must handle is present; the
+    * strip itself is pure regex kernels (tags → space, whitespace
+    * squeeze, trim) and the link count is the occurrence-count
+    * identity `(len − len(without 'href=')) / 5` — no UDF, all
+    * codegen. Cleaning 100 TB of crawl HTML is exactly this shape:
+    * one scan, per-row string kernels, no shuffle at all before the
+    * output sort. */
+  val t11 = QueryDef(
+    "t11_html_strip",
+    (sp, dir) => {
+      val html = concat(
+        lit("<html><head><title>Doc "), col("doc_id").cast("string"),
+        lit("</title></head><body><p>"), col("text"), lit("</p>"),
+        expr("repeat('<a href=\"/d/0\">next</a>', CAST(doc_id % 4 AS INT))"),
+        lit("</body></html>"))
+      Tables(sp, dir, "documents")
+        .select(col("doc_id"), html.as("html"))
+        .select(col("doc_id"),
+          regexp_extract(col("html"), "<title>([^<]*)</title>", 1).as("title"),
+          ((length(col("html")) -
+            length(regexp_replace(col("html"), "href=", ""))) / 5)
+            .cast("long").as("n_links"),
+          length(trim(regexp_replace(
+            regexp_replace(col("html"), "<[^>]*>", " "), "  +", " ")))
+            .as("stripped_len"))
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH h AS (
+        SELECT doc_id,
+          '<html><head><title>Doc ' || CAST(doc_id AS VARCHAR) ||
+          '</title></head><body><p>' || text || '</p>' ||
+          repeat('<a href="/d/0">next</a>', CAST(doc_id % 4 AS INT)) ||
+          '</body></html>' AS html
+        FROM documents)
+      SELECT doc_id,
+        regexp_extract(html, '<title>([^<]*)</title>', 1) AS title,
+        CAST((length(html) -
+              length(regexp_replace(html, 'href=', '', 'g'))) / 5
+          AS BIGINT) AS n_links,
+        CAST(length(trim(regexp_replace(
+          regexp_replace(html, '<[^>]*>', ' ', 'g'), '  +', ' ', 'g')))
+          AS INT) AS stripped_len
+      FROM h ORDER BY doc_id"""))
+
   val defs: Seq[QueryDef] =
-    Seq(t01, t02, t03, t04, t05, t06, t07, t08, t09, t10)
+    Seq(t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11)
 }

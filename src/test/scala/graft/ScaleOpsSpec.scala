@@ -160,6 +160,19 @@ class ScaleOpsSpec extends SparkSpec {
     assert(out.filter(col("cum") =!= (col("id") - col("g")) / 3 + 1).count() === 0L)
   }
 
+  test("skyline at 1M points matches the closed-form frontier") {
+    // points (x=id+1, y=(id+1) % 64): for residue r >= 1 the cheapest
+    // point with y=r is x=r; (64, 0) is dominated by (1, 1). Frontier
+    // = {(r, r) : r = 1..63} exactly.
+    val df = spark.range(1000000).select((col("id") + 1).as("x"))
+      .select(col("x").as("id"), col("x"), (col("x") % 64).as("y"))
+      .repartition(16)
+    val got = graft.operators.Skyline.frontier(df, "id", "x", "y")
+      .collect().map(r => (r.getDouble(1).toLong, r.getDouble(2).toLong))
+      .toSet
+    assert(got === (1L to 63L).map(r => (r, r)).toSet)
+  }
+
   test("chunked rolling sum at 1M rows matches a closed form") {
     // v = id within one group: rolling 10-row sum ending at id is
     // sum(id-9..id) = 10*id - 45 once id >= 9
