@@ -672,7 +672,52 @@ object DedupQueries {
       SELECT canon_url, COUNT(*) AS n_urls, MIN(doc_id) AS first_doc
       FROM canon GROUP BY canon_url ORDER BY canon_url"""))
 
+  /** Asymmetric CONTAINMENT similarity — |A∩B| / |A| per side — the
+    * sub/superset detector Jaccard structurally misses: a short doc
+    * fully quoted inside a long one has containment 1.0 but Jaccard
+    * n1/n2, arbitrarily low. That is why this entry regenerates pairs
+    * at minJaccard = 0 instead of reusing d04's 0.2-thresholded set —
+    * the interesting containment pairs live BELOW d04's cutoff. Same
+    * bucketed in-shingle pair generation and df≤64 cap (fanout stays
+    * bounded); the keep filter is max(c1, c2) ≥ 0.5. */
+  val d15 = QueryDef(
+    "d15_containment",
+    (sp, dir) => {
+      Dedup.ngramJaccard(Tables(sp, dir, "documents"), "doc_id", "text",
+          n = 3, minJaccard = 0.0, maxDf = Some(64))
+        .withColumn("c1", col("common").cast("double") / col("n1"))
+        .withColumn("c2", col("common").cast("double") / col("n2"))
+        .filter(greatest(col("c1"), col("c2")) >= 0.5)
+        .select(col("d1"), col("d2"), col("common"), col("n1"), col("n2"),
+          col("c1"), col("c2"))
+        .orderBy("d1", "d2")
+    },
+    Some("""
+      WITH toks AS (SELECT doc_id, string_split(text, ' ') w FROM documents),
+      sh0 AS (SELECT doc_id, unnest(list_distinct(
+               CASE WHEN len(w) < 3 THEN []
+                    ELSE list_transform(generate_series(1, CAST(len(w) - 2 AS INT)),
+                           i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]) END)) AS shingle
+             FROM toks),
+      sh AS (SELECT doc_id, shingle FROM (
+               SELECT doc_id, shingle,
+                 COUNT(*) OVER (PARTITION BY shingle) AS df FROM sh0)
+             WHERE df <= 64),
+      sizes AS (SELECT doc_id, COUNT(*) n FROM sh GROUP BY doc_id),
+      pairs AS (SELECT a.doc_id d1, b.doc_id d2, COUNT(*) common
+                FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                GROUP BY 1, 2)
+      SELECT d1, d2, CAST(common AS BIGINT) AS common,
+        CAST(s1.n AS BIGINT) AS n1, CAST(s2.n AS BIGINT) AS n2,
+        CAST(common AS DOUBLE) / s1.n AS c1,
+        CAST(common AS DOUBLE) / s2.n AS c2
+      FROM pairs p JOIN sizes s1 ON p.d1 = s1.doc_id
+                   JOIN sizes s2 ON p.d2 = s2.doc_id
+      WHERE GREATEST(CAST(common AS DOUBLE) / s1.n,
+                     CAST(common AS DOUBLE) / s2.n) >= 0.5
+      ORDER BY d1, d2"""))
+
   val defs: Seq[QueryDef] =
     Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13,
-      d14)
+      d14, d15)
 }

@@ -952,7 +952,49 @@ object IngestQueries {
       FROM events e JOIN customer c ON e.user_id = c.c_custkey
       GROUP BY 1, 2 ORDER BY bucket, c_mktsegment"""))
 
+  /** Dynamic partition overwrite — the lake's partition-granular
+    * "reprocess one day" primitive: documents land partitioned by
+    * lang, then a corrected en batch (every other doc, text suffixed)
+    * OVERWRITES ONLY the lang=en partition
+    * (`partitionOverwriteMode=dynamic`); the other partitions must
+    * survive untouched and the en partition must be REPLACED, not
+    * appended to — the aggregate catches either failure (en halves
+    * its doc count; any other lang changing breaks the hash). At
+    * 100 TB this is how backfills work: rewrite the one bad
+    * day/tenant, never the table. */
+  val e22 = QueryDef(
+    "e22_dynamic_overwrite",
+    (sp, dir) => {
+      val docs = Tables(sp, dir, "documents")
+      val path = IngestFixtures.materializeOverwritten(
+        s"e22_docs_${IngestFixtures.fingerprint(s"$dir/documents.parquet")}",
+        docs,
+        docs.filter(col("lang") === "en" && col("doc_id") % 2 === 0)
+          .withColumn("text", concat(col("text"), lit(" v2"))),
+        Seq("lang"))
+      sp.read.parquet(path)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("sum_chars"),
+          sum(length(col("text"))).as("sum_text_len"),
+          min(col("doc_id")).as("min_id"),
+          max(col("doc_id")).as("max_id"))
+        .orderBy("lang")
+    },
+    Some("""
+      WITH after AS (
+        SELECT doc_id, text || ' v2' AS text, lang, n_chars
+        FROM documents WHERE lang = 'en' AND doc_id % 2 = 0
+        UNION ALL
+        SELECT doc_id, text, lang, n_chars
+        FROM documents WHERE lang <> 'en')
+      SELECT lang, COUNT(*) AS n_docs,
+        CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+        CAST(SUM(length(text)) AS BIGINT) AS sum_text_len,
+        MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
+      FROM after GROUP BY lang ORDER BY lang"""))
+
   val defs: Seq[QueryDef] =
     Seq(e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11, e12, e13,
-      e14, e15, e16, e17, e18, e19, e20, e21)
+      e14, e15, e16, e17, e18, e19, e20, e21, e22)
 }

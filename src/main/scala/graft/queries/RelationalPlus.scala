@@ -302,5 +302,79 @@ object RelationalPlus {
              ELSE (sdv * n - sd * sv) / (sdd * n - sd * sd) END AS slope
       FROM s ORDER BY user_id, ts, event_id"""))
 
-  val defs: Seq[QueryDef] = Seq(q74, q75, q76, q77, q78, q79)
+  /** KMV sketch ALGEBRA — union and intersection estimates between two
+    * key sets from their mergeable sketches (q71 built one sketch;
+    * this is why sketches exist: set operations without re-scanning
+    * either side). A = partkeys shipped 'R', B = shipped 'A'.
+    * |A∪B| from the merged sketch's k-th minimum; |A∩B| = ĵ·|A∪B|
+    * with ĵ = (members of the merged top-k present in both sides)/k.
+    * Every sketch datum is an exact integer (q71's LCG hash), so both
+    * engines replay the whole pipeline bit-for-bit; exact
+    * countDistinct values ride along as the error report. */
+  val q80 = QueryDef(
+    "q80_kmv_setops",
+    (sp, dir) => {
+      val P = 2147483647L
+      val li = Tables(sp, dir, "lineitem")
+      def h(c: org.apache.spark.sql.Column) =
+        pmod(pmod(c, lit(P)) * lit(1103515245L) + lit(12345L), lit(P))
+      def hashes(flag: String) =
+        li.filter(col("l_returnflag") === flag)
+          .select(h(col("l_partkey")).as("h")).distinct()
+      val ha = hashes("R")
+      val hb = hashes("A")
+      val k = 64
+      val topU = ha.unionAll(hb).distinct().orderBy("h").limit(k)
+      val shared = topU.join(ha, "h").join(hb, "h")
+        .agg(count(lit(1)).as("n_shared"))
+        .withColumn("__j", pmod(col("n_shared"), lit(1L)))
+      val sketch = topU.agg(count(lit(1)).as("k_used"), max(col("h")).as("h_k"))
+        .withColumn("__j", pmod(col("k_used"), lit(1L)))
+      val exact = li.filter(col("l_returnflag").isin("R", "A"))
+        .agg(
+          countDistinct(when(col("l_returnflag") === "R", col("l_partkey")))
+            .as("n_a_exact"),
+          countDistinct(when(col("l_returnflag") === "A", col("l_partkey")))
+            .as("n_b_exact"),
+          countDistinct(col("l_partkey")).as("n_union_exact"))
+        .withColumn("__j", pmod(col("n_union_exact"), lit(1L)))
+      exact.join(broadcast(sketch), "__j").join(broadcast(shared), "__j")
+        .drop("__j")
+        .withColumn("est_union",
+          ((col("k_used") - 1) * lit(P)).cast(DoubleType) /
+            col("h_k").cast(DoubleType))
+        .withColumn("est_intersection",
+          (col("n_shared").cast(DoubleType) / col("k_used").cast(DoubleType)) *
+            (((col("k_used") - 1) * lit(P)).cast(DoubleType) /
+              col("h_k").cast(DoubleType)))
+    },
+    Some("""
+      WITH ha AS (SELECT DISTINCT
+          ((l_partkey % 2147483647) * 1103515245 + 12345) % 2147483647 AS h
+        FROM lineitem WHERE l_returnflag = 'R'),
+      hb AS (SELECT DISTINCT
+          ((l_partkey % 2147483647) * 1103515245 + 12345) % 2147483647 AS h
+        FROM lineitem WHERE l_returnflag = 'A'),
+      topu AS (SELECT h FROM (SELECT h FROM ha UNION SELECT h FROM hb)
+               ORDER BY h LIMIT 64),
+      sk AS (SELECT CAST(COUNT(*) AS BIGINT) AS k_used,
+               CAST(MAX(h) AS BIGINT) AS h_k FROM topu),
+      shr AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_shared
+              FROM topu JOIN ha USING (h) JOIN hb USING (h)),
+      ex AS (SELECT
+          CAST(COUNT(DISTINCT CASE WHEN l_returnflag = 'R'
+            THEN l_partkey END) AS BIGINT) AS n_a_exact,
+          CAST(COUNT(DISTINCT CASE WHEN l_returnflag = 'A'
+            THEN l_partkey END) AS BIGINT) AS n_b_exact,
+          CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS n_union_exact
+        FROM lineitem WHERE l_returnflag IN ('R', 'A'))
+      SELECT n_a_exact, n_b_exact, n_union_exact, k_used, h_k, n_shared,
+        CAST((k_used - 1) * 2147483647 AS DOUBLE) / CAST(h_k AS DOUBLE)
+          AS est_union,
+        (CAST(n_shared AS DOUBLE) / CAST(k_used AS DOUBLE)) *
+          (CAST((k_used - 1) * 2147483647 AS DOUBLE) / CAST(h_k AS DOUBLE))
+          AS est_intersection
+      FROM ex, sk, shr"""))
+
+  val defs: Seq[QueryDef] = Seq(q74, q75, q76, q77, q78, q79, q80)
 }

@@ -194,4 +194,32 @@ object IngestFixtures {
       path
     })
   }
+
+  /** Partitioned dataset whose affected partitions are subsequently
+    * REPLACED via dynamic partition overwrite: the full load lands
+    * first, then `replacement` overwrites exactly the partitions its
+    * rows touch (`partitionOverwriteMode=dynamic`) — untouched
+    * partitions must survive byte-identical, which is the whole point
+    * of the mode (static overwrite would truncate the table). A marker
+    * file makes the two-step build idempotent across JVMs; the session
+    * conf is scoped and restored. */
+  def materializeOverwritten(key: String, full: => DataFrame,
+      replacement: => DataFrame, partitionCols: Seq[String]): String = {
+    val path = s"/tmp/graft_ingest_v2/$key"
+    done.computeIfAbsent(path, _ => {
+      if (!new java.io.File(path, "_OVERWRITE_DONE").exists()) {
+        Sinks.writePartitionedParquet(full, path, partitionCols)
+        val rep = replacement
+        val sp = rep.sparkSession
+        val confKey = "spark.sql.sources.partitionOverwriteMode"
+        val prev = sp.conf.get(confKey, "static")
+        sp.conf.set(confKey, "dynamic")
+        try rep.write.mode("overwrite")
+          .partitionBy(partitionCols: _*).parquet(path)
+        finally sp.conf.set(confKey, prev)
+        new java.io.File(path, "_OVERWRITE_DONE").createNewFile()
+      }
+      path
+    })
+  }
 }
