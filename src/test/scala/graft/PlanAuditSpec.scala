@@ -170,6 +170,24 @@ class PlanAuditSpec extends SparkSpec {
       s"d05 must not plan an all-pairs join:\n${p.take(2000)}")
   }
 
+  test("q78 top-10 skew keys compile to TakeOrderedAndProject, not a global sort") {
+    val p = plan("q78_join_skew")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"limit 10 must be a per-partition heap:\n${p.take(2000)}")
+  }
+
+  test("q74 correlation matrix reads lineitem exactly once") {
+    val p = plan("q74_corr_matrix")
+    assert("lineitem\\.parquet".r.findAllIn(p).size == 1,
+      s"the one-pass claim requires a single lineitem scan:\n${p.take(2000)}")
+  }
+
+  test("s08 PQ argmin partially aggregates before its exchange") {
+    val p = plan("s08_pq_encode")
+    assert(p.contains("partial_min(struct("),
+      s"min(struct) must map-side combine:\n${p.take(2000)}")
+  }
+
   test("no catalog query plans a cartesian/nested-loop join outside declared baselines") {
     // Declared baselines: s01 scores every (query, corpus) pair by
     // definition (broadcast query side, corpus streamed once); s03
