@@ -71,7 +71,23 @@ object PrefixSum {
   def withRunningAgg(df: DataFrame, partitionCols: Seq[String],
       orderCols: Seq[Column], valueCol: String, outCol: String,
       numPartitions: Int = 0)(aggFn: Column => Column,
-      combineFn: (Column, Column) => Column): DataFrame = {
+      combineFn: (Column, Column) => Column): DataFrame =
+    withRunningAggs(df, partitionCols, orderCols,
+      Seq(RunningAgg(valueCol, outCol, aggFn, combineFn)), numPartitions)
+
+  /** One running aggregate to compute in a [[withRunningAggs]] pass. */
+  final case class RunningAgg(valueCol: String, outCol: String,
+      aggFn: Column => Column, combineFn: (Column, Column) => Column)
+
+  /** Several running aggregates in ONE chunk decomposition: the range
+    * shuffle, the checkpoint, the local window and the offsets
+    * aggregation are all shared — a running max AND min (q72) costs
+    * one pass, not two. Each agg supplies its own combine; all other
+    * contracts are [[withRunningAgg]]'s. */
+  def withRunningAggs(df: DataFrame, partitionCols: Seq[String],
+      orderCols: Seq[Column], aggs: Seq[RunningAgg],
+      numPartitions: Int = 0): DataFrame = {
+    require(aggs.nonEmpty && aggs.map(_.outCol).distinct.size == aggs.size)
     val n =
       if (numPartitions > 0) numPartitions
       else df.sparkSession.sessionState.conf.numShufflePartitions
@@ -97,20 +113,28 @@ object PrefixSum {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     // per-chunk totals: ≤ n rows per logical partition — the cumulative
     // window below runs over that bounded frame, never the data. The
-    // exclusive prefix of the FIRST chunk is null; combineFn owns
+    // exclusive prefix of the FIRST chunk is null; each combineFn owns
     // treating that as the identity.
-    val offsets = ranged
+    val wOff = Window.partitionBy(part: _*)
+      .orderBy(col("__chunk"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val totals = ranged
       .groupBy(part :+ col("__chunk"): _*)
-      .agg(aggFn(col(valueCol)).as("__ctot"))
-      .withColumn("__off",
-        aggFn(col("__ctot")).over(Window.partitionBy(part: _*)
-          .orderBy(col("__chunk"))
-          .rowsBetween(Window.unboundedPreceding, -1)))
-      .drop("__ctot")
-    ranged
-      .withColumn("__loc", aggFn(col(valueCol)).over(local))
-      .join(broadcast(offsets), partitionCols :+ "__chunk")
-      .withColumn(outCol, combineFn(col("__loc"), col("__off")))
-      .drop("__chunk", "__loc", "__off")
+      .agg(aggs.head.aggFn(col(aggs.head.valueCol)).as(s"__ctot_0"),
+        aggs.tail.zipWithIndex.map { case (a, i) =>
+          a.aggFn(col(a.valueCol)).as(s"__ctot_${i + 1}")
+        }: _*)
+    val offsets = aggs.zipWithIndex.foldLeft(totals) { case (acc, (a, i)) =>
+      acc.withColumn(s"__off_$i", a.aggFn(col(s"__ctot_$i")).over(wOff))
+        .drop(s"__ctot_$i")
+    }
+    val withLocal = aggs.zipWithIndex.foldLeft(ranged) { case (acc, (a, i)) =>
+      acc.withColumn(s"__loc_$i", a.aggFn(col(a.valueCol)).over(local))
+    }
+    val joined = withLocal.join(broadcast(offsets), partitionCols :+ "__chunk")
+    aggs.zipWithIndex.foldLeft(joined) { case (acc, (a, i)) =>
+      acc.withColumn(a.outCol, a.combineFn(col(s"__loc_$i"), col(s"__off_$i")))
+        .drop(s"__loc_$i", s"__off_$i")
+    }.drop("__chunk")
   }
 }

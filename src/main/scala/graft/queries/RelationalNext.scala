@@ -595,13 +595,19 @@ object RelationalNext {
   val q72 = QueryDef(
     "q72_running_extrema",
     (sp, dir) => {
+      import graft.operators.PrefixSum
       val base = Tables(sp, dir, "orders")
         .select(col("o_orderpriority").as("priority"), col("o_orderkey"),
           col("o_totalprice"))
-      val withMax = graft.operators.PrefixSum.withRunningMax(base,
-        Seq("priority"), Seq(col("o_orderkey")), "o_totalprice", "run_max")
-      graft.operators.PrefixSum.withRunningMin(withMax,
-          Seq("priority"), Seq(col("o_orderkey")), "o_totalprice", "run_min")
+      // both extrema in ONE chunk decomposition — shared range
+      // shuffle, checkpoint, local window, and offsets aggregation
+      PrefixSum.withRunningAggs(base,
+          Seq("priority"), Seq(col("o_orderkey")),
+          Seq(
+            PrefixSum.RunningAgg("o_totalprice", "run_max", max,
+              (loc, off) => greatest(loc, off)),
+            PrefixSum.RunningAgg("o_totalprice", "run_min", min,
+              (loc, off) => least(loc, off))))
         .orderBy("priority", "o_orderkey")
     },
     Some("""

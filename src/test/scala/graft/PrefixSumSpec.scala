@@ -70,6 +70,31 @@ class PrefixSumSpec extends SparkSpec {
     assert(gotMin === naive(min))
   }
 
+  test("fused multi-agg pass equals the separate single-agg passes") {
+    val df = (1 to 5000).map(i =>
+      (s"g${i % 3}", i.toLong, (i * 37 % 101).toDouble)).toDF("grp", "id", "v")
+    def key(r: org.apache.spark.sql.Row) = (r.getString(0), r.getLong(1))
+    val fused = PrefixSum.withRunningAggs(df, Seq("grp"), Seq(col("id")),
+        Seq(
+          PrefixSum.RunningAgg("v", "mx", max, (l, o) => greatest(l, o)),
+          PrefixSum.RunningAgg("v", "mn", min, (l, o) => least(l, o)),
+          PrefixSum.RunningAgg("v", "sm", sum,
+            (l, o) => l + coalesce(o, lit(0.0)))),
+        numPartitions = 7)
+      .collect().map(r => key(r) ->
+        (r.getAs[Double]("mx"), r.getAs[Double]("mn"), r.getAs[Double]("sm")))
+      .toMap
+    val mx = PrefixSum.withRunningMax(df, Seq("grp"), Seq(col("id")), "v", "r")
+      .collect().map(r => key(r) -> r.getAs[Double]("r")).toMap
+    val mn = PrefixSum.withRunningMin(df, Seq("grp"), Seq(col("id")), "v", "r")
+      .collect().map(r => key(r) -> r.getAs[Double]("r")).toMap
+    val sm = PrefixSum.withRunningSum(df, Seq("grp"), Seq(col("id")), "v", "r")
+      .collect().map(r => key(r) -> r.getAs[Double]("r")).toMap
+    fused.foreach { case (k, (gmx, gmn, gsm)) =>
+      assert(gmx === mx(k) && gmn === mn(k) && gsm === sm(k), s"at $k")
+    }
+  }
+
   test("no window partition ever spans more than one range chunk") {
     val df = (1 to 1000).map(i => ("x", i.toLong, 1L)).toDF("grp", "id", "v")
     val p = PrefixSum.withRunningSum(df, Seq("grp"), Seq(col("id")),
