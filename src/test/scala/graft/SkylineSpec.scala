@@ -2,6 +2,37 @@ package graft
 
 import graft.operators.Skyline
 
+/** Randomized equivalence: the two-phase frontier must match the
+  * O(n²) dominance definition on arbitrary point sets — including
+  * duplicate coordinates and axis ties — under arbitrary partitioning.
+  */
+object SkylineProperties extends org.scalacheck.Properties("graft.skyline") {
+  import org.scalacheck.{Gen, Prop, Test}
+
+  override def overrideParameters(p: Test.Parameters): Test.Parameters =
+    p.withMinSuccessfulTests(10)
+
+  private lazy val spark = SparkSpec.session
+
+  private val pts: Gen[List[(Double, Double)]] =
+    Gen.chooseNum(1, 120).flatMap(n => Gen.listOfN(n,
+      Gen.zip(Gen.chooseNum(0, 15).map(_.toDouble),
+        Gen.chooseNum(0, 15).map(_.toDouble))))
+
+  property("frontier == brute-force dominance filter") = Prop.forAll(pts) { ps =>
+    import spark.implicits._
+    val rows = ps.zipWithIndex.map { case ((x, y), i) => (i.toLong, x, y) }
+    val got = Skyline.frontier(
+        rows.toDF("id", "x", "y").repartition(5), "id", "x", "y")
+      .collect().map(_.getLong(0)).toSet
+    val want = rows.filter { p =>
+      !rows.exists(q => q._2 <= p._2 && q._3 >= p._3 &&
+        (q._2 < p._2 || q._3 > p._3))
+    }.map(_._1).toSet
+    got == want
+  }
+}
+
 class SkylineSpec extends SparkSpec {
   import spark.implicits._
 
