@@ -228,5 +228,39 @@ object MultimodalQueries {
       FROM packed GROUP BY source, shard
       ORDER BY source, shard"""))
 
-  val defs: Seq[QueryDef] = Seq(m01, m02, m03, m04, m05, m06, m07)
+  /** Bitrot / corruption scan: every payload travels with its SHA-256
+    * content digest; a transport fault (here: a byte appended to every
+    * 17th payload) must be caught by recomputing the digest at the
+    * destination — the periodic integrity pass every content-addressed
+    * blob store runs. The Spark side verifies REAL digests over the
+    * corrupted bytes; the oracle states the ground truth (exactly the
+    * doc_id ≡ 0 mod 17 rows mismatch) — any hash collision, missed
+    * corruption, or false alarm breaks the match. Per-row kernels +
+    * one aggregate: scales as a single scan. */
+  val m08 = QueryDef(
+    "m08_corruption_scan",
+    (sp, dir) => {
+      val base = Multimodal.withPayload(Tables(sp, dir, "documents"), "text")
+        .select(col("doc_id"), col("source"), col("payload"),
+          sha2(col("payload"), 256).as("stored_digest"))
+      val transported = base.withColumn("payload",
+        when(col("doc_id") % 17 === 0,
+          concat(col("payload"), lit("X").cast("binary")))
+          .otherwise(col("payload")))
+      transported
+        .withColumn("ok", sha2(col("payload"), 256) === col("stored_digest"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_payloads"),
+          sum(when(col("ok"), 0L).otherwise(1L)).as("n_corrupt"),
+          min(when(!col("ok"), col("doc_id"))).as("first_corrupt"))
+        .orderBy("source")
+    },
+    Some("""
+      SELECT source, COUNT(*) AS n_payloads,
+        CAST(SUM(CASE WHEN doc_id % 17 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_corrupt,
+        MIN(CASE WHEN doc_id % 17 = 0 THEN doc_id END) AS first_corrupt
+      FROM documents GROUP BY source ORDER BY source"""))
+
+  val defs: Seq[QueryDef] = Seq(m01, m02, m03, m04, m05, m06, m07, m08)
 }

@@ -635,7 +635,64 @@ object PipelineQueries {
           // avail_tokens AS epochs
       FROM b ORDER BY lang"""))
 
+  /** Inter-annotator agreement (Cohen's kappa) — the label-quality
+    * gate for curated training data: two deterministic synthetic
+    * annotators (B disagrees on every fifth doc) produce a 3×3
+    * contingency; observed agreement, chance agreement (from the
+    * marginal products), and kappa = (p_o − p_e)/(1 − p_e) all derive
+    * from EXACT integer counts, with the three double divisions
+    * written identically on both engines. Scalars combine through the
+    * derived-constant-key equi-join (q71's idiom). */
+  val p18 = QueryDef(
+    "p18_label_agreement",
+    (sp, dir) => {
+      val lab = Tables(sp, dir, "documents")
+        .withColumn("a", pmod(col("doc_id") * 7 + length(col("lang")), lit(3L)))
+        .withColumn("b", when(col("doc_id") % 5 === 0,
+          pmod(col("a") + 1, lit(3L))).otherwise(col("a")))
+      val tot = lab.agg(count(lit(1)).as("n"),
+          sum(when(col("a") === col("b"), 1L).otherwise(0L)).as("agree"))
+        .withColumn("__j", pmod(col("n"), lit(1L)))
+      val ra = lab.groupBy(col("a").as("k")).agg(count(lit(1)).as("ra"))
+      val cb = lab.groupBy(col("b").as("k")).agg(count(lit(1)).as("cb"))
+      val pen = ra.join(cb, "k")
+        .agg(sum(col("ra") * col("cb")).as("pe_num"))
+        .withColumn("__j", pmod(col("pe_num"), lit(1L)))
+      tot.join(broadcast(pen), "__j").drop("__j")
+        .withColumn("po",
+          col("agree").cast("double") / col("n").cast("double"))
+        .withColumn("pe", col("pe_num").cast("double") /
+          (col("n").cast("double") * col("n").cast("double")))
+        .withColumn("kappa",
+          (col("po") - col("pe")) / (lit(1.0) - col("pe")))
+        .select("n", "agree", "pe_num", "po", "pe", "kappa")
+    },
+    Some("""
+      WITH lab AS (
+        SELECT doc_id, (doc_id * 7 + length(lang)) % 3 AS a FROM documents),
+      lab2 AS (
+        SELECT doc_id, a,
+          CASE WHEN doc_id % 5 = 0 THEN (a + 1) % 3 ELSE a END AS b
+        FROM lab),
+      tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                CAST(SUM(CASE WHEN a = b THEN 1 ELSE 0 END) AS BIGINT)
+                  AS agree
+              FROM lab2),
+      ra AS (SELECT a AS k, CAST(COUNT(*) AS BIGINT) AS ra
+             FROM lab2 GROUP BY a),
+      cb AS (SELECT b AS k, CAST(COUNT(*) AS BIGINT) AS cb
+             FROM lab2 GROUP BY b),
+      pen AS (SELECT CAST(SUM(ra * cb) AS BIGINT) AS pe_num
+              FROM ra JOIN cb USING (k)),
+      x AS (SELECT n, agree, pe_num,
+              CAST(agree AS DOUBLE) / CAST(n AS DOUBLE) AS po,
+              CAST(pe_num AS DOUBLE) /
+                (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) AS pe
+            FROM tot, pen)
+      SELECT n, agree, pe_num, po, pe, (po - pe) / (1.0 - pe) AS kappa
+      FROM x"""))
+
   val defs: Seq[QueryDef] =
     Seq(p01, p02, p03, p04, p05, p06, p07, p08, p09, p10, p11, p12, p13,
-      p14, p15, p16, p17)
+      p14, p15, p16, p17, p18)
 }

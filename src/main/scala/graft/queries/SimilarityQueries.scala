@@ -384,6 +384,87 @@ object SimilarityQueries {
       SELECT qdoc, cdoc, maxsim, CAST(rnk AS INT) AS rank
       FROM r WHERE rnk <= 3 ORDER BY qdoc, rank"""))
 
+  /** IVF recall evaluation — s06's twin for the OTHER index: per-query
+    * recall@5 of the cluster-routed IVF search (nProbe = 2) against
+    * the exact baseline. Together s06/s10 complete the eval matrix:
+    * every approximate index in the catalog carries its own measured
+    * recall. n_ivf can fall below 5 when the probed clusters hold
+    * fewer than k corpus vectors — surfaced, not padded. */
+  val s10 = QueryDef(
+    "s10_ivf_recall",
+    (sp, dir) => {
+      val embs = Tables(sp, dir, "embeddings")
+      val all = Similarity.prep(embs, "vec_id", "embedding")
+      val labeled = all.join(
+        embs.select(col("vec_id").as("id"), col("label")), "id")
+      val queries = all.filter(col("id") < 10)
+      val corpus = labeled.filter(col("id") >= 10)
+      val exact = Similarity.bruteForceTopK(queries, corpus.drop("label"), 5)
+        .select("q_id", "n_id")
+      val approx = Similarity.ivfTopK(queries, corpus, "label",
+          k = 5, nProbe = 2)
+        .select(col("q_id"), col("n_id"))
+      val hits = exact.join(approx, Seq("q_id", "n_id"), "left_semi")
+        .groupBy("q_id").agg(count(lit(1)).as("n_hits"))
+      val nApprox = approx.groupBy("q_id").agg(count(lit(1)).as("n_ivf"))
+      exact.groupBy("q_id").agg(count(lit(1)).as("n_exact"))
+        .join(nApprox, Seq("q_id"), "left")
+        .join(hits, Seq("q_id"), "left")
+        .select(col("q_id"), col("n_exact"),
+          coalesce(col("n_ivf"), lit(0L)).as("n_ivf"),
+          coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+          (coalesce(col("n_hits"), lit(0L)) / lit(5.0)).as("recall"))
+        .orderBy("q_id")
+    },
+    Some(s"""
+      WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] v FROM embeddings),
+      n AS (SELECT vec_id, label, v, sqrt(${foldDot.format("v", "v")}) nrm FROM e),
+      q AS (SELECT vec_id q_id, v qv, nrm qn FROM n WHERE vec_id < 10),
+      c AS (SELECT vec_id n_id, label cl, v cv, nrm cn FROM n WHERE vec_id >= 10),
+      xs AS (SELECT q_id, n_id, ${foldDot.format("qv", "cv")} / (qn * cn) AS cosine
+             FROM q CROSS JOIN c),
+      xr AS (SELECT q_id, n_id,
+               ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosine DESC, n_id) rnk
+             FROM xs),
+      exact AS (SELECT q_id, n_id FROM xr WHERE rnk <= 5),
+      cx AS (SELECT n_id, cl,
+               unnest(list_transform(cv, (x, i) -> {'pos': i - 1, 'x': x}),
+                 recursive := true)
+             FROM c),
+      cm AS (SELECT cl, pos,
+               list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                 list(x ORDER BY n_id)), (a, b) -> a + b) / COUNT(*) AS m
+             FROM cx GROUP BY cl, pos),
+      cents AS (SELECT cl, list(m ORDER BY pos) AS cv FROM cm GROUP BY cl),
+      cn AS (SELECT cl, cv, sqrt(${foldDot.format("cv", "cv")}) AS cn
+             FROM cents),
+      probe AS (SELECT q_id, qv, qn, cl,
+                  ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY
+                    ${foldDot.format("qv", "cv")} / (qn * cn.cn) DESC, cl)
+                    AS probe_rank
+                FROM q CROSS JOIN cn),
+      routed AS (SELECT q_id, qv, qn, cl FROM probe WHERE probe_rank <= 2),
+      s AS (SELECT q_id, n_id, ${foldDot.format("qv", "cv")} / (qn * cn) AS cosine
+            FROM routed r JOIN c USING (cl)),
+      ar AS (SELECT q_id, n_id,
+               ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosine DESC, n_id) rnk
+             FROM s),
+      approx AS (SELECT q_id, n_id FROM ar WHERE rnk <= 5),
+      hits AS (SELECT q_id, COUNT(*) AS n_hits FROM exact
+               WHERE EXISTS (SELECT 1 FROM approx a
+                             WHERE a.q_id = exact.q_id AND a.n_id = exact.n_id)
+               GROUP BY q_id),
+      napprox AS (SELECT q_id, COUNT(*) AS n_ivf FROM approx GROUP BY q_id)
+      SELECT x.q_id, CAST(COUNT(*) AS BIGINT) AS n_exact,
+        CAST(COALESCE(MIN(napprox.n_ivf), 0) AS BIGINT) AS n_ivf,
+        CAST(COALESCE(MIN(hits.n_hits), 0) AS BIGINT) AS n_hits,
+        CAST(COALESCE(MIN(hits.n_hits), 0) AS DOUBLE) / CAST(5.0 AS DOUBLE)
+          AS recall
+      FROM exact x
+      LEFT JOIN napprox ON napprox.q_id = x.q_id
+      LEFT JOIN hits ON hits.q_id = x.q_id
+      GROUP BY x.q_id ORDER BY x.q_id"""))
+
   val defs: Seq[QueryDef] = Seq(s01, s02, s03, s04, s05, s06, s07, s08,
-    s09)
+    s09, s10)
 }

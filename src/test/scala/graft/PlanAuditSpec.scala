@@ -201,9 +201,11 @@ class PlanAuditSpec extends SparkSpec {
     // s07 is s01's MIPS twin: same declared broadcast-queries baseline.
     // s08 broadcasts a labels-sized PQ codebook to every row (the
     // argmin needs all codewords); s09 broadcasts the 10 query tokens.
+    // s10 evaluates IVF against the exact baseline — both declared
+    // shapes (centroid broadcast + brute-force reference) appear.
     val allow = Set("s01_cosine_topk", "s03_ivf_ann", "s04_knn_classify",
       "s05_radius_search", "s06_recall_report", "s07_mips_topk",
-      "s08_pq_encode", "s09_maxsim")
+      "s08_pq_encode", "s09_maxsim", "s10_ivf_recall")
     val offenders = Catalog.all.filterNot(q => allow(q.name)).flatMap { q =>
       val p = q.build(spark, dir).queryExecution.executedPlan.toString
       if (p.contains("BroadcastNestedLoopJoin") || p.contains("CartesianProduct"))
