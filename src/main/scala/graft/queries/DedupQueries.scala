@@ -717,7 +717,67 @@ object DedupQueries {
                      CAST(common AS DOUBLE) / s2.n) >= 0.5
       ORDER BY d1, d2"""))
 
+  /** Semantic dedup (SemDeDup-shaped): d05's verified embedding-cosine
+    * near-dup pairs become edges, connected components resolve them to
+    * semantic clusters, and every vector maps to its cluster's
+    * canonical representative (min id) — the embedding-space analogue
+    * of the d06 text pipeline, and the modern LLM-corpus dedup recipe
+    * (cluster in embedding space, keep one per cluster). All the scale
+    * shapes are inherited: banded sign-LSH candidates, exact-cosine
+    * verify, min-label propagation with one shuffle per round. */
+  val d16 = QueryDef(
+    "d16_semantic_dedup",
+    (sp, dir) => {
+      val embs = Tables(sp, dir, "embeddings")
+      val pairs = Dedup.embeddingNearDups(embs, "vec_id", "embedding",
+        minCosine = 0.4, dim = 64, bands = 2, planesPerBand = 8)
+      graft.operators.Components.canonicalize(
+          embs, "vec_id", pairs, "id1", "id2")
+        .select(col("doc_id").as("vec_id"), col("canonical_id"),
+          col("is_duplicate"))
+        .orderBy("vec_id")
+    },
+    Some {
+      val foldDot =
+        "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(list_zip(%s, %s), x -> x[1] * x[2])), (a, b) -> a + b)"
+      val bands = 2; val ppb = 8
+      val planes = graft.operators.Similarity.hyperplanes(bands * ppb, 64)
+      def planeLit(p: Seq[Double]): String =
+        p.map(x => if (x > 0) "1.0" else "-1.0").mkString("[", ", ", "]")
+      def bucketExpr(b: Int): String = (0 until ppb).map { r =>
+        s"(CASE WHEN ${foldDot.format("v", s"${planeLit(planes(b * ppb + r))}::DOUBLE[]")} > 0 THEN ${1L << r} ELSE 0 END)"
+      }.mkString("(", " + ", ")")
+      s"""
+      WITH RECURSIVE e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
+      n AS (SELECT vec_id, v,
+              sqrt(${foldDot.format("v", "v")}) nrm,
+              ${bucketExpr(0)} AS b0,
+              ${bucketExpr(1)} AS b1
+            FROM e),
+      k AS (SELECT vec_id AS id, 0 AS band, b0 AS bucket FROM n
+            UNION ALL SELECT vec_id, 1, b1 FROM n),
+      cand AS (SELECT DISTINCT a.id id1, b.id id2
+               FROM k a JOIN k b ON a.band = b.band AND a.bucket = b.bucket
+                AND a.id < b.id),
+      pairs AS (SELECT c.id1 d1, c.id2 d2
+                FROM cand c JOIN n a ON c.id1 = a.vec_id
+                            JOIN n b ON c.id2 = b.vec_id
+                WHERE ${foldDot.format("a.v", "b.v")} / (a.nrm * b.nrm) >= 0.4),
+      edges AS (SELECT d1 a, d2 b FROM pairs UNION SELECT d2, d1 FROM pairs),
+      reach AS (
+        SELECT a, b FROM edges
+        UNION
+        SELECT r.a, e2.b FROM reach r JOIN edges e2 ON r.b = e2.a),
+      comp AS (SELECT a AS id, LEAST(a, MIN(b)) AS comp
+               FROM reach GROUP BY a)
+      SELECT e.vec_id,
+        COALESCE(comp.comp, e.vec_id) AS canonical_id,
+        COALESCE(comp.comp, e.vec_id) <> e.vec_id AS is_duplicate
+      FROM e LEFT JOIN comp ON e.vec_id = comp.id
+      ORDER BY e.vec_id"""
+    })
+
   val defs: Seq[QueryDef] =
     Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13,
-      d14, d15)
+      d14, d15, d16)
 }
