@@ -994,7 +994,96 @@ object IngestQueries {
         MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
       FROM after GROUP BY lang ORDER BY lang"""))
 
+  /** Data-quality gate (expectations-style): a rule set evaluated in
+    * ONE scan — every rule is a conditional count inside the same
+    * aggregate, then the (rule, n_failed) pairs unpivot to the report.
+    * Rules cover the typical contract classes: range, domain,
+    * non-null, and format (regex). At 100 TB a DQ gate that re-scans
+    * per rule is the bug; this shape is one pass however many rules
+    * ride it. */
+  val e23 = QueryDef(
+    "e23_dq_report",
+    (sp, dir) => {
+      val fails = Map(
+        "price_range" -> !(col("o_totalprice") >= 0 &&
+          col("o_totalprice") < 600000),
+        "status_domain" -> !col("o_orderstatus").isin("F", "O", "P"),
+        "date_not_null" -> col("o_orderdate").isNull,
+        "priority_format" ->
+          !col("o_orderpriority").rlike("^[1-5]-[A-Z]+"))
+      val agg = Tables(sp, dir, "orders").agg(
+        count(lit(1)).as("n_checked"),
+        fails.toSeq.sortBy(_._1).map { case (name, cond) =>
+          sum(when(cond, 1L).otherwise(0L)).as(s"__f_$name")
+        }: _*)
+      agg.select(col("n_checked"), explode(array(
+          fails.keys.toSeq.sorted.map(name =>
+            struct(lit(name).as("rule"),
+              col(s"__f_$name").as("n_failed"))): _*)).as("r"))
+        .select(col("r.rule").as("rule"), col("n_checked"),
+          col("r.n_failed").as("n_failed"),
+          ((col("n_checked") - col("r.n_failed")).cast("double") /
+            col("n_checked").cast("double")).as("pass_rate"))
+        .orderBy("rule")
+    },
+    Some("""
+      WITH a AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_checked,
+          CAST(SUM(CASE WHEN NOT (o_totalprice >= 0 AND o_totalprice < 600000)
+            THEN 1 ELSE 0 END) AS BIGINT) AS f_price,
+          CAST(SUM(CASE WHEN o_orderstatus NOT IN ('F', 'O', 'P')
+            THEN 1 ELSE 0 END) AS BIGINT) AS f_status,
+          CAST(SUM(CASE WHEN o_orderdate IS NULL
+            THEN 1 ELSE 0 END) AS BIGINT) AS f_date,
+          CAST(SUM(CASE WHEN NOT regexp_matches(o_orderpriority, '^[1-5]-[A-Z]+')
+            THEN 1 ELSE 0 END) AS BIGINT) AS f_prio
+        FROM orders)
+      SELECT rule, n_checked, n_failed,
+        CAST(n_checked - n_failed AS DOUBLE) / CAST(n_checked AS DOUBLE)
+          AS pass_rate
+      FROM (
+        SELECT 'date_not_null' AS rule, n_checked, f_date AS n_failed FROM a
+        UNION ALL
+        SELECT 'price_range', n_checked, f_price FROM a
+        UNION ALL
+        SELECT 'priority_format', n_checked, f_prio FROM a
+        UNION ALL
+        SELECT 'status_domain', n_checked, f_status FROM a)
+      ORDER BY rule"""))
+
+  /** Incremental rollup maintenance — re-aggregation over mergeable
+    * partial states: the standing aggregate (90% "old" batch) and the
+    * new delta batch each reduce to (key, count, decimal sum) partials,
+    * and the maintained rollup is ONE tiny re-aggregation of the two
+    * partial sets — the delta is scanned once, the old DATA never
+    * again. This is the materialized-view maintenance loop every
+    * warehouse runs; it works precisely because count/decimal-sum are
+    * associative (the same §4 property the shuffle relies on). The
+    * oracle recomputes from scratch — merged-increments must equal
+    * full recompute exactly. */
+  val e24 = QueryDef(
+    "e24_incremental_rollup",
+    (sp, dir) => {
+      val orders = Tables(sp, dir, "orders")
+      def partial(df: org.apache.spark.sql.DataFrame) =
+        df.groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("n_orders"),
+            sum(col("o_totalprice").cast(DecimalType(18, 2))).as("sum_dec"))
+      val standing = partial(orders.filter(col("o_orderkey") % 10 =!= 0))
+      val delta = partial(orders.filter(col("o_orderkey") % 10 === 0))
+      standing.unionByName(delta)
+        .groupBy("o_orderpriority")
+        .agg(sum(col("n_orders")).as("n_orders"),
+          sum(col("sum_dec")).cast(DoubleType).as("sum_price"))
+        .orderBy("o_orderpriority")
+    },
+    Some("""
+      SELECT o_orderpriority, COUNT(*) AS n_orders,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+          AS sum_price
+      FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority"""))
+
   val defs: Seq[QueryDef] =
     Seq(e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11, e12, e13,
-      e14, e15, e16, e17, e18, e19, e20, e21, e22)
+      e14, e15, e16, e17, e18, e19, e20, e21, e22, e23, e24)
 }

@@ -376,5 +376,60 @@ object RelationalPlus {
           AS est_intersection
       FROM ex, sk, shr"""))
 
-  val defs: Seq[QueryDef] = Seq(q74, q75, q76, q77, q78, q79, q80)
+  /** Lag-1 autocorrelation per event type — "does this metric's next
+    * reading depend on its last": consecutive (prev, cur) value pairs
+    * form WITHIN a user's ordered series (the lag window partitions on
+    * the high-cardinality (user, type) key, never the 5-value type),
+    * then one q35-style exact-decimal power-sum aggregate per type
+    * computes Pearson r over all pairs. Floor-to-integer guards on the
+    * product sums (the int128-decimal→double conversion quirk, §4). */
+  val q81 = QueryDef(
+    "q81_autocorr",
+    (sp, dir) => {
+      val w = Window.partitionBy("user_id", "event_type")
+        .orderBy(col("ts"), col("event_id"))
+      val pairs = Tables(sp, dir, "events")
+        .withColumn("prev", lag(col("value"), 1).over(w))
+        .filter(col("prev").isNotNull)
+      val x = col("prev").cast(DecimalType(12, 2))
+      val y = col("value").cast(DecimalType(12, 2))
+      val agg = pairs.groupBy("event_type").agg(
+        count(lit(1)).as("n_pairs"),
+        sum(x).cast(DoubleType).as("sx"),
+        sum(y).cast(DoubleType).as("sy"),
+        floor(sum(x * x)).cast(DoubleType).as("sxx"),
+        floor(sum(y * y)).cast(DoubleType).as("syy"),
+        floor(sum(x * y)).cast(DoubleType).as("sxy"))
+      val n = col("n_pairs").cast(DoubleType)
+      agg.select(col("event_type"), col("n_pairs"),
+          try_divide(col("sxy") * n - col("sx") * col("sy"),
+            sqrt(col("sxx") * n - col("sx") * col("sx")) *
+              sqrt(col("syy") * n - col("sy") * col("sy"))).as("acf1"))
+        .orderBy("event_type")
+    },
+    Some("""
+      WITH p AS (
+        SELECT event_type,
+          LAG(value) OVER (PARTITION BY user_id, event_type
+            ORDER BY ts, event_id) AS prev,
+          value
+        FROM events),
+      f AS (SELECT event_type,
+              CAST(prev AS DECIMAL(12,2)) AS x,
+              CAST(value AS DECIMAL(12,2)) AS y
+            FROM p WHERE prev IS NOT NULL),
+      a AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+              CAST(SUM(x) AS DOUBLE) AS sx,
+              CAST(SUM(y) AS DOUBLE) AS sy,
+              CAST(floor(SUM(x * x)) AS DOUBLE) AS sxx,
+              CAST(floor(SUM(y * y)) AS DOUBLE) AS syy,
+              CAST(floor(SUM(x * y)) AS DOUBLE) AS sxy
+            FROM f GROUP BY event_type)
+      SELECT event_type, n_pairs,
+        (sxy * CAST(n_pairs AS DOUBLE) - sx * sy)
+          / (sqrt(sxx * CAST(n_pairs AS DOUBLE) - sx * sx)
+             * sqrt(syy * CAST(n_pairs AS DOUBLE) - sy * sy)) AS acf1
+      FROM a ORDER BY event_type"""))
+
+  val defs: Seq[QueryDef] = Seq(q74, q75, q76, q77, q78, q79, q80, q81)
 }
