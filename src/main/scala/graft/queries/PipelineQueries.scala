@@ -692,7 +692,57 @@ object PipelineQueries {
       SELECT n, agree, pe_num, po, pe, (po - pe) / (1.0 - pe) AS kappa
       FROM x"""))
 
+  /** Leakage-safe train/val/test split: p11's deterministic hash
+    * split keyed on the near-dup CLUSTER representative (d06's
+    * canonical id) instead of the raw doc id — near-duplicates land in
+    * the SAME split by construction, closing the classic eval-leakage
+    * hole where a test doc's near-copy sits in train. The
+    * `clusters_spanning` column (clusters whose members straddle
+    * splits) is the auditable guarantee: structurally 0 here, and the
+    * oracle recomputes it from its own component chain. */
+  val p19 = QueryDef(
+    "p19_leakage_safe_split",
+    (sp, dir) => {
+      val canon = DedupQueries.canonicalDocs(sp, dir)
+      val bucket = Pipeline.idHash(col("canonical_id")) % lit(1000L)
+      val tagged = canon.withColumn("split",
+        when(bucket < 800, "train").when(bucket < 900, "val")
+          .otherwise("test"))
+      val spanning = tagged.groupBy("canonical_id")
+        .agg(countDistinct(col("split")).as("ns"))
+        .agg(sum(when(col("ns") > 1, 1L).otherwise(0L))
+          .as("clusters_spanning"))
+        .withColumn("__j", pmod(col("clusters_spanning"), lit(1L)))
+      tagged.groupBy("split")
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("canonical_id")).as("n_clusters"))
+        .withColumn("__j", pmod(col("n_docs"), lit(1L)))
+        .join(broadcast(spanning), "__j").drop("__j")
+        .orderBy("split")
+    },
+    Some(s"""
+      WITH RECURSIVE ${DedupQueries.shingleHashSql},
+      ${DedupQueries.componentsSql},
+      canon AS (SELECT d.doc_id, COALESCE(c.comp, d.doc_id) AS canonical
+                FROM documents d LEFT JOIN comp c ON d.doc_id = c.id),
+      tagged AS (SELECT doc_id, canonical,
+          CASE WHEN ((canonical * 1103515245 + 12345) % 2147483647) % 1000 < 800
+                 THEN 'train'
+               WHEN ((canonical * 1103515245 + 12345) % 2147483647) % 1000 < 900
+                 THEN 'val'
+               ELSE 'test' END AS split
+        FROM canon),
+      span AS (SELECT CAST(SUM(CASE WHEN ns > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS clusters_spanning
+               FROM (SELECT canonical, COUNT(DISTINCT split) AS ns
+                     FROM tagged GROUP BY canonical))
+      SELECT split, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        CAST(COUNT(DISTINCT canonical) AS BIGINT) AS n_clusters,
+        clusters_spanning
+      FROM tagged, span GROUP BY split, clusters_spanning
+      ORDER BY split"""))
+
   val defs: Seq[QueryDef] =
     Seq(p01, p02, p03, p04, p05, p06, p07, p08, p09, p10, p11, p12, p13,
-      p14, p15, p16, p17, p18)
+      p14, p15, p16, p17, p18, p19)
 }

@@ -431,5 +431,32 @@ object RelationalPlus {
              * sqrt(syy * CAST(n_pairs AS DOUBLE) - sy * sy)) AS acf1
       FROM a ORDER BY event_type"""))
 
-  val defs: Seq[QueryDef] = Seq(q74, q75, q76, q77, q78, q79, q80, q81)
+  /** ROLLUP with grouping_id — the disambiguation q10 left implicit: a
+    * NULL in a rollup row is ambiguous (real NULL data vs subtotal
+    * marker) until grouping_id says which levels are aggregated. The
+    * bit mask (leftmost grouping column = most significant bit) is
+    * engine-portable, and the oracle's GROUPING(a, b) must agree
+    * bit-for-bit on every total/subtotal/detail row. */
+  val q82 = QueryDef(
+    "q82_grouping_id",
+    (sp, dir) => {
+      import graft.Dsl.moneySum
+      Tables(sp, dir, "orders")
+        .rollup("o_orderpriority", "o_orderstatus")
+        .agg(expr("grouping_id()").cast("long").as("gid"),
+          count(lit(1)).as("n_orders"),
+          moneySum(col("o_totalprice")).as("sum_price"))
+        .orderBy(col("gid"), col("o_orderpriority"), col("o_orderstatus"))
+    },
+    Some("""
+      SELECT o_orderpriority, o_orderstatus,
+        CAST(GROUPING(o_orderpriority, o_orderstatus) AS BIGINT) AS gid,
+        COUNT(*) AS n_orders,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+      FROM orders
+      GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
+      ORDER BY gid, o_orderpriority, o_orderstatus"""))
+
+  val defs: Seq[QueryDef] = Seq(q74, q75, q76, q77, q78, q79, q80, q81,
+    q82)
 }

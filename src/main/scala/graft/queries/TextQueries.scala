@@ -396,6 +396,47 @@ object TextQueries {
           AS INT) AS stripped_len
       FROM h ORDER BY doc_id"""))
 
+  /** Script-mix profile: per language, the corpus share of
+    * non-printable-ASCII BYTES — the cheap writing-system signal that
+    * separates CJK text from Latin-script languages without any
+    * unicode tables. Byte (not codepoint) arithmetic on both engines:
+    * Spark's length() counts UTF-16 units while DuckDB's counts
+    * codepoints, so the portable measure is octet length of the
+    * UTF-8 encoding. Two exact integer sums per group + one double
+    * division. */
+  val t12 = QueryDef(
+    "t12_script_mix",
+    (sp, dir) => {
+      val asciiStripped = regexp_replace(col("text"), "[ -~]", "")
+      Tables(sp, dir, "documents")
+        .select(col("lang"),
+          length(col("text").cast("binary")).cast("long").as("n_bytes"),
+          length(asciiStripped.cast("binary")).cast("long")
+            .as("n_nonascii_bytes"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_bytes")).as("total_bytes"),
+          sum(col("n_nonascii_bytes")).as("nonascii_bytes"))
+        .withColumn("nonascii_share",
+          col("nonascii_bytes").cast("double") /
+            col("total_bytes").cast("double"))
+        .orderBy("lang")
+    },
+    Some("""
+      WITH b AS (
+        SELECT lang,
+          CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+          CAST(octet_length(encode(
+            regexp_replace(text, '[ -~]', '', 'g'))) AS BIGINT)
+            AS n_nonascii_bytes
+        FROM documents)
+      SELECT lang, COUNT(*) AS n_docs,
+        CAST(SUM(n_bytes) AS BIGINT) AS total_bytes,
+        CAST(SUM(n_nonascii_bytes) AS BIGINT) AS nonascii_bytes,
+        CAST(SUM(n_nonascii_bytes) AS DOUBLE) / CAST(SUM(n_bytes) AS DOUBLE)
+          AS nonascii_share
+      FROM b GROUP BY lang ORDER BY lang"""))
+
   val defs: Seq[QueryDef] =
-    Seq(t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11)
+    Seq(t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12)
 }
