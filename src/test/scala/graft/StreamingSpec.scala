@@ -144,4 +144,36 @@ class StreamingSpec extends SparkSpec {
       assert(rows.contains((1L, 2, 3.0)))
     } finally q.stop()
   }
+
+  test("stateful aggregation is backend-agnostic: RocksDB state store matches HDFS-backed") {
+    // production deployments run RocksDB state stores (state off-heap,
+    // bounded by disk not executor memory — the 100 TB posture for
+    // large keyspaces); results must be identical to the default
+    // in-memory/HDFS-backed provider
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val input = MemoryStream[Evt]
+      input.addData(
+        Evt(1L, t("2024-01-01 10:05:00"), "click", 1.0),
+        Evt(1L, t("2024-01-01 10:20:00"), "click", 2.0),
+        Evt(2L, t("2024-01-01 11:05:00"), "view", 3.0))
+      val q = StreamOps.windowedCounts(input.toDF())
+        .writeStream.format("memory").queryName("rocks_out")
+        .outputMode(OutputMode.Update()).start()
+      try {
+        q.processAllAvailable()
+        val rows = spark.sql("SELECT event_type, n_events, sum_value FROM rocks_out")
+          .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+        assert(rows === Set(("click", 2L, 3.0), ("view", 1L, 3.0)))
+      } finally q.stop()
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
 }
