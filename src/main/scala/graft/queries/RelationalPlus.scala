@@ -457,6 +457,93 @@ object RelationalPlus {
       GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
       ORDER BY gid, o_orderpriority, o_orderstatus"""))
 
+  /** Decile lift/gains table — "the top 10% of customers carry X% of
+    * revenue": customers decile by total spend through the
+    * DISTRIBUTED exact ntile (`Pipeline.distributedNtile` — the
+    * global rank never sorts in one task), then per decile the
+    * revenue share and the top-down cumulative share. The cumulative
+    * window runs over the 10-row decile frame only. Shares divide
+    * exact decimal sums as doubles, identically on both engines. */
+  val q83 = QueryDef(
+    "q83_decile_lift",
+    (sp, dir) => {
+      val spend = Tables(sp, dir, "orders")
+        .groupBy("o_custkey")
+        .agg(sum(col("o_totalprice").cast(DecimalType(18, 2))).as("spend"))
+      val tiled = graft.operators.Pipeline.distributedNtile(
+        spend.withColumn("spend_d", col("spend").cast(DoubleType)),
+        n = 10, orderCol = "spend_d", tieCol = "o_custkey")
+      val perDecile = tiled.groupBy(col("ntile").as("decile"))
+        .agg(count(lit(1)).as("n_customers"),
+          sum(col("spend")).as("rev_dec"))
+      val w = Window.partitionBy(pmod(col("n_customers"), lit(1L)))
+        .orderBy(col("decile").desc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val tot = Window.partitionBy(pmod(col("n_customers"), lit(1L)))
+      perDecile
+        .withColumn("revenue", col("rev_dec").cast(DoubleType))
+        .withColumn("share", col("rev_dec").cast(DoubleType) /
+          sum(col("rev_dec")).over(tot).cast(DoubleType))
+        .withColumn("cum_share_from_top",
+          sum(col("rev_dec")).over(w).cast(DoubleType) /
+            sum(col("rev_dec")).over(tot).cast(DoubleType))
+        .select("decile", "n_customers", "revenue", "share",
+          "cum_share_from_top")
+        .orderBy("decile")
+    },
+    Some("""
+      WITH spend AS (
+        SELECT o_custkey, SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS spend
+        FROM orders GROUP BY o_custkey),
+      tiled AS (
+        SELECT o_custkey, spend,
+          NTILE(10) OVER (ORDER BY CAST(spend AS DOUBLE), o_custkey)
+            AS decile
+        FROM spend),
+      d AS (SELECT decile, CAST(COUNT(*) AS BIGINT) AS n_customers,
+              SUM(spend) AS rev_dec
+            FROM tiled GROUP BY decile)
+      SELECT decile, n_customers,
+        CAST(rev_dec AS DOUBLE) AS revenue,
+        CAST(rev_dec AS DOUBLE) / CAST(SUM(rev_dec) OVER () AS DOUBLE)
+          AS share,
+        CAST(SUM(rev_dec) OVER (ORDER BY decile DESC
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+          / CAST(SUM(rev_dec) OVER () AS DOUBLE) AS cum_share_from_top
+      FROM d ORDER BY decile"""))
+
+  /** Top-k WITH TIES — rank() keeps every row tied at the boundary,
+    * so "top 3 order priorities' orders per status" can return MORE
+    * than 3 groups' worth when counts tie: the SQL-standard FETCH
+    * FIRST WITH TIES semantics, distinct from q21's row_number cutoff
+    * (which breaks ties arbitrarily unless the order is total). Tie
+    * groups here are (status, count) collisions — real and data-
+    * dependent, which is exactly what the hash-match certifies. */
+  val q84 = QueryDef(
+    "q84_topk_with_ties",
+    (sp, dir) => {
+      val counts = Tables(sp, dir, "orders")
+        .groupBy("o_orderstatus", "o_orderpriority")
+        .agg(count(lit(1)).as("n_orders"))
+      val w = Window.partitionBy("o_orderstatus")
+        .orderBy(col("n_orders").desc)
+      counts.withColumn("rk", rank().over(w))
+        .filter(col("rk") <= 3)
+        .orderBy("o_orderstatus", "rk", "o_orderpriority")
+    },
+    Some("""
+      WITH c AS (
+        SELECT o_orderstatus, o_orderpriority,
+          CAST(COUNT(*) AS BIGINT) AS n_orders
+        FROM orders GROUP BY o_orderstatus, o_orderpriority),
+      r AS (SELECT o_orderstatus, o_orderpriority, n_orders,
+              CAST(RANK() OVER (PARTITION BY o_orderstatus
+                ORDER BY n_orders DESC) AS INT) AS rk
+            FROM c)
+      SELECT o_orderstatus, o_orderpriority, n_orders, rk
+      FROM r WHERE rk <= 3
+      ORDER BY o_orderstatus, rk, o_orderpriority"""))
+
   val defs: Seq[QueryDef] = Seq(q74, q75, q76, q77, q78, q79, q80, q81,
-    q82)
+    q82, q83, q84)
 }
