@@ -544,6 +544,64 @@ object RelationalPlus {
       FROM r WHERE rk <= 3
       ORDER BY o_orderstatus, rk, o_orderpriority"""))
 
+  /** Interval UNION (coverage) per user — "how much wall-clock was
+    * this user active", counting overlapping activity windows ONCE:
+    * every event opens a 15-minute interval; overlapping/touching
+    * intervals merge into islands (start > running max of prior ends
+    * ⇒ new island), and the measure is Σ island lengths. The running
+    * max and the island-id cumsum both partition on the
+    * high-cardinality user key. Complements q57 (how MANY concurrent)
+    * and q23 (gap sessions): this is the measure-theoretic union
+    * length. All integer millisecond arithmetic. */
+  val q85 = QueryDef(
+    "q85_interval_union",
+    (sp, dir) => {
+      val iv = Tables(sp, dir, "events")
+        .filter(col("user_id") < 300)
+        .select(col("user_id"), col("event_id"),
+          unix_millis(col("ts")).as("s"),
+          (unix_millis(col("ts")) + lit(15L * 60 * 1000)).as("e"))
+      val ord = Window.partitionBy("user_id")
+        .orderBy(col("s"), col("event_id"))
+      val prevMax = max(col("e")).over(ord.rowsBetween(
+        Window.unboundedPreceding, -1))
+      val flagged = iv
+        .withColumn("new_island",
+          when(prevMax.isNull || col("s") > prevMax, 1L).otherwise(0L))
+      val tagged = flagged.withColumn("island",
+        sum(col("new_island")).over(ord.rowsBetween(
+          Window.unboundedPreceding, Window.currentRow)))
+      tagged.groupBy("user_id", "island")
+        .agg(min(col("s")).as("is"), max(col("e")).as("ie"))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_islands"),
+          sum(col("ie") - col("is")).as("covered_ms"))
+        .orderBy("user_id")
+    },
+    Some("""
+      WITH iv AS (
+        SELECT user_id, event_id, epoch_ms(ts) AS s,
+          epoch_ms(ts) + 900000 AS e
+        FROM events WHERE user_id < 300),
+      f AS (
+        SELECT user_id, event_id, s, e,
+          CASE WHEN MAX(e) OVER (PARTITION BY user_id ORDER BY s, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+                 OR s > MAX(e) OVER (PARTITION BY user_id ORDER BY s, event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               THEN 1 ELSE 0 END AS new_island
+        FROM iv),
+      t AS (
+        SELECT user_id, s, e,
+          SUM(new_island) OVER (PARTITION BY user_id ORDER BY s, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+        FROM f),
+      isl AS (SELECT user_id, island, MIN(s) AS i_s, MAX(e) AS i_e
+              FROM t GROUP BY user_id, island)
+      SELECT user_id, COUNT(*) AS n_islands,
+        CAST(SUM(i_e - i_s) AS BIGINT) AS covered_ms
+      FROM isl GROUP BY user_id ORDER BY user_id"""))
+
   val defs: Seq[QueryDef] = Seq(q74, q75, q76, q77, q78, q79, q80, q81,
-    q82, q83, q84)
+    q82, q83, q84, q85)
 }
