@@ -3,6 +3,53 @@ package graft
 import graft.operators.ExactPercentiles
 import org.apache.spark.sql.functions._
 
+/** Randomized equivalence vs the reference linear-interpolation
+  * quantile (percentile()/quantile_cont semantics), over value sets
+  * including negatives and heavy ties, with varying bucket widths —
+  * the cases a fixed-seed spec can miss. */
+object ExactPercentilesProperties
+    extends org.scalacheck.Properties("graft.percentiles") {
+  import org.scalacheck.{Gen, Prop, Test}
+
+  override def overrideParameters(p: Test.Parameters): Test.Parameters =
+    p.withMinSuccessfulTests(10)
+
+  private lazy val spark = SparkSpec.session
+
+  private def refQuantile(vs: Seq[Double], q: Double): Double = {
+    val a = vs.sorted.toIndexedSeq
+    val pos = q * (a.size - 1)
+    val lo = math.floor(pos).toInt
+    val hi = math.ceil(pos).toInt
+    a(lo) + (a(hi) - a(lo)) * (pos - lo)
+  }
+
+  private val values: Gen[List[Double]] =
+    Gen.chooseNum(1, 300).flatMap(n => Gen.listOfN(n,
+      Gen.chooseNum(-40, 40).map(_ / 2.0)))  // ties guaranteed
+
+  private val width: Gen[Double] = Gen.oneOf(0.5, 3.0, 16.0, 1000.0)
+
+  property("bucketed == reference interpolated quantile") =
+    Prop.forAll(values, width) { (vs, w) =>
+      import spark.implicits._
+      val df = vs.zipWithIndex.map { case (v, i) => ("g" + (i % 2), v) }
+        .toDF("g", "v")
+      val got = ExactPercentiles.compute(df, "g", "v",
+          Seq(("25", 0.25), ("50", 0.5), ("90", 0.9)), bucketWidth = w)
+        .collect().map(r => r.getAs[String]("g") ->
+          Seq(r.getAs[Double]("p_25"), r.getAs[Double]("p_50"),
+            r.getAs[Double]("p_90"))).toMap
+      val byG = vs.zipWithIndex.groupMap { case (_, i) => "g" + (i % 2) } {
+        case (v, _) => v }
+      byG.forall { case (g, gvs) =>
+        Seq(0.25, 0.5, 0.9).zip(got(g)).forall { case (q, gotV) =>
+          math.abs(gotV - refQuantile(gvs, q)) < 1e-9
+        }
+      }
+    }
+}
+
 class ExactPercentilesSpec extends SparkSpec {
   import spark.implicits._
 
