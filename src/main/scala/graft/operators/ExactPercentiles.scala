@@ -27,6 +27,45 @@ import org.apache.spark.sql.functions._
   */
 object ExactPercentiles {
 
+  /** Exact LOWER weighted median per group — the smallest value whose
+    * cumulative weight reaches half the group's total — with the same
+    * bounded two-pass shape as [[compute]]: a per-bucket weight
+    * histogram (state ∝ buckets, not rows), the crossing bucket found
+    * on the bounded bucket frame, and only THAT bucket's rows
+    * re-scanned. Entirely integer arithmetic: the crossing test is
+    * `2·cum ≥ W`, never a double threshold, so engines cannot disagree
+    * at the boundary. `weightCol` must be integer-valued and
+    * non-negative. Ties on the value are safe: whichever tied row
+    * crosses, the crossing VALUE is the same, and the answer is
+    * `min(v)` over crossing rows. */
+  def weightedMedian(df: DataFrame, groupCol: String, valueCol: String,
+      weightCol: String, bucketWidth: Double): DataFrame = {
+    require(bucketWidth > 0)
+    val base = df.select(col(groupCol).as("g"),
+      col(valueCol).cast("double").as("v"),
+      col(weightCol).cast("long").as("w"))
+      .withColumn("b", floor(col("v") / bucketWidth).cast("long"))
+    val hist = base.groupBy("g", "b").agg(sum(col("w")).as("wb"))
+      .withColumn("cum_before", coalesce(
+        sum(col("wb")).over(Window.partitionBy("g").orderBy("b")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("tot", sum(col("wb")).over(Window.partitionBy("g")))
+    // monotone crossing: the unique first bucket where 2·cum ≥ W
+    val target = hist
+      .filter(lit(2) * (col("cum_before") + col("wb")) >= col("tot"))
+      .groupBy("g").agg(min(col("b")).as("b"))
+      .join(hist, Seq("g", "b"))
+      .select(col("g"), col("b"), col("cum_before"), col("tot"))
+    val inBucket = base.join(broadcast(target), Seq("g", "b"))
+      .withColumn("cum_in", sum(col("w")).over(
+        Window.partitionBy("g", "b").orderBy(col("v"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    inBucket
+      .filter(lit(2) * (col("cum_before") + col("cum_in")) >= col("tot"))
+      .groupBy("g").agg(min(col("v")).as("wmedian"),
+        min(col("tot")).as("total_weight"))
+  }
+
   /** Per-`groupCol` row: n plus one `p_<label>` column per quantile.
     * `bucketWidth` trades pass-1 state for pass-2 sort size. */
   def compute(df: DataFrame, groupCol: String, valueCol: String,

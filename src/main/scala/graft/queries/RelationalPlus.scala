@@ -602,6 +602,40 @@ object RelationalPlus {
         CAST(SUM(i_e - i_s) AS BIGINT) AS covered_ms
       FROM isl GROUP BY user_id ORDER BY user_id"""))
 
+  /** Exact weighted median — price per returnflag weighted by
+    * quantity ("the price point where half the UNITS sit below") —
+    * via [[graft.operators.ExactPercentiles.weightedMedian]]'s
+    * bounded histogram path: per-bucket weight sums, integer `2·cum ≥
+    * W` crossing test, one target bucket re-scanned. The oracle
+    * states the definition directly with a full cumulative window —
+    * fine for DuckDB at oracle scale, the thing the bucketed form
+    * exists to avoid at 100 TB. */
+  val q86 = QueryDef(
+    "q86_weighted_median",
+    (sp, dir) => {
+      graft.operators.ExactPercentiles.weightedMedian(
+          Tables(sp, dir, "lineitem"), "l_returnflag",
+          "l_extendedprice", "l_quantity", bucketWidth = 1024.0)
+        .select(col("g").as("l_returnflag"), col("wmedian"),
+          col("total_weight"))
+        .orderBy("l_returnflag")
+    },
+    Some("""
+      WITH b AS (
+        SELECT l_returnflag AS g, l_extendedprice AS v,
+          CAST(l_quantity AS BIGINT) AS w
+        FROM lineitem),
+      tot AS (SELECT g, CAST(SUM(w) AS BIGINT) AS total_weight
+              FROM b GROUP BY g),
+      cum AS (SELECT g, v,
+                SUM(w) OVER (PARTITION BY g ORDER BY v
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw
+              FROM b)
+      SELECT c.g AS l_returnflag, MIN(c.v) AS wmedian, t.total_weight
+      FROM cum c JOIN tot t ON c.g = t.g
+      WHERE 2 * c.cw >= t.total_weight
+      GROUP BY c.g, t.total_weight ORDER BY l_returnflag"""))
+
   val defs: Seq[QueryDef] = Seq(q74, q75, q76, q77, q78, q79, q80, q81,
-    q82, q83, q84, q85)
+    q82, q83, q84, q85, q86)
 }

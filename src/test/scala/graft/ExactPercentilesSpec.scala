@@ -77,6 +77,26 @@ class ExactPercentilesSpec extends SparkSpec {
     }
   }
 
+  test("weighted median equals the expanded (weight-replicated) median crossing") {
+    val rnd = new scala.util.Random(11)
+    val rows = (1 to 4000).map { i =>
+      (Seq("a", "b")(rnd.nextInt(2)), rnd.nextDouble() * 300,
+        1L + rnd.nextInt(9).toLong)
+    }
+    val got = ExactPercentiles.weightedMedian(
+        rows.toDF("g", "v", "w"), "g", "v", "w", bucketWidth = 7.0)
+      .collect().map(r => r.getAs[String]("g") -> r.getAs[Double]("wmedian"))
+      .toMap
+    // reference: smallest v whose cumulative weight reaches W/2
+    rows.groupBy(_._1).foreach { case (g, gr) =>
+      val sorted = gr.sortBy(_._2)
+      val total = sorted.map(_._3).sum
+      var cum = 0L
+      val want = sorted.find { r => cum += r._3; 2 * cum >= total }.get._2
+      assert(got(g) === want, s"group $g")
+    }
+  }
+
   test("exact-integer rank positions and tiny groups") {
     // 5 values => p50 position 2.0 exactly (lo == hi), p25 position 1.0
     val df = Seq(("g", 10.0), ("g", 20.0), ("g", 30.0), ("g", 40.0),
