@@ -636,6 +636,94 @@ object RelationalPlus {
       WHERE 2 * c.cw >= t.total_weight
       GROUP BY c.g, t.total_weight ORDER BY l_returnflag"""))
 
+  /** First/last-touch revenue attribution — the marketing-analytics
+    * split q63's funnel doesn't do: each purchase's value divides
+    * 50/50 between the user's FIRST and LAST click in the prior 24 h
+    * (100% when they're the same click), and attributed revenue rolls
+    * up by the click's hour-of-day. The candidate join is an
+    * equi-join on the high-cardinality user key with a time-band
+    * filter; first/last click per purchase are `min/max(struct(ts,
+    * id))` — map-side combinable, no per-purchase sort. The 50%
+    * split stays EXACT: DECIMAL(18,2) × 0.5 is a scale-3 decimal,
+    * no rounding on either engine. */
+  val q87 = QueryDef(
+    "q87_touch_attribution",
+    (sp, dir) => {
+      val ev = Tables(sp, dir, "events")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id").as("p_id"),
+          unix_millis(col("ts")).as("p_ms"),
+          col("value").cast(DecimalType(18, 2)).as("rev"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("event_id").as("c_id"),
+          unix_millis(col("ts")).as("c_ms"),
+          hour(col("ts")).as("c_hour"))
+      val half = lit(new java.math.BigDecimal("0.5"))
+        .cast(DecimalType(2, 1))
+      val attributed = purchases.join(clicks, Seq("user_id"))
+        .filter(col("c_ms") >= col("p_ms") - lit(86400000L) &&
+          col("c_ms") < col("p_ms"))
+        .groupBy("user_id", "p_id", "rev")
+        .agg(min(struct(col("c_ms"), col("c_id"), col("c_hour")))
+            .as("first_c"),
+          max(struct(col("c_ms"), col("c_id"), col("c_hour")))
+            .as("last_c"))
+      val shares = attributed.select(col("rev"),
+          col("first_c.c_hour").as("f_hour"),
+          col("last_c.c_hour").as("l_hour"),
+          (col("first_c.c_id") === col("last_c.c_id")).as("same"))
+      val firstLeg = shares.select(col("f_hour").as("click_hour"),
+        when(col("same"), col("rev").cast(DecimalType(19, 3)))
+          .otherwise((col("rev") * half).cast(DecimalType(19, 3)))
+          .as("attr"))
+      val lastLeg = shares.filter(!col("same"))
+        .select(col("l_hour").as("click_hour"),
+          (col("rev") * half).cast(DecimalType(19, 3)).as("attr"))
+      firstLeg.unionByName(lastLeg)
+        .groupBy("click_hour")
+        .agg(count(lit(1)).as("n_legs"),
+          sum(col("attr")).cast(DoubleType).as("attributed_rev"))
+        .orderBy("click_hour")
+    },
+    Some("""
+      WITH p AS (
+        SELECT user_id, event_id AS p_id, epoch_ms(ts) AS p_ms,
+          CAST(value AS DECIMAL(18,2)) AS rev
+        FROM events WHERE event_type = 'purchase'),
+      c AS (
+        SELECT user_id, event_id AS c_id, epoch_ms(ts) AS c_ms,
+          CAST(EXTRACT(hour FROM ts) AS INT) AS c_hour
+        FROM events WHERE event_type = 'click'),
+      cand AS (
+        SELECT p.user_id, p.p_id, p.rev, c.c_id, c.c_ms, c.c_hour
+        FROM p JOIN c ON p.user_id = c.user_id
+        WHERE c.c_ms >= p.p_ms - 86400000 AND c.c_ms < p.p_ms),
+      attr AS (
+        SELECT user_id, p_id, rev,
+          MIN(struct_pack(c_ms := c_ms, c_id := c_id, c_hour := c_hour))
+            AS first_c,
+          MAX(struct_pack(c_ms := c_ms, c_id := c_id, c_hour := c_hour))
+            AS last_c
+        FROM cand GROUP BY user_id, p_id, rev),
+      shares AS (
+        SELECT rev,
+          first_c['c_hour'] AS f_hour, last_c['c_hour'] AS l_hour,
+          first_c['c_id'] = last_c['c_id'] AS same
+        FROM attr),
+      legs AS (
+        SELECT f_hour AS click_hour,
+          CASE WHEN same THEN CAST(rev AS DECIMAL(19,3))
+               ELSE CAST(rev * CAST(0.5 AS DECIMAL(2,1)) AS DECIMAL(19,3))
+          END AS attr
+        FROM shares
+        UNION ALL
+        SELECT l_hour,
+          CAST(rev * CAST(0.5 AS DECIMAL(2,1)) AS DECIMAL(19,3))
+        FROM shares WHERE NOT same)
+      SELECT click_hour, COUNT(*) AS n_legs,
+        CAST(SUM(attr) AS DOUBLE) AS attributed_rev
+      FROM legs GROUP BY click_hour ORDER BY click_hour"""))
+
   val defs: Seq[QueryDef] = Seq(q74, q75, q76, q77, q78, q79, q80, q81,
-    q82, q83, q84, q85, q86)
+    q82, q83, q84, q85, q86, q87)
 }

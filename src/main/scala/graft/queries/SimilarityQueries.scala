@@ -465,6 +465,53 @@ object SimilarityQueries {
       LEFT JOIN hits ON hits.q_id = x.q_id
       GROUP BY x.q_id ORDER BY x.q_id"""))
 
+  /** Embedding drift monitor: per-label centroid distance between two
+    * corpus halves (odd/even vec_ids) — the MLOps number that says
+    * "this label's embedding distribution moved between snapshots".
+    * Centroids are the fold-deterministic per-position means
+    * (s03's machinery, once per half); the squared distance expands
+    * through the sequential-fold dot kernel as `(a·a − 2·a·b) + b·b`,
+    * bit-identical to the oracle. Both centroid tables are tiny —
+    * the labels×dim state never depends on corpus size. */
+  val s11 = QueryDef(
+    "s11_centroid_drift",
+    (sp, dir) => {
+      val embs = Tables(sp, dir, "embeddings")
+      val all = Similarity.prep(embs, "vec_id", "embedding")
+        .join(embs.select(col("vec_id").as("id"), col("label")), "id")
+      def cents(half: Int) =
+        Similarity.centroids(all.filter(pmod(col("id"), lit(2)) === half),
+            "label")
+          .select(col("cluster"), col("cv").as(s"cv$half"),
+            col("cn").as(s"__n$half"))
+      cents(0).join(cents(1), "cluster")
+        .select(col("cluster").as("label"),
+          (dotFold(col("cv0"), col("cv0"))
+            - lit(2.0) * dotFold(col("cv0"), col("cv1"))
+            + dotFold(col("cv1"), col("cv1"))).as("sq_drift"))
+        .orderBy("label")
+    },
+    Some(s"""
+      WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] v FROM embeddings),
+      cx AS (SELECT vec_id, label, vec_id % 2 AS half,
+               unnest(list_transform(v, (x, i) -> {'pos': i - 1, 'x': x}),
+                 recursive := true)
+             FROM e),
+      cm AS (SELECT label, half, pos,
+               list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                 list(x ORDER BY vec_id)), (a, b) -> a + b) / COUNT(*) AS m
+             FROM cx GROUP BY label, half, pos),
+      cents AS (SELECT label, half, list(m ORDER BY pos) AS cv
+                FROM cm GROUP BY label, half),
+      c0 AS (SELECT label, cv AS cv0 FROM cents WHERE half = 0),
+      c1 AS (SELECT label, cv AS cv1 FROM cents WHERE half = 1)
+      SELECT c0.label,
+        ${foldDot.format("cv0", "cv0")}
+          - 2.0 * ${foldDot.format("cv0", "cv1")}
+          + ${foldDot.format("cv1", "cv1")} AS sq_drift
+      FROM c0 JOIN c1 ON c0.label = c1.label
+      ORDER BY c0.label"""))
+
   val defs: Seq[QueryDef] = Seq(s01, s02, s03, s04, s05, s06, s07, s08,
-    s09, s10)
+    s09, s10, s11)
 }
