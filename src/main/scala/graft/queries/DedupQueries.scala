@@ -777,7 +777,51 @@ object DedupQueries {
       ORDER BY e.vec_id"""
     })
 
+  /** Top boilerplate templates — d13 told each doc how much of it is
+    * duplicated blocks; this names the BLOCKS: the 16-word spans
+    * shared by the most documents, with their total occurrence count
+    * and an example doc — the report a pipeline owner reads before
+    * writing a template-strip rule. Grouped on the block text
+    * directly (a 20-row report; d13 owns the 8-byte hash-keyed path
+    * for the corpus-wide pass), top-20 by a total order. */
+  val d17 = QueryDef(
+    "d17_top_templates",
+    (sp, dir) => {
+      val docs = Tables(sp, dir, "documents")
+      val toks = graft.functions.TextFunctions.tokens(col("text"))
+      val nb = (size(toks) - size(toks) % 16) / 16
+      val idxs = when(nb >= 1, sequence(lit(0), nb.cast("int") - 1))
+        .otherwise(array().cast("array<int>"))
+      docs.select(col("doc_id"), toks.as("w"), explode(idxs).as("i"))
+        .select(col("doc_id"),
+          concat_ws(" ", slice(col("w"), col("i") * 16 + 1, lit(16)))
+            .as("btext"))
+        .groupBy("btext")
+        .agg(countDistinct(col("doc_id")).as("n_docs"),
+          count(lit(1)).as("n_occurrences"),
+          min(col("doc_id")).as("example_doc"))
+        .filter(col("n_docs") >= 2)
+        .orderBy(col("n_docs").desc, col("n_occurrences").desc,
+          col("btext"))
+        .limit(20)
+    },
+    Some("""
+      WITH toks AS (SELECT doc_id, string_split(text, ' ') w FROM documents),
+      blocks AS (SELECT doc_id,
+          array_to_string(list_slice(w, i * 16 + 1, i * 16 + 16), ' ')
+            AS btext
+        FROM toks, unnest(generate_series(0, CAST(len(w) // 16 AS INT) - 1))
+          AS u(i)),
+      t AS (SELECT btext,
+              CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+              CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+              MIN(doc_id) AS example_doc
+            FROM blocks GROUP BY btext)
+      SELECT btext, n_docs, n_occurrences, example_doc
+      FROM t WHERE n_docs >= 2
+      ORDER BY n_docs DESC, n_occurrences DESC, btext LIMIT 20"""))
+
   val defs: Seq[QueryDef] =
     Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13,
-      d14, d15, d16)
+      d14, d15, d16, d17)
 }

@@ -724,6 +724,53 @@ object RelationalPlus {
         CAST(SUM(attr) AS DOUBLE) AS attributed_rev
       FROM legs GROUP BY click_hour ORDER BY click_hour"""))
 
+  /** IQR outlier fences per event type — the Tukey box-plot gate:
+    * p25/p75 from [[graft.operators.ExactPercentiles]] (bounded
+    * two-pass state), fences at ±1.5·IQR, then one more scan counts
+    * the rows outside. The quartiles cross the engine boundary under
+    * the round(4) guard (q76's discipline), so the fence doubles are
+    * bit-identical inputs to the comparison on both engines. */
+  val q88 = QueryDef(
+    "q88_iqr_outliers",
+    (sp, dir) => {
+      val ev = Tables(sp, dir, "events")
+      val fences = graft.operators.ExactPercentiles.compute(
+          ev, "event_type", "value", Seq(("25", 0.25), ("75", 0.75)),
+          bucketWidth = 16.0)
+        .select(col("g").as("event_type"),
+          round(col("p_25"), 4).as("p25"), round(col("p_75"), 4).as("p75"))
+        .withColumn("lo", col("p25") - lit(1.5) * (col("p75") - col("p25")))
+        .withColumn("hi", col("p75") + lit(1.5) * (col("p75") - col("p25")))
+      ev.join(broadcast(fences), "event_type")
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_events"),
+          min(col("p25")).as("p25"), min(col("p75")).as("p75"),
+          sum(when(col("value") < col("lo") || col("value") > col("hi"),
+            1L).otherwise(0L)).as("n_outliers"))
+        .withColumn("outlier_share",
+          col("n_outliers").cast(DoubleType) / col("n_events").cast(DoubleType))
+        .orderBy("event_type")
+    },
+    Some("""
+      WITH f AS (
+        SELECT event_type,
+          ROUND(quantile_cont(value, 0.25), 4) AS p25,
+          ROUND(quantile_cont(value, 0.75), 4) AS p75
+        FROM events GROUP BY event_type),
+      g AS (SELECT event_type, p25, p75,
+              p25 - 1.5 * (p75 - p25) AS lo,
+              p75 + 1.5 * (p75 - p25) AS hi
+            FROM f)
+      SELECT e.event_type, COUNT(*) AS n_events,
+        MIN(g.p25) AS p25, MIN(g.p75) AS p75,
+        CAST(SUM(CASE WHEN e.value < g.lo OR e.value > g.hi
+          THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+        CAST(SUM(CASE WHEN e.value < g.lo OR e.value > g.hi
+          THEN 1 ELSE 0 END) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+          AS outlier_share
+      FROM events e JOIN g ON e.event_type = g.event_type
+      GROUP BY e.event_type ORDER BY e.event_type"""))
+
   val defs: Seq[QueryDef] = Seq(q74, q75, q76, q77, q78, q79, q80, q81,
-    q82, q83, q84, q85, q86, q87)
+    q82, q83, q84, q85, q86, q87, q88)
 }
