@@ -137,6 +137,25 @@ object IngestQueries {
 
   private val streamRuns = new java.util.concurrent.atomic.AtomicInteger()
 
+  /** Idempotent bucketed-table build (e07/e25 share these fixtures).
+    * The in-memory catalog forgets tables between JVMs but their
+    * warehouse directories persist; saveAsTable refuses to reuse an
+    * orphaned location, so clear it before the (re)write. */
+  private def ensureBucketed(sp: org.apache.spark.sql.SparkSession,
+      table: String, df: => org.apache.spark.sql.DataFrame,
+      key: String): Unit = if (!sp.catalog.tableExists(table)) {
+    val loc = new java.io.File(
+      new java.net.URI(sp.conf.get("spark.sql.warehouse.dir")).getPath,
+      table)
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm)
+      f.delete()
+    }
+    if (loc.exists()) rm(loc)
+    BucketedWriter.writeBucketed(df, table, key, nBuckets = 8,
+      sortCol = Some(key))
+  }
+
   /** Run `body` (which starts and drains a streaming query) with a
     * reduced shuffle-partition count, restoring the session value
     * after. Every micro-batch opens/commits one state store PER
@@ -259,24 +278,8 @@ object IngestQueries {
       val fp = IngestFixtures.fingerprint(s"$dir/orders.parquet")
       val ot = s"graft_e07_orders_$fp"
       val ct = s"graft_e07_cust_$fp"
-      // The in-memory catalog forgets tables between JVMs but their
-      // warehouse directories persist; saveAsTable refuses to reuse an
-      // orphaned location, so clear it before the (re)write.
-      def ensure(table: String, df: => org.apache.spark.sql.DataFrame,
-          key: String): Unit = if (!sp.catalog.tableExists(table)) {
-        val loc = new java.io.File(
-          new java.net.URI(sp.conf.get("spark.sql.warehouse.dir")).getPath,
-          table)
-        def rm(f: java.io.File): Unit = {
-          if (f.isDirectory) f.listFiles().foreach(rm)
-          f.delete()
-        }
-        if (loc.exists()) rm(loc)
-        BucketedWriter.writeBucketed(df, table, key, nBuckets = 8,
-          sortCol = Some(key))
-      }
-      ensure(ot, Tables(sp, dir, "orders"), "o_custkey")
-      ensure(ct, Tables(sp, dir, "customer"), "c_custkey")
+      ensureBucketed(sp, ot, Tables(sp, dir, "orders"), "o_custkey")
+      ensureBucketed(sp, ct, Tables(sp, dir, "customer"), "c_custkey")
       val o = BucketedWriter.readTable(sp, ot)
       val c = BucketedWriter.readTable(sp, ct)
       o.join(c.hint("merge"), o("o_custkey") === c("c_custkey"))
@@ -1083,7 +1086,40 @@ object IngestQueries {
           AS sum_price
       FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority"""))
 
+  /** Bucket-PRUNED point scan — the read-side payoff of e07's layout
+    * beyond exchange elision: an equality filter on the bucket column
+    * lets the scan open 1 of 8 buckets (`SelectedBucketsCount`,
+    * asserted in PlanAuditSpec) — at 100 TB, a point lookup touches
+    * 1/N of the files before row-group stats even apply. The oracle
+    * filters the original table, so pruning must also be
+    * value-lossless. */
+  val e25 = QueryDef(
+    "e25_bucket_pruned_scan",
+    (sp, dir) => {
+      import graft.Dsl.moneySum
+      val fp = IngestFixtures.fingerprint(s"$dir/orders.parquet")
+      val ot = s"graft_e07_orders_$fp"
+      ensureBucketed(sp, ot, Tables(sp, dir, "orders"), "o_custkey")
+      // grouping on the bucket column keeps the bucketed scan alive
+      // (DisableUnnecessaryBucketedScan would otherwise drop it, and
+      // bucket pruning with it) AND elides the aggregate's exchange
+      BucketedWriter.readTable(sp, ot)
+        .filter(col("o_custkey") === 42L)
+        .groupBy("o_custkey", "o_orderstatus")
+        .agg(count(lit(1)).as("n_orders"),
+          moneySum(col("o_totalprice")).as("sum_price"),
+          min(col("o_orderkey")).as("min_key"),
+          max(col("o_orderkey")).as("max_key"))
+        .orderBy("o_orderstatus")
+    },
+    Some("""
+      SELECT o_custkey, o_orderstatus, COUNT(*) AS n_orders,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+        MIN(o_orderkey) AS min_key, MAX(o_orderkey) AS max_key
+      FROM orders WHERE o_custkey = 42
+      GROUP BY o_custkey, o_orderstatus ORDER BY o_orderstatus"""))
+
   val defs: Seq[QueryDef] =
     Seq(e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11, e12, e13,
-      e14, e15, e16, e17, e18, e19, e20, e21, e22, e23, e24)
+      e14, e15, e16, e17, e18, e19, e20, e21, e22, e23, e24, e25)
 }

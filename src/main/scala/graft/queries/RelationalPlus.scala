@@ -771,6 +771,52 @@ object RelationalPlus {
       FROM events e JOIN g ON e.event_type = g.event_type
       GROUP BY e.event_type ORDER BY e.event_type"""))
 
+  /** CUSUM drift statistic per user — the classic upward
+    * change-detector S_t = max(0, S_{t−1} + (x_t − target)), target =
+    * the user's own mean. The recurrence is NOT associative (the
+    * clamp), so no window/prefix decomposition exists — it rides
+    * q54's bit-reproducible ordered-fold idiom instead: collect the
+    * user's (bounded) series, sort, fold left. The mean crosses into
+    * the fold under a round(4) guard so both engines fold identical
+    * doubles. Group state is one user's events — the per-key-bounded
+    * collect the EWMA entry already established. */
+  val q89 = QueryDef(
+    "q89_cusum_drift",
+    (sp, dir) => {
+      val base = Tables(sp, dir, "events").filter(col("user_id") < 200)
+      val means = base.groupBy("user_id")
+        .agg((sum(col("value").cast(DecimalType(18, 2))).cast(DoubleType) /
+          count(lit(1)).cast(DoubleType)).as("mu_raw"))
+        .select(col("user_id"), round(col("mu_raw"), 4).as("mu"))
+      base.join(broadcast(means), "user_id")
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_events"), min(col("mu")).as("mean_value"),
+          aggregate(
+            transform(
+              array_sort(collect_list(struct(col("ts"), col("event_id"),
+                col("value"), col("mu")))),
+              s => struct(s.getField("value").as("v"),
+                s.getField("mu").as("m"))),
+            lit(0.0),
+            (acc, x) => greatest(lit(0.0),
+              acc + (x.getField("v") - x.getField("m")))).as("cusum_end"))
+        .orderBy("user_id")
+    },
+    Some("""
+      WITH mu AS (
+        SELECT user_id,
+          ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+            / CAST(COUNT(*) AS DOUBLE), 4) AS mu
+        FROM events WHERE user_id < 200 GROUP BY user_id)
+      SELECT e.user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+        MIN(m.mu) AS mean_value,
+        list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+          list(value - m.mu ORDER BY ts, event_id)),
+          (a, b) -> greatest(CAST(0.0 AS DOUBLE), a + b)) AS cusum_end
+      FROM events e JOIN mu m ON e.user_id = m.user_id
+      WHERE e.user_id < 200
+      GROUP BY e.user_id ORDER BY e.user_id"""))
+
   val defs: Seq[QueryDef] = Seq(q74, q75, q76, q77, q78, q79, q80, q81,
-    q82, q83, q84, q85, q86, q87, q88)
+    q82, q83, q84, q85, q86, q87, q88, q89)
 }

@@ -170,6 +170,12 @@ class PlanAuditSpec extends SparkSpec {
       s"d05 must not plan an all-pairs join:\n${p.take(2000)}")
   }
 
+  test("e25 point filter on the bucket column prunes to one bucket") {
+    val p = plan("e25_bucket_pruned_scan")
+    assert(p.contains("SelectedBucketsCount: 1 out of 8"),
+      s"expected bucket pruning on the o_custkey equality:\n${p.take(3000)}")
+  }
+
   test("q78 top-10 skew keys compile to TakeOrderedAndProject, not a global sort") {
     val p = plan("q78_join_skew")
     assert(p.contains("TakeOrderedAndProject"),
