@@ -742,7 +742,60 @@ object PipelineQueries {
       FROM tagged, span GROUP BY split, clusters_spanning
       ORDER BY split"""))
 
+  /** Corpus balance chi-square — "how far is the source mix from
+    * uniform": per-source observed token counts against the uniform
+    * expectation, each source's (obs − exp)²/exp contribution, and
+    * the total χ² statistic every row carries (the one number a
+    * rebalancing job alarms on). Counts are exact integers; exp and
+    * the contributions are doubles computed by the identical formula
+    * on both engines. Windows run over one row per source. */
+  val p20 = QueryDef(
+    "p20_balance_chi2",
+    (sp, dir) => {
+      val everything = Window.partitionBy(pmod(col("n_tokens"), lit(1L)))
+      val counts = Tables(sp, dir, "documents")
+        .select(col("source"),
+          size(split(col("text"), " ")).cast("long").as("toks"))
+        .groupBy("source").agg(sum(col("toks")).as("n_tokens"))
+      counts
+        .withColumn("total", sum(col("n_tokens")).over(everything))
+        .withColumn("n_sources", count(lit(1)).over(everything))
+        .withColumn("expected", col("total").cast("double") /
+          col("n_sources").cast("double"))
+        .withColumn("contribution",
+          (col("n_tokens").cast("double") - col("expected")) *
+            (col("n_tokens").cast("double") - col("expected")) /
+            col("expected"))
+        // Σ of doubles is order-sensitive; round(6)→DECIMAL makes the
+        // window sum associative (§4), then surfaces as double
+        .withColumn("chi2", sum(round(col("contribution"), 6)
+          .cast(org.apache.spark.sql.types.DecimalType(18, 6)))
+          .over(everything).cast("double"))
+        .select("source", "n_tokens", "expected", "contribution", "chi2")
+        .orderBy("source")
+    },
+    Some("""
+      WITH c AS (
+        SELECT source,
+          CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+        FROM documents GROUP BY source),
+      t AS (
+        SELECT source, n_tokens,
+          CAST(SUM(n_tokens) OVER () AS DOUBLE)
+            / CAST(COUNT(*) OVER () AS DOUBLE) AS expected
+        FROM c),
+      x AS (
+        SELECT source, n_tokens, expected,
+          (CAST(n_tokens AS DOUBLE) - expected) *
+            (CAST(n_tokens AS DOUBLE) - expected) / expected
+            AS contribution
+        FROM t)
+      SELECT source, n_tokens, expected, contribution,
+        CAST(SUM(CAST(ROUND(contribution, 6) AS DECIMAL(18,6))) OVER ()
+          AS DOUBLE) AS chi2
+      FROM x ORDER BY source"""))
+
   val defs: Seq[QueryDef] =
     Seq(p01, p02, p03, p04, p05, p06, p07, p08, p09, p10, p11, p12, p13,
-      p14, p15, p16, p17, p18, p19)
+      p14, p15, p16, p17, p18, p19, p20)
 }

@@ -512,6 +512,129 @@ object SimilarityQueries {
       FROM c0 JOIN c1 ON c0.label = c1.label
       ORDER BY c0.label"""))
 
+  /** PQ asymmetric-distance (ADC) search + recall — the payoff of
+    * s08's codes: each query scores the COMPRESSED corpus by summing
+    * per-subspace distances to the two codewords (a 10×|codebook|
+    * lookup table per subspace, broadcast), never touching corpus
+    * vectors; recall@5 is measured against the exact L2 top-5. This
+    * closes the PQ loop (encode s08 → search → eval) the way s02/s06
+    * and s03/s10 close LSH and IVF. At scale the scored relation is
+    * (corpus codes ⋈ broadcast lookup) — bytes per vector, not
+    * floats. */
+  val s12 = QueryDef(
+    "s12_pq_adc_search",
+    (sp, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val embs = Tables(sp, dir, "embeddings")
+      val all = Similarity.prep(embs, "vec_id", "embedding")
+      val labeled = all.join(
+        embs.select(col("vec_id").as("id"), col("label")), "id")
+      val queries = all.filter(col("id") < 10)
+      val corpus = all.filter(col("id") >= 10)
+      val corpusL = labeled.filter(col("id") >= 10)
+      val codes = Similarity.pqEncode(corpus, corpusL, m = 2, dim = 64)
+        .select(col("id").as("n_id"), col("code0"), col("code1"))
+      val cents = Similarity.centroids(corpusL, "label")
+        .select(col("cluster"), col("cv"))
+      def qdist(s: Int) = {
+        val lo = s * 32 + 1
+        val qS = slice(col("v"), lo, 32)
+        val cS = slice(col("cv"), lo, 32)
+        queries.select(col("id").as("q_id"), col("v"))
+          .join(broadcast(cents))
+          .select(col("q_id"), col("cluster").as(s"code$s"),
+            (dotFold(qS, qS) - lit(2.0) * dotFold(qS, cS) +
+              dotFold(cS, cS)).as(s"qd$s"))
+      }
+      val approx = codes
+        .join(broadcast(qdist(0)), Seq("code0"))
+        .join(broadcast(qdist(1)), Seq("q_id", "code1"))
+        .select(col("q_id"), col("n_id"), (col("qd0") + col("qd1")).as("ad"))
+      val wA = Window.partitionBy("q_id").orderBy(col("ad").asc, col("n_id"))
+      val approxTop = approx.withColumn("rk", row_number().over(wA))
+        .filter(col("rk") <= 5).select("q_id", "n_id")
+      val ex = broadcast(queries.select(col("id").as("q_id"), col("v").as("qv")))
+        .join(corpus.select(col("id").as("n_id"), col("v").as("cv")))
+        .select(col("q_id"), col("n_id"),
+          (dotFold(col("qv"), col("qv"))
+            - lit(2.0) * dotFold(col("qv"), col("cv"))
+            + dotFold(col("cv"), col("cv"))).as("d2"))
+      val wE = Window.partitionBy("q_id").orderBy(col("d2").asc, col("n_id"))
+      val exactTop = ex.withColumn("rk", row_number().over(wE))
+        .filter(col("rk") <= 5).select("q_id", "n_id")
+      val hits = exactTop.join(approxTop, Seq("q_id", "n_id"), "left_semi")
+        .groupBy("q_id").agg(count(lit(1)).as("n_hits"))
+      exactTop.groupBy("q_id").agg(count(lit(1)).as("n_exact"))
+        .join(hits, Seq("q_id"), "left")
+        .select(col("q_id"), col("n_exact"),
+          coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+          (coalesce(col("n_hits"), lit(0L)) / lit(5.0)).as("recall"))
+        .orderBy("q_id")
+    },
+    Some(s"""
+      WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] v FROM embeddings),
+      q AS (SELECT vec_id q_id, v FROM e WHERE vec_id < 10),
+      c AS (SELECT vec_id n_id, label, v FROM e WHERE vec_id >= 10),
+      cx AS (SELECT n_id, label,
+               unnest(list_transform(v, (x, i) -> {'pos': i - 1, 'x': x}),
+                 recursive := true)
+             FROM c),
+      cm AS (SELECT label AS cl, pos,
+               list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                 list(x ORDER BY n_id)), (a, b) -> a + b) / COUNT(*) AS m
+             FROM cx GROUP BY cl, pos),
+      cents AS (SELECT cl, list(m ORDER BY pos) AS cv FROM cm GROUP BY cl),
+      cpairs AS (SELECT n_id, cl,
+          ${foldDot.format("list_slice(v, 1, 32)", "list_slice(v, 1, 32)")}
+            - 2.0 * ${foldDot.format("list_slice(v, 1, 32)", "list_slice(cv, 1, 32)")}
+            + ${foldDot.format("list_slice(cv, 1, 32)", "list_slice(cv, 1, 32)")} AS d0,
+          ${foldDot.format("list_slice(v, 33, 64)", "list_slice(v, 33, 64)")}
+            - 2.0 * ${foldDot.format("list_slice(v, 33, 64)", "list_slice(cv, 33, 64)")}
+            + ${foldDot.format("list_slice(cv, 33, 64)", "list_slice(cv, 33, 64)")} AS d1
+        FROM c CROSS JOIN cents),
+      b0 AS (SELECT n_id, cl AS code0 FROM (
+               SELECT n_id, cl, ROW_NUMBER() OVER (PARTITION BY n_id
+                 ORDER BY d0, cl) rn FROM cpairs) WHERE rn = 1),
+      b1 AS (SELECT n_id, cl AS code1 FROM (
+               SELECT n_id, cl, ROW_NUMBER() OVER (PARTITION BY n_id
+                 ORDER BY d1, cl) rn FROM cpairs) WHERE rn = 1),
+      codes AS (SELECT b0.n_id, code0, code1 FROM b0 JOIN b1 USING (n_id)),
+      qd0 AS (SELECT q_id, cl AS code0,
+          ${foldDot.format("list_slice(v, 1, 32)", "list_slice(v, 1, 32)")}
+            - 2.0 * ${foldDot.format("list_slice(v, 1, 32)", "list_slice(cv, 1, 32)")}
+            + ${foldDot.format("list_slice(cv, 1, 32)", "list_slice(cv, 1, 32)")} AS qd0
+        FROM q CROSS JOIN cents),
+      qd1 AS (SELECT q_id, cl AS code1,
+          ${foldDot.format("list_slice(v, 33, 64)", "list_slice(v, 33, 64)")}
+            - 2.0 * ${foldDot.format("list_slice(v, 33, 64)", "list_slice(cv, 33, 64)")}
+            + ${foldDot.format("list_slice(cv, 33, 64)", "list_slice(cv, 33, 64)")} AS qd1
+        FROM q CROSS JOIN cents),
+      approx AS (SELECT qd0.q_id, codes.n_id, qd0.qd0 + qd1.qd1 AS ad
+                 FROM codes JOIN qd0 USING (code0)
+                            JOIN qd1 ON qd1.q_id = qd0.q_id
+                                    AND qd1.code1 = codes.code1),
+      atop AS (SELECT q_id, n_id FROM (
+                 SELECT q_id, n_id, ROW_NUMBER() OVER (PARTITION BY q_id
+                   ORDER BY ad, n_id) rk FROM approx) WHERE rk <= 5),
+      ex AS (SELECT q_id, n_id,
+               ${foldDot.format("q.v", "q.v")}
+                 - 2.0 * ${foldDot.format("q.v", "c.v")}
+                 + ${foldDot.format("c.v", "c.v")} AS d2x
+             FROM q CROSS JOIN c),
+      etop AS (SELECT q_id, n_id FROM (
+                 SELECT q_id, n_id, ROW_NUMBER() OVER (PARTITION BY q_id
+                   ORDER BY d2x, n_id) rk FROM ex) WHERE rk <= 5),
+      hits AS (SELECT q_id, COUNT(*) AS n_hits FROM etop
+               WHERE EXISTS (SELECT 1 FROM atop a
+                             WHERE a.q_id = etop.q_id AND a.n_id = etop.n_id)
+               GROUP BY q_id)
+      SELECT e2.q_id, CAST(COUNT(*) AS BIGINT) AS n_exact,
+        CAST(COALESCE(MIN(hits.n_hits), 0) AS BIGINT) AS n_hits,
+        CAST(COALESCE(MIN(hits.n_hits), 0) AS DOUBLE) / CAST(5.0 AS DOUBLE)
+          AS recall
+      FROM etop e2 LEFT JOIN hits ON hits.q_id = e2.q_id
+      GROUP BY e2.q_id ORDER BY e2.q_id"""))
+
   val defs: Seq[QueryDef] = Seq(s01, s02, s03, s04, s05, s06, s07, s08,
-    s09, s10, s11)
+    s09, s10, s11, s12)
 }

@@ -209,9 +209,12 @@ class PlanAuditSpec extends SparkSpec {
     // argmin needs all codewords); s09 broadcasts the 10 query tokens.
     // s10 evaluates IVF against the exact baseline — both declared
     // shapes (centroid broadcast + brute-force reference) appear.
+    // s12 scores via broadcast codeword lookups and evaluates against
+    // the declared brute-force baseline — both shapes are bounded.
     val allow = Set("s01_cosine_topk", "s03_ivf_ann", "s04_knn_classify",
       "s05_radius_search", "s06_recall_report", "s07_mips_topk",
-      "s08_pq_encode", "s09_maxsim", "s10_ivf_recall")
+      "s08_pq_encode", "s09_maxsim", "s10_ivf_recall",
+      "s12_pq_adc_search")
     val offenders = Catalog.all.filterNot(q => allow(q.name)).flatMap { q =>
       val p = q.build(spark, dir).queryExecution.executedPlan.toString
       if (p.contains("BroadcastNestedLoopJoin") || p.contains("CartesianProduct"))
