@@ -1119,7 +1119,61 @@ object IngestQueries {
       FROM orders WHERE o_custkey = 42
       GROUP BY o_custkey, o_orderstatus ORDER BY o_orderstatus"""))
 
+  /** CSV dialect torture round trip — e01 proved clean text survives;
+    * this proves the QUOTING machinery does: every row gains embedded
+    * delimiters, double quotes, backslashes, and a literal newline,
+    * then rides writer→reader (quoted fields, multiLine). The checked
+    * aggregates (byte lengths, per-class occurrence counts via the
+    * length-difference identity) break if any character class is
+    * mangled — the classic silent CSV corruptions (row splits on
+    * embedded newlines, quote doubling drift) all surface here. */
+  val e26 = QueryDef(
+    "e26_csv_torture",
+    (sp, dir) => {
+      val torture = concat(lit("pre\"fix,"), expr("chr(10)"),
+        substring(col("text"), 1, 40), lit("\\tail\",done"))
+      val df = Tables(sp, dir, "documents")
+        .select(col("doc_id"), col("lang"), torture.as("payload"))
+      val schema = StructType(Seq(
+        StructField("doc_id", LongType),
+        StructField("lang", StringType),
+        StructField("payload", StringType)))
+      val path = IngestFixtures.materialize(
+        s"e26_torture_${IngestFixtures.fingerprint(s"$dir/documents.parquet")}",
+        "csv", df)
+      def occurrences(what: String) =
+        ((length(col("payload")) -
+          length(replace(col("payload"), lit(what), lit("")))) /
+          what.length).cast("long")
+      Sinks.readCsv(sp, path, schema)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_rows"),
+          sum(length(col("payload"))).as("sum_len"),
+          sum(occurrences("\"")).as("n_quotes"),
+          sum(occurrences(",")).as("n_commas"),
+          sum(occurrences("\n")).as("n_newlines"),
+          sum(occurrences("\\")).as("n_backslashes"))
+        .orderBy("lang")
+    },
+    Some("""
+      WITH t AS (
+        SELECT doc_id, lang,
+          'pre"fix,' || chr(10) || substring(text, 1, 40) || '\tail",done'
+            AS payload
+        FROM documents)
+      SELECT lang, COUNT(*) AS n_rows,
+        CAST(SUM(length(payload)) AS BIGINT) AS sum_len,
+        CAST(SUM((length(payload) - length(replace(payload, '"', ''))))
+          AS BIGINT) AS n_quotes,
+        CAST(SUM((length(payload) - length(replace(payload, ',', ''))))
+          AS BIGINT) AS n_commas,
+        CAST(SUM((length(payload) - length(replace(payload, chr(10), ''))))
+          AS BIGINT) AS n_newlines,
+        CAST(SUM((length(payload) - length(replace(payload, '\', ''))))
+          AS BIGINT) AS n_backslashes
+      FROM t GROUP BY lang ORDER BY lang"""))
+
   val defs: Seq[QueryDef] =
     Seq(e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11, e12, e13,
-      e14, e15, e16, e17, e18, e19, e20, e21, e22, e23, e24, e25)
+      e14, e15, e16, e17, e18, e19, e20, e21, e22, e23, e24, e25, e26)
 }

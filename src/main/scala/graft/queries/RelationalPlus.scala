@@ -817,6 +817,48 @@ object RelationalPlus {
       WHERE e.user_id < 200
       GROUP BY e.user_id ORDER BY e.user_id"""))
 
+  /** FORWARD as-of join — time-to-conversion: each click gets its
+    * user's NEXT purchase at-or-after it. No new operator: forward
+    * as-of is backward as-of on NEGATED time, so the same
+    * union+running-window machinery (one shuffle, q24's) serves both
+    * directions — the composability the operator was designed for.
+    * Tie rule inherited: among purchases at the same instant, the max
+    * (event_id, ts) payload wins, mirrored in the oracle's
+    * (p_ts ASC, p_id DESC) pick. */
+  val q90 = QueryDef(
+    "q90_forward_asof",
+    (sp, dir) => {
+      import graft.operators.AsOfJoin
+      val ev = Tables(sp, dir, "events")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts"))
+        .withColumn("nts", -unix_micros(col("ts")))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+        .withColumn("nts", -unix_micros(col("ts")))
+      AsOfJoin.leftAsOf(clicks, purchases, "user_id", "nts",
+          Map("event_id" -> "purchase_event_id", "ts" -> "purchase_ts"))
+        .select(col("event_id"), col("user_id"), col("purchase_event_id"),
+          (unix_millis(col("purchase_ts")) - unix_millis(col("ts")))
+            .as("ms_to_purchase"))
+        .orderBy("event_id")
+    },
+    Some("""
+      WITH c AS (SELECT event_id, user_id, ts FROM events
+                 WHERE event_type = 'click'),
+      p AS (SELECT event_id AS p_id, user_id, ts AS p_ts FROM events
+            WHERE event_type = 'purchase'),
+      cand AS (SELECT c.event_id, c.user_id, c.ts, p.p_id, p.p_ts
+               FROM c JOIN p ON c.user_id = p.user_id AND p.p_ts >= c.ts),
+      r AS (SELECT event_id, p_id, p_ts,
+              ROW_NUMBER() OVER (PARTITION BY event_id
+                ORDER BY p_ts ASC, p_id DESC) AS rn
+            FROM cand)
+      SELECT c.event_id, c.user_id, r.p_id AS purchase_event_id,
+        epoch_ms(r.p_ts) - epoch_ms(c.ts) AS ms_to_purchase
+      FROM c LEFT JOIN r ON r.event_id = c.event_id AND r.rn = 1
+      ORDER BY c.event_id"""))
+
   val defs: Seq[QueryDef] = Seq(q74, q75, q76, q77, q78, q79, q80, q81,
-    q82, q83, q84, q85, q86, q87, q88, q89)
+    q82, q83, q84, q85, q86, q87, q88, q89, q90)
 }
