@@ -795,7 +795,55 @@ object PipelineQueries {
           AS DOUBLE) AS chi2
       FROM x ORDER BY source"""))
 
+  /** Temperature-scaled language mixture (α = 0.5): sampling weights
+    * ∝ n_tokens^α flatten the head and lift the tail — the standard
+    * multilingual rebalancing. α = 0.5 is deliberately the
+    * SQRT-expressible point: sqrt is correctly-rounded IEEE (unlike
+    * pow/exp, whose libm vs JVM results drift in the last ulp), so
+    * the whole weight chain is engine-portable. The weight total
+    * crosses the round(6)→DECIMAL guard before the shares divide. */
+  val p21 = QueryDef(
+    "p21_temperature_mix",
+    (sp, dir) => {
+      val everything = Window.partitionBy(pmod(col("n_tokens"), lit(1L)))
+      Tables(sp, dir, "documents")
+        .select(col("lang"),
+          size(split(col("text"), " ")).cast("long").as("toks"))
+        .groupBy("lang").agg(sum(col("toks")).as("n_tokens"))
+        .withColumn("raw_share",
+          col("n_tokens").cast("double") /
+            sum(col("n_tokens")).over(everything).cast("double"))
+        .withColumn("w", round(sqrt(col("n_tokens").cast("double")), 6))
+        .withColumn("w_total",
+          sum(col("w").cast(org.apache.spark.sql.types.DecimalType(18, 6)))
+            .over(everything).cast("double"))
+        .withColumn("temp_share", col("w") / col("w_total"))
+        .withColumn("quota_tokens",
+          floor(lit(1000000.0) * col("temp_share")).cast("long"))
+        .select("lang", "n_tokens", "raw_share", "temp_share",
+          "quota_tokens")
+        .orderBy("lang")
+    },
+    Some("""
+      WITH c AS (
+        SELECT lang,
+          CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+        FROM documents GROUP BY lang),
+      t AS (
+        SELECT lang, n_tokens,
+          CAST(n_tokens AS DOUBLE)
+            / CAST(SUM(n_tokens) OVER () AS DOUBLE) AS raw_share,
+          ROUND(sqrt(CAST(n_tokens AS DOUBLE)), 6) AS w
+        FROM c),
+      x AS (
+        SELECT lang, n_tokens, raw_share, w,
+          CAST(SUM(CAST(w AS DECIMAL(18,6))) OVER () AS DOUBLE) AS w_total
+        FROM t)
+      SELECT lang, n_tokens, raw_share, w / w_total AS temp_share,
+        CAST(floor(1000000.0 * (w / w_total)) AS BIGINT) AS quota_tokens
+      FROM x ORDER BY lang"""))
+
   val defs: Seq[QueryDef] =
     Seq(p01, p02, p03, p04, p05, p06, p07, p08, p09, p10, p11, p12, p13,
-      p14, p15, p16, p17, p18, p19, p20)
+      p14, p15, p16, p17, p18, p19, p20, p21)
 }

@@ -437,6 +437,74 @@ object TextQueries {
           AS nonascii_share
       FROM b GROUP BY lang ORDER BY lang"""))
 
+  /** Sentence-level dedup (C4-style): documents split into sentences
+    * ('. ' boundary), each normalized and 62-bit dual-poly-hashed;
+    * a sentence is "shared" when its hash occurs in more than one
+    * document — the granularity C4's cleaning made famous, between
+    * d01's whole-doc and d13's fixed 16-word blocks. The shuffle
+    * carries 8-byte hash keys (d01's lesson), and per-doc shares are
+    * one double division. */
+  val t13 = QueryDef(
+    "t13_sentence_dedup",
+    (sp, dir) => {
+      val docs = Tables(sp, dir, "documents")
+      val sents = docs
+        .select(col("doc_id"), explode(split(col("text"), "\\. ")).as("s0"))
+        .select(col("doc_id"), lower(trim(col("s0"))).as("s"))
+        .filter(length(col("s")) > 0)
+        .select(col("doc_id"),
+          (graft.functions.PolyHashExpr(col("s"), 31L) +
+            shiftleft(graft.functions.PolyHashExpr(col("s"), 131L), 31))
+            .as("h"))
+      val df = sents.groupBy("h")
+        .agg(countDistinct(col("doc_id")).as("docs_with"))
+      val per = sents.join(df, "h")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_sentences"),
+          sum(when(col("docs_with") >= 2, 1L).otherwise(0L))
+            .as("n_shared_sentences"))
+      docs.select("doc_id").join(per, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_sentences"), lit(0L)).as("n_sentences"),
+          coalesce(col("n_shared_sentences"), lit(0L))
+            .as("n_shared_sentences"),
+          when(col("n_sentences") > 0,
+            col("n_shared_sentences") / col("n_sentences"))
+            .as("shared_share"))
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH sent AS (
+        SELECT doc_id, lower(trim(s0)) AS s
+        FROM (SELECT doc_id, unnest(string_split(text, '. ')) AS s0
+              FROM documents)
+        WHERE length(lower(trim(s0))) > 0),
+      hs AS (SELECT doc_id,
+          (list_reduce(list_prepend(CAST(0 AS BIGINT),
+             list_transform(generate_series(1, CAST(len(s) AS INT)),
+               i -> CAST(ascii(substr(s, i, 1)) AS BIGINT))),
+             (a, b) -> (a * 31 + b) % 2147483647)
+           + (list_reduce(list_prepend(CAST(0 AS BIGINT),
+               list_transform(generate_series(1, CAST(len(s) AS INT)),
+                 i -> CAST(ascii(substr(s, i, 1)) AS BIGINT))),
+               (a, b) -> (a * 131 + b) % 2147483647) << 31)) AS h
+        FROM sent),
+      df AS (SELECT h, COUNT(DISTINCT doc_id) AS docs_with
+             FROM hs GROUP BY h),
+      per AS (SELECT doc_id, COUNT(*) AS n_sentences,
+                SUM(CASE WHEN docs_with >= 2 THEN 1 ELSE 0 END)
+                  AS n_shared_sentences
+              FROM hs JOIN df USING (h) GROUP BY doc_id)
+      SELECT d.doc_id,
+        CAST(COALESCE(per.n_sentences, 0) AS BIGINT) AS n_sentences,
+        CAST(COALESCE(per.n_shared_sentences, 0) AS BIGINT)
+          AS n_shared_sentences,
+        CASE WHEN per.n_sentences > 0
+             THEN CAST(per.n_shared_sentences AS DOUBLE) / per.n_sentences
+        END AS shared_share
+      FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id
+      ORDER BY d.doc_id"""))
+
   val defs: Seq[QueryDef] =
-    Seq(t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12)
+    Seq(t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13)
 }
