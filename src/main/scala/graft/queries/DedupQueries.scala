@@ -821,7 +821,69 @@ object DedupQueries {
       FROM t WHERE n_docs >= 2
       ORDER BY n_docs DESC, n_occurrences DESC, btext LIMIT 20"""))
 
+  /** Dedup funnel — the capstone attrition report over the whole
+    * dedup stack: raw corpus → exact-distinct (d01's dual 62-bit
+    * hash groups) → near-dup clusters (d06's canonical components),
+    * each stage with its retained share. This is the number a
+    * pipeline owner quotes ("dedup kept 94%"); both downstream stages
+    * reuse the session-cached builds, so the funnel costs one tiny
+    * re-aggregation, not a recompute. */
+  val d18 = QueryDef(
+    "d18_dedup_funnel",
+    (sp, dir) => {
+      val docs = Tables(sp, dir, "documents")
+      val raw = docs.agg(count(lit(1)).as("n"))
+        .select(lit("1_raw").as("stage"), col("n"))
+      val exact = Dedup.exact(docs, "doc_id", "text")
+        .agg(count(lit(1)).as("n"))
+        .select(lit("2_after_exact").as("stage"), col("n"))
+      val near = canonicalDocs(sp, dir)
+        .agg(countDistinct(col("canonical_id")).as("n"))
+        .select(lit("3_after_near_dup").as("stage"), col("n"))
+      val total = docs.agg(count(lit(1)).as("t"))
+        .withColumn("__j", pmod(col("t"), lit(1L)))
+      raw.unionByName(exact).unionByName(near)
+        .withColumn("__j", pmod(col("n"), lit(1L)))
+        .join(broadcast(total), "__j").drop("__j")
+        .select(col("stage"), col("n"),
+          (col("n").cast("double") / col("t").cast("double"))
+            .as("retained_share"))
+        .orderBy("stage")
+    },
+    Some {
+      def fold(m: Int): String =
+        s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
+           list_transform(generate_series(1, CAST(len(nt) AS INT)),
+             i -> CAST(ascii(substr(nt, i, 1)) AS BIGINT))),
+           (a, b) -> (a * $m + b) % 2147483647)"""
+      s"""
+      WITH RECURSIVE $shingleHashSql,
+      $componentsSql,
+      canon AS (SELECT d.doc_id, COALESCE(c.comp, d.doc_id) AS canonical
+                FROM documents d LEFT JOIN comp c ON d.doc_id = c.id),
+      norm AS (SELECT doc_id,
+          lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS nt
+        FROM documents),
+      eh AS (SELECT doc_id,
+          ${fold(31)} + (${fold(131)} << 31) AS h_a,
+          ${fold(37)} + (${fold(149)} << 31) AS h_b
+        FROM norm),
+      stages AS (
+        SELECT '1_raw' AS stage, CAST(COUNT(*) AS BIGINT) AS n
+        FROM documents
+        UNION ALL
+        SELECT '2_after_exact', CAST(COUNT(*) AS BIGINT)
+        FROM (SELECT DISTINCT h_a, h_b FROM eh)
+        UNION ALL
+        SELECT '3_after_near_dup', CAST(COUNT(DISTINCT canonical) AS BIGINT)
+        FROM canon),
+      tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS t FROM documents)
+      SELECT stage, n,
+        CAST(n AS DOUBLE) / CAST(t AS DOUBLE) AS retained_share
+      FROM stages, tot ORDER BY stage"""
+    })
+
   val defs: Seq[QueryDef] =
     Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13,
-      d14, d15, d16, d17)
+      d14, d15, d16, d17, d18)
 }

@@ -859,6 +859,42 @@ object RelationalPlus {
       FROM c LEFT JOIN r ON r.event_id = c.event_id AND r.rn = 1
       ORDER BY c.event_id"""))
 
+  /** Rolling 7-day distinct actives (DAU/WAU) — THE product metric,
+    * and an exact sliding COUNT(DISTINCT), which no window frame can
+    * express directly: each (user, active-day) pair is EXPLODED into
+    * the 7 window-ends it supports (bounded 7× fanout of the deduped
+    * pairs — not of the events), then one countDistinct per day. No
+    * per-day state ever holds more than that day's contributing
+    * users; contrast q60's set-frame variant over raw event rows. */
+  val q91 = QueryDef(
+    "q91_rolling_actives",
+    (sp, dir) => {
+      val userDays = Tables(sp, dir, "events")
+        .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+      val dau = userDays.groupBy("day")
+        .agg(countDistinct(col("user_id")).as("dau"))
+      val wau = userDays
+        .select(col("user_id"), explode(sequence(lit(0), lit(6))).as("i"),
+          col("day"))
+        .select(col("user_id"), expr("date_add(day, i)").as("day"))
+        .groupBy("day").agg(countDistinct(col("user_id")).as("wau7"))
+      dau.join(wau, "day")
+        .select("day", "dau", "wau7")
+        .orderBy("day")
+    },
+    Some("""
+      WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day
+                  FROM events),
+      dau AS (SELECT day, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS dau
+              FROM ud GROUP BY day),
+      expl AS (SELECT user_id, day + CAST(i AS INT) AS day_w
+               FROM ud, unnest(generate_series(0, 6)) AS t(i)),
+      wau AS (SELECT day_w, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS wau7
+              FROM expl GROUP BY day_w)
+      SELECT d.day, d.dau, w.wau7
+      FROM dau d JOIN wau w ON w.day_w = d.day
+      ORDER BY d.day"""))
+
   val defs: Seq[QueryDef] = Seq(q74, q75, q76, q77, q78, q79, q80, q81,
-    q82, q83, q84, q85, q86, q87, q88, q89, q90)
+    q82, q83, q84, q85, q86, q87, q88, q89, q90, q91)
 }
