@@ -262,5 +262,36 @@ object MultimodalQueries {
         MIN(CASE WHEN doc_id % 17 = 0 THEN doc_id END) AS first_corrupt
       FROM documents GROUP BY source ORDER BY source"""))
 
-  val defs: Seq[QueryDef] = Seq(m01, m02, m03, m04, m05, m06, m07, m08)
+  /** Payload size distribution in power-of-two buckets — the storage
+    * planner's histogram (which sizes dominate; what a shard/chunk
+    * cap should be). The log2 bucket is the INTEGER identity
+    * `length(bin(n))` = ⌊log2 n⌋ + 1 — no floating log (libm drift),
+    * both engines render the same binary string. */
+  val m09 = QueryDef(
+    "m09_size_histogram",
+    (sp, dir) => {
+      Multimodal.withPayload(Tables(sp, dir, "documents"), "text")
+        .select(length(col("payload")).cast("long").as("n_bytes"))
+        .filter(col("n_bytes") > 0)
+        .withColumn("log2_bucket", length(bin(col("n_bytes"))) - 1)
+        .groupBy("log2_bucket")
+        .agg(count(lit(1)).as("n_payloads"),
+          sum(col("n_bytes")).as("sum_bytes"),
+          min(col("n_bytes")).as("min_bytes"),
+          max(col("n_bytes")).as("max_bytes"))
+        .orderBy("log2_bucket")
+    },
+    Some("""
+      WITH b AS (
+        SELECT CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+        FROM documents
+        WHERE octet_length(encode(text)) > 0)
+      SELECT CAST(length(bin(n_bytes)) - 1 AS INT) AS log2_bucket,
+        COUNT(*) AS n_payloads,
+        CAST(SUM(n_bytes) AS BIGINT) AS sum_bytes,
+        MIN(n_bytes) AS min_bytes, MAX(n_bytes) AS max_bytes
+      FROM b GROUP BY 1 ORDER BY log2_bucket"""))
+
+  val defs: Seq[QueryDef] = Seq(m01, m02, m03, m04, m05, m06, m07, m08,
+    m09)
 }

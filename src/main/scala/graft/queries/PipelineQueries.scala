@@ -843,7 +843,39 @@ object PipelineQueries {
         CAST(floor(1000000.0 * (w / w_total)) AS BIGINT) AS quota_tokens
       FROM x ORDER BY lang"""))
 
+  /** Shard balance audit over p02's deterministic shuffle: per-shard
+    * doc counts plus (on every row) the max/min shard ratio — the
+    * straggler predictor: a training job runs at the pace of its
+    * fattest shard. Exact integers, one double division; the extrema
+    * windows run over 8 shard rows. */
+  val p22 = QueryDef(
+    "p22_shard_balance",
+    (sp, dir) => {
+      val everything = Window.partitionBy(pmod(col("n_docs"), lit(1L)))
+      Pipeline.deterministicShuffle(
+          Tables(sp, dir, "documents"), "doc_id", shards = 8)
+        .groupBy("shard").agg(count(lit(1)).as("n_docs"))
+        .withColumn("share", col("n_docs").cast("double") /
+          sum(col("n_docs")).over(everything).cast("double"))
+        .withColumn("imbalance",
+          max(col("n_docs")).over(everything).cast("double") /
+            min(col("n_docs")).over(everything).cast("double"))
+        .orderBy("shard")
+    },
+    Some(s"""
+      WITH s AS (
+        SELECT CAST(${hashSql(1103515245L, 12345L)} % 8 AS INT) AS shard
+        FROM documents),
+      c AS (SELECT shard, CAST(COUNT(*) AS BIGINT) AS n_docs
+            FROM s GROUP BY shard)
+      SELECT shard, n_docs,
+        CAST(n_docs AS DOUBLE) / CAST(SUM(n_docs) OVER () AS DOUBLE)
+          AS share,
+        CAST(MAX(n_docs) OVER () AS DOUBLE)
+          / CAST(MIN(n_docs) OVER () AS DOUBLE) AS imbalance
+      FROM c ORDER BY shard"""))
+
   val defs: Seq[QueryDef] =
     Seq(p01, p02, p03, p04, p05, p06, p07, p08, p09, p10, p11, p12, p13,
-      p14, p15, p16, p17, p18, p19, p20, p21)
+      p14, p15, p16, p17, p18, p19, p20, p21, p22)
 }

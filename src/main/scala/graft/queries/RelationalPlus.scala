@@ -895,6 +895,32 @@ object RelationalPlus {
       FROM dau d JOIN wau w ON w.day_w = d.day
       ORDER BY d.day"""))
 
+  /** 2-D histogram (the heatmap feed): lineitem binned on quantity ×
+    * price bands in one aggregation — grid cells are exact integer
+    * bucket pairs, counts and decimal revenue per cell. Only occupied
+    * cells materialize (sparse grid), and the shuffle key is the
+    * 2-tuple of SMALL integers, never the measures. */
+  val q92 = QueryDef(
+    "q92_histogram_2d",
+    (sp, dir) => {
+      import graft.Dsl.moneySum
+      Tables(sp, dir, "lineitem")
+        .select(floor(col("l_quantity") / 10).cast("long").as("qty_band"),
+          floor(col("l_extendedprice") / 10000).cast("long").as("price_band"),
+          col("l_extendedprice"))
+        .groupBy("qty_band", "price_band")
+        .agg(count(lit(1)).as("n_items"),
+          moneySum(col("l_extendedprice")).as("sum_price"))
+        .orderBy("qty_band", "price_band")
+    },
+    Some("""
+      SELECT CAST(floor(l_quantity / 10) AS BIGINT) AS qty_band,
+        CAST(floor(l_extendedprice / 10000) AS BIGINT) AS price_band,
+        COUNT(*) AS n_items,
+        CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+          AS sum_price
+      FROM lineitem GROUP BY 1, 2 ORDER BY qty_band, price_band"""))
+
   val defs: Seq[QueryDef] = Seq(q74, q75, q76, q77, q78, q79, q80, q81,
-    q82, q83, q84, q85, q86, q87, q88, q89, q90, q91)
+    q82, q83, q84, q85, q86, q87, q88, q89, q90, q91, q92)
 }
