@@ -505,6 +505,56 @@ object TextQueries {
       FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id
       ORDER BY d.doc_id"""))
 
+  /** Language-ID confusion matrix — t01's classifier EVALUATED against
+    * the ground-truth lang column (the same in-catalog eval discipline
+    * s06/s10/s12 apply to the ANN indexes): per (true, predicted)
+    * cell counts and each cell's share of its true-language row. The
+    * share window runs over ≤ |langs|² matrix rows. */
+  val t14 = QueryDef(
+    "t14_langid_confusion",
+    (sp, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val toks = tokens(col("text"))
+      val scored = Tables(sp, dir, "documents").select(
+        col("lang").as("true_lang") +: langMarkers.map { case (l, m) =>
+          markerScore(toks, m).as(s"s_$l")
+        }: _*)
+      val pred = scored.withColumn("predicted", langidPredict(
+        langMarkers.map { case (l, _) => l -> col(s"s_$l") }))
+      val w = Window.partitionBy("true_lang")
+      pred.groupBy("true_lang", "predicted")
+        .agg(count(lit(1)).as("n_docs"))
+        .withColumn("row_share", col("n_docs").cast("double") /
+          sum(col("n_docs")).over(w).cast("double"))
+        .orderBy("true_lang", "predicted")
+    },
+    Some {
+      val scores = langMarkers.map { case (l, m) => scoreSql(l, m) }
+        .mkString(",\n        ")
+      val best = langMarkers.map { case (l, _) => s"s_$l" }
+        .mkString("GREATEST(", ", ", ")")
+      val cases = langMarkers.map { case (l, _) =>
+        s"WHEN s_$l = best AND s_$l > 0 THEN '$l'"
+      }.mkString(" ")
+      s"""
+      WITH scored AS (
+        SELECT doc_id, lang AS true_lang,
+        $scores
+        FROM documents),
+      withbest AS (SELECT *, $best AS best FROM scored),
+      pred AS (SELECT true_lang,
+                 CASE $cases ELSE 'und' END AS predicted
+               FROM withbest),
+      cm AS (SELECT true_lang, predicted, CAST(COUNT(*) AS BIGINT) AS n_docs
+             FROM pred GROUP BY true_lang, predicted)
+      SELECT true_lang, predicted, n_docs,
+        CAST(n_docs AS DOUBLE) /
+          CAST(SUM(n_docs) OVER (PARTITION BY true_lang) AS DOUBLE)
+          AS row_share
+      FROM cm ORDER BY true_lang, predicted"""
+    })
+
   val defs: Seq[QueryDef] =
-    Seq(t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13)
+    Seq(t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13,
+      t14)
 }
