@@ -160,6 +160,18 @@ class ScaleOpsSpec extends SparkSpec {
     assert(out.filter(col("cum") =!= (col("id") - col("g")) / 3 + 1).count() === 0L)
   }
 
+  test("weighted median at 1M rows matches the closed form") {
+    // v = 1..1M, unit weights: W = 1e6, crossing 2·cum ≥ W at
+    // cum = 500000 → the lower weighted median is exactly 500000
+    val df = spark.range(1, 1000001).select(lit("g").as("g"),
+      col("id").cast("double").as("v"), lit(1L).as("w"))
+    val r = graft.operators.ExactPercentiles
+      .weightedMedian(df, "g", "v", "w", bucketWidth = 1000.0)
+      .collect()(0)
+    assert(r.getAs[Double]("wmedian") === 500000.0)
+    assert(r.getAs[Long]("total_weight") === 1000000L)
+  }
+
   test("skyline at 1M points matches the closed-form frontier") {
     // points (x=id+1, y=(id+1) % 64): for residue r >= 1 the cheapest
     // point with y=r is x=r; (64, 0) is dominated by (1, 1). Frontier
