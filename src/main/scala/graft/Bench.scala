@@ -41,7 +41,22 @@ object Bench {
       n => SparkEntry.queries.get(n)
         .foreach(f => try f(spark, sfDir).count() catch { case _: Throwable => })
     }
-    val results = SparkEntry.queries.toSeq.map { case (name, fn) =>
+    // The shared near-dup builds (Jaccard pair set + components) are
+    // cached once per (session, dir) and consumed by seven catalog
+    // entries. Materialize them HERE, timed separately, so the one-off
+    // build cost stops landing on whichever consumer runs first — that
+    // attribution drift made per-query diffs across rounds noise.
+    val tShared = System.nanoTime()
+    try graft.queries.DedupQueries.warmShared(spark, sfDir)
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] shared warm-up failed: ${e.getMessage}")
+    }
+    val sharedSec = (System.nanoTime() - tShared) / 1e9
+    // Sorted keys: hash-map iteration order reshuffles whenever the
+    // catalog grows, which both scrambles round-over-round comparisons
+    // and moves first-consumer cache effects between queries. A fixed
+    // lexicographic order makes BENCH_r{N} diffable per query.
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       // noop sink: materializes every output column (count() would let
       // Catalyst prune projection-only queries down to nothing).
@@ -52,7 +67,10 @@ object Bench {
         }
       (name, (System.nanoTime() - t0) / 1e9, ok)
     }
-    val total = results.map(_._2).sum
+    // total keeps its round-over-round meaning (all work done once per
+    // session): per-query sum PLUS the separately-attributed shared
+    // build, which previous rounds counted inside its first consumer.
+    val total = results.map(_._2).sum + sharedSec
     def line(keyOf: String => String, fmt: Double => String): String = {
       val qs = results.map { case (k, v, _) => "\"" + keyOf(k) + "\":" + fmt(v) }
         .mkString("{", ",", "}")
@@ -60,7 +78,7 @@ object Bench {
       // as a healthy run: the failure list rides in the same JSON line.
       val failed = results.collect { case (k, _, false) => "\"" + keyOf(k) + "\"" }
         .mkString("[", ",", "]")
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","shared_builds":${fmt(sharedSec)},"queries":$qs,"failed":$failed,"sf":"$sfDir"}"""
     }
     // Full precision + full names to a side file for humans/tooling...
     val full = line(identity, _.toString)

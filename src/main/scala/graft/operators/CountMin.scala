@@ -72,11 +72,15 @@ object CountMin {
     val topK = est.orderBy(col("cms_estimate").desc, col("key")).limit(k)
     // rank over the k surviving rows only — bounded by construction.
     // The partition key is a constant-valued but NON-foldable
-    // expression (pmod(key, 1) ≡ 0): it declares the single bounded
-    // partition explicitly, so WindowExec's "No Partition Defined"
-    // warning (which reads as an accidental global sort in bench
-    // tails) never fires, while the optimizer can't fold it away.
-    val byEst = Window.partitionBy(pmod(col("key"), lit(1L)))
+    // expression (pmod(coalesce(key, 0), 1) ≡ 0): it declares the
+    // single bounded partition explicitly, so WindowExec's "No
+    // Partition Defined" warning (which reads as an accidental global
+    // sort in bench tails) never fires, while the optimizer can't fold
+    // it away. The coalesce matters: pmod(NULL, 1) is NULL, so a null
+    // key would otherwise land in its own window partition and take an
+    // independent rank-1 — the coalesce pins every row, null keys
+    // included, to the one partition value 0.
+    val byEst = Window.partitionBy(pmod(coalesce(col("key"), lit(0L)), lit(1L)))
       .orderBy(col("cms_estimate").desc, col("key"))
     topK.withColumn("rank", row_number().over(byEst))
       .select(col("key"), col("exact_cnt"), col("cms_estimate"),

@@ -140,6 +140,18 @@ object Dedup {
       .distinct()
   }
 
+  /** The persisted LSH candidate set (bloomPrefilter path) goes
+    * through [[DfCache]]: the operator never sees its consumers'
+    * action boundary, so it cannot unpersist — the session-scoped
+    * cache bounds the pin to one copy per (input plan, params) instead
+    * of a fresh orphan per invocation (e.g. d07 across repeated
+    * benchmark rounds in one session). */
+  private def cachedPersisted(docs: DataFrame, shingleN: Int, k: Int,
+      bands: Int, rows: Int, build: => DataFrame): DataFrame =
+    DfCache.persisted(docs.sparkSession,
+      s"lsh-cands:${docs.queryExecution.logical.semanticHash()}:" +
+        s"$shingleN:$k:$bands:$rows")(build)
+
   /** The production two-phase near-dup shape: cheap MinHash/LSH
     * candidate generation, then EXACT shingle-Jaccard verification of
     * only the candidate pairs. Unlike [[ngramJaccard]] (whose pair
@@ -163,8 +175,7 @@ object Dedup {
     val sigs = minhashSignatures(docs, idCol, textCol, shingleN, k)
     val cands0 = minhashCandidates(sigs, bands, rows)
     val cands =
-      if (bloomPrefilter)
-        cands0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      if (bloomPrefilter) cachedPersisted(docs, shingleN, k, bands, rows, cands0)
       else cands0
     // not persisted: all three consumers live in ONE query, where
     // ReusedExchange already shares the shuffled shingle set; a

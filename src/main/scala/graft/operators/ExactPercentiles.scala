@@ -66,6 +66,98 @@ object ExactPercentiles {
         min(col("tot")).as("total_weight"))
   }
 
+  /** Exact LOWER weighted percentiles per group — [[weightedMedian]]
+    * generalized from the 0.5 point to arbitrary RATIONAL ranks: each
+    * quantile is (label, num, den) with 0 < num ≤ den, and every
+    * crossing test is the integer comparison `den·cum ≥ num·W` —
+    * never a double threshold, so engines cannot disagree at a
+    * boundary. Same bounded two-pass shape: ONE weight histogram per
+    * group serves ALL ranks (state ∝ buckets), then only the ≤ |qs|
+    * crossing buckets are re-scanned. Output is wide: `total_weight`
+    * plus one `p_<label>` column per rank. `weightCol` must be
+    * integer-valued and non-negative. */
+  def weightedPercentiles(df: DataFrame, groupCol: String,
+      valueCol: String, weightCol: String, qs: Seq[(String, Int, Int)],
+      bucketWidth: Double): DataFrame = {
+    require(qs.nonEmpty && bucketWidth > 0)
+    require(qs.forall { case (_, num, den) => num > 0 && num <= den },
+      "ranks must satisfy 0 < num/den <= 1")
+    val base = df.select(col(groupCol).as("g"),
+      col(valueCol).cast("double").as("v"),
+      col(weightCol).cast("long").as("w"))
+      .withColumn("b", floor(col("v") / bucketWidth).cast("long"))
+    val hist = base.groupBy("g", "b").agg(sum(col("w")).as("wb"))
+      .withColumn("cum_before", coalesce(
+        sum(col("wb")).over(Window.partitionBy("g").orderBy("b")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("tot", sum(col("wb")).over(Window.partitionBy("g")))
+    val ranks = hist.select(col("g"), col("b"), col("cum_before"),
+        col("wb"), col("tot"),
+        explode(array(qs.map { case (label, num, den) =>
+          struct(lit(label).as("ql"), lit(num.toLong).as("num"),
+            lit(den.toLong).as("den"))
+        }: _*)).as("t"))
+      .select(col("g"), col("b"), col("cum_before"), col("wb"),
+        col("tot"), col("t.ql").as("ql"), col("t.num").as("num"),
+        col("t.den").as("den"))
+    // monotone crossing per (group, rank): first bucket where the
+    // integer test passes
+    val target = ranks
+      .filter(col("den") * (col("cum_before") + col("wb")) >=
+        col("num") * col("tot"))
+      .groupBy("g", "ql", "num", "den").agg(min(col("b")).as("b"))
+      .join(hist, Seq("g", "b"))
+      .select(col("g"), col("ql"), col("num"), col("den"), col("b"),
+        col("cum_before"), col("tot"))
+    // pass 2 re-scans each crossing bucket ONCE even when several
+    // ranks land in it (the distinct is on (g, b))
+    val needed = target.select("g", "b").distinct()
+    val inBucket = base.join(broadcast(needed), Seq("g", "b"))
+      .withColumn("cum_in", sum(col("w")).over(
+        Window.partitionBy("g", "b").orderBy(col("v"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val perQ = target
+      .join(inBucket.select(col("g"), col("b"), col("v"), col("cum_in")),
+        Seq("g", "b"))
+      .filter(col("den") * (col("cum_before") + col("cum_in")) >=
+        col("num") * col("tot"))
+      .groupBy("g", "ql").agg(min(col("v")).as("val"),
+        min(col("tot")).as("tot"))
+    val totals = base.groupBy("g").agg(sum(col("w")).as("total_weight"))
+    qs.foldLeft(totals) { case (acc, (label, _, _)) =>
+      acc.join(perQ.filter(col("ql") === label)
+        .select(col("g"), col("val").as(s"p_$label")), "g")
+    }
+  }
+
+  /** Fused MAD (median absolute deviation): both medians — the inner
+    * median of v and the outer median of |v − med| — run over ONE
+    * persisted (group, value) projection, so the storage layer is
+    * scanned ONCE and the four bounded passes (two histograms, two
+    * target-bucket re-scans) all read the cached columnar copy. The
+    * projection persist is the standard multi-pass robust-stats
+    * trade: ~16 bytes/row spillable cache vs four full storage scans
+    * (the deviation histogram genuinely cannot run before the inner
+    * median is known, so a single-pass exact MAD does not exist in
+    * this decomposition). Cached via [[DfCache]] (one pinned copy per
+    * (session, input plan) — see its ownership note). The inner
+    * median is rounded to `roundMed` decimals before the deviations,
+    * mirroring oracles that cross the engine boundary there. */
+  def mad(df: DataFrame, groupCol: String, valueCol: String,
+      bucketWidthV: Double, bucketWidthD: Double,
+      roundMed: Int): DataFrame = {
+    val base = DfCache.persisted(df.sparkSession,
+      s"mad-base:${df.queryExecution.logical.semanticHash()}:" +
+        s"$groupCol:$valueCol") {
+      df.select(col(groupCol).as("g"), col(valueCol).cast("double").as("v"))
+    }
+    val med = compute(base, "g", "v", Seq(("50", 0.5)), bucketWidthV)
+      .select(col("g"), round(col("p_50"), roundMed).as("med"))
+    val dev = base.join(broadcast(med), "g")
+      .withColumn("adev", abs(col("v") - col("med")))
+    compute(dev, "g", "adev", Seq(("50", 0.5)), bucketWidthD)
+  }
+
   /** Per-`groupCol` row: n plus one `p_<label>` column per quantile.
     * `bucketWidth` trades pass-1 state for pass-2 sort size. */
   def compute(df: DataFrame, groupCol: String, valueCol: String,

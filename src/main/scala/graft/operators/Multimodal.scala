@@ -91,22 +91,27 @@ object Multimodal {
     * container blob — the record-file framing (tar/TFRecord-shaped)
     * large media ships in. Each record is [4-byte big-endian length ||
     * payload], concatenated in `orderCol` order, all as codegen'd
-    * column expressions (hex/unhex build the prefix; an aggregate fold
-    * concatenates). The SHARD is what keeps this scalable: a blob is
-    * one shard's rows, never a whole source, so row size stays bounded
-    * however large the corpus grows. */
+    * column expressions. The concatenation is O(total bytes): each
+    * framed record is rendered as hex, the hex strings are joined in
+    * ONE `array_join` pass, and a single `unhex` restores the bytes —
+    * a binary `aggregate` fold would copy the accumulator every step
+    * (O(n²) bytes per blob), which silently breaks the scaling story
+    * on fat shards. The 2× transient hex expansion is the price of the
+    * linear join; it is bounded by the shard, like everything here.
+    * The SHARD is what keeps this scalable: a blob is one shard's
+    * rows, never a whole source, so row size stays bounded however
+    * large the corpus grows. */
   def packRecords(df: DataFrame, sourceCol: String, shardCol: String,
       orderCol: String, payloadCol: String): DataFrame =
     df.groupBy(col(sourceCol).as("source"), col(shardCol).as("shard"))
-      .agg(aggregate(
+      .agg(unhex(array_join(
         transform(
           array_sort(collect_list(struct(col(orderCol).as("o"),
             col(payloadCol).as("p")))),
           s => concat(
-            unhex(lpad(hex(length(s.getField("p"))), 8, "0")),
-            s.getField("p"))),
-        lit(Array.emptyByteArray),
-        (acc, rec) => concat(acc, rec)).as("blob"))
+            lpad(hex(length(s.getField("p"))), 8, "0"),
+            hex(s.getField("p")))),
+        "")).as("blob"))
 
   /** Unpack container blobs back into per-record rows — the decode
     * half of the round trip, a streamed per-row parser (a real format

@@ -339,6 +339,17 @@ object DedupQueries {
     }
   }
 
+  /** Materialize the shared per-(session, dir) builds — the Jaccard
+    * pair set and the components mapping — OUTSIDE any caller's timed
+    * region. The bench calls this so the one-time build cost lands in
+    * its own `shared_builds` line instead of being attributed to
+    * whichever of the seven consumers happens to run first (which made
+    * round-over-round per-query diffs noise). */
+  def warmShared(sp: org.apache.spark.sql.SparkSession, dir: String): Unit = {
+    jaccardPairs(sp, dir).count()
+    canonicalDocs(sp, dir).count()
+  }
+
   /** The shared df-capped (≤64) word-trigram Jaccard pair set: ground
     * truth for d12's index evaluation AND the edge list behind the
     * d06/d08/d09/d10 component chain — built and persisted once. */

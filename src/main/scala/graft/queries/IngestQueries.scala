@@ -1173,7 +1173,73 @@ object IngestQueries {
           AS BIGINT) AS n_backslashes
       FROM t GROUP BY lang ORDER BY lang"""))
 
+  /** Partition-scoped ATOMIC upsert — the production terminal hop
+    * fixed to be both crash-safe and O(delta) ([[Sinks.upsertJdbc]]
+    * with `partCol`): the live table is never truncated (merged rows
+    * stage into `__stage`, installed by a single transaction), and an
+    * incremental installment deletes+reinserts ONLY the partitions it
+    * touches — here installment 2 carries src0/src1 rows, so the other
+    * 18 source partitions are never read, never deleted, never
+    * rewritten (the existing-side read pushes `source IN (...)` down
+    * to the database). SinksAtomicSpec proves the two failure claims
+    * directly: a stage write killed mid-flight leaves the old table
+    * byte-identical, and a canary row in an untouched partition
+    * survives a delta install that would have lost it had the DELETE
+    * been table-wide. Update-beats-insert per key as everywhere
+    * (multiples of 6 exercise updates, odd multiples of 3 in src0/src1
+    * inserts). */
+  val e27 = QueryDef(
+    "e27_partitioned_upsert",
+    (sp, dir) => {
+      val fp = IngestFixtures.fingerprint(s"$dir/documents.parquet")
+      val url = s"jdbc:derby:memory:graft_e27_$fp;create=true"
+      val table = "part_docs"
+      IngestFixtures.once(s"e27_$fp") {
+        val docs = Tables(sp, dir, "documents")
+        // load 1: even doc_ids across ALL sources — first load, staged
+        // write + one transactional rename installs the table
+        Sinks.upsertJdbc(sp,
+          docs.filter(col("doc_id") % 2 === 0)
+            .select(col("doc_id"), col("source"),
+              col("n_chars").cast("long").as("payload"),
+              lit(1).as("version")),
+          url, table, keyCols = Seq("doc_id"), versionCol = "version",
+          numPartitions = 2, partCol = Some("source"))
+        // installment 2: version-2 rows for src0/src1 ONLY — the delta
+        // install merges against just those two partitions
+        Sinks.upsertJdbc(sp,
+          docs.filter(col("doc_id") % 3 === 0 &&
+              col("source").isin("src0", "src1"))
+            .select(col("doc_id"), col("source"),
+              (col("n_chars") + 1000L).cast("long").as("payload"),
+              lit(2).as("version")),
+          url, table, keyCols = Seq("doc_id"), versionCol = "version",
+          numPartitions = 2, partCol = Some("source"))
+      }
+      Sinks.readJdbc(sp, url, table)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("payload")).as("sum_payload"),
+          sum(col("version").cast("long")).as("sum_version"))
+        .orderBy("source")
+    },
+    Some("""
+      WITH merged AS (
+        SELECT doc_id, source,
+          CAST(CASE WHEN doc_id % 3 = 0 AND source IN ('src0','src1')
+               THEN n_chars + 1000 ELSE n_chars END AS BIGINT) AS payload,
+          CASE WHEN doc_id % 3 = 0 AND source IN ('src0','src1')
+               THEN 2 ELSE 1 END AS version
+        FROM documents
+        WHERE doc_id % 2 = 0
+           OR (doc_id % 3 = 0 AND source IN ('src0','src1')))
+      SELECT source, COUNT(*) AS n_docs,
+        CAST(SUM(payload) AS BIGINT) AS sum_payload,
+        CAST(SUM(version) AS BIGINT) AS sum_version
+      FROM merged GROUP BY source ORDER BY source"""))
+
   val defs: Seq[QueryDef] =
     Seq(e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11, e12, e13,
-      e14, e15, e16, e17, e18, e19, e20, e21, e22, e23, e24, e25, e26)
+      e14, e15, e16, e17, e18, e19, e20, e21, e22, e23, e24, e25, e26,
+      e27)
 }

@@ -148,10 +148,14 @@ object MultimodalQueries {
   /** Record-container round trip: payloads packed into length-prefixed
     * shard blobs ([[Multimodal.packRecords]] — the record-file framing
     * media corpora ship in), then unpacked by the streamed parser and
-    * verified per record: byte length and a 62-bit poly-hash of the
+    * verified per record: byte length and a SHA-256 digest of the RAW
     * recovered bytes, both against the ORIGINAL documents in DuckDB —
     * a single corrupted length prefix or swapped record breaks the
-    * hash. Shards (doc_id mod 8 per source) bound every blob. */
+    * digest. Hashing the binary column directly (not a decoded string)
+    * is what makes this a true byte-integrity check: a string round
+    * trip would fold invalid UTF-8 sequences to U+FFFD and silently
+    * normalize exactly the corruption this query exists to catch.
+    * Shards (doc_id mod 8 per source) bound every blob. */
   val m06 = QueryDef(
     "m06_record_unpack",
     (sp, dir) => {
@@ -163,9 +167,7 @@ object MultimodalQueries {
       Multimodal.unpackRecords(packed).toDF()
         .select(col("source"), col("shard"), col("rec_idx"),
           length(col("rec")).cast("int").as("rec_len"),
-          (graft.functions.PolyHashExpr(decode(col("rec"), "UTF-8"), 31L) +
-            shiftleft(graft.functions.PolyHashExpr(
-              decode(col("rec"), "UTF-8"), 131L), 31)).as("rec_hash"))
+          sha2(col("rec"), 256).as("rec_digest"))
         .orderBy("source", "shard", "rec_idx")
     },
     Some("""
@@ -175,14 +177,7 @@ object MultimodalQueries {
         FROM documents)
       SELECT source, CAST(shard AS BIGINT) AS shard, rec_idx,
         CAST(octet_length(encode(text)) AS INT) AS rec_len,
-        (list_reduce(list_prepend(CAST(0 AS BIGINT),
-           list_transform(generate_series(1, CAST(len(text) AS INT)),
-             j -> CAST(ascii(substr(text, j, 1)) AS BIGINT))),
-           (a, b) -> (a * 31 + b) % 2147483647)
-         + (list_reduce(list_prepend(CAST(0 AS BIGINT),
-             list_transform(generate_series(1, CAST(len(text) AS INT)),
-               j -> CAST(ascii(substr(text, j, 1)) AS BIGINT))),
-             (a, b) -> (a * 131 + b) % 2147483647) << 31)) AS rec_hash
+        sha256(text) AS rec_digest
       FROM r ORDER BY source, shard, rec_idx"""))
 
   /** Shard-packing manifest (webdataset-style): binary payloads are

@@ -114,25 +114,23 @@ object RelationalPlus {
       ORDER BY p_retailprice, p_partkey"""))
 
   /** Median absolute deviation (robust dispersion) per event type:
-    * MAD = median(|v − median(v)|), both medians through
-    * [[graft.operators.ExactPercentiles]] (bounded two-pass state,
-    * q73's path — never `percentile()`'s every-distinct-value
-    * buffer). The inner median is rounded to 4 decimals ON BOTH
-    * ENGINES before the deviations: the engine boundary is crossed
-    * once, under a round(4) guard, so the deviation doubles are
-    * bit-identical inputs to the outer median. */
+    * MAD = median(|v − median(v)|), both medians through the FUSED
+    * [[graft.operators.ExactPercentiles.mad]] decomposition: one
+    * persisted (group, value) projection feeds both histograms and
+    * both target-bucket re-scans, so events.parquet is scanned ONCE
+    * (the unfused form paid four storage scans — same values, twice
+    * the wall-clock). Bounded two-pass state throughout, q73's path —
+    * never `percentile()`'s every-distinct-value buffer. The inner
+    * median is rounded to 4 decimals ON BOTH ENGINES before the
+    * deviations: the engine boundary is crossed once, under a
+    * round(4) guard, so the deviation doubles are bit-identical
+    * inputs to the outer median. */
   val q76 = QueryDef(
     "q76_mad",
     (sp, dir) => {
-      val ev = Tables(sp, dir, "events")
-      val med = graft.operators.ExactPercentiles.compute(
-          ev, "event_type", "value", Seq(("50", 0.5)), bucketWidth = 16.0)
-        .select(col("g").as("event_type"),
-          round(col("p_50"), 4).as("med"))
-      val dev = ev.join(broadcast(med), "event_type")
-        .withColumn("adev", abs(col("value") - col("med")))
-      graft.operators.ExactPercentiles.compute(
-          dev, "event_type", "adev", Seq(("50", 0.5)), bucketWidth = 8.0)
+      graft.operators.ExactPercentiles.mad(
+          Tables(sp, dir, "events"), "event_type", "value",
+          bucketWidthV = 16.0, bucketWidthD = 8.0, roundMed = 4)
         .select(col("g").as("event_type"),
           round(col("p_50"), 4).as("mad"), col("n").as("n_events"))
         .orderBy("event_type")
@@ -921,6 +919,47 @@ object RelationalPlus {
           AS sum_price
       FROM lineitem GROUP BY 1, 2 ORDER BY qty_band, price_band"""))
 
+  /** Exact weighted percentiles — q86's weighted median generalized
+    * from the 0.5 point to the full rank family (quartiles + p90 of
+    * price weighted by units) via [[graft.operators.ExactPercentiles
+    * .weightedPercentiles]]: ONE bounded weight histogram per group
+    * serves all four ranks, each crossing decided by the integer
+    * `den·cum ≥ num·W` test (ranks are RATIONALS, so no double
+    * threshold exists anywhere), and only the crossing buckets are
+    * re-scanned. The oracle states each rank directly with filtered
+    * MIN over a full cumulative window — fine for DuckDB at oracle
+    * scale, the thing the bucketed form exists to avoid at 100 TB. */
+  val q93 = QueryDef(
+    "q93_weighted_percentiles",
+    (sp, dir) => {
+      graft.operators.ExactPercentiles.weightedPercentiles(
+          Tables(sp, dir, "lineitem"), "l_returnflag",
+          "l_extendedprice", "l_quantity",
+          Seq(("25", 1, 4), ("50", 1, 2), ("75", 3, 4), ("90", 9, 10)),
+          bucketWidth = 1024.0)
+        .select(col("g").as("l_returnflag"), col("total_weight"),
+          col("p_25"), col("p_50"), col("p_75"), col("p_90"))
+        .orderBy("l_returnflag")
+    },
+    Some("""
+      WITH b AS (
+        SELECT l_returnflag AS g, l_extendedprice AS v,
+          CAST(l_quantity AS BIGINT) AS w
+        FROM lineitem),
+      tot AS (SELECT g, CAST(SUM(w) AS BIGINT) AS total_weight
+              FROM b GROUP BY g),
+      cum AS (SELECT g, v,
+                SUM(w) OVER (PARTITION BY g ORDER BY v
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw
+              FROM b)
+      SELECT c.g AS l_returnflag, t.total_weight,
+        MIN(c.v) FILTER (WHERE 4 * c.cw >= 1 * t.total_weight) AS p_25,
+        MIN(c.v) FILTER (WHERE 2 * c.cw >= 1 * t.total_weight) AS p_50,
+        MIN(c.v) FILTER (WHERE 4 * c.cw >= 3 * t.total_weight) AS p_75,
+        MIN(c.v) FILTER (WHERE 10 * c.cw >= 9 * t.total_weight) AS p_90
+      FROM cum c JOIN tot t ON c.g = t.g
+      GROUP BY c.g, t.total_weight ORDER BY l_returnflag"""))
+
   val defs: Seq[QueryDef] = Seq(q74, q75, q76, q77, q78, q79, q80, q81,
-    q82, q83, q84, q85, q86, q87, q88, q89, q90, q91, q92)
+    q82, q83, q84, q85, q86, q87, q88, q89, q90, q91, q92, q93)
 }

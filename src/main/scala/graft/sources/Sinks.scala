@@ -13,10 +13,36 @@ import org.apache.spark.sql.types.StructType
   */
 object Sinks {
 
+  /** Full-table JDBC write, installed ATOMICALLY: rows land in a
+    * scratch stage table, then a rename (pair) inside one transaction
+    * swaps it live — readers of `table` see the old state or the new
+    * one, never a truncated in-between, and a crash mid-write leaves
+    * the previous table untouched (scratch is swept on the next
+    * call). */
   def writeJdbc(df: DataFrame, url: String, table: String,
-      numPartitions: Int = 8, props: Properties = new Properties()): Unit =
-    df.coalesce(numPartitions).write.mode(SaveMode.Overwrite)
-      .jdbc(url, table, props)
+      numPartitions: Int = 8, props: Properties = new Properties()): Unit = {
+    val stage = table + "__stage"
+    val old = table + "__old"
+    dropIfExists(url, stage, props)
+    dropIfExists(url, old, props)
+    writeRaw(df, url, stage, numPartitions, props)
+    inTransaction(url, props) { conn =>
+      if (jdbcTableExists(url, table, props)) renameTable(conn, table, old)
+      renameTable(conn, stage, table)
+    }
+    dropIfExists(url, old, props)
+  }
+
+  /** The unstaged write primitive (used for scratch/stage tables,
+    * where atomicity is meaningless). `columnTypes` optionally
+    * overrides created column DDL (`"c VARCHAR(1024)"` syntax). */
+  private def writeRaw(df: DataFrame, url: String, table: String,
+      numPartitions: Int, props: Properties,
+      columnTypes: Option[String] = None): Unit = {
+    val w = df.coalesce(numPartitions).write.mode(SaveMode.Overwrite)
+    columnTypes.foreach(ct => w.option("createTableColumnTypes", ct))
+    w.jdbc(url, table, props)
+  }
 
   def readJdbc(spark: SparkSession, url: String, table: String,
       props: Properties = new Properties()): DataFrame =
@@ -26,20 +52,70 @@ object Sinks {
     * class targets): union the incoming batch with the current rows,
     * keep the winner per key (incoming beats existing; ties within the
     * batch break on the version column, then deterministically on the
-    * remaining columns), rewrite. The read-modify-write is the
-    * portable JDBC merge; at warehouse scale swap the final write for
-    * the engine's native MERGE and keep the same dedup plan. */
+    * remaining columns). The read-modify-write is the portable JDBC
+    * merge; at warehouse scale swap the terminal hop for the engine's
+    * native MERGE and keep the same dedup plan.
+    *
+    * ATOMICITY: the live table is NEVER truncated. The merged result
+    * is written to a scratch stage table (`table__stage`), and only
+    * then installed — first load via ONE transactional rename, an
+    * existing table via a rename pair inside one transaction (full
+    * path) or a DELETE+INSERT inside one transaction (delta path). A
+    * crash anywhere before the final commit leaves the previous table
+    * byte-identical (SinksAtomicSpec kills the stage write mid-flight
+    * and proves survival); a crash after it leaves the new state.
+    * Leftover `__stage`/`__old` scratch from a crashed run is swept on
+    * the next call.
+    *
+    * O(DELTA): pass `partCol` (a column whose values cluster each
+    * batch — a date, a source, a key-range bucket) and the merge is
+    * scoped to the TOUCHED partitions only: the existing-side read
+    * pushes `partCol IN (touched)` down to the database, the stage
+    * holds only touched-partition rows, and the install transaction
+    * deletes+reinserts exactly those partitions — the e22 dynamic-
+    * partition-overwrite contract, composed with the upsert. Without
+    * `partCol` every installment rewrites the whole table (still
+    * atomically), which at 100 TB makes the terminal hop O(table) per
+    * batch — fine for dimension-sized tables, wrong for fact sinks. */
   def upsertJdbc(spark: SparkSession, batch: DataFrame, url: String,
       table: String, keyCols: Seq[String], versionCol: String,
-      numPartitions: Int = 8, props: Properties = new Properties()): Unit = {
+      numPartitions: Int = 8, props: Properties = new Properties(),
+      partCol: Option[String] = None): Unit = {
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.functions._
+    // NOTE: a partition column outside the key must be STABLE per key
+    // (a key that moves partitions would leave its old row behind in a
+    // partition the batch didn't touch) — contract on the caller, like
+    // e22's partition column.
+    require(partCol.forall(batch.columns.contains),
+      s"partCol $partCol must be a batch column")
+    val stage = table + "__stage"
+    val old = table + "__old"
+    // sweep scratch from a previous crashed run BEFORE deciding paths
+    dropIfExists(url, stage, props)
+    dropIfExists(url, old, props)
     // existence is decided by catalog metadata, not by whether a read
     // throws: a transient read failure must surface as an error, never
     // silently downgrade the merge to a table-clobbering first load
+    val tableExists = jdbcTableExists(url, table, props)
+    val touched: Option[Seq[Any]] = partCol.filter(_ => tableExists).map { p =>
+      // distinct partition values in the batch: small by the partCol
+      // contract (a batch clusters in few partitions), so the collect
+      // is bounded — this is partition METADATA, not data
+      batch.select(col(p)).distinct().collect().map(_.get(0)).toSeq
+    }
     val existing =
-      if (jdbcTableExists(url, table, props)) Some(readJdbc(spark, url, table, props))
-      else None
+      if (!tableExists) None
+      else Some {
+        val full = readJdbc(spark, url, table, props)
+        // the IN filter is pushed down to the database scan (JDBC
+        // filter pushdown), so the delta path reads only touched
+        // partitions — O(batch + matching partitions), not O(table)
+        touched.zip(partCol) match {
+          case Some((vals, p)) => full.filter(col(p).isin(vals: _*))
+          case None => full
+        }
+      }
     // the batch itself dedups through the same window whether or not
     // the table exists — duplicate keys within a first-load batch must
     // not survive either
@@ -52,12 +128,92 @@ object Sinks {
       .orderBy(col("__new").desc +: col(versionCol).desc +: others.map(_.desc): _*)
     val merged = tagged.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1).drop("__new", "__rn")
-    // checkpoint before overwrite: the merged plan still reads `table`,
-    // and SaveMode.Overwrite truncates it first. localCheckpoint cuts
-    // the lineage distributively (no driver collect).
-    writeJdbc(merged.localCheckpoint(eager = true), url, table,
-      numPartitions, props)
+    // stage write: the live table is read-only during this — the merge
+    // plan reads `table`, the writer targets `table__stage` — so no
+    // lineage checkpoint is needed and a failure here costs nothing.
+    // A string partCol is created as VARCHAR, not the dialect's LOB
+    // default: Derby-class engines cannot COMPARE a CLOB, and both the
+    // pushed IN filter and the scoped DELETE compare the partition
+    // column. Partition values are short identifiers by contract
+    // (a date, a source, a bucket id) — 1024 is generous headroom, and
+    // an oversized value fails loudly at the write, never silently.
+    val stageTypes = partCol
+      .filter(p => batch.schema(p).dataType ==
+        org.apache.spark.sql.types.StringType)
+      .map(p => s"$p VARCHAR(1024)")
+    writeRaw(merged, url, stage, numPartitions, props, stageTypes)
+    // install: one transaction, previous state survives any crash
+    // strictly before the commit
+    if (!tableExists) {
+      inTransaction(url, props) { conn =>
+        renameTable(conn, stage, table)
+      }
+    } else touched.zip(partCol) match {
+      case Some((vals, p)) =>
+        // delta install: delete ONLY touched partitions, refill from
+        // the stage (which holds exactly those partitions' merged
+        // rows). Untouched partitions are never rewritten.
+        inTransaction(url, props) { conn =>
+          val in = vals.map(_ => "?").mkString(", ")
+          val del = conn.prepareStatement(
+            s"""DELETE FROM $table WHERE "$p" IN ($in)""")
+          try {
+            vals.zipWithIndex.foreach { case (v, i) => del.setObject(i + 1, v) }
+            del.executeUpdate()
+          } finally del.close()
+          val colList = merged.columns.map(c => "\"" + c + "\"").mkString(", ")
+          val ins = conn.createStatement()
+          try ins.executeUpdate(
+            s"INSERT INTO $table ($colList) SELECT $colList FROM $stage")
+          finally ins.close()
+        }
+        dropIfExists(url, stage, props)
+      case None =>
+        // full install: rename pair in ONE transaction — the table is
+        // either entirely the old state or entirely the new one
+        inTransaction(url, props) { conn =>
+          renameTable(conn, table, old)
+          renameTable(conn, stage, table)
+        }
+        dropIfExists(url, old, props)
+    }
   }
+
+  /** Run `body` on a connection with autocommit off; commit on
+    * success, roll back on any throw. */
+  private def inTransaction(url: String, props: Properties)(
+      body: java.sql.Connection => Unit): Unit = {
+    val conn = java.sql.DriverManager.getConnection(url, props)
+    try {
+      conn.setAutoCommit(false)
+      try { body(conn); conn.commit() }
+      catch { case e: Throwable =>
+        try conn.rollback() catch { case _: Throwable => }
+        throw e
+      }
+    } finally conn.close()
+  }
+
+  /** Dialect-bridging rename: Derby spells it `RENAME TABLE a TO b`,
+    * SQLite-class engines `ALTER TABLE a RENAME TO b`. */
+  private def renameTable(conn: java.sql.Connection, from: String,
+      to: String): Unit = {
+    val st = conn.createStatement()
+    try st.executeUpdate(s"RENAME TABLE $from TO $to")
+    catch { case _: java.sql.SQLException =>
+      st.executeUpdate(s"ALTER TABLE $from RENAME TO $to")
+    } finally st.close()
+  }
+
+  private def dropIfExists(url: String, table: String,
+      props: Properties): Unit =
+    if (jdbcTableExists(url, table, props)) {
+      val conn = java.sql.DriverManager.getConnection(url, props)
+      try {
+        val st = conn.createStatement()
+        try st.executeUpdate(s"DROP TABLE $table") finally st.close()
+      } finally conn.close()
+    }
 
   private def jdbcTableExists(url: String, table: String,
       props: Properties): Boolean = {

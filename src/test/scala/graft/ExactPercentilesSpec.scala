@@ -97,6 +97,70 @@ class ExactPercentilesSpec extends SparkSpec {
     }
   }
 
+  test("weighted percentiles equal the expanded crossing at every rank") {
+    val rnd = new scala.util.Random(23)
+    val rows = (1 to 4000).map { _ =>
+      (Seq("a", "b")(rnd.nextInt(2)), rnd.nextDouble() * 300,
+        1L + rnd.nextInt(9).toLong)
+    }
+    val qs = Seq(("25", 1, 4), ("50", 1, 2), ("75", 3, 4), ("90", 9, 10))
+    val got = ExactPercentiles.weightedPercentiles(
+        rows.toDF("g", "v", "w"), "g", "v", "w", qs, bucketWidth = 7.0)
+      .collect().map(r => r.getAs[String]("g") ->
+        (r.getAs[Long]("total_weight"),
+          qs.map { case (l, _, _) => r.getAs[Double](s"p_$l") })).toMap
+    rows.groupBy(_._1).foreach { case (g, gr) =>
+      val sorted = gr.sortBy(_._2)
+      val total = sorted.map(_._3).sum
+      def crossing(num: Long, den: Long): Double = {
+        var cum = 0L
+        sorted.find { r => cum += r._3; den * cum >= num * total }.get._2
+      }
+      val (gotTotal, gotQs) = got(g)
+      assert(gotTotal === total, s"group $g total")
+      qs.zip(gotQs).foreach { case ((l, num, den), gotV) =>
+        assert(gotV === crossing(num, den), s"group $g p_$l")
+      }
+    }
+  }
+
+  test("weighted percentile at 1/2 equals weightedMedian, ties included") {
+    val df = Seq(("g", 5.0, 3L), ("g", 5.0, 3L), ("g", 7.0, 1L),
+      ("g", 2.0, 2L), ("h", 9.0, 4L)).toDF("g", "v", "w")
+    val wm = ExactPercentiles.weightedMedian(df, "g", "v", "w", 2.0)
+      .collect().map(r => r.getAs[String]("g") -> r.getAs[Double]("wmedian"))
+      .toMap
+    val wp = ExactPercentiles.weightedPercentiles(df, "g", "v", "w",
+        Seq(("50", 1, 2)), 2.0)
+      .collect().map(r => r.getAs[String]("g") -> r.getAs[Double]("p_50"))
+      .toMap
+    assert(wp === wm)
+  }
+
+  test("fused MAD equals the unfused two-pass composition") {
+    val rnd = new scala.util.Random(31)
+    val rows = (1 to 20000).map { _ =>
+      (Seq("a", "b", "c")(rnd.nextInt(3)), rnd.nextDouble() * 200 - 40)
+    }
+    val df = rows.toDF("g", "v")
+    // the unfused form q76 shipped before the fusion — byte-identical
+    // results are the regression contract ("hash unchanged")
+    val med = ExactPercentiles.compute(df, "g", "v",
+        Seq(("50", 0.5)), bucketWidth = 16.0)
+      .select(col("g"), round(col("p_50"), 4).as("med"))
+    val dev = df.join(broadcast(med), "g")
+      .withColumn("adev", abs(col("v") - col("med")))
+    val want = ExactPercentiles.compute(dev, "g", "adev",
+        Seq(("50", 0.5)), bucketWidth = 8.0)
+      .collect().map(r => r.getAs[String]("g") ->
+        (r.getAs[Double]("p_50"), r.getAs[Long]("n"))).toMap
+    val got = ExactPercentiles.mad(df, "g", "v",
+        bucketWidthV = 16.0, bucketWidthD = 8.0, roundMed = 4)
+      .collect().map(r => r.getAs[String]("g") ->
+        (r.getAs[Double]("p_50"), r.getAs[Long]("n"))).toMap
+    assert(got === want)
+  }
+
   test("exact-integer rank positions and tiny groups") {
     // 5 values => p50 position 2.0 exactly (lo == hi), p25 position 1.0
     val df = Seq(("g", 10.0), ("g", 20.0), ("g", 30.0), ("g", 40.0),
