@@ -129,15 +129,71 @@ object Dedup {
       }: _*)).as(Seq("band", "band_sig")))
       .filter(col("band_sig").isNotNull)
 
-  def minhashCandidates(sigs: DataFrame, bands: Int, rows: Int): DataFrame = {
+  /** @param salt chunk count for skew salting (1 = off)
+    * @param saltMinBucket bucket-size threshold above which a bucket
+    *   is salted. Boilerplate-heavy corpora put a large fraction of
+    *   docs into ONE band bucket; the plain self-join then lands that
+    *   whole bucket — and its |b|² candidate pairs — on one task. With
+    *   salting, buckets at/over the threshold are hash-chunked into
+    *   `salt` pieces and the join key becomes (band, sig, chunkLo,
+    *   chunkHi): each of the ~salt²/2 chunk-pair cells carries
+    *   (|b|/salt)² pairs, so no task sees more than a salt²-th of a
+    *   hot bucket's volume. The membership predicate ((a,b) chunks ==
+    *   (lo,hi) in one of the two orders) makes every pair match at
+    *   EXACTLY one cell — no duplicate emission, results identical to
+    *   the plain join (DedupSkewSpec asserts both halves). Cold
+    *   buckets keep the plain join; the only added cost when nothing
+    *   is hot is one map-side-combined bucket-size count. */
+  def minhashCandidates(sigs: DataFrame, bands: Int, rows: Int,
+      salt: Int = 1, saltMinBucket: Int = Int.MaxValue): DataFrame = {
     val banded = minhashBanded(sigs, bands, rows)
-    banded.as("a")
-      .join(banded.as("b"),
-        col("a.band") === col("b.band") &&
-          col("a.band_sig") === col("b.band_sig") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
-      .distinct()
+    def plainPairs(df: DataFrame): DataFrame =
+      df.as("a")
+        .join(df.as("b"),
+          col("a.band") === col("b.band") &&
+            col("a.band_sig") === col("b.band_sig") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+    val pairs =
+      if (salt <= 1) plainPairs(banded)
+      else {
+        // bucket sizes ride the same (band, band_sig) key the join
+        // uses — one extra map-side-combined aggregation, no broadcast
+        // assumption (bucket count scales with the corpus)
+        val sizes = banded.groupBy("band", "band_sig")
+          .agg(count(lit(1)).as("__bsz"))
+        val marked = banded.join(sizes, Seq("band", "band_sig"))
+        val cold = marked.filter(col("__bsz") < saltMinBucket)
+          .drop("__bsz")
+        val hot = marked.filter(col("__bsz") >= saltMinBucket)
+          .drop("__bsz")
+          .withColumn("__c", pmod(xxhash64(col("doc_id")), lit(salt.toLong)))
+        // each row fans out to its `salt` chunk-pair cells (lo, hi)
+        def cells(df: DataFrame): DataFrame =
+          df.withColumn("__x",
+              explode(sequence(lit(0L), lit(salt.toLong - 1L))))
+            .withColumn("__lo", least(col("__c"), col("__x")))
+            .withColumn("__hi", greatest(col("__c"), col("__x")))
+            .drop("__x")
+        val ca = cells(hot)
+        val cb = cells(hot)
+        val hotPairs = ca.as("a")
+          .join(cb.as("b"),
+            col("a.band") === col("b.band") &&
+              col("a.band_sig") === col("b.band_sig") &&
+              col("a.__lo") === col("b.__lo") &&
+              col("a.__hi") === col("b.__hi") &&
+              col("a.doc_id") < col("b.doc_id") &&
+              // exactly-one-cell membership: the pair's true chunk set
+              // must BE this cell, in one of its two orders
+              ((col("a.__c") === col("a.__lo") &&
+                col("b.__c") === col("a.__hi")) ||
+               (col("a.__c") === col("a.__hi") &&
+                col("b.__c") === col("a.__lo"))))
+          .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+        plainPairs(cold).unionAll(hotPairs)
+      }
+    pairs.distinct()
   }
 
   /** The persisted LSH candidate set (bloomPrefilter path) goes
@@ -171,9 +227,10 @@ object Dedup {
     */
   def minhashVerifiedPairs(docs: DataFrame, idCol: String, textCol: String,
       shingleN: Int, k: Int, bands: Int, rows: Int,
-      minJaccard: Double, bloomPrefilter: Boolean = false): DataFrame = {
+      minJaccard: Double, bloomPrefilter: Boolean = false,
+      salt: Int = 1, saltMinBucket: Int = Int.MaxValue): DataFrame = {
     val sigs = minhashSignatures(docs, idCol, textCol, shingleN, k)
-    val cands0 = minhashCandidates(sigs, bands, rows)
+    val cands0 = minhashCandidates(sigs, bands, rows, salt, saltMinBucket)
     val cands =
       if (bloomPrefilter) cachedPersisted(docs, shingleN, k, bands, rows, cands0)
       else cands0

@@ -160,4 +160,56 @@ object Pipeline {
         coalesce(sum(col(nTokensCol)).over(w), lit(0L)))
       .withColumn("bin_id", floor(col("start_off") / lit(maxTokens)))
   }
+
+  /** Best-fit WHOLE-DOC sequence packing — the no-split discipline
+    * next to [[packSequences]]'s concat-and-chop: a document is never
+    * straddled across bins (greedy lets a doc cross the window
+    * boundary; loaders then truncate or leak attention across the
+    * split). Each doc, in `orderCol` order, goes to the OPEN bin with
+    * the smallest remaining capacity that still fits (ties → oldest
+    * bin); if none fits, a new bin opens. Open bins are a bounded
+    * look-back of `maxOpenBins`: opening past the cap closes the
+    * OLDEST — so per-group packer state is O(maxOpenBins) however many
+    * bins a group produces, and bin ids stay densely sequential in
+    * creation order. A doc longer than `maxTokens` gets a bin of its
+    * own (remaining clamps to 0 — it never receives another doc),
+    * mirroring packSequences' never-split-a-record contract.
+    *
+    * This is the declared-legitimate sequential-scan shape: a
+    * secondary sort (hash partition on the group, in-partition sort by
+    * (group, order)) and ONE mapPartitions pass — best-fit is
+    * inherently order-dependent, no window/agg composition expresses
+    * it. Output: (g, o, n, bin_id) named after the inputs' roles. */
+  def packBestFit(df: DataFrame, groupCol: String, orderCol: String,
+      nTokensCol: String, maxTokens: Int, maxOpenBins: Int): DataFrame = {
+    require(maxTokens > 0 && maxOpenBins > 0)
+    val proj = df.select(col(groupCol).cast("string").as("g"),
+      col(orderCol).cast("long").as("o"),
+      col(nTokensCol).cast("long").as("n"))
+    val parted = proj.repartition(col("g")).sortWithinPartitions("g", "o")
+    import parted.sparkSession.implicits._
+    parted.as[(String, Long, Long)].mapPartitions { it =>
+      var curG: String = null
+      var lo = 0L
+      val rem = scala.collection.mutable.ArrayBuffer.empty[Long]
+      it.map { case (g, o, n) =>
+        if (g != curG) { curG = g; lo = 0L; rem.clear() }
+        var best = -1
+        var i = 0
+        while (i < rem.length) {
+          if (rem(i) >= n && (best < 0 || rem(i) < rem(best))) best = i
+          i += 1
+        }
+        val bin =
+          if (best >= 0) { rem(best) -= n; lo + best }
+          else {
+            rem += math.max(maxTokens.toLong - n, 0L)
+            val id = lo + rem.length - 1
+            if (rem.length > maxOpenBins) { rem.remove(0); lo += 1 }
+            id
+          }
+        (g, o, n, bin)
+      }
+    }.toDF("g", "o", "n", "bin_id")
+  }
 }

@@ -105,7 +105,13 @@ object DedupQueries {
     (sp, dir) => {
       val docs = Tables(sp, dir, "documents")
       val sigs = Dedup.minhashSignatures(docs, "doc_id", "text", shingleN = 3, k = 16)
-      val cands = Dedup.minhashCandidates(sigs, bands = 4, rows = 4)
+      // salting hooks engaged: any band bucket collecting ≥64 docs
+      // (boilerplate/adversarial corpora) is chunk-salted so its pair
+      // volume spreads over ~salt²/2 cells; results are identical by
+      // construction (DedupSkewSpec), and a corpus with no hot bucket
+      // pays only the bucket-size count
+      val cands = Dedup.minhashCandidates(sigs, bands = 4, rows = 4,
+        salt = 8, saltMinBucket = 64)
       val partners = cands.select(col("d1").as("doc_id"))
         .unionAll(cands.select(col("d2").as("doc_id")))
         .groupBy("doc_id").agg(count(lit(1)).as("n_candidates"))
@@ -134,7 +140,8 @@ object DedupQueries {
     (sp, dir) => {
       Dedup.minhashVerifiedPairs(Tables(sp, dir, "documents"),
         "doc_id", "text", shingleN = 3, k = 16, bands = 4, rows = 4,
-        minJaccard = 0.2, bloomPrefilter = true)
+        minJaccard = 0.2, bloomPrefilter = true,
+        salt = 8, saltMinBucket = 64)
         .orderBy("d1", "d2")
     },
     Some(s"""

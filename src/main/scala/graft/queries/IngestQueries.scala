@@ -1238,8 +1238,99 @@ object IngestQueries {
         CAST(SUM(version) AS BIGINT) AS sum_version
       FROM merged GROUP BY source ORDER BY source"""))
 
+  /** Exactly-once streaming terminal hop — e19's checkpointed
+    * discovery composed with [[Sinks.upsertBatchExactlyOnce]]: each
+    * foreachBatch installment lands through the atomic upsert AND
+    * records its batchId INSIDE the same install transaction, so a
+    * redelivered batch (foreachBatch is at-least-once) is skipped, not
+    * re-applied. The entry then REDELIVERS batch 0 deliberately — the
+    * crash-after-commit shape. The skip is value-audited twice over:
+    * the merge rule is incoming-beats-existing, so a re-applied batch
+    * 0 would REGRESS every multiple of 6 back to version 1, and the
+    * bookkeeping count (riding on every row as n_batches) would read 3
+    * — either way the oracle hash breaks. SinksAtomicSpec drives the
+    * crash-BEFORE-commit half: an unrecorded failed batch re-applies
+    * cleanly. */
+  val e28 = QueryDef(
+    "e28_exactly_once_sink",
+    (sp, dir) => {
+      val fp = IngestFixtures.fingerprint(s"$dir/documents.parquet")
+      val land = s"/tmp/graft_ingest_v2/e28_land_$fp"
+      val ckpt = s"/tmp/graft_ingest_v2/e28_ckpt_$fp"
+      val url = s"jdbc:derby:memory:graft_e28_$fp;create=true"
+      val table = "eo_docs"
+      IngestFixtures.once(s"e28_$fp") {
+        import scala.reflect.io.Directory
+        new Directory(new java.io.File(land)).deleteRecursively()
+        new Directory(new java.io.File(ckpt)).deleteRecursively()
+        val docs = Tables(sp, dir, "documents")
+        def batch1 = docs.filter(col("doc_id") % 2 === 0)
+          .select(col("doc_id"), col("source"),
+            col("n_chars").cast("long").as("payload"),
+            lit(1).as("version"))
+        def ingestPass(): Unit = {
+          val schema = StructType(Seq(
+            StructField("doc_id", LongType),
+            StructField("source", StringType),
+            StructField("payload", LongType),
+            StructField("version", IntegerType)))
+          val q = sp.readStream.schema(schema).parquet(land)
+            .writeStream
+            .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+              Sinks.upsertBatchExactlyOnce(sp, b.localCheckpoint(true), id,
+                url, table, keyCols = Seq("doc_id"), versionCol = "version",
+                numPartitions = 2, partCol = Some("source"))
+              ()
+            }
+            .option("checkpointLocation", ckpt)
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start()
+          q.awaitTermination()
+        }
+        IngestFixtures.addLandingFile(land, batch1,
+          "batch1.parquet", 1700000000000L)
+        ingestPass()                                     // batch 0
+        IngestFixtures.addLandingFile(land,
+          docs.filter(col("doc_id") % 3 === 0)
+            .select(col("doc_id"), col("source"),
+              (col("n_chars") + 1000L).cast("long").as("payload"),
+              lit(2).as("version")),
+          "batch2.parquet", 1700000100000L)
+        ingestPass()                                     // batch 1
+        // redeliver batch 0 (crash-after-commit): MUST be skipped
+        Sinks.upsertBatchExactlyOnce(sp, batch1, 0L, url, table,
+          keyCols = Seq("doc_id"), versionCol = "version",
+          numPartitions = 2, partCol = Some("source"))
+      }
+      val nb = Sinks.readJdbc(sp, url, table + "__applied")
+        .agg(count(lit(1)).as("n_batches"))
+        .withColumn("__k", pmod(col("n_batches"), lit(1L)))
+      Sinks.readJdbc(sp, url, table)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("payload")).as("sum_payload"),
+          sum(col("version").cast("long")).as("sum_version"))
+        .withColumn("__k", pmod(col("n_docs"), lit(1L)))
+        .join(broadcast(nb), "__k")
+        .drop("__k")
+        .orderBy("source")
+    },
+    Some("""
+      WITH merged AS (
+        SELECT doc_id, source,
+          CAST(CASE WHEN doc_id % 3 = 0 THEN n_chars + 1000
+                    ELSE n_chars END AS BIGINT) AS payload,
+          CASE WHEN doc_id % 3 = 0 THEN 2 ELSE 1 END AS version
+        FROM documents
+        WHERE doc_id % 2 = 0 OR doc_id % 3 = 0)
+      SELECT source, COUNT(*) AS n_docs,
+        CAST(SUM(payload) AS BIGINT) AS sum_payload,
+        CAST(SUM(version) AS BIGINT) AS sum_version,
+        CAST(2 AS BIGINT) AS n_batches
+      FROM merged GROUP BY source ORDER BY source"""))
+
   val defs: Seq[QueryDef] =
     Seq(e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11, e12, e13,
       e14, e15, e16, e17, e18, e19, e20, e21, e22, e23, e24, e25, e26,
-      e27)
+      e27, e28)
 }

@@ -875,7 +875,68 @@ object PipelineQueries {
           / CAST(MIN(n_docs) OVER () AS DOUBLE) AS imbalance
       FROM c ORDER BY shard"""))
 
+  /** Best-fit whole-doc packing ([[Pipeline.packBestFit]]) next to
+    * p03's concat-and-chop: docs never straddle bins, each goes to the
+    * tightest open bin that fits, open bins are a bounded look-back of
+    * 4 (state O(4) per group at any corpus size). 256-token bins make
+    * the choice real on this fixture (multi-bin sources, closes
+    * exercised). The oracle REPLAYS the packer decision-for-decision
+    * with a recursive CTE carrying the open-bin remainders as a list —
+    * every assignment is hash-checked, not just bin counts.
+    * PipelineSpec asserts the efficiency claim: ≤ next-fit's bin count
+    * (the comparable no-split greedy; p03's fill can exceed 1.0 by
+    * straddling, so it is not the comparator) on the same fixture. */
+  val p23 = QueryDef(
+    "p23_bestfit_packing",
+    (sp, dir) => {
+      val docs = Tables(sp, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      Pipeline.packBestFit(docs, "source", "doc_id", "n_tokens",
+          maxTokens = 256, maxOpenBins = 4)
+        .select(col("g").as("source"), col("o").as("doc_id"),
+          col("n").as("n_tokens"), col("bin_id"))
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH RECURSIVE docs AS (
+        SELECT source, doc_id,
+          CAST(len(string_split(text, ' ')) AS BIGINT) AS n,
+          CAST(ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id)
+            AS BIGINT) AS rn
+        FROM documents),
+      pack AS (
+        SELECT source, CAST(0 AS BIGINT) AS rn, CAST(NULL AS BIGINT) AS doc_id,
+          CAST(NULL AS BIGINT) AS n, CAST(0 AS BIGINT) AS lo,
+          CAST([] AS BIGINT[]) AS rem, CAST(NULL AS BIGINT) AS bin_id
+        FROM (SELECT DISTINCT source FROM docs)
+        UNION ALL
+        SELECT source, rn, doc_id, n,
+          CASE WHEN len(rem1) > 4 THEN lo + 1 ELSE lo END AS lo,
+          CASE WHEN len(rem1) > 4 THEN rem1[2:] ELSE rem1 END AS rem,
+          bin1 AS bin_id
+        FROM (
+          SELECT *,
+            CASE WHEN best IS NULL
+                 THEN list_append(rem, greatest(256 - n, 0))
+                 ELSE list_transform(range(1, len(rem) + 1),
+                        i -> CASE WHEN i = CAST(best[2] AS BIGINT)
+                             THEN rem[i] - n ELSE rem[i] END)
+            END AS rem1,
+            CASE WHEN best IS NULL THEN lo + len(rem)
+                 ELSE lo + CAST(best[2] AS BIGINT) - 1 END AS bin1
+          FROM (
+            SELECT p.source, d.rn, d.doc_id, d.n, p.lo, p.rem,
+              list_min(list_transform(
+                list_filter(range(1, len(p.rem) + 1),
+                  i -> p.rem[i] >= d.n),
+                i -> [p.rem[i], CAST(i AS BIGINT)])) AS best
+            FROM pack p JOIN docs d
+              ON d.source = p.source AND d.rn = p.rn + 1)))
+      SELECT source, doc_id, n AS n_tokens, bin_id
+      FROM pack WHERE rn >= 1 ORDER BY doc_id"""))
+
   val defs: Seq[QueryDef] =
     Seq(p01, p02, p03, p04, p05, p06, p07, p08, p09, p10, p11, p12, p13,
-      p14, p15, p16, p17, p18, p19, p20, p21, p22)
+      p14, p15, p16, p17, p18, p19, p20, p21, p22, p23)
 }

@@ -80,7 +80,8 @@ object Sinks {
   def upsertJdbc(spark: SparkSession, batch: DataFrame, url: String,
       table: String, keyCols: Seq[String], versionCol: String,
       numPartitions: Int = 8, props: Properties = new Properties(),
-      partCol: Option[String] = None): Unit = {
+      partCol: Option[String] = None,
+      txnHook: java.sql.Connection => Unit = _ => ()): Unit = {
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.functions._
     // NOTE: a partition column outside the key must be STABLE per key
@@ -147,6 +148,7 @@ object Sinks {
     if (!tableExists) {
       inTransaction(url, props) { conn =>
         renameTable(conn, stage, table)
+        txnHook(conn)
       }
     } else touched.zip(partCol) match {
       case Some((vals, p)) =>
@@ -166,6 +168,7 @@ object Sinks {
           try ins.executeUpdate(
             s"INSERT INTO $table ($colList) SELECT $colList FROM $stage")
           finally ins.close()
+          txnHook(conn)
         }
         dropIfExists(url, stage, props)
       case None =>
@@ -174,8 +177,67 @@ object Sinks {
         inTransaction(url, props) { conn =>
           renameTable(conn, table, old)
           renameTable(conn, stage, table)
+          txnHook(conn)
         }
         dropIfExists(url, old, props)
+    }
+  }
+
+  /** Exactly-once foreachBatch terminal hop: apply `batch` via
+    * [[upsertJdbc]] UNLESS this (table, batchId) already committed —
+    * the bookkeeping row (`table__applied`) is written INSIDE the same
+    * install transaction as the data, so "applied" and "recorded" are
+    * one atomic fact:
+    *
+    *  - crash before the install commit → neither data nor record;
+    *    Structured Streaming redelivers the batch, it applies cleanly;
+    *  - crash after the commit → record present; the redelivered batch
+    *    is SKIPPED (returns false) — never double-applied.
+    *
+    * That is exactly-once sink semantics on top of foreachBatch's
+    * at-least-once delivery, the standard batchId-bookkeeping recipe.
+    * (A replay from a FRESH checkpoint restarts batch ids; the merge's
+    * key-dedup then makes the reapply value-idempotent — both replay
+    * shapes end in the same table.) Returns true iff applied. */
+  def upsertBatchExactlyOnce(spark: SparkSession, batch: DataFrame,
+      batchId: Long, url: String, table: String, keyCols: Seq[String],
+      versionCol: String, numPartitions: Int = 8,
+      props: Properties = new Properties(),
+      partCol: Option[String] = None): Boolean = {
+    val bk = table + "__applied"
+    if (!jdbcTableExists(url, bk, props)) {
+      // idempotent bootstrap: losing a race to another creator is fine
+      val conn = java.sql.DriverManager.getConnection(url, props)
+      try {
+        val st = conn.createStatement()
+        try st.executeUpdate(s"CREATE TABLE $bk (batch_id BIGINT)")
+        catch { case _: java.sql.SQLException => }
+        finally st.close()
+      } finally conn.close()
+    }
+    val applied = {
+      val conn = java.sql.DriverManager.getConnection(url, props)
+      try {
+        val st = conn.prepareStatement(
+          s"SELECT 1 FROM $bk WHERE batch_id = ?")
+        try { st.setLong(1, batchId); val rs = st.executeQuery()
+          try rs.next() finally rs.close()
+        } finally st.close()
+      } finally conn.close()
+    }
+    if (applied) false
+    else {
+      upsertJdbc(spark, batch, url, table, keyCols, versionCol,
+        numPartitions, props, partCol,
+        txnHook = { conn =>
+          // unconditional insert: if the skip check ever regressed, a
+          // reapply would double-record and any count over the
+          // bookkeeping table breaks loudly
+          val st = conn.prepareStatement(s"INSERT INTO $bk VALUES (?)")
+          try { st.setLong(1, batchId); st.executeUpdate() }
+          finally st.close()
+        })
+      true
     }
   }
 

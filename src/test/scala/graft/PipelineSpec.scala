@@ -51,6 +51,62 @@ class PipelineSpec extends SparkSpec {
       (2L, 200L, 0L), (3L, 300L, 1L)))
   }
 
+  test("best-fit packing matches a sequential reference, bounded open bins") {
+    val rnd = new scala.util.Random(7)
+    val rows = (0L until 3000L).map(i =>
+      (i, "g" + (i % 3), 10L + rnd.nextInt(200)))
+    val got = Pipeline.packBestFit(rows.toDF("doc_id", "grp", "n_tokens"),
+        "grp", "doc_id", "n_tokens", maxTokens = 256, maxOpenBins = 4)
+      .collect().map(r => r.getAs[Long]("o") -> r.getAs[Long]("bin_id")).toMap
+    // reference: literal best-fit with a 4-bin look-back
+    val want = scala.collection.mutable.Map.empty[Long, Long]
+    rows.groupBy(_._2).foreach { case (_, grp) =>
+      var lo = 0L
+      val rem = scala.collection.mutable.ArrayBuffer.empty[Long]
+      grp.sortBy(_._1).foreach { case (id, _, n) =>
+        val fit = rem.zipWithIndex.filter(_._1 >= n)
+        if (fit.nonEmpty) {
+          val i = fit.minBy(_._1)._2
+          rem(i) -= n
+          want(id) = lo + i
+        } else {
+          rem += math.max(256L - n, 0L)
+          want(id) = lo + rem.length - 1
+          if (rem.length > 4) { rem.remove(0); lo += 1 }
+        }
+      }
+    }
+    assert(got === want.toMap)
+  }
+
+  test("best-fit opens no more bins than next-fit and never splits a doc") {
+    val rnd = new scala.util.Random(13)
+    val rows = (0L until 2000L).map(i => (i, "g", 10L + rnd.nextInt(200)))
+    val d = rows.toDF("doc_id", "grp", "n_tokens")
+    val bf = Pipeline.packBestFit(d, "grp", "doc_id", "n_tokens", 256, 4)
+      .groupBy("bin_id").agg(sum(col("n")).as("fill"))
+      .collect().map(r => r.getAs[Long]("fill"))
+    // next-fit = the comparable no-split greedy (only the newest bin
+    // is a candidate). p03's concat-and-chop is NOT comparable: it
+    // straddles docs, so its fill exceeds the cap by construction.
+    var nfBins = 0
+    var remNf = -1L
+    rows.sortBy(_._1).foreach { case (_, _, n) =>
+      if (remNf >= n) remNf -= n
+      else { nfBins += 1; remNf = math.max(256L - n, 0L) }
+    }
+    assert(bf.length <= nfBins,
+      s"best-fit ${bf.length} bins must be <= next-fit $nfBins")
+    // no bin overflows (whole-doc contract; singleton oversize allowed)
+    assert(bf.forall(_ <= 256L))
+    // oversized doc gets a bin of its own and the bin closes at 0 rem
+    val big = Seq((0L, "g", 500L), (1L, "g", 10L))
+      .toDF("doc_id", "grp", "n_tokens")
+    val gotBig = Pipeline.packBestFit(big, "grp", "doc_id", "n_tokens", 256, 4)
+      .collect().map(r => r.getAs[Long]("o") -> r.getAs[Long]("bin_id")).toMap
+    assert(gotBig === Map(0L -> 0L, 1L -> 1L))
+  }
+
   test("classBalance undersamples every class toward the rarest class's count") {
     // 3 classes with 40/200/1000 members: balanced output keeps ~40 each
     val rows = (0 until 40).map(i => (i.toLong, "rare")) ++

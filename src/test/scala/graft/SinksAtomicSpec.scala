@@ -82,6 +82,42 @@ class SinksAtomicSpec extends SparkSpec {
     assert(scoped.count() === 1L)
   }
 
+  test("exactly-once: a recorded batchId is skipped, an unrecorded crash re-applies") {
+    val url = "jdbc:derby:memory:graft_eo1;create=true"
+    val b0 = Seq((1L, "a", 1), (2L, "b", 1)).toDF("id", "name", "ver")
+    assert(Sinks.upsertBatchExactlyOnce(spark, b0, 0L, url, "t",
+      Seq("id"), "ver", numPartitions = 1))
+    val b1 = Seq((2L, "b2", 2)).toDF("id", "name", "ver")
+    assert(Sinks.upsertBatchExactlyOnce(spark, b1, 1L, url, "t",
+      Seq("id"), "ver", numPartitions = 1))
+    val after = rows(url, "t")
+    assert(after === Seq((1L, "a", 1), (2L, "b2", 2)))
+    // redeliver batch 0 (crash-after-commit): skipped — the merge rule
+    // is incoming-beats-existing, so an actual re-apply would regress
+    // id=2 to ver 1 and this assertion would catch it
+    assert(!Sinks.upsertBatchExactlyOnce(spark, b0, 0L, url, "t",
+      Seq("id"), "ver", numPartitions = 1))
+    assert(rows(url, "t") === after)
+    // crash BEFORE the install commit: batch 2 dies mid-stage-write —
+    // nothing recorded, so the redelivered clean batch 2 applies
+    val poison = Seq((3L, "c", 1)).toDF("id", "name", "ver")
+      .withColumn("name", raise_error(lit("boom")))
+    intercept[Exception] {
+      Sinks.upsertBatchExactlyOnce(spark, poison, 2L, url, "t",
+        Seq("id"), "ver", numPartitions = 1)
+    }
+    assert(rows(url, "t") === after, "failed batch must not leak data")
+    assert(Sinks.upsertBatchExactlyOnce(spark,
+      Seq((3L, "c", 1)).toDF("id", "name", "ver"), 2L, url, "t",
+      Seq("id"), "ver", numPartitions = 1),
+      "unrecorded batch must re-apply after its crash")
+    assert(rows(url, "t") === Seq((1L, "a", 1), (2L, "b2", 2), (3L, "c", 1)))
+    // bookkeeping holds exactly the three committed batch ids
+    val bk = Sinks.readJdbc(spark, url, "t__applied").collect()
+      .map(_.getLong(0)).sorted.toSeq
+    assert(bk === Seq(0L, 1L, 2L))
+  }
+
   test("first load installs via rename: no live table until the commit") {
     val url = "jdbc:derby:memory:graft_atomic4;create=true"
     // poison first load: table must NOT exist afterwards (no partial
