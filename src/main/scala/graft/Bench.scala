@@ -101,7 +101,21 @@ object Bench {
     // JSON and silently null the driver's perf gate on such JVMs.
     def fixed(digits: Int)(v: Double): String =
       String.format(java.util.Locale.ROOT, s"%.${digits}f", Double.box(v))
-    val candidates = Seq(fixed(3) _, fixed(2) _, fixed(1) _).map(line(keyOf, _))
+    // The catalog has grown past the point where even 1-decimal
+    // per-query values fit the 2000-char tail (196 entries ≈ 2050
+    // chars): degrade to integer seconds next, and as the terminal
+    // fallback drop the per-query map entirely — a parseable total
+    // (full detail is always in target/bench_full.json) beats a
+    // decapitated line the driver reads as parsed:null.
+    val summaryOnly =
+      s"""{"metric":"total","value":${fixed(1)(total)},"unit":"sec",""" +
+        s""""shared_builds":${fixed(1)(sharedSec)},"queries":{},""" +
+        s""""failed":${results.collect { case (k, _, false) => "\"" + keyOf(k) + "\"" }
+            .mkString("[", ",", "]")},""" +
+        s""""queries_file":"target/bench_full.json","sf":"$sfDir"}"""
+    val candidates =
+      Seq(fixed(3) _, fixed(2) _, fixed(1) _, fixed(0) _).map(line(keyOf, _)) :+
+        summaryOnly
     println(candidates.find(_.length <= MaxLine).getOrElse(candidates.last))
     spark.stop()
   }

@@ -114,17 +114,17 @@ object RelationalPlus {
       ORDER BY p_retailprice, p_partkey"""))
 
   /** Median absolute deviation (robust dispersion) per event type:
-    * MAD = median(|v − median(v)|), both medians through the FUSED
-    * [[graft.operators.ExactPercentiles.mad]] decomposition: one
-    * persisted (group, value) projection feeds both histograms and
-    * both target-bucket re-scans, so events.parquet is scanned ONCE
-    * (the unfused form paid four storage scans — same values, twice
-    * the wall-clock). Bounded two-pass state throughout, q73's path —
-    * never `percentile()`'s every-distinct-value buffer. The inner
-    * median is rounded to 4 decimals ON BOTH ENGINES before the
-    * deviations: the engine boundary is crossed once, under a
-    * round(4) guard, so the deviation doubles are bit-identical
-    * inputs to the outer median. */
+    * MAD = median(|v − median(v)|), both medians through
+    * [[graft.operators.ExactPercentiles.mad]] — four bounded passes
+    * that deliberately RE-SCAN the column-pruned parquet projection
+    * (a cache-fused variant was built and profiled slower at sf0.1;
+    * the operator docstring records the numbers). Bounded two-pass
+    * state throughout, q73's path — never `percentile()`'s
+    * every-distinct-value buffer. The inner median is rounded to 4
+    * decimals ON BOTH ENGINES before the deviations: the engine
+    * boundary is crossed once, under a round(4) guard, so the
+    * deviation doubles are bit-identical inputs to the outer
+    * median. */
   val q76 = QueryDef(
     "q76_mad",
     (sp, dir) => {

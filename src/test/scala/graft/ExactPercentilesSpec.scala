@@ -137,14 +137,15 @@ class ExactPercentilesSpec extends SparkSpec {
     assert(wp === wm)
   }
 
-  test("fused MAD equals the unfused two-pass composition") {
+  test("mad() equals the inline two-pass composition byte for byte") {
     val rnd = new scala.util.Random(31)
     val rows = (1 to 20000).map { _ =>
       (Seq("a", "b", "c")(rnd.nextInt(3)), rnd.nextDouble() * 200 - 40)
     }
     val df = rows.toDF("g", "v")
-    // the unfused form q76 shipped before the fusion — byte-identical
-    // results are the regression contract ("hash unchanged")
+    // the literal composition q76 shipped originally — byte-identical
+    // results are the regression contract ("hash unchanged"), whatever
+    // execution strategy mad() adopts internally
     val med = ExactPercentiles.compute(df, "g", "v",
         Seq(("50", 0.5)), bucketWidth = 16.0)
       .select(col("g"), round(col("p_50"), 4).as("med"))

@@ -90,6 +90,24 @@ class PlanAuditSpec extends SparkSpec {
       s"per-flag totals must broadcast:\n${p.take(2000)}")
   }
 
+  test("p23 best-fit packer: one hash exchange, in-partition sorts only") {
+    import org.apache.spark.sql.functions.col
+    val docs = graft.Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("source"),
+        org.apache.spark.sql.functions.size(
+          org.apache.spark.sql.functions.split(col("text"), " "))
+          .cast("long").as("n_tokens"))
+    val p = graft.operators.Pipeline.packBestFit(docs, "source", "doc_id",
+      "n_tokens", maxTokens = 256, maxOpenBins = 4)
+      .queryExecution.executedPlan.toString
+    // the secondary sort must stay partition-local: any global Sort
+    // here would mean the packer serialized the corpus through one
+    // task order instead of one task per group-hash partition
+    assert(shuffles(p) === 1, s"expected exactly the group hash exchange:\n$p")
+    val globalSorts = "Sort \\[[^\\]]*\\], true".r.findAllIn(p).toList
+    assert(globalSorts.isEmpty, s"global sort in packer plan:\n$globalSorts")
+  }
+
   test("d07 bloom prefilter prunes the shingle probe side before the verify join") {
     val p = plan("d07_minhash_verify")
     assert(p.contains("pmod(hash(doc_id"),

@@ -197,4 +197,52 @@ class ScaleOpsSpec extends SparkSpec {
     assert(bad === 0L)
     assert(out.count() === 1000000L)
   }
+
+  test("best-fit packing at 1M rows matches the closed-form assignment") {
+    // 10 groups, every doc 100 tokens, 256-token bins: exactly two
+    // docs fit per bin (156 then 56 remaining), so the r-th doc of a
+    // group (0-based, id order) lands in bin r / 2 — checked for every
+    // row with an expression compare, no collect
+    val df = spark.range(1000000).select(col("id"),
+      (col("id") % 10).as("grp"), lit(100L).as("n"))
+    val out = Pipeline.packBestFit(df, "grp", "id", "n",
+      maxTokens = 256, maxOpenBins = 4)
+    // r = id DIV 10 (ids are dealt round-robin across the 10 groups);
+    // DIV, not "/": Spark's "/" on longs is DOUBLE division
+    val bad = out.filter(col("bin_id") =!= expr("(o DIV 10) DIV 2")).count()
+    assert(bad === 0L)
+    assert(out.count() === 1000000L)
+  }
+
+  test("weighted percentiles at 1M rows match a locally replayed crossing") {
+    // v = id % 1000, w = (v % 7) + 1, groups id % 2. Since 1000 is
+    // even, id % 1000 == v pins id's parity to v's: group g holds
+    // exactly the same-parity values, each appearing 1000 times — so
+    // the crossing per rank replays with a 500-step local loop over
+    // exact integers
+    val df = spark.range(1000000).select((col("id") % 2).as("g"),
+      (col("id") % 1000).as("v"),
+      ((col("id") % 1000) % 7 + 1).as("w"))
+    val qs = Seq(("25", 1, 4), ("50", 1, 2), ("90", 9, 10))
+    val got = graft.operators.ExactPercentiles.weightedPercentiles(
+        df, "g", "v", "w", qs, bucketWidth = 64.0)
+      .collect().map(r => r.getAs[Long]("g") ->
+        (r.getAs[Long]("total_weight"),
+          qs.map { case (l, _, _) => r.getAs[Double](s"p_$l") })).toMap
+    (0L until 2L).foreach { g =>
+      val vs = (g until 1000L by 2).toSeq
+      val weightOf = vs.map(v => v -> 1000L * (v % 7 + 1)).toMap
+      val total = weightOf.values.sum
+      def crossing(num: Long, den: Long): Double = {
+        var cum = 0L
+        vs.find { v => cum += weightOf(v); den * cum >= num * total }
+          .get.toDouble
+      }
+      val (w, vals) = got(g)
+      assert(w === total, s"group $g total weight")
+      qs.zip(vals).foreach { case ((l, num, den), v) =>
+        assert(v === crossing(num, den), s"group $g p_$l")
+      }
+    }
+  }
 }
