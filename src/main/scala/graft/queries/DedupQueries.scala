@@ -901,7 +901,61 @@ object DedupQueries {
       FROM stages, tot ORDER BY stage"""
     })
 
+  /** Incremental LSH index maintenance — the 100 TB operational shape
+    * d02 implies: when an installment of NEW docs arrives, only
+    * new×(old ∪ new) bucket pairs are computed (the stored pair set
+    * and the old corpus' banded index are reused), never old×old
+    * again. Cost per installment follows the INSTALLMENT's bucket
+    * volume, not the corpus'. The entry splits the corpus (even
+    * doc_ids = the stored index, odd = the arriving installment),
+    * maintains incrementally, and emits per-doc candidate counts —
+    * which the oracle computes FROM SCRATCH over the full corpus, so
+    * the hash proves incremental ≡ batch, partner for partner. */
+  val d19 = QueryDef(
+    "d19_incremental_lsh",
+    (sp, dir) => {
+      val docs = Tables(sp, dir, "documents")
+      val oldDocs = docs.filter(col("doc_id") % 2 === 0)
+      val newDocs = docs.filter(col("doc_id") % 2 =!= 0)
+      val bandedOld = Dedup.minhashBanded(
+        Dedup.minhashSignatures(oldDocs, "doc_id", "text", 3, 16), 4, 4)
+      val bandedNew = Dedup.minhashBanded(
+        Dedup.minhashSignatures(newDocs, "doc_id", "text", 3, 16), 4, 4)
+      // delta join: the new side probes the ENTIRE index (old + new),
+      // so new×old and new×new pairs appear; old×old pairs come from
+      // the stored pair set (recomputed here as the stand-in for the
+      // previous installment's output — in production it is read back)
+      val newPairs = bandedNew.as("a")
+        .join(bandedOld.unionAll(bandedNew).as("b"),
+          col("a.band") === col("b.band") &&
+            col("a.band_sig") === col("b.band_sig") &&
+            col("a.doc_id") =!= col("b.doc_id"))
+        .select(least(col("a.doc_id"), col("b.doc_id")).as("d1"),
+          greatest(col("a.doc_id"), col("b.doc_id")).as("d2"))
+      val oldPairs = Dedup.minhashCandidates(
+        Dedup.minhashSignatures(oldDocs, "doc_id", "text", 3, 16), 4, 4)
+      val cands = oldPairs.unionAll(newPairs).distinct()
+      val partners = cands.select(col("d1").as("doc_id"))
+        .unionAll(cands.select(col("d2").as("doc_id")))
+        .groupBy("doc_id").agg(count(lit(1)).as("n_candidates"))
+      docs.select(col("doc_id"), (col("doc_id") % 2 =!= 0).as("is_new"))
+        .join(partners, Seq("doc_id"), "left_outer")
+        .select(col("doc_id"), col("is_new"),
+          coalesce(col("n_candidates"), lit(0L)).as("n_candidates"))
+        .orderBy("doc_id")
+    },
+    Some(s"""
+      WITH $shingleHashSql,
+      $minhashCandSql,
+      partners AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) n FROM (
+          SELECT d1 AS doc_id FROM cands UNION ALL SELECT d2 FROM cands)
+        GROUP BY doc_id)
+      SELECT d.doc_id, d.doc_id % 2 <> 0 AS is_new,
+        COALESCE(p.n, 0) AS n_candidates
+      FROM documents d LEFT JOIN partners p ON d.doc_id = p.doc_id
+      ORDER BY d.doc_id"""))
+
   val defs: Seq[QueryDef] =
     Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13,
-      d14, d15, d16, d17, d18)
+      d14, d15, d16, d17, d18, d19)
 }

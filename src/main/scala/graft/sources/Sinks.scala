@@ -102,8 +102,17 @@ object Sinks {
     val touched: Option[Seq[Any]] = partCol.filter(_ => tableExists).map { p =>
       // distinct partition values in the batch: small by the partCol
       // contract (a batch clusters in few partitions), so the collect
-      // is bounded — this is partition METADATA, not data
-      batch.select(col(p)).distinct().collect().map(_.get(0)).toSeq
+      // is bounded — this is partition METADATA, not data. The cap
+      // makes a broken contract fail LOUDLY at the driver instead of
+      // oom-ing it or ballooning the install transaction: a batch
+      // touching >10k partitions means partCol is not a partition
+      // column for this workload — use the full path.
+      val vals = batch.select(col(p)).distinct().limit(10001)
+        .collect().map(_.get(0)).toSeq
+      require(vals.size <= 10000,
+        s"batch touches >10000 distinct '$p' partitions — partCol is " +
+          "not clustering this workload; drop partCol for the full path")
+      vals
     }
     val existing =
       if (!tableExists) None
@@ -156,13 +165,20 @@ object Sinks {
         // the stage (which holds exactly those partitions' merged
         // rows). Untouched partitions are never rewritten.
         inTransaction(url, props) { conn =>
-          val in = vals.map(_ => "?").mkString(", ")
-          val del = conn.prepareStatement(
-            s"""DELETE FROM $table WHERE "$p" IN ($in)""")
-          try {
-            vals.zipWithIndex.foreach { case (v, i) => del.setObject(i + 1, v) }
-            del.executeUpdate()
-          } finally del.close()
+          // chunked IN lists: SQLite-class targets cap bind variables
+          // (999 historically); several DELETEs inside the ONE
+          // transaction are exactly as atomic as one
+          vals.grouped(500).foreach { chunk =>
+            val in = chunk.map(_ => "?").mkString(", ")
+            val del = conn.prepareStatement(
+              s"""DELETE FROM $table WHERE "$p" IN ($in)""")
+            try {
+              chunk.zipWithIndex.foreach { case (v, i) =>
+                del.setObject(i + 1, v)
+              }
+              del.executeUpdate()
+            } finally del.close()
+          }
           val colList = merged.columns.map(c => "\"" + c + "\"").mkString(", ")
           val ins = conn.createStatement()
           try ins.executeUpdate(
