@@ -145,55 +145,71 @@ object Dedup {
     *   buckets keep the plain join; the only added cost when nothing
     *   is hot is one map-side-combined bucket-size count. */
   def minhashCandidates(sigs: DataFrame, bands: Int, rows: Int,
-      salt: Int = 1, saltMinBucket: Int = Int.MaxValue): DataFrame = {
-    val banded = minhashBanded(sigs, bands, rows)
+      salt: Int = 1, saltMinBucket: Int = Int.MaxValue): DataFrame =
+    bucketPairs(minhashBanded(sigs, bands, rows), Seq("band", "band_sig"),
+      salt, saltMinBucket)(
+      Seq(col("a.doc_id").as("d1"), col("b.doc_id").as("d2")))
+      .distinct()
+
+  /** The (optionally skew-salted) in-bucket candidate self-join shared
+    * by the MinHash and SimHash paths: rows sharing a `keyCols` bucket
+    * pair up (a.doc_id < b.doc_id), projected through `out` (columns
+    * over the `a`/`b` join aliases). When `salt > 1`, buckets at/over
+    * `saltMinBucket` rows are hash-chunked into `salt` pieces and the
+    * join key extends to (keys…, chunkLo, chunkHi): each of the
+    * ~salt²/2 chunk-pair cells carries (|b|/salt)² pairs, so no task
+    * sees more than a salt²-th of a hot bucket's volume. The
+    * membership predicate ((a,b) chunks == (lo,hi) in one of the two
+    * orders) makes every pair match at EXACTLY one cell — no
+    * duplicate emission, results identical to the plain join
+    * (DedupSkewSpec asserts both halves for both callers). Cold
+    * buckets keep the plain join; the only added cost when nothing is
+    * hot is one map-side-combined bucket-size count. */
+  private def bucketPairs(banded: DataFrame, keyCols: Seq[String],
+      salt: Int, saltMinBucket: Int)(out: Seq[Column]): DataFrame = {
+    def keyCond = keyCols.map(k => col(s"a.$k") === col(s"b.$k"))
+      .reduce(_ && _)
     def plainPairs(df: DataFrame): DataFrame =
       df.as("a")
-        .join(df.as("b"),
-          col("a.band") === col("b.band") &&
-            col("a.band_sig") === col("b.band_sig") &&
-            col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
-    val pairs =
-      if (salt <= 1) plainPairs(banded)
-      else {
-        // bucket sizes ride the same (band, band_sig) key the join
-        // uses — one extra map-side-combined aggregation, no broadcast
-        // assumption (bucket count scales with the corpus)
-        val sizes = banded.groupBy("band", "band_sig")
-          .agg(count(lit(1)).as("__bsz"))
-        val marked = banded.join(sizes, Seq("band", "band_sig"))
-        val cold = marked.filter(col("__bsz") < saltMinBucket)
-          .drop("__bsz")
-        val hot = marked.filter(col("__bsz") >= saltMinBucket)
-          .drop("__bsz")
-          .withColumn("__c", pmod(xxhash64(col("doc_id")), lit(salt.toLong)))
-        // each row fans out to its `salt` chunk-pair cells (lo, hi)
-        def cells(df: DataFrame): DataFrame =
-          df.withColumn("__x",
-              explode(sequence(lit(0L), lit(salt.toLong - 1L))))
-            .withColumn("__lo", least(col("__c"), col("__x")))
-            .withColumn("__hi", greatest(col("__c"), col("__x")))
-            .drop("__x")
-        val ca = cells(hot)
-        val cb = cells(hot)
-        val hotPairs = ca.as("a")
-          .join(cb.as("b"),
-            col("a.band") === col("b.band") &&
-              col("a.band_sig") === col("b.band_sig") &&
-              col("a.__lo") === col("b.__lo") &&
-              col("a.__hi") === col("b.__hi") &&
-              col("a.doc_id") < col("b.doc_id") &&
-              // exactly-one-cell membership: the pair's true chunk set
-              // must BE this cell, in one of its two orders
-              ((col("a.__c") === col("a.__lo") &&
-                col("b.__c") === col("a.__hi")) ||
-               (col("a.__c") === col("a.__hi") &&
-                col("b.__c") === col("a.__lo"))))
-          .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
-        plainPairs(cold).unionAll(hotPairs)
-      }
-    pairs.distinct()
+        .join(df.as("b"), keyCond && col("a.doc_id") < col("b.doc_id"))
+        .select(out: _*)
+    if (salt <= 1) plainPairs(banded)
+    else {
+      // bucket sizes ride the same bucket key the join uses — one
+      // extra map-side-combined aggregation, no broadcast assumption
+      // (bucket count scales with the corpus)
+      val sizes = banded.groupBy(keyCols.map(col): _*)
+        .agg(count(lit(1)).as("__bsz"))
+      val marked = banded.join(sizes, keyCols)
+      val cold = marked.filter(col("__bsz") < saltMinBucket)
+        .drop("__bsz")
+      val hot = marked.filter(col("__bsz") >= saltMinBucket)
+        .drop("__bsz")
+        .withColumn("__c", pmod(xxhash64(col("doc_id")), lit(salt.toLong)))
+      // each row fans out to its `salt` chunk-pair cells (lo, hi)
+      def cells(df: DataFrame): DataFrame =
+        df.withColumn("__x",
+            explode(sequence(lit(0L), lit(salt.toLong - 1L))))
+          .withColumn("__lo", least(col("__c"), col("__x")))
+          .withColumn("__hi", greatest(col("__c"), col("__x")))
+          .drop("__x")
+      val ca = cells(hot)
+      val cb = cells(hot)
+      val hotPairs = ca.as("a")
+        .join(cb.as("b"),
+          keyCond &&
+            col("a.__lo") === col("b.__lo") &&
+            col("a.__hi") === col("b.__hi") &&
+            col("a.doc_id") < col("b.doc_id") &&
+            // exactly-one-cell membership: the pair's true chunk set
+            // must BE this cell, in one of its two orders
+            ((col("a.__c") === col("a.__lo") &&
+              col("b.__c") === col("a.__hi")) ||
+             (col("a.__c") === col("a.__hi") &&
+              col("b.__c") === col("a.__lo"))))
+        .select(out: _*)
+      plainPairs(cold).unionAll(hotPairs)
+    }
   }
 
   /** The persisted LSH candidate set (bloomPrefilter path) goes
@@ -277,19 +293,20 @@ object Dedup {
 
   /** SimHash candidate pairs: bucket on 4×16-bit bands (any matching
     * band ⇒ candidate, guaranteed to catch hamming ≤ 3), then verify
-    * with the exact hamming distance. */
-  def simhashCandidates(fps: DataFrame, maxHamming: Int): DataFrame = {
+    * with the exact hamming distance. Template-generated corpora
+    * cluster simhashes HARD — one 16-bit band bucket can collect a
+    * large doc fraction — so the self-join takes the same salting
+    * hooks as [[minhashCandidates]] (measured at sf0.1: the hottest
+    * band bucket held 1109 of 5000 docs = 614k pairs on one task). */
+  def simhashCandidates(fps: DataFrame, maxHamming: Int,
+      salt: Int = 1, saltMinBucket: Int = Int.MaxValue): DataFrame = {
     val banded = fps.select(col("doc_id"), col("simhash"),
       posexplode(array((0 until 4).map(b =>
         call_function("shiftright", col("simhash"), lit(b * 16)) % lit(65536L)): _*))
         .as(Seq("band", "band_val")))
-    banded.as("a")
-      .join(banded.as("b"),
-        col("a.band") === col("b.band") &&
-          col("a.band_val") === col("b.band_val") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
-        HashFunctions.hamming(col("a.simhash"), col("b.simhash")).as("hamming"))
+    bucketPairs(banded, Seq("band", "band_val"), salt, saltMinBucket)(
+      Seq(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
+        HashFunctions.hamming(col("a.simhash"), col("b.simhash")).as("hamming")))
       .distinct()
       .filter(col("hamming") <= maxHamming)
   }

@@ -169,7 +169,11 @@ object DedupQueries {
     (sp, dir) => {
       val fps = Dedup.simhashFingerprints(
         Tables(sp, dir, "documents"), "doc_id", "text")
-      val cands = Dedup.simhashCandidates(fps, maxHamming = 12)
+      // salting engaged: template docs cluster simhashes, so a single
+      // 16-bit band bucket can hold 20%+ of the corpus (1109/5000 at
+      // sf0.1) — the chunk-salt spreads that bucket's pair volume
+      val cands = Dedup.simhashCandidates(fps, maxHamming = 12,
+        salt = 8, saltMinBucket = 64)
       val partners = cands.select(col("d1").as("doc_id"))
         .unionAll(cands.select(col("d2").as("doc_id")))
         .groupBy("doc_id").agg(count(lit(1)).as("n_candidates"))

@@ -61,6 +61,28 @@ class DedupSkewSpec extends SparkSpec {
     assert(cells.sum === unsaltedTask)
   }
 
+  test("salted simhash candidates are identical to the plain join") {
+    // 200 docs share one fingerprint (every band hot), 100 pairs of
+    // near-dups (hamming 1), the rest unique-ish
+    val rnd = new scala.util.Random(17)
+    val rows = (0L until 600L).map { i =>
+      val fp: Long =
+        if (i < 200) 0x1234567890abcdL
+        else if (i < 400) (0x0fedcba987654321L ^ (1L << ((i % 40) + 8))) & Long.MaxValue
+        else rnd.nextLong().abs
+      (i, fp)
+    }
+    val fps = rows.toDF("doc_id", "simhash")
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val plain = pairs(Dedup.simhashCandidates(fps, maxHamming = 12))
+    val salted = pairs(Dedup.simhashCandidates(fps, maxHamming = 12,
+      salt = salt, saltMinBucket = 64))
+    assert(salted === plain)
+    assert(plain.size >= 200 * 199 / 2, "hot-bucket pairs present")
+  }
+
   test("verified pairs with salting engaged match the unsalted two-phase result") {
     val docs = (0L until 120L).map { i =>
       val text =
