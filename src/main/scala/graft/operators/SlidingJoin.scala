@@ -1,0 +1,88 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Sliding-window aggregate join ("point-in-time feature join"): for
+  * each probe row, aggregate the build rows with the same key whose
+  * event time falls in the trailing band `[t - window, t]`. This is
+  * the feature-store backfill primitive — "clicks in the last hour at
+  * the moment of each purchase" — and the windowed-aggregate
+  * generalization of [[AsOfJoin]] (which carries only the latest row).
+  *
+  * Spark-first plan: NO JOIN. A band join + groupBy materializes one
+  * row per (probe, build) match before collapsing them — quadratic in
+  * hot keys and a shuffle of pair volume, the classic skew bomb.
+  * Instead the two sides are tagged and UNIONed, probe rows carry NULL
+  * in the build-side value columns, and each aggregate is computed
+  * with a time-RANGE window frame per key. Empty frames then reproduce
+  * LEFT JOIN + aggregate semantics exactly (COUNT = 0, SUM/MIN/MAX/AVG
+  * = NULL) because the only non-null values inside any frame are build
+  * rows. One shuffle on (key), one sort on (time) — each input row
+  * moves once, aggregation state never leaves the window operator, and
+  * the frame buffer is bounded by the time band, not the corpus.
+  */
+object SlidingJoin {
+
+  /** One output aggregate: `fn` over build-side column `valueCol`,
+    * emitted as `outName`. `fn` ∈ sum | count | min | max | avg. */
+  final case class Agg(fn: String, valueCol: String, outName: String)
+
+  private val fns = Set("sum", "count", "min", "max", "avg")
+
+  /** @param probe    rows to produce output for (all kept, LEFT
+    *                 semantics); must share ONLY `keyCol` and `tsCol`
+    *                 with `build` — select/rename beforehand
+    * @param build    rows to aggregate over the trailing band
+    * @param keyCol   equi-key column name present on both sides
+    * @param tsCol    event-time (timestamp) column name on both sides
+    * @param windowMs trailing band width in milliseconds, inclusive at
+    *                 both ends: build rows with
+    *                 `probe.ts - windowMs <= build.ts <= probe.ts`
+    * @param aggs     aggregates to attach to each probe row
+    */
+  def trailingAgg(
+      probe: DataFrame,
+      build: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      windowMs: Long,
+      aggs: Seq[Agg]): DataFrame = {
+    require(aggs.nonEmpty, "at least one aggregate required")
+    require(windowMs >= 0L, s"windowMs must be >= 0, got $windowMs")
+    aggs.foreach { a =>
+      require(fns.contains(a.fn), s"unsupported agg fn: ${a.fn}")
+      require(build.columns.contains(a.valueCol),
+        s"build side missing value column ${a.valueCol}")
+    }
+    val shared = probe.columns.toSet.intersect(build.columns.toSet)
+    require(shared == Set(keyCol, tsCol),
+      s"probe and build must share exactly ($keyCol, $tsCol); " +
+        s"shared: ${shared.mkString(", ")}")
+
+    // unionByName(allowMissingColumns) pads probe rows with NULL in
+    // every build-only column — the padding that makes empty frames
+    // behave like an unmatched LEFT JOIN.
+    val unioned = probe.withColumn("__side", lit(1))
+      .unionByName(build.withColumn("__side", lit(0)),
+        allowMissingColumns = true)
+      .withColumn("__tms", unix_millis(col(tsCol)))
+
+    val w = Window.partitionBy(keyCol).orderBy(col("__tms"))
+      .rangeBetween(-windowMs, 0L)
+    def overFrame(a: Agg): Column = (a.fn match {
+      case "sum"   => sum(col(a.valueCol))
+      case "count" => count(col(a.valueCol))
+      case "min"   => min(col(a.valueCol))
+      case "max"   => max(col(a.valueCol))
+      case "avg"   => avg(col(a.valueCol))
+    }).over(w)
+
+    val withAggs = aggs.foldLeft(unioned) { (df, a) =>
+      df.withColumn(a.outName, overFrame(a))
+    }
+    val out = probe.columns.map(col) ++ aggs.map(a => col(a.outName))
+    withAggs.filter(col("__side") === 1).select(out.toIndexedSeq: _*)
+  }
+}

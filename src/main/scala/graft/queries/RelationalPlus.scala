@@ -960,6 +960,47 @@ object RelationalPlus {
       FROM cum c JOIN tot t ON c.g = t.g
       GROUP BY c.g, t.total_weight ORDER BY l_returnflag"""))
 
+  /** Sliding-window aggregate join (point-in-time feature join): for
+    * each purchase, the count and exact-decimal sum of the same user's
+    * clicks in the trailing hour — via [[graft.operators.SlidingJoin]]
+    * (tagged union + time-RANGE frame, NO join, no pair
+    * materialization; one shuffle on user_id). The oracle is the
+    * semantically equivalent LEFT band join + GROUP BY; unmatched
+    * purchases keep COUNT 0 and SUM NULL on both engines. Sum
+    * accumulates as DECIMAL(18,2) and crosses to double only at the
+    * boundary (SURVEY.md §4). */
+  val q94 = QueryDef(
+    "q94_sliding_agg_join",
+    (sp, dir) => {
+      val ev = Tables(sp, dir, "events")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select("event_id", "user_id", "ts")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"),
+          col("value").cast(DecimalType(18, 2)).as("click_value"))
+      graft.operators.SlidingJoin.trailingAgg(
+          purchases, clicks, "user_id", "ts", 3600000L,
+          Seq(
+            graft.operators.SlidingJoin.Agg(
+              "count", "click_value", "click_cnt"),
+            graft.operators.SlidingJoin.Agg(
+              "sum", "click_value", "click_sum_dec")))
+        .select(col("event_id"), col("user_id"), col("click_cnt"),
+          col("click_sum_dec").cast(DoubleType).as("click_sum"))
+        .orderBy("event_id")
+    },
+    Some("""
+      SELECT p.event_id, p.user_id,
+        COUNT(c.value) AS click_cnt,
+        CAST(SUM(CAST(c.value AS DECIMAL(18,2))) AS DOUBLE) AS click_sum
+      FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+      LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        ON p.user_id = c.user_id
+        AND epoch_ms(c.ts) BETWEEN epoch_ms(p.ts) - 3600000
+                               AND epoch_ms(p.ts)
+      GROUP BY p.event_id, p.user_id
+      ORDER BY p.event_id"""))
+
   val defs: Seq[QueryDef] = Seq(q74, q75, q76, q77, q78, q79, q80, q81,
-    q82, q83, q84, q85, q86, q87, q88, q89, q90, q91, q92, q93)
+    q82, q83, q84, q85, q86, q87, q88, q89, q90, q91, q92, q93, q94)
 }

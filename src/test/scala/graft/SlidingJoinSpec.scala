@@ -1,0 +1,96 @@
+package graft
+
+import graft.operators.SlidingJoin
+import graft.operators.SlidingJoin.Agg
+import org.apache.spark.sql.functions._
+
+/** SlidingJoin.trailingAgg: value equivalence against the literal band
+  * join + groupBy it replaces, LEFT-JOIN null semantics on empty
+  * frames, inclusive band boundaries, every supported aggregate, and
+  * the physical contract (no join operator, one shuffle).
+  */
+class SlidingJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  // key 1: clicks straddle the band edges; key 2: probe before any
+  // build row; key 3: no build rows at all; key 9: build-only key.
+  private def probe = Seq(
+    (1L, 10L, 5000L), (2L, 20L, 1000L), (2L, 21L, 8000L),
+    (3L, 30L, 4000L)).toDF("k", "pid", "tms")
+    .select(col("k"), col("pid"),
+      timestamp_millis(col("tms")).as("ts"))
+
+  private def build = Seq(
+    (1L, 1000L, 1.50), (1L, 2000L, 2.25), (1L, 5000L, 4.00),
+    (1L, 5001L, 8.00),
+    (2L, 5000L, 16.00),
+    (9L, 100L, 32.00)).toDF("k", "tms", "v")
+    .select(col("k"), timestamp_millis(col("tms")).as("ts"),
+      col("v").cast("decimal(18,2)").as("v"))
+
+  // band = 3000 ms: probe (1, t=5000) must include builds at exactly
+  // 2000 (= t - window) and 5000 (= t), not 1000 or 5001.
+  private def run(aggs: Seq[Agg]) =
+    SlidingJoin.trailingAgg(probe, build, "k", "ts", 3000L, aggs)
+
+  test("trailing count/sum match the literal band join + groupBy") {
+    val got = run(Seq(Agg("count", "v", "cnt"), Agg("sum", "v", "s")))
+      .select(col("pid"), col("cnt"),
+        col("s").cast("double").as("s"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) -1.0 else r.getDouble(2)))
+      .toSet
+
+    val p = probe.select(col("k"), col("pid"),
+      unix_millis(col("ts")).as("pt"))
+    val b = build.select(col("k").as("bk"),
+      unix_millis(col("ts")).as("bt"), col("v"))
+    val ref = p.join(b, col("k") === col("bk") &&
+        col("bt") >= col("pt") - 3000L && col("bt") <= col("pt"), "left")
+      .groupBy("pid")
+      .agg(count(col("v")).as("cnt"),
+        sum(col("v")).cast("double").as("s"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) -1.0 else r.getDouble(2)))
+      .toSet
+
+    assert(got === ref)
+    // pin the semantics, not just the equivalence: inclusive edges for
+    // pid 10, zero-count NULL-sum for the unmatched probes
+    assert(got === Set(
+      (10L, 2L, 6.25),    // t=5000: builds at exactly 2000 and 5000
+      (20L, 0L, -1.0),    // t=1000: probe before any build row
+      (21L, 1L, 16.0),    // t=8000: build at 5000 within [5000, 8000]
+      (30L, 0L, -1.0)))   // key with no build rows
+  }
+
+  test("min/max/avg ignore the NULL padding on probe rows") {
+    val r = run(Seq(Agg("min", "v", "mn"), Agg("max", "v", "mx"),
+        Agg("avg", "v", "av")))
+      .filter(col("pid") === 10L)
+      .select(col("mn").cast("double"), col("mx").cast("double"),
+        col("av").cast("double"))
+      .head()
+    assert((r.getDouble(0), r.getDouble(1), r.getDouble(2)) ===
+      ((2.25, 4.0, 3.125)))
+  }
+
+  test("physical plan has no join and exactly one shuffle") {
+    val p = run(Seq(Agg("sum", "v", "s")))
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Join"), s"expected join-free plan:\n$p")
+    assert("Exchange".r.findAllIn(p).length === 1,
+      s"expected exactly one shuffle:\n$p")
+  }
+
+  test("contract: overlapping non-key columns are rejected loudly") {
+    val bad = build.withColumnRenamed("v", "pid")
+    val e = intercept[IllegalArgumentException] {
+      SlidingJoin.trailingAgg(probe, bad, "k", "ts", 3000L,
+        Seq(Agg("sum", "pid", "s")))
+    }
+    assert(e.getMessage.contains("share exactly"))
+  }
+}
