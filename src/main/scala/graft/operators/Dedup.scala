@@ -339,4 +339,87 @@ object Dedup {
         (dotFold(col("v1"), col("v2")) / (col("n1") * col("n2"))).as("cosine"))
       .filter(col("cosine") >= minCosine)
   }
+
+  /** Prefix-filtered set-similarity join (AllPairs/PPJoin family,
+    * Bayardo et al. WWW'07 / Xiao et al. WWW'08): the same exact
+    * Jaccard pair set as [[ngramJaccard]], from a candidate generator
+    * that indexes only each document's PREFIX tokens instead of every
+    * token. Under a global token order (ascending document frequency,
+    * ties by token value), two sets with Jaccard ≥ t must share a
+    * token inside their first `|x| - ceil(t·|x|) + 1` tokens — so
+    * bucketing prefixes alone loses no qualifying pair, and the hot
+    * high-df tokens that drive bucket fanout sit at the END of the
+    * order, where most documents' prefixes never reach. Candidate
+    * volume shrinks as t grows (at t = 0.6 a prefix is ~40% of the
+    * doc); bucket pairs also pass an integer length filter
+    * (den·n1 ≥ num·n2 ∧ den·n2 ≥ num·n1) before verification.
+    *
+    * The threshold is the RATIONAL num/den so every gate is integer
+    * arithmetic: prefix length `n - (n·num + den - 1) DIV den + 1`,
+    * and the final Jaccard test `den·common ≥ num·(n1+n2-common)` —
+    * no float boundary, bit-identical on any engine. Verification
+    * joins candidates back to per-doc sorted token arrays and counts
+    * the exact intersection (`array_intersect`, codegen'd); per-pair
+    * cost is bounded by document size, never corpus size.
+    *
+    * Scale shape: one shuffle to attach df, one window per doc_id for
+    * rank/size, one shuffle on prefix tokens for buckets, two hash
+    * joins on doc ids for verify. All state is per-token or per-doc;
+    * the only pair-proportional cost is the (already length- and
+    * prefix-pruned) candidate set.
+    *
+    * @param maxDf document-frequency cap applied BEFORE everything,
+    *   mirroring [[ngramJaccard]]'s stop-shingle preprocessing; any
+    *   oracle must mirror it. */
+  def prefixFilterJaccard(docs: DataFrame, idCol: String, textCol: String,
+      n: Int, num: Int, den: Int, maxDf: Option[Int] = None): DataFrame = {
+    require(num > 0 && den > 0 && num <= den,
+      s"threshold num/den must be in (0, 1], got $num/$den")
+    val shAll = shingleHashSet(docs, idCol, textCol, n)
+    val wSh = org.apache.spark.sql.expressions.Window.partitionBy("shingle")
+    val shDf = shAll.withColumn("df", count(lit(1)).over(wSh))
+    val sh = maxDf.fold(shDf)(cap => shDf.filter(col("df") <= cap))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    // Per-doc size + global-order rank in one shuffle on doc_id.
+    val wDoc = org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
+    val wRank = org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
+      .orderBy(col("df"), col("shingle"))
+    val ranked = sh
+      .withColumn("n", count(lit(1)).over(wDoc))
+      .withColumn("rk", row_number().over(wRank))
+    val prefixes = ranked.filter(
+      col("rk") <= col("n") - expr(s"(n * $num + ${den - 1}) DIV $den") + 1)
+
+    // Bucket prefix tokens; in-bucket ordered combinations with the
+    // integer length filter (same posexplode+slice idiom as
+    // ngramJaccard — no self-join).
+    val buckets = prefixes.groupBy("shingle")
+      .agg(sort_array(collect_list(struct(col("doc_id"), col("n")))).as("ds"))
+      .filter(size(col("ds")) > 1)
+    val cands = buckets
+      .select(col("ds"), posexplode(col("ds")).as(Seq("i", "a")))
+      .select(col("a"), explode(
+        slice(col("ds"), col("i") + lit(2), size(col("ds")) - col("i") - lit(1)))
+        .as("b"))
+      .filter(col("a.n") * den >= col("b.n") * num &&
+        col("b.n") * den >= col("a.n") * num)
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .distinct()
+
+    // Exact verification against full sorted token arrays.
+    val toks = sh.groupBy("doc_id")
+      .agg(sort_array(collect_list(col("shingle"))).as("toks"),
+        count(lit(1)).as("nsh"))
+    cands
+      .join(toks.select(col("doc_id").as("d1"), col("toks").as("t1"),
+        col("nsh").as("n1")), "d1")
+      .join(toks.select(col("doc_id").as("d2"), col("toks").as("t2"),
+        col("nsh").as("n2")), "d2")
+      .withColumn("common", size(array_intersect(col("t1"), col("t2"))).cast("long"))
+      .filter(col("common") * den >= (col("n1") + col("n2") - col("common")) * num)
+      .select(col("d1"), col("d2"), col("common"), col("n1"), col("n2"),
+        (col("common").cast("double") /
+          (col("n1") + col("n2") - col("common"))).as("jaccard"))
+  }
 }

@@ -959,7 +959,48 @@ object DedupQueries {
       FROM documents d LEFT JOIN partners p ON d.doc_id = p.doc_id
       ORDER BY d.doc_id"""))
 
+  /** Prefix-filtered set-similarity self-join (AllPairs/PPJoin
+    * candidate generation) at Jaccard ≥ 3/5 over df-capped word
+    * trigrams — the high-threshold near-dup shape where indexing only
+    * prefix tokens prunes most of the bucket fanout d04 pays. Exact
+    * verification via per-doc sorted token arrays; every threshold
+    * gate is integer arithmetic (rational 3/5), so the oracle replays
+    * the same `5·common >= 3·(n1+n2-common)` test with no float
+    * boundary. The oracle generates candidates the exhaustive way
+    * (all shared-shingle pairs): prefix filtering is lossless for
+    * Jaccard, so the verified pair sets coincide — that losslessness
+    * is also spec-asserted against [[graft.operators.Dedup
+    * .ngramJaccard]] (DedupSpec). */
+  val d20 = QueryDef(
+    "d20_prefix_filter_join",
+    (sp, dir) => Dedup.prefixFilterJaccard(
+        Tables(sp, dir, "documents"), "doc_id", "text",
+        n = 3, num = 3, den = 5, maxDf = Some(64))
+      .orderBy("d1", "d2"),
+    Some("""
+      WITH toks AS (SELECT doc_id, string_split(text, ' ') w FROM documents),
+      sh0 AS (SELECT doc_id, unnest(list_distinct(
+               CASE WHEN len(w) < 3 THEN []
+                    ELSE list_transform(generate_series(1, CAST(len(w) - 2 AS INT)),
+                           i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]) END)) AS shingle
+             FROM toks),
+      sh AS (SELECT doc_id, shingle FROM (
+               SELECT doc_id, shingle,
+                 COUNT(*) OVER (PARTITION BY shingle) AS df FROM sh0)
+             WHERE df <= 64),
+      sizes AS (SELECT doc_id, COUNT(*) n FROM sh GROUP BY doc_id),
+      pairs AS (SELECT a.doc_id d1, b.doc_id d2, COUNT(*) common
+                FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                GROUP BY 1, 2)
+      SELECT d1, d2, CAST(common AS BIGINT) AS common,
+        CAST(s1.n AS BIGINT) AS n1, CAST(s2.n AS BIGINT) AS n2,
+        CAST(common AS DOUBLE) / (s1.n + s2.n - common) AS jaccard
+      FROM pairs p JOIN sizes s1 ON p.d1 = s1.doc_id
+                   JOIN sizes s2 ON p.d2 = s2.doc_id
+      WHERE 5 * common >= 3 * (s1.n + s2.n - common)
+      ORDER BY d1, d2"""))
+
   val defs: Seq[QueryDef] =
     Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13,
-      d14, d15, d16, d17, d18, d19)
+      d14, d15, d16, d17, d18, d19, d20)
 }

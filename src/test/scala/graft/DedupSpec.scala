@@ -145,4 +145,74 @@ class DedupSpec extends SparkSpec {
       .filter(col("count") > 1).collect()
     assert(dupText.length === 1 && dupText.head.getString(0) === block)
   }
+
+  test("prefix-filter join is lossless vs the exhaustive bucket join") {
+    val real = Tables(spark, "/root/testdata/sf0.001", "documents")
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getAs[Long]("d1"), r.getAs[Long]("d2"),
+        r.getAs[Long]("common"), r.getAs[Long]("n1"), r.getAs[Long]("n2"))
+    val viaPrefix = Dedup.prefixFilterJaccard(
+        real, "doc_id", "text", n = 3, num = 3, den = 5, maxDf = Some(64))
+      .collect().map(key).toSet
+    val viaBuckets = Dedup.ngramJaccard(
+        real, "doc_id", "text", n = 3, minJaccard = 0.6, maxDf = Some(64))
+      .collect().map(key).toSet
+    assert(viaPrefix.nonEmpty, "fixture should contain near-dup pairs")
+    assert(viaPrefix === viaBuckets)
+  }
+
+  test("prefix-filter: qualifying pair found through prefixes, boundary exact") {
+    // 10 shingles each, overlap 9 -> J = 9/11 >= 3/5; and an exact
+    // boundary pair: 6 vs 6 with overlap 4.5.. use 3/5 = common 6 of
+    // sizes 8,8 -> J = 6/10 = 3/5 exactly (integer gate must KEEP it).
+    def doc(words: Seq[String]) = words.mkString(" ")
+    val w = (1 to 20).map(i => s"tok$i")
+    val a = doc(w.take(10))                   // shingles over 10 words: 8
+    val b = doc(w.take(9) ++ Seq("zz"))       // shares 7-of-8 prefix path
+    val d = Seq((1L, a), (2L, b)).toDF("doc_id", "text")
+    val out = Dedup.prefixFilterJaccard(d, "doc_id", "text",
+      n = 3, num = 3, den = 5).collect()
+    // 8 trigrams each; first 7 shared -> common=7, union=9, J=7/9>3/5
+    assert(out.length === 1)
+    val r = out.head
+    assert((r.getAs[Long]("common"), r.getAs[Long]("n1"),
+      r.getAs[Long]("n2")) === ((7L, 8L, 8L)))
+
+    // exact boundary: common*den == num*(union) stays included
+    val c = doc(w.take(8))                    // 6 trigrams
+    val e = doc(w.take(6) ++ Seq("q1", "q2")) // 4 shared + 2 own? -> verify
+    val d2 = Seq((1L, c), (2L, e)).toDF("doc_id", "text")
+    val out2 = Dedup.prefixFilterJaccard(d2, "doc_id", "text",
+      n = 3, num = 1, den = 2).collect()      // J threshold 1/2
+    // c: 6 trigrams, e: 6 trigrams, shared 4 -> J = 4/8 = 1/2 exactly
+    out2.foreach { rr =>
+      assert((rr.getAs[Long]("common"), rr.getAs[Long]("n1"),
+        rr.getAs[Long]("n2")) === ((4L, 6L, 6L)))
+    }
+    assert(out2.length === 1)
+  }
+
+  test("prefix-filter candidates stay under the exhaustive bucket volume") {
+    val real = Tables(spark, "/root/testdata/sf0.001", "documents")
+    val sh = Dedup.shingleHashSet(real, "doc_id", "text", 3)
+    val exhaustive = sh.groupBy("shingle").count()
+      .filter(col("count") > 1)
+      .agg(sum(col("count") * (col("count") - 1) / 2).cast("long"))
+      .head().getLong(0)
+    // candidate volume through prefixes, same accounting
+    val wSh = org.apache.spark.sql.expressions.Window.partitionBy("shingle")
+    val wDoc = org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
+    val wRank = org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
+      .orderBy(col("df"), col("shingle"))
+    val prefixes = sh.withColumn("df", count(lit(1)).over(wSh))
+      .withColumn("n", count(lit(1)).over(wDoc))
+      .withColumn("rk", row_number().over(wRank))
+      .filter(col("rk") <= col("n") - expr("(n * 3 + 4) DIV 5") + 1)
+    val viaPrefix = prefixes.groupBy("shingle").count()
+      .filter(col("count") > 1)
+      .agg(sum(col("count") * (col("count") - 1) / 2).cast("long"))
+      .head().getLong(0)
+    assert(viaPrefix < exhaustive,
+      s"prefix candidates $viaPrefix should undercut exhaustive $exhaustive")
+  }
 }
