@@ -245,4 +245,24 @@ class ScaleOpsSpec extends SparkSpec {
       }
     }
   }
+
+  test("sliding agg join at 1M x 1M rows matches the closed form") {
+    // both sides on the same ms grid: key = t % 100, so a probe at
+    // time t sees builds at t, t-100, t-200, ... within the 1000 ms
+    // band -> count = min(t DIV 100, 10) + 1, sum = count (unit
+    // values). Checked per row with an expression compare, no collect.
+    def grid = spark.range(1000000).select(
+      (col("id") % 100).as("k"), timestamp_millis(col("id")).as("ts"))
+    val probe = grid.withColumn("pid", unix_millis(col("ts")))
+    val build = grid.withColumn("v", lit(1L))
+    val out = graft.operators.SlidingJoin.trailingAgg(
+      probe, build, "k", "ts", 1000L,
+      Seq(graft.operators.SlidingJoin.Agg("count", "v", "cnt"),
+        graft.operators.SlidingJoin.Agg("sum", "v", "s")))
+    val expected = least(expr("pid DIV 100"), lit(10L)) + 1
+    val bad = out.filter(col("cnt") =!= expected ||
+      col("s") =!= expected).count()
+    assert(bad === 0L)
+    assert(out.count() === 1000000L)
+  }
 }
