@@ -378,8 +378,15 @@ object Dedup {
     val shAll = shingleHashSet(docs, idCol, textCol, n)
     val wSh = org.apache.spark.sql.expressions.Window.partitionBy("shingle")
     val shDf = shAll.withColumn("df", count(lit(1)).over(wSh))
-    val sh = maxDf.fold(shDf)(cap => shDf.filter(col("df") <= cap))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // The df-annotated shingle set feeds the prefix chain AND the
+    // verify arrays; persisted via [[DfCache]] (the operator never
+    // sees its consumers' action boundary, so it cannot unpersist —
+    // the session cache bounds the pin to one copy per input/params).
+    val sh = DfCache.persisted(docs.sparkSession,
+      s"prefix-sh:${docs.queryExecution.logical.semanticHash()}:" +
+        s"$idCol:$textCol:$n:$maxDf") {
+      maxDf.fold(shDf)(cap => shDf.filter(col("df") <= cap))
+    }
 
     // Per-doc size + global-order rank in one shuffle on doc_id.
     val wDoc = org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
