@@ -362,11 +362,13 @@ object Dedup {
     * the exact intersection (`array_intersect`, codegen'd); per-pair
     * cost is bounded by document size, never corpus size.
     *
-    * Scale shape: one shuffle to attach df, one window per doc_id for
-    * rank/size, one shuffle on prefix tokens for buckets, two hash
-    * joins on doc ids for verify. All state is per-token or per-doc;
-    * the only pair-proportional cost is the (already length- and
-    * prefix-pruned) candidate set.
+    * Scale shape: one window shuffle to attach df, one groupBy per
+    * doc_id building the (df, token)-sorted array (size, prefix
+    * tokens, and verify arrays all derive from it with codegen'd
+    * array expressions), one shuffle on prefix tokens for buckets,
+    * two hash joins on doc ids for verify. All state is per-token or
+    * per-doc; the only pair-proportional cost is the (already length-
+    * and prefix-pruned) candidate set.
     *
     * @param maxDf document-frequency cap applied BEFORE everything,
     *   mirroring [[ngramJaccard]]'s stop-shingle preprocessing; any
@@ -378,25 +380,33 @@ object Dedup {
     val shAll = shingleHashSet(docs, idCol, textCol, n)
     val wSh = org.apache.spark.sql.expressions.Window.partitionBy("shingle")
     val shDf = shAll.withColumn("df", count(lit(1)).over(wSh))
-    // The df-annotated shingle set feeds the prefix chain AND the
-    // verify arrays; persisted via [[DfCache]] (the operator never
-    // sees its consumers' action boundary, so it cannot unpersist —
-    // the session cache bounds the pin to one copy per input/params).
-    val sh = DfCache.persisted(docs.sparkSession,
-      s"prefix-sh:${docs.queryExecution.logical.semanticHash()}:" +
+    val capped = maxDf.fold(shDf)(cap => shDf.filter(col("df") <= cap))
+
+    // ONE groupBy per doc builds the (df, token)-sorted array; size,
+    // prefix tokens, and the verify arrays all derive from it with
+    // codegen'd array expressions — no per-row window ranks over the
+    // shingle set, and the thing worth keeping hot is one small row
+    // per document, not one row per shingle. Persisted via [[DfCache]]
+    // (the operator never sees its consumers' action boundary, so it
+    // cannot unpersist — the session cache bounds the pin to one copy
+    // per input/params).
+    val docsArr = DfCache.persisted(docs.sparkSession,
+      s"prefix-docs:${docs.queryExecution.logical.semanticHash()}:" +
         s"$idCol:$textCol:$n:$maxDf") {
-      maxDf.fold(shDf)(cap => shDf.filter(col("df") <= cap))
+      capped.groupBy("doc_id")
+        .agg(sort_array(collect_list(struct(col("df"), col("shingle"))))
+          .as("a"))
+        .withColumn("n", size(col("a")).cast("long"))
+        .withColumn("toks",
+          array_sort(transform(col("a"), _.getField("shingle"))))
     }
 
-    // Per-doc size + global-order rank in one shuffle on doc_id.
-    val wDoc = org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
-    val wRank = org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
-      .orderBy(col("df"), col("shingle"))
-    val ranked = sh
-      .withColumn("n", count(lit(1)).over(wDoc))
-      .withColumn("rk", row_number().over(wRank))
-    val prefixes = ranked.filter(
-      col("rk") <= col("n") - expr(s"(n * $num + ${den - 1}) DIV $den") + 1)
+    // Prefix length n - ceil(t·n) + 1 in pure integer arithmetic.
+    val plen = (col("n") - expr(s"(n * $num + ${den - 1}) DIV $den") + 1)
+      .cast("int")
+    val prefixes = docsArr.select(col("doc_id"), col("n"),
+      explode(transform(slice(col("a"), lit(1), plen),
+        _.getField("shingle"))).as("shingle"))
 
     // Bucket prefix tokens; in-bucket ordered combinations with the
     // integer length filter (same posexplode+slice idiom as
@@ -415,14 +425,12 @@ object Dedup {
       .distinct()
 
     // Exact verification against full sorted token arrays.
-    val toks = sh.groupBy("doc_id")
-      .agg(sort_array(collect_list(col("shingle"))).as("toks"),
-        count(lit(1)).as("nsh"))
+    val toks = docsArr.select(col("doc_id"), col("toks"), col("n"))
     cands
       .join(toks.select(col("doc_id").as("d1"), col("toks").as("t1"),
-        col("nsh").as("n1")), "d1")
+        col("n").as("n1")), "d1")
       .join(toks.select(col("doc_id").as("d2"), col("toks").as("t2"),
-        col("nsh").as("n2")), "d2")
+        col("n").as("n2")), "d2")
       .withColumn("common", size(array_intersect(col("t1"), col("t2"))).cast("long"))
       .filter(col("common") * den >= (col("n1") + col("n2") - col("common")) * num)
       .select(col("d1"), col("d2"), col("common"), col("n1"), col("n2"),

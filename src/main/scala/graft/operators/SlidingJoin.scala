@@ -41,6 +41,12 @@ object SlidingJoin {
     *                 both ends: build rows with
     *                 `probe.ts - windowMs <= build.ts <= probe.ts`
     * @param aggs     aggregates to attach to each probe row
+    *
+    * Contract: `keyCol`/`tsCol` must be non-null on both sides. A null
+    * timestamp would place the row in the window's null peer group —
+    * aggregating null-ts build rows together — where a LEFT band join
+    * (null never satisfies the ON range) matches nothing; filter nulls
+    * out first if the source allows them.
     */
   def trailingAgg(
       probe: DataFrame,
