@@ -26,8 +26,14 @@ import org.apache.spark.sql.functions._
 object SlidingJoin {
 
   /** One output aggregate: `fn` over build-side column `valueCol`,
-    * emitted as `outName`. `fn` ∈ sum | count | min | max | avg. */
-  final case class Agg(fn: String, valueCol: String, outName: String)
+    * emitted as `outName`. `fn` ∈ sum | count | min | max | avg.
+    * `windowMs` overrides the call-level band for THIS aggregate —
+    * multi-horizon features ("clicks in 1 h" next to "clicks in 24 h")
+    * come from one partition+sort: every distinct horizon is just
+    * another RANGE frame over the same shuffled order, so extra
+    * horizons cost no extra shuffle. */
+  final case class Agg(fn: String, valueCol: String, outName: String,
+      windowMs: Option[Long] = None)
 
   private val fns = Set("sum", "count", "min", "max", "avg")
 
@@ -61,6 +67,8 @@ object SlidingJoin {
       require(fns.contains(a.fn), s"unsupported agg fn: ${a.fn}")
       require(build.columns.contains(a.valueCol),
         s"build side missing value column ${a.valueCol}")
+      require(a.windowMs.forall(_ >= 0L),
+        s"windowMs must be >= 0 for ${a.outName}")
     }
     val shared = probe.columns.toSet.intersect(build.columns.toSet)
     require(shared == Set(keyCol, tsCol),
@@ -75,15 +83,14 @@ object SlidingJoin {
         allowMissingColumns = true)
       .withColumn("__tms", unix_millis(col(tsCol)))
 
-    val w = Window.partitionBy(keyCol).orderBy(col("__tms"))
-      .rangeBetween(-windowMs, 0L)
     def overFrame(a: Agg): Column = (a.fn match {
       case "sum"   => sum(col(a.valueCol))
       case "count" => count(col(a.valueCol))
       case "min"   => min(col(a.valueCol))
       case "max"   => max(col(a.valueCol))
       case "avg"   => avg(col(a.valueCol))
-    }).over(w)
+    }).over(Window.partitionBy(keyCol).orderBy(col("__tms"))
+      .rangeBetween(-a.windowMs.getOrElse(windowMs), 0L))
 
     val withAggs = aggs.foldLeft(unioned) { (df, a) =>
       df.withColumn(a.outName, overFrame(a))

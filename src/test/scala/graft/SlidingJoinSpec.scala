@@ -85,6 +85,23 @@ class SlidingJoinSpec extends SparkSpec {
       s"expected exactly one shuffle:\n$p")
   }
 
+  test("multi-horizon aggs equal per-horizon calls and share one shuffle") {
+    val both = run(Seq(Agg("count", "v", "c_short"),
+      Agg("count", "v", "c_long", windowMs = Some(7000L))))
+    val expect = run(Seq(Agg("count", "v", "c_short")))
+      .join(run(Seq(Agg("count", "v", "c_long", windowMs = Some(7000L))))
+        .select("pid", "c_long"), "pid")
+    val key = (r: org.apache.spark.sql.Row) =>
+      (r.getAs[Long]("pid"), r.getAs[Long]("c_short"), r.getAs[Long]("c_long"))
+    assert(both.select("pid", "c_short", "c_long").collect().map(key).toSet
+      === expect.select("pid", "c_short", "c_long").collect().map(key).toSet)
+    // a second horizon is another frame over the same sort, not
+    // another shuffle
+    val p = both.queryExecution.executedPlan.toString
+    assert("Exchange".r.findAllIn(p).length === 1,
+      s"expected exactly one shuffle for two horizons:\n$p")
+  }
+
   test("contract: overlapping non-key columns are rejected loudly") {
     val bad = build.withColumnRenamed("v", "pid")
     val e = intercept[IllegalArgumentException] {
