@@ -1,0 +1,94 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** PageRank over an edge list in INTEGER fixed-point — web-graph
+  * centrality as a deterministic, oracle-replayable operator (the
+  * quality-weighting signal web-corpus training pipelines attach to
+  * documents/hosts).
+  *
+  * Ranks live in `1/q` fixed-point; each iteration is
+  * `r'(v) = (dampDen-dampNum)·(q DIV n) DIV dampDen
+  *          + dampNum·Σ_{u→v}(r(u) DIV deg(u)) DIV dampDen`
+  * with FLOOR division at every step (all operands positive, so Spark
+  * `DIV` and DuckDB `//` truncate identically) — a fixed iteration
+  * count is therefore bit-identical on any engine, no float
+  * accumulation order to worry about.
+  *
+  * Scale shape: the Pregel-style iterate — join per-node
+  * contributions to the edge list on src, aggregate by dst — two hash
+  * shuffles per iteration, state one row per node. Edge and degree
+  * tables are lineage-truncated ONCE and reused by every iteration;
+  * each round's rank table is truncated eagerly and its predecessor's
+  * blocks released immediately ([[Components]]' checkpoint
+  * discipline — reliable checkpoint when a dir is set, local blocks
+  * otherwise), so the logical plan stays constant-size instead of
+  * nesting one copy per iteration.
+  *
+  * Contract: `edges` is the WALK graph — already symmetrized if the
+  * source relation is undirected, and every node must have outdegree
+  * ≥ 1 (no dangling nodes; symmetrizing guarantees this). Node ids
+  * and the fixed-point q must keep `dampNum · Σ contributions` inside
+  * a long: q·n_nodes·dampNum < 2⁶³.
+  */
+object PageRank {
+
+  private def truncate(df: DataFrame)
+      : (DataFrame, java.math.BigInteger, () => Unit) = {
+    require(df.schema(1).dataType == org.apache.spark.sql.types.LongType,
+      s"PageRank needs LONG columns, got ${df.schema(1).dataType}")
+    if (df.sparkSession.sparkContext.getCheckpointDir.isDefined)
+      org.apache.spark.sql.graft.Bridge.truncatedReliableSum(df, sumIdx = 1)
+    else org.apache.spark.sql.graft.Bridge.truncatedLocalSum(df, sumIdx = 1)
+  }
+
+  /** @param edges   (srcCol, dstCol) long node ids; see contract above
+    * @param iters   fixed iteration count (part of the semantics)
+    * @param q       fixed-point scale (rank 1.0 ≡ q)
+    * @return (v, r) — node id and final fixed-point rank
+    */
+  def fixedPoint(edges: DataFrame, srcCol: String, dstCol: String,
+      iters: Int, q: Long = 1000000000000L,
+      dampNum: Int = 17, dampDen: Int = 20): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    require(dampNum > 0 && dampNum < dampDen,
+      s"damping num/den must satisfy 0 < num < den, got $dampNum/$dampDen")
+    // Degree folds INTO the edge list once: each iteration then joins
+    // one static table instead of two, and the per-edge division
+    // `r DIV deg` happens inside the aggregation projection.
+    val e0 = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+    val degDf = e0.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    val (ed, _, releaseED) = truncate(
+      e0.join(degDf, "src").select(col("src"), col("dst"), col("deg")))
+    val n = degDf.count()
+    require(n > 0, "PageRank on an empty edge list")
+    val init = q / n
+    val base = (dampDen - dampNum) * init / dampDen
+
+    var (ranks, _, release) = truncate(
+      ed.select(col("src").as("v")).distinct().select(col("v"),
+        lit(init).as("r")))
+    var k = 1
+    while (k <= iters) {
+      // Chain up to 5 rounds per materialization: lineage stays
+      // shallow enough to compile fast, and one job executes the
+      // whole chain instead of paying per-round job latency.
+      val step = math.min(5, iters - k + 1)
+      var chained = ranks
+      for (_ <- 1 to step) {
+        chained = ed.join(chained.withColumnRenamed("v", "src"), "src")
+          .groupBy(col("dst")).agg(sum(expr("r DIV deg")).as("sc"))
+          .select(col("dst").as("v"),
+            (lit(base) + expr(s"($dampNum * sc) DIV $dampDen")).as("r"))
+      }
+      val (t, _, rel) = truncate(chained)
+      release()
+      ranks = t
+      release = rel
+      k += step
+    }
+    releaseED()
+    ranks
+  }
+}

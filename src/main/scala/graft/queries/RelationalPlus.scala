@@ -1001,6 +1001,77 @@ object RelationalPlus {
       GROUP BY p.event_id, p.user_id
       ORDER BY p.event_id"""))
 
+  /** PageRank centrality over the customer↔supplier purchase graph
+    * (orders ⋈ lineitem, symmetrized so the walk has no dangling
+    * nodes), 10 iterations at damping 17/20 — web-graph centrality is
+    * the standard quality-weighting signal in large-corpus pipelines.
+    * Every arithmetic step is INTEGER: ranks live in 10⁻¹²
+    * fixed-point, per-node contributions and the damping blend use
+    * floor division (`DIV` / DuckDB `//`, positive operands so both
+    * truncate identically), so 10 iterations stay bit-identical on
+    * both engines and the oracle replays them as 10 unrolled CTEs.
+    * Node ids pack as 2·custkey / 2·suppkey+1.
+    *
+    * Scale shape: the Pregel-style iterate — per-iteration (join
+    * contributions to edges on src, groupBy dst) — two hash shuffles
+    * per iteration, state one row per node. The edge/degree subtrees
+    * repeat identically across iterations, so ReuseExchange
+    * materializes them once; a production run at web scale would
+    * checkpoint the edge list and pre-partition it by src so every
+    * iteration's join reuses the layout ([[graft.operators
+    * .Components]] demonstrates the checkpoint discipline). */
+  val q95 = QueryDef(
+    "q95_pagerank",
+    (sp, dir) => {
+      val Q = 1000000000000L
+      val cs = Tables(sp, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_suppkey"))
+        .join(Tables(sp, dir, "orders")
+          .select(col("o_orderkey"), col("o_custkey")),
+          col("l_orderkey") === col("o_orderkey"))
+        .select((col("o_custkey") * 2).as("cv"),
+          (col("l_suppkey") * 2 + 1).as("sv"))
+        .distinct()
+      val edges = cs.select(col("cv").as("src"), col("sv").as("dst"))
+        .unionAll(cs.select(col("sv").as("src"), col("cv").as("dst")))
+      graft.operators.PageRank
+        .fixedPoint(edges, "src", "dst", iters = 10, q = Q)
+        .select(
+          when(col("v") % 2 === 0, lit("customer"))
+            .otherwise(lit("supplier")).as("kind"),
+          expr("v DIV 2").as("node_id"), col("r").as("rank_fp"))
+        .orderBy(col("rank_fp").desc, col("kind"), col("node_id"))
+        .limit(20)
+    },
+    Some {
+      val Q = "1000000000000"
+      val iters = (1 to 10).map { k =>
+        s"""r$k AS (SELECT e.dst AS v,
+           CAST((3 * ($Q // nn)) // 20
+                + (17 * CAST(SUM(p.r // dg.deg) AS BIGINT)) // 20
+             AS BIGINT) AS r
+         FROM edges e JOIN r${k - 1} p ON e.src = p.v
+              JOIN deg dg ON e.src = dg.v, n
+         GROUP BY e.dst, nn)"""
+      }.mkString(",\n      ")
+      s"""
+      WITH cs AS (SELECT DISTINCT 2 * o_custkey AS cv,
+                    2 * l_suppkey + 1 AS sv
+                  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+      edges AS (SELECT cv AS src, sv AS dst FROM cs
+                UNION ALL SELECT sv, cv FROM cs),
+      deg AS (SELECT src AS v, CAST(COUNT(*) AS BIGINT) AS deg
+              FROM edges GROUP BY src),
+      n AS (SELECT CAST(COUNT(*) AS BIGINT) AS nn FROM deg),
+      r0 AS (SELECT v, CAST($Q // nn AS BIGINT) AS r FROM deg, n),
+      $iters
+      SELECT CASE WHEN v % 2 = 0 THEN 'customer' ELSE 'supplier' END AS kind,
+        CAST(v // 2 AS BIGINT) AS node_id, r AS rank_fp
+      FROM r10
+      ORDER BY rank_fp DESC, kind, node_id LIMIT 20"""
+    })
+
   val defs: Seq[QueryDef] = Seq(q74, q75, q76, q77, q78, q79, q80, q81,
-    q82, q83, q84, q85, q86, q87, q88, q89, q90, q91, q92, q93, q94)
+    q82, q83, q84, q85, q86, q87, q88, q89, q90, q91, q92, q93, q94,
+    q95)
 }
