@@ -242,4 +242,14 @@ class PlanAuditSpec extends SparkSpec {
     assert(offenders.isEmpty,
       s"unexpected all-pairs join in: ${offenders.mkString(", ")}")
   }
+
+  test("q94 pushes both event-type filters and fuses aggs in one window") {
+    val p = plan("q94_sliding_agg_join")
+    assert("PushedFilters: \\[IsNotNull\\(event_type\\), EqualTo\\(event_type,(purchase|click)\\)\\]"
+      .r.findAllIn(p).length === 2, s"expected both pushed scans:\n$p")
+    assert(!p.contains("Join"), "sliding agg join must not plan a join")
+    // both trailing aggregates ride ONE Window operator over one sort
+    assert("Window \\[".r.findAllIn(p).length === 1)
+    assert(!p.contains("props"), "scan must prune the wide props column")
+  }
 }
