@@ -28,7 +28,12 @@ import org.apache.spark.sql.functions._
   *
   * Contract: `edges` is the WALK graph — already symmetrized if the
   * source relation is undirected, and every node must have outdegree
-  * ≥ 1 (no dangling nodes; symmetrizing guarantees this). Node ids
+  * ≥ 1 (no dangling nodes; symmetrizing guarantees this). Symmetry
+  * also guarantees indegree ≥ 1: the per-round join+aggregate only
+  * re-emits nodes that RECEIVE an edge, so on a directed graph a
+  * node with no in-links would leave the rank table after round one
+  * and its outgoing mass would vanish with it — feed directed graphs
+  * only if that sink-the-sources semantics is intended. Node ids
   * and the fixed-point q must keep `dampNum · Σ contributions` inside
   * a long: q·n_nodes·dampNum < 2⁶³.
   */
