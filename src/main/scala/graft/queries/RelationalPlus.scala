@@ -1071,7 +1071,49 @@ object RelationalPlus {
       ORDER BY rank_fp DESC, kind, node_id LIMIT 20"""
     })
 
+  /** Multi-horizon point-in-time features: clicks in the trailing
+    * hour AND trailing day per purchase, from ONE shuffle — each
+    * horizon is just another RANGE frame over the same sorted
+    * partition ([[graft.operators.SlidingJoin]] per-agg windows). The
+    * oracle joins the WIDER band once and FILTER-counts the narrower
+    * one inside it — the semantics the frame pair encodes. */
+  val q96 = QueryDef(
+    "q96_multi_horizon",
+    (sp, dir) => {
+      val ev = Tables(sp, dir, "events")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select("event_id", "user_id", "ts")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"),
+          col("value").cast(DecimalType(18, 2)).as("cv"))
+      graft.operators.SlidingJoin.trailingAgg(
+          purchases, clicks, "user_id", "ts", 3600000L,
+          Seq(
+            graft.operators.SlidingJoin.Agg("count", "cv", "clicks_1h"),
+            graft.operators.SlidingJoin.Agg("count", "cv", "clicks_24h",
+              windowMs = Some(86400000L)),
+            graft.operators.SlidingJoin.Agg("sum", "cv", "spend_24h_dec",
+              windowMs = Some(86400000L))))
+        .select(col("event_id"), col("user_id"), col("clicks_1h"),
+          col("clicks_24h"),
+          col("spend_24h_dec").cast(DoubleType).as("spend_24h"))
+        .orderBy("event_id")
+    },
+    Some("""
+      SELECT p.event_id, p.user_id,
+        COUNT(c.value) FILTER (
+          WHERE epoch_ms(c.ts) >= epoch_ms(p.ts) - 3600000) AS clicks_1h,
+        COUNT(c.value) AS clicks_24h,
+        CAST(SUM(CAST(c.value AS DECIMAL(18,2))) AS DOUBLE) AS spend_24h
+      FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+      LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        ON p.user_id = c.user_id
+        AND epoch_ms(c.ts) BETWEEN epoch_ms(p.ts) - 86400000
+                               AND epoch_ms(p.ts)
+      GROUP BY p.event_id, p.user_id
+      ORDER BY p.event_id"""))
+
   val defs: Seq[QueryDef] = Seq(q74, q75, q76, q77, q78, q79, q80, q81,
     q82, q83, q84, q85, q86, q87, q88, q89, q90, q91, q92, q93, q94,
-    q95)
+    q95, q96)
 }
