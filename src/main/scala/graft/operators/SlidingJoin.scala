@@ -74,6 +74,12 @@ object SlidingJoin {
     require(shared == Set(keyCol, tsCol),
       s"probe and build must share exactly ($keyCol, $tsCol); " +
         s"shared: ${shared.mkString(", ")}")
+    val outNames = aggs.map(_.outName)
+    require(outNames.distinct.size == outNames.size,
+      s"duplicate agg outName in ${outNames.mkString(", ")}")
+    outNames.foreach(o =>
+      require(!probe.columns.contains(o) && !build.columns.contains(o),
+        s"agg outName $o collides with an input column"))
 
     // unionByName(allowMissingColumns) pads probe rows with NULL in
     // every build-only column — the padding that makes empty frames
