@@ -66,14 +66,17 @@ object PageRank {
     val degDf = e0.groupBy(col("src")).agg(count(lit(1)).as("deg"))
     val (ed, _, releaseED) = truncate(
       e0.join(degDf, "src").select(col("src"), col("dst"), col("deg")))
-    val n = degDf.count()
+    // node count over the truncated blocks — no second parquet pass
+    val n = ed.select(countDistinct(col("src"))).head().getLong(0)
     require(n > 0, "PageRank on an empty edge list")
     val init = q / n
     val base = (dampDen - dampNum) * init / dampDen
 
-    var (ranks, _, release) = truncate(
-      ed.select(col("src").as("v")).distinct().select(col("v"),
-        lit(init).as("r")))
+    // the init table rides inside the first chain's lineage — cheap
+    // enough that materializing it separately just costs a job
+    var ranks: DataFrame = ed.select(col("src").as("v")).distinct()
+      .select(col("v"), lit(init).as("r"))
+    var release: () => Unit = () => ()
     var k = 1
     while (k <= iters) {
       // Chain up to 5 rounds per materialization: lineage stays
