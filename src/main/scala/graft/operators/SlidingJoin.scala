@@ -22,6 +22,13 @@ import org.apache.spark.sql.functions._
   * rows. One shuffle on (key), one sort on (time) — each input row
   * moves once, aggregation state never leaves the window operator, and
   * the frame buffer is bounded by the time band, not the corpus.
+  *
+  * Skew note: a single hot key still sorts on one task (the window
+  * partitioning is the key alone). The frame STATE stays band-bounded
+  * even then; if one key's row count itself breaks the task, split the
+  * key by coarse time range first (windows never cross a range cut
+  * wider than the band plus a halo — the [[ChunkedWindow]] halo idea
+  * applied at the key level).
   */
 object SlidingJoin {
 
