@@ -23,12 +23,15 @@ import org.apache.spark.sql.functions._
   * moves once, aggregation state never leaves the window operator, and
   * the frame buffer is bounded by the time band, not the corpus.
   *
-  * Skew note: a single hot key still sorts on one task (the window
-  * partitioning is the key alone). The frame STATE stays band-bounded
-  * even then; if one key's row count itself breaks the task, split the
-  * key by coarse time range first (windows never cross a range cut
-  * wider than the band plus a halo — the [[ChunkedWindow]] halo idea
-  * applied at the key level).
+  * Skew note: with the plain path a single hot key sorts on one task
+  * (the window partitioning is the key alone); the frame STATE stays
+  * band-bounded even then. When one key's row count itself breaks the
+  * task, pass `chunkMs`: the partition key becomes (key, time-chunk)
+  * and build rows are duplicated into every later chunk whose probes
+  * can still see them (≤ `ceil(maxWindow/chunkMs)+1` copies — the
+  * [[ChunkedWindow]] halo idea in time units), so a hot key spreads
+  * over its time range while every probe still sees its full band.
+  * Results are hash-identical to the plain path (spec-asserted).
   */
 object SlidingJoin {
 
@@ -60,6 +63,11 @@ object SlidingJoin {
     * aggregating null-ts build rows together — where a LEFT band join
     * (null never satisfies the ON range) matches nothing; filter nulls
     * out first if the source allows them.
+    *
+    * @param chunkMs hot-key splitting (see skew note): partition by
+    *                (key, floor(t/chunkMs)) with build rows duplicated
+    *                into the later chunks whose probes still see them.
+    *                Halo fanout `maxWindow/chunkMs + 1` must stay ≤ 64.
     */
   def trailingAgg(
       probe: DataFrame,
@@ -67,7 +75,8 @@ object SlidingJoin {
       keyCol: String,
       tsCol: String,
       windowMs: Long,
-      aggs: Seq[Agg]): DataFrame = {
+      aggs: Seq[Agg],
+      chunkMs: Option[Long] = None): DataFrame = {
     require(aggs.nonEmpty, "at least one aggregate required")
     require(windowMs >= 0L, s"windowMs must be >= 0, got $windowMs")
     aggs.foreach { a =>
@@ -76,6 +85,12 @@ object SlidingJoin {
         s"build side missing value column ${a.valueCol}")
       require(a.windowMs.forall(_ >= 0L),
         s"windowMs must be >= 0 for ${a.outName}")
+    }
+    val maxW = aggs.map(_.windowMs.getOrElse(windowMs)).max
+    chunkMs.foreach { c =>
+      require(c > 0, s"chunkMs must be > 0, got $c")
+      require(maxW / c + 1 <= 64, s"chunkMs $c gives ${maxW / c + 1} " +
+        s"halo copies per build row; use chunkMs >= ${maxW / 63 + 1}")
     }
     val shared = probe.columns.toSet.intersect(build.columns.toSet)
     require(shared == Set(keyCol, tsCol),
@@ -96,16 +111,34 @@ object SlidingJoin {
         allowMissingColumns = true)
       .withColumn("__tms", unix_millis(col(tsCol)))
 
+    // Chunked path: probes live only in their own chunk; a build row
+    // at t is copied into chunks floor(t/c)..floor((t+maxW)/c) — every
+    // chunk whose probes can still see it. A probe p then finds each
+    // in-band build row exactly once (in p's chunk), and copies landing
+    // out of band are cut by the RANGE frame as usual. floor division
+    // via pmod so pre-epoch timestamps chunk consistently.
+    val (rows, partCols) = chunkMs match {
+      case None => (unioned, Seq(col(keyCol)))
+      case Some(c) =>
+        def fdiv(e: String) = s"((($e) - pmod(($e), ${c}L)) DIV ${c}L)"
+        val chunks = when(col("__side") === 1,
+            array(expr(fdiv("__tms"))))
+          .otherwise(expr(
+            s"sequence(${fdiv("__tms")}, ${fdiv(s"__tms + ${maxW}L")})"))
+        (unioned.withColumn("__chunk", explode(chunks)),
+          Seq(col(keyCol), col("__chunk")))
+    }
+
     def overFrame(a: Agg): Column = (a.fn match {
       case "sum"   => sum(col(a.valueCol))
       case "count" => count(col(a.valueCol))
       case "min"   => min(col(a.valueCol))
       case "max"   => max(col(a.valueCol))
       case "avg"   => avg(col(a.valueCol))
-    }).over(Window.partitionBy(keyCol).orderBy(col("__tms"))
+    }).over(Window.partitionBy(partCols: _*).orderBy(col("__tms"))
       .rangeBetween(-a.windowMs.getOrElse(windowMs), 0L))
 
-    val withAggs = aggs.foldLeft(unioned) { (df, a) =>
+    val withAggs = aggs.foldLeft(rows) { (df, a) =>
       df.withColumn(a.outName, overFrame(a))
     }
     val out = probe.columns.map(col) ++ aggs.map(a => col(a.outName))

@@ -1113,7 +1113,36 @@ object RelationalPlus {
       GROUP BY p.event_id, p.user_id
       ORDER BY p.event_id"""))
 
+  /** q94 through the HOT-KEY-SAFE chunked path: the window partitions
+    * on (user, 30-minute chunk) with halo-copied clicks, so one hot
+    * user spreads over its time range instead of one task — and the
+    * oracle is the SAME band join as q94's, proving the chunked plan
+    * hash-identical through the gate (the q24/q53 as-of precedent:
+    * both plans for one semantics, both continuously verified). */
+  val q97 = QueryDef(
+    "q97_sliding_chunked",
+    (sp, dir) => {
+      val ev = Tables(sp, dir, "events")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select("event_id", "user_id", "ts")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"),
+          col("value").cast(DecimalType(18, 2)).as("click_value"))
+      graft.operators.SlidingJoin.trailingAgg(
+          purchases, clicks, "user_id", "ts", 3600000L,
+          Seq(
+            graft.operators.SlidingJoin.Agg(
+              "count", "click_value", "click_cnt"),
+            graft.operators.SlidingJoin.Agg(
+              "sum", "click_value", "click_sum_dec")),
+          chunkMs = Some(1800000L))
+        .select(col("event_id"), col("user_id"), col("click_cnt"),
+          col("click_sum_dec").cast(DoubleType).as("click_sum"))
+        .orderBy("event_id")
+    },
+    q94.oracle)
+
   val defs: Seq[QueryDef] = Seq(q74, q75, q76, q77, q78, q79, q80, q81,
     q82, q83, q84, q85, q86, q87, q88, q89, q90, q91, q92, q93, q94,
-    q95, q96)
+    q95, q96, q97)
 }

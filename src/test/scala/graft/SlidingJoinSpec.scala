@@ -102,6 +102,45 @@ class SlidingJoinSpec extends SparkSpec {
       s"expected exactly one shuffle for two horizons:\n$p")
   }
 
+  test("chunked path is value-identical across chunk boundaries") {
+    // chunkMs 1500 < band 3000: every probe's band straddles chunks,
+    // so halo copies are doing real work (3 copies per build row)
+    def key3(r: org.apache.spark.sql.Row) =
+      (r.getAs[Long]("pid"), r.getAs[Long]("cnt"),
+        Option(r.getAs[java.math.BigDecimal]("s"))
+          .map(_.doubleValue).getOrElse(-1.0))
+    val aggs = Seq(Agg("count", "v", "cnt"), Agg("sum", "v", "s"))
+    val plain = run(aggs).collect().map(key3).toSet
+    val chunked = SlidingJoin.trailingAgg(probe, build, "k", "ts",
+      3000L, aggs, chunkMs = Some(1500L)).collect().map(key3).toSet
+    assert(chunked === plain)
+    // the chunk id must actually reach the window partitioning
+    val p = SlidingJoin.trailingAgg(probe, build, "k", "ts", 3000L,
+      aggs, chunkMs = Some(1500L)).queryExecution.executedPlan.toString
+    assert(p.contains("__chunk"), s"chunk key missing from plan:\n$p")
+    assert(!p.contains("Join"))
+  }
+
+  test("chunked multi-horizon: halo sized by the widest band") {
+    val aggs = Seq(Agg("count", "v", "c_short"),
+      Agg("count", "v", "c_long", windowMs = Some(7000L)))
+    def key3(r: org.apache.spark.sql.Row) =
+      (r.getAs[Long]("pid"), r.getAs[Long]("c_short"),
+        r.getAs[Long]("c_long"))
+    val plain = run(aggs).collect().map(key3).toSet
+    val chunked = SlidingJoin.trailingAgg(probe, build, "k", "ts",
+      3000L, aggs, chunkMs = Some(2000L)).collect().map(key3).toSet
+    assert(chunked === plain)
+  }
+
+  test("contract: a chunk size creating >64 halo copies is rejected") {
+    val e = intercept[IllegalArgumentException] {
+      SlidingJoin.trailingAgg(probe, build, "k", "ts", 3000L,
+        Seq(Agg("count", "v", "c")), chunkMs = Some(10L))
+    }
+    assert(e.getMessage.contains("halo copies"))
+  }
+
   test("contract: overlapping non-key columns are rejected loudly") {
     val bad = build.withColumnRenamed("v", "pid")
     val e = intercept[IllegalArgumentException] {
