@@ -133,6 +133,47 @@ class SlidingJoinSpec extends SparkSpec {
     assert(chunked === plain)
   }
 
+  test("chunking spreads a hot key: partition volume bounded, results equal") {
+    // hot user 0: 20k events over 200 s; 20 cold users with 100 each.
+    // 10 s chunks, 3 s band -> the hot key splits across ~20 partitions.
+    val c = 10000L
+    val w = 3000L
+    val hot = spark.range(20000)
+      .select(lit(0L).as("k"), (col("id") * lit(10L)).as("tms"))
+    val cold = spark.range(2000)
+      .select((col("id") % 20 + 1).as("k"), (col("id") * lit(100L)).as("tms"))
+    val all = hot.unionAll(cold)
+    val probe = all.select(col("k"),
+      monotonically_increasing_id().as("pid"),
+      timestamp_millis(col("tms")).as("ts"))
+    val build = all.select(col("k"), timestamp_millis(col("tms")).as("ts"),
+      lit(1L).as("v"))
+
+    // (a) the operator's own chunk assignment keeps every (key, chunk)
+    // partition within 2x the hot key's mean and far below the
+    // unsplit hot partition
+    val fdiv = (e: String) => s"((($e) - pmod(($e), ${c}L)) DIV ${c}L)"
+    val parts = all
+      .select(col("k"), explode(expr(
+        s"sequence(${fdiv("tms")}, ${fdiv(s"tms + ${w}L")})")).as("chunk"))
+      .groupBy("k", "chunk").count()
+      .filter(col("k") === 0L).collect().map(_.getLong(2))
+    val mean = parts.sum.toDouble / parts.length
+    assert(parts.max <= 2.0 * mean,
+      s"hot-key chunks unbalanced: max ${parts.max} vs mean $mean")
+    assert(parts.max * 10 <= 20000L,
+      s"chunking must cut the hot partition >=10x: ${parts.max}")
+
+    // (b) end-to-end equality with the plain path on the same fixture
+    val aggs = Seq(Agg("count", "v", "cnt"), Agg("sum", "v", "s"))
+    val plain = SlidingJoin.trailingAgg(probe, build, "k", "ts", w, aggs)
+    val chunked = SlidingJoin.trailingAgg(probe, build, "k", "ts", w,
+      aggs, chunkMs = Some(c))
+    assert(chunked.exceptAll(plain).count() === 0L)
+    assert(plain.exceptAll(chunked).count() === 0L)
+    assert(chunked.count() === 22000L)
+  }
+
   test("contract: a chunk size creating >64 halo copies is rejected") {
     val e = intercept[IllegalArgumentException] {
       SlidingJoin.trailingAgg(probe, build, "k", "ts", 3000L,
