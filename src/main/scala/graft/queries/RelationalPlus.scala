@@ -1142,7 +1142,45 @@ object RelationalPlus {
     },
     q94.oracle)
 
+  /** FORWARD-window conversion labeling: for each click, the number
+    * of purchases by the same user within the NEXT hour — the label
+    * construction step of a training pipeline ("did the click
+    * convert"). Zero new operator code: negate event time and the
+    * trailing band [[graft.operators.SlidingJoin]] becomes a leading
+    * one (q90's forward-as-of trick applied to the aggregate join);
+    * the band flips to inclusive [t, t+W]. */
+  val q98 = QueryDef(
+    "q98_conversion_label",
+    (sp, dir) => {
+      val ev = Tables(sp, dir, "events")
+      def negTs(df: org.apache.spark.sql.DataFrame) =
+        df.withColumn("ts", timestamp_millis(-unix_millis(col("ts"))))
+      val clicks = negTs(ev.filter(col("event_type") === "click")
+        .select("event_id", "user_id", "ts"))
+      val purchases = negTs(ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"),
+          col("event_id").as("purchase_id")))
+      graft.operators.SlidingJoin.trailingAgg(
+          clicks, purchases, "user_id", "ts", 3600000L,
+          Seq(graft.operators.SlidingJoin.Agg(
+            "count", "purchase_id", "conversions_1h")))
+        .select(col("event_id"), col("user_id"), col("conversions_1h"),
+          (col("conversions_1h") > 0L).as("converted"))
+        .orderBy("event_id")
+    },
+    Some("""
+      SELECT c.event_id, c.user_id,
+        COUNT(p.event_id) AS conversions_1h,
+        COUNT(p.event_id) > 0 AS converted
+      FROM (SELECT * FROM events WHERE event_type = 'click') c
+      LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+        ON c.user_id = p.user_id
+        AND epoch_ms(p.ts) BETWEEN epoch_ms(c.ts)
+                               AND epoch_ms(c.ts) + 3600000
+      GROUP BY c.event_id, c.user_id
+      ORDER BY c.event_id"""))
+
   val defs: Seq[QueryDef] = Seq(q74, q75, q76, q77, q78, q79, q80, q81,
     q82, q83, q84, q85, q86, q87, q88, q89, q90, q91, q92, q93, q94,
-    q95, q96, q97)
+    q95, q96, q97, q98)
 }
