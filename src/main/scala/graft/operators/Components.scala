@@ -28,15 +28,8 @@ object Components {
     * rides in the SAME materialization job — one action per round,
     * not materialize-then-aggregate. */
   private def truncate(df: DataFrame)
-      : (DataFrame, java.math.BigInteger, () => Unit) = {
-    // the fused sum reads the raw 8-byte slot (InternalRow.getLong) —
-    // a non-long label column would be misread SILENTLY, so refuse it
-    require(df.schema(1).dataType == org.apache.spark.sql.types.LongType,
-      s"connectedComponents needs LONG node ids, got ${df.schema(1).dataType}")
-    if (df.sparkSession.sparkContext.getCheckpointDir.isDefined)
-      org.apache.spark.sql.graft.Bridge.truncatedReliableSum(df, sumIdx = 1)
-    else org.apache.spark.sql.graft.Bridge.truncatedLocalSum(df, sumIdx = 1)
-  }
+      : (DataFrame, java.math.BigInteger, () => Unit) =
+    org.apache.spark.sql.graft.Bridge.truncatedAutoSum(df, sumIdx = 1)
 
   /** @param edges two long columns (`srcCol`, `dstCol`), undirected.
     * @return (id, component) — component = min node id reachable.

@@ -397,8 +397,9 @@ object Dedup {
         .agg(sort_array(collect_list(struct(col("df"), col("shingle"))))
           .as("a"))
         .withColumn("n", size(col("a")).cast("long"))
-        .withColumn("toks",
-          array_sort(transform(col("a"), _.getField("shingle"))))
+        // no sort: array_intersect doesn't need ordered inputs, and
+        // the (df, token) order the struct sort left is deterministic
+        .withColumn("toks", transform(col("a"), _.getField("shingle")))
     }
 
     // Prefix length n - ceil(t·n) + 1 in pure integer arithmetic.

@@ -40,13 +40,8 @@ import org.apache.spark.sql.functions._
 object PageRank {
 
   private def truncate(df: DataFrame)
-      : (DataFrame, java.math.BigInteger, () => Unit) = {
-    require(df.schema(1).dataType == org.apache.spark.sql.types.LongType,
-      s"PageRank needs LONG columns, got ${df.schema(1).dataType}")
-    if (df.sparkSession.sparkContext.getCheckpointDir.isDefined)
-      org.apache.spark.sql.graft.Bridge.truncatedReliableSum(df, sumIdx = 1)
-    else org.apache.spark.sql.graft.Bridge.truncatedLocalSum(df, sumIdx = 1)
-  }
+      : (DataFrame, java.math.BigInteger, () => Unit) =
+    org.apache.spark.sql.graft.Bridge.truncatedAutoSum(df, sumIdx = 1)
 
   /** @param edges   (srcCol, dstCol) long node ids; see contract above
     * @param iters   fixed iteration count (part of the semantics)
@@ -66,37 +61,45 @@ object PageRank {
     val degDf = e0.groupBy(col("src")).agg(count(lit(1)).as("deg"))
     val (ed, _, releaseED) = truncate(
       e0.join(degDf, "src").select(col("src"), col("dst"), col("deg")))
-    // node count over the truncated blocks — no second parquet pass
-    val n = ed.select(countDistinct(col("src"))).head().getLong(0)
-    require(n > 0, "PageRank on an empty edge list")
-    val init = q / n
-    val base = (dampDen - dampNum) * init / dampDen
-
-    // the init table rides inside the first chain's lineage — cheap
-    // enough that materializing it separately just costs a job
-    var ranks: DataFrame = ed.select(col("src").as("v")).distinct()
-      .select(col("v"), lit(init).as("r"))
+    // From here the edge snapshot is on disk/blocks — any failure must
+    // release it (and the current round) or the checkpoint leaks:
+    // reliable-checkpoint files are never reaped by default.
     var release: () => Unit = () => ()
-    var k = 1
-    while (k <= iters) {
-      // Chain up to 5 rounds per materialization: lineage stays
-      // shallow enough to compile fast, and one job executes the
-      // whole chain instead of paying per-round job latency.
-      val step = math.min(5, iters - k + 1)
-      var chained = ranks
-      for (_ <- 1 to step) {
-        chained = ed.join(chained.withColumnRenamed("v", "src"), "src")
-          .groupBy(col("dst")).agg(sum(expr("r DIV deg")).as("sc"))
-          .select(col("dst").as("v"),
-            (lit(base) + expr(s"($dampNum * sc) DIV $dampDen")).as("r"))
+    try {
+      // node count over the truncated blocks — no second parquet pass
+      val n = ed.select(countDistinct(col("src"))).head().getLong(0)
+      require(n > 0, "PageRank on an empty edge list")
+      val init = q / n
+      val base = (dampDen - dampNum) * init / dampDen
+
+      // the init table rides inside the first chain's lineage — cheap
+      // enough that materializing it separately just costs a job
+      var ranks: DataFrame = ed.select(col("src").as("v")).distinct()
+        .select(col("v"), lit(init).as("r"))
+      var k = 1
+      while (k <= iters) {
+        // Chain up to 5 rounds per materialization: lineage stays
+        // shallow enough to compile fast, and one job executes the
+        // whole chain instead of paying per-round job latency.
+        val step = math.min(5, iters - k + 1)
+        var chained = ranks
+        for (_ <- 1 to step) {
+          chained = ed.join(chained.withColumnRenamed("v", "src"), "src")
+            .groupBy(col("dst")).agg(sum(expr("r DIV deg")).as("sc"))
+            .select(col("dst").as("v"),
+              (lit(base) + expr(s"($dampNum * sc) DIV $dampDen")).as("r"))
+        }
+        val (t, _, rel) = truncate(chained)
+        release()
+        ranks = t
+        release = rel
+        k += step
       }
-      val (t, _, rel) = truncate(chained)
-      release()
-      ranks = t
-      release = rel
-      k += step
-    }
-    releaseED()
-    ranks
+      ranks
+    } catch {
+      case t: Throwable =>
+        release()
+        throw t
+    } finally releaseED()
   }
 }

@@ -67,7 +67,8 @@ object SlidingJoin {
     * @param chunkMs hot-key splitting (see skew note): partition by
     *                (key, floor(t/chunkMs)) with build rows duplicated
     *                into the later chunks whose probes still see them.
-    *                Halo fanout `maxWindow/chunkMs + 1` must stay ≤ 64.
+    *                Halo fanout `ceil(maxWindow/chunkMs) + 1` must
+    *                stay ≤ 64.
     */
   def trailingAgg(
       probe: DataFrame,
@@ -89,8 +90,11 @@ object SlidingJoin {
     val maxW = aggs.map(_.windowMs.getOrElse(windowMs)).max
     chunkMs.foreach { c =>
       require(c > 0, s"chunkMs must be > 0, got $c")
-      require(maxW / c + 1 <= 64, s"chunkMs $c gives ${maxW / c + 1} " +
-        s"halo copies per build row; use chunkMs >= ${maxW / 63 + 1}")
+      // worst case floor((c-1+maxW)/c)+1 = ceil(maxW/c)+1 copies (one
+      // more than floor(maxW/c)+1 whenever c does not divide maxW)
+      val copies = (maxW + c - 1) / c + 1
+      require(copies <= 64, s"chunkMs $c gives up to $copies " +
+        s"halo copies per build row; raise chunkMs")
     }
     val shared = probe.columns.toSet.intersect(build.columns.toSet)
     require(shared == Set(keyCol, tsCol),
@@ -102,6 +106,10 @@ object SlidingJoin {
     outNames.foreach(o =>
       require(!probe.columns.contains(o) && !build.columns.contains(o),
         s"agg outName $o collides with an input column"))
+    val reserved = Seq("__side", "__tms", "__chunk")
+    (probe.columns ++ build.columns ++ outNames).foreach(c =>
+      require(!reserved.contains(c),
+        s"column $c collides with an internal name (${reserved.mkString(", ")})"))
 
     // unionByName(allowMissingColumns) pads probe rows with NULL in
     // every build-only column — the padding that makes empty frames

@@ -969,26 +969,32 @@ object RelationalPlus {
     * purchases keep COUNT 0 and SUM NULL on both engines. Sum
     * accumulates as DECIMAL(18,2) and crosses to double only at the
     * boundary (SURVEY.md §4). */
+  /** q94/q97's shared body — both plans MUST stay the same feature
+    * shape so the one oracle keeps proving them equivalent. */
+  private def slidingClickFeatures(sp: org.apache.spark.sql.SparkSession,
+      dir: String, chunkMs: Option[Long]): org.apache.spark.sql.DataFrame = {
+    val ev = Tables(sp, dir, "events")
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select("event_id", "user_id", "ts")
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"),
+        col("value").cast(DecimalType(18, 2)).as("click_value"))
+    graft.operators.SlidingJoin.trailingAgg(
+        purchases, clicks, "user_id", "ts", 3600000L,
+        Seq(
+          graft.operators.SlidingJoin.Agg(
+            "count", "click_value", "click_cnt"),
+          graft.operators.SlidingJoin.Agg(
+            "sum", "click_value", "click_sum_dec")),
+        chunkMs = chunkMs)
+      .select(col("event_id"), col("user_id"), col("click_cnt"),
+        col("click_sum_dec").cast(DoubleType).as("click_sum"))
+      .orderBy("event_id")
+  }
+
   val q94 = QueryDef(
     "q94_sliding_agg_join",
-    (sp, dir) => {
-      val ev = Tables(sp, dir, "events")
-      val purchases = ev.filter(col("event_type") === "purchase")
-        .select("event_id", "user_id", "ts")
-      val clicks = ev.filter(col("event_type") === "click")
-        .select(col("user_id"), col("ts"),
-          col("value").cast(DecimalType(18, 2)).as("click_value"))
-      graft.operators.SlidingJoin.trailingAgg(
-          purchases, clicks, "user_id", "ts", 3600000L,
-          Seq(
-            graft.operators.SlidingJoin.Agg(
-              "count", "click_value", "click_cnt"),
-            graft.operators.SlidingJoin.Agg(
-              "sum", "click_value", "click_sum_dec")))
-        .select(col("event_id"), col("user_id"), col("click_cnt"),
-          col("click_sum_dec").cast(DoubleType).as("click_sum"))
-        .orderBy("event_id")
-    },
+    (sp, dir) => slidingClickFeatures(sp, dir, chunkMs = None),
     Some("""
       SELECT p.event_id, p.user_id,
         COUNT(c.value) AS click_cnt,
@@ -1121,25 +1127,7 @@ object RelationalPlus {
     * both plans for one semantics, both continuously verified). */
   val q97 = QueryDef(
     "q97_sliding_chunked",
-    (sp, dir) => {
-      val ev = Tables(sp, dir, "events")
-      val purchases = ev.filter(col("event_type") === "purchase")
-        .select("event_id", "user_id", "ts")
-      val clicks = ev.filter(col("event_type") === "click")
-        .select(col("user_id"), col("ts"),
-          col("value").cast(DecimalType(18, 2)).as("click_value"))
-      graft.operators.SlidingJoin.trailingAgg(
-          purchases, clicks, "user_id", "ts", 3600000L,
-          Seq(
-            graft.operators.SlidingJoin.Agg(
-              "count", "click_value", "click_cnt"),
-            graft.operators.SlidingJoin.Agg(
-              "sum", "click_value", "click_sum_dec")),
-          chunkMs = Some(1800000L))
-        .select(col("event_id"), col("user_id"), col("click_cnt"),
-          col("click_sum_dec").cast(DoubleType).as("click_sum"))
-        .orderBy("event_id")
-    },
+    (sp, dir) => slidingClickFeatures(sp, dir, chunkMs = Some(1800000L)),
     q94.oracle)
 
   /** FORWARD-window conversion labeling: for each click, the number

@@ -129,4 +129,21 @@ object Bridge {
     }
     (out, sum, release)
   }
+
+  /** Checkpoint-dir dispatch shared by the iterative operators
+    * (Components, PageRank): reliable truncation when a dir is set
+    * (survives executor loss — cluster deployment), local blocks
+    * otherwise (local/test). The fused sum reads the raw 8-byte slot
+    * at `sumIdx` (InternalRow.getLong) — a non-long column there would
+    * be misread SILENTLY, so refuse it here for every caller. */
+  def truncatedAutoSum(df: org.apache.spark.sql.DataFrame, sumIdx: Int)
+      : (org.apache.spark.sql.DataFrame, java.math.BigInteger, () => Unit) = {
+    require(df.schema(sumIdx).dataType ==
+        org.apache.spark.sql.types.LongType,
+      s"truncatedAutoSum needs a LONG column at $sumIdx, " +
+        s"got ${df.schema(sumIdx).dataType}")
+    if (df.sparkSession.sparkContext.getCheckpointDir.isDefined)
+      truncatedReliableSum(df, sumIdx)
+    else truncatedLocalSum(df, sumIdx)
+  }
 }
