@@ -246,6 +246,27 @@ class ScaleOpsSpec extends SparkSpec {
     }
   }
 
+  test("pagerank on a 100k-node ring matches the scalar recurrence") {
+    // symmetric ring: every node has degree 2 and two in-edges, so
+    // ranks stay UNIFORM and the whole graph follows one scalar
+    // recurrence r' = base + (17 * (2 * (r DIV 2))) DIV 20 — checked
+    // for every node with an expression compare, no collect
+    val n = 100000L
+    val fwd = spark.range(n).select(col("id").as("src"),
+      ((col("id") + 1) % n).as("dst"))
+    val edges = fwd.unionAll(fwd.select(col("dst").as("src"),
+      col("src").as("dst")))
+    val q = 1000000000000L
+    val init = q / n
+    val base = 3L * init / 20L
+    var r = init
+    (1 to 10).foreach(_ => r = base + 17L * (2L * (r / 2L)) / 20L)
+    val out = graft.operators.PageRank.fixedPoint(edges, "src", "dst",
+      iters = 10, q = q)
+    assert(out.filter(col("r") =!= r).count() === 0L)
+    assert(out.count() === n)
+  }
+
   test("sliding agg join at 1M x 1M rows matches the closed form") {
     // both sides on the same ms grid: key = t % 100, so a probe at
     // time t sees builds at t, t-100, t-200, ... within the 1000 ms
