@@ -63,16 +63,35 @@ object Dedup {
     *   computing Jaccard over discriminative shingles only — the
     *   standard stop-shingle trade-off. Any oracle must mirror the cap.
     */
+  /** The df-annotated (doc_id, shingle, df) table — ONE pinned copy
+    * per (docs, n) corpus via [[DfCache]], shared by every df-capped
+    * dedup path ([[ngramJaccard]]'s bucket chain and
+    * [[prefixFilterJaccard]]'s prefix order both read it), so a
+    * session computes the corpus shingle+df pass once however many
+    * operators consume it. */
+  private[graft] def dfAnnotatedShingles(docs: DataFrame, idCol: String,
+      textCol: String, n: Int): DataFrame =
+    DfCache.persisted(docs.sparkSession,
+      s"df-sh:${docs.queryExecution.logical.semanticHash()}:" +
+        s"$idCol:$textCol:$n") {
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("shingle")
+      shingleHashSet(docs, idCol, textCol, n)
+        .withColumn("df", count(lit(1)).over(w))
+    }
+
   def ngramJaccard(docs: DataFrame, idCol: String, textCol: String,
       n: Int, minJaccard: Double, maxDf: Option[Int] = None): DataFrame = {
-    // persist: the shingle set feeds the size aggregate AND the bucket
-    // build — without it the shingle generation runs multiple times.
-    val shAll = shingleHashSet(docs, idCol, textCol, n)
-    val sh = maxDf.fold(shAll) { cap =>
-      val w = org.apache.spark.sql.expressions.Window.partitionBy("shingle")
-      shAll.withColumn("__df", count(lit(1)).over(w))
-        .filter(col("__df") <= cap).drop("__df")
-    }.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // The shingle set feeds the size aggregate AND the bucket build.
+    // Capped path: both consumers filter the shared pinned df table
+    // (scans of cached blocks). Uncapped path: no df needed — persist
+    // the raw set for the two consumers, as before.
+    val sh = maxDf match {
+      case Some(cap) =>
+        dfAnnotatedShingles(docs, idCol, textCol, n)
+          .filter(col("df") <= cap).drop("df")
+      case None => shingleHashSet(docs, idCol, textCol, n)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    }
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
     // Pair generation without a self-join: group docs per shingle and
     // emit in-bucket (d1 < d2) combinations — one shuffle on the
@@ -377,9 +396,7 @@ object Dedup {
       n: Int, num: Int, den: Int, maxDf: Option[Int] = None): DataFrame = {
     require(num > 0 && den > 0 && num <= den,
       s"threshold num/den must be in (0, 1], got $num/$den")
-    val shAll = shingleHashSet(docs, idCol, textCol, n)
-    val wSh = org.apache.spark.sql.expressions.Window.partitionBy("shingle")
-    val shDf = shAll.withColumn("df", count(lit(1)).over(wSh))
+    val shDf = dfAnnotatedShingles(docs, idCol, textCol, n)
     val capped = maxDf.fold(shDf)(cap => shDf.filter(col("df") <= cap))
 
     // ONE groupBy per doc builds the (df, token)-sorted array; size,
