@@ -19,36 +19,13 @@ object Tables {
   // lists files and reads footers for schema on every call, a fixed
   // ~100 ms tax each of the catalog's ~80 queries was paying again.
   // DataFrames are immutable plans, so sharing across queries is safe.
-  // Weak session keys: test suites churn sessions; dead ones must not
-  // pin their plans (or their SparkContexts) in a process-wide map.
-  // SOFT references around the values: a DataFrame strong-references
-  // its SparkSession, i.e. the weak KEY — held strongly, the entry
-  // could never be collected (the WeakHashMap value→key caveat); held
-  // softly, the chain breaks under memory pressure and the entry (and
-  // with it the dead session) becomes reclaimable. A cleared ref just
-  // rebuilds the plan.
-  private val cache = java.util.Collections.synchronizedMap(
-    new java.util.WeakHashMap[SparkSession,
-      scala.collection.concurrent.TrieMap[(String, String),
-        java.lang.ref.SoftReference[DataFrame]]]())
-
-  def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
-    val perSession = cache.synchronized {
-      var m = cache.get(spark)
-      if (m == null) {
-        m = scala.collection.concurrent.TrieMap.empty
-        cache.put(spark, m)
-      }
-      m
+  // Plan reuse only — UNPINNED through the shared
+  // [[graft.operators.DfCache]] (no persist: the cost avoided is file
+  // listing + footer schema reads, not recompute).
+  def apply(spark: SparkSession, dir: String, name: String): DataFrame =
+    graft.operators.DfCache.unpinned(spark, s"tbl:$dir:$name") {
+      build(spark, dir, name)
     }
-    perSession.get((dir, name)).flatMap(r => Option(r.get())) match {
-      case Some(df) => df
-      case None =>
-        val df = build(spark, dir, name)
-        perSession.put((dir, name), new java.lang.ref.SoftReference(df))
-        df
-    }
-  }
 
   private def build(spark: SparkSession, dir: String, name: String): DataFrame =
     if (name == "events") {

@@ -71,9 +71,7 @@ object Dedup {
     * operators consume it. */
   private[graft] def dfAnnotatedShingles(docs: DataFrame, idCol: String,
       textCol: String, n: Int): DataFrame =
-    DfCache.persisted(docs.sparkSession,
-      s"df-sh:${docs.queryExecution.logical.semanticHash()}:" +
-        s"$idCol:$textCol:$n") {
+    DfCache.persistedForSource(docs, s"df-sh:$idCol:$textCol:$n") {
       val w = org.apache.spark.sql.expressions.Window.partitionBy("shingle")
       shingleHashSet(docs, idCol, textCol, n)
         .withColumn("df", count(lit(1)).over(w))
@@ -83,14 +81,17 @@ object Dedup {
       n: Int, minJaccard: Double, maxDf: Option[Int] = None): DataFrame = {
     // The shingle set feeds the size aggregate AND the bucket build.
     // Capped path: both consumers filter the shared pinned df table
-    // (scans of cached blocks). Uncapped path: no df needed — persist
-    // the raw set for the two consumers, as before.
+    // (scans of cached blocks). Uncapped path: no df needed — the raw
+    // set is pinned through [[DfCache]] like every other shared build
+    // (a bare persist here would orphan one pin per call).
     val sh = maxDf match {
       case Some(cap) =>
         dfAnnotatedShingles(docs, idCol, textCol, n)
           .filter(col("df") <= cap).drop("df")
-      case None => shingleHashSet(docs, idCol, textCol, n)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      case None => DfCache.persistedForSource(docs,
+        s"raw-sh:$idCol:$textCol:$n") {
+        shingleHashSet(docs, idCol, textCol, n)
+      }
     }
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
     // Pair generation without a self-join: group docs per shingle and
@@ -239,9 +240,8 @@ object Dedup {
     * benchmark rounds in one session). */
   private def cachedPersisted(docs: DataFrame, shingleN: Int, k: Int,
       bands: Int, rows: Int, build: => DataFrame): DataFrame =
-    DfCache.persisted(docs.sparkSession,
-      s"lsh-cands:${docs.queryExecution.logical.semanticHash()}:" +
-        s"$shingleN:$k:$bands:$rows")(build)
+    DfCache.persistedForSource(docs,
+      s"lsh-cands:$shingleN:$k:$bands:$rows")(build)
 
   /** The production two-phase near-dup shape: cheap MinHash/LSH
     * candidate generation, then EXACT shingle-Jaccard verification of
@@ -407,9 +407,8 @@ object Dedup {
     // (the operator never sees its consumers' action boundary, so it
     // cannot unpersist — the session cache bounds the pin to one copy
     // per input/params).
-    val docsArr = DfCache.persisted(docs.sparkSession,
-      s"prefix-docs:${docs.queryExecution.logical.semanticHash()}:" +
-        s"$idCol:$textCol:$n:$maxDf") {
+    val docsArr = DfCache.persistedForSource(docs,
+      s"prefix-docs:$idCol:$textCol:$n:$maxDf") {
       capped.groupBy("doc_id")
         .agg(sort_array(collect_list(struct(col("df"), col("shingle"))))
           .as("a"))

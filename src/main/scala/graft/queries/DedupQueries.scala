@@ -318,37 +318,12 @@ object DedupQueries {
   // costliest build in the catalog) and the doc→canonical components
   // mapping derived from it (whose iterative loop RUNS at plan-build
   // time: per-round convergence aggregates execute eagerly) — so each
-  // is persisted once per (session, dir) instead of recomputed per
-  // consumer. Weak session keys + SOFT value refs: the DataFrame
-  // strong-references the session (the weak key), so a strongly-held
-  // value would pin the entry forever (WeakHashMap value→key caveat);
-  // softly held, memory pressure clears the ref, the dead session
-  // becomes collectable, and the ContextCleaner then reaps the
-  // unreachable persisted blocks.
-  private val dfCache = java.util.Collections.synchronizedMap(
-    new java.util.WeakHashMap[org.apache.spark.sql.SparkSession,
-      scala.collection.concurrent.TrieMap[String,
-        java.lang.ref.SoftReference[org.apache.spark.sql.DataFrame]]]())
-
+  // is persisted once per (session, dir) through the shared
+  // [[graft.operators.DfCache]] (one implementation of the
+  // weak-session/soft-ref pattern, one place for its caveats).
   private def cachedDf(sp: org.apache.spark.sql.SparkSession, key: String)(
-      build: => org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
-    val perSession = dfCache.synchronized {
-      var m = dfCache.get(sp)
-      if (m == null) {
-        m = scala.collection.concurrent.TrieMap.empty
-        dfCache.put(sp, m)
-      }
-      m
-    }
-    perSession.get(key).flatMap(r => Option(r.get())) match {
-      case Some(df) => df
-      case None =>
-        val df = build
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        perSession.put(key, new java.lang.ref.SoftReference(df))
-        df
-    }
-  }
+      build: => org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    graft.operators.DfCache.persisted(sp, "dedupq:" + key)(build)
 
   /** Materialize the shared per-(session, dir) builds — the Jaccard
     * pair set and the components mapping — OUTSIDE any caller's timed

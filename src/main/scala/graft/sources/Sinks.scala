@@ -112,6 +112,17 @@ object Sinks {
       require(vals.size <= 10000,
         s"batch touches >10000 distinct '$p' partitions — partCol is " +
           "not clustering this workload; drop partCol for the full path")
+      // NULL partition values would silently corrupt the merge: both
+      // the pushed `IN` filter and the scoped DELETE evaluate to NULL
+      // (never true) for a NULL partition, so existing NULL-partition
+      // rows are neither read into the merge nor deleted while the
+      // stage still inserts the batch's NULL rows — duplicate keys
+      // accumulate. Fail loudly, like the partition-count cap.
+      require(!vals.contains(null),
+        s"batch contains NULL '$p' partition values — NULL never " +
+          "matches the pushed IN filter or the partition-scoped " +
+          "DELETE, so the merge would silently duplicate keys; map " +
+          "NULL to a sentinel value or drop partCol for the full path")
       vals
     }
     val existing =
@@ -273,14 +284,21 @@ object Sinks {
   }
 
   /** Dialect-bridging rename: Derby spells it `RENAME TABLE a TO b`,
-    * SQLite-class engines `ALTER TABLE a RENAME TO b`. */
+    * SQLite/PostgreSQL-class engines `ALTER TABLE a RENAME TO b`. The
+    * dialect is chosen from the connection's driver METADATA, never by
+    * probing with a failing statement: engines like PostgreSQL abort
+    * the surrounding transaction after ANY failed statement ("current
+    * transaction is aborted"), which would break the atomic install
+    * the rename runs inside. */
   private def renameTable(conn: java.sql.Connection, from: String,
       to: String): Unit = {
+    val product = Option(conn.getMetaData.getDatabaseProductName)
+      .getOrElse("").toLowerCase
+    val sql =
+      if (product.contains("derby")) s"RENAME TABLE $from TO $to"
+      else s"ALTER TABLE $from RENAME TO $to"
     val st = conn.createStatement()
-    try st.executeUpdate(s"RENAME TABLE $from TO $to")
-    catch { case _: java.sql.SQLException =>
-      st.executeUpdate(s"ALTER TABLE $from RENAME TO $to")
-    } finally st.close()
+    try st.executeUpdate(sql) finally st.close()
   }
 
   private def dropIfExists(url: String, table: String,
