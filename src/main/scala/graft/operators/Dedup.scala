@@ -166,8 +166,16 @@ object Dedup {
     *   is hot is one map-side-combined bucket-size count. */
   def minhashCandidates(sigs: DataFrame, bands: Int, rows: Int,
       salt: Int = 1, saltMinBucket: Int = Int.MaxValue): DataFrame =
-    bucketPairs(minhashBanded(sigs, bands, rows), Seq("band", "band_sig"),
-      salt, saltMinBucket)(
+    bandedCandidates(minhashBanded(sigs, bands, rows), salt, saltMinBucket)
+
+  /** Candidate pairs from an ALREADY-BANDED (doc_id, band, band_sig)
+    * table — the entry point when the banding lives in a persisted
+    * index ([[DedupIndex]]) rather than being recomputed from text:
+    * the in-bucket self-join (optionally skew-salted) runs directly on
+    * the stored rows, so the corpus text is never rescanned. */
+  def bandedCandidates(banded: DataFrame,
+      salt: Int = 1, saltMinBucket: Int = Int.MaxValue): DataFrame =
+    bucketPairs(banded, Seq("band", "band_sig"), salt, saltMinBucket)(
       Seq(col("a.doc_id").as("d1"), col("b.doc_id").as("d2")))
       .distinct()
 

@@ -163,6 +163,40 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
+  /** Multi-probe sign-LSH ANN: each query probes its OWN bucket plus
+    * every Hamming-distance-1 neighbor bucket (one hyperplane sign
+    * flipped) — the standard recall knob at FIXED index size. A missed
+    * true neighbor usually differs in exactly one marginal hyperplane
+    * sign, so probing the `nPlanes` 1-bit-flip buckets recovers most
+    * of single-probe's false negatives without building more tables;
+    * candidate volume grows by at most (nPlanes+1)× of the probed
+    * buckets' occupancy, and the probe explode happens on the QUERY
+    * side only (queries ≪ corpus), so the corpus-side index and its
+    * shuffle key stay identical to [[lshTopK]]'s. Each corpus vector
+    * sits in exactly one bucket and the probe set is distinct, so no
+    * candidate pair appears twice — no distinct pass needed. */
+  def lshMultiProbeCandidates(queries: DataFrame, corpus: DataFrame,
+      nPlanes: Int, dim: Int): DataFrame = {
+    val qProbes = lshBuckets(queries, nPlanes, dim)
+      .select(col("id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"),
+        explode(array(col("bucket") +: (0 until nPlanes).map(i =>
+          col("bucket").bitwiseXOR(lit(1L << i))): _*)).as("bucket"))
+    val c = lshBuckets(corpus, nPlanes, dim)
+      .select(col("id").as("n_id"), col("v").as("cv"), col("nrm").as("cn"),
+        col("bucket"))
+    qProbes.join(c, "bucket")
+      .select(col("q_id"), col("n_id"),
+        cosine(col("qv"), col("qn"), col("cv"), col("cn")).as("cosine"))
+  }
+
+  def lshMultiProbeTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+      nPlanes: Int, dim: Int): DataFrame = {
+    val w = Window.partitionBy("q_id").orderBy(col("cosine").desc, col("n_id"))
+    lshMultiProbeCandidates(queries, corpus, nPlanes, dim)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
   /** IVF coarse quantization: centroids from a labeled partition of
     * the corpus (position-wise mean via posexplode — distributed, no
     * driver collect). The per-position mean is a SEQUENTIAL id-ordered

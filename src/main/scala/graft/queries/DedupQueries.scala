@@ -975,7 +975,66 @@ object DedupQueries {
       WHERE 5 * common >= 3 * (s1.n + s2.n - common)
       ORDER BY d1, d2"""))
 
+  /** Cross-run dedup index persistence — d19's contract with the
+    * stand-in recompute DELETED: installment 1 (even doc_ids) ends by
+    * WRITING its banded index + pair set + registry to a parquet store
+    * ([[graft.operators.DedupIndex.write]]); installment 2 (odd
+    * doc_ids) arrives as its own landing file and probes the STORED
+    * index ([[graft.operators.DedupIndex.appendCandidates]]) — the old
+    * corpus is never rescanned. The returned plan reads ONLY the store
+    * and the landing file (documents.parquet is absent from its scan
+    * set — plan-audited in DedupIndexSpec), while the oracle recomputes
+    * the whole chain from scratch over the full corpus: the hash
+    * equality IS the proof that incremental maintenance over a
+    * persisted store ≡ batch recompute. */
+  val d21 = QueryDef(
+    "d21_persisted_index",
+    (sp, dir) => {
+      val fp = graft.sources.IngestFixtures.fingerprint(s"$dir/documents.parquet")
+      val store = s"/tmp/graft_ingest_v2/d21_store_$fp"
+      val land = s"/tmp/graft_ingest_v2/d21_land_$fp"
+      graft.sources.IngestFixtures.once(s"d21_$fp") {
+        import scala.reflect.io.Directory
+        new Directory(new java.io.File(store)).deleteRecursively()
+        new Directory(new java.io.File(land)).deleteRecursively()
+        val docs = Tables(sp, dir, "documents")
+        // installment 1 ends: index persisted
+        graft.operators.DedupIndex.write(
+          docs.filter(col("doc_id") % 2 === 0), "doc_id", "text",
+          shingleN = 3, k = 16, bands = 4, rows = 4, store)
+        // installment 2 lands as its own file — the entry below must
+        // never touch documents.parquet
+        graft.sources.IngestFixtures.addLandingFile(land,
+          docs.filter(col("doc_id") % 2 =!= 0).select("doc_id", "text"),
+          "batch2.parquet", 1700000200000L)
+      }
+      val newDocs = sp.read.parquet(land)
+      val cands = graft.operators.DedupIndex.appendCandidates(
+        sp, store, newDocs, "doc_id", "text",
+        shingleN = 3, k = 16, bands = 4, rows = 4)
+      val partners = cands.select(col("d1").as("doc_id"))
+        .unionAll(cands.select(col("d2").as("doc_id")))
+        .groupBy("doc_id").agg(count(lit(1)).as("n_candidates"))
+      graft.operators.DedupIndex.readDocs(sp, store)
+        .withColumn("is_new", lit(false))
+        .unionByName(newDocs.select("doc_id").withColumn("is_new", lit(true)))
+        .join(partners, Seq("doc_id"), "left_outer")
+        .select(col("doc_id"), col("is_new"),
+          coalesce(col("n_candidates"), lit(0L)).as("n_candidates"))
+        .orderBy("doc_id")
+    },
+    Some(s"""
+      WITH $shingleHashSql,
+      $minhashCandSql,
+      partners AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) n FROM (
+          SELECT d1 AS doc_id FROM cands UNION ALL SELECT d2 FROM cands)
+        GROUP BY doc_id)
+      SELECT d.doc_id, d.doc_id % 2 <> 0 AS is_new,
+        COALESCE(p.n, 0) AS n_candidates
+      FROM documents d LEFT JOIN partners p ON d.doc_id = p.doc_id
+      ORDER BY d.doc_id"""))
+
   val defs: Seq[QueryDef] =
     Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13,
-      d14, d15, d16, d17, d18, d19, d20)
+      d14, d15, d16, d17, d18, d19, d20, d21)
 }

@@ -635,6 +635,81 @@ object SimilarityQueries {
       FROM etop e2 LEFT JOIN hits ON hits.q_id = e2.q_id
       GROUP BY e2.q_id ORDER BY e2.q_id"""))
 
+  /** Multi-probe sign-LSH recall@5 ([[Similarity
+    * .lshMultiProbeTopK]]): each query probes its own bucket plus the
+    * 8 one-bit-flip neighbor buckets of the SAME 8-plane table — the
+    * recall knob that needs no extra index build. Output mirrors s06's
+    * report (so the two rows are directly comparable, single- vs
+    * multi-probe at equal table count) and adds the per-query
+    * candidate volume `n_cands` — the price paid for the recall.
+    * SimilaritySpec asserts the corpus-wide multi-probe recall
+    * strictly exceeds s06's single-probe recall. */
+  val s13 = QueryDef(
+    "s13_multiprobe_recall",
+    (sp, dir) => {
+      val all = Similarity.prep(Tables(sp, dir, "embeddings"), "vec_id", "embedding")
+      val queries = all.filter(col("id") < 10)
+      val corpus = all.filter(col("id") >= 10)
+      val exact = Similarity.bruteForceTopK(queries, corpus, k = 5)
+        .select("q_id", "n_id")
+      val cands = Similarity.lshMultiProbeCandidates(
+        queries, corpus, nPlanes = 8, dim = 64)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("q_id").orderBy(col("cosine").desc, col("n_id"))
+      val approx = cands.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 5).select("q_id", "n_id")
+      val nCands = cands.groupBy("q_id").agg(count(lit(1)).as("n_cands"))
+      val hits = exact.join(approx, Seq("q_id", "n_id"), "left_semi")
+        .groupBy("q_id").agg(count(lit(1)).as("n_hits"))
+      exact.groupBy("q_id").agg(count(lit(1)).as("n_exact"))
+        .join(nCands, Seq("q_id"), "left")
+        .join(hits, Seq("q_id"), "left")
+        .select(col("q_id"), col("n_exact"),
+          coalesce(col("n_cands"), lit(0L)).as("n_cands"),
+          coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+          (coalesce(col("n_hits"), lit(0L)) / lit(5.0)).as("recall"))
+        .orderBy("q_id")
+    },
+    Some(s"""
+      WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
+      n AS (SELECT vec_id, v, sqrt(${foldDot.format("v", "v")}) nrm,
+              ${bucketSql(8, 64)} AS bucket
+            FROM e),
+      q AS (SELECT vec_id q_id, v qv, nrm qn, bucket FROM n WHERE vec_id < 10),
+      c AS (SELECT vec_id n_id, v cv, nrm cn, bucket FROM n WHERE vec_id >= 10),
+      xs AS (SELECT q_id, n_id, ${foldDot.format("qv", "cv")} / (qn * cn) AS cosine
+             FROM q CROSS JOIN c),
+      xr AS (SELECT q_id, n_id,
+               ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosine DESC, n_id) rnk
+             FROM xs),
+      exact AS (SELECT q_id, n_id FROM xr WHERE rnk <= 5),
+      probes AS (SELECT q_id, qv, qn,
+                   unnest(list_prepend(CAST(bucket AS BIGINT),
+                     list_transform(generate_series(0, 7),
+                       i -> xor(CAST(bucket AS BIGINT),
+                                CAST(1 << i AS BIGINT))))) AS bucket
+                 FROM q),
+      ls AS (SELECT q_id, n_id, ${foldDot.format("qv", "cv")} / (qn * cn) AS cosine
+             FROM probes p JOIN c ON p.bucket = CAST(c.bucket AS BIGINT)),
+      lr AS (SELECT q_id, n_id,
+               ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosine DESC, n_id) rnk
+             FROM ls),
+      approx AS (SELECT q_id, n_id FROM lr WHERE rnk <= 5),
+      hits AS (SELECT q_id, COUNT(*) AS n_hits FROM exact
+               WHERE EXISTS (SELECT 1 FROM approx a
+                             WHERE a.q_id = exact.q_id AND a.n_id = exact.n_id)
+               GROUP BY q_id),
+      ncands AS (SELECT q_id, COUNT(*) AS n_cands FROM ls GROUP BY q_id)
+      SELECT x.q_id, CAST(COUNT(*) AS BIGINT) AS n_exact,
+        CAST(COALESCE(MIN(ncands.n_cands), 0) AS BIGINT) AS n_cands,
+        CAST(COALESCE(MIN(hits.n_hits), 0) AS BIGINT) AS n_hits,
+        CAST(COALESCE(MIN(hits.n_hits), 0) AS DOUBLE) / CAST(5.0 AS DOUBLE)
+          AS recall
+      FROM exact x
+      LEFT JOIN ncands ON ncands.q_id = x.q_id
+      LEFT JOIN hits ON hits.q_id = x.q_id
+      GROUP BY x.q_id ORDER BY x.q_id"""))
+
   val defs: Seq[QueryDef] = Seq(s01, s02, s03, s04, s05, s06, s07, s08,
-    s09, s10, s11, s12)
+    s09, s10, s11, s12, s13)
 }

@@ -1,0 +1,87 @@
+package graft
+
+import graft.operators.{Dedup, DedupIndex}
+import org.apache.spark.sql.functions._
+
+/** Cross-run dedup-index persistence (graft.operators.DedupIndex):
+  * the d21 contract — installment 2 probes the STORED index and never
+  * rescans the old corpus — plus incremental ≡ batch equality and the
+  * atomic install swap. */
+class DedupIndexSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmpStore(tag: String): String = {
+    val d = java.nio.file.Files
+      .createTempDirectory(s"graft_dedupidx_$tag").toString
+    // DedupIndex.write overwrites subdirs; the root must exist only
+    // for installAppended's rename discipline
+    d + "/store"
+  }
+
+  private val corpus = Seq(
+    (0L, "the quick brown fox jumps over the lazy dog again and again"),
+    (1L, "the quick brown fox jumps over the lazy dog again and again"),
+    (2L, "the quick brown fox jumps over the lazy dog again and again today"),
+    (3L, "completely different content about spark engines and shuffles here"),
+    (4L, "another unrelated document discussing benchmark oracles and gates"),
+    (5L, "the quick brown fox jumps over the lazy dog again and again now")
+  ).toDF("doc_id", "text")
+
+  test("incremental candidates over a persisted store equal the batch recompute") {
+    val store = tmpStore("incr")
+    val oldDocs = corpus.filter(col("doc_id") % 2 === 0)
+    val newDocs = corpus.filter(col("doc_id") % 2 =!= 0)
+    DedupIndex.write(oldDocs, "doc_id", "text", 3, 16, 4, 4, store)
+    val incr = DedupIndex
+      .appendCandidates(spark, store, newDocs, "doc_id", "text", 3, 16, 4, 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val batch = Dedup.minhashCandidates(
+        Dedup.minhashSignatures(corpus, "doc_id", "text", 3, 16), 4, 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(incr === batch)
+    assert(incr.nonEmpty, "fixture must produce near-dup candidates")
+  }
+
+  test("registry includes docs with no shingles; banded index excludes them") {
+    val store = tmpStore("reg")
+    val withEmpty = corpus.unionByName(Seq((99L, "too short")).toDF("doc_id", "text"))
+    DedupIndex.write(withEmpty, "doc_id", "text", 3, 16, 4, 4, store)
+    val reg = DedupIndex.readDocs(spark, store)
+      .collect().map(_.getLong(0)).toSet
+    assert(reg === (corpus.collect().map(_.getLong(0)).toSet + 99L))
+    // "too short" has two tokens -> zero trigram shingles -> null sig
+    assert(DedupIndex.readBanded(spark, store)
+      .filter(col("doc_id") === 99L).count() === 0L)
+  }
+
+  test("installAppended swaps atomically and the new store answers like batch") {
+    val store = tmpStore("inst")
+    val oldDocs = corpus.filter(col("doc_id") % 2 === 0)
+    val newDocs = corpus.filter(col("doc_id") % 2 =!= 0)
+    DedupIndex.write(oldDocs, "doc_id", "text", 3, 16, 4, 4, store)
+    DedupIndex.installAppended(spark, store, newDocs,
+      "doc_id", "text", 3, 16, 4, 4)
+    // stage/old scratch gone, live store holds the merged state
+    assert(!new java.io.File(store + "__stage").exists())
+    assert(!new java.io.File(store + "__old").exists())
+    assert(DedupIndex.readDocs(spark, store).count() === corpus.count())
+    val stored = DedupIndex.readPairs(spark, store)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val batch = Dedup.minhashCandidates(
+        Dedup.minhashSignatures(corpus, "doc_id", "text", 3, 16), 4, 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(stored === batch)
+  }
+
+  test("d21 entry plan reads the store and landing file, never documents.parquet") {
+    val df = Catalog.byName("d21_persisted_index")
+      .build(spark, "/root/testdata/sf0.001")
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("documents.parquet"),
+      s"old corpus must not be rescanned:\n${p.take(3000)}")
+    assert(p.contains("d21_store_"), "plan must read the persisted store")
+    assert(p.contains("d21_land_"), "plan must read the landing file")
+    // and the result is live (the oracle equality is the driver gate)
+    assert(df.count() > 0)
+  }
+}

@@ -74,4 +74,29 @@ class SimilaritySpec extends SparkSpec {
     assert(out(0L) === Seq(11L, 10L))
     assert(out(1L) === Seq(13L, 12L))
   }
+
+  test("multi-probe recall strictly exceeds single-probe at equal table count") {
+    // the s13 done-criterion: same 8-plane table, 1-bit-flip neighbor
+    // probes — corpus-wide hits must strictly rise (measured 0→7 at
+    // sf0.001 and 1→8 at sf0.01 when this spec was written)
+    val dir = "/root/testdata/sf0.001"
+    def hits(name: String): Long =
+      Catalog.byName(name).build(spark, dir)
+        .agg(sum("n_hits")).collect()(0).getLong(0)
+    assert(hits("s13_multiprobe_recall") > hits("s06_recall_report"))
+  }
+
+  test("multi-probe candidates are a superset of single-probe's, no pair twice") {
+    val q = prepped.filter(col("id") < 10)
+    val c = prepped.filter(col("id") >= 10)
+    val single = Similarity.lshTopK(q, c, k = 1000, nPlanes = 8, dim = 64)
+      .select("q_id", "n_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val multiRows = Similarity.lshMultiProbeCandidates(q, c, nPlanes = 8, dim = 64)
+      .select("q_id", "n_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(multiRows.distinct.size === multiRows.size,
+      "each (query, neighbor) pair must surface through exactly one probe")
+    assert(single.subsetOf(multiRows.toSet))
+  }
 }
