@@ -50,7 +50,32 @@ object PageRank {
     */
   def fixedPoint(edges: DataFrame, srcCol: String, dstCol: String,
       iters: Int, q: Long = 1000000000000L,
-      dampNum: Int = 17, dampDen: Int = 20): DataFrame = {
+      dampNum: Int = 17, dampDen: Int = 20): DataFrame =
+    run(edges, srcCol, dstCol, iters, q, dampNum, dampDen,
+      wantDelta = false)._1
+
+  /** [[fixedPoint]] plus convergence TELEMETRY: also returns the
+    * final-round L1 distance-to-fixpoint `Σ_v |r_iters(v) −
+    * r_{iters−1}(v)|` (fixed-point units). A fixed iteration count is
+    * the oracle-replayable contract, but a production run needs a
+    * runtime signal of how far from converged it stopped — this is
+    * that signal, self-reported for the price of ONE extra join+agg
+    * over the node-count-sized rank tables (the last two rounds are
+    * materialized anyway by the chaining discipline). The ranks are
+    * bit-identical to [[fixedPoint]]'s: chain boundaries never change
+    * values (PageRankSpec asserts both, and that the delta shrinks as
+    * iterations grow). */
+  def fixedPointWithDelta(edges: DataFrame, srcCol: String, dstCol: String,
+      iters: Int, q: Long = 1000000000000L,
+      dampNum: Int = 17, dampDen: Int = 20): (DataFrame, Long) = {
+    val (df, delta) = run(edges, srcCol, dstCol, iters, q, dampNum, dampDen,
+      wantDelta = true)
+    (df, delta.get)
+  }
+
+  private def run(edges: DataFrame, srcCol: String, dstCol: String,
+      iters: Int, q: Long, dampNum: Int, dampDen: Int,
+      wantDelta: Boolean): (DataFrame, Option[Long]) = {
     require(iters >= 1, s"iters must be >= 1, got $iters")
     require(dampNum > 0 && dampNum < dampDen,
       s"damping num/den must satisfy 0 < num < den, got $dampNum/$dampDen")
@@ -72,30 +97,47 @@ object PageRank {
       val init = q / n
       val base = (dampDen - dampNum) * init / dampDen
 
+      def round(r: DataFrame): DataFrame =
+        ed.join(r.withColumnRenamed("v", "src"), "src")
+          .groupBy(col("dst")).agg(sum(expr("r DIV deg")).as("sc"))
+          .select(col("dst").as("v"),
+            (lit(base) + expr(s"($dampNum * sc) DIV $dampDen")).as("r"))
+
       // the init table rides inside the first chain's lineage — cheap
       // enough that materializing it separately just costs a job
       var ranks: DataFrame = ed.select(col("src").as("v")).distinct()
         .select(col("v"), lit(init).as("r"))
+      // telemetry needs r_{iters-1} materialized, so its chains stop
+      // one round short and the last round runs separately below
+      val chainTo = if (wantDelta) iters - 1 else iters
       var k = 1
-      while (k <= iters) {
+      while (k <= chainTo) {
         // Chain up to 5 rounds per materialization: lineage stays
         // shallow enough to compile fast, and one job executes the
         // whole chain instead of paying per-round job latency.
-        val step = math.min(5, iters - k + 1)
+        val step = math.min(5, chainTo - k + 1)
         var chained = ranks
-        for (_ <- 1 to step) {
-          chained = ed.join(chained.withColumnRenamed("v", "src"), "src")
-            .groupBy(col("dst")).agg(sum(expr("r DIV deg")).as("sc"))
-            .select(col("dst").as("v"),
-              (lit(base) + expr(s"($dampNum * sc) DIV $dampDen")).as("r"))
-        }
+        for (_ <- 1 to step) chained = round(chained)
         val (t, _, rel) = truncate(chained)
         release()
         ranks = t
         release = rel
         k += step
       }
-      ranks
+      if (!wantDelta) (ranks, None)
+      else {
+        // ranks here = r_{iters-1} (for iters == 1, the r_0 init plan)
+        val prev = ranks
+        val prevRelease = release
+        val (fin, _, relFin) = truncate(round(prev))
+        release = () => { prevRelease(); relFin() } // failure path frees both
+        val delta = fin.as("a")
+          .join(prev.as("b"), col("a.v") === col("b.v"))
+          .agg(sum(abs(col("a.r") - col("b.r")))).head().getLong(0)
+        prevRelease()
+        release = relFin
+        (fin, Some(delta))
+      }
     } catch {
       case t: Throwable =>
         release()

@@ -52,6 +52,25 @@ class PageRankSpec extends SparkSpec {
     assert(got <= q && got > q - 10L * 5L * 3L * 20L)
   }
 
+  test("delta telemetry: ranks unchanged, L1 delta shrinks with iterations") {
+    val (ranks, d10) = PageRank.fixedPointWithDelta(edges, "src", "dst",
+      iters = 10)
+    // telemetry must not perturb the semantics: bit-identical ranks
+    val got = ranks.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = reference(undirected ++ undirected.map(_.swap),
+      iters = 10, q = 1000000000000L, dampNum = 17L, dampDen = 20L)
+    assert(got === want)
+    // distance-to-fixpoint decays (geometric in the damping factor);
+    // the star fixture starts far from uniform so every step moves
+    val deltas = Seq(1, 3, 6, 10).map(i =>
+      PageRank.fixedPointWithDelta(edges, "src", "dst", iters = i)._2)
+    assert(deltas === deltas.sorted.reverse,
+      s"deltas must be non-increasing: $deltas")
+    assert(deltas.last < deltas.head,
+      s"10-round delta must be strictly below 1-round: $deltas")
+    assert(deltas.last === d10)
+  }
+
   test("contracts: empty edges and bad damping are rejected") {
     intercept[IllegalArgumentException] {
       PageRank.fixedPoint(edges, "src", "dst", iters = 0)
