@@ -6,8 +6,16 @@ object Bench {
   /** The driver captures only the LAST 2000 chars of stdout; a JSON
     * line longer than that gets decapitated before its last-line
     * parser runs (BENCH_r03: line ~2900 chars, tail starts mid-object,
-    * parsed:null). Budget with margin. */
-  private val MaxLine = 1800
+    * parsed:null). Budget with margin. BenchLineSpec guards this
+    * against catalog growth. */
+  private[graft] val MaxLine = 1800
+
+  /** How many of the SLOWEST queries keep per-query detail when the
+    * full map no longer fits [[MaxLine]]: perf regressions hide in the
+    * expensive entries, so those survive (at 1-decimal precision) with
+    * a `queries_dropped` count, and only the sub-noise-floor fast ones
+    * fall back to target/bench_full.json. */
+  private[graft] val TopDetail = 40
 
   /** `q01_pricing_summary` → `q01`. Every catalog name's prefix before
     * the first underscore is unique (q01–q50, d01–d06, p01–p09,
@@ -67,21 +75,8 @@ object Bench {
         }
       (name, (System.nanoTime() - t0) / 1e9, ok)
     }
-    // total keeps its round-over-round meaning (all work done once per
-    // session): per-query sum PLUS the separately-attributed shared
-    // build, which previous rounds counted inside its first consumer.
-    val total = results.map(_._2).sum + sharedSec
-    def line(keyOf: String => String, fmt: Double => String): String = {
-      val qs = results.map { case (k, v, _) => "\"" + keyOf(k) + "\":" + fmt(v) }
-        .mkString("{", ",", "}")
-      // A failed query must not pass off its (near-zero) elapsed time
-      // as a healthy run: the failure list rides in the same JSON line.
-      val failed = results.collect { case (k, _, false) => "\"" + keyOf(k) + "\"" }
-        .mkString("[", ",", "]")
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","shared_builds":${fmt(sharedSec)},"queries":$qs,"failed":$failed,"sf":"$sfDir"}"""
-    }
     // Full precision + full names to a side file for humans/tooling...
-    val full = line(identity, _.toString)
+    val full = fullLine(results, sharedSec, sfDir)
     try {
       val out = java.nio.file.Paths.get("target", "bench_full.json")
       java.nio.file.Files.createDirectories(out.getParent)
@@ -90,9 +85,49 @@ object Bench {
     } catch { case e: Throwable =>
       System.err.println(s"[bench] side file write failed: ${e.getMessage}")
     }
-    // ...and a compact line on stdout for the driver: short keys, ms
-    // precision. Fall back to full names if prefixes ever collide;
-    // degrade float precision rather than ever exceeding the budget.
+    // ...and a compact line on stdout for the driver.
+    println(compactLine(results, sharedSec, sfDir))
+    spark.stop()
+  }
+
+  private def jsonLine(results: Seq[(String, Double, Boolean)],
+      queried: Seq[(String, Double, Boolean)], sharedSec: Double,
+      sfDir: String, keyOf: String => String,
+      fmt: Double => String): String = {
+    // total keeps its round-over-round meaning (all work done once per
+    // session): per-query sum PLUS the separately-attributed shared
+    // build, which previous rounds counted inside its first consumer.
+    val total = results.map(_._2).sum + sharedSec
+    val qs = queried.map { case (k, v, _) => "\"" + keyOf(k) + "\":" + fmt(v) }
+      .mkString("{", ",", "}")
+    // A failed query must not pass off its (near-zero) elapsed time
+    // as a healthy run: the failure list rides in the same JSON line,
+    // over ALL results — never truncated with the per-query map.
+    val failed = results.collect { case (k, _, false) => "\"" + keyOf(k) + "\"" }
+      .mkString("[", ",", "]")
+    val dropped =
+      if (queried.size == results.size) ""
+      else s""""queries_dropped":${results.size - queried.size},""" +
+        s""""queries_file":"target/bench_full.json","""
+    s"""{"metric":"total","value":${fmt(total)},"unit":"sec","shared_builds":${fmt(sharedSec)},"queries":$qs,$dropped"failed":$failed,"sf":"$sfDir"}"""
+  }
+
+  /** The human/tooling side-file line: full names, full precision. */
+  private[graft] def fullLine(results: Seq[(String, Double, Boolean)],
+      sharedSec: Double, sfDir: String): String =
+    jsonLine(results, results, sharedSec, sfDir, identity, _.toString)
+
+  /** The driver-facing stdout line: short keys, degrading precision,
+    * never longer than [[MaxLine]]. Tiers: per-query map at 3/2/1/0
+    * decimals; then the [[TopDetail]] SLOWEST queries only (1 decimal,
+    * with a `queries_dropped` count — the driver's per-query perf diff
+    * keeps its signal and loses only its sub-second noise floor); then
+    * a summary-only terminal fallback — a parseable total beats a
+    * decapitated line the driver reads as parsed:null. Pure function
+    * of the results, exposed for BenchLineSpec's growth guard. */
+  private[graft] def compactLine(results: Seq[(String, Double, Boolean)],
+      sharedSec: Double, sfDir: String): String = {
+    // Short keys unless prefixes ever collide (guarded, not assumed).
     val keys = results.map(_._1)
     val keyOf: String => String =
       if (keys.map(shortKey).distinct.size == keys.size) shortKey else identity
@@ -101,22 +136,17 @@ object Bench {
     // JSON and silently null the driver's perf gate on such JVMs.
     def fixed(digits: Int)(v: Double): String =
       String.format(java.util.Locale.ROOT, s"%.${digits}f", Double.box(v))
-    // The catalog has grown past the point where even 1-decimal
-    // per-query values fit the 2000-char tail (196 entries ≈ 2050
-    // chars): degrade to integer seconds next, and as the terminal
-    // fallback drop the per-query map entirely — a parseable total
-    // (full detail is always in target/bench_full.json) beats a
-    // decapitated line the driver reads as parsed:null.
-    val summaryOnly =
-      s"""{"metric":"total","value":${fixed(1)(total)},"unit":"sec",""" +
-        s""""shared_builds":${fixed(1)(sharedSec)},"queries":{},""" +
-        s""""failed":${results.collect { case (k, _, false) => "\"" + keyOf(k) + "\"" }
-            .mkString("[", ",", "]")},""" +
-        s""""queries_file":"target/bench_full.json","sf":"$sfDir"}"""
+    // sortBy is stable over the name-sorted input: boundary ties break
+    // by name, so the kept set is deterministic round over round.
+    val slowest = results.sortBy(-_._2).take(TopDetail)
+    val topKeep = slowest.map(_._1).toSet
+    val topOnly = results.filter(r => topKeep(r._1))
+    val summaryOnly = jsonLine(results, Nil, sharedSec, sfDir, keyOf, fixed(1))
     val candidates =
-      Seq(fixed(3) _, fixed(2) _, fixed(1) _, fixed(0) _).map(line(keyOf, _)) :+
+      Seq(fixed(3) _, fixed(2) _, fixed(1) _, fixed(0) _)
+        .map(jsonLine(results, results, sharedSec, sfDir, keyOf, _)) :+
+        jsonLine(results, topOnly, sharedSec, sfDir, keyOf, fixed(1)) :+
         summaryOnly
-    println(candidates.find(_.length <= MaxLine).getOrElse(candidates.last))
-    spark.stop()
+    candidates.find(_.length <= MaxLine).getOrElse(summaryOnly)
   }
 }
