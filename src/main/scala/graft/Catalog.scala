@@ -11,6 +11,7 @@ object Catalog {
       queries.RelationalWide.defs ++
       queries.RelationalNext.defs ++
       queries.RelationalPlus.defs ++
+      queries.GraphQueries.defs ++
       queries.PipelineQueries.defs ++
       queries.DedupQueries.defs ++
       queries.SimilarityQueries.defs ++

@@ -1034,7 +1034,81 @@ object DedupQueries {
       FROM documents d LEFT JOIN partners p ON d.doc_id = p.doc_id
       ORDER BY d.doc_id"""))
 
+  /** Blocked edit-distance nearest neighbor: for every document, its
+    * closest same-language neighbor by Levenshtein distance over the
+    * 80-char prefix, among candidates whose total length differs by at
+    * most 3 chars — the fuzzy-match primitive (OCR variants, scrape
+    * re-crawls) that Jaccard shingles under-serve because it is
+    * position-sensitive.
+    *
+    * Scale shape: candidate generation is an equi-join on
+    * (lang, length-bucket) cells — each doc lands in its home bucket
+    * `len DIV 8` and the bucket above, and a pair is owned by exactly
+    * ONE cell (`max(bucket_a, bucket_b)`), so no pair is generated or
+    * verified twice (the r6 salting ownership trick). Levenshtein runs
+    * only on pairs that survive the exact |Δlen| ≤ 3 gate, and the
+    * per-doc argmin is a map-side-combinable `min(struct(dist, id))`,
+    * never a per-doc sort. Block width bounds candidate volume: cell
+    * population is |docs in an 8-char length band per language|, not
+    * corpus-proportional.
+    */
+  val d22 = QueryDef(
+    "d22_edit_distance_nn",
+    (sp, dir) => {
+      val base = Tables(sp, dir, "documents")
+        .select(col("doc_id"), col("lang"),
+          substring(col("text"), 1, 80).as("pfx"),
+          length(col("text")).cast("long").as("len"))
+        .withColumn("bkt", expr("len DIV 8"))
+      // Each doc is a member of cells {bkt, bkt + 1}; the pair
+      // (a, b) is evaluated only in cell max(bkt_a, bkt_b).
+      val cells = base.select(col("doc_id"), col("lang"), col("pfx"),
+          col("len"), col("bkt"), explode(array(col("bkt"), col("bkt") + 1))
+            .as("cell"))
+      val pairs = cells.as("a").join(cells.as("b"),
+          col("a.lang") === col("b.lang") && col("a.cell") === col("b.cell") &&
+            col("a.doc_id") < col("b.doc_id") &&
+            col("a.cell") === greatest(col("a.bkt"), col("b.bkt")) &&
+            col("b.cell") === greatest(col("a.bkt"), col("b.bkt")) &&
+            abs(col("a.len") - col("b.len")) <= 3)
+        .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"),
+          levenshtein(col("a.pfx"), col("b.pfx")).cast("long").as("dist"))
+      val directed = pairs.select(col("id1").as("doc_id"),
+          col("id2").as("nbr"), col("dist"))
+        .unionAll(pairs.select(col("id2").as("doc_id"),
+          col("id1").as("nbr"), col("dist")))
+      directed.groupBy("doc_id")
+        .agg(min(struct(col("dist"), col("nbr"))).as("best"),
+          count(lit(1)).as("n_candidates"))
+        .select(col("doc_id"), col("best.nbr").as("nn_id"),
+          col("best.dist").as("nn_dist"), col("n_candidates"))
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH base AS (
+        SELECT doc_id, lang, substr(text, 1, 80) AS pfx,
+          CAST(length(text) AS BIGINT) AS len
+        FROM documents),
+      pairs AS (
+        SELECT a.doc_id AS id1, b.doc_id AS id2,
+          CAST(levenshtein(a.pfx, b.pfx) AS BIGINT) AS dist
+        FROM base a JOIN base b
+          ON a.lang = b.lang AND a.doc_id < b.doc_id
+          AND abs(a.len - b.len) <= 3),
+      directed AS (
+        SELECT id1 AS doc_id, id2 AS nbr, dist FROM pairs
+        UNION ALL
+        SELECT id2 AS doc_id, id1 AS nbr, dist FROM pairs),
+      ranked AS (
+        SELECT doc_id, nbr, dist,
+          ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY dist, nbr) AS rn,
+          COUNT(*) OVER (PARTITION BY doc_id) AS n_candidates
+        FROM directed)
+      SELECT doc_id, nbr AS nn_id, dist AS nn_dist,
+        CAST(n_candidates AS BIGINT) AS n_candidates
+      FROM ranked WHERE rn = 1 ORDER BY doc_id"""))
+
   val defs: Seq[QueryDef] =
     Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13,
-      d14, d15, d16, d17, d18, d19, d20, d21)
+      d14, d15, d16, d17, d18, d19, d20, d21, d22)
 }

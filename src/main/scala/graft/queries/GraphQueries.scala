@@ -1,0 +1,113 @@
+package graft.queries
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Graph / sequence analytics (q99+): event-stream Markov transitions
+  * and degree-ordered triangle counting over the co-purchase graph.
+  *
+  * Determinism: transition counts and triangle/wedge counts are exact
+  * integers; the only doubles are single IEEE divisions of exact
+  * integers (transition probability, clustering coefficient), which
+  * both engines compute bit-identically.
+  */
+object GraphQueries {
+
+  /** First-order Markov transition matrix over each user's event
+    * sequence: count of (prev_type → next_type) steps plus the
+    * row-normalized transition probability — the "what do users do
+    * next" building block for session path analysis.
+    *
+    * Scale shape: the LEAD window partitions per user, so frame width
+    * is bounded by one user's history (never corpus-proportional);
+    * the transition count groupBy shuffles |event_types|² keys, and
+    * the normalizing window runs over that already-tiny aggregate —
+    * the fact table is scanned once and never re-shuffled.
+    */
+  val q99 = QueryDef(
+    "q99_markov_transitions",
+    (sp, dir) => {
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      val steps = Tables(sp, dir, "events")
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+        .withColumn("next_type", lead(col("event_type"), 1).over(w))
+        .filter(col("next_type").isNotNull)
+      val counts = steps
+        .groupBy(col("event_type").as("prev_type"), col("next_type"))
+        .agg(count(lit(1)).as("n"))
+      val wt = Window.partitionBy("prev_type")
+      counts
+        .withColumn("prob",
+          col("n").cast("double") / sum(col("n")).over(wt).cast("double"))
+        .orderBy("prev_type", "next_type")
+    },
+    Some("""
+      WITH s AS (
+        SELECT event_type AS prev_type,
+          lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+            AS next_type
+        FROM events),
+      c AS (
+        SELECT prev_type, next_type, CAST(COUNT(*) AS BIGINT) AS n
+        FROM s WHERE next_type IS NOT NULL GROUP BY 1, 2)
+      SELECT prev_type, next_type, n,
+        CAST(n AS DOUBLE) / CAST(SUM(n) OVER (PARTITION BY prev_type) AS DOUBLE)
+          AS prob
+      FROM c ORDER BY prev_type, next_type"""))
+
+  /** Triangle count + global clustering coefficient of the co-purchase
+    * graph (parts bought together in one order), via
+    * [[graft.operators.Triangles]]' degree-ordered edge orientation:
+    * every edge points from its lower-(degree, id) endpoint to the
+    * higher one, so out-degree is bounded by O(√m) even on skewed
+    * graphs and the wedge join (e1.s = e2.s) enumerates each candidate
+    * triangle exactly once; closure is one more equi-join against the
+    * oriented edge list.
+    *
+    * Scale shape: edge generation is a self-equi-join on l_orderkey
+    * with per-order fanout bounded by order size (≤ C(items, 2));
+    * every join is an equi-shuffle (no broadcast-nested-loop
+    * anywhere); n_wedges is the closed-form Σ C(deg, 2), exact
+    * integers end to end. The rank key packs (deg, node) into one
+    * BIGINT (deg · 2³² + node), so orientation comparisons stay
+    * single-column.
+    */
+  val q100 = QueryDef(
+    "q100_triangle_count",
+    (sp, dir) => {
+      val li = Tables(sp, dir, "lineitem")
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      val edges = li.as("a").join(li.as("b"),
+          col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+        .select(col("a.pk").as("u"), col("b.pk").as("v"))
+        .distinct()
+      graft.operators.Triangles.stats(edges)
+    },
+    Some("""
+      WITH li AS (SELECT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+      e AS (SELECT DISTINCT a.pk AS u, b.pk AS v
+            FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk),
+      d AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS deg FROM (
+              SELECT u AS node FROM e UNION ALL SELECT v FROM e)
+            GROUP BY node),
+      r AS (SELECT node, deg, deg * 4294967296 + node AS rk FROM d),
+      o AS (SELECT CASE WHEN ru.rk < rv.rk THEN e.u ELSE e.v END AS s,
+                   CASE WHEN ru.rk < rv.rk THEN e.v ELSE e.u END AS t,
+                   greatest(ru.rk, rv.rk) AS tk
+            FROM e JOIN r ru ON e.u = ru.node JOIN r rv ON e.v = rv.node),
+      w AS (SELECT e1.t AS t1, e2.t AS t2
+            FROM o e1 JOIN o e2 ON e1.s = e2.s AND e1.tk < e2.tk),
+      tri AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles
+              FROM w JOIN o ON o.s = w.t1 AND o.t = w.t2),
+      agg AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes,
+                CAST(SUM(deg) // 2 AS BIGINT) AS n_edges,
+                CAST(SUM(deg * (deg - 1) // 2) AS BIGINT) AS n_wedges
+              FROM d)
+      SELECT n_nodes, n_edges, n_wedges, n_triangles,
+        3.0 * CAST(n_triangles AS DOUBLE) / CAST(n_wedges AS DOUBLE)
+          AS global_cc
+      FROM agg CROSS JOIN tri"""))
+
+  val defs: Seq[QueryDef] = Seq(q99, q100)
+}

@@ -710,6 +710,132 @@ object SimilarityQueries {
       LEFT JOIN hits ON hits.q_id = x.q_id
       GROUP BY x.q_id ORDER BY x.q_id"""))
 
+  /** Scalar-quantization (SQ8) search recall@5: every corpus dimension
+    * compresses to an unsigned byte against the corpus-wide per-dim
+    * [min, max] range (the FAISS SQ8 recipe — 4× smaller than float32,
+    * no codebook training), queries quantize through the SAME ranges,
+    * and candidates score by the INTEGER squared-L2 distance between
+    * code vectors — zero floating-point folds in the approximate path,
+    * so the scores are exact integers on any engine. Recall is judged
+    * against the exact squared-L2 top-5 (s12's baseline metric), so
+    * the number isolates pure quantization loss. (A code DOT product
+    * was tried first and scores recall ≈ 0: the per-dim shift/scale
+    * of the quantizer preserves distances but destroys inner
+    * products.)
+    *
+    * Scale shape: the per-dim stats aggregate is 64 keys with map-side
+    * partials (tree-reduces at any corpus size), rides back as a
+    * one-row broadcast equi-join (lit key, so it stays a
+    * BroadcastHashJoin); quantization is per-row codegen'd `transform`;
+    * the scoring join broadcasts only the tiny query side. The
+    * division in the quantizer is a single IEEE op on (x − min) and
+    * (max − min), both exact subtraction results — deterministic on
+    * both engines; flat dimensions (max = min) pin to code 0 rather
+    * than dividing by zero. */
+  val s14 = QueryDef(
+    "s14_sq8_recall",
+    (sp, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val all = Similarity.prep(Tables(sp, dir, "embeddings"), "vec_id", "embedding")
+      val queries = all.filter(col("id") < 10)
+      val corpus = all.filter(col("id") >= 10)
+      val stats = corpus
+        .select(posexplode(col("v")).as(Seq("pos", "x")))
+        .groupBy("pos").agg(min("x").as("mn"), max("x").as("mx"))
+        .agg(sort_array(collect_list(struct(col("pos"), col("mn"), col("mx"))))
+          .as("st"))
+        .withColumn("k", lit(1))
+      def codes(df: org.apache.spark.sql.DataFrame, idAs: String) =
+        df.withColumn("k", lit(1)).join(broadcast(stats), "k")
+          .select(col("id").as(idAs),
+            transform(col("v"), (x, i) => {
+              val s = element_at(col("st"), (i + lit(1)).cast("int"))
+              when(s("mx") === s("mn"), lit(0L))
+                .otherwise(least(lit(255L),
+                  greatest(lit(0L),
+                    floor(lit(255.0) * (x - s("mn")) / (s("mx") - s("mn")))
+                      .cast("long"))))
+            }).as("code"))
+      val qc = codes(queries, "q_id").withColumnRenamed("code", "qcode")
+      val cc = codes(corpus, "n_id").withColumnRenamed("code", "ccode")
+      val scored = broadcast(qc).join(cc)
+        .select(col("q_id"), col("n_id"),
+          aggregate(
+            zip_with(col("qcode"), col("ccode"), (a, b) => (a - b) * (a - b)),
+            lit(0L), (acc, x) => acc + x).as("score"))
+      val wA = Window.partitionBy("q_id").orderBy(col("score").asc, col("n_id"))
+      val approxTop = scored.withColumn("rk", row_number().over(wA))
+        .filter(col("rk") <= 5).select("q_id", "n_id")
+      val ex = broadcast(queries.select(col("id").as("q_id"), col("v").as("qv")))
+        .join(corpus.select(col("id").as("n_id"), col("v").as("cv")))
+        .select(col("q_id"), col("n_id"),
+          aggregate(
+            zip_with(col("qv"), col("cv"), (a, b) => (a - b) * (a - b)),
+            lit(0.0), (acc, x) => acc + x).as("d2"))
+      val wE = Window.partitionBy("q_id").orderBy(col("d2").asc, col("n_id"))
+      val exactTop = ex.withColumn("rk", row_number().over(wE))
+        .filter(col("rk") <= 5).select("q_id", "n_id")
+      val hits = exactTop.join(approxTop, Seq("q_id", "n_id"), "left_semi")
+        .groupBy("q_id").agg(count(lit(1)).as("n_hits"))
+      exactTop.groupBy("q_id").agg(count(lit(1)).as("n_exact"))
+        .join(hits, Seq("q_id"), "left")
+        .select(col("q_id"), col("n_exact"),
+          coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+          (coalesce(col("n_hits"), lit(0L)) / lit(5.0)).as("recall"))
+        .orderBy("q_id")
+    },
+    Some(s"""
+      WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
+      q AS (SELECT vec_id q_id, v FROM e WHERE vec_id < 10),
+      c AS (SELECT vec_id n_id, v FROM e WHERE vec_id >= 10),
+      cx AS (SELECT n_id,
+               unnest(list_transform(v, (x, i) -> {'pos': i - 1, 'x': x}),
+                 recursive := true)
+             FROM c),
+      st AS (SELECT pos, MIN(x) mn, MAX(x) mx FROM cx GROUP BY pos),
+      rng AS (SELECT list(mn ORDER BY pos) mns, list(mx ORDER BY pos) mxs
+              FROM st),
+      qq AS (SELECT q_id, list_transform(v, (x, i) ->
+               CASE WHEN mxs[i] = mns[i] THEN 0
+                    ELSE least(255, greatest(0, CAST(floor(
+                      255.0 * (x - mns[i]) / (mxs[i] - mns[i])) AS BIGINT)))
+               END) AS qcode
+             FROM q CROSS JOIN rng),
+      qc AS (SELECT n_id, list_transform(v, (x, i) ->
+               CASE WHEN mxs[i] = mns[i] THEN 0
+                    ELSE least(255, greatest(0, CAST(floor(
+                      255.0 * (x - mns[i]) / (mxs[i] - mns[i])) AS BIGINT)))
+               END) AS ccode
+             FROM c CROSS JOIN rng),
+      scored AS (SELECT q_id, n_id,
+          list_reduce(list_prepend(CAST(0 AS BIGINT),
+            list_transform(list_zip(qcode, ccode),
+              x -> (x[1] - x[2]) * (x[1] - x[2]))),
+            (a, b) -> a + b) AS score
+        FROM qq CROSS JOIN qc),
+      atop AS (SELECT q_id, n_id FROM (
+                 SELECT q_id, n_id, ROW_NUMBER() OVER (PARTITION BY q_id
+                   ORDER BY score, n_id) rk FROM scored) WHERE rk <= 5),
+      ex AS (SELECT q_id, n_id,
+               list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                 list_transform(list_zip(q.v, c.v),
+                   x -> (x[1] - x[2]) * (x[1] - x[2]))),
+                 (a, b) -> a + b) AS d2
+             FROM q CROSS JOIN c),
+      etop AS (SELECT q_id, n_id FROM (
+                 SELECT q_id, n_id, ROW_NUMBER() OVER (PARTITION BY q_id
+                   ORDER BY d2, n_id) rk FROM ex) WHERE rk <= 5),
+      hits AS (SELECT q_id, COUNT(*) AS n_hits FROM etop
+               WHERE EXISTS (SELECT 1 FROM atop a
+                             WHERE a.q_id = etop.q_id AND a.n_id = etop.n_id)
+               GROUP BY q_id)
+      SELECT e2.q_id, CAST(COUNT(*) AS BIGINT) AS n_exact,
+        CAST(COALESCE(MIN(hits.n_hits), 0) AS BIGINT) AS n_hits,
+        CAST(COALESCE(MIN(hits.n_hits), 0) AS DOUBLE) / CAST(5.0 AS DOUBLE)
+          AS recall
+      FROM etop e2 LEFT JOIN hits ON hits.q_id = e2.q_id
+      GROUP BY e2.q_id ORDER BY e2.q_id"""))
+
   val defs: Seq[QueryDef] = Seq(s01, s02, s03, s04, s05, s06, s07, s08,
-    s09, s10, s11, s12, s13)
+    s09, s10, s11, s12, s13, s14)
 }

@@ -231,10 +231,12 @@ class PlanAuditSpec extends SparkSpec {
     // the declared brute-force baseline — both shapes are bounded.
     // s13 measures multi-probe LSH AGAINST s01's exact baseline, so
     // the exact side's scan is the same declared baseline as s06's.
+    // s14 broadcasts the 10 quantized queries against the coded corpus
+    // and evaluates against the same declared brute-force baseline.
     val allow = Set("s01_cosine_topk", "s03_ivf_ann", "s04_knn_classify",
       "s05_radius_search", "s06_recall_report", "s07_mips_topk",
       "s08_pq_encode", "s09_maxsim", "s10_ivf_recall",
-      "s12_pq_adc_search", "s13_multiprobe_recall")
+      "s12_pq_adc_search", "s13_multiprobe_recall", "s14_sq8_recall")
     val offenders = Catalog.all.filterNot(q => allow(q.name)).flatMap { q =>
       val p = q.build(spark, dir).queryExecution.executedPlan.toString
       if (p.contains("BroadcastNestedLoopJoin") || p.contains("CartesianProduct"))
