@@ -45,7 +45,7 @@ object Bench {
         "e08_stream_sessions", "e09_clustered_scan",
         "e10_jdbc_roundtrip", "e11_zorder_scan", "e12_stream_join",
         "e14_schema_evolution", "e15_orc_roundtrip",
-        "e16_corrupt_quarantine").foreach {
+        "e16_corrupt_quarantine", "e29_time_travel").foreach {
       n => SparkEntry.queries.get(n)
         .foreach(f => try f(spark, sfDir).count() catch { case _: Throwable => })
     }

@@ -1329,8 +1329,55 @@ object IngestQueries {
         CAST(2 AS BIGINT) AS n_batches
       FROM merged GROUP BY source ORDER BY source"""))
 
+  /** Time travel over the minimal transaction-log table format
+    * ([[graft.sources.TxLog]]): three committed versions — v0 adds
+    * segment A (keys ≡ 0 mod 3), v1 adds segment B (≡ 1), v2 REMOVES
+    * segment A and adds segment C (≡ 2) — and the query reads the
+    * table AS OF v1 and AS OF v2 in one result. The v1 snapshot must
+    * still see segment A after v2 logically deleted it (old segments
+    * are never rewritten; deletion is O(1) manifest metadata), and
+    * the v2 snapshot must not: both aggregates ride the same oracle
+    * replay of the version algebra, so serving the wrong file set in
+    * either direction breaks the hash. Fixture is content-addressed
+    * and built once (manifests land via ATOMIC_MOVE, Delta's
+    * optimistic-commit shape).
+    */
+  val e29 = QueryDef(
+    "e29_time_travel",
+    (sp, dir) => {
+      import graft.Dsl.moneySum
+      val src = Tables(sp, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      val key = s"txlog_orders_${IngestFixtures.fingerprint(s"$dir/orders.parquet")}"
+      val table = IngestFixtures.materializeTxLog(key,
+        Seq(
+          (Seq("segA" -> src.filter(col("o_orderkey") % 3 === 0)), Seq.empty),
+          (Seq("segB" -> src.filter(col("o_orderkey") % 3 === 1)), Seq.empty),
+          (Seq("segC" -> src.filter(col("o_orderkey") % 3 === 2)), Seq("segA"))))
+      def agg(asOf: Int) =
+        graft.sources.TxLog.snapshot(sp, table, asOf)
+          .agg(count(lit(1)).as("n_orders"),
+            count(when(col("o_orderkey") % 3 === 0, 1)).as("n_mod0"),
+            moneySum(col("o_totalprice")).as("sum_price"))
+          .select(lit(asOf).cast("int").as("version"), col("n_orders"),
+            col("n_mod0"), col("sum_price"))
+      agg(1).unionAll(agg(2)).orderBy("version")
+    },
+    Some("""
+      SELECT 1 AS version, CAST(COUNT(*) AS BIGINT) AS n_orders,
+        CAST(SUM(CASE WHEN o_orderkey % 3 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_mod0,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+      FROM orders WHERE o_orderkey % 3 IN (0, 1)
+      UNION ALL
+      SELECT 2, CAST(COUNT(*) AS BIGINT),
+        CAST(SUM(CASE WHEN o_orderkey % 3 = 0 THEN 1 ELSE 0 END) AS BIGINT),
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+      FROM orders WHERE o_orderkey % 3 IN (1, 2)
+      ORDER BY version"""))
+
   val defs: Seq[QueryDef] =
     Seq(e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11, e12, e13,
       e14, e15, e16, e17, e18, e19, e20, e21, e22, e23, e24, e25, e26,
-      e27, e28)
+      e27, e28, e29)
 }

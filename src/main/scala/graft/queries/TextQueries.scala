@@ -554,7 +554,74 @@ object TextQueries {
       FROM cm ORDER BY true_lang, predicted"""
     })
 
+  /** Held-out LM novelty: hash-split the corpus 80/20 into train/eval
+    * (p11's portable LCG split), build the train bigram vocabulary,
+    * and score every eval document by its share of bigrams NEVER seen
+    * in train — the out-of-vocabulary / distribution-shift signal an
+    * n-gram language model would report as high perplexity, computed
+    * here with exact integers only (no log(), which is not
+    * bit-portable across libm implementations).
+    *
+    * Scale shape: bigrams join on their 62-bit polynomial hash, not
+    * the string (the d01 lesson — 8-byte shuffle keys); the vocabulary
+    * side is DISTINCT hashes, so the join's build side follows
+    * vocabulary size, not corpus size; per-doc counts are map-side
+    * combinable sums.
+    */
+  val t15 = QueryDef(
+    "t15_unseen_ngrams",
+    (sp, dir) => {
+      val split = Tables(sp, dir, "documents")
+        .select(col("doc_id"), col("text"),
+          (graft.operators.Pipeline.idHash(col("doc_id")) % 1000 < 800)
+            .as("is_train"))
+      val bi = split.select(col("doc_id"), col("is_train"),
+          explode(wordShingles(tokens(col("text")), 2)).as("bigram"))
+        .select(col("doc_id"), col("is_train"),
+          HashFunctions.hash62(col("bigram")).as("h"))
+      val vocab = bi.filter(col("is_train")).select("h").distinct()
+        .withColumn("seen", lit(1))
+      bi.filter(!col("is_train"))
+        .join(vocab, Seq("h"), "left_outer")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_bigrams"),
+          sum(when(col("seen").isNull, 1L).otherwise(0L)).as("n_unseen"))
+        .withColumn("unseen_ratio",
+          col("n_unseen").cast("double") / col("n_bigrams").cast("double"))
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH toks AS (SELECT doc_id,
+             (doc_id * 1103515245 + 12345) % 2147483647 % 1000 < 800
+               AS is_train,
+             string_split(text, ' ') w
+           FROM documents),
+      bg AS (SELECT doc_id, is_train, unnest(
+               CASE WHEN len(w) < 2 THEN []
+                    ELSE list_transform(generate_series(1, CAST(len(w) - 1 AS INT)),
+                           i -> w[i] || ' ' || w[i+1]) END) AS s
+             FROM toks),
+      bh AS (SELECT doc_id, is_train,
+               (list_reduce(list_prepend(CAST(0 AS BIGINT),
+                  list_transform(generate_series(1, CAST(len(s) AS INT)),
+                    i -> CAST(ascii(substr(s, i, 1)) AS BIGINT))),
+                  (a, b) -> (a * 31 + b) % 2147483647)
+                + (list_reduce(list_prepend(CAST(0 AS BIGINT),
+                    list_transform(generate_series(1, CAST(len(s) AS INT)),
+                      i -> CAST(ascii(substr(s, i, 1)) AS BIGINT))),
+                    (a, b) -> (a * 131 + b) % 2147483647) << 31)) AS h
+             FROM bg),
+      vocab AS (SELECT DISTINCT h FROM bh WHERE is_train)
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+        CAST(SUM(CASE WHEN vocab.h IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_unseen,
+        CAST(SUM(CASE WHEN vocab.h IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+          / CAST(COUNT(*) AS DOUBLE) AS unseen_ratio
+      FROM bh LEFT JOIN vocab ON bh.h = vocab.h
+      WHERE NOT bh.is_train
+      GROUP BY doc_id ORDER BY doc_id"""))
+
   val defs: Seq[QueryDef] =
     Seq(t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13,
-      t14)
+      t14, t15)
 }

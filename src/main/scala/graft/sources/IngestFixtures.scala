@@ -106,6 +106,30 @@ object IngestFixtures {
   def once(key: String)(body: => Unit): Unit =
     done.computeIfAbsent(s"once:$key", _ => { body; key })
 
+  /** Build a [[TxLog]] table once per content key: each element of
+    * `commits` is (segments-to-add, segment-names-to-remove); every
+    * added segment is written as its own parquet directory, then the
+    * manifest commits. The on-disk copy is trusted iff the LAST
+    * version's manifest exists — manifests land via ATOMIC_MOVE, so a
+    * present final manifest implies every prior commit completed. */
+  def materializeTxLog(key: String,
+      commits: Seq[(Seq[(String, DataFrame)], Seq[String])]): String = {
+    val path = s"/tmp/graft_ingest_v2/$key"
+    done.computeIfAbsent(path, _ => {
+      val lastManifest = new java.io.File(
+        new java.io.File(path, "_txlog"), s"v${commits.size - 1}.json")
+      if (!lastManifest.exists()) {
+        commits.foreach { case (adds, removes) =>
+          adds.foreach { case (name, df) =>
+            df.write.mode("overwrite").parquet(s"$path/$name")
+          }
+          TxLog.commit(path, adds.map(_._1), removes)
+        }
+      }
+      path
+    })
+  }
+
   /** A directory holding ONE hand-written `bad.csv` of deliberately
     * malformed rows (plus the header line, which the `header=true`
     * reader skips per file). Written atomically via rename so a

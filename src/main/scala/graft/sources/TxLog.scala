@@ -1,0 +1,124 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import java.nio.file.{Files, Paths}
+import java.nio.charset.StandardCharsets
+
+/** Minimal transaction-log table format: Delta/Iceberg's snapshot
+  * algebra reduced to its core — an append-only `_txlog/` directory of
+  * version manifests, each listing data SEGMENTS (Spark-written
+  * parquet directories) added and removed by that commit. A reader
+  * pins a version, folds the manifests up to it into a live-segment
+  * set, and reads exactly those segments; old segments are NEVER
+  * rewritten, so every historical version stays readable (time
+  * travel) and concurrent readers are immune to in-flight writers.
+  *
+  * Why this matters at 100 TB: directory listings stop being the
+  * source of truth (a partial write can never be observed — a segment
+  * becomes visible only when its manifest lands), deletes are O(1)
+  * metadata (no data rewrite), and snapshot reads give repeatable
+  * results under continuous ingest.
+  *
+  * Commit protocol: the manifest is staged as a temp file and
+  * installed as `vN.json` via hard-link creation — the POSIX
+  * atomic create-if-absent (a rename would silently REPLACE an
+  * existing target, letting two racing writers both claim the same
+  * version; link() fails with EEXIST instead). Version numbers are
+  * claimed optimistically — a loser retries at the next version,
+  * which is exactly Delta's optimistic-concurrency loop.
+  */
+object TxLog {
+
+  private def logDir(tableDir: String) = Paths.get(tableDir, "_txlog")
+
+  /** Committed versions, ascending (empty for a fresh table). */
+  def versions(tableDir: String): Seq[Int] = {
+    val d = logDir(tableDir)
+    if (!Files.isDirectory(d)) Seq.empty
+    else {
+      val it = Files.list(d)
+      try it.iterator().asInstanceOf[java.util.Iterator[java.nio.file.Path]]
+        .asScala.map(_.getFileName.toString)
+        .filter(n => n.startsWith("v") && n.endsWith(".json"))
+        .map(n => n.stripPrefix("v").stripSuffix(".json").toInt)
+        .toSeq.sorted
+      finally it.close()
+    }
+  }
+  private implicit class RichIt[A](val it: java.util.Iterator[A]) {
+    def asScala: Iterator[A] = new Iterator[A] {
+      def hasNext = it.hasNext; def next() = it.next()
+    }
+  }
+
+  /** Commit a new version adding/removing the given segment names
+    * (paths relative to the table dir). Returns the version claimed.
+    * Manifest JSON is flat and order-stable, so a manifest is
+    * byte-reproducible from its inputs. */
+  def commit(tableDir: String, adds: Seq[String],
+      removes: Seq[String] = Seq.empty): Int = {
+    require(adds.nonEmpty || removes.nonEmpty, "empty commit")
+    val bad = (adds ++ removes).filter(s => s.contains("\"") || s.contains("/"))
+    require(bad.isEmpty, s"segment names must be simple dir names: $bad")
+    val d = logDir(tableDir)
+    Files.createDirectories(d)
+    def arr(xs: Seq[String]) = xs.map("\"" + _ + "\"").mkString("[", ",", "]")
+    var attempt = 0
+    while (true) {
+      val v = versions(tableDir).lastOption.map(_ + 1).getOrElse(0)
+      val body =
+        s"""{"version":$v,"adds":${arr(adds)},"removes":${arr(removes)}}"""
+      val tmp = d.resolve(s".tmp.${java.util.UUID.randomUUID}")
+      Files.write(tmp, body.getBytes(StandardCharsets.UTF_8))
+      try {
+        // createLink is the atomic create-if-absent: EEXIST on a lost
+        // race (ATOMIC_MOVE would silently replace the winner).
+        Files.createLink(d.resolve(s"v$v.json"), tmp)
+        Files.deleteIfExists(tmp)
+        return v
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException =>
+          Files.deleteIfExists(tmp) // lost the race; retry at next version
+          attempt += 1
+          require(attempt < 1000, s"txlog commit livelock in $tableDir")
+      }
+    }
+    -1 // unreachable
+  }
+
+  /** The live segment set as of `asOf` (inclusive): fold adds minus
+    * removes across manifests v0..asOf. */
+  def liveSegments(tableDir: String, asOf: Int): Seq[String] = {
+    val vs = versions(tableDir)
+    require(vs.contains(asOf), s"version $asOf not in $vs")
+    val live = scala.collection.mutable.LinkedHashSet[String]()
+    vs.filter(_ <= asOf).foreach { v =>
+      val body = new String(
+        Files.readAllBytes(logDir(tableDir).resolve(s"v$v.json")),
+        StandardCharsets.UTF_8)
+      // flat manifests written by commit(): two known arrays, no nesting
+      def field(name: String): Seq[String] = {
+        val m = s""""$name":\\[([^\\]]*)\\]""".r.findFirstMatchIn(body)
+          .getOrElse(sys.error(s"malformed manifest v$v in $tableDir"))
+        m.group(1).split(",").map(_.trim.stripPrefix("\"").stripSuffix("\""))
+          .filter(_.nonEmpty).toSeq
+      }
+      field("adds").foreach(live += _)
+      field("removes").foreach { r =>
+        require(live.contains(r),
+          s"manifest v$v removes unknown segment $r")
+        live -= r
+      }
+    }
+    live.toSeq
+  }
+
+  /** Snapshot read pinned at `asOf`: exactly the live segments, one
+    * multi-path parquet scan (partition pruning and pushdown apply
+    * per segment as usual). */
+  def snapshot(spark: SparkSession, tableDir: String, asOf: Int): DataFrame = {
+    val segs = liveSegments(tableDir, asOf)
+    require(segs.nonEmpty, s"version $asOf of $tableDir has no segments")
+    spark.read.parquet(segs.map(s => s"$tableDir/$s"): _*)
+  }
+}

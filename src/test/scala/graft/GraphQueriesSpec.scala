@@ -97,6 +97,20 @@ class GraphQueriesSpec extends SparkSpec {
     assert(out === brute)
   }
 
+  test("t15 covers exactly the eval docs with >= 1 bigram, ratios in [0,1]") {
+    val out = Catalog.byName("t15_unseen_ngrams").build(spark, dir).collect()
+    val expected = Tables(spark, dir, "documents")
+      .filter(graft.operators.Pipeline.idHash(col("doc_id")) % 1000 >= 800)
+      .filter(size(split(col("text"), " ")) >= 2)
+      .count()
+    assert(out.length.toLong === expected)
+    out.foreach { r =>
+      val ratio = r.getAs[Double]("unseen_ratio")
+      assert(ratio >= 0.0 && ratio <= 1.0)
+      assert(r.getAs[Long]("n_unseen") <= r.getAs[Long]("n_bigrams"))
+    }
+  }
+
   test("s14 SQ8 recall is healthy and codes are byte-ranged") {
     val rows = Catalog.byName("s14_sq8_recall").build(spark, dir).collect()
     assert(rows.length === 10)

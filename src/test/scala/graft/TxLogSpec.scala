@@ -1,0 +1,86 @@
+package graft
+
+import graft.sources.TxLog
+import org.apache.spark.sql.functions._
+
+/** Contract tests for the minimal transaction-log table format. */
+class TxLogSpec extends SparkSpec {
+
+  private def freshTable(): String =
+    java.nio.file.Files.createTempDirectory("txlog_spec").toString
+
+  private def writeSeg(table: String, name: String, ids: Seq[Long]): Unit = {
+    import spark.implicits._
+    ids.toDF("id").write.mode("overwrite").parquet(s"$table/$name")
+  }
+
+  test("version algebra: adds accumulate, removes drop, history stays") {
+    val t = freshTable()
+    writeSeg(t, "a", Seq(1L, 2L))
+    writeSeg(t, "b", Seq(3L))
+    writeSeg(t, "c", Seq(4L, 5L))
+    assert(TxLog.versions(t).isEmpty)
+    assert(TxLog.commit(t, Seq("a")) === 0)
+    assert(TxLog.commit(t, Seq("b")) === 1)
+    assert(TxLog.commit(t, Seq("c"), removes = Seq("a")) === 2)
+    assert(TxLog.versions(t) === Seq(0, 1, 2))
+    assert(TxLog.liveSegments(t, 0) === Seq("a"))
+    assert(TxLog.liveSegments(t, 1) === Seq("a", "b"))
+    assert(TxLog.liveSegments(t, 2) === Seq("b", "c"))
+    def ids(v: Int) = TxLog.snapshot(spark, t, v)
+      .select("id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(ids(0) === Seq(1L, 2L))
+    assert(ids(1) === Seq(1L, 2L, 3L))
+    assert(ids(2) === Seq(3L, 4L, 5L)) // segment a invisible at v2...
+    assert(ids(1) === Seq(1L, 2L, 3L)) // ...but still readable at v1
+  }
+
+  test("removing an unknown segment fails loudly") {
+    val t = freshTable()
+    writeSeg(t, "a", Seq(1L))
+    TxLog.commit(t, Seq("a"))
+    TxLog.commit(t, Seq.empty, removes = Seq("a"))
+    // v1 removed 'a'; removing it again (or a typo) must not silently
+    // no-op — the manifest fold rejects it at read time.
+    TxLog.commit(t, Seq.empty, removes = Seq("a"))
+    val e = intercept[RuntimeException](TxLog.liveSegments(t, 2))
+    assert(e.getMessage.contains("removes unknown segment"))
+  }
+
+  test("unknown version and empty commit are rejected") {
+    val t = freshTable()
+    writeSeg(t, "a", Seq(1L))
+    TxLog.commit(t, Seq("a"))
+    intercept[IllegalArgumentException](TxLog.liveSegments(t, 7))
+    intercept[IllegalArgumentException](TxLog.commit(t, Seq.empty))
+    intercept[IllegalArgumentException](
+      TxLog.commit(t, Seq("evil/../../etc")))
+  }
+
+  test("concurrent commits claim distinct sequential versions") {
+    val t = freshTable()
+    (0 until 8).foreach(i => writeSeg(t, s"s$i", Seq(i.toLong)))
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+    try {
+      val futs = (0 until 8).map { i =>
+        pool.submit(new java.util.concurrent.Callable[Int] {
+          def call(): Int = TxLog.commit(t, Seq(s"s$i"))
+        })
+      }
+      val versions = futs.map(_.get()).sorted
+      assert(versions === (0 until 8)) // optimistic retry: no gaps, no dupes
+      assert(TxLog.liveSegments(t, 7).sorted === (0 until 8).map(i => s"s$i"))
+    } finally pool.shutdown()
+  }
+
+  test("snapshot schema and aggregate survive a remove-heavy history") {
+    val t = freshTable()
+    writeSeg(t, "x", 1L to 100L)
+    writeSeg(t, "y", 101L to 150L)
+    TxLog.commit(t, Seq("x", "y"))
+    TxLog.commit(t, Seq.empty, removes = Seq("x"))
+    val v1 = TxLog.snapshot(spark, t, 1).agg(count(lit(1)), sum("id")).head
+    assert(v1.getLong(0) === 50L)
+    assert(v1.getLong(1) === (101L to 150L).sum)
+  }
+}
