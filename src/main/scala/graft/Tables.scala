@@ -1,7 +1,8 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.expr
+import org.apache.spark.sql.functions.{col, expr}
+import org.apache.spark.sql.types.{LongType, StructType, TimestampNTZType, TimestampType}
 
 /** Source registry for the driver-generated star schema (TESTDATA.md).
   *
@@ -29,13 +30,44 @@ object Tables {
 
   private def build(spark: SparkSession, dir: String, name: String): DataFrame =
     if (name == "events") {
-      // events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized
-      // reader rejects; read it as raw nanos and floor to micros — the
-      // same truncation DuckDB applies, so oracles agree.
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      spark.read.parquet(s"$dir/$name.parquet")
-        .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      eventsTs(spark.read.parquet(s"$dir/$name.parquet"))
     } else {
       spark.read.parquet(s"$dir/$name.parquet")
     }
+
+  /** Raw (pre-normalization) schema of `dir/events.parquet`, with the
+    * nanos-as-long fallback armed first. The producer's physical `ts`
+    * encoding has drifted between TIMESTAMP(NANOS) and
+    * TIMESTAMP(MICROS) across testdata generations; arming
+    * `nanosAsLong` makes BOTH readable (the flag only affects NANOS
+    * columns — micros files are untouched by it), and the returned
+    * schema tells [[eventsTs]] which case this file is. Streaming
+    * sources need this schema explicitly (`readStream.schema(...)`).
+    */
+  def eventsRawSchema(spark: SparkSession, dir: String): StructType = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet(s"$dir/events.parquet").schema
+  }
+
+  /** Normalize the events `ts` column to session-zoned TimestampType
+    * whatever the writer's physical encoding:
+    *   - LongType (TIMESTAMP(NANOS) read under nanosAsLong) → floor
+    *     to micros — the same truncation DuckDB applies, so oracles
+    *     agree;
+    *   - TimestampNTZType (TIMESTAMP(MICROS), isAdjustedToUTC=false)
+    *     → cast; with the UTC session zone the wall-clock values are
+    *     preserved bit-for-bit;
+    *   - TimestampType → already normal, pass through.
+    * Works on batch and streaming DataFrames alike. Every reader of
+    * raw events parquet MUST route through here — schema drift on
+    * this one column once took out 50 catalog entries (VERDICT r7).
+    */
+  def eventsTs(df: DataFrame): DataFrame = df.schema("ts").dataType match {
+    case LongType =>
+      df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    case TimestampNTZType =>
+      df.withColumn("ts", col("ts").cast(TimestampType))
+    case _ => df
+  }
 }

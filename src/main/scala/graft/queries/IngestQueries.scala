@@ -187,17 +187,16 @@ object IngestQueries {
     "e05_stream_windows",
     (sp, dir) => {
       import graft.Dsl.moneySum
-      // events.parquet is TIMESTAMP(NANOS) — same nanos-as-long read +
-      // micros floor as graft.Tables, via an explicit stream schema.
-      sp.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val schema = sp.read.parquet(s"$dir/events.parquet").schema
+      // Schema-adaptive events read (nanos-as-long OR native micros) —
+      // raw schema + ts normalization both live in graft.Tables.
+      val schema = Tables.eventsRawSchema(sp, dir)
       // The source path must be a GLOB: FileStreamSource force-sets
       // basePath to a non-glob path verbatim, and here that would be
       // the single parquet FILE the test dir ships (basePath must be a
       // directory). A real deployment points at a landing directory.
-      val stream = sp.readStream.schema(schema).option("basePath", dir)
-        .parquet(s"$dir/events.parque[t]")
-        .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      val stream = Tables.eventsTs(
+        sp.readStream.schema(schema).option("basePath", dir)
+          .parquet(s"$dir/events.parque[t]"))
       val agg = stream
         .withWatermark("ts", "1 hour")
         .groupBy(window(col("ts"), "1 hour"), col("event_type"))
@@ -236,11 +235,10 @@ object IngestQueries {
     "e06_stream_dedup",
     (sp, dir) => {
       import graft.Dsl.moneySum
-      sp.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val schema = sp.read.parquet(s"$dir/events.parquet").schema
-      def src = sp.readStream.schema(schema).option("basePath", dir)
-        .parquet(s"$dir/events.parque[t]")
-        .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      val schema = Tables.eventsRawSchema(sp, dir)
+      def src = Tables.eventsTs(
+        sp.readStream.schema(schema).option("basePath", dir)
+          .parquet(s"$dir/events.parque[t]"))
       val deduped = graft.streaming.StreamOps
         .dedupWithinWatermark(src.unionAll(src), "event_id")
       val sink = s"e06_dedup_${streamRuns.incrementAndGet()}"
@@ -473,11 +471,10 @@ object IngestQueries {
     "e12_stream_join",
     (sp, dir) => {
       import graft.Dsl.moneySum
-      sp.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val schema = sp.read.parquet(s"$dir/events.parquet").schema
-      def src = sp.readStream.schema(schema).option("basePath", dir)
-        .parquet(s"$dir/events.parque[t]")
-        .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      val schema = Tables.eventsRawSchema(sp, dir)
+      def src = Tables.eventsTs(
+        sp.readStream.schema(schema).option("basePath", dir)
+          .parquet(s"$dir/events.parque[t]"))
       val joined = graft.streaming.StreamOps.attributedPurchases(
         clicks = src.filter(col("event_type") === "click"),
         purchases = src.filter(col("event_type") === "purchase"))
@@ -922,11 +919,10 @@ object IngestQueries {
     "e21_stream_enrich",
     (sp, dir) => {
       import graft.Dsl.moneySum
-      sp.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val schema = sp.read.parquet(s"$dir/events.parquet").schema
-      val stream = sp.readStream.schema(schema).option("basePath", dir)
-        .parquet(s"$dir/events.parque[t]")
-        .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      val schema = Tables.eventsRawSchema(sp, dir)
+      val stream = Tables.eventsTs(
+        sp.readStream.schema(schema).option("basePath", dir)
+          .parquet(s"$dir/events.parque[t]"))
       val dim = Tables(sp, dir, "customer")
         .select(col("c_custkey"), col("c_mktsegment"))
       val agg = stream
