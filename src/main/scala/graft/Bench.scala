@@ -10,12 +10,13 @@ object Bench {
     * against catalog growth. */
   private[graft] val MaxLine = 1800
 
-  /** How many of the SLOWEST queries keep per-query detail when the
-    * full map no longer fits [[MaxLine]]: perf regressions hide in the
-    * expensive entries, so those survive (at 1-decimal precision) with
-    * a `queries_dropped` count, and only the sub-noise-floor fast ones
-    * fall back to target/bench_full.json. */
-  private[graft] val TopDetail = 40
+  /** Floor on how many of the SLOWEST queries the top-detail tier must
+    * keep for a healthy run's value profile (guarded by BenchLineSpec):
+    * perf regressions hide in the expensive entries, so the tier is
+    * ADAPTIVE — it keeps the largest slowest-N that still fits
+    * [[MaxLine]] — and only the sub-noise-floor fast ones fall back to
+    * target/bench_full.json. */
+  private[graft] val TopDetailFloor = 60
 
   /** `q01_pricing_summary` → `q01`. Every catalog name's prefix before
     * the first underscore is unique (q01–q50, d01–d06, p01–p09,
@@ -119,12 +120,13 @@ object Bench {
 
   /** The driver-facing stdout line: short keys, degrading precision,
     * never longer than [[MaxLine]]. Tiers: per-query map at 3/2/1/0
-    * decimals; then the [[TopDetail]] SLOWEST queries only (1 decimal,
-    * with a `queries_dropped` count — the driver's per-query perf diff
-    * keeps its signal and loses only its sub-second noise floor); then
-    * a summary-only terminal fallback — a parseable total beats a
-    * decapitated line the driver reads as parsed:null. Pure function
-    * of the results, exposed for BenchLineSpec's growth guard. */
+    * decimals; then the LARGEST slowest-N that fits (1 decimal, with a
+    * `queries_dropped` count and a `queries_file` pointer to the full
+    * map — the driver's per-query perf diff keeps its signal and loses
+    * only its sub-second noise floor); then a summary-only terminal
+    * fallback — a parseable total beats a decapitated line the driver
+    * reads as parsed:null. Pure function of the results, exposed for
+    * BenchLineSpec's growth guard. */
   private[graft] def compactLine(results: Seq[(String, Double, Boolean)],
       sharedSec: Double, sfDir: String): String = {
     // Short keys unless prefixes ever collide (guarded, not assumed).
@@ -138,15 +140,23 @@ object Bench {
       String.format(java.util.Locale.ROOT, s"%.${digits}f", Double.box(v))
     // sortBy is stable over the name-sorted input: boundary ties break
     // by name, so the kept set is deterministic round over round.
-    val slowest = results.sortBy(-_._2).take(TopDetail)
-    val topKeep = slowest.map(_._1).toSet
-    val topOnly = results.filter(r => topKeep(r._1))
+    val slowestFirst = results.sortBy(-_._2)
+    def topLine(n: Int): String = {
+      val keep = slowestFirst.take(n).map(_._1).toSet
+      jsonLine(results, results.filter(r => keep(r._1)), sharedSec, sfDir,
+        keyOf, fixed(1))
+    }
+    // Adaptive top tier: the largest N whose line fits. Line length
+    // grows ~monotonically in N and each candidate is cheap to build,
+    // so a downward linear scan is exact and costs O(n²) string work
+    // on a few-hundred-entry catalog — microseconds, once per run.
+    val adaptiveTop = (results.size to 0 by -1).iterator.map(topLine)
+      .find(_.length <= MaxLine)
     val summaryOnly = jsonLine(results, Nil, sharedSec, sfDir, keyOf, fixed(1))
     val candidates =
       Seq(fixed(3) _, fixed(2) _, fixed(1) _, fixed(0) _)
-        .map(jsonLine(results, results, sharedSec, sfDir, keyOf, _)) :+
-        jsonLine(results, topOnly, sharedSec, sfDir, keyOf, fixed(1)) :+
-        summaryOnly
+        .map(jsonLine(results, results, sharedSec, sfDir, keyOf, _)) ++
+        adaptiveTop :+ summaryOnly
     candidates.find(_.length <= MaxLine).getOrElse(summaryOnly)
   }
 }

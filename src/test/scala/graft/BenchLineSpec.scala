@@ -37,29 +37,44 @@ class BenchLineSpec extends AnyFunSuite {
     }
   }
 
-  test("full per-query map survives at the current catalog size") {
-    // Today a realistic run keeps EVERY entry in the stdout line (the
-    // integer-seconds tier). When the catalog outgrows that (~210
-    // entries at 1-digit values), the slowest-N tier takes over and
-    // this fails: that is the signal to re-measure the budget — see
-    // Bench.MaxLine — and consciously retire this assertion in favor
-    // of the top-detail one below.
+  test("adaptive top tier: realistic profile keeps the slowest entries " +
+      "with an exact drop accounting") {
+    // The catalog (212 entries as of r8) outgrew every full-map tier —
+    // the r7-designed tripwire fired. The contract is now: compact
+    // line = largest slowest-N that fits + queries_dropped +
+    // queries_file pointer; target/bench_full.json carries all
+    // entries. This test pins that the kept set is (a) large enough to
+    // carry the perf-diff signal, (b) exactly the slowest ones, and
+    // (c) accounted: kept + dropped == catalog.
     val line = Bench.compactLine(realistic, 7.3, sf)
-    val qs = mapper.readTree(line).get("queries")
-    assert(qs.size == names.size,
-      s"only ${qs.size} of ${names.size} entries kept: catalog outgrew " +
-        "the full-map tiers")
+    val node = mapper.readTree(line)
+    val qs = node.get("queries")
+    assert(qs.size >= Bench.TopDetailFloor,
+      s"only ${qs.size} entries kept (< ${Bench.TopDetailFloor}): the " +
+        "budget is being wasted or the catalog outgrew even the " +
+        "adaptive tier — re-measure Bench.MaxLine")
+    assert(node.get("queries_dropped").asInt == names.size - qs.size)
+    assert(node.get("queries_file").asText == "target/bench_full.json")
+    // Every kept value must be >= every dropped value: the tier keeps
+    // the slowest, so the 8.4 s heavies all survive.
+    val kept = qs.properties().iterator()
+    var minKept = Double.MaxValue
+    while (kept.hasNext) minKept = math.min(minKept, kept.next().getValue.asDouble)
+    val heavies = realistic.filter(_._2 > 8.0)
+    assert(qs.size >= heavies.size && minKept <= 8.4 + 1e-9)
+    heavies.foreach { case (n, _, _) =>
+      assert(qs.has(n.takeWhile(_ != '_')), s"heavy $n dropped") }
   }
 
-  test("the slowest queries keep detail even when the full map cannot fit") {
+  test("the slowest queries keep detail even at pathological values") {
     for (rs <- Seq(uniform(99.999), uniform(12345.6))) {
       val line = Bench.compactLine(rs, 7.3, sf)
       val node = mapper.readTree(line)
-      assert(node.get("queries").size == Bench.TopDetail,
-        s"expected the ${Bench.TopDetail}-slowest tier, got " +
-          s"${node.get("queries").size} entries in ${line.length} chars")
-      assert(node.get("queries_dropped").asInt ==
-        names.size - Bench.TopDetail)
+      val size = node.get("queries").size
+      assert(size > 0 && size < names.size,
+        s"expected a partial slowest-N tier, got $size entries in " +
+          s"${line.length} chars")
+      assert(node.get("queries_dropped").asInt == names.size - size)
       assert(node.get("queries_file").asText == "target/bench_full.json")
     }
   }

@@ -233,15 +233,28 @@ class PlanAuditSpec extends SparkSpec {
     // the exact side's scan is the same declared baseline as s06's.
     // s14 broadcasts the 10 quantized queries against the coded corpus
     // and evaluates against the same declared brute-force baseline.
+    // q100's one crossJoin stitches TWO ONE-ROW AGGREGATES (graph
+    // stats × triangle count — Triangles.stats' final select); every
+    // data-sized join in it is an equi-join. (Latent until r8: the r7
+    // sweep aborted on the events analysis error before reaching
+    // q100, so the allowance was never exercised.)
     val allow = Set("s01_cosine_topk", "s03_ivf_ann", "s04_knn_classify",
       "s05_radius_search", "s06_recall_report", "s07_mips_topk",
       "s08_pq_encode", "s09_maxsim", "s10_ivf_recall",
-      "s12_pq_adc_search", "s13_multiprobe_recall", "s14_sq8_recall")
+      "s12_pq_adc_search", "s13_multiprobe_recall", "s14_sq8_recall",
+      "q100_triangle_count")
+    // A build that throws is an offender too — in r7 one analysis
+    // error aborted the whole sweep mid-iteration, silently skipping
+    // every query after it.
     val offenders = Catalog.all.filterNot(q => allow(q.name)).flatMap { q =>
-      val p = q.build(spark, dir).queryExecution.executedPlan.toString
-      if (p.contains("BroadcastNestedLoopJoin") || p.contains("CartesianProduct"))
-        Some(q.name)
-      else None
+      try {
+        val p = q.build(spark, dir).queryExecution.executedPlan.toString
+        if (p.contains("BroadcastNestedLoopJoin") || p.contains("CartesianProduct"))
+          Some(q.name)
+        else None
+      } catch { case e: Throwable =>
+        Some(s"${q.name} (build threw ${e.getClass.getSimpleName})")
+      }
     }
     assert(offenders.isEmpty,
       s"unexpected all-pairs join in: ${offenders.mkString(", ")}")
