@@ -9,9 +9,13 @@ import org.apache.spark.sql.graft.Bridge
 import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
-/** Distinct word n-gram shingle hashes of a text column, fused into
-  * one pass: tokenize on ' ', slide an n-token window, hash each
-  * window's byte span with the dual-poly 62-bit hash, dedupe.
+/** Word n-gram shingle hashes of a text column, fused into one
+  * pass: tokenize on ' ', slide an n-token window, hash each
+  * window's byte span with the dual-poly 62-bit hash; `dedupe=true`
+  * (the default) keeps first occurrences only, `dedupe=false` emits
+  * one hash PER OCCURRENCE in document order (collocation counting —
+  * t06 groups these 8-byte values without ever materializing the
+  * bigram strings).
   *
   * Semantics match the composed form
   * `array_distinct(transform(wordShingles(split(text,' '), n), hash62))`
@@ -25,7 +29,8 @@ import org.apache.spark.unsafe.types.UTF8String
   * *document*, so per-row dispatch overhead is amortized; the loop
   * itself is JIT-compiled.
   */
-case class ShingleHashes(child: Expression, n: Int)
+case class ShingleHashes(child: Expression, n: Int,
+    dedupe: Boolean = true)
     extends UnaryExpression with CodegenFallback {
 
   require(n >= 1, "shingle size must be >= 1")
@@ -54,6 +59,7 @@ case class ShingleHashes(child: Expression, n: Int)
     val nTokens = starts.length
     if (nTokens < n) return new GenericArrayData(Array.emptyLongArray)
     val seen = new java.util.LinkedHashSet[java.lang.Long]()
+    val occ = if (dedupe) null else new Array[Long](nTokens - n + 1)
     var t = 0
     while (t + n <= nTokens) {
       // byte span of the n-token window incl. the single-space joins
@@ -68,9 +74,10 @@ case class ShingleHashes(child: Expression, n: Int)
         h2 = (h2 * 131 + b) % 2147483647L
         j += 1
       }
-      seen.add(h1 + (h2 << 31))
+      if (dedupe) seen.add(h1 + (h2 << 31)) else occ(t) = h1 + (h2 << 31)
       t += 1
     }
+    if (!dedupe) return new GenericArrayData(occ)
     val out = new Array[Long](seen.size)
     val it = seen.iterator()
     var k = 0
@@ -85,4 +92,6 @@ case class ShingleHashes(child: Expression, n: Int)
 object ShingleHashes {
   def apply(c: Column, n: Int): Column =
     Bridge.column(ShingleHashes(Bridge.expression(c), n))
+  def apply(c: Column, n: Int, dedupe: Boolean): Column =
+    Bridge.column(ShingleHashes(Bridge.expression(c), n, dedupe))
 }

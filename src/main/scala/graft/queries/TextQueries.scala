@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.{QueryDef, Tables}
-import graft.functions.{HashFunctions, TextFunctions}
+import graft.functions.{Hash62Expr, HashFunctions, TextFunctions}
 import org.apache.spark.sql.functions._
 import TextFunctions._
 
@@ -143,44 +143,82 @@ object TextQueries {
       WHERE word <> ''
       GROUP BY word ORDER BY n DESC, word LIMIT 25"""))
 
+  /** DuckDB mirror of [[HashFunctions.hash62]] over a string-valued
+    * SQL expression (the t15 inline pattern, factored for reuse). */
+  private def duckHash62(s: String): String =
+    s"""(list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |    list_transform(generate_series(1, CAST(len($s) AS INT)),
+       |      i -> CAST(ascii(substr($s, i, 1)) AS BIGINT))),
+       |    (a, b) -> (a * 31 + b) % 2147483647)
+       |  + (list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |      list_transform(generate_series(1, CAST(len($s) AS INT)),
+       |        i -> CAST(ascii(substr($s, i, 1)) AS BIGINT))),
+       |      (a, b) -> (a * 131 + b) % 2147483647) << 31))""".stripMargin
+
   /** Collocation mining: corpus bigram statistics scored by forward
     * association P(w2|w1) = c(w1 w2)/c(w1). Integer counts plus ONE
     * IEEE double division — engine-portable without logs (PMI ranking
-    * by lift needs no logarithm: log is monotone). Two aggregations,
-    * one equi-join on the first word; shuffle follows distinct-bigram
-    * cardinality, not corpus size. */
+    * by lift needs no logarithm: log is monotone).
+    *
+    * Scale shape (the d01/t15 lesson, applied after r7 flagged the
+    * 28 s string-keyed form): both aggregations group on the 62-bit
+    * polynomial hash — 8-byte shuffle keys via the codegen'd
+    * [[Hash62Expr]] kernel (byte-level ≡ the oracle's ascii() fold on
+    * this ASCII corpus, d01's declared precedent), the strings dropped
+    * at the scan projection — then example strings are re-attached ONLY for
+    * the ≥20 survivors via a second map-only pass filtered by a
+    * broadcast of the survivor hashes. The broadcast is the frequent-
+    * bigram heavy-hitter set, bounded by the count threshold (raise
+    * the threshold with corpus size — it is a relative-frequency knob);
+    * the only string shuffle left is the survivors' min-example
+    * aggregate. The oracle mirrors the hashing exactly, so even a
+    * 62-bit collision (merging two bigrams' counts) stays hash-equal. */
   val t06 = QueryDef(
     "t06_collocations",
     (sp, dir) => {
+      import graft.functions.ShingleHashes
       val docs = Tables(sp, dir, "documents")
-      val bigrams = docs
-        .select(explode(wordShingles(tokens(col("text")), 2)).as("bigram"))
-        .groupBy("bigram").agg(count(lit(1)).as("c_xy"))
-      val unigrams = docs
-        .select(explode(tokens(col("text"))).as("w1"))
-        .groupBy("w1").agg(count(lit(1)).as("c_x"))
-      bigrams
-        .withColumn("w1", substring_index(col("bigram"), " ", 1))
-        .join(unigrams, "w1")
+      // Pass 1 never materializes a bigram string: the fused kernel
+      // emits one 62-bit hash per occurrence straight off the text
+      // bytes, and only those 8-byte values explode and shuffle.
+      val biCounts = docs
+        .select(explode(ShingleHashes(col("text"), 2, dedupe = false)).as("hb"))
+        .groupBy("hb").agg(count(lit(1)).as("c_xy"))
         .filter(col("c_xy") >= 20)
+      val survivors = docs
+        .select(explode(wordShingles(tokens(col("text")), 2)).as("bigram"))
+        .select(Hash62Expr(col("bigram")).as("hb"), col("bigram"))
+        .join(broadcast(biCounts), "hb")
+        .groupBy("hb", "c_xy").agg(min("bigram").as("bigram"))
+      val uniCounts = docs
+        .select(explode(ShingleHashes(col("text"), 1, dedupe = false)).as("hw"))
+        .groupBy("hw").agg(count(lit(1)).as("c_x"))
+      uniCounts
+        .join(broadcast(survivors.withColumn("hw",
+          Hash62Expr(substring_index(col("bigram"), " ", 1)))), "hw")
         .select(col("bigram"), col("c_xy"), col("c_x"),
           (col("c_xy").cast("double") / col("c_x")).as("cond_prob"))
         .orderBy(col("cond_prob").desc, col("bigram"))
         .limit(25)
     },
-    Some("""
+    Some(s"""
       WITH toks AS (SELECT string_split(text, ' ') w FROM documents),
       bi AS (SELECT unnest(CASE WHEN len(w) < 2 THEN []
                ELSE list_transform(generate_series(1, CAST(len(w) - 1 AS INT)),
                       i -> w[i] || ' ' || w[i+1]) END) AS bigram
              FROM toks),
-      bc AS (SELECT bigram, COUNT(*) c_xy FROM bi GROUP BY bigram),
-      uc AS (SELECT w1, COUNT(*) c_x FROM (
-               SELECT unnest(w) AS w1 FROM toks) GROUP BY w1)
-      SELECT bigram, CAST(c_xy AS BIGINT) AS c_xy, CAST(c_x AS BIGINT) AS c_x,
-        CAST(c_xy AS DOUBLE) / c_x AS cond_prob
-      FROM bc JOIN uc ON split_part(bigram, ' ', 1) = w1
-      WHERE c_xy >= 20
+      bh AS (SELECT bigram, ${duckHash62("bigram")} AS hb FROM bi),
+      bc AS (SELECT hb, CAST(COUNT(*) AS BIGINT) AS c_xy,
+               MIN(bigram) AS bigram
+             FROM bh GROUP BY hb HAVING COUNT(*) >= 20),
+      un AS (SELECT unnest(w) AS w1 FROM toks),
+      uh AS (SELECT ${duckHash62("w1")} AS hw, CAST(COUNT(*) AS BIGINT) AS c_x
+             FROM un GROUP BY 1),
+      bw AS (SELECT bigram, c_xy,
+               ${duckHash62("split_part(bigram, ' ', 1)")} AS hw
+             FROM bc)
+      SELECT bigram, c_xy, c_x, CAST(c_xy AS DOUBLE) / c_x AS cond_prob
+      FROM bw JOIN uh USING (hw)
       ORDER BY cond_prob DESC, bigram LIMIT 25"""))
 
   /** Readability scoring (ARI formula over chars/words/sentences):

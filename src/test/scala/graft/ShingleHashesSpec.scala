@@ -27,6 +27,19 @@ class ShingleHashesSpec extends SparkSpec {
     assert(f.toSeq === c.toSeq)
   }
 
+  test("per-occurrence mode == composed chain without the distinct") {
+    val composed = tricky.select(
+      transform(
+        TextFunctions.wordShingles(TextFunctions.tokens(col("text")), 2),
+        s => Hash62Expr(s)).as("h"))
+    val fused = tricky.select(
+      ShingleHashes(col("text"), 2, dedupe = false).as("h"))
+    val c = composed.collect().map(_.getSeq[Long](0))
+    val f = fused.collect().map(_.getSeq[Long](0))
+    // order AND multiplicity must match: t06 counts occurrences
+    assert(f.toSeq === c.toSeq)
+  }
+
   test("native Hash62 matches the HOF hash62 on ascii strings") {
     val df = Seq("hello world", "", "a", "the quick brown fox").toDF("s")
     val out = df.select(Hash62Expr(col("s")).as("native"),
