@@ -1,0 +1,242 @@
+package graft.functions
+
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream, DataInputStream,
+  DataOutputStream}
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.trees.UnaryLike
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.graft.Bridge
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
+
+/** t-digest (Dunning & Ertl, "Computing extremely accurate quantiles
+  * using t-digests"): a mergeable quantile sketch whose cluster sizes
+  * follow 4·n·q(1−q)/δ — tiny clusters at the tails, coarse in the
+  * middle — so extreme quantiles (p99, p999) stay accurate at a
+  * fixed ~δ-centroid memory footprint however large the input.
+  *
+  * The LAST sketch family the engine was missing (HLL, Count-Min,
+  * KMV, and GK already exist): the mergeable-quantile shape a 100 TB
+  * deployment needs — per-partition digests of bounded size merge
+  * associatively on the reduce side, exactly like any map-side
+  * combined aggregate, and per-day digests can be unioned later
+  * without re-reading the raw data.
+  *
+  * Like the engine's other *estimate* sketches the result depends on
+  * merge order (centroid boundaries shift with partitioning), so the
+  * catalog entry is rows-only (the q30/q70 precedent) and the
+  * accuracy contract — rank error vs exact quantiles, partition-count
+  * invariance within the bound — is spec-asserted instead
+  * (TDigestSpec).
+  */
+final class TDigest(val compression: Double) extends Serializable {
+  private var means = new Array[Double](64)
+  private var weights = new Array[Double](64)
+  private var n = 0
+  private var total = 0.0
+
+  private val pending = new Array[Double](512)
+  private var nPending = 0
+
+  def totalWeight: Double = { compress(); total }
+  private[functions] def centroidCount: Int = { compress(); n }
+
+  def add(x: Double): Unit = {
+    pending(nPending) = x
+    nPending += 1
+    if (nPending == pending.length) compress()
+  }
+
+  /** Fold `other` into this digest (associative up to the documented
+    * merge-order estimate drift). */
+  def mergeWith(other: TDigest): Unit = {
+    other.compress()
+    compress()
+    if (other.n == 0) return
+    // merge two mean-sorted centroid lists, then re-run the size-bound
+    // pass over the combined list
+    val m = new Array[Double](n + other.n)
+    val w = new Array[Double](n + other.n)
+    var i = 0; var j = 0; var k = 0
+    while (i < n && j < other.n) {
+      if (means(i) <= other.means(j)) {
+        m(k) = means(i); w(k) = weights(i); i += 1
+      } else {
+        m(k) = other.means(j); w(k) = other.weights(j); j += 1
+      }
+      k += 1
+    }
+    while (i < n) { m(k) = means(i); w(k) = weights(i); i += 1; k += 1 }
+    while (j < other.n) {
+      m(k) = other.means(j); w(k) = other.weights(j); j += 1; k += 1
+    }
+    means = m; weights = w; n = k; total += other.total
+    recluster()
+  }
+
+  /** Drain the pending raw points into the centroid list. */
+  private def compress(): Unit = {
+    if (nPending == 0) return
+    val p = java.util.Arrays.copyOf(pending, nPending)
+    java.util.Arrays.sort(p)
+    val m = new Array[Double](n + nPending)
+    val w = new Array[Double](n + nPending)
+    var i = 0; var j = 0; var k = 0
+    while (i < n && j < nPending) {
+      if (means(i) <= p(j)) { m(k) = means(i); w(k) = weights(i); i += 1 }
+      else { m(k) = p(j); w(k) = 1.0; j += 1 }
+      k += 1
+    }
+    while (i < n) { m(k) = means(i); w(k) = weights(i); i += 1; k += 1 }
+    while (j < nPending) { m(k) = p(j); w(k) = 1.0; j += 1; k += 1 }
+    means = m; weights = w; n = k
+    total += nPending
+    nPending = 0
+    recluster()
+  }
+
+  /** One greedy pass over the mean-sorted centroid list, merging
+    * neighbors while the classic t-digest size bound
+    * 4·total·q(1−q)/compression holds at the merged cluster's
+    * mid-quantile q. */
+  private def recluster(): Unit = {
+    if (n <= 1) return
+    val outM = new Array[Double](n)
+    val outW = new Array[Double](n)
+    var out = 0
+    var curM = means(0)
+    var curW = weights(0)
+    var wSoFar = 0.0
+    var i = 1
+    while (i < n) {
+      val wi = weights(i)
+      val q = (wSoFar + (curW + wi) / 2) / total
+      val limit = 4.0 * total * q * (1.0 - q) / compression
+      if (curW + wi <= limit) {
+        curM += (means(i) - curM) * wi / (curW + wi)
+        curW += wi
+      } else {
+        outM(out) = curM; outW(out) = curW; out += 1
+        wSoFar += curW
+        curM = means(i); curW = wi
+      }
+      i += 1
+    }
+    outM(out) = curM; outW(out) = curW; out += 1
+    means = outM; weights = outW; n = out
+  }
+
+  /** Quantile estimate: linear interpolation between centroid centers
+    * (each centroid sited at its cumulative-weight midpoint). */
+  def quantile(q: Double): Double = {
+    compress()
+    if (n == 0) return Double.NaN
+    if (n == 1) return means(0)
+    val target = q * total
+    var cum = 0.0
+    var prevCenter = 0.0
+    var prevMean = means(0)
+    var i = 0
+    while (i < n) {
+      val center = cum + weights(i) / 2
+      if (target <= center) {
+        if (i == 0) return means(0)
+        val span = center - prevCenter
+        return if (span <= 0) means(i)
+        else prevMean + (means(i) - prevMean) * (target - prevCenter) / span
+      }
+      cum += weights(i)
+      prevCenter = center
+      prevMean = means(i)
+      i += 1
+    }
+    means(n - 1)
+  }
+
+  def toBytes: Array[Byte] = {
+    compress()
+    val bos = new ByteArrayOutputStream(16 + 16 * n)
+    val out = new DataOutputStream(bos)
+    out.writeDouble(compression)
+    out.writeDouble(total)
+    out.writeInt(n)
+    var i = 0
+    while (i < n) { out.writeDouble(means(i)); out.writeDouble(weights(i)); i += 1 }
+    out.flush()
+    bos.toByteArray
+  }
+}
+
+object TDigest {
+  def fromBytes(bytes: Array[Byte]): TDigest = {
+    val in = new DataInputStream(new ByteArrayInputStream(bytes))
+    val d = new TDigest(in.readDouble())
+    d.total = in.readDouble()
+    val n = in.readInt()
+    d.means = new Array[Double](math.max(n, 1))
+    d.weights = new Array[Double](math.max(n, 1))
+    var i = 0
+    while (i < n) { d.means(i) = in.readDouble(); d.weights(i) = in.readDouble(); i += 1 }
+    d.n = n
+    d
+  }
+}
+
+/** `tdigest_quantiles(col, probabilities, compression)` — one
+  * distributed t-digest per group, evaluated at the requested
+  * probabilities (array<double>, same order). Map-side partial
+  * digests merge on the reduce side; state is O(compression) per
+  * group wherever the group's rows land. */
+case class TDigestQuantiles(
+    child: Expression,
+    probabilities: Seq[Double],
+    compression: Double,
+    override val mutableAggBufferOffset: Int = 0,
+    override val inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[TDigest] with UnaryLike[Expression] {
+
+  require(probabilities.nonEmpty &&
+    probabilities.forall(p => p >= 0.0 && p <= 1.0),
+    "probabilities must be within [0, 1]")
+  require(compression >= 10, "compression must be >= 10")
+
+  override def prettyName: String = "graft_tdigest_quantiles"
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def nullable: Boolean = true
+
+  override def createAggregationBuffer(): TDigest = new TDigest(compression)
+
+  override def update(buffer: TDigest, input: InternalRow): TDigest = {
+    val v = child.eval(input)
+    if (v != null) buffer.add(v.asInstanceOf[Double])
+    buffer
+  }
+
+  override def merge(buffer: TDigest, other: TDigest): TDigest = {
+    buffer.mergeWith(other)
+    buffer
+  }
+
+  override def eval(buffer: TDigest): Any =
+    if (buffer.totalWeight == 0) null
+    else new GenericArrayData(probabilities.map(buffer.quantile).toArray)
+
+  override def serialize(buffer: TDigest): Array[Byte] = buffer.toBytes
+  override def deserialize(bytes: Array[Byte]): TDigest = TDigest.fromBytes(bytes)
+
+  override def withNewMutableAggBufferOffset(o: Int): TDigestQuantiles =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): TDigestQuantiles =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildInternal(newChild: Expression): TDigestQuantiles =
+    copy(child = newChild)
+}
+
+object TDigestQuantiles {
+  def apply(c: Column, probabilities: Seq[Double], compression: Double): Column =
+    Bridge.column(TDigestQuantiles(Bridge.expression(c), probabilities,
+      compression).toAggregateExpression())
+}

@@ -648,7 +648,32 @@ object RelationalNext {
         COUNT(*) AS n_events
       FROM events GROUP BY event_type ORDER BY event_type"""))
 
+  /** Mergeable quantile sketch — the fourth leg of the percentile
+    * triangle (q26 exact-buffered, q70 approx-GK, q73 exact-bucketed):
+    * [[graft.functions.TDigestQuantiles]], a native t-digest
+    * TypedImperativeAggregate whose per-group state is O(compression)
+    * wherever the rows land and whose partial digests merge
+    * associatively — the shape that lets per-day digests union later
+    * without re-reading raw data. Estimates are merge-order-dependent,
+    * so rows-only (the q30/q70 precedent); the rank-error bound and
+    * partition-count invariance are spec-asserted in TDigestSpec. */
+  val q101 = QueryDef(
+    "q101_tdigest_quantiles",
+    (sp, dir) => {
+      Tables(sp, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n_rows"),
+          graft.functions.TDigestQuantiles(
+            col("l_extendedprice").cast("double"),
+            Seq(0.1, 0.5, 0.9, 0.99), 100.0).as("qt"))
+        .select(col("l_returnflag"), col("n_rows"),
+          col("qt")(0).as("p10"), col("qt")(1).as("p50"),
+          col("qt")(2).as("p90"), col("qt")(3).as("p99"))
+        .orderBy("l_returnflag")
+    },
+    None)
+
   val defs: Seq[QueryDef] =
     Seq(q57, q58, q59, q60, q61, q62, q63, q64, q65, q66, q67, q68,
-      q69, q70, q71, q72, q73)
+      q69, q70, q71, q72, q73, q101)
 }
