@@ -613,10 +613,12 @@ object TextQueries {
         .select(col("doc_id"), col("text"),
           (graft.operators.Pipeline.idHash(col("doc_id")) % 1000 < 800)
             .as("is_train"))
+      // fused per-occurrence kernel (t06's r8 treatment): one 62-bit
+      // hash per bigram occurrence straight off the text bytes —
+      // byte-level ≡ the oracle's ascii() fold on this ASCII corpus
       val bi = split.select(col("doc_id"), col("is_train"),
-          explode(wordShingles(tokens(col("text")), 2)).as("bigram"))
-        .select(col("doc_id"), col("is_train"),
-          HashFunctions.hash62(col("bigram")).as("h"))
+          explode(graft.functions.ShingleHashes(col("text"), 2,
+            dedupe = false)).as("h"))
       val vocab = bi.filter(col("is_train")).select("h").distinct()
         .withColumn("seen", lit(1))
       bi.filter(!col("is_train"))

@@ -212,6 +212,13 @@ class PlanAuditSpec extends SparkSpec {
       s"min(struct) must map-side combine:\n${p.take(2000)}")
   }
 
+  test("q101 t-digest partially aggregates before its exchange") {
+    val p = plan("q101_tdigest_quantiles")
+    assert(p.contains("partial_graft_tdigest_quantiles"),
+      "digest must map-side combine: the shuffle carries O(compression) " +
+        s"serialized digests, never raw rows:\n${p.take(2000)}")
+  }
+
   test("no catalog query plans a cartesian/nested-loop join outside declared baselines") {
     // Declared baselines: s01 scores every (query, corpus) pair by
     // definition (broadcast query side, corpus streamed once); s03
