@@ -10,7 +10,7 @@ import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggreg
 import org.apache.spark.sql.catalyst.trees.UnaryLike
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.graft.Bridge
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
+import org.apache.spark.sql.types.{ArrayType, BinaryType, DataType, DoubleType}
 
 /** t-digest (Dunning & Ertl, "Computing extremely accurate quantiles
   * using t-digests"): a mergeable quantile sketch whose cluster sizes
@@ -239,4 +239,115 @@ object TDigestQuantiles {
   def apply(c: Column, probabilities: Seq[Double], compression: Double): Column =
     Bridge.column(TDigestQuantiles(Bridge.expression(c), probabilities,
       compression).toAggregateExpression())
+}
+
+/** `tdigest_sketch(col, compression)` — the digest itself as a binary
+  * column, the STORABLE half of the mergeable-quantile story: write
+  * per-day/per-shard sketches (O(compression) bytes each) to a lake
+  * table, and later roll any subset up with [[TDigestMergeQuantiles]]
+  * without re-reading the raw data. */
+case class TDigestSketch(
+    child: Expression,
+    compression: Double,
+    override val mutableAggBufferOffset: Int = 0,
+    override val inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[TDigest] with UnaryLike[Expression] {
+
+  require(compression >= 10, "compression must be >= 10")
+
+  override def prettyName: String = "graft_tdigest_sketch"
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = false
+
+  override def createAggregationBuffer(): TDigest = new TDigest(compression)
+
+  override def update(buffer: TDigest, input: InternalRow): TDigest = {
+    val v = child.eval(input)
+    if (v != null) buffer.add(v.asInstanceOf[Double])
+    buffer
+  }
+
+  override def merge(buffer: TDigest, other: TDigest): TDigest = {
+    buffer.mergeWith(other)
+    buffer
+  }
+
+  override def eval(buffer: TDigest): Any = buffer.toBytes
+
+  override def serialize(buffer: TDigest): Array[Byte] = buffer.toBytes
+  override def deserialize(bytes: Array[Byte]): TDigest = TDigest.fromBytes(bytes)
+
+  override def withNewMutableAggBufferOffset(o: Int): TDigestSketch =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): TDigestSketch =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildInternal(newChild: Expression): TDigestSketch =
+    copy(child = newChild)
+}
+
+object TDigestSketch {
+  def apply(c: Column, compression: Double): Column =
+    Bridge.column(TDigestSketch(Bridge.expression(c), compression)
+      .toAggregateExpression())
+}
+
+/** `tdigest_merge_quantiles(sketchCol, probabilities)` — fold stored
+  * binary sketches (from [[TDigestSketch]]) back into one digest and
+  * evaluate it: the UNION half of the story. Input sketches carry
+  * their own compression; the merged digest adopts the first one's. */
+case class TDigestMergeQuantiles(
+    child: Expression,
+    probabilities: Seq[Double],
+    override val mutableAggBufferOffset: Int = 0,
+    override val inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[TDigest] with UnaryLike[Expression] {
+
+  require(probabilities.nonEmpty &&
+    probabilities.forall(p => p >= 0.0 && p <= 1.0),
+    "probabilities must be within [0, 1]")
+
+  override def prettyName: String = "graft_tdigest_merge_quantiles"
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def nullable: Boolean = true
+
+  // compression is unknown until the first sketch arrives; mergeWith
+  // folds into whichever digest has data, so the placeholder's own
+  // compression never shapes a non-empty result
+  override def createAggregationBuffer(): TDigest = new TDigest(100.0)
+
+  override def update(buffer: TDigest, input: InternalRow): TDigest = {
+    val v = child.eval(input)
+    if (v == null) buffer
+    else {
+      val incoming = TDigest.fromBytes(v.asInstanceOf[Array[Byte]])
+      // adopt the first sketch (and its compression); fold the rest in
+      if (buffer.totalWeight == 0) incoming
+      else { buffer.mergeWith(incoming); buffer }
+    }
+  }
+
+  override def merge(buffer: TDigest, other: TDigest): TDigest =
+    if (buffer.totalWeight == 0 && other.totalWeight > 0) {
+      other.mergeWith(buffer); other
+    } else { buffer.mergeWith(other); buffer }
+
+  override def eval(buffer: TDigest): Any =
+    if (buffer.totalWeight == 0) null
+    else new GenericArrayData(probabilities.map(buffer.quantile).toArray)
+
+  override def serialize(buffer: TDigest): Array[Byte] = buffer.toBytes
+  override def deserialize(bytes: Array[Byte]): TDigest = TDigest.fromBytes(bytes)
+
+  override def withNewMutableAggBufferOffset(o: Int): TDigestMergeQuantiles =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): TDigestMergeQuantiles =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildInternal(newChild: Expression): TDigestMergeQuantiles =
+    copy(child = newChild)
+}
+
+object TDigestMergeQuantiles {
+  def apply(c: Column, probabilities: Seq[Double]): Column =
+    Bridge.column(TDigestMergeQuantiles(Bridge.expression(c), probabilities)
+      .toAggregateExpression())
 }

@@ -673,7 +673,37 @@ object RelationalNext {
     },
     None)
 
+  /** Two-level digest rollup — the INCREMENTAL shape of q101: build
+    * one O(compression)-byte [[graft.functions.TDigestSketch]] per
+    * (returnflag, ship month) cell (what a daily pipeline would
+    * persist to a monitoring table), then fold the stored sketches
+    * per returnflag with [[graft.functions.TDigestMergeQuantiles]] —
+    * quantiles over a year of data without re-reading a single raw
+    * row. Rows-only like q101; TDigestSpec proves the two-level
+    * estimates honor the same rank-error bound as the one-level. */
+  val q102 = QueryDef(
+    "q102_tdigest_rollup",
+    (sp, dir) => {
+      val monthly = Tables(sp, dir, "lineitem")
+        .groupBy(col("l_returnflag"),
+          date_trunc("month", col("l_shipdate")).as("ship_month"))
+        .agg(count(lit(1)).as("n"),
+          graft.functions.TDigestSketch(
+            col("l_extendedprice").cast("double"), 100.0).as("sketch"))
+      monthly
+        .groupBy("l_returnflag")
+        .agg(sum("n").as("n_rows"),
+          count(lit(1)).as("n_sketches"),
+          graft.functions.TDigestMergeQuantiles(col("sketch"),
+            Seq(0.1, 0.5, 0.9, 0.99)).as("qt"))
+        .select(col("l_returnflag"), col("n_rows"), col("n_sketches"),
+          col("qt")(0).as("p10"), col("qt")(1).as("p50"),
+          col("qt")(2).as("p90"), col("qt")(3).as("p99"))
+        .orderBy("l_returnflag")
+    },
+    None)
+
   val defs: Seq[QueryDef] =
     Seq(q57, q58, q59, q60, q61, q62, q63, q64, q65, q66, q67, q68,
-      q69, q70, q71, q72, q73, q101)
+      q69, q70, q71, q72, q73, q101, q102)
 }

@@ -100,6 +100,38 @@ class TDigestSpec extends SparkSpec {
     }
   }
 
+  test("sketches stored to parquet and merged later honor the bound") {
+    import graft.functions.{TDigestMergeQuantiles, TDigestSketch}
+    // per-"day" sketches, persisted like a monitoring pipeline would
+    val df = values.zipWithIndex
+      .map { case (v, i) => (i % 10, v) }.toSeq.toDF("day", "x")
+    val tmp = java.nio.file.Files.createTempDirectory("tdsketch").toString
+    df.groupBy("day")
+      .agg(TDigestSketch(col("x"), 100.0).as("sketch"))
+      .write.mode("overwrite").parquet(s"$tmp/sketches.parquet")
+    // a later session rolls up the STORED sketches — no raw re-read
+    val est = spark.read.parquet(s"$tmp/sketches.parquet")
+      .agg(TDigestMergeQuantiles(col("sketch"), probs).as("q"))
+      .head().getSeq[Double](0)
+    assertWithinRankError(sorted, est, "stored-merge")
+  }
+
+  test("two-level rollup (q102) matches one-level (q101) within the bound") {
+    val dir = "/root/testdata/sf0.001"
+    val raw = Tables(spark, dir, "lineitem")
+      .select(col("l_returnflag"), col("l_extendedprice").cast("double"))
+      .collect().groupBy(_.getString(0))
+      .map { case (k, rows) => k -> rows.map(_.getDouble(1)).sorted }
+    val twoLevel = Catalog.byName("q102_tdigest_rollup")
+      .build(spark, dir).collect()
+    twoLevel.foreach { r =>
+      val flag = r.getString(0)
+      val ests = Seq(r.getDouble(3), r.getDouble(4), r.getDouble(5), r.getDouble(6))
+      assertWithinRankError(raw(flag), ests, s"rollup flag=$flag")
+      assert(r.getLong(2) > 1, "rollup must actually merge several sketches")
+    }
+  }
+
   test("empty and single-value groups degrade gracefully") {
     val single = Seq(5.0).toDF("x")
       .agg(TDigestQuantiles(col("x"), probs, 100.0)).head().getSeq[Double](0)

@@ -74,6 +74,45 @@ class TablesSchemaSpec extends SparkSpec {
     }
   }
 
+  /** Post-[[Tables]] logical schema every catalog entry compiles
+    * against, pinned per table. When the testdata producer drifts a
+    * physical type again (r7: events.ts nanos→micros, 50 entries
+    * dead), THIS fails first with a readable one-line diff — fix by
+    * teaching Tables to normalize (the eventsTs pattern), not by
+    * editing the expectation to match the accident. */
+  private val expectedSchemas = Map(
+    "region" -> "r_regionkey:int, r_name:string",
+    "nation" -> "n_nationkey:int, n_name:string, n_regionkey:int",
+    "customer" -> ("c_custkey:bigint, c_name:string, c_nationkey:int, " +
+      "c_acctbal:double, c_mktsegment:string"),
+    "supplier" -> "s_suppkey:bigint, s_name:string, s_nationkey:int, s_acctbal:double",
+    "part" -> ("p_partkey:bigint, p_name:string, p_brand:string, " +
+      "p_type:string, p_size:int, p_retailprice:double"),
+    "orders" -> ("o_orderkey:bigint, o_custkey:bigint, o_orderstatus:string, " +
+      "o_totalprice:double, o_orderdate:timestamp_ntz, o_orderpriority:string"),
+    "lineitem" -> ("l_orderkey:bigint, l_partkey:bigint, l_suppkey:bigint, " +
+      "l_linenumber:int, l_quantity:double, l_extendedprice:double, " +
+      "l_discount:double, l_tax:double, l_returnflag:string, " +
+      "l_linestatus:string, l_shipdate:timestamp_ntz"),
+    "events" -> ("event_id:bigint, ts:timestamp, user_id:bigint, " +
+      "event_type:string, value:double, props:string"),
+    "documents" -> "doc_id:bigint, text:string, lang:string, source:string, n_chars:bigint",
+    "embeddings" -> "vec_id:bigint, embedding:array<float>, label:int")
+
+  test("every table reads with its pinned logical schema (drift tripwire)") {
+    val dir = "/root/testdata/sf0.001"
+    assume(new java.io.File(s"$dir/events.parquet").exists())
+    val drifted = Tables.all.flatMap { t =>
+      val got = Tables(spark, dir, t).schema
+        .map(f => s"${f.name}:${f.dataType.simpleString}").mkString(", ")
+      if (got == expectedSchemas(t)) None
+      else Some(s"$t:\n  expected ${expectedSchemas(t)}\n  got      $got")
+    }
+    assert(drifted.isEmpty,
+      s"testdata schema drift — normalize in Tables (eventsTs pattern):\n" +
+        drifted.mkString("\n"))
+  }
+
   test("real testdata events reads with ts as TimestampType, rows > 0") {
     val dir = "/root/testdata/sf0.001"
     assume(new java.io.File(s"$dir/events.parquet").exists())
