@@ -1372,8 +1372,46 @@ object IngestQueries {
       FROM orders WHERE o_orderkey % 3 IN (1, 2)
       ORDER BY version"""))
 
+  /** Streaming quantile monitoring: the t-digest
+    * ([[graft.functions.TDigestQuantiles]]) as a Structured Streaming
+    * aggregate — per-event-type value quantiles maintained
+    * incrementally over the event stream (complete-mode memory sink,
+    * e05's AvailableNow replay pattern). The TypedImperativeAggregate
+    * buffer serializes into the streaming state store, so state per
+    * (type, partition) stays O(compression) however long the stream
+    * runs — the latency/quality dashboard shape a 100 TB/day
+    * deployment monitors with. Rows-only (estimates are
+    * merge-order-dependent); the stream-vs-batch rank-error bound is
+    * spec-asserted in TDigestSpec. */
+  val e30 = QueryDef(
+    "e30_stream_quantiles",
+    (sp, dir) => {
+      val schema = Tables.eventsRawSchema(sp, dir)
+      val stream = Tables.eventsTs(
+        sp.readStream.schema(schema).option("basePath", dir)
+          .parquet(s"$dir/events.parque[t]"))
+      val agg = stream.groupBy("event_type")
+        .agg(count(lit(1)).as("n_events"),
+          graft.functions.TDigestQuantiles(col("value"),
+            Seq(0.5, 0.9, 0.99), 100.0).as("qt"))
+      val sink = s"e30_quantiles_${streamRuns.incrementAndGet()}"
+      withFewStatePartitions(sp, 8) {
+        val q = agg.writeStream.format("memory").queryName(sink)
+          .outputMode("complete")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      sp.table(sink)
+        .select(col("event_type"), col("n_events"),
+          col("qt")(0).as("p50"), col("qt")(1).as("p90"),
+          col("qt")(2).as("p99"))
+        .orderBy("event_type")
+    },
+    None)
+
   val defs: Seq[QueryDef] =
     Seq(e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11, e12, e13,
       e14, e15, e16, e17, e18, e19, e20, e21, e22, e23, e24, e25, e26,
-      e27, e28, e29)
+      e27, e28, e29, e30)
 }

@@ -132,6 +132,28 @@ class TDigestSpec extends SparkSpec {
     }
   }
 
+  test("streaming digest (e30) tracks the batch exact quantiles") {
+    val dir = "/root/testdata/sf0.001"
+    assume(new java.io.File(s"$dir/events.parquet").exists())
+    val exact = Tables(spark, dir, "events")
+      .select(col("event_type"), col("value").cast("double"))
+      .collect().groupBy(_.getString(0))
+      .map { case (k, rows) => k -> rows.map(_.getDouble(1)).sorted }
+    val streamed = Catalog.byName("e30_stream_quantiles")
+      .build(spark, dir).collect()
+    assert(streamed.nonEmpty)
+    streamed.foreach { r =>
+      val vals = exact(r.getString(0))
+      Seq(0.5 -> r.getDouble(2), 0.9 -> r.getDouble(3),
+          0.99 -> r.getDouble(4)).foreach { case (q, est) =>
+        val err = math.abs(rankOf(vals, est) - q)
+        assert(err <= maxRankErr,
+          f"${r.getString(0)} q=$q: streaming estimate $est%.3f rank error $err%.4f")
+      }
+      assert(r.getLong(1) === vals.length.toLong)
+    }
+  }
+
   test("empty and single-value groups degrade gracefully") {
     val single = Seq(5.0).toDF("x")
       .agg(TDigestQuantiles(col("x"), probs, 100.0)).head().getSeq[Double](0)
