@@ -58,7 +58,8 @@ case class ShingleHashes(child: Expression, n: Int,
     }
     val nTokens = starts.length
     if (nTokens < n) return new GenericArrayData(Array.emptyLongArray)
-    val seen = new java.util.LinkedHashSet[java.lang.Long]()
+    val seen =
+      if (dedupe) new java.util.LinkedHashSet[java.lang.Long]() else null
     val occ = if (dedupe) null else new Array[Long](nTokens - n + 1)
     var t = 0
     while (t + n <= nTokens) {

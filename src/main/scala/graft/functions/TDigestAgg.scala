@@ -42,7 +42,9 @@ final class TDigest(val compression: Double) extends Serializable {
   private var nPending = 0
 
   def totalWeight: Double = { compress(); total }
-  private[functions] def centroidCount: Int = { compress(); n }
+  /** Post-compress centroid count — the O(compression) state claim,
+    * bounded by TDigestSpec. */
+  def centroidCount: Int = { compress(); n }
 
   def add(x: Double): Unit = {
     pending(nPending) = x
@@ -101,7 +103,11 @@ final class TDigest(val compression: Double) extends Serializable {
   /** One greedy pass over the mean-sorted centroid list, merging
     * neighbors while the classic t-digest size bound
     * 4·total·q(1−q)/compression holds at the merged cluster's
-    * mid-quantile q. */
+    * mid-quantile q. The total/(2·compression) floor caps the
+    * centroid count at ~2·compression (the pure q(1−q) bound alone
+    * admits O(compression·log n) singleton tail clusters) while
+    * keeping tail rank error ≤ 1/(4·compression) — the bound
+    * TDigestSpec asserts. */
   private def recluster(): Unit = {
     if (n <= 1) return
     val outM = new Array[Double](n)
@@ -114,7 +120,8 @@ final class TDigest(val compression: Double) extends Serializable {
     while (i < n) {
       val wi = weights(i)
       val q = (wSoFar + (curW + wi) / 2) / total
-      val limit = 4.0 * total * q * (1.0 - q) / compression
+      val limit = math.max(4.0 * total * q * (1.0 - q) / compression,
+        total / (2.0 * compression))
       if (curW + wi <= limit) {
         curM += (means(i) - curM) * wi / (curW + wi)
         curW += wi
@@ -203,6 +210,14 @@ case class TDigestQuantiles(
     "probabilities must be within [0, 1]")
   require(compression >= 10, "compression must be >= 10")
 
+  override def checkInputDataTypes():
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == DoubleType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"$prettyName expects double, got ${child.dataType.simpleString}")
+
   override def prettyName: String = "graft_tdigest_quantiles"
   override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
   override def nullable: Boolean = true
@@ -255,6 +270,14 @@ case class TDigestSketch(
 
   require(compression >= 10, "compression must be >= 10")
 
+  override def checkInputDataTypes():
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == DoubleType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"$prettyName expects double, got ${child.dataType.simpleString}")
+
   override def prettyName: String = "graft_tdigest_sketch"
   override def dataType: DataType = BinaryType
   override def nullable: Boolean = false
@@ -305,6 +328,14 @@ case class TDigestMergeQuantiles(
   require(probabilities.nonEmpty &&
     probabilities.forall(p => p >= 0.0 && p <= 1.0),
     "probabilities must be within [0, 1]")
+
+  override def checkInputDataTypes():
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == BinaryType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"$prettyName expects binary sketches, got ${child.dataType.simpleString}")
 
   override def prettyName: String = "graft_tdigest_merge_quantiles"
   override def dataType: DataType = ArrayType(DoubleType, containsNull = false)

@@ -511,21 +511,14 @@ object TextQueries {
             .as("shared_share"))
         .orderBy("doc_id")
     },
-    Some("""
+    Some(s"""
       WITH sent AS (
         SELECT doc_id, lower(trim(s0)) AS s
         FROM (SELECT doc_id, unnest(string_split(text, '. ')) AS s0
               FROM documents)
         WHERE length(lower(trim(s0))) > 0),
       hs AS (SELECT doc_id,
-          (list_reduce(list_prepend(CAST(0 AS BIGINT),
-             list_transform(generate_series(1, CAST(len(s) AS INT)),
-               i -> CAST(ascii(substr(s, i, 1)) AS BIGINT))),
-             (a, b) -> (a * 31 + b) % 2147483647)
-           + (list_reduce(list_prepend(CAST(0 AS BIGINT),
-               list_transform(generate_series(1, CAST(len(s) AS INT)),
-                 i -> CAST(ascii(substr(s, i, 1)) AS BIGINT))),
-               (a, b) -> (a * 131 + b) % 2147483647) << 31)) AS h
+          ${duckHash62("s")} AS h
         FROM sent),
       df AS (SELECT h, COUNT(DISTINCT doc_id) AS docs_with
              FROM hs GROUP BY h),
@@ -630,7 +623,7 @@ object TextQueries {
           col("n_unseen").cast("double") / col("n_bigrams").cast("double"))
         .orderBy("doc_id")
     },
-    Some("""
+    Some(s"""
       WITH toks AS (SELECT doc_id,
              (doc_id * 1103515245 + 12345) % 2147483647 % 1000 < 800
                AS is_train,
@@ -642,14 +635,7 @@ object TextQueries {
                            i -> w[i] || ' ' || w[i+1]) END) AS s
              FROM toks),
       bh AS (SELECT doc_id, is_train,
-               (list_reduce(list_prepend(CAST(0 AS BIGINT),
-                  list_transform(generate_series(1, CAST(len(s) AS INT)),
-                    i -> CAST(ascii(substr(s, i, 1)) AS BIGINT))),
-                  (a, b) -> (a * 31 + b) % 2147483647)
-                + (list_reduce(list_prepend(CAST(0 AS BIGINT),
-                    list_transform(generate_series(1, CAST(len(s) AS INT)),
-                      i -> CAST(ascii(substr(s, i, 1)) AS BIGINT))),
-                    (a, b) -> (a * 131 + b) % 2147483647) << 31)) AS h
+               ${duckHash62("s")} AS h
              FROM bg),
       vocab AS (SELECT DISTINCT h FROM bh WHERE is_train)
       SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,

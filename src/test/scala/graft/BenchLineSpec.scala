@@ -56,12 +56,20 @@ class BenchLineSpec extends AnyFunSuite {
     assert(node.get("queries_dropped").asInt == names.size - qs.size)
     assert(node.get("queries_file").asText == "target/bench_full.json")
     // Every kept value must be >= every dropped value: the tier keeps
-    // the slowest, so the 8.4 s heavies all survive.
-    val kept = qs.properties().iterator()
-    var minKept = Double.MaxValue
-    while (kept.hasNext) minKept = math.min(minKept, kept.next().getValue.asDouble)
+    // exactly the slowest, never an arbitrary subset.
+    val keptKeys = {
+      val it = qs.fieldNames()
+      val b = Set.newBuilder[String]
+      while (it.hasNext) b += it.next()
+      b.result()
+    }
+    val (keptVals, droppedVals) = realistic
+      .partition { case (n, _, _) => keptKeys(n.takeWhile(_ != '_')) }
+    assert(droppedVals.isEmpty ||
+      keptVals.map(_._2).min >= droppedVals.map(_._2).max,
+      "kept set must be the slowest-N: found a dropped entry slower " +
+        "than a kept one")
     val heavies = realistic.filter(_._2 > 8.0)
-    assert(qs.size >= heavies.size && minKept <= 8.4 + 1e-9)
     heavies.foreach { case (n, _, _) =>
       assert(qs.has(n.takeWhile(_ != '_')), s"heavy $n dropped") }
   }

@@ -87,6 +87,18 @@ class TDigestSpec extends SparkSpec {
     assert(back.totalWeight === d.totalWeight)
   }
 
+  test("centroid count and sketch bytes stay bounded by compression") {
+    // the O(compression) state claim, asserted: the size-bound pass
+    // keeps ≤ ~2δ centroids whatever the input volume, so a stored
+    // sketch is a few KB — 60k points must not grow it past that
+    val d = new TDigest(100.0)
+    values.foreach(d.add)
+    assert(d.centroidCount <= 2 * 100 + 16,
+      s"${d.centroidCount} centroids — the recluster bound is not holding")
+    assert(d.toBytes.length <= 16 * (2 * 100 + 16) + 20,
+      s"${d.toBytes.length} sketch bytes")
+  }
+
   test("catalog entry q101 produces sane per-group quantiles") {
     val out = Catalog.byName("q101_tdigest_quantiles")
       .build(spark, "/root/testdata/sf0.001").collect()
@@ -151,6 +163,17 @@ class TDigestSpec extends SparkSpec {
           f"${r.getString(0)} q=$q: streaming estimate $est%.3f rank error $err%.4f")
       }
       assert(r.getLong(1) === vals.length.toLong)
+    }
+  }
+
+  test("wrong-typed input fails at analysis, not mid-job") {
+    import graft.functions.TDigestMergeQuantiles
+    val ints = Seq(1, 2).toDF("x")
+    intercept[org.apache.spark.sql.AnalysisException] {
+      ints.agg(TDigestQuantiles(col("x"), probs, 100.0)).head()
+    }
+    intercept[org.apache.spark.sql.AnalysisException] {
+      ints.agg(TDigestMergeQuantiles(col("x"), probs)).head()
     }
   }
 

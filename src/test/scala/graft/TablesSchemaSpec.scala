@@ -105,8 +105,11 @@ class TablesSchemaSpec extends SparkSpec {
     val drifted = Tables.all.flatMap { t =>
       val got = Tables(spark, dir, t).schema
         .map(f => s"${f.name}:${f.dataType.simpleString}").mkString(", ")
-      if (got == expectedSchemas(t)) None
-      else Some(s"$t:\n  expected ${expectedSchemas(t)}\n  got      $got")
+      expectedSchemas.get(t) match {
+        case Some(want) if got == want => None
+        case Some(want) => Some(s"$t:\n  expected $want\n  got      $got")
+        case None => Some(s"$t: new table — pin its schema here")
+      }
     }
     assert(drifted.isEmpty,
       s"testdata schema drift — normalize in Tables (eventsTs pattern):\n" +
