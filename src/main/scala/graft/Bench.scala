@@ -15,7 +15,11 @@ object Bench {
     * perf regressions hide in the expensive entries, so the tier is
     * ADAPTIVE — it keeps the largest slowest-N that still fits
     * [[MaxLine]] — and only the sub-noise-floor fast ones fall back to
-    * target/bench_full.json. */
+    * target/bench_full.json. NOTE: [[compactLine]] does NOT enforce
+    * this floor at runtime — a production run with unusually wide
+    * values can keep fewer entries (the line-length budget wins);
+    * the floor is guaranteed only for BenchLineSpec's synthetic
+    * healthy-run profile, as a tripwire against catalog growth. */
   private[graft] val TopDetailFloor = 60
 
   /** `q01_pricing_summary` → `q01`. Every catalog name's prefix before
@@ -41,12 +45,21 @@ object Bench {
     // Every fixture-backed entry warms up too, so one-off fixture /
     // bucketed-table / Derby writes land outside the timed region on a
     // clean machine (their guards skip the write on the timed pass).
+    // The documents/dedup family gets the same treatment: the FIRST
+    // documents parquet scan + the text-kernel codegen (shingle/
+    // minhash/simhash) otherwise land on whichever d-entry runs first
+    // (r8: d01 timed 31.0 s vs ProfileQ warm 0.38 s; d07 drifted
+    // 5 → 9.4 → 12.3 s across rounds for the same reason). Warming
+    // d01/d02/d03/d07 pins those one-off costs outside the timed
+    // region, so per-query diffs measure the operators.
     Seq("q01_pricing_summary", "e01_csv_ingest", "e02_json_ingest",
         "e03_partitioned_roundtrip", "e07_bucketed_join",
         "e08_stream_sessions", "e09_clustered_scan",
         "e10_jdbc_roundtrip", "e11_zorder_scan", "e12_stream_join",
         "e14_schema_evolution", "e15_orc_roundtrip",
-        "e16_corrupt_quarantine", "e29_time_travel").foreach {
+        "e16_corrupt_quarantine", "e29_time_travel",
+        "d01_exact_dedup", "d02_minhash_lsh", "d03_simhash",
+        "d07_minhash_verify").foreach {
       n => SparkEntry.queries.get(n)
         .foreach(f => try f(spark, sfDir).count() catch { case _: Throwable => })
     }
