@@ -173,34 +173,41 @@ object TextQueries {
     * the only string shuffle left is the survivors' min-example
     * aggregate. The oracle mirrors the hashing exactly, so even a
     * 62-bit collision (merging two bigrams' counts) stays hash-equal. */
+  /** t06's hash-keyed pipeline with the count threshold exposed:
+    * TextSpec re-runs it at sf0.001 with a low threshold against a
+    * string-keyed reference, keeping an INDEPENDENT identity check
+    * alive now that the DuckDB oracle mirrors the 62-bit hashing. */
+  private[graft] def collocations(
+      docs: org.apache.spark.sql.DataFrame,
+      minCount: Long): org.apache.spark.sql.DataFrame = {
+    import graft.functions.ShingleHashes
+    // Pass 1 never materializes a bigram string: the fused kernel
+    // emits one 62-bit hash per occurrence straight off the text
+    // bytes, and only those 8-byte values explode and shuffle.
+    val biCounts = docs
+      .select(explode(ShingleHashes(col("text"), 2, dedupe = false)).as("hb"))
+      .groupBy("hb").agg(count(lit(1)).as("c_xy"))
+      .filter(col("c_xy") >= minCount)
+    val survivors = docs
+      .select(explode(wordShingles(tokens(col("text")), 2)).as("bigram"))
+      .select(Hash62Expr(col("bigram")).as("hb"), col("bigram"))
+      .join(broadcast(biCounts), "hb")
+      .groupBy("hb", "c_xy").agg(min("bigram").as("bigram"))
+    val uniCounts = docs
+      .select(explode(ShingleHashes(col("text"), 1, dedupe = false)).as("hw"))
+      .groupBy("hw").agg(count(lit(1)).as("c_x"))
+    uniCounts
+      .join(broadcast(survivors.withColumn("hw",
+        Hash62Expr(substring_index(col("bigram"), " ", 1)))), "hw")
+      .select(col("bigram"), col("c_xy"), col("c_x"),
+        (col("c_xy").cast("double") / col("c_x")).as("cond_prob"))
+      .orderBy(col("cond_prob").desc, col("bigram"))
+      .limit(25)
+  }
+
   val t06 = QueryDef(
     "t06_collocations",
-    (sp, dir) => {
-      import graft.functions.ShingleHashes
-      val docs = Tables(sp, dir, "documents")
-      // Pass 1 never materializes a bigram string: the fused kernel
-      // emits one 62-bit hash per occurrence straight off the text
-      // bytes, and only those 8-byte values explode and shuffle.
-      val biCounts = docs
-        .select(explode(ShingleHashes(col("text"), 2, dedupe = false)).as("hb"))
-        .groupBy("hb").agg(count(lit(1)).as("c_xy"))
-        .filter(col("c_xy") >= 20)
-      val survivors = docs
-        .select(explode(wordShingles(tokens(col("text")), 2)).as("bigram"))
-        .select(Hash62Expr(col("bigram")).as("hb"), col("bigram"))
-        .join(broadcast(biCounts), "hb")
-        .groupBy("hb", "c_xy").agg(min("bigram").as("bigram"))
-      val uniCounts = docs
-        .select(explode(ShingleHashes(col("text"), 1, dedupe = false)).as("hw"))
-        .groupBy("hw").agg(count(lit(1)).as("c_x"))
-      uniCounts
-        .join(broadcast(survivors.withColumn("hw",
-          Hash62Expr(substring_index(col("bigram"), " ", 1)))), "hw")
-        .select(col("bigram"), col("c_xy"), col("c_x"),
-          (col("c_xy").cast("double") / col("c_x")).as("cond_prob"))
-        .orderBy(col("cond_prob").desc, col("bigram"))
-        .limit(25)
-    },
+    (sp, dir) => collocations(Tables(sp, dir, "documents"), minCount = 20L),
     Some(s"""
       WITH toks AS (SELECT string_split(text, ' ') w FROM documents),
       bi AS (SELECT unnest(CASE WHEN len(w) < 2 THEN []

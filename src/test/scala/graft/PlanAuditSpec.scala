@@ -259,7 +259,9 @@ class PlanAuditSpec extends SparkSpec {
         if (p.contains("BroadcastNestedLoopJoin") || p.contains("CartesianProduct"))
           Some(q.name)
         else None
-      } catch { case e: Throwable =>
+      } catch { case scala.util.control.NonFatal(e) =>
+        // NonFatal: an OOM or ControlThrowable must abort the suite,
+        // not masquerade as a plan offender
         Some(s"${q.name} (build threw ${e.getClass.getSimpleName})")
       }
     }

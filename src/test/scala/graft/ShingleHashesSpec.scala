@@ -28,16 +28,20 @@ class ShingleHashesSpec extends SparkSpec {
   }
 
   test("per-occurrence mode == composed chain without the distinct") {
-    val composed = tricky.select(
-      transform(
-        TextFunctions.wordShingles(TextFunctions.tokens(col("text")), 2),
-        s => Hash62Expr(s)).as("h"))
-    val fused = tricky.select(
-      ShingleHashes(col("text"), 2, dedupe = false).as("h"))
-    val c = composed.collect().map(_.getSeq[Long](0))
-    val f = fused.collect().map(_.getSeq[Long](0))
-    // order AND multiplicity must match: t06 counts occurrences
-    assert(f.toSeq === c.toSeq)
+    // n=1 backs t06's unigram counts (each token must hash exactly as
+    // Hash62Expr does), n=2 its bigram counts, n=3 the trigram family
+    for (n <- Seq(1, 2, 3)) {
+      val composed = tricky.select(
+        transform(
+          TextFunctions.wordShingles(TextFunctions.tokens(col("text")), n),
+          s => Hash62Expr(s)).as("h"))
+      val fused = tricky.select(
+        ShingleHashes(col("text"), n, dedupe = false).as("h"))
+      val c = composed.collect().map(_.getSeq[Long](0))
+      val f = fused.collect().map(_.getSeq[Long](0))
+      // order AND multiplicity must match: t06 counts occurrences
+      assert(f.toSeq === c.toSeq, s"per-occurrence mismatch at n=$n")
+    }
   }
 
   test("native Hash62 matches the HOF hash62 on ascii strings") {

@@ -51,4 +51,30 @@ class TextSpec extends SparkSpec {
     // ab, cd, 7, ',', x, '!'
     assert(out === 6)
   }
+
+  test("t06 hash-keyed pipeline == string-keyed reference at sf0.001") {
+    // The DuckDB oracle mirrors the 62-bit hashing (d01 precedent), so
+    // this spec keeps an INDEPENDENT identity check: group on the
+    // bigram STRINGS themselves and demand identical results — a hash
+    // collision or a hash-kernel bug shared with the oracle would
+    // diverge here. Low threshold so the tiny corpus yields survivors.
+    val docs = Tables(spark, "/root/testdata/sf0.001", "documents")
+    val hashKeyed = graft.queries.TextQueries
+      .collocations(docs, minCount = 3L).collect()
+    assert(hashKeyed.nonEmpty, "threshold too high for sf0.001 — vacuous test")
+    val toks = TextFunctions.tokens(col("text"))
+    val bi = docs.select(
+      explode(TextFunctions.wordShingles(toks, 2)).as("bigram"))
+      .groupBy("bigram").agg(count(lit(1)).as("c_xy"))
+      .filter(col("c_xy") >= 3)
+    val uni = docs.select(explode(toks).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c_x"))
+    val stringKeyed = bi
+      .join(uni, substring_index(col("bigram"), " ", 1) === col("w"))
+      .select(col("bigram"), col("c_xy"), col("c_x"),
+        (col("c_xy").cast("double") / col("c_x")).as("cond_prob"))
+      .orderBy(col("cond_prob").desc, col("bigram"))
+      .limit(25).collect()
+    assert(hashKeyed.map(_.toSeq).toSeq === stringKeyed.map(_.toSeq).toSeq)
+  }
 }
