@@ -163,6 +163,34 @@ final class TDigest(val compression: Double) extends Serializable {
     means(n - 1)
   }
 
+  /** Rank estimate (inverse of [[quantile]]): the fraction of weight
+    * below `x`, interpolating between centroid centers exactly as
+    * quantile does — so cdf(quantile(q)) ≈ q by construction. */
+  def cdf(x: Double): Double = {
+    compress()
+    if (n == 0) return Double.NaN
+    if (n == 1) return if (x < means(0)) 0.0 else if (x > means(0)) 1.0 else 0.5
+    if (x <= means(0)) return if (x < means(0)) 0.0 else weights(0) / 2 / total
+    if (x >= means(n - 1))
+      return if (x > means(n - 1)) 1.0 else (total - weights(n - 1) / 2) / total
+    var cum = 0.0
+    var i = 0
+    while (i < n - 1) {
+      val center = cum + weights(i) / 2
+      val nextCenter = cum + weights(i) + weights(i + 1) / 2
+      if (x >= means(i) && x < means(i + 1)) {
+        val span = means(i + 1) - means(i)
+        val r =
+          if (span <= 0) (center + nextCenter) / 2
+          else center + (nextCenter - center) * (x - means(i)) / span
+        return r / total
+      }
+      cum += weights(i)
+      i += 1
+    }
+    1.0
+  }
+
   def toBytes: Array[Byte] = {
     compress()
     val bos = new ByteArrayOutputStream(16 + 16 * n)
@@ -178,11 +206,23 @@ final class TDigest(val compression: Double) extends Serializable {
 }
 
 object TDigest {
+  /** TDigestMergeQuantiles feeds this arbitrary user-supplied binary
+    * (stored sketches from a lake table), so validate the header
+    * against the byte count BEFORE allocating: a truncated or corrupt
+    * sketch gets a descriptive error, not a mid-job EOFException or a
+    * huge centroid-array allocation. */
   def fromBytes(bytes: Array[Byte]): TDigest = {
+    if (bytes.length < 20)
+      throw new IllegalArgumentException(
+        s"not a t-digest sketch: ${bytes.length} bytes, need >= 20 for the header")
     val in = new DataInputStream(new ByteArrayInputStream(bytes))
     val d = new TDigest(in.readDouble())
     d.total = in.readDouble()
     val n = in.readInt()
+    if (n < 0 || bytes.length - 20L != 16L * n)
+      throw new IllegalArgumentException(
+        s"corrupt t-digest sketch: centroid count $n does not match " +
+          s"${bytes.length - 20} payload bytes (expected ${16L * math.max(n, 0)})")
     d.means = new Array[Double](math.max(n, 1))
     d.weights = new Array[Double](math.max(n, 1))
     var i = 0
@@ -381,4 +421,101 @@ object TDigestMergeQuantiles {
   def apply(c: Column, probabilities: Seq[Double]): Column =
     Bridge.column(TDigestMergeQuantiles(Bridge.expression(c), probabilities)
       .toAggregateExpression())
+}
+
+/** `tdigest_merge(sketchCol)` — fold stored binary sketches into ONE
+  * merged binary sketch (not its quantiles): the sketch-algebra
+  * primitive behind trailing-baseline drift detection (e31) and any
+  * rollup table that itself stores sketches for further merging.
+  * Works as a running window aggregate too — the frame's incremental
+  * update folds one O(compression) sketch per step. */
+case class TDigestMerge(
+    child: Expression,
+    override val mutableAggBufferOffset: Int = 0,
+    override val inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[TDigest] with UnaryLike[Expression] {
+
+  override def checkInputDataTypes():
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == BinaryType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"$prettyName expects binary sketches, got ${child.dataType.simpleString}")
+
+  override def prettyName: String = "graft_tdigest_merge"
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = true
+
+  override def createAggregationBuffer(): TDigest = new TDigest(100.0)
+
+  override def update(buffer: TDigest, input: InternalRow): TDigest = {
+    val v = child.eval(input)
+    if (v == null) buffer
+    else {
+      val incoming = TDigest.fromBytes(v.asInstanceOf[Array[Byte]])
+      // adopt the first sketch (and its compression); fold the rest in
+      if (buffer.totalWeight == 0) incoming
+      else { buffer.mergeWith(incoming); buffer }
+    }
+  }
+
+  override def merge(buffer: TDigest, other: TDigest): TDigest =
+    if (buffer.totalWeight == 0 && other.totalWeight > 0) {
+      other.mergeWith(buffer); other
+    } else { buffer.mergeWith(other); buffer }
+
+  override def eval(buffer: TDigest): Any =
+    if (buffer.totalWeight == 0) null else buffer.toBytes
+
+  override def serialize(buffer: TDigest): Array[Byte] = buffer.toBytes
+  override def deserialize(bytes: Array[Byte]): TDigest = TDigest.fromBytes(bytes)
+
+  override def withNewMutableAggBufferOffset(o: Int): TDigestMerge =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): TDigestMerge =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildInternal(newChild: Expression): TDigestMerge =
+    copy(child = newChild)
+}
+
+object TDigestMerge {
+  def apply(c: Column): Column =
+    Bridge.column(TDigestMerge(Bridge.expression(c)).toAggregateExpression())
+}
+
+/** `tdigest_cdf(sketch, x)` — the rank of `x` within a stored binary
+  * sketch: the drift-detection probe (where does this window's median
+  * sit in the trailing baseline's distribution?). Deserializes the
+  * sketch per evaluation, so it belongs on POST-AGGREGATE tables (one
+  * row per group/window), never in a per-event hot path — there,
+  * aggregate first. CodegenFallback is fine at that cardinality. */
+case class TDigestCdf(left: Expression, right: Expression)
+  extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
+  with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  override def checkInputDataTypes():
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (left.dataType == BinaryType && right.dataType == DoubleType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"$prettyName expects (binary sketch, double), got " +
+          s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
+
+  override def prettyName: String = "graft_tdigest_cdf"
+  override def dataType: DataType = DoubleType
+
+  override def nullSafeEval(sketch: Any, x: Any): Any =
+    TDigest.fromBytes(sketch.asInstanceOf[Array[Byte]])
+      .cdf(x.asInstanceOf[Double])
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): TDigestCdf =
+    copy(left = newLeft, right = newRight)
+}
+
+object TDigestCdf {
+  def apply(sketch: Column, x: Column): Column =
+    Bridge.column(TDigestCdf(Bridge.expression(sketch), Bridge.expression(x)))
 }

@@ -1,10 +1,14 @@
 package graft.plans
 
-import graft.functions.{DotFold, Hash62Expr, SimHashExpr, TokenHashes}
+import graft.functions.{DotFold, Hash62Expr, SimHashExpr, TDigestCdf,
+  TDigestMerge, TDigestMergeQuantiles, TDigestQuantiles, TDigestSketch,
+  TokenHashes}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, Decimal}
 
 /** Session extensions: registers graft's native expressions for SQL
   * use (`spark.sql.extensions=graft.plans.GraftExtensions` or
@@ -33,5 +37,60 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     register("graft_hash62", classOf[Hash62Expr], 1)(a => Hash62Expr(a.head))
     register("graft_token_hashes", classOf[TokenHashes], 1)(a => TokenHashes(a.head))
     register("graft_simhash", classOf[SimHashExpr], 1)(a => SimHashExpr(a.head))
+
+    // t-digest family (the analyzer wraps a bare AggregateFunction in
+    // an AggregateExpression, so the builders return the raw aggregate).
+    // probabilities/compression are sketch PARAMETERS, not data: they
+    // must be literals known at plan time (q101's shape from SQL).
+    register("graft_tdigest_quantiles", classOf[TDigestQuantiles], 3)(a =>
+      TDigestQuantiles(a.head,
+        GraftExtensions.litDoubleArray(a(1), "graft_tdigest_quantiles", "probabilities"),
+        GraftExtensions.litDouble(a(2), "graft_tdigest_quantiles", "compression")))
+    register("graft_tdigest_sketch", classOf[TDigestSketch], 2)(a =>
+      TDigestSketch(a.head,
+        GraftExtensions.litDouble(a(1), "graft_tdigest_sketch", "compression")))
+    register("graft_tdigest_merge_quantiles", classOf[TDigestMergeQuantiles], 2)(a =>
+      TDigestMergeQuantiles(a.head,
+        GraftExtensions.litDoubleArray(a(1), "graft_tdigest_merge_quantiles",
+          "probabilities")))
+    register("graft_tdigest_merge", classOf[TDigestMerge], 1)(a =>
+      TDigestMerge(a.head))
+    register("graft_tdigest_cdf", classOf[TDigestCdf], 2)(a =>
+      TDigestCdf(a.head, a(1)))
+  }
+}
+
+object GraftExtensions {
+
+  private def toDouble(v: Any, fn: String, arg: String): Double = v match {
+    case d: Double => d
+    case f: Float => f.toDouble
+    case dec: Decimal => dec.toDouble
+    case n: java.lang.Number => n.doubleValue() // SQL integer literals
+    case other => throw new IllegalArgumentException(
+      s"$fn: $arg must be numeric, got ${if (other == null) "NULL" else other.getClass.getSimpleName}")
+  }
+
+  /** Evaluate a foldable numeric argument to its Double value (SQL
+    * numeric literals arrive as Int/Decimal/Double depending on how
+    * they were written — `100`, `100.0`, `1e2`). */
+  private[plans] def litDouble(e: Expression, fn: String, arg: String): Double = {
+    require(e.foldable, s"$fn: $arg must be a literal, got ${e.sql}")
+    toDouble(e.eval(), fn, arg)
+  }
+
+  /** Evaluate a foldable `array(...)` argument to its Double elements. */
+  private[plans] def litDoubleArray(e: Expression, fn: String,
+      arg: String): Seq[Double] = {
+    require(e.foldable, s"$fn: $arg must be a literal array, got ${e.sql}")
+    val et = e.dataType match {
+      case ArrayType(t, _) => t
+      case other => throw new IllegalArgumentException(
+        s"$fn: $arg must be an array of numbers, got ${other.simpleString}")
+    }
+    e.eval() match {
+      case a: ArrayData => a.toObjectArray(et).toSeq.map(toDouble(_, fn, arg))
+      case null => throw new IllegalArgumentException(s"$fn: $arg must not be NULL")
+    }
   }
 }

@@ -1410,8 +1410,54 @@ object IngestQueries {
     },
     None)
 
+  /** Streaming drift/anomaly detection — the monitoring capstone the
+    * storable sketches exist for: the event stream aggregates into
+    * per-(type, hour) t-digest sketches (e30's bounded streaming
+    * state, q102's persistable shape), then each window's median is
+    * scored against the MERGED baseline of all its trailing windows
+    * and `drift_alarm` fires on rank-shift
+    * ([[graft.operators.DigestDrift]]). Rows-only like every estimate
+    * sketch (merge-order-dependent); TDigestSpec asserts the detector
+    * fires on an injected distribution shift and stays quiet on the
+    * stationary prefix. */
+  val e31 = QueryDef(
+    "e31_stream_drift",
+    (sp, dir) => {
+      val schema = Tables.eventsRawSchema(sp, dir)
+      val stream = Tables.eventsTs(
+        sp.readStream.schema(schema).option("basePath", dir)
+          .parquet(s"$dir/events.parque[t]"))
+      val agg = stream
+        .withWatermark("ts", "1 hour")
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          graft.functions.TDigestSketch(col("value"), 100.0).as("sketch"),
+          graft.functions.TDigestQuantiles(col("value"),
+            Seq(0.5), 100.0).as("qt"))
+      val sink = s"e31_drift_${streamRuns.incrementAndGet()}"
+      withFewStatePartitions(sp, 8) {
+        val q = agg.writeStream.format("memory").queryName(sink)
+          .outputMode("complete")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      val windowed = sp.table(sink)
+        .select(col("window.start").as("bucket"), col("event_type"),
+          col("n_events"), col("sketch"), col("qt")(0).as("p50"))
+      graft.operators.DigestDrift.report(windowed,
+          groupCol = "event_type", orderCol = "bucket",
+          sketchCol = "sketch", nCol = "n_events", probeCol = "p50",
+          minBaselineN = 100L, rankShiftAlarm = 0.2)
+        .select(col("event_type"), col("bucket"), col("n_events"),
+          col("p50"), col("baseline_n"), col("baseline_rank"),
+          col("rank_shift"), col("alarm_threshold"), col("drift_alarm"))
+        .orderBy("event_type", "bucket")
+    },
+    None)
+
   val defs: Seq[QueryDef] =
     Seq(e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11, e12, e13,
       e14, e15, e16, e17, e18, e19, e20, e21, e22, e23, e24, e25, e26,
-      e27, e28, e29, e30)
+      e27, e28, e29, e30, e31)
 }

@@ -1168,7 +1168,77 @@ object RelationalPlus {
       GROUP BY c.event_id, c.user_id
       ORDER BY c.event_id"""))
 
+  /** KMV sketch-to-sketch overlap JOIN — the sketch APPLICATION shape
+    * beyond q80's single-pair set ops: ONE bounded sketch per group
+    * (the distinct user set per event type, k smallest LCG hashes),
+    * then every group PAIR's union/intersection/Jaccard estimated by
+    * joining the k-byte sketches — the audience-overlap matrix, raw
+    * data scanned once however many pairs are scored.
+    *
+    * Scale posture: the per-group top-k ranks through a rank-limit
+    * window Spark compiles to a map-side partial top-k below the
+    * exchange (WindowGroupLimit, the q07/q21 shape), so no whole
+    * group's hash set ever sorts in one task; the pairwise stage joins
+    * G sketch ROWS of k BIGINTs each (G² pairs of O(k) work — for
+    * thousands of groups still trivially one executor's work, and an
+    * equi-join on a constant key + broadcast, never a planned
+    * cartesian). The exact pairwise overlap rides along as the error
+    * report via ONE distinct-key self equi-join shuffled on the
+    * high-cardinality user hash. Every sketch datum is an exact
+    * integer (q71's LCG hash) and the estimate divisions are written
+    * identically in both engines, so the entry is fully
+    * oracle-checked. */
+  val q103 = QueryDef(
+    "q103_kmv_overlap_join",
+    (sp, dir) => {
+      graft.operators.KmvOverlap.overlapMatrix(
+          Tables(sp, dir, "events"), "event_type", "user_id",
+          k = 64, withExact = true)
+        .select(col("group_a").as("type_a"), col("group_b").as("type_b"),
+          col("k_used"), col("h_k"), col("n_shared"), col("n_inter_exact"),
+          col("est_union"), col("est_intersection"), col("est_jaccard"))
+        .orderBy("type_a", "type_b")
+    },
+    Some("""
+      WITH hd AS (SELECT DISTINCT event_type,
+          ((user_id % 2147483647) * 1103515245 + 12345) % 2147483647 AS h
+        FROM events),
+      topk AS (SELECT event_type, h FROM hd
+               QUALIFY row_number() OVER (PARTITION BY event_type ORDER BY h) <= 64),
+      sk AS (SELECT event_type, list(h ORDER BY h) AS sk
+             FROM topk GROUP BY event_type),
+      pr AS (SELECT a.event_type AS type_a, b.event_type AS type_b,
+               a.sk AS sk_a, b.sk AS sk_b
+             FROM sk a JOIN sk b ON a.event_type < b.event_type),
+      c AS (SELECT type_a, type_b, sk_a, sk_b,
+              list_slice(list_sort(list_distinct(list_concat(sk_a, sk_b))),
+                1, 64) AS topu
+            FROM pr),
+      m AS (SELECT type_a, type_b,
+              CAST(len(topu) AS BIGINT) AS k_used,
+              CAST(topu[len(topu)] AS BIGINT) AS h_k,
+              CAST(len(list_filter(topu,
+                x -> list_contains(sk_a, x) AND list_contains(sk_b, x)))
+                AS BIGINT) AS n_shared
+            FROM c),
+      ex AS (SELECT x.event_type AS type_a, y.event_type AS type_b,
+               CAST(COUNT(*) AS BIGINT) AS n_inter_exact
+             FROM (SELECT DISTINCT event_type, user_id FROM events) x
+             JOIN (SELECT DISTINCT event_type, user_id FROM events) y
+               ON x.user_id = y.user_id AND x.event_type < y.event_type
+             GROUP BY 1, 2)
+      SELECT m.type_a, m.type_b, k_used, h_k, n_shared,
+        COALESCE(ex.n_inter_exact, 0) AS n_inter_exact,
+        CAST((k_used - 1) * 2147483647 AS DOUBLE) / CAST(h_k AS DOUBLE)
+          AS est_union,
+        (CAST(n_shared AS DOUBLE) / CAST(k_used AS DOUBLE)) *
+          (CAST((k_used - 1) * 2147483647 AS DOUBLE) / CAST(h_k AS DOUBLE))
+          AS est_intersection,
+        CAST(n_shared AS DOUBLE) / CAST(k_used AS DOUBLE) AS est_jaccard
+      FROM m LEFT JOIN ex ON m.type_a = ex.type_a AND m.type_b = ex.type_b
+      ORDER BY m.type_a, m.type_b"""))
+
   val defs: Seq[QueryDef] = Seq(q74, q75, q76, q77, q78, q79, q80, q81,
     q82, q83, q84, q85, q86, q87, q88, q89, q90, q91, q92, q93, q94,
-    q95, q96, q97, q98)
+    q95, q96, q97, q98, q103)
 }
