@@ -654,7 +654,62 @@ object TextQueries {
       WHERE NOT bh.is_train
       GROUP BY doc_id ORDER BY doc_id"""))
 
+  /** Benchmark decontamination — the training-pipeline capstone t15's
+    * split exists for: flag every TRAIN document sharing any 8-gram
+    * with the EVAL split, with per-(train, eval) pair evidence counts
+    * — the canonical "is the benchmark leaked into the training set"
+    * report (8 tokens is the standard contamination n-gram length;
+    * only near-verbatim passages survive it, so the hits are real
+    * leaks, not phrase coincidences).
+    *
+    * Scale shape: the eval side of a real deployment is a few
+    * benchmarks — its distinct 8-gram hash set is tiny next to a
+    * 100 TB train corpus. So the join is built eval-side: a bounded
+    * Bloom filter over the eval hashes ([[graft.operators.BloomSemi]],
+    * 128 KiB whatever the corpus size) prunes the train side AT THE
+    * SCAN, before any exchange — only ~fpp of clean train 8-grams
+    * ever shuffle — and the exact hash join then keeps the result
+    * precise (no false negatives by construction, false positives
+    * die in the join). 8-byte hash keys throughout (the d01/t15
+    * lesson); per-pair counts are map-side combinable. */
+  val t16 = QueryDef(
+    "t16_decontamination",
+    (sp, dir) => {
+      val split = Tables(sp, dir, "documents")
+        .select(col("doc_id"), col("text"),
+          (graft.operators.Pipeline.idHash(col("doc_id")) % 1000 < 800)
+            .as("is_train"))
+      graft.operators.Decontaminate.report(
+          split.filter(col("is_train")), split.filter(!col("is_train")),
+          "doc_id", "text", n = 8)
+        .orderBy("train_id", "eval_id")
+    },
+    Some {
+      val gram8 = (0 until 8).map(j => s"w[i+$j]").mkString(" || ' ' || ")
+      s"""
+      WITH toks AS (SELECT doc_id,
+             (doc_id * 1103515245 + 12345) % 2147483647 % 1000 < 800
+               AS is_train,
+             string_split(text, ' ') w
+           FROM documents),
+      g AS (SELECT doc_id, is_train, unnest(list_distinct(
+              CASE WHEN len(w) < 8 THEN []
+                   ELSE list_transform(generate_series(1, CAST(len(w) - 7 AS INT)),
+                          i -> $gram8) END)) AS s
+            FROM toks),
+      gh AS (SELECT doc_id, is_train, ${duckHash62("s")} AS h FROM g),
+      tr AS (SELECT doc_id, h FROM gh WHERE is_train),
+      ev AS (SELECT doc_id AS eval_id, h FROM gh WHERE NOT is_train),
+      sizes AS (SELECT doc_id, COUNT(*) n FROM tr GROUP BY doc_id)
+      SELECT t.doc_id AS train_id, e.eval_id,
+        CAST(COUNT(*) AS BIGINT) AS n_shared,
+        CAST(s.n AS BIGINT) AS n_train_ngrams,
+        CAST(COUNT(*) AS DOUBLE) / s.n AS contamination
+      FROM tr t JOIN ev e ON t.h = e.h JOIN sizes s ON t.doc_id = s.doc_id
+      GROUP BY 1, 2, s.n ORDER BY train_id, eval_id"""
+    })
+
   val defs: Seq[QueryDef] =
     Seq(t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13,
-      t14, t15)
+      t14, t15, t16)
 }
