@@ -1,8 +1,8 @@
 package graft.plans
 
-import graft.functions.{DotFold, Hash62Expr, SimHashExpr, TDigestCdf,
-  TDigestMerge, TDigestMergeQuantiles, TDigestQuantiles, TDigestSketch,
-  TokenHashes}
+import graft.functions.{DotFold, Hash62Expr, ShingleHashes, SimHashExpr,
+  TDigestCdf, TDigestMerge, TDigestMergeQuantiles, TDigestQuantiles,
+  TDigestSketch, TokenHashes}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
@@ -57,6 +57,20 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       TDigestMerge(a.head))
     register("graft_tdigest_cdf", classOf[TDigestCdf], 2)(a =>
       TDigestCdf(a.head, a(1)))
+
+    // fused n-gram hash kernel: graft_shingle_hashes(text, n[, dedupe])
+    // — n and dedupe are plan-time literals (they shape the kernel)
+    ext.injectFunction((
+      FunctionIdentifier("graft_shingle_hashes"),
+      new ExpressionInfo(classOf[ShingleHashes].getName, "graft_shingle_hashes"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2 || args.length == 3,
+          "graft_shingle_hashes takes 2 or 3 argument(s)")
+        val n = GraftExtensions.litInt(args(1), "graft_shingle_hashes", "n")
+        val dedupe = args.length < 3 ||
+          GraftExtensions.litBoolean(args(2), "graft_shingle_hashes", "dedupe")
+        ShingleHashes(args.head, n, dedupe)
+      }: Expression))
   }
 }
 
@@ -77,6 +91,29 @@ object GraftExtensions {
   private[plans] def litDouble(e: Expression, fn: String, arg: String): Double = {
     require(e.foldable, s"$fn: $arg must be a literal, got ${e.sql}")
     toDouble(e.eval(), fn, arg)
+  }
+
+  /** Evaluate a foldable integral argument to its Int value. */
+  private[plans] def litInt(e: Expression, fn: String, arg: String): Int = {
+    require(e.foldable, s"$fn: $arg must be a literal, got ${e.sql}")
+    e.eval() match {
+      case i: java.lang.Integer => i.intValue()
+      case l: java.lang.Long => l.toInt
+      case s: java.lang.Short => s.toInt
+      case b: java.lang.Byte => b.toInt
+      case other => throw new IllegalArgumentException(
+        s"$fn: $arg must be an integer, got ${if (other == null) "NULL" else other}")
+    }
+  }
+
+  /** Evaluate a foldable boolean argument. */
+  private[plans] def litBoolean(e: Expression, fn: String, arg: String): Boolean = {
+    require(e.foldable, s"$fn: $arg must be a literal, got ${e.sql}")
+    e.eval() match {
+      case b: java.lang.Boolean => b.booleanValue()
+      case other => throw new IllegalArgumentException(
+        s"$fn: $arg must be a boolean, got ${if (other == null) "NULL" else other}")
+    }
   }
 
   /** Evaluate a foldable `array(...)` argument to its Double elements. */

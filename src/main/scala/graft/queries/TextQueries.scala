@@ -654,13 +654,13 @@ object TextQueries {
       WHERE NOT bh.is_train
       GROUP BY doc_id ORDER BY doc_id"""))
 
-  /** Benchmark decontamination — the training-pipeline capstone t15's
-    * split exists for: flag every TRAIN document sharing any 8-gram
-    * with the EVAL split, with per-(train, eval) pair evidence counts
-    * — the canonical "is the benchmark leaked into the training set"
-    * report (8 tokens is the standard contamination n-gram length;
-    * only near-verbatim passages survive it, so the hits are real
-    * leaks, not phrase coincidences).
+  /** Benchmark decontamination, pair-evidence form — p08's per-doc
+    * trigram flag upgraded to the audit-grade report: WHICH eval doc
+    * leaked into WHICH train doc, with 8-gram evidence counts
+    * (8 tokens is the standard contamination n-gram length; only
+    * near-verbatim passages survive it, so hits are real leaks, not
+    * phrase coincidences — p08's n=3 needs its ≥5-shingle threshold
+    * for the same reason).
     *
     * Scale shape: the eval side of a real deployment is a few
     * benchmarks — its distinct 8-gram hash set is tiny next to a

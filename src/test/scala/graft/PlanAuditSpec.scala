@@ -269,6 +269,44 @@ class PlanAuditSpec extends SparkSpec {
       s"unexpected all-pairs join in: ${offenders.mkString(", ")}")
   }
 
+  test("q103 per-group sketch top-k partially limits below the exchange") {
+    val p = plan("q103_kmv_overlap_join")
+    // the rank<=k filter must compile to WindowGroupLimit with a
+    // Partial mode instance BEFORE the shuffle (the q07/q21 shape):
+    // no whole group's hash set ever sorts in one task
+    assert(p.contains("WindowGroupLimit"), s"no WindowGroupLimit:\n${p.take(3000)}")
+    assert("WindowGroupLimit.*Partial".r.findFirstIn(p).isDefined,
+      s"expected a map-side partial group limit:\n${p.take(3000)}")
+    // the pairwise stage must be an equi-join, not a cartesian
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("t16 bloom prefilter prunes the train side at the scan") {
+    val p = plan("t16_decontamination")
+    // the eval-hash bloom membership test (pmod(hash(h ...)) chain)
+    // must sit in a Filter over the train-side scan, before the join
+    // exchange - the scan-prune that makes the 100 TB shape work
+    assert(p.contains("pmod(hash(h"),
+      s"expected the bloom membership test on the train scan:\n${p.take(3000)}")
+    // only doc_id/text are read from documents; the wide lang/url
+    // metadata never loads
+    "ReadSchema: [^\n]*".r.findAllIn(p).foreach { read =>
+      assert(!read.contains("lang") && !read.contains("url"), read)
+    }
+  }
+
+  test("e31 drift scoring runs over post-aggregate rows only") {
+    val p = plan("e31_stream_drift")
+    // the trailing-baseline merge + cdf probe are window/projection
+    // work over the per-(type, hour) sink table - row counts
+    // proportional to windows, never raw events; a join here would
+    // mean the detector re-reads the stream
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"drift stage must not join raw data:\n${p.take(3000)}")
+    assert(p.contains("RunningWindowFunction") || p.contains("Window"),
+      s"expected the running baseline window:\n${p.take(3000)}")
+  }
+
   test("q94 pushes both event-type filters and fuses aggs in one window") {
     val p = plan("q94_sliding_agg_join")
     assert("PushedFilters: \\[IsNotNull\\(event_type\\), EqualTo\\(event_type,(purchase|click)\\)\\]"

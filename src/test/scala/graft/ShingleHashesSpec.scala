@@ -44,6 +44,29 @@ class ShingleHashesSpec extends SparkSpec {
     }
   }
 
+  test("SQL graft_shingle_hashes matches the Column API, both arities") {
+    tricky.createOrReplaceTempView("sh_sql")
+    try {
+      val api2 = tricky.select(ShingleHashes(col("text"), 3).as("h"))
+        .collect().map(_.getSeq[Long](0)).toSeq
+      val sql2 = spark.sql("SELECT graft_shingle_hashes(text, 3) AS h FROM sh_sql")
+        .collect().map(_.getSeq[Long](0)).toSeq
+      assert(sql2 === api2)
+      val api3 = tricky.select(ShingleHashes(col("text"), 2, dedupe = false).as("h"))
+        .collect().map(_.getSeq[Long](0)).toSeq
+      val sql3 = spark.sql(
+        "SELECT graft_shingle_hashes(text, 2, false) AS h FROM sh_sql")
+        .collect().map(_.getSeq[Long](0)).toSeq
+      assert(sql3 === api3)
+      // kernel parameters must be literals
+      val e = intercept[Exception] {
+        spark.sql(
+          "SELECT graft_shingle_hashes(text, length(text)) FROM sh_sql").head()
+      }
+      assert(e.getMessage.contains("must be a literal"), e.getMessage)
+    } finally spark.catalog.dropTempView("sh_sql")
+  }
+
   test("native Hash62 matches the HOF hash62 on ascii strings") {
     val df = Seq("hello world", "", "a", "the quick brown fox").toDF("s")
     val out = df.select(Hash62Expr(col("s")).as("native"),
