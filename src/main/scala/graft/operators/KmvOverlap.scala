@@ -53,11 +53,18 @@ object KmvOverlap {
       .agg(sort_array(collect_list(col("h"))).as("sk"),
         count(lit(1)).as("k_own"))
     // pairwise sketch join via the q80 constant-key idiom: an
-    // equi-join the planner broadcasts, not a cartesian
+    // equi-join the planner broadcasts, not a cartesian. Each side
+    // carries its OWN sketch extremum too, so per-side cardinalities
+    // (and from them the difference legs A\B, B\A) come from the same
+    // fixed state — the full set algebra per pair, no extra pass.
     val a = sketches.select(col("g").as("group_a"),
-      col("sk").as("sk_a"), pmod(col("k_own"), lit(1L)).as("__j"))
+      col("sk").as("sk_a"), col("k_own").as("k_a"),
+      element_at(col("sk"), size(col("sk"))).as("h_a"),
+      pmod(col("k_own"), lit(1L)).as("__j"))
     val b = sketches.select(col("g").as("group_b"),
-      col("sk").as("sk_b"), pmod(col("k_own"), lit(1L)).as("__j"))
+      col("sk").as("sk_b"), col("k_own").as("k_b"),
+      element_at(col("sk"), size(col("sk"))).as("h_b"),
+      pmod(col("k_own"), lit(1L)).as("__j"))
     val pairs = a.join(broadcast(b), "__j").drop("__j")
       .filter(col("group_a") < col("group_b"))
       .withColumn("topu",
@@ -89,6 +96,19 @@ object KmvOverlap {
             col("h_k").cast(DoubleType)))
       .withColumn("est_jaccard",
         col("n_shared").cast(DoubleType) / col("k_used").cast(DoubleType))
-      .drop("sk_a", "sk_b", "topu")
+      // per-side cardinalities from each group's own k-th minimum,
+      // then the difference legs |A\B| = |A| − |A∩B| (clamped at 0:
+      // independent estimates can cross on near-total overlap)
+      .withColumn("est_a",
+        ((col("k_a") - 1) * lit(P)).cast(DoubleType) /
+          col("h_a").cast(DoubleType))
+      .withColumn("est_b",
+        ((col("k_b") - 1) * lit(P)).cast(DoubleType) /
+          col("h_b").cast(DoubleType))
+      .withColumn("est_only_a",
+        greatest(col("est_a") - col("est_intersection"), lit(0.0)))
+      .withColumn("est_only_b",
+        greatest(col("est_b") - col("est_intersection"), lit(0.0)))
+      .drop("sk_a", "sk_b", "topu", "k_a", "k_b", "h_a", "h_b")
   }
 }

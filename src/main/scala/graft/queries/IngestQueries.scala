@@ -1456,8 +1456,67 @@ object IngestQueries {
     },
     None)
 
+  /** e16's corrupt-quarantine contract on the STREAM path: a
+    * permissive CSV file stream splits per micro-batch into a clean
+    * sink and a quarantine sink (foreachBatch — ONE pass over the
+    * batch routes both sides, the always-on landing-zone shape where
+    * a malformed producer must neither kill the stream nor silently
+    * vanish). The entry's result is the clean-side per-lang aggregate
+    * (provably identical to the pristine documents table — no clean
+    * row was wrongly quarantined, no corrupt row leaked) plus a
+    * `__quarantine__` row carrying the captured raw-record count
+    * (the 3 builder-authored violations, so the oracle can state it
+    * literally — e16's declared-fixture precedent). */
+  val e32 = QueryDef(
+    "e32_stream_quarantine",
+    (sp, dir) => {
+      val clean = IngestFixtures.materialize(fixtureKey(dir, "csv"), "csv",
+        Tables(sp, dir, "documents"))
+      val bad = IngestFixtures.badCsvDir(
+        s"corrupt_documents_${IngestFixtures.fingerprint(s"$dir/documents.parquet")}",
+        header = "doc_id,text,lang,source,n_chars",
+        rows = Seq(
+          "notalong,some text,en,webcrawl,42",   // type violation
+          "7,only three fields,en",              // arity violation
+          "8,ok text,en,webcrawl,notanum,extra") // arity + type
+      )
+      val schema = docSchema.add(StructField("_corrupt_record", StringType))
+      def src(path: String) = sp.readStream.schema(schema)
+        .option("header", "true").option("multiLine", "true")
+        .option("quote", "\"").option("escape", "\\")
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .csv(path)
+      val run = streamRuns.incrementAndGet()
+      val out = java.nio.file.Files
+        .createTempDirectory(s"e32_quarantine_$run").toString
+      graft.streaming.StreamOps.routeCorrupt(
+        src(clean).unionAll(src(bad)), "_corrupt_record", out)
+      val cleanAgg = sp.read.parquet(s"$out/clean")
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("sum_chars"),
+          min(col("doc_id")).as("min_id"),
+          max(col("doc_id")).as("max_id"))
+      val quarantined = sp.read.parquet(s"$out/quarantine")
+        .agg(count(lit(1)).as("n_docs"))
+        .select(lit("__quarantine__").as("lang"), col("n_docs"),
+          lit(null).cast("long").as("sum_chars"),
+          lit(null).cast("long").as("min_id"),
+          lit(null).cast("long").as("max_id"))
+      cleanAgg.unionAll(quarantined).orderBy("lang")
+    },
+    Some("""
+      SELECT lang, COUNT(*) AS n_docs,
+        CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+        MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
+      FROM documents GROUP BY lang
+      UNION ALL
+      SELECT '__quarantine__', 3, NULL, NULL, NULL
+      ORDER BY lang"""))
+
   val defs: Seq[QueryDef] =
     Seq(e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11, e12, e13,
       e14, e15, e16, e17, e18, e19, e20, e21, e22, e23, e24, e25, e26,
-      e27, e28, e29, e30, e31)
+      e27, e28, e29, e30, e31, e32)
 }

@@ -1196,7 +1196,8 @@ object RelationalPlus {
           k = 64, withExact = true)
         .select(col("group_a").as("type_a"), col("group_b").as("type_b"),
           col("k_used"), col("h_k"), col("n_shared"), col("n_inter_exact"),
-          col("est_union"), col("est_intersection"), col("est_jaccard"))
+          col("est_union"), col("est_intersection"), col("est_jaccard"),
+          col("est_a"), col("est_b"), col("est_only_a"), col("est_only_b"))
         .orderBy("type_a", "type_b")
     },
     Some("""
@@ -1219,7 +1220,11 @@ object RelationalPlus {
               CAST(topu[len(topu)] AS BIGINT) AS h_k,
               CAST(len(list_filter(topu,
                 x -> list_contains(sk_a, x) AND list_contains(sk_b, x)))
-                AS BIGINT) AS n_shared
+                AS BIGINT) AS n_shared,
+              CAST(len(sk_a) AS BIGINT) AS k_a,
+              CAST(sk_a[len(sk_a)] AS BIGINT) AS h_a,
+              CAST(len(sk_b) AS BIGINT) AS k_b,
+              CAST(sk_b[len(sk_b)] AS BIGINT) AS h_b
             FROM c),
       ex AS (SELECT x.event_type AS type_a, y.event_type AS type_b,
                CAST(COUNT(*) AS BIGINT) AS n_inter_exact
@@ -1234,7 +1239,17 @@ object RelationalPlus {
         (CAST(n_shared AS DOUBLE) / CAST(k_used AS DOUBLE)) *
           (CAST((k_used - 1) * 2147483647 AS DOUBLE) / CAST(h_k AS DOUBLE))
           AS est_intersection,
-        CAST(n_shared AS DOUBLE) / CAST(k_used AS DOUBLE) AS est_jaccard
+        CAST(n_shared AS DOUBLE) / CAST(k_used AS DOUBLE) AS est_jaccard,
+        CAST((k_a - 1) * 2147483647 AS DOUBLE) / CAST(h_a AS DOUBLE) AS est_a,
+        CAST((k_b - 1) * 2147483647 AS DOUBLE) / CAST(h_b AS DOUBLE) AS est_b,
+        GREATEST(CAST((k_a - 1) * 2147483647 AS DOUBLE) / CAST(h_a AS DOUBLE)
+          - (CAST(n_shared AS DOUBLE) / CAST(k_used AS DOUBLE)) *
+            (CAST((k_used - 1) * 2147483647 AS DOUBLE) / CAST(h_k AS DOUBLE)),
+          0.0) AS est_only_a,
+        GREATEST(CAST((k_b - 1) * 2147483647 AS DOUBLE) / CAST(h_b AS DOUBLE)
+          - (CAST(n_shared AS DOUBLE) / CAST(k_used AS DOUBLE)) *
+            (CAST((k_used - 1) * 2147483647 AS DOUBLE) / CAST(h_k AS DOUBLE)),
+          0.0) AS est_only_b
       FROM m LEFT JOIN ex ON m.type_a = ex.type_a AND m.type_b = ex.type_b
       ORDER BY m.type_a, m.type_b"""))
 

@@ -104,4 +104,33 @@ object StreamOps {
       .flatMapGroupsWithState(OutputMode.Append,
         GroupStateTimeout.EventTimeTimeout)(fn)
   }
+
+  /** Corrupt-record routing for a permissive file stream (e16's
+    * quarantine contract on the stream path): each micro-batch splits
+    * in ONE cached pass — rows whose `corruptCol` is set append their
+    * RAW source record to `outDir/quarantine`, clean rows (column
+    * dropped) append to `outDir/clean`. A malformed producer neither
+    * kills the always-on stream nor silently vanishes, and the raw
+    * record is preserved verbatim for replay once the producer is
+    * fixed. Blocks until the AvailableNow replay drains; a real
+    * deployment would omit the trigger and keep the handle. */
+  def routeCorrupt(stream: DataFrame, corruptCol: String,
+      outDir: String): Unit = {
+    val q = stream.writeStream
+      .option("checkpointLocation", s"$outDir/chk")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.persist()
+        try {
+          batch.filter(col(corruptCol).isNotNull)
+            .select(col(corruptCol).as("raw"))
+            .write.mode("append").parquet(s"$outDir/quarantine")
+          batch.filter(col(corruptCol).isNull)
+            .drop(corruptCol)
+            .write.mode("append").parquet(s"$outDir/clean")
+        } finally { batch.unpersist(); () }
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
 }

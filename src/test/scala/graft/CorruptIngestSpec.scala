@@ -43,6 +43,42 @@ class CorruptIngestSpec extends SparkSpec {
       Set("x,gamma,30", "3,delta", "4,eps,40,extra", "5,zeta,notanum"))
   }
 
+  test("streaming routeCorrupt preserves raw records and loses no clean row") {
+    val dir = IngestFixtures.badCsvDir("spec_corrupt_stream",
+      header = "id,name,n",
+      rows = Seq(
+        "1,alpha,10",          // clean
+        "2,beta,20",           // clean
+        "x,gamma,30",          // type violation on id
+        "3,delta"))            // too few fields
+    val out = java.nio.file.Files
+      .createTempDirectory("spec_route_corrupt").toString
+    val stream = spark.readStream.schema(schema)
+      .option("header", "true").option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .csv(dir)
+    graft.streaming.StreamOps.routeCorrupt(stream, "_corrupt_record", out)
+    // quarantine carries the malformed originals VERBATIM for replay
+    assert(spark.read.parquet(s"$out/quarantine")
+      .as[String].collect().toSet === Set("x,gamma,30", "3,delta"))
+    // the clean sink has exactly the parseable rows, corrupt col gone
+    val clean = spark.read.parquet(s"$out/clean")
+    assert(!clean.columns.contains("_corrupt_record"))
+    assert(clean.select("id", "name", "n").as[(Long, String, Long)]
+      .collect().sorted.toSeq ===
+      Seq((1L, "alpha", 10L), (2L, "beta", 20L)))
+  }
+
+  test("e32 streaming quarantine result carries the clean aggregate + count") {
+    val dir = "/root/testdata/sf0.001"
+    val got = Catalog.byName("e32_stream_quarantine").build(spark, dir).collect()
+    val q = got.filter(_.getString(0) == "__quarantine__")
+    assert(q.length === 1 && q.head.getLong(1) === 3L)
+    val langs = Tables(spark, dir, "documents")
+      .select("lang").distinct().count()
+    assert(got.length.toLong === langs + 1)
+  }
+
   test("e16 clean-row aggregate equals the direct parquet aggregate") {
     val dir = "/root/testdata/sf0.001"
     val got = Catalog.byName("e16_corrupt_quarantine").build(spark, dir)

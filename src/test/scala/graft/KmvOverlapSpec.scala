@@ -59,6 +59,23 @@ class KmvOverlapSpec extends SparkSpec {
         bc.getAs[Double]("est_jaccard")) + 0.1)
   }
 
+  test("difference legs complete the set algebra within the envelope") {
+    val ab = out(("A", "B")); val ac = out(("A", "C"))
+    // |A\B| = |B\A| = 1000 exactly by construction
+    Seq("est_only_a", "est_only_b").foreach { c =>
+      val est = ab.getAs[Double](c)
+      assert(math.abs(est / 1000.0 - 1.0) <= 0.45,
+        s"$c: $est vs exact 1000 (difference of two estimates — widest envelope)")
+    }
+    // per-side cardinalities: |A| = |C| = 2000
+    assert(math.abs(ac.getAs[Double]("est_a") / 2000.0 - 1.0) <= 0.25, s"$ac")
+    assert(math.abs(ac.getAs[Double]("est_b") / 2000.0 - 1.0) <= 0.25, s"$ac")
+    // disjoint pair: the difference legs ARE the sides (near-zero
+    // intersection subtracted)
+    assert(math.abs(ac.getAs[Double]("est_only_a") -
+      ac.getAs[Double]("est_a")) <= 0.15 * 2000)
+  }
+
   test("sketch state stays bounded at k") {
     out.values.foreach { r =>
       assert(r.getAs[Long]("k_used") <= 256L)
