@@ -40,13 +40,18 @@ object Decontaminate {
     val ev = grams(eval, "eval_id")
     val bits = BloomSemi.buildBits(ev.select("h").distinct(), "h",
       mBits = mBits, nHashes = 3)
-    val tr = grams(train, "train_id")
-    val sizes = tr.groupBy("train_id").agg(count(lit(1)).as("n_train_ngrams"))
-    tr.filter(BloomSemi.mightContain(col("h"), bits, mBits, 3))
+    val pairs = grams(train, "train_id")
+      .filter(BloomSemi.mightContain(col("h"), bits, mBits, 3))
       .join(ev, "h")
       .groupBy("train_id", "eval_id")
       .agg(count(lit(1)).as("n_shared"))
-      .join(sizes, "train_id")
+    // per-doc gram totals come from the kernel's array size in the
+    // SAME narrow projection shape as the scan — no second explode,
+    // no groupBy; and the contaminated-pair set is the small side, so
+    // IT broadcasts and the train projection never shuffles
+    val sizes = train.select(col(idCol).as("train_id"),
+      size(ShingleHashes(col(textCol), n)).cast("long").as("n_train_ngrams"))
+    sizes.join(broadcast(pairs), "train_id")
       .withColumn("contamination",
         col("n_shared").cast("double") / col("n_train_ngrams").cast("double"))
       .select("train_id", "eval_id", "n_shared", "n_train_ngrams",

@@ -98,7 +98,11 @@ object GraftExtensions {
     require(e.foldable, s"$fn: $arg must be a literal, got ${e.sql}")
     e.eval() match {
       case i: java.lang.Integer => i.intValue()
-      case l: java.lang.Long => l.toInt
+      case l: java.lang.Long =>
+        if (l.longValue() != l.toInt)
+          throw new IllegalArgumentException(
+            s"$fn: $arg $l is out of Int range")
+        l.toInt
       case s: java.lang.Short => s.toInt
       case b: java.lang.Byte => b.toInt
       case other => throw new IllegalArgumentException(

@@ -107,26 +107,36 @@ object StreamOps {
 
   /** Corrupt-record routing for a permissive file stream (e16's
     * quarantine contract on the stream path): each micro-batch splits
-    * in ONE cached pass — rows whose `corruptCol` is set append their
-    * RAW source record to `outDir/quarantine`, clean rows (column
-    * dropped) append to `outDir/clean`. A malformed producer neither
+    * in ONE cached pass — rows whose `corruptCol` is set write their
+    * RAW source record under `outDir/quarantine`, clean rows (column
+    * dropped) under `outDir/clean`. A malformed producer neither
     * kills the always-on stream nor silently vanishes, and the raw
     * record is preserved verbatim for replay once the producer is
-    * fixed. Blocks until the AvailableNow replay drains; a real
-    * deployment would omit the trigger and keep the handle. */
+    * fixed.
+    *
+    * foreachBatch is at-least-once: a crash between the two writes
+    * replays the micro-batch, so each write OVERWRITES its own
+    * `batch=<id>` subdirectory — the replay rewrites identical
+    * content instead of appending duplicates, making both sinks
+    * idempotent (read them back with plain partition discovery; the
+    * `batch` column rides along). Blocks until the AvailableNow
+    * replay drains; a real deployment would omit the trigger and
+    * keep the handle. */
   def routeCorrupt(stream: DataFrame, corruptCol: String,
       outDir: String): Unit = {
     val q = stream.writeStream
       .option("checkpointLocation", s"$outDir/chk")
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         batch.persist()
         try {
           batch.filter(col(corruptCol).isNotNull)
             .select(col(corruptCol).as("raw"))
-            .write.mode("append").parquet(s"$outDir/quarantine")
+            .write.mode("overwrite")
+            .parquet(s"$outDir/quarantine/batch=$batchId")
           batch.filter(col(corruptCol).isNull)
             .drop(corruptCol)
-            .write.mode("append").parquet(s"$outDir/clean")
+            .write.mode("overwrite")
+            .parquet(s"$outDir/clean/batch=$batchId")
         } finally { batch.unpersist(); () }
       }
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())

@@ -60,7 +60,8 @@ class CorruptIngestSpec extends SparkSpec {
     graft.streaming.StreamOps.routeCorrupt(stream, "_corrupt_record", out)
     // quarantine carries the malformed originals VERBATIM for replay
     assert(spark.read.parquet(s"$out/quarantine")
-      .as[String].collect().toSet === Set("x,gamma,30", "3,delta"))
+      .select("raw").as[String].collect().toSet ===
+      Set("x,gamma,30", "3,delta"))
     // the clean sink has exactly the parseable rows, corrupt col gone
     val clean = spark.read.parquet(s"$out/clean")
     assert(!clean.columns.contains("_corrupt_record"))
