@@ -42,7 +42,11 @@ object KmvOverlap {
     */
   def overlapMatrix(df: DataFrame, groupCol: String, keyCol: String,
       k: Int, withExact: Boolean = false): DataFrame = {
-    val hd = df.select(col(groupCol).as("g"),
+    // null keys carry no set membership and would desync k_own from
+    // the collected sketch (collect_list drops nulls; a group of only
+    // nulls would crash element_at(sk, 0)) — drop them at the scan
+    val hd = df.filter(col(keyCol).isNotNull)
+      .select(col(groupCol).as("g"),
         pmod(pmod(col(keyCol), lit(P)) * lit(1103515245L)
           + lit(12345L), lit(P)).as("h"))
       .distinct()

@@ -83,6 +83,22 @@ class KmvOverlapSpec extends SparkSpec {
     }
   }
 
+  test("null keys are ignored, never desync or crash the sketch") {
+    val rows = Seq(("A", Some(1L)), ("A", Some(2L)), ("A", None),
+      ("B", Some(1L)), ("B", None), ("C", None), ("C", None))
+    val df = rows.toDF("g", "key")
+    val r = KmvOverlap.overlapMatrix(df, "g", "key", k = 16,
+      withExact = true).collect()
+      .map(x => (x.getAs[String]("group_a"), x.getAs[String]("group_b")) -> x)
+      .toMap
+    // C has ONLY null keys -> empty set -> appears in no pair
+    assert(r.keySet === Set(("A", "B")))
+    val ab = r(("A", "B"))
+    assert(ab.getAs[Long]("n_inter_exact") === 1L)
+    assert(ab.getAs[Long]("n_shared") === 1L)
+    assert(ab.getAs[Long]("k_used") === 2L) // |A∪B| = {1,2}, nulls gone
+  }
+
   test("catalog q103 estimates track its own exact error report") {
     val rows = Catalog.byName("q103_kmv_overlap_join")
       .build(spark, "/root/testdata/sf0.001").collect()
