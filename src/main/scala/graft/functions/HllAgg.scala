@@ -1,0 +1,312 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.trees.UnaryLike
+import org.apache.spark.sql.graft.Bridge
+import org.apache.spark.sql.types.{BinaryType, DataType, DoubleType, LongType}
+
+/** HyperLogLog (Flajolet et al. 2007) as a native mergeable aggregate
+  * — the q52 register algebra (engine-portable: bucket = low bits,
+  * rho = 1-based lowest-set-bit position of the remaining bits,
+  * register = max rho, harmonic sum as an exact fixed-point BIGINT)
+  * generalized from a composed DataFrame pipeline to a
+  * `TypedImperativeAggregate` with a STORABLE binary sketch form, the
+  * t-digest treatment ([[TDigestSketch]]/[[TDigestMerge]] precedent):
+  * per-day/per-shard sketches of 2+m bytes persist to a lake table
+  * and any subset rolls up later with [[HllMerge]] +
+  * [[HllEstimate]] without re-reading raw data.
+  *
+  * Unlike the t-digest, HLL state is MERGE-ORDER INVARIANT: registers
+  * combine by elementwise max (associative, commutative, idempotent)
+  * and the estimate is a fixed-order fold over the final register
+  * array, so results are bit-identical at any partitioning and the
+  * catalog entries (q104, e33) are fully DuckDB-oracle-checked — no
+  * rows-only concession.
+  *
+  * Input contract: a NON-NEGATIVE 64-bit hash (the caller applies its
+  * own portable hash, e.g. the q52 LCG `pmod(id*1103515245+12345,
+  * 2147483647)` — keeping the hash outside the aggregate is what
+  * lets a SQL oracle replay the registers exactly). Semantics, all
+  * integer: bucket = h mod m, w = h div m, rho = ntz(w)+1 capped at
+  * S = 62−p (w = 0 → S). The raw-estimator scaled sum
+  * Σ 2^(S−register) stays an exact BIGINT (max m·2^S = 2^62), so the
+  * floating-point steps are one final division plus — in the sparse
+  * regime — one StrictMath.log for linear counting (see [[estimate]];
+  * the catalog entries round to 4 decimals so a libm oracle replays
+  * it, the t10 ln() finding).
+  *
+  * The hash matters: HLL's rho statistics assume avalanched bits, and
+  * an AFFINE hash (any LCG chain) maps consecutive ids collision-free
+  * into the buckets, which biases linear counting high. The catalog
+  * entries square the LCG mod p (`(h·h) mod 2147483647` — nonlinear,
+  * still overflow-free 62-bit arithmetic both engines replay
+  * exactly); measured at n=150..50k the estimates land within ±5%.
+  */
+final class HllSketch(private var p: Int) extends Serializable {
+
+  private var regs: Array[Byte] =
+    if (p > 0) new Array[Byte](1 << p) else Array.emptyByteArray
+
+  /** Register-count exponent (m = 2^p); 0 = empty placeholder buffer
+    * (a merge aggregate adopts the first sketch's p). */
+  def precision: Int = p
+
+  private def rhoCap: Int = 62 - p
+
+  def add(h: Long): Unit = {
+    if (h < 0)
+      throw new IllegalArgumentException(
+        s"graft_hll_sketch: hash input must be non-negative, got $h " +
+          "(apply pmod(hash, modulus) before aggregating)")
+    val m = regs.length
+    val bucket = (h % m).toInt
+    val w = h / m
+    val rho =
+      if (w == 0) rhoCap
+      else math.min(java.lang.Long.numberOfTrailingZeros(w) + 1, rhoCap)
+    if (rho > regs(bucket)) regs(bucket) = rho.toByte
+  }
+
+  /** Elementwise register max — associative, commutative, idempotent,
+    * so two-level rollups are bit-identical to one-level aggregation. */
+  def mergeWith(other: HllSketch): Unit = {
+    if (other.p == 0) return
+    if (p == 0) {
+      p = other.p
+      regs = java.util.Arrays.copyOf(other.regs, other.regs.length)
+      return
+    }
+    if (p != other.p)
+      throw new IllegalArgumentException(
+        s"cannot merge HLL sketches of different precision: 2^$p vs 2^${other.p} registers")
+    var i = 0
+    while (i < regs.length) {
+      if (other.regs(i) > regs(i)) regs(i) = other.regs(i)
+      i += 1
+    }
+  }
+
+  /** Cardinality estimate: raw HLL estimator α_m·m²·2^S / Σ 2^(S−reg_j),
+    * switching to linear counting m·ln(m/V) (V = zero registers) in
+    * the sparse regime raw ≤ 2.5·m — without it the raw estimator
+    * lands ~2× high on groups far below m (the Flajolet small-range
+    * correction). All-zero registers (no input) → 0.0. Deterministic:
+    * the sum is a fixed-order exact BIGINT fold, the branch condition
+    * compares engine-identical doubles, and the one ln() uses
+    * StrictMath (fdlibm — bit-identical on every JVM/architecture, so
+    * a 1000-executor cluster can't produce mixed results). A SQL
+    * replay's libm ln may differ in the last ulp, so oracle-checked
+    * catalog entries round the estimate to 4 decimals on both engines
+    * (q104/e33). */
+  def estimate: Double = {
+    if (p == 0) return 0.0
+    val m = regs.length
+    var sumScaled = 0L
+    var zeros = 0
+    var i = 0
+    while (i < m) {
+      sumScaled += 1L << (rhoCap - regs(i))
+      if (regs(i) == 0) zeros += 1
+      i += 1
+    }
+    if (zeros == m) return 0.0
+    val alpha = 0.7213 / (1.0 + 1.079 / m.toDouble)
+    val m2 = m.toDouble * m.toDouble
+    val raw = ((alpha * m2) * (1L << rhoCap).toDouble) / sumScaled.toDouble
+    if (raw <= 2.5 * m.toDouble && zeros > 0)
+      m.toDouble * StrictMath.log(m.toDouble / zeros.toDouble)
+    else raw
+  }
+
+  /** [version: 1 byte][p: 1 byte][m register bytes]. */
+  def toBytes: Array[Byte] = {
+    require(p > 0, "cannot serialize an empty placeholder HLL sketch to a result")
+    val out = new Array[Byte](2 + regs.length)
+    out(0) = 1
+    out(1) = p.toByte
+    System.arraycopy(regs, 0, out, 2, regs.length)
+    out
+  }
+}
+
+object HllSketch {
+  val MinP = 4
+  val MaxP = 16
+
+  /** Stored sketches are arbitrary user-supplied binary (lake tables),
+    * so validate the header against the byte count BEFORE trusting it
+    * — a truncated or corrupt sketch fails descriptively, not with an
+    * index error mid-job (the TDigest.fromBytes contract). */
+  def fromBytes(bytes: Array[Byte]): HllSketch = {
+    if (bytes.length < 2)
+      throw new IllegalArgumentException(
+        s"not an HLL sketch: ${bytes.length} bytes, need >= 2 for the header")
+    if (bytes(0) != 1)
+      throw new IllegalArgumentException(
+        s"unsupported HLL sketch version ${bytes(0)} (expected 1)")
+    val p = bytes(1).toInt
+    if (p < MinP || p > MaxP)
+      throw new IllegalArgumentException(
+        s"corrupt HLL sketch: precision $p outside [$MinP, $MaxP]")
+    if (bytes.length != 2 + (1 << p))
+      throw new IllegalArgumentException(
+        s"corrupt HLL sketch: ${bytes.length} bytes for precision $p " +
+          s"(expected ${2 + (1 << p)})")
+    val cap = 62 - p
+    val sk = new HllSketch(p)
+    var i = 0
+    while (i < (1 << p)) {
+      val r = bytes(2 + i).toInt
+      if (r < 0 || r > cap)
+        throw new IllegalArgumentException(
+          s"corrupt HLL sketch: register $i value $r outside [0, $cap]")
+      sk.regs(i) = r.toByte // companion access to the private array
+      i += 1
+    }
+    sk
+  }
+}
+
+/** `graft_hll_sketch(hash, p)` — one 2^p-register HLL per group as a
+  * (2+2^p)-byte binary sketch: the storable half. Map-side partial
+  * sketches merge by register max on the reduce side; state is O(2^p)
+  * per group wherever the rows land. */
+case class HllSketchAgg(
+    child: Expression,
+    p: Int,
+    override val mutableAggBufferOffset: Int = 0,
+    override val inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[HllSketch] with UnaryLike[Expression] {
+
+  require(p >= HllSketch.MinP && p <= HllSketch.MaxP,
+    s"precision must be within [${HllSketch.MinP}, ${HllSketch.MaxP}], got $p")
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == LongType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects a bigint hash, got ${child.dataType.simpleString}")
+
+  override def prettyName: String = "graft_hll_sketch"
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = false
+
+  override def createAggregationBuffer(): HllSketch = new HllSketch(p)
+
+  override def update(buffer: HllSketch, input: InternalRow): HllSketch = {
+    val v = child.eval(input)
+    if (v != null) buffer.add(v.asInstanceOf[Long])
+    buffer
+  }
+
+  override def merge(buffer: HllSketch, other: HllSketch): HllSketch = {
+    buffer.mergeWith(other)
+    buffer
+  }
+
+  override def eval(buffer: HllSketch): Any = buffer.toBytes
+
+  override def serialize(buffer: HllSketch): Array[Byte] = buffer.toBytes
+  override def deserialize(bytes: Array[Byte]): HllSketch =
+    HllSketch.fromBytes(bytes)
+
+  override def withNewMutableAggBufferOffset(o: Int): HllSketchAgg =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): HllSketchAgg =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildInternal(newChild: Expression): HllSketchAgg =
+    copy(child = newChild)
+}
+
+object HllSketchAgg {
+  def apply(c: Column, p: Int): Column =
+    Bridge.column(HllSketchAgg(Bridge.expression(c), p).toAggregateExpression())
+}
+
+/** `graft_hll_merge(sketch)` — fold stored binary sketches into ONE
+  * merged sketch: the UNION half (register max — so re-merging a
+  * sketch twice is harmless, and any grouping of the same inputs
+  * yields bit-identical bytes). Works as a running window aggregate
+  * too. Mixed-precision inputs fail descriptively. */
+case class HllMerge(
+    child: Expression,
+    override val mutableAggBufferOffset: Int = 0,
+    override val inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[HllSketch] with UnaryLike[Expression] {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == BinaryType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects binary sketches, got ${child.dataType.simpleString}")
+
+  override def prettyName: String = "graft_hll_merge"
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = true
+
+  // precision adopted from the first non-empty sketch
+  override def createAggregationBuffer(): HllSketch = new HllSketch(0)
+
+  override def update(buffer: HllSketch, input: InternalRow): HllSketch = {
+    val v = child.eval(input)
+    if (v != null) buffer.mergeWith(HllSketch.fromBytes(v.asInstanceOf[Array[Byte]]))
+    buffer
+  }
+
+  override def merge(buffer: HllSketch, other: HllSketch): HllSketch = {
+    buffer.mergeWith(other)
+    buffer
+  }
+
+  override def eval(buffer: HllSketch): Any =
+    if (buffer.precision == 0) null else buffer.toBytes
+
+  override def serialize(buffer: HllSketch): Array[Byte] =
+    if (buffer.precision == 0) Array[Byte](0) else buffer.toBytes
+  override def deserialize(bytes: Array[Byte]): HllSketch =
+    if (bytes.length == 1 && bytes(0) == 0) new HllSketch(0)
+    else HllSketch.fromBytes(bytes)
+
+  override def withNewMutableAggBufferOffset(o: Int): HllMerge =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): HllMerge =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildInternal(newChild: Expression): HllMerge =
+    copy(child = newChild)
+}
+
+object HllMerge {
+  def apply(c: Column): Column =
+    Bridge.column(HllMerge(Bridge.expression(c)).toAggregateExpression())
+}
+
+/** `graft_hll_estimate(sketch)` — the cardinality estimate of a stored
+  * binary sketch. Deserializes per evaluation, so it belongs on
+  * POST-AGGREGATE tables (one row per group), never a per-event hot
+  * path; CodegenFallback is fine at that cardinality (the TDigestCdf
+  * contract). */
+case class HllEstimate(child: Expression)
+  extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+  with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == BinaryType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects a binary sketch, got ${child.dataType.simpleString}")
+
+  override def prettyName: String = "graft_hll_estimate"
+  override def dataType: DataType = DoubleType
+
+  override def nullSafeEval(sketch: Any): Any =
+    HllSketch.fromBytes(sketch.asInstanceOf[Array[Byte]]).estimate
+
+  override protected def withNewChildInternal(newChild: Expression): HllEstimate =
+    copy(child = newChild)
+}
+
+object HllEstimate {
+  def apply(c: Column): Column =
+    Bridge.column(HllEstimate(Bridge.expression(c)))
+}

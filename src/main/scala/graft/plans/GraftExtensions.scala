@@ -1,8 +1,8 @@
 package graft.plans
 
-import graft.functions.{DotFold, Hash62Expr, ShingleHashes, SimHashExpr,
-  TDigestCdf, TDigestMerge, TDigestMergeQuantiles, TDigestQuantiles,
-  TDigestSketch, TokenHashes}
+import graft.functions.{DotFold, Hash62Expr, HllEstimate, HllMerge,
+  HllSketchAgg, ShingleHashes, SimHashExpr, TDigestCdf, TDigestMerge,
+  TDigestMergeQuantiles, TDigestQuantiles, TDigestSketch, TokenHashes}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
@@ -57,6 +57,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       TDigestMerge(a.head))
     register("graft_tdigest_cdf", classOf[TDigestCdf], 2)(a =>
       TDigestCdf(a.head, a(1)))
+
+    // HLL family (q104/e33): precision is a sketch PARAMETER —
+    // plan-time literal, like the t-digest compression
+    register("graft_hll_sketch", classOf[HllSketchAgg], 2)(a =>
+      HllSketchAgg(a.head,
+        GraftExtensions.litInt(a(1), "graft_hll_sketch", "precision")))
+    register("graft_hll_merge", classOf[HllMerge], 1)(a => HllMerge(a.head))
+    register("graft_hll_estimate", classOf[HllEstimate], 1)(a =>
+      HllEstimate(a.head))
 
     // fused n-gram hash kernel: graft_shingle_hashes(text, n[, dedupe])
     // — n and dedupe are plan-time literals (they shape the kernel)

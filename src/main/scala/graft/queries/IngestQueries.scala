@@ -1515,8 +1515,91 @@ object IngestQueries {
       SELECT '__quarantine__', 3, NULL, NULL, NULL
       ORDER BY lang"""))
 
+  /** Streaming DISTINCT-COUNT monitoring with O(2^p) state per key —
+    * and, unlike e30's quantile twin, fully ORACLE-CHECKED: the event
+    * stream aggregates into per-(type, hour) 66-byte
+    * [[graft.functions.HllSketchAgg]] sketches (register max is
+    * associative/commutative/idempotent, so the incremental
+    * micro-batch merges are bit-identical to a batch aggregation at
+    * ANY replay slicing), and the memory-sink table is estimated via
+    * [[graft.functions.HllEstimate]] against DuckDB's one-level
+    * register replay. The dashboard shape a 100 TB/day deployment
+    * runs: hourly active-user curves from fixed-size state, no
+    * COUNT(DISTINCT) shuffle of raw ids per window. */
+  val e33 = QueryDef(
+    "e33_stream_distinct",
+    (sp, dir) => {
+      val schema = Tables.eventsRawSchema(sp, dir)
+      val stream = Tables.eventsTs(
+        sp.readStream.schema(schema).option("basePath", dir)
+          .parquet(s"$dir/events.parque[t]"))
+      val lcg = pmod(col("user_id") * lit(1103515245L) + lit(12345L),
+        lit(2147483647L))
+      val agg = stream
+        .withWatermark("ts", "1 hour")
+        .select(col("ts"), col("event_type"),
+          ((lcg * lcg) % lit(2147483647L)).as("h"))
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          graft.functions.HllSketchAgg(col("h"), 6).as("sketch"))
+      val sink = s"e33_distinct_${streamRuns.incrementAndGet()}"
+      withFewStatePartitions(sp, 8) {
+        val q = agg.writeStream.format("memory").queryName(sink)
+          .outputMode("complete")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      sp.table(sink)
+        .select(col("window.start").as("bucket"), col("event_type"),
+          col("n_events"),
+          round(graft.functions.HllEstimate(col("sketch")), 4).as("est_users"))
+        .orderBy("bucket", "event_type")
+    },
+    Some("""
+      WITH l AS (SELECT DATE_TRUNC('hour', ts) AS bucket, event_type,
+                   (user_id * 1103515245 + 12345) % 2147483647 AS l
+                 FROM events),
+      h AS (SELECT bucket, event_type, (l * l) % 2147483647 AS h FROM l),
+      b AS (SELECT bucket, event_type, CAST(h % 64 AS INT) AS reg,
+              h // 64 AS w FROM h),
+      r AS (SELECT bucket, event_type, reg,
+              CASE WHEN w = 0 THEN 56
+                   ELSE LEAST(length(bin(w & -w)), 56) END AS rho
+            FROM b),
+      mx AS (SELECT bucket, event_type, reg, MAX(rho) AS maxrho
+             FROM r GROUP BY 1, 2, 3),
+      grp AS (SELECT DATE_TRUNC('hour', ts) AS bucket, event_type,
+                COUNT(*) AS n_events
+              FROM events GROUP BY 1, 2),
+      spine AS (SELECT g.bucket, g.event_type, s.reg
+                FROM grp g CROSS JOIN
+                  (SELECT unnest(generate_series(0, 63)) AS reg) s),
+      regz AS (SELECT s.bucket, s.event_type, COALESCE(mx.maxrho, 0) AS maxrho
+               FROM spine s LEFT JOIN mx
+                 ON s.bucket = mx.bucket AND s.event_type = mx.event_type
+                   AND s.reg = mx.reg),
+      agg AS (SELECT bucket, event_type,
+                CAST(SUM(1::BIGINT << (56 - maxrho)) AS BIGINT) AS sum_scaled,
+                CAST(SUM(CASE WHEN maxrho = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                  AS zeros
+              FROM regz GROUP BY 1, 2),
+      raw AS (SELECT bucket, event_type, zeros,
+                ((0.7213 / (1.0 + 1.079 / 64.0)) * 4096.0)
+                  * 72057594037927936.0
+                  / CAST(sum_scaled AS DOUBLE) AS raw
+              FROM agg)
+      SELECT g.bucket, g.event_type, g.n_events,
+        ROUND(CASE WHEN r.zeros = 64 THEN 0.0
+                   WHEN r.raw <= 2.5 * 64.0 AND r.zeros > 0
+                     THEN 64.0 * ln(64.0 / CAST(r.zeros AS DOUBLE))
+                   ELSE r.raw END, 4) AS est_users
+      FROM grp g JOIN raw r
+        ON g.bucket = r.bucket AND g.event_type = r.event_type
+      ORDER BY g.bucket, g.event_type"""))
+
   val defs: Seq[QueryDef] =
     Seq(e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11, e12, e13,
       e14, e15, e16, e17, e18, e19, e20, e21, e22, e23, e24, e25, e26,
-      e27, e28, e29, e30, e31, e32)
+      e27, e28, e29, e30, e31, e32, e33)
 }

@@ -703,7 +703,99 @@ object RelationalNext {
     },
     None)
 
+  /** The q102 rollup shape for CARDINALITY — and, unlike the t-digest,
+    * fully ORACLE-CHECKED: build one 258-byte
+    * [[graft.functions.HllSketchAgg]] per (event_type, week) cell
+    * (what a daily pipeline persists to a monitoring table), fold the
+    * stored sketches per type with [[graft.functions.HllMerge]], and
+    * estimate via [[graft.functions.HllEstimate]] — distinct users
+    * over a year without re-reading raw data. HLL registers merge by
+    * max (associative, commutative, idempotent), so the two-level
+    * Spark rollup is bit-identical to DuckDB's one-level register
+    * replay (q52's portable algebra: LCG hash, low 8 bits → bucket,
+    * lowest-set-bit rho, exact fixed-point BIGINT harmonic sum, one
+    * trailing double division) — the hash match proves the aggregate's
+    * full state algebra, not just its row count. The estimate rounds
+    * to 4 decimals on both engines (linear counting's one ln() is the
+    * only op libm and fdlibm may disagree on — last ulp), and the
+    * sketch input is the SQUARED LCG (affine hashes map consecutive
+    * ids collision-free, biasing linear counting high — see
+    * [[graft.functions.HllSketch]]). The exact side rides a second
+    * aggregation of the same scan (5-row broadcast join) for the
+    * q52-style error report. */
+  val q104 = QueryDef(
+    "q104_hll_rollup",
+    (sp, dir) => {
+      val ev = Tables(sp, dir, "events")
+      val lcg = pmod(col("user_id") * lit(1103515245L) + lit(12345L),
+        lit(2147483647L))
+      val monthly = ev
+        .select(col("event_type"),
+          date_trunc("week", col("ts")).as("week"),
+          ((lcg * lcg) % lit(2147483647L)).as("h"))
+        .groupBy("event_type", "week")
+        .agg(count(lit(1)).as("n"),
+          graft.functions.HllSketchAgg(col("h"), 8).as("sketch"))
+      val rolled = monthly.groupBy("event_type")
+        .agg(sum("n").as("n_events"),
+          count(lit(1)).as("n_sketches"),
+          round(graft.functions.HllEstimate(
+            graft.functions.HllMerge(col("sketch"))), 4).as("est_distinct"))
+      val exact = ev.groupBy("event_type")
+        .agg(countDistinct(col("user_id")).as("exact_distinct"))
+      rolled.join(exact, Seq("event_type"))
+        .withColumn("rel_err", col("est_distinct") / col("exact_distinct") - 1)
+        .select("event_type", "n_events", "n_sketches", "est_distinct",
+          "exact_distinct", "rel_err")
+        .orderBy("event_type")
+    },
+    Some("""
+      WITH l AS (SELECT event_type, ts, user_id,
+                   (user_id * 1103515245 + 12345) % 2147483647 AS l
+                 FROM events),
+      h AS (SELECT event_type, (l * l) % 2147483647 AS h FROM l),
+      b AS (SELECT event_type, CAST(h % 256 AS INT) AS bucket,
+              h // 256 AS w FROM h),
+      r AS (SELECT event_type, bucket,
+              CASE WHEN w = 0 THEN 54
+                   ELSE LEAST(length(bin(w & -w)), 54) END AS rho
+            FROM b),
+      mx AS (SELECT event_type, bucket, MAX(rho) AS maxrho
+             FROM r GROUP BY 1, 2),
+      types AS (SELECT DISTINCT event_type FROM events),
+      spine AS (SELECT t.event_type, g.bucket
+                FROM types t CROSS JOIN
+                  (SELECT unnest(generate_series(0, 255)) AS bucket) g),
+      reg AS (SELECT s.event_type, COALESCE(mx.maxrho, 0) AS maxrho
+              FROM spine s LEFT JOIN mx
+                ON s.event_type = mx.event_type AND s.bucket = mx.bucket),
+      agg AS (SELECT event_type,
+                CAST(SUM(1::BIGINT << (54 - maxrho)) AS BIGINT) AS sum_scaled,
+                CAST(SUM(CASE WHEN maxrho = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                  AS zeros
+              FROM reg GROUP BY 1),
+      base AS (SELECT event_type, COUNT(*) AS n_events,
+                 COUNT(DISTINCT DATE_TRUNC('week', ts)) AS n_sketches,
+                 COUNT(DISTINCT user_id) AS exact_distinct
+               FROM events GROUP BY 1),
+      raw AS (SELECT a.event_type, a.zeros,
+                ((0.7213 / (1.0 + 1.079 / 256.0)) * 65536.0)
+                  * 18014398509481984.0
+                  / CAST(a.sum_scaled AS DOUBLE) AS raw
+              FROM agg a),
+      est AS (SELECT event_type,
+                ROUND(CASE WHEN zeros = 256 THEN 0.0
+                           WHEN raw <= 2.5 * 256.0 AND zeros > 0
+                             THEN 256.0 * ln(256.0 / CAST(zeros AS DOUBLE))
+                           ELSE raw END, 4) AS est_distinct
+              FROM raw)
+      SELECT b.event_type, b.n_events, b.n_sketches, e.est_distinct,
+        b.exact_distinct,
+        e.est_distinct / b.exact_distinct - 1 AS rel_err
+      FROM base b JOIN est e ON b.event_type = e.event_type
+      ORDER BY b.event_type"""))
+
   val defs: Seq[QueryDef] =
     Seq(q57, q58, q59, q60, q61, q62, q63, q64, q65, q66, q67, q68,
-      q69, q70, q71, q72, q73, q101, q102)
+      q69, q70, q71, q72, q73, q101, q102, q104)
 }
