@@ -1,8 +1,9 @@
 package graft.plans
 
-import graft.functions.{DotFold, Hash62Expr, HllEstimate, HllMerge,
-  HllSketchAgg, ShingleHashes, SimHashExpr, TDigestCdf, TDigestMerge,
-  TDigestMergeQuantiles, TDigestQuantiles, TDigestSketch, TokenHashes}
+import graft.functions.{CmsMerge, CmsQuery, CmsSketchAgg, DotFold,
+  Hash62Expr, HllEstimate, HllMerge, HllSketchAgg, ShingleHashes,
+  SimHashExpr, TDigestCdf, TDigestMerge, TDigestMergeQuantiles,
+  TDigestQuantiles, TDigestSketch, TokenHashes}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
@@ -66,6 +67,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     register("graft_hll_merge", classOf[HllMerge], 1)(a => HllMerge(a.head))
     register("graft_hll_estimate", classOf[HllEstimate], 1)(a =>
       HllEstimate(a.head))
+
+    // Count-Min family (q105): width is a sketch PARAMETER
+    register("graft_cms_sketch", classOf[CmsSketchAgg], 2)(a =>
+      CmsSketchAgg(a.head,
+        GraftExtensions.litInt(a(1), "graft_cms_sketch", "width")))
+    register("graft_cms_merge", classOf[CmsMerge], 1)(a => CmsMerge(a.head))
+    register("graft_cms_query", classOf[CmsQuery], 2)(a =>
+      CmsQuery(a.head, a(1)))
 
     // fused n-gram hash kernel: graft_shingle_hashes(text, n[, dedupe])
     // — n and dedupe are plan-time literals (they shape the kernel)

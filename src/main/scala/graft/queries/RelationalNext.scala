@@ -795,7 +795,81 @@ object RelationalNext {
       FROM base b JOIN est e ON b.event_type = e.event_type
       ORDER BY b.event_type"""))
 
+  /** The rollup shape for FREQUENCIES — q58's Count-Min algebra
+    * through the STORED-SKETCH path: one
+    * [[graft.functions.CmsSketchAgg]] d×4096 counter matrix per ship
+    * week (what a daily pipeline persists), folded with
+    * [[graft.functions.CmsMerge]] (elementwise sum — associative and
+    * commutative, so the two-level rollup is bit-identical to
+    * one-level), then the exact top-20 part keys probe the merged
+    * sketch via [[graft.functions.CmsQuery]]. All exact 64-bit
+    * integer arithmetic, so the oracle replays the counter matrix row
+    * for row (q58's precedent) and the CMS overcount guarantee is
+    * e2e-checked. The probe side joins the 1-row merged sketch on a
+    * constant NON-FOLDABLE key (pmod of a data column — the CountMin
+    * rank-window trick): a foldable literal key would propagate into
+    * the join condition and degrade the broadcast hash join to a
+    * nested-loop join. */
+  val q105 = QueryDef(
+    "q105_cms_rollup",
+    (sp, dir) => {
+      val li = Tables(sp, dir, "lineitem")
+        .select(col("l_partkey").cast("long").as("part"),
+          date_trunc("week", col("l_shipdate")).as("week"))
+      val weekly = li.groupBy("week")
+        .agg(count(lit(1)).as("n"),
+          graft.functions.CmsSketchAgg(col("part"), 4096).as("sketch"))
+      val merged = weekly
+        .agg(sum("n").as("n_rows"), count(lit(1)).as("n_sketches"),
+          graft.functions.CmsMerge(col("sketch")).as("sketch"))
+        .withColumn("k", pmod(col("n_rows"), lit(1L)))
+      val top = li.groupBy("part").agg(count(lit(1)).as("exact_cnt"))
+        .orderBy(col("exact_cnt").desc, col("part")).limit(20)
+        .withColumn("k", pmod(col("part"), lit(1L)))
+      val probed = top.join(merged, Seq("k"))
+        .withColumn("cms_estimate",
+          graft.functions.CmsQuery(col("sketch"), col("part")))
+      probed.select(col("part"), col("exact_cnt"), col("cms_estimate"),
+          (col("cms_estimate") - col("exact_cnt")).as("overcount"),
+          col("n_rows"), col("n_sketches"))
+        .orderBy(col("exact_cnt").desc, col("part"))
+    },
+    Some {
+      val hashRows = graft.operators.CountMin.rowParams.zipWithIndex
+        .map { case ((a, b), i) =>
+          s"SELECT $i AS row, (($a * (part % 2147483647) + $b) % 2147483647) % 4096 AS bucket, part, exact_cnt FROM keys"
+        }.mkString("\n        UNION ALL ")
+      s"""
+      WITH keys AS (
+        SELECT CAST(l_partkey AS BIGINT) AS part, COUNT(*) AS exact_cnt
+        FROM lineitem GROUP BY 1),
+      routed AS (
+        $hashRows),
+      counters AS (
+        SELECT row, bucket, SUM(exact_cnt) AS counter
+        FROM routed GROUP BY 1, 2),
+      top AS (
+        SELECT part, exact_cnt FROM keys
+        ORDER BY exact_cnt DESC, part LIMIT 20),
+      est AS (
+        SELECT t.part, t.exact_cnt, MIN(c.counter) AS cms_estimate
+        FROM top t JOIN routed r ON t.part = r.part
+        JOIN counters c ON r.row = c.row AND r.bucket = c.bucket
+        GROUP BY 1, 2),
+      meta AS (
+        SELECT COUNT(*) AS n_rows,
+          COUNT(DISTINCT DATE_TRUNC('week', l_shipdate)) AS n_sketches
+        FROM lineitem)
+      SELECT e.part, CAST(e.exact_cnt AS BIGINT) AS exact_cnt,
+        CAST(e.cms_estimate AS BIGINT) AS cms_estimate,
+        CAST(e.cms_estimate - e.exact_cnt AS BIGINT) AS overcount,
+        CAST(m.n_rows AS BIGINT) AS n_rows,
+        CAST(m.n_sketches AS BIGINT) AS n_sketches
+      FROM est e CROSS JOIN meta m
+      ORDER BY e.exact_cnt DESC, e.part"""
+    })
+
   val defs: Seq[QueryDef] =
     Seq(q57, q58, q59, q60, q61, q62, q63, q64, q65, q66, q67, q68,
-      q69, q70, q71, q72, q73, q101, q102, q104)
+      q69, q70, q71, q72, q73, q101, q102, q104, q105)
 }
