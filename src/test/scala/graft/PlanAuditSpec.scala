@@ -219,6 +219,28 @@ class PlanAuditSpec extends SparkSpec {
         s"serialized digests, never raw rows:\n${p.take(2000)}")
   }
 
+  test("q104 HLL rollup map-side combines both levels and broadcasts the exact side") {
+    val p = plan("q104_hll_rollup")
+    assert(p.contains("partial_graft_hll_sketch"),
+      s"level-1 sketch must map-side combine (2+2^p bytes per partial):\n${p.take(2000)}")
+    assert(p.contains("partial_graft_hll_merge"),
+      s"level-2 merge must map-side combine:\n${p.take(2000)}")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the 5-row exact side must broadcast:\n${p.take(2000)}")
+  }
+
+  test("q105 CMS rollup: broadcast hash probe join, top-k never a global sort") {
+    val p = plan("q105_cms_rollup")
+    assert(p.contains("partial_graft_cms_sketch"),
+      s"level-1 sketch must map-side combine:\n${p.take(2000)}")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-20 keys must be a partial top-k, not a global sort:\n${p.take(2000)}")
+    assert(p.contains("BroadcastHashJoin") && !p.contains("NestedLoop"),
+      "the 1-row merged sketch must join as a broadcast HASH join — a " +
+        "foldable join key would degrade it to a nested-loop join:\n" +
+        p.take(2000))
+  }
+
   test("no catalog query plans a cartesian/nested-loop join outside declared baselines") {
     // Declared baselines: s01 scores every (query, corpus) pair by
     // definition (broadcast query side, corpus streamed once); s03
