@@ -1,6 +1,7 @@
 package graft.plans
 
-import graft.functions.{CmsMerge, CmsQuery, CmsSketchAgg, DotFold,
+import graft.functions.{BloomBits, BloomContains, BloomFpp, BloomMerge,
+  BloomSketchAgg, CmsMerge, CmsQuery, CmsSketchAgg, DotFold,
   Hash62Expr, HllEstimate, HllMerge, HllSketchAgg, ShingleHashes,
   SimHashExpr, TDigestCdf, TDigestMerge, TDigestMergeQuantiles,
   TDigestQuantiles, TDigestSketch, TokenHashes}
@@ -75,6 +76,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     register("graft_cms_merge", classOf[CmsMerge], 1)(a => CmsMerge(a.head))
     register("graft_cms_query", classOf[CmsQuery], 2)(a =>
       CmsQuery(a.head, a(1)))
+
+    // Bloom family (q106): m and k are sketch PARAMETERS
+    register("graft_bloom_sketch", classOf[BloomSketchAgg], 3)(a =>
+      BloomSketchAgg(a.head,
+        GraftExtensions.litInt(a(1), "graft_bloom_sketch", "m"),
+        GraftExtensions.litInt(a(2), "graft_bloom_sketch", "k")))
+    register("graft_bloom_merge", classOf[BloomMerge], 1)(a => BloomMerge(a.head))
+    register("graft_bloom_contains", classOf[BloomContains], 2)(a =>
+      BloomContains(a.head, a(1)))
+    register("graft_bloom_bits", classOf[BloomBits], 1)(a => BloomBits(a.head))
+    register("graft_bloom_fpp", classOf[BloomFpp], 1)(a => BloomFpp(a.head))
 
     // fused n-gram hash kernel: graft_shingle_hashes(text, n[, dedupe])
     // — n and dedupe are plan-time literals (they shape the kernel)

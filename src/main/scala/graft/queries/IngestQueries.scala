@@ -1598,8 +1598,112 @@ object IngestQueries {
         ON g.bucket = r.bucket AND g.event_type = r.event_type
       ORDER BY g.bucket, g.event_type"""))
 
+  /** Streaming HEAVY-HITTER monitoring with O(d·w) state per window —
+    * e33's distinct-count twin for FREQUENCIES, and like it fully
+    * ORACLE-CHECKED: the event stream aggregates into per-hour 2 KB
+    * [[graft.functions.CmsSketchAgg]] counter matrices (counter sum is
+    * associative/commutative, so the incremental micro-batch merges
+    * are bit-identical to a batch aggregation at ANY replay slicing),
+    * then the exact overall top-10 users probe every hour's sketch via
+    * [[graft.functions.CmsQuery]] against DuckDB's row-for-row counter
+    * replay. The per-user hourly curve a 100 TB/day abuse-detection
+    * pipeline watches: activity spikes from fixed-size state, no
+    * per-user shuffle of raw events per window; the CMS overcount
+    * guarantee (estimate ≥ exact, reported per cell) is e2e-checked.
+    * The probe panel joins hours × top keys on a constant NON-FOLDABLE
+    * key (the q105 broadcast trick). */
+  val e34 = QueryDef(
+    "e34_stream_heavy_hitters",
+    (sp, dir) => {
+      val schema = Tables.eventsRawSchema(sp, dir)
+      val stream = Tables.eventsTs(
+        sp.readStream.schema(schema).option("basePath", dir)
+          .parquet(s"$dir/events.parque[t]"))
+      val agg = stream
+        .withWatermark("ts", "1 hour")
+        .groupBy(window(col("ts"), "1 hour"))
+        .agg(count(lit(1)).as("n_events"),
+          graft.functions.CmsSketchAgg(col("user_id").cast("long"), 64)
+            .as("sketch"))
+      val sink = s"e34_topk_${streamRuns.incrementAndGet()}"
+      withFewStatePartitions(sp, 8) {
+        val q = agg.writeStream.format("memory").queryName(sink)
+          .outputMode("complete")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      val hours = sp.table(sink)
+        .select(col("window.start").as("bucket"), col("n_events"),
+          col("sketch"))
+        .withColumn("j", pmod(col("n_events"), lit(1L)))
+      val ev = Tables(sp, dir, "events")
+        .select(date_trunc("hour", col("ts")).as("bucket"),
+          col("user_id").cast("long").as("user_id"))
+      val top = ev.groupBy("user_id").agg(count(lit(1)).as("total_cnt"))
+        .orderBy(col("total_cnt").desc, col("user_id")).limit(10)
+        .withColumn("j", pmod(col("user_id"), lit(1L)))
+      val exactHour = ev.groupBy("bucket", "user_id")
+        .agg(count(lit(1)).as("exact_cnt"))
+      hours.join(broadcast(top), Seq("j"))
+        .withColumn("cms_estimate",
+          graft.functions.CmsQuery(col("sketch"), col("user_id")))
+        .join(exactHour, Seq("bucket", "user_id"), "left")
+        .withColumn("exact_cnt", coalesce(col("exact_cnt"), lit(0L)))
+        .withColumn("overcount", col("cms_estimate") - col("exact_cnt"))
+        .select("bucket", "user_id", "total_cnt", "exact_cnt",
+          "cms_estimate", "overcount", "n_events")
+        .orderBy("bucket", "user_id")
+    },
+    Some {
+      val hashRows = graft.operators.CountMin.rowParams.zipWithIndex
+        .map { case ((a, b), i) =>
+          s"SELECT bucket, $i AS row, (($a * (key % 2147483647) + $b) % 2147483647) % 64 AS pos, cnt FROM keys"
+        }.mkString("\n        UNION ALL ")
+      val probeRows = graft.operators.CountMin.rowParams.zipWithIndex
+        .map { case ((a, b), i) =>
+          s"SELECT bucket, n_events, user_id, total_cnt, $i AS row, (($a * (user_id % 2147483647) + $b) % 2147483647) % 64 AS pos FROM panel"
+        }.mkString("\n        UNION ALL ")
+      s"""
+      WITH keys AS (
+        SELECT DATE_TRUNC('hour', ts) AS bucket,
+          CAST(user_id AS BIGINT) AS key, COUNT(*) AS cnt
+        FROM events GROUP BY 1, 2),
+      routed AS (
+        $hashRows),
+      counters AS (
+        SELECT bucket, row, pos, SUM(cnt) AS counter
+        FROM routed GROUP BY 1, 2, 3),
+      top AS (
+        SELECT CAST(user_id AS BIGINT) AS user_id, COUNT(*) AS total_cnt
+        FROM events GROUP BY 1
+        ORDER BY total_cnt DESC, user_id LIMIT 10),
+      hours AS (
+        SELECT DATE_TRUNC('hour', ts) AS bucket, COUNT(*) AS n_events
+        FROM events GROUP BY 1),
+      panel AS (
+        SELECT h.bucket, h.n_events, t.user_id, t.total_cnt
+        FROM hours h CROSS JOIN top t),
+      proberouted AS (
+        $probeRows),
+      est AS (
+        SELECT pr.bucket, pr.n_events, pr.user_id, pr.total_cnt,
+          MIN(COALESCE(c.counter, 0)) AS cms_estimate
+        FROM proberouted pr LEFT JOIN counters c
+          ON pr.bucket = c.bucket AND pr.row = c.row AND pr.pos = c.pos
+        GROUP BY 1, 2, 3, 4)
+      SELECT e.bucket, e.user_id, e.total_cnt,
+        CAST(COALESCE(k.cnt, 0) AS BIGINT) AS exact_cnt,
+        CAST(e.cms_estimate AS BIGINT) AS cms_estimate,
+        CAST(e.cms_estimate - COALESCE(k.cnt, 0) AS BIGINT) AS overcount,
+        e.n_events
+      FROM est e LEFT JOIN keys k
+        ON e.bucket = k.bucket AND e.user_id = k.key
+      ORDER BY e.bucket, e.user_id"""
+    })
+
   val defs: Seq[QueryDef] =
     Seq(e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11, e12, e13,
       e14, e15, e16, e17, e18, e19, e20, e21, e22, e23, e24, e25, e26,
-      e27, e28, e29, e30, e31, e32, e33)
+      e27, e28, e29, e30, e31, e32, e33, e34)
 }

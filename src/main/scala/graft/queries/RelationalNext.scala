@@ -869,7 +869,98 @@ object RelationalNext {
       ORDER BY e.exact_cnt DESC, e.part"""
     })
 
+  /** The rollup shape for MEMBERSHIP — the q56 runtime-filter idiom
+    * through the STORED-SKETCH path: one
+    * [[graft.functions.BloomSketchAgg]] 16384-bit filter per
+    * (priority, order week) cell (what an incremental pipeline
+    * persists per installment — the d21 persisted-index story at a
+    * FIXED 2 KB per cell), folded per priority with
+    * [[graft.functions.BloomMerge]] (word OR — associative,
+    * commutative, idempotent, so the two-level rollup is bit-identical
+    * to one-level), then a 20-key probe panel (10 low custkeys present
+    * in most priorities + 10 synthetic keys absent from the data)
+    * answers "has this customer ever ordered at this priority"
+    * against the sketches alone. The bit positions come from the
+    * portable LCG family (CountMin algebra), so the oracle replays
+    * the EXACT bit array: set-bit counts, every probe outcome AND the
+    * false-positive flags are checked end to end — the no-false-
+    * negative guarantee is e2e-proven, not assumed. The probe panel
+    * joins the 5-row folded side on a constant NON-FOLDABLE key
+    * (the q105 broadcast trick). */
+  val q106 = QueryDef(
+    "q106_bloom_rollup",
+    (sp, dir) => {
+      val ord = Tables(sp, dir, "orders")
+        .select(col("o_orderpriority").as("pri"),
+          date_trunc("week", col("o_orderdate")).as("week"),
+          col("o_custkey").cast("long").as("cust"))
+      val weekly = ord.groupBy("pri", "week")
+        .agg(count(lit(1)).as("n"),
+          graft.functions.BloomSketchAgg(col("cust"), 16384, 3).as("sketch"))
+      val folded = weekly.groupBy("pri")
+        .agg(sum("n").as("n_orders"), count(lit(1)).as("n_sketches"),
+          graft.functions.BloomMerge(col("sketch")).as("sketch"))
+        .withColumn("set_bits", graft.functions.BloomBits(col("sketch")))
+        .withColumn("fpp_est", round(graft.functions.BloomFpp(col("sketch")), 4))
+        .withColumn("j", pmod(col("n_orders"), lit(1L)))
+      val probes = sp.range(0, 10).select(col("id").as("probe_key"))
+        .unionAll(sp.range(1000000, 1000010).select(col("id").as("probe_key")))
+        .withColumn("j", pmod(col("probe_key"), lit(1L)))
+      val present = ord.select(col("pri"), col("cust").as("probe_key"))
+        .distinct().withColumn("present", lit(true))
+      folded.join(broadcast(probes), Seq("j"))
+        .withColumn("might_contain",
+          graft.functions.BloomContains(col("sketch"), col("probe_key")))
+        .join(present, Seq("pri", "probe_key"), "left")
+        .withColumn("present", coalesce(col("present"), lit(false)))
+        .withColumn("false_positive", col("might_contain") && !col("present"))
+        .select("pri", "probe_key", "might_contain", "present",
+          "false_positive", "n_orders", "n_sketches", "set_bits", "fpp_est")
+        .orderBy("pri", "probe_key")
+    },
+    Some {
+      val rows = graft.functions.BloomSketch.sqlRowParams.take(3)
+      def routed(src: String, key: String): String = rows.map { case (a, b) =>
+        s"SELECT pri, $key, (($a * $key + $b) % 2147483647) % 16384 AS pos FROM $src"
+      }.mkString("\n        UNION ALL ")
+      s"""
+      WITH custs AS (
+        SELECT DISTINCT o_orderpriority AS pri, CAST(o_custkey AS BIGINT) AS cust
+        FROM orders),
+      meta AS (
+        SELECT o_orderpriority AS pri, COUNT(*) AS n_orders,
+          COUNT(DISTINCT DATE_TRUNC('week', o_orderdate)) AS n_sketches
+        FROM orders GROUP BY 1),
+      routed AS (
+        ${routed("custs", "cust")}),
+      bits AS (SELECT DISTINCT pri, pos FROM routed),
+      bitcnt AS (SELECT pri, COUNT(*) AS set_bits FROM bits GROUP BY 1),
+      probes AS (
+        SELECT unnest(generate_series(0, 9)) AS probe_key
+        UNION ALL
+        SELECT unnest(generate_series(1000000, 1000009)) AS probe_key),
+      panel AS (SELECT m.pri, p.probe_key FROM meta m CROSS JOIN probes p),
+      panelrouted AS (
+        ${routed("panel", "probe_key")}),
+      hit AS (
+        SELECT pr.pri, pr.probe_key,
+          BOOL_AND(b.pos IS NOT NULL) AS might_contain
+        FROM panelrouted pr LEFT JOIN bits b
+          ON pr.pri = b.pri AND pr.pos = b.pos
+        GROUP BY 1, 2)
+      SELECT h.pri, h.probe_key, h.might_contain,
+        (c.cust IS NOT NULL) AS present,
+        (h.might_contain AND c.cust IS NULL) AS false_positive,
+        m.n_orders, m.n_sketches, b.set_bits,
+        ROUND(POWER(b.set_bits / 16384.0, 3), 4) AS fpp_est
+      FROM hit h
+      JOIN meta m ON h.pri = m.pri
+      JOIN bitcnt b ON h.pri = b.pri
+      LEFT JOIN custs c ON h.pri = c.pri AND h.probe_key = c.cust
+      ORDER BY h.pri, h.probe_key"""
+    })
+
   val defs: Seq[QueryDef] =
     Seq(q57, q58, q59, q60, q61, q62, q63, q64, q65, q66, q67, q68,
-      q69, q70, q71, q72, q73, q101, q102, q104, q105)
+      q69, q70, q71, q72, q73, q101, q102, q104, q105, q106)
 }

@@ -241,6 +241,17 @@ class PlanAuditSpec extends SparkSpec {
         p.take(2000))
   }
 
+  test("q106 Bloom rollup map-side combines both levels and broadcasts the probes") {
+    val p = plan("q106_bloom_rollup")
+    assert(p.contains("partial_graft_bloom_sketch"),
+      s"level-1 sketch must map-side combine (m/8 bytes per partial):\n${p.take(2000)}")
+    assert(p.contains("partial_graft_bloom_merge"),
+      s"level-2 merge must map-side combine:\n${p.take(2000)}")
+    assert(p.contains("BroadcastHashJoin") && !p.contains("NestedLoop"),
+      "the 20-row probe panel must join as a broadcast HASH join on the " +
+        s"constant non-foldable key, never a nested loop:\n${p.take(2000)}")
+  }
+
   test("no catalog query plans a cartesian/nested-loop join outside declared baselines") {
     // Declared baselines: s01 scores every (query, corpus) pair by
     // definition (broadcast query side, corpus streamed once); s03
