@@ -161,6 +161,31 @@ object BloomSketch {
     * aggregate and any replaying oracle). */
   def sqlRowParams: IndexedSeq[(Long, Long)] = rowParams
 
+  /** Scan-side membership probe as a PURE COLUMN EXPRESSION over a
+    * stored sketch's bytes — the codegen'd hot-path complement to
+    * [[BloomContains]] (which deserializes per row and belongs on
+    * probe tables only). The sketch is parsed ONCE driver-side into a
+    * literal word array; per row the probe is k LCG positions +
+    * element_at/mask tests, all inside whole-stage codegen with no
+    * join and no shuffle — at 100 TB this filters the scan against a
+    * fixed-size persisted index without moving the corpus
+    * (the [[graft.operators.BloomSemi.mightContain]] shape, but over
+    * the aggregate family's portable LCG positions so oracles replay
+    * every outcome). */
+  def probeColumn(key: org.apache.spark.sql.Column,
+      sketchBytes: Array[Byte]): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions._
+    val sk = fromBytes(sketchBytes)
+    val wordsLit = typedlit(sk.words.toSeq)
+    val masksLit = typedlit((0 until 64).map(1L << _))
+    (0 until sk.hashes).map { i =>
+      val (a, b) = rowParams(i)
+      val pos = ((lit(a) * pmod(key, lit(P)) + lit(b)) % lit(P)) % lit(sk.bits.toLong)
+      element_at(wordsLit, shiftright(pos, 6).cast("int") + 1)
+        .bitwiseAND(element_at(masksLit, pmod(pos, lit(64)).cast("int") + 1)) =!= lit(0L)
+    }.reduce(_ && _)
+  }
+
   val MinM = 64
   val MaxM = 1 << 24
 

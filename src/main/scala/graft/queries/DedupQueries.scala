@@ -1108,7 +1108,117 @@ object DedupQueries {
         CAST(n_candidates AS BIGINT) AS n_candidates
       FROM ranked WHERE rn = 1 ORDER BY doc_id"""))
 
+  /** Containment novelty against a PERSISTED FIXED-SIZE membership
+    * index — d21's incremental story with the index cost capped: the
+    * old corpus's distinct word-trigram shingle hashes live in stored
+    * per-shard [[graft.functions.BloomSketchAgg]] filters (32 KB per
+    * shard REGARDLESS of corpus size — d21's exact index grows with
+    * the corpus, this one never does), and each new-installment doc
+    * reports how much of its content was already seen: per-doc shingle
+    * containment = Bloom-probed fraction, the C4/CommonCrawl "recycled
+    * content" score. The probe is
+    * [[graft.functions.BloomSketch.probeColumn]] — the merged sketch's
+    * ONE 32 KB byte array is fetched driver-side (bounded, the
+    * BloomSemi.buildBits precedent) and each scan row tests k
+    * codegen'd LCG positions: no join, no shuffle of the new corpus
+    * against the index. The exact-side join is the s06-style
+    * EVALUATION leg (dev-scale recall discipline): it re-derives the
+    * true containment so the Bloom's false positives are reported per
+    * doc, and the no-false-negative guarantee (n_seen_bloom ≥
+    * n_seen_exact) is e2e-checked by the oracle's exact bit replay. */
+  val d23 = QueryDef(
+    "d23_bloom_novelty",
+    (sp, dir) => {
+      val fp = graft.sources.IngestFixtures.fingerprint(s"$dir/documents.parquet")
+      val store = s"/tmp/graft_ingest_v2/d23_store_$fp"
+      graft.sources.IngestFixtures.once(s"d23_$fp") {
+        import scala.reflect.io.Directory
+        new Directory(new java.io.File(store)).deleteRecursively()
+        val old = Tables(sp, dir, "documents").filter(col("doc_id") % 2 === 0)
+        Dedup.shingleHashSet(old, "doc_id", "text", 3)
+          .groupBy(pmod(col("doc_id"), lit(8L)).as("shard"))
+          .agg(count(lit(1)).as("n_shingle_rows"),
+            graft.functions.BloomSketchAgg(col("shingle"), 262144, 3)
+              .as("sketch"))
+          .write.mode("overwrite").parquet(store)
+      }
+      // bounded driver fetch: ONE merged 32 KB sketch, never row data
+      val merged = sp.read.parquet(store)
+        .agg(graft.functions.BloomMerge(col("sketch")).as("m"))
+        .head().getAs[Array[Byte]](0)
+      val sk = graft.functions.BloomSketch.fromBytes(merged)
+      val docs = Tables(sp, dir, "documents")
+      val newDocs = docs.filter(col("doc_id") % 2 =!= 0)
+      val oldHashes = Dedup
+        .shingleHashSet(docs.filter(col("doc_id") % 2 === 0), "doc_id", "text", 3)
+        .select(col("shingle")).distinct()
+        .withColumn("seen_exact", lit(true))
+      val per = Dedup.shingleHashSet(newDocs, "doc_id", "text", 3)
+        .withColumn("seen_bloom",
+          graft.functions.BloomSketch.probeColumn(col("shingle"), merged))
+        .join(oldHashes, Seq("shingle"), "left")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_shingles"),
+          sum(col("seen_bloom").cast("long")).as("n_seen_bloom"),
+          sum(coalesce(col("seen_exact"), lit(false)).cast("long"))
+            .as("n_seen_exact"))
+      newDocs.select("doc_id").join(per, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_shingles"), lit(0L)).as("n_shingles"),
+          coalesce(col("n_seen_bloom"), lit(0L)).as("n_seen_bloom"),
+          coalesce(col("n_seen_exact"), lit(0L)).as("n_seen_exact"))
+        .withColumn("n_false_pos", col("n_seen_bloom") - col("n_seen_exact"))
+        .withColumn("containment", when(col("n_shingles") > 0,
+          col("n_seen_bloom").cast("double") / col("n_shingles")))
+        .withColumn("set_bits", lit(sk.setBits))
+        .withColumn("fpp_est", round(lit(sk.fppEstimate), 4))
+        .orderBy("doc_id")
+    },
+    Some {
+      val rows = graft.functions.BloomSketch.sqlRowParams.take(3)
+      def routed(src: String, cols: String): String = rows.map { case (a, b) =>
+        s"SELECT $cols, (($a * (h % 2147483647) + $b) % 2147483647) % 262144 AS pos FROM $src"
+      }.mkString("\n        UNION ALL ")
+      s"""
+      WITH $shingleHashSql,
+      old AS (SELECT DISTINCT h FROM hs WHERE doc_id % 2 = 0),
+      oldrouted AS (
+        ${routed("old", "h")}),
+      bits AS (SELECT DISTINCT pos FROM oldrouted),
+      bc AS (SELECT CAST(COUNT(*) AS BIGINT) AS set_bits FROM bits),
+      new_sh AS (SELECT doc_id, h FROM hs WHERE doc_id % 2 <> 0),
+      newrouted AS (
+        ${routed("new_sh", "doc_id, h")}),
+      hit AS (
+        SELECT nr.doc_id, nr.h,
+          BOOL_AND(b.pos IS NOT NULL) AS seen_bloom
+        FROM newrouted nr LEFT JOIN bits b ON nr.pos = b.pos
+        GROUP BY 1, 2),
+      per AS (
+        SELECT hi.doc_id, COUNT(*) AS n_shingles,
+          SUM(CASE WHEN hi.seen_bloom THEN 1 ELSE 0 END) AS n_seen_bloom,
+          SUM(CASE WHEN o.h IS NOT NULL THEN 1 ELSE 0 END) AS n_seen_exact
+        FROM hit hi LEFT JOIN old o ON hi.h = o.h
+        GROUP BY 1)
+      SELECT d.doc_id,
+        CAST(COALESCE(p.n_shingles, 0) AS BIGINT) AS n_shingles,
+        CAST(COALESCE(p.n_seen_bloom, 0) AS BIGINT) AS n_seen_bloom,
+        CAST(COALESCE(p.n_seen_exact, 0) AS BIGINT) AS n_seen_exact,
+        CAST(COALESCE(p.n_seen_bloom, 0) - COALESCE(p.n_seen_exact, 0)
+          AS BIGINT) AS n_false_pos,
+        CASE WHEN p.n_shingles > 0
+             THEN CAST(p.n_seen_bloom AS DOUBLE) / p.n_shingles END
+          AS containment,
+        bc.set_bits,
+        ROUND(POWER(bc.set_bits / 262144.0, 3), 4) AS fpp_est
+      FROM documents d
+      LEFT JOIN per p ON d.doc_id = p.doc_id
+      CROSS JOIN bc
+      WHERE d.doc_id % 2 <> 0
+      ORDER BY d.doc_id"""
+    })
+
   val defs: Seq[QueryDef] =
     Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13,
-      d14, d15, d16, d17, d18, d19, d20, d21, d22)
+      d14, d15, d16, d17, d18, d19, d20, d21, d22, d23)
 }

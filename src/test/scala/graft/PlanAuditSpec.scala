@@ -252,6 +252,17 @@ class PlanAuditSpec extends SparkSpec {
         s"constant non-foldable key, never a nested loop:\n${p.take(2000)}")
   }
 
+  test("d23 Bloom probe is codegen'd scan-side arithmetic, never the fallback scalar") {
+    val p = plan("d23_bloom_novelty")
+    assert(p.contains("element_at"),
+      s"probe must compile to literal-array element_at lookups:\n${p.take(2000)}")
+    assert(!p.contains("graft_bloom_contains"),
+      "the per-row deserializing BloomContains must never reach the " +
+        s"shingle-cardinality hot path:\n${p.take(2000)}")
+    assert(p.contains("partial_sum"),
+      s"per-doc containment counts must map-side combine:\n${p.take(2000)}")
+  }
+
   test("no catalog query plans a cartesian/nested-loop join outside declared baselines") {
     // Declared baselines: s01 scores every (query, corpus) pair by
     // definition (broadcast query side, corpus streamed once); s03
