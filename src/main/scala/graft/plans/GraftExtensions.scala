@@ -2,9 +2,10 @@ package graft.plans
 
 import graft.functions.{BloomBits, BloomContains, BloomFpp, BloomMerge,
   BloomSketchAgg, CmsMerge, CmsQuery, CmsSketchAgg, DotFold,
-  Hash62Expr, HllEstimate, HllMerge, HllSketchAgg, ShingleHashes,
-  SimHashExpr, TDigestCdf, TDigestMerge, TDigestMergeQuantiles,
-  TDigestQuantiles, TDigestSketch, TokenHashes}
+  Hash62Expr, HllEstimate, HllMerge, HllSketchAgg, MinHashJaccard,
+  MinHashSigAgg, MinHashSigMerge, ShingleHashes, SimHashExpr,
+  TDigestCdf, TDigestMerge, TDigestMergeQuantiles, TDigestQuantiles,
+  TDigestSketch, TokenHashes}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
@@ -87,6 +88,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       BloomContains(a.head, a(1)))
     register("graft_bloom_bits", classOf[BloomBits], 1)(a => BloomBits(a.head))
     register("graft_bloom_fpp", classOf[BloomFpp], 1)(a => BloomFpp(a.head))
+
+    // group-level MinHash family (q107): k is a sketch PARAMETER
+    register("graft_minhash_group", classOf[MinHashSigAgg], 2)(a =>
+      MinHashSigAgg(a.head,
+        GraftExtensions.litInt(a(1), "graft_minhash_group", "k")))
+    register("graft_minhash_group_merge", classOf[MinHashSigMerge], 1)(a =>
+      MinHashSigMerge(a.head))
+    register("graft_minhash_jaccard", classOf[MinHashJaccard], 2)(a =>
+      MinHashJaccard(a.head, a(1)))
 
     // fused n-gram hash kernel: graft_shingle_hashes(text, n[, dedupe])
     // — n and dedupe are plan-time literals (they shape the kernel)

@@ -960,7 +960,94 @@ object RelationalNext {
       ORDER BY h.pri, h.probe_key"""
     })
 
+  /** Sketch-to-sketch GROUP-similarity join — the Jaccard-RATIO twin
+    * of q103's KMV size algebra: one 64-component
+    * [[graft.functions.MinHashSigAgg]] signature per (priority, week)
+    * cell, folded per priority with [[graft.functions.MinHashSigMerge]]
+    * (elementwise min — the signature of the union, EXACTLY), then
+    * every priority pair's customer-set Jaccard estimated from the
+    * signatures alone via [[graft.functions.MinHashJaccard]]
+    * (component agreement / k — a dyadic rational, so the oracle
+    * replays it exactly) against the exact Jaccard riding the same
+    * scan. The all-pairs matrix over 5 groups is the declared dev
+    * shape; at real group counts the signatures band into LSH buckets
+    * (r components per band → equi-join) — sub-quadratic group-
+    * similarity search, d02's document-level discipline lifted to
+    * groups. Pair generation joins on a constant NON-FOLDABLE key
+    * (the q105 broadcast trick) and keeps pri_a < pri_b. */
+  val q107 = QueryDef(
+    "q107_minhash_group_join",
+    (sp, dir) => {
+      val ord = Tables(sp, dir, "orders")
+        .select(col("o_orderpriority").as("pri"),
+          date_trunc("week", col("o_orderdate")).as("week"),
+          col("o_custkey").cast("long").as("cust"))
+      val weekly = ord.groupBy("pri", "week")
+        .agg(graft.functions.MinHashSigAgg(col("cust"), 64).as("sig"))
+      val sigs = weekly.groupBy("pri")
+        .agg(graft.functions.MinHashSigMerge(col("sig")).as("sig"))
+        .withColumn("j", pmod(length(col("pri")).cast("long"), lit(1L)))
+      val pairs = sigs.select(col("pri").as("pri_a"), col("sig").as("sig_a"),
+          col("j"))
+        .join(broadcast(sigs.select(col("pri").as("pri_b"),
+          col("sig").as("sig_b"), col("j"))), Seq("j"))
+        .filter(col("pri_a") < col("pri_b"))
+        .withColumn("jaccard_est",
+          graft.functions.MinHashJaccard(col("sig_a"), col("sig_b")))
+      val sets = ord.select("pri", "cust").distinct()
+      val sizes = sets.groupBy("pri").agg(count(lit(1)).as("n"))
+      val inter = sets.select(col("pri").as("pri_a"), col("cust"))
+        .join(sets.select(col("pri").as("pri_b"), col("cust")), Seq("cust"))
+        .filter(col("pri_a") < col("pri_b"))
+        .groupBy("pri_a", "pri_b").agg(count(lit(1)).as("n_inter"))
+      pairs
+        .join(sizes.select(col("pri").as("pri_a"), col("n").as("n_a")),
+          Seq("pri_a"))
+        .join(sizes.select(col("pri").as("pri_b"), col("n").as("n_b")),
+          Seq("pri_b"))
+        .join(inter, Seq("pri_a", "pri_b"))
+        .withColumn("jaccard_exact",
+          col("n_inter").cast("double") / (col("n_a") + col("n_b") - col("n_inter")))
+        .withColumn("err", col("jaccard_est") - col("jaccard_exact"))
+        .select("pri_a", "pri_b", "n_a", "n_b", "n_inter",
+          "jaccard_exact", "jaccard_est", "err")
+        .orderBy("pri_a", "pri_b")
+    },
+    Some {
+      val perms = graft.functions.MinHashGroupSig.sqlPerms(64)
+      val permRows = perms.zipWithIndex
+        .map { case ((a, b), i) => s"($i, $a, $b)" }.mkString(", ")
+      s"""
+      WITH custs AS (
+        SELECT DISTINCT o_orderpriority AS pri, CAST(o_custkey AS BIGINT) AS cust
+        FROM orders),
+      perms AS (SELECT * FROM (VALUES $permRows) t(i, a, b)),
+      sigs AS (
+        SELECT pri, p.i, MIN(((cust % 2147483647) * p.a + p.b) % 2147483647) AS m
+        FROM custs c CROSS JOIN perms p GROUP BY 1, 2),
+      agree AS (
+        SELECT x.pri AS pri_a, y.pri AS pri_b,
+          SUM(CASE WHEN x.m = y.m THEN 1 ELSE 0 END) / 64.0 AS jaccard_est
+        FROM sigs x JOIN sigs y ON x.i = y.i AND x.pri < y.pri
+        GROUP BY 1, 2),
+      sizes AS (SELECT pri, CAST(COUNT(*) AS BIGINT) AS n FROM custs GROUP BY 1),
+      inter AS (
+        SELECT x.pri AS pri_a, y.pri AS pri_b, CAST(COUNT(*) AS BIGINT) AS n_inter
+        FROM custs x JOIN custs y ON x.cust = y.cust AND x.pri < y.pri
+        GROUP BY 1, 2)
+      SELECT a.pri_a, a.pri_b, sa.n AS n_a, sb.n AS n_b, i.n_inter,
+        CAST(i.n_inter AS DOUBLE) / (sa.n + sb.n - i.n_inter) AS jaccard_exact,
+        a.jaccard_est,
+        a.jaccard_est - CAST(i.n_inter AS DOUBLE) / (sa.n + sb.n - i.n_inter)
+          AS err
+      FROM agree a
+      JOIN sizes sa ON a.pri_a = sa.pri
+      JOIN sizes sb ON a.pri_b = sb.pri
+      JOIN inter i ON a.pri_a = i.pri_a AND a.pri_b = i.pri_b
+      ORDER BY a.pri_a, a.pri_b"""
+    })
+
   val defs: Seq[QueryDef] =
     Seq(q57, q58, q59, q60, q61, q62, q63, q64, q65, q66, q67, q68,
-      q69, q70, q71, q72, q73, q101, q102, q104, q105, q106)
+      q69, q70, q71, q72, q73, q101, q102, q104, q105, q106, q107)
 }

@@ -263,6 +263,17 @@ class PlanAuditSpec extends SparkSpec {
       s"per-doc containment counts must map-side combine:\n${p.take(2000)}")
   }
 
+  test("q107 MinHash group join map-side combines both levels, broadcast pair join") {
+    val p = plan("q107_minhash_group_join")
+    assert(p.contains("partial_graft_minhash_group"),
+      s"level-1 signature must map-side combine (O(k) per partial):\n${p.take(2000)}")
+    assert(p.contains("partial_graft_minhash_group_merge"),
+      s"level-2 merge must map-side combine:\n${p.take(2000)}")
+    assert(p.contains("BroadcastHashJoin") && !p.contains("NestedLoop"),
+      "the 5-row signature pair join must be a broadcast HASH join on " +
+        s"the constant non-foldable key:\n${p.take(2000)}")
+  }
+
   test("no catalog query plans a cartesian/nested-loop join outside declared baselines") {
     // Declared baselines: s01 scores every (query, corpus) pair by
     // definition (broadcast query side, corpus streamed once); s03
