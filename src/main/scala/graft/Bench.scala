@@ -59,7 +59,7 @@ object Bench {
         "e14_schema_evolution", "e15_orc_roundtrip",
         "e16_corrupt_quarantine", "e29_time_travel",
         "d01_exact_dedup", "d02_minhash_lsh", "d03_simhash",
-        "d07_minhash_verify").foreach {
+        "d07_minhash_verify", "d23_bloom_novelty").foreach {
       n => SparkEntry.queries.get(n)
         .foreach(f => try f(spark, sfDir).count() catch { case _: Throwable => })
     }
