@@ -286,39 +286,16 @@ case class BloomMerge(
     child: Expression,
     override val mutableAggBufferOffset: Int = 0,
     override val inputAggBufferOffset: Int = 0)
-  extends TypedImperativeAggregate[BloomSketch] with UnaryLike[Expression] {
-
-  override def checkInputDataTypes(): TypeCheckResult =
-    if (child.dataType == BinaryType) TypeCheckResult.TypeCheckSuccess
-    else TypeCheckResult.TypeCheckFailure(
-      s"$prettyName expects binary sketches, got ${child.dataType.simpleString}")
+  extends SketchMergeAgg[BloomSketch] {
 
   override def prettyName: String = "graft_bloom_merge"
-  override def dataType: DataType = BinaryType
-  override def nullable: Boolean = true
-
-  // shape adopted from the first non-empty sketch
-  override def createAggregationBuffer(): BloomSketch = new BloomSketch(0, 0)
-
-  override def update(buffer: BloomSketch, input: InternalRow): BloomSketch = {
-    val v = child.eval(input)
-    if (v != null) buffer.mergeWith(BloomSketch.fromBytes(v.asInstanceOf[Array[Byte]]))
-    buffer
-  }
-
-  override def merge(buffer: BloomSketch, other: BloomSketch): BloomSketch = {
-    buffer.mergeWith(other)
-    buffer
-  }
-
-  override def eval(buffer: BloomSketch): Any =
-    if (buffer.bits == 0) null else buffer.toBytes
-
-  override def serialize(buffer: BloomSketch): Array[Byte] =
-    if (buffer.bits == 0) Array[Byte](0) else buffer.toBytes
-  override def deserialize(bytes: Array[Byte]): BloomSketch =
-    if (bytes.length == 1 && bytes(0) == 0) new BloomSketch(0, 0)
-    else BloomSketch.fromBytes(bytes)
+  override protected def emptyBuffer: BloomSketch = new BloomSketch(0, 0)
+  override protected def isEmptyBuffer(s: BloomSketch): Boolean = s.bits == 0
+  override protected def fromSketchBytes(b: Array[Byte]): BloomSketch =
+    BloomSketch.fromBytes(b)
+  override protected def toSketchBytes(s: BloomSketch): Array[Byte] = s.toBytes
+  override protected def mergeInto(buf: BloomSketch, other: BloomSketch): Unit =
+    buf.mergeWith(other)
 
   override def withNewMutableAggBufferOffset(o: Int): BloomMerge =
     copy(mutableAggBufferOffset = o)

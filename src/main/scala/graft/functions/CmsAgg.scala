@@ -210,39 +210,16 @@ case class CmsMerge(
     child: Expression,
     override val mutableAggBufferOffset: Int = 0,
     override val inputAggBufferOffset: Int = 0)
-  extends TypedImperativeAggregate[CmsSketch] with UnaryLike[Expression] {
-
-  override def checkInputDataTypes(): TypeCheckResult =
-    if (child.dataType == BinaryType) TypeCheckResult.TypeCheckSuccess
-    else TypeCheckResult.TypeCheckFailure(
-      s"$prettyName expects binary sketches, got ${child.dataType.simpleString}")
+  extends SketchMergeAgg[CmsSketch] {
 
   override def prettyName: String = "graft_cms_merge"
-  override def dataType: DataType = BinaryType
-  override def nullable: Boolean = true
-
-  // width adopted from the first non-empty sketch
-  override def createAggregationBuffer(): CmsSketch = new CmsSketch(0)
-
-  override def update(buffer: CmsSketch, input: InternalRow): CmsSketch = {
-    val v = child.eval(input)
-    if (v != null) buffer.mergeWith(CmsSketch.fromBytes(v.asInstanceOf[Array[Byte]]))
-    buffer
-  }
-
-  override def merge(buffer: CmsSketch, other: CmsSketch): CmsSketch = {
-    buffer.mergeWith(other)
-    buffer
-  }
-
-  override def eval(buffer: CmsSketch): Any =
-    if (buffer.width == 0) null else buffer.toBytes
-
-  override def serialize(buffer: CmsSketch): Array[Byte] =
-    if (buffer.width == 0) Array[Byte](0) else buffer.toBytes
-  override def deserialize(bytes: Array[Byte]): CmsSketch =
-    if (bytes.length == 1 && bytes(0) == 0) new CmsSketch(0)
-    else CmsSketch.fromBytes(bytes)
+  override protected def emptyBuffer: CmsSketch = new CmsSketch(0)
+  override protected def isEmptyBuffer(s: CmsSketch): Boolean = s.width == 0
+  override protected def fromSketchBytes(b: Array[Byte]): CmsSketch =
+    CmsSketch.fromBytes(b)
+  override protected def toSketchBytes(s: CmsSketch): Array[Byte] = s.toBytes
+  override protected def mergeInto(buf: CmsSketch, other: CmsSketch): Unit =
+    buf.mergeWith(other)
 
   override def withNewMutableAggBufferOffset(o: Int): CmsMerge =
     copy(mutableAggBufferOffset = o)

@@ -235,39 +235,16 @@ case class HllMerge(
     child: Expression,
     override val mutableAggBufferOffset: Int = 0,
     override val inputAggBufferOffset: Int = 0)
-  extends TypedImperativeAggregate[HllSketch] with UnaryLike[Expression] {
-
-  override def checkInputDataTypes(): TypeCheckResult =
-    if (child.dataType == BinaryType) TypeCheckResult.TypeCheckSuccess
-    else TypeCheckResult.TypeCheckFailure(
-      s"$prettyName expects binary sketches, got ${child.dataType.simpleString}")
+  extends SketchMergeAgg[HllSketch] {
 
   override def prettyName: String = "graft_hll_merge"
-  override def dataType: DataType = BinaryType
-  override def nullable: Boolean = true
-
-  // precision adopted from the first non-empty sketch
-  override def createAggregationBuffer(): HllSketch = new HllSketch(0)
-
-  override def update(buffer: HllSketch, input: InternalRow): HllSketch = {
-    val v = child.eval(input)
-    if (v != null) buffer.mergeWith(HllSketch.fromBytes(v.asInstanceOf[Array[Byte]]))
-    buffer
-  }
-
-  override def merge(buffer: HllSketch, other: HllSketch): HllSketch = {
-    buffer.mergeWith(other)
-    buffer
-  }
-
-  override def eval(buffer: HllSketch): Any =
-    if (buffer.precision == 0) null else buffer.toBytes
-
-  override def serialize(buffer: HllSketch): Array[Byte] =
-    if (buffer.precision == 0) Array[Byte](0) else buffer.toBytes
-  override def deserialize(bytes: Array[Byte]): HllSketch =
-    if (bytes.length == 1 && bytes(0) == 0) new HllSketch(0)
-    else HllSketch.fromBytes(bytes)
+  override protected def emptyBuffer: HllSketch = new HllSketch(0)
+  override protected def isEmptyBuffer(s: HllSketch): Boolean = s.precision == 0
+  override protected def fromSketchBytes(b: Array[Byte]): HllSketch =
+    HllSketch.fromBytes(b)
+  override protected def toSketchBytes(s: HllSketch): Array[Byte] = s.toBytes
+  override protected def mergeInto(buf: HllSketch, other: HllSketch): Unit =
+    buf.mergeWith(other)
 
   override def withNewMutableAggBufferOffset(o: Int): HllMerge =
     copy(mutableAggBufferOffset = o)

@@ -240,39 +240,19 @@ case class MinHashSigMerge(
     child: Expression,
     override val mutableAggBufferOffset: Int = 0,
     override val inputAggBufferOffset: Int = 0)
-  extends TypedImperativeAggregate[MinHashGroupSig] with UnaryLike[Expression] {
-
-  override def checkInputDataTypes(): TypeCheckResult =
-    if (child.dataType == BinaryType) TypeCheckResult.TypeCheckSuccess
-    else TypeCheckResult.TypeCheckFailure(
-      s"$prettyName expects binary signatures, got ${child.dataType.simpleString}")
+  extends SketchMergeAgg[MinHashGroupSig] {
 
   override def prettyName: String = "graft_minhash_group_merge"
-  override def dataType: DataType = BinaryType
-  override def nullable: Boolean = true
-
-  // k adopted from the first non-empty signature
-  override def createAggregationBuffer(): MinHashGroupSig = new MinHashGroupSig(0)
-
-  override def update(buffer: MinHashGroupSig, input: InternalRow): MinHashGroupSig = {
-    val v = child.eval(input)
-    if (v != null) buffer.mergeWith(MinHashGroupSig.fromBytes(v.asInstanceOf[Array[Byte]]))
-    buffer
-  }
-
-  override def merge(buffer: MinHashGroupSig, other: MinHashGroupSig): MinHashGroupSig = {
-    buffer.mergeWith(other)
-    buffer
-  }
-
-  override def eval(buffer: MinHashGroupSig): Any =
-    if (buffer.components == 0) null else buffer.toBytes
-
-  override def serialize(buffer: MinHashGroupSig): Array[Byte] =
-    if (buffer.components == 0) Array[Byte](0) else buffer.toBytes
-  override def deserialize(bytes: Array[Byte]): MinHashGroupSig =
-    if (bytes.length == 1 && bytes(0) == 0) new MinHashGroupSig(0)
-    else MinHashGroupSig.fromBytes(bytes)
+  override protected def emptyBuffer: MinHashGroupSig = new MinHashGroupSig(0)
+  override protected def isEmptyBuffer(s: MinHashGroupSig): Boolean =
+    s.components == 0
+  override protected def fromSketchBytes(b: Array[Byte]): MinHashGroupSig =
+    MinHashGroupSig.fromBytes(b)
+  override protected def toSketchBytes(s: MinHashGroupSig): Array[Byte] =
+    s.toBytes
+  override protected def mergeInto(buf: MinHashGroupSig,
+      other: MinHashGroupSig): Unit =
+    buf.mergeWith(other)
 
   override def withNewMutableAggBufferOffset(o: Int): MinHashSigMerge =
     copy(mutableAggBufferOffset = o)

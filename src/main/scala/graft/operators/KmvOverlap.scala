@@ -93,11 +93,11 @@ object KmvOverlap {
     reported
       .withColumn("est_union",
         ((col("k_used") - 1) * lit(P)).cast(DoubleType) /
-          col("h_k").cast(DoubleType))
+          greatest(col("h_k"), lit(1L)).cast(DoubleType))
       .withColumn("est_intersection",
         (col("n_shared").cast(DoubleType) / col("k_used").cast(DoubleType)) *
           (((col("k_used") - 1) * lit(P)).cast(DoubleType) /
-            col("h_k").cast(DoubleType)))
+            greatest(col("h_k"), lit(1L)).cast(DoubleType)))
       .withColumn("est_jaccard",
         col("n_shared").cast(DoubleType) / col("k_used").cast(DoubleType))
       // per-side cardinalities from each group's own k-th minimum,
@@ -105,10 +105,10 @@ object KmvOverlap {
       // independent estimates can cross on near-total overlap)
       .withColumn("est_a",
         ((col("k_a") - 1) * lit(P)).cast(DoubleType) /
-          col("h_a").cast(DoubleType))
+          greatest(col("h_a"), lit(1L)).cast(DoubleType))
       .withColumn("est_b",
         ((col("k_b") - 1) * lit(P)).cast(DoubleType) /
-          col("h_b").cast(DoubleType))
+          greatest(col("h_b"), lit(1L)).cast(DoubleType))
       .withColumn("est_only_a",
         greatest(col("est_a") - col("est_intersection"), lit(0.0)))
       .withColumn("est_only_b",

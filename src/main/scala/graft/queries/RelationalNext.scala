@@ -569,7 +569,7 @@ object RelationalNext {
       exact.join(broadcast(sketch), "__j").drop("__j")
         .withColumn("kmv_estimate",
           ((col("k_used") - 1) * lit(P)).cast("double") /
-            col("h_k").cast("double"))
+            greatest(col("h_k"), lit(1L)).cast("double"))
     },
     Some("""
       WITH h AS (SELECT DISTINCT
@@ -581,8 +581,8 @@ object RelationalNext {
       ex AS (SELECT CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS n_exact
              FROM lineitem)
       SELECT n_exact, k_used, h_k,
-        CAST((k_used - 1) * 2147483647 AS DOUBLE) / CAST(h_k AS DOUBLE)
-          AS kmv_estimate
+        CAST((k_used - 1) * 2147483647 AS DOUBLE)
+          / CAST(GREATEST(h_k, 1) AS DOUBLE) AS kmv_estimate
       FROM ex, kk"""))
 
   /** Running max/min (record-to-date tracking) per order priority —

@@ -340,11 +340,11 @@ object RelationalPlus {
         .drop("__j")
         .withColumn("est_union",
           ((col("k_used") - 1) * lit(P)).cast(DoubleType) /
-            col("h_k").cast(DoubleType))
+            greatest(col("h_k"), lit(1L)).cast(DoubleType))
         .withColumn("est_intersection",
           (col("n_shared").cast(DoubleType) / col("k_used").cast(DoubleType)) *
             (((col("k_used") - 1) * lit(P)).cast(DoubleType) /
-              col("h_k").cast(DoubleType)))
+              greatest(col("h_k"), lit(1L)).cast(DoubleType)))
     },
     Some("""
       WITH ha AS (SELECT DISTINCT
@@ -367,10 +367,10 @@ object RelationalPlus {
           CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS n_union_exact
         FROM lineitem WHERE l_returnflag IN ('R', 'A'))
       SELECT n_a_exact, n_b_exact, n_union_exact, k_used, h_k, n_shared,
-        CAST((k_used - 1) * 2147483647 AS DOUBLE) / CAST(h_k AS DOUBLE)
+        CAST((k_used - 1) * 2147483647 AS DOUBLE) / CAST(GREATEST(h_k, 1) AS DOUBLE)
           AS est_union,
         (CAST(n_shared AS DOUBLE) / CAST(k_used AS DOUBLE)) *
-          (CAST((k_used - 1) * 2147483647 AS DOUBLE) / CAST(h_k AS DOUBLE))
+          (CAST((k_used - 1) * 2147483647 AS DOUBLE) / CAST(GREATEST(h_k, 1) AS DOUBLE))
           AS est_intersection
       FROM ex, sk, shr"""))
 
@@ -1234,21 +1234,21 @@ object RelationalPlus {
              GROUP BY 1, 2)
       SELECT m.type_a, m.type_b, k_used, h_k, n_shared,
         COALESCE(ex.n_inter_exact, 0) AS n_inter_exact,
-        CAST((k_used - 1) * 2147483647 AS DOUBLE) / CAST(h_k AS DOUBLE)
+        CAST((k_used - 1) * 2147483647 AS DOUBLE) / CAST(GREATEST(h_k, 1) AS DOUBLE)
           AS est_union,
         (CAST(n_shared AS DOUBLE) / CAST(k_used AS DOUBLE)) *
-          (CAST((k_used - 1) * 2147483647 AS DOUBLE) / CAST(h_k AS DOUBLE))
+          (CAST((k_used - 1) * 2147483647 AS DOUBLE) / CAST(GREATEST(h_k, 1) AS DOUBLE))
           AS est_intersection,
         CAST(n_shared AS DOUBLE) / CAST(k_used AS DOUBLE) AS est_jaccard,
-        CAST((k_a - 1) * 2147483647 AS DOUBLE) / CAST(h_a AS DOUBLE) AS est_a,
-        CAST((k_b - 1) * 2147483647 AS DOUBLE) / CAST(h_b AS DOUBLE) AS est_b,
-        GREATEST(CAST((k_a - 1) * 2147483647 AS DOUBLE) / CAST(h_a AS DOUBLE)
+        CAST((k_a - 1) * 2147483647 AS DOUBLE) / CAST(GREATEST(h_a, 1) AS DOUBLE) AS est_a,
+        CAST((k_b - 1) * 2147483647 AS DOUBLE) / CAST(GREATEST(h_b, 1) AS DOUBLE) AS est_b,
+        GREATEST(CAST((k_a - 1) * 2147483647 AS DOUBLE) / CAST(GREATEST(h_a, 1) AS DOUBLE)
           - (CAST(n_shared AS DOUBLE) / CAST(k_used AS DOUBLE)) *
-            (CAST((k_used - 1) * 2147483647 AS DOUBLE) / CAST(h_k AS DOUBLE)),
+            (CAST((k_used - 1) * 2147483647 AS DOUBLE) / CAST(GREATEST(h_k, 1) AS DOUBLE)),
           0.0) AS est_only_a,
-        GREATEST(CAST((k_b - 1) * 2147483647 AS DOUBLE) / CAST(h_b AS DOUBLE)
+        GREATEST(CAST((k_b - 1) * 2147483647 AS DOUBLE) / CAST(GREATEST(h_b, 1) AS DOUBLE)
           - (CAST(n_shared AS DOUBLE) / CAST(k_used AS DOUBLE)) *
-            (CAST((k_used - 1) * 2147483647 AS DOUBLE) / CAST(h_k AS DOUBLE)),
+            (CAST((k_used - 1) * 2147483647 AS DOUBLE) / CAST(GREATEST(h_k, 1) AS DOUBLE)),
           0.0) AS est_only_b
       FROM m LEFT JOIN ex ON m.type_a = ex.type_a AND m.type_b = ex.type_b
       ORDER BY m.type_a, m.type_b"""))

@@ -155,24 +155,6 @@ object TextQueries {
        |        i -> CAST(ascii(substr($s, i, 1)) AS BIGINT))),
        |      (a, b) -> (a * 131 + b) % 2147483647) << 31))""".stripMargin
 
-  /** Collocation mining: corpus bigram statistics scored by forward
-    * association P(w2|w1) = c(w1 w2)/c(w1). Integer counts plus ONE
-    * IEEE double division — engine-portable without logs (PMI ranking
-    * by lift needs no logarithm: log is monotone).
-    *
-    * Scale shape (the d01/t15 lesson, applied after r7 flagged the
-    * 28 s string-keyed form): both aggregations group on the 62-bit
-    * polynomial hash — 8-byte shuffle keys via the codegen'd
-    * [[Hash62Expr]] kernel (byte-level ≡ the oracle's ascii() fold on
-    * this ASCII corpus, d01's declared precedent), the strings dropped
-    * at the scan projection — then example strings are re-attached ONLY for
-    * the ≥20 survivors via a second map-only pass filtered by a
-    * broadcast of the survivor hashes. The broadcast is the frequent-
-    * bigram heavy-hitter set, bounded by the count threshold (raise
-    * the threshold with corpus size — it is a relative-frequency knob);
-    * the only string shuffle left is the survivors' min-example
-    * aggregate. The oracle mirrors the hashing exactly, so even a
-    * 62-bit collision (merging two bigrams' counts) stays hash-equal. */
   /** t06's hash-keyed pipeline with the count threshold exposed:
     * TextSpec re-runs it at sf0.001 with a low threshold against a
     * string-keyed reference, keeping an INDEPENDENT identity check
@@ -205,6 +187,24 @@ object TextQueries {
       .limit(25)
   }
 
+  /** Collocation mining: corpus bigram statistics scored by forward
+    * association P(w2|w1) = c(w1 w2)/c(w1). Integer counts plus ONE
+    * IEEE double division — engine-portable without logs (PMI ranking
+    * by lift needs no logarithm: log is monotone).
+    *
+    * Scale shape (the d01/t15 lesson, applied after r7 flagged the
+    * 28 s string-keyed form): both aggregations group on the 62-bit
+    * polynomial hash — 8-byte shuffle keys via the codegen'd
+    * [[Hash62Expr]] kernel (byte-level ≡ the oracle's ascii() fold on
+    * this ASCII corpus, d01's declared precedent), the strings dropped
+    * at the scan projection — then example strings are re-attached ONLY for
+    * the ≥20 survivors via a second map-only pass filtered by a
+    * broadcast of the survivor hashes. The broadcast is the frequent-
+    * bigram heavy-hitter set, bounded by the count threshold (raise
+    * the threshold with corpus size — it is a relative-frequency knob);
+    * the only string shuffle left is the survivors' min-example
+    * aggregate. The oracle mirrors the hashing exactly, so even a
+    * 62-bit collision (merging two bigrams' counts) stays hash-equal. */
   val t06 = QueryDef(
     "t06_collocations",
     (sp, dir) => collocations(Tables(sp, dir, "documents"), minCount = 20L),

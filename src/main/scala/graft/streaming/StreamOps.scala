@@ -119,9 +119,15 @@ object StreamOps {
     * `batch=<id>` subdirectory — the replay rewrites identical
     * content instead of appending duplicates, making both sinks
     * idempotent (read them back with plain partition discovery; the
-    * `batch` column rides along). Blocks until the AvailableNow
-    * replay drains; a real deployment would omit the trigger and
-    * keep the handle. */
+    * `batch` column rides along). An all-clean or all-corrupt batch
+    * still writes BOTH sides: Spark writes a schema-bearing footer
+    * even for a zero-row frame (SPARK-23271), so a healthy
+    * producer's empty quarantine reads back as 0 rows, never an
+    * inference error. A stream that yields ZERO batches (empty
+    * landing zone) is initialized after drain with a zero-row
+    * `batch=-1` partition per side so the read contract holds there
+    * too. Blocks until the AvailableNow replay drains; a real
+    * deployment would omit the trigger and keep the handle. */
   def routeCorrupt(stream: DataFrame, corruptCol: String,
       outDir: String): Unit = {
     val q = stream.writeStream
@@ -142,5 +148,17 @@ object StreamOps {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
     q.awaitTermination()
+    val spark = stream.sparkSession
+    def ensure(path: String, schema: org.apache.spark.sql.types.StructType): Unit =
+      if (!new java.io.File(path).exists())
+        spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
+            schema)
+          .coalesce(1).write.parquet(s"$path/batch=-1")
+    ensure(s"$outDir/quarantine", org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("raw",
+        org.apache.spark.sql.types.StringType))))
+    ensure(s"$outDir/clean",
+      org.apache.spark.sql.types.StructType(
+        stream.schema.filterNot(_.name == corruptCol)))
   }
 }

@@ -70,6 +70,35 @@ class CorruptIngestSpec extends SparkSpec {
       Seq((1L, "alpha", 10L), (2L, "beta", 20L)))
   }
 
+  test("routeCorrupt sinks stay readable when a side — or the stream — is empty") {
+    // all-clean source: the quarantine side must read back as 0 rows,
+    // not an unable-to-infer-schema error (the healthy-producer case)
+    val cleanDir = IngestFixtures.badCsvDir("spec_all_clean_stream",
+      header = "id,name,n",
+      rows = Seq("1,alpha,10", "2,beta,20"))
+    val out1 = java.nio.file.Files
+      .createTempDirectory("spec_route_allclean").toString
+    def src(path: String) = spark.readStream.schema(schema)
+      .option("header", "true").option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .csv(path)
+    graft.streaming.StreamOps.routeCorrupt(src(cleanDir), "_corrupt_record", out1)
+    assert(spark.read.parquet(s"$out1/quarantine").count() === 0L)
+    assert(spark.read.parquet(s"$out1/clean").count() === 2L)
+    // zero-batch source (empty landing zone): BOTH sides must still
+    // read back, with the right schemas
+    val emptyLand = java.nio.file.Files
+      .createTempDirectory("spec_route_emptyland").toString
+    val out2 = java.nio.file.Files
+      .createTempDirectory("spec_route_empty").toString
+    graft.streaming.StreamOps.routeCorrupt(src(emptyLand), "_corrupt_record", out2)
+    val q2 = spark.read.parquet(s"$out2/quarantine")
+    assert(q2.count() === 0L && q2.columns.contains("raw"))
+    val c2 = spark.read.parquet(s"$out2/clean")
+    assert(c2.count() === 0L && c2.columns.toSet.contains("id")
+      && !c2.columns.contains("_corrupt_record"))
+  }
+
   test("e32 streaming quarantine result carries the clean aggregate + count") {
     val dir = "/root/testdata/sf0.001"
     val got = Catalog.byName("e32_stream_quarantine").build(spark, dir).collect()
