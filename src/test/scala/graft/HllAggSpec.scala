@@ -126,6 +126,53 @@ class HllAggSpec extends SparkSpec {
     assert(messages(e).exists(_.contains("non-negative")), e.getMessage)
   }
 
+  test("update-mode streaming sketch with watermark eviction is bit-identical to batch") {
+    // e33 replays in complete mode; this is the always-on-stream
+    // production shape — update output, watermarked window state that
+    // EVICTS once the watermark passes, late data dropped. Unlike the
+    // t-digest twin (rank-bound), HLL registers are order-invariant,
+    // so the emitted sketch must equal the batch sketch BYTE FOR BYTE.
+    import graft.streaming.StreamOps.Evt
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    implicit val sq = spark.sqlContext
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val w1 = (0 until 400).map(i =>
+      Evt(i.toLong % 97, ts(f"2024-01-01 10:${i / 60}%02d:${i % 60}%02d"), "m", 1.0))
+    val w2 = (0 until 400).map(i =>
+      Evt(i.toLong % 53, ts(f"2024-01-01 12:${i / 60}%02d:${i % 60}%02d"), "m", 1.0))
+    val input = MemoryStream[Evt]
+    val agg = input.toDF()
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(count(lit(1)).as("n"), HllSketchAgg(col("user_id"), 6).as("sk"))
+    val q = agg.writeStream.format("memory").queryName("hll_update")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      input.addData(w1: _*)
+      q.processAllAvailable()
+      input.addData(w2: _*)   // max ts 12:06 -> watermark 11:56 evicts 10:00
+      q.processAllAvailable()
+      // late users for the evicted window must be dropped, not emitted
+      input.addData((0 until 5).map(i =>
+        Evt(9000L + i, ts("2024-01-01 10:30:00"), "m", 1.0)): _*)
+      q.processAllAvailable()
+      val sink = spark.table("hll_update")
+        .select(col("window.start").cast("string").as("w"), col("n"), col("sk"))
+        .collect()
+      val byWindow = sink.groupBy(_.getString(0))
+      assert(byWindow.keySet === Set("2024-01-01 10:00:00", "2024-01-01 12:00:00"))
+      byWindow.values.foreach(rows => assert(rows.length === 1,
+        s"window emitted ${rows.length} updates"))
+      val w1Row = byWindow("2024-01-01 10:00:00").head
+      assert(w1Row.getLong(1) === 400L, "late rows were counted")
+      val batchBytes = w1.map(_.user_id).toDF("key")
+        .agg(HllSketchAgg(col("key"), 6)).head().getAs[Array[Byte]](0)
+      assert(java.util.Arrays.equals(w1Row.getAs[Array[Byte]](2), batchBytes),
+        "update-mode emitted sketch differs from the batch sketch")
+    } finally q.stop()
+  }
+
   test("non-bigint input fails at analysis time") {
     val e = intercept[org.apache.spark.sql.AnalysisException] {
       Seq("x").toDF("h").agg(HllSketchAgg(col("h"), 4)).collect()
