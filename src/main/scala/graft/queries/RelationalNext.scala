@@ -1047,7 +1047,127 @@ object RelationalNext {
       ORDER BY a.pri_a, a.pri_b"""
     })
 
+  /** Set algebra over STORED HLL sketches — the q80-for-HLL, composed
+    * entirely from the existing q104 surface (no new expression):
+    * per-type register sketches pair up via the constant-key broadcast
+    * join, each pair's two sketches explode into rows and fold through
+    * [[graft.functions.HllMerge]] (register max = the union's sketch,
+    * exactly), and |A∩B| comes from inclusion-exclusion
+    * est_a + est_b − est_union — the classic HLL intersection, noisy
+    * by construction (the error report rides along; q103's KMV is the
+    * lower-variance alternative when a ratio is what's wanted). Both
+    * estimator regimes are exercised across dev SFs: linear counting
+    * at sf0.01 (≈150 users/type vs 2.5·m = 640), the raw harmonic
+    * estimator at sf0.1 (≈1500). Fully oracle-checked — DuckDB
+    * replays per-type registers, pairwise register max, and all three
+    * estimates (4-decimal rounding on the ln branch, the t10 rule). */
+  val q108 = QueryDef(
+    "q108_hll_setops",
+    (sp, dir) => {
+      val lcg = pmod(col("user_id") * lit(1103515245L) + lit(12345L),
+        lit(2147483647L))
+      val ev = Tables(sp, dir, "events")
+        .select(col("event_type"), col("user_id"),
+          ((lcg * lcg) % lit(2147483647L)).as("h"))
+      val sketches = ev.groupBy("event_type")
+        .agg(graft.functions.HllSketchAgg(col("h"), 8).as("sk"))
+        .withColumn("j", pmod(length(col("event_type")).cast("long"), lit(1L)))
+      val pairs = sketches
+        .select(col("event_type").as("type_a"), col("sk").as("sk_a"), col("j"))
+        .join(broadcast(sketches.select(col("event_type").as("type_b"),
+          col("sk").as("sk_b"), col("j"))), Seq("j"))
+        .filter(col("type_a") < col("type_b"))
+      val unions = pairs
+        .select(col("type_a"), col("type_b"),
+          explode(array(col("sk_a"), col("sk_b"))).as("sk"))
+        .groupBy("type_a", "type_b")
+        .agg(round(graft.functions.HllEstimate(
+          graft.functions.HllMerge(col("sk"))), 4).as("est_union"))
+      val du = ev.select(col("event_type"), col("user_id")).distinct()
+      val exact = du.select(col("event_type").as("type_a"), col("user_id"))
+        .join(du.select(col("event_type").as("type_b"), col("user_id")),
+          Seq("user_id"))
+        .filter(col("type_a") < col("type_b"))
+        .groupBy("type_a", "type_b").agg(count(lit(1)).as("n_inter_exact"))
+      pairs
+        .withColumn("est_a",
+          round(graft.functions.HllEstimate(col("sk_a")), 4))
+        .withColumn("est_b",
+          round(graft.functions.HllEstimate(col("sk_b")), 4))
+        .join(unions, Seq("type_a", "type_b"))
+        .join(exact, Seq("type_a", "type_b"))
+        .withColumn("est_inter",
+          col("est_a") + col("est_b") - col("est_union"))
+        .withColumn("err", col("est_inter") - col("n_inter_exact"))
+        .select("type_a", "type_b", "est_a", "est_b", "est_union",
+          "est_inter", "n_inter_exact", "err")
+        .orderBy("type_a", "type_b")
+    },
+    Some("""
+      WITH l AS (SELECT event_type, user_id,
+                   (user_id * 1103515245 + 12345) % 2147483647 AS l
+                 FROM events),
+      h AS (SELECT event_type, (l * l) % 2147483647 AS h FROM l),
+      b AS (SELECT event_type, CAST(h % 256 AS INT) AS bucket,
+              h // 256 AS w FROM h),
+      r AS (SELECT event_type, bucket,
+              CASE WHEN w = 0 THEN 54
+                   ELSE LEAST(length(bin(w & -w)), 54) END AS rho
+            FROM b),
+      mx AS (SELECT event_type, bucket, MAX(rho) AS maxrho
+             FROM r GROUP BY 1, 2),
+      types AS (SELECT DISTINCT event_type FROM events),
+      spine AS (SELECT t.event_type, g.bucket
+                FROM types t CROSS JOIN
+                  (SELECT unnest(generate_series(0, 255)) AS bucket) g),
+      reg AS (SELECT s.event_type, s.bucket, COALESCE(mx.maxrho, 0) AS maxrho
+              FROM spine s LEFT JOIN mx
+                ON s.event_type = mx.event_type AND s.bucket = mx.bucket),
+      -- one register table holding singles AND pairwise maxes
+      sides AS (SELECT event_type AS type_a, event_type AS type_b,
+                  bucket, maxrho FROM reg),
+      pairregs AS (
+        SELECT a.event_type AS type_a, b.event_type AS type_b, a.bucket,
+          GREATEST(a.maxrho, b.maxrho) AS maxrho
+        FROM reg a JOIN reg b
+          ON a.bucket = b.bucket AND a.event_type < b.event_type),
+      allregs AS (SELECT * FROM sides UNION ALL SELECT * FROM pairregs),
+      agg AS (SELECT type_a, type_b,
+                CAST(SUM(1::BIGINT << (54 - maxrho)) AS BIGINT) AS sum_scaled,
+                CAST(SUM(CASE WHEN maxrho = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                  AS zeros
+              FROM allregs GROUP BY 1, 2),
+      est AS (SELECT type_a, type_b,
+                ROUND(CASE WHEN zeros = 256 THEN 0.0
+                           WHEN ((0.7213 / (1.0 + 1.079 / 256.0)) * 65536.0)
+                                  * 18014398509481984.0
+                                  / CAST(sum_scaled AS DOUBLE)
+                                <= 2.5 * 256.0 AND zeros > 0
+                             THEN 256.0 * ln(256.0 / CAST(zeros AS DOUBLE))
+                           ELSE ((0.7213 / (1.0 + 1.079 / 256.0)) * 65536.0)
+                                  * 18014398509481984.0
+                                  / CAST(sum_scaled AS DOUBLE) END, 4) AS est
+              FROM agg),
+      inter AS (
+        SELECT x.event_type AS type_a, y.event_type AS type_b,
+          CAST(COUNT(*) AS BIGINT) AS n_inter_exact
+        FROM (SELECT DISTINCT event_type, user_id FROM events) x
+        JOIN (SELECT DISTINCT event_type, user_id FROM events) y
+          ON x.user_id = y.user_id AND x.event_type < y.event_type
+        GROUP BY 1, 2)
+      SELECT p.type_a, p.type_b,
+        ea.est AS est_a, eb.est AS est_b, p.est AS est_union,
+        ea.est + eb.est - p.est AS est_inter,
+        i.n_inter_exact,
+        ea.est + eb.est - p.est - i.n_inter_exact AS err
+      FROM est p
+      JOIN est ea ON ea.type_a = p.type_a AND ea.type_b = p.type_a
+      JOIN est eb ON eb.type_a = p.type_b AND eb.type_b = p.type_b
+      JOIN inter i ON i.type_a = p.type_a AND i.type_b = p.type_b
+      WHERE p.type_a < p.type_b
+      ORDER BY p.type_a, p.type_b"""))
+
   val defs: Seq[QueryDef] =
     Seq(q57, q58, q59, q60, q61, q62, q63, q64, q65, q66, q67, q68,
-      q69, q70, q71, q72, q73, q101, q102, q104, q105, q106, q107)
+      q69, q70, q71, q72, q73, q101, q102, q104, q105, q106, q107, q108)
 }

@@ -274,6 +274,17 @@ class PlanAuditSpec extends SparkSpec {
         s"the constant non-foldable key:\n${p.take(2000)}")
   }
 
+  test("q108 HLL set ops map-side combine and broadcast the pair join") {
+    val p = plan("q108_hll_setops")
+    assert(p.contains("partial_graft_hll_sketch"),
+      s"per-type sketch must map-side combine:\n${p.take(2000)}")
+    assert(p.contains("partial_graft_hll_merge"),
+      s"pair-union merge must map-side combine:\n${p.take(2000)}")
+    assert(p.contains("BroadcastHashJoin") && !p.contains("NestedLoop"),
+      "the 5-row sketch pair join must be a broadcast HASH join on " +
+        s"the constant non-foldable key:\n${p.take(2000)}")
+  }
+
   test("no catalog query plans a cartesian/nested-loop join outside declared baselines") {
     // Declared baselines: s01 scores every (query, corpus) pair by
     // definition (broadcast query side, corpus streamed once); s03
