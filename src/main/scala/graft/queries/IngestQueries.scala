@@ -1702,8 +1702,143 @@ object IngestQueries {
       ORDER BY e.bucket, e.user_id"""
     })
 
+  /** Categorical frequency-DRIFT monitoring from the stream's stored
+    * sketches — e31's rank-shift detector for DISCRETE distributions
+    * ([[graft.operators.FreqDrift]]): per-(type, hour) CMS matrices
+    * stream into the memory sink (e34's shape, typed), then each
+    * hour's heavy-hitter frequency profile is chi-square-scored
+    * against the per-type merged trailing baseline
+    * ([[graft.functions.CmsMerge]] as a running window aggregate, the
+    * e31 `TDigestMerge` idiom). "Did the traffic mix change this
+    * hour" — from fixed-size state the pipeline persists anyway.
+    * Unlike e31 (rows-only: digest merges are order-dependent), CMS
+    * counter sums are slicing-invariant and every χ² input is exact
+    * integer state, so this detector is FULLY oracle-checked: DuckDB
+    * replays current + cumulative-baseline counters on a dense
+    * (type, hour, probe, row) spine and folds the χ² cells in the
+    * same key order (the ordered-fold double-sum discipline — an
+    * unordered SUM would differ in the last ulp). */
+  val e35 = QueryDef(
+    "e35_stream_freq_drift",
+    (sp, dir) => {
+      val schema = Tables.eventsRawSchema(sp, dir)
+      val stream = Tables.eventsTs(
+        sp.readStream.schema(schema).option("basePath", dir)
+          .parquet(s"$dir/events.parque[t]"))
+      val agg = stream
+        .withWatermark("ts", "1 hour")
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          graft.functions.CmsSketchAgg(col("user_id").cast("long"), 64)
+            .as("sketch"))
+      val sink = s"e35_freqdrift_${streamRuns.incrementAndGet()}"
+      withFewStatePartitions(sp, 8) {
+        val q = agg.writeStream.format("memory").queryName(sink)
+          .outputMode("complete")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      val windowed = sp.table(sink)
+        .select(col("window.start").as("bucket"), col("event_type"),
+          col("n_events"), col("sketch"))
+      val top = Tables(sp, dir, "events")
+        .groupBy(col("user_id").cast("long").as("user_id"))
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("user_id")).limit(10)
+      graft.operators.FreqDrift.report(windowed,
+          groupCol = "event_type", orderCol = "bucket",
+          sketchCol = "sketch", nCol = "n_events",
+          probes = top, probeKeyCol = "user_id",
+          minBaselineN = 200L, chi2Alarm = 21.67)
+        .select("event_type", "bucket", "n_window", "baseline_n",
+          "chi2", "drift_alarm")
+        .orderBy("event_type", "bucket")
+    },
+    Some {
+      val P = 2147483647L
+      val hashRows = graft.operators.CountMin.rowParams.zipWithIndex
+        .map { case ((a, b), i) =>
+          s"SELECT event_type, bucket, $i AS row, (($a * (key % $P) + $b) % $P) % 64 AS pos, cnt FROM keys"
+        }.mkString("\n        UNION ALL ")
+      val spineRows = graft.operators.CountMin.rowParams.zipWithIndex
+        .map { case ((a, b), i) =>
+          s"SELECT h.event_type, h.bucket, h.n_events, t.user_id, $i AS row, (($a * (t.user_id % $P) + $b) % $P) % 64 AS pos FROM hours h CROSS JOIN top t"
+        }.mkString("\n        UNION ALL ")
+      s"""
+      WITH keys AS (
+        SELECT event_type, DATE_TRUNC('hour', ts) AS bucket,
+          CAST(user_id AS BIGINT) AS key, COUNT(*) AS cnt
+        FROM events GROUP BY 1, 2, 3),
+      routed AS (
+        $hashRows),
+      counters AS (
+        SELECT event_type, bucket, row, pos, SUM(cnt) AS counter
+        FROM routed GROUP BY 1, 2, 3, 4),
+      hours AS (
+        SELECT event_type, DATE_TRUNC('hour', ts) AS bucket,
+          COUNT(*) AS n_events
+        FROM events GROUP BY 1, 2),
+      top AS (
+        SELECT CAST(user_id AS BIGINT) AS user_id
+        FROM events GROUP BY 1
+        ORDER BY COUNT(*) DESC, user_id LIMIT 10),
+      spine AS (
+        $spineRows),
+      cur AS (
+        SELECT s.event_type, s.bucket, s.n_events, s.user_id, s.row,
+          COALESCE(c.counter, 0) AS ocell
+        FROM spine s LEFT JOIN counters c
+          ON s.event_type = c.event_type AND s.bucket = c.bucket
+            AND s.row = c.row AND s.pos = c.pos),
+      cum AS (
+        SELECT *, COALESCE(SUM(ocell) OVER (
+            PARTITION BY event_type, user_id, row ORDER BY bucket
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS bcell
+        FROM cur),
+      probecells AS (
+        SELECT event_type, bucket, user_id,
+          CAST(MIN(ocell) AS DOUBLE) AS o, CAST(MIN(bcell) AS DOUBLE) AS b
+        FROM cum GROUP BY 1, 2, 3),
+      bn AS (
+        SELECT event_type, bucket, n_events,
+          COALESCE(SUM(n_events) OVER (
+            PARTITION BY event_type ORDER BY bucket
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+            AS baseline_n
+        FROM hours),
+      cells AS (
+        SELECT pc.event_type, pc.bucket, pc.user_id, bn.n_events,
+          bn.baseline_n,
+          CASE WHEN bn.baseline_n > 0
+               THEN pc.b / CAST(bn.baseline_n AS DOUBLE)
+                      * CAST(bn.n_events AS DOUBLE)
+               ELSE 0.0 END AS expected,
+          pc.o
+        FROM probecells pc JOIN bn
+          ON pc.event_type = bn.event_type AND pc.bucket = bn.bucket),
+      scored AS (
+        SELECT event_type, bucket, n_events, baseline_n,
+          CASE WHEN expected > 0.0
+               THEN (o - expected) * (o - expected) / expected
+               ELSE 0.0 END AS cell,
+          user_id
+        FROM cells),
+      agg AS (
+        SELECT event_type, bucket,
+          CAST(MIN(n_events) AS BIGINT) AS n_window,
+          CAST(MIN(baseline_n) AS BIGINT) AS baseline_n,
+          ROUND(list_reduce(list_prepend(0.0,
+            list(cell ORDER BY user_id)), (a, b) -> a + b), 6) AS chi2
+        FROM scored GROUP BY 1, 2)
+      SELECT event_type, bucket, n_window, baseline_n, chi2,
+        (baseline_n >= 200 AND chi2 > 21.67) AS drift_alarm
+      FROM agg
+      ORDER BY event_type, bucket"""
+    })
+
   val defs: Seq[QueryDef] =
     Seq(e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11, e12, e13,
       e14, e15, e16, e17, e18, e19, e20, e21, e22, e23, e24, e25, e26,
-      e27, e28, e29, e30, e31, e32, e33, e34)
+      e27, e28, e29, e30, e31, e32, e33, e34, e35)
 }
