@@ -78,6 +78,33 @@ final class CmsSketch(private var w: Int) extends Serializable {
     }
   }
 
+  /** Equi-join-size estimate between the two sketched multisets
+    * (AGMS/CMS inner product, Cormode & Muthukrishnan 2005 §4.2):
+    * per hash row, the dot product of the two counter rows estimates
+    * Σ_k fA(k)·fB(k) — the exact number of row pairs an equi-join on
+    * the sketched key produces — and the min over the d rows is the
+    * tightest. Never UNDER the true join size (counters are
+    * non-negative, every true pair lands in some shared bucket);
+    * over only by cross-key bucket collisions, expected ≤ nA·nB/w
+    * per row. Exact 64-bit integer arithmetic throughout. */
+  def innerProduct(other: CmsSketch): Long = {
+    if (w == 0 || other.w == 0) return 0L
+    if (w != other.w)
+      throw new IllegalArgumentException(
+        s"cannot inner-product CMS sketches of different width: $w vs ${other.w}")
+    var best = Long.MaxValue
+    var i = 0
+    while (i < rowParams.size) {
+      var dot = 0L
+      var j = i * w
+      val end = j + w
+      while (j < end) { dot += counters(j) * other.counters(j); j += 1 }
+      if (dot < best) best = dot
+      i += 1
+    }
+    best
+  }
+
   /** Point-frequency estimate: min over the key's d counters — never
     * under the true count, over only by bucket collisions. */
   def query(key: Long): Long = {
@@ -266,4 +293,39 @@ case class CmsQuery(left: Expression, right: Expression)
 object CmsQuery {
   def apply(sketch: Column, key: Column): Column =
     Bridge.column(CmsQuery(Bridge.expression(sketch), Bridge.expression(key)))
+}
+
+/** `graft_cms_inner(sketch_a, sketch_b)` — equi-join-size estimate
+  * between the two sketched multisets from their stored binary
+  * sketches alone (min over the d rows of the counter-row dot
+  * products — see [[CmsSketch.innerProduct]]). Exact BIGINT, never
+  * under the true join size. Deserializes per evaluation, so it
+  * belongs on POST-AGGREGATE pair tables (sketch × sketch rows),
+  * never a per-event hot path — the CmsQuery contract. */
+case class CmsInnerProduct(left: Expression, right: Expression)
+  extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
+  with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType == BinaryType && right.dataType == BinaryType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects two binary sketches, got " +
+        s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
+
+  override def prettyName: String = "graft_cms_inner"
+  override def dataType: DataType = LongType
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    CmsSketch.fromBytes(a.asInstanceOf[Array[Byte]])
+      .innerProduct(CmsSketch.fromBytes(b.asInstanceOf[Array[Byte]]))
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): CmsInnerProduct =
+    copy(left = newLeft, right = newRight)
+}
+
+object CmsInnerProduct {
+  def apply(a: Column, b: Column): Column =
+    Bridge.column(CmsInnerProduct(Bridge.expression(a), Bridge.expression(b)))
 }

@@ -39,6 +39,29 @@ object Pipeline {
     df.filter(idHash(col(idCol)) % lit(1000L) < thr)
   }
 
+  /** Weighted sampling without replacement (Efraimidis–Spirakis 2006):
+    * per row, u = (idHash(id)+1)/2^31 ∈ (0,1] and the row ranks by
+    * u^(1/w) — computed as the monotone-equivalent log2(u)/w so no
+    * pow() enters the sort key — keeping the top k per stratum
+    * (ties by id). The rank-window cut is a map-side partial top-k
+    * (InferWindowGroupLimit), i.e. O(k) state per stratum at any
+    * input size: the distributed mergeable weighted reservoir.
+    * Weights are pinned to >= 1 so zero-weight rows cannot inject
+    * NaN/∞ into the ordering. Output: the sampled rows plus their
+    * 1-based `rank` within the stratum. */
+  def prioritySample(df: DataFrame, idCol: String, weightCol: String,
+      strataCol: String, k: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(strataCol).orderBy(col("_prio").desc, col(idCol))
+    df.withColumn("_u", (idHash(col(idCol)) + lit(1L))
+        .cast("double") / lit(2147483648.0))
+      .withColumn("_prio", log2(col("_u")) /
+        greatest(col(weightCol), lit(1L)).cast("double"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .drop("_u", "_prio")
+  }
+
   /** Deterministic global shuffle of a (possibly mixed) sample: each
     * row lands in shard `idHash(id) mod shards` at a position given by
     * an independent second hash. One shuffle on the shard key; within-

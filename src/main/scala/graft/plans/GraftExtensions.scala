@@ -1,7 +1,7 @@
 package graft.plans
 
 import graft.functions.{BloomBits, BloomContains, BloomFpp, BloomMerge,
-  BloomSketchAgg, CmsMerge, CmsQuery, CmsSketchAgg, DotFold,
+  BloomSketchAgg, CmsInnerProduct, CmsMerge, CmsQuery, CmsSketchAgg, DotFold,
   Hash62Expr, HllEstimate, HllMerge, HllSketchAgg, MinHashJaccard,
   MinHashSigAgg, MinHashSigMerge, ShingleHashes, SimHashExpr,
   TDigestCdf, TDigestMerge, TDigestMergeQuantiles, TDigestQuantiles,
@@ -77,6 +77,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     register("graft_cms_merge", classOf[CmsMerge], 1)(a => CmsMerge(a.head))
     register("graft_cms_query", classOf[CmsQuery], 2)(a =>
       CmsQuery(a.head, a(1)))
+    register("graft_cms_inner", classOf[CmsInnerProduct], 2)(a =>
+      CmsInnerProduct(a.head, a(1)))
 
     // Bloom family (q106): m and k are sketch PARAMETERS
     register("graft_bloom_sketch", classOf[BloomSketchAgg], 3)(a =>

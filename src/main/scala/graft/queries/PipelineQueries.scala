@@ -936,7 +936,55 @@ object PipelineQueries {
       SELECT source, doc_id, n AS n_tokens, bin_id
       FROM pack WHERE rn >= 1 ORDER BY doc_id"""))
 
+  /** Weighted sampling without replacement — the Efraimidis–Spirakis
+    * priority-sampling scheme (Inf. Proc. Letters 2006) a curation
+    * pipeline uses to draw a size-k corpus slice where long documents
+    * are proportionally more likely to be kept (weight = n_chars, the
+    * token-count proxy) — [[Pipeline.prioritySample]]: per doc,
+    * u = (idHash(doc_id)+1)/2^31 ∈ (0,1]
+    * and the doc ranks by u^(1/w) — computed as the monotone-
+    * equivalent log2(u)/w so no pow() enters the sort key — with the
+    * top k=20 kept per source stratum. Distributed shape: the
+    * rank-window cut is a map-side partial top-k per stratum
+    * (InferWindowGroupLimit, the q07/q21 shape), i.e. each partition
+    * keeps at most k candidates and merges keep k — this IS the
+    * bounded-state mergeable weighted reservoir, O(k) per stratum at
+    * any input size. Determinism: u is EXACT in binary64 (integer
+    * +1 ≤ 2^31, then division by a power of two), log2 is the one
+    * may-differ-in-last-ulp op (q104 concession) but it never reaches
+    * the OUTPUT — only the ordering consumes it, ties broken by
+    * doc_id, and a cross-engine ordering flip needs two keys within
+    * ~1e-15 of each other. Zero-length docs pin weight to 1 so no
+    * NaN/∞ enters the sort. */
+  val p24 = QueryDef(
+    "p24_priority_sample",
+    (sp, dir) => {
+      Pipeline.prioritySample(
+          Tables(sp, dir, "documents")
+            .select(col("source"), col("doc_id"), col("n_chars")),
+          idCol = "doc_id", weightCol = "n_chars",
+          strataCol = "source", k = 20)
+        .select(col("source"), col("rank").cast("int").as("rank"),
+          col("doc_id"), col("n_chars"))
+        .orderBy("source", "rank")
+    },
+    Some(s"""
+      WITH t AS (
+        SELECT source, doc_id, n_chars,
+          CAST(${hashSql(1103515245L, 12345L)} + 1 AS DOUBLE)
+            / 2147483648.0 AS u
+        FROM documents),
+      k AS (SELECT source, doc_id, n_chars,
+              log2(u) / CAST(GREATEST(n_chars, 1) AS DOUBLE) AS k
+            FROM t),
+      r AS (SELECT source, doc_id, n_chars,
+              ROW_NUMBER() OVER (PARTITION BY source
+                ORDER BY k DESC, doc_id) AS rank
+            FROM k)
+      SELECT source, CAST(rank AS INT) AS rank, doc_id, n_chars
+      FROM r WHERE rank <= 20 ORDER BY source, rank"""))
+
   val defs: Seq[QueryDef] =
     Seq(p01, p02, p03, p04, p05, p06, p07, p08, p09, p10, p11, p12, p13,
-      p14, p15, p16, p17, p18, p19, p20, p21, p22, p23)
+      p14, p15, p16, p17, p18, p19, p20, p21, p22, p23, p24)
 }

@@ -1167,7 +1167,120 @@ object RelationalNext {
       WHERE p.type_a < p.type_b
       ORDER BY p.type_a, p.type_b"""))
 
+  /** The sketch-APPLICATION shape for JOIN PLANNING: estimate the
+    * equi-join size between two large keyed tables from their stored
+    * Count-Min sketches alone — the classic AGMS/CMS inner product
+    * (Cormode & Muthukrishnan 2005 §4.2). Per event-type pair, the
+    * join size on user_id (number of row pairs Σ_u cA(u)·cB(u) — the
+    * quantity a cost-based planner needs BEFORE running the join) is
+    * estimated by [[graft.functions.CmsInnerProduct]] over the d×4096
+    * counter matrices q105's pipeline already persists, without
+    * touching raw data. Everything is exact 64-bit integer arithmetic
+    * — counters, dot products, the min over rows — so the oracle
+    * replays the counter matrices row for row and the inner-product
+    * guarantee (estimate ≥ exact join size, over only by cross-key
+    * bucket collisions ≈ nA·nB/w per row) is e2e-checked on every
+    * pair, self-joins included (the diagonal is the second frequency
+    * moment F2). The sketch key is the SQUARED LCG of user_id (the
+    * q104 rule, inverted motive: the raw affine rows map consecutive
+    * ids collision-FREE, which makes the estimate unrealistically
+    * exact at dev key diversity — the nonlinear key restores
+    * random-hash collision behavior, so the overcount column is
+    * non-trivially exercised at BOTH dev SFs, ~U/w relative: +0.9%
+    * at 150 users, +29% at 1500 — the measured "size w to the key
+    * diversity" lesson). The 5-row sketch table pair-joins on a
+    * constant NON-FOLDABLE key (the q105/q108 broadcast trick) so the
+    * plan sweep sees an equi-join, not a cartesian. */
+  val q109 = QueryDef(
+    "q109_cms_join_size",
+    (sp, dir) => {
+      val lcg = pmod(col("user_id") * lit(1103515245L) + lit(12345L),
+        lit(2147483647L))
+      val ev = Tables(sp, dir, "events")
+        .select(col("event_type"), col("user_id"),
+          ((lcg * lcg) % lit(2147483647L)).as("k"))
+      val sk = ev.groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          graft.functions.CmsSketchAgg(col("k"), 4096).as("sk"))
+        .withColumn("j", pmod(col("n"), lit(1L)))
+      val pairs = sk
+        .select(col("event_type").as("type_a"), col("n").as("n_a"),
+          col("sk").as("sk_a"), col("j"))
+        .join(broadcast(sk.select(col("event_type").as("type_b"),
+          col("n").as("n_b"), col("sk").as("sk_b"), col("j"))), Seq("j"))
+        .filter(col("type_a") <= col("type_b"))
+        .withColumn("est_join_size",
+          graft.functions.CmsInnerProduct(col("sk_a"), col("sk_b")))
+      val cu = ev.groupBy("event_type", "user_id")
+        .agg(count(lit(1)).as("c"))
+      val exact = cu
+        .select(col("event_type").as("type_a"), col("user_id"),
+          col("c").as("c_a"))
+        .join(cu.select(col("event_type").as("type_b"), col("user_id"),
+          col("c").as("c_b")), Seq("user_id"))
+        .filter(col("type_a") <= col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(sum(col("c_a") * col("c_b")).as("exact_join_size"))
+      pairs.join(exact, Seq("type_a", "type_b"))
+        .withColumn("overcount",
+          col("est_join_size") - col("exact_join_size"))
+        .select("type_a", "type_b", "n_a", "n_b", "exact_join_size",
+          "est_join_size", "overcount")
+        .orderBy("type_a", "type_b")
+    },
+    Some {
+      val hashRows = graft.operators.CountMin.rowParams.zipWithIndex
+        .map { case ((a, b), i) =>
+          s"SELECT event_type, $i AS row, (($a * (k % 2147483647) + $b) % 2147483647) % 4096 AS bucket, c FROM ck"
+        }.mkString("\n        UNION ALL ")
+      s"""
+      WITH lk AS (
+        SELECT event_type, user_id,
+          (((user_id * 1103515245 + 12345) % 2147483647)
+           * ((user_id * 1103515245 + 12345) % 2147483647)) % 2147483647 AS hk
+        FROM events),
+      cu AS (
+        SELECT event_type, user_id, CAST(COUNT(*) AS BIGINT) AS c
+        FROM lk GROUP BY 1, 2),
+      ck AS (
+        SELECT event_type, hk AS k, CAST(COUNT(*) AS BIGINT) AS c
+        FROM lk GROUP BY 1, 2),
+      routed AS (
+        $hashRows),
+      counters AS (
+        SELECT event_type, row, bucket, SUM(c) AS counter
+        FROM routed GROUP BY 1, 2, 3),
+      dots AS (
+        SELECT a.event_type AS type_a, b.event_type AS type_b, a.row,
+          SUM(a.counter * b.counter) AS dot
+        FROM counters a JOIN counters b
+          ON a.row = b.row AND a.bucket = b.bucket
+          AND a.event_type <= b.event_type
+        GROUP BY 1, 2, 3),
+      est AS (
+        SELECT type_a, type_b, MIN(dot) AS est_join_size
+        FROM dots GROUP BY 1, 2),
+      exact AS (
+        SELECT x.event_type AS type_a, y.event_type AS type_b,
+          SUM(x.c * y.c) AS exact_join_size
+        FROM cu x JOIN cu y
+          ON x.user_id = y.user_id AND x.event_type <= y.event_type
+        GROUP BY 1, 2),
+      n AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n
+            FROM events GROUP BY 1)
+      SELECT e.type_a, e.type_b, na.n AS n_a, nb.n AS n_b,
+        CAST(x.exact_join_size AS BIGINT) AS exact_join_size,
+        CAST(e.est_join_size AS BIGINT) AS est_join_size,
+        CAST(e.est_join_size - x.exact_join_size AS BIGINT) AS overcount
+      FROM est e
+      JOIN exact x ON x.type_a = e.type_a AND x.type_b = e.type_b
+      JOIN n na ON na.event_type = e.type_a
+      JOIN n nb ON nb.event_type = e.type_b
+      ORDER BY e.type_a, e.type_b"""
+    })
+
   val defs: Seq[QueryDef] =
     Seq(q57, q58, q59, q60, q61, q62, q63, q64, q65, q66, q67, q68,
-      q69, q70, q71, q72, q73, q101, q102, q104, q105, q106, q107, q108)
+      q69, q70, q71, q72, q73, q101, q102, q104, q105, q106, q107,
+      q108, q109)
 }

@@ -709,7 +709,117 @@ object TextQueries {
       GROUP BY 1, 2, s.n ORDER BY train_id, eval_id"""
     })
 
+  /** Per-document bigram perplexity against the corpus's own language
+    * model — the CCNet-style quality filter (Wenzek et al. 2020): a
+    * doc whose word sequences are improbable under the corpus bigram
+    * LM (add-one smoothing, P(w2|w1) = (c(w1 w2)+1)/(c(w1)+V)) is
+    * boilerplate, gibberish, or wrong-language, and perplexity
+    * thresholds are the standard curation gate. Scale shape: every
+    * count pipeline rides the fused [[graft.functions.ShingleHashes]]
+    * kernel — only 8-byte per-occurrence hashes explode and shuffle
+    * (the d01/t06 lesson); per-doc cells group on (doc_id, hb, hw)
+    * compact keys; the per-doc state is bounded by the doc's own
+    * distinct-bigram count (the doc is the unit of work). At real
+    * scale the two count joins stay as shuffles only for the EXACT
+    * form — a production variant prunes the LM to a top-V vocabulary
+    * + OOV bucket and broadcasts it, turning the scoring pass into a
+    * map-only scan.
+    *
+    * Determinism: the per-doc log-prob sum is an ORDERED fold over
+    * (hb, hw)-sorted cells (the e35 χ² rule — an unordered double sum
+    * differs in the last ulp between engines), each term is one
+    * division + one log2 + one multiply on exact-integer-valued
+    * doubles, and only the final avg/perplexity round to 4 decimals
+    * (the q104 ln() concession: libm vs fdlibm may differ in the last
+    * ulp of log2/pow; ~200 accumulated ulps is still 1e-12 relative —
+    * far inside the rounding). */
+  /** t17's scoring pipeline over an arbitrary (doc_id, text) frame —
+    * factored so TextSpec can assert the LM semantics on synthetic
+    * corpora (frequent-bigram docs score low perplexity, unique-
+    * bigram docs high, bigram-less docs NULL). */
+  def bigramPerplexity(
+      docs0: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    import graft.functions.ShingleHashes
+    val docs = docs0.select(col("doc_id"), col("text"))
+    val cx = docs
+      .select(explode(ShingleHashes(col("text"), 1, dedupe = false)).as("hw"))
+      .groupBy("hw").agg(count(lit(1)).as("c_x"))
+    val vocab = cx.agg(count(lit(1)).as("vocab"))
+      .withColumn("j", pmod(col("vocab"), lit(1L)))
+    val cxy = docs
+      .select(explode(ShingleHashes(col("text"), 2, dedupe = false)).as("hb"))
+      .groupBy("hb").agg(count(lit(1)).as("c_xy"))
+    val cells = docs
+      .select(col("doc_id"),
+        ShingleHashes(col("text"), 2, dedupe = false).as("hbs"),
+        ShingleHashes(col("text"), 1, dedupe = false).as("hws"))
+      .select(col("doc_id"), col("hbs"),
+        slice(col("hws"), lit(1), size(col("hbs"))).as("hws"))
+      .select(col("doc_id"),
+        explode(arrays_zip(col("hbs"), col("hws"))).as("z"))
+      .select(col("doc_id"), col("z.hbs").as("hb"), col("z.hws").as("hw"))
+      .groupBy("doc_id", "hb", "hw").agg(count(lit(1)).as("n"))
+    val scored = cells
+      .join(cxy, "hb").join(cx, "hw")
+      .groupBy("doc_id")
+      .agg(sum("n").as("n_bigrams"),
+        array_sort(collect_list(struct(col("hb"), col("hw"), col("n"),
+          col("c_xy"), col("c_x")))).as("cells"))
+      .withColumn("j", pmod(col("doc_id"), lit(1L)))
+      .join(broadcast(vocab), Seq("j"))
+      .withColumn("sum_logp", aggregate(col("cells"), lit(0.0),
+        (acc, x) => acc + x.getField("n").cast("double") *
+          log2((x.getField("c_xy") + lit(1L)).cast("double") /
+            (x.getField("c_x") + col("vocab")).cast("double"))))
+    docs.select("doc_id").join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        round(col("sum_logp") / col("n_bigrams"), 4).as("avg_logp"),
+        round(pow(lit(2.0), -col("sum_logp") / col("n_bigrams")), 4)
+          .as("ppl"))
+      .orderBy("doc_id")
+  }
+
+  val t17 = QueryDef(
+    "t17_bigram_perplexity",
+    (sp, dir) => bigramPerplexity(Tables(sp, dir, "documents")),
+    Some(s"""
+      WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      un AS (SELECT unnest(w) AS w1 FROM toks),
+      cx AS (SELECT ${duckHash62("w1")} AS hw,
+               CAST(COUNT(*) AS BIGINT) AS c_x
+             FROM un GROUP BY 1),
+      vocab AS (SELECT CAST(COUNT(*) AS BIGINT) AS v FROM cx),
+      bi AS (SELECT doc_id, unnest(CASE WHEN len(w) < 2 THEN []
+               ELSE list_transform(generate_series(1, CAST(len(w) - 1 AS INT)),
+                      i -> {'bg': w[i] || ' ' || w[i+1], 'w1': w[i]}) END) AS z
+             FROM toks),
+      bh AS (SELECT doc_id, ${duckHash62("z.bg")} AS hb,
+               ${duckHash62("z.w1")} AS hw
+             FROM bi),
+      cxy AS (SELECT hb, CAST(COUNT(*) AS BIGINT) AS c_xy
+              FROM bh GROUP BY 1),
+      cells AS (SELECT doc_id, hb, hw, CAST(COUNT(*) AS BIGINT) AS n
+                FROM bh GROUP BY 1, 2, 3),
+      terms AS (SELECT c.doc_id, c.hb, c.hw, c.n, y.c_xy, x.c_x
+                FROM cells c JOIN cxy y USING (hb) JOIN cx x USING (hw)),
+      folded AS (
+        SELECT t.doc_id, CAST(SUM(t.n) AS BIGINT) AS n_bigrams,
+          list_reduce(list_prepend(0.0,
+            list(CAST(t.n AS DOUBLE) *
+                   log2(CAST(t.c_xy + 1 AS DOUBLE) /
+                        CAST(t.c_x + v.v AS DOUBLE))
+                 ORDER BY t.hb, t.hw)),
+            (a, b) -> a + b) AS sum_logp
+        FROM terms t CROSS JOIN vocab v GROUP BY 1)
+      SELECT d.doc_id,
+        COALESCE(f.n_bigrams, 0) AS n_bigrams,
+        ROUND(f.sum_logp / f.n_bigrams, 4) AS avg_logp,
+        ROUND(POWER(2.0, -(f.sum_logp / f.n_bigrams)), 4) AS ppl
+      FROM documents d LEFT JOIN folded f USING (doc_id)
+      ORDER BY d.doc_id"""))
+
   val defs: Seq[QueryDef] =
     Seq(t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13,
-      t14, t15, t16)
+      t14, t15, t16, t17)
 }

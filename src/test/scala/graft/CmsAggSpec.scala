@@ -119,4 +119,46 @@ class CmsAggSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("bigint"), e.getMessage)
   }
+
+  test("inner product estimates join size: >= exact always, == when wide") {
+    val a = skewed(400)                       // key k appears (k%5)+1 times
+    val b = skewed(700).filter(col("key") >= 200L) // overlap on [200, 400)
+    val ca = a.groupBy("key").agg(count(lit(1)).as("c")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val cb = b.groupBy("key").agg(count(lit(1)).as("c")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val exactJoin = ca.map { case (k, n) => n * cb.getOrElse(k, 0L) }.sum
+    // comfortable width: no cross-key collisions expected -> exact
+    val wideA = CmsSketch.fromBytes(sketchBytes(a, 1 << 16))
+    val wideB = CmsSketch.fromBytes(sketchBytes(b, 1 << 16))
+    assert(wideA.innerProduct(wideB) == exactJoin,
+      s"wide: ${wideA.innerProduct(wideB)} != $exactJoin")
+    // forced collisions at w=16: never under, and symmetric
+    val tightA = CmsSketch.fromBytes(sketchBytes(a, 16))
+    val tightB = CmsSketch.fromBytes(sketchBytes(b, 16))
+    assert(tightA.innerProduct(tightB) >= exactJoin)
+    assert(tightA.innerProduct(tightB) == tightB.innerProduct(tightA))
+    // self inner product >= F2 = sum of squared counts
+    val f2 = ca.values.map(n => n * n).sum
+    assert(tightA.innerProduct(tightA) >= f2)
+    assert(wideA.innerProduct(wideA) == f2)
+  }
+
+  test("inner product: SQL matches API, mixed widths refuse") {
+    skewed(300, groups = 2).createOrReplaceTempView("cms_ip")
+    val viaSql = spark.sql("""
+      WITH s AS (SELECT g, graft_cms_sketch(key, 64) AS sk
+                 FROM cms_ip GROUP BY g)
+      SELECT graft_cms_inner(a.sk, b.sk) AS ip
+      FROM s a JOIN s b ON a.g = 0 AND b.g = 1""").head().getLong(0)
+    val s0 = CmsSketch.fromBytes(
+      sketchBytes(skewed(300, groups = 2).filter(col("g") === 0L), 64))
+    val s1 = CmsSketch.fromBytes(
+      sketchBytes(skewed(300, groups = 2).filter(col("g") === 1L), 64))
+    assert(viaSql == s0.innerProduct(s1), s"SQL $viaSql != API")
+    val e = intercept[IllegalArgumentException] {
+      s0.innerProduct(CmsSketch.fromBytes(sketchBytes(skewed(100), 32)))
+    }
+    assert(e.getMessage.contains("different width"), e.getMessage)
+  }
 }

@@ -151,4 +151,40 @@ class PipelineSpec extends SparkSpec {
       assert(got.toSeq === expected.toSeq, s"size=$size n=$n")
     }
   }
+
+  test("priority sample matches the u^(1/w) reference selection and is partition-invariant") {
+    val rows = (0L until 500L).map { i =>
+      (i, if (i % 3 == 0) "a" else "b", (i % 50) + 1) // weights 1..50
+    }
+    val df = rows.toDF("id", "stratum", "w")
+    // driver-side Efraimidis–Spirakis reference: top-k by u^(1/w)
+    def hash(id: Long) = ((id * 1103515245L + 12345L) % 2147483647L + 2147483647L) % 2147483647L
+    val expected = rows.groupBy(_._2).flatMap { case (s, rs) =>
+      rs.map { case (id, _, w) =>
+        val u = (hash(id) + 1).toDouble / 2147483648.0
+        (s, id, math.pow(u, 1.0 / w))
+      }.sortBy { case (_, id, p) => (-p, id) }.take(7)
+        .zipWithIndex.map { case ((_, id, _), r) => (s, r + 1, id) }
+    }.toSet
+    val got = Pipeline.prioritySample(df, "id", "w", "stratum", 7)
+      .select("stratum", "rank", "id").collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(1 + 1))).toSet
+    assert(got === expected)
+    // partition-invariant
+    val got32 = Pipeline.prioritySample(df.repartition(32), "id", "w", "stratum", 7)
+      .select("stratum", "rank", "id").collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2))).toSet
+    assert(got32 === expected)
+  }
+
+  test("priority sample is weight-biased: heavy rows are overrepresented") {
+    // one stratum, weights 1 vs 100 alternating: the k survivors
+    // should be overwhelmingly heavy rows
+    val df = (0L until 1000L).map(i => (i, "s", if (i % 2 == 0) 100L else 1L))
+      .toDF("id", "stratum", "w")
+    val picked = Pipeline.prioritySample(df, "id", "w", "stratum", 50)
+      .select("w").as[Long].collect()
+    val heavy = picked.count(_ == 100L)
+    assert(heavy >= 45, s"expected mostly heavy rows, got $heavy/50")
+  }
 }

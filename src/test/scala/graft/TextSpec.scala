@@ -77,4 +77,64 @@ class TextSpec extends SparkSpec {
       .limit(25).collect()
     assert(hashKeyed.map(_.toSeq).toSeq === stringKeyed.map(_.toSeq).toSeq)
   }
+
+  test("t17 bigram perplexity: frequent phrasing scores low, novel phrasing high") {
+    // Ten docs repeat the same phrase (their bigrams dominate the
+    // corpus LM), one doc uses each word exactly once in an unseen
+    // order, one doc is a single token (no bigrams -> NULL scores).
+    val common = (0L until 10L).map(i => (i, "the cat sat on the mat"))
+    val docs = (common :+ (10L, "mat the on sat cat banana") :+ (11L, "solo"))
+      .toDF("doc_id", "text")
+    val out = graft.queries.TextQueries.bigramPerplexity(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_bigrams"), Option(r.getAs[java.lang.Double]("ppl"))))
+      .toMap
+    val commonPpl = out(0L)._2.get
+    val novelPpl = out(10L)._2.get
+    assert(out(0L)._1 == 5L)
+    // all ten repeats score identically, and far below the novel doc
+    (1L until 10L).foreach(i => assert(out(i)._2.get == commonPpl))
+    assert(novelPpl > 2 * commonPpl,
+      s"novel doc should be high-perplexity: $novelPpl vs $commonPpl")
+    assert(commonPpl >= 1.0, "perplexity is bounded below by 1")
+    // the bigram-less doc reports zero bigrams and NULL scores
+    assert(out(11L)._1 == 0L && out(11L)._2.isEmpty)
+  }
+
+  test("t17 add-one smoothing matches a driver-side reference LM on a tiny corpus") {
+    val corpus = Seq(
+      (0L, "a b a b c"),
+      (1L, "b c a a b"),
+      (2L, "c c b a b a"))
+    val docs = corpus.toDF("doc_id", "text")
+    // reference: exact string-keyed bigram LM with add-one smoothing
+    val allToks = corpus.map(_._2.split(" ", -1).toSeq)
+    val cx = allToks.flatten.groupBy(identity).map { case (k, v) => k -> v.size }
+    val cxy = allToks.flatMap(t => t.zip(t.drop(1)))
+      .groupBy(identity).map { case (k, v) => k -> v.size }
+    val v = cx.size
+    def expect(text: String): (Long, Double) = {
+      val t = text.split(" ", -1).toSeq
+      val terms = t.zip(t.drop(1)).map { case (w1, w2) =>
+        math.log((cxy((w1, w2)) + 1).toDouble / (cx(w1) + v)) / math.log(2.0)
+      }
+      val avg = terms.sum / terms.size
+      (terms.size.toLong,
+        BigDecimal(math.pow(2.0, -avg)).setScale(4,
+          BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
+    val got = graft.queries.TextQueries.bigramPerplexity(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_bigrams"), r.getAs[Double]("ppl"))).toMap
+    corpus.foreach { case (id, text) =>
+      val (nb, ppl) = expect(text)
+      assert(got(id)._1 == nb, s"doc $id bigram count")
+      // the engine folds hash-keyed cells in (hb, hw) order vs the
+      // reference's arbitrary order: equality holds to the rounding
+      // the entry itself applies (4 decimals), modulo one last-ulp
+      // reorder step
+      assert(math.abs(got(id)._2 - ppl) <= 0.0001 + 1e-9,
+        s"doc $id ppl ${got(id)._2} vs reference $ppl")
+    }
+  }
 }
