@@ -3,7 +3,8 @@ package graft.plans
 import graft.functions.{BloomBits, BloomContains, BloomFpp, BloomMerge,
   BloomSketchAgg, CmsInnerProduct, CmsMerge, CmsQuery, CmsSketchAgg, DotFold,
   Hash62Expr, HllEstimate, HllMerge, HllSketchAgg, MinHashJaccard,
-  MinHashSigAgg, MinHashSigMerge, ShingleHashes, SimHashExpr,
+  MinHashSigAgg, MinHashSigMerge, SampleEntries, SampleMerge,
+  SampleSketchAgg, ShingleHashes, SimHashExpr,
   TDigestCdf, TDigestMerge, TDigestMergeQuantiles, TDigestQuantiles,
   TDigestSketch, TokenHashes}
 import org.apache.spark.sql.SparkSessionExtensions
@@ -79,6 +80,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       CmsQuery(a.head, a(1)))
     register("graft_cms_inner", classOf[CmsInnerProduct], 2)(a =>
       CmsInnerProduct(a.head, a(1)))
+
+    // weighted-sample family (q110/e36): k is a sketch PARAMETER
+    register("graft_sample_sketch", classOf[SampleSketchAgg], 3)(a =>
+      SampleSketchAgg(a.head, a(1),
+        GraftExtensions.litInt(a(2), "graft_sample_sketch", "k")))
+    register("graft_sample_merge", classOf[SampleMerge], 1)(a =>
+      SampleMerge(a.head))
+    register("graft_sample_entries", classOf[SampleEntries], 1)(a =>
+      SampleEntries(a.head))
 
     // Bloom family (q106): m and k are sketch PARAMETERS
     register("graft_bloom_sketch", classOf[BloomSketchAgg], 3)(a =>

@@ -1837,8 +1837,79 @@ object IngestQueries {
       ORDER BY event_type, bucket"""
     })
 
+  /** Streaming REPRESENTATIVE-SAMPLE monitoring with O(k) state per
+    * window — e33/e34's twin for SAMPLING, closing the streamed sketch
+    * family (quantiles e30, drift e31/e35, distinct e33, heavy hitters
+    * e34, and now a bounded weighted sample): the event stream
+    * aggregates into per-(hour, type) k=3
+    * [[graft.functions.SampleSketchAgg]] sketches — per-row priority
+    * is the LCG of the unique event_id, per-user priority folds by
+    * max, so each window keeps an exact activity-weighted user sample
+    * ("who to look at this hour") in 57 bytes. The coordinated
+    * bottom-k merge is order-invariant and exact (SampleSketch class
+    * doc), so the incremental micro-batch merges are bit-identical to
+    * a batch aggregation at ANY replay slicing — the STREAMING result
+    * hash-matches DuckDB's per-user max + rank replay, the e33/e34
+    * full-oracle-check property. */
+  val e36 = QueryDef(
+    "e36_stream_sample",
+    (sp, dir) => {
+      val schema = Tables.eventsRawSchema(sp, dir)
+      val stream = Tables.eventsTs(
+        sp.readStream.schema(schema).option("basePath", dir)
+          .parquet(s"$dir/events.parque[t]"))
+      val prio = pmod(col("event_id") * lit(1103515245L) + lit(12345L),
+        lit(2147483647L))
+      val agg = stream
+        .withWatermark("ts", "1 hour")
+        .select(col("ts"), col("event_type"), col("user_id"),
+          prio.as("prio"))
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          graft.functions.SampleSketchAgg(col("user_id"), col("prio"), 3)
+            .as("sk"))
+      val sink = s"e36_sample_${streamRuns.incrementAndGet()}"
+      withFewStatePartitions(sp, 8) {
+        val q = agg.writeStream.format("memory").queryName(sink)
+          .outputMode("complete")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      sp.table(sink)
+        .select(col("window.start").as("bucket"), col("event_type"),
+          col("n_events"),
+          posexplode(graft.functions.SampleEntries(col("sk")))
+            .as(Seq("pos", "e")))
+        .select(col("bucket"), col("event_type"),
+          (col("pos") + 1).cast("int").as("rank"),
+          col("e.key").as("user_id"), col("e.priority").as("priority"),
+          col("n_events"))
+        .orderBy("bucket", "event_type", "rank")
+    },
+    Some("""
+      WITH pr AS (
+        SELECT DATE_TRUNC('hour', ts) AS bucket, event_type, user_id,
+          (event_id * 1103515245 + 12345) % 2147483647 AS prio
+        FROM events),
+      mx AS (SELECT bucket, event_type, user_id, MAX(prio) AS priority
+             FROM pr GROUP BY 1, 2, 3),
+      rk AS (SELECT bucket, event_type, user_id, priority,
+               ROW_NUMBER() OVER (PARTITION BY bucket, event_type
+                 ORDER BY priority DESC, user_id) AS rank
+             FROM mx),
+      n AS (SELECT DATE_TRUNC('hour', ts) AS bucket, event_type,
+              CAST(COUNT(*) AS BIGINT) AS n_events
+            FROM events GROUP BY 1, 2)
+      SELECT r.bucket, r.event_type, CAST(r.rank AS INT) AS rank,
+        r.user_id, r.priority, n.n_events
+      FROM rk r
+      JOIN n ON r.bucket = n.bucket AND r.event_type = n.event_type
+      WHERE r.rank <= 3
+      ORDER BY r.bucket, r.event_type, r.rank"""))
+
   val defs: Seq[QueryDef] =
     Seq(e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11, e12, e13,
       e14, e15, e16, e17, e18, e19, e20, e21, e22, e23, e24, e25, e26,
-      e27, e28, e29, e30, e31, e32, e33, e34, e35)
+      e27, e28, e29, e30, e31, e32, e33, e34, e35, e36)
 }

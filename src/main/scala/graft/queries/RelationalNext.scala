@@ -1279,8 +1279,79 @@ object RelationalNext {
       ORDER BY e.type_a, e.type_b"""
     })
 
+  /** The rollup shape for SAMPLING — the last member of the mergeable
+    * sketch family ([[graft.functions.SampleSketchAgg]]/
+    * [[graft.functions.SampleMerge]]/[[graft.functions.SampleEntries]],
+    * SQL-registered): one bounded k=10 weighted sample per
+    * (event_type, week) cell (what a daily pipeline persists — 169
+    * bytes each), folded per type. Per-row priority is the portable
+    * LCG of the unique event_id; per-user priority folds by MAX, so a
+    * user active in c events holds the max of c uniforms ≡ the
+    * Efraimidis–Spirakis u^(1/c) priority — the folded top-k IS an
+    * exact activity-weighted sample, in pure 64-bit integers (the
+    * uniform is monotone in its hash, so no log/pow/doubles exist
+    * anywhere). The coordinated bottom-k merge theorem (class doc)
+    * makes the two-level rollup BIT-IDENTICAL to sampling the raw
+    * year directly, so the entry is fully oracle-checked: DuckDB
+    * replays per-user max + rank directly off the raw table, and the
+    * exact per-user activity rides along as the weighting evidence. */
+  val q110 = QueryDef(
+    "q110_sample_rollup",
+    (sp, dir) => {
+      val prio = pmod(col("event_id") * lit(1103515245L) + lit(12345L),
+        lit(2147483647L))
+      val ev = Tables(sp, dir, "events")
+        .select(col("event_type"), date_trunc("week", col("ts")).as("week"),
+          col("user_id"), prio.as("prio"))
+      val weekly = ev.groupBy("event_type", "week")
+        .agg(count(lit(1)).as("n"),
+          graft.functions.SampleSketchAgg(col("user_id"), col("prio"), 10)
+            .as("sk"))
+      val folded = weekly.groupBy("event_type")
+        .agg(sum("n").as("n_events"), count(lit(1)).as("n_sketches"),
+          graft.functions.SampleMerge(col("sk")).as("sk"))
+      val sampled = folded
+        .select(col("event_type"), col("n_events"), col("n_sketches"),
+          posexplode(graft.functions.SampleEntries(col("sk"))).as(Seq("pos", "e")))
+        .select(col("event_type"), (col("pos") + 1).cast("int").as("rank"),
+          col("e.key").as("user_id"), col("e.priority").as("priority"),
+          col("n_events"), col("n_sketches"))
+      val counts = Tables(sp, dir, "events")
+        .groupBy("event_type", "user_id")
+        .agg(count(lit(1)).as("n_user_events"))
+      sampled.join(counts, Seq("event_type", "user_id"))
+        .select("event_type", "rank", "user_id", "n_user_events",
+          "priority", "n_events", "n_sketches")
+        .orderBy("event_type", "rank")
+    },
+    Some("""
+      WITH pr AS (
+        SELECT event_type, user_id,
+          (event_id * 1103515245 + 12345) % 2147483647 AS prio
+        FROM events),
+      mx AS (SELECT event_type, user_id, MAX(prio) AS priority
+             FROM pr GROUP BY 1, 2),
+      rk AS (SELECT event_type, user_id, priority,
+               ROW_NUMBER() OVER (PARTITION BY event_type
+                 ORDER BY priority DESC, user_id) AS rank
+             FROM mx),
+      cnt AS (SELECT event_type, user_id,
+                CAST(COUNT(*) AS BIGINT) AS n_user_events
+              FROM events GROUP BY 1, 2),
+      meta AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
+                 CAST(COUNT(DISTINCT DATE_TRUNC('week', ts)) AS BIGINT)
+                   AS n_sketches
+               FROM events GROUP BY 1)
+      SELECT r.event_type, CAST(r.rank AS INT) AS rank, r.user_id,
+        c.n_user_events, r.priority, m.n_events, m.n_sketches
+      FROM rk r
+      JOIN cnt c ON c.event_type = r.event_type AND c.user_id = r.user_id
+      JOIN meta m ON m.event_type = r.event_type
+      WHERE r.rank <= 10
+      ORDER BY r.event_type, r.rank"""))
+
   val defs: Seq[QueryDef] =
     Seq(q57, q58, q59, q60, q61, q62, q63, q64, q65, q66, q67, q68,
       q69, q70, q71, q72, q73, q101, q102, q104, q105, q106, q107,
-      q108, q109)
+      q108, q109, q110)
 }

@@ -382,4 +382,48 @@ class PlanAuditSpec extends SparkSpec {
     assert("Window \\[".r.findAllIn(p).length === 1)
     assert(!p.contains("props"), "scan must prune the wide props column")
   }
+
+  test("q109 CMS join-size: map-side sketch combine, broadcast pair join, no nested loop") {
+    val p = plan("q109_cms_join_size")
+    assert(p.contains("partial_graft_cms_sketch"),
+      s"per-type sketches must map-side combine:\n${p.take(2000)}")
+    assert(p.contains("BroadcastHashJoin") && !p.contains("NestedLoop"),
+      "the 5-row sketch pair join must be a broadcast HASH join on the " +
+        s"constant non-foldable key, never a nested loop:\n${p.take(2000)}")
+  }
+
+  test("t17 perplexity shuffles only hash/count keys and broadcasts the vocab scalar") {
+    val p = plan("t17_bigram_perplexity")
+    // every aggregation/join exchange carries 8-byte hashes, doc ids,
+    // or counts — if the raw text ever reaches a shuffle the fused-
+    // kernel shape has regressed to string keys (the d01/t06 lesson)
+    val exchanges = "Exchange hashpartitioning\\([^\n]*".r.findAllIn(p).toList
+    assert(exchanges.nonEmpty)
+    exchanges.foreach(e => assert(!e.contains("text"),
+      s"text column must never ride a shuffle:\n$e"))
+    assert(p.contains("BroadcastHashJoin") && !p.contains("NestedLoop"),
+      s"the 1-row vocab scalar must broadcast-hash join:\n${p.take(2000)}")
+  }
+
+  test("q110 sample rollup map-side combines both sketch levels") {
+    val p = plan("q110_sample_rollup")
+    assert(p.contains("partial_graft_sample_sketch"),
+      s"level-1 sample sketches must map-side combine (O(k) partials):\n${p.take(2000)}")
+    assert(p.contains("partial_graft_sample_merge"),
+      s"level-2 merge must map-side combine:\n${p.take(2000)}")
+    assert(!p.contains("NestedLoop"),
+      s"no nested-loop joins in the rollup:\n${p.take(2000)}")
+  }
+
+  test("p24 priority sample pushes a map-side partial top-k below the exchange") {
+    // the O(k)-per-stratum mergeable-reservoir claim IS this plan
+    // shape: rank<=k over the priority ordering must compile to
+    // partial+final WindowGroupLimit (the q07/q21 contract)
+    val p = plan("p24_priority_sample")
+    val modes = "WindowGroupLimit[^\n]*".r.findAllIn(p)
+      .map(_.split(", ").last).toSet
+    assert(modes == Set("Partial", "Final"),
+      s"expected partial+final WindowGroupLimit, got $modes:\n${p.take(2000)}")
+    assert(!p.contains("text"), "sampling must prune the text column")
+  }
 }
