@@ -1218,7 +1218,121 @@ object DedupQueries {
       ORDER BY d.doc_id"""
     })
 
+  /** DuckDB mirror of the 62-bit token-shingle hash over a string SQL
+    * expression (the t06/t15 inline pattern, local copy for d24). */
+  private def hash62Sql(s: String): String =
+    s"""(list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |    list_transform(generate_series(1, CAST(len($s) AS INT)),
+       |      i -> CAST(ascii(substr($s, i, 1)) AS BIGINT))),
+       |    (a, b) -> (a * 31 + b) % 2147483647)
+       |  + (list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |      list_transform(generate_series(1, CAST(len($s) AS INT)),
+       |        i -> CAST(ascii(substr($s, i, 1)) AS BIGINT))),
+       |      (a, b) -> (a * 131 + b) % 2147483647) << 31))""".stripMargin
+
+  /** Exact-substring duplication scan — the Lee et al. 2022
+    * ("Deduplicating Training Data Makes Language Models Better")
+    * method's distributed form: every length-8 token window that
+    * occurs ≥2 times ANYWHERE in the corpus (cross-doc or within-doc)
+    * marks its positions, and per doc the marked windows merge into
+    * MAXIMAL duplicated spans (interval union over [pos, pos+8)) —
+    * the span list is what a surgical-removal pass cuts, and
+    * dup_frac is the repetition signal d13's fixed blocks and t13's
+    * sentence grain both miss (a duplicated passage that straddles
+    * block/sentence boundaries still lights up here).
+    *
+    * Scale shape: the corpus-frequency pipeline rides the fused
+    * [[graft.functions.ShingleHashes]] kernel — one 8-byte hash per
+    * window position, never the 8-gram string (the d01/t06 rule); the
+    * span merge is two window passes PARTITIONED BY doc (state
+    * bounded by the doc's own window count — the doc is the unit);
+    * everything stays exact integers until the one dup_frac division,
+    * so the oracle replays the hash chain and the island merge
+    * row for row. */
+  /** d24's scan over an arbitrary (doc_id, text) frame, window length
+    * exposed — DedupSpec plants a shared passage and asserts span
+    * geometry on a synthetic corpus. */
+  def substringDupScan(
+      docs0: org.apache.spark.sql.DataFrame,
+      n: Int): org.apache.spark.sql.DataFrame = {
+    import graft.functions.ShingleHashes
+    val docs = docs0.select(col("doc_id"), col("text"))
+    val wins = docs.select(col("doc_id"),
+      posexplode(ShingleHashes(col("text"), n, dedupe = false))
+        .as(Seq("pos", "h")))
+    val dup = wins.groupBy("h").agg(count(lit(1)).as("c"))
+      .filter(col("c") >= 2)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("pos")
+    val islands = wins.join(dup, "h")
+      .withColumn("prev", lag("pos", 1).over(w))
+      .withColumn("ni",
+        when(col("prev").isNull || col("pos") > col("prev") + n, 1L)
+          .otherwise(0L))
+      .withColumn("island", sum("ni").over(
+        w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)))
+    val spans = islands.groupBy("doc_id", "island")
+      .agg(min("pos").as("s"), max("pos").as("m"))
+      .select(col("doc_id"), (col("m") + n - col("s")).as("span_tokens"))
+    val perDoc = spans.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_spans"), sum("span_tokens").as("dup_tokens"))
+    docs
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"),
+        size(ShingleHashes(col("text"), n, dedupe = false)).cast("long")
+          .as("n_windows"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"), col("n_windows"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"),
+        (coalesce(col("dup_tokens"), lit(0L)).cast("double") /
+          col("n_tokens")).as("dup_frac"))
+      .orderBy("doc_id")
+  }
+
+  val d24 = QueryDef(
+    "d24_substring_dedup",
+    (sp, dir) => substringDupScan(Tables(sp, dir, "documents"), n = 8),
+    Some {
+      val g8 = (1 to 8).map(j => s"w[i + ${j - 1}]").mkString(" || ' ' || ")
+      s"""
+      WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      grams AS (SELECT doc_id, unnest(CASE WHEN len(w) < 8 THEN []
+                 ELSE list_transform(generate_series(1, CAST(len(w) - 7 AS INT)),
+                        i -> {'pos': i - 1, 'g': $g8}) END) AS z
+               FROM toks),
+      wins AS (SELECT doc_id, z.pos AS pos, ${hash62Sql("z.g")} AS h
+               FROM grams),
+      dup AS (SELECT h FROM wins GROUP BY h HAVING COUNT(*) >= 2),
+      d AS (SELECT doc_id, pos FROM wins JOIN dup USING (h)),
+      l AS (SELECT doc_id, pos,
+              LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+            FROM d),
+      fl AS (SELECT doc_id, pos,
+               CASE WHEN prev IS NULL OR pos > prev + 8 THEN 1 ELSE 0 END AS ni
+             FROM l),
+      isl AS (SELECT doc_id, pos,
+                SUM(ni) OVER (PARTITION BY doc_id ORDER BY pos
+                  ROWS UNBOUNDED PRECEDING) AS island
+              FROM fl),
+      sp AS (SELECT doc_id, island, MAX(pos) + 8 - MIN(pos) AS span_tokens
+             FROM isl GROUP BY 1, 2),
+      pd AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_spans,
+               CAST(SUM(span_tokens) AS BIGINT) AS dup_tokens
+             FROM sp GROUP BY 1),
+      base AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS n_tokens,
+                 CAST(GREATEST(len(w) - 7, 0) AS BIGINT) AS n_windows
+               FROM toks)
+      SELECT b.doc_id, b.n_tokens, b.n_windows,
+        COALESCE(p.n_spans, 0) AS n_spans,
+        COALESCE(p.dup_tokens, 0) AS dup_tokens,
+        CAST(COALESCE(p.dup_tokens, 0) AS DOUBLE) / b.n_tokens AS dup_frac
+      FROM base b LEFT JOIN pd p USING (doc_id)
+      ORDER BY b.doc_id"""
+    })
+
   val defs: Seq[QueryDef] =
     Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13,
-      d14, d15, d16, d17, d18, d19, d20, d21, d22, d23)
+      d14, d15, d16, d17, d18, d19, d20, d21, d22, d23, d24)
 }

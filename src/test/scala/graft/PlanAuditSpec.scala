@@ -405,6 +405,17 @@ class PlanAuditSpec extends SparkSpec {
       s"the 1-row vocab scalar must broadcast-hash join:\n${p.take(2000)}")
   }
 
+  test("d24 substring scan shuffles 8-byte window hashes, never the text") {
+    val p = plan("d24_substring_dedup")
+    val exchanges = "Exchange hashpartitioning\\([^\n]*".r.findAllIn(p).toList
+    assert(exchanges.nonEmpty)
+    exchanges.foreach(e => assert(!e.contains("text"),
+      s"text column must never ride a shuffle:\n$e"))
+    // the island merge must be partitioned per doc, not a global sort
+    assert(p.contains("windowspecdefinition(doc_id"),
+      s"span merge must window per doc:\n${p.take(2000)}")
+  }
+
   test("q110 sample rollup map-side combines both sketch levels") {
     val p = plan("q110_sample_rollup")
     assert(p.contains("partial_graft_sample_sketch"),
@@ -413,6 +424,22 @@ class PlanAuditSpec extends SparkSpec {
       s"level-2 merge must map-side combine:\n${p.take(2000)}")
     assert(!p.contains("NestedLoop"),
       s"no nested-loop joins in the rollup:\n${p.take(2000)}")
+  }
+
+  test("p25 DSIR scoring broadcasts both LM tables and cuts rank map-side") {
+    val p = plan("p25_dsir_selection")
+    // the fixed 64k-bucket feature space is the whole point: the LM
+    // count table and the totals row must BROADCAST, keeping the
+    // scoring join shuffle-free at any corpus size
+    assert("BroadcastHashJoin".r.findAllIn(p).length >= 2,
+      s"lm + totals must both broadcast:\n${p.take(2000)}")
+    val modes = "WindowGroupLimit[^\n]*".r.findAllIn(p)
+      .map(_.split(", ").last).toSet
+    assert(modes == Set("Partial", "Final"),
+      s"expected partial+final WindowGroupLimit, got $modes:\n${p.take(2000)}")
+    val exchanges = "Exchange hashpartitioning\\([^\n]*".r.findAllIn(p).toList
+    exchanges.foreach(e => assert(!e.contains("text"),
+      s"text column must never ride a shuffle:\n$e"))
   }
 
   test("p24 priority sample pushes a map-side partial top-k below the exchange") {

@@ -77,4 +77,32 @@ object SketchProperties extends Properties("graft.sketches") {
       java.util.Arrays.equals(sa.toBytes, union.toBytes) &&
         self.jaccardEst(selfAgain) == 1.0
     }
+
+  private val prioRows: Gen[List[(Long, Long)]] =
+    Gen.chooseNum(0, 300).flatMap(n =>
+      Gen.listOfN(n, Gen.zip(Gen.chooseNum(0L, 40L),
+        Gen.chooseNum(Long.MinValue, Long.MaxValue))))
+
+  property("Sample: merge/split/order/trim-invariant == exact top-k by max prio") =
+    forAll(prioRows, prioRows) { (a, b) =>
+      import graft.functions.SampleSketch
+      val k = 5
+      val sa = new SampleSketch(k); a.foreach { case (key, p) => sa.add(key, p) }
+      val sb = new SampleSketch(k); b.foreach { case (key, p) => sb.add(key, p) }
+      sa.mergeWith(sb)
+      val direct = new SampleSketch(k)
+      scala.util.Random.shuffle(a ++ b).foreach { case (key, p) => direct.add(key, p) }
+      // driver reference: exact top-k keys by (max priority desc, key asc)
+      // sortWith, not sortBy(-p, …): negating Long.MinValue overflows
+      val expect = (a ++ b).groupBy(_._1)
+        .map { case (key, rs) => (key, rs.map(_._2).max) }.toSeq
+        .sortWith((x, y) => x._2 > y._2 || (x._2 == y._2 && x._1 < y._1))
+        .take(k)
+      val nonEmpty = (a ++ b).nonEmpty
+      (!nonEmpty || (java.util.Arrays.equals(sa.toBytes, direct.toBytes) &&
+        sa.entries.toSeq == expect &&
+        java.util.Arrays.equals(
+          SampleSketch.fromBytes(sa.toBytes).toBytes, sa.toBytes))) &&
+        (nonEmpty || sa.entries.isEmpty)
+    }
 }
