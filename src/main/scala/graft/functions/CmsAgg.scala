@@ -98,7 +98,24 @@ final class CmsSketch(private var w: Int) extends Serializable {
       var dot = 0L
       var j = i * w
       val end = j + w
-      while (j < end) { dot += counters(j) * other.counters(j); j += 1 }
+      // exact-checked arithmetic: at production counter magnitudes the
+      // dot product approaches nA·nB/w, which clears 2^63 around 10^12
+      // rows per side at w=4096 — fail loudly (the oracle engine's
+      // BIGINT overflow does too) instead of wrapping to a silently
+      // wrong estimate
+      try {
+        while (j < end) {
+          dot = Math.addExact(dot,
+            Math.multiplyExact(counters(j), other.counters(j)))
+          j += 1
+        }
+      } catch {
+        case _: ArithmeticException =>
+          throw new ArithmeticException(
+            "CMS inner product overflows 64-bit integers at these counter " +
+              "magnitudes — increase the sketch width or shard the inputs " +
+              "before sketching")
+      }
       if (dot < best) best = dot
       i += 1
     }

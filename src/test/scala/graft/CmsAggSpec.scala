@@ -144,6 +144,15 @@ class CmsAggSpec extends SparkSpec {
     assert(wideA.innerProduct(wideA) == f2)
   }
 
+  test("inner product overflow fails loudly, never wraps") {
+    // two sketches whose counters multiply past 2^63: every bucket of
+    // a w=16 sketch loaded to ~2^33 via weighted adds
+    val big = new CmsSketch(16)
+    (0L until 16L).foreach(k => big.add(k, 1L << 33))
+    val e = intercept[ArithmeticException] { big.innerProduct(big) }
+    assert(e.getMessage.contains("overflows"), e.getMessage)
+  }
+
   test("inner product: SQL matches API, mixed widths refuse") {
     skewed(300, groups = 2).createOrReplaceTempView("cms_ip")
     val viaSql = spark.sql("""
