@@ -286,4 +286,42 @@ class ScaleOpsSpec extends SparkSpec {
     assert(bad === 0L)
     assert(out.count() === 1000000L)
   }
+
+  test("sample sketch at 1M rows equals the exact weighted top-k") {
+    import graft.functions.{SampleSketch, SampleSketchAgg}
+    // 100k distinct keys x 10 rows each, LCG priorities per row
+    val df = spark.range(1000000).select(
+      (col("id") % 100000L).as("key"),
+      pmod(col("id") * lit(1103515245L) + lit(12345L),
+        lit(2147483647L)).as("prio"))
+    val bytes = df.agg(SampleSketchAgg(col("key"), col("prio"), 20))
+      .head().getAs[Array[Byte]](0)
+    val got = SampleSketch.fromBytes(bytes).entries.toSeq
+    // exact reference via a plain Spark aggregation (not the sketch)
+    val expect = df.groupBy("key").agg(max("prio").as("p"))
+      .orderBy(col("p").desc, col("key")).limit(20)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got === expect)
+  }
+
+  test("substring scan at 50k docs finds exactly the planted passages") {
+    // every 10th doc carries the same 12-token passage appended to 10
+    // otherwise globally-unique tokens; ~750k window hashes total
+    val passage = (0 until 12).map(i => s"p$i").mkString(" ")
+    val base = concat_ws(" ", (0 until 10).map(i =>
+      concat(lit(s"u${i}_"), col("id"))): _*)
+    val docs = spark.range(50000).select(
+      col("id").as("doc_id"),
+      when(col("id") % 10 === 0, concat(base, lit(s" $passage")))
+        .otherwise(base).as("text"))
+    val out = graft.queries.DedupQueries.substringDupScan(docs, n = 8)
+    // planted docs: the 5 all-passage windows merge to ONE 12-token
+    // span; clean docs: nothing flagged
+    val planted = out.filter(col("doc_id") % 10 === 0)
+    assert(planted.filter(col("n_spans") =!= 1L ||
+      col("dup_tokens") =!= 12L).count() === 0L)
+    assert(planted.count() === 5000L)
+    val clean = out.filter(col("doc_id") % 10 =!= 0)
+    assert(clean.filter(col("n_spans") =!= 0L).count() === 0L)
+  }
 }
