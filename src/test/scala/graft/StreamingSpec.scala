@@ -4,6 +4,7 @@ import java.sql.Timestamp
 import graft.streaming.StreamOps
 import graft.streaming.StreamOps.Evt
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions.{col, lit, pmod}
 import org.apache.spark.sql.streaming.OutputMode
 
 class StreamingSpec extends SparkSpec {
@@ -170,6 +171,49 @@ class StreamingSpec extends SparkSpec {
         val rows = spark.sql("SELECT event_type, n_events, sum_value FROM rocks_out")
           .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
         assert(rows === Set(("click", 2L, 3.0), ("view", 1L, 3.0)))
+      } finally q.stop()
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
+  test("sample-sketch streaming aggregate is bit-identical on RocksDB state") {
+    // e36's aggregate is a TypedImperativeAggregate: its buffer rides
+    // the state store through serialize/deserialize every micro-batch,
+    // so the parity contract must hold for the sketch BYTES, not just
+    // scalar results
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    import graft.functions.SampleSketchAgg
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val input = MemoryStream[Evt]
+      val evts = (0 until 60).map(i =>
+        Evt(i % 7L, t(f"2024-01-01 10:${i % 50}%02d:00"), "click", i.toDouble))
+      input.addData(evts.take(30): _*)
+      val agg = input.toDF()
+        .groupBy(col("event_type"))
+        .agg(SampleSketchAgg(col("user_id"),
+          pmod(col("user_id") * lit(7919L) + lit(17L), lit(2147483647L)), 5)
+          .as("sk"))
+      val q = agg.writeStream.format("memory").queryName("rocks_sample")
+        .outputMode(OutputMode.Complete()).start()
+      try {
+        q.processAllAvailable()
+        input.addData(evts.drop(30): _*) // second micro-batch -> state round-trip
+        q.processAllAvailable()
+        val streamed = spark.table("rocks_sample")
+          .head().getAs[Array[Byte]]("sk")
+        val batch = evts.toDF()
+          .agg(SampleSketchAgg(col("user_id"),
+            pmod(col("user_id") * lit(7919L) + lit(17L), lit(2147483647L)), 5))
+          .head().getAs[Array[Byte]](0)
+        assert(java.util.Arrays.equals(streamed, batch),
+          "streamed sketch bytes must equal the batch aggregation's")
       } finally q.stop()
     } finally prev match {
       case Some(v) => spark.conf.set(key, v)
