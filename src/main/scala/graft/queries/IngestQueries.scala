@@ -1908,8 +1908,76 @@ object IngestQueries {
       WHERE r.rank <= 3
       ORDER BY r.bucket, r.event_type, r.rank"""))
 
+  /** Native session-window aggregation — the same sessionization
+    * semantics e08 builds by hand with flatMapGroupsWithState, through
+    * Spark's BUILT-IN `session_window` operator instead (state layout,
+    * merge, and eviction owned by the engine; the API surface a SQL
+    * user reaches first). Same 30-minute gap, same sentinel-flushed
+    * landing replay (the fixture is shared with e08 — one materialized
+    * dir), append mode so only watermark-finalized sessions emit.
+    * Differences the oracle mirrors exactly: the native operator
+    * defines session END as last-event-time + gap (e08 reports the
+    * last event itself), and emission needs the watermark to pass the
+    * session end — which the far-future sentinel guarantees for every
+    * real session. Output is pure integers (epoch millis + counts), so
+    * the STREAMING result hash-matches the batch gaps-and-islands
+    * replay. */
+  val e37 = QueryDef(
+    "e37_session_window",
+    (sp, dir) => {
+      import sp.implicits._
+      val far = to_timestamp(lit("2099-01-01 00:00:00"))
+      val ev = Tables(sp, dir, "events")
+        .select(col("user_id"), col("ts"), col("event_type"), col("value"))
+      val land = IngestFixtures.materializeLanding(
+        s"e08_events_${IngestFixtures.fingerprint(s"$dir/events.parquet")}",
+        ev,
+        ev.select(col("user_id")).distinct()
+          .select(col("user_id"), far.as("ts"),
+            lit("__end").as("event_type"), lit(0.0).as("value")))
+      val stream = sp.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1").parquet(land)
+      val agg = stream
+        .withWatermark("ts", "1 hour")
+        .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+        .agg(count(lit(1)).as("n_events"))
+      val sink = s"e37_sessions_${streamRuns.incrementAndGet()}"
+      withFewStatePartitions(sp, 8) {
+        val q = agg.writeStream.format("memory").queryName(sink)
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      sp.table(sink)
+        .filter(col("session_window.start") < far)
+        .select(col("user_id"),
+          unix_millis(col("session_window.start")).as("start_ms"),
+          unix_millis(col("session_window.end")).as("end_gap_ms"),
+          col("n_events").cast("int").as("n_events"))
+        .orderBy("user_id", "start_ms")
+    },
+    Some("""
+      WITH flagged AS (
+        SELECT user_id, ts, event_id,
+          CASE WHEN LAG(epoch_ms(ts)) OVER w IS NULL
+                 OR epoch_ms(ts) - LAG(epoch_ms(ts)) OVER w > 1800000
+               THEN 1 ELSE 0 END AS is_new
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      tagged AS (
+        SELECT user_id, ts,
+          SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        FROM flagged)
+      SELECT user_id, epoch_ms(MIN(ts)) AS start_ms,
+        epoch_ms(MAX(ts)) + 1800000 AS end_gap_ms,
+        CAST(COUNT(*) AS INT) AS n_events
+      FROM tagged GROUP BY user_id, sid
+      ORDER BY user_id, start_ms"""))
+
   val defs: Seq[QueryDef] =
     Seq(e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11, e12, e13,
       e14, e15, e16, e17, e18, e19, e20, e21, e22, e23, e24, e25, e26,
-      e27, e28, e29, e30, e31, e32, e33, e34, e35, e36)
+      e27, e28, e29, e30, e31, e32, e33, e34, e35, e36, e37)
 }

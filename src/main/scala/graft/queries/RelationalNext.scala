@@ -1350,8 +1350,40 @@ object RelationalNext {
       WHERE r.rank <= 10
       ORDER BY r.event_type, r.rank"""))
 
+  /** Semi-structured columns through Spark 4's VARIANT type — the
+    * modern engine-native path q16's string-functions approach
+    * predates: `parse_json` shreds the JSON once into the binary
+    * variant encoding, `variant_get` does typed path extraction
+    * (NULL on a missing path, like the SQL standard's lax mode). The
+    * variant codec is engine-internal so the ORACLE stays on plain
+    * JSON-string extraction — equality of the two pipelines is
+    * exactly what certifies the variant path end to end. */
+  val q111 = QueryDef(
+    "q111_variant_extract",
+    (sp, dir) => {
+      val v = parse_json(col("props"))
+      Tables(sp, dir, "events")
+        .select(col("event_type"),
+          variant_get(v, "$.k", "bigint").as("k"),
+          variant_get(v, "$.missing", "bigint").as("miss"))
+        .groupBy("event_type")
+        .agg(sum("k").as("sum_k"), max("k").as("max_k"),
+          count("k").as("n_with_k"),
+          sum(when(col("miss").isNull, 1L).otherwise(0L)).as("n_missing"))
+        .orderBy("event_type")
+    },
+    Some("""
+      SELECT event_type,
+        CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
+          AS sum_k,
+        MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k,
+        COUNT(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS n_with_k,
+        CAST(SUM(CASE WHEN json_extract_string(props, '$.missing') IS NULL
+                 THEN 1 ELSE 0 END) AS BIGINT) AS n_missing
+      FROM events GROUP BY event_type ORDER BY event_type"""))
+
   val defs: Seq[QueryDef] =
     Seq(q57, q58, q59, q60, q61, q62, q63, q64, q65, q66, q67, q68,
       q69, q70, q71, q72, q73, q101, q102, q104, q105, q106, q107,
-      q108, q109, q110)
+      q108, q109, q110, q111)
 }

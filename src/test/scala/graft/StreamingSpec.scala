@@ -178,6 +178,54 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("exact-gap boundary: native session_window vs StreamOps.sessionize") {
+    // two events exactly gap apart — pin each API's boundary rule so
+    // e37's oracle stays honest if the data ever lands on it
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, count, lit, session_window}
+    val input = MemoryStream[Evt]
+    input.addData(
+      Evt(1L, t("2024-01-01 10:00:00"), "click", 1.0),
+      Evt(1L, t("2024-01-01 10:30:00"), "click", 2.0), // exactly 30 min later
+      Evt(1L, t("2024-01-02 00:00:00"), "flush", 0.0)) // advances watermark
+    val agg = input.toDF()
+      .withWatermark("ts", "1 minute")
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n"))
+    val q = agg.writeStream.format("memory").queryName("sw_boundary")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      q.processAllAvailable()
+      val native = spark.table("sw_boundary")
+        .filter(col("session_window.start") < t("2024-01-02 00:00:00"))
+        .select("n").collect().map(_.getLong(0)).sorted.toSeq
+      // native rule (measured): an event landing exactly ON the
+      // session end (= last + gap) MERGES — a new session needs
+      // diff strictly greater than the gap
+      assert(native === Seq(2L),
+        s"native session_window boundary rule changed: $native")
+    } finally q.stop()
+    // StreamOps.sessionize uses the same rule (new only if diff >
+    // gap), so the two APIs agree at exactly-gap — and e37's
+    // gaps-and-islands oracle (`> 1800000`) mirrors both
+    val input2 = MemoryStream[Evt]
+    input2.addData(
+      Evt(1L, t("2024-01-01 10:00:00"), "click", 1.0),
+      Evt(1L, t("2024-01-01 10:30:00"), "click", 2.0),
+      Evt(1L, t("2099-01-01 00:00:00"), "__end", 0.0))
+    val q2 = StreamOps.sessionize(input2.toDS(), gapMs = 30L * 60 * 1000)
+      .toDF().writeStream.format("memory").queryName("gs_boundary")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      q2.processAllAvailable()
+      val custom = spark.table("gs_boundary")
+        .filter(col("start_ms") < 4070908800000L)
+        .select("n_events").collect().map(_.getInt(0)).toSeq
+      assert(custom === Seq(2), s"sessionize boundary rule changed: $custom")
+    } finally q2.stop()
+  }
+
   test("sample-sketch streaming aggregate is bit-identical on RocksDB state") {
     // e36's aggregate is a TypedImperativeAggregate: its buffer rides
     // the state store through serialize/deserialize every micro-batch,
