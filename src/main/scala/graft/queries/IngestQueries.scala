@@ -1976,8 +1976,58 @@ object IngestQueries {
       FROM tagged GROUP BY user_id, sid
       ORDER BY user_id, start_ms"""))
 
+  /** The pure-SQL storage workflow — DDL + DML a SQL-first user (the
+    * reference's persona) types verbatim: CREATE TABLE ... USING
+    * PARQUET PARTITIONED BY, INSERT INTO, then a STATIC
+    * partition-scoped INSERT OVERWRITE PARTITION (e22 proves the
+    * dynamic API form; this is the explicit-partition-spec DDL form —
+    * only the named partition is replaced, every other partition's
+    * files untouched). Fresh DROP+CREATE per run keeps it idempotent;
+    * the final aggregate reads the table back through the catalog, so
+    * the oracle (a CASE-folded replay of the overwrite on the raw
+    * parquet) certifies the whole create→load→overwrite→read chain. */
+  val e38 = QueryDef(
+    "e38_sql_ddl",
+    (sp, dir) => {
+      val fp = IngestFixtures.fingerprint(s"$dir/nation.parquet")
+      val tbl = s"graft_e38_nation_$fp"
+      Tables(sp, dir, "nation").createOrReplaceTempView("e38_nation_src")
+      sp.sql(s"DROP TABLE IF EXISTS $tbl")
+      // the in-memory catalog forgets tables between JVMs but their
+      // warehouse directories persist, and CREATE refuses an orphaned
+      // location — clear it first (the ensureBucketed contract)
+      locally {
+        val loc = new java.io.File(
+          new java.net.URI(sp.conf.get("spark.sql.warehouse.dir")).getPath,
+          tbl)
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) f.listFiles().foreach(rm)
+          f.delete()
+        }
+        if (loc.exists()) rm(loc)
+      }
+      sp.sql(s"""CREATE TABLE $tbl
+                 (n_nationkey BIGINT, n_name STRING, n_regionkey BIGINT)
+                 USING PARQUET PARTITIONED BY (n_regionkey)""")
+      sp.sql(s"""INSERT INTO $tbl
+                 SELECT n_nationkey, n_name, n_regionkey FROM e38_nation_src""")
+      sp.sql(s"""INSERT OVERWRITE TABLE $tbl PARTITION (n_regionkey = 0)
+                 SELECT n_nationkey, upper(n_name) FROM e38_nation_src
+                 WHERE n_regionkey = 0""")
+      sp.sql(s"""SELECT n_regionkey, CAST(COUNT(*) AS BIGINT) AS n,
+                 MIN(n_name) AS first_name, MAX(n_name) AS last_name
+                 FROM $tbl GROUP BY n_regionkey ORDER BY n_regionkey""")
+    },
+    Some("""
+      SELECT n_regionkey, CAST(COUNT(*) AS BIGINT) AS n,
+        MIN(CASE WHEN n_regionkey = 0 THEN upper(n_name) ELSE n_name END)
+          AS first_name,
+        MAX(CASE WHEN n_regionkey = 0 THEN upper(n_name) ELSE n_name END)
+          AS last_name
+      FROM nation GROUP BY n_regionkey ORDER BY n_regionkey"""))
+
   val defs: Seq[QueryDef] =
     Seq(e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11, e12, e13,
       e14, e15, e16, e17, e18, e19, e20, e21, e22, e23, e24, e25, e26,
-      e27, e28, e29, e30, e31, e32, e33, e34, e35, e36, e37)
+      e27, e28, e29, e30, e31, e32, e33, e34, e35, e36, e37, e38)
 }
