@@ -1,5 +1,7 @@
 package graft
 
+import org.apache.spark.sql.functions.col
+
 /** Physical-plan shape assertions for the properties SURVEY.md §5
   * promises — pushdown, pruning, broadcasts, top-k, shuffle counts.
   * These fail loudly if a refactor silently degrades a plan.
@@ -403,6 +405,34 @@ class PlanAuditSpec extends SparkSpec {
       s"text column must never ride a shuffle:\n$e"))
     assert(p.contains("BroadcastHashJoin") && !p.contains("NestedLoop"),
       s"the 1-row vocab scalar must broadcast-hash join:\n${p.take(2000)}")
+  }
+
+  test("ANALYZE TABLE statistics drive the broadcast decision without hints") {
+    // the CBO surface a SQL-first user reaches: a catalog table's
+    // COMPUTE STATISTICS must register a sizeInBytes the planner can
+    // use to pick a broadcast join on its own (no broadcast() hint,
+    // no hint() call) when the side is under the threshold
+    val tbl = "graft_cbo_nation"
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    val loc = new java.io.File(
+      new java.net.URI(spark.conf.get("spark.sql.warehouse.dir")).getPath, tbl)
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm); f.delete()
+    }
+    if (loc.exists()) rm(loc)
+    Tables(spark, dir, "nation").write.saveAsTable(tbl)
+    spark.sql(s"ANALYZE TABLE $tbl COMPUTE STATISTICS")
+    val stats = spark.sql(s"DESCRIBE EXTENDED $tbl")
+      .filter(col("col_name") === "Statistics").select("data_type")
+      .collect().headOption.map(_.getString(0))
+    assert(stats.exists(_.contains("bytes")),
+      s"ANALYZE must register table statistics, got $stats")
+    val joined = Tables(spark, dir, "customer")
+      .join(spark.table(tbl), col("c_nationkey") === col("n_nationkey"))
+      .groupBy("n_name").count()
+    val p = joined.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"),
+      s"stats-known small table must broadcast without a hint:\n${p.take(2000)}")
   }
 
   test("d24 substring scan shuffles 8-byte window hashes, never the text") {
