@@ -216,6 +216,40 @@ class DedupSpec extends SparkSpec {
       s"prefix candidates $viaPrefix should undercut exhaustive $exhaustive")
   }
 
+  test("d24 hash-keyed windows == string-keyed reference at sf0.001") {
+    // the oracle mirrors the 62-bit window hashing, so keep an
+    // independent identity check: duplicate 8-gram detection on the
+    // window STRINGS must flag exactly the same per-doc totals
+    import graft.functions.TextFunctions
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables(spark, "/root/testdata/sf0.001", "documents")
+    val hashKeyed = graft.queries.DedupQueries.substringDupScan(docs, n = 8)
+      .select("doc_id", "n_spans", "dup_tokens")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val toks = TextFunctions.tokens(col("text"))
+    val wins = docs.select(col("doc_id"),
+      posexplode(TextFunctions.wordShingles(toks, 8)).as(Seq("pos", "g")))
+    val dup = wins.groupBy("g").agg(count(lit(1)).as("c")).filter(col("c") >= 2)
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    val spans = wins.join(dup, "g")
+      .withColumn("prev", lag("pos", 1).over(w))
+      .withColumn("ni", when(col("prev").isNull || col("pos") > col("prev") + 8,
+        1L).otherwise(0L))
+      .withColumn("island", sum("ni").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("doc_id", "island")
+      .agg(min("pos").as("s"), max("pos").as("m"))
+      .select(col("doc_id"), (col("m") + 8 - col("s")).as("st"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_spans"), sum("st").as("dup_tokens"))
+    val stringKeyed = docs.select("doc_id")
+      .join(spans, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("n_spans"), lit(0L)),
+        coalesce(col("dup_tokens"), lit(0L)))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(hashKeyed === stringKeyed)
+  }
+
   test("d24 substring scan finds a planted shared passage with exact span geometry") {
     import spark.implicits._
     // docs 0 and 1 share a 12-token passage embedded at different

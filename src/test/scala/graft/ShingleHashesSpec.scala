@@ -29,8 +29,9 @@ class ShingleHashesSpec extends SparkSpec {
 
   test("per-occurrence mode == composed chain without the distinct") {
     // n=1 backs t06's unigram counts (each token must hash exactly as
-    // Hash62Expr does), n=2 its bigram counts, n=3 the trigram family
-    for (n <- Seq(1, 2, 3)) {
+    // Hash62Expr does), n=2 its bigram counts, n=3 the trigram family,
+    // n=8 the d24 substring-scan windows
+    for (n <- Seq(1, 2, 3, 8)) {
       val composed = tricky.select(
         transform(
           TextFunctions.wordShingles(TextFunctions.tokens(col("text")), n),

@@ -101,6 +101,46 @@ class TextSpec extends SparkSpec {
     assert(out(11L)._1 == 0L && out(11L)._2.isEmpty)
   }
 
+  test("t17 hash-keyed pipeline == string-keyed reference at sf0.001") {
+    // the DuckDB oracle mirrors the 62-bit hashing (t06 precedent), so
+    // keep an INDEPENDENT identity check alive on a real corpus: build
+    // the LM on the bigram/unigram STRINGS themselves and demand the
+    // same scores (to the entry's own rounding) — a hash collision or
+    // a hash-kernel bug shared with the oracle would diverge here
+    val docs = Tables(spark, "/root/testdata/sf0.001", "documents")
+    val hashKeyed = graft.queries.TextQueries.bigramPerplexity(docs)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_bigrams"), Option(r.getAs[java.lang.Double]("ppl"))))
+      .toMap
+    val toks = TextFunctions.tokens(col("text"))
+    val cx = docs.select(explode(toks).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c_x"))
+    val vocab = cx.count()
+    val cxy = docs
+      .select(explode(TextFunctions.wordShingles(toks, 2)).as("bg"))
+      .groupBy("bg").agg(count(lit(1)).as("c_xy"))
+    val cells = docs
+      .select(col("doc_id"), explode(TextFunctions.wordShingles(toks, 2)).as("bg"))
+      .groupBy("doc_id", "bg").agg(count(lit(1)).as("n"))
+      .join(cxy, "bg")
+      .join(cx, substring_index(col("bg"), " ", 1) === col("w"))
+    val stringKeyed = cells.groupBy("doc_id")
+      .agg(sum("n").as("nb"),
+        sum(col("n").cast("double") *
+          log2((col("c_xy") + lit(1L)).cast("double") /
+            (col("c_x") + lit(vocab)).cast("double"))).as("sum_logp"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), math.pow(2.0, -r.getDouble(2) / r.getLong(1))))
+      .toMap
+    assert(hashKeyed.count(_._2._2.isDefined) == stringKeyed.size)
+    stringKeyed.foreach { case (id, (nb, ppl)) =>
+      val (hn, hp) = hashKeyed(id)
+      assert(hn == nb, s"doc $id bigram count: $hn vs $nb")
+      assert(math.abs(hp.get - ppl) <= 0.0001 + 1e-9,
+        s"doc $id ppl: ${hp.get} vs string-keyed $ppl")
+    }
+  }
+
   test("t17 add-one smoothing matches a driver-side reference LM on a tiny corpus") {
     val corpus = Seq(
       (0L, "a b a b c"),
