@@ -47,6 +47,20 @@ object EtlPipeline {
   def sink(df: DataFrame, jdbcUrl: String, table: String): Unit =
     Sinks.writeJdbc(df, jdbcUrl, table)
 
+  /** Stage-level observability (`Dataset.observe`): named metric
+    * aggregates that compute INSIDE the same job that materializes the
+    * pipeline — per-stage row counts / null counts / attrition with
+    * ZERO extra scans, where e23's standalone DQ report pays its own
+    * pass. Harvest with `obs.get` after the first action; metrics must
+    * be scan-streamable aggregates (no distinct). */
+  def observed(df: DataFrame,
+      obs: org.apache.spark.sql.Observation,
+      metrics: (String, org.apache.spark.sql.Column)*): DataFrame = {
+    require(metrics.nonEmpty, "observed() needs at least one metric")
+    df.observe(obs, metrics.head._2.as(metrics.head._1),
+      metrics.tail.map { case (n, c) => c.as(n) }: _*)
+  }
+
   /** Whole pipeline, composed. */
   def run(spark: SparkSession, jsonPath: String, schema: StructType,
       keyCol: String, tsCol: String, groupCol: String, valueCol: String,

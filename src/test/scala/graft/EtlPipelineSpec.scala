@@ -32,4 +32,29 @@ class EtlPipelineSpec extends SparkSpec {
     assert(back.head.getLong(1) === 2L)          // n_records
     assert(back.head.getDouble(2) === 15.0)      // total
   }
+
+  test("observed() harvests stage metrics from the SAME job, no second scan") {
+    import org.apache.spark.sql.functions._
+    val raw = Seq(
+      ("a", 1L, 10.0), ("a", 2L, 20.0), ("b", 1L, 5.0),
+      (null.asInstanceOf[String], 1L, 1.0)
+    ).toDF("name", "ts", "score")
+    val obsRaw = org.apache.spark.sql.Observation("raw_metrics")
+    val obsClean = org.apache.spark.sql.Observation("clean_metrics")
+    val clean = EtlPipeline.observed(
+      EtlPipeline.normalize(
+        EtlPipeline.observed(raw, obsRaw,
+          "n_rows" -> count(lit(1)),
+          "n_null_keys" -> sum(when(col("name").isNull, 1L).otherwise(0L))),
+        keyCol = "name", tsCol = "ts"),
+      obsClean, "n_rows" -> count(lit(1)))
+    // ONE action drives the pipeline; both stages' metrics harvest
+    // from it without any further scan of the inputs
+    val out = clean.groupBy("name").agg(sum("score").as("s")).collect()
+    assert(out.length == 2)
+    assert(obsRaw.get("n_rows") === 4L)
+    assert(obsRaw.get("n_null_keys") === 1L)     // the corrupt row
+    assert(obsClean.get("n_rows") === 2L)        // post-dedup survivors
+    // attrition computed from the two stage observations: 4 -> 2
+  }
 }
