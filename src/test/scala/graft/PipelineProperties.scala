@@ -63,4 +63,24 @@ object PipelineProperties extends Properties("graft.pipeline") {
           g.map(_._3).sorted.toSeq == (1L to g.length).toSeq
         }
     }
+
+  property("priority sample == the u^(1/w) reference on arbitrary corpora") =
+    forAll(corpus) { rows =>
+      import spark.implicits._
+      val df = rows.toDF("doc_id", "source", "n_tokens")
+      val k = 5
+      val got = Pipeline.prioritySample(df, "doc_id", "n_tokens", "source", k)
+        .select("source", "rank", "doc_id").collect()
+        .map(r => (r.getString(0), r.getInt(1), r.getLong(2))).toSet
+      def hash(id: Long) =
+        ((id * 1103515245L + 12345L) % 2147483647L + 2147483647L) % 2147483647L
+      val expect = rows.groupBy(_._2).flatMap { case (s, rs) =>
+        rs.map { case (id, _, w) =>
+          val u = (hash(id) + 1).toDouble / 2147483648.0
+          (id, math.pow(u, 1.0 / math.max(w, 1)))
+        }.sortBy { case (id, p) => (-p, id) }.take(k)
+          .zipWithIndex.map { case ((id, _), r) => (s, r + 1, id) }
+      }.toSet
+      got == expect
+    }
 }
