@@ -144,14 +144,7 @@ object IngestQueries {
   private def ensureBucketed(sp: org.apache.spark.sql.SparkSession,
       table: String, df: => org.apache.spark.sql.DataFrame,
       key: String): Unit = if (!sp.catalog.tableExists(table)) {
-    val loc = new java.io.File(
-      new java.net.URI(sp.conf.get("spark.sql.warehouse.dir")).getPath,
-      table)
-    def rm(f: java.io.File): Unit = {
-      if (f.isDirectory) f.listFiles().foreach(rm)
-      f.delete()
-    }
-    if (loc.exists()) rm(loc)
+    IngestFixtures.clearWarehouseDir(sp, table)
     BucketedWriter.writeBucketed(df, table, key, nBuckets = 8,
       sortCol = Some(key))
   }
@@ -1993,19 +1986,7 @@ object IngestQueries {
       val tbl = s"graft_e38_nation_$fp"
       Tables(sp, dir, "nation").createOrReplaceTempView("e38_nation_src")
       sp.sql(s"DROP TABLE IF EXISTS $tbl")
-      // the in-memory catalog forgets tables between JVMs but their
-      // warehouse directories persist, and CREATE refuses an orphaned
-      // location — clear it first (the ensureBucketed contract)
-      locally {
-        val loc = new java.io.File(
-          new java.net.URI(sp.conf.get("spark.sql.warehouse.dir")).getPath,
-          tbl)
-        def rm(f: java.io.File): Unit = {
-          if (f.isDirectory) f.listFiles().foreach(rm)
-          f.delete()
-        }
-        if (loc.exists()) rm(loc)
-      }
+      IngestFixtures.clearWarehouseDir(sp, tbl)
       sp.sql(s"""CREATE TABLE $tbl
                  (n_nationkey BIGINT, n_name STRING, n_regionkey BIGINT)
                  USING PARQUET PARTITIONED BY (n_regionkey)""")

@@ -39,6 +39,24 @@ object IngestFixtures {
     md.digest().take(8).map(b => f"$b%02x").mkString
   }
 
+  /** Remove a catalog table's orphaned warehouse directory before a
+    * (re)create: the in-memory catalog forgets tables between JVMs but
+    * `spark-warehouse/<table>` persists on disk, and both saveAsTable
+    * and SQL CREATE TABLE refuse the leftover location. Call after
+    * DROP TABLE IF EXISTS, before the write (e07/e38/CBO-spec sites).
+    */
+  def clearWarehouseDir(sp: org.apache.spark.sql.SparkSession,
+      table: String): Unit = {
+    val loc = new java.io.File(
+      new java.net.URI(sp.conf.get("spark.sql.warehouse.dir")).getPath,
+      table)
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+      f.delete()
+    }
+    if (loc.exists()) rm(loc)
+  }
+
   /** Write `df` as `format` under a deterministic path derived from
     * `key` (which must embed a content [[fingerprint]] of the source),
     * at most once per JVM. An on-disk `_SUCCESS`-marked copy is only

@@ -414,12 +414,7 @@ class PlanAuditSpec extends SparkSpec {
     // no hint() call) when the side is under the threshold
     val tbl = "graft_cbo_nation"
     spark.sql(s"DROP TABLE IF EXISTS $tbl")
-    val loc = new java.io.File(
-      new java.net.URI(spark.conf.get("spark.sql.warehouse.dir")).getPath, tbl)
-    def rm(f: java.io.File): Unit = {
-      if (f.isDirectory) f.listFiles().foreach(rm); f.delete()
-    }
-    if (loc.exists()) rm(loc)
+    graft.sources.IngestFixtures.clearWarehouseDir(spark, tbl)
     Tables(spark, dir, "nation").write.saveAsTable(tbl)
     spark.sql(s"ANALYZE TABLE $tbl COMPUTE STATISTICS")
     val stats = spark.sql(s"DESCRIBE EXTENDED $tbl")
