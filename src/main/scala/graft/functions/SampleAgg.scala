@@ -74,21 +74,10 @@ final class SampleSketch(private var k: Int) extends Serializable {
       i += 1
     }
     if (n == keys.length) trim()
-    if (n == keys.length) {
-      // still full after trim (k reached): only admit if it beats the
-      // current worst, replacing it
-      var worst = 0
-      i = 1
-      while (i < n) {
-        if (beats(prios(worst), keys(worst), prios(i), keys(i))) worst = i
-        i += 1
-      }
-      if (beats(priority, key, prios(worst), keys(worst))) {
-        keys(worst) = key; prios(worst) = priority
-      }
-    } else {
-      keys(n) = key; prios(n) = priority; n += 1
-    }
+    // 2k-capacity invariant: for every constructible k >= 1 the trim
+    // above leaves n = k < keys.length (= max(2k, 1)), and the k = 0
+    // placeholder never receives adds — so there is always room here.
+    keys(n) = key; prios(n) = priority; n += 1
   }
 
   /** Sort candidates by the total order and keep the k best. */

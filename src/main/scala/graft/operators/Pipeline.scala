@@ -48,18 +48,23 @@ object Pipeline {
     * input size: the distributed mergeable weighted reservoir.
     * Weights are pinned to >= 1 so zero-weight rows cannot inject
     * NaN/∞ into the ordering. Output: the sampled rows plus their
-    * 1-based `rank` within the stratum. */
+    * 1-based `rank` within the stratum (`rank` is part of the
+    * contract, so the input must not already carry one — required
+    * loudly rather than silently overwritten). */
   def prioritySample(df: DataFrame, idCol: String, weightCol: String,
       strataCol: String, k: Int): DataFrame = {
+    require(!df.columns.contains("rank"),
+      "prioritySample outputs a 'rank' column; the input already has " +
+        "one — rename it before sampling")
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(strataCol).orderBy(col("_prio").desc, col(idCol))
-    df.withColumn("_u", (idHash(col(idCol)) + lit(1L))
+      .partitionBy(strataCol).orderBy(col("__graft_prio").desc, col(idCol))
+    df.withColumn("__graft_u", (idHash(col(idCol)) + lit(1L))
         .cast("double") / lit(2147483648.0))
-      .withColumn("_prio", log2(col("_u")) /
+      .withColumn("__graft_prio", log2(col("__graft_u")) /
         greatest(col(weightCol), lit(1L)).cast("double"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
-      .drop("_u", "_prio")
+      .drop("__graft_u", "__graft_prio")
   }
 
   /** Deterministic global shuffle of a (possibly mixed) sample: each
@@ -97,9 +102,14 @@ object Pipeline {
       resolution: Long = 100000L): DataFrame = {
     val counts = df.groupBy(classCol).agg(count(lit(1)).as("__n"))
     // integer `div`, not double `/`: a double quotient can round up
-    // across an integer boundary and admit one extra per-mille bucket
+    // across an integer boundary and admit one extra per-mille bucket.
+    // The window-min runs over the tiny per-class counts frame; the
+    // constant non-foldable partition key (q58/p10 convention)
+    // declares that single bounded partition so WindowExec's "No
+    // Partition Defined" warning never fires.
     val thr = counts
-      .withColumn("__min", min(col("__n")).over(Window.partitionBy()))
+      .withColumn("__min",
+        min(col("__n")).over(Window.partitionBy(pmod(col("__n"), lit(1L)))))
       .withColumn("__thr", expr(s"(__min * ${resolution}L) div __n"))
     df.join(broadcast(thr), classCol)
       .filter(idHash(col(idCol)) % lit(resolution) < col("__thr"))

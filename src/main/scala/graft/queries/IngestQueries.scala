@@ -1843,7 +1843,16 @@ object IngestQueries {
     * doc), so the incremental micro-batch merges are bit-identical to
     * a batch aggregation at ANY replay slicing — the STREAMING result
     * hash-matches DuckDB's per-user max + rank replay, the e33/e34
-    * full-oracle-check property. */
+    * full-oracle-check property.
+    *
+    * Output-mode note: this fixture replays in COMPLETE mode (the
+    * memory sink re-emits every window each micro-batch), where a
+    * watermark would perform NO state eviction — per-window state is
+    * O(k), but total state grows with the number of windows. That is
+    * fine for the bounded AvailableNow replay here; a production
+    * deployment uses update/append mode plus `withWatermark` so closed
+    * windows leave the store (deliberately omitted here rather than
+    * declared as a no-op). */
   val e36 = QueryDef(
     "e36_stream_sample",
     (sp, dir) => {
@@ -1854,7 +1863,6 @@ object IngestQueries {
       val prio = pmod(col("event_id") * lit(1103515245L) + lit(12345L),
         lit(2147483647L))
       val agg = stream
-        .withWatermark("ts", "1 hour")
         .select(col("ts"), col("event_type"), col("user_id"),
           prio.as("prio"))
         .groupBy(window(col("ts"), "1 hour"), col("event_type"))

