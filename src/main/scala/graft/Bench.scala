@@ -27,6 +27,47 @@ object Bench {
     * s01–s03, t01–t05, m01–m04, e01–e02); guarded at runtime below. */
   private def shortKey(name: String): String = name.takeWhile(_ != '_')
 
+  /** Fixed in-memory calibration job, timed at the start, middle, and
+    * end of the run and reported as `noise_probe_s`: identical work
+    * every time, no I/O, no catalog code — so its three timings move
+    * ONLY with box contention. BENCH_r09 recorded 459.8 s for code a
+    * quiet box runs in 225.7 s, and the correction lived in judge
+    * lore; with the probe, a contended run is identifiable from the
+    * artifact alone (probe ≫ its ~0.1–0.3 s quiet-box level). */
+  private def noiseProbe(spark: SparkSession): Double = {
+    val t0 = System.nanoTime()
+    spark.range(0L, 10000000L, 1L, 32)
+      .selectExpr("sum(id % 1000003) AS s", "count(1) AS n")
+      .collect()
+    (System.nanoTime() - t0) / 1e9
+  }
+
+  /** Per-query standing times (seconds) from the last adjudicated
+    * quiet-box run, checked in at tools/bench_standing.json. An entry
+    * whose first timing exceeds 3× its standing retries once in the
+    * same session: contention then shows up as (high first, low min)
+    * in the `retried` map, a real regression as (high, high). Absent
+    * file or entry → no retry (new entries earn a standing at the
+    * next round close). */
+  private[graft] def loadStandings(path: String = "tools/bench_standing.json")
+      : Map[String, Double] = {
+    val f = new java.io.File(path)
+    if (!f.exists()) Map.empty
+    else try {
+      val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(f)
+      val it = node.fields()
+      val b = Map.newBuilder[String, Double]
+      while (it.hasNext) {
+        val e = it.next()
+        if (e.getValue.isNumber) b += e.getKey -> e.getValue.asDouble()
+      }
+      b.result()
+    } catch { case scala.util.control.NonFatal(e) =>
+      System.err.println(s"[bench] standings unreadable: ${e.getMessage}")
+      Map.empty
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
@@ -78,19 +119,42 @@ object Bench {
     // catalog grows, which both scrambles round-over-round comparisons
     // and moves first-consumer cache effects between queries. A fixed
     // lexicographic order makes BENCH_r{N} diffable per query.
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
+    val standings = loadStandings()
+    val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
+    noiseProbe(spark) // warm the probe's own codegen, untimed
+    val probeStart = noiseProbe(spark)
+    var probeMid = 0.0
+    val retried = Seq.newBuilder[(String, Double)]
+    val results = ordered.zipWithIndex.map { case ((name, fn), i) =>
+      if (i == ordered.size / 2) probeMid = noiseProbe(spark)
       // noop sink: materializes every output column (count() would let
       // Catalyst prune projection-only queries down to nothing).
-      val ok =
-        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
-        catch { case e: Throwable =>
-          System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); false
-        }
-      (name, (System.nanoTime() - t0) / 1e9, ok)
+      def once(): (Double, Boolean) = {
+        val t0 = System.nanoTime()
+        val ok =
+          try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); false
+          }
+        ((System.nanoTime() - t0) / 1e9, ok)
+      }
+      val (t1, ok1) = once()
+      // self-adjudication: a first timing 3× over the entry's recorded
+      // quiet-box standing retries once immediately — contention reads
+      // as (high first, low min), a real regression as (high, high).
+      // The 1 s floor keeps sub-second noise from tripling "3×".
+      val blownUp = ok1 &&
+        standings.get(name).exists(s => t1 > math.max(3.0 * s, 1.0))
+      if (blownUp) {
+        val (t2, ok2) = once()
+        retried += name -> t1
+        (name, math.min(t1, t2), ok1 && ok2)
+      } else (name, t1, ok1)
     }
+    val probeEnd = noiseProbe(spark)
+    val probes = Seq(probeStart, probeMid, probeEnd)
     // Full precision + full names to a side file for humans/tooling...
-    val full = fullLine(results, sharedSec, sfDir)
+    val full = fullLine(results, sharedSec, sfDir, probes, retried.result())
     try {
       val out = java.nio.file.Paths.get("target", "bench_full.json")
       java.nio.file.Files.createDirectories(out.getParent)
@@ -100,17 +164,25 @@ object Bench {
       System.err.println(s"[bench] side file write failed: ${e.getMessage}")
     }
     // ...and a compact line on stdout for the driver.
-    println(compactLine(results, sharedSec, sfDir))
+    println(compactLine(results, sharedSec, sfDir, probes, retried.result()))
     spark.stop()
   }
+
+  /** At most this many entries in the `retried` map (slowest first-
+    * timing first): a fully contended box could retry dozens and blow
+    * the line budget; the overflow count still rides along. */
+  private[graft] val MaxRetriedShown = 10
 
   private def jsonLine(results: Seq[(String, Double, Boolean)],
       queried: Seq[(String, Double, Boolean)], sharedSec: Double,
       sfDir: String, keyOf: String => String,
-      fmt: Double => String): String = {
+      fmt: Double => String, noiseProbes: Seq[Double],
+      retried: Seq[(String, Double)]): String = {
     // total keeps its round-over-round meaning (all work done once per
     // session): per-query sum PLUS the separately-attributed shared
     // build, which previous rounds counted inside its first consumer.
+    // Retried entries count their adjudicated min; calibration probes
+    // are excluded (they measure the box, not the catalog).
     val total = results.map(_._2).sum + sharedSec
     val qs = queried.map { case (k, v, _) => "\"" + keyOf(k) + "\":" + fmt(v) }
       .mkString("{", ",", "}")
@@ -123,13 +195,30 @@ object Bench {
       if (queried.size == results.size) ""
       else s""""queries_dropped":${results.size - queried.size},""" +
         s""""queries_file":"target/bench_full.json","""
-    s"""{"metric":"total","value":${fmt(total)},"unit":"sec","shared_builds":${fmt(sharedSec)},"queries":$qs,$dropped"failed":$failed,"sf":"$sfDir"}"""
+    val probe =
+      if (noiseProbes.isEmpty) ""
+      else noiseProbes.map(fmt).mkString(""""noise_probe_s":[""", ",", "],")
+    val retryField =
+      if (retried.isEmpty) ""
+      else {
+        val shown = retried.sortBy(-_._2).take(MaxRetriedShown)
+          .map { case (k, first) => "\"" + keyOf(k) + "\":" + fmt(first) }
+          .mkString("{", ",", "}")
+        val over =
+          if (retried.size <= MaxRetriedShown) ""
+          else s""""retries_dropped":${retried.size - MaxRetriedShown},"""
+        s""""retried":$shown,$over"""
+      }
+    s"""{"metric":"total","value":${fmt(total)},"unit":"sec","shared_builds":${fmt(sharedSec)},$probe$retryField"queries":$qs,$dropped"failed":$failed,"sf":"$sfDir"}"""
   }
 
   /** The human/tooling side-file line: full names, full precision. */
   private[graft] def fullLine(results: Seq[(String, Double, Boolean)],
-      sharedSec: Double, sfDir: String): String =
-    jsonLine(results, results, sharedSec, sfDir, identity, _.toString)
+      sharedSec: Double, sfDir: String,
+      noiseProbes: Seq[Double] = Nil,
+      retried: Seq[(String, Double)] = Nil): String =
+    jsonLine(results, results, sharedSec, sfDir, identity, _.toString,
+      noiseProbes, retried)
 
   /** The driver-facing stdout line: short keys, degrading precision,
     * never longer than [[MaxLine]]. Tiers: per-query map at 3/2/1/0
@@ -141,7 +230,9 @@ object Bench {
     * reads as parsed:null. Pure function of the results, exposed for
     * BenchLineSpec's growth guard. */
   private[graft] def compactLine(results: Seq[(String, Double, Boolean)],
-      sharedSec: Double, sfDir: String): String = {
+      sharedSec: Double, sfDir: String,
+      noiseProbes: Seq[Double] = Nil,
+      retried: Seq[(String, Double)] = Nil): String = {
     // Short keys unless prefixes ever collide (guarded, not assumed).
     val keys = results.map(_._1)
     val keyOf: String => String =
@@ -157,7 +248,7 @@ object Bench {
     def topLine(n: Int): String = {
       val keep = slowestFirst.take(n).map(_._1).toSet
       jsonLine(results, results.filter(r => keep(r._1)), sharedSec, sfDir,
-        keyOf, fixed(1))
+        keyOf, fixed(1), noiseProbes, retried)
     }
     // Adaptive top tier: the largest N whose line fits. Line length
     // grows ~monotonically in N and each candidate is cheap to build,
@@ -165,10 +256,12 @@ object Bench {
     // on a few-hundred-entry catalog — microseconds, once per run.
     val adaptiveTop = (results.size to 0 by -1).iterator.map(topLine)
       .find(_.length <= MaxLine)
-    val summaryOnly = jsonLine(results, Nil, sharedSec, sfDir, keyOf, fixed(1))
+    val summaryOnly = jsonLine(results, Nil, sharedSec, sfDir, keyOf,
+      fixed(1), noiseProbes, retried)
     val candidates =
       Seq(fixed(3) _, fixed(2) _, fixed(1) _, fixed(0) _)
-        .map(jsonLine(results, results, sharedSec, sfDir, keyOf, _)) ++
+        .map(jsonLine(results, results, sharedSec, sfDir, keyOf, _,
+          noiseProbes, retried)) ++
         adaptiveTop :+ summaryOnly
     candidates.find(_.length <= MaxLine).getOrElse(summaryOnly)
   }

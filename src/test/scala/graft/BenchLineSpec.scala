@@ -97,6 +97,41 @@ class BenchLineSpec extends AnyFunSuite {
     }
   }
 
+  test("noise probes and retried map ride every tier within budget") {
+    val probes = Seq(0.812, 12.437, 0.79)
+    // a badly contended run: many entries tripped the 3× retry
+    val manyRetries = names.take(25).map(n => (n, 17.3))
+    for (rs <- Seq(uniform(1.1), uniform(99.999), realistic)) {
+      val line = Bench.compactLine(rs, 7.3, sf, probes, manyRetries)
+      assert(line.length <= Bench.MaxLine,
+        s"${line.length} chars > ${Bench.MaxLine}")
+      val node = mapper.readTree(line)
+      val np = node.get("noise_probe_s")
+      assert(np != null && np.isArray && np.size == 3 &&
+        math.abs(np.get(1).asDouble - 12.437) < 0.51,
+        s"noise_probe_s wrong in: ${line.take(300)}")
+      val rt = node.get("retried")
+      assert(rt != null && rt.isObject && rt.size == Bench.MaxRetriedShown,
+        s"retried map wrong in: ${line.take(300)}")
+      assert(node.get("retries_dropped").asInt ==
+        manyRetries.size - Bench.MaxRetriedShown)
+    }
+    // absent when nothing was retried / probes disabled (spec inputs)
+    val bare = mapper.readTree(Bench.compactLine(realistic, 7.3, sf))
+    assert(bare.get("noise_probe_s") == null && bare.get("retried") == null)
+  }
+
+  test("standings file parses and covers the catalog") {
+    val st = Bench.loadStandings()
+    assert(st.nonEmpty, "tools/bench_standing.json missing or empty")
+    st.values.foreach(v => assert(v > 0.0 && v < 3600.0))
+    // every standing key must be a catalog entry (stale keys are
+    // harmless to the retry rule but signal the file wasn't refreshed)
+    val catalog = names.toSet
+    val stale = st.keySet -- catalog
+    assert(stale.isEmpty, s"stale standings: ${stale.mkString(", ")}")
+  }
+
   test("short keys are collision-free at the current catalog size") {
     val short = names.map(_.takeWhile(_ != '_'))
     assert(short.distinct.size == names.size,
