@@ -87,11 +87,19 @@ object Similarity {
     * sequential-fold dot kernel so every distance is bit-reproducible
     * (same parenthesization in the oracle). */
   def pqEncode(vectors: DataFrame, labeled: DataFrame, m: Int,
+      dim: Int): DataFrame =
+    pqEncodeWith(vectors,
+      centroids(labeled, "label").select(col("cluster"), col("cv")),
+      m, dim)
+
+  /** [[pqEncode]] against an EXPLICIT codebook `(cluster, cv)` — the
+    * entry point for encoding new vectors in a FROZEN, previously
+    * persisted code space ([[AnnIndex.encodeWith]]). */
+  def pqEncodeWith(vectors: DataFrame, codebook: DataFrame, m: Int,
       dim: Int): DataFrame = {
     require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
     val sub = dim / m
-    val cents = centroids(labeled, "label")
-      .select(col("cluster"), col("cv"))
+    val cents = codebook.select(col("cluster"), col("cv"))
     val dists = (0 until m).map { s =>
       val lo = s * sub + 1
       val vS = slice(col("v"), lo, sub)

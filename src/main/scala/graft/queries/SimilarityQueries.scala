@@ -836,6 +836,147 @@ object SimilarityQueries {
       FROM etop e2 LEFT JOIN hits ON hits.q_id = e2.q_id
       GROUP BY e2.q_id ORDER BY e2.q_id"""))
 
+  /** Cross-run ANN index persistence — the d21 treatment for the
+    * s-family ([[graft.operators.AnnIndex]]): installment 1 (the
+    * corpus, vec_id >= 10) ends by WRITING its IVF index — centroids
+    * plus cluster-PARTITIONED postings — to a parquet store;
+    * installment 2 (the queries) arrives as its own landing file and
+    * probes the STORED index. The returned plan reads ONLY the store
+    * and the landing file (embeddings.parquet is absent from its scan
+    * set — plan-audited in AnnIndexSpec), and the broadcast routed
+    * pairs drive dynamic partition pruning on the postings scan, so
+    * only the probed clusters' files open. The oracle recomputes the
+    * whole IVF chain from scratch over the original table (s03's
+    * SQL): the hash equality proves probe-of-stored ≡ batch rebuild. */
+  val s15 = QueryDef(
+    "s15_persisted_ivf",
+    (sp, dir) => {
+      val fp = graft.sources.IngestFixtures.fingerprint(s"$dir/embeddings.parquet")
+      val store = s"/tmp/graft_ingest_v2/s15_store_$fp"
+      val land = s"/tmp/graft_ingest_v2/s15_land_$fp"
+      graft.sources.IngestFixtures.once(s"s15_$fp") {
+        import scala.reflect.io.Directory
+        new Directory(new java.io.File(store)).deleteRecursively()
+        new Directory(new java.io.File(land)).deleteRecursively()
+        val embs = Tables(sp, dir, "embeddings")
+        // installment 1 ends: IVF index persisted
+        val corpus = Similarity.prep(embs, "vec_id", "embedding")
+          .join(embs.select(col("vec_id").as("id"), col("label")), "id")
+          .filter(col("id") >= 10)
+        graft.operators.AnnIndex.writeIvf(corpus, "label", store)
+        // installment 2 lands as its own file — the entry below must
+        // never touch embeddings.parquet
+        graft.sources.IngestFixtures.addLandingFile(land,
+          embs.filter(col("vec_id") < 10).select("vec_id", "embedding"),
+          "queries.parquet", 1700000300000L)
+      }
+      val queries = Similarity.prep(
+        sp.read.parquet(land), "vec_id", "embedding")
+      graft.operators.AnnIndex.probeIvf(sp, store, queries,
+          k = 5, nProbe = 2)
+        .orderBy("q_id", "rank")
+    },
+    Some(s"""
+      WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] v FROM embeddings),
+      n AS (SELECT vec_id, label, v, sqrt(${foldDot.format("v", "v")}) nrm FROM e),
+      q AS (SELECT vec_id q_id, v qv, nrm qn FROM n WHERE vec_id < 10),
+      c AS (SELECT vec_id n_id, label cl, v cv, nrm cn FROM n WHERE vec_id >= 10),
+      cx AS (SELECT n_id, cl,
+               unnest(list_transform(cv, (x, i) -> {'pos': i - 1, 'x': x}),
+                 recursive := true)
+             FROM c),
+      cm AS (SELECT cl, pos,
+               list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                 list(x ORDER BY n_id)), (a, b) -> a + b) / COUNT(*) AS m
+             FROM cx GROUP BY cl, pos),
+      cents AS (SELECT cl, list(m ORDER BY pos) AS cv FROM cm
+                GROUP BY cl),
+      cn AS (SELECT cl, cv, sqrt(${foldDot.format("cv", "cv")}) AS cn
+             FROM cents),
+      probe AS (SELECT q_id, qv, qn, cl,
+                  ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY
+                    ${foldDot.format("qv", "cv")} / (qn * cn.cn) DESC, cl)
+                    AS probe_rank
+                FROM q CROSS JOIN cn),
+      routed AS (SELECT q_id, qv, qn, cl FROM probe WHERE probe_rank <= 2),
+      s AS (SELECT q_id, n_id, ${foldDot.format("qv", "cv")} / (qn * cn) AS cosine
+            FROM routed r JOIN c USING (cl)),
+      r AS (SELECT q_id, n_id, cosine,
+              ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosine DESC, n_id) rnk
+            FROM s)
+      SELECT q_id, n_id, cosine, CAST(rnk AS INT) AS rank
+      FROM r WHERE rnk <= 5 ORDER BY q_id, rank"""))
+
+  /** Incremental PQ encode against a FROZEN persisted codebook —
+    * [[s15]]'s sibling for the compression index: installment 1 (even
+    * vec_ids) trains the codebook and persists it with its own codes;
+    * installment 2 (odd vec_ids) lands as its own file and encodes
+    * through [[graft.operators.AnnIndex.encodeWith]] — the stored
+    * code space, never retrained, exactly the production contract
+    * (codebooks are versioned artifacts; retraining is a deliberate
+    * reindex). Output = stored codes ∪ newly encoded codes; the
+    * oracle recomputes everything from scratch (codebook from the
+    * even half, all vectors encoded), so the hash proves
+    * incremental-encode-over-stored ≡ batch rebuild. The plan reads
+    * only the store and the landing file (plan-audited). */
+  val s16 = QueryDef(
+    "s16_incremental_pq",
+    (sp, dir) => {
+      val fp = graft.sources.IngestFixtures.fingerprint(s"$dir/embeddings.parquet")
+      val store = s"/tmp/graft_ingest_v2/s16_store_$fp"
+      val land = s"/tmp/graft_ingest_v2/s16_land_$fp"
+      graft.sources.IngestFixtures.once(s"s16_$fp") {
+        import scala.reflect.io.Directory
+        new Directory(new java.io.File(store)).deleteRecursively()
+        new Directory(new java.io.File(land)).deleteRecursively()
+        val embs = Tables(sp, dir, "embeddings")
+        val firstHalf = Similarity.prep(
+            embs.filter(col("vec_id") % 2 === 0), "vec_id", "embedding")
+          .join(embs.select(col("vec_id").as("id"), col("label")), "id")
+        graft.operators.AnnIndex.writePq(
+          firstHalf.select("id", "v"), firstHalf, m = 2, dim = 64, store)
+        graft.sources.IngestFixtures.addLandingFile(land,
+          embs.filter(col("vec_id") % 2 =!= 0).select("vec_id", "embedding"),
+          "batch2.parquet", 1700000400000L)
+      }
+      val newVecs = Similarity.prep(
+        sp.read.parquet(land), "vec_id", "embedding")
+      graft.operators.AnnIndex.readCodes(sp, store)
+        .unionByName(graft.operators.AnnIndex.encodeWith(
+          sp, store, newVecs.select("id", "v"), m = 2, dim = 64))
+        .orderBy("id")
+    },
+    Some(s"""
+      WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] v FROM embeddings),
+      cx AS (SELECT vec_id, label,
+               unnest(list_transform(v, (x, i) -> {'pos': i - 1, 'x': x}),
+                 recursive := true)
+             FROM e WHERE vec_id % 2 = 0),
+      cm AS (SELECT label AS cl, pos,
+               list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                 list(x ORDER BY vec_id)), (a, b) -> a + b) / COUNT(*) AS m
+             FROM cx GROUP BY cl, pos),
+      cents AS (SELECT cl, list(m ORDER BY pos) AS cv FROM cm GROUP BY cl),
+      pairs AS (SELECT vec_id, cl,
+          ${foldDot.format("list_slice(v, 1, 32)", "list_slice(v, 1, 32)")}
+            - 2.0 * ${foldDot.format("list_slice(v, 1, 32)", "list_slice(cv, 1, 32)")}
+            + ${foldDot.format("list_slice(cv, 1, 32)", "list_slice(cv, 1, 32)")} AS d0,
+          ${foldDot.format("list_slice(v, 33, 64)", "list_slice(v, 33, 64)")}
+            - 2.0 * ${foldDot.format("list_slice(v, 33, 64)", "list_slice(cv, 33, 64)")}
+            + ${foldDot.format("list_slice(cv, 33, 64)", "list_slice(cv, 33, 64)")} AS d1
+        FROM e CROSS JOIN cents),
+      b0 AS (SELECT vec_id, cl AS code0, d0 FROM (
+               SELECT vec_id, cl, d0,
+                 ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d0, cl) rn
+               FROM pairs) WHERE rn = 1),
+      b1 AS (SELECT vec_id, cl AS code1, d1 FROM (
+               SELECT vec_id, cl, d1,
+                 ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d1, cl) rn
+               FROM pairs) WHERE rn = 1)
+      SELECT b0.vec_id AS id, code0, code1, d0 + d1 AS sq_err
+      FROM b0 JOIN b1 ON b0.vec_id = b1.vec_id
+      ORDER BY id"""))
+
   val defs: Seq[QueryDef] = Seq(s01, s02, s03, s04, s05, s06, s07, s08,
-    s09, s10, s11, s12, s13, s14)
+    s09, s10, s11, s12, s13, s14, s15, s16)
 }

@@ -59,10 +59,12 @@ class SurveyInventorySpec extends AnyFunSuite {
   test("§7 'Final catalog' scalars equal the derived counts") {
     val n = Catalog.all.size
     val m = Catalog.all.count(_.oracle.isDefined)
-    // the scalar sentence may wrap across lines — normalize whitespace
+    // the scalar sentence may wrap across lines — normalize whitespace;
+    // earlier rounds' log entries keep their historical scalars, so
+    // the LAST occurrence is the current claim
     val flat = surveyText.replaceAll("\\s+", " ")
     val Scalars = """Final catalog: \*\*(\d+) entries, (\d+) oracle-checked""".r
-    Scalars.findFirstMatchIn(flat) match {
+    Scalars.findAllMatchIn(flat).toSeq.lastOption match {
       case Some(sc) =>
         assert(sc.group(1).toInt == n && sc.group(2).toInt == m,
           s"survey says ${sc.group(1)} entries / ${sc.group(2)} oracle-checked, " +
