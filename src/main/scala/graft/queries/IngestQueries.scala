@@ -2015,8 +2015,125 @@ object IngestQueries {
           AS last_name
       FROM nation GROUP BY n_regionkey ORDER BY n_regionkey"""))
 
+  /** Streaming CDC apply — e13's MERGE semantics composed with e28's
+    * exactly-once bookkeeping, the production CDC shape: a change
+    * STREAM (upserts + deletes, multi-version keys) lands file by
+    * file and is foreachBatch-merged into the warehouse table through
+    * [[Sinks.upsertBatchExactlyOnce]] with `opCol` — each batch's
+    * winning change per key is picked by the (version, op, columns)
+    * window, a winning 'U' upserts, a winning 'D' REMOVES the key,
+    * and the bookkeeping row commits in the same install transaction
+    * as the data. Batch 0 is the base snapshot (orders, op='U',
+    * seq=0); batch 1 is the e13 change batch derived from lineitem
+    * (returned lines become deletes). After the stream, batch 1 — the
+    * one with deletes — is deliberately REDELIVERED and must be
+    * skipped: n_batches = 2 rides in the result, so a double-apply
+    * (or a delete resurrected by the touched-partition refill) breaks
+    * the oracle hash. The merge runs the partition-scoped delta path
+    * (partCol = key-range bucket), proving deletes compose with
+    * O(touched-partitions) installs. The oracle replays e13's CDC
+    * fold in SQL over the original parquet. */
+  val e39 = QueryDef(
+    "e39_stream_cdc",
+    (sp, dir) => {
+      val fp = IngestFixtures.fingerprint(s"$dir/orders.parquet") + "_" +
+        IngestFixtures.fingerprint(s"$dir/lineitem.parquet")
+      val land = s"/tmp/graft_ingest_v2/e39_land_$fp"
+      val ckpt = s"/tmp/graft_ingest_v2/e39_ckpt_$fp"
+      val url = s"jdbc:derby:memory:graft_e39_$fp;create=true"
+      val table = "cdc_orders"
+      def changeBatch = Tables(sp, dir, "lineitem")
+        .filter(col("l_orderkey") % 3 === 0)
+        .select(col("l_orderkey").as("o_orderkey"),
+          col("l_linestatus").as("o_orderstatus"),
+          col("l_extendedprice").as("o_totalprice"),
+          when(col("l_returnflag") === "R", "D").otherwise("U").as("op"),
+          col("l_linenumber").cast("long").as("seq"),
+          (col("l_orderkey") % 4).cast("int").as("pgrp"))
+      IngestFixtures.once(s"e39_$fp") {
+        import scala.reflect.io.Directory
+        new Directory(new java.io.File(land)).deleteRecursively()
+        new Directory(new java.io.File(ckpt)).deleteRecursively()
+        def snapshot = Tables(sp, dir, "orders")
+          .select(col("o_orderkey"), col("o_orderstatus"),
+            col("o_totalprice"), lit("U").as("op"), lit(0L).as("seq"),
+            (col("o_orderkey") % 4).cast("int").as("pgrp"))
+        def ingestPass(): Unit = {
+          val schema = StructType(Seq(
+            StructField("o_orderkey", LongType),
+            StructField("o_orderstatus", StringType),
+            StructField("o_totalprice", DoubleType),
+            StructField("op", StringType),
+            StructField("seq", LongType),
+            StructField("pgrp", IntegerType)))
+          val q = sp.readStream.schema(schema).parquet(land)
+            .writeStream
+            .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+              Sinks.upsertBatchExactlyOnce(sp, b.localCheckpoint(true), id,
+                url, table, keyCols = Seq("o_orderkey"), versionCol = "seq",
+                numPartitions = 2, partCol = Some("pgrp"),
+                opCol = Some("op"))
+              ()
+            }
+            .option("checkpointLocation", ckpt)
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start()
+          q.awaitTermination()
+        }
+        IngestFixtures.addLandingFile(land, snapshot,
+          "batch1.parquet", 1700000000000L)
+        ingestPass()                                     // batch 0: snapshot
+        IngestFixtures.addLandingFile(land, changeBatch,
+          "batch2.parquet", 1700000100000L)
+        ingestPass()                                     // batch 1: changes
+        // redeliver the DELETE-carrying batch (crash-after-commit):
+        // MUST be skipped, or n_batches and the deleted keys both break
+        Sinks.upsertBatchExactlyOnce(sp, changeBatch, 1L, url, table,
+          keyCols = Seq("o_orderkey"), versionCol = "seq",
+          numPartitions = 2, partCol = Some("pgrp"), opCol = Some("op"))
+      }
+      import graft.Dsl.moneySum
+      val nb = Sinks.readJdbc(sp, url, table + "__applied")
+        .agg(count(lit(1)).as("n_batches"))
+        .withColumn("__k", pmod(col("n_batches"), lit(1L)))
+      Sinks.readJdbc(sp, url, table)
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n_orders"),
+          moneySum(col("o_totalprice")).as("sum_price"),
+          min(col("o_orderkey")).as("min_key"),
+          max(col("o_orderkey")).as("max_key"))
+        .withColumn("__k", pmod(col("n_orders"), lit(1L)))
+        .join(broadcast(nb), "__k")
+        .drop("__k")
+        .orderBy("o_orderstatus")
+    },
+    Some("""
+      WITH ch AS (
+        SELECT l_orderkey AS o_orderkey, l_linestatus AS o_orderstatus,
+          l_extendedprice AS o_totalprice,
+          CASE WHEN l_returnflag = 'R' THEN 'D' ELSE 'U' END AS op,
+          l_linenumber AS seq
+        FROM lineitem WHERE l_orderkey % 3 = 0),
+      fin AS (
+        SELECT * FROM (
+          SELECT ch.*, ROW_NUMBER() OVER (PARTITION BY o_orderkey
+            ORDER BY seq DESC, op DESC, o_orderstatus DESC,
+              o_totalprice DESC) AS rn
+          FROM ch) WHERE rn = 1),
+      next AS (
+        SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+        WHERE o_orderkey NOT IN (SELECT o_orderkey FROM fin)
+        UNION ALL
+        SELECT o_orderkey, o_orderstatus, o_totalprice FROM fin
+        WHERE op = 'U')
+      SELECT o_orderstatus, COUNT(*) AS n_orders,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+        MIN(o_orderkey) AS min_key, MAX(o_orderkey) AS max_key,
+        CAST(2 AS BIGINT) AS n_batches
+      FROM next GROUP BY o_orderstatus ORDER BY o_orderstatus"""))
+
   val defs: Seq[QueryDef] =
     Seq(e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11, e12, e13,
       e14, e15, e16, e17, e18, e19, e20, e21, e22, e23, e24, e25, e26,
-      e27, e28, e29, e30, e31, e32, e33, e34, e35, e36, e37, e38)
+      e27, e28, e29, e30, e31, e32, e33, e34, e35, e36, e37, e38, e39)
 }

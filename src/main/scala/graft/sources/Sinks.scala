@@ -77,10 +77,22 @@ object Sinks {
     * `partCol` every installment rewrites the whole table (still
     * atomically), which at 100 TB makes the terminal hop O(table) per
     * batch — fine for dimension-sized tables, wrong for fact sinks. */
+  /** CDC extension: pass `opCol` (a batch column holding 'U' upsert /
+    * 'D' delete) and the merge becomes MERGE-INTO with deletes — the
+    * key's winning change row is picked by the same window (version
+    * desc, then op desc so a tie resolves U-before-D deterministically,
+    * then the remaining columns), a winning 'U' upserts, a winning 'D'
+    * removes the key from the table. The op column itself is never
+    * stored: existing rows participate in the window as implicit 'U's.
+    * Delete scoping composes with `partCol`: a change row carries its
+    * key's (stable) partition value, so the touched-partition
+    * delete+refill drops deleted keys without scanning untouched
+    * partitions. */
   def upsertJdbc(spark: SparkSession, batch: DataFrame, url: String,
       table: String, keyCols: Seq[String], versionCol: String,
       numPartitions: Int = 8, props: Properties = new Properties(),
       partCol: Option[String] = None,
+      opCol: Option[String] = None,
       txnHook: java.sql.Connection => Unit = _ => ()): Unit = {
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.functions._
@@ -90,6 +102,10 @@ object Sinks {
     // e22's partition column.
     require(partCol.forall(batch.columns.contains),
       s"partCol $partCol must be a batch column")
+    require(opCol.forall(batch.columns.contains),
+      s"opCol $opCol must be a batch column")
+    require(opCol.forall(c => !keyCols.contains(c) && c != versionCol &&
+      !partCol.contains(c)), s"opCol $opCol must be a dedicated column")
     val stage = table + "__stage"
     val old = table + "__old"
     // sweep scratch from a previous crashed run BEFORE deciding paths
@@ -139,16 +155,27 @@ object Sinks {
       }
     // the batch itself dedups through the same window whether or not
     // the table exists — duplicate keys within a first-load batch must
-    // not survive either
+    // not survive either. With opCol, existing rows are implicit 'U's
+    // (the table never stores the op column).
     val tagged = existing.foldLeft(batch.withColumn("__new", lit(1))) {
-      (b, cur) => b.unionByName(cur.withColumn("__new", lit(0)))
+      (b, cur) => b.unionByName(opCol.foldLeft(cur.withColumn("__new", lit(0))) {
+        (c, op) => c.withColumn(op, lit("U"))
+      })
     }
     val others = batch.columns.filterNot(keyCols.contains)
-      .filterNot(_ == versionCol).map(col).toSeq
+      .filterNot(_ == versionCol).filterNot(opCol.contains).map(col).toSeq
     val w = Window.partitionBy(keyCols.map(col): _*)
-      .orderBy(col("__new").desc +: col(versionCol).desc +: others.map(_.desc): _*)
-    val merged = tagged.withColumn("__rn", row_number().over(w))
+      .orderBy(col("__new").desc +: col(versionCol).desc +:
+        (opCol.map(c => col(c).desc).toSeq ++ others.map(_.desc)): _*)
+    val merged0 = tagged.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1).drop("__new", "__rn")
+    // a key whose winning change is a delete leaves the table: it is
+    // absent from the staged result, and the install path (full
+    // rewrite, rename pair, or touched-partition delete+refill) makes
+    // that absence the new truth
+    val merged = opCol.foldLeft(merged0) { (m, op) =>
+      m.filter(col(op) === "U").drop(op)
+    }
     // stage write: the live table is read-only during this — the merge
     // plan reads `table`, the writer targets `table__stage` — so no
     // lineage checkpoint is needed and a failure here costs nothing.
@@ -230,7 +257,8 @@ object Sinks {
       batchId: Long, url: String, table: String, keyCols: Seq[String],
       versionCol: String, numPartitions: Int = 8,
       props: Properties = new Properties(),
-      partCol: Option[String] = None): Boolean = {
+      partCol: Option[String] = None,
+      opCol: Option[String] = None): Boolean = {
     val bk = table + "__applied"
     if (!jdbcTableExists(url, bk, props)) {
       // idempotent bootstrap: losing a race to another creator is fine
@@ -255,7 +283,7 @@ object Sinks {
     if (applied) false
     else {
       upsertJdbc(spark, batch, url, table, keyCols, versionCol,
-        numPartitions, props, partCol,
+        numPartitions, props, partCol, opCol,
         txnHook = { conn =>
           // unconditional insert: if the skip check ever regressed, a
           // reapply would double-record and any count over the

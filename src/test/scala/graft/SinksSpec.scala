@@ -48,6 +48,46 @@ class SinksSpec extends SparkSpec {
     assert(back.length === 1 && back.head.getString(1) === "a2")
   }
 
+  test("jdbc CDC merge (opCol) applies upserts, deletes, and in-batch version races") {
+    val url = "jdbc:derby:memory:graftcdc;create=true"
+    val base = Seq((1L, "a", 0L, "U"), (2L, "b", 0L, "U"), (3L, "c", 0L, "U"))
+      .toDF("id", "name", "seq", "op")
+    Sinks.upsertJdbc(spark, base, url, "cdc", Seq("id"), "seq",
+      numPartitions = 1, opCol = Some("op"))
+    // op column is never stored
+    val cols = Sinks.readJdbc(spark, url, "cdc").columns.map(_.toLowerCase)
+    assert(!cols.contains("op"), s"op leaked into the table: ${cols.toSeq}")
+    val changes = Seq(
+      (1L, "a-del", 1L, "D"),                   // delete key 1
+      (2L, "b2", 1L, "U"), (2L, "b-del", 2L, "D"), (2L, "b3", 3L, "U"),
+                                                // key 2: U beats earlier D
+      (4L, "d-first", 1L, "D"), (4L, "d", 2L, "U"),
+                                                // new key: final U inserts
+      (5L, "ghost", 1L, "D"))                   // delete of a missing key
+      .toDF("id", "name", "seq", "op")
+    Sinks.upsertJdbc(spark, changes, url, "cdc", Seq("id"), "seq",
+      numPartitions = 1, opCol = Some("op"))
+    val back = Sinks.readJdbc(spark, url, "cdc").orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    assert(back.toSeq === Seq((2L, "b3"), (3L, "c"), (4L, "d")))
+    // a later batch whose final change is a delete removes the key even
+    // through the partition-scoped delta path
+    val del = Seq((2L, "x", 9L, "D")).toDF("id", "name", "seq", "op")
+      .withColumn("pg", (col("id") % 2).cast("int"))
+    val withPg = Sinks.readJdbc(spark, url, "cdc")
+    // migrate table to carry pg (full-path merge adds the column)
+    Sinks.upsertJdbc(spark,
+      withPg.withColumn("pg", (col("id") % 2).cast("int"))
+        .withColumn("op", lit("U")),
+      url, "cdc2", Seq("id"), "seq", numPartitions = 1, opCol = Some("op"))
+    Sinks.upsertJdbc(spark, del, url, "cdc2", Seq("id"), "seq",
+      numPartitions = 1, partCol = Some("pg"), opCol = Some("op"))
+    val after = Sinks.readJdbc(spark, url, "cdc2").orderBy("id").collect()
+      .map(_.getLong(0))
+    assert(after.toSeq === Seq(3L, 4L),
+      "delta-path delete must remove the key and leave untouched partitions")
+  }
+
   test("csv reader round-trips with an explicit schema") {
     import org.apache.spark.sql.types._
     val dir = java.nio.file.Files.createTempDirectory("graft_csv").toString
