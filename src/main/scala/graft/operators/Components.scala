@@ -31,11 +31,24 @@ object Components {
       : (DataFrame, java.math.BigInteger, () => Unit) =
     org.apache.spark.sql.graft.Bridge.truncatedAutoSum(df, sumIdx = 1)
 
+  /** Rounds the last [[connectedComponents]] call needed — diagnostic
+    * for scale tests (ComponentsSpec pins the growth rate: the
+    * neighbor-min + pointer-jump recurrence reaches ~2^k ids in k
+    * rounds, so rounds grow LOGARITHMICALLY in component diameter). */
+  @volatile private[graft] var lastRounds: Int = 0
+
   /** @param edges two long columns (`srcCol`, `dstCol`), undirected.
+    * @param maxIter loud-failure bound, NOT a tuning knob: the loop
+    *   early-stops at convergence, so a generous bound costs nothing
+    *   on converged graphs. Propagation reach compounds ~2× per round
+    *   (neighbor min + pointer jump), so 60 rounds covers component
+    *   diameters far beyond anything a dedup graph can produce —
+    *   the sf1 gate found df-capped shingle graphs whose thin chains
+    *   exceed the old bound of 20 at only 10× the dev scale.
     * @return (id, component) — component = min node id reachable.
     */
   def connectedComponents(edges: DataFrame, srcCol: String, dstCol: String,
-      maxIter: Int = 20): DataFrame = {
+      maxIter: Int = 60): DataFrame = {
     val both = edges.select(col(srcCol).as("a"), col(dstCol).as("b"))
       .unionAll(edges.select(col(dstCol).as("a"), col(srcCol).as("b")))
       .distinct()
@@ -77,6 +90,7 @@ object Components {
       iter += 1
     }
     both.unpersist()
+    lastRounds = iter
     // A silent stop at maxIter would return labels that LOOK final but
     // aren't (components wider than maxIter hops keep split labels).
     // Fail loudly; callers with genuinely deep graphs raise maxIter.

@@ -2132,8 +2132,111 @@ object IngestQueries {
         CAST(2 AS BIGINT) AS n_batches
       FROM next GROUP BY o_orderstatus ORDER BY o_orderstatus"""))
 
+  /** Streaming TOP-K LEADERBOARD — the rank-order contract e34 stops
+    * short of: per hour, the watchlist (overall top-30 users by exact
+    * total count — the bounded registry an abuse/ops deployment
+    * maintains) is ranked BY THE HOUR'S CMS ESTIMATES and cut to a
+    * top-5 leaderboard. e34 certifies each probed estimate's value;
+    * this entry certifies their ORDER — a single counter collision
+    * shifting two users' relative estimates reorders a leaderboard
+    * row and breaks the hash. Determinism: CMS estimates are exact
+    * integers (row-for-row DuckDB counter replay), ties break on
+    * user_id, so the rank window needs no round-then-rank guard. The
+    * rank runs over the hours × 30 post-aggregate panel — dimension-
+    * sized, partitioned by bucket, never the raw events. */
+  val e40 = QueryDef(
+    "e40_stream_topk",
+    (sp, dir) => {
+      val schema = Tables.eventsRawSchema(sp, dir)
+      val stream = Tables.eventsTs(
+        sp.readStream.schema(schema).option("basePath", dir)
+          .parquet(s"$dir/events.parque[t]"))
+      val agg = stream
+        .withWatermark("ts", "1 hour")
+        .groupBy(window(col("ts"), "1 hour"))
+        .agg(count(lit(1)).as("n_events"),
+          graft.functions.CmsSketchAgg(col("user_id").cast("long"), 64)
+            .as("sketch"))
+      val sink = s"e40_lead_${streamRuns.incrementAndGet()}"
+      withFewStatePartitions(sp, 8) {
+        val q = agg.writeStream.format("memory").queryName(sink)
+          .outputMode("complete")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      val hours = sp.table(sink)
+        .select(col("window.start").as("bucket"), col("n_events"),
+          col("sketch"))
+        .withColumn("j", pmod(col("n_events"), lit(1L)))
+      val watchlist = Tables(sp, dir, "events")
+        .select(col("user_id").cast("long").as("user_id"))
+        .groupBy("user_id").agg(count(lit(1)).as("total_cnt"))
+        .orderBy(col("total_cnt").desc, col("user_id")).limit(30)
+        .withColumn("j", pmod(col("user_id"), lit(1L)))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("bucket")
+        .orderBy(col("cms_estimate").desc, col("user_id"))
+      hours.join(broadcast(watchlist), Seq("j"))
+        .withColumn("cms_estimate",
+          graft.functions.CmsQuery(col("sketch"), col("user_id")))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 5)
+        .select(col("bucket"), col("rank"), col("user_id"),
+          col("cms_estimate"), col("n_events"))
+        .orderBy("bucket", "rank")
+    },
+    Some {
+      val hashRows = graft.operators.CountMin.rowParams.zipWithIndex
+        .map { case ((a, b), i) =>
+          s"SELECT bucket, $i AS row, (($a * (key % 2147483647) + $b) % 2147483647) % 64 AS pos, cnt FROM keys"
+        }.mkString("\n        UNION ALL ")
+      val probeRows = graft.operators.CountMin.rowParams.zipWithIndex
+        .map { case ((a, b), i) =>
+          s"SELECT bucket, n_events, user_id, $i AS row, (($a * (user_id % 2147483647) + $b) % 2147483647) % 64 AS pos FROM panel"
+        }.mkString("\n        UNION ALL ")
+      s"""
+      WITH keys AS (
+        SELECT DATE_TRUNC('hour', ts) AS bucket,
+          CAST(user_id AS BIGINT) AS key, COUNT(*) AS cnt
+        FROM events GROUP BY 1, 2),
+      routed AS (
+        $hashRows),
+      counters AS (
+        SELECT bucket, row, pos, SUM(cnt) AS counter
+        FROM routed GROUP BY 1, 2, 3),
+      top AS (
+        SELECT CAST(user_id AS BIGINT) AS user_id, COUNT(*) AS total_cnt
+        FROM events GROUP BY 1
+        ORDER BY total_cnt DESC, user_id LIMIT 30),
+      hours AS (
+        SELECT DATE_TRUNC('hour', ts) AS bucket, COUNT(*) AS n_events
+        FROM events GROUP BY 1),
+      panel AS (
+        SELECT h.bucket, h.n_events, t.user_id
+        FROM hours h CROSS JOIN top t),
+      proberouted AS (
+        $probeRows),
+      est AS (
+        SELECT pr.bucket, pr.n_events, pr.user_id,
+          MIN(COALESCE(c.counter, 0)) AS cms_estimate
+        FROM proberouted pr LEFT JOIN counters c
+          ON pr.bucket = c.bucket AND pr.row = c.row AND pr.pos = c.pos
+        GROUP BY 1, 2, 3),
+      ranked AS (
+        SELECT bucket, n_events, user_id, cms_estimate,
+          ROW_NUMBER() OVER (PARTITION BY bucket
+            ORDER BY cms_estimate DESC, user_id) AS rnk
+        FROM est)
+      SELECT bucket, CAST(rnk AS INT) AS rank, user_id,
+        CAST(cms_estimate AS BIGINT) AS cms_estimate, n_events
+      FROM ranked WHERE rnk <= 5
+      ORDER BY bucket, rank"""
+    })
+
   val defs: Seq[QueryDef] =
     Seq(e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11, e12, e13,
       e14, e15, e16, e17, e18, e19, e20, e21, e22, e23, e24, e25, e26,
-      e27, e28, e29, e30, e31, e32, e33, e34, e35, e36, e37, e38, e39)
+      e27, e28, e29, e30, e31, e32, e33, e34, e35, e36, e37, e38, e39,
+      e40)
 }

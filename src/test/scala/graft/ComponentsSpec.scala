@@ -32,6 +32,23 @@ class ComponentsSpec extends SparkSpec {
     assert(out === Set((0L, 0L, false), (1L, 1L, false)))
   }
 
+  test("rounds grow logarithmically in diameter (pointer jump engaged)") {
+    // a 3000-hop path with the min at one end is the adversarial
+    // shape the sf1 gate produced (df-capped shingle graphs collapse
+    // to thin chains); plain min-propagation would need 3000 rounds —
+    // the neighbor-min + pointer-jump recurrence compounds reach
+    // ~2x per round, so it must converge in ~log2(3000) + slack
+    val n = 3000L
+    val edges = (1L until n).map(i => (i, i + 1)).toDF("d1", "d2")
+      .repartition(8)
+    val comps = Components.connectedComponents(edges, "d1", "d2")
+      .collect().map(_.getLong(1)).distinct
+    assert(comps.toSeq === Seq(1L))
+    assert(Components.lastRounds <= 25,
+      s"path of $n nodes took ${Components.lastRounds} rounds — " +
+        "the pointer jump is not compounding")
+  }
+
   test("non-convergence within maxIter fails loudly instead of returning split labels") {
     val edges = (1L until 6L).map(i => (i, i + 1)).toDF("d1", "d2")
     val e = intercept[IllegalStateException] {
