@@ -308,6 +308,10 @@ class PlanAuditSpec extends SparkSpec {
     // the exact side's scan is the same declared baseline as s06's.
     // s14 broadcasts the 10 quantized queries against the coded corpus
     // and evaluates against the same declared brute-force baseline.
+    // s15 routes the landed queries against the STORED centroids —
+    // s03's declared broadcast shape read back from parquet; s16
+    // encodes against the stored codebook — s08's declared broadcast
+    // argmin over |codebook| candidates.
     // q100's one crossJoin stitches TWO ONE-ROW AGGREGATES (graph
     // stats × triangle count — Triangles.stats' final select); every
     // data-sized join in it is an equi-join. (Latent until r8: the r7
@@ -317,7 +321,7 @@ class PlanAuditSpec extends SparkSpec {
       "s05_radius_search", "s06_recall_report", "s07_mips_topk",
       "s08_pq_encode", "s09_maxsim", "s10_ivf_recall",
       "s12_pq_adc_search", "s13_multiprobe_recall", "s14_sq8_recall",
-      "q100_triangle_count")
+      "s15_persisted_ivf", "s16_incremental_pq", "q100_triangle_count")
     val offenders = sweptPlans.collect {
       case (name, Left(err)) => s"$name (build threw $err)"
       case (name, Right(p)) if !allow(name) &&
