@@ -24,11 +24,25 @@ object Dsl {
     * multiplication/addition is then exact and associative. */
   private val one = lit(new java.math.BigDecimal("1.00")).cast(DecimalType(3, 2))
 
-  /** SUM(price * (1 - disc)) exactly:
-    * `CAST(SUM(CAST(p AS DECIMAL(12,2)) * (CAST(1.00 AS DECIMAL(3,2)) -
-    * CAST(d AS DECIMAL(4,2)))) AS DOUBLE)`. */
+  /** SUM(price * (1 - disc)) exactly, rounded to money grain (2
+    * decimals) BEFORE the double cast:
+    * `CAST(ROUND(SUM(CAST(p AS DECIMAL(12,2)) * (CAST(1.00 AS
+    * DECIMAL(3,2)) - CAST(d AS DECIMAL(4,2)))), 2) AS DOUBLE)`.
+    *
+    * Why the round (sf1 gate finding): the exact sum has scale 4 (6
+    * for [[revTaxSum]]), so its integer representation is value·10⁴
+    * (10⁶) — past 2^53 (value ≥ 9·10¹¹ resp. 9·10⁹, reached by
+    * corpus-level revenue between sf1 and sf30) the decimal→double
+    * conversion must round, and Spark (BigDecimal.doubleValue,
+    * correctly rounded) and DuckDB (int128→double, then ÷10^scale —
+    * TWO roundings) can disagree in the last ulp. Rounding the exact
+    * decimal to scale 2 first keeps the integer under 2^53 until
+    * total revenue ≥ 9·10¹³ (sf ≈ 30 000), where the conversion is
+    * exact on both engines. HALF_UP ≡ DuckDB's half-away-from-zero
+    * for every sign, so the rounded decimals are identical too. */
   def revSum(price: Column, disc: Column): Column =
-    sum(price.cast(DecimalType(12, 2)) * (one - disc.cast(DecimalType(4, 2))))
+    round(sum(price.cast(DecimalType(12, 2))
+        * (one - disc.cast(DecimalType(4, 2)))), 2)
       .cast(DoubleType)
 
   /** [[revSum]] without the final double cast — keeps the exact
@@ -37,10 +51,15 @@ object Dsl {
   def revSumDec(price: Column, disc: Column): Column =
     sum(price.cast(DecimalType(12, 2)) * (one - disc.cast(DecimalType(4, 2))))
 
-  /** SUM(price * (1 - disc) * (1 + tax)) exactly. */
+  /** SUM(price * (1 - disc) * (1 + tax)) exactly, rounded to money
+    * grain before the double cast ([[revSum]]'s scale-cliff note —
+    * at scale 6 the conversion cliff is value ≥ 9·10⁹, which sf1
+    * corpus revenue already crosses). */
   def revTaxSum(price: Column, disc: Column, tax: Column): Column =
-    sum(price.cast(DecimalType(12, 2)) * (one - disc.cast(DecimalType(4, 2)))
-      * (one + tax.cast(DecimalType(4, 2)))).cast(DoubleType)
+    round(sum(price.cast(DecimalType(12, 2))
+        * (one - disc.cast(DecimalType(4, 2)))
+        * (one + tax.cast(DecimalType(4, 2)))), 2)
+      .cast(DoubleType)
 
   /** Deterministic mean: exact decimal sum divided by count, in
     * double — never `avg(decimal)` (Spark/DuckDB scale rules differ). */

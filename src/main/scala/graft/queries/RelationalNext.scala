@@ -436,12 +436,18 @@ object RelationalNext {
         Seq("flag"), Seq(col("rev").desc, col("part")), "rev", "cum_rev")
       val tot = byPart.groupBy("flag").agg(sum(col("rev")).as("flag_rev"))
       cum.join(broadcast(tot), "flag")
+        // round both operands to money grain before the double casts:
+        // past the 2^53 conversion cliff (Dsl.revSum scaladoc) the
+        // raw scale-4 decimals convert differently on the two
+        // engines, and cum_share DRIVES A SELECTION (<= 0.8) — a
+        // last-ulp disagreement would flip knife-edge rows
         .withColumn("cum_share",
-          col("cum_rev").cast("double") / col("flag_rev").cast("double"))
+          round(col("cum_rev"), 2).cast("double") /
+            round(col("flag_rev"), 2).cast("double"))
         .groupBy("flag")
         .agg(count(lit(1)).as("n_parts"),
           sum(when(col("cum_share") <= 0.8, 1L).otherwise(0L)).as("n_a_parts"),
-          sum(col("rev")).cast("double").as("total_rev"))
+          round(sum(col("rev")), 2).cast("double").as("total_rev"))
         .orderBy("flag")
     },
     Some("""
@@ -453,15 +459,15 @@ object RelationalNext {
         FROM lineitem GROUP BY 1, 2),
       shares AS (
         SELECT flag, part, rev,
-          CAST(SUM(rev) OVER (PARTITION BY flag
-              ORDER BY rev DESC, part ROWS UNBOUNDED PRECEDING) AS DOUBLE)
-            / CAST(SUM(rev) OVER (PARTITION BY flag) AS DOUBLE)
+          CAST(ROUND(SUM(rev) OVER (PARTITION BY flag
+              ORDER BY rev DESC, part ROWS UNBOUNDED PRECEDING), 2) AS DOUBLE)
+            / CAST(ROUND(SUM(rev) OVER (PARTITION BY flag), 2) AS DOUBLE)
             AS cum_share
         FROM byPart)
       SELECT flag, COUNT(*) AS n_parts,
         CAST(SUM(CASE WHEN cum_share <= 0.8 THEN 1 ELSE 0 END) AS BIGINT)
           AS n_a_parts,
-        CAST(SUM(rev) AS DOUBLE) AS total_rev
+        CAST(ROUND(SUM(rev), 2) AS DOUBLE) AS total_rev
       FROM shares GROUP BY flag ORDER BY flag"""))
 
   /** Several COUNT(DISTINCT …) over DIFFERENT columns in one aggregate

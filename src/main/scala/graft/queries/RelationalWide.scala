@@ -689,7 +689,10 @@ object RelationalWide {
         .cube("l_returnflag", "l_linestatus")
         .agg(sum(col("__n")).as("n_items"),
           sum(col("__qty")).cast(DoubleType).as("sum_qty"),
-          sum(col("__disc")).cast(DoubleType).as("sum_disc_price"),
+          // round to money grain before the double cast — the exact
+          // scale-4 total crosses the 2^53 conversion cliff between
+          // sf1 and sf30 (Dsl.revSum scaladoc)
+          round(sum(col("__disc")), 2).cast(DoubleType).as("sum_disc_price"),
           grouping(col("l_returnflag")).as("g_flag"),
           grouping(col("l_linestatus")).as("g_status"))
         .orderBy(col("g_flag"), col("g_status"),
@@ -699,8 +702,8 @@ object RelationalWide {
     Some("""
       SELECT l_returnflag, l_linestatus, COUNT(*) AS n_items,
         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
-        CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) *
-          (CAST(1.00 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2))))
+        CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) *
+          (CAST(1.00 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))), 2)
           AS DOUBLE) AS sum_disc_price,
         CAST(GROUPING(l_returnflag) AS TINYINT) AS g_flag,
         CAST(GROUPING(l_linestatus) AS TINYINT) AS g_status
@@ -731,8 +734,8 @@ object RelationalWide {
     Some("""
       SELECT l_returnflag, COUNT(*) AS n_items,
         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
-        CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) *
-          (CAST(1.00 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2))))
+        CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) *
+          (CAST(1.00 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))), 2)
           AS DOUBLE) AS sum_disc_price
       FROM lineitem
       WHERE EXISTS (SELECT 1 FROM part
