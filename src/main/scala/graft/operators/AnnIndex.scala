@@ -113,4 +113,62 @@ object AnnIndex {
   def encodeWith(sp: SparkSession, store: String, vectors: DataFrame,
       m: Int, dim: Int): DataFrame =
     Similarity.pqEncodeWith(vectors, readCodebook(sp, store), m, dim)
+
+  /** Assign vectors to their NEAREST stored centroid by cosine (ties
+    * → smaller cluster id) — the routing step of the FAISS "add"
+    * contract: on ingest, centroids NEVER move; re-clustering is a
+    * deliberate reindex. One broadcast of the dimension-sized
+    * centroid table; the argmax is a per-vector rank over |clusters|
+    * candidates. Input (id, v, nrm) → output (cluster, n_id, cv, cn)
+    * in postings schema. */
+  def assignToStored(sp: SparkSession, store: String,
+      vectors: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("n_id")
+      .orderBy(col("__sim").desc, col("cluster"))
+    vectors.select(col("id").as("n_id"), col("v").as("cv"),
+        col("nrm").as("cn"))
+      .join(broadcast(readCentroids(sp, store)
+        .select(col("cluster"), col("cv").as("cv2"), col("cn").as("cn2"))))
+      .select(col("cluster"), col("n_id"), col("cv"), col("cn"),
+        (graft.Dsl.dotFold(col("cv"), col("cv2")) / (col("cn") * col("cn2")))
+          .as("__sim"))
+      .withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") === 1)
+      .select("cluster", "n_id", "cv", "cn")
+  }
+
+  /** Grow the persisted IVF index with an installment: new vectors
+    * route to their nearest FROZEN centroid and append to the
+    * cluster-partitioned postings, installed ATOMICALLY — the merged
+    * postings are written to `<store>__stage` and swapped in via
+    * directory renames ([[DedupIndex.installAppended]]'s discipline:
+    * a crash mid-write leaves the live store untouched; stage/old
+    * scratch is swept on the next call). Centroids are copied
+    * verbatim: the index grows, the code space doesn't move. */
+  def appendVectors(sp: SparkSession, store: String,
+      vectors: DataFrame): Unit = {
+    val stage = store + "__stage"
+    val old = store + "__old"
+    def rm(p: String): Unit = {
+      def del(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty)
+          .foreach(del)
+        f.delete(); ()
+      }
+      del(new java.io.File(p))
+    }
+    rm(stage); rm(old)
+    readCentroids(sp, store)
+      .write.mode("overwrite").parquet(s"$stage/centroids")
+    readPostings(sp, store)
+      .unionByName(assignToStored(sp, store, vectors))
+      .write.mode("overwrite").partitionBy("cluster")
+      .parquet(s"$stage/postings")
+    require(new java.io.File(store).renameTo(new java.io.File(old)),
+      s"install: cannot move live store $store aside")
+    require(new java.io.File(stage).renameTo(new java.io.File(store)),
+      s"install: cannot move stage $stage into place (old state at $old)")
+    rm(old)
+  }
 }

@@ -977,6 +977,98 @@ object SimilarityQueries {
       FROM b0 JOIN b1 ON b0.vec_id = b1.vec_id
       ORDER BY id"""))
 
+  /** Grow the persisted IVF index — the FAISS "add" contract closing
+    * the stored-index lifecycle (build s15 → GROW s17 → probe):
+    * installment 2's vectors land as their own file, route to their
+    * nearest FROZEN centroid ([[graft.operators.AnnIndex
+    * .assignToStored]] — centroids never move on ingest; re-clustering
+    * is a deliberate reindex), and append to the cluster-partitioned
+    * postings ATOMICALLY (stage + rename, the DedupIndex install
+    * discipline). The entry probes the GROWN index with a third
+    * landed query file; embeddings.parquet is absent from the plan's
+    * scan set (plan-audited). The oracle recomputes everything from
+    * scratch — frozen centroids from the initial corpus, argmax
+    * assignment of the installment (cosines ride the same fold
+    * kernel, so the argmax is over bit-identical doubles), the
+    * unioned postings, the routed probe — so the hash proves
+    * grow-then-probe ≡ batch rebuild of the same contract. */
+  val s17 = QueryDef(
+    "s17_ivf_append",
+    (sp, dir) => {
+      val fp = graft.sources.IngestFixtures.fingerprint(s"$dir/embeddings.parquet")
+      val store = s"/tmp/graft_ingest_v2/s17_store_$fp"
+      val land = s"/tmp/graft_ingest_v2/s17_land_$fp"
+      val qland = s"/tmp/graft_ingest_v2/s17_q_$fp"
+      graft.sources.IngestFixtures.once(s"s17_$fp") {
+        import scala.reflect.io.Directory
+        Seq(store, land, qland).foreach(p =>
+          new Directory(new java.io.File(p)).deleteRecursively())
+        val embs = Tables(sp, dir, "embeddings")
+        // installment 1: label-partitioned initial index
+        val corpus0 = Similarity.prep(
+            embs.filter(col("vec_id") >= 10 && col("vec_id") % 2 === 0),
+            "vec_id", "embedding")
+          .join(embs.select(col("vec_id").as("id"), col("label")), "id")
+        graft.operators.AnnIndex.writeIvf(corpus0, "label", store)
+        // installment 2 lands, routes to frozen centroids, appends
+        graft.sources.IngestFixtures.addLandingFile(land,
+          embs.filter(col("vec_id") >= 10 && col("vec_id") % 2 =!= 0)
+            .select("vec_id", "embedding"),
+          "batch2.parquet", 1700000500000L)
+        graft.operators.AnnIndex.appendVectors(sp, store,
+          Similarity.prep(sp.read.parquet(land), "vec_id", "embedding"))
+        graft.sources.IngestFixtures.addLandingFile(qland,
+          embs.filter(col("vec_id") < 10).select("vec_id", "embedding"),
+          "queries.parquet", 1700000600000L)
+      }
+      val queries = Similarity.prep(
+        sp.read.parquet(qland), "vec_id", "embedding")
+      graft.operators.AnnIndex.probeIvf(sp, store, queries,
+          k = 5, nProbe = 2)
+        .orderBy("q_id", "rank")
+    },
+    Some(s"""
+      WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] v FROM embeddings),
+      n AS (SELECT vec_id, label, v, sqrt(${foldDot.format("v", "v")}) nrm FROM e),
+      q AS (SELECT vec_id q_id, v qv, nrm qn FROM n WHERE vec_id < 10),
+      ceven AS (SELECT vec_id n_id, label cl, v cv, nrm cn FROM n
+                WHERE vec_id >= 10 AND vec_id % 2 = 0),
+      codd AS (SELECT vec_id n_id, v cv, nrm cn FROM n
+               WHERE vec_id >= 10 AND vec_id % 2 <> 0),
+      cx AS (SELECT n_id, cl,
+               unnest(list_transform(cv, (x, i) -> {'pos': i - 1, 'x': x}),
+                 recursive := true)
+             FROM ceven),
+      cm AS (SELECT cl, pos,
+               list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                 list(x ORDER BY n_id)), (a, b) -> a + b) / COUNT(*) AS m
+             FROM cx GROUP BY cl, pos),
+      cents AS (SELECT cl, list(m ORDER BY pos) AS cv FROM cm
+                GROUP BY cl),
+      cn AS (SELECT cl, cv, sqrt(${foldDot.format("cv", "cv")}) AS cn
+             FROM cents),
+      assign AS (SELECT n_id, cl, cv0 AS cv, cn0 AS cn FROM (
+            SELECT o.n_id, c.cl, o.cv AS cv0, o.cn AS cn0,
+              ROW_NUMBER() OVER (PARTITION BY o.n_id ORDER BY
+                ${foldDot.format("o.cv", "c.cv")} / (o.cn * c.cn) DESC,
+                c.cl) AS rk
+            FROM codd o CROSS JOIN cn c) WHERE rk = 1),
+      posts AS (SELECT n_id, cl, cv, cn FROM ceven
+                UNION ALL SELECT n_id, cl, cv, cn FROM assign),
+      probe AS (SELECT q_id, qv, qn, cl,
+                  ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY
+                    ${foldDot.format("qv", "cv")} / (qn * cn.cn) DESC, cl)
+                    AS probe_rank
+                FROM q CROSS JOIN cn),
+      routed AS (SELECT q_id, qv, qn, cl FROM probe WHERE probe_rank <= 2),
+      s AS (SELECT q_id, n_id, ${foldDot.format("qv", "cv")} / (qn * cn) AS cosine
+            FROM routed r JOIN posts USING (cl)),
+      r AS (SELECT q_id, n_id, cosine,
+              ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosine DESC, n_id) rnk
+            FROM s)
+      SELECT q_id, n_id, cosine, CAST(rnk AS INT) AS rank
+      FROM r WHERE rnk <= 5 ORDER BY q_id, rank"""))
+
   val defs: Seq[QueryDef] = Seq(s01, s02, s03, s04, s05, s06, s07, s08,
-    s09, s10, s11, s12, s13, s14, s15, s16)
+    s09, s10, s11, s12, s13, s14, s15, s16, s17)
 }

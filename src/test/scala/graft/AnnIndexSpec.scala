@@ -70,10 +70,38 @@ class AnnIndexSpec extends SparkSpec {
     stored.zip(direct).foreach { case (a, b) => assert(a == b) }
   }
 
-  test("s15/s16 entry plans read the store and landing file, never embeddings.parquet") {
+  test("appendVectors grows the store atomically and equals the manual union") {
+    val store = tmpStore("app")
+    val all = prepped
+    val first = all.filter(col("id") >= 10 && col("id") % 2 === 0)
+    val second = all.filter(col("id") >= 10 && col("id") % 2 =!= 0)
+      .drop("label")
+    AnnIndex.writeIvf(first, "label", store)
+    val expect = AnnIndex.readPostings(spark, store)
+      .unionByName(AnnIndex.assignToStored(spark, store, second))
+      .orderBy("n_id")
+      .collect().map(r => (r.getLong(r.fieldIndex("n_id")),
+        r.getInt(r.fieldIndex("cluster"))))
+    AnnIndex.appendVectors(spark, store, second)
+    // stage/old scratch gone, live store partition-pruned layout kept
+    assert(!new java.io.File(store + "__stage").exists())
+    assert(!new java.io.File(store + "__old").exists())
+    assert(new java.io.File(store + "/postings").listFiles()
+      .exists(f => f.getName.startsWith("cluster=")))
+    val grown = AnnIndex.readPostings(spark, store).orderBy("n_id")
+      .collect().map(r => (r.getLong(r.fieldIndex("n_id")),
+        r.getInt(r.fieldIndex("cluster"))))
+    assert(grown.toSeq === expect.toSeq)
+    // centroids untouched: the code space must not move on ingest
+    val cents = AnnIndex.readCentroids(spark, store).count()
+    assert(cents == 10)
+  }
+
+  test("s15/s16/s17 entry plans read the store and landing file, never embeddings.parquet") {
     for ((name, store, land) <- Seq(
       ("s15_persisted_ivf", "s15_store_", "s15_land_"),
-      ("s16_incremental_pq", "s16_store_", "s16_land_"))) {
+      ("s16_incremental_pq", "s16_store_", "s16_land_"),
+      ("s17_ivf_append", "s17_store_", "s17_q_"))) {
       val df = Catalog.byName(name).build(spark, dir)
       val p = df.queryExecution.executedPlan.toString
       assert(!p.contains("embeddings.parquet"),

@@ -321,7 +321,8 @@ class PlanAuditSpec extends SparkSpec {
       "s05_radius_search", "s06_recall_report", "s07_mips_topk",
       "s08_pq_encode", "s09_maxsim", "s10_ivf_recall",
       "s12_pq_adc_search", "s13_multiprobe_recall", "s14_sq8_recall",
-      "s15_persisted_ivf", "s16_incremental_pq", "q100_triangle_count")
+      "s15_persisted_ivf", "s16_incremental_pq", "s17_ivf_append",
+      "q100_triangle_count")
     val offenders = sweptPlans.collect {
       case (name, Left(err)) => s"$name (build threw $err)"
       case (name, Right(p)) if !allow(name) &&
