@@ -1,54 +1,145 @@
 package graft.operators
 
+import graft.sources.TxLog
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DataType, StructType}
 
 /** Cross-run persistence for the similarity indexes — the s-family
   * twin of [[DedupIndex]]: a 100 TB corpus embeds ONCE and probes
-  * forever, so the IVF centroids/postings and the PQ codebook/codes
-  * must outlive the process that built them. An installment ends by
-  * writing its index to parquet; later installments (new queries, new
-  * vectors) probe or extend the STORED index and never rescan the old
-  * embeddings files (plan-audited in AnnIndexSpec and by the
-  * s15/s16 catalog entries).
+  * forever, so the IVF centroids/postings, the sign-LSH bucket
+  * tables, and the PQ codebook/codes must outlive the process that
+  * built them. An installment ends by writing its index segments and
+  * COMMITTING them through [[graft.sources.TxLog]]; later
+  * installments (new queries, new vectors) probe or extend the
+  * STORED index and never rescan the old embeddings files
+  * (plan-audited in AnnIndexSpec and by the s15/s16/s17/s18 catalog
+  * entries).
   *
-  * Store layout (plain parquet, any engine can audit it):
+  * Store layout: ONE txlog table dir whose segments are prefixed by
+  * family — several families share the store, and one commit covers
+  * an install atomically (no cross-family crash window):
   * {{{
-  *   <store>/centroids/               (cluster, cv, cn)   — IVF coarse index
-  *   <store>/postings/cluster=<c>/    (n_id, cv, cn)      — cluster-partitioned
-  *   <store>/codebook/                (cluster, cv)       — PQ codewords
-  *   <store>/codes/                   (id, code…, sq_err) — PQ-encoded corpus
+  *   <store>/_txlog/v<N>.json              — manifests (TxLog)
+  *   <store>/centroids__seg<N>/            (cluster, cv, cn)
+  *   <store>/postings__seg<N>/cluster=<c>/ (n_id, cv, cn)
+  *   <store>/buckets__seg<N>/bucket=<b>/   (n_id, cv, cn)  — sign-LSH
+  *   <store>/codebook__seg<N>/             (cluster, cv)   — PQ
+  *   <store>/codes__seg<N>/                (id, code…, sq_err)
+  *   <store>/_meta/                        — pinned schemas + LSH conf
   * }}}
   *
-  * Scale notes: postings are PARTITIONED BY cluster, so a probe that
-  * routes to nProbe clusters reads exactly those clusters' files —
-  * the broadcast of the routed (query, cluster) pairs drives dynamic
-  * partition pruning on the postings scan, Spark's native expression
-  * of "open only the probed inverted lists". Centroids and codebook
-  * are dimension-sized (|clusters| × dim) and always broadcast.
+  * Scale notes:
+  *  - GROW IS O(delta): [[appendVectors]] / [[appendLshVectors]]
+  *    write ONLY the installment's assignments as a NEW segment and
+  *    commit its manifest — untouched segments are never re-read or
+  *    rewritten, and a crash before the commit leaves the store at
+  *    its previous version (an uncommitted segment dir is invisible
+  *    to readers and overwritten by the retry).
+  *  - Postings/buckets are PARTITIONED BY cluster/bucket inside each
+  *    segment, so a probe that routes to nProbe clusters reads
+  *    exactly those partitions' files — the broadcast of the routed
+  *    (query, cluster) pairs drives dynamic partition pruning on the
+  *    scan, Spark's native expression of "open only the probed
+  *    inverted lists". Past [[ProbeBroadcastRows]] routed rows the
+  *    probe falls back to a shuffle join behind a static
+  *    cluster-IN-list partition filter — same math, same result.
+  *  - Centroids and codebook are dimension-sized (|clusters| × dim)
+  *    and always broadcast.
+  *  - The partition column's type is PINNED by a `_meta` schema
+  *    sidecar written at build time: partition-directory type
+  *    inference would otherwise re-derive it from the directory
+  *    strings and could diverge from the centroids' stored label
+  *    type (string labels that parse as numbers).
   */
 object AnnIndex {
+
+  /** Routed-pair ceiling for the broadcast probe plan: below it the
+    * routed (query × nProbe) frame broadcasts and drives dynamic
+    * partition pruning; above it (large offline probe batches) the
+    * probe joins by shuffle behind a static partition IN-filter —
+    * collected probed-cluster ids are bounded by the centroid count,
+    * which is dimension-table-sized by IVF design. */
+  val ProbeBroadcastRows: Long = 1000000L
+
+  private def segName(store: String, family: String): String =
+    s"${family}__seg${TxLog.versions(store).size}"
+
+  private def familyPaths(sp: SparkSession, store: String,
+      family: String): Seq[String] = {
+    val segs = TxLog.familySegments(store, family)
+    require(segs.nonEmpty, s"store $store has no live '$family' segments")
+    segs.map(s => s"$store/$s")
+  }
+
+  // ---- _meta sidecars: pinned read schemas + LSH configuration ----
+
+  private def writeMeta(store: String, name: String, body: String): Unit = {
+    val dir = new java.io.File(store, "_meta")
+    dir.mkdirs()
+    java.nio.file.Files.write(new java.io.File(dir, name).toPath,
+      body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    ()
+  }
+
+  private def readMeta(store: String, name: String): Option[String] = {
+    val f = new java.io.File(new java.io.File(store, "_meta"), name)
+    if (!f.exists()) None
+    else Some(new String(java.nio.file.Files.readAllBytes(f.toPath),
+      java.nio.charset.StandardCharsets.UTF_8))
+  }
+
+  /** Read a partitioned family with its build-time schema pinned from
+    * the `_meta` sidecar — partition values are CAST to the written
+    * column type instead of re-inferred from directory strings. Each
+    * segment is its own partition-discovery root (Spark refuses
+    * multiple partitioned roots in one scan), unioned by name: the
+    * partition filter of a probe prunes inside EVERY segment's scan,
+    * and all segments share the pinned schema so the union is exact. */
+  private def readPinned(sp: SparkSession, store: String,
+      family: String): DataFrame = {
+    val schema = readMeta(store, s"${family}_schema.json")
+      .map(json => DataType.fromJson(json).asInstanceOf[StructType])
+    familyPaths(sp, store, family)
+      .map { p =>
+        val r = sp.read
+        schema.foreach(r.schema)
+        r.parquet(p)
+      }
+      .reduce(_.unionByName(_))
+  }
+
+  // ---- IVF: build / read / probe / grow ----
 
   /** Build and persist the IVF index for a corpus installment:
     * centroids from the corpus' label partition ([[Similarity
     * .centroids]] — bit-reproducible ordered folds) plus the corpus
-    * vectors as cluster-partitioned postings. `corpus` schema:
-    * (id, v, nrm, labelCol). Returns the store path. */
+    * vectors as cluster-partitioned postings, committed as ONE txlog
+    * version (a re-build on a live store commits replacement
+    * segments; sibling families — PQ, LSH — are untouched).
+    * `corpus` schema: (id, v, nrm, labelCol). Returns the store
+    * path. */
   def writeIvf(corpus: DataFrame, labelCol: String, store: String): String = {
+    val cSeg = segName(store, "centroids")
+    val pSeg = segName(store, "postings")
     Similarity.centroids(corpus, labelCol)
-      .write.mode("overwrite").parquet(s"$store/centroids")
-    corpus.select(col(labelCol).as("cluster"), col("id").as("n_id"),
-        col("v").as("cv"), col("nrm").as("cn"))
-      .write.mode("overwrite").partitionBy("cluster")
-      .parquet(s"$store/postings")
+      .write.mode("overwrite").parquet(s"$store/$cSeg")
+    val posts = corpus.select(col(labelCol).as("cluster"),
+      col("id").as("n_id"), col("v").as("cv"), col("nrm").as("cn"))
+    posts.write.mode("overwrite").partitionBy("cluster")
+      .parquet(s"$store/$pSeg")
+    writeMeta(store, "postings_schema.json", posts.schema.json)
+    TxLog.commit(store, adds = Seq(cSeg, pSeg),
+      removes = TxLog.familySegments(store, "centroids") ++
+        TxLog.familySegments(store, "postings"))
     store
   }
 
   def readCentroids(sp: SparkSession, store: String): DataFrame =
-    sp.read.parquet(s"$store/centroids")
+    sp.read.parquet(familyPaths(sp, store, "centroids"): _*)
 
   def readPostings(sp: SparkSession, store: String): DataFrame =
-    sp.read.parquet(s"$store/postings")
+    readPinned(sp, store, "postings")
 
   /** IVF top-k against the STORED index: route each query to its
     * `nProbe` nearest stored centroids, then scan only those clusters'
@@ -57,7 +148,8 @@ object AnnIndex {
     * index hash-matches the in-process build — the s15 contract.
     * Queries schema: (id, v, nrm). */
   def probeIvf(sp: SparkSession, store: String, queries: DataFrame,
-      k: Int, nProbe: Int): DataFrame = {
+      k: Int, nProbe: Int,
+      maxBroadcastRows: Long = ProbeBroadcastRows): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val cents = readCentroids(sp, store)
     val wProbe = Window.partitionBy("q_id")
@@ -71,11 +163,10 @@ object AnnIndex {
       .withColumn("probe_rank", row_number().over(wProbe))
       .filter(col("probe_rank") <= nProbe)
       .select("q_id", "qv", "qn", "cluster")
-    // routed is (queries × nProbe) rows — broadcast it so the join is
-    // a BroadcastHashJoin over the postings scan, which lets dynamic
-    // partition pruning restrict the scan to the probed clusters only
+    val nRouted = queries.count() * nProbe
     val w = Window.partitionBy("q_id").orderBy(col("cosine").desc, col("n_id"))
-    broadcast(routed).join(readPostings(sp, store), "cluster")
+    probeJoin(sp, routed, readPostings(sp, store), "cluster",
+        nRouted, maxBroadcastRows)
       .select(col("q_id"), col("n_id"),
         (graft.Dsl.dotFold(col("qv"), col("cv")) / (col("qn") * col("cn")))
           .as("cosine"))
@@ -83,36 +174,23 @@ object AnnIndex {
       .filter(col("rank") <= k)
   }
 
-  /** Train and persist the PQ index for a corpus installment: the
-    * codebook ([[Similarity.centroids]] label means over `labeled`)
-    * plus the installment's codes. `vectors`: (id, v); `labeled`:
-    * (id, v, label). Returns the store path. */
-  def writePq(vectors: DataFrame, labeled: DataFrame, m: Int, dim: Int,
-      store: String): String = {
-    val cents = Similarity.centroids(labeled, "label")
-      .select(col("cluster"), col("cv"))
-    cents.write.mode("overwrite").parquet(s"$store/codebook")
-    val sp = vectors.sparkSession
-    Similarity.pqEncodeWith(vectors,
-        sp.read.parquet(s"$store/codebook"), m, dim)
-      .write.mode("overwrite").parquet(s"$store/codes")
-    store
-  }
-
-  def readCodebook(sp: SparkSession, store: String): DataFrame =
-    sp.read.parquet(s"$store/codebook")
-
-  def readCodes(sp: SparkSession, store: String): DataFrame =
-    sp.read.parquet(s"$store/codes")
-
-  /** Encode an arriving installment against the STORED (frozen)
-    * codebook — the production PQ contract: codebooks are versioned
-    * artifacts, new vectors must encode in the same code space as the
-    * corpus they'll be searched with, and retraining is a deliberate
-    * reindex, never a side effect of ingest. */
-  def encodeWith(sp: SparkSession, store: String, vectors: DataFrame,
-      m: Int, dim: Int): DataFrame =
-    Similarity.pqEncodeWith(vectors, readCodebook(sp, store), m, dim)
+  /** The probe join, size-gated: routed is (queries × nProbe) rows —
+    * below the gate it is BROADCAST so the join is a
+    * BroadcastHashJoin over the partitioned scan, which lets dynamic
+    * partition pruning restrict the scan to the probed partitions
+    * only. Past the gate (large offline probe batches would blow the
+    * broadcast), the probed partition ids — bounded by the index's
+    * partition count, a dimension table by construction — collect
+    * into a static IN partition filter and the join shuffles. Both
+    * plans compute the identical pairs. */
+  private def probeJoin(sp: SparkSession, routed: DataFrame,
+      posts: DataFrame, key: String, nRouted: Long,
+      maxBroadcastRows: Long): DataFrame =
+    if (nRouted <= maxBroadcastRows) broadcast(routed).join(posts, key)
+    else {
+      val probed = routed.select(key).distinct().collect().map(_.get(0))
+      routed.join(posts.filter(col(key).isin(probed.toIndexedSeq: _*)), key)
+    }
 
   /** Assign vectors to their NEAREST stored centroid by cosine (ties
     * → smaller cluster id) — the routing step of the FAISS "add"
@@ -138,37 +216,146 @@ object AnnIndex {
       .select("cluster", "n_id", "cv", "cn")
   }
 
-  /** Grow the persisted IVF index with an installment: new vectors
-    * route to their nearest FROZEN centroid and append to the
-    * cluster-partitioned postings, installed ATOMICALLY — the merged
-    * postings are written to `<store>__stage` and swapped in via
-    * directory renames ([[DedupIndex.installAppended]]'s discipline:
-    * a crash mid-write leaves the live store untouched; stage/old
-    * scratch is swept on the next call). Centroids are copied
-    * verbatim: the index grows, the code space doesn't move. */
+  /** Grow the persisted IVF index with an installment — O(delta),
+    * the FAISS "add" contract's scale shape: new vectors route to
+    * their nearest FROZEN centroid and land as ONE NEW
+    * cluster-partitioned postings segment, made visible by a single
+    * txlog commit. Existing segments are neither read nor rewritten
+    * (the routing reads only the dimension-sized centroids), the
+    * commit is O(1) metadata, and a crash before it leaves the live
+    * store byte-identical at its previous version — no rename
+    * window, no sibling-family clobbering. */
   def appendVectors(sp: SparkSession, store: String,
       vectors: DataFrame): Unit = {
-    val stage = store + "__stage"
-    val old = store + "__old"
-    def rm(p: String): Unit = {
-      def del(f: java.io.File): Unit = {
-        if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty)
-          .foreach(del)
-        f.delete(); ()
-      }
-      del(new java.io.File(p))
-    }
-    rm(stage); rm(old)
-    readCentroids(sp, store)
-      .write.mode("overwrite").parquet(s"$stage/centroids")
-    readPostings(sp, store)
-      .unionByName(assignToStored(sp, store, vectors))
+    val seg = segName(store, "postings")
+    assignToStored(sp, store, vectors)
       .write.mode("overwrite").partitionBy("cluster")
-      .parquet(s"$stage/postings")
-    require(new java.io.File(store).renameTo(new java.io.File(old)),
-      s"install: cannot move live store $store aside")
-    require(new java.io.File(stage).renameTo(new java.io.File(store)),
-      s"install: cannot move stage $stage into place (old state at $old)")
-    rm(old)
+      .parquet(s"$store/$seg")
+    TxLog.commit(store, adds = Seq(seg))
+    ()
+  }
+
+  // ---- PQ: build / read / encode ----
+
+  /** Train and persist the PQ index for a corpus installment: the
+    * codebook ([[Similarity.centroids]] label means over `labeled`)
+    * plus the installment's codes, committed as ONE txlog version.
+    * `vectors`: (id, v); `labeled`: (id, v, label). Returns the
+    * store path. */
+  def writePq(vectors: DataFrame, labeled: DataFrame, m: Int, dim: Int,
+      store: String): String = {
+    val bSeg = segName(store, "codebook")
+    val cSeg = segName(store, "codes")
+    Similarity.centroids(labeled, "label")
+      .select(col("cluster"), col("cv"))
+      .write.mode("overwrite").parquet(s"$store/$bSeg")
+    val sp = vectors.sparkSession
+    Similarity.pqEncodeWith(vectors,
+        sp.read.parquet(s"$store/$bSeg"), m, dim)
+      .write.mode("overwrite").parquet(s"$store/$cSeg")
+    TxLog.commit(store, adds = Seq(bSeg, cSeg),
+      removes = TxLog.familySegments(store, "codebook") ++
+        TxLog.familySegments(store, "codes"))
+    store
+  }
+
+  def readCodebook(sp: SparkSession, store: String): DataFrame =
+    sp.read.parquet(familyPaths(sp, store, "codebook"): _*)
+
+  def readCodes(sp: SparkSession, store: String): DataFrame =
+    sp.read.parquet(familyPaths(sp, store, "codes"): _*)
+
+  /** Encode an arriving installment against the STORED (frozen)
+    * codebook — the production PQ contract: codebooks are versioned
+    * artifacts, new vectors must encode in the same code space as the
+    * corpus they'll be searched with, and retraining is a deliberate
+    * reindex, never a side effect of ingest. */
+  def encodeWith(sp: SparkSession, store: String, vectors: DataFrame,
+      m: Int, dim: Int): DataFrame =
+    Similarity.pqEncodeWith(vectors, readCodebook(sp, store), m, dim)
+
+  // ---- Sign-LSH: build / read / probe / grow ----
+
+  /** Build and persist the sign-LSH bucket table for a corpus
+    * installment: every vector's [[Similarity.lshBuckets]] bucket id
+    * (deterministic hyperplanes, seed 7), bucket-PARTITIONED so a
+    * probe opens only its probed buckets' files. The (nPlanes, dim)
+    * configuration is pinned in `_meta/lsh.json` — the hyperplanes
+    * re-derive deterministically from it, so the stored table and
+    * every later installment hash in the SAME code space. `corpus`
+    * schema: (id, v, nrm). Returns the store path. */
+  def writeLsh(corpus: DataFrame, nPlanes: Int, dim: Int,
+      store: String): String = {
+    val seg = segName(store, "buckets")
+    val rows = Similarity.lshBuckets(corpus, nPlanes, dim)
+      .select(col("bucket"), col("id").as("n_id"),
+        col("v").as("cv"), col("nrm").as("cn"))
+    rows.write.mode("overwrite").partitionBy("bucket")
+      .parquet(s"$store/$seg")
+    writeMeta(store, "buckets_schema.json", rows.schema.json)
+    writeMeta(store, "lsh.json",
+      s"""{"nPlanes":$nPlanes,"dim":$dim}""")
+    TxLog.commit(store, adds = Seq(seg),
+      removes = TxLog.familySegments(store, "buckets"))
+    store
+  }
+
+  /** The pinned (nPlanes, dim) of a persisted sign-LSH store. */
+  def readLshConf(store: String): (Int, Int) = {
+    val body = readMeta(store, "lsh.json")
+      .getOrElse(sys.error(s"store $store has no _meta/lsh.json"))
+    def intField(name: String): Int =
+      s""""$name":(\\d+)""".r.findFirstMatchIn(body)
+        .getOrElse(sys.error(s"malformed lsh.json in $store")).group(1).toInt
+    (intField("nPlanes"), intField("dim"))
+  }
+
+  def readLshBuckets(sp: SparkSession, store: String): DataFrame =
+    readPinned(sp, store, "buckets")
+
+  /** Grow the persisted sign-LSH table — O(delta), [[appendVectors]]'s
+    * discipline: the installment hashes through the store's FROZEN
+    * hyperplane configuration and lands as one new bucket-partitioned
+    * segment behind a single txlog commit. Input (id, v, nrm). */
+  def appendLshVectors(sp: SparkSession, store: String,
+      vectors: DataFrame): Unit = {
+    val (nPlanes, dim) = readLshConf(store)
+    val seg = segName(store, "buckets")
+    Similarity.lshBuckets(vectors, nPlanes, dim)
+      .select(col("bucket"), col("id").as("n_id"),
+        col("v").as("cv"), col("nrm").as("cn"))
+      .write.mode("overwrite").partitionBy("bucket")
+      .parquet(s"$store/$seg")
+    TxLog.commit(store, adds = Seq(seg))
+    ()
+  }
+
+  /** Multi-probe top-k against the STORED sign-LSH table: each query
+    * probes its own bucket plus every 1-bit-flip neighbor (the s13
+    * recall knob), candidates verify by exact cosine. Identical math
+    * to [[Similarity.lshMultiProbeTopK]] over the same corpus, so a
+    * probe of the stored table hash-matches the in-process build.
+    * The probe set broadcasts (queries × (nPlanes+1) rows) and
+    * drives partition pruning on the bucket-partitioned scan; past
+    * the gate the same static-IN fallback as [[probeIvf]] applies.
+    * Queries schema: (id, v, nrm). */
+  def probeLsh(sp: SparkSession, store: String, queries: DataFrame,
+      k: Int, maxBroadcastRows: Long = ProbeBroadcastRows): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val (nPlanes, dim) = readLshConf(store)
+    val probes = Similarity.lshBuckets(
+        queries.select(col("id"), col("v"), col("nrm")), nPlanes, dim)
+      .select(col("id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"),
+        explode(array(col("bucket") +: (0 until nPlanes).map(i =>
+          col("bucket").bitwiseXOR(lit(1L << i))): _*)).as("bucket"))
+    val nRouted = queries.count() * (nPlanes + 1)
+    val w = Window.partitionBy("q_id").orderBy(col("cosine").desc, col("n_id"))
+    probeJoin(sp, probes, readLshBuckets(sp, store), "bucket",
+        nRouted, maxBroadcastRows)
+      .select(col("q_id"), col("n_id"),
+        (graft.Dsl.dotFold(col("qv"), col("cv")) / (col("qn") * col("cn")))
+          .as("cosine"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
   }
 }

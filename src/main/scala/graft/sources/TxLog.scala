@@ -121,4 +121,21 @@ object TxLog {
     require(segs.nonEmpty, s"version $asOf of $tableDir has no segments")
     spark.read.parquet(segs.map(s => s"$tableDir/$s"): _*)
   }
+
+  /** Latest committed version, if any. */
+  def latestVersion(tableDir: String): Option[Int] =
+    versions(tableDir).lastOption
+
+  /** Multi-FAMILY stores (the index stores: IVF postings + centroids,
+    * LSH buckets, PQ codebook + codes, dedup banded/pairs/docs) keep
+    * every family in ONE txlog by naming segments `<family>__<tag>` —
+    * so one commit covers an install that touches several families
+    * ATOMICALLY (no cross-log crash window), and a grow commits ONLY
+    * its delta segments, never rewriting a sibling family. This
+    * returns the live segments of one family at the latest version
+    * (empty for a fresh store). */
+  def familySegments(tableDir: String, family: String): Seq[String] =
+    latestVersion(tableDir)
+      .map(v => liveSegments(tableDir, v).filter(_.startsWith(family + "__")))
+      .getOrElse(Seq.empty)
 }

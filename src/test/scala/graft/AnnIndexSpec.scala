@@ -1,13 +1,16 @@
 package graft
 
 import graft.operators.{AnnIndex, Similarity}
+import graft.sources.TxLog
 import org.apache.spark.sql.functions._
 
 /** Cross-run ANN index persistence (graft.operators.AnnIndex): the
-  * s15/s16 contract — probe/encode against the STORED index, never
-  * rescanning the embeddings that built it — plus probe-of-stored ≡
-  * in-process equality and the dynamic-partition-pruning shape of the
-  * postings scan. */
+  * s15/s16/s17/s18 contract — probe/encode against the STORED index,
+  * never rescanning the embeddings that built it — plus
+  * probe-of-stored ≡ in-process equality, the dynamic-partition-
+  * pruning shape of the postings scan, and the O(delta) grow
+  * guarantees (untouched segments byte-identical and unread; one
+  * txlog commit per install; sibling families untouched). */
 class AnnIndexSpec extends SparkSpec {
 
   private val dir = "/root/testdata/sf0.001"
@@ -20,6 +23,23 @@ class AnnIndexSpec extends SparkSpec {
     val embs = Tables(spark, dir, "embeddings")
     Similarity.prep(embs, "vec_id", "embedding")
       .join(embs.select(col("vec_id").as("id"), col("label")), "id")
+  }
+
+  /** (relative path → (size, mtime)) of every data file under `root`,
+    * excluding the txlog and meta — the byte-identity witness for
+    * "grow never rewrites existing segments". */
+  private def fileState(root: String): Map[String, (Long, Long)] = {
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty)
+        .sortBy(_.getName).toSeq.flatMap(walk)
+      else Seq(f)
+    val rootF = new java.io.File(root)
+    walk(rootF)
+      .filterNot(f => f.getPath.contains("_txlog") ||
+        f.getPath.contains("_meta"))
+      .map(f => f.getPath.stripPrefix(rootF.getPath) ->
+        (f.length, f.lastModified))
+      .toMap
   }
 
   test("probe of the stored IVF index equals the in-process build") {
@@ -40,8 +60,9 @@ class AnnIndexSpec extends SparkSpec {
     val store = tmpStore("dpp")
     val all = prepped
     AnnIndex.writeIvf(all.filter(col("id") >= 10), "label", store)
-    // partition layout on disk: one directory per cluster
-    val dirs = new java.io.File(store + "/postings").listFiles()
+    // partition layout on disk: one directory per cluster, inside the
+    // txlog-committed segment
+    val dirs = new java.io.File(store + "/postings__seg0").listFiles()
       .filter(_.isDirectory).map(_.getName).filter(_.startsWith("cluster="))
     assert(dirs.length == 10, s"expected 10 cluster dirs, got ${dirs.toSeq}")
     val queries = all.filter(col("id") < 10).drop("label")
@@ -51,6 +72,28 @@ class AnnIndexSpec extends SparkSpec {
     // postings scan — only probed clusters' files open at scale
     assert(p.contains("dynamicpruning"),
       s"postings scan must be dynamically pruned:\n${p.take(3000)}")
+  }
+
+  test("past the broadcast gate the probe statically prunes and matches") {
+    val store = tmpStore("gate")
+    val all = prepped
+    AnnIndex.writeIvf(all.filter(col("id") >= 10), "label", store)
+    val queries = all.filter(col("id") < 10).drop("label")
+    val wide = AnnIndex.probeIvf(spark, store, queries, k = 5, nProbe = 2,
+      maxBroadcastRows = 0)
+    val p = wide.queryExecution.executedPlan.toString
+    // fallback: the probed clusters become a STATIC IN-list restricting
+    // the postings scan — pruning no longer depends on the routed frame
+    // fitting a broadcast (at test SF AQE may still pick a broadcast
+    // JOIN; the gate's point is the pruning mechanism, not the join
+    // strategy)
+    assert(p.contains("cluster") && p.contains("IN ("),
+      s"fallback must statically prune probed clusters:\n${p.take(3000)}")
+    val a = wide.orderBy("q_id", "rank").collect()
+    val b = AnnIndex.probeIvf(spark, store, queries, k = 5, nProbe = 2)
+      .orderBy("q_id", "rank").collect()
+    assert(a.length == b.length && a.length > 0)
+    a.zip(b).foreach { case (x, y) => assert(x == y) }
   }
 
   test("encode against the stored codebook equals the in-process encode") {
@@ -70,7 +113,7 @@ class AnnIndexSpec extends SparkSpec {
     stored.zip(direct).foreach { case (a, b) => assert(a == b) }
   }
 
-  test("appendVectors grows the store atomically and equals the manual union") {
+  test("appendVectors is O(delta): new segment only, old files untouched, one commit") {
     val store = tmpStore("app")
     val all = prepped
     val first = all.filter(col("id") >= 10 && col("id") % 2 === 0)
@@ -82,12 +125,24 @@ class AnnIndexSpec extends SparkSpec {
       .orderBy("n_id")
       .collect().map(r => (r.getLong(r.fieldIndex("n_id")),
         r.getInt(r.fieldIndex("cluster"))))
+    // the grow's own plan must never scan existing postings — routing
+    // reads only the dimension-sized centroids
+    val growPlan = AnnIndex.assignToStored(spark, store, second)
+      .queryExecution.executedPlan.toString
+    assert(!growPlan.contains("postings__"),
+      s"grow must not rescan existing postings:\n${growPlan.take(3000)}")
+    val before = fileState(store)
     AnnIndex.appendVectors(spark, store, second)
-    // stage/old scratch gone, live store partition-pruned layout kept
-    assert(!new java.io.File(store + "__stage").exists())
-    assert(!new java.io.File(store + "__old").exists())
-    assert(new java.io.File(store + "/postings").listFiles()
-      .exists(f => f.getName.startsWith("cluster=")))
+    val after = fileState(store)
+    // untouched segments byte-identical (same files, sizes, mtimes);
+    // the delta landed as ONE new segment behind ONE new commit
+    before.foreach { case (path, st) =>
+      assert(after.get(path).contains(st), s"grow rewrote $path")
+    }
+    val newFiles = after.keySet -- before.keySet
+    assert(newFiles.nonEmpty && newFiles.forall(_.contains("postings__seg1")),
+      s"delta must land in postings__seg1 only, got $newFiles")
+    assert(TxLog.versions(store) == Seq(0, 1))
     val grown = AnnIndex.readPostings(spark, store).orderBy("n_id")
       .collect().map(r => (r.getLong(r.fieldIndex("n_id")),
         r.getInt(r.fieldIndex("cluster"))))
@@ -95,6 +150,59 @@ class AnnIndexSpec extends SparkSpec {
     // centroids untouched: the code space must not move on ingest
     val cents = AnnIndex.readCentroids(spark, store).count()
     assert(cents == 10)
+  }
+
+  test("an uncommitted segment is invisible; IVF grow leaves PQ families intact") {
+    val store = tmpStore("fam")
+    val all = prepped
+    val first = all.filter(col("id") >= 10 && col("id") % 2 === 0)
+    AnnIndex.writeIvf(first, "label", store)
+    // PQ family shares the SAME store: grow must not clobber it
+    AnnIndex.writePq(first.select("id", "v"), first, m = 2, dim = 64, store)
+    val pqBefore = AnnIndex.readCodes(spark, store).orderBy("id").collect()
+    val nBefore = AnnIndex.readPostings(spark, store).count()
+    // a crashed grow = segment dir written, manifest never committed:
+    // readers still see the previous version
+    val second = all.filter(col("id") >= 10 && col("id") % 2 =!= 0)
+      .drop("label")
+    AnnIndex.assignToStored(spark, store, second)
+      .write.mode("overwrite").partitionBy("cluster")
+      .parquet(s"$store/postings__seg_orphan")
+    assert(AnnIndex.readPostings(spark, store).count() == nBefore,
+      "uncommitted segment must be invisible to readers")
+    // the real grow: postings grow, codebook/codes byte-identical
+    AnnIndex.appendVectors(spark, store, second)
+    assert(AnnIndex.readPostings(spark, store).count() > nBefore)
+    val pqAfter = AnnIndex.readCodes(spark, store).orderBy("id").collect()
+    assert(pqBefore.toSeq === pqAfter.toSeq)
+  }
+
+  test("probe of the grown LSH store equals the in-process multi-probe") {
+    val store = tmpStore("lsh")
+    val all = prepped.drop("label")
+    val queries = all.filter(col("id") < 10)
+    val first = all.filter(col("id") >= 10 && col("id") % 2 === 0)
+    val second = all.filter(col("id") >= 10 && col("id") % 2 =!= 0)
+    AnnIndex.writeLsh(first, nPlanes = 8, dim = 64, store)
+    val before = fileState(store)
+    AnnIndex.appendLshVectors(spark, store, second)
+    val after = fileState(store)
+    before.foreach { case (path, st) =>
+      assert(after.get(path).contains(st), s"LSH grow rewrote $path")
+    }
+    assert((after.keySet -- before.keySet).forall(_.contains("buckets__seg1")))
+    val stored = AnnIndex.probeLsh(spark, store, queries, k = 5)
+      .orderBy("q_id", "rank").collect()
+    val direct = Similarity.lshMultiProbeTopK(queries,
+        all.filter(col("id") >= 10), k = 5, nPlanes = 8, dim = 64)
+      .orderBy("q_id", "rank").collect()
+    assert(stored.length == direct.length && stored.length > 0)
+    stored.zip(direct).foreach { case (a, b) => assert(a == b) }
+    // the probe plan prunes the bucket-partitioned scan
+    val p = AnnIndex.probeLsh(spark, store, queries, k = 5)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("dynamicpruning"),
+      s"bucket scan must be dynamically pruned:\n${p.take(3000)}")
   }
 
   test("s15/s16/s17 entry plans read the store and landing file, never embeddings.parquet") {
