@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.sources.TxLog
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -12,12 +13,15 @@ import org.apache.spark.sql.functions._
   * the corpus' — at 100 TB the difference between a nightly delta job
   * and a nightly full recompute.
   *
-  * Store layout (all plain parquet, so any engine can audit it):
+  * Store layout — ONE [[graft.sources.TxLog]] table dir, segments
+  * prefixed by family ([[AnnIndex]]'s discipline, so both index
+  * stores share one install/atomicity story):
   * {{{
-  *   <store>/banded/   (doc_id, band, band_sig)  — the LSH index
-  *   <store>/pairs/    (d1, d2)                  — candidate pairs so far
-  *   <store>/docs/     (doc_id)                  — registry incl. docs
-  *                                                 with no shingles
+  *   <store>/_txlog/v<N>.json      — manifests
+  *   <store>/banded__seg<N>/   (doc_id, band, band_sig)  — LSH index
+  *   <store>/pairs__seg<N>/    (d1, d2)                  — candidates
+  *   <store>/docs__seg<N>/     (doc_id)                  — registry incl.
+  *                                                         shingle-less docs
   * }}}
   *
   * Scale notes: [[write]] scans the corpus text exactly ONCE (the
@@ -26,37 +30,62 @@ import org.apache.spark.sql.functions._
   * column pruning — text bytes never read). [[appendCandidates]]'s
   * probe join touches the stored banded rows and the installment's —
   * never the old corpus' documents files (plan-audited in
-  * DedupIndexSpec and by the d21 catalog entry).
+  * DedupIndexSpec and by the d21 catalog entry). [[installAppended]]
+  * is O(delta): the installment's banded keys, NEW pairs, and doc ids
+  * land as fresh segments behind ONE atomic manifest commit — existing
+  * segments are never re-read or rewritten, a crash before the commit
+  * leaves the live store at its previous version, and there is no
+  * rename window. Pair segments stay disjoint by construction: stored
+  * pairs are old×old, an installment adds only pairs touching a new
+  * doc.
   */
 object DedupIndex {
 
+  private def segName(store: String, family: String): String =
+    s"${family}__seg${TxLog.versions(store).size}"
+
+  private def readFamily(sp: SparkSession, store: String,
+      family: String): DataFrame = {
+    val segs = TxLog.familySegments(store, family)
+    require(segs.nonEmpty, s"store $store has no live '$family' segments")
+    sp.read.parquet(segs.map(s => s"$store/$s"): _*)
+  }
+
   /** Build and persist the index for a (first or rebuilt) corpus
-    * installment. Returns the store path. */
+    * installment, committed as ONE txlog version (a rebuild on a live
+    * store commits replacement segments). Returns the store path. */
   def write(docs: DataFrame, idCol: String, textCol: String,
       shingleN: Int, k: Int, bands: Int, rows: Int, store: String,
       salt: Int = 1, saltMinBucket: Int = Int.MaxValue): String = {
     val sp = docs.sparkSession
+    val bSeg = segName(store, "banded")
+    val pSeg = segName(store, "pairs")
+    val dSeg = segName(store, "docs")
     val sigs = Dedup.minhashSignatures(docs, idCol, textCol, shingleN, k)
     Dedup.minhashBanded(sigs, bands, rows)
-      .write.mode("overwrite").parquet(s"$store/banded")
+      .write.mode("overwrite").parquet(s"$store/$bSeg")
     // pairs derive from the banded parquet just written — the corpus
     // text is not scanned a second time
-    Dedup.bandedCandidates(sp.read.parquet(s"$store/banded"),
+    Dedup.bandedCandidates(sp.read.parquet(s"$store/$bSeg"),
         salt, saltMinBucket)
-      .write.mode("overwrite").parquet(s"$store/pairs")
+      .write.mode("overwrite").parquet(s"$store/$pSeg")
     docs.select(col(idCol).as("doc_id"))
-      .write.mode("overwrite").parquet(s"$store/docs")
+      .write.mode("overwrite").parquet(s"$store/$dSeg")
+    TxLog.commit(store, adds = Seq(bSeg, pSeg, dSeg),
+      removes = TxLog.familySegments(store, "banded") ++
+        TxLog.familySegments(store, "pairs") ++
+        TxLog.familySegments(store, "docs"))
     store
   }
 
   def readBanded(sp: SparkSession, store: String): DataFrame =
-    sp.read.parquet(s"$store/banded")
+    readFamily(sp, store, "banded")
 
   def readPairs(sp: SparkSession, store: String): DataFrame =
-    sp.read.parquet(s"$store/pairs")
+    readFamily(sp, store, "pairs")
 
   def readDocs(sp: SparkSession, store: String): DataFrame =
-    sp.read.parquet(s"$store/docs")
+    readFamily(sp, store, "docs")
 
   /** The banded LSH keys of an arriving installment. */
   def bandNew(newDocs: DataFrame, idCol: String, textCol: String,
@@ -64,6 +93,22 @@ object DedupIndex {
     Dedup.minhashBanded(
       Dedup.minhashSignatures(newDocs, idCol, textCol, shingleN, k),
       bands, rows)
+
+  /** The DELTA pair set of an installment: its banded keys probe the
+    * stored index plus themselves, so only new×(old ∪ new) bucket
+    * pairs are computed — and since every pair touches a new doc,
+    * the result is disjoint from every stored pair segment. Distinct
+    * within the installment (a pair can collide in several bands). */
+  private def newCandidates(sp: SparkSession, store: String,
+      bandedNew: DataFrame): DataFrame =
+    bandedNew.as("a")
+      .join(readBanded(sp, store).unionByName(bandedNew).as("b"),
+        col("a.band") === col("b.band") &&
+          col("a.band_sig") === col("b.band_sig") &&
+          col("a.doc_id") =!= col("b.doc_id"))
+      .select(least(col("a.doc_id"), col("b.doc_id")).as("d1"),
+        greatest(col("a.doc_id"), col("b.doc_id")).as("d2"))
+      .distinct()
 
   /** Incremental candidate maintenance against a persisted store: the
     * installment's banded keys probe the stored index, so only
@@ -73,55 +118,35 @@ object DedupIndex {
     * (hash-proven by the d21 oracle). */
   def appendCandidates(sp: SparkSession, store: String,
       newDocs: DataFrame, idCol: String, textCol: String,
-      shingleN: Int, k: Int, bands: Int, rows: Int): DataFrame = {
-    val bandedNew =
-      bandNew(newDocs, idCol, textCol, shingleN, k, bands, rows)
-    val newPairs = bandedNew.as("a")
-      .join(readBanded(sp, store).unionByName(bandedNew).as("b"),
-        col("a.band") === col("b.band") &&
-          col("a.band_sig") === col("b.band_sig") &&
-          col("a.doc_id") =!= col("b.doc_id"))
-      .select(least(col("a.doc_id"), col("b.doc_id")).as("d1"),
-        greatest(col("a.doc_id"), col("b.doc_id")).as("d2"))
-    readPairs(sp, store).unionByName(newPairs).distinct()
-  }
+      shingleN: Int, k: Int, bands: Int, rows: Int): DataFrame =
+    readPairs(sp, store).unionByName(newCandidates(sp, store,
+        bandNew(newDocs, idCol, textCol, shingleN, k, bands, rows)))
+      .distinct()
 
-  /** Install the post-installment index state ATOMICALLY: the merged
-    * banded keys / pairs / registry are written to `<store>__stage`
-    * and swapped in via directory renames — a crash mid-write leaves
-    * the live store untouched (the stage is swept on the next call),
-    * mirroring the staged-install discipline of the JDBC sink
-    * ([[graft.sources.Sinks.upsertJdbc]]). Single-filesystem rename
-    * semantics (local/HDFS); object stores need their own committer. */
+  /** Install the post-installment index state — O(delta) and atomic:
+    * the installment's banded keys, its NEW candidate pairs, and its
+    * doc ids land as three fresh segments made live by a single
+    * txlog commit. Existing segments are neither read back for a
+    * rewrite nor moved ([[AnnIndex.appendVectors]]'s discipline); a
+    * crash before the commit leaves the store byte-identical at its
+    * previous version, and the retry overwrites the orphan segment
+    * dirs. */
   def installAppended(sp: SparkSession, store: String,
       newDocs: DataFrame, idCol: String, textCol: String,
       shingleN: Int, k: Int, bands: Int, rows: Int): Unit = {
-    val stage = store + "__stage"
-    val old = store + "__old"
-    def rm(p: String): Unit = {
-      def del(f: java.io.File): Unit = {
-        if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty)
-          .foreach(del)
-        f.delete(); ()
-      }
-      del(new java.io.File(p))
-    }
-    rm(stage); rm(old)
+    val bSeg = segName(store, "banded")
+    val pSeg = segName(store, "pairs")
+    val dSeg = segName(store, "docs")
     val bandedNew =
       bandNew(newDocs, idCol, textCol, shingleN, k, bands, rows)
-    readBanded(sp, store).unionByName(bandedNew)
-      .write.mode("overwrite").parquet(s"$stage/banded")
-    appendCandidates(sp, store, newDocs, idCol, textCol,
-        shingleN, k, bands, rows)
-      .write.mode("overwrite").parquet(s"$stage/pairs")
-    readDocs(sp, store).unionByName(newDocs.select(col(idCol).as("doc_id")))
-      .write.mode("overwrite").parquet(s"$stage/docs")
-    // the swap: two renames; the live store exists at all times except
-    // between them, and a crash there leaves __old intact for recovery
-    require(new java.io.File(store).renameTo(new java.io.File(old)),
-      s"install: cannot move live store $store aside")
-    require(new java.io.File(stage).renameTo(new java.io.File(store)),
-      s"install: cannot move stage $stage into place (old state at $old)")
-    rm(old)
+    bandedNew.write.mode("overwrite").parquet(s"$store/$bSeg")
+    // the delta pairs probe the STORED banded segments plus the one
+    // just written — the old pair segments are never read
+    newCandidates(sp, store, sp.read.parquet(s"$store/$bSeg"))
+      .write.mode("overwrite").parquet(s"$store/$pSeg")
+    newDocs.select(col(idCol).as("doc_id"))
+      .write.mode("overwrite").parquet(s"$store/$dSeg")
+    TxLog.commit(store, adds = Seq(bSeg, pSeg, dSeg))
+    ()
   }
 }

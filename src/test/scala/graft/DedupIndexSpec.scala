@@ -54,16 +54,44 @@ class DedupIndexSpec extends SparkSpec {
       .filter(col("doc_id") === 99L).count() === 0L)
   }
 
-  test("installAppended swaps atomically and the new store answers like batch") {
+  /** (relative path → (size, mtime)) of every data file under `root`,
+    * excluding the txlog — the byte-identity witness for "install
+    * never rewrites existing segments". */
+  private def fileState(root: String): Map[String, (Long, Long)] = {
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty)
+        .sortBy(_.getName).toSeq.flatMap(walk)
+      else Seq(f)
+    val rootF = new java.io.File(root)
+    walk(rootF).filterNot(_.getPath.contains("_txlog"))
+      .map(f => f.getPath.stripPrefix(rootF.getPath) ->
+        (f.length, f.lastModified))
+      .toMap
+  }
+
+  test("installAppended is O(delta): new segments only, one commit, answers like batch") {
     val store = tmpStore("inst")
     val oldDocs = corpus.filter(col("doc_id") % 2 === 0)
     val newDocs = corpus.filter(col("doc_id") % 2 =!= 0)
     DedupIndex.write(oldDocs, "doc_id", "text", 3, 16, 4, 4, store)
+    val before = fileState(store)
+    // an orphan segment dir (a crashed install: data written, manifest
+    // never committed) must stay invisible to readers
+    oldDocs.select(col("doc_id"))
+      .write.mode("overwrite").parquet(store + "/docs__seg_orphan")
+    assert(DedupIndex.readDocs(spark, store).count() === oldDocs.count())
     DedupIndex.installAppended(spark, store, newDocs,
       "doc_id", "text", 3, 16, 4, 4)
-    // stage/old scratch gone, live store holds the merged state
-    assert(!new java.io.File(store + "__stage").exists())
-    assert(!new java.io.File(store + "__old").exists())
+    // existing segments byte-identical; the delta landed as fresh
+    // segments behind exactly one new txlog version
+    val after = fileState(store)
+    before.foreach { case (path, st) =>
+      assert(after.get(path).contains(st), s"install rewrote $path")
+    }
+    assert((after.keySet -- before.keySet)
+      .forall(p => p.contains("__seg1") || p.contains("__seg_orphan")),
+      "delta must land in new segments only")
+    assert(graft.sources.TxLog.versions(store) === Seq(0, 1))
     assert(DedupIndex.readDocs(spark, store).count() === corpus.count())
     val stored = DedupIndex.readPairs(spark, store)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
