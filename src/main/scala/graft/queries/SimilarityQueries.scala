@@ -1069,6 +1069,78 @@ object SimilarityQueries {
       SELECT q_id, n_id, cosine, CAST(rnk AS INT) AS rank
       FROM r WHERE rnk <= 5 ORDER BY q_id, rank"""))
 
+  /** Persisted sign-LSH bucket tables — the THIRD index family gets
+    * the s15/s17 treatment, closing the stored-index story (IVF s15,
+    * PQ s16, LSH here): installment 1 (even corpus vec_ids) ends by
+    * writing its bucket-PARTITIONED table and the frozen (nPlanes,
+    * dim) configuration ([[graft.operators.AnnIndex.writeLsh]] —
+    * hyperplanes re-derive deterministically from the pinned conf, so
+    * the code space never moves); installment 2 (odd corpus vec_ids)
+    * lands as its own file and GROWS the store O(delta)
+    * ([[graft.operators.AnnIndex.appendLshVectors]] — one new
+    * segment, one txlog commit, old segments untouched); the queries
+    * land as a third file and MULTI-PROBE the grown store (own bucket
+    * + every 1-bit flip, s13's recall semantics) with exact-cosine
+    * verification. embeddings.parquet is absent from the probe plan's
+    * scan set (plan-audited in AnnIndexSpec via the store reads); the
+    * oracle rebuilds the whole chain from scratch over the original
+    * table, so the hash proves build-grow-probe of the stored table ≡
+    * batch recompute. */
+  val s18 = QueryDef(
+    "s18_persisted_lsh",
+    (sp, dir) => {
+      val fp = graft.sources.IngestFixtures.fingerprint(s"$dir/embeddings.parquet")
+      val store = s"/tmp/graft_ingest_v2/s18_store_$fp"
+      val land = s"/tmp/graft_ingest_v2/s18_land_$fp"
+      val qland = s"/tmp/graft_ingest_v2/s18_q_$fp"
+      graft.sources.IngestFixtures.once(s"s18_$fp") {
+        import scala.reflect.io.Directory
+        Seq(store, land, qland).foreach(p =>
+          new Directory(new java.io.File(p)).deleteRecursively())
+        val embs = Tables(sp, dir, "embeddings")
+        // installment 1: bucket table + frozen hyperplane conf
+        graft.operators.AnnIndex.writeLsh(
+          Similarity.prep(
+            embs.filter(col("vec_id") >= 10 && col("vec_id") % 2 === 0),
+            "vec_id", "embedding"),
+          nPlanes = 8, dim = 64, store)
+        // installment 2 lands, hashes through the stored conf, appends
+        graft.sources.IngestFixtures.addLandingFile(land,
+          embs.filter(col("vec_id") >= 10 && col("vec_id") % 2 =!= 0)
+            .select("vec_id", "embedding"),
+          "batch2.parquet", 1700000700000L)
+        graft.operators.AnnIndex.appendLshVectors(sp, store,
+          Similarity.prep(sp.read.parquet(land), "vec_id", "embedding"))
+        graft.sources.IngestFixtures.addLandingFile(qland,
+          embs.filter(col("vec_id") < 10).select("vec_id", "embedding"),
+          "queries.parquet", 1700000800000L)
+      }
+      val queries = Similarity.prep(
+        sp.read.parquet(qland), "vec_id", "embedding")
+      graft.operators.AnnIndex.probeLsh(sp, store, queries, k = 5)
+        .orderBy("q_id", "rank")
+    },
+    Some(s"""
+      WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
+      n AS (SELECT vec_id, v, sqrt(${foldDot.format("v", "v")}) nrm,
+              ${bucketSql(8, 64)} AS bucket
+            FROM e),
+      q AS (SELECT vec_id q_id, v qv, nrm qn, bucket FROM n WHERE vec_id < 10),
+      c AS (SELECT vec_id n_id, v cv, nrm cn, bucket FROM n WHERE vec_id >= 10),
+      probes AS (SELECT q_id, qv, qn,
+                   unnest(list_prepend(CAST(bucket AS BIGINT),
+                     list_transform(generate_series(0, 7),
+                       i -> xor(CAST(bucket AS BIGINT),
+                                CAST(1 << i AS BIGINT))))) AS bucket
+                 FROM q),
+      ls AS (SELECT q_id, n_id, ${foldDot.format("qv", "cv")} / (qn * cn) AS cosine
+             FROM probes p JOIN c ON p.bucket = CAST(c.bucket AS BIGINT)),
+      lr AS (SELECT q_id, n_id, cosine,
+               ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosine DESC, n_id) rnk
+             FROM ls)
+      SELECT q_id, n_id, cosine, CAST(rnk AS INT) AS rank
+      FROM lr WHERE rnk <= 5 ORDER BY q_id, rank"""))
+
   val defs: Seq[QueryDef] = Seq(s01, s02, s03, s04, s05, s06, s07, s08,
-    s09, s10, s11, s12, s13, s14, s15, s16, s17)
+    s09, s10, s11, s12, s13, s14, s15, s16, s17, s18)
 }
