@@ -680,7 +680,11 @@ object RelationalPlus {
       firstLeg.unionByName(lastLeg)
         .groupBy("click_hour")
         .agg(count(lit(1)).as("n_legs"),
-          sum(col("attr")).cast(DoubleType).as("attributed_rev"))
+          // corpus-level revenue per hour: round the exact scale-3 sum
+          // to money grain before the double cast (the 2^53 cliff rule,
+          // Dsl.revSum's discipline — enforced catalog-wide by the
+          // PlanAuditSpec decimal-cliff sweep)
+          round(sum(col("attr")), 2).cast(DoubleType).as("attributed_rev"))
         .orderBy("click_hour")
     },
     Some("""
@@ -719,7 +723,7 @@ object RelationalPlus {
           CAST(rev * CAST(0.5 AS DECIMAL(2,1)) AS DECIMAL(19,3))
         FROM shares WHERE NOT same)
       SELECT click_hour, COUNT(*) AS n_legs,
-        CAST(SUM(attr) AS DOUBLE) AS attributed_rev
+        CAST(ROUND(SUM(attr), 2) AS DOUBLE) AS attributed_rev
       FROM legs GROUP BY click_hour ORDER BY click_hour"""))
 
   /** IQR outlier fences per event type — the Tukey box-plot gate:

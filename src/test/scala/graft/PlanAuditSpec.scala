@@ -355,16 +355,92 @@ class PlanAuditSpec extends SparkSpec {
     * cost). A build that throws is recorded, not skipped — in r7 one
     * analysis error aborted a sweep mid-iteration, silently skipping
     * every query after it. */
-  private lazy val sweptPlans: Seq[(String, Either[String, String])] =
+  private lazy val sweptQE
+      : Seq[(String, Either[String, org.apache.spark.sql.execution.QueryExecution])] =
     Catalog.all.map { q =>
-      try q.name -> Right(
-        q.build(spark, dir).queryExecution.executedPlan.toString)
+      try q.name -> Right(q.build(spark, dir).queryExecution)
       catch { case scala.util.control.NonFatal(e) =>
         // NonFatal: an OOM or ControlThrowable must abort the suite,
         // not masquerade as a plan offender
         q.name -> Left(e.getClass.getSimpleName)
       }
     }
+
+  private lazy val sweptPlans: Seq[(String, Either[String, String])] =
+    sweptQE.map { case (name, qe) =>
+      name -> qe.flatMap { q =>
+        try Right(q.executedPlan.toString)
+        catch { case scala.util.control.NonFatal(e) =>
+          Left(e.getClass.getSimpleName)
+        }
+      }
+    }
+
+  /** The 2^53 decimal-cliff rule as a catalog-wide invariant (sf1
+    * gate finding, SURVEY §4): a SUM over a decimal with scale > 2
+    * has integer representation value·10^scale, which crosses the
+    * double mantissa at corpus-level magnitudes — Spark and DuckDB
+    * then round the conversion differently in the last ulp. Every
+    * such sum must round to money grain (scale ≤ 2) BEFORE its
+    * double cast (the Dsl.revSum/revTaxSum helpers); this detector
+    * flags any `CAST(<contains SUM> : DECIMAL(p, s>2) AS DOUBLE)` in
+    * an entry's analyzed plan, so a NEW entry can never silently
+    * reintroduce the cliff at some SF. */
+  private def decimalCliffCasts(
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+      : Seq[String] = {
+    import org.apache.spark.sql.catalyst.expressions.Cast
+    import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Sum}
+    import org.apache.spark.sql.types.{DecimalType, DoubleType}
+    plan.collectWithSubqueries { case node =>
+      node.expressions.flatMap(_.collect {
+        case c: Cast
+            if c.dataType == DoubleType &&
+              c.child.dataType.isInstanceOf[DecimalType] &&
+              c.child.dataType.asInstanceOf[DecimalType].scale > 2 &&
+              c.child.exists {
+                case ae: AggregateExpression =>
+                  ae.aggregateFunction.isInstanceOf[Sum]
+                case _ => false
+              } =>
+          c.toString
+      })
+    }.flatten
+  }
+
+  /** Sites exempt from the cliff sweep, each with a boundedness proof:
+    * the rule targets CORPUS-scale sums; a sum whose term count is
+    * pinned by a query-side constant can never reach 2^53/10^scale.
+    * - s09_maxsim: the scale-6 sum runs over one rounded maxsim per
+    *   QUERY id in the doc (≤ 5 terms of ≤ 1.0 each by the vec_id<10
+    *   query-set construction) — sum·10^6 ≤ 5·10^6 ≪ 2^53 at any SF,
+    *   and rounding it to scale 2 would coarsen the rank order the
+    *   entry exists to compute. */
+  private val cliffExempt = Set("s09_maxsim")
+
+  test("no entry casts an unrounded scale>2 decimal sum to double (2^53 cliff)") {
+    val offenders = sweptQE.collect {
+      case (name, Right(qe))
+          if !cliffExempt(name) && decimalCliffCasts(qe.analyzed).nonEmpty =>
+        s"$name: ${decimalCliffCasts(qe.analyzed).head.take(140)}"
+    }
+    assert(offenders.isEmpty,
+      s"decimal-cliff casts (round to scale<=2 before the double cast, " +
+        s"see Dsl.revSum): ${offenders.mkString("; ")}")
+    // the detector must catch the broken shape the sf1 gate found...
+    import org.apache.spark.sql.functions._
+    val broken = spark.range(10).select(
+      sum(col("id").cast(org.apache.spark.sql.types.DecimalType(12, 4)))
+        .cast("double").as("s"))
+    assert(decimalCliffCasts(broken.queryExecution.analyzed).nonEmpty,
+      "detector failed to flag an unrounded scale-4 sum cast")
+    // ...and pass the sanctioned rounded form
+    val fixed = spark.range(10).select(
+      round(sum(col("id").cast(org.apache.spark.sql.types.DecimalType(12, 4))), 2)
+        .cast("double").as("s"))
+    assert(decimalCliffCasts(fixed.queryExecution.analyzed).isEmpty,
+      "detector must not flag the round-to-money-grain form")
+  }
 
   /** Plan lines of Window execs whose partition spec is empty. A
     * window expression prints as `windowspecdefinition(partCols...,
