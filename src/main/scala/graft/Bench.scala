@@ -148,7 +148,10 @@ object Bench {
       if (blownUp) {
         val (t2, ok2) = once()
         retried += name -> t1
-        (name, math.min(t1, t2), ok1 && ok2)
+        // a FAILED retry must not erase a passing first measurement
+        // (its fast failure latency is not a timing): keep (t1, ok1)
+        // and let the retried map record that the retry happened
+        if (ok2) (name, math.min(t1, t2), ok1) else (name, t1, ok1)
       } else (name, t1, ok1)
     }
     val probeEnd = noiseProbe(spark)

@@ -164,8 +164,17 @@ object Sinks {
     }
     val others = batch.columns.filterNot(keyCols.contains)
       .filterNot(_ == versionCol).filterNot(opCol.contains).map(col).toSeq
+    // tie-break order differs by mode. Upsert (no opCol): batch-wins —
+    // `__new` before version is the documented "a batch row replaces
+    // the stored row" contract. CDC (opCol): VERSION-wins — a late or
+    // redelivered change row with a STALE version must never beat the
+    // newer stored state (a stale 'D' would otherwise DELETE a newer
+    // row — destructive, unlike the upsert path's mere rewrite);
+    // same-version ties still resolve to the batch row via `__new`.
     val w = Window.partitionBy(keyCols.map(col): _*)
-      .orderBy(col("__new").desc +: col(versionCol).desc +:
+      .orderBy((if (opCol.isDefined)
+          Seq(col(versionCol).desc, col("__new").desc)
+        else Seq(col("__new").desc, col(versionCol).desc)) ++
         (opCol.map(c => col(c).desc).toSeq ++ others.map(_.desc)): _*)
     val merged0 = tagged.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1).drop("__new", "__rn")

@@ -88,6 +88,30 @@ class SinksSpec extends SparkSpec {
       "delta-path delete must remove the key and leave untouched partitions")
   }
 
+  test("jdbc CDC merge: a stale-version change never beats newer stored state") {
+    val url = "jdbc:derby:memory:graftcdcstale;create=true"
+    val base = Seq((1L, "new-a", 5L, "U"), (2L, "new-b", 5L, "U"))
+      .toDF("id", "name", "seq", "op")
+    Sinks.upsertJdbc(spark, base, url, "cdcs", Seq("id"), "seq",
+      numPartitions = 1, opCol = Some("op"))
+    // an out-of-order redelivery: a DELETE and an UPDATE both carrying
+    // versions OLDER than the stored rows — the stored state must win
+    // (the upsert path's batch-wins rule would destructively apply the
+    // stale 'D'); a same-version redelivery still resolves to the batch
+    val stale = Seq(
+      (1L, "stale-del", 3L, "D"),
+      (2L, "stale-upd", 4L, "U"),
+      (2L, "same-ver", 5L, "U"))
+      .toDF("id", "name", "seq", "op")
+    Sinks.upsertJdbc(spark, stale, url, "cdcs", Seq("id"), "seq",
+      numPartitions = 1, opCol = Some("op"))
+    val back = Sinks.readJdbc(spark, url, "cdcs").orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(back.toSeq === Seq((1L, "new-a", 5L), (2L, "same-ver", 5L)),
+      "stale 'D'/'U' must lose to the stored version; same-version " +
+        "redelivery resolves to the batch row")
+  }
+
   test("csv reader round-trips with an explicit schema") {
     import org.apache.spark.sql.types._
     val dir = java.nio.file.Files.createTempDirectory("graft_csv").toString
