@@ -45,6 +45,16 @@ object Verify {
     val json = SparkEntry.oracleSql.filter(kv => keep(kv._1))
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // A FULL run touched every live fixture, so anything left under the
+    // fixture root is a stale generation (old testdata fingerprints) —
+    // sweep it. Filtered dev runs touch a subset and must not sweep.
+    if (only.isEmpty) {
+      val swept = graft.sources.IngestFixtures.gcStale()
+      if (swept.nonEmpty)
+        System.err.println(
+          s"[verify] swept ${swept.size} stale fixture dirs: " +
+            swept.sorted.take(20).mkString(", "))
+    }
     spark.stop()
   }
 }

@@ -991,8 +991,8 @@ object DedupQueries {
     "d21_persisted_index",
     (sp, dir) => {
       val fp = graft.sources.IngestFixtures.fingerprint(s"$dir/documents.parquet")
-      val store = s"/tmp/graft_ingest_v2/d21_store_$fp"
-      val land = s"/tmp/graft_ingest_v2/d21_land_$fp"
+      val store = graft.sources.IngestFixtures.path(s"d21_store_$fp")
+      val land = graft.sources.IngestFixtures.path(s"d21_land_$fp")
       graft.sources.IngestFixtures.once(s"d21_$fp") {
         import scala.reflect.io.Directory
         new Directory(new java.io.File(store)).deleteRecursively()
@@ -1130,7 +1130,7 @@ object DedupQueries {
     "d23_bloom_novelty",
     (sp, dir) => {
       val fp = graft.sources.IngestFixtures.fingerprint(s"$dir/documents.parquet")
-      val store = s"/tmp/graft_ingest_v2/d23_store_$fp"
+      val store = graft.sources.IngestFixtures.path(s"d23_store_$fp")
       graft.sources.IngestFixtures.once(s"d23_$fp") {
         import scala.reflect.io.Directory
         new Directory(new java.io.File(store)).deleteRecursively()

@@ -774,8 +774,8 @@ object IngestQueries {
     "e19_incremental_ingest",
     (sp, dir) => {
       val fp = IngestFixtures.fingerprint(s"$dir/documents.parquet")
-      val land = s"/tmp/graft_ingest_v2/e19_land_$fp"
-      val ckpt = s"/tmp/graft_ingest_v2/e19_ckpt_$fp"
+      val land = graft.sources.IngestFixtures.path(s"e19_land_$fp")
+      val ckpt = graft.sources.IngestFixtures.path(s"e19_ckpt_$fp")
       val url = s"jdbc:derby:memory:graft_e19_$fp;create=true"
       val table = "incr_docs"
       val audit = "incr_audit"
@@ -870,8 +870,8 @@ object IngestQueries {
     (sp, dir) => {
       import graft.Dsl.moneySum
       val fp = IngestFixtures.fingerprint(s"$dir/events.parquet")
-      val shattered = s"/tmp/graft_ingest_v2/e20_shatter_$fp"
-      val compacted = s"/tmp/graft_ingest_v2/e20_compact_$fp"
+      val shattered = graft.sources.IngestFixtures.path(s"e20_shatter_$fp")
+      val compacted = graft.sources.IngestFixtures.path(s"e20_compact_$fp")
       IngestFixtures.once(s"e20_$fp") {
         if (!new java.io.File(compacted, "_SUCCESS").exists()) {
           Tables(sp, dir, "events")
@@ -1244,8 +1244,8 @@ object IngestQueries {
     "e28_exactly_once_sink",
     (sp, dir) => {
       val fp = IngestFixtures.fingerprint(s"$dir/documents.parquet")
-      val land = s"/tmp/graft_ingest_v2/e28_land_$fp"
-      val ckpt = s"/tmp/graft_ingest_v2/e28_ckpt_$fp"
+      val land = graft.sources.IngestFixtures.path(s"e28_land_$fp")
+      val ckpt = graft.sources.IngestFixtures.path(s"e28_ckpt_$fp")
       val url = s"jdbc:derby:memory:graft_e28_$fp;create=true"
       val table = "eo_docs"
       IngestFixtures.once(s"e28_$fp") {
@@ -2038,8 +2038,8 @@ object IngestQueries {
     (sp, dir) => {
       val fp = IngestFixtures.fingerprint(s"$dir/orders.parquet") + "_" +
         IngestFixtures.fingerprint(s"$dir/lineitem.parquet")
-      val land = s"/tmp/graft_ingest_v2/e39_land_$fp"
-      val ckpt = s"/tmp/graft_ingest_v2/e39_ckpt_$fp"
+      val land = graft.sources.IngestFixtures.path(s"e39_land_$fp")
+      val ckpt = graft.sources.IngestFixtures.path(s"e39_ckpt_$fp")
       val url = s"jdbc:derby:memory:graft_e39_$fp;create=true"
       val table = "cdc_orders"
       def changeBatch = Tables(sp, dir, "lineitem")

@@ -852,8 +852,8 @@ object SimilarityQueries {
     "s15_persisted_ivf",
     (sp, dir) => {
       val fp = graft.sources.IngestFixtures.fingerprint(s"$dir/embeddings.parquet")
-      val store = s"/tmp/graft_ingest_v2/s15_store_$fp"
-      val land = s"/tmp/graft_ingest_v2/s15_land_$fp"
+      val store = graft.sources.IngestFixtures.path(s"s15_store_$fp")
+      val land = graft.sources.IngestFixtures.path(s"s15_land_$fp")
       graft.sources.IngestFixtures.once(s"s15_$fp") {
         import scala.reflect.io.Directory
         new Directory(new java.io.File(store)).deleteRecursively()
@@ -923,8 +923,8 @@ object SimilarityQueries {
     "s16_incremental_pq",
     (sp, dir) => {
       val fp = graft.sources.IngestFixtures.fingerprint(s"$dir/embeddings.parquet")
-      val store = s"/tmp/graft_ingest_v2/s16_store_$fp"
-      val land = s"/tmp/graft_ingest_v2/s16_land_$fp"
+      val store = graft.sources.IngestFixtures.path(s"s16_store_$fp")
+      val land = graft.sources.IngestFixtures.path(s"s16_land_$fp")
       graft.sources.IngestFixtures.once(s"s16_$fp") {
         import scala.reflect.io.Directory
         new Directory(new java.io.File(store)).deleteRecursively()
@@ -996,9 +996,9 @@ object SimilarityQueries {
     "s17_ivf_append",
     (sp, dir) => {
       val fp = graft.sources.IngestFixtures.fingerprint(s"$dir/embeddings.parquet")
-      val store = s"/tmp/graft_ingest_v2/s17_store_$fp"
-      val land = s"/tmp/graft_ingest_v2/s17_land_$fp"
-      val qland = s"/tmp/graft_ingest_v2/s17_q_$fp"
+      val store = graft.sources.IngestFixtures.path(s"s17_store_$fp")
+      val land = graft.sources.IngestFixtures.path(s"s17_land_$fp")
+      val qland = graft.sources.IngestFixtures.path(s"s17_q_$fp")
       graft.sources.IngestFixtures.once(s"s17_$fp") {
         import scala.reflect.io.Directory
         Seq(store, land, qland).foreach(p =>
@@ -1090,9 +1090,9 @@ object SimilarityQueries {
     "s18_persisted_lsh",
     (sp, dir) => {
       val fp = graft.sources.IngestFixtures.fingerprint(s"$dir/embeddings.parquet")
-      val store = s"/tmp/graft_ingest_v2/s18_store_$fp"
-      val land = s"/tmp/graft_ingest_v2/s18_land_$fp"
-      val qland = s"/tmp/graft_ingest_v2/s18_q_$fp"
+      val store = graft.sources.IngestFixtures.path(s"s18_store_$fp")
+      val land = graft.sources.IngestFixtures.path(s"s18_land_$fp")
+      val qland = graft.sources.IngestFixtures.path(s"s18_q_$fp")
       graft.sources.IngestFixtures.once(s"s18_$fp") {
         import scala.reflect.io.Directory
         Seq(store, land, qland).foreach(p =>

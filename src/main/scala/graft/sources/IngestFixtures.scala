@@ -13,6 +13,50 @@ object IngestFixtures {
 
   private val done = new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  /** Root of every on-disk fixture this harness materializes. */
+  val Root = "/tmp/graft_ingest_v2"
+
+  /** Every fixture directory TOUCHED by this JVM, for [[gcStale]]:
+    * fingerprinted keys mean a regenerated source dataset strands the
+    * previous generation's directories forever (stores, landing zones,
+    * checkpoints), so the full Verify run sweeps what it didn't touch.
+    */
+  private val tracked =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  /** The canonical fixture path for `key`, registered as touched.
+    * Every fixture path — the helpers below AND the per-entry
+    * store/landing/checkpoint dirs built inside `once` bodies — must
+    * come from here, or a full-run GC would sweep it. */
+  def path(key: String): String = {
+    val p = s"$Root/$key"
+    tracked.add(p)
+    p
+  }
+
+  /** Delete fixture directories this JVM never touched — called ONLY
+    * at the end of a FULL Verify run (a filtered dev run touches a
+    * subset and must not sweep the rest; the run owns the GC window —
+    * the harness runs one driver process at a time). Bounded by
+    * construction: after a sweep, the root holds exactly the current
+    * generation. Returns the deleted names. */
+  def gcStale(): Seq[String] = gcStale(Root, tracked)
+
+  /** [[gcStale]] against an explicit root and live-set — the testable
+    * core (the spec must not sweep the real root out from under the
+    * suites sharing this JVM). */
+  private[graft] def gcStale(root: String,
+      live: java.util.Set[String]): Seq[String] = {
+    val rootF = new java.io.File(root)
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+      f.delete(); ()
+    }
+    Option(rootF.listFiles()).getOrElse(Array.empty).toSeq
+      .filter(f => !live.contains(f.getAbsolutePath))
+      .map { f => rm(f); f.getName }
+  }
+
   /** Content fingerprint of a parquet dataset: every part file's
     * relative name, size, and mtime folded into one hex token. Keying
     * the fixture path on this (not the directory path) means a
@@ -65,7 +109,7 @@ object IngestFixtures {
     * purpose: the read side must handle a directory, not a single
     * file. */
   def materialize(key: String, format: String, df: => DataFrame): String = {
-    val path = s"/tmp/graft_ingest_v2/$key"
+    val path = this.path(key)
     done.computeIfAbsent(path, _ => {
       if (!new java.io.File(path, "_SUCCESS").exists()) {
         df.coalesce(4).write.mode("overwrite").format(format)
@@ -84,7 +128,7 @@ object IngestFixtures {
     * event-time timeouts for the tail. */
   def materializeLanding(key: String, first: => DataFrame,
       second: => DataFrame): String = {
-    val path = s"/tmp/graft_ingest_v2/$key"
+    val path = this.path(key)
     done.computeIfAbsent(path, _ => {
       val dirF = new java.io.File(path)
       if (!new java.io.File(dirF, "batch2.parquet").exists()) {
@@ -132,7 +176,7 @@ object IngestFixtures {
     * present final manifest implies every prior commit completed. */
   def materializeTxLog(key: String,
       commits: Seq[(Seq[(String, DataFrame)], Seq[String])]): String = {
-    val path = s"/tmp/graft_ingest_v2/$key"
+    val path = this.path(key)
     done.computeIfAbsent(path, _ => {
       val lastManifest = new java.io.File(
         new java.io.File(path, "_txlog"), s"v${commits.size - 1}.json")
@@ -159,7 +203,7 @@ object IngestFixtures {
   def badCsvDir(key: String, header: String, rows: Seq[String]): String = {
     val contentHash = java.lang.Long.toHexString(
       (header +: rows).mkString("\n").hashCode.toLong & 0xffffffffL)
-    val path = s"/tmp/graft_ingest_v2/${key}_$contentHash"
+    val path = this.path(s"${key}_$contentHash")
     done.computeIfAbsent(path, _ => {
       val dst = new java.io.File(path, "bad.csv")
       if (!dst.exists()) {
@@ -181,7 +225,7 @@ object IngestFixtures {
     * narrow key range so parquet min/max stats prune whole files. */
   def materializeClustered(key: String, df: => DataFrame, nFiles: Int,
       clusterCols: Seq[String]): String = {
-    val path = s"/tmp/graft_ingest_v2/$key"
+    val path = this.path(key)
     done.computeIfAbsent(path, _ => {
       if (!new java.io.File(path, "_SUCCESS").exists()) {
         ClusteredWriter.writeRangeClustered(df, path, nFiles, clusterCols)
@@ -195,7 +239,7 @@ object IngestFixtures {
     * EITHER clustered column prune files/row-groups. */
   def materializeZOrdered(key: String, df: => DataFrame, nFiles: Int,
       zCols: Seq[String]): String = {
-    val path = s"/tmp/graft_ingest_v2/$key"
+    val path = this.path(key)
     done.computeIfAbsent(path, _ => {
       if (!new java.io.File(path, "_SUCCESS").exists()) {
         ClusteredWriter.writeZOrdered(df, path, nFiles, zCols)
@@ -210,7 +254,7 @@ object IngestFixtures {
     * `mergeSchema` — a root `_SUCCESS` marks the whole set complete. */
   def materializeEvolved(key: String,
       batches: Seq[(String, () => DataFrame)]): String = {
-    val path = s"/tmp/graft_ingest_v2/$key"
+    val path = this.path(key)
     done.computeIfAbsent(path, _ => {
       if (!new java.io.File(path, "_SUCCESS").exists()) {
         batches.foreach { case (name, df) =>
@@ -228,7 +272,7 @@ object IngestFixtures {
     * prove partition pruning against the oracle. */
   def materializePartitioned(key: String, df: => DataFrame,
       partitionCols: Seq[String]): String = {
-    val path = s"/tmp/graft_ingest_v2/$key"
+    val path = this.path(key)
     done.computeIfAbsent(path, _ => {
       if (!new java.io.File(path, "_SUCCESS").exists()) {
         Sinks.writePartitionedParquet(df, path, partitionCols)
@@ -247,7 +291,7 @@ object IngestFixtures {
     * conf is scoped and restored. */
   def materializeOverwritten(key: String, full: => DataFrame,
       replacement: => DataFrame, partitionCols: Seq[String]): String = {
-    val path = s"/tmp/graft_ingest_v2/$key"
+    val path = this.path(key)
     done.computeIfAbsent(path, _ => {
       if (!new java.io.File(path, "_OVERWRITE_DONE").exists()) {
         Sinks.writePartitionedParquet(full, path, partitionCols)
