@@ -26,6 +26,7 @@ import org.apache.spark.sql.types.{DataType, StructType}
   *   <store>/buckets__seg<N>/bucket=<b>/   (n_id, cv, cn)  — sign-LSH
   *   <store>/codebook__seg<N>/             (cluster, cv)   — PQ
   *   <store>/codes__seg<N>/                (id, code…, sq_err)
+  *   <store>/pqposts__seg<N>/cluster=<c>/  (n_id, code…)   — IVFPQ lists
   *   <store>/_meta/                        — pinned schemas + LSH conf
   * }}}
   *
@@ -36,6 +37,10 @@ import org.apache.spark.sql.types.{DataType, StructType}
   *    rewritten, and a crash before the commit leaves the store at
   *    its previous version (an uncommitted segment dir is invisible
   *    to readers and overwritten by the retry).
+  *  - COMPACTION bounds the segment count: [[compactFamily]] folds a
+  *    family's accumulated grow segments back into one (the OPTIMIZE
+  *    half of the log-structured bargain) in a single atomic commit,
+  *    leaving siblings and historical snapshots intact.
   *  - Postings/buckets are PARTITIONED BY cluster/bucket inside each
   *    segment, so a probe that routes to nProbe clusters reads
   *    exactly those partitions' files — the broadcast of the routed
@@ -235,6 +240,35 @@ object AnnIndex {
     ()
   }
 
+  /** Compact a family's live segments into ONE — the OPTIMIZE half of
+    * the log-structured contract: N O(delta) grows leave N segments
+    * whose per-partition files shrink toward the small-file cliff
+    * (each probe opens nSegments × nProbe files; parquet footers and
+    * task setup start to dominate). Compaction reads the family's
+    * live rows ONCE, rewrites them as a single segment with the same
+    * partitioning, and swaps the segment SET atomically in one txlog
+    * commit (`adds=[merged], removes=[old…]`). Old segments are never
+    * deleted from disk, so every pre-compaction version stays
+    * snapshot-readable (time travel survives OPTIMIZE, as in
+    * Delta/Iceberg), sibling families are untouched by construction
+    * (the commit names only this family's segments), and a crash
+    * before the commit leaves the live store at its previous version.
+    * Returns the committed version. */
+  def compactFamily(sp: SparkSession, store: String, family: String,
+      partitionCols: Seq[String]): Int = {
+    val old = TxLog.familySegments(store, family)
+    require(old.nonEmpty, s"store $store has no live '$family' segments")
+    val seg = segName(store, family)
+    val rows =
+      if (readMeta(store, s"${family}_schema.json").isDefined)
+        readPinned(sp, store, family)
+      else sp.read.parquet(familyPaths(sp, store, family): _*)
+    val w = rows.write.mode("overwrite")
+    (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
+      .parquet(s"$store/$seg")
+    TxLog.commit(store, adds = Seq(seg), removes = old)
+  }
+
   // ---- PQ: build / read / encode ----
 
   /** Train and persist the PQ index for a corpus installment: the
@@ -273,6 +307,118 @@ object AnnIndex {
   def encodeWith(sp: SparkSession, store: String, vectors: DataFrame,
       m: Int, dim: Int): DataFrame =
     Similarity.pqEncodeWith(vectors, readCodebook(sp, store), m, dim)
+
+  /** Materialize the IVFPQ inverted lists: every stored posting's PQ
+    * codes, CLUSTER-partitioned — the `pqposts` family. This is the
+    * layout FAISS's IVFADC actually stores: the coarse lists hold m
+    * one-byte-ish codes per vector, NOT the raw vectors, so the ADC
+    * stage of a probe reads m bytes/vector from only the probed
+    * partitions while the full-precision postings stay cold until
+    * the shortlist re-rank. Requires live `postings` and `codebook`
+    * families in the store; commits the lists as one txlog version
+    * (replacing any previous pqposts — a code-space change is a
+    * deliberate reindex, like [[writePq]]). */
+  def writePqPostings(sp: SparkSession, store: String, m: Int,
+      dim: Int): Unit = {
+    val posts = readPostings(sp, store)
+    val seg = segName(store, "pqposts")
+    val rows = Similarity.pqEncodeWith(
+        posts.select(col("n_id").as("id"), col("cv").as("v")),
+        readCodebook(sp, store), m, dim)
+      .drop("sq_err")
+      .join(posts.select(col("n_id").as("id"), col("cluster")), "id")
+      .select(col("cluster") +: col("id").as("n_id") +:
+        (0 until m).map(s => col(s"code$s")): _*)
+    rows.write.mode("overwrite").partitionBy("cluster")
+      .parquet(s"$store/$seg")
+    writeMeta(store, "pqposts_schema.json", rows.schema.json)
+    TxLog.commit(store, adds = Seq(seg),
+      removes = TxLog.familySegments(store, "pqposts"))
+    ()
+  }
+
+  def readPqPostings(sp: SparkSession, store: String): DataFrame =
+    readPinned(sp, store, "pqposts")
+
+  /** Two-stage IVF+PQ top-k against the stored index — the IVFADC
+    * search composed from the store's THREE families (centroids route,
+    * pqposts shortlist, postings re-rank), in its non-residual form
+    * (codes quantize the raw vectors, not centroid residuals — the
+    * residual-free variant keeps an exact relational oracle):
+    *
+    *  1. ROUTE: each query to its `nProbe` nearest centroids
+    *     (broadcast, dimension-sized).
+    *  2. ADC: per query, a distance LUT to every codebook entry per
+    *     subspace (|queries| × |codebook| × m rows, broadcast); the
+    *     probed clusters' PQ codes — m small ints/vector, partition-
+    *     pruned like [[probeIvf]] — join the LUT per subspace and the
+    *     approximate distance is the fixed-order sum d0 + d1 + …,
+    *     bit-reproducible against the oracle. Top-`shortlist` per
+    *     query by (adc asc, n_id).
+    *  3. RE-RANK: only the shortlist rows fetch their full-precision
+    *     vectors from the postings (a (cluster, n_id) join, partition-
+    *     pruned again) for exact cosine top-`k`.
+    *
+    * Scale shape: the 100 TB corpus is touched only through the two
+    * partition-pruned scans — codes for candidates, vectors for the
+    * shortlist (shortlist × |queries| rows, NOT candidates) — and
+    * everything broadcast is dimension- or query-batch-sized.
+    * Queries schema: (id, v, nrm). */
+  def probeIvfPq(sp: SparkSession, store: String, queries: DataFrame,
+      k: Int, nProbe: Int, shortlist: Int, m: Int, dim: Int,
+      maxBroadcastRows: Long = ProbeBroadcastRows): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
+    val sub = dim / m
+    val cents = readCentroids(sp, store)
+    val wProbe = Window.partitionBy("q_id")
+      .orderBy(col("c_sim").desc, col("cluster"))
+    val q = queries
+      .select(col("id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
+    val routed = q
+      .join(broadcast(cents))
+      .select(col("q_id"), col("cluster"),
+        (graft.Dsl.dotFold(col("qv"), col("cv")) / (col("qn") * col("cn")))
+          .as("c_sim"))
+      .withColumn("probe_rank", row_number().over(wProbe))
+      .filter(col("probe_rank") <= nProbe)
+      .select("q_id", "cluster")
+    // Subspace distance LUT: same L2 expansion (and the same left-
+    // associative shape) as Similarity.pqEncodeWith, so the oracle's
+    // `a - 2.0*b + c` reproduces every distance bit-exactly.
+    val lut = q.join(broadcast(
+        readCodebook(sp, store).select(col("cluster").as("cb"), col("cv"))))
+      .select(col("q_id") +: col("cb") +: (0 until m).map { s =>
+        val lo = s * sub + 1
+        val qS = slice(col("qv"), lo, sub)
+        val cS = slice(col("cv"), lo, sub)
+        (graft.Dsl.dotFold(qS, qS) - lit(2.0) * graft.Dsl.dotFold(qS, cS)
+          + graft.Dsl.dotFold(cS, cS)).as(s"d$s")
+      }: _*)
+    val nRouted = queries.count() * nProbe
+    val cand = probeJoin(sp, routed, readPqPostings(sp, store), "cluster",
+      nRouted, maxBroadcastRows)
+    val withAdc = (0 until m).foldLeft(cand) { (acc, s) =>
+      acc.join(broadcast(lut.select(col("q_id"),
+          col("cb").as(s"code$s"), col(s"d$s"))),
+        Seq("q_id", s"code$s"))
+    }.withColumn("adc",
+      (0 until m).map(s => col(s"d$s")).reduce(_ + _))
+    val wShort = Window.partitionBy("q_id").orderBy(col("adc"), col("n_id"))
+    val short = withAdc
+      .withColumn("__sr", row_number().over(wShort))
+      .filter(col("__sr") <= shortlist)
+      .select("q_id", "cluster", "n_id", "adc")
+    val wK = Window.partitionBy("q_id").orderBy(col("cosine").desc, col("n_id"))
+    short
+      .join(readPostings(sp, store), Seq("cluster", "n_id"))
+      .join(q, "q_id")
+      .select(col("q_id"), col("n_id"), col("adc"),
+        (graft.Dsl.dotFold(col("qv"), col("cv")) / (col("qn") * col("cn")))
+          .as("cosine"))
+      .withColumn("rank", row_number().over(wK))
+      .filter(col("rank") <= k)
+  }
 
   // ---- Sign-LSH: build / read / probe / grow ----
 

@@ -1141,6 +1141,221 @@ object SimilarityQueries {
       SELECT q_id, n_id, cosine, CAST(rnk AS INT) AS rank
       FROM lr WHERE rnk <= 5 ORDER BY q_id, rank"""))
 
+  /** Compact the grown IVF store — the OPTIMIZE half of the
+    * log-structured index lifecycle (build s15 → grow s17 → COMPACT
+    * here → probe): the fixture builds from one third of the corpus
+    * (vec_id % 3 = 0), grows TWICE with the other thirds (each an
+    * O(delta) segment behind its own txlog commit), leaving three
+    * postings segments whose per-cluster files trend toward the
+    * small-file cliff — then [[graft.operators.AnnIndex
+    * .compactFamily]] folds them into ONE segment in a single atomic
+    * commit (`adds=[merged], removes=[seg0,seg1,seg2]`). The entry
+    * probes the COMPACTED index: the plan's postings scan touches
+    * exactly one segment (and still partition-prunes to the probed
+    * clusters), every pre-compaction version stays snapshot-readable
+    * (time travel survives OPTIMIZE — spec-asserted in AnnIndexSpec
+    * along with sibling-family byte-identity), and the oracle
+    * recomputes the whole chain from scratch — frozen centroids from
+    * the first third, argmax routing of both grow installments, the
+    * unioned postings, the routed probe — so the hash proves
+    * build-grow-grow-compact-probe ≡ batch rebuild. */
+  val s19 = QueryDef(
+    "s19_ivf_compact",
+    (sp, dir) => {
+      val fp = graft.sources.IngestFixtures.fingerprint(s"$dir/embeddings.parquet")
+      val store = graft.sources.IngestFixtures.path(s"s19_store_$fp")
+      val land1 = graft.sources.IngestFixtures.path(s"s19_l1_$fp")
+      val land2 = graft.sources.IngestFixtures.path(s"s19_l2_$fp")
+      val qland = graft.sources.IngestFixtures.path(s"s19_q_$fp")
+      graft.sources.IngestFixtures.once(s"s19_$fp") {
+        import scala.reflect.io.Directory
+        Seq(store, land1, land2, qland).foreach(p =>
+          new Directory(new java.io.File(p)).deleteRecursively())
+        val embs = Tables(sp, dir, "embeddings")
+        // installment 1: the first third builds the index
+        val corpus0 = Similarity.prep(
+            embs.filter(col("vec_id") >= 10 && col("vec_id") % 3 === 0),
+            "vec_id", "embedding")
+          .join(embs.select(col("vec_id").as("id"), col("label")), "id")
+        graft.operators.AnnIndex.writeIvf(corpus0, "label", store)
+        // installments 2 and 3 land and grow — two O(delta) segments
+        Seq((land1, 1, 1700000900000L), (land2, 2, 1700001000000L))
+          .foreach { case (land, residue, ts) =>
+            graft.sources.IngestFixtures.addLandingFile(land,
+              embs.filter(col("vec_id") >= 10 && col("vec_id") % 3 === residue)
+                .select("vec_id", "embedding"),
+              s"batch$residue.parquet", ts)
+            graft.operators.AnnIndex.appendVectors(sp, store,
+              Similarity.prep(sp.read.parquet(land), "vec_id", "embedding"))
+          }
+        // OPTIMIZE: three postings segments fold into one
+        graft.operators.AnnIndex.compactFamily(sp, store, "postings",
+          Seq("cluster"))
+        graft.sources.IngestFixtures.addLandingFile(qland,
+          embs.filter(col("vec_id") < 10).select("vec_id", "embedding"),
+          "queries.parquet", 1700001100000L)
+      }
+      val queries = Similarity.prep(
+        sp.read.parquet(qland), "vec_id", "embedding")
+      graft.operators.AnnIndex.probeIvf(sp, store, queries,
+          k = 5, nProbe = 2)
+        .orderBy("q_id", "rank")
+    },
+    Some(s"""
+      WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] v FROM embeddings),
+      n AS (SELECT vec_id, label, v, sqrt(${foldDot.format("v", "v")}) nrm FROM e),
+      q AS (SELECT vec_id q_id, v qv, nrm qn FROM n WHERE vec_id < 10),
+      c0 AS (SELECT vec_id n_id, label cl, v cv, nrm cn FROM n
+             WHERE vec_id >= 10 AND vec_id % 3 = 0),
+      cgrow AS (SELECT vec_id n_id, v cv, nrm cn FROM n
+                WHERE vec_id >= 10 AND vec_id % 3 <> 0),
+      cx AS (SELECT n_id, cl,
+               unnest(list_transform(cv, (x, i) -> {'pos': i - 1, 'x': x}),
+                 recursive := true)
+             FROM c0),
+      cm AS (SELECT cl, pos,
+               list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                 list(x ORDER BY n_id)), (a, b) -> a + b) / COUNT(*) AS m
+             FROM cx GROUP BY cl, pos),
+      cents AS (SELECT cl, list(m ORDER BY pos) AS cv FROM cm
+                GROUP BY cl),
+      cn AS (SELECT cl, cv, sqrt(${foldDot.format("cv", "cv")}) AS cn
+             FROM cents),
+      assign AS (SELECT n_id, cl, cv0 AS cv, cn0 AS cn FROM (
+            SELECT o.n_id, c.cl, o.cv AS cv0, o.cn AS cn0,
+              ROW_NUMBER() OVER (PARTITION BY o.n_id ORDER BY
+                ${foldDot.format("o.cv", "c.cv")} / (o.cn * c.cn) DESC,
+                c.cl) AS rk
+            FROM cgrow o CROSS JOIN cn c) WHERE rk = 1),
+      posts AS (SELECT n_id, cl, cv, cn FROM c0
+                UNION ALL SELECT n_id, cl, cv, cn FROM assign),
+      probe AS (SELECT q_id, qv, qn, cl,
+                  ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY
+                    ${foldDot.format("qv", "cv")} / (qn * cn.cn) DESC, cl)
+                    AS probe_rank
+                FROM q CROSS JOIN cn),
+      routed AS (SELECT q_id, qv, qn, cl FROM probe WHERE probe_rank <= 2),
+      s AS (SELECT q_id, n_id, ${foldDot.format("qv", "cv")} / (qn * cn) AS cosine
+            FROM routed r JOIN posts USING (cl)),
+      r AS (SELECT q_id, n_id, cosine,
+              ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosine DESC, n_id) rnk
+            FROM s)
+      SELECT q_id, n_id, cosine, CAST(rnk AS INT) AS rank
+      FROM r WHERE rnk <= 5 ORDER BY q_id, rank"""))
+
+  /** Two-stage IVF+PQ (ADC) search — the IVFADC probe composed from
+    * the store's three families, in its non-residual form (codes
+    * quantize raw vectors, keeping an exact relational oracle): the
+    * fixture persists the IVF index (s15), trains the PQ codebook on
+    * the SAME label partition, and materializes the `pqposts` family
+    * — cluster-partitioned inverted lists holding each posting's m=2
+    * codes, the layout where a probed list costs m small ints per
+    * vector instead of the full embedding. The probe routes each
+    * query to nProbe=2 centroids, ranks the probed clusters'
+    * candidates by the asymmetric distance (per-subspace query→
+    * codeword LUT, fixed-order sum — bit-reproducible), shortlists
+    * the top 10, and re-ranks ONLY those by exact cosine for the
+    * top 5 — the full-precision postings are touched for shortlist
+    * rows alone. The oracle recomputes centroids, codes, LUT, ADC,
+    * shortlist, and re-rank from scratch in the same fold shapes, so
+    * the hash proves the two-stage stored-index search ≡ the batch
+    * recompute. */
+  val s20 = QueryDef(
+    "s20_ivfpq_adc",
+    (sp, dir) => {
+      val fp = graft.sources.IngestFixtures.fingerprint(s"$dir/embeddings.parquet")
+      val store = graft.sources.IngestFixtures.path(s"s20_store_$fp")
+      val qland = graft.sources.IngestFixtures.path(s"s20_q_$fp")
+      graft.sources.IngestFixtures.once(s"s20_$fp") {
+        import scala.reflect.io.Directory
+        Seq(store, qland).foreach(p =>
+          new Directory(new java.io.File(p)).deleteRecursively())
+        val embs = Tables(sp, dir, "embeddings")
+        val corpus = Similarity.prep(embs, "vec_id", "embedding")
+          .join(embs.select(col("vec_id").as("id"), col("label")), "id")
+          .filter(col("id") >= 10)
+        graft.operators.AnnIndex.writeIvf(corpus, "label", store)
+        graft.operators.AnnIndex.writePq(
+          corpus.select("id", "v"),
+          corpus.select(col("id"), col("v"), col("label")),
+          m = 2, dim = 64, store)
+        graft.operators.AnnIndex.writePqPostings(sp, store, m = 2, dim = 64)
+        graft.sources.IngestFixtures.addLandingFile(qland,
+          embs.filter(col("vec_id") < 10).select("vec_id", "embedding"),
+          "queries.parquet", 1700001200000L)
+      }
+      val queries = Similarity.prep(
+        sp.read.parquet(qland), "vec_id", "embedding")
+      graft.operators.AnnIndex.probeIvfPq(sp, store, queries,
+          k = 5, nProbe = 2, shortlist = 10, m = 2, dim = 64)
+        .orderBy("q_id", "rank")
+    },
+    Some(s"""
+      WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] v FROM embeddings),
+      n AS (SELECT vec_id, label, v, sqrt(${foldDot.format("v", "v")}) nrm FROM e),
+      q AS (SELECT vec_id q_id, v qv, nrm qn FROM n WHERE vec_id < 10),
+      c AS (SELECT vec_id n_id, label cl, v cv, nrm cn FROM n WHERE vec_id >= 10),
+      cx AS (SELECT n_id, cl,
+               unnest(list_transform(cv, (x, i) -> {'pos': i - 1, 'x': x}),
+                 recursive := true)
+             FROM c),
+      cm AS (SELECT cl, pos,
+               list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                 list(x ORDER BY n_id)), (a, b) -> a + b) / COUNT(*) AS m
+             FROM cx GROUP BY cl, pos),
+      cents AS (SELECT cl, list(m ORDER BY pos) AS cv FROM cm
+                GROUP BY cl),
+      cnn AS (SELECT cl, cv, sqrt(${foldDot.format("cv", "cv")}) AS cn
+              FROM cents),
+      probe AS (SELECT q_id, cl,
+                  ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY
+                    ${foldDot.format("qv", "cv")} / (qn * cnn.cn) DESC, cl)
+                    AS probe_rank
+                FROM q CROSS JOIN cnn),
+      routed AS (SELECT q_id, cl FROM probe WHERE probe_rank <= 2),
+      pairs AS (SELECT n_id, cl AS cb,
+          ${foldDot.format("list_slice(pv, 1, 32)", "list_slice(pv, 1, 32)")}
+            - 2.0 * ${foldDot.format("list_slice(pv, 1, 32)", "list_slice(cents.cv, 1, 32)")}
+            + ${foldDot.format("list_slice(cents.cv, 1, 32)", "list_slice(cents.cv, 1, 32)")} AS d0,
+          ${foldDot.format("list_slice(pv, 33, 64)", "list_slice(pv, 33, 64)")}
+            - 2.0 * ${foldDot.format("list_slice(pv, 33, 64)", "list_slice(cents.cv, 33, 64)")}
+            + ${foldDot.format("list_slice(cents.cv, 33, 64)", "list_slice(cents.cv, 33, 64)")} AS d1
+        FROM (SELECT n_id, cv AS pv FROM c) cc CROSS JOIN cents),
+      b0 AS (SELECT n_id, cb AS code0 FROM (
+               SELECT n_id, cb, ROW_NUMBER() OVER (PARTITION BY n_id
+                 ORDER BY d0, cb) rn FROM pairs) WHERE rn = 1),
+      b1 AS (SELECT n_id, cb AS code1 FROM (
+               SELECT n_id, cb, ROW_NUMBER() OVER (PARTITION BY n_id
+                 ORDER BY d1, cb) rn FROM pairs) WHERE rn = 1),
+      codes AS (SELECT b0.n_id, code0, code1 FROM b0 JOIN b1 USING (n_id)),
+      lut AS (SELECT q_id, cl AS cb,
+          ${foldDot.format("list_slice(qv, 1, 32)", "list_slice(qv, 1, 32)")}
+            - 2.0 * ${foldDot.format("list_slice(qv, 1, 32)", "list_slice(cents.cv, 1, 32)")}
+            + ${foldDot.format("list_slice(cents.cv, 1, 32)", "list_slice(cents.cv, 1, 32)")} AS d0,
+          ${foldDot.format("list_slice(qv, 33, 64)", "list_slice(qv, 33, 64)")}
+            - 2.0 * ${foldDot.format("list_slice(qv, 33, 64)", "list_slice(cents.cv, 33, 64)")}
+            + ${foldDot.format("list_slice(cents.cv, 33, 64)", "list_slice(cents.cv, 33, 64)")} AS d1
+        FROM q CROSS JOIN cents),
+      cand AS (SELECT r.q_id, c.n_id, codes.code0, codes.code1
+               FROM routed r JOIN c USING (cl) JOIN codes ON codes.n_id = c.n_id),
+      adc AS (SELECT cand.q_id, cand.n_id, l0.d0 + l1.d1 AS adc
+              FROM cand
+              JOIN lut l0 ON l0.q_id = cand.q_id AND l0.cb = cand.code0
+              JOIN lut l1 ON l1.q_id = cand.q_id AND l1.cb = cand.code1),
+      short AS (SELECT q_id, n_id, adc FROM (
+                  SELECT q_id, n_id, adc, ROW_NUMBER() OVER (
+                    PARTITION BY q_id ORDER BY adc, n_id) sr FROM adc)
+                WHERE sr <= 10),
+      ex AS (SELECT s2.q_id, s2.n_id, s2.adc,
+               ${foldDot.format("q.qv", "c.cv")} / (q.qn * c.cn) AS cosine
+             FROM short s2 JOIN c ON c.n_id = s2.n_id
+             JOIN q ON q.q_id = s2.q_id),
+      r AS (SELECT q_id, n_id, adc, cosine,
+              ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosine DESC, n_id) rnk
+            FROM ex)
+      SELECT q_id, n_id, adc, cosine, CAST(rnk AS INT) AS rank
+      FROM r WHERE rnk <= 5 ORDER BY q_id, rank"""))
+
   val defs: Seq[QueryDef] = Seq(s01, s02, s03, s04, s05, s06, s07, s08,
-    s09, s10, s11, s12, s13, s14, s15, s16, s17, s18)
+    s09, s10, s11, s12, s13, s14, s15, s16, s17, s18, s19, s20)
 }

@@ -205,11 +205,100 @@ class AnnIndexSpec extends SparkSpec {
       s"bucket scan must be dynamically pruned:\n${p.take(3000)}")
   }
 
-  test("s15/s16/s17 entry plans read the store and landing file, never embeddings.parquet") {
+  test("compactFamily folds grow segments into one; history and siblings survive") {
+    val store = tmpStore("cmp")
+    val all = prepped
+    AnnIndex.writeIvf(all.filter(col("id") >= 10 && col("id") % 3 === 0),
+      "label", store)
+    val second = all.filter(col("id") >= 10 && col("id") % 3 === 1).drop("label")
+    val third = all.filter(col("id") >= 10 && col("id") % 3 === 2).drop("label")
+    AnnIndex.appendVectors(spark, store, second)
+    AnnIndex.appendVectors(spark, store, third)
+    assert(TxLog.familySegments(store, "postings").size == 3)
+    val queries = all.filter(col("id") < 10).drop("label")
+    val beforeProbe = AnnIndex.probeIvf(spark, store, queries, k = 5, nProbe = 2)
+      .orderBy("q_id", "rank").collect()
+    val preVersion = TxLog.latestVersion(store).get
+    val preCount = AnnIndex.readPostings(spark, store).count()
+    val before = fileState(store)
+    AnnIndex.compactFamily(spark, store, "postings", Seq("cluster"))
+    // ONE live postings segment now; the old segment files are NOT
+    // deleted (historical versions stay snapshot-readable) and NOT
+    // rewritten (OPTIMIZE only adds the merged segment)
+    val live = TxLog.familySegments(store, "postings")
+    assert(live.size == 1, s"expected one live segment, got $live")
+    before.foreach { case (path, st) =>
+      assert(fileState(store).get(path).contains(st),
+        s"compaction rewrote pre-existing file $path")
+    }
+    assert(TxLog.familySegments(store, "centroids").size == 1,
+      "sibling family must be untouched")
+    // time travel: the pre-compaction version still reads in full
+    val snapCount = TxLog.liveSegments(store, preVersion)
+      .filter(_.startsWith("postings__"))
+      .map(s => spark.read.parquet(s"$store/$s").count()).sum
+    assert(snapCount == preCount)
+    // the probe of the compacted store is bit-identical and scans
+    // ONLY the merged segment
+    val compacted = AnnIndex.probeIvf(spark, store, queries, k = 5, nProbe = 2)
+    val p = compacted.queryExecution.executedPlan.toString
+    Seq("postings__seg0", "postings__seg1", "postings__seg2").foreach(old =>
+      assert(!p.contains(old), s"probe must not scan compacted-away $old"))
+    assert(p.contains(live.head), "probe must scan the merged segment")
+    val afterProbe = compacted.orderBy("q_id", "rank").collect()
+    assert(afterProbe.length == beforeProbe.length && afterProbe.length > 0)
+    afterProbe.zip(beforeProbe).foreach { case (a, b) => assert(a == b) }
+  }
+
+  test("probeIvfPq: ADC shortlist over pqposts, exact re-rank, probed clusters only") {
+    val store = tmpStore("adc")
+    val all = prepped
+    val corpus = all.filter(col("id") >= 10)
+    AnnIndex.writeIvf(corpus, "label", store)
+    AnnIndex.writePq(corpus.select("id", "v"), corpus, m = 2, dim = 64, store)
+    AnnIndex.writePqPostings(spark, store, m = 2, dim = 64)
+    val queries = all.filter(col("id") < 10).drop("label")
+    val res = AnnIndex.probeIvfPq(spark, store, queries,
+      k = 5, nProbe = 2, shortlist = 10, m = 2, dim = 64)
+    val rows = res.orderBy("q_id", "rank").collect()
+    val nq = queries.count()
+    assert(rows.length == nq * 5, s"expected ${nq * 5} rows, got ${rows.length}")
+    // the reported cosines are EXACT: recompute each returned pair
+    // against the raw vectors
+    val pairs = res.select("q_id", "n_id", "cosine")
+    val recomputed = pairs
+      .join(queries.select(col("id").as("q_id"), col("v").as("qv"),
+        col("nrm").as("qn")), "q_id")
+      .join(corpus.select(col("id").as("n_id"), col("v").as("cv"),
+        col("nrm").as("cn")), "n_id")
+      .select(col("q_id"), col("n_id"), col("cosine"),
+        (graft.Dsl.dotFold(col("qv"), col("cv")) / (col("qn") * col("cn")))
+          .as("exact"))
+      .collect()
+    recomputed.foreach(r => assert(
+      r.getDouble(r.fieldIndex("cosine")) == r.getDouble(r.fieldIndex("exact")),
+      s"re-rank cosine must be the exact cosine: $r"))
+    // every hit comes from a probed cluster (the IVF routing contract)
+    val probedOk = res.select("q_id", "n_id")
+      .join(AnnIndex.readPostings(spark, store).select("n_id", "cluster"), "n_id")
+      .join(AnnIndex.probeIvf(spark, store, queries, k = 1000, nProbe = 2)
+        .select(col("q_id"), col("n_id").as("__any")).groupBy("q_id")
+        .agg(collect_set("__any").as("__probed")), "q_id")
+      .filter(!array_contains(col("__probed"), col("n_id")))
+      .count()
+    assert(probedOk == 0, "an ADC hit escaped the probed clusters")
+    // the ADC stage rides the code lists: the plan scans pqposts
+    val p = res.queryExecution.executedPlan.toString
+    assert(p.contains("pqposts__"), "ADC stage must scan the PQ inverted lists")
+  }
+
+  test("s15/s16/s17/s19/s20 entry plans read the store and landing file, never embeddings.parquet") {
     for ((name, store, land) <- Seq(
       ("s15_persisted_ivf", "s15_store_", "s15_land_"),
       ("s16_incremental_pq", "s16_store_", "s16_land_"),
-      ("s17_ivf_append", "s17_store_", "s17_q_"))) {
+      ("s17_ivf_append", "s17_store_", "s17_q_"),
+      ("s19_ivf_compact", "s19_store_", "s19_q_"),
+      ("s20_ivfpq_adc", "s20_store_", "s20_q_"))) {
       val df = Catalog.byName(name).build(spark, dir)
       val p = df.queryExecution.executedPlan.toString
       assert(!p.contains("embeddings.parquet"),

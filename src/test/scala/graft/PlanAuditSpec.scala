@@ -311,7 +311,10 @@ class PlanAuditSpec extends SparkSpec {
     // s15 routes the landed queries against the STORED centroids —
     // s03's declared broadcast shape read back from parquet; s16
     // encodes against the stored codebook — s08's declared broadcast
-    // argmin over |codebook| candidates.
+    // argmin over |codebook| candidates. s17/s19 probe the grown/
+    // compacted store through the same routing; s20 adds the per-query
+    // ADC LUT — queries × |codebook| codeword distances, broadcast —
+    // s12's declared lookup-table shape against the stored families.
     // q100's one crossJoin stitches TWO ONE-ROW AGGREGATES (graph
     // stats × triangle count — Triangles.stats' final select); every
     // data-sized join in it is an equi-join. (Latent until r8: the r7
@@ -322,7 +325,7 @@ class PlanAuditSpec extends SparkSpec {
       "s08_pq_encode", "s09_maxsim", "s10_ivf_recall",
       "s12_pq_adc_search", "s13_multiprobe_recall", "s14_sq8_recall",
       "s15_persisted_ivf", "s16_incremental_pq", "s17_ivf_append",
-      "q100_triangle_count")
+      "s19_ivf_compact", "s20_ivfpq_adc", "q100_triangle_count")
     val offenders = sweptPlans.collect {
       case (name, Left(err)) => s"$name (build threw $err)"
       case (name, Right(p)) if !allow(name) &&
