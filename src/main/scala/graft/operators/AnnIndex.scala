@@ -395,9 +395,9 @@ object AnnIndex {
         (graft.Dsl.dotFold(qS, qS) - lit(2.0) * graft.Dsl.dotFold(qS, cS)
           + graft.Dsl.dotFold(cS, cS)).as(s"d$s")
       }: _*)
-    val nRouted = queries.count() * nProbe
+    val nQ = queries.count()
     val cand = probeJoin(sp, routed, readPqPostings(sp, store), "cluster",
-      nRouted, maxBroadcastRows)
+      nQ * nProbe, maxBroadcastRows)
     val withAdc = (0 until m).foldLeft(cand) { (acc, s) =>
       acc.join(broadcast(lut.select(col("q_id"),
           col("cb").as(s"code$s"), col(s"d$s"))),
@@ -410,9 +410,16 @@ object AnnIndex {
       .filter(col("__sr") <= shortlist)
       .select("q_id", "cluster", "n_id", "adc")
     val wK = Window.partitionBy("q_id").orderBy(col("cosine").desc, col("n_id"))
-    short
+    // The re-rank sides are query-batch-sized (shortlist × |queries|
+    // and |queries| rows): broadcast them under the same gate so the
+    // full-precision fetch is a broadcast join over the partitioned
+    // postings scan at any corpus size, not an AQE judgment call.
+    val shortSide =
+      if (nQ * shortlist <= maxBroadcastRows) broadcast(short) else short
+    val qSide = if (nQ <= maxBroadcastRows) broadcast(q) else q
+    shortSide
       .join(readPostings(sp, store), Seq("cluster", "n_id"))
-      .join(q, "q_id")
+      .join(qSide, "q_id")
       .select(col("q_id"), col("n_id"), col("adc"),
         (graft.Dsl.dotFold(col("qv"), col("cv")) / (col("qn") * col("cn")))
           .as("cosine"))
