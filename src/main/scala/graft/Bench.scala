@@ -93,6 +93,12 @@ object Bench {
     // 5 → 9.4 → 12.3 s across rounds for the same reason). Warming
     // d01/d02/d03/d07 pins those one-off costs outside the timed
     // region, so per-query diffs measure the operators.
+    // The persisted-index entries (s15–s20) build their store fixture
+    // once per (session, sfDir): with a cold fixture the FIRST timed
+    // run charges the whole build-grow-compact install to the probe
+    // (ProfileQ r11: s18 15.5 s cold vs 1.9 s warm probe). Warming
+    // them times the recurring operation — the stored-index probe —
+    // which is what round-over-round perf diffs should measure.
     Seq("q01_pricing_summary", "e01_csv_ingest", "e02_json_ingest",
         "e03_partitioned_roundtrip", "e07_bucketed_join",
         "e08_stream_sessions", "e09_clustered_scan",
@@ -100,7 +106,9 @@ object Bench {
         "e14_schema_evolution", "e15_orc_roundtrip",
         "e16_corrupt_quarantine", "e29_time_travel",
         "d01_exact_dedup", "d02_minhash_lsh", "d03_simhash",
-        "d07_minhash_verify", "d23_bloom_novelty").foreach {
+        "d07_minhash_verify", "d23_bloom_novelty",
+        "s15_persisted_ivf", "s16_incremental_pq", "s17_ivf_append",
+        "s18_persisted_lsh", "s19_ivf_compact", "s20_ivfpq_adc").foreach {
       n => SparkEntry.queries.get(n)
         .foreach(f => try f(spark, sfDir).count() catch { case _: Throwable => })
     }
