@@ -51,6 +51,53 @@ object TxLog {
     }
   }
 
+  /** Every [[CheckpointEvery]]-th commit also writes a CHECKPOINT —
+    * the folded live-segment set as of that version — so a reader
+    * starts its fold from the newest checkpoint at or below its
+    * pinned version instead of replaying every manifest since v0.
+    * This is Delta's `_last_checkpoint` discipline reduced to its
+    * core: a store that grows by one O(delta) segment per ingest
+    * installment accrues thousands of manifests per year, and
+    * without checkpoints every snapshot read pays an O(versions)
+    * metadata fold before it opens a single data file. Checkpoints
+    * are pure optimization — best-effort written (a crash between
+    * manifest and checkpoint costs nothing but fold length), named
+    * `ckpt-v<N>.json` so [[versions]]' `v*.json` filter never sees
+    * them, and installed with the same atomic create-if-absent link
+    * as manifests (racing writers collapse to one winner). */
+  val CheckpointEvery = 16
+
+  private def checkpointVersions(tableDir: String): Seq[Int] = {
+    val d = logDir(tableDir)
+    if (!Files.isDirectory(d)) Seq.empty
+    else {
+      val it = Files.list(d)
+      try it.iterator().asInstanceOf[java.util.Iterator[java.nio.file.Path]]
+        .asScala.map(_.getFileName.toString)
+        .filter(n => n.startsWith("ckpt-v") && n.endsWith(".json"))
+        .map(n => n.stripPrefix("ckpt-v").stripSuffix(".json").toInt)
+        .toSeq.sorted
+      finally it.close()
+    }
+  }
+
+  private def writeCheckpoint(tableDir: String, v: Int): Unit = {
+    val d = logDir(tableDir)
+    val live = foldSegments(tableDir, v)
+    val body = s"""{"version":$v,"live":${
+      live.map("\"" + _ + "\"").mkString("[", ",", "]")}}"""
+    val tmp = d.resolve(s".tmp.ckpt.${java.util.UUID.randomUUID}")
+    try {
+      Files.write(tmp, body.getBytes(StandardCharsets.UTF_8))
+      Files.createLink(d.resolve(s"ckpt-v$v.json"), tmp)
+    } catch {
+      case _: java.nio.file.FileAlreadyExistsException => // racing winner
+      case e: java.io.IOException =>
+        // best-effort: a missing checkpoint only lengthens the fold
+        System.err.println(s"[txlog] checkpoint v$v skipped: ${e.getMessage}")
+    } finally { Files.deleteIfExists(tmp); () }
+  }
+
   /** Commit a new version adding/removing the given segment names
     * (paths relative to the table dir). Returns the version claimed.
     * Manifest JSON is flat and order-stable, so a manifest is
@@ -75,6 +122,7 @@ object TxLog {
         // race (ATOMIC_MOVE would silently replace the winner).
         Files.createLink(d.resolve(s"v$v.json"), tmp)
         Files.deleteIfExists(tmp)
+        if (v > 0 && v % CheckpointEvery == 0) writeCheckpoint(tableDir, v)
         return v
       } catch {
         case _: java.nio.file.FileAlreadyExistsException =>
@@ -86,25 +134,49 @@ object TxLog {
     -1 // unreachable
   }
 
-  /** The live segment set as of `asOf` (inclusive): fold adds minus
-    * removes across manifests v0..asOf. */
+  /** The live segment set as of `asOf` (inclusive): start from the
+    * newest readable checkpoint at or below `asOf`, fold the
+    * manifests after it — O(CheckpointEvery) manifest reads however
+    * many versions the table has accrued. */
   def liveSegments(tableDir: String, asOf: Int): Seq[String] = {
     val vs = versions(tableDir)
     require(vs.contains(asOf), s"version $asOf not in $vs")
+    foldSegments(tableDir, asOf)
+  }
+
+  // flat JSON written by commit()/writeCheckpoint(): known string
+  // arrays, no nesting
+  private def jsonArr(body: String, name: String,
+      where: => String): Seq[String] = {
+    val m = s""""$name":\\[([^\\]]*)\\]""".r.findFirstMatchIn(body)
+      .getOrElse(sys.error(s"malformed $where"))
+    m.group(1).split(",").map(_.trim.stripPrefix("\"").stripSuffix("\""))
+      .filter(_.nonEmpty).toSeq
+  }
+
+  private def foldSegments(tableDir: String, asOf: Int): Seq[String] = {
     val live = scala.collection.mutable.LinkedHashSet[String]()
-    vs.filter(_ <= asOf).foreach { v =>
+    // Base: newest checkpoint ≤ asOf that parses. A corrupt or
+    // half-written checkpoint is skipped (cost: a longer fold), never
+    // trusted — the manifests stay the source of truth.
+    val base = checkpointVersions(tableDir).filter(_ <= asOf).reverse
+      .collectFirst(Function.unlift { bv =>
+        scala.util.Try {
+          val body = new String(Files.readAllBytes(
+            logDir(tableDir).resolve(s"ckpt-v$bv.json")),
+            StandardCharsets.UTF_8)
+          jsonArr(body, "live", s"checkpoint v$bv in $tableDir")
+        }.toOption.map(bv -> _)
+      })
+    base.foreach { case (_, segs) => segs.foreach(live += _) }
+    versions(tableDir)
+      .filter(v => v <= asOf && base.forall(v > _._1)).foreach { v =>
       val body = new String(
         Files.readAllBytes(logDir(tableDir).resolve(s"v$v.json")),
         StandardCharsets.UTF_8)
-      // flat manifests written by commit(): two known arrays, no nesting
-      def field(name: String): Seq[String] = {
-        val m = s""""$name":\\[([^\\]]*)\\]""".r.findFirstMatchIn(body)
-          .getOrElse(sys.error(s"malformed manifest v$v in $tableDir"))
-        m.group(1).split(",").map(_.trim.stripPrefix("\"").stripSuffix("\""))
-          .filter(_.nonEmpty).toSeq
-      }
-      field("adds").foreach(live += _)
-      field("removes").foreach { r =>
+      jsonArr(body, "adds", s"manifest v$v in $tableDir")
+        .foreach(live += _)
+      jsonArr(body, "removes", s"manifest v$v in $tableDir").foreach { r =>
         require(live.contains(r),
           s"manifest v$v removes unknown segment $r")
         live -= r

@@ -101,6 +101,29 @@ class DedupIndexSpec extends SparkSpec {
     assert(stored === batch)
   }
 
+  test("compactFamily generalizes to the dedup store's unpartitioned families") {
+    // One install discipline, one OPTIMIZE: the same compactFamily
+    // that folds the ANN postings (partitioned, _meta-pinned) must
+    // fold this store's plain families — no sidecar, no partitioning.
+    val store = tmpStore("cmp")
+    val oldDocs = corpus.filter(col("doc_id") % 2 === 0)
+    val newDocs = corpus.filter(col("doc_id") % 2 =!= 0)
+    DedupIndex.write(oldDocs, "doc_id", "text", 3, 16, 4, 4, store)
+    DedupIndex.installAppended(spark, store, newDocs,
+      "doc_id", "text", 3, 16, 4, 4)
+    import graft.sources.TxLog
+    assert(TxLog.familySegments(store, "banded").size === 2)
+    val beforeRows = DedupIndex.readBanded(spark, store)
+      .collect().map(_.toSeq).toSet
+    graft.operators.AnnIndex.compactFamily(spark, store, "banded", Seq.empty)
+    assert(TxLog.familySegments(store, "banded").size === 1)
+    // sibling families untouched; content identical through the merge
+    assert(TxLog.familySegments(store, "pairs").size === 2)
+    assert(TxLog.familySegments(store, "docs").size === 2)
+    assert(DedupIndex.readBanded(spark, store)
+      .collect().map(_.toSeq).toSet === beforeRows)
+  }
+
   test("d21 entry plan reads the store and landing file, never documents.parquet") {
     val df = Catalog.byName("d21_persisted_index")
       .build(spark, "/root/testdata/sf0.001")

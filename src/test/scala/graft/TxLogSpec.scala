@@ -83,4 +83,59 @@ class TxLogSpec extends SparkSpec {
     assert(v1.getLong(0) === 50L)
     assert(v1.getLong(1) === (101L to 150L).sum)
   }
+
+  /** Reference fold: every manifest from v0, no checkpoint shortcut —
+    * the semantics checkpoints must reproduce exactly. */
+  private def manifestOnlyFold(t: String, asOf: Int): Seq[String] = {
+    val live = scala.collection.mutable.LinkedHashSet[String]()
+    (0 to asOf).foreach { v =>
+      val body = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(t, "_txlog", s"v$v.json")),
+        java.nio.charset.StandardCharsets.UTF_8)
+      def arr(name: String): Seq[String] =
+        s""""$name":\\[([^\\]]*)\\]""".r.findFirstMatchIn(body).get
+          .group(1).split(",").map(_.trim.stripPrefix("\"")
+            .stripSuffix("\"")).filter(_.nonEmpty).toSeq
+      arr("adds").foreach(live += _)
+      arr("removes").foreach(live -= _)
+    }
+    live.toSeq
+  }
+
+  test("checkpoints reproduce the manifest fold at every version") {
+    val t = freshTable()
+    // a grow-per-commit history long enough to cross two checkpoint
+    // boundaries, with interleaved removes (compaction-style)
+    (0 until 40).foreach { i =>
+      writeSeg(t, s"g$i", Seq(i.toLong))
+      val removes =
+        if (i % 7 == 6) Seq(s"g${i - 3}") else Seq.empty
+      TxLog.commit(t, Seq(s"g$i"), removes)
+    }
+    val ckpts = new java.io.File(s"$t/_txlog").listFiles()
+      .map(_.getName).filter(_.startsWith("ckpt-v")).sorted.toSeq
+    assert(ckpts === Seq("ckpt-v16.json", "ckpt-v32.json"),
+      s"expected checkpoints at the 16-commit cadence, got $ckpts")
+    // every pinned version reads identically through the checkpointed
+    // fold and the full manifest replay — including versions BELOW,
+    // AT, and ABOVE each checkpoint
+    (0 until 40).foreach { v =>
+      assert(TxLog.liveSegments(t, v) === manifestOnlyFold(t, v),
+        s"checkpointed fold diverged at v$v")
+    }
+  }
+
+  test("a corrupt checkpoint is skipped, never trusted") {
+    val t = freshTable()
+    (0 until 20).foreach { i =>
+      writeSeg(t, s"s$i", Seq(i.toLong))
+      TxLog.commit(t, Seq(s"s$i"))
+    }
+    val expect = TxLog.liveSegments(t, 19)
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(t, "_txlog", "ckpt-v16.json"),
+      "{not json".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    assert(TxLog.liveSegments(t, 19) === expect,
+      "fold must fall back to manifests when the checkpoint is unreadable")
+  }
 }
