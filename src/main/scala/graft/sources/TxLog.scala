@@ -198,6 +198,46 @@ object TxLog {
   def latestVersion(tableDir: String): Option[Int] =
     versions(tableDir).lastOption
 
+  /** Delete from disk every data segment that no RETAINED version can
+    * reach — Delta's VACUUM reduced to its core, completing the
+    * log-structured lifecycle (grow O(delta) → compact → vacuum).
+    * Retained = versions `keepFrom..latest`: a segment is kept iff it
+    * is live at any of them. Everything else goes — segments only
+    * historical versions referenced (their disk cost is what vacuum
+    * exists to reclaim) AND orphan dirs from crashed installs (data
+    * written, manifest never committed). The manifest log itself is
+    * NEVER deleted: segment names derive from `versions().size`, so
+    * dropping manifests would recycle names onto live data; the tiny
+    * manifests are the price of collision-free naming, and versions
+    * below `keepFrom` simply stop being readable (their snapshot
+    * fails on the missing dirs — time travel is bounded by the
+    * vacuum horizon, exactly Delta's retention semantics).
+    *
+    * Contract: a MAINTENANCE operation, single-writer — an install
+    * racing a vacuum could stage a segment that vacuum sees as an
+    * orphan. Run it where installs are quiesced (the same discipline
+    * Delta demands of VACUUM vs un-checkpointed writers).
+    * Returns the deleted directory names, sorted. */
+  def vacuum(tableDir: String, keepFrom: Int): Seq[String] = {
+    val vs = versions(tableDir)
+    require(vs.contains(keepFrom), s"version $keepFrom not in $vs")
+    val reachable = vs.filter(_ >= keepFrom)
+      .flatMap(v => liveSegments(tableDir, v)).toSet
+    val root = new java.io.File(tableDir)
+    val doomed = Option(root.listFiles()).getOrElse(Array.empty)
+      .filter(_.isDirectory).map(_.getName)
+      .filterNot(n => n == "_txlog" || n == "_meta" || reachable(n))
+      .toSeq.sorted
+    doomed.foreach { n =>
+      def del(f: java.io.File): Unit = {
+        Option(f.listFiles()).getOrElse(Array.empty).foreach(del)
+        f.delete(); ()
+      }
+      del(new java.io.File(root, n))
+    }
+    doomed
+  }
+
   /** Multi-FAMILY stores (the index stores: IVF postings + centroids,
     * LSH buckets, PQ codebook + codes, dedup banded/pairs/docs) keep
     * every family in ONE txlog by naming segments `<family>__<tag>` —

@@ -125,6 +125,32 @@ class TxLogSpec extends SparkSpec {
     }
   }
 
+  test("vacuum reclaims unreachable segments and orphans, bounded by the horizon") {
+    val t = freshTable()
+    writeSeg(t, "a", Seq(1L, 2L))
+    writeSeg(t, "b", Seq(3L))
+    writeSeg(t, "c", Seq(4L, 5L))
+    writeSeg(t, "zz_orphan", Seq(99L)) // crashed install: never committed
+    TxLog.commit(t, Seq("a"))                      // v0
+    TxLog.commit(t, Seq("b"), removes = Seq("a"))  // v1
+    TxLog.commit(t, Seq("c"))                      // v2
+    val gone = TxLog.vacuum(t, keepFrom = 1)
+    // a is unreachable from v1..v2; the orphan was never reachable
+    assert(gone === Seq("a", "zz_orphan"))
+    assert(!new java.io.File(t, "a").exists())
+    // retained versions read exactly as before
+    assert(TxLog.snapshot(spark, t, 1).count() === 1L)
+    assert(TxLog.snapshot(spark, t, 2).select("id").collect()
+      .map(_.getLong(0)).sorted.toSeq === Seq(3L, 4L, 5L))
+    // the log is intact — version numbering (and so segment naming)
+    // never rewinds, and the horizon is explicit: v0's data is gone
+    assert(TxLog.versions(t) === Seq(0, 1, 2))
+    assert(TxLog.liveSegments(t, 0) === Seq("a"))
+    intercept[Exception] { TxLog.snapshot(spark, t, 0).count() }
+    // idempotent: nothing left to reclaim
+    assert(TxLog.vacuum(t, keepFrom = 1).isEmpty)
+  }
+
   test("a corrupt checkpoint is skipped, never trusted") {
     val t = freshTable()
     (0 until 20).foreach { i =>
