@@ -108,7 +108,8 @@ object Bench {
         "d01_exact_dedup", "d02_minhash_lsh", "d03_simhash",
         "d07_minhash_verify", "d23_bloom_novelty",
         "s15_persisted_ivf", "s16_incremental_pq", "s17_ivf_append",
-        "s18_persisted_lsh", "s19_ivf_compact", "s20_ivfpq_adc").foreach {
+        "s18_persisted_lsh", "s19_ivf_compact", "s20_ivfpq_adc",
+        "e41_stream_txlog").foreach {
       n => SparkEntry.queries.get(n)
         .foreach(f => try f(spark, sfDir).count() catch { case _: Throwable => })
     }

@@ -1,0 +1,77 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Multi-source breadth-first hop distances over an undirected edge
+  * list — "how far is every node from the nearest seed", the reach /
+  * coverage primitive behind hub-distance analytics, influence radii,
+  * and crawl-frontier scheduling.
+  *
+  * Same driver-coordinated iteration discipline as [[Components]]:
+  * each round is ONE shuffle (frontier→neighbor expansion + anti-join
+  * against the visited set), lineage is truncated per round through
+  * [[org.apache.spark.sql.graft.Bridge.truncatedAutoSum]] (reliable
+  * checkpoint on clusters, local blocks in tests, superseded rounds
+  * released eagerly), and the convergence scalar rides in the same
+  * materialization job as the round itself — no per-row driver work,
+  * no collect.
+  */
+object Bfs {
+
+  /** Rounds the last [[hopDistances]] call actually ran — diagnostic
+    * for specs (≤ maxHops; < maxHops when the frontier died early). */
+  @volatile private[graft] var lastRounds: Int = 0
+
+  /** BFS hop distance from the nearest seed, bounded at `maxHops` BY
+    * CONTRACT: unlike [[Components.connectedComponents]]' loud-failure
+    * bound, the cap here is part of the semantics ("within H hops") —
+    * nodes further than `maxHops` from every seed are simply absent
+    * from the result, and callers label them unreached. The frontier
+    * sum (Σ dist of the visited set) strictly increases while any
+    * round adds nodes (every new node carries dist ≥ 1), so an
+    * unchanged sum is an exact emptiness test fused into the round's
+    * own job.
+    *
+    * @param edges undirected edge list (`srcCol`, `dstCol`), long ids.
+    * @param seeds one long column `seedCol`; distance 0. Seeds not
+    *   present in the edge list still appear in the result (isolated
+    *   seeds are at distance 0 from themselves).
+    * @return (node, dist): minimum hop count to any seed, 0 ≤ dist ≤
+    *   maxHops, one row per reached node.
+    */
+  def hopDistances(edges: DataFrame, srcCol: String, dstCol: String,
+      seeds: DataFrame, seedCol: String, maxHops: Int): DataFrame = {
+    require(maxHops >= 0, s"maxHops must be >= 0, got $maxHops")
+    val both = edges.select(col(srcCol).as("u"), col(dstCol).as("v"))
+      .unionAll(edges.select(col(dstCol).as("u"), col(srcCol).as("v")))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var (visited, prevSum, release) =
+      org.apache.spark.sql.graft.Bridge.truncatedAutoSum(
+        seeds.select(col(seedCol).as("node")).distinct()
+          .withColumn("dist", lit(0L)),
+        sumIdx = 1)
+    var h = 0
+    var done = false
+    while (h < maxHops && !done) {
+      h += 1
+      val newNodes = both
+        .join(visited.filter(col("dist") === h - 1), col("u") === col("node"))
+        .select(col("v").as("node")).distinct()
+        .join(visited, Seq("node"), "left_anti")
+        .withColumn("dist", lit(h.toLong))
+      val (next, nextSum, nextRelease) =
+        org.apache.spark.sql.graft.Bridge.truncatedAutoSum(
+          visited.unionAll(newNodes), sumIdx = 1)
+      release()
+      visited = next
+      release = nextRelease
+      done = nextSum.compareTo(prevSum) == 0
+      prevSum = nextSum
+    }
+    both.unpersist()
+    lastRounds = h
+    visited
+  }
+}

@@ -109,5 +109,63 @@ object GraphQueries {
           AS global_cc
       FROM agg CROSS JOIN tri"""))
 
-  val defs: Seq[QueryDef] = Seq(q99, q100)
+  /** Multi-source BFS reach profile of the co-purchase graph: hop
+    * distance from every part to the nearest "hub" part (partkey ≡ 0
+    * mod 100), summarized as a distance histogram with the unreached
+    * complement labeled −1 — the coverage/radius primitive behind
+    * "how many hops does influence propagate" and crawl-frontier
+    * sizing.
+    *
+    * Scale shape: [[graft.operators.Bfs.hopDistances]] runs one
+    * equi-shuffle per hop (frontier→neighbor expansion + anti-join
+    * into the visited set), with per-round lineage truncation and the
+    * emptiness scalar fused into the round's own materialization job
+    * (the Components loop discipline); the hop bound (6) caps total
+    * work at 6 shuffles regardless of graph size, and the final
+    * histogram groups the node-cardinality visited set — never the
+    * edge list — by a ≤8-value key.
+    *
+    * Determinism: hop counts are exact integers (BFS layer = min hops
+    * is partition-order-free); the oracle's recursive CTE dedups
+    * (node, d) pairs per round so its row count is bounded by
+    * V·maxHops, and both sides cap at the SAME contractual 6 hops. */
+  val q112 = QueryDef(
+    "q112_shortest_paths",
+    (sp, dir) => {
+      val li = Tables(sp, dir, "lineitem")
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      val edges = li.as("a").join(li.as("b"),
+          col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+        .select(col("a.pk").as("u"), col("b.pk").as("v"))
+        .distinct()
+      val nodes = edges.select(col("u").as("node"))
+        .unionAll(edges.select(col("v").as("node"))).distinct()
+      val seeds = nodes.filter(pmod(col("node"), lit(100L)) === 0)
+      val bfs = graft.operators.Bfs.hopDistances(
+        edges, "u", "v", seeds, "node", maxHops = 6)
+      nodes.join(bfs, Seq("node"), "left_outer")
+        .select(coalesce(col("dist"), lit(-1L)).as("dist"))
+        .groupBy("dist").agg(count(lit(1)).as("n_nodes"))
+        .orderBy("dist")
+    },
+    Some("""
+      WITH RECURSIVE li AS (
+        SELECT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+      e0 AS (SELECT DISTINCT a.pk AS u, b.pk AS v
+             FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk),
+      e AS (SELECT u, v FROM e0 UNION ALL SELECT v AS u, u AS v FROM e0),
+      nodes AS (SELECT DISTINCT u AS node FROM e),
+      seeds AS (SELECT node FROM nodes WHERE node % 100 = 0),
+      r(node, d) AS (
+        SELECT node, 0 FROM seeds
+        UNION
+        SELECT e.v, r.d + 1 FROM r JOIN e ON e.u = r.node WHERE r.d < 6),
+      bfs AS (SELECT node, CAST(MIN(d) AS BIGINT) AS dist
+              FROM r GROUP BY node),
+      lab AS (SELECT COALESCE(b.dist, -1) AS dist
+              FROM nodes n LEFT JOIN bfs b ON n.node = b.node)
+      SELECT dist, CAST(COUNT(*) AS BIGINT) AS n_nodes
+      FROM lab GROUP BY dist ORDER BY dist"""))
+
+  val defs: Seq[QueryDef] = Seq(q99, q100, q112)
 }

@@ -2234,9 +2234,93 @@ object IngestQueries {
       ORDER BY bucket, rank"""
     })
 
+  /** Streaming ingest INTO the transaction-log table format —
+    * `readStream` → foreachBatch → [[graft.sources.TxLog.appendBatch]]:
+    * each micro-batch lands as ONE new segment behind one atomic
+    * manifest commit, exactly-once by construction (the segment name
+    * is a deterministic function of the batch id, so a redelivered
+    * batch — crash-after-commit, the e28 failure mode — is detected
+    * as already-live and skipped with no data write and no version).
+    * The entry runs two checkpointed AvailableNow passes (batch 0:
+    * even orderkeys; batch 1: ≡0 mod 3 — overlapping on purpose,
+    * append semantics keep both copies), then DELIBERATELY redelivers
+    * batch 0 outside the checkpoint; the result aggregates the final
+    * snapshot plus the store's version count, so a redelivery that
+    * appended (duplicate rows OR a third version) breaks the hash.
+    *
+    * Scale shape: the O(delta) streaming half of the e29/s17
+    * lifecycle — a batch writes its own rows and one manifest,
+    * existing segments stay unread and byte-identical at any table
+    * size; snapshot reads are one multi-path parquet scan with
+    * pushdown per segment. Determinism: counts + decimal money sums
+    * (§4), total ORDER BY. */
+  val e41 = QueryDef(
+    "e41_stream_txlog",
+    (sp, dir) => {
+      import graft.Dsl.moneySum
+      import graft.sources.TxLog
+      val fp = IngestFixtures.fingerprint(s"$dir/orders.parquet")
+      val land = IngestFixtures.path(s"e41_land_$fp")
+      val ckpt = IngestFixtures.path(s"e41_ckpt_$fp")
+      val store = IngestFixtures.path(s"e41_store_$fp")
+      IngestFixtures.once(s"e41_$fp") {
+        import scala.reflect.io.Directory
+        Seq(land, ckpt, store).foreach(p =>
+          new Directory(new java.io.File(p)).deleteRecursively())
+        new java.io.File(store).mkdirs()
+        val orders = Tables(sp, dir, "orders")
+          .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+        def batch0 = orders.filter(col("o_orderkey") % 2 === 0)
+        def ingestPass(): Unit = {
+          val schema = StructType(Seq(
+            StructField("o_orderkey", LongType),
+            StructField("o_orderstatus", StringType),
+            StructField("o_totalprice", DoubleType)))
+          val q = sp.readStream.schema(schema).parquet(land)
+            .writeStream
+            .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+              TxLog.appendBatch(b.localCheckpoint(true), id, store)
+              ()
+            }
+            .option("checkpointLocation", ckpt)
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start()
+          q.awaitTermination()
+        }
+        IngestFixtures.addLandingFile(land, batch0,
+          "batch0.parquet", 1700000000000L)
+        ingestPass()                                     // batch 0
+        IngestFixtures.addLandingFile(land,
+          orders.filter(col("o_orderkey") % 3 === 0),
+          "batch1.parquet", 1700000100000L)
+        ingestPass()                                     // batch 1
+        // redeliver batch 0 outside the checkpoint (crash-after-commit):
+        // the already-live segment name MUST short-circuit the append
+        val applied = TxLog.appendBatch(batch0, 0L, store)
+        require(!applied, "e41: redelivered batch 0 was not skipped")
+      }
+      val latest = TxLog.latestVersion(store)
+        .getOrElse(sys.error(s"e41: empty store $store"))
+      TxLog.snapshot(sp, store, latest)
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n_rows"),
+          moneySum(col("o_totalprice")).as("sum_price"))
+        .withColumn("n_versions", lit(TxLog.versions(store).size.toLong))
+        .orderBy("o_orderstatus")
+    },
+    Some("""
+      WITH appended AS (
+        SELECT o_orderstatus, o_totalprice FROM orders WHERE o_orderkey % 2 = 0
+        UNION ALL
+        SELECT o_orderstatus, o_totalprice FROM orders WHERE o_orderkey % 3 = 0)
+      SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n_rows,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+        CAST(2 AS BIGINT) AS n_versions
+      FROM appended GROUP BY o_orderstatus ORDER BY o_orderstatus"""))
+
   val defs: Seq[QueryDef] =
     Seq(e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11, e12, e13,
       e14, e15, e16, e17, e18, e19, e20, e21, e22, e23, e24, e25, e26,
       e27, e28, e29, e30, e31, e32, e33, e34, e35, e36, e37, e38, e39,
-      e40)
+      e40, e41)
 }

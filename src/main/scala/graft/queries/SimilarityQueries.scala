@@ -1356,6 +1356,152 @@ object SimilarityQueries {
       SELECT q_id, n_id, adc, cosine, CAST(rnk AS INT) AS rank
       FROM r WHERE rnk <= 5 ORDER BY q_id, rank"""))
 
+  /** Hybrid retrieval: BM25 lexical search fused with exact-cosine
+    * vector search by reciprocal-rank fusion (RRF, Cormack et al.
+    * 2009, k=60) — the standard production retrieval shape (every
+    * hybrid RAG/search stack runs exactly this: two arms, rank-level
+    * fusion, no score calibration needed). Query docs (doc_id < 10)
+    * retrieve over the corpus (doc_id ≥ 10, embeddings aligned by
+    * id): each arm contributes its top-20 pool, RRF re-ranks the
+    * union, top-10 out.
+    *
+    * Scale shape: the lexical arm is an INVERTED-LIST join — the
+    * query-term dictionary (query terms ⋈ per-term df, query-batch-
+    * sized) broadcasts into the corpus term-frequency table, so the
+    * intermediate is Σ df(query terms) postings, never |queries| ×
+    * |corpus|; per-(query, doc) state is bounded by the query's own
+    * term count; doc lengths join per-doc, corpus stats (N, avgdl)
+    * ride a 1-row broadcast. The vector arm is s01's broadcast-
+    * queries single corpus scan. Fusion touches only the ≤40-row
+    * per-query pools. At 100 TB each arm swaps in its persisted
+    * index (s15-s20 IVF/PQ for vectors, a postings store for text)
+    * without changing the fusion contract.
+    *
+    * Determinism: BM25 per-term contributions are fixed IEEE op
+    * chains on exact-integer (tf, df, dl, N, Σdl) inputs, summed as
+    * an ORDERED word-sorted fold (the t17/e35 rule), rounded to 4
+    * decimals BEFORE ranking (round-then-rank; ln is the only
+    * transcendental — the q104 concession); cosines are bit-portable
+    * dotFold chains (s01); RRF terms are single divisions of exact
+    * rank integers summed in fixed lex-then-vec order, so the final
+    * ordering needs no rounding at all. */
+  val s21 = QueryDef(
+    "s21_hybrid_search",
+    (sp, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables(sp, dir, "documents")
+      // ---- lexical arm: BM25(k1=1.2, b=0.75), top-20 per query ----
+      val ctf = docs.filter(col("doc_id") >= 10)
+        .select(col("doc_id").as("n_id"),
+          explode(split(col("text"), " ")).as("word"))
+        .filter(col("word") =!= "")
+        .groupBy("n_id", "word").agg(count(lit(1)).as("tf"))
+      val dl = ctf.groupBy("n_id").agg(sum("tf").as("dl"))
+      val stats = dl.agg(count(lit(1)).as("nd"), sum("dl").as("tok"))
+        .withColumn("j", pmod(col("nd"), lit(1L)))
+      val dfw = ctf.groupBy("word").agg(count(lit(1)).as("df"))
+      val qterms = docs.filter(col("doc_id") < 10)
+        .select(col("doc_id").as("q_id"),
+          explode(split(col("text"), " ")).as("word"))
+        .filter(col("word") =!= "").distinct()
+      val qdict = qterms.join(dfw, "word")
+      val contrib =
+        log(((col("nd") - col("df")).cast("double") + lit(0.5)) /
+            (col("df").cast("double") + lit(0.5)) + lit(1.0)) *
+          ((col("tf").cast("double") * lit(2.2)) /
+            (col("tf").cast("double") + lit(1.2) * (lit(0.25) +
+              lit(0.75) * (col("dl").cast("double") /
+                (col("tok").cast("double") / col("nd").cast("double"))))))
+      val terms = ctf.join(broadcast(qdict), "word")
+        .join(dl, "n_id")
+        .withColumn("j", pmod(col("tf"), lit(1L)))
+        .join(broadcast(stats), "j")
+        .select(col("q_id"), col("n_id"),
+          struct(col("word"), contrib.as("c")).as("wc"))
+      val lex = terms.groupBy("q_id", "n_id")
+        .agg(aggregate(array_sort(collect_list(col("wc"))), lit(0.0),
+          (acc, x) => acc + x.getField("c")).as("score"))
+        .withColumn("score", round(col("score"), 4))
+      val wl = Window.partitionBy("q_id")
+        .orderBy(col("score").desc, col("n_id"))
+      val lex20 = lex.withColumn("lex_rank", row_number().over(wl))
+        .filter(col("lex_rank") <= 20)
+        .select(col("q_id"), col("n_id"), col("lex_rank").cast("int").as("lex_rank"))
+      // ---- vector arm: exact cosine top-20 per query (s01) ----
+      val all = Similarity.prep(Tables(sp, dir, "embeddings"), "vec_id", "embedding")
+      val vec20 = Similarity.bruteForceTopK(
+          all.filter(col("id") < 10), all.filter(col("id") >= 10), k = 20)
+        .select(col("q_id"), col("n_id"), col("rank").cast("int").as("vec_rank"))
+      // ---- reciprocal-rank fusion over the pooled union ----
+      val pool = lex20.join(vec20, Seq("q_id", "n_id"), "full_outer")
+      val rrf =
+        coalesce(lit(1.0) / (lit(60.0) + col("lex_rank").cast("double")), lit(0.0)) +
+        coalesce(lit(1.0) / (lit(60.0) + col("vec_rank").cast("double")), lit(0.0))
+      val wf = Window.partitionBy("q_id").orderBy(col("rrf").desc, col("n_id"))
+      pool.withColumn("rrf", rrf)
+        .withColumn("rank", row_number().over(wf))
+        .filter(col("rank") <= 10)
+        .select(col("q_id"), col("n_id"), col("lex_rank"), col("vec_rank"),
+          col("rrf"), col("rank").cast("int").as("rank"))
+        .orderBy("q_id", "rank")
+    },
+    Some(s"""
+      WITH ctf AS (SELECT n_id, word, CAST(COUNT(*) AS BIGINT) AS tf FROM (
+             SELECT doc_id AS n_id, unnest(string_split(text, ' ')) AS word
+             FROM documents WHERE doc_id >= 10)
+           WHERE word <> '' GROUP BY 1, 2),
+      dl AS (SELECT n_id, CAST(SUM(tf) AS BIGINT) AS dl FROM ctf GROUP BY 1),
+      st AS (SELECT CAST(COUNT(*) AS BIGINT) AS nd,
+               CAST(SUM(dl) AS BIGINT) AS tok FROM dl),
+      dfw AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS df FROM ctf GROUP BY 1),
+      qt AS (SELECT DISTINCT q_id, word FROM (
+               SELECT doc_id AS q_id, unnest(string_split(text, ' ')) AS word
+               FROM documents WHERE doc_id < 10)
+             WHERE word <> ''),
+      terms AS (SELECT q.q_id, c.n_id, q.word, c.tf, f.df, d.dl
+                FROM qt q JOIN ctf c USING (word) JOIN dfw f USING (word)
+                JOIN dl d ON c.n_id = d.n_id),
+      sc AS (SELECT q_id, n_id,
+               ROUND(list_reduce(list_prepend(0.0, list(
+                 ln((CAST(nd - df AS DOUBLE) + 0.5) /
+                    (CAST(df AS DOUBLE) + 0.5) + 1.0)
+                 * ((CAST(tf AS DOUBLE) * 2.2) /
+                    (CAST(tf AS DOUBLE) + 1.2 * (0.25 + 0.75 *
+                      (CAST(dl AS DOUBLE) /
+                        (CAST(tok AS DOUBLE) / CAST(nd AS DOUBLE))))))
+                 ORDER BY word)), (a, b) -> a + b), 4) AS score
+             FROM terms CROSS JOIN st GROUP BY q_id, n_id),
+      lex20 AS (SELECT q_id, n_id, CAST(lr AS INT) AS lex_rank FROM (
+                  SELECT q_id, n_id, ROW_NUMBER() OVER (PARTITION BY q_id
+                    ORDER BY score DESC, n_id) AS lr FROM sc)
+                WHERE lr <= 20),
+      e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
+      n AS (SELECT vec_id, v, sqrt(${foldDot.format("v", "v")}) nrm FROM e),
+      q2 AS (SELECT vec_id q_id, v qv, nrm qn FROM n WHERE vec_id < 10),
+      c2 AS (SELECT vec_id n_id, v cv, nrm cn FROM n WHERE vec_id >= 10),
+      s2 AS (SELECT q_id, n_id,
+               ${foldDot.format("qv", "cv")} / (qn * cn) AS cosine
+             FROM q2 CROSS JOIN c2),
+      vec20 AS (SELECT q_id, n_id, CAST(vr AS INT) AS vec_rank FROM (
+                  SELECT q_id, n_id, ROW_NUMBER() OVER (PARTITION BY q_id
+                    ORDER BY cosine DESC, n_id) AS vr FROM s2)
+                WHERE vr <= 20),
+      pool AS (SELECT COALESCE(l.q_id, v.q_id) AS q_id,
+                 COALESCE(l.n_id, v.n_id) AS n_id, l.lex_rank, v.vec_rank
+               FROM lex20 l FULL OUTER JOIN vec20 v
+                 ON l.q_id = v.q_id AND l.n_id = v.n_id),
+      fused AS (SELECT q_id, n_id, lex_rank, vec_rank,
+                  COALESCE(1.0 / (60.0 + CAST(lex_rank AS DOUBLE)), 0.0)
+                  + COALESCE(1.0 / (60.0 + CAST(vec_rank AS DOUBLE)), 0.0)
+                    AS rrf
+                FROM pool),
+      r AS (SELECT q_id, n_id, lex_rank, vec_rank, rrf,
+              ROW_NUMBER() OVER (PARTITION BY q_id
+                ORDER BY rrf DESC, n_id) AS rnk
+            FROM fused)
+      SELECT q_id, n_id, lex_rank, vec_rank, rrf, CAST(rnk AS INT) AS rank
+      FROM r WHERE rnk <= 10 ORDER BY q_id, rank"""))
+
   val defs: Seq[QueryDef] = Seq(s01, s02, s03, s04, s05, s06, s07, s08,
-    s09, s10, s11, s12, s13, s14, s15, s16, s17, s18, s19, s20)
+    s09, s10, s11, s12, s13, s14, s15, s16, s17, s18, s19, s20, s21)
 }

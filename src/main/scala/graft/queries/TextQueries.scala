@@ -2,6 +2,7 @@ package graft.queries
 
 import graft.{QueryDef, Tables}
 import graft.functions.{Hash62Expr, HashFunctions, TextFunctions}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import TextFunctions._
 
@@ -819,7 +820,102 @@ object TextQueries {
       FROM documents d LEFT JOIN folded f USING (doc_id)
       ORDER BY d.doc_id"""))
 
+  /** Per-language keyness: the top-10 most DISTINCTIVE words of each
+    * language by the Rayson–Garside log-likelihood ratio (G² = 2·(a·
+    * ln(a/E1) + b·ln(b/E2)) over the 2×2 word-vs-rest contingency
+    * table) — the corpus-linguistics standard for "what vocabulary
+    * characterizes this slice", and the building block for
+    * domain/register drift reports between corpus shards.
+    *
+    * Scale shape: ONE wordcount shuffle on (lang, word) builds the
+    * contingency cells; per-word totals re-aggregate from those cells
+    * (no second corpus scan), per-language totals and the corpus total
+    * are language-cardinality-sized and join broadcast; the top-10
+    * window runs over the vocabulary-sized aggregate partitioned by
+    * language — nothing after the first groupBy is
+    * corpus-proportional.
+    *
+    * Determinism: a, b, n1, n2 are exact integers; each G² term's
+    * argument is an exact-bigint ratio cast to double (products stay
+    * under 2^53 through sf~100), ln is the only transcendental
+    * (fixed a-term + b-term order, final round to 4 decimals — the
+    * q104/t17 concession), ranking is round-then-rank with a word
+    * tiebreak, and the over-representation predicate cross-multiplies
+    * in exact integers (a·n2 > b·n1) so no double ever drives the
+    * filter. */
+  /** t18's scoring pipeline over an arbitrary (lang, text) frame —
+    * factored so TextSpec can assert the G² semantics on synthetic
+    * corpora (a word unique to one language tops its ranking; a
+    * uniformly-spread word never passes the over-representation
+    * filter). */
+  def keyness(docs: org.apache.spark.sql.DataFrame,
+      topK: Int = 10): org.apache.spark.sql.DataFrame = {
+      val toks = docs
+        .select(col("lang"), explode(split(col("text"), " ")).as("word"))
+        .filter(col("word") =!= "")
+      val cell = toks.groupBy("lang", "word").agg(count(lit(1)).as("a"))
+      val wordTot = cell.groupBy("word").agg(sum("a").as("cw"))
+      val langTot = cell.groupBy("lang").agg(sum("a").as("n1"))
+      val total = langTot.agg(sum("n1").as("n"))
+        .withColumn("j", pmod(col("n"), lit(1L)))
+      val j = cell.join(wordTot, "word")
+        .join(broadcast(langTot), "lang")
+        .withColumn("j", pmod(col("a"), lit(1L)))
+        .join(broadcast(total), "j")
+        .withColumn("b", col("cw") - col("a"))
+        .withColumn("n2", col("n") - col("n1"))
+      val aT = when(col("a") > 0,
+        col("a").cast("double") *
+          log((col("a") * col("n")).cast("double") /
+            (col("n1") * col("cw")).cast("double"))).otherwise(lit(0.0))
+      val bT = when(col("b") > 0,
+        col("b").cast("double") *
+          log((col("b") * col("n")).cast("double") /
+            (col("n2") * col("cw")).cast("double"))).otherwise(lit(0.0))
+      val scored = j
+        .filter(col("a") * col("n2") > col("b") * col("n1"))
+        .withColumn("g2", round(lit(2.0) * (aT + bT), 4))
+      val w = Window.partitionBy("lang").orderBy(col("g2").desc, col("word"))
+      scored.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= topK)
+        .select(col("lang"), col("word"), col("a").as("lang_count"),
+          col("b").as("rest_count"), col("g2"), col("rank").cast("int"))
+        .orderBy("lang", "rank")
+  }
+
+  val t18 = QueryDef(
+    "t18_keyness",
+    (sp, dir) => keyness(Tables(sp, dir, "documents")),
+    Some("""
+      WITH toks AS (
+        SELECT lang, unnest(string_split(text, ' ')) AS word FROM documents),
+      tk AS (SELECT lang, word FROM toks WHERE word <> ''),
+      cell AS (SELECT lang, word, CAST(COUNT(*) AS BIGINT) AS a
+               FROM tk GROUP BY 1, 2),
+      wt AS (SELECT word, CAST(SUM(a) AS BIGINT) AS cw FROM cell GROUP BY 1),
+      lt AS (SELECT lang, CAST(SUM(a) AS BIGINT) AS n1 FROM cell GROUP BY 1),
+      tot AS (SELECT CAST(SUM(n1) AS BIGINT) AS n FROM lt),
+      j AS (SELECT c.lang, c.word, c.a, w.cw - c.a AS b,
+              l.n1, t.n - l.n1 AS n2, w.cw, t.n
+            FROM cell c JOIN wt w USING (word) JOIN lt l USING (lang)
+            CROSS JOIN tot t),
+      sc AS (SELECT lang, word, a, b,
+              ROUND(2.0 * (
+                (CASE WHEN a > 0 THEN CAST(a AS DOUBLE) *
+                   ln(CAST(a * n AS DOUBLE) / CAST(n1 * cw AS DOUBLE))
+                 ELSE 0.0 END)
+                + (CASE WHEN b > 0 THEN CAST(b AS DOUBLE) *
+                   ln(CAST(b * n AS DOUBLE) / CAST(n2 * cw AS DOUBLE))
+                 ELSE 0.0 END)), 4) AS g2
+             FROM j WHERE a * n2 > b * n1),
+      r AS (SELECT lang, word, a AS lang_count, b AS rest_count, g2,
+              ROW_NUMBER() OVER (PARTITION BY lang
+                ORDER BY g2 DESC, word) AS rnk
+            FROM sc)
+      SELECT lang, word, lang_count, rest_count, g2, CAST(rnk AS INT) AS rank
+      FROM r WHERE rnk <= 10 ORDER BY lang, rank"""))
+
   val defs: Seq[QueryDef] =
     Seq(t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13,
-      t14, t15, t16, t17)
+      t14, t15, t16, t17, t18)
 }

@@ -238,6 +238,34 @@ object TxLog {
     doomed
   }
 
+  /** Streaming ingest terminal: append one micro-batch as ONE new
+    * segment, exactly-once BY CONSTRUCTION — the segment name is a
+    * deterministic function of `batchId`, so a batch whose segment is
+    * already live at the latest version is a redelivery
+    * (crash-after-commit) and is skipped without data writes or a new
+    * version. A crash BEFORE the commit leaves an orphan data dir the
+    * redelivery simply overwrites before committing (and [[vacuum]]
+    * reclaims if the stream never returns). O(delta): the batch's own
+    * rows are the only data written, the commit is one manifest —
+    * existing segments are never read or touched. Single-writer per
+    * table (foreachBatch already serializes a query's batches; two
+    * CONCURRENT streams must target different tables or families).
+    *
+    * @return true if the batch was applied, false on redelivery. */
+  def appendBatch(batch: org.apache.spark.sql.DataFrame, batchId: Long,
+      tableDir: String): Boolean = {
+    require(batchId >= 0, s"batchId must be >= 0, got $batchId")
+    val seg = f"batch__$batchId%06d"
+    val live = latestVersion(tableDir)
+      .map(v => liveSegments(tableDir, v).toSet).getOrElse(Set.empty[String])
+    if (live(seg)) false
+    else {
+      batch.write.mode("overwrite").parquet(s"$tableDir/$seg")
+      commit(tableDir, adds = Seq(seg))
+      true
+    }
+  }
+
   /** Multi-FAMILY stores (the index stores: IVF postings + centroids,
     * LSH buckets, PQ codebook + codes, dedup banded/pairs/docs) keep
     * every family in ONE txlog by naming segments `<family>__<tag>` —

@@ -320,12 +320,17 @@ class PlanAuditSpec extends SparkSpec {
     // data-sized join in it is an equi-join. (Latent until r8: the r7
     // sweep aborted on the events analysis error before reaching
     // q100, so the allowance was never exercised.)
+    // s21's ONLY all-pairs site is its vector arm = s01's declared
+    // brute-force baseline (broadcast 10-row query set × corpus scan);
+    // the lexical arm is equi-join-only, asserted by the dedicated
+    // s21 plan test above.
     val allow = Set("s01_cosine_topk", "s03_ivf_ann", "s04_knn_classify",
       "s05_radius_search", "s06_recall_report", "s07_mips_topk",
       "s08_pq_encode", "s09_maxsim", "s10_ivf_recall",
       "s12_pq_adc_search", "s13_multiprobe_recall", "s14_sq8_recall",
       "s15_persisted_ivf", "s16_incremental_pq", "s17_ivf_append",
-      "s19_ivf_compact", "s20_ivfpq_adc", "q100_triangle_count")
+      "s19_ivf_compact", "s20_ivfpq_adc", "s21_hybrid_search",
+      "q100_triangle_count")
     val offenders = sweptPlans.collect {
       case (name, Left(err)) => s"$name (build threw $err)"
       case (name, Right(p)) if !allow(name) &&
@@ -623,4 +628,28 @@ class PlanAuditSpec extends SparkSpec {
       s"expected partial+final WindowGroupLimit, got $modes:\n${p.take(2000)}")
     assert(!p.contains("text"), "sampling must prune the text column")
   }
+
+  test("s21 lexical arm is an inverted-list broadcast join, vector arm broadcasts queries") {
+    // the BM25 arm must join the corpus tf table against a BROADCAST
+    // query-term dictionary (postings-sized intermediate, never
+    // queries×corpus), and the only nested-loop join allowed is the
+    // vector arm's broadcast of the 10-row query set (s01's shape)
+    val p = plan("s21_hybrid_search")
+    assert("BroadcastHashJoin".r.findAllIn(p).length >= 2,
+      s"expected broadcast dictionary + stats joins:\n${p.take(2000)}")
+    val bnl = "BroadcastNestedLoopJoin".r.findAllIn(p).length
+    assert(bnl <= 1, s"lexical arm must never go nested-loop ($bnl found)")
+    assert(t18NoTextShuffle(p), "text column must never ride a shuffle")
+  }
+
+  test("t18 keyness: one corpus-proportional shuffle, totals broadcast") {
+    val p = plan("t18_keyness")
+    assert("BroadcastHashJoin".r.findAllIn(p).length >= 2,
+      s"language totals and corpus total must broadcast:\n${p.take(2000)}")
+    assert(t18NoTextShuffle(p), "text column must never ride a shuffle")
+  }
+
+  private def t18NoTextShuffle(p: String): Boolean =
+    "Exchange hashpartitioning\\([^\n]*".r.findAllIn(p)
+      .forall(e => !e.contains("text#"))
 }

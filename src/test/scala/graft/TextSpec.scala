@@ -177,4 +177,36 @@ class TextSpec extends SparkSpec {
         s"doc $id ppl ${got(id)._2} vs reference $ppl")
     }
   }
+
+  test("keyness: unique vocabulary tops its language; uniform words filtered") {
+    import spark.implicits._
+    // 'aardvark' appears only in lang X; 'shared' is spread evenly
+    // (same per-lang count, so a·n2 = b·n1 exactly — NOT overrepresented);
+    // 'common' leans toward Y.
+    val docs = Seq(
+      ("x", "aardvark shared common filler filler"),
+      ("x", "aardvark shared filler filler filler"),
+      ("y", "shared common common common filler"),
+      ("y", "shared common filler filler filler"))
+      .toDF("lang", "text")
+    val out = graft.queries.TextQueries.keyness(docs, topK = 3).collect()
+      .map(r => (r.getAs[String]("lang"), r.getAs[Int]("rank")) ->
+        (r.getAs[String]("word"), r.getAs[Long]("lang_count"),
+          r.getAs[Long]("rest_count"), r.getAs[Double]("g2")))
+      .toMap
+    // unique word ranks first for its language, with b = 0
+    assert(out(("x", 1))._1 == "aardvark")
+    assert(out(("x", 1))._3 == 0L)
+    assert(out(("x", 1))._4 > 0.0)
+    // 'common' is y's top distinctive term (4 in y vs 1 in x)
+    assert(out(("y", 1))._1 == "common")
+    // the evenly-spread word passes nowhere: both langs have 10
+    // tokens, 'shared' is 2 vs 2 → a·n2 == b·n1 on both sides
+    assert(!out.values.exists(_._1 == "shared"))
+    // G² of a unique word equals the closed form 2·a·ln(N/n1)
+    val g2 = out(("x", 1))._4
+    val expect = BigDecimal(2.0 * 2.0 * math.log(20.0 / 10.0))
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(math.abs(g2 - expect) <= 1e-9, s"g2 $g2 vs $expect")
+  }
 }

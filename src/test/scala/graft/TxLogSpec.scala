@@ -164,4 +164,31 @@ class TxLogSpec extends SparkSpec {
     assert(TxLog.liveSegments(t, 19) === expect,
       "fold must fall back to manifests when the checkpoint is unreadable")
   }
+
+  test("appendBatch: applies once, redelivery is a no-op") {
+    import spark.implicits._
+    val t = freshTable()
+    assert(TxLog.appendBatch(Seq(1L, 2L).toDF("id"), 0L, t))
+    assert(TxLog.appendBatch(Seq(3L).toDF("id"), 1L, t))
+    val v1 = TxLog.latestVersion(t).get
+    // crash-after-commit redelivery: same batch id, even different
+    // rows (the re-read could differ) — must be skipped entirely
+    assert(!TxLog.appendBatch(Seq(99L).toDF("id"), 0L, t))
+    assert(TxLog.latestVersion(t).get === v1, "redelivery committed a version")
+    val got = TxLog.snapshot(spark, t, v1).as[Long].collect().sorted
+    assert(got.toSeq === Seq(1L, 2L, 3L))
+  }
+
+  test("appendBatch: crash-before-commit orphan is overwritten on redelivery") {
+    import spark.implicits._
+    val t = freshTable()
+    assert(TxLog.appendBatch(Seq(1L).toDF("id"), 0L, t))
+    // simulate the crash window: batch 1's data dir written, no commit
+    writeSeg(t, "batch__000001", Seq(777L))
+    assert(TxLog.latestVersion(t).get === 0)
+    // redelivery of batch 1 overwrites the orphan and commits it
+    assert(TxLog.appendBatch(Seq(2L, 3L).toDF("id"), 1L, t))
+    val got = TxLog.snapshot(spark, t, 1).as[Long].collect().sorted
+    assert(got.toSeq === Seq(1L, 2L, 3L), "orphan rows leaked into the table")
+  }
 }
