@@ -2318,9 +2318,59 @@ object IngestQueries {
         CAST(2 AS BIGINT) AS n_versions
       FROM appended GROUP BY o_orderstatus ORDER BY o_orderstatus"""))
 
+  /** Incremental consumption FROM the transaction-log table format —
+    * [[e41]]'s read half ([[graft.sources.TxLog.changes]]): a
+    * consumer remembers the last version it folded and reads ONLY
+    * the segments newer commits added (O(delta) at any table size;
+    * the txlog form of the e19/e24 landing-file feeds, with the
+    * append-only contract enforced loudly — a compaction across the
+    * span errors instead of double-counting). The fixture lands
+    * three disjoint batches ([[graft.sources.TxLog.appendBatch]],
+    * orderkey mod 3); the entry replays the feed version by version
+    * — each delta read scans exactly its own batch's segment
+    * (plan-audited in TxLogSpec) — and rolls each delta up
+    * separately, so a changes() that leaked an old segment's rows
+    * into a later delta breaks the hash. Determinism: counts +
+    * decimal money sums (§4), total ORDER BY. */
+  val e42 = QueryDef(
+    "e42_txlog_feed",
+    (sp, dir) => {
+      import graft.Dsl.moneySum
+      import graft.sources.TxLog
+      val fp = IngestFixtures.fingerprint(s"$dir/orders.parquet")
+      val store = IngestFixtures.path(s"e42_store_$fp")
+      IngestFixtures.once(s"e42_$fp") {
+        import scala.reflect.io.Directory
+        new Directory(new java.io.File(store)).deleteRecursively()
+        new java.io.File(store).mkdirs()
+        val orders = Tables(sp, dir, "orders")
+          .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+        (0L until 3L).foreach { b =>
+          TxLog.appendBatch(
+            orders.filter(pmod(col("o_orderkey"), lit(3L)) === b), b, store)
+          ()
+        }
+      }
+      val latest = TxLog.latestVersion(store)
+        .getOrElse(sys.error(s"e42: empty store $store"))
+      (0 to latest).map(v =>
+          TxLog.changes(sp, store, v - 1, v)
+            .withColumn("version", lit(v.toLong)))
+        .reduce(_.unionByName(_))
+        .groupBy("version", "o_orderstatus")
+        .agg(count(lit(1)).as("n_rows"),
+          moneySum(col("o_totalprice")).as("sum_price"))
+        .orderBy("version", "o_orderstatus")
+    },
+    Some("""
+      SELECT o_orderkey % 3 AS version, o_orderstatus,
+        CAST(COUNT(*) AS BIGINT) AS n_rows,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+      FROM orders GROUP BY 1, 2 ORDER BY 1, 2"""))
+
   val defs: Seq[QueryDef] =
     Seq(e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11, e12, e13,
       e14, e15, e16, e17, e18, e19, e20, e21, e22, e23, e24, e25, e26,
       e27, e28, e29, e30, e31, e32, e33, e34, e35, e36, e37, e38, e39,
-      e40, e41)
+      e40, e41, e42)
 }

@@ -1405,13 +1405,7 @@ object SimilarityQueries {
           explode(split(col("text"), " ")).as("word"))
         .filter(col("word") =!= "").distinct()
       val qdict = qterms.join(dfw, "word")
-      val contrib =
-        log(((col("nd") - col("df")).cast("double") + lit(0.5)) /
-            (col("df").cast("double") + lit(0.5)) + lit(1.0)) *
-          ((col("tf").cast("double") * lit(2.2)) /
-            (col("tf").cast("double") + lit(1.2) * (lit(0.25) +
-              lit(0.75) * (col("dl").cast("double") /
-                (col("tok").cast("double") / col("nd").cast("double"))))))
+      val contrib = graft.operators.TextIndex.bm25Contrib
       val terms = ctf.join(broadcast(qdict), "word")
         .join(dl, "n_id")
         .withColumn("j", pmod(col("tf"), lit(1L)))
@@ -1502,6 +1496,87 @@ object SimilarityQueries {
       SELECT q_id, n_id, lex_rank, vec_rank, rrf, CAST(rnk AS INT) AS rank
       FROM r WHERE rnk <= 10 ORDER BY q_id, rank"""))
 
+  /** Persisted BM25 inverted index — the FOURTH stored index family
+    * ([[graft.operators.TextIndex]]), delivering the scale path
+    * [[s21]]'s lexical arm promises: a corpus tokenizes ONCE into a
+    * bucket-partitioned postings store (postings + doc lengths +
+    * additive corpus stats behind one txlog commit), GROWS O(delta)
+    * as new documents land (the installment's own three segments,
+    * one manifest, existing segments unread — df is never stored, it
+    * re-aggregates additively from the disjoint-by-doc postings, so
+    * growth needs no read-modify-write of a global dictionary), and
+    * serves BM25 top-k where the scan cost is Σ df(query terms)
+    * postings: the query dictionary prunes the bucket partitions
+    * statically and pushes a word-IN filter into the parquet row
+    * groups. Installment 1 = even corpus doc_ids; installment 2
+    * lands as its own file and grows the store; queries land as a
+    * third file and search the GROWN index — documents.parquet is
+    * absent from the search plan's scan set (plan-audited in
+    * TextIndexSpec). The oracle recomputes full-corpus BM25 from
+    * scratch (s21's lexical SQL), so the hash proves
+    * build-grow-search of the stored index ≡ batch recompute. */
+  val s22 = QueryDef(
+    "s22_persisted_text_index",
+    (sp, dir) => {
+      val fp = graft.sources.IngestFixtures.fingerprint(s"$dir/documents.parquet")
+      val store = graft.sources.IngestFixtures.path(s"s22_store_$fp")
+      val land = graft.sources.IngestFixtures.path(s"s22_land_$fp")
+      val qland = graft.sources.IngestFixtures.path(s"s22_q_$fp")
+      graft.sources.IngestFixtures.once(s"s22_$fp") {
+        import scala.reflect.io.Directory
+        Seq(store, land, qland).foreach(p =>
+          new Directory(new java.io.File(p)).deleteRecursively())
+        val docs = Tables(sp, dir, "documents").select("doc_id", "text")
+        // installment 1: initial index build
+        graft.operators.TextIndex.writePostings(
+          docs.filter(col("doc_id") >= 10 && col("doc_id") % 2 === 0), store)
+        // installment 2 lands, tokenizes alone, grows the store
+        graft.sources.IngestFixtures.addLandingFile(land,
+          docs.filter(col("doc_id") >= 10 && col("doc_id") % 2 =!= 0),
+          "batch2.parquet", 1700000700000L)
+        graft.operators.TextIndex.appendDocs(sp, store,
+          sp.read.parquet(land))
+        graft.sources.IngestFixtures.addLandingFile(qland,
+          docs.filter(col("doc_id") < 10),
+          "queries.parquet", 1700000800000L)
+      }
+      graft.operators.TextIndex.searchBm25(sp, store,
+          sp.read.parquet(qland), k = 10)
+        .orderBy("q_id", "rank")
+    },
+    Some("""
+      WITH ctf AS (SELECT n_id, word, CAST(COUNT(*) AS BIGINT) AS tf FROM (
+             SELECT doc_id AS n_id, unnest(string_split(text, ' ')) AS word
+             FROM documents WHERE doc_id >= 10)
+           WHERE word <> '' GROUP BY 1, 2),
+      dl AS (SELECT n_id, CAST(SUM(tf) AS BIGINT) AS dl FROM ctf GROUP BY 1),
+      st AS (SELECT CAST(COUNT(*) AS BIGINT) AS nd,
+               CAST(SUM(dl) AS BIGINT) AS tok FROM dl),
+      dfw AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS df FROM ctf GROUP BY 1),
+      qt AS (SELECT DISTINCT q_id, word FROM (
+               SELECT doc_id AS q_id, unnest(string_split(text, ' ')) AS word
+               FROM documents WHERE doc_id < 10)
+             WHERE word <> ''),
+      terms AS (SELECT q.q_id, c.n_id, q.word, c.tf, f.df, d.dl
+                FROM qt q JOIN ctf c USING (word) JOIN dfw f USING (word)
+                JOIN dl d ON c.n_id = d.n_id),
+      sc AS (SELECT q_id, n_id,
+               ROUND(list_reduce(list_prepend(0.0, list(
+                 ln((CAST(nd - df AS DOUBLE) + 0.5) /
+                    (CAST(df AS DOUBLE) + 0.5) + 1.0)
+                 * ((CAST(tf AS DOUBLE) * 2.2) /
+                    (CAST(tf AS DOUBLE) + 1.2 * (0.25 + 0.75 *
+                      (CAST(dl AS DOUBLE) /
+                        (CAST(tok AS DOUBLE) / CAST(nd AS DOUBLE))))))
+                 ORDER BY word)), (a, b) -> a + b), 4) AS score
+             FROM terms CROSS JOIN st GROUP BY q_id, n_id),
+      r AS (SELECT q_id, n_id, score,
+              ROW_NUMBER() OVER (PARTITION BY q_id
+                ORDER BY score DESC, n_id) AS rnk
+            FROM sc)
+      SELECT q_id, n_id, score, CAST(rnk AS INT) AS rank
+      FROM r WHERE rnk <= 10 ORDER BY q_id, rank"""))
+
   val defs: Seq[QueryDef] = Seq(s01, s02, s03, s04, s05, s06, s07, s08,
-    s09, s10, s11, s12, s13, s14, s15, s16, s17, s18, s19, s20, s21)
+    s09, s10, s11, s12, s13, s14, s15, s16, s17, s18, s19, s20, s21, s22)
 }

@@ -198,6 +198,35 @@ object TxLog {
   def latestVersion(tableDir: String): Option[Int] =
     versions(tableDir).lastOption
 
+  /** Incremental-consumer read: the rows ADDED between `fromV`
+    * (exclusive; −1 = since table creation) and `toV` (inclusive) —
+    * the read half of the [[appendBatch]] write half, and the txlog
+    * form of the e19/e24 landing-file feeds: a consumer remembers the
+    * last version it folded and scans ONLY the segments newer
+    * commits added, O(delta) at any table size. Append-only by
+    * contract: if any retained segment was REMOVED across the span
+    * (a compaction or CDC rewrite landed), the delta is not
+    * expressible as added rows and the consumer must re-snapshot —
+    * enforced loudly here rather than returning double-counted
+    * rows. */
+  def changes(spark: SparkSession, tableDir: String, fromV: Int,
+      toV: Int): DataFrame = {
+    require(fromV < toV, s"need fromV < toV, got $fromV >= $toV")
+    val before =
+      if (fromV < 0) Set.empty[String]
+      else liveSegments(tableDir, fromV).toSet
+    val after = liveSegments(tableDir, toV)
+    val dropped = before -- after.toSet
+    require(dropped.isEmpty,
+      s"versions ${fromV + 1}..$toV of $tableDir removed segments " +
+        s"$dropped (compaction/rewrite): the span is not append-only — " +
+        "re-snapshot instead of reading changes")
+    val added = after.filterNot(before)
+    require(added.nonEmpty,
+      s"versions ${fromV + 1}..$toV of $tableDir added no segments")
+    spark.read.parquet(added.map(s => s"$tableDir/$s"): _*)
+  }
+
   /** Delete from disk every data segment that no RETAINED version can
     * reach — Delta's VACUUM reduced to its core, completing the
     * log-structured lifecycle (grow O(delta) → compact → vacuum).

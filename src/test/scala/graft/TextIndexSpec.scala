@@ -1,0 +1,119 @@
+package graft
+
+import graft.operators.TextIndex
+import graft.sources.TxLog
+import org.apache.spark.sql.functions._
+
+/** Cross-run BM25 inverted-index persistence
+  * (graft.operators.TextIndex, the s22 contract): grow-then-search ≡
+  * one-shot build, O(delta) grow (untouched segments byte-identical;
+  * one commit per install), bucket/word pruning in the search plan
+  * with the corpus source absent, and the over-limit full-scan
+  * fallback agreeing with the pruned plan. */
+class TextIndexSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def tmpStore(tag: String): String =
+    java.nio.file.Files.createTempDirectory(s"graft_textidx_$tag")
+      .toString + "/store"
+
+  private def docs = Tables(spark, dir, "documents").select("doc_id", "text")
+  private def corpus = docs.filter(col("doc_id") >= 10)
+  private def queries = docs.filter(col("doc_id") < 10)
+
+  private def rows(df: org.apache.spark.sql.DataFrame) =
+    df.orderBy("q_id", "rank").collect().toSeq
+
+  /** (relative path → (size, mtime)) of every data file under root,
+    * excluding txlog + meta — the grow-never-rewrites witness. */
+  private def fileState(root: String): Map[String, (Long, Long)] = {
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty)
+        .sortBy(_.getName).toSeq.flatMap(walk)
+      else Seq(f)
+    val rootF = new java.io.File(root)
+    walk(rootF)
+      .filterNot(f => f.getPath.contains("_txlog") ||
+        f.getPath.contains("_meta"))
+      .map(f => f.getPath.stripPrefix(rootF.getPath) ->
+        (f.length, f.lastModified))
+      .toMap
+  }
+
+  test("grow-then-search equals the one-shot build (df spans segments)") {
+    val oneShot = tmpStore("oneshot")
+    TextIndex.writePostings(corpus, oneShot)
+    val grown = tmpStore("grown")
+    TextIndex.writePostings(corpus.filter(col("doc_id") % 2 === 0), grown)
+    TextIndex.appendDocs(spark, grown, corpus.filter(col("doc_id") % 2 =!= 0))
+    val a = rows(TextIndex.searchBm25(spark, oneShot, queries, k = 10))
+    val b = rows(TextIndex.searchBm25(spark, grown, queries, k = 10))
+    assert(a.nonEmpty && a.size == b.size)
+    a.zip(b).foreach { case (x, y) => assert(x == y) }
+  }
+
+  test("grow is O(delta): one commit, existing files byte-identical") {
+    val store = tmpStore("odelta")
+    TextIndex.writePostings(corpus.filter(col("doc_id") % 2 === 0), store)
+    val v0 = TxLog.latestVersion(store).get
+    val before = fileState(store)
+    TextIndex.appendDocs(spark, store, corpus.filter(col("doc_id") % 2 =!= 0))
+    assert(TxLog.latestVersion(store).get === v0 + 1, "grow must be ONE commit")
+    val after = fileState(store)
+    before.foreach { case (path, sig) =>
+      assert(after.get(path).contains(sig),
+        s"grow rewrote pre-existing file $path")
+    }
+    val families = TxLog.liveSegments(store, v0 + 1)
+    Seq("postings", "doclen", "stats").foreach { fam =>
+      assert(families.count(_.startsWith(s"${fam}__")) === 2,
+        s"family $fam should hold exactly build+grow segments")
+    }
+  }
+
+  test("search plan prunes buckets, pushes the word filter, never reads the corpus") {
+    val store = tmpStore("prune")
+    TextIndex.writePostings(corpus, store)
+    // queries land as their own file (the s22 shape) so the corpus
+    // source's absence from the plan is meaningful
+    val qpath = tmpStore("prune") + "_queries"
+    queries.write.mode("overwrite").parquet(qpath)
+    val res = TextIndex.searchBm25(spark, store,
+      spark.read.parquet(qpath), k = 10)
+    val p = res.queryExecution.executedPlan.toString
+    assert(!p.contains("documents.parquet"),
+      "search plan must read only the store and the query frame")
+    assert(p.contains("bucket"), "bucket partition filter missing")
+    assert("PushedFilters: \\[[^\\]]*word".r.findFirstIn(p).isDefined,
+      "word IN-list did not push down to the postings scan")
+    assert(res.limit(1).count() === 1)
+  }
+
+  test("compactFamily folds grown postings to one segment; search unchanged") {
+    val store = tmpStore("compact")
+    TextIndex.writePostings(corpus.filter(col("doc_id") % 2 === 0), store)
+    TextIndex.appendDocs(spark, store, corpus.filter(col("doc_id") % 2 =!= 0))
+    val before = rows(TextIndex.searchBm25(spark, store, queries, k = 10))
+    // the generic txlog OPTIMIZE applies unchanged: TextIndex shares
+    // AnnIndex's store layout (family segments + pinned _meta schema)
+    graft.operators.AnnIndex.compactFamily(spark, store, "postings",
+      Seq("bucket"))
+    val live = TxLog.liveSegments(store, TxLog.latestVersion(store).get)
+    assert(live.count(_.startsWith("postings__")) === 1)
+    assert(live.count(_.startsWith("doclen__")) === 2, "siblings untouched")
+    val after = rows(TextIndex.searchBm25(spark, store, queries, k = 10))
+    assert(before.nonEmpty && before.size == after.size)
+    before.zip(after).foreach { case (x, y) => assert(x == y) }
+  }
+
+  test("over-limit fallback (full-bucket scan) agrees with the pruned plan") {
+    val store = tmpStore("fallback")
+    TextIndex.writePostings(corpus, store)
+    val pruned = rows(TextIndex.searchBm25(spark, store, queries, k = 5))
+    val full = rows(TextIndex.searchBm25(spark, store, queries, k = 5,
+      termPruneLimit = 0L))
+    assert(pruned.nonEmpty && pruned.size == full.size)
+    pruned.zip(full).foreach { case (x, y) => assert(x == y) }
+  }
+}

@@ -191,4 +191,37 @@ class TxLogSpec extends SparkSpec {
     val got = TxLog.snapshot(spark, t, 1).as[Long].collect().sorted
     assert(got.toSeq === Seq(1L, 2L, 3L), "orphan rows leaked into the table")
   }
+
+  test("changes: each delta reads exactly the span's added segments") {
+    import spark.implicits._
+    val t = freshTable()
+    assert(TxLog.appendBatch(Seq(1L, 2L).toDF("id"), 0L, t))
+    assert(TxLog.appendBatch(Seq(3L).toDF("id"), 1L, t))
+    assert(TxLog.appendBatch(Seq(4L, 5L).toDF("id"), 2L, t))
+    def delta(f: Int, to: Int) = TxLog.changes(spark, t, f, to)
+    assert(delta(-1, 0).as[Long].collect().sorted.toSeq === Seq(1L, 2L))
+    assert(delta(0, 1).as[Long].collect().sorted.toSeq === Seq(3L))
+    assert(delta(1, 2).as[Long].collect().sorted.toSeq === Seq(4L, 5L))
+    assert(delta(0, 2).as[Long].collect().sorted.toSeq === Seq(3L, 4L, 5L))
+    // O(delta) witness: the v1→v2 plan scans ONLY batch 2's segment
+    val p = delta(1, 2).queryExecution.executedPlan.toString
+    assert(p.contains("batch__000002"))
+    assert(!p.contains("batch__000000") && !p.contains("batch__000001"),
+      "delta scan touched segments outside the span")
+  }
+
+  test("changes: a compaction across the span fails loudly") {
+    import spark.implicits._
+    val t = freshTable()
+    assert(TxLog.appendBatch(Seq(1L).toDF("id"), 0L, t))
+    assert(TxLog.appendBatch(Seq(2L).toDF("id"), 1L, t))
+    writeSeg(t, "merged", Seq(1L, 2L))
+    TxLog.commit(t, Seq("merged"),
+      removes = Seq("batch__000000", "batch__000001"))
+    val e = intercept[IllegalArgumentException](
+      TxLog.changes(spark, t, 0, 2))
+    assert(e.getMessage.contains("re-snapshot"))
+    // the unaffected sub-span before the compaction still reads
+    assert(TxLog.changes(spark, t, 0, 1).as[Long].collect().toSeq === Seq(2L))
+  }
 }
