@@ -43,6 +43,14 @@ object Bfs {
   def hopDistances(edges: DataFrame, srcCol: String, dstCol: String,
       seeds: DataFrame, seedCol: String, maxHops: Int): DataFrame = {
     require(maxHops >= 0, s"maxHops must be >= 0, got $maxHops")
+    // The cached edge table is the loop's big operand; each round's
+    // frontier is a materialized (checkpointed) frame whose size AQE
+    // sees, so the per-hop join broadcasts the frontier and the edge
+    // cache is scanned in place — no per-hop edge shuffle. (Verified
+    // empirically: pre-partitioning + sorting the cache on u costs a
+    // full extra shuffle+sort and buys nothing while the frontier
+    // stays below the broadcast threshold; past it AQE falls back to
+    // a shuffle join on its own.)
     val both = edges.select(col(srcCol).as("u"), col(dstCol).as("v"))
       .unionAll(edges.select(col(dstCol).as("u"), col(srcCol).as("v")))
       .distinct()
