@@ -2368,9 +2368,71 @@ object IngestQueries {
         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
       FROM orders GROUP BY 1, 2 ORDER BY 1, 2"""))
 
+  /** Row-level DELETE on the txlog table format — merge-on-read
+    * tombstones ([[graft.sources.TxLog.commitDeletes]] /
+    * `snapshotMoR` / `compactMoR`), the Delta/Iceberg MoR discipline
+    * the partition-rewrite CDC sinks (e13/e39) deliberately don't
+    * cover: a delete commits ONLY its keys (O(deleted keys), zero
+    * data rewritten), the read subtracts tombstones with a
+    * VERSION-AWARE anti-join (a tombstone kills only rows from
+    * segments committed before it, so the fixture's re-insert of a
+    * deleted key survives — the sequencing trap naive MoR gets
+    * wrong), and compaction applies tombstones physically in one
+    * atomic commit with all prior versions still readable. The entry
+    * reads the POST-compaction store; the oracle folds the
+    * append→delete→re-insert history in SQL, so a tombstone applied
+    * to the wrong generation (or surviving compaction) breaks the
+    * hash. Determinism: counts + decimal money sums (§4), total
+    * ORDER BY. */
+  val e43 = QueryDef(
+    "e43_txlog_delete",
+    (sp, dir) => {
+      import graft.Dsl.moneySum
+      import graft.sources.TxLog
+      val fp = IngestFixtures.fingerprint(s"$dir/orders.parquet")
+      val store = IngestFixtures.path(s"e43_store_$fp")
+      IngestFixtures.once(s"e43_$fp") {
+        import scala.reflect.io.Directory
+        new Directory(new java.io.File(store)).deleteRecursively()
+        new java.io.File(store).mkdirs()
+        val orders = Tables(sp, dir, "orders")
+          .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+        TxLog.appendBatch(                                       // v0
+          orders.filter(pmod(col("o_orderkey"), lit(3L)) === 0L), 0L, store)
+        TxLog.appendBatch(                                       // v1
+          orders.filter(pmod(col("o_orderkey"), lit(3L)) === 1L), 1L, store)
+        TxLog.commitDeletes(                                     // v2
+          orders.filter(pmod(col("o_orderkey"), lit(5L)) === 0L)
+            .select("o_orderkey"), store)
+        TxLog.appendBatch(                                       // v3: re-insert
+          orders.filter(pmod(col("o_orderkey"), lit(15L)) === 0L), 2L, store)
+        TxLog.compactMoR(sp, store, Seq("o_orderkey"))           // v4
+        ()
+      }
+      val latest = TxLog.latestVersion(store)
+        .getOrElse(sys.error(s"e43: empty store $store"))
+      TxLog.snapshotMoR(sp, store, latest, Seq("o_orderkey"))
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n_rows"),
+          moneySum(col("o_totalprice")).as("sum_price"))
+        .withColumn("n_versions", lit(TxLog.versions(store).size.toLong))
+        .orderBy("o_orderstatus")
+    },
+    Some("""
+      WITH folded AS (
+        SELECT o_orderstatus, o_totalprice FROM orders
+        WHERE o_orderkey % 3 IN (0, 1) AND NOT o_orderkey % 5 = 0
+        UNION ALL
+        SELECT o_orderstatus, o_totalprice FROM orders
+        WHERE o_orderkey % 15 = 0)
+      SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n_rows,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+        CAST(5 AS BIGINT) AS n_versions
+      FROM folded GROUP BY o_orderstatus ORDER BY o_orderstatus"""))
+
   val defs: Seq[QueryDef] =
     Seq(e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11, e12, e13,
       e14, e15, e16, e17, e18, e19, e20, e21, e22, e23, e24, e25, e26,
       e27, e28, e29, e30, e31, e32, e33, e34, e35, e36, e37, e38, e39,
-      e40, e41, e42)
+      e40, e41, e42, e43)
 }

@@ -198,6 +198,102 @@ object TxLog {
   def latestVersion(tableDir: String): Option[Int] =
     versions(tableDir).lastOption
 
+  // ---- merge-on-read row-level deletes ----------------------------
+  //
+  // The Delta/Iceberg MoR discipline reduced to its core: a DELETE
+  // commits a `deletes__seg<N>` segment holding ONLY the doomed keys
+  // (O(deleted keys), never a data rewrite); reads subtract it with a
+  // version-aware anti-join — a tombstone applies ONLY to data
+  // segments committed BEFORE it, so a later re-insert of the same
+  // key survives; compaction applies the tombstones physically and
+  // retires them in one atomic commit, with every pre-compaction
+  // version still snapshot-readable.
+
+  /** The live segments as of `asOf` WITH the version that added each —
+    * the sequencing information MoR reads need. Folds the manifest log
+    * from v0 (no checkpoint fast path: checkpoints store the folded
+    * SET, which forgets add versions; manifests are ~100-byte driver
+    * reads, so O(versions) here is noise). */
+  def liveSegmentsWithVersion(tableDir: String,
+      asOf: Int): Seq[(String, Int)] = {
+    val vs = versions(tableDir)
+    require(vs.contains(asOf), s"version $asOf not in $vs")
+    val live = scala.collection.mutable.LinkedHashMap[String, Int]()
+    vs.filter(_ <= asOf).foreach { v =>
+      val body = new String(
+        Files.readAllBytes(logDir(tableDir).resolve(s"v$v.json")),
+        StandardCharsets.UTF_8)
+      jsonArr(body, "adds", s"manifest v$v in $tableDir")
+        .foreach(live += _ -> v)
+      jsonArr(body, "removes", s"manifest v$v in $tableDir").foreach { r =>
+        require(live.contains(r), s"manifest v$v removes unknown segment $r")
+        live -= r
+      }
+    }
+    live.toSeq
+  }
+
+  /** Family prefix of tombstone segments. */
+  val DeletesFamily = "deletes"
+
+  /** Commit a row-level DELETE: `keys` (the key columns only) lands as
+    * one tombstone segment behind one manifest — O(deleted keys) work
+    * at any table size. The delete applies to every data segment live
+    * BEFORE this commit and to nothing after it. */
+  def commitDeletes(keys: DataFrame, tableDir: String): Int = {
+    val seg = s"${DeletesFamily}__seg${versions(tableDir).size}"
+    keys.write.mode("overwrite").parquet(s"$tableDir/$seg")
+    commit(tableDir, adds = Seq(seg))
+  }
+
+  /** Merge-on-read snapshot at `asOf`: data segments minus the
+    * tombstones that postdate them. One version-aware anti-join —
+    * data rows carry their segment's add version, tombstones theirs,
+    * and a row dies iff SOME live tombstone matches its key AND was
+    * committed after the row's segment (so re-inserted keys survive
+    * their older tombstones). With no live tombstones this is exactly
+    * [[snapshot]]. The join's build side is the tombstone set —
+    * deleted-key-cardinality, broadcastable in the common case. */
+  def snapshotMoR(spark: SparkSession, tableDir: String, asOf: Int,
+      keyCols: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    require(keyCols.nonEmpty, "snapshotMoR needs at least one key column")
+    val (delSegs, dataSegs) = liveSegmentsWithVersion(tableDir, asOf)
+      .partition(_._1.startsWith(s"${DeletesFamily}__"))
+    require(dataSegs.nonEmpty, s"version $asOf of $tableDir has no data segments")
+    val data = dataSegs.map { case (s, v) =>
+      spark.read.parquet(s"$tableDir/$s").withColumn("__v", lit(v))
+    }.reduce(_.unionByName(_))
+    if (delSegs.isEmpty) data.drop("__v")
+    else {
+      val dels = delSegs.map { case (s, v) =>
+        spark.read.parquet(s"$tableDir/$s")
+          .select(keyCols.map(col): _*).withColumn("__dv", lit(v))
+      }.reduce(_.unionByName(_))
+        .withColumnsRenamed(keyCols.map(k => k -> s"__del_$k").toMap)
+      val cond = keyCols.map(k => data(k) === dels(s"__del_$k"))
+        .reduce(_ && _) && dels("__dv") > data("__v")
+      data.join(dels, cond, "left_anti").drop("__v")
+    }
+  }
+
+  /** Apply the tombstones physically — the MoR OPTIMIZE: fold the
+    * current merge-on-read snapshot into ONE clean data segment and
+    * retire every live data + tombstone segment in a single atomic
+    * commit. Old segments stay on disk, so every pre-compaction
+    * version (including its deletes) remains [[snapshotMoR]]-readable.
+    * Returns the committed version. */
+  def compactMoR(spark: SparkSession, tableDir: String,
+      keyCols: Seq[String]): Int = {
+    val latest = latestVersion(tableDir)
+      .getOrElse(sys.error(s"compactMoR on empty table $tableDir"))
+    val old = liveSegments(tableDir, latest)
+    val seg = s"compact__seg${versions(tableDir).size}"
+    snapshotMoR(spark, tableDir, latest, keyCols)
+      .write.mode("overwrite").parquet(s"$tableDir/$seg")
+    commit(tableDir, adds = Seq(seg), removes = old)
+  }
+
   /** Incremental-consumer read: the rows ADDED between `fromV`
     * (exclusive; −1 = since table creation) and `toV` (inclusive) —
     * the read half of the [[appendBatch]] write half, and the txlog
@@ -224,6 +320,10 @@ object TxLog {
     val added = after.filterNot(before)
     require(added.nonEmpty,
       s"versions ${fromV + 1}..$toV of $tableDir added no segments")
+    require(!added.exists(_.startsWith(s"${DeletesFamily}__")),
+      s"versions ${fromV + 1}..$toV of $tableDir committed row-level " +
+        "deletes: the delta is not append-only — re-snapshot (snapshotMoR) " +
+        "instead of reading changes")
     spark.read.parquet(added.map(s => s"$tableDir/$s"): _*)
   }
 

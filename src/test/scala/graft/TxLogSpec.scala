@@ -210,6 +210,49 @@ class TxLogSpec extends SparkSpec {
       "delta scan touched segments outside the span")
   }
 
+  test("MoR deletes: tombstones kill only older segments; re-inserts survive") {
+    import spark.implicits._
+    val t = freshTable()
+    assert(TxLog.appendBatch(Seq(1L, 2L, 3L).toDF("id"), 0L, t))   // v0
+    assert(TxLog.appendBatch(Seq(4L, 5L).toDF("id"), 1L, t))       // v1
+    TxLog.commitDeletes(Seq(2L, 4L, 99L).toDF("id"), t)            // v2
+    assert(TxLog.appendBatch(Seq(4L, 6L).toDF("id"), 2L, t))       // v3: 4 re-inserted
+    def ids(v: Int) = TxLog.snapshotMoR(spark, t, v, Seq("id"))
+      .as[Long].collect().sorted.toSeq
+    assert(ids(3) === Seq(1L, 3L, 4L, 5L, 6L),
+      "re-inserted key must survive its older tombstone")
+    assert(ids(2) === Seq(1L, 3L, 5L), "tombstone must apply at its own version")
+    assert(ids(1) === Seq(1L, 2L, 3L, 4L, 5L), "pre-delete snapshot unchanged")
+    // stacking: a later tombstone kills the re-inserted key too
+    TxLog.commitDeletes(Seq(4L).toDF("id"), t)                     // v4
+    assert(ids(4) === Seq(1L, 3L, 5L, 6L))
+    // changes() refuses a span that committed deletes
+    val e = intercept[IllegalArgumentException](TxLog.changes(spark, t, 1, 2))
+    assert(e.getMessage.contains("snapshotMoR"))
+  }
+
+  test("compactMoR applies tombstones physically; history stays readable") {
+    import spark.implicits._
+    val t = freshTable()
+    assert(TxLog.appendBatch(Seq(1L, 2L, 3L).toDF("id"), 0L, t))   // v0
+    TxLog.commitDeletes(Seq(2L).toDF("id"), t)                     // v1
+    assert(TxLog.appendBatch(Seq(2L, 9L).toDF("id"), 1L, t))       // v2: 2 re-inserted
+    val before = TxLog.snapshotMoR(spark, t, 2, Seq("id"))
+      .as[Long].collect().sorted.toSeq
+    val cv = TxLog.compactMoR(spark, t, Seq("id"))                 // v3
+    val live = TxLog.liveSegments(t, cv)
+    assert(live.size === 1 && live.head.startsWith("compact__"),
+      s"one clean data segment expected, got $live")
+    val after = TxLog.snapshotMoR(spark, t, cv, Seq("id"))
+      .as[Long].collect().sorted.toSeq
+    assert(after === before && after === Seq(1L, 2L, 3L, 9L))
+    // plain snapshot agrees too (no tombstones live anymore)
+    assert(TxLog.snapshot(spark, t, cv).as[Long].collect().sorted.toSeq === after)
+    // time travel: the pre-compaction MoR state is still readable
+    assert(TxLog.snapshotMoR(spark, t, 1, Seq("id"))
+      .as[Long].collect().sorted.toSeq === Seq(1L, 3L))
+  }
+
   test("changes: a compaction across the span fails loudly") {
     import spark.implicits._
     val t = freshTable()
