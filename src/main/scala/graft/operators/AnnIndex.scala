@@ -134,17 +134,84 @@ object AnnIndex {
     posts.write.mode("overwrite").partitionBy("cluster")
       .parquet(s"$store/$pSeg")
     writeMeta(store, "postings_schema.json", posts.schema.json)
+    // a full rebuild also retires any tombstones from the previous
+    // generation — they applied to the postings being replaced
     TxLog.commit(store, adds = Seq(cSeg, pSeg),
       removes = TxLog.familySegments(store, "centroids") ++
-        TxLog.familySegments(store, "postings"))
+        TxLog.familySegments(store, "postings") ++
+        TxLog.familySegments(store, TxLog.DeletesFamily))
     store
   }
 
   def readCentroids(sp: SparkSession, store: String): DataFrame =
     sp.read.parquet(familyPaths(sp, store, "centroids"): _*)
 
+  /** Live tombstones of the store as (__del_id, __dv), or None when
+    * the store has never seen a delete (the common case — zero plan
+    * overhead then). */
+  private def liveDeletes(sp: SparkSession, store: String)
+      : Option[DataFrame] = {
+    val latest = TxLog.latestVersion(store)
+      .getOrElse(sys.error(s"store $store has no commits"))
+    val segs = TxLog.liveSegmentsWithVersion(store, latest)
+      .filter(_._1.startsWith(s"${TxLog.DeletesFamily}__"))
+    if (segs.isEmpty) None
+    else Some(segs.map { case (s, v) =>
+      sp.read.parquet(s"$store/$s")
+        .select(col("n_id").as("__del_id")).withColumn("__dv", lit(v))
+    }.reduce(_.unionByName(_)))
+  }
+
+  /** The live postings MINUS tombstones — the FAISS remove_ids
+    * contract through the txlog MoR discipline ([[graft.sources
+    * .TxLog.snapshotMoR]]'s rule applied to the postings family): a
+    * tombstone kills only postings from segments committed BEFORE it,
+    * so re-appending a deleted id revives it. With tombstones live,
+    * the version-aware anti-join sits between the probe join and the
+    * scan (dynamic partition pruning can degrade to static pruning) —
+    * [[compactPostingsMoR]] is the hygiene that restores the clean
+    * probe plan. With none, this is exactly the pinned family read. */
   def readPostings(sp: SparkSession, store: String): DataFrame =
-    readPinned(sp, store, "postings")
+    liveDeletes(sp, store) match {
+      case None => readPinned(sp, store, "postings")
+      case Some(dels) =>
+        val latest = TxLog.latestVersion(store).get
+        val schema = readMeta(store, "postings_schema.json")
+          .map(json => DataType.fromJson(json).asInstanceOf[StructType])
+        val data = TxLog.liveSegmentsWithVersion(store, latest)
+          .filter(_._1.startsWith("postings__"))
+          .map { case (s, v) =>
+            val r = sp.read
+            schema.foreach(r.schema)
+            r.parquet(s"$store/$s").withColumn("__v", lit(v))
+          }.reduce(_.unionByName(_))
+        data.join(dels, data("n_id") === dels("__del_id") &&
+            dels("__dv") > data("__v"), "left_anti")
+          .drop("__v")
+    }
+
+  /** Tombstone-delete stored vectors by id — O(deleted ids), zero
+    * postings rewritten: one keys-only segment, one commit. `ids`:
+    * one column `id`. Centroids are NOT retrained (deletes never move
+    * the code space; re-clustering is a deliberate reindex). */
+  def deleteVectors(sp: SparkSession, store: String, ids: DataFrame): Unit = {
+    TxLog.commitDeletes(ids.select(col("id").as("n_id")), store)
+    ()
+  }
+
+  /** Apply the tombstones physically: fold the tombstone-subtracted
+    * postings into ONE cluster-partitioned segment and retire every
+    * live postings + tombstone segment in a single atomic commit —
+    * [[compactFamily]]'s MoR form. Sibling families untouched; prior
+    * versions stay snapshot-readable. Returns the committed version. */
+  def compactPostingsMoR(sp: SparkSession, store: String): Int = {
+    val old = TxLog.familySegments(store, "postings") ++
+      TxLog.familySegments(store, TxLog.DeletesFamily)
+    val seg = segName(store, "postings")
+    readPostings(sp, store).write.mode("overwrite").partitionBy("cluster")
+      .parquet(s"$store/$seg")
+    TxLog.commit(store, adds = Seq(seg), removes = old)
+  }
 
   /** IVF top-k against the STORED index: route each query to its
     * `nProbe` nearest stored centroids, then scan only those clusters'

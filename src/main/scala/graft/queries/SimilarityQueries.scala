@@ -1577,6 +1577,80 @@ object SimilarityQueries {
       SELECT q_id, n_id, score, CAST(rnk AS INT) AS rank
       FROM r WHERE rnk <= 10 ORDER BY q_id, rank"""))
 
+  /** DELETE from the persisted IVF index — the FAISS `remove_ids`
+    * contract, completing the stored-index verb set (build s15 /
+    * grow s17 / compact s19 / DELETE here): doomed ids commit as one
+    * keys-only tombstone segment ([[graft.operators.AnnIndex
+    * .deleteVectors]] — O(deleted ids), zero postings rewritten,
+    * centroids frozen: deletes never move the code space), and the
+    * probe subtracts them with the txlog MoR version-aware anti-join
+    * (a tombstone kills only postings committed before it, so a
+    * later re-append revives the id — spec-proven in AnnIndexSpec
+    * along with the physical apply via `compactPostingsMoR`). The
+    * entry probes the TOMBSTONED store, so the subtraction join is
+    * inside the oracle-hashed plan; the oracle recomputes the chain
+    * with centroids from the FULL corpus but postings filtered to
+    * the survivors — exactly the frozen-code-space semantics. */
+  val s23 = QueryDef(
+    "s23_ivf_delete",
+    (sp, dir) => {
+      val fp = graft.sources.IngestFixtures.fingerprint(s"$dir/embeddings.parquet")
+      val store = graft.sources.IngestFixtures.path(s"s23_store_$fp")
+      val qland = graft.sources.IngestFixtures.path(s"s23_q_$fp")
+      graft.sources.IngestFixtures.once(s"s23_$fp") {
+        import scala.reflect.io.Directory
+        Seq(store, qland).foreach(p =>
+          new Directory(new java.io.File(p)).deleteRecursively())
+        val embs = Tables(sp, dir, "embeddings")
+        val corpus = Similarity.prep(embs, "vec_id", "embedding")
+          .join(embs.select(col("vec_id").as("id"), col("label")), "id")
+          .filter(col("id") >= 10)
+        graft.operators.AnnIndex.writeIvf(corpus, "label", store)
+        graft.operators.AnnIndex.deleteVectors(sp, store,
+          corpus.select("id").filter(pmod(col("id"), lit(7L)) === 0))
+        graft.sources.IngestFixtures.addLandingFile(qland,
+          embs.filter(col("vec_id") < 10).select("vec_id", "embedding"),
+          "queries.parquet", 1700000900000L)
+      }
+      val queries = Similarity.prep(
+        sp.read.parquet(qland), "vec_id", "embedding")
+      graft.operators.AnnIndex.probeIvf(sp, store, queries,
+          k = 5, nProbe = 2)
+        .orderBy("q_id", "rank")
+    },
+    Some(s"""
+      WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] v FROM embeddings),
+      n AS (SELECT vec_id, label, v, sqrt(${foldDot.format("v", "v")}) nrm FROM e),
+      q AS (SELECT vec_id q_id, v qv, nrm qn FROM n WHERE vec_id < 10),
+      c AS (SELECT vec_id n_id, label cl, v cv, nrm cn FROM n WHERE vec_id >= 10),
+      cx AS (SELECT n_id, cl,
+               unnest(list_transform(cv, (x, i) -> {'pos': i - 1, 'x': x}),
+                 recursive := true)
+             FROM c),
+      cm AS (SELECT cl, pos,
+               list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                 list(x ORDER BY n_id)), (a, b) -> a + b) / COUNT(*) AS m
+             FROM cx GROUP BY cl, pos),
+      cents AS (SELECT cl, list(m ORDER BY pos) AS cv FROM cm
+                GROUP BY cl),
+      cn AS (SELECT cl, cv, sqrt(${foldDot.format("cv", "cv")}) AS cn
+             FROM cents),
+      cp AS (SELECT n_id, cl, cv, cn FROM c WHERE NOT n_id % 7 = 0),
+      probe AS (SELECT q_id, qv, qn, cl,
+                  ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY
+                    ${foldDot.format("qv", "cv")} / (qn * cn.cn) DESC, cl)
+                    AS probe_rank
+                FROM q CROSS JOIN cn),
+      routed AS (SELECT q_id, qv, qn, cl FROM probe WHERE probe_rank <= 2),
+      s AS (SELECT q_id, n_id, ${foldDot.format("qv", "cv")} / (qn * cn) AS cosine
+            FROM routed r JOIN cp USING (cl)),
+      r AS (SELECT q_id, n_id, cosine,
+              ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosine DESC, n_id) rnk
+            FROM s)
+      SELECT q_id, n_id, cosine, CAST(rnk AS INT) AS rank
+      FROM r WHERE rnk <= 5 ORDER BY q_id, rank"""))
+
   val defs: Seq[QueryDef] = Seq(s01, s02, s03, s04, s05, s06, s07, s08,
-    s09, s10, s11, s12, s13, s14, s15, s16, s17, s18, s19, s20, s21, s22)
+    s09, s10, s11, s12, s13, s14, s15, s16, s17, s18, s19, s20, s21, s22,
+    s23)
 }

@@ -292,6 +292,40 @@ class AnnIndexSpec extends SparkSpec {
     assert(p.contains("pqposts__"), "ADC stage must scan the PQ inverted lists")
   }
 
+  test("deleteVectors: probe excludes tombstoned ids, re-append revives, compact applies") {
+    val store = tmpStore("del")
+    val all = prepped
+    val queries = all.filter(col("id") < 10).drop("label")
+    val corpus = all.filter(col("id") >= 10)
+    AnnIndex.writeIvf(corpus, "label", store)
+    val doomed = corpus.select("id").filter(pmod(col("id"), lit(7L)) === 0)
+    val doomedIds = doomed.collect().map(_.getLong(0)).toSet
+    assert(doomedIds.size >= 2, "fixture must tombstone several ids")
+    AnnIndex.deleteVectors(spark, store, doomed)
+    val hits = AnnIndex.probeIvf(spark, store, queries, k = 5, nProbe = 2)
+      .select("n_id").collect().map(_.getLong(0))
+    assert(hits.nonEmpty && !hits.exists(doomedIds),
+      "a tombstoned id surfaced in the probe")
+    // re-append ONE doomed id: a posting newer than the tombstone revives
+    val back = doomedIds.min
+    AnnIndex.appendVectors(spark, store,
+      corpus.filter(col("id") === back).select("id", "v", "nrm"))
+    val post = AnnIndex.readPostings(spark, store)
+      .select("n_id").collect().map(_.getLong(0)).toSet
+    assert(post.contains(back), "re-appended id must survive its older tombstone")
+    assert((doomedIds - back).forall(!post.contains(_)),
+      "other tombstoned ids must stay dead")
+    // physical apply: one postings segment, tombstones retired,
+    // rows unchanged, sibling centroids untouched
+    val preRows = AnnIndex.readPostings(spark, store).count()
+    val cv = AnnIndex.compactPostingsMoR(spark, store)
+    val live = TxLog.liveSegments(store, cv)
+    assert(live.count(_.startsWith("postings__")) === 1)
+    assert(!live.exists(_.startsWith("deletes__")), "compaction must retire tombstones")
+    assert(live.count(_.startsWith("centroids__")) === 1)
+    assert(AnnIndex.readPostings(spark, store).count() === preRows)
+  }
+
   test("s15/s16/s17/s19/s20 entry plans read the store and landing file, never embeddings.parquet") {
     for ((name, store, land) <- Seq(
       ("s15_persisted_ivf", "s15_store_", "s15_land_"),

@@ -323,14 +323,17 @@ class PlanAuditSpec extends SparkSpec {
     // s21's ONLY all-pairs site is its vector arm = s01's declared
     // brute-force baseline (broadcast 10-row query set × corpus scan);
     // the lexical arm is equi-join-only, asserted by the dedicated
-    // s21 plan test above.
+    // s21 plan test above. s23 probes through the same probeIvf
+    // routing as s15/s17/s19 (queries × stored centroids, broadcast);
+    // its tombstone subtraction is a broadcast HASH anti-join on
+    // n_id, not an all-pairs site.
     val allow = Set("s01_cosine_topk", "s03_ivf_ann", "s04_knn_classify",
       "s05_radius_search", "s06_recall_report", "s07_mips_topk",
       "s08_pq_encode", "s09_maxsim", "s10_ivf_recall",
       "s12_pq_adc_search", "s13_multiprobe_recall", "s14_sq8_recall",
       "s15_persisted_ivf", "s16_incremental_pq", "s17_ivf_append",
       "s19_ivf_compact", "s20_ivfpq_adc", "s21_hybrid_search",
-      "q100_triangle_count")
+      "s23_ivf_delete", "q100_triangle_count")
     val offenders = sweptPlans.collect {
       case (name, Left(err)) => s"$name (build threw $err)"
       case (name, Right(p)) if !allow(name) &&
