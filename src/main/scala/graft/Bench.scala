@@ -110,7 +110,8 @@ object Bench {
         "s15_persisted_ivf", "s16_incremental_pq", "s17_ivf_append",
         "s18_persisted_lsh", "s19_ivf_compact", "s20_ivfpq_adc",
         "e41_stream_txlog", "e42_txlog_feed", "e43_txlog_delete",
-        "s22_persisted_text_index", "s23_ivf_delete").foreach {
+        "s22_persisted_text_index", "s23_ivf_delete",
+        "e44_txlog_format").foreach {
       n => SparkEntry.queries.get(n)
         .foreach(f => try f(spark, sfDir).count() catch { case _: Throwable => })
     }

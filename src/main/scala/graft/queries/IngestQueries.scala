@@ -2430,9 +2430,67 @@ object IngestQueries {
         CAST(5 AS BIGINT) AS n_versions
       FROM folded GROUP BY o_orderstatus ORDER BY o_orderstatus"""))
 
+  /** The txlog table through the DataSource FORMAT API
+    * ([[graft.sources.txlog.DefaultSource]]) — the surface a
+    * SQL/DataFrame user actually reaches:
+    * `df.write.format("graft.sources.txlog").mode(Append).save(dir)`
+    * commits one segment per save;
+    * `spark.read.format(...).option("asOf", v).load(dir)` time-travels.
+    * The V1 relation applies pruned columns and pushed filters to the
+    * INNER snapshot DataFrame, so pushdown reaches the parquet segment
+    * scans (plan-audited in TxLogFormatSpec); the known V1 cost — the
+    * format boundary is a codegen fence — is the right trade for the
+    * interactive/catalog surface, and fused pipelines keep calling
+    * TxLog.snapshot directly. The entry writes two installments
+    * through the format writer and reads BOTH the v0 time-travel
+    * snapshot and the latest one back through the format reader; the
+    * oracle folds the same two-batch history, so a writer that
+    * committed wrong segment sets or a reader that mixed versions
+    * breaks the hash. Determinism: counts + decimal money sums (§4),
+    * total ORDER BY. */
+  val e44 = QueryDef(
+    "e44_txlog_format",
+    (sp, dir) => {
+      import graft.Dsl.moneySum
+      val fmt = "graft.sources.txlog"
+      val fp = IngestFixtures.fingerprint(s"$dir/orders.parquet")
+      val store = IngestFixtures.path(s"e44_store_$fp")
+      IngestFixtures.once(s"e44_$fp") {
+        import scala.reflect.io.Directory
+        new Directory(new java.io.File(store)).deleteRecursively()
+        val orders = Tables(sp, dir, "orders")
+          .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+        orders.filter(pmod(col("o_orderkey"), lit(2L)) === 0L)
+          .write.format(fmt).mode(org.apache.spark.sql.SaveMode.Append)
+          .save(store)
+        orders.filter(pmod(col("o_orderkey"), lit(2L)) === 1L)
+          .write.format(fmt).mode(org.apache.spark.sql.SaveMode.Append)
+          .save(store)
+      }
+      val v0 = sp.read.format(fmt).option("asOf", 0).load(store)
+        .withColumn("snap", lit("v0"))
+      val latest = sp.read.format(fmt).load(store)
+        .withColumn("snap", lit("latest"))
+      v0.unionByName(latest)
+        .groupBy("snap", "o_orderstatus")
+        .agg(count(lit(1)).as("n_rows"),
+          moneySum(col("o_totalprice")).as("sum_price"))
+        .orderBy("snap", "o_orderstatus")
+    },
+    Some("""
+      WITH labeled AS (
+        SELECT 'v0' AS snap, o_orderstatus, o_totalprice FROM orders
+        WHERE o_orderkey % 2 = 0
+        UNION ALL
+        SELECT 'latest' AS snap, o_orderstatus, o_totalprice FROM orders)
+      SELECT snap, o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n_rows,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+      FROM labeled GROUP BY snap, o_orderstatus
+      ORDER BY snap, o_orderstatus"""))
+
   val defs: Seq[QueryDef] =
     Seq(e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11, e12, e13,
       e14, e15, e16, e17, e18, e19, e20, e21, e22, e23, e24, e25, e26,
       e27, e28, e29, e30, e31, e32, e33, e34, e35, e36, e37, e38, e39,
-      e40, e41, e42, e43)
+      e40, e41, e42, e43, e44)
 }

@@ -185,12 +185,16 @@ object TxLog {
     live.toSeq
   }
 
-  /** Snapshot read pinned at `asOf`: exactly the live segments, one
-    * multi-path parquet scan (partition pruning and pushdown apply
-    * per segment as usual). */
+  /** Snapshot read pinned at `asOf`: exactly the live DATA segments,
+    * one multi-path parquet scan (partition pruning and pushdown apply
+    * per segment as usual). Tombstone segments are metadata, never
+    * data — they are excluded here but NOT applied; the raw snapshot
+    * of a tombstoned table shows deleted rows ([[snapshotMoR]] is the
+    * subtracting read). */
   def snapshot(spark: SparkSession, tableDir: String, asOf: Int): DataFrame = {
     val segs = liveSegments(tableDir, asOf)
-    require(segs.nonEmpty, s"version $asOf of $tableDir has no segments")
+      .filterNot(_.startsWith(s"${DeletesFamily}__"))
+    require(segs.nonEmpty, s"version $asOf of $tableDir has no data segments")
     spark.read.parquet(segs.map(s => s"$tableDir/$s"): _*)
   }
 

@@ -1,0 +1,75 @@
+package graft
+
+import graft.sources.TxLog
+import org.apache.spark.sql.SaveMode
+import org.apache.spark.sql.functions._
+
+/** The txlog DataSource surface (graft.sources.txlog.DefaultSource):
+  * format-API reads ≡ TxLog.snapshot, time travel via asOf,
+  * merge-on-read via keyCols, pushdown reaching the scan, and the
+  * append-only writer committing one segment per save. */
+class TxLogFormatSpec extends SparkSpec {
+
+  private val Fmt = "graft.sources.txlog"
+
+  private def freshTable(): String =
+    java.nio.file.Files.createTempDirectory("txlog_fmt").toString + "/t"
+
+  test("writer commits one segment per save; reads equal snapshot") {
+    import spark.implicits._
+    val t = freshTable()
+    Seq(1L, 2L).toDF("id").write.format(Fmt).mode(SaveMode.Append).save(t)
+    Seq(3L).toDF("id").write.format(Fmt).mode(SaveMode.Append).save(t)
+    assert(TxLog.versions(t) === Seq(0, 1), "one commit per save")
+    val got = spark.read.format(Fmt).load(t)
+      .as[Long].collect().sorted.toSeq
+    assert(got === Seq(1L, 2L, 3L))
+    assert(got === TxLog.snapshot(spark, t, 1).as[Long].collect().sorted.toSeq)
+    // short name registered through META-INF/services
+    val short = spark.read.format("graft-txlog").load(t)
+      .as[Long].collect().sorted.toSeq
+    assert(short === got)
+  }
+
+  test("asOf time-travels; keyCols applies merge-on-read tombstones") {
+    import spark.implicits._
+    val t = freshTable()
+    Seq(1L, 2L, 3L).toDF("id").write.format(Fmt).mode(SaveMode.Append).save(t)
+    Seq(4L).toDF("id").write.format(Fmt).mode(SaveMode.Append).save(t)
+    TxLog.commitDeletes(Seq(2L).toDF("id"), t)
+    def ids(r: org.apache.spark.sql.DataFrame) =
+      r.select("id").as[Long].collect().sorted.toSeq
+    assert(ids(spark.read.format(Fmt).option("asOf", 0).load(t)) ===
+      Seq(1L, 2L, 3L))
+    // without keyCols the raw snapshot still shows the tombstoned row
+    assert(ids(spark.read.format(Fmt).load(t)) === Seq(1L, 2L, 3L, 4L))
+    assert(ids(spark.read.format(Fmt).option("keyCols", "id").load(t)) ===
+      Seq(1L, 3L, 4L))
+  }
+
+  test("filters and pruning push through the format boundary") {
+    import spark.implicits._
+    val t = freshTable()
+    (1L to 100L).map(i => (i, s"name_$i")).toDF("id", "name")
+      .write.format(Fmt).mode(SaveMode.Append).save(t)
+    val q = spark.read.format(Fmt).load(t)
+      .filter(col("id") > 90L).select("name")
+    val p = q.queryExecution.executedPlan.toString
+    assert(p.contains("PushedFilters") && p.contains("GreaterThan(id,90)"),
+      s"filter did not reach the V1 scan:\n${p.take(1500)}")
+    assert(q.count() === 10)
+    // zero-column COUNT(*) shape survives the positional-row contract
+    assert(spark.read.format(Fmt).load(t).count() === 100)
+  }
+
+  test("writer rejects non-append modes") {
+    import spark.implicits._
+    val t = freshTable()
+    Seq(1L).toDF("id").write.format(Fmt).mode(SaveMode.Append).save(t)
+    val e = intercept[Exception] {
+      Seq(2L).toDF("id").write.format(Fmt)
+        .mode(SaveMode.Overwrite).save(t)
+    }
+    assert(e.getMessage.contains("append-only"))
+  }
+}
