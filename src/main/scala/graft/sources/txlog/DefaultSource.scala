@@ -38,9 +38,13 @@ class DefaultSource extends RelationProvider
 
   override def shortName(): String = "graft-txlog"
 
-  private def path(parameters: Map[String, String]): String =
-    parameters.getOrElse("path",
+  private def path(parameters: Map[String, String]): String = {
+    val p = parameters.getOrElse("path",
       sys.error("graft.sources.txlog needs a path — use .load(dir)"))
+    // the catalog resolves CREATE TABLE ... OPTIONS(path …) to a
+    // file: URI; TxLog's manifest log is java.nio-based local I/O
+    if (p.startsWith("file:")) new java.net.URI(p).getPath else p
+  }
 
   override def createRelation(sqlContext: SQLContext,
       parameters: Map[String, String]): BaseRelation = {

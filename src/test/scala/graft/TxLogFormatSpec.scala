@@ -62,6 +62,21 @@ class TxLogFormatSpec extends SparkSpec {
     assert(spark.read.format(Fmt).load(t).count() === 100)
   }
 
+  test("CREATE TABLE ... USING the format reads through the catalog") {
+    import spark.implicits._
+    val t = freshTable()
+    Seq((1L, "a"), (2L, "b")).toDF("id", "tag")
+      .write.format(Fmt).mode(SaveMode.Append).save(t)
+    spark.sql("DROP TABLE IF EXISTS txlog_ddl")
+    spark.sql(s"CREATE TABLE txlog_ddl USING `graft-txlog` " +
+      s"OPTIONS (path '$t')")
+    try {
+      val got = spark.sql("SELECT id FROM txlog_ddl WHERE tag = 'b'")
+        .as[Long].collect().toSeq
+      assert(got === Seq(2L))
+    } finally spark.sql("DROP TABLE IF EXISTS txlog_ddl")
+  }
+
   test("writer rejects non-append modes") {
     import spark.implicits._
     val t = freshTable()
