@@ -2488,9 +2488,62 @@ object IngestQueries {
       FROM labeled GROUP BY snap, o_orderstatus
       ORDER BY snap, o_orderstatus"""))
 
+  /** Structured Streaming FROM the txlog table —
+    * `spark.readStream.format("graft.sources.txlog")` over
+    * [[graft.sources.txlog.TxLogSource]], whose offsets ARE the
+    * table's committed versions: each micro-batch reads exactly one
+    * manifest span through `TxLog.changes` (only that span's added
+    * segments scanned — O(delta) at any table size), the checkpoint
+    * stores plain version numbers, and a restarted query resumes at
+    * the last folded version (delta-only restart + the loud-failure
+    * contract on deletes are spec-proven in TxLogFormatSpec). This is
+    * e42's manual fold promoted to the ENGINE-DRIVEN streaming
+    * surface — the read half of e41's write half, as a first-class
+    * `readStream`. The entry appends three batches, streams the
+    * table into a complete-mode aggregate, and hashes the totals
+    * against the folded history. Determinism: counts + decimal money
+    * sums (§4), total ORDER BY. */
+  val e45 = QueryDef(
+    "e45_stream_from_txlog",
+    (sp, dir) => {
+      import graft.Dsl.moneySum
+      import graft.sources.TxLog
+      val fp = IngestFixtures.fingerprint(s"$dir/orders.parquet")
+      val store = IngestFixtures.path(s"e45_store_$fp")
+      IngestFixtures.once(s"e45_$fp") {
+        import scala.reflect.io.Directory
+        new Directory(new java.io.File(store)).deleteRecursively()
+        new java.io.File(store).mkdirs()
+        val orders = Tables(sp, dir, "orders")
+          .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+        (0L until 3L).foreach { b =>
+          TxLog.appendBatch(
+            orders.filter(pmod(col("o_orderkey"), lit(3L)) === b), b, store)
+          ()
+        }
+      }
+      val sink = s"e45_totals_${streamRuns.incrementAndGet()}"
+      val agg = sp.readStream.format("graft.sources.txlog").load(store)
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n_rows"),
+          moneySum(col("o_totalprice")).as("sum_price"))
+      withFewStatePartitions(sp, 8) {
+        val q = agg.writeStream.format("memory").queryName(sink)
+          .outputMode("complete")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      sp.table(sink).orderBy("o_orderstatus")
+    },
+    Some("""
+      SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n_rows,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+      FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus"""))
+
   val defs: Seq[QueryDef] =
     Seq(e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11, e12, e13,
       e14, e15, e16, e17, e18, e19, e20, e21, e22, e23, e24, e25, e26,
       e27, e28, e29, e30, e31, e32, e33, e34, e35, e36, e37, e38, e39,
-      e40, e41, e42, e43, e44)
+      e40, e41, e42, e43, e44, e45)
 }

@@ -34,9 +34,31 @@ import org.apache.spark.sql.types.StructType
   * segments, same manifests).
   */
 class DefaultSource extends RelationProvider
-    with CreatableRelationProvider with DataSourceRegister {
+    with CreatableRelationProvider with StreamSourceProvider
+    with DataSourceRegister {
 
   override def shortName(): String = "graft-txlog"
+
+  // ---- spark.readStream.format("graft-txlog"): versions as offsets --
+
+  override def sourceSchema(sqlContext: SQLContext,
+      schema: Option[StructType], providerName: String,
+      parameters: Map[String, String]): (String, StructType) = {
+    val dir = path(parameters)
+    val s = schema.getOrElse {
+      val latest = TxLog.latestVersion(dir).getOrElse(sys.error(
+        s"txlog stream over $dir needs at least one commit (or pass " +
+          "a schema) so the source schema is known"))
+      TxLog.snapshot(sqlContext.sparkSession, dir, latest).schema
+    }
+    (shortName(), s)
+  }
+
+  override def createSource(sqlContext: SQLContext, metadataPath: String,
+      schema: Option[StructType], providerName: String,
+      parameters: Map[String, String]): org.apache.spark.sql.execution.streaming.Source =
+    new TxLogSource(sqlContext, path(parameters),
+      sourceSchema(sqlContext, schema, providerName, parameters)._2)
 
   private def path(parameters: Map[String, String]): String = {
     val p = parameters.getOrElse("path",
@@ -74,6 +96,43 @@ class DefaultSource extends RelationProvider
     TxLog.commit(dir, adds = Seq(seg))
     createRelation(sqlContext, parameters - "asOf")
   }
+}
+
+/** `spark.readStream.format("graft-txlog").load(dir)` — the txlog
+  * table as a Structured Streaming SOURCE whose offsets ARE the
+  * table's committed versions: each micro-batch is exactly one
+  * manifest span read through [[TxLog.changes]], so a batch scans
+  * ONLY the segments its span's commits added (O(delta) at any table
+  * size), the checkpoint stores plain version numbers, and restart
+  * resumes from the last folded version — the streaming read half of
+  * [[TxLog.appendBatch]]'s write half, end to end exactly-once when
+  * the sink is idempotent. Append-only by contract, inherited from
+  * `changes`: a compaction or row-level delete inside an unread span
+  * fails the stream loudly instead of double-counting (re-snapshot
+  * and restart the feed past it). */
+class TxLogSource(sqlContext: SQLContext, dir: String,
+    override val schema: StructType)
+    extends org.apache.spark.sql.execution.streaming.Source {
+  import org.apache.spark.sql.execution.streaming.{Offset => V1Offset}
+  import org.apache.spark.sql.execution.streaming.runtime.LongOffset
+
+  override def getOffset: Option[V1Offset] =
+    TxLog.latestVersion(dir).map(v => LongOffset(v.toLong))
+
+  // a restarted query replays the checkpointed JSON as SerializedOffset;
+  // LongOffset.json is the bare number either way
+  private def version(o: V1Offset): Int = o.json.trim.toInt
+
+  override def getBatch(start: Option[V1Offset], end: V1Offset)
+      : org.apache.spark.sql.DataFrame = {
+    val fromV = start.map(version).getOrElse(-1)
+    val batch = TxLog.changes(sqlContext.sparkSession, dir, fromV,
+        version(end))
+      .select(schema.fieldNames.map(col).toSeq: _*)
+    org.apache.spark.sql.graft.Bridge.asStreaming(batch)
+  }
+
+  override def stop(): Unit = ()
 }
 
 /** The snapshot (or merge-on-read snapshot) of one txlog table at one

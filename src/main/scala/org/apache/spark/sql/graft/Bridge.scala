@@ -146,4 +146,18 @@ object Bridge {
       truncatedReliableSum(df, sumIdx)
     else truncatedLocalSum(df, sumIdx)
   }
+
+  /** Tag a batch DataFrame as STREAMING — the V1 `Source.getBatch`
+    * contract: MicroBatchExecution rejects a returned frame whose
+    * plan is not streaming, and the blessed way to satisfy it is an
+    * `isStreaming = true` LogicalRDD over the batch plan's executed
+    * rows (FileStreamSource does exactly this internally). The
+    * physical plan freezes at call time, which is right for a
+    * micro-batch: the span's segment set is already pinned. */
+  def asStreaming(df: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val ds = df.asInstanceOf[org.apache.spark.sql.classic.Dataset[org.apache.spark.sql.Row]]
+    ds.sparkSession.internalCreateDataFrame(
+      ds.queryExecution.toRdd, ds.schema, isStreaming = true)
+  }
 }

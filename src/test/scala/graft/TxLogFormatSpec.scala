@@ -77,6 +77,54 @@ class TxLogFormatSpec extends SparkSpec {
     } finally spark.sql("DROP TABLE IF EXISTS txlog_ddl")
   }
 
+  test("streaming source: versions are offsets, restart resumes at the delta") {
+    import spark.implicits._
+    val t = freshTable()
+    val ckpt = freshTable() + "_ckpt"
+    Seq(1L, 2L).toDF("id").write.format(Fmt).mode(SaveMode.Append).save(t)
+    Seq(3L).toDF("id").write.format(Fmt).mode(SaveMode.Append).save(t)
+    val batches = scala.collection.mutable.ArrayBuffer.empty[Seq[Long]]
+    def runPass(): Unit = {
+      val q = spark.readStream.format(Fmt).load(t)
+        .writeStream
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          batches.synchronized {
+            batches += b.select("id").collect().map(_.getLong(0)).sorted.toSeq
+          }
+          ()
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    runPass()
+    assert(batches.flatten.sorted === Seq(1L, 2L, 3L),
+      "first pass must deliver all committed rows")
+    val passOne = batches.size
+    // grow the table; the restarted query must read ONLY the delta
+    Seq(4L, 5L).toDF("id").write.format(Fmt).mode(SaveMode.Append).save(t)
+    runPass()
+    val delta = batches.drop(passOne)
+    assert(delta.flatten.sorted === Seq(4L, 5L),
+      s"restart re-read old versions: $delta")
+  }
+
+  test("streaming source fails loudly on a delete inside an unread span") {
+    import spark.implicits._
+    val t = freshTable()
+    Seq(1L, 2L).toDF("id").write.format(Fmt).mode(SaveMode.Append).save(t)
+    TxLog.commitDeletes(Seq(1L).toDF("id"), t)
+    val q = spark.readStream.format(Fmt).load(t)
+      .writeStream.format("noop")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException](
+      q.awaitTermination())
+    assert(e.getMessage.contains("append-only") ||
+      Option(e.getCause).exists(_.getMessage.contains("append-only")))
+  }
+
   test("writer rejects non-append modes") {
     import spark.implicits._
     val t = freshTable()
