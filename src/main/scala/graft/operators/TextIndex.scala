@@ -18,16 +18,15 @@ import org.apache.spark.sql.functions._
   * atomically):
   * {{{
   *   <store>/_txlog/v<N>.json              — manifests (TxLog)
-  *   <store>/postings__seg<N>/bucket=<b>/  (word, n_id, tf)
-  *   <store>/doclen__seg<N>/               (n_id, dl)
+  *   <store>/postings__seg<N>/bucket=<b>/  (n_id, word, tf, dl)
   *   <store>/stats__seg<N>/                (nd, tok) — 1 row/segment
   *   <store>/_meta/                        — pinned postings schema
   * }}}
   *
   * Scale notes:
   *  - GROW IS O(delta): [[appendDocs]] tokenizes ONLY the
-  *    installment and commits one postings + doclen + stats segment
-  *    triple behind a single manifest; untouched segments are never
+  *    installment and commits one postings + stats segment pair
+  *    behind a single manifest; untouched segments are never
   *    read or rewritten. Document frequency is never stored — df is
   *    an additive COUNT over the (disjoint-by-doc) postings
   *    segments, so growth needs no read-modify-write of any global
@@ -40,9 +39,13 @@ import org.apache.spark.sql.functions._
   *    postings, never the corpus.
   *  - Corpus stats (N docs, Σ doc length) fold additively over the
   *    1-row stats segments and ride a 1-row broadcast into scoring.
-  *  - The per-doc length join touches only CANDIDATE docs (those
-  *    sharing a term with the query) — corpus-proportional state
-  *    never concentrates on one task.
+  *  - The per-doc length is DENORMALIZED into every posting row
+  *    (one extra long per posting — Lucene's norms-in-the-index
+  *    layout): dl is a per-installment fact (installments are
+  *    disjoint by doc), so it is known exactly at write time and
+  *    search never touches a corpus-proportional doc-length table —
+  *    the whole search scan set is Σ df(query terms) postings plus
+  *    the 1-row-per-segment stats (plan-audited in TextIndexSpec).
   *  - [[AnnIndex.compactFamily]] is the OPTIMIZE: fold accumulated
   *    grow segments per family back into one, atomically, with all
   *    historical versions still snapshot-readable.
@@ -99,8 +102,16 @@ object TextIndex {
   private def writeSegments(docs: DataFrame, store: String,
       removes: Seq[String]): Unit = {
     val pSeg = segName(store, "postings")
-    val tf = termFreqs(docs)
+    val tf0 = termFreqs(docs)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // dl denormalizes into the posting rows (one join over the
+    // installment, paid ONCE at write time) so search reads it from
+    // the already-pruned postings scan instead of re-joining a
+    // corpus-proportional doc-length table per query batch
+    val dl = tf0.groupBy("n_id").agg(sum("tf").as("dl"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val tf = tf0.join(dl, "n_id")
+      .select("n_id", "word", "tf", "dl", "bucket")
     tf.write.mode("overwrite").partitionBy("bucket")
       .parquet(s"$store/$pSeg")
     val metaF = new java.io.File(store, "_meta")
@@ -110,24 +121,23 @@ object TextIndex {
         new java.io.File(metaF, "postings_schema.json").toPath,
         tf.schema.json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     }
-    val lSeg = segName(store, "doclen")
-    val dl = tf.groupBy("n_id").agg(sum("tf").as("dl"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    dl.write.mode("overwrite").parquet(s"$store/$lSeg")
     val sSeg = segName(store, "stats")
     dl.agg(count(lit(1)).as("nd"), sum("dl").as("tok"))
       .write.mode("overwrite").parquet(s"$store/$sSeg")
-    tf.unpersist(); dl.unpersist()
-    TxLog.commit(store, adds = Seq(pSeg, lSeg, sSeg), removes = removes)
+    tf0.unpersist(); dl.unpersist()
+    TxLog.commit(store, adds = Seq(pSeg, sSeg), removes = removes)
     ()
   }
 
   /** Build and persist the inverted index for a corpus installment:
-    * postings + doclen + stats in ONE atomic commit (replacing any
-    * prior build). `docs`: (doc_id, text). Returns the store path. */
+    * postings + stats in ONE atomic commit (replacing any prior
+    * build — including any legacy doclen segments and, since a full
+    * rebuild replaces the postings the tombstones applied to, any
+    * live delete tombstones). `docs`: (doc_id, text). Returns the
+    * store path. */
   def writePostings(docs: DataFrame, store: String): String = {
     writeSegments(docs, store,
-      removes = Seq("postings", "doclen", "stats")
+      removes = Seq("postings", "doclen", "stats", TxLog.DeletesFamily)
         .flatMap(TxLog.familySegments(store, _)))
     store
   }
@@ -135,7 +145,7 @@ object TextIndex {
   /** Grow the persisted index — O(delta): tokenize ONLY the new
     * installment (doc_ids must be new to the store; re-ingesting a
     * live doc_id double-counts it, the same append contract as
-    * [[TxLog.appendBatch]] tables) and commit its three segments
+    * [[TxLog.appendBatch]] tables) and commit its two segments
     * behind a single manifest. Existing segments are never read. */
   def appendDocs(sp: SparkSession, store: String, docs: DataFrame): Unit =
     writeSegments(docs, store, removes = Seq.empty)
@@ -193,17 +203,17 @@ object TextIndex {
     val matched = postings.join(broadcast(qterms), "word")
     // df re-derives additively from the matched postings themselves:
     // installments are disjoint by doc, so COUNT per word over the
-    // pruned scan IS the corpus df — no stored dictionary to maintain
+    // pruned scan IS the corpus df — no stored dictionary to maintain.
+    // dl rides IN the posting rows (denormalized at write time), so
+    // no corpus-proportional doc-length join exists in this plan.
     val dfw = matched.select("word", "n_id").distinct()
       .groupBy("word").agg(count(lit(1)).as("df"))
-    val dl = sp.read.parquet(familyPaths(store, "doclen"): _*)
     val stats = sp.read.parquet(familyPaths(store, "stats"): _*)
       .agg(sum("nd").as("nd"), sum("tok").as("tok"))
       .withColumn("j", pmod(col("nd"), lit(1L)))
     val w = Window.partitionBy("q_id")
       .orderBy(col("score").desc, col("n_id"))
     matched.join(broadcast(dfw), "word")
-      .join(dl, "n_id")
       .withColumn("j", pmod(col("tf"), lit(1L)))
       .join(broadcast(stats), "j")
       .select(col("q_id"), col("n_id"),

@@ -1499,8 +1499,9 @@ object SimilarityQueries {
   /** Persisted BM25 inverted index — the FOURTH stored index family
     * ([[graft.operators.TextIndex]]), delivering the scale path
     * [[s21]]'s lexical arm promises: a corpus tokenizes ONCE into a
-    * bucket-partitioned postings store (postings + doc lengths +
-    * additive corpus stats behind one txlog commit), GROWS O(delta)
+    * bucket-partitioned postings store (postings with doc length
+    * denormalized into every row, plus additive corpus stats, behind
+    * one txlog commit), GROWS O(delta)
     * as new documents land (the installment's own three segments,
     * one manifest, existing segments unread — df is never stored, it
     * re-aggregates additively from the disjoint-by-doc postings, so

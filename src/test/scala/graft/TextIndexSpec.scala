@@ -66,10 +66,12 @@ class TextIndexSpec extends SparkSpec {
         s"grow rewrote pre-existing file $path")
     }
     val families = TxLog.liveSegments(store, v0 + 1)
-    Seq("postings", "doclen", "stats").foreach { fam =>
+    Seq("postings", "stats").foreach { fam =>
       assert(families.count(_.startsWith(s"${fam}__")) === 2,
         s"family $fam should hold exactly build+grow segments")
     }
+    assert(!families.exists(_.startsWith("doclen__")),
+      "doc length is denormalized into the postings — no doclen family")
   }
 
   test("search plan prunes buckets, pushes the word filter, never reads the corpus") {
@@ -84,6 +86,9 @@ class TextIndexSpec extends SparkSpec {
     val p = res.queryExecution.executedPlan.toString
     assert(!p.contains("documents.parquet"),
       "search plan must read only the store and the query frame")
+    assert(!p.contains("doclen"),
+      "search must never scan a corpus-proportional doc-length table " +
+        "(dl is denormalized into the posting rows)")
     assert(p.contains("bucket"), "bucket partition filter missing")
     assert("PushedFilters: \\[[^\\]]*word".r.findFirstIn(p).isDefined,
       "word IN-list did not push down to the postings scan")
@@ -101,7 +106,7 @@ class TextIndexSpec extends SparkSpec {
       Seq("bucket"))
     val live = TxLog.liveSegments(store, TxLog.latestVersion(store).get)
     assert(live.count(_.startsWith("postings__")) === 1)
-    assert(live.count(_.startsWith("doclen__")) === 2, "siblings untouched")
+    assert(live.count(_.startsWith("stats__")) === 2, "siblings untouched")
     val after = rows(TextIndex.searchBm25(spark, store, queries, k = 10))
     assert(before.nonEmpty && before.size == after.size)
     before.zip(after).foreach { case (x, y) => assert(x == y) }
