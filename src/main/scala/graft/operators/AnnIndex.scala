@@ -64,7 +64,15 @@ object AnnIndex {
     * partition pruning; above it (large offline probe batches) the
     * probe joins by shuffle behind a static partition IN-filter —
     * collected probed-cluster ids are bounded by the centroid count,
-    * which is dimension-table-sized by IVF design. */
+    * which is dimension-table-sized by IVF design.
+    *
+    * The gate compares against a caller-supplied `queryRows` SIZE
+    * HINT, never an eager `queries.count()`: counting would fire an
+    * extra Spark job that recomputes whatever produced the query
+    * frame before the probe even starts. `None` (the default)
+    * declares the batch probe-shaped and takes the broadcast plan
+    * outright; an offline caller probing with a huge derived frame
+    * passes its known row count and gets the shuffle plan. */
   val ProbeBroadcastRows: Long = 1000000L
 
   private def segName(store: String, family: String): String =
@@ -127,8 +135,11 @@ object AnnIndex {
   def writeIvf(corpus: DataFrame, labelCol: String, store: String): String = {
     val cSeg = segName(store, "centroids")
     val pSeg = segName(store, "postings")
-    Similarity.centroids(corpus, labelCol)
-      .write.mode("overwrite").parquet(s"$store/$cSeg")
+    val cents = Similarity.centroids(corpus, labelCol)
+    cents.write.mode("overwrite").parquet(s"$store/$cSeg")
+    // pin the unpartitioned families' schemas too: a probe is then a
+    // pure plan constructor — no schema-inference job at read time
+    writeMeta(store, "centroids_schema.json", cents.schema.json)
     val posts = corpus.select(col(labelCol).as("cluster"),
       col("id").as("n_id"), col("v").as("cv"), col("nrm").as("cn"))
     posts.write.mode("overwrite").partitionBy("cluster")
@@ -144,7 +155,7 @@ object AnnIndex {
   }
 
   def readCentroids(sp: SparkSession, store: String): DataFrame =
-    sp.read.parquet(familyPaths(sp, store, "centroids"): _*)
+    readPinned(sp, store, "centroids")
 
   /** Live tombstones of the store as (__del_id, __dv), or None when
     * the store has never seen a delete (the common case — zero plan
@@ -218,9 +229,11 @@ object AnnIndex {
     * postings. Identical math to [[Similarity.ivfTopK]] (the parquet
     * round trip is bit-exact for doubles), so a probe of the stored
     * index hash-matches the in-process build — the s15 contract.
-    * Queries schema: (id, v, nrm). */
+    * Queries schema: (id, v, nrm). `queryRows`: optional size hint
+    * for the broadcast gate (see [[ProbeBroadcastRows]] — None =
+    * probe-shaped, broadcast; no counting job is ever fired). */
   def probeIvf(sp: SparkSession, store: String, queries: DataFrame,
-      k: Int, nProbe: Int,
+      k: Int, nProbe: Int, queryRows: Option[Long] = None,
       maxBroadcastRows: Long = ProbeBroadcastRows): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val cents = readCentroids(sp, store)
@@ -235,7 +248,7 @@ object AnnIndex {
       .withColumn("probe_rank", row_number().over(wProbe))
       .filter(col("probe_rank") <= nProbe)
       .select("q_id", "qv", "qn", "cluster")
-    val nRouted = queries.count() * nProbe
+    val nRouted = queryRows.map(_ * nProbe)
     val w = Window.partitionBy("q_id").orderBy(col("cosine").desc, col("n_id"))
     probeJoin(sp, routed, readPostings(sp, store), "cluster",
         nRouted, maxBroadcastRows)
@@ -254,11 +267,12 @@ object AnnIndex {
     * broadcast), the probed partition ids — bounded by the index's
     * partition count, a dimension table by construction — collect
     * into a static IN partition filter and the join shuffles. Both
-    * plans compute the identical pairs. */
+    * plans compute the identical pairs. `nRouted` is the caller's
+    * size hint; None declares the batch probe-shaped (broadcast). */
   private def probeJoin(sp: SparkSession, routed: DataFrame,
-      posts: DataFrame, key: String, nRouted: Long,
+      posts: DataFrame, key: String, nRouted: Option[Long],
       maxBroadcastRows: Long): DataFrame =
-    if (nRouted <= maxBroadcastRows) broadcast(routed).join(posts, key)
+    if (nRouted.forall(_ <= maxBroadcastRows)) broadcast(routed).join(posts, key)
     else {
       val probed = routed.select(key).distinct().collect().map(_.get(0))
       routed.join(posts.filter(col(key).isin(probed.toIndexedSeq: _*)), key)
@@ -347,13 +361,15 @@ object AnnIndex {
       store: String): String = {
     val bSeg = segName(store, "codebook")
     val cSeg = segName(store, "codes")
-    Similarity.centroids(labeled, "label")
+    val book = Similarity.centroids(labeled, "label")
       .select(col("cluster"), col("cv"))
-      .write.mode("overwrite").parquet(s"$store/$bSeg")
+    book.write.mode("overwrite").parquet(s"$store/$bSeg")
+    writeMeta(store, "codebook_schema.json", book.schema.json)
     val sp = vectors.sparkSession
-    Similarity.pqEncodeWith(vectors,
-        sp.read.parquet(s"$store/$bSeg"), m, dim)
-      .write.mode("overwrite").parquet(s"$store/$cSeg")
+    val codes = Similarity.pqEncodeWith(vectors,
+      sp.read.schema(book.schema).parquet(s"$store/$bSeg"), m, dim)
+    codes.write.mode("overwrite").parquet(s"$store/$cSeg")
+    writeMeta(store, "codes_schema.json", codes.schema.json)
     TxLog.commit(store, adds = Seq(bSeg, cSeg),
       removes = TxLog.familySegments(store, "codebook") ++
         TxLog.familySegments(store, "codes"))
@@ -361,10 +377,10 @@ object AnnIndex {
   }
 
   def readCodebook(sp: SparkSession, store: String): DataFrame =
-    sp.read.parquet(familyPaths(sp, store, "codebook"): _*)
+    readPinned(sp, store, "codebook")
 
   def readCodes(sp: SparkSession, store: String): DataFrame =
-    sp.read.parquet(familyPaths(sp, store, "codes"): _*)
+    readPinned(sp, store, "codes")
 
   /** Encode an arriving installment against the STORED (frozen)
     * codebook — the production PQ contract: codebooks are versioned
@@ -430,9 +446,14 @@ object AnnIndex {
     * partition-pruned scans — codes for candidates, vectors for the
     * shortlist (shortlist × |queries| rows, NOT candidates) — and
     * everything broadcast is dimension- or query-batch-sized.
-    * Queries schema: (id, v, nrm). */
+    * Queries schema: (id, v, nrm). `queryRows`: optional size hint
+    * for the three broadcast gates (routed pairs, shortlist side,
+    * query side — see [[ProbeBroadcastRows]]; None = probe-shaped,
+    * broadcast everywhere; no counting job is ever fired, and the
+    * query frame is consumed without an extra pass). */
   def probeIvfPq(sp: SparkSession, store: String, queries: DataFrame,
       k: Int, nProbe: Int, shortlist: Int, m: Int, dim: Int,
+      queryRows: Option[Long] = None,
       maxBroadcastRows: Long = ProbeBroadcastRows): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
@@ -462,9 +483,8 @@ object AnnIndex {
         (graft.Dsl.dotFold(qS, qS) - lit(2.0) * graft.Dsl.dotFold(qS, cS)
           + graft.Dsl.dotFold(cS, cS)).as(s"d$s")
       }: _*)
-    val nQ = queries.count()
     val cand = probeJoin(sp, routed, readPqPostings(sp, store), "cluster",
-      nQ * nProbe, maxBroadcastRows)
+      queryRows.map(_ * nProbe), maxBroadcastRows)
     val withAdc = (0 until m).foldLeft(cand) { (acc, s) =>
       acc.join(broadcast(lut.select(col("q_id"),
           col("cb").as(s"code$s"), col(s"d$s"))),
@@ -482,8 +502,10 @@ object AnnIndex {
     // full-precision fetch is a broadcast join over the partitioned
     // postings scan at any corpus size, not an AQE judgment call.
     val shortSide =
-      if (nQ * shortlist <= maxBroadcastRows) broadcast(short) else short
-    val qSide = if (nQ <= maxBroadcastRows) broadcast(q) else q
+      if (queryRows.forall(_ * shortlist <= maxBroadcastRows))
+        broadcast(short) else short
+    val qSide =
+      if (queryRows.forall(_ <= maxBroadcastRows)) broadcast(q) else q
     shortSide
       .join(readPostings(sp, store), Seq("cluster", "n_id"))
       .join(qSide, "q_id")
@@ -558,9 +580,12 @@ object AnnIndex {
     * The probe set broadcasts (queries × (nPlanes+1) rows) and
     * drives partition pruning on the bucket-partitioned scan; past
     * the gate the same static-IN fallback as [[probeIvf]] applies.
-    * Queries schema: (id, v, nrm). */
+    * Queries schema: (id, v, nrm). `queryRows`: optional size hint
+    * for the broadcast gate (None = probe-shaped, broadcast; no
+    * counting job is ever fired). */
   def probeLsh(sp: SparkSession, store: String, queries: DataFrame,
-      k: Int, maxBroadcastRows: Long = ProbeBroadcastRows): DataFrame = {
+      k: Int, queryRows: Option[Long] = None,
+      maxBroadcastRows: Long = ProbeBroadcastRows): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val (nPlanes, dim) = readLshConf(store)
     val probes = Similarity.lshBuckets(
@@ -568,7 +593,7 @@ object AnnIndex {
       .select(col("id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"),
         explode(array(col("bucket") +: (0 until nPlanes).map(i =>
           col("bucket").bitwiseXOR(lit(1L << i))): _*)).as("bucket"))
-    val nRouted = queries.count() * (nPlanes + 1)
+    val nRouted = queryRows.map(_ * (nPlanes + 1))
     val w = Window.partitionBy("q_id").orderBy(col("cosine").desc, col("n_id"))
     probeJoin(sp, probes, readLshBuckets(sp, store), "bucket",
         nRouted, maxBroadcastRows)

@@ -147,6 +147,13 @@ object Bridge {
     else truncatedLocalSum(df, sumIdx)
   }
 
+  /** Drain the context's async listener bus — a test asserting on
+    * SparkListener counters must flush pending events first;
+    * `listenerBus` is `private[spark]`, reachable from this package. */
+  def drainListenerBus(sc: org.apache.spark.SparkContext,
+      timeoutMs: Long): Unit =
+    sc.listenerBus.waitUntilEmpty(timeoutMs)
+
   /** Tag a batch DataFrame as STREAMING — the V1 `Source.getBatch`
     * contract: MicroBatchExecution rejects a returned frame whose
     * plan is not streaming, and the blessed way to satisfy it is an

@@ -79,8 +79,10 @@ class AnnIndexSpec extends SparkSpec {
     val all = prepped
     AnnIndex.writeIvf(all.filter(col("id") >= 10), "label", store)
     val queries = all.filter(col("id") < 10).drop("label")
+    // an offline caller declares its batch big via the size hint —
+    // the gate never fires a count job of its own
     val wide = AnnIndex.probeIvf(spark, store, queries, k = 5, nProbe = 2,
-      maxBroadcastRows = 0)
+      queryRows = Some(queries.count()), maxBroadcastRows = 0)
     val p = wide.queryExecution.executedPlan.toString
     // fallback: the probed clusters become a STATIC IN-list restricting
     // the postings scan — pruning no longer depends on the routed frame
@@ -341,5 +343,44 @@ class AnnIndexSpec extends SparkSpec {
       assert(p.contains(land), s"$name plan must read the landing file")
       assert(df.count() > 0)
     }
+  }
+
+  test("default probes are lazy plan constructors: building them fires no Spark job") {
+    val store = tmpStore("lazy")
+    val all = prepped
+    val corpus = all.filter(col("id") >= 10)
+    AnnIndex.writeIvf(corpus, "label", store)
+    AnnIndex.writePq(corpus.select("id", "v"), corpus, m = 2, dim = 64, store)
+    AnnIndex.writePqPostings(spark, store, m = 2, dim = 64)
+    AnnIndex.writeLsh(corpus.select("id", "v", "nrm"), nPlanes = 8,
+      dim = 64, store)
+    val queries = all.filter(col("id") < 10).drop("label")
+    // parallel leaf-file LISTING jobs are fine (driver metadata over a
+    // >32-dir partitioned store); what must never fire is a COMPUTE
+    // job — the old queries.count() gate was one
+    val jobs = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        val desc = Option(j.properties)
+          .flatMap(p => Option(p.getProperty("spark.job.description")))
+          .getOrElse("")
+        if (!desc.startsWith("Listing leaf files")) { jobs.add(desc); () }
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      AnnIndex.probeIvf(spark, store, queries, k = 5, nProbe = 2)
+      AnnIndex.probeIvfPq(spark, store, queries,
+        k = 5, nProbe = 2, shortlist = 10, m = 2, dim = 64)
+      AnnIndex.probeLsh(spark, store, queries, k = 5)
+      // listener events are async — drain the bus before asserting
+      org.apache.spark.sql.graft.Bridge.drainListenerBus(
+        spark.sparkContext, 30000)
+    } finally spark.sparkContext.removeSparkListener(listener)
+    assert(jobs.isEmpty,
+      s"building a default probe must not fire an eager compute job " +
+        s"(the old queries.count() gate recomputed the query frame " +
+        s"before the probe); fired: ${jobs.toArray.mkString("; ")}")
   }
 }
