@@ -337,6 +337,18 @@ object AnnIndex {
     * Returns the committed version. */
   def compactFamily(sp: SparkSession, store: String, family: String,
       partitionCols: Seq[String]): Int = {
+    // A raw compaction of a TOMBSTONED family would read the pinned
+    // rows (deleted rows included), commit the merged segment at a
+    // version NEWER than every tombstone, and leave the tombstones
+    // live — the version-aware anti-join (tombstone __dv > data __v)
+    // would never match again and every deleted row would silently
+    // resurrect. Only the MoR-aware compactors may touch it.
+    require(family != "postings" ||
+        TxLog.familySegments(store, TxLog.DeletesFamily).isEmpty,
+      s"store $store has live delete tombstones over its postings: a " +
+        "raw family compaction would resurrect the deleted rows — use " +
+        "the MoR-aware path (AnnIndex.compactPostingsMoR for vector " +
+        "stores, TextIndex.compactIndexMoR for text stores) instead")
     val old = TxLog.familySegments(store, family)
     require(old.nonEmpty, s"store $store has no live '$family' segments")
     val seg = segName(store, family)

@@ -156,21 +156,108 @@ object TextIndex {
     segs.map(s => s"$store/$s")
   }
 
-  /** The live postings with the build-time schema pinned from the
-    * `_meta` sidecar (partition-type inference bypassed — the
-    * [[AnnIndex.readPinned]] rule). Each segment is its own
-    * partition-discovery root, unioned by name. */
-  def readPostings(sp: SparkSession, store: String): DataFrame = {
+  private def pinnedSchema(store: String)
+      : org.apache.spark.sql.types.StructType = {
     val metaF = new java.io.File(new java.io.File(store, "_meta"),
       "postings_schema.json")
     require(metaF.exists(), s"store $store has no pinned postings schema")
-    val schema = org.apache.spark.sql.types.DataType.fromJson(
+    org.apache.spark.sql.types.DataType.fromJson(
         new String(java.nio.file.Files.readAllBytes(metaF.toPath),
           java.nio.charset.StandardCharsets.UTF_8))
       .asInstanceOf[org.apache.spark.sql.types.StructType]
-    familyPaths(store, "postings")
-      .map(p => sp.read.schema(schema).parquet(p))
-      .reduce(_.unionByName(_))
+  }
+
+  /** Live tombstones as (__del_id, __del_dl, __dv), or None when the
+    * store has never seen a delete (zero plan overhead then). Each
+    * tombstone row records ONE then-live doc instance: its id, its
+    * denormalized length (so corpus stats subtract exactly), and the
+    * delete's commit version (so the anti-join is version-aware). */
+  private def liveDeletes(sp: SparkSession, store: String)
+      : Option[DataFrame] = {
+    val latest = TxLog.latestVersion(store)
+      .getOrElse(sys.error(s"store $store has no commits"))
+    val segs = TxLog.liveSegmentsWithVersion(store, latest)
+      .filter(_._1.startsWith(s"${TxLog.DeletesFamily}__"))
+    if (segs.isEmpty) None
+    else Some(segs.map { case (s, v) =>
+      sp.read.parquet(s"$store/$s")
+        .select(col("n_id").as("__del_id"), col("dl").as("__del_dl"))
+        .withColumn("__dv", lit(v))
+    }.reduce(_.unionByName(_)))
+  }
+
+  /** The live postings with the build-time schema pinned from the
+    * `_meta` sidecar (partition-type inference bypassed — the
+    * [[AnnIndex.readPinned]] rule). Each segment is its own
+    * partition-discovery root, unioned by name. With live tombstones
+    * the version-aware MoR anti-join applies (a tombstone kills only
+    * postings from segments committed BEFORE it, so a re-ingested
+    * doc revives — [[AnnIndex.readPostings]]'s rule); bucket/word
+    * predicates still push through the anti-join's left side into
+    * every segment scan, so search pruning is unaffected. */
+  def readPostings(sp: SparkSession, store: String): DataFrame = {
+    val schema = pinnedSchema(store)
+    liveDeletes(sp, store) match {
+      case None =>
+        familyPaths(store, "postings")
+          .map(p => sp.read.schema(schema).parquet(p))
+          .reduce(_.unionByName(_))
+      case Some(dels) =>
+        val latest = TxLog.latestVersion(store).get
+        val data = TxLog.liveSegmentsWithVersion(store, latest)
+          .filter(_._1.startsWith("postings__"))
+          .map { case (s, v) =>
+            sp.read.schema(schema).parquet(s"$store/$s")
+              .withColumn("__v", lit(v))
+          }.reduce(_.unionByName(_))
+        data.join(broadcast(dels.select("__del_id", "__dv")),
+            data("n_id") === dels("__del_id") && dels("__dv") > data("__v"),
+            "left_anti")
+          .drop("__v")
+    }
+  }
+
+  /** Tombstone-delete stored documents by id — the text twin of
+    * [[AnnIndex.deleteVectors]], completing the verb set (build /
+    * grow / compact / DELETE / search) for the lexical store: the
+    * doomed docs' (n_id, dl) pairs land as ONE keys-only segment
+    * behind one commit, zero postings rewritten. The lookup reads
+    * only the two denormalized columns of the live postings (a
+    * column-pruned scan — the Delta DELETE shape: find the matching
+    * rows, commit their keys), and only THEN-LIVE docs produce
+    * tombstone rows, so corpus stats subtract exactly one historical
+    * doc instance per row and a delete of an already-dead id is a
+    * no-op. `ids`: one column of doc ids. */
+  def deleteDocs(sp: SparkSession, store: String, ids: DataFrame): Unit = {
+    val doomed = readPostings(sp, store)
+      .join(ids.select(col(ids.columns.head).as("n_id")).distinct(), "n_id")
+      .select("n_id", "dl").distinct()
+    TxLog.commitDeletes(doomed, store)
+    ()
+  }
+
+  /** Apply the tombstones physically — [[AnnIndex.compactPostingsMoR]]
+    * with the text store's extra obligation: the 1-row stats segments
+    * still carry the deleted docs' (nd, tok) contributions, so the
+    * compactor RECOMPUTES corpus stats from the surviving postings
+    * (exact longs: distinct (n_id, dl) pairs) and swaps postings +
+    * stats + tombstones in ONE atomic commit. Prior versions stay
+    * snapshot-readable. Returns the committed version. */
+  def compactIndexMoR(sp: SparkSession, store: String): Int = {
+    val old = Seq("postings", "stats", TxLog.DeletesFamily)
+      .flatMap(TxLog.familySegments(store, _))
+    val pSeg = segName(store, "postings")
+    val survivors = readPostings(sp, store)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    survivors.write.mode("overwrite").partitionBy("bucket")
+      .parquet(s"$store/$pSeg")
+    val sSeg = segName(store, "stats")
+    survivors.select("n_id", "dl").distinct()
+      .agg(count(lit(1)).as("nd"),
+        coalesce(sum("dl"), lit(0L)).as("tok"))
+      .write.mode("overwrite").parquet(s"$store/$sSeg")
+    survivors.unpersist()
+    TxLog.commit(store, adds = Seq(pSeg, sSeg), removes = old)
   }
 
   /** BM25 (k1=1.2, b=0.75) top-k search against the STORED index.
@@ -208,14 +295,31 @@ object TextIndex {
     // no corpus-proportional doc-length join exists in this plan.
     val dfw = matched.select("word", "n_id").distinct()
       .groupBy("word").agg(count(lit(1)).as("df"))
-    val stats = sp.read.parquet(familyPaths(store, "stats"): _*)
+    // corpus stats fold additively over the 1-row stats segments;
+    // with live tombstones each recorded (n_id, dl) subtracts its
+    // doc instance's contribution — exact longs either way, and the
+    // tombstone leg is deleted-keys-sized, never corpus-sized
+    val statsRaw = sp.read.parquet(familyPaths(store, "stats"): _*)
       .agg(sum("nd").as("nd"), sum("tok").as("tok"))
-      .withColumn("j", pmod(col("nd"), lit(1L)))
+    val stats = liveDeletes(sp, store) match {
+      case None => statsRaw
+      case Some(dels) =>
+        // 1-row × 1-row equi-join on a constant key (the repo's
+        // stats-stitch idiom — a hash join, never a nested loop)
+        val sub = dels.agg(count(lit(1)).as("__dn"),
+            coalesce(sum("__del_dl"), lit(0L)).as("__dtok"))
+          .withColumn("j", pmod(col("__dn"), lit(1L)))
+        statsRaw.withColumn("j", pmod(col("nd"), lit(1L)))
+          .join(broadcast(sub), "j")
+          .select((col("nd") - col("__dn")).as("nd"),
+            (col("tok") - col("__dtok")).as("tok"))
+    }
+    val statsJ = stats.withColumn("j", pmod(col("nd"), lit(1L)))
     val w = Window.partitionBy("q_id")
       .orderBy(col("score").desc, col("n_id"))
     matched.join(broadcast(dfw), "word")
       .withColumn("j", pmod(col("tf"), lit(1L)))
-      .join(broadcast(stats), "j")
+      .join(broadcast(statsJ), "j")
       .select(col("q_id"), col("n_id"),
         struct(col("word"), bm25Contrib.as("c")).as("wc"))
       .groupBy("q_id", "n_id")

@@ -1651,7 +1651,83 @@ object SimilarityQueries {
       SELECT q_id, n_id, cosine, CAST(rnk AS INT) AS rank
       FROM r WHERE rnk <= 5 ORDER BY q_id, rank"""))
 
+  /** DELETE from the persisted BM25 text index — [[s23]]'s
+    * `remove_ids` contract on the LEXICAL store, completing its verb
+    * set (build s22 / grow s22 / compact via the MoR-aware
+    * [[graft.operators.TextIndex.compactIndexMoR]] / DELETE here):
+    * doomed docs commit as ONE keys-only tombstone segment carrying
+    * (n_id, dl) — O(deleted docs), zero postings rewritten — and the
+    * search subtracts them with the version-aware MoR anti-join
+    * (bucket/word pruning pushes through its left side, so the scan
+    * stays Σ df(query terms)-bounded) while the corpus stats (nd,
+    * tok) subtract the recorded doc lengths exactly. The entry
+    * searches the TOMBSTONED store, so both subtractions sit inside
+    * the oracle-hashed plan; the oracle recomputes full BM25 from
+    * scratch over the SURVIVING docs — df, dl, nd and tok must all
+    * agree exactly or the scores (and the hash) diverge. Raw
+    * compactFamily on a tombstoned postings family is guarded
+    * loudly (it would resurrect the deleted rows; spec-proven in
+    * TextIndexSpec). */
+  val s25 = QueryDef(
+    "s25_text_delete",
+    (sp, dir) => {
+      val fp = graft.sources.IngestFixtures.fingerprint(s"$dir/documents.parquet")
+      val store = graft.sources.IngestFixtures.path(s"s25_store_$fp")
+      val qland = graft.sources.IngestFixtures.path(s"s25_q_$fp")
+      graft.sources.IngestFixtures.once(s"s25_$fp") {
+        import scala.reflect.io.Directory
+        Seq(store, qland).foreach(p =>
+          new Directory(new java.io.File(p)).deleteRecursively())
+        val docs = Tables(sp, dir, "documents").select("doc_id", "text")
+        graft.operators.TextIndex.writePostings(
+          docs.filter(col("doc_id") >= 10 && col("doc_id") % 2 === 0), store)
+        graft.operators.TextIndex.appendDocs(sp, store,
+          docs.filter(col("doc_id") >= 10 && col("doc_id") % 2 =!= 0))
+        graft.operators.TextIndex.deleteDocs(sp, store,
+          docs.select("doc_id")
+            .filter(col("doc_id") >= 10 && pmod(col("doc_id"), lit(7L)) === 0))
+        graft.sources.IngestFixtures.addLandingFile(qland,
+          docs.filter(col("doc_id") < 10),
+          "queries.parquet", 1700001000000L)
+      }
+      graft.operators.TextIndex.searchBm25(sp, store,
+          sp.read.parquet(qland), k = 10)
+        .orderBy("q_id", "rank")
+    },
+    Some("""
+      WITH ctf AS (SELECT n_id, word, CAST(COUNT(*) AS BIGINT) AS tf FROM (
+             SELECT doc_id AS n_id, unnest(string_split(text, ' ')) AS word
+             FROM documents WHERE doc_id >= 10 AND doc_id % 7 <> 0)
+           WHERE word <> '' GROUP BY 1, 2),
+      dl AS (SELECT n_id, CAST(SUM(tf) AS BIGINT) AS dl FROM ctf GROUP BY 1),
+      st AS (SELECT CAST(COUNT(*) AS BIGINT) AS nd,
+               CAST(SUM(dl) AS BIGINT) AS tok FROM dl),
+      dfw AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS df FROM ctf GROUP BY 1),
+      qt AS (SELECT DISTINCT q_id, word FROM (
+               SELECT doc_id AS q_id, unnest(string_split(text, ' ')) AS word
+               FROM documents WHERE doc_id < 10)
+             WHERE word <> ''),
+      terms AS (SELECT q.q_id, c.n_id, q.word, c.tf, f.df, d.dl
+                FROM qt q JOIN ctf c USING (word) JOIN dfw f USING (word)
+                JOIN dl d ON c.n_id = d.n_id),
+      sc AS (SELECT q_id, n_id,
+               ROUND(list_reduce(list_prepend(0.0, list(
+                 ln((CAST(nd - df AS DOUBLE) + 0.5) /
+                    (CAST(df AS DOUBLE) + 0.5) + 1.0)
+                 * ((CAST(tf AS DOUBLE) * 2.2) /
+                    (CAST(tf AS DOUBLE) + 1.2 * (0.25 + 0.75 *
+                      (CAST(dl AS DOUBLE) /
+                        (CAST(tok AS DOUBLE) / CAST(nd AS DOUBLE))))))
+                 ORDER BY word)), (a, b) -> a + b), 4) AS score
+             FROM terms CROSS JOIN st GROUP BY q_id, n_id),
+      r AS (SELECT q_id, n_id, score,
+              ROW_NUMBER() OVER (PARTITION BY q_id
+                ORDER BY score DESC, n_id) AS rnk
+            FROM sc)
+      SELECT q_id, n_id, score, CAST(rnk AS INT) AS rank
+      FROM r WHERE rnk <= 10 ORDER BY q_id, rank"""))
+
   val defs: Seq[QueryDef] = Seq(s01, s02, s03, s04, s05, s06, s07, s08,
     s09, s10, s11, s12, s13, s14, s15, s16, s17, s18, s19, s20, s21, s22,
-    s23)
+    s23, s25)
 }

@@ -112,6 +112,62 @@ class TextIndexSpec extends SparkSpec {
     before.zip(after).foreach { case (x, y) => assert(x == y) }
   }
 
+  test("deleteDocs: search equals a rebuild on survivors; re-ingest revives; MoR compact applies") {
+    val store = tmpStore("del")
+    TextIndex.writePostings(corpus.filter(col("doc_id") % 2 === 0), store)
+    TextIndex.appendDocs(spark, store, corpus.filter(col("doc_id") % 2 =!= 0))
+    val doomed = corpus.select("doc_id").filter(col("doc_id") % 7 === 0)
+    val doomedIds = doomed.collect().map(_.getLong(0)).toSet
+    assert(doomedIds.size >= 2, "fixture must tombstone several docs")
+    TextIndex.deleteDocs(spark, store, doomed)
+    // df AND the corpus stats must subtract the deleted docs exactly:
+    // the tombstoned search hash-equals a from-scratch survivor build
+    val oracle = tmpStore("delOracle")
+    TextIndex.writePostings(corpus.filter(col("doc_id") % 7 =!= 0), oracle)
+    val a = rows(TextIndex.searchBm25(spark, store, queries, k = 10))
+    val b = rows(TextIndex.searchBm25(spark, oracle, queries, k = 10))
+    assert(a.nonEmpty && a.size == b.size)
+    a.zip(b).foreach { case (x, y) => assert(x == y) }
+    assert(!a.exists(r => doomedIds(r.getLong(r.fieldIndex("n_id")))),
+      "a tombstoned doc surfaced in the search")
+    // deleting an already-dead id is a no-op on stats (no live rows)
+    TextIndex.deleteDocs(spark, store,
+      doomed.limit(1))
+    val a2 = rows(TextIndex.searchBm25(spark, store, queries, k = 10))
+    a.zip(a2).foreach { case (x, y) => assert(x == y) }
+    // re-ingesting one deleted doc revives it (tombstones are
+    // version-aware) and matches the equivalent fresh build
+    val back = doomedIds.min
+    TextIndex.appendDocs(spark, store,
+      corpus.filter(col("doc_id") === back))
+    val oracle2 = tmpStore("delOracle2")
+    TextIndex.writePostings(
+      corpus.filter(col("doc_id") % 7 =!= 0 || col("doc_id") === back),
+      oracle2)
+    val c = rows(TextIndex.searchBm25(spark, store, queries, k = 10))
+    val d = rows(TextIndex.searchBm25(spark, oracle2, queries, k = 10))
+    assert(c.size == d.size)
+    c.zip(d).foreach { case (x, y) => assert(x == y) }
+    // raw compactFamily must refuse the tombstoned postings family —
+    // it would resurrect every deleted row
+    val guard = intercept[IllegalArgumentException] {
+      graft.operators.AnnIndex.compactFamily(spark, store, "postings",
+        Seq("bucket"))
+    }
+    assert(guard.getMessage.contains("compactIndexMoR"))
+    // the MoR compactor applies tombstones physically AND rewrites
+    // stats; search is bit-identical after
+    val cv = TextIndex.compactIndexMoR(spark, store)
+    val live = TxLog.liveSegments(store, cv)
+    assert(live.count(_.startsWith("postings__")) === 1)
+    assert(live.count(_.startsWith("stats__")) === 1)
+    assert(!live.exists(_.startsWith("deletes__")),
+      "compaction must retire tombstones")
+    val e = rows(TextIndex.searchBm25(spark, store, queries, k = 10))
+    assert(c.size == e.size)
+    c.zip(e).foreach { case (x, y) => assert(x == y) }
+  }
+
   test("over-limit fallback (full-bucket scan) agrees with the pruned plan") {
     val store = tmpStore("fallback")
     TextIndex.writePostings(corpus, store)
