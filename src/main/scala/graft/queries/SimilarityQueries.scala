@@ -1651,6 +1651,147 @@ object SimilarityQueries {
       SELECT q_id, n_id, cosine, CAST(rnk AS INT) AS rank
       FROM r WHERE rnk <= 5 ORDER BY q_id, rank"""))
 
+  /** Stored-index HYBRID search — the production RAG probe [[s21]]
+    * promises, run end to end against TWO PERSISTED indexes with no
+    * corpus rescan on either arm: the lexical arm probes the stored
+    * BM25 inverted index (s22's `TextIndex.searchBm25` — Σ df(query
+    * terms)-bounded scan, bucket prune + word-IN pushdown, dl
+    * denormalized in the postings), the vector arm probes the stored
+    * IVF index (s15's `AnnIndex.probeIvf` — broadcast routing,
+    * partition-pruned postings scan), and the two top-20 rank lists
+    * fuse by reciprocal-rank fusion (RRF k=60, s21's exact fold:
+    * fixed lex-then-vec sum of exact-rank divisions, no rounding
+    * needed). documents.parquet and embeddings.parquet are BOTH
+    * absent from the plan's scan set (plan-audited) — at 100 TB the
+    * corpus is touched only through the two indexes' pruned
+    * partitions. The oracle recomputes both arms from scratch
+    * (full-corpus BM25 + label-frozen IVF routing) and fuses in SQL,
+    * so the hash proves the stored-index composition ≡ the batch
+    * recompute. */
+  val s24 = QueryDef(
+    "s24_stored_hybrid",
+    (sp, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val fpD = graft.sources.IngestFixtures.fingerprint(s"$dir/documents.parquet")
+      val fpE = graft.sources.IngestFixtures.fingerprint(s"$dir/embeddings.parquet")
+      val tstore = graft.sources.IngestFixtures.path(s"s24_text_$fpD")
+      val vstore = graft.sources.IngestFixtures.path(s"s24_ivf_$fpE")
+      val qtext = graft.sources.IngestFixtures.path(s"s24_qt_$fpD")
+      val qvec = graft.sources.IngestFixtures.path(s"s24_qv_$fpE")
+      graft.sources.IngestFixtures.once(s"s24_${fpD}_$fpE") {
+        import scala.reflect.io.Directory
+        Seq(tstore, vstore, qtext, qvec).foreach(p =>
+          new Directory(new java.io.File(p)).deleteRecursively())
+        val docs = Tables(sp, dir, "documents").select("doc_id", "text")
+        graft.operators.TextIndex.writePostings(
+          docs.filter(col("doc_id") >= 10 && col("doc_id") % 2 === 0), tstore)
+        graft.operators.TextIndex.appendDocs(sp, tstore,
+          docs.filter(col("doc_id") >= 10 && col("doc_id") % 2 =!= 0))
+        graft.sources.IngestFixtures.addLandingFile(qtext,
+          docs.filter(col("doc_id") < 10),
+          "queries.parquet", 1700001100000L)
+        val embs = Tables(sp, dir, "embeddings")
+        val corpus = Similarity.prep(embs, "vec_id", "embedding")
+          .join(embs.select(col("vec_id").as("id"), col("label")), "id")
+          .filter(col("id") >= 10)
+        graft.operators.AnnIndex.writeIvf(corpus, "label", vstore)
+        graft.sources.IngestFixtures.addLandingFile(qvec,
+          embs.filter(col("vec_id") < 10).select("vec_id", "embedding"),
+          "queries.parquet", 1700001200000L)
+      }
+      val lex20 = graft.operators.TextIndex.searchBm25(sp, tstore,
+          sp.read.parquet(qtext), k = 20)
+        .select(col("q_id"), col("n_id"), col("rank").as("lex_rank"))
+      val vec20 = graft.operators.AnnIndex.probeIvf(sp, vstore,
+          Similarity.prep(sp.read.parquet(qvec), "vec_id", "embedding"),
+          k = 20, nProbe = 2)
+        .select(col("q_id"), col("n_id"),
+          col("rank").cast("int").as("vec_rank"))
+      val pool = lex20.join(vec20, Seq("q_id", "n_id"), "full_outer")
+      val rrf =
+        coalesce(lit(1.0) / (lit(60.0) + col("lex_rank").cast("double")), lit(0.0)) +
+        coalesce(lit(1.0) / (lit(60.0) + col("vec_rank").cast("double")), lit(0.0))
+      val wf = Window.partitionBy("q_id").orderBy(col("rrf").desc, col("n_id"))
+      pool.withColumn("rrf", rrf)
+        .withColumn("rank", row_number().over(wf))
+        .filter(col("rank") <= 10)
+        .select(col("q_id"), col("n_id"), col("lex_rank"), col("vec_rank"),
+          col("rrf"), col("rank").cast("int").as("rank"))
+        .orderBy("q_id", "rank")
+    },
+    Some(s"""
+      WITH ctf AS (SELECT n_id, word, CAST(COUNT(*) AS BIGINT) AS tf FROM (
+             SELECT doc_id AS n_id, unnest(string_split(text, ' ')) AS word
+             FROM documents WHERE doc_id >= 10)
+           WHERE word <> '' GROUP BY 1, 2),
+      dl AS (SELECT n_id, CAST(SUM(tf) AS BIGINT) AS dl FROM ctf GROUP BY 1),
+      st AS (SELECT CAST(COUNT(*) AS BIGINT) AS nd,
+               CAST(SUM(dl) AS BIGINT) AS tok FROM dl),
+      dfw AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS df FROM ctf GROUP BY 1),
+      qt AS (SELECT DISTINCT q_id, word FROM (
+               SELECT doc_id AS q_id, unnest(string_split(text, ' ')) AS word
+               FROM documents WHERE doc_id < 10)
+             WHERE word <> ''),
+      terms AS (SELECT q.q_id, c.n_id, q.word, c.tf, f.df, d.dl
+                FROM qt q JOIN ctf c USING (word) JOIN dfw f USING (word)
+                JOIN dl d ON c.n_id = d.n_id),
+      sc AS (SELECT q_id, n_id,
+               ROUND(list_reduce(list_prepend(0.0, list(
+                 ln((CAST(nd - df AS DOUBLE) + 0.5) /
+                    (CAST(df AS DOUBLE) + 0.5) + 1.0)
+                 * ((CAST(tf AS DOUBLE) * 2.2) /
+                    (CAST(tf AS DOUBLE) + 1.2 * (0.25 + 0.75 *
+                      (CAST(dl AS DOUBLE) /
+                        (CAST(tok AS DOUBLE) / CAST(nd AS DOUBLE))))))
+                 ORDER BY word)), (a, b) -> a + b), 4) AS score
+             FROM terms CROSS JOIN st GROUP BY q_id, n_id),
+      lex20 AS (SELECT q_id, n_id, CAST(lr AS INT) AS lex_rank FROM (
+                  SELECT q_id, n_id, ROW_NUMBER() OVER (PARTITION BY q_id
+                    ORDER BY score DESC, n_id) AS lr FROM sc)
+                WHERE lr <= 20),
+      e AS (SELECT vec_id, label, embedding::DOUBLE[] v FROM embeddings),
+      n AS (SELECT vec_id, label, v, sqrt(${foldDot.format("v", "v")}) nrm FROM e),
+      q2 AS (SELECT vec_id q_id, v qv, nrm qn FROM n WHERE vec_id < 10),
+      c2 AS (SELECT vec_id n_id, label cl, v cv, nrm cn FROM n WHERE vec_id >= 10),
+      cx AS (SELECT n_id, cl,
+               unnest(list_transform(cv, (x, i) -> {'pos': i - 1, 'x': x}),
+                 recursive := true)
+             FROM c2),
+      cm AS (SELECT cl, pos,
+               list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                 list(x ORDER BY n_id)), (a, b) -> a + b) / COUNT(*) AS m
+             FROM cx GROUP BY cl, pos),
+      cents AS (SELECT cl, list(m ORDER BY pos) AS cv FROM cm GROUP BY cl),
+      cn AS (SELECT cl, cv, sqrt(${foldDot.format("cv", "cv")}) AS cn
+             FROM cents),
+      probe AS (SELECT q_id, qv, qn, cl,
+                  ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY
+                    ${foldDot.format("qv", "cv")} / (qn * cn.cn) DESC, cl)
+                    AS probe_rank
+                FROM q2 CROSS JOIN cn),
+      routed AS (SELECT q_id, qv, qn, cl FROM probe WHERE probe_rank <= 2),
+      s2 AS (SELECT q_id, n_id, ${foldDot.format("qv", "cv")} / (qn * cn) AS cosine
+             FROM routed r JOIN c2 USING (cl)),
+      vec20 AS (SELECT q_id, n_id, CAST(vr AS INT) AS vec_rank FROM (
+                  SELECT q_id, n_id, ROW_NUMBER() OVER (PARTITION BY q_id
+                    ORDER BY cosine DESC, n_id) AS vr FROM s2)
+                WHERE vr <= 20),
+      pool AS (SELECT COALESCE(l.q_id, v.q_id) AS q_id,
+                 COALESCE(l.n_id, v.n_id) AS n_id, l.lex_rank, v.vec_rank
+               FROM lex20 l FULL OUTER JOIN vec20 v
+                 ON l.q_id = v.q_id AND l.n_id = v.n_id),
+      fused AS (SELECT q_id, n_id, lex_rank, vec_rank,
+                  COALESCE(1.0 / (60.0 + CAST(lex_rank AS DOUBLE)), 0.0)
+                  + COALESCE(1.0 / (60.0 + CAST(vec_rank AS DOUBLE)), 0.0)
+                    AS rrf
+                FROM pool),
+      r AS (SELECT q_id, n_id, lex_rank, vec_rank, rrf,
+              ROW_NUMBER() OVER (PARTITION BY q_id
+                ORDER BY rrf DESC, n_id) AS rnk
+            FROM fused)
+      SELECT q_id, n_id, lex_rank, vec_rank, rrf, CAST(rnk AS INT) AS rank
+      FROM r WHERE rnk <= 10 ORDER BY q_id, rank"""))
+
   /** DELETE from the persisted BM25 text index — [[s23]]'s
     * `remove_ids` contract on the LEXICAL store, completing its verb
     * set (build s22 / grow s22 / compact via the MoR-aware
@@ -1729,5 +1870,5 @@ object SimilarityQueries {
 
   val defs: Seq[QueryDef] = Seq(s01, s02, s03, s04, s05, s06, s07, s08,
     s09, s10, s11, s12, s13, s14, s15, s16, s17, s18, s19, s20, s21, s22,
-    s23, s25)
+    s23, s24, s25)
 }

@@ -326,14 +326,17 @@ class PlanAuditSpec extends SparkSpec {
     // s21 plan test above. s23 probes through the same probeIvf
     // routing as s15/s17/s19 (queries × stored centroids, broadcast);
     // its tombstone subtraction is a broadcast HASH anti-join on
-    // n_id, not an all-pairs site.
+    // n_id, not an all-pairs site. s24's vector arm probes through
+    // the same probeIvf routing as s15/s17/s19/s23 (queries × stored
+    // centroids, broadcast, dimension-sized); its lexical arm is
+    // equi-join-only (asserted by the dedicated s24 plan test below).
     val allow = Set("s01_cosine_topk", "s03_ivf_ann", "s04_knn_classify",
       "s05_radius_search", "s06_recall_report", "s07_mips_topk",
       "s08_pq_encode", "s09_maxsim", "s10_ivf_recall",
       "s12_pq_adc_search", "s13_multiprobe_recall", "s14_sq8_recall",
       "s15_persisted_ivf", "s16_incremental_pq", "s17_ivf_append",
       "s19_ivf_compact", "s20_ivfpq_adc", "s21_hybrid_search",
-      "s23_ivf_delete", "q100_triangle_count")
+      "s23_ivf_delete", "s24_stored_hybrid", "q100_triangle_count")
     val offenders = sweptPlans.collect {
       case (name, Left(err)) => s"$name (build threw $err)"
       case (name, Right(p)) if !allow(name) &&
@@ -643,6 +646,21 @@ class PlanAuditSpec extends SparkSpec {
     val bnl = "BroadcastNestedLoopJoin".r.findAllIn(p).length
     assert(bnl <= 1, s"lexical arm must never go nested-loop ($bnl found)")
     assert(t18NoTextShuffle(p), "text column must never ride a shuffle")
+  }
+
+  test("s24 stored hybrid probes two persisted indexes, never a corpus file") {
+    // the production RAG shape: BOTH arms read their stored index's
+    // pruned partitions — neither documents.parquet nor
+    // embeddings.parquet may appear anywhere in the scan set
+    val p = plan("s24_stored_hybrid")
+    assert(!p.contains("documents.parquet"),
+      s"lexical arm must read the stored text index only:\n${p.take(2000)}")
+    assert(!p.contains("embeddings.parquet"),
+      s"vector arm must read the stored IVF index only:\n${p.take(2000)}")
+    assert(!p.contains("doclen"),
+      "no corpus-proportional doc-length scan in the lexical arm")
+    assert(p.contains("s24_text_") && p.contains("s24_ivf_"),
+      "both persisted stores must appear in the scan set")
   }
 
   test("t18 keyness: one corpus-proportional shuffle, totals broadcast") {
