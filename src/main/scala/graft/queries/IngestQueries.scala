@@ -2541,9 +2541,92 @@ object IngestQueries {
         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
       FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus"""))
 
+  /** Change-data-feed reads over DELETE-carrying spans
+    * ([[graft.sources.TxLog.changesCdf]]) — the incremental path e42
+    * and e45 deliberately refuse when a tombstone lands in the span:
+    * instead of failing (or silently double-counting), the CDF read
+    * emits every change as a full row tagged (_change_type ∈
+    * {insert, delete}, _commit_version) — Delta CDF's shape, built
+    * entirely from segments the log already writes (insert rows =
+    * added data segments; delete rows = tombstone keys, non-key
+    * columns NULL). Folding the feed in version order reproduces
+    * snapshotMoR — the entry proves that INSIDE the oracle-hashed
+    * result: per-(version, change) stats of the raw feed PLUS a
+    * 'fold' row whose version-aware anti-join (a delete kills only
+    * earlier inserts, so the v3 re-insert of a v2-deleted key folds
+    * back alive) must equal the oracle's survivor fold. Compaction
+    * inside a span still fails loudly (spec-proven) — exactly Delta
+    * CDF's rule for non-CDC rewrites. O(delta): only the span's own
+    * segments are scanned. Determinism: exact long key sums, counts,
+    * total ORDER BY. */
+  val e46 = QueryDef(
+    "e46_txlog_cdf",
+    (sp, dir) => {
+      import graft.sources.TxLog
+      val fp = IngestFixtures.fingerprint(s"$dir/orders.parquet")
+      val store = IngestFixtures.path(s"e46_store_$fp")
+      IngestFixtures.once(s"e46_$fp") {
+        import scala.reflect.io.Directory
+        new Directory(new java.io.File(store)).deleteRecursively()
+        new java.io.File(store).mkdirs()
+        val orders = Tables(sp, dir, "orders")
+          .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+        TxLog.appendBatch(                                       // v0
+          orders.filter(pmod(col("o_orderkey"), lit(3L)) === 0L), 0L, store)
+        TxLog.appendBatch(                                       // v1
+          orders.filter(pmod(col("o_orderkey"), lit(3L)) === 1L), 1L, store)
+        TxLog.commitDeletes(                                     // v2
+          orders.filter(pmod(col("o_orderkey"), lit(5L)) === 0L)
+            .select("o_orderkey"), store)
+        TxLog.appendBatch(                                       // v3: re-insert
+          orders.filter(pmod(col("o_orderkey"), lit(15L)) === 0L), 2L, store)
+        ()
+      }
+      val latest = TxLog.latestVersion(store)
+        .getOrElse(sys.error(s"e46: empty store $store"))
+      val cdf = TxLog.changesCdf(sp, store, -1, latest)
+      val chg = cdf
+        .groupBy(col("_commit_version").as("version"),
+          col("_change_type").as("change"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum("o_orderkey").as("key_sum"))
+        .select(lit("chg").as("part"), col("change"), col("version"),
+          col("n_rows"), col("key_sum"))
+      val ins = cdf.filter(col("_change_type") === "insert")
+      val del = cdf.filter(col("_change_type") === "delete")
+        .select(col("o_orderkey").as("__dk"),
+          col("_commit_version").as("__dv"))
+      val folded = ins.join(del, ins("o_orderkey") === del("__dk") &&
+          del("__dv") > ins("_commit_version"), "left_anti")
+        .agg(count(lit(1)).as("n_rows"), sum("o_orderkey").as("key_sum"))
+        .select(lit("fold").as("part"), lit("live").as("change"),
+          lit(latest).as("version"), col("n_rows"), col("key_sum"))
+      chg.unionByName(folded).orderBy("part", "change", "version")
+    },
+    Some("""
+      WITH chg AS (
+        SELECT 'insert' AS change, 0 AS version, o_orderkey
+        FROM orders WHERE o_orderkey % 3 = 0
+        UNION ALL
+        SELECT 'insert', 1, o_orderkey FROM orders WHERE o_orderkey % 3 = 1
+        UNION ALL
+        SELECT 'delete', 2, o_orderkey FROM orders WHERE o_orderkey % 5 = 0
+        UNION ALL
+        SELECT 'insert', 3, o_orderkey FROM orders WHERE o_orderkey % 15 = 0),
+      rows AS (
+        SELECT 'chg' AS part, change, version, o_orderkey FROM chg
+        UNION ALL
+        SELECT 'fold', 'live', 3, o_orderkey FROM orders
+        WHERE (o_orderkey % 3 IN (0, 1) AND NOT o_orderkey % 5 = 0)
+           OR o_orderkey % 15 = 0)
+      SELECT part, change, CAST(version AS INT) AS version,
+        CAST(COUNT(*) AS BIGINT) AS n_rows,
+        CAST(SUM(o_orderkey) AS BIGINT) AS key_sum
+      FROM rows GROUP BY 1, 2, 3 ORDER BY part, change, version"""))
+
   val defs: Seq[QueryDef] =
     Seq(e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11, e12, e13,
       e14, e15, e16, e17, e18, e19, e20, e21, e22, e23, e24, e25, e26,
       e27, e28, e29, e30, e31, e32, e33, e34, e35, e36, e37, e38, e39,
-      e40, e41, e42, e43, e44, e45)
+      e40, e41, e42, e43, e44, e45, e46)
 }

@@ -331,6 +331,73 @@ object TxLog {
     spark.read.parquet(added.map(s => s"$tableDir/$s"): _*)
   }
 
+  /** Change-data-feed read: every change the span (`fromV`, `toV`]
+    * applied, as full rows tagged `_change_type` ∈ {insert, delete}
+    * and `_commit_version` — Delta CDF's shape, built entirely from
+    * segments the log already writes, giving incremental consumers a
+    * path THROUGH delete-carrying spans where [[changes]] must fail
+    * loudly (the loud failure stays the default; this read is the
+    * opt-in). Insert rows are the span's added data segments; delete
+    * rows are the span's tombstone keys (key columns populated,
+    * every other column NULL — a keys-only tombstone records no
+    * more). Folding the feed in version order (insert adds the row;
+    * a delete at version d kills rows inserted at versions < d with
+    * the same key) reproduces [[snapshotMoR]] at `toV` — the
+    * version-aware re-insert semantics ride `_commit_version`, so a
+    * key deleted at v2 and re-inserted at v3 folds back alive.
+    * COMPACTION still fails the read: a span that REMOVED segments
+    * rewrote history instead of appending changes, and its delta is
+    * not expressible as change rows (re-snapshot past it — exactly
+    * Delta CDF's rule for non-CDC rewrites). O(delta): only the
+    * span's own segments are scanned, at any table size. */
+  def changesCdf(spark: SparkSession, tableDir: String, fromV: Int,
+      toV: Int): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    require(fromV < toV, s"need fromV < toV, got $fromV >= $toV")
+    val vs = versions(tableDir)
+    require(vs.contains(toV), s"version $toV not in $vs")
+    val perV = vs.filter(v => v > fromV && v <= toV).map { v =>
+      val body = new String(
+        Files.readAllBytes(logDir(tableDir).resolve(s"v$v.json")),
+        StandardCharsets.UTF_8)
+      (v, jsonArr(body, "adds", s"manifest v$v in $tableDir"),
+        jsonArr(body, "removes", s"manifest v$v in $tableDir"))
+    }
+    val removed = perV.flatMap(_._3)
+    require(removed.isEmpty,
+      s"versions ${fromV + 1}..$toV of $tableDir removed segments " +
+        s"$removed (compaction/rewrite): the span rewrote history and " +
+        "its delta is not expressible as change rows — re-snapshot " +
+        "instead of reading the change feed")
+    val added = perV.flatMap { case (v, adds, _) => adds.map(_ -> v) }
+    require(added.nonEmpty,
+      s"versions ${fromV + 1}..$toV of $tableDir added no segments")
+    val (delAdds, dataAdds) =
+      added.partition(_._1.startsWith(s"${DeletesFamily}__"))
+    // the data schema delete rows must null-fill against: the span's
+    // own data segments, or (delete-only span) the live table's
+    val schema =
+      if (dataAdds.nonEmpty)
+        spark.read.parquet(dataAdds.map(a => s"$tableDir/${a._1}"): _*).schema
+      else snapshot(spark, tableDir, toV).schema
+    val inserts = dataAdds.map { case (s, v) =>
+      spark.read.parquet(s"$tableDir/$s")
+        .withColumn("_change_type", lit("insert"))
+        .withColumn("_commit_version", lit(v))
+    }
+    val deletes = delAdds.map { case (s, v) =>
+      val keys = spark.read.parquet(s"$tableDir/$s")
+      val keyCols = keys.columns.toSet
+      keys.select(schema.fields.map { f =>
+          if (keyCols(f.name)) col(f.name).cast(f.dataType).as(f.name)
+          else lit(null).cast(f.dataType).as(f.name)
+        }.toSeq: _*)
+        .withColumn("_change_type", lit("delete"))
+        .withColumn("_commit_version", lit(v))
+    }
+    (inserts ++ deletes).reduce(_.unionByName(_))
+  }
+
   /** Delete from disk every data segment that no RETAINED version can
     * reach — Delta's VACUUM reduced to its core, completing the
     * log-structured lifecycle (grow O(delta) → compact → vacuum).

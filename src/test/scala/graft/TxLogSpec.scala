@@ -253,6 +253,54 @@ class TxLogSpec extends SparkSpec {
       .as[Long].collect().sorted.toSeq === Seq(1L, 3L))
   }
 
+  test("changesCdf: folding the feed reproduces snapshotMoR at every version") {
+    import spark.implicits._
+    val t = freshTable()
+    assert(TxLog.appendBatch(Seq(1L, 2L, 3L).toDF("id"), 0L, t))   // v0
+    assert(TxLog.appendBatch(Seq(4L, 5L).toDF("id"), 1L, t))       // v1
+    TxLog.commitDeletes(Seq(2L, 4L, 99L).toDF("id"), t)            // v2
+    assert(TxLog.appendBatch(Seq(4L, 6L).toDF("id"), 2L, t))       // v3: 4 re-inserted
+    TxLog.commitDeletes(Seq(4L).toDF("id"), t)                     // v4: kills the re-insert
+    def fold(toV: Int): Seq[Long] = {
+      val cdf = TxLog.changesCdf(spark, t, -1, toV)
+      val ins = cdf.filter(col("_change_type") === "insert")
+      val del = cdf.filter(col("_change_type") === "delete")
+        .select(col("id").as("__dk"), col("_commit_version").as("__dv"))
+      ins.join(del, ins("id") === del("__dk") &&
+          del("__dv") > ins("_commit_version"), "left_anti")
+        .select("id").as[Long].collect().sorted.toSeq
+    }
+    (0 to 4).foreach { v =>
+      val mor = TxLog.snapshotMoR(spark, t, v, Seq("id"))
+        .as[Long].collect().sorted.toSeq
+      assert(fold(v) === mor, s"CDF fold diverged from snapshotMoR at v$v")
+    }
+    // delete rows carry the key and the version; nothing else exists
+    // in a keys-only tombstone
+    val dels = TxLog.changesCdf(spark, t, 3, 4)
+    assert(dels.columns.toSeq === Seq("id", "_change_type", "_commit_version"))
+    assert(dels.collect().map(r => (r.getLong(0), r.getString(1),
+      r.getInt(2))).toSeq === Seq((4L, "delete", 4)))
+    // incremental spans compose: (−1,2] ++ (2,4] ≡ (−1,4]
+    val a = TxLog.changesCdf(spark, t, -1, 2).unionByName(
+      TxLog.changesCdf(spark, t, 2, 4))
+    val b = TxLog.changesCdf(spark, t, -1, 4)
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+  }
+
+  test("changesCdf: a compaction across the span fails loudly") {
+    import spark.implicits._
+    val t = freshTable()
+    assert(TxLog.appendBatch(Seq(1L, 2L).toDF("id"), 0L, t))       // v0
+    TxLog.commitDeletes(Seq(2L).toDF("id"), t)                     // v1
+    TxLog.compactMoR(spark, t, Seq("id"))                          // v2
+    val e = intercept[IllegalArgumentException](
+      TxLog.changesCdf(spark, t, -1, 2))
+    assert(e.getMessage.contains("re-snapshot"))
+    // the pre-compaction sub-span still reads, deletes included
+    assert(TxLog.changesCdf(spark, t, -1, 1).count() === 3)
+  }
+
   test("changes: a compaction across the span fails loudly") {
     import spark.implicits._
     val t = freshTable()
