@@ -2541,6 +2541,57 @@ object IngestQueries {
         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
       FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus"""))
 
+  /** Schema EVOLUTION on the txlog format — e14's mergeSchema
+    * contract re-proven through `graft-txlog` ([[graft.sources.TxLog
+    * .snapshot]]'s mergeSchema + the format reader's option): the
+    * first installment lands WITHOUT the price column, the second
+    * adds it, and the merged read unions the per-segment scans BY
+    * NAME (pre-evolution rows read the added column as NULL;
+    * pushdown still reaches each segment's scan). The evolution rule
+    * is Delta's: later segments may ADD nullable columns; a
+    * column-TYPE change fails loudly as a rewrite pretending to be
+    * evolution (spec-proven in TxLogFormatSpec, along with
+    * MoR-composes-with-evolution). The oracle recomputes the split
+    * history with CASE arms, so a reader that dropped pre-evolution
+    * rows, misaligned columns positionally, or leaked the added
+    * column into old rows breaks the hash. Determinism: counts +
+    * decimal money sums (§4), total ORDER BY. */
+  val e47 = QueryDef(
+    "e47_txlog_evolve",
+    (sp, dir) => {
+      import graft.Dsl.moneySum
+      val fmt = "graft.sources.txlog"
+      val fp = IngestFixtures.fingerprint(s"$dir/orders.parquet")
+      val store = IngestFixtures.path(s"e47_store_$fp")
+      IngestFixtures.once(s"e47_$fp") {
+        import scala.reflect.io.Directory
+        new Directory(new java.io.File(store)).deleteRecursively()
+        val orders = Tables(sp, dir, "orders")
+        orders.filter(pmod(col("o_orderkey"), lit(2L)) === 0L)
+          .select(col("o_orderkey"), col("o_orderstatus"))
+          .write.format(fmt).mode(org.apache.spark.sql.SaveMode.Append)
+          .save(store)
+        orders.filter(pmod(col("o_orderkey"), lit(2L)) === 1L)
+          .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+          .write.format(fmt).mode(org.apache.spark.sql.SaveMode.Append)
+          .save(store)
+      }
+      sp.read.format(fmt).option("mergeSchema", "true").load(store)
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n_rows"),
+          count(col("o_totalprice")).as("n_priced"),
+          moneySum(col("o_totalprice")).as("sum_price"))
+        .orderBy("o_orderstatus")
+    },
+    Some("""
+      SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n_rows,
+        CAST(COUNT(CASE WHEN o_orderkey % 2 = 1 THEN 1 END) AS BIGINT)
+          AS n_priced,
+        CAST(SUM(CASE WHEN o_orderkey % 2 = 1
+          THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE)
+          AS sum_price
+      FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus"""))
+
   /** Change-data-feed reads over DELETE-carrying spans
     * ([[graft.sources.TxLog.changesCdf]]) — the incremental path e42
     * and e45 deliberately refuse when a tombstone lands in the span:
@@ -2628,5 +2679,5 @@ object IngestQueries {
     Seq(e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11, e12, e13,
       e14, e15, e16, e17, e18, e19, e20, e21, e22, e23, e24, e25, e26,
       e27, e28, e29, e30, e31, e32, e33, e34, e35, e36, e37, e38, e39,
-      e40, e41, e42, e43, e44, e45, e46)
+      e40, e41, e42, e43, e44, e45, e46, e47)
 }

@@ -190,12 +190,48 @@ object TxLog {
     * per segment as usual). Tombstone segments are metadata, never
     * data — they are excluded here but NOT applied; the raw snapshot
     * of a tombstoned table shows deleted rows ([[snapshotMoR]] is the
-    * subtracting read). */
-  def snapshot(spark: SparkSession, tableDir: String, asOf: Int): DataFrame = {
+    * subtracting read).
+    *
+    * `mergeSchema` is the SCHEMA EVOLUTION rule: later segments may
+    * ADD columns (a segment missing a column reads it as NULL —
+    * union-by-name over the per-segment scans, so pushdown still
+    * reaches each scan); a column whose TYPE differs between live
+    * segments fails loudly — a type change is a rewrite, not
+    * evolution (Delta's rule). Off by default: the plain snapshot
+    * keeps the single multi-path scan and Spark's first-file schema. */
+  def snapshot(spark: SparkSession, tableDir: String, asOf: Int,
+      mergeSchema: Boolean = false): DataFrame = {
     val segs = liveSegments(tableDir, asOf)
       .filterNot(_.startsWith(s"${DeletesFamily}__"))
     require(segs.nonEmpty, s"version $asOf of $tableDir has no data segments")
-    spark.read.parquet(segs.map(s => s"$tableDir/$s"): _*)
+    if (!mergeSchema) spark.read.parquet(segs.map(s => s"$tableDir/$s"): _*)
+    else {
+      val dfs = segs.map(s => s -> spark.read.parquet(s"$tableDir/$s"))
+      checkMergeable(tableDir, dfs.map { case (s, df) => s -> df.schema })
+      dfs.map(_._2).reduce(_.unionByName(_, allowMissingColumns = true))
+    }
+  }
+
+  /** Evolution guard for merged reads: columns may be ADDED across
+    * segments, but a name whose type differs between two live
+    * segments is a rewrite pretending to be evolution — refuse it
+    * loudly instead of letting parquet readers produce garbage. */
+  private def checkMergeable(tableDir: String,
+      schemas: Seq[(String, org.apache.spark.sql.types.StructType)]): Unit = {
+    val seen = scala.collection.mutable
+      .Map[String, (org.apache.spark.sql.types.DataType, String)]()
+    schemas.foreach { case (seg, sch) =>
+      sch.fields.foreach { f =>
+        seen.get(f.name) match {
+          case Some((dt, firstSeg)) =>
+            require(dt == f.dataType,
+              s"mergeSchema on $tableDir: column '${f.name}' is $dt in " +
+                s"$firstSeg but ${f.dataType} in $seg — a column-TYPE " +
+                "change is not schema evolution; rewrite the table")
+          case None => seen(f.name) = (f.dataType, seg); ()
+        }
+      }
+    }
   }
 
   /** Latest committed version, if any. */
@@ -259,15 +295,20 @@ object TxLog {
     * [[snapshot]]. The join's build side is the tombstone set —
     * deleted-key-cardinality, broadcastable in the common case. */
   def snapshotMoR(spark: SparkSession, tableDir: String, asOf: Int,
-      keyCols: Seq[String]): DataFrame = {
+      keyCols: Seq[String], mergeSchema: Boolean = false): DataFrame = {
     import org.apache.spark.sql.functions.{col, lit}
     require(keyCols.nonEmpty, "snapshotMoR needs at least one key column")
     val (delSegs, dataSegs) = liveSegmentsWithVersion(tableDir, asOf)
       .partition(_._1.startsWith(s"${DeletesFamily}__"))
     require(dataSegs.nonEmpty, s"version $asOf of $tableDir has no data segments")
-    val data = dataSegs.map { case (s, v) =>
-      spark.read.parquet(s"$tableDir/$s").withColumn("__v", lit(v))
-    }.reduce(_.unionByName(_))
+    val perSeg = dataSegs.map { case (s, v) =>
+      s -> spark.read.parquet(s"$tableDir/$s").withColumn("__v", lit(v))
+    }
+    if (mergeSchema)
+      checkMergeable(tableDir, perSeg.map { case (s, df) =>
+        s -> df.drop("__v").schema })
+    val data = perSeg.map(_._2)
+      .reduce(_.unionByName(_, allowMissingColumns = mergeSchema))
     if (delSegs.isEmpty) data.drop("__v")
     else {
       val dels = delSegs.map { case (s, v) =>
@@ -440,10 +481,12 @@ object TxLog {
 
   /** Streaming ingest terminal: append one micro-batch as ONE new
     * segment, exactly-once BY CONSTRUCTION — the segment name is a
-    * deterministic function of `batchId`, so a batch whose segment is
-    * already live at the latest version is a redelivery
+    * deterministic function of `batchId`, so a batch whose segment
+    * was EVER added by any manifest is a redelivery
     * (crash-after-commit) and is skipped without data writes or a new
-    * version. A crash BEFORE the commit leaves an orphan data dir the
+    * version — tested against the full manifest history, not just
+    * the latest live set, so a compaction or vacuum that retired the
+    * segment cannot open a double-append window. A crash BEFORE the commit leaves an orphan data dir the
     * redelivery simply overwrites before committing (and [[vacuum]]
     * reclaims if the stream never returns). O(delta): the batch's own
     * rows are the only data written, the commit is one manifest —
@@ -456,9 +499,20 @@ object TxLog {
       tableDir: String): Boolean = {
     require(batchId >= 0, s"batchId must be >= 0, got $batchId")
     val seg = f"batch__$batchId%06d"
-    val live = latestVersion(tableDir)
-      .map(v => liveSegments(tableDir, v).toSet).getOrElse(Set.empty[String])
-    if (live(seg)) false
+    // the redelivery test is "was batch__N EVER added in any
+    // manifest", not "is it live at the latest version": a compaction
+    // or vacuum may retire the segment between the original commit
+    // and a crash-after-commit redelivery, and liveness alone would
+    // then append the batch's rows a second time. O(versions)
+    // ~100-byte driver reads — the price of exactly-once across
+    // maintenance.
+    val everAdded = versions(tableDir).exists { v =>
+      val body = new String(
+        Files.readAllBytes(logDir(tableDir).resolve(s"v$v.json")),
+        StandardCharsets.UTF_8)
+      jsonArr(body, "adds", s"manifest v$v in $tableDir").contains(seg)
+    }
+    if (everAdded) false
     else {
       batch.write.mode("overwrite").parquet(s"$tableDir/$seg")
       commit(tableDir, adds = Seq(seg))

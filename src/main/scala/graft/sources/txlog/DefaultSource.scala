@@ -15,11 +15,21 @@ import org.apache.spark.sql.types.StructType
   * {{{
   *   spark.read.format("graft.sources.txlog")
   *     .option("asOf", 3)                   // time travel (default: latest)
-  *     .option("keyCols", "id")             // merge-on-read tombstones
+  *     .option("keyCols", "id")             // explicit MoR key columns
+  *     .option("mergeSchema", "true")       // schema evolution read
+  *     .option("raw", "true")               // escape hatch: ignore tombstones
   *     .load(dir)
   *   df.write.format("graft.sources.txlog")
   *     .mode(SaveMode.Append).save(dir)     // one segment, one commit
   * }}}
+  *
+  * Row-level deletes APPLY BY DEFAULT (the Delta/Iceberg contract):
+  * when the pinned version has live tombstone segments and no
+  * `keyCols` option is given, the key columns derive from the
+  * tombstone segment's own parquet schema and the read is
+  * merge-on-read automatically — a reader who never heard of keyCols
+  * must not silently see deleted rows. `raw=true` opts back into the
+  * tombstone-ignoring snapshot.
   *
   * Built on the STABLE V1 source API ([[RelationProvider]] +
   * [[PrunedFilteredScan]]): `buildScan` applies the pruned columns and
@@ -74,9 +84,25 @@ class DefaultSource extends RelationProvider
     val asOf = parameters.get("asOf").map(_.trim.toInt)
       .orElse(TxLog.latestVersion(dir))
       .getOrElse(sys.error(s"txlog table $dir has no commits"))
+    val mergeSchema = parameters.get("mergeSchema")
+      .exists(_.trim.equalsIgnoreCase("true"))
+    val raw = parameters.get("raw").exists(_.trim.equalsIgnoreCase("true"))
+    // Deletes APPLY by default (the Delta/Iceberg contract — a reader
+    // who never heard of keyCols must not silently see deleted rows):
+    // with live tombstones and no explicit keyCols, the key columns
+    // derive from the tombstone segment's own parquet schema (a
+    // commitDeletes segment holds exactly the keys). option("raw",
+    // "true") is the explicit escape hatch back to the raw snapshot.
     val keyCols = parameters.get("keyCols")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
-    TxLogRelation(sqlContext, dir, asOf, keyCols)
+      .orElse {
+        if (raw) None
+        else TxLog.liveSegments(dir, asOf)
+          .find(_.startsWith(s"${TxLog.DeletesFamily}__"))
+          .map(seg => sqlContext.sparkSession.read
+            .parquet(s"$dir/$seg").schema.fieldNames.toSeq)
+      }
+    TxLogRelation(sqlContext, dir, asOf, keyCols, mergeSchema)
   }
 
   /** `df.write.format("graft.sources.txlog").mode(Append).save(dir)`:
@@ -139,13 +165,14 @@ class TxLogSource(sqlContext: SQLContext, dir: String,
   * version, as a V1 relation with column pruning + filter pushdown
   * delegated to the inner parquet scan. */
 case class TxLogRelation(sqlContext: SQLContext, dir: String, asOf: Int,
-    keyCols: Option[Seq[String]]) extends BaseRelation
-    with PrunedFilteredScan {
+    keyCols: Option[Seq[String]], mergeSchema: Boolean = false)
+    extends BaseRelation with PrunedFilteredScan {
 
   private def snapshotDf: DataFrame = keyCols match {
     case Some(keys) =>
-      TxLog.snapshotMoR(sqlContext.sparkSession, dir, asOf, keys)
-    case None => TxLog.snapshot(sqlContext.sparkSession, dir, asOf)
+      TxLog.snapshotMoR(sqlContext.sparkSession, dir, asOf, keys, mergeSchema)
+    case None =>
+      TxLog.snapshot(sqlContext.sparkSession, dir, asOf, mergeSchema)
   }
 
   override def schema: StructType = snapshotDf.schema

@@ -41,10 +41,50 @@ class TxLogFormatSpec extends SparkSpec {
       r.select("id").as[Long].collect().sorted.toSeq
     assert(ids(spark.read.format(Fmt).option("asOf", 0).load(t)) ===
       Seq(1L, 2L, 3L))
-    // without keyCols the raw snapshot still shows the tombstoned row
-    assert(ids(spark.read.format(Fmt).load(t)) === Seq(1L, 2L, 3L, 4L))
+    // deletes apply BY DEFAULT (the Delta/Iceberg contract): with no
+    // keyCols option the keys derive from the tombstone segment's own
+    // schema — a reader who never heard of keyCols must not silently
+    // see deleted rows
+    assert(ids(spark.read.format(Fmt).load(t)) === Seq(1L, 3L, 4L))
     assert(ids(spark.read.format(Fmt).option("keyCols", "id").load(t)) ===
       Seq(1L, 3L, 4L))
+    // option("raw") is the explicit escape hatch to the raw snapshot
+    assert(ids(spark.read.format(Fmt).option("raw", "true").load(t)) ===
+      Seq(1L, 2L, 3L, 4L))
+    // a table with no tombstones takes the plain snapshot path
+    val clean = freshTable()
+    Seq(7L).toDF("id").write.format(Fmt).mode(SaveMode.Append).save(clean)
+    assert(ids(spark.read.format(Fmt).load(clean)) === Seq(7L))
+  }
+
+  test("mergeSchema: later segments may add columns; a type change fails loudly") {
+    import spark.implicits._
+    val t = freshTable()
+    Seq((1L, "a")).toDF("id", "tag")
+      .write.format(Fmt).mode(SaveMode.Append).save(t)
+    Seq((2L, "b", 9L)).toDF("id", "tag", "extra")
+      .write.format(Fmt).mode(SaveMode.Append).save(t)
+    // without mergeSchema: Spark's first-file schema wins (historical
+    // behavior, still the fast single multi-path scan)
+    val merged = spark.read.format(Fmt).option("mergeSchema", "true").load(t)
+      .orderBy("id").collect()
+    assert(merged.map(_.getLong(0)).toSeq === Seq(1L, 2L))
+    assert(merged(0).isNullAt(merged(0).fieldIndex("extra")),
+      "pre-evolution rows must read the added column as NULL")
+    assert(merged(1).getLong(merged(1).fieldIndex("extra")) === 9L)
+    // MoR composes with evolution: delete id=1, merged read drops it
+    TxLog.commitDeletes(Seq(1L).toDF("id"), t)
+    val mor = spark.read.format(Fmt).option("mergeSchema", "true").load(t)
+      .collect()
+    assert(mor.map(_.getLong(0)).toSeq === Seq(2L))
+    // a column-TYPE change is a rewrite, not evolution — loud failure
+    Seq(("x", 3L)).toDF("tag", "id").select(col("id").cast("int").as("id"),
+        col("tag"))
+      .write.format(Fmt).mode(SaveMode.Append).save(t)
+    val e = intercept[IllegalArgumentException] {
+      spark.read.format(Fmt).option("mergeSchema", "true").load(t).collect()
+    }
+    assert(e.getMessage.contains("not schema evolution"))
   }
 
   test("filters and pruning push through the format boundary") {

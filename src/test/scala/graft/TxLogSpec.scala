@@ -192,6 +192,21 @@ class TxLogSpec extends SparkSpec {
     assert(got.toSeq === Seq(1L, 2L, 3L), "orphan rows leaked into the table")
   }
 
+  test("appendBatch: redelivery after a compaction retired the segment is still a no-op") {
+    import spark.implicits._
+    val t = freshTable()
+    assert(TxLog.appendBatch(Seq(1L, 2L).toDF("id"), 0L, t))
+    assert(TxLog.appendBatch(Seq(3L).toDF("id"), 1L, t))
+    TxLog.compactMoR(spark, t, Seq("id")) // retires both batch__ segments
+    // the redelivery test is manifest-HISTORY-based: the segment is no
+    // longer live, but it was once added — re-appending would
+    // double-count its rows
+    assert(!TxLog.appendBatch(Seq(1L, 2L).toDF("id"), 0L, t),
+      "crash-after-commit redelivery of a compacted-away batch must not re-append")
+    assert(TxLog.snapshot(spark, t, TxLog.latestVersion(t).get)
+      .count() === 3)
+  }
+
   test("changes: each delta reads exactly the span's added segments") {
     import spark.implicits._
     val t = freshTable()
