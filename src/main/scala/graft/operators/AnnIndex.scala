@@ -362,6 +362,60 @@ object AnnIndex {
     TxLog.commit(store, adds = Seq(seg), removes = old)
   }
 
+  /** Partition columns of a written segment, inferred from its
+    * on-disk `col=value` directory layout — what [[maintain]] needs
+    * to re-partition a compacted family identically without every
+    * store type registering its layout. */
+  private def partitionColsOf(store: String, seg: String): Seq[String] = {
+    @annotation.tailrec
+    def walk(dir: java.io.File, acc: List[String]): List[String] = {
+      val sub = Option(dir.listFiles()).getOrElse(Array.empty)
+        .filter(f => f.isDirectory && f.getName.contains("="))
+        .sortBy(_.getName).headOption
+      sub match {
+        case Some(d) => walk(d, acc :+ d.getName.split("=")(0))
+        case None => acc
+      }
+    }
+    walk(new java.io.File(store, seg), Nil)
+  }
+
+  /** The OPTIMIZE cadence policy — what keeps the log-structured
+    * bargain bounded BY CONSTRUCTION instead of by operator
+    * discipline: every O(delta) grow adds a segment, and without a
+    * trigger the per-probe file fan-out (nSegments × nProbe) and the
+    * per-read union plan grow without bound. `maintain` compacts
+    * every family whose live segment count exceeds `threshold`
+    * (default [[graft.sources.TxLog.CheckpointEvery]] — one compact
+    * per checkpoint's worth of grows), re-partitioning each exactly
+    * as written (layout inferred from the segment dirs). A
+    * tombstone-masked postings family is SKIPPED, never raw-compacted
+    * (the resurrect hazard [[compactFamily]] guards against) — run
+    * the store-type-aware MoR compactor ([[compactPostingsMoR]] /
+    * [[graft.operators.TextIndex.compactIndexMoR]]) first; maintain
+    * then folds whatever remains. Each compaction is its own atomic
+    * commit; a crash between two leaves every family readable.
+    * Single-maintainer, like [[graft.sources.TxLog.vacuum]].
+    * Returns (family, committedVersion) per compaction performed. */
+  def maintain(sp: SparkSession, store: String,
+      threshold: Int = graft.sources.TxLog.CheckpointEvery)
+      : Seq[(String, Int)] = {
+    require(threshold >= 1, s"threshold must be >= 1, got $threshold")
+    val latest = TxLog.latestVersion(store)
+    if (latest.isEmpty) return Seq.empty
+    val live = TxLog.liveSegments(store, latest.get)
+    val tombstoned = live.exists(_.startsWith(s"${TxLog.DeletesFamily}__"))
+    live.map(_.split("__")(0)).distinct
+      .filterNot(_ == TxLog.DeletesFamily)
+      .flatMap { fam =>
+        val segs = live.filter(_.startsWith(s"${fam}__"))
+        if (segs.size <= threshold) None
+        else if (fam == "postings" && tombstoned) None
+        else Some(fam ->
+          compactFamily(sp, store, fam, partitionColsOf(store, segs.head)))
+      }
+  }
+
   // ---- PQ: build / read / encode ----
 
   /** Train and persist the PQ index for a corpus installment: the

@@ -345,6 +345,50 @@ class AnnIndexSpec extends SparkSpec {
     }
   }
 
+  test("maintain: over-threshold families compact, siblings and tombstoned postings are left alone") {
+    val store = tmpStore("maintain")
+    val all = prepped
+    val corpus = all.filter(col("id") >= 10)
+    val queries = all.filter(col("id") < 10).drop("label")
+    AnnIndex.writeIvf(corpus.filter(col("id") % 4 === 0), "label", store)
+    (1L to 3L).foreach(r => AnnIndex.appendVectors(spark, store,
+      corpus.filter(col("id") % 4 === r).select("id", "v", "nrm")))
+    val before = AnnIndex.probeIvf(spark, store, queries, k = 5, nProbe = 2)
+      .orderBy("q_id", "rank").collect()
+    // postings has 4 live segments (> threshold 3), centroids 1
+    val done = AnnIndex.maintain(spark, store, threshold = 3)
+    assert(done.map(_._1) === Seq("postings"),
+      s"only the over-threshold family compacts, got $done")
+    val live = TxLog.liveSegments(store, TxLog.latestVersion(store).get)
+    assert(live.count(_.startsWith("postings__")) === 1)
+    assert(live.count(_.startsWith("centroids__")) === 1)
+    // the probe plan returns to a single-segment scan, rows unchanged
+    val probed = AnnIndex.probeIvf(spark, store, queries, k = 5, nProbe = 2)
+    val p = probed.queryExecution.executedPlan.toString
+    Seq("postings__seg0", "postings__seg1", "postings__seg2",
+      "postings__seg3").foreach(old =>
+      assert(!p.contains(old), s"probe still scans compacted-away $old"))
+    val after = probed.orderBy("q_id", "rank").collect()
+    assert(after.length == before.length && after.length > 0)
+    after.zip(before).foreach { case (a, b) => assert(a == b) }
+    // idempotent: nothing is over threshold anymore
+    assert(AnnIndex.maintain(spark, store, threshold = 3).isEmpty)
+    // tombstoned postings are skipped — never raw-compacted
+    (4L to 8L).foreach(r => AnnIndex.appendVectors(spark, store,
+      corpus.filter(col("id") % 11 === r).select("id", "v", "nrm")))
+    AnnIndex.deleteVectors(spark, store,
+      corpus.select("id").filter(pmod(col("id"), lit(7L)) === 0))
+    val segsBefore = TxLog.familySegments(store, "postings")
+    assert(segsBefore.size > 3)
+    assert(AnnIndex.maintain(spark, store, threshold = 3).isEmpty,
+      "a tombstone-masked postings family must be skipped")
+    assert(TxLog.familySegments(store, "postings") === segsBefore)
+    // after the MoR-aware compactor clears the tombstones, maintain
+    // has nothing left to do for postings
+    AnnIndex.compactPostingsMoR(spark, store)
+    assert(AnnIndex.maintain(spark, store, threshold = 3).isEmpty)
+  }
+
   test("default probes are lazy plan constructors: building them fires no Spark job") {
     val store = tmpStore("lazy")
     val all = prepped
