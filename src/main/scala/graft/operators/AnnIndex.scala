@@ -489,6 +489,39 @@ object AnnIndex {
   def readPqPostings(sp: SparkSession, store: String): DataFrame =
     readPinned(sp, store, "pqposts")
 
+  /** Grow the persisted IVFPQ store with an installment — O(delta)
+    * on BOTH families, closing the one grow gap [[writePqPostings]]
+    * left (it rebuilds the whole corpus' code lists — right for a
+    * code-space change, wrong as the ingest path): the new vectors
+    * route to their nearest FROZEN centroid ([[assignToStored]] —
+    * the postings segment) and encode against the FROZEN codebook
+    * ([[Similarity.pqEncodeWith]] — the pqposts segment), and BOTH
+    * segments commit behind ONE manifest, so a probe never sees a
+    * store whose full-precision postings and code lists disagree.
+    * Existing segments are neither read nor rewritten; the only
+    * reads are the dimension-sized centroids and codebook. Input
+    * (id, v, nrm). */
+  def appendPqVectors(sp: SparkSession, store: String, vectors: DataFrame,
+      m: Int, dim: Int): Unit = {
+    val pSeg = segName(store, "postings")
+    val qSeg = segName(store, "pqposts")
+    val assigned = assignToStored(sp, store, vectors)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    assigned.write.mode("overwrite").partitionBy("cluster")
+      .parquet(s"$store/$pSeg")
+    val codes = Similarity.pqEncodeWith(
+        vectors.select(col("id"), col("v")), readCodebook(sp, store), m, dim)
+      .drop("sq_err")
+    codes.join(assigned.select(col("n_id").as("id"), col("cluster")), "id")
+      .select(col("cluster") +: col("id").as("n_id") +:
+        (0 until m).map(s => col(s"code$s")): _*)
+      .write.mode("overwrite").partitionBy("cluster")
+      .parquet(s"$store/$qSeg")
+    assigned.unpersist()
+    TxLog.commit(store, adds = Seq(pSeg, qSeg))
+    ()
+  }
+
   /** Two-stage IVF+PQ top-k against the stored index — the IVFADC
     * search composed from the store's THREE families (centroids route,
     * pqposts shortlist, postings re-rank), in its non-residual form

@@ -1651,6 +1651,141 @@ object SimilarityQueries {
       SELECT q_id, n_id, cosine, CAST(rnk AS INT) AS rank
       FROM r WHERE rnk <= 5 ORDER BY q_id, rank"""))
 
+  /** GROW the persisted IVFPQ store — the one O(delta) gap [[s20]]
+    * left ([[graft.operators.AnnIndex.writePqPostings]] rebuilds the
+    * whole corpus' code lists — right for a code-space change, wrong
+    * as the ingest path): installment 2's vectors route to their
+    * nearest FROZEN centroid and encode against the FROZEN codebook
+    * ([[graft.operators.AnnIndex.appendPqVectors]]), landing as one
+    * postings + one pqposts segment behind ONE atomic commit — a
+    * probe never sees a store whose full-precision postings and code
+    * lists disagree, existing segments are neither read nor
+    * rewritten (spec-asserted byte-identical), and the only reads
+    * are the dimension-sized centroids + codebook. The probe runs
+    * the full two-stage IVFADC search over the GROWN store; the
+    * oracle recomputes the whole chain — label centroids from
+    * installment 1, installment 2 assigned by frozen-centroid argmax
+    * (s17's rule), ALL vectors coded against the frozen codebook
+    * (s20's ADC chain) — so a grow that moved the code space, routed
+    * against retrained centroids, or desynced the two families
+    * breaks the hash. */
+  val s26 = QueryDef(
+    "s26_ivfpq_append",
+    (sp, dir) => {
+      val fp = graft.sources.IngestFixtures.fingerprint(s"$dir/embeddings.parquet")
+      val store = graft.sources.IngestFixtures.path(s"s26_store_$fp")
+      val land = graft.sources.IngestFixtures.path(s"s26_land_$fp")
+      val qland = graft.sources.IngestFixtures.path(s"s26_q_$fp")
+      graft.sources.IngestFixtures.once(s"s26_$fp") {
+        import scala.reflect.io.Directory
+        Seq(store, land, qland).foreach(p =>
+          new Directory(new java.io.File(p)).deleteRecursively())
+        val embs = Tables(sp, dir, "embeddings")
+        val corpus0 = Similarity.prep(
+            embs.filter(col("vec_id") >= 10 && col("vec_id") % 2 === 0),
+            "vec_id", "embedding")
+          .join(embs.select(col("vec_id").as("id"), col("label")), "id")
+        graft.operators.AnnIndex.writeIvf(corpus0, "label", store)
+        graft.operators.AnnIndex.writePq(
+          corpus0.select("id", "v"),
+          corpus0.select(col("id"), col("v"), col("label")),
+          m = 2, dim = 64, store)
+        graft.operators.AnnIndex.writePqPostings(sp, store, m = 2, dim = 64)
+        graft.sources.IngestFixtures.addLandingFile(land,
+          embs.filter(col("vec_id") >= 10 && col("vec_id") % 2 =!= 0)
+            .select("vec_id", "embedding"),
+          "batch2.parquet", 1700001300000L)
+        graft.operators.AnnIndex.appendPqVectors(sp, store,
+          Similarity.prep(sp.read.parquet(land), "vec_id", "embedding"),
+          m = 2, dim = 64)
+        graft.sources.IngestFixtures.addLandingFile(qland,
+          embs.filter(col("vec_id") < 10).select("vec_id", "embedding"),
+          "queries.parquet", 1700001400000L)
+      }
+      val queries = Similarity.prep(
+        sp.read.parquet(qland), "vec_id", "embedding")
+      graft.operators.AnnIndex.probeIvfPq(sp, store, queries,
+          k = 5, nProbe = 2, shortlist = 10, m = 2, dim = 64)
+        .orderBy("q_id", "rank")
+    },
+    Some(s"""
+      WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] v FROM embeddings),
+      n AS (SELECT vec_id, label, v, sqrt(${foldDot.format("v", "v")}) nrm FROM e),
+      q AS (SELECT vec_id q_id, v qv, nrm qn FROM n WHERE vec_id < 10),
+      ceven AS (SELECT vec_id n_id, label cl, v cv, nrm cn FROM n
+                WHERE vec_id >= 10 AND vec_id % 2 = 0),
+      codd AS (SELECT vec_id n_id, v cv, nrm cn FROM n
+               WHERE vec_id >= 10 AND vec_id % 2 <> 0),
+      cx AS (SELECT n_id, cl,
+               unnest(list_transform(cv, (x, i) -> {'pos': i - 1, 'x': x}),
+                 recursive := true)
+             FROM ceven),
+      cm AS (SELECT cl, pos,
+               list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                 list(x ORDER BY n_id)), (a, b) -> a + b) / COUNT(*) AS m
+             FROM cx GROUP BY cl, pos),
+      cents AS (SELECT cl, list(m ORDER BY pos) AS cv FROM cm
+                GROUP BY cl),
+      cnn AS (SELECT cl, cv, sqrt(${foldDot.format("cv", "cv")}) AS cn
+              FROM cents),
+      assign AS (SELECT n_id, cl, cv0 AS cv, cn0 AS cn FROM (
+            SELECT o.n_id, c.cl, o.cv AS cv0, o.cn AS cn0,
+              ROW_NUMBER() OVER (PARTITION BY o.n_id ORDER BY
+                ${foldDot.format("o.cv", "c.cv")} / (o.cn * c.cn) DESC,
+                c.cl) AS rk
+            FROM codd o CROSS JOIN cnn c) WHERE rk = 1),
+      posts AS (SELECT n_id, cl, cv, cn FROM ceven
+                UNION ALL SELECT n_id, cl, cv, cn FROM assign),
+      probe AS (SELECT q_id, cl,
+                  ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY
+                    ${foldDot.format("qv", "cv")} / (qn * cnn.cn) DESC, cl)
+                    AS probe_rank
+                FROM q CROSS JOIN cnn),
+      routed AS (SELECT q_id, cl FROM probe WHERE probe_rank <= 2),
+      pairs AS (SELECT n_id, cl AS cb,
+          ${foldDot.format("list_slice(pv, 1, 32)", "list_slice(pv, 1, 32)")}
+            - 2.0 * ${foldDot.format("list_slice(pv, 1, 32)", "list_slice(cents.cv, 1, 32)")}
+            + ${foldDot.format("list_slice(cents.cv, 1, 32)", "list_slice(cents.cv, 1, 32)")} AS d0,
+          ${foldDot.format("list_slice(pv, 33, 64)", "list_slice(pv, 33, 64)")}
+            - 2.0 * ${foldDot.format("list_slice(pv, 33, 64)", "list_slice(cents.cv, 33, 64)")}
+            + ${foldDot.format("list_slice(cents.cv, 33, 64)", "list_slice(cents.cv, 33, 64)")} AS d1
+        FROM (SELECT n_id, cv AS pv FROM posts) cc CROSS JOIN cents),
+      b0 AS (SELECT n_id, cb AS code0 FROM (
+               SELECT n_id, cb, ROW_NUMBER() OVER (PARTITION BY n_id
+                 ORDER BY d0, cb) rn FROM pairs) WHERE rn = 1),
+      b1 AS (SELECT n_id, cb AS code1 FROM (
+               SELECT n_id, cb, ROW_NUMBER() OVER (PARTITION BY n_id
+                 ORDER BY d1, cb) rn FROM pairs) WHERE rn = 1),
+      codes AS (SELECT b0.n_id, code0, code1 FROM b0 JOIN b1 USING (n_id)),
+      lut AS (SELECT q_id, cl AS cb,
+          ${foldDot.format("list_slice(qv, 1, 32)", "list_slice(qv, 1, 32)")}
+            - 2.0 * ${foldDot.format("list_slice(qv, 1, 32)", "list_slice(cents.cv, 1, 32)")}
+            + ${foldDot.format("list_slice(cents.cv, 1, 32)", "list_slice(cents.cv, 1, 32)")} AS d0,
+          ${foldDot.format("list_slice(qv, 33, 64)", "list_slice(qv, 33, 64)")}
+            - 2.0 * ${foldDot.format("list_slice(qv, 33, 64)", "list_slice(cents.cv, 33, 64)")}
+            + ${foldDot.format("list_slice(cents.cv, 33, 64)", "list_slice(cents.cv, 33, 64)")} AS d1
+        FROM q CROSS JOIN cents),
+      cand AS (SELECT r.q_id, posts.n_id, codes.code0, codes.code1
+               FROM routed r JOIN posts USING (cl)
+               JOIN codes ON codes.n_id = posts.n_id),
+      adc AS (SELECT cand.q_id, cand.n_id, l0.d0 + l1.d1 AS adc
+              FROM cand
+              JOIN lut l0 ON l0.q_id = cand.q_id AND l0.cb = cand.code0
+              JOIN lut l1 ON l1.q_id = cand.q_id AND l1.cb = cand.code1),
+      short AS (SELECT q_id, n_id, adc FROM (
+                  SELECT q_id, n_id, adc, ROW_NUMBER() OVER (
+                    PARTITION BY q_id ORDER BY adc, n_id) sr FROM adc)
+                WHERE sr <= 10),
+      ex AS (SELECT s2.q_id, s2.n_id, s2.adc,
+               ${foldDot.format("q.qv", "posts.cv")} / (q.qn * posts.cn) AS cosine
+             FROM short s2 JOIN posts ON posts.n_id = s2.n_id
+             JOIN q ON q.q_id = s2.q_id),
+      r AS (SELECT q_id, n_id, adc, cosine,
+              ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosine DESC, n_id) rnk
+            FROM ex)
+      SELECT q_id, n_id, adc, cosine, CAST(rnk AS INT) AS rank
+      FROM r WHERE rnk <= 5 ORDER BY q_id, rank"""))
+
   /** Stored-index HYBRID search — the production RAG probe [[s21]]
     * promises, run end to end against TWO PERSISTED indexes with no
     * corpus rescan on either arm: the lexical arm probes the stored
@@ -1870,5 +2005,5 @@ object SimilarityQueries {
 
   val defs: Seq[QueryDef] = Seq(s01, s02, s03, s04, s05, s06, s07, s08,
     s09, s10, s11, s12, s13, s14, s15, s16, s17, s18, s19, s20, s21, s22,
-    s23, s24, s25)
+    s23, s24, s25, s26)
 }

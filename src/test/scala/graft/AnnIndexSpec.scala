@@ -334,7 +334,8 @@ class AnnIndexSpec extends SparkSpec {
       ("s16_incremental_pq", "s16_store_", "s16_land_"),
       ("s17_ivf_append", "s17_store_", "s17_q_"),
       ("s19_ivf_compact", "s19_store_", "s19_q_"),
-      ("s20_ivfpq_adc", "s20_store_", "s20_q_"))) {
+      ("s20_ivfpq_adc", "s20_store_", "s20_q_"),
+      ("s26_ivfpq_append", "s26_store_", "s26_q_"))) {
       val df = Catalog.byName(name).build(spark, dir)
       val p = df.queryExecution.executedPlan.toString
       assert(!p.contains("embeddings.parquet"),
@@ -343,6 +344,47 @@ class AnnIndexSpec extends SparkSpec {
       assert(p.contains(land), s"$name plan must read the landing file")
       assert(df.count() > 0)
     }
+  }
+
+  test("appendPqVectors grows postings+pqposts in one commit; probe equals full rebuild") {
+    val all = prepped
+    val even = all.filter(col("id") >= 10 && col("id") % 2 === 0)
+    val odd = all.filter(col("id") >= 10 && col("id") % 2 =!= 0)
+      .select("id", "v", "nrm")
+    val queries = all.filter(col("id") < 10).drop("label")
+    // grown store: one O(delta) append covering BOTH families
+    val grown = tmpStore("pqgrow")
+    AnnIndex.writeIvf(even, "label", grown)
+    AnnIndex.writePq(even.select("id", "v"), even, m = 2, dim = 64, grown)
+    AnnIndex.writePqPostings(spark, grown, m = 2, dim = 64)
+    val v0 = TxLog.latestVersion(grown).get
+    val before = fileState(grown)
+    AnnIndex.appendPqVectors(spark, grown, odd, m = 2, dim = 64)
+    assert(TxLog.latestVersion(grown).get === v0 + 1,
+      "the grow must be ONE atomic commit over both families")
+    val after = fileState(grown)
+    before.foreach { case (path, sig) =>
+      assert(after.get(path).contains(sig), s"grow rewrote $path")
+    }
+    Seq("postings", "pqposts").foreach { fam =>
+      assert(TxLog.familySegments(grown, fam).size === 2,
+        s"$fam must hold exactly build+grow segments")
+    }
+    // reference store: same history, but pqposts rebuilt over the
+    // grown postings — the O(corpus) path the append replaces
+    val rebuilt = tmpStore("pqrebuild")
+    AnnIndex.writeIvf(even, "label", rebuilt)
+    AnnIndex.writePq(even.select("id", "v"), even, m = 2, dim = 64, rebuilt)
+    AnnIndex.appendVectors(spark, rebuilt, odd)
+    AnnIndex.writePqPostings(spark, rebuilt, m = 2, dim = 64)
+    val a = AnnIndex.probeIvfPq(spark, grown, queries,
+      k = 5, nProbe = 2, shortlist = 10, m = 2, dim = 64)
+      .orderBy("q_id", "rank").collect()
+    val b = AnnIndex.probeIvfPq(spark, rebuilt, queries,
+      k = 5, nProbe = 2, shortlist = 10, m = 2, dim = 64)
+      .orderBy("q_id", "rank").collect()
+    assert(a.length == b.length && a.length > 0)
+    a.zip(b).foreach { case (x, y) => assert(x == y) }
   }
 
   test("maintain: over-threshold families compact, siblings and tombstoned postings are left alone") {

@@ -336,7 +336,8 @@ class PlanAuditSpec extends SparkSpec {
       "s12_pq_adc_search", "s13_multiprobe_recall", "s14_sq8_recall",
       "s15_persisted_ivf", "s16_incremental_pq", "s17_ivf_append",
       "s19_ivf_compact", "s20_ivfpq_adc", "s21_hybrid_search",
-      "s23_ivf_delete", "s24_stored_hybrid", "q100_triangle_count")
+      "s23_ivf_delete", "s24_stored_hybrid", "s26_ivfpq_append",
+      "q100_triangle_count")
     val offenders = sweptPlans.collect {
       case (name, Left(err)) => s"$name (build threw $err)"
       case (name, Right(p)) if !allow(name) &&
