@@ -2675,9 +2675,79 @@ object IngestQueries {
         CAST(SUM(o_orderkey) AS BIGINT) AS key_sum
       FROM rows GROUP BY 1, 2, 3 ORDER BY part, change, version"""))
 
+  /** STREAMING change-data-feed from the txlog table —
+    * `spark.readStream.format("graft-txlog").option("cdf", "true")`
+    * (Delta's `readChangeFeed` streaming surface on
+    * [[graft.sources.txlog.TxLogSource]]): where e45's plain stream
+    * must fail loudly on a delete-carrying span, the CDF stream
+    * continues THROUGH it, emitting each span's changes as full rows
+    * tagged (_change_type ∈ {insert, delete}, _commit_version) via
+    * [[graft.sources.TxLog.changesCdf]] — offsets are still committed
+    * versions, each micro-batch scans only its span's added segments
+    * (O(delta) at any table size), and a consumer folding the feed
+    * version-ordered reproduces snapshotMoR (e46's proven contract,
+    * now engine-driven). Compaction inside a span fails loudly in
+    * both modes. The entry streams the append→delete→re-insert
+    * history into per-(version, change-type) stats; the oracle
+    * replays the same history in SQL. Determinism: exact long key
+    * sums, counts, total ORDER BY. */
+  val e48 = QueryDef(
+    "e48_stream_cdf",
+    (sp, dir) => {
+      import graft.sources.TxLog
+      val fp = IngestFixtures.fingerprint(s"$dir/orders.parquet")
+      val store = IngestFixtures.path(s"e48_store_$fp")
+      IngestFixtures.once(s"e48_$fp") {
+        import scala.reflect.io.Directory
+        new Directory(new java.io.File(store)).deleteRecursively()
+        new java.io.File(store).mkdirs()
+        val orders = Tables(sp, dir, "orders")
+          .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+        TxLog.appendBatch(                                       // v0
+          orders.filter(pmod(col("o_orderkey"), lit(3L)) === 0L), 0L, store)
+        TxLog.appendBatch(                                       // v1
+          orders.filter(pmod(col("o_orderkey"), lit(3L)) === 1L), 1L, store)
+        TxLog.commitDeletes(                                     // v2
+          orders.filter(pmod(col("o_orderkey"), lit(5L)) === 0L)
+            .select("o_orderkey"), store)
+        TxLog.appendBatch(                                       // v3: re-insert
+          orders.filter(pmod(col("o_orderkey"), lit(15L)) === 0L), 2L, store)
+        ()
+      }
+      val sink = s"e48_cdf_${streamRuns.incrementAndGet()}"
+      val agg = sp.readStream.format("graft.sources.txlog")
+        .option("cdf", "true").load(store)
+        .groupBy(col("_commit_version").as("version"),
+          col("_change_type").as("change"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum("o_orderkey").as("key_sum"))
+      withFewStatePartitions(sp, 8) {
+        val q = agg.writeStream.format("memory").queryName(sink)
+          .outputMode("complete")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      sp.table(sink).orderBy("change", "version")
+    },
+    Some("""
+      WITH chg AS (
+        SELECT 'insert' AS change, 0 AS version, o_orderkey
+        FROM orders WHERE o_orderkey % 3 = 0
+        UNION ALL
+        SELECT 'insert', 1, o_orderkey FROM orders WHERE o_orderkey % 3 = 1
+        UNION ALL
+        SELECT 'delete', 2, o_orderkey FROM orders WHERE o_orderkey % 5 = 0
+        UNION ALL
+        SELECT 'insert', 3, o_orderkey FROM orders WHERE o_orderkey % 15 = 0)
+      SELECT CAST(version AS INT) AS version, change,
+        CAST(COUNT(*) AS BIGINT) AS n_rows,
+        CAST(SUM(o_orderkey) AS BIGINT) AS key_sum
+      FROM chg GROUP BY 1, 2 ORDER BY change, version"""))
+
   val defs: Seq[QueryDef] =
     Seq(e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11, e12, e13,
       e14, e15, e16, e17, e18, e19, e20, e21, e22, e23, e24, e25, e26,
       e27, e28, e29, e30, e31, e32, e33, e34, e35, e36, e37, e38, e39,
-      e40, e41, e42, e43, e44, e45, e46, e47)
+      e40, e41, e42, e43, e44, e45, e46, e47, e48)
 }

@@ -51,6 +51,9 @@ class DefaultSource extends RelationProvider
 
   // ---- spark.readStream.format("graft-txlog"): versions as offsets --
 
+  private def cdfMode(parameters: Map[String, String]): Boolean =
+    parameters.get("cdf").exists(_.trim.equalsIgnoreCase("true"))
+
   override def sourceSchema(sqlContext: SQLContext,
       schema: Option[StructType], providerName: String,
       parameters: Map[String, String]): (String, StructType) = {
@@ -59,7 +62,13 @@ class DefaultSource extends RelationProvider
       val latest = TxLog.latestVersion(dir).getOrElse(sys.error(
         s"txlog stream over $dir needs at least one commit (or pass " +
           "a schema) so the source schema is known"))
-      TxLog.snapshot(sqlContext.sparkSession, dir, latest).schema
+      val data = TxLog.snapshot(sqlContext.sparkSession, dir, latest).schema
+      if (!cdfMode(parameters)) data
+      else StructType(data.fields ++ Seq(
+        org.apache.spark.sql.types.StructField("_change_type",
+          org.apache.spark.sql.types.StringType, nullable = false),
+        org.apache.spark.sql.types.StructField("_commit_version",
+          org.apache.spark.sql.types.IntegerType, nullable = false)))
     }
     (shortName(), s)
   }
@@ -68,7 +77,8 @@ class DefaultSource extends RelationProvider
       schema: Option[StructType], providerName: String,
       parameters: Map[String, String]): org.apache.spark.sql.execution.streaming.Source =
     new TxLogSource(sqlContext, path(parameters),
-      sourceSchema(sqlContext, schema, providerName, parameters)._2)
+      sourceSchema(sqlContext, schema, providerName, parameters)._2,
+      cdf = cdfMode(parameters))
 
   private def path(parameters: Map[String, String]): String = {
     val p = parameters.getOrElse("path",
@@ -135,9 +145,18 @@ class DefaultSource extends RelationProvider
   * the sink is idempotent. Append-only by contract, inherited from
   * `changes`: a compaction or row-level delete inside an unread span
   * fails the stream loudly instead of double-counting (re-snapshot
-  * and restart the feed past it). */
+  * and restart the feed past it).
+  *
+  * `option("cdf", "true")` switches the stream to the CHANGE-DATA-FEED
+  * shape ([[TxLog.changesCdf]] — Delta's `readChangeFeed` streaming
+  * surface): each micro-batch emits the span's changes as full rows
+  * tagged (_change_type ∈ insert|delete, _commit_version), so the
+  * stream continues THROUGH row-level deletes (folding the feed
+  * version-ordered reproduces snapshotMoR); compaction inside a span
+  * still fails loudly in both modes — a history rewrite is not
+  * expressible as change rows. */
 class TxLogSource(sqlContext: SQLContext, dir: String,
-    override val schema: StructType)
+    override val schema: StructType, cdf: Boolean = false)
     extends org.apache.spark.sql.execution.streaming.Source {
   import org.apache.spark.sql.execution.streaming.{Offset => V1Offset}
   import org.apache.spark.sql.execution.streaming.runtime.LongOffset
@@ -152,9 +171,11 @@ class TxLogSource(sqlContext: SQLContext, dir: String,
   override def getBatch(start: Option[V1Offset], end: V1Offset)
       : org.apache.spark.sql.DataFrame = {
     val fromV = start.map(version).getOrElse(-1)
-    val batch = TxLog.changes(sqlContext.sparkSession, dir, fromV,
+    val span =
+      if (cdf) TxLog.changesCdf(sqlContext.sparkSession, dir, fromV,
         version(end))
-      .select(schema.fieldNames.map(col).toSeq: _*)
+      else TxLog.changes(sqlContext.sparkSession, dir, fromV, version(end))
+    val batch = span.select(schema.fieldNames.map(col).toSeq: _*)
     org.apache.spark.sql.graft.Bridge.asStreaming(batch)
   }
 

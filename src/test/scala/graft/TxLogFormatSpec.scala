@@ -117,6 +117,40 @@ class TxLogFormatSpec extends SparkSpec {
     } finally spark.sql("DROP TABLE IF EXISTS txlog_ddl")
   }
 
+  test("streaming CDF: the stream continues through deletes, emitting tagged change rows") {
+    import spark.implicits._
+    val t = freshTable()
+    Seq(1L, 2L, 3L).toDF("id").write.format(Fmt).mode(SaveMode.Append).save(t)
+    TxLog.commitDeletes(Seq(2L).toDF("id"), t)
+    Seq(2L, 9L).toDF("id").write.format(Fmt).mode(SaveMode.Append).save(t)
+    // the plain stream fails loudly on the tombstoned span
+    val plain = spark.readStream.format(Fmt).load(t)
+      .writeStream.format("memory").queryName("cdf_plain")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    val failed = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      plain.awaitTermination()
+    }
+    assert(failed.getMessage.contains("deletes") ||
+      failed.cause.getMessage.contains("deletes"))
+    // the CDF stream reads through it, emitting the changesCdf rows
+    val q = spark.readStream.format(Fmt).option("cdf", "true").load(t)
+      .writeStream.format("memory").queryName("cdf_rows")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    def canon(df: org.apache.spark.sql.DataFrame): Seq[(Long, String, Int)] =
+      df.collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2)))
+        .sortBy(x => (x._3, x._2, x._1)).toSeq
+    val streamed = canon(spark.table("cdf_rows")
+      .select("id", "_change_type", "_commit_version"))
+    val direct = canon(TxLog.changesCdf(spark, t, -1,
+      TxLog.latestVersion(t).get))
+    assert(streamed === direct && streamed.nonEmpty,
+      "streamed CDF must equal the direct change-feed read")
+    assert(streamed.exists(_._2 == "delete"), "delete row missing")
+  }
+
   test("streaming source: versions are offsets, restart resumes at the delta") {
     import spark.implicits._
     val t = freshTable()
