@@ -148,6 +148,11 @@ class TextIndexSpec extends SparkSpec {
     val d = rows(TextIndex.searchBm25(spark, oracle2, queries, k = 10))
     assert(c.size == d.size)
     c.zip(d).foreach { case (x, y) => assert(x == y) }
+    // the over-limit full-scan fallback applies the same tombstone
+    // subtraction as the pruned plan
+    val fb = rows(TextIndex.searchBm25(spark, store, queries, k = 10,
+      termPruneLimit = 0L))
+    c.zip(fb).foreach { case (x, y) => assert(x == y) }
     // raw compactFamily must refuse the tombstoned postings family —
     // it would resurrect every deleted row
     val guard = intercept[IllegalArgumentException] {

@@ -303,6 +303,51 @@ class TxLogSpec extends SparkSpec {
     assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
   }
 
+  test("randomized histories: snapshotMoR and the CDF fold match a reference model at every version") {
+    import spark.implicits._
+    // seeded, bounded histories of appends (duplicate keys allowed,
+    // re-inserts included) and deletes (sometimes of unknown or
+    // already-dead keys): the on-log reads must equal a trivial
+    // in-memory multiset model — arbitrary interleavings, not just
+    // the handwritten fixtures above
+    val rnd = new scala.util.Random(12)
+    (0 until 5).foreach { trial =>
+      val t = freshTable()
+      var model = Vector.empty[Long] // live rows (multiset)
+      var batchId = 0L
+      val states = scala.collection.mutable.Map.empty[Int, Vector[Long]]
+      val nOps = 5 + rnd.nextInt(3)
+      (0 until nOps).foreach { _ =>
+        if (model.nonEmpty && rnd.nextInt(3) == 0) {
+          val ids = Seq.fill(1 + rnd.nextInt(4))(rnd.nextInt(30).toLong).distinct
+          TxLog.commitDeletes(ids.toDF("id"), t)
+          model = model.filterNot(ids.contains)
+        } else {
+          val ids = Seq.fill(1 + rnd.nextInt(5))(rnd.nextInt(30).toLong)
+          assert(TxLog.appendBatch(ids.toDF("id"), batchId, t))
+          batchId += 1
+          model = model ++ ids
+        }
+        states(TxLog.latestVersion(t).get) = model
+      }
+      states.toSeq.sortBy(_._1).foreach { case (v, expect) =>
+        val mor = TxLog.snapshotMoR(spark, t, v, Seq("id"))
+          .as[Long].collect().sorted.toSeq
+        assert(mor === expect.sorted,
+          s"trial $trial v$v: snapshotMoR diverged from the model")
+        val cdf = TxLog.changesCdf(spark, t, -1, v)
+        val ins = cdf.filter(col("_change_type") === "insert")
+        val del = cdf.filter(col("_change_type") === "delete")
+          .select(col("id").as("__dk"), col("_commit_version").as("__dv"))
+        val folded = ins.join(del, ins("id") === del("__dk") &&
+            del("__dv") > ins("_commit_version"), "left_anti")
+          .select("id").as[Long].collect().sorted.toSeq
+        assert(folded === mor,
+          s"trial $trial v$v: CDF fold diverged from snapshotMoR")
+      }
+    }
+  }
+
   test("changesCdf: a compaction across the span fails loudly") {
     import spark.implicits._
     val t = freshTable()
