@@ -113,7 +113,8 @@ object Bench {
         "s22_persisted_text_index", "s23_ivf_delete",
         "e44_txlog_format", "e45_stream_from_txlog",
         "s24_stored_hybrid", "s25_text_delete", "s26_ivfpq_append",
-        "e46_txlog_cdf", "e47_txlog_evolve", "e48_stream_cdf").foreach {
+        "s27_ivf_maintain", "e46_txlog_cdf", "e47_txlog_evolve",
+        "e48_stream_cdf").foreach {
       n => SparkEntry.queries.get(n)
         .foreach(f => try f(spark, sfDir).count() catch { case _: Throwable => })
     }

@@ -1786,6 +1786,98 @@ object SimilarityQueries {
       SELECT q_id, n_id, adc, cosine, CAST(rnk AS INT) AS rank
       FROM r WHERE rnk <= 5 ORDER BY q_id, rank"""))
 
+  /** OPTIMIZE-cadence maintenance as policy ([[graft.operators
+    * .AnnIndex.maintain]]) — the trigger that keeps the
+    * log-structured bargain bounded BY CONSTRUCTION: three O(delta)
+    * grows leave the postings family over the entry's segment-count
+    * threshold, `maintain` folds it back to ONE segment (partition
+    * layout inferred from the segment dirs; sibling centroids under
+    * threshold, untouched; each compaction its own atomic commit),
+    * and the probe of the maintained store must hash-match the
+    * from-scratch batch recompute — so the maintenance path is
+    * oracle-gated, not just spec-gated. The fixture REQUIRES that
+    * maintain reported exactly the postings fold, so a silently
+    * no-op trigger fails the build rather than passing on the
+    * unmaintained store. Oracle: frozen label centroids from
+    * installment 1, installments 2-4 assigned by frozen-centroid
+    * argmax (s17's rule). */
+  val s27 = QueryDef(
+    "s27_ivf_maintain",
+    (sp, dir) => {
+      val fp = graft.sources.IngestFixtures.fingerprint(s"$dir/embeddings.parquet")
+      val store = graft.sources.IngestFixtures.path(s"s27_store_$fp")
+      val qland = graft.sources.IngestFixtures.path(s"s27_q_$fp")
+      graft.sources.IngestFixtures.once(s"s27_$fp") {
+        import scala.reflect.io.Directory
+        Seq(store, qland).foreach(p =>
+          new Directory(new java.io.File(p)).deleteRecursively())
+        val embs = Tables(sp, dir, "embeddings")
+        val corpus0 = Similarity.prep(
+            embs.filter(col("vec_id") >= 10 && col("vec_id") % 4 === 0),
+            "vec_id", "embedding")
+          .join(embs.select(col("vec_id").as("id"), col("label")), "id")
+        graft.operators.AnnIndex.writeIvf(corpus0, "label", store)
+        (1L to 3L).foreach { r =>
+          graft.operators.AnnIndex.appendVectors(sp, store,
+            Similarity.prep(
+              embs.filter(col("vec_id") >= 10 && col("vec_id") % 4 === r),
+              "vec_id", "embedding"))
+        }
+        val done = graft.operators.AnnIndex.maintain(sp, store, threshold = 3)
+        require(done.map(_._1) == Seq("postings"),
+          s"s27: maintain must fold exactly the postings family, got $done")
+        graft.sources.IngestFixtures.addLandingFile(qland,
+          embs.filter(col("vec_id") < 10).select("vec_id", "embedding"),
+          "queries.parquet", 1700001500000L)
+      }
+      val queries = Similarity.prep(
+        sp.read.parquet(qland), "vec_id", "embedding")
+      graft.operators.AnnIndex.probeIvf(sp, store, queries,
+          k = 5, nProbe = 2)
+        .orderBy("q_id", "rank")
+    },
+    Some(s"""
+      WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] v FROM embeddings),
+      n AS (SELECT vec_id, label, v, sqrt(${foldDot.format("v", "v")}) nrm FROM e),
+      q AS (SELECT vec_id q_id, v qv, nrm qn FROM n WHERE vec_id < 10),
+      c0 AS (SELECT vec_id n_id, label cl, v cv, nrm cn FROM n
+             WHERE vec_id >= 10 AND vec_id % 4 = 0),
+      crest AS (SELECT vec_id n_id, v cv, nrm cn FROM n
+                WHERE vec_id >= 10 AND vec_id % 4 <> 0),
+      cx AS (SELECT n_id, cl,
+               unnest(list_transform(cv, (x, i) -> {'pos': i - 1, 'x': x}),
+                 recursive := true)
+             FROM c0),
+      cm AS (SELECT cl, pos,
+               list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                 list(x ORDER BY n_id)), (a, b) -> a + b) / COUNT(*) AS m
+             FROM cx GROUP BY cl, pos),
+      cents AS (SELECT cl, list(m ORDER BY pos) AS cv FROM cm
+                GROUP BY cl),
+      cn AS (SELECT cl, cv, sqrt(${foldDot.format("cv", "cv")}) AS cn
+             FROM cents),
+      assign AS (SELECT n_id, cl, cv0 AS cv, cn0 AS cn FROM (
+            SELECT o.n_id, c.cl, o.cv AS cv0, o.cn AS cn0,
+              ROW_NUMBER() OVER (PARTITION BY o.n_id ORDER BY
+                ${foldDot.format("o.cv", "c.cv")} / (o.cn * c.cn) DESC,
+                c.cl) AS rk
+            FROM crest o CROSS JOIN cn c) WHERE rk = 1),
+      posts AS (SELECT n_id, cl, cv, cn FROM c0
+                UNION ALL SELECT n_id, cl, cv, cn FROM assign),
+      probe AS (SELECT q_id, qv, qn, cl,
+                  ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY
+                    ${foldDot.format("qv", "cv")} / (qn * cn.cn) DESC, cl)
+                    AS probe_rank
+                FROM q CROSS JOIN cn),
+      routed AS (SELECT q_id, qv, qn, cl FROM probe WHERE probe_rank <= 2),
+      s AS (SELECT q_id, n_id, ${foldDot.format("qv", "cv")} / (qn * cn) AS cosine
+            FROM routed r JOIN posts USING (cl)),
+      r AS (SELECT q_id, n_id, cosine,
+              ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosine DESC, n_id) rnk
+            FROM s)
+      SELECT q_id, n_id, cosine, CAST(rnk AS INT) AS rank
+      FROM r WHERE rnk <= 5 ORDER BY q_id, rank"""))
+
   /** Stored-index HYBRID search — the production RAG probe [[s21]]
     * promises, run end to end against TWO PERSISTED indexes with no
     * corpus rescan on either arm: the lexical arm probes the stored
@@ -2005,5 +2097,5 @@ object SimilarityQueries {
 
   val defs: Seq[QueryDef] = Seq(s01, s02, s03, s04, s05, s06, s07, s08,
     s09, s10, s11, s12, s13, s14, s15, s16, s17, s18, s19, s20, s21, s22,
-    s23, s24, s25, s26)
+    s23, s24, s25, s26, s27)
 }

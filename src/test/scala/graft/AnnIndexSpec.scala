@@ -335,7 +335,8 @@ class AnnIndexSpec extends SparkSpec {
       ("s17_ivf_append", "s17_store_", "s17_q_"),
       ("s19_ivf_compact", "s19_store_", "s19_q_"),
       ("s20_ivfpq_adc", "s20_store_", "s20_q_"),
-      ("s26_ivfpq_append", "s26_store_", "s26_q_"))) {
+      ("s26_ivfpq_append", "s26_store_", "s26_q_"),
+      ("s27_ivf_maintain", "s27_store_", "s27_q_"))) {
       val df = Catalog.byName(name).build(spark, dir)
       val p = df.queryExecution.executedPlan.toString
       assert(!p.contains("embeddings.parquet"),

@@ -337,7 +337,7 @@ class PlanAuditSpec extends SparkSpec {
       "s15_persisted_ivf", "s16_incremental_pq", "s17_ivf_append",
       "s19_ivf_compact", "s20_ivfpq_adc", "s21_hybrid_search",
       "s23_ivf_delete", "s24_stored_hybrid", "s26_ivfpq_append",
-      "q100_triangle_count")
+      "s27_ivf_maintain", "q100_triangle_count")
     val offenders = sweptPlans.collect {
       case (name, Left(err)) => s"$name (build threw $err)"
       case (name, Right(p)) if !allow(name) &&
