@@ -221,7 +221,9 @@ object AnnIndex {
     val seg = segName(store, "postings")
     readPostings(sp, store).write.mode("overwrite").partitionBy("cluster")
       .parquet(s"$store/$seg")
-    TxLog.commit(store, adds = Seq(seg), removes = old)
+    // dataChange=false: the tombstone-subtracted snapshot is unchanged
+    // (deletes were the data commits); incremental readers step over it
+    TxLog.commit(store, adds = Seq(seg), removes = old, dataChange = false)
   }
 
   /** IVF top-k against the STORED index: route each query to its
@@ -268,15 +270,22 @@ object AnnIndex {
     * partition count, a dimension table by construction — collect
     * into a static IN partition filter and the join shuffles. Both
     * plans compute the identical pairs. `nRouted` is the caller's
-    * size hint; None declares the batch probe-shaped (broadcast). */
+    * size hint; None declares the batch probe-shaped (broadcast) —
+    * with one DEFENSIVE ceiling: when the hint is absent but the
+    * routed plan's own `maxRows` bound (LIMIT-derived, free to read —
+    * no job) proves the frame over the gate, the shuffle plan is
+    * taken anyway, so a hint-less large-batch misuse degrades to a
+    * shuffle instead of a broadcast OOM. */
   private def probeJoin(sp: SparkSession, routed: DataFrame,
       posts: DataFrame, key: String, nRouted: Option[Long],
-      maxBroadcastRows: Long): DataFrame =
-    if (nRouted.forall(_ <= maxBroadcastRows)) broadcast(routed).join(posts, key)
+      maxBroadcastRows: Long): DataFrame = {
+    val bound = nRouted.orElse(routed.queryExecution.analyzed.maxRows)
+    if (bound.forall(_ <= maxBroadcastRows)) broadcast(routed).join(posts, key)
     else {
       val probed = routed.select(key).distinct().collect().map(_.get(0))
       routed.join(posts.filter(col(key).isin(probed.toIndexedSeq: _*)), key)
     }
+  }
 
   /** Assign vectors to their NEAREST stored centroid by cosine (ties
     * → smaller cluster id) — the routing step of the FAISS "add"
@@ -335,20 +344,35 @@ object AnnIndex {
     * (the commit names only this family's segments), and a crash
     * before the commit leaves the live store at its previous version.
     * Returns the committed version. */
+  /** Families a raw compaction can never resurrect deleted rows in:
+    * none of these is ever read through the version-aware tombstone
+    * anti-join (centroids/codebook are dimension-sized code spaces;
+    * codes/pqposts are re-ranked against the MoR-subtracted postings;
+    * stats fold additively and subtract tombstones AFTER the read), so
+    * merging their segments under live tombstones is content-neutral. */
+  private val RawCompactSafeUnderDeletes =
+    Set("centroids", "codebook", "codes", "pqposts", "stats")
+
   def compactFamily(sp: SparkSession, store: String, family: String,
       partitionCols: Seq[String]): Int = {
-    // A raw compaction of a TOMBSTONED family would read the pinned
-    // rows (deleted rows included), commit the merged segment at a
-    // version NEWER than every tombstone, and leave the tombstones
-    // live — the version-aware anti-join (tombstone __dv > data __v)
-    // would never match again and every deleted row would silently
-    // resurrect. Only the MoR-aware compactors may touch it.
-    require(family != "postings" ||
+    // A raw compaction of a TOMBSTONE-MASKED family would read the
+    // pinned rows (deleted rows included), commit the merged segment
+    // at a version NEWER than every tombstone, and leave the
+    // tombstones live — the version-aware anti-join (tombstone __dv >
+    // data __v) would never match again and every deleted row would
+    // silently resurrect. The guard is STRUCTURAL, not name-based:
+    // with any live tombstone segment, every family is refused except
+    // those provably never MoR-read — so a generic txlog data family
+    // ("batch"/"write"/"compact", readable via snapshotMoR or the
+    // format's MoR-by-default reader) is protected too. Only the
+    // MoR-aware compactors may touch a masked family.
+    require(RawCompactSafeUnderDeletes(family) ||
         TxLog.familySegments(store, TxLog.DeletesFamily).isEmpty,
-      s"store $store has live delete tombstones over its postings: a " +
-        "raw family compaction would resurrect the deleted rows — use " +
-        "the MoR-aware path (AnnIndex.compactPostingsMoR for vector " +
-        "stores, TextIndex.compactIndexMoR for text stores) instead")
+      s"store $store has live delete tombstones masking its '$family' " +
+        "family: a raw family compaction would resurrect the deleted " +
+        "rows — use the MoR-aware path (AnnIndex.compactPostingsMoR for " +
+        "vector stores, TextIndex.compactIndexMoR for text stores, " +
+        "TxLog.compactMoR for plain tables) instead")
     val old = TxLog.familySegments(store, family)
     require(old.nonEmpty, s"store $store has no live '$family' segments")
     val seg = segName(store, family)
@@ -359,7 +383,8 @@ object AnnIndex {
     val w = rows.write.mode("overwrite")
     (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
       .parquet(s"$store/$seg")
-    TxLog.commit(store, adds = Seq(seg), removes = old)
+    // maintenance, not data — incremental consumers step over it
+    TxLog.commit(store, adds = Seq(seg), removes = old, dataChange = false)
   }
 
   /** Partition columns of a written segment, inferred from its
@@ -389,31 +414,51 @@ object AnnIndex {
     * (default [[graft.sources.TxLog.CheckpointEvery]] — one compact
     * per checkpoint's worth of grows), re-partitioning each exactly
     * as written (layout inferred from the segment dirs). A
-    * tombstone-masked postings family is SKIPPED, never raw-compacted
-    * (the resurrect hazard [[compactFamily]] guards against) — run
-    * the store-type-aware MoR compactor ([[compactPostingsMoR]] /
-    * [[graft.operators.TextIndex.compactIndexMoR]]) first; maintain
-    * then folds whatever remains. Each compaction is its own atomic
-    * commit; a crash between two leaves every family readable.
-    * Single-maintainer, like [[graft.sources.TxLog.vacuum]].
-    * Returns (family, committedVersion) per compaction performed. */
+    * tombstone-masked postings family is DISPATCHED to its MoR-aware
+    * compactor instead of raw-compacted (the resurrect hazard
+    * [[compactFamily]] guards against): a live stats family marks a
+    * text store ([[graft.operators.TextIndex.compactIndexMoR]] — the
+    * stats segment must be recomputed in the same commit), otherwise
+    * [[compactPostingsMoR]] — so the cadence trigger never defers
+    * forever under continuous delete traffic. The MoR fold runs FIRST
+    * (it retires the tombstones, so the families after it compact
+    * under a clean store) and also bounds the deletes-family segment
+    * count, which the per-family threshold never sees. A tombstone-
+    * masked family maintain has no MoR compactor for (a generic data
+    * family on a store maintain doesn't know the keys of) is skipped
+    * — run [[graft.sources.TxLog.compactMoR]] with the table's keys.
+    * Each compaction is its own atomic commit; a crash between two
+    * leaves every family readable. Single-maintainer, like
+    * [[graft.sources.TxLog.vacuum]]. Returns (family,
+    * committedVersion) per compaction performed. */
   def maintain(sp: SparkSession, store: String,
       threshold: Int = graft.sources.TxLog.CheckpointEvery)
       : Seq[(String, Int)] = {
     require(threshold >= 1, s"threshold must be >= 1, got $threshold")
     val latest = TxLog.latestVersion(store)
     if (latest.isEmpty) return Seq.empty
-    val live = TxLog.liveSegments(store, latest.get)
-    val tombstoned = live.exists(_.startsWith(s"${TxLog.DeletesFamily}__"))
-    live.map(_.split("__")(0)).distinct
+    val fams = TxLog.liveSegments(store, latest.get)
+      .map(_.split("__")(0)).distinct
       .filterNot(_ == TxLog.DeletesFamily)
-      .flatMap { fam =>
-        val segs = live.filter(_.startsWith(s"${fam}__"))
-        if (segs.size <= threshold) None
-        else if (fam == "postings" && tombstoned) None
-        else Some(fam ->
-          compactFamily(sp, store, fam, partitionColsOf(store, segs.head)))
+      // postings first: its MoR fold retires the tombstones, so the
+      // families compacted after it see an unmasked store
+      .sortBy(f => (if (f == "postings") 0 else 1, f))
+    fams.flatMap { fam =>
+      // segment lists re-read FRESH per family: an earlier MoR fold in
+      // this very loop may have retired tombstones or folded a sibling
+      val segs = TxLog.familySegments(store, fam)
+      val tombstoned =
+        TxLog.familySegments(store, TxLog.DeletesFamily).nonEmpty
+      if (segs.size <= threshold) None
+      else if (tombstoned && !RawCompactSafeUnderDeletes(fam)) {
+        if (fam != "postings") None // no key knowledge — see scaladoc
+        else if (TxLog.familySegments(store, "stats").nonEmpty)
+          Some(fam -> TextIndex.compactIndexMoR(sp, store))
+        else Some(fam -> compactPostingsMoR(sp, store))
       }
+      else Some(fam ->
+        compactFamily(sp, store, fam, partitionColsOf(store, segs.head)))
+    }
   }
 
   // ---- PQ: build / read / encode ----

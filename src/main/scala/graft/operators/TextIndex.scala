@@ -257,7 +257,10 @@ object TextIndex {
         coalesce(sum("dl"), lit(0L)).as("tok"))
       .write.mode("overwrite").parquet(s"$store/$sSeg")
     survivors.unpersist()
-    TxLog.commit(store, adds = Seq(pSeg, sSeg), removes = old)
+    // maintenance: postings minus tombstones and the recomputed stats
+    // describe the same logical index — incremental readers step over
+    TxLog.commit(store, adds = Seq(pSeg, sSeg), removes = old,
+      dataChange = false)
   }
 
   /** BM25 (k1=1.2, b=0.75) top-k search against the STORED index.

@@ -84,8 +84,13 @@ object TxLog {
   private def writeCheckpoint(tableDir: String, v: Int): Unit = {
     val d = logDir(tableDir)
     val live = foldSegments(tableDir, v)
-    val body = s"""{"version":$v,"live":${
-      live.map("\"" + _ + "\"").mkString("[", ",", "]")}}"""
+    // "ever" = every segment any manifest ≤ v ADDED (live or since
+    // retired): the fold base for appendBatch's exactly-once test, so
+    // a long-lived stream's redelivery check is O(CheckpointEvery)
+    // manifest reads instead of replaying the whole history per batch
+    val ever = foldEverAdded(tableDir, v)
+    def arr(xs: Seq[String]) = xs.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val body = s"""{"version":$v,"live":${arr(live)},"ever":${arr(ever)}}"""
     val tmp = d.resolve(s".tmp.ckpt.${java.util.UUID.randomUUID}")
     try {
       Files.write(tmp, body.getBytes(StandardCharsets.UTF_8))
@@ -101,20 +106,34 @@ object TxLog {
   /** Commit a new version adding/removing the given segment names
     * (paths relative to the table dir). Returns the version claimed.
     * Manifest JSON is flat and order-stable, so a manifest is
-    * byte-reproducible from its inputs. */
+    * byte-reproducible from its inputs.
+    *
+    * `dataChange = false` marks a MAINTENANCE commit — a layout
+    * rewrite (compaction/OPTIMIZE) whose before- and after-snapshots
+    * hold the same rows. Incremental consumers ([[changes]],
+    * [[changesCdf]], the streaming source) step OVER such commits
+    * instead of failing: the rows they rewrote were already delivered
+    * by the data commits that first added them — Delta's
+    * `dataChange=false` discipline, what lets OPTIMIZE and streaming
+    * reads coexist on one table. A commit that removes segments with
+    * `dataChange = true` (the default) is a genuine history rewrite
+    * and still fails every incremental read loudly. */
   def commit(tableDir: String, adds: Seq[String],
-      removes: Seq[String] = Seq.empty): Int = {
+      removes: Seq[String] = Seq.empty, dataChange: Boolean = true): Int = {
     require(adds.nonEmpty || removes.nonEmpty, "empty commit")
     val bad = (adds ++ removes).filter(s => s.contains("\"") || s.contains("/"))
     require(bad.isEmpty, s"segment names must be simple dir names: $bad")
     val d = logDir(tableDir)
     Files.createDirectories(d)
     def arr(xs: Seq[String]) = xs.map("\"" + _ + "\"").mkString("[", ",", "]")
+    // the marker is written only when false, so data-commit manifests
+    // stay byte-identical to every pre-existing table's
+    val dcField = if (dataChange) "" else ""","dataChange":false"""
     var attempt = 0
     while (true) {
       val v = versions(tableDir).lastOption.map(_ + 1).getOrElse(0)
       val body =
-        s"""{"version":$v,"adds":${arr(adds)},"removes":${arr(removes)}}"""
+        s"""{"version":$v,"adds":${arr(adds)},"removes":${arr(removes)}$dcField}"""
       val tmp = d.resolve(s".tmp.${java.util.UUID.randomUUID}")
       Files.write(tmp, body.getBytes(StandardCharsets.UTF_8))
       try {
@@ -152,6 +171,48 @@ object TxLog {
       .getOrElse(sys.error(s"malformed $where"))
     m.group(1).split(",").map(_.trim.stripPrefix("\"").stripSuffix("\""))
       .filter(_.nonEmpty).toSeq
+  }
+
+  /** Tolerant array parse: None when the named array is absent (an
+    * older-format checkpoint), so new fields stay backward-readable. */
+  private def jsonArrOpt(body: String, name: String): Option[Seq[String]] =
+    s""""$name":\\[([^\\]]*)\\]""".r.findFirstMatchIn(body).map(
+      _.group(1).split(",").map(_.trim.stripPrefix("\"").stripSuffix("\""))
+        .filter(_.nonEmpty).toSeq)
+
+  /** One manifest, parsed: (adds, removes, dataChange). */
+  private def readManifest(tableDir: String,
+      v: Int): (Seq[String], Seq[String], Boolean) = {
+    val body = new String(
+      Files.readAllBytes(logDir(tableDir).resolve(s"v$v.json")),
+      StandardCharsets.UTF_8)
+    (jsonArr(body, "adds", s"manifest v$v in $tableDir"),
+      jsonArr(body, "removes", s"manifest v$v in $tableDir"),
+      !body.contains(""""dataChange":false"""))
+  }
+
+  /** Every segment ANY manifest ≤ asOf ever added (live or retired) —
+    * the exactly-once ledger [[appendBatch]] tests redeliveries
+    * against. Folds from the newest checkpoint carrying an "ever"
+    * array (older checkpoints predate the field and are skipped), so
+    * the read cost is O(CheckpointEvery) manifests at any history
+    * length. */
+  private def foldEverAdded(tableDir: String, asOf: Int): Seq[String] = {
+    val ever = scala.collection.mutable.LinkedHashSet[String]()
+    val base = checkpointVersions(tableDir).filter(_ <= asOf).reverse
+      .collectFirst(Function.unlift { bv =>
+        scala.util.Try {
+          val body = new String(Files.readAllBytes(
+            logDir(tableDir).resolve(s"ckpt-v$bv.json")),
+            StandardCharsets.UTF_8)
+          jsonArrOpt(body, "ever")
+        }.toOption.flatten.map(bv -> _)
+      })
+    base.foreach { case (_, segs) => segs.foreach(ever += _) }
+    versions(tableDir)
+      .filter(v => v <= asOf && base.forall(v > _._1))
+      .foreach(v => readManifest(tableDir, v)._1.foreach(ever += _))
+    ever.toSeq
   }
 
   private def foldSegments(tableDir: String, asOf: Int): Seq[String] = {
@@ -336,7 +397,10 @@ object TxLog {
     val seg = s"compact__seg${versions(tableDir).size}"
     snapshotMoR(spark, tableDir, latest, keyCols)
       .write.mode("overwrite").parquet(s"$tableDir/$seg")
-    commit(tableDir, adds = Seq(seg), removes = old)
+    // maintenance, not data: the before- and after-snapshots hold the
+    // same rows (tombstones applied physically), so incremental
+    // consumers step over this commit instead of failing
+    commit(tableDir, adds = Seq(seg), removes = old, dataChange = false)
   }
 
   /** Incremental-consumer read: the rows ADDED between `fromV`
@@ -353,24 +417,43 @@ object TxLog {
   def changes(spark: SparkSession, tableDir: String, fromV: Int,
       toV: Int): DataFrame = {
     require(fromV < toV, s"need fromV < toV, got $fromV >= $toV")
-    val before =
-      if (fromV < 0) Set.empty[String]
-      else liveSegments(tableDir, fromV).toSet
-    val after = liveSegments(tableDir, toV)
-    val dropped = before -- after.toSet
-    require(dropped.isEmpty,
+    val vs = versions(tableDir)
+    require(vs.contains(toV), s"version $toV not in $vs")
+    require(fromV < 0 || vs.contains(fromV), s"version $fromV not in $vs")
+    // per-manifest walk, maintenance commits (dataChange=false:
+    // compaction/OPTIMIZE) stepped over — their rewritten rows were
+    // already delivered by the data commits that first added them, so
+    // neither their adds nor their removes are part of the delta. A
+    // DATA commit that removes segments is a genuine history rewrite
+    // and fails loudly.
+    val span = vs.filter(v => v > fromV && v <= toV)
+      .map(v => v -> readManifest(tableDir, v))
+    val dataSpan = span.filter(_._2._3)
+    val removed = dataSpan.flatMap(_._2._2)
+    require(removed.isEmpty,
       s"versions ${fromV + 1}..$toV of $tableDir removed segments " +
-        s"$dropped (compaction/rewrite): the span is not append-only — " +
-        "re-snapshot instead of reading changes")
-    val added = after.filterNot(before)
+        s"$removed in a data commit (history rewrite): the span is not " +
+        "append-only — re-snapshot instead of reading changes")
+    val added = dataSpan.flatMap(_._2._1)
     require(added.nonEmpty,
-      s"versions ${fromV + 1}..$toV of $tableDir added no segments")
+      s"versions ${fromV + 1}..$toV of $tableDir added no data-change " +
+        "segments")
     require(!added.exists(_.startsWith(s"${DeletesFamily}__")),
       s"versions ${fromV + 1}..$toV of $tableDir committed row-level " +
         "deletes: the delta is not append-only — re-snapshot (snapshotMoR) " +
         "instead of reading changes")
     spark.read.parquet(added.map(s => s"$tableDir/$s"): _*)
   }
+
+  /** The versions in (`fromV`, `toV`] whose commits CHANGED data —
+    * what an incremental consumer must decide emptiness by: a span
+    * holding only maintenance commits (dataChange=false) carries no
+    * delta, and the streaming source emits an empty micro-batch for
+    * it instead of calling [[changes]]/[[changesCdf]] (which require
+    * a non-empty delta). */
+  def dataChangeVersions(tableDir: String, fromV: Int, toV: Int): Seq[Int] =
+    versions(tableDir).filter(v => v > fromV && v <= toV)
+      .filter(v => readManifest(tableDir, v)._3)
 
   /** Change-data-feed read: every change the span (`fromV`, `toV`]
     * applied, as full rows tagged `_change_type` ∈ {insert, delete}
@@ -397,42 +480,55 @@ object TxLog {
     require(fromV < toV, s"need fromV < toV, got $fromV >= $toV")
     val vs = versions(tableDir)
     require(vs.contains(toV), s"version $toV not in $vs")
-    val perV = vs.filter(v => v > fromV && v <= toV).map { v =>
-      val body = new String(
-        Files.readAllBytes(logDir(tableDir).resolve(s"v$v.json")),
-        StandardCharsets.UTF_8)
-      (v, jsonArr(body, "adds", s"manifest v$v in $tableDir"),
-        jsonArr(body, "removes", s"manifest v$v in $tableDir"))
-    }
-    val removed = perV.flatMap(_._3)
+    // maintenance commits (dataChange=false) are stepped over — see
+    // [[changes]]; only a DATA commit that removes segments is a
+    // genuine rewrite the feed cannot express
+    val perV = vs.filter(v => v > fromV && v <= toV)
+      .map(v => v -> readManifest(tableDir, v))
+      .filter(_._2._3)
+    val removed = perV.flatMap(_._2._2)
     require(removed.isEmpty,
       s"versions ${fromV + 1}..$toV of $tableDir removed segments " +
-        s"$removed (compaction/rewrite): the span rewrote history and " +
-        "its delta is not expressible as change rows — re-snapshot " +
-        "instead of reading the change feed")
-    val added = perV.flatMap { case (v, adds, _) => adds.map(_ -> v) }
+        s"$removed in a data commit (history rewrite): the span's delta " +
+        "is not expressible as change rows — re-snapshot instead of " +
+        "reading the change feed")
+    val added = perV.flatMap { case (v, (adds, _, _)) => adds.map(_ -> v) }
     require(added.nonEmpty,
-      s"versions ${fromV + 1}..$toV of $tableDir added no segments")
+      s"versions ${fromV + 1}..$toV of $tableDir added no data-change " +
+        "segments")
     val (delAdds, dataAdds) =
       added.partition(_._1.startsWith(s"${DeletesFamily}__"))
-    // the data schema delete rows must null-fill against: the span's
-    // own data segments, or (delete-only span) the live table's
+    // The data schema every change row projects onto. A span crossing
+    // a schema-evolution boundary (mergeSchema writes — columns ADDED
+    // between segments) merges by name under snapshot's evolution rule
+    // (checkMergeable still fails loudly on a type change), and rows
+    // from pre-evolution segments null-fill the later columns; a
+    // delete-only span takes the live table's merged schema.
     val schema =
-      if (dataAdds.nonEmpty)
-        spark.read.parquet(dataAdds.map(a => s"$tableDir/${a._1}"): _*).schema
-      else snapshot(spark, tableDir, toV).schema
+      if (dataAdds.nonEmpty) {
+        val perSeg = dataAdds.map { case (s, _) =>
+          s -> spark.read.parquet(s"$tableDir/$s").schema }
+        checkMergeable(tableDir, perSeg)
+        val seen = scala.collection.mutable.LinkedHashMap[String,
+          org.apache.spark.sql.types.StructField]()
+        perSeg.foreach(_._2.fields.foreach(f =>
+          if (!seen.contains(f.name)) seen(f.name) = f))
+        org.apache.spark.sql.types.StructType(seen.values.toArray)
+      } else snapshot(spark, tableDir, toV, mergeSchema = true).schema
+    def project(df: DataFrame): DataFrame = {
+      val have = df.columns.toSet
+      df.select(schema.fields.map { f =>
+        if (have(f.name)) col(f.name).cast(f.dataType).as(f.name)
+        else lit(null).cast(f.dataType).as(f.name)
+      }.toSeq: _*)
+    }
     val inserts = dataAdds.map { case (s, v) =>
-      spark.read.parquet(s"$tableDir/$s")
+      project(spark.read.parquet(s"$tableDir/$s"))
         .withColumn("_change_type", lit("insert"))
         .withColumn("_commit_version", lit(v))
     }
     val deletes = delAdds.map { case (s, v) =>
-      val keys = spark.read.parquet(s"$tableDir/$s")
-      val keyCols = keys.columns.toSet
-      keys.select(schema.fields.map { f =>
-          if (keyCols(f.name)) col(f.name).cast(f.dataType).as(f.name)
-          else lit(null).cast(f.dataType).as(f.name)
-        }.toSeq: _*)
+      project(spark.read.parquet(s"$tableDir/$s"))
         .withColumn("_change_type", lit("delete"))
         .withColumn("_commit_version", lit(v))
     }
@@ -503,15 +599,12 @@ object TxLog {
     // manifest", not "is it live at the latest version": a compaction
     // or vacuum may retire the segment between the original commit
     // and a crash-after-commit redelivery, and liveness alone would
-    // then append the batch's rows a second time. O(versions)
-    // ~100-byte driver reads — the price of exactly-once across
-    // maintenance.
-    val everAdded = versions(tableDir).exists { v =>
-      val body = new String(
-        Files.readAllBytes(logDir(tableDir).resolve(s"v$v.json")),
-        StandardCharsets.UTF_8)
-      jsonArr(body, "adds", s"manifest v$v in $tableDir").contains(seg)
-    }
+    // then append the batch's rows a second time. The ledger folds
+    // from the newest checkpoint's "ever" array (foldEverAdded), so a
+    // long-lived stream pays O(CheckpointEvery) manifest reads per
+    // batch, not O(history).
+    val everAdded = versions(tableDir).lastOption
+      .exists(last => foldEverAdded(tableDir, last).contains(seg))
     if (everAdded) false
     else {
       batch.write.mode("overwrite").parquet(s"$tableDir/$seg")

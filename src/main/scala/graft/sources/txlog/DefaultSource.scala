@@ -171,8 +171,15 @@ class TxLogSource(sqlContext: SQLContext, dir: String,
   override def getBatch(start: Option[V1Offset], end: V1Offset)
       : org.apache.spark.sql.DataFrame = {
     val fromV = start.map(version).getOrElse(-1)
+    // a span holding ONLY maintenance commits (dataChange=false —
+    // an OPTIMIZE landed between micro-batches) carries no delta: the
+    // stream emits an empty batch and the offset still advances, so
+    // compaction and streaming reads coexist on one table
     val span =
-      if (cdf) TxLog.changesCdf(sqlContext.sparkSession, dir, fromV,
+      if (TxLog.dataChangeVersions(dir, fromV, version(end)).isEmpty)
+        sqlContext.sparkSession.createDataFrame(
+          sqlContext.sparkContext.emptyRDD[Row], schema)
+      else if (cdf) TxLog.changesCdf(sqlContext.sparkSession, dir, fromV,
         version(end))
       else TxLog.changes(sqlContext.sparkSession, dir, fromV, version(end))
     val batch = span.select(schema.fieldNames.map(col).toSeq: _*)

@@ -388,7 +388,7 @@ class AnnIndexSpec extends SparkSpec {
     a.zip(b).foreach { case (x, y) => assert(x == y) }
   }
 
-  test("maintain: over-threshold families compact, siblings and tombstoned postings are left alone") {
+  test("maintain: over-threshold families compact; tombstoned postings dispatch to the MoR fold") {
     val store = tmpStore("maintain")
     val all = prepped
     val corpus = all.filter(col("id") >= 10)
@@ -416,20 +416,75 @@ class AnnIndexSpec extends SparkSpec {
     after.zip(before).foreach { case (a, b) => assert(a == b) }
     // idempotent: nothing is over threshold anymore
     assert(AnnIndex.maintain(spark, store, threshold = 3).isEmpty)
-    // tombstoned postings are skipped — never raw-compacted
+    // tombstoned postings DISPATCH to the MoR-aware compactor — the
+    // cadence must not defer forever under continuous delete traffic,
+    // and it must never raw-compact (the resurrect hazard)
     (4L to 8L).foreach(r => AnnIndex.appendVectors(spark, store,
       corpus.filter(col("id") % 11 === r).select("id", "v", "nrm")))
     AnnIndex.deleteVectors(spark, store,
       corpus.select("id").filter(pmod(col("id"), lit(7L)) === 0))
-    val segsBefore = TxLog.familySegments(store, "postings")
-    assert(segsBefore.size > 3)
-    assert(AnnIndex.maintain(spark, store, threshold = 3).isEmpty,
-      "a tombstone-masked postings family must be skipped")
-    assert(TxLog.familySegments(store, "postings") === segsBefore)
-    // after the MoR-aware compactor clears the tombstones, maintain
-    // has nothing left to do for postings
-    AnnIndex.compactPostingsMoR(spark, store)
+    assert(TxLog.familySegments(store, "postings").size > 3)
+    val expect = AnnIndex.probeIvf(spark, store, queries, k = 5, nProbe = 2)
+      .orderBy("q_id", "rank").collect()
+    val done2 = AnnIndex.maintain(spark, store, threshold = 3)
+    assert(done2.map(_._1) === Seq("postings"),
+      s"tombstoned postings must dispatch to the MoR fold, got $done2")
+    assert(TxLog.familySegments(store, "postings").size === 1)
+    assert(TxLog.familySegments(store, TxLog.DeletesFamily).isEmpty,
+      "the MoR fold must retire the tombstones it applied")
+    val after2 = AnnIndex.probeIvf(spark, store, queries, k = 5, nProbe = 2)
+      .orderBy("q_id", "rank").collect()
+    assert(after2.length == expect.length && after2.length > 0)
+    after2.zip(expect).foreach { case (a, b) => assert(a == b) }
+    // idempotent: tombstones gone, one segment per family
     assert(AnnIndex.maintain(spark, store, threshold = 3).isEmpty)
+  }
+
+  test("maintain: a tombstoned TEXT store dispatches to compactIndexMoR (stats recomputed)") {
+    val docs = spark.range(200).selectExpr("id AS doc_id",
+      "concat('w', CAST(id % 7 AS STRING), ' w', CAST(id % 11 AS STRING), " +
+        "' common w', CAST(id % 3 AS STRING)) AS text")
+    val store = tmpStore("maintainText")
+    graft.operators.TextIndex.writePostings(
+      docs.filter(col("doc_id") % 4 === 0), store)
+    (1L to 3L).foreach(r => graft.operators.TextIndex.appendDocs(spark, store,
+      docs.filter(col("doc_id") % 4 === r)))
+    graft.operators.TextIndex.deleteDocs(spark, store,
+      docs.select("doc_id").filter(col("doc_id") % 5 === 0))
+    val queries = docs.filter(col("doc_id") < 3)
+    val expect = graft.operators.TextIndex.searchBm25(spark, store, queries,
+      k = 5).orderBy("q_id", "rank").collect()
+    assert(TxLog.familySegments(store, "postings").size > 3)
+    val done = AnnIndex.maintain(spark, store, threshold = 3)
+    assert(done.map(_._1) === Seq("postings"),
+      s"text store must dispatch postings to compactIndexMoR, got $done")
+    assert(TxLog.familySegments(store, "postings").size === 1)
+    assert(TxLog.familySegments(store, "stats").size === 1,
+      "compactIndexMoR must fold the stats family in the same commit")
+    assert(TxLog.familySegments(store, TxLog.DeletesFamily).isEmpty)
+    val after = graft.operators.TextIndex.searchBm25(spark, store, queries,
+      k = 5).orderBy("q_id", "rank").collect()
+    assert(after.length == expect.length && after.length > 0)
+    after.zip(expect).foreach { case (a, b) => assert(a == b) }
+  }
+
+  test("structural guard: tombstones refuse raw compaction of any unlisted family") {
+    import spark.implicits._
+    val store = tmpStore("guard")
+    Seq((1L, "a"), (2L, "b")).toDF("id", "x")
+      .write.parquet(s"$store/batch__seg0")
+    TxLog.commit(store, Seq("batch__seg0"))
+    Seq((3L, "c")).toDF("id", "x").write.parquet(s"$store/batch__seg1")
+    TxLog.commit(store, Seq("batch__seg1"))
+    TxLog.commitDeletes(Seq(1L).toDF("id"), store)
+    // a GENERIC data family (not named "postings") is protected too —
+    // the guard is structural, not name-based
+    val e = intercept[IllegalArgumentException] {
+      AnnIndex.compactFamily(spark, store, "batch", Seq.empty)
+    }
+    assert(e.getMessage.contains("resurrect"))
+    // maintain skips it rather than raw-compacting (no key knowledge)
+    assert(AnnIndex.maintain(spark, store, threshold = 1).isEmpty)
   }
 
   test("default probes are lazy plan constructors: building them fires no Spark job") {

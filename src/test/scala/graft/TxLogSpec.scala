@@ -348,31 +348,113 @@ class TxLogSpec extends SparkSpec {
     }
   }
 
-  test("changesCdf: a compaction across the span fails loudly") {
+  test("changesCdf: steps over an OPTIMIZE commit; fold still equals snapshotMoR") {
     import spark.implicits._
     val t = freshTable()
     assert(TxLog.appendBatch(Seq(1L, 2L).toDF("id"), 0L, t))       // v0
     TxLog.commitDeletes(Seq(2L).toDF("id"), t)                     // v1
-    TxLog.compactMoR(spark, t, Seq("id"))                          // v2
-    val e = intercept[IllegalArgumentException](
-      TxLog.changesCdf(spark, t, -1, 2))
-    assert(e.getMessage.contains("re-snapshot"))
-    // the pre-compaction sub-span still reads, deletes included
-    assert(TxLog.changesCdf(spark, t, -1, 1).count() === 3)
+    TxLog.compactMoR(spark, t, Seq("id"))                          // v2: maintenance
+    assert(TxLog.appendBatch(Seq(9L).toDF("id"), 1L, t))           // v3
+    // the feed continues THROUGH the compaction: its rows were
+    // already delivered by v0/v1; only v0/v1/v3 contribute changes
+    val cdf = TxLog.changesCdf(spark, t, -1, 3)
+    assert(cdf.count() === 4) // inserts 1,2,9 + delete 2
+    assert(!cdf.queryExecution.executedPlan.toString.contains("compact__"),
+      "the CDF scan must not touch the maintenance commit's segment")
+    val ins = cdf.filter(col("_change_type") === "insert")
+    val del = cdf.filter(col("_change_type") === "delete")
+      .select(col("id").as("__dk"), col("_commit_version").as("__dv"))
+    val folded = ins.join(del, ins("id") === del("__dk") &&
+        del("__dv") > ins("_commit_version"), "left_anti")
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(folded === TxLog.snapshotMoR(spark, t, 3, Seq("id"))
+      .as[Long].collect().sorted.toSeq)
+    assert(TxLog.dataChangeVersions(t, -1, 3) === Seq(0, 1, 3))
   }
 
-  test("changes: a compaction across the span fails loudly") {
+  test("changes: steps over maintenance commits; a maintenance-only span is empty") {
+    import spark.implicits._
+    val t = freshTable()
+    assert(TxLog.appendBatch(Seq(1L).toDF("id"), 0L, t))           // v0
+    assert(TxLog.appendBatch(Seq(2L).toDF("id"), 1L, t))           // v1
+    writeSeg(t, "merged", Seq(1L, 2L))
+    TxLog.commit(t, Seq("merged"),                                 // v2: OPTIMIZE
+      removes = Seq("batch__000000", "batch__000001"), dataChange = false)
+    assert(TxLog.appendBatch(Seq(3L).toDF("id"), 2L, t))           // v3
+    // the whole span reads the data commits only — the compacted
+    // segment (which would double-count 1 and 2) is never scanned
+    val d = TxLog.changes(spark, t, -1, 3)
+    assert(d.as[Long].collect().sorted.toSeq === Seq(1L, 2L, 3L))
+    assert(!d.queryExecution.executedPlan.toString.contains("merged"))
+    assert(TxLog.changes(spark, t, 1, 3).as[Long].collect().toSeq === Seq(3L))
+    // a span holding ONLY the maintenance commit has no delta
+    assert(TxLog.dataChangeVersions(t, 1, 2).isEmpty)
+    val e = intercept[IllegalArgumentException](TxLog.changes(spark, t, 1, 2))
+    assert(e.getMessage.contains("no data-change"))
+  }
+
+  test("changes/changesCdf: a DATA commit that removes segments still fails loudly") {
     import spark.implicits._
     val t = freshTable()
     assert(TxLog.appendBatch(Seq(1L).toDF("id"), 0L, t))
     assert(TxLog.appendBatch(Seq(2L).toDF("id"), 1L, t))
     writeSeg(t, "merged", Seq(1L, 2L))
-    TxLog.commit(t, Seq("merged"),
+    TxLog.commit(t, Seq("merged"),                     // genuine rewrite
       removes = Seq("batch__000000", "batch__000001"))
     val e = intercept[IllegalArgumentException](
       TxLog.changes(spark, t, 0, 2))
     assert(e.getMessage.contains("re-snapshot"))
-    // the unaffected sub-span before the compaction still reads
+    val e2 = intercept[IllegalArgumentException](
+      TxLog.changesCdf(spark, t, 0, 2))
+    assert(e2.getMessage.contains("re-snapshot"))
+    // the unaffected sub-span before the rewrite still reads
     assert(TxLog.changes(spark, t, 0, 1).as[Long].collect().toSeq === Seq(2L))
+  }
+
+  test("appendBatch: redelivery check rides the checkpoint's ever-added ledger") {
+    import spark.implicits._
+    val t = freshTable()
+    (0 until 20).foreach(i =>
+      assert(TxLog.appendBatch(Seq(i.toLong).toDF("id"), i.toLong, t)))
+    // v16 wrote a checkpoint carrying the "ever" array; a redelivery
+    // of a batch OLDER than the checkpoint must still be recognized
+    // through the checkpoint fast path
+    assert(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(t, "_txlog", "ckpt-v16.json")))
+    assert(!TxLog.appendBatch(Seq(99L).toDF("id"), 3L, t),
+      "pre-checkpoint redelivery must be skipped")
+    assert(!TxLog.appendBatch(Seq(99L).toDF("id"), 19L, t))
+    assert(TxLog.appendBatch(Seq(20L).toDF("id"), 20L, t))
+    assert(TxLog.snapshot(spark, t, TxLog.latestVersion(t).get)
+      .count() === 21)
+  }
+
+  test("changesCdf: a span crossing a schema-evolution boundary merges by name") {
+    import spark.implicits._
+    val t = freshTable()
+    assert(TxLog.appendBatch(Seq(1L, 2L).toDF("id"), 0L, t))       // v0
+    assert(TxLog.appendBatch(Seq((3L, "x")).toDF("id", "tag"), 1L, t)) // v1: +tag
+    TxLog.commitDeletes(Seq(1L).toDF("id"), t)                     // v2
+    val cdf = TxLog.changesCdf(spark, t, -1, 2)
+    assert(cdf.columns.toSeq ===
+      Seq("id", "tag", "_change_type", "_commit_version"))
+    val rows = cdf.select("id", "tag", "_change_type").collect()
+      .map(r => (r.getLong(0), Option(r.getString(1)), r.getString(2)))
+      .sortBy(x => (x._3, x._1))
+    assert(rows.toSeq === Seq((1L, None, "delete"), (1L, None, "insert"),
+      (2L, None, "insert"), (3L, Some("x"), "insert")))
+    // a column-TYPE change inside the span is a rewrite, not evolution
+    val bad = spark.createDataFrame(
+      java.util.List.of(org.apache.spark.sql.Row("4", "y")),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("tag",
+          org.apache.spark.sql.types.StringType))))
+    bad.write.mode("overwrite").parquet(s"$t/typed")
+    TxLog.commit(t, Seq("typed"))                                  // v3
+    val e = intercept[IllegalArgumentException](
+      TxLog.changesCdf(spark, t, -1, 3))
+    assert(e.getMessage.contains("not schema evolution"))
   }
 }
