@@ -107,30 +107,71 @@ class DefaultSource extends RelationProvider
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
       .orElse {
         if (raw) None
-        else TxLog.liveSegments(dir, asOf)
-          .find(_.startsWith(s"${TxLog.DeletesFamily}__"))
-          .map(seg => sqlContext.sparkSession.read
-            .parquet(s"$dir/$seg").schema.fieldNames.toSeq)
+        else {
+          // auto-MoR key inference: a commitDeletes segment holds
+          // exactly the keys — but ONLY when every live tombstone
+          // agrees on them. Differing key sets would silently apply a
+          // wider tombstone by a subset of its keys (over-deleting);
+          // refuse loudly and make the caller choose.
+          val delSegs = TxLog.liveSegments(dir, asOf)
+            .filter(_.startsWith(s"${TxLog.DeletesFamily}__"))
+          val keySets = delSegs.map(seg => sqlContext.sparkSession.read
+            .parquet(s"$dir/$seg").schema.fieldNames.toSeq).distinct
+          require(keySets.size <= 1,
+            s"txlog table $dir has live tombstone segments with " +
+              s"inconsistent key schemas $keySets: pass the keyCols " +
+              "option explicitly (or raw=true to ignore tombstones)")
+          keySets.headOption
+        }
       }
     TxLogRelation(sqlContext, dir, asOf, keyCols, mergeSchema)
   }
 
-  /** `df.write.format("graft.sources.txlog").mode(Append).save(dir)`:
-    * the batch lands as ONE segment behind one atomic manifest commit
-    * (the [[TxLog.appendBatch]] discipline with a write-scoped segment
-    * name). Append-only by design: Overwrite/ErrorIfExists semantics
-    * belong to rebuild tools, not the generic writer. */
+  /** `df.write.format("graft.sources.txlog").mode(…).save(dir)`: the
+    * batch lands as ONE segment behind one atomic manifest commit (the
+    * [[TxLog.appendBatch]] discipline with a write-scoped segment
+    * name). `Append` adds the segment; `Overwrite` is a LOGICAL
+    * truncate — the same single-segment add plus removes of every
+    * previously-live segment (tombstones included: they applied to
+    * data this commit replaces) in ONE commit, so no reader ever sees
+    * a half-replaced table and every prior version stays
+    * time-travelable (Delta's `mode(overwrite)` semantics).
+    * `ErrorIfExists`/`Ignore` follow their SaveMode contracts against
+    * "table has any commit". SQL `INSERT INTO` / `INSERT OVERWRITE`
+    * on a `USING graft.sources.txlog` catalog table route to the same
+    * two verbs through [[TxLogRelation]]'s InsertableRelation. */
   override def createRelation(sqlContext: SQLContext, mode: SaveMode,
       parameters: Map[String, String], data: DataFrame): BaseRelation = {
-    require(mode == SaveMode.Append,
-      s"graft.sources.txlog writes are append-only (one segment, one " +
-        s"commit); got mode $mode")
     val dir = path(parameters)
+    val exists = TxLog.latestVersion(dir).isDefined
+    mode match {
+      case SaveMode.Append => TxLogWriter.write(data, dir, overwrite = false)
+      case SaveMode.Overwrite => TxLogWriter.write(data, dir, overwrite = true)
+      case SaveMode.ErrorIfExists =>
+        require(!exists, s"txlog table $dir already has commits " +
+          "(SaveMode.ErrorIfExists)")
+        TxLogWriter.write(data, dir, overwrite = false)
+      case SaveMode.Ignore =>
+        if (!exists) TxLogWriter.write(data, dir, overwrite = false)
+    }
+    createRelation(sqlContext, parameters - "asOf")
+  }
+}
+
+/** The one write verb both the DataFrame writer and the SQL INSERT
+  * path share: one segment, one commit; overwrite = logical truncate
+  * (adds + removes in a single atomic manifest). */
+private[txlog] object TxLogWriter {
+  def write(data: DataFrame, dir: String, overwrite: Boolean): Unit = {
     new java.io.File(dir).mkdirs()
     val seg = f"write__seg${TxLog.versions(dir).size}%06d"
     data.write.mode("overwrite").parquet(s"$dir/$seg")
-    TxLog.commit(dir, adds = Seq(seg))
-    createRelation(sqlContext, parameters - "asOf")
+    val removes =
+      if (!overwrite) Seq.empty[String]
+      else TxLog.latestVersion(dir)
+        .map(v => TxLog.liveSegments(dir, v)).getOrElse(Seq.empty)
+    TxLog.commit(dir, adds = Seq(seg), removes = removes)
+    ()
   }
 }
 
@@ -194,7 +235,16 @@ class TxLogSource(sqlContext: SQLContext, dir: String,
   * delegated to the inner parquet scan. */
 case class TxLogRelation(sqlContext: SQLContext, dir: String, asOf: Int,
     keyCols: Option[Seq[String]], mergeSchema: Boolean = false)
-    extends BaseRelation with PrunedFilteredScan {
+    extends BaseRelation with PrunedFilteredScan with InsertableRelation {
+
+  /** SQL `INSERT INTO` (overwrite=false) / `INSERT OVERWRITE`
+    * (overwrite=true) against a `USING graft.sources.txlog` catalog
+    * table — the V1 InsertableRelation contract, routed to the same
+    * single-segment-single-commit verb as the DataFrame writer.
+    * Spark resolves the insert by position against [[schema]], so the
+    * arriving frame is already aligned. */
+  override def insert(data: DataFrame, overwrite: Boolean): Unit =
+    TxLogWriter.write(data, dir, overwrite)
 
   private def snapshotDf: DataFrame = keyCols match {
     case Some(keys) =>

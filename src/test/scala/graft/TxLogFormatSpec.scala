@@ -199,14 +199,83 @@ class TxLogFormatSpec extends SparkSpec {
       Option(e.getCause).exists(_.getMessage.contains("append-only")))
   }
 
-  test("writer rejects non-append modes") {
+  test("mode(Overwrite) is a logical truncate: one commit, prior versions time-travelable") {
     import spark.implicits._
     val t = freshTable()
-    Seq(1L).toDF("id").write.format(Fmt).mode(SaveMode.Append).save(t)
+    Seq(1L, 2L).toDF("id").write.format(Fmt).mode(SaveMode.Append).save(t)
+    Seq(3L).toDF("id").write.format(Fmt).mode(SaveMode.Append).save(t)
+    Seq(9L).toDF("id").write.format(Fmt).mode(SaveMode.Overwrite).save(t)
+    assert(spark.read.format(Fmt).load(t)
+      .as[Long].collect().sorted.toSeq === Seq(9L))
+    // ONE commit: two appends + the overwrite = versions 0,1,2
+    assert(graft.sources.TxLog.versions(t) === Seq(0, 1, 2))
+    // prior versions stay readable (logical truncate, not a delete)
+    assert(spark.read.format(Fmt).option("asOf", 1).load(t)
+      .as[Long].collect().sorted.toSeq === Seq(1L, 2L, 3L))
+    // an overwrite also retires live tombstones — they applied to
+    // the replaced data
+    graft.sources.TxLog.commitDeletes(Seq(9L).toDF("id"), t)
+    Seq(5L).toDF("id").write.format(Fmt).mode(SaveMode.Overwrite).save(t)
+    assert(spark.read.format(Fmt).load(t)
+      .as[Long].collect().toSeq === Seq(5L))
+    assert(graft.sources.TxLog.liveSegments(t,
+      graft.sources.TxLog.latestVersion(t).get).size === 1)
+  }
+
+  test("ErrorIfExists and Ignore follow their SaveMode contracts") {
+    import spark.implicits._
+    val t = freshTable()
+    Seq(1L).toDF("id").write.format(Fmt)
+      .mode(SaveMode.ErrorIfExists).save(t)
     val e = intercept[Exception] {
       Seq(2L).toDF("id").write.format(Fmt)
-        .mode(SaveMode.Overwrite).save(t)
+        .mode(SaveMode.ErrorIfExists).save(t)
     }
-    assert(e.getMessage.contains("append-only"))
+    assert(e.getMessage.contains("already has commits"))
+    Seq(3L).toDF("id").write.format(Fmt).mode(SaveMode.Ignore).save(t)
+    assert(spark.read.format(Fmt).load(t)
+      .as[Long].collect().toSeq === Seq(1L), "Ignore must be a no-op")
+  }
+
+  test("SQL INSERT INTO / INSERT OVERWRITE work through the catalog") {
+    import spark.implicits._
+    val t = freshTable()
+    Seq(1L, 2L).toDF("id").write.format(Fmt).mode(SaveMode.Append).save(t)
+    val tbl = s"txlog_dml_${System.nanoTime()}"
+    spark.sql(s"CREATE TABLE $tbl USING `graft-txlog` OPTIONS (path '$t')")
+    try {
+      spark.sql(s"INSERT INTO $tbl VALUES (3), (4)")
+      spark.sql(s"REFRESH TABLE $tbl")
+      assert(spark.table(tbl).as[Long].collect().sorted.toSeq ===
+        Seq(1L, 2L, 3L, 4L))
+      spark.sql(s"INSERT OVERWRITE $tbl VALUES (7)")
+      spark.sql(s"REFRESH TABLE $tbl")
+      assert(spark.table(tbl).as[Long].collect().toSeq === Seq(7L))
+      // pre-overwrite history still time-travels through the format
+      // (v0 = writer append, v1 = INSERT INTO, v2 = INSERT OVERWRITE)
+      assert(spark.read.format(Fmt).option("asOf", 1).load(t)
+        .as[Long].collect().sorted.toSeq === Seq(1L, 2L, 3L, 4L))
+    } finally {
+      spark.sql(s"DROP TABLE IF EXISTS $tbl"); ()
+    }
+  }
+
+  test("inconsistent tombstone key schemas fail auto-MoR inference loudly") {
+    import spark.implicits._
+    val t = freshTable()
+    Seq((1L, "a"), (2L, "b")).toDF("id", "x")
+      .write.format(Fmt).mode(SaveMode.Append).save(t)
+    graft.sources.TxLog.commitDeletes(Seq(1L).toDF("id"), t)
+    graft.sources.TxLog.commitDeletes(
+      Seq((2L, "b")).toDF("id", "x"), t) // wider key set
+    val e = intercept[Exception] {
+      spark.read.format(Fmt).load(t).collect()
+    }
+    assert(e.getMessage.contains("inconsistent key schemas"))
+    // explicit keyCols resolves it; raw=true bypasses tombstones
+    assert(spark.read.format(Fmt).option("keyCols", "id").load(t)
+      .count() === 0)
+    assert(spark.read.format(Fmt).option("raw", "true").load(t)
+      .count() === 2)
   }
 }
