@@ -261,9 +261,11 @@ object TxLog {
     * evolution (Delta's rule). Off by default: the plain snapshot
     * keeps the single multi-path scan and Spark's first-file schema. */
   def snapshot(spark: SparkSession, tableDir: String, asOf: Int,
-      mergeSchema: Boolean = false): DataFrame = {
+      mergeSchema: Boolean = false,
+      keepSeg: String => Boolean = _ => true): DataFrame = {
     val segs = liveSegments(tableDir, asOf)
       .filterNot(_.startsWith(s"${DeletesFamily}__"))
+      .filter(keepSeg)
     require(segs.nonEmpty, s"version $asOf of $tableDir has no data segments")
     if (!mergeSchema) spark.read.parquet(segs.map(s => s"$tableDir/$s"): _*)
     else {
@@ -356,11 +358,17 @@ object TxLog {
     * [[snapshot]]. The join's build side is the tombstone set —
     * deleted-key-cardinality, broadcastable in the common case. */
   def snapshotMoR(spark: SparkSession, tableDir: String, asOf: Int,
-      keyCols: Seq[String], mergeSchema: Boolean = false): DataFrame = {
+      keyCols: Seq[String], mergeSchema: Boolean = false,
+      keepSeg: String => Boolean = _ => true): DataFrame = {
     import org.apache.spark.sql.functions.{col, lit}
     require(keyCols.nonEmpty, "snapshotMoR needs at least one key column")
-    val (delSegs, dataSegs) = liveSegmentsWithVersion(tableDir, asOf)
+    // keepSeg prunes DATA segments only (stats-based skipping: a
+    // pruned segment provably holds no filter-matching rows, and
+    // tombstones only ever REMOVE rows, so the prune stays sound);
+    // tombstone segments always participate in the anti-join.
+    val (delSegs, dataSegs0) = liveSegmentsWithVersion(tableDir, asOf)
       .partition(_._1.startsWith(s"${DeletesFamily}__"))
+    val dataSegs = dataSegs0.filter(s => keepSeg(s._1))
     require(dataSegs.nonEmpty, s"version $asOf of $tableDir has no data segments")
     val perSeg = dataSegs.map { case (s, v) =>
       s -> spark.read.parquet(s"$tableDir/$s").withColumn("__v", lit(v))
@@ -573,6 +581,84 @@ object TxLog {
       del(new java.io.File(root, n))
     }
     doomed
+  }
+
+  // ---- segment statistics: data skipping --------------------------
+  //
+  // Delta's data-skipping shape reduced to its core: at write time a
+  // segment records per-column min/max in a tiny `_txlog/stats-<seg>
+  // .json` sidecar (one delta-sized agg over the just-written
+  // segment); at read time a pushed filter prunes the SEGMENT LIST
+  // before any parquet footer is opened. Stats are pure optimization:
+  // a missing or unparseable sidecar only means the segment cannot be
+  // skipped. Sidecars live in `_txlog/` (never vacuumed — stale ones
+  // for vacuumed segments are harmless litter; names never collide
+  // because segment names never recycle).
+
+  /** Compute and record min/max stats for `cols` of a written segment
+    * — call between the parquet write and the commit. One small agg
+    * job over the segment (parquet row-group stats make it cheap).
+    * Columns that are all-NULL in the segment (or of an unsupported
+    * type) are omitted — readers treat absence as "cannot skip". */
+  def writeSegmentStats(spark: SparkSession, tableDir: String, seg: String,
+      cols: Seq[String]): Unit = {
+    import org.apache.spark.sql.functions.{col, max, min}
+    if (cols.isEmpty) return
+    val df = spark.read.parquet(s"$tableDir/$seg")
+    val present = cols.filter(df.columns.contains)
+    val typed = present.flatMap { c =>
+      df.schema(c).dataType match {
+        case org.apache.spark.sql.types.LongType |
+             org.apache.spark.sql.types.IntegerType |
+             org.apache.spark.sql.types.ShortType => Some(c -> "long")
+        case org.apache.spark.sql.types.DoubleType |
+             org.apache.spark.sql.types.FloatType => Some(c -> "double")
+        case _: org.apache.spark.sql.types.DecimalType => Some(c -> "double")
+        case org.apache.spark.sql.types.StringType => Some(c -> "string")
+        case _ => None
+      }
+    }
+    if (typed.isEmpty) return
+    val row = df.agg(
+      typed.flatMap { case (c, _) =>
+        Seq(min(col(c)).as(s"__min_$c"), max(col(c)).as(s"__max_$c")) }.head,
+      typed.flatMap { case (c, _) =>
+        Seq(min(col(c)).as(s"__min_$c"), max(col(c)).as(s"__max_$c")) }.tail: _*)
+      .head()
+    def esc(s: String) = s.replace("\\", "\\\\").replace("\"", "\\\"")
+    val fields = typed.zipWithIndex.flatMap { case ((c, t), i) =>
+      val (mn, mx) = (row.get(2 * i), row.get(2 * i + 1))
+      if (mn == null || mx == null) None
+      else Some(s""""${esc(c)}":{"min":"${esc(mn.toString)}",""" +
+        s""""max":"${esc(mx.toString)}","type":"$t"}""")
+    }
+    if (fields.isEmpty) return
+    val d = logDir(tableDir)
+    Files.createDirectories(d)
+    val tmp = d.resolve(s".tmp.stats.${java.util.UUID.randomUUID}")
+    try {
+      Files.write(tmp, s"{${fields.mkString(",")}}"
+        .getBytes(StandardCharsets.UTF_8))
+      Files.createLink(d.resolve(s"stats-$seg.json"), tmp)
+    } catch {
+      case _: java.nio.file.FileAlreadyExistsException => // overwrite-safe
+    } finally { Files.deleteIfExists(tmp); () }
+  }
+
+  /** A segment's recorded stats, col → (min, max, type) — None when
+    * the segment has no (readable) sidecar. */
+  def segmentStats(tableDir: String,
+      seg: String): Option[Map[String, (String, String, String)]] = {
+    val f = logDir(tableDir).resolve(s"stats-$seg.json")
+    if (!Files.exists(f)) None
+    else scala.util.Try {
+      val body = new String(Files.readAllBytes(f), StandardCharsets.UTF_8)
+      val entry = ("\"((?:[^\"\\\\]|\\\\.)*)\":\\{\"min\":\"((?:[^\"\\\\]|\\\\.)*)\"," +
+        "\"max\":\"((?:[^\"\\\\]|\\\\.)*)\",\"type\":\"(\\w+)\"\\}").r
+      def unesc(s: String) = s.replace("\\\"", "\"").replace("\\\\", "\\")
+      entry.findAllMatchIn(body).map(m => unesc(m.group(1)) ->
+        (unesc(m.group(2)), unesc(m.group(3)), m.group(4))).toMap
+    }.toOption.filter(_.nonEmpty)
   }
 
   /** Streaming ingest terminal: append one micro-batch as ONE new

@@ -144,15 +144,23 @@ class DefaultSource extends RelationProvider
       parameters: Map[String, String], data: DataFrame): BaseRelation = {
     val dir = path(parameters)
     val exists = TxLog.latestVersion(dir).isDefined
+    // option("statsCols", "a,b"): record per-segment min/max for these
+    // columns at write time — the data-skipping sidecar a filtered
+    // read prunes segments by before opening any parquet footer
+    val statsCols = parameters.get("statsCols")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      .getOrElse(Seq.empty)
     mode match {
-      case SaveMode.Append => TxLogWriter.write(data, dir, overwrite = false)
-      case SaveMode.Overwrite => TxLogWriter.write(data, dir, overwrite = true)
+      case SaveMode.Append =>
+        TxLogWriter.write(data, dir, overwrite = false, statsCols)
+      case SaveMode.Overwrite =>
+        TxLogWriter.write(data, dir, overwrite = true, statsCols)
       case SaveMode.ErrorIfExists =>
         require(!exists, s"txlog table $dir already has commits " +
           "(SaveMode.ErrorIfExists)")
-        TxLogWriter.write(data, dir, overwrite = false)
+        TxLogWriter.write(data, dir, overwrite = false, statsCols)
       case SaveMode.Ignore =>
-        if (!exists) TxLogWriter.write(data, dir, overwrite = false)
+        if (!exists) TxLogWriter.write(data, dir, overwrite = false, statsCols)
     }
     createRelation(sqlContext, parameters - "asOf")
   }
@@ -160,18 +168,62 @@ class DefaultSource extends RelationProvider
 
 /** The one write verb both the DataFrame writer and the SQL INSERT
   * path share: one segment, one commit; overwrite = logical truncate
-  * (adds + removes in a single atomic manifest). */
+  * (adds + removes in a single atomic manifest). Stats sidecars are
+  * written BEFORE the commit, so a committed segment's stats are
+  * visible whenever the segment is. */
 private[txlog] object TxLogWriter {
-  def write(data: DataFrame, dir: String, overwrite: Boolean): Unit = {
+  def write(data: DataFrame, dir: String, overwrite: Boolean,
+      statsCols: Seq[String] = Seq.empty): Unit = {
     new java.io.File(dir).mkdirs()
     val seg = f"write__seg${TxLog.versions(dir).size}%06d"
     data.write.mode("overwrite").parquet(s"$dir/$seg")
+    TxLog.writeSegmentStats(data.sparkSession, dir, seg, statsCols)
     val removes =
       if (!overwrite) Seq.empty[String]
       else TxLog.latestVersion(dir)
         .map(v => TxLog.liveSegments(dir, v)).getOrElse(Seq.empty)
     TxLog.commit(dir, adds = Seq(seg), removes = removes)
     ()
+  }
+}
+
+/** Segment-level data skipping: decide from a segment's recorded
+  * min/max whether a pushed filter COULD match any of its rows.
+  * Conservative by construction — an absent column, unreadable
+  * sidecar, unparseable literal, or untranslated filter keeps the
+  * segment. */
+private[txlog] object StatsPrune {
+  private def cmpVals(typ: String, a: String, b: Any): Option[Int] =
+    scala.util.Try {
+      typ match {
+        case "string" => a.compareTo(b.toString)
+        case _ => new java.math.BigDecimal(a)
+          .compareTo(new java.math.BigDecimal(b.toString))
+      }
+    }.toOption
+
+  def mayMatch(f: Filter,
+      st: Map[String, (String, String, String)]): Boolean = {
+    def test(a: String)(
+        p: (String, String, String) => Option[Boolean]): Boolean =
+      st.get(a).flatMap { case (mn, mx, t) => p(mn, mx, t) }.getOrElse(true)
+    f match {
+      case EqualTo(a, v) => test(a) { (mn, mx, t) =>
+        for (lo <- cmpVals(t, mn, v); hi <- cmpVals(t, mx, v))
+          yield lo <= 0 && hi >= 0 }
+      case GreaterThan(a, v) =>
+        test(a)((_, mx, t) => cmpVals(t, mx, v).map(_ > 0))
+      case GreaterThanOrEqual(a, v) =>
+        test(a)((_, mx, t) => cmpVals(t, mx, v).map(_ >= 0))
+      case LessThan(a, v) =>
+        test(a)((mn, _, t) => cmpVals(t, mn, v).map(_ < 0))
+      case LessThanOrEqual(a, v) =>
+        test(a)((mn, _, t) => cmpVals(t, mn, v).map(_ <= 0))
+      case In(a, vs) => vs.exists(v => mayMatch(EqualTo(a, v), st))
+      case And(l, r) => mayMatch(l, st) && mayMatch(r, st)
+      case Or(l, r) => mayMatch(l, st) || mayMatch(r, st)
+      case _ => true
+    }
   }
 }
 
@@ -246,12 +298,30 @@ case class TxLogRelation(sqlContext: SQLContext, dir: String, asOf: Int,
   override def insert(data: DataFrame, overwrite: Boolean): Unit =
     TxLogWriter.write(data, dir, overwrite)
 
-  private def snapshotDf: DataFrame = keyCols match {
-    case Some(keys) =>
-      TxLog.snapshotMoR(sqlContext.sparkSession, dir, asOf, keys, mergeSchema)
-    case None =>
-      TxLog.snapshot(sqlContext.sparkSession, dir, asOf, mergeSchema)
-  }
+  private def snapshotDf: DataFrame = snapshotPruned(_ => true)
+
+  private def snapshotPruned(keepSeg: String => Boolean): DataFrame =
+    keyCols match {
+      case Some(keys) =>
+        TxLog.snapshotMoR(sqlContext.sparkSession, dir, asOf, keys,
+          mergeSchema, keepSeg)
+      case None =>
+        TxLog.snapshot(sqlContext.sparkSession, dir, asOf, mergeSchema,
+          keepSeg)
+    }
+
+  /** The live data segments a scan with these pushed filters must
+    * open: segments whose recorded min/max prove the filters can't
+    * match are SKIPPED before any parquet footer is touched — the
+    * data-skipping read half of the writer's `statsCols` option.
+    * Package-visible so plan audits can assert the pruned set. */
+  private[graft] def keptSegments(filters: Array[Filter]): Seq[String] =
+    TxLog.liveSegments(dir, asOf)
+      .filterNot(_.startsWith(s"${TxLog.DeletesFamily}__"))
+      .filter { seg =>
+        TxLog.segmentStats(dir, seg)
+          .forall(st => filters.forall(StatsPrune.mayMatch(_, st)))
+      }
 
   override def schema: StructType = snapshotDf.schema
 
@@ -282,13 +352,25 @@ case class TxLogRelation(sqlContext: SQLContext, dir: String, asOf: Int,
     }
 
   override def buildScan(requiredColumns: Array[String],
-      filters: Array[Filter]): RDD[Row] = {
-    val base = snapshotDf
+      filters: Array[Filter]): RDD[Row] = scanDf(requiredColumns, filters).rdd
+
+  /** The scan's DataFrame, pre-`.rdd` — the unit plan audits inspect:
+    * stats-pruned segment set, pushed filters, pruned columns. */
+  private[graft] def scanDf(requiredColumns: Array[String],
+      filters: Array[Filter]): DataFrame = {
+    val kept = keptSegments(filters).toSet
+    val base =
+      if (kept.isEmpty)
+        // every segment provably filter-disjoint: an empty relation
+        // (snapshot() would refuse an empty segment list)
+        sqlContext.sparkSession.createDataFrame(
+          sqlContext.sparkContext.emptyRDD[Row], schema)
+      else snapshotPruned(kept)
     val filtered = filters.flatMap(translate)
       .foldLeft(base)((df, c) => df.filter(c))
     // always select exactly the required columns — V1 consumes rows
     // positionally against requiredColumns, including the zero-column
     // COUNT(*) shape
-    filtered.select(requiredColumns.map(col).toSeq: _*).rdd
+    filtered.select(requiredColumns.map(col).toSeq: _*)
   }
 }

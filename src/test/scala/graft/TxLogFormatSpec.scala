@@ -260,6 +260,67 @@ class TxLogFormatSpec extends SparkSpec {
     }
   }
 
+  test("segment stats skip filter-disjoint segments before any footer is opened") {
+    import graft.sources.txlog.TxLogRelation
+    import org.apache.spark.sql.sources
+    import spark.implicits._
+    val t = freshTable()
+    spark.range(0, 100).selectExpr("id", "CAST(id AS STRING) AS s")
+      .write.format(Fmt).option("statsCols", "id,s")
+      .mode(SaveMode.Append).save(t)
+    spark.range(100, 200).selectExpr("id", "CAST(id AS STRING) AS s")
+      .write.format(Fmt).option("statsCols", "id,s")
+      .mode(SaveMode.Append).save(t)
+    // a third segment WITHOUT stats: never skippable
+    spark.range(200, 300).selectExpr("id", "CAST(id AS STRING) AS s")
+      .write.format(Fmt).mode(SaveMode.Append).save(t)
+    val rel = TxLogRelation(spark.sqlContext, t,
+      TxLog.latestVersion(t).get, None)
+    def kept(fs: sources.Filter*): Seq[String] =
+      rel.keptSegments(fs.toArray)
+    val all = Seq("write__seg000000", "write__seg000001", "write__seg000002")
+    assert(kept() === all)
+    assert(kept(sources.LessThan("id", 50L)) ===
+      Seq("write__seg000000", "write__seg000002"),
+      "seg1 is provably disjoint; the stats-less seg2 must be kept")
+    assert(kept(sources.EqualTo("id", 150L)) ===
+      Seq("write__seg000001", "write__seg000002"))
+    assert(kept(sources.GreaterThanOrEqual("id", 100L)) ===
+      Seq("write__seg000001", "write__seg000002"))
+    assert(kept(sources.In("id", Array(5L, 7L))) ===
+      Seq("write__seg000000", "write__seg000002"))
+    assert(kept(sources.And(sources.GreaterThan("id", 10L),
+      sources.LessThan("id", 20L))) ===
+      Seq("write__seg000000", "write__seg000002"))
+    assert(kept(sources.Or(sources.EqualTo("id", 5L),
+      sources.EqualTo("id", 105L))) === all)
+    // unknown filter shapes and absent columns keep everything
+    assert(kept(sources.IsNotNull("id")) === all)
+    assert(kept(sources.EqualTo("nope", 1L)) === all)
+    // the actual scan plan contains ONLY the kept segments' paths
+    val plan = rel.scanDf(Array("id"),
+      Array(sources.LessThan("id", 50L): sources.Filter))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("write__seg000000"))
+    assert(!plan.contains("write__seg000001"),
+      "the scan opened a stats-pruned segment")
+    // end-to-end rows identical to the unpruned read
+    val got = spark.read.format(Fmt).load(t).filter(col("id") < 50)
+      .select("id").as[Long].collect().sorted
+    assert(got.toSeq === (0L until 50L))
+    // an all-pruned scan is an empty relation, not an error
+    assert(spark.read.format(Fmt).load(t)
+      .filter(col("id") === 5000L).count() === 0)
+    // string stats prune too (lexicographic ranges: "zzz" is past
+    // both stats-bearing segments' maxima; "150" is lexicographically
+    // INSIDE seg0's ["0","99"] so only a value-range miss prunes)
+    assert(kept(sources.EqualTo("s", "zzz")) === Seq("write__seg000002"))
+    // skipping composes with MoR: tombstones still apply to kept segs
+    TxLog.commitDeletes(Seq(5L).toDF("id"), t)
+    assert(spark.read.format(Fmt).load(t).filter(col("id") < 50)
+      .count() === 49)
+  }
+
   test("inconsistent tombstone key schemas fail auto-MoR inference loudly") {
     import spark.implicits._
     val t = freshTable()
