@@ -114,7 +114,9 @@ object Bench {
         "e44_txlog_format", "e45_stream_from_txlog",
         "s24_stored_hybrid", "s25_text_delete", "s26_ivfpq_append",
         "s27_ivf_maintain", "e46_txlog_cdf", "e47_txlog_evolve",
-        "e48_stream_cdf").foreach {
+        "e48_stream_cdf", "e49_stream_optimize", "e50_txlog_sql_dml",
+        "e51_txlog_skipping", "e52_txlog_vacuum", "s28_ivfpq_hybrid",
+        "s29_maintain_mor").foreach {
       n => SparkEntry.queries.get(n)
         .foreach(f => try f(spark, sfDir).count() catch { case _: Throwable => })
     }

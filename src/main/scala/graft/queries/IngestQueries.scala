@@ -2745,9 +2745,261 @@ object IngestQueries {
         CAST(SUM(o_orderkey) AS BIGINT) AS key_sum
       FROM chg GROUP BY 1, 2 ORDER BY change, version"""))
 
+  /** Streaming ACROSS an OPTIMIZE — the coexistence contract e45 and
+    * s27 individually left mutually exclusive: maintenance commits
+    * (compaction/OPTIMIZE) are marked `dataChange=false` in the
+    * manifest ([[graft.sources.TxLog.commit]] — Delta's discipline),
+    * and the streaming source steps OVER them instead of failing,
+    * because the rows they rewrote were already delivered by the data
+    * commits that first added them. The fixture streams pass 1 (two
+    * appended batches), then lands a compaction (`compactMoR`,
+    * dataChange=false) AND a third batch, then RESUMES the stream
+    * from its checkpoint: the resumed span contains both the
+    * maintenance commit and the new data — a source that still
+    * failed on removed segments would abort the entry; one that
+    * naively read the span's adds would double-count every
+    * pre-compaction row through the compacted segment and break the
+    * hash. Each micro-batch's rows land tagged with their stream
+    * batch id, so the per-batch fold is inside the hashed result;
+    * a genuine data-commit rewrite still fails loudly (spec-proven).
+    * Determinism: counts + decimal money sums (§4), total ORDER BY. */
+  val e49 = QueryDef(
+    "e49_stream_optimize",
+    (sp, dir) => {
+      import graft.Dsl.moneySum
+      import graft.sources.TxLog
+      val fp = IngestFixtures.fingerprint(s"$dir/orders.parquet")
+      val store = IngestFixtures.path(s"e49_store_$fp")
+      val out = IngestFixtures.path(s"e49_out_$fp")
+      val ckpt = IngestFixtures.path(s"e49_ckpt_$fp")
+      IngestFixtures.once(s"e49_$fp") {
+        import scala.reflect.io.Directory
+        Seq(store, out, ckpt).foreach(p =>
+          new Directory(new java.io.File(p)).deleteRecursively())
+        Seq(store, out).foreach(p => new java.io.File(p).mkdirs())
+        val orders = Tables(sp, dir, "orders")
+          .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+        def streamPass(): Unit = withFewStatePartitions(sp, 8) {
+          val q = sp.readStream.format("graft.sources.txlog").load(store)
+            .writeStream
+            .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+              TxLog.appendBatch(
+                b.withColumn("stream_batch", lit(id)).localCheckpoint(true),
+                id, out)
+              ()
+            }
+            .option("checkpointLocation", ckpt)
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start()
+          q.awaitTermination()
+        }
+        TxLog.appendBatch(                                       // v0
+          orders.filter(pmod(col("o_orderkey"), lit(3L)) === 0L), 0L, store)
+        TxLog.appendBatch(                                       // v1
+          orders.filter(pmod(col("o_orderkey"), lit(3L)) === 1L), 1L, store)
+        streamPass()                       // stream batch 0: span (-1,1]
+        TxLog.compactMoR(sp, store, Seq("o_orderkey"))           // v2: OPTIMIZE
+        TxLog.appendBatch(                                       // v3
+          orders.filter(pmod(col("o_orderkey"), lit(3L)) === 2L), 2L, store)
+        streamPass()                       // stream batch 1: span (1,3]
+      }
+      val latest = TxLog.latestVersion(out)
+        .getOrElse(sys.error(s"e49: empty result table $out"))
+      TxLog.snapshot(sp, out, latest)
+        .groupBy(col("stream_batch").as("batch"), col("o_orderstatus"))
+        .agg(count(lit(1)).as("n_rows"),
+          moneySum(col("o_totalprice")).as("sum_price"))
+        .withColumn("n_store_versions", lit(TxLog.versions(store).size.toLong))
+        .orderBy("batch", "o_orderstatus")
+    },
+    Some("""
+      WITH fed AS (
+        SELECT 0 AS batch, o_orderstatus, o_totalprice FROM orders
+        WHERE o_orderkey % 3 IN (0, 1)
+        UNION ALL
+        SELECT 1, o_orderstatus, o_totalprice FROM orders
+        WHERE o_orderkey % 3 = 2)
+      SELECT CAST(batch AS BIGINT) AS batch, o_orderstatus,
+        CAST(COUNT(*) AS BIGINT) AS n_rows,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+        CAST(4 AS BIGINT) AS n_store_versions
+      FROM fed GROUP BY 1, 2 ORDER BY batch, o_orderstatus"""))
+
+  /** SQL DML on the txlog format — e38's CREATE/INSERT/OVERWRITE
+    * keystrokes against the MODERN table format instead of raw
+    * warehouse parquet: `CREATE TABLE ... USING graft-txlog` binds
+    * the catalog to the store, SQL `INSERT INTO` appends one segment
+    * behind one commit ([[graft.sources.txlog.TxLogRelation]]'s
+    * InsertableRelation), and `INSERT OVERWRITE` is a LOGICAL
+    * truncate — one new segment plus removes of every
+    * previously-live segment in a single atomic commit, with every
+    * prior version still time-travelable (`mode(Overwrite)` on the
+    * DataFrame writer is the same verb). The entry reads BOTH the
+    * post-overwrite table and the pre-overwrite version (asOf=1), so
+    * an overwrite that physically deleted history, or an INSERT that
+    * landed more than one commit, breaks the hash. Determinism:
+    * counts + decimal money sums (§4), total ORDER BY. */
+  val e50 = QueryDef(
+    "e50_txlog_sql_dml",
+    (sp, dir) => {
+      import graft.Dsl.moneySum
+      val fmt = "graft.sources.txlog"
+      val fp = IngestFixtures.fingerprint(s"$dir/orders.parquet")
+      val store = IngestFixtures.path(s"e50_store_$fp")
+      val tbl = s"graft_e50_orders_$fp"
+      IngestFixtures.once(s"e50_$fp") {
+        import scala.reflect.io.Directory
+        new Directory(new java.io.File(store)).deleteRecursively()
+        val orders = Tables(sp, dir, "orders")
+          .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+        orders.createOrReplaceTempView("e50_orders_src")
+        orders.filter(pmod(col("o_orderkey"), lit(4L)) === 0L)   // v0
+          .write.format(fmt).mode(org.apache.spark.sql.SaveMode.Append)
+          .save(store)
+        sp.sql(s"DROP TABLE IF EXISTS $tbl")
+        sp.sql(s"CREATE TABLE $tbl USING `graft-txlog` OPTIONS (path '$store')")
+        sp.sql(s"""INSERT INTO $tbl                               -- v1
+          SELECT o_orderkey, o_orderstatus, o_totalprice
+          FROM e50_orders_src WHERE o_orderkey % 4 = 1""")
+        sp.sql(s"""INSERT OVERWRITE $tbl                          -- v2
+          SELECT o_orderkey, o_orderstatus, o_totalprice
+          FROM e50_orders_src WHERE o_orderkey % 4 IN (2, 3)""")
+        ()
+      }
+      val v1 = sp.read.format(fmt).option("asOf", 1).load(store)
+        .withColumn("snap", lit("pre_overwrite"))
+      val latest = sp.read.format(fmt).load(store)
+        .withColumn("snap", lit("latest"))
+      v1.unionByName(latest)
+        .groupBy("snap", "o_orderstatus")
+        .agg(count(lit(1)).as("n_rows"),
+          moneySum(col("o_totalprice")).as("sum_price"))
+        .orderBy("snap", "o_orderstatus")
+    },
+    Some("""
+      WITH labeled AS (
+        SELECT 'pre_overwrite' AS snap, o_orderstatus, o_totalprice
+        FROM orders WHERE o_orderkey % 4 IN (0, 1)
+        UNION ALL
+        SELECT 'latest', o_orderstatus, o_totalprice
+        FROM orders WHERE o_orderkey % 4 IN (2, 3))
+      SELECT snap, o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n_rows,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+      FROM labeled GROUP BY snap, o_orderstatus
+      ORDER BY snap, o_orderstatus"""))
+
+  /** Segment-stats DATA SKIPPING on the txlog format — Delta's
+    * min/max file-skipping shape: each written segment records
+    * per-column min/max in a tiny `_txlog/stats-<seg>.json` sidecar
+    * (`option("statsCols", ...)` — one delta-sized agg at write
+    * time), and a filtered read prunes the SEGMENT LIST against the
+    * pushed filters before any parquet footer is opened
+    * ([[graft.sources.txlog.TxLogRelation.keptSegments]]). The
+    * fixture lands four ingest installments range-disjoint in
+    * `ingest_day`; the entry filters to one day, so three of the
+    * four segments are provably filter-disjoint and never scanned —
+    * plan-audited in PlanAuditSpec (the pruned segments are absent
+    * from the scan's plan), with the oracle a plain WHERE over the
+    * raw table: skipping must never change results, only I/O. At
+    * 100 TB this is the difference between opening every
+    * installment's footers and opening one day's. Determinism:
+    * counts + decimal money sums (§4), total ORDER BY. */
+  val e51 = QueryDef(
+    "e51_txlog_skipping",
+    (sp, dir) => {
+      import graft.Dsl.moneySum
+      val fmt = "graft.sources.txlog"
+      val fp = IngestFixtures.fingerprint(s"$dir/orders.parquet")
+      val store = IngestFixtures.path(s"e51_store_$fp")
+      IngestFixtures.once(s"e51_$fp") {
+        import scala.reflect.io.Directory
+        new Directory(new java.io.File(store)).deleteRecursively()
+        val orders = Tables(sp, dir, "orders")
+          .select(col("o_orderkey"), col("o_orderstatus"),
+            col("o_totalprice"),
+            pmod(col("o_orderkey"), lit(4L)).as("ingest_day"))
+        (0L until 4L).foreach { d =>
+          orders.filter(col("ingest_day") === d)
+            .write.format(fmt).option("statsCols", "ingest_day,o_orderkey")
+            .mode(org.apache.spark.sql.SaveMode.Append).save(store)
+        }
+      }
+      sp.read.format(fmt).load(store)
+        .filter(col("ingest_day") === 2L)
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n_rows"),
+          moneySum(col("o_totalprice")).as("sum_price"))
+        .orderBy("o_orderstatus")
+    },
+    Some("""
+      SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n_rows,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+      FROM orders WHERE o_orderkey % 4 = 2
+      GROUP BY o_orderstatus ORDER BY o_orderstatus"""))
+
+  /** VACUUM — the last storage verb promoted to the oracle gate,
+    * completing the log-structured lifecycle (grow O(delta) →
+    * OPTIMIZE → vacuum): after two appends and a compaction, ONLY
+    * the compacted segment is reachable from the retained horizon,
+    * so [[graft.sources.TxLog.vacuum]] reclaims the two batch
+    * segments from disk while the manifest log stays intact (segment
+    * names derive from the version count and must never recycle).
+    * The entry probes the POST-vacuum table — identical rows to the
+    * never-vacuumed history by construction — and folds two
+    * lifecycle facts into the hashed result: the reclaimed segments
+    * are physically gone (`reclaimed`), and time travel BELOW the
+    * horizon fails loudly instead of returning partial data
+    * (`pre_horizon_fails` — Delta's bounded-retention semantics).
+    * Determinism: counts + decimal money sums (§4), constants as
+    * BIGINT, total ORDER BY. */
+  val e52 = QueryDef(
+    "e52_txlog_vacuum",
+    (sp, dir) => {
+      import graft.Dsl.moneySum
+      import graft.sources.TxLog
+      val fp = IngestFixtures.fingerprint(s"$dir/orders.parquet")
+      val store = IngestFixtures.path(s"e52_store_$fp")
+      IngestFixtures.once(s"e52_$fp") {
+        import scala.reflect.io.Directory
+        new Directory(new java.io.File(store)).deleteRecursively()
+        new java.io.File(store).mkdirs()
+        val orders = Tables(sp, dir, "orders")
+          .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+        TxLog.appendBatch(                                       // v0
+          orders.filter(pmod(col("o_orderkey"), lit(2L)) === 0L), 0L, store)
+        TxLog.appendBatch(                                       // v1
+          orders.filter(pmod(col("o_orderkey"), lit(2L)) === 1L), 1L, store)
+        TxLog.compactMoR(sp, store, Seq("o_orderkey"))           // v2: OPTIMIZE
+        val gone = TxLog.vacuum(store, keepFrom = 2)
+        require(gone == Seq("batch__000000", "batch__000001"),
+          s"e52: vacuum must reclaim exactly the two batch segments, got $gone")
+      }
+      // both facts recomputed per run from on-disk state (vacuum ran
+      // once in the fixture): the reclaimed dirs stay gone, and the
+      // pre-horizon snapshot keeps failing on its missing segments
+      val reclaimed =
+        !new java.io.File(store, "batch__000000").exists() &&
+        !new java.io.File(store, "batch__000001").exists()
+      val preHorizonFails = scala.util.Try(
+        TxLog.snapshot(sp, store, 0).count()).isFailure
+      TxLog.snapshot(sp, store, TxLog.latestVersion(store).get)
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n_rows"),
+          moneySum(col("o_totalprice")).as("sum_price"))
+        .withColumn("reclaimed", lit(if (reclaimed) 1L else 0L))
+        .withColumn("pre_horizon_fails", lit(if (preHorizonFails) 1L else 0L))
+        .orderBy("o_orderstatus")
+    },
+    Some("""
+      SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n_rows,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+        CAST(1 AS BIGINT) AS reclaimed,
+        CAST(1 AS BIGINT) AS pre_horizon_fails
+      FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus"""))
+
   val defs: Seq[QueryDef] =
     Seq(e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11, e12, e13,
       e14, e15, e16, e17, e18, e19, e20, e21, e22, e23, e24, e25, e26,
       e27, e28, e29, e30, e31, e32, e33, e34, e35, e36, e37, e38, e39,
-      e40, e41, e42, e43, e44, e45, e46, e47, e48)
+      e40, e41, e42, e43, e44, e45, e46, e47, e48, e49, e50, e51, e52)
 }

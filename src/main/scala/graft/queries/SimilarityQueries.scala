@@ -2095,7 +2095,308 @@ object SimilarityQueries {
       SELECT q_id, n_id, score, CAST(rnk AS INT) AS rank
       FROM r WHERE rnk <= 10 ORDER BY q_id, rank"""))
 
+  /** Hybrid search over the IVFPQ arm — [[s24]]'s stored-index RAG
+    * probe upgraded to the BIG-CORPUS vector posture: the lexical arm
+    * is unchanged (stored BM25, Σ df(query terms)-bounded), but the
+    * vector arm probes the s26-GROWN IVFPQ store through the full ADC
+    * chain ([[graft.operators.AnnIndex.probeIvfPq]] — broadcast
+    * centroid routing, partition-pruned PQ code lists at m small ints
+    * per candidate, exact re-rank on the shortlist only), so at
+    * 100 TB the vector arm's full-precision reads are
+    * shortlist × |queries| rows, never the candidates. Both arms'
+    * top-20 lists fuse by RRF (k=60, s24's exact fold); both
+    * documents.parquet and embeddings.parquet are absent from the
+    * plan's scan set (plan-audited). The oracle recomputes the
+    * lexical arm from scratch AND the full IVFPQ chain (frozen
+    * centroids, frozen codebook, grown assignments, ADC shortlist,
+    * exact re-rank) in SQL, then fuses — the stored three-family
+    * composition must hash-match the batch recompute end to end. */
+  val s28 = QueryDef(
+    "s28_ivfpq_hybrid",
+    (sp, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val fpD = graft.sources.IngestFixtures.fingerprint(s"$dir/documents.parquet")
+      val fpE = graft.sources.IngestFixtures.fingerprint(s"$dir/embeddings.parquet")
+      val tstore = graft.sources.IngestFixtures.path(s"s28_text_$fpD")
+      val vstore = graft.sources.IngestFixtures.path(s"s28_pq_$fpE")
+      val qtext = graft.sources.IngestFixtures.path(s"s28_qt_$fpD")
+      val qvec = graft.sources.IngestFixtures.path(s"s28_qv_$fpE")
+      graft.sources.IngestFixtures.once(s"s28_${fpD}_$fpE") {
+        import scala.reflect.io.Directory
+        Seq(tstore, vstore, qtext, qvec).foreach(p =>
+          new Directory(new java.io.File(p)).deleteRecursively())
+        val docs = Tables(sp, dir, "documents").select("doc_id", "text")
+        graft.operators.TextIndex.writePostings(
+          docs.filter(col("doc_id") >= 10 && col("doc_id") % 2 === 0), tstore)
+        graft.operators.TextIndex.appendDocs(sp, tstore,
+          docs.filter(col("doc_id") >= 10 && col("doc_id") % 2 =!= 0))
+        graft.sources.IngestFixtures.addLandingFile(qtext,
+          docs.filter(col("doc_id") < 10),
+          "queries.parquet", 1700001600000L)
+        val embs = Tables(sp, dir, "embeddings")
+        val corpus0 = Similarity.prep(
+            embs.filter(col("vec_id") >= 10 && col("vec_id") % 2 === 0),
+            "vec_id", "embedding")
+          .join(embs.select(col("vec_id").as("id"), col("label")), "id")
+        graft.operators.AnnIndex.writeIvf(corpus0, "label", vstore)
+        graft.operators.AnnIndex.writePq(
+          corpus0.select("id", "v"),
+          corpus0.select(col("id"), col("v"), col("label")),
+          m = 2, dim = 64, vstore)
+        graft.operators.AnnIndex.writePqPostings(sp, vstore, m = 2, dim = 64)
+        graft.operators.AnnIndex.appendPqVectors(sp, vstore,
+          Similarity.prep(
+            embs.filter(col("vec_id") >= 10 && col("vec_id") % 2 =!= 0),
+            "vec_id", "embedding"),
+          m = 2, dim = 64)
+        graft.sources.IngestFixtures.addLandingFile(qvec,
+          embs.filter(col("vec_id") < 10).select("vec_id", "embedding"),
+          "queries.parquet", 1700001700000L)
+      }
+      val lex20 = graft.operators.TextIndex.searchBm25(sp, tstore,
+          sp.read.parquet(qtext), k = 20)
+        .select(col("q_id"), col("n_id"), col("rank").as("lex_rank"))
+      val vec20 = graft.operators.AnnIndex.probeIvfPq(sp, vstore,
+          Similarity.prep(sp.read.parquet(qvec), "vec_id", "embedding"),
+          k = 20, nProbe = 2, shortlist = 30, m = 2, dim = 64)
+        .select(col("q_id"), col("n_id"),
+          col("rank").cast("int").as("vec_rank"))
+      val pool = lex20.join(vec20, Seq("q_id", "n_id"), "full_outer")
+      val rrf =
+        coalesce(lit(1.0) / (lit(60.0) + col("lex_rank").cast("double")), lit(0.0)) +
+        coalesce(lit(1.0) / (lit(60.0) + col("vec_rank").cast("double")), lit(0.0))
+      val wf = Window.partitionBy("q_id").orderBy(col("rrf").desc, col("n_id"))
+      pool.withColumn("rrf", rrf)
+        .withColumn("rank", row_number().over(wf))
+        .filter(col("rank") <= 10)
+        .select(col("q_id"), col("n_id"), col("lex_rank"), col("vec_rank"),
+          col("rrf"), col("rank").cast("int").as("rank"))
+        .orderBy("q_id", "rank")
+    },
+    Some(s"""
+      WITH ctf AS (SELECT n_id, word, CAST(COUNT(*) AS BIGINT) AS tf FROM (
+             SELECT doc_id AS n_id, unnest(string_split(text, ' ')) AS word
+             FROM documents WHERE doc_id >= 10)
+           WHERE word <> '' GROUP BY 1, 2),
+      dl AS (SELECT n_id, CAST(SUM(tf) AS BIGINT) AS dl FROM ctf GROUP BY 1),
+      st AS (SELECT CAST(COUNT(*) AS BIGINT) AS nd,
+               CAST(SUM(dl) AS BIGINT) AS tok FROM dl),
+      dfw AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS df FROM ctf GROUP BY 1),
+      qt AS (SELECT DISTINCT q_id, word FROM (
+               SELECT doc_id AS q_id, unnest(string_split(text, ' ')) AS word
+               FROM documents WHERE doc_id < 10)
+             WHERE word <> ''),
+      terms AS (SELECT q.q_id, c.n_id, q.word, c.tf, f.df, d.dl
+                FROM qt q JOIN ctf c USING (word) JOIN dfw f USING (word)
+                JOIN dl d ON c.n_id = d.n_id),
+      sc AS (SELECT q_id, n_id,
+               ROUND(list_reduce(list_prepend(0.0, list(
+                 ln((CAST(nd - df AS DOUBLE) + 0.5) /
+                    (CAST(df AS DOUBLE) + 0.5) + 1.0)
+                 * ((CAST(tf AS DOUBLE) * 2.2) /
+                    (CAST(tf AS DOUBLE) + 1.2 * (0.25 + 0.75 *
+                      (CAST(dl AS DOUBLE) /
+                        (CAST(tok AS DOUBLE) / CAST(nd AS DOUBLE))))))
+                 ORDER BY word)), (a, b) -> a + b), 4) AS score
+             FROM terms CROSS JOIN st GROUP BY q_id, n_id),
+      lex20 AS (SELECT q_id, n_id, CAST(lr AS INT) AS lex_rank FROM (
+                  SELECT q_id, n_id, ROW_NUMBER() OVER (PARTITION BY q_id
+                    ORDER BY score DESC, n_id) AS lr FROM sc)
+                WHERE lr <= 20),
+      e AS (SELECT vec_id, label, embedding::DOUBLE[] v FROM embeddings),
+      n AS (SELECT vec_id, label, v, sqrt(${foldDot.format("v", "v")}) nrm FROM e),
+      q AS (SELECT vec_id q_id, v qv, nrm qn FROM n WHERE vec_id < 10),
+      ceven AS (SELECT vec_id n_id, label cl, v cv, nrm cn FROM n
+                WHERE vec_id >= 10 AND vec_id % 2 = 0),
+      codd AS (SELECT vec_id n_id, v cv, nrm cn FROM n
+               WHERE vec_id >= 10 AND vec_id % 2 <> 0),
+      cx AS (SELECT n_id, cl,
+               unnest(list_transform(cv, (x, i) -> {'pos': i - 1, 'x': x}),
+                 recursive := true)
+             FROM ceven),
+      cm AS (SELECT cl, pos,
+               list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                 list(x ORDER BY n_id)), (a, b) -> a + b) / COUNT(*) AS m
+             FROM cx GROUP BY cl, pos),
+      cents AS (SELECT cl, list(m ORDER BY pos) AS cv FROM cm
+                GROUP BY cl),
+      cnn AS (SELECT cl, cv, sqrt(${foldDot.format("cv", "cv")}) AS cn
+              FROM cents),
+      assign AS (SELECT n_id, cl, cv0 AS cv, cn0 AS cn FROM (
+            SELECT o.n_id, c.cl, o.cv AS cv0, o.cn AS cn0,
+              ROW_NUMBER() OVER (PARTITION BY o.n_id ORDER BY
+                ${foldDot.format("o.cv", "c.cv")} / (o.cn * c.cn) DESC,
+                c.cl) AS rk
+            FROM codd o CROSS JOIN cnn c) WHERE rk = 1),
+      posts AS (SELECT n_id, cl, cv, cn FROM ceven
+                UNION ALL SELECT n_id, cl, cv, cn FROM assign),
+      probe AS (SELECT q_id, cl,
+                  ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY
+                    ${foldDot.format("qv", "cv")} / (qn * cnn.cn) DESC, cl)
+                    AS probe_rank
+                FROM q CROSS JOIN cnn),
+      routed AS (SELECT q_id, cl FROM probe WHERE probe_rank <= 2),
+      pairs AS (SELECT n_id, cl AS cb,
+          ${foldDot.format("list_slice(pv, 1, 32)", "list_slice(pv, 1, 32)")}
+            - 2.0 * ${foldDot.format("list_slice(pv, 1, 32)", "list_slice(cents.cv, 1, 32)")}
+            + ${foldDot.format("list_slice(cents.cv, 1, 32)", "list_slice(cents.cv, 1, 32)")} AS d0,
+          ${foldDot.format("list_slice(pv, 33, 64)", "list_slice(pv, 33, 64)")}
+            - 2.0 * ${foldDot.format("list_slice(pv, 33, 64)", "list_slice(cents.cv, 33, 64)")}
+            + ${foldDot.format("list_slice(cents.cv, 33, 64)", "list_slice(cents.cv, 33, 64)")} AS d1
+        FROM (SELECT n_id, cv AS pv FROM posts) cc CROSS JOIN cents),
+      b0 AS (SELECT n_id, cb AS code0 FROM (
+               SELECT n_id, cb, ROW_NUMBER() OVER (PARTITION BY n_id
+                 ORDER BY d0, cb) rn FROM pairs) WHERE rn = 1),
+      b1 AS (SELECT n_id, cb AS code1 FROM (
+               SELECT n_id, cb, ROW_NUMBER() OVER (PARTITION BY n_id
+                 ORDER BY d1, cb) rn FROM pairs) WHERE rn = 1),
+      codes AS (SELECT b0.n_id, code0, code1 FROM b0 JOIN b1 USING (n_id)),
+      lut AS (SELECT q_id, cl AS cb,
+          ${foldDot.format("list_slice(qv, 1, 32)", "list_slice(qv, 1, 32)")}
+            - 2.0 * ${foldDot.format("list_slice(qv, 1, 32)", "list_slice(cents.cv, 1, 32)")}
+            + ${foldDot.format("list_slice(cents.cv, 1, 32)", "list_slice(cents.cv, 1, 32)")} AS d0,
+          ${foldDot.format("list_slice(qv, 33, 64)", "list_slice(qv, 33, 64)")}
+            - 2.0 * ${foldDot.format("list_slice(qv, 33, 64)", "list_slice(cents.cv, 33, 64)")}
+            + ${foldDot.format("list_slice(cents.cv, 33, 64)", "list_slice(cents.cv, 33, 64)")} AS d1
+        FROM q CROSS JOIN cents),
+      cand AS (SELECT r.q_id, posts.n_id, codes.code0, codes.code1
+               FROM routed r JOIN posts USING (cl)
+               JOIN codes ON codes.n_id = posts.n_id),
+      adc AS (SELECT cand.q_id, cand.n_id, l0.d0 + l1.d1 AS adc
+              FROM cand
+              JOIN lut l0 ON l0.q_id = cand.q_id AND l0.cb = cand.code0
+              JOIN lut l1 ON l1.q_id = cand.q_id AND l1.cb = cand.code1),
+      short AS (SELECT q_id, n_id FROM (
+                  SELECT q_id, n_id, ROW_NUMBER() OVER (
+                    PARTITION BY q_id ORDER BY adc, n_id) sr FROM adc)
+                WHERE sr <= 30),
+      ex AS (SELECT s2.q_id, s2.n_id,
+               ${foldDot.format("q.qv", "posts.cv")} / (q.qn * posts.cn) AS cosine
+             FROM short s2 JOIN posts ON posts.n_id = s2.n_id
+             JOIN q ON q.q_id = s2.q_id),
+      vec20 AS (SELECT q_id, n_id, CAST(vr AS INT) AS vec_rank FROM (
+                  SELECT q_id, n_id, ROW_NUMBER() OVER (PARTITION BY q_id
+                    ORDER BY cosine DESC, n_id) AS vr FROM ex)
+                WHERE vr <= 20),
+      pool AS (SELECT COALESCE(l.q_id, v.q_id) AS q_id,
+                 COALESCE(l.n_id, v.n_id) AS n_id, l.lex_rank, v.vec_rank
+               FROM lex20 l FULL OUTER JOIN vec20 v
+                 ON l.q_id = v.q_id AND l.n_id = v.n_id),
+      fused AS (SELECT q_id, n_id, lex_rank, vec_rank,
+                  COALESCE(1.0 / (60.0 + CAST(lex_rank AS DOUBLE)), 0.0)
+                  + COALESCE(1.0 / (60.0 + CAST(vec_rank AS DOUBLE)), 0.0)
+                    AS rrf
+                FROM pool),
+      r AS (SELECT q_id, n_id, lex_rank, vec_rank, rrf,
+              ROW_NUMBER() OVER (PARTITION BY q_id
+                ORDER BY rrf DESC, n_id) AS rnk
+            FROM fused)
+      SELECT q_id, n_id, lex_rank, vec_rank, rrf, CAST(rnk AS INT) AS rank
+      FROM r WHERE rnk <= 10 ORDER BY q_id, rank"""))
+
+  /** OPTIMIZE cadence UNDER DELETE TRAFFIC — [[s27]]'s maintain
+    * trigger re-proven on a TOMBSTONED store: three O(delta) grows
+    * push the postings family past the threshold, a delete lands
+    * tombstones over it, and `maintain` must DISPATCH to the
+    * MoR-aware compactor ([[graft.operators.AnnIndex
+    * .compactPostingsMoR]] — applying the tombstones physically and
+    * retiring them in the same atomic commit) instead of either
+    * raw-compacting (which would resurrect every deleted row — the
+    * structural guard refuses it) or silently deferring forever (the
+    * r12 behavior this entry closes: under continuous deletes the
+    * cadence would never fire and segment counts would grow without
+    * bound). The fixture REQUIRES maintain to report exactly the
+    * postings fold and the tombstones to be gone; the probe of the
+    * maintained store must hash-match the oracle's from-scratch
+    * recompute over the SURVIVING vectors — a resurrected or
+    * over-deleted row breaks the hash. */
+  val s29 = QueryDef(
+    "s29_maintain_mor",
+    (sp, dir) => {
+      val fp = graft.sources.IngestFixtures.fingerprint(s"$dir/embeddings.parquet")
+      val store = graft.sources.IngestFixtures.path(s"s29_store_$fp")
+      val qland = graft.sources.IngestFixtures.path(s"s29_q_$fp")
+      graft.sources.IngestFixtures.once(s"s29_$fp") {
+        import scala.reflect.io.Directory
+        Seq(store, qland).foreach(p =>
+          new Directory(new java.io.File(p)).deleteRecursively())
+        val embs = Tables(sp, dir, "embeddings")
+        val corpus0 = Similarity.prep(
+            embs.filter(col("vec_id") >= 10 && col("vec_id") % 4 === 0),
+            "vec_id", "embedding")
+          .join(embs.select(col("vec_id").as("id"), col("label")), "id")
+        graft.operators.AnnIndex.writeIvf(corpus0, "label", store)
+        (1L to 3L).foreach { r =>
+          graft.operators.AnnIndex.appendVectors(sp, store,
+            Similarity.prep(
+              embs.filter(col("vec_id") >= 10 && col("vec_id") % 4 === r),
+              "vec_id", "embedding"))
+        }
+        graft.operators.AnnIndex.deleteVectors(sp, store,
+          embs.select(col("vec_id").as("id"))
+            .filter(col("vec_id") >= 10 &&
+              pmod(col("vec_id"), lit(7L)) === 0))
+        val done = graft.operators.AnnIndex.maintain(sp, store, threshold = 3)
+        require(done.map(_._1) == Seq("postings"),
+          s"s29: maintain must dispatch the tombstoned postings to the " +
+            s"MoR fold, got $done")
+        require(graft.sources.TxLog.familySegments(store,
+            graft.sources.TxLog.DeletesFamily).isEmpty,
+          "s29: the MoR fold must retire the tombstones it applied")
+        graft.sources.IngestFixtures.addLandingFile(qland,
+          embs.filter(col("vec_id") < 10).select("vec_id", "embedding"),
+          "queries.parquet", 1700001800000L)
+      }
+      val queries = Similarity.prep(
+        sp.read.parquet(qland), "vec_id", "embedding")
+      graft.operators.AnnIndex.probeIvf(sp, store, queries,
+          k = 5, nProbe = 2)
+        .orderBy("q_id", "rank")
+    },
+    Some(s"""
+      WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] v FROM embeddings),
+      n AS (SELECT vec_id, label, v, sqrt(${foldDot.format("v", "v")}) nrm FROM e),
+      q AS (SELECT vec_id q_id, v qv, nrm qn FROM n WHERE vec_id < 10),
+      c0 AS (SELECT vec_id n_id, label cl, v cv, nrm cn FROM n
+             WHERE vec_id >= 10 AND vec_id % 4 = 0),
+      crest AS (SELECT vec_id n_id, v cv, nrm cn FROM n
+                WHERE vec_id >= 10 AND vec_id % 4 <> 0),
+      cx AS (SELECT n_id, cl,
+               unnest(list_transform(cv, (x, i) -> {'pos': i - 1, 'x': x}),
+                 recursive := true)
+             FROM c0),
+      cm AS (SELECT cl, pos,
+               list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                 list(x ORDER BY n_id)), (a, b) -> a + b) / COUNT(*) AS m
+             FROM cx GROUP BY cl, pos),
+      cents AS (SELECT cl, list(m ORDER BY pos) AS cv FROM cm
+                GROUP BY cl),
+      cn AS (SELECT cl, cv, sqrt(${foldDot.format("cv", "cv")}) AS cn
+             FROM cents),
+      assign AS (SELECT n_id, cl, cv0 AS cv, cn0 AS cn FROM (
+            SELECT o.n_id, c.cl, o.cv AS cv0, o.cn AS cn0,
+              ROW_NUMBER() OVER (PARTITION BY o.n_id ORDER BY
+                ${foldDot.format("o.cv", "c.cv")} / (o.cn * c.cn) DESC,
+                c.cl) AS rk
+            FROM crest o CROSS JOIN cn c) WHERE rk = 1),
+      posts AS (SELECT n_id, cl, cv, cn FROM c0
+                UNION ALL SELECT n_id, cl, cv, cn FROM assign),
+      live AS (SELECT n_id, cl, cv, cn FROM posts WHERE n_id % 7 <> 0),
+      probe AS (SELECT q_id, qv, qn, cl,
+                  ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY
+                    ${foldDot.format("qv", "cv")} / (qn * cn.cn) DESC, cl)
+                    AS probe_rank
+                FROM q CROSS JOIN cn),
+      routed AS (SELECT q_id, qv, qn, cl FROM probe WHERE probe_rank <= 2),
+      s AS (SELECT q_id, n_id, ${foldDot.format("qv", "cv")} / (qn * cn) AS cosine
+            FROM routed r JOIN live USING (cl)),
+      r AS (SELECT q_id, n_id, cosine,
+              ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosine DESC, n_id) rnk
+            FROM s)
+      SELECT q_id, n_id, cosine, CAST(rnk AS INT) AS rank
+      FROM r WHERE rnk <= 5 ORDER BY q_id, rank"""))
+
   val defs: Seq[QueryDef] = Seq(s01, s02, s03, s04, s05, s06, s07, s08,
     s09, s10, s11, s12, s13, s14, s15, s16, s17, s18, s19, s20, s21, s22,
-    s23, s24, s25, s26, s27)
+    s23, s24, s25, s26, s27, s28, s29)
 }

@@ -330,6 +330,11 @@ class PlanAuditSpec extends SparkSpec {
     // the same probeIvf routing as s15/s17/s19/s23 (queries × stored
     // centroids, broadcast, dimension-sized); its lexical arm is
     // equi-join-only (asserted by the dedicated s24 plan test below).
+    // s28's vector arm is s20/s26's declared IVFPQ shape (broadcast
+    // centroid routing + broadcast per-query ADC LUT over the stored
+    // families); its lexical arm is equi-join-only (dedicated s28
+    // plan test below). s29 probes the maintained store through the
+    // same probeIvf routing as s15/s17/s19/s23/s27.
     val allow = Set("s01_cosine_topk", "s03_ivf_ann", "s04_knn_classify",
       "s05_radius_search", "s06_recall_report", "s07_mips_topk",
       "s08_pq_encode", "s09_maxsim", "s10_ivf_recall",
@@ -337,7 +342,8 @@ class PlanAuditSpec extends SparkSpec {
       "s15_persisted_ivf", "s16_incremental_pq", "s17_ivf_append",
       "s19_ivf_compact", "s20_ivfpq_adc", "s21_hybrid_search",
       "s23_ivf_delete", "s24_stored_hybrid", "s26_ivfpq_append",
-      "s27_ivf_maintain", "q100_triangle_count")
+      "s27_ivf_maintain", "s28_ivfpq_hybrid", "s29_maintain_mor",
+      "q100_triangle_count")
     val offenders = sweptPlans.collect {
       case (name, Left(err)) => s"$name (build threw $err)"
       case (name, Right(p)) if !allow(name) &&
@@ -662,6 +668,43 @@ class PlanAuditSpec extends SparkSpec {
       "no corpus-proportional doc-length scan in the lexical arm")
     assert(p.contains("s24_text_") && p.contains("s24_ivf_"),
       "both persisted stores must appear in the scan set")
+  }
+
+  test("s28 IVFPQ hybrid: both arms stored-index-only, ADC codes partition-pruned") {
+    // s24's contract on the big-corpus vector arm: neither corpus
+    // parquet appears in any scan; the vector arm reads the pqposts
+    // code lists (partition-pruned) and touches full-precision
+    // postings only for the shortlist re-rank
+    val p = plan("s28_ivfpq_hybrid")
+    assert(!p.contains("documents.parquet"),
+      s"lexical arm must read the stored text index only:\n${p.take(2000)}")
+    assert(!p.contains("embeddings.parquet"),
+      s"vector arm must read the stored IVFPQ index only:\n${p.take(2000)}")
+    assert(p.contains("s28_text_") && p.contains("s28_pq_"),
+      "both persisted stores must appear in the scan set")
+    assert(p.contains("pqposts__"),
+      "the ADC stage must read the stored PQ code lists")
+  }
+
+  test("e51 data skipping: filter-disjoint segments are pruned before the scan") {
+    import org.apache.spark.sql.sources
+    // building the entry's plan lands its fixture; then audit the
+    // format relation the entry reads through
+    plan("e51_txlog_skipping")
+    val fp = graft.sources.IngestFixtures.fingerprint(s"$dir/orders.parquet")
+    val store = graft.sources.IngestFixtures.path(s"e51_store_$fp")
+    val rel = graft.sources.txlog.TxLogRelation(spark.sqlContext, store,
+      graft.sources.TxLog.latestVersion(store).get, None)
+    val kept = rel.keptSegments(Array(sources.EqualTo("ingest_day", 2L)))
+    assert(kept === Seq("write__seg000002"),
+      s"stats must prune three of four range-disjoint segments, got $kept")
+    val p = rel.scanDf(Array("o_orderstatus", "o_totalprice"),
+        Array(sources.EqualTo("ingest_day", 2L): sources.Filter))
+      .queryExecution.executedPlan.toString
+    Seq("write__seg000000", "write__seg000001", "write__seg000003")
+      .foreach(seg => assert(!p.contains(seg),
+        s"the scan opened stats-pruned segment $seg"))
+    assert(p.contains("write__seg000002"))
   }
 
   test("t18 keyness: one corpus-proportional shuffle, totals broadcast") {
