@@ -115,8 +115,8 @@ object Bench {
         "s24_stored_hybrid", "s25_text_delete", "s26_ivfpq_append",
         "s27_ivf_maintain", "e46_txlog_cdf", "e47_txlog_evolve",
         "e48_stream_cdf", "e49_stream_optimize", "e50_txlog_sql_dml",
-        "e51_txlog_skipping", "e52_txlog_vacuum", "s28_ivfpq_hybrid",
-        "s29_maintain_mor").foreach {
+        "e51_txlog_skipping", "e52_txlog_vacuum", "e53_stream_rate_limit",
+        "s28_ivfpq_hybrid", "s29_maintain_mor").foreach {
       n => SparkEntry.queries.get(n)
         .foreach(f => try f(spark, sfDir).count() catch { case _: Throwable => })
     }
@@ -192,6 +192,12 @@ object Bench {
     * the line budget; the overflow count still rides along. */
   private[graft] val MaxRetriedShown = 10
 
+  /** At most this many names in the `failed` array: any real failure
+    * count is single-digit, but an all-failed run (bad sfDir, broken
+    * build) must still emit a parseable line inside the driver tail —
+    * `failed_dropped` carries the overflow, bench_full.json the rest. */
+  private[graft] val MaxFailedShown = 50
+
   private def jsonLine(results: Seq[(String, Double, Boolean)],
       queried: Seq[(String, Double, Boolean)], sharedSec: Double,
       sfDir: String, keyOf: String => String,
@@ -207,9 +213,16 @@ object Bench {
       .mkString("{", ",", "}")
     // A failed query must not pass off its (near-zero) elapsed time
     // as a healthy run: the failure list rides in the same JSON line,
-    // over ALL results — never truncated with the per-query map.
-    val failed = results.collect { case (k, _, false) => "\"" + keyOf(k) + "\"" }
-      .mkString("[", ",", "]")
+    // over ALL results — capped only in the catastrophic many-failures
+    // case (an all-failed 270-entry run would alone blow the 2000-char
+    // driver tail; the overflow count rides along and bench_full.json
+    // names every failure).
+    val allFailed = results.collect { case (k, _, false) => keyOf(k) }
+    val failed = allFailed.take(MaxFailedShown)
+      .map("\"" + _ + "\"").mkString("[", ",", "]")
+    val failedOver =
+      if (allFailed.size <= MaxFailedShown) ""
+      else s""""failed_dropped":${allFailed.size - MaxFailedShown},"""
     val dropped =
       if (queried.size == results.size) ""
       else s""""queries_dropped":${results.size - queried.size},""" +
@@ -228,7 +241,7 @@ object Bench {
           else s""""retries_dropped":${retried.size - MaxRetriedShown},"""
         s""""retried":$shown,$over"""
       }
-    s"""{"metric":"total","value":${fmt(total)},"unit":"sec","shared_builds":${fmt(sharedSec)},$probe$retryField"queries":$qs,$dropped"failed":$failed,"sf":"$sfDir"}"""
+    s"""{"metric":"total","value":${fmt(total)},"unit":"sec","shared_builds":${fmt(sharedSec)},$probe$retryField"queries":$qs,$dropped$failedOver"failed":$failed,"sf":"$sfDir"}"""
   }
 
   /** The human/tooling side-file line: full names, full precision. */

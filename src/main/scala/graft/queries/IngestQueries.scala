@@ -2997,9 +2997,89 @@ object IngestQueries {
         CAST(1 AS BIGINT) AS pre_horizon_fails
       FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus"""))
 
+  /** Rate-limited streaming from the txlog table —
+    * `option("maxVersionsPerTrigger", 1)`, Delta's maxFilesPerTrigger
+    * shape through the engine's ADMISSION CONTROL surface
+    * ([[graft.sources.txlog.TxLogSource]] implements
+    * SupportsTriggerAvailableNow, so `Trigger.AvailableNow` now
+    * DRAINS the table in capped micro-batches instead of falling
+    * back to one unbounded batch — at 100 TB this bounds per-batch
+    * work however far behind a consumer fell). The fixture's history
+    * interleaves a compaction: appends v0/v1, OPTIMIZE v2
+    * (dataChange=false), appends v3/v4; with a 1-version cap the
+    * drain plans five spans, the maintenance-only span (1,2] is an
+    * EMPTY batch (offset advances, nothing emitted), and each data
+    * span's rows land tagged with their stream batch id — so the
+    * batch→version mapping (0→v0, 1→v1, 3→v3, 4→v4; batch 2 empty)
+    * is INSIDE the hash: a fallback-to-single-batch, an uncapped
+    * span, or a double-read of the compacted segment all break it.
+    * Determinism: counts + decimal money sums (§4), total ORDER
+    * BY. */
+  val e53 = QueryDef(
+    "e53_stream_rate_limit",
+    (sp, dir) => {
+      import graft.Dsl.moneySum
+      import graft.sources.TxLog
+      val fp = IngestFixtures.fingerprint(s"$dir/orders.parquet")
+      val store = IngestFixtures.path(s"e53_store_$fp")
+      val out = IngestFixtures.path(s"e53_out_$fp")
+      IngestFixtures.once(s"e53_$fp") {
+        import scala.reflect.io.Directory
+        Seq(store, out).foreach(p =>
+          new Directory(new java.io.File(p)).deleteRecursively())
+        Seq(store, out).foreach(p => new java.io.File(p).mkdirs())
+        val orders = Tables(sp, dir, "orders")
+          .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+        TxLog.appendBatch(                                       // v0
+          orders.filter(pmod(col("o_orderkey"), lit(4L)) === 0L), 0L, store)
+        TxLog.appendBatch(                                       // v1
+          orders.filter(pmod(col("o_orderkey"), lit(4L)) === 1L), 1L, store)
+        TxLog.compactMoR(sp, store, Seq("o_orderkey"))           // v2: OPTIMIZE
+        TxLog.appendBatch(                                       // v3
+          orders.filter(pmod(col("o_orderkey"), lit(4L)) === 2L), 2L, store)
+        TxLog.appendBatch(                                       // v4
+          orders.filter(pmod(col("o_orderkey"), lit(4L)) === 3L), 3L, store)
+        withFewStatePartitions(sp, 8) {
+          val q = sp.readStream.format("graft.sources.txlog")
+            .option("maxVersionsPerTrigger", 1).load(store)
+            .writeStream
+            .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+              TxLog.appendBatch(
+                b.withColumn("stream_batch", lit(id)).localCheckpoint(true),
+                id, out)
+              ()
+            }
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start()
+          q.awaitTermination()
+        }
+        require(TxLog.versions(out).size == 5,
+          s"e53: the capped drain must plan five micro-batches, got " +
+            s"${TxLog.versions(out).size}")
+      }
+      val latest = TxLog.latestVersion(out)
+        .getOrElse(sys.error(s"e53: empty result table $out"))
+      TxLog.snapshot(sp, out, latest)
+        .groupBy(col("stream_batch").as("batch"), col("o_orderstatus"))
+        .agg(count(lit(1)).as("n_rows"),
+          moneySum(col("o_totalprice")).as("sum_price"))
+        .orderBy("batch", "o_orderstatus")
+    },
+    Some("""
+      WITH fed AS (
+        SELECT CASE o_orderkey % 4 WHEN 0 THEN 0 WHEN 1 THEN 1
+                 WHEN 2 THEN 3 ELSE 4 END AS batch,
+               o_orderstatus, o_totalprice
+        FROM orders)
+      SELECT CAST(batch AS BIGINT) AS batch, o_orderstatus,
+        CAST(COUNT(*) AS BIGINT) AS n_rows,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+      FROM fed GROUP BY 1, 2 ORDER BY batch, o_orderstatus"""))
+
   val defs: Seq[QueryDef] =
     Seq(e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11, e12, e13,
       e14, e15, e16, e17, e18, e19, e20, e21, e22, e23, e24, e25, e26,
       e27, e28, e29, e30, e31, e32, e33, e34, e35, e36, e37, e38, e39,
-      e40, e41, e42, e43, e44, e45, e46, e47, e48, e49, e50, e51, e52)
+      e40, e41, e42, e43, e44, e45, e46, e47, e48, e49, e50, e51, e52,
+      e53)
 }

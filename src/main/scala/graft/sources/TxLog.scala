@@ -89,8 +89,15 @@ object TxLog {
     // a long-lived stream's redelivery check is O(CheckpointEvery)
     // manifest reads instead of replaying the whole history per batch
     val ever = foldEverAdded(tableDir, v)
+    // "liveV" = the live set WITH each segment's add version
+    // ("seg@version" — '@' is rejected in segment names): the fold
+    // base for MoR reads, which need sequencing information the plain
+    // "live" set forgets
+    val liveV = foldSegmentsWithVersion(tableDir, v)
+      .map { case (s, sv) => s"$s@$sv" }
     def arr(xs: Seq[String]) = xs.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val body = s"""{"version":$v,"live":${arr(live)},"ever":${arr(ever)}}"""
+    val body = s"""{"version":$v,"live":${arr(live)},"ever":${arr(ever)},""" +
+      s""""liveV":${arr(liveV)}}"""
     val tmp = d.resolve(s".tmp.ckpt.${java.util.UUID.randomUUID}")
     try {
       Files.write(tmp, body.getBytes(StandardCharsets.UTF_8))
@@ -121,7 +128,9 @@ object TxLog {
   def commit(tableDir: String, adds: Seq[String],
       removes: Seq[String] = Seq.empty, dataChange: Boolean = true): Int = {
     require(adds.nonEmpty || removes.nonEmpty, "empty commit")
-    val bad = (adds ++ removes).filter(s => s.contains("\"") || s.contains("/"))
+    // '@' is reserved as the checkpoint liveV separator
+    val bad = (adds ++ removes).filter(s =>
+      s.contains("\"") || s.contains("/") || s.contains("@"))
     require(bad.isEmpty, s"segment names must be simple dir names: $bad")
     val d = logDir(tableDir)
     Files.createDirectories(d)
@@ -313,22 +322,40 @@ object TxLog {
   // version still snapshot-readable.
 
   /** The live segments as of `asOf` WITH the version that added each —
-    * the sequencing information MoR reads need. Folds the manifest log
-    * from v0 (no checkpoint fast path: checkpoints store the folded
-    * SET, which forgets add versions; manifests are ~100-byte driver
-    * reads, so O(versions) here is noise). */
+    * the sequencing information MoR reads need. Folds from the newest
+    * checkpoint carrying a "liveV" array (the set plus add versions;
+    * older checkpoints predate the field and fall back to a full
+    * manifest replay), so the read cost is O(CheckpointEvery)
+    * manifests at any history length — the same discipline as
+    * [[liveSegments]]. */
   def liveSegmentsWithVersion(tableDir: String,
       asOf: Int): Seq[(String, Int)] = {
     val vs = versions(tableDir)
     require(vs.contains(asOf), s"version $asOf not in $vs")
+    foldSegmentsWithVersion(tableDir, asOf)
+  }
+
+  private def foldSegmentsWithVersion(tableDir: String,
+      asOf: Int): Seq[(String, Int)] = {
     val live = scala.collection.mutable.LinkedHashMap[String, Int]()
-    vs.filter(_ <= asOf).foreach { v =>
-      val body = new String(
-        Files.readAllBytes(logDir(tableDir).resolve(s"v$v.json")),
-        StandardCharsets.UTF_8)
-      jsonArr(body, "adds", s"manifest v$v in $tableDir")
-        .foreach(live += _ -> v)
-      jsonArr(body, "removes", s"manifest v$v in $tableDir").foreach { r =>
+    val base = checkpointVersions(tableDir).filter(_ <= asOf).reverse
+      .collectFirst(Function.unlift { bv =>
+        scala.util.Try {
+          val body = new String(Files.readAllBytes(
+            logDir(tableDir).resolve(s"ckpt-v$bv.json")),
+            StandardCharsets.UTF_8)
+          jsonArrOpt(body, "liveV").map(_.map { e =>
+            val at = e.lastIndexOf('@')
+            e.substring(0, at) -> e.substring(at + 1).toInt
+          })
+        }.toOption.flatten.map(bv -> _)
+      })
+    base.foreach { case (_, segs) => segs.foreach(live += _) }
+    versions(tableDir)
+      .filter(v => v <= asOf && base.forall(v > _._1)).foreach { v =>
+      val (adds, removes, _) = readManifest(tableDir, v)
+      adds.foreach(live += _ -> v)
+      removes.foreach { r =>
         require(live.contains(r), s"manifest v$v removes unknown segment $r")
         live -= r
       }
@@ -676,9 +703,13 @@ object TxLog {
     * table (foreachBatch already serializes a query's batches; two
     * CONCURRENT streams must target different tables or families).
     *
+    * `statsCols`: optionally record the segment's min/max sidecar
+    * ([[writeSegmentStats]]) so filtered reads can skip it — the
+    * streaming-ingest half of the format writer's `statsCols` option.
+    *
     * @return true if the batch was applied, false on redelivery. */
   def appendBatch(batch: org.apache.spark.sql.DataFrame, batchId: Long,
-      tableDir: String): Boolean = {
+      tableDir: String, statsCols: Seq[String] = Seq.empty): Boolean = {
     require(batchId >= 0, s"batchId must be >= 0, got $batchId")
     val seg = f"batch__$batchId%06d"
     // the redelivery test is "was batch__N EVER added in any
@@ -694,6 +725,7 @@ object TxLog {
     if (everAdded) false
     else {
       batch.write.mode("overwrite").parquet(s"$tableDir/$seg")
+      writeSegmentStats(batch.sparkSession, tableDir, seg, statsCols)
       commit(tableDir, adds = Seq(seg))
       true
     }

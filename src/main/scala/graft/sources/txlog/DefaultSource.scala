@@ -78,7 +78,9 @@ class DefaultSource extends RelationProvider
       parameters: Map[String, String]): org.apache.spark.sql.execution.streaming.Source =
     new TxLogSource(sqlContext, path(parameters),
       sourceSchema(sqlContext, schema, providerName, parameters)._2,
-      cdf = cdfMode(parameters))
+      cdf = cdfMode(parameters),
+      maxVersionsPerTrigger = parameters.get("maxVersionsPerTrigger")
+        .map(_.trim.toInt))
 
   private def path(parameters: Map[String, String]): String = {
     val p = parameters.getOrElse("path",
@@ -249,13 +251,49 @@ private[txlog] object StatsPrune {
   * still fails loudly in both modes — a history rewrite is not
   * expressible as change rows. */
 class TxLogSource(sqlContext: SQLContext, dir: String,
-    override val schema: StructType, cdf: Boolean = false)
-    extends org.apache.spark.sql.execution.streaming.Source {
+    override val schema: StructType, cdf: Boolean = false,
+    maxVersionsPerTrigger: Option[Int] = None)
+    extends org.apache.spark.sql.execution.streaming.Source
+    with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
+  import org.apache.spark.sql.connector.read.streaming.{
+    Offset => V2Offset, ReadLimit, ReadMaxFiles}
   import org.apache.spark.sql.execution.streaming.{Offset => V1Offset}
   import org.apache.spark.sql.execution.streaming.runtime.LongOffset
 
+  require(maxVersionsPerTrigger.forall(_ >= 1),
+    s"maxVersionsPerTrigger must be >= 1, got $maxVersionsPerTrigger")
+
   override def getOffset: Option[V1Offset] =
     TxLog.latestVersion(dir).map(v => LongOffset(v.toLong))
+
+  // ---- admission control: rate limiting + real Trigger.AvailableNow.
+  // maxVersionsPerTrigger caps each micro-batch at N manifest spans
+  // (Delta's maxFilesPerTrigger shape — bounds per-batch work however
+  // far behind the consumer fell), surfaced through the engine's
+  // ReadLimit so AvailableNow DRAINS the table in capped batches
+  // instead of falling back to one unbounded batch. AvailableNow pins
+  // its target version at prepare time: commits landing mid-drain
+  // wait for the next run (the engine's contract).
+
+  private var availableNowTarget: Option[Int] = None
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowTarget = TxLog.latestVersion(dir)
+
+  override def getDefaultReadLimit: ReadLimit =
+    maxVersionsPerTrigger.map(n => ReadLimit.maxFiles(n))
+      .getOrElse(ReadLimit.allAvailable())
+
+  override def latestOffset(start: V2Offset, limit: ReadLimit): V2Offset = {
+    val startV = Option(start).map(o => o.json.trim.toInt).getOrElse(-1)
+    val ceiling = availableNowTarget
+      .orElse(TxLog.latestVersion(dir)).getOrElse(-1)
+    val capped = limit match {
+      case mf: ReadMaxFiles => math.min(ceiling, startV + mf.maxFiles())
+      case _ => ceiling
+    }
+    if (capped <= startV) null else LongOffset(capped.toLong)
+  }
 
   // a restarted query replays the checkpointed JSON as SerializedOffset;
   // LongOffset.json is the bare number either way

@@ -34,6 +34,12 @@ class BenchLineSpec extends AnyFunSuite {
       assert(node.get("shared_builds").isNumber)
       assert(node.get("queries").isObject && node.get("failed").isArray)
       assert(node.get("sf").asText == sf)
+      // catastrophic all-failed runs cap the failed list with an exact
+      // overflow count instead of blowing the driver tail
+      val nFailed = node.get("failed").size +
+        Option(node.get("failed_dropped")).map(_.asInt).getOrElse(0)
+      assert(nFailed == rs.count(!_._3),
+        s"failed accounting wrong: ${line.takeRight(200)}")
     }
   }
 

@@ -321,6 +321,37 @@ class TxLogFormatSpec extends SparkSpec {
       .count() === 49)
   }
 
+  test("maxVersionsPerTrigger drains AvailableNow in capped micro-batches") {
+    import spark.implicits._
+    val t = freshTable()
+    (0 until 3).foreach(i =>
+      TxLog.appendBatch(Seq(i.toLong).toDF("id"), i.toLong, t))
+    val batches = new java.util.concurrent.ConcurrentHashMap[Long, Seq[Long]]()
+    def drain(): Unit = {
+      val q = spark.readStream.format(Fmt)
+        .option("maxVersionsPerTrigger", 1).load(t)
+        .writeStream
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+          batches.put(id, b.as[Long].collect().sorted.toSeq); ()
+        }
+        .option("checkpointLocation", s"$t-ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    drain()
+    // one micro-batch per version — no single-batch fallback
+    assert(batches.size === 3, s"expected 3 capped batches, got $batches")
+    (0 until 3).foreach(i =>
+      assert(batches.get(i.toLong) === Seq(i.toLong)))
+    // restart resumes at the checkpointed version, still capped
+    TxLog.appendBatch(Seq(7L, 8L).toDF("id"), 3L, t)
+    TxLog.appendBatch(Seq(9L).toDF("id"), 4L, t)
+    drain()
+    assert(batches.size === 5)
+    assert(batches.get(3L) === Seq(7L, 8L) && batches.get(4L) === Seq(9L))
+  }
+
   test("inconsistent tombstone key schemas fail auto-MoR inference loudly") {
     import spark.implicits._
     val t = freshTable()

@@ -317,11 +317,17 @@ class TxLogSpec extends SparkSpec {
       var batchId = 0L
       val states = scala.collection.mutable.Map.empty[Int, Vector[Long]]
       val nOps = 5 + rnd.nextInt(3)
-      (0 until nOps).foreach { _ =>
-        if (model.nonEmpty && rnd.nextInt(3) == 0) {
+      (0 until nOps).foreach { op =>
+        val dice = rnd.nextInt(6)
+        if (model.nonEmpty && dice == 0) {
           val ids = Seq.fill(1 + rnd.nextInt(4))(rnd.nextInt(30).toLong).distinct
           TxLog.commitDeletes(ids.toDF("id"), t)
           model = model.filterNot(ids.contains)
+        } else if (model.nonEmpty && dice == 1) {
+          // interleaved OPTIMIZE (dataChange=false): the model is
+          // unchanged — reads and change feeds must step over it
+          TxLog.compactMoR(spark, t, Seq("id"))
+          ()
         } else {
           val ids = Seq.fill(1 + rnd.nextInt(5))(rnd.nextInt(30).toLong)
           assert(TxLog.appendBatch(ids.toDF("id"), batchId, t))
@@ -343,7 +349,8 @@ class TxLogSpec extends SparkSpec {
             del("__dv") > ins("_commit_version"), "left_anti")
           .select("id").as[Long].collect().sorted.toSeq
         assert(folded === mor,
-          s"trial $trial v$v: CDF fold diverged from snapshotMoR")
+          s"trial $trial v$v: CDF fold diverged from snapshotMoR " +
+            "(maintenance commits must contribute no change rows)")
       }
     }
   }
@@ -409,6 +416,43 @@ class TxLogSpec extends SparkSpec {
     assert(e2.getMessage.contains("re-snapshot"))
     // the unaffected sub-span before the rewrite still reads
     assert(TxLog.changes(spark, t, 0, 1).as[Long].collect().toSeq === Seq(2L))
+  }
+
+  test("checkpointed liveV fold: add versions survive the checkpoint fast path") {
+    import spark.implicits._
+    val t = freshTable()
+    // 20 commits with deletes sprinkled, so the MoR sequencing (which
+    // version added each live segment) matters and crosses ckpt-v16
+    (0 until 20).foreach { i =>
+      // every 5th commit deletes the key appended just before it
+      if (i % 5 == 4) TxLog.commitDeletes(Seq((i - 1).toLong).toDF("id"), t)
+      else { assert(TxLog.appendBatch(Seq(i.toLong).toDF("id"), i.toLong, t)); () }
+    }
+    assert(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(t, "_txlog", "ckpt-v16.json")))
+    val latest = TxLog.latestVersion(t).get
+    // reference: replay every manifest (checkpoint-free) by hand
+    val ref = scala.collection.mutable.LinkedHashMap[String, Int]()
+    (0 to latest).foreach { v =>
+      val body = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(t, "_txlog", s"v$v.json")),
+        java.nio.charset.StandardCharsets.UTF_8)
+      def arr(name: String): Seq[String] =
+        s""""$name":\\[([^\\]]*)\\]""".r.findFirstMatchIn(body).get
+          .group(1).split(",").map(_.trim.stripPrefix("\"")
+            .stripSuffix("\"")).filter(_.nonEmpty).toSeq
+      arr("adds").foreach(ref += _ -> v)
+      arr("removes").foreach(ref -= _)
+    }
+    assert(TxLog.liveSegmentsWithVersion(t, latest) === ref.toSeq,
+      "the liveV checkpoint fold diverged from a full manifest replay")
+    // and the MoR read built on it stays correct (re-inserts survive)
+    assert(TxLog.appendBatch(Seq(3L).toDF("id"), 20L, t))
+    val got = TxLog.snapshotMoR(spark, t, TxLog.latestVersion(t).get,
+      Seq("id")).as[Long].collect().sorted.toSeq
+    val expect = ((0 until 20).filter(i => i % 5 != 4)
+      .map(_.toLong).filterNot(Seq(3L, 8L, 13L, 18L).contains) :+ 3L).sorted
+    assert(got === expect)
   }
 
   test("appendBatch: redelivery check rides the checkpoint's ever-added ledger") {
