@@ -59,6 +59,9 @@ import org.apache.spark.sql.types.{DataType, StructType}
   */
 object AnnIndex {
 
+  private def saturatingMul(a: Long, b: Long): Long =
+    if (a > 0 && b > 0 && a > Long.MaxValue / b) Long.MaxValue else a * b
+
   /** Routed-pair ceiling for the broadcast probe plan: below it the
     * routed (query × nProbe) frame broadcasts and drives dynamic
     * partition pruning; above it (large offline probe batches) the
@@ -250,7 +253,9 @@ object AnnIndex {
       .withColumn("probe_rank", row_number().over(wProbe))
       .filter(col("probe_rank") <= nProbe)
       .select("q_id", "qv", "qn", "cluster")
-    val nRouted = queryRows.map(_ * nProbe)
+    // hint, or the query plan's own LIMIT-derived bound (free to read)
+    val qBound = queryRows.orElse(queries.queryExecution.analyzed.maxRows)
+    val nRouted = qBound.map(r => saturatingMul(r, nProbe.toLong))
     val w = Window.partitionBy("q_id").orderBy(col("cosine").desc, col("n_id"))
     probeJoin(sp, routed, readPostings(sp, store), "cluster",
         nRouted, maxBroadcastRows)
@@ -423,13 +428,18 @@ object AnnIndex {
     * forever under continuous delete traffic. The MoR fold runs FIRST
     * (it retires the tombstones, so the families after it compact
     * under a clean store) and also bounds the deletes-family segment
-    * count, which the per-family threshold never sees. A tombstone-
-    * masked family maintain has no MoR compactor for (a generic data
-    * family on a store maintain doesn't know the keys of) is skipped
-    * — run [[graft.sources.TxLog.compactMoR]] with the table's keys.
-    * Each compaction is its own atomic commit; a crash between two
-    * leaves every family readable. Single-maintainer, like
-    * [[graft.sources.TxLog.vacuum]]. Returns (family,
+    * count, which the per-family threshold never sees. A tombstoned
+    * PLAIN table (every family ∈ batch/write/compact — appendBatch,
+    * the format writer, prior compactions) dispatches to
+    * [[graft.sources.TxLog.compactMoR]] with the keys read from the
+    * tombstone segments' own schema (a commitDeletes segment holds
+    * exactly the keys), refusing only when tombstone schemas disagree
+    * — so maintain is total over every store shape this library
+    * writes. A tombstone-masked family on a MIXED store maintain
+    * can't classify is skipped (never raw-compacted — the structural
+    * guard). Each compaction is its own atomic commit; a crash
+    * between two leaves every family readable. Single-maintainer,
+    * like [[graft.sources.TxLog.vacuum]]. Returns (family,
     * committedVersion) per compaction performed. */
   def maintain(sp: SparkSession, store: String,
       threshold: Int = graft.sources.TxLog.CheckpointEvery)
@@ -443,6 +453,7 @@ object AnnIndex {
       // postings first: its MoR fold retires the tombstones, so the
       // families compacted after it see an unmasked store
       .sortBy(f => (if (f == "postings") 0 else 1, f))
+    val plainTable = fams.forall(PlainTableFamilies)
     fams.flatMap { fam =>
       // segment lists re-read FRESH per family: an earlier MoR fold in
       // this very loop may have retired tombstones or folded a sibling
@@ -451,15 +462,30 @@ object AnnIndex {
         TxLog.familySegments(store, TxLog.DeletesFamily).nonEmpty
       if (segs.size <= threshold) None
       else if (tombstoned && !RawCompactSafeUnderDeletes(fam)) {
-        if (fam != "postings") None // no key knowledge — see scaladoc
-        else if (TxLog.familySegments(store, "stats").nonEmpty)
-          Some(fam -> TextIndex.compactIndexMoR(sp, store))
-        else Some(fam -> compactPostingsMoR(sp, store))
+        if (fam == "postings") {
+          if (TxLog.familySegments(store, "stats").nonEmpty)
+            Some(fam -> TextIndex.compactIndexMoR(sp, store))
+          else Some(fam -> compactPostingsMoR(sp, store))
+        } else if (plainTable) {
+          // whole-table fold, keys from the tombstones' own schema;
+          // compactMoR is safe ONLY here — on an index store it would
+          // merge sibling families into one segment
+          val keySets = TxLog
+            .familySegments(store, TxLog.DeletesFamily)
+            .map(s => sp.read.parquet(s"$store/$s").schema.fieldNames.toSeq)
+            .distinct
+          if (keySets.size != 1) None // ambiguous keys — operator's call
+          else Some(fam -> TxLog.compactMoR(sp, store, keySets.head))
+        } else None // mixed store, unknown family — see scaladoc
       }
       else Some(fam ->
         compactFamily(sp, store, fam, partitionColsOf(store, segs.head)))
     }
   }
+
+  /** The family names plain (non-index) txlog tables write — what
+    * [[maintain]] uses to recognize a store it may whole-table-fold. */
+  private val PlainTableFamilies = Set("batch", "write", "compact")
 
   // ---- PQ: build / read / encode ----
 
@@ -627,8 +653,9 @@ object AnnIndex {
         (graft.Dsl.dotFold(qS, qS) - lit(2.0) * graft.Dsl.dotFold(qS, cS)
           + graft.Dsl.dotFold(cS, cS)).as(s"d$s")
       }: _*)
+    val qBound = queryRows.orElse(queries.queryExecution.analyzed.maxRows)
     val cand = probeJoin(sp, routed, readPqPostings(sp, store), "cluster",
-      queryRows.map(_ * nProbe), maxBroadcastRows)
+      qBound.map(r => saturatingMul(r, nProbe.toLong)), maxBroadcastRows)
     val withAdc = (0 until m).foldLeft(cand) { (acc, s) =>
       acc.join(broadcast(lut.select(col("q_id"),
           col("cb").as(s"code$s"), col(s"d$s"))),
@@ -646,10 +673,11 @@ object AnnIndex {
     // full-precision fetch is a broadcast join over the partitioned
     // postings scan at any corpus size, not an AQE judgment call.
     val shortSide =
-      if (queryRows.forall(_ * shortlist <= maxBroadcastRows))
+      if (qBound.forall(r => saturatingMul(r, shortlist.toLong) <=
+          maxBroadcastRows))
         broadcast(short) else short
     val qSide =
-      if (queryRows.forall(_ <= maxBroadcastRows)) broadcast(q) else q
+      if (qBound.forall(_ <= maxBroadcastRows)) broadcast(q) else q
     shortSide
       .join(readPostings(sp, store), Seq("cluster", "n_id"))
       .join(qSide, "q_id")
@@ -737,7 +765,9 @@ object AnnIndex {
       .select(col("id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"),
         explode(array(col("bucket") +: (0 until nPlanes).map(i =>
           col("bucket").bitwiseXOR(lit(1L << i))): _*)).as("bucket"))
-    val nRouted = queryRows.map(_ * (nPlanes + 1))
+    val nRouted = queryRows
+      .orElse(queries.queryExecution.analyzed.maxRows)
+      .map(r => saturatingMul(r, (nPlanes + 1).toLong))
     val w = Window.partitionBy("q_id").orderBy(col("cosine").desc, col("n_id"))
     probeJoin(sp, probes, readLshBuckets(sp, store), "bucket",
         nRouted, maxBroadcastRows)

@@ -141,6 +141,23 @@ object TxLog {
     var attempt = 0
     while (true) {
       val v = versions(tableDir).lastOption.map(_ + 1).getOrElse(0)
+      // Conflict detection (Delta's commit validation reduced to its
+      // core): a remove must name a CURRENTLY-live segment. Without
+      // this, two racing maintenance commits removing the same
+      // segments would both install (the loser retries at the next
+      // version with stale removes) and POISON the log — every later
+      // fold would die on "removes unknown segment". Validated against
+      // the head we're about to succeed; a lost link race re-validates
+      // on retry, so the install point stays the serialization point.
+      if (removes.nonEmpty) {
+        val live =
+          if (v == 0) Set.empty[String] else foldSegments(tableDir, v - 1).toSet
+        val stale = removes.filterNot(live)
+        require(stale.isEmpty,
+          s"commit to $tableDir conflicts with a concurrent writer: " +
+            s"removes $stale are not live at v${v - 1} — re-read the " +
+            "table and retry the operation")
+      }
       val body =
         s"""{"version":$v,"adds":${arr(adds)},"removes":${arr(removes)}$dcField}"""
       val tmp = d.resolve(s".tmp.${java.util.UUID.randomUUID}")

@@ -483,7 +483,17 @@ class AnnIndexSpec extends SparkSpec {
       AnnIndex.compactFamily(spark, store, "batch", Seq.empty)
     }
     assert(e.getMessage.contains("resurrect"))
-    // maintain skips it rather than raw-compacting (no key knowledge)
+    // maintain recognizes the PLAIN table shape and whole-table-folds
+    // it through compactMoR with keys from the tombstone schema
+    val done = AnnIndex.maintain(spark, store, threshold = 1)
+    assert(done.map(_._1) === Seq("batch"),
+      s"plain tombstoned table must dispatch to compactMoR, got $done")
+    assert(TxLog.familySegments(store, TxLog.DeletesFamily).isEmpty)
+    val rows = TxLog.snapshot(spark, store,
+        TxLog.latestVersion(store).get)
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(rows === Seq(2L, 3L), "the fold must apply the tombstone")
+    // idempotent: one compact segment, nothing over threshold
     assert(AnnIndex.maintain(spark, store, threshold = 1).isEmpty)
   }
 

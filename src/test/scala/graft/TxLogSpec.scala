@@ -35,16 +35,21 @@ class TxLogSpec extends SparkSpec {
     assert(ids(1) === Seq(1L, 2L, 3L)) // ...but still readable at v1
   }
 
-  test("removing an unknown segment fails loudly") {
+  test("removing an unknown segment fails loudly AT COMMIT TIME") {
     val t = freshTable()
     writeSeg(t, "a", Seq(1L))
     TxLog.commit(t, Seq("a"))
     TxLog.commit(t, Seq.empty, removes = Seq("a"))
-    // v1 removed 'a'; removing it again (or a typo) must not silently
-    // no-op — the manifest fold rejects it at read time.
-    TxLog.commit(t, Seq.empty, removes = Seq("a"))
-    val e = intercept[RuntimeException](TxLog.liveSegments(t, 2))
-    assert(e.getMessage.contains("removes unknown segment"))
+    // v1 removed 'a'; removing it again (a stale concurrent compactor,
+    // or a typo) must be REFUSED before the manifest installs — a
+    // committed double-remove would poison every later fold of the log
+    val e = intercept[IllegalArgumentException](
+      TxLog.commit(t, Seq.empty, removes = Seq("a")))
+    assert(e.getMessage.contains("concurrent writer"))
+    // the log stays fully readable after the refused commit
+    assert(TxLog.latestVersion(t).get === 1)
+    assert(TxLog.liveSegments(t, 1).isEmpty)
+    assert(TxLog.liveSegments(t, 0) === Seq("a"))
   }
 
   test("unknown version and empty commit are rejected") {
