@@ -116,7 +116,7 @@ object Bench {
         "s27_ivf_maintain", "e46_txlog_cdf", "e47_txlog_evolve",
         "e48_stream_cdf", "e49_stream_optimize", "e50_txlog_sql_dml",
         "e51_txlog_skipping", "e52_txlog_vacuum", "e53_stream_rate_limit",
-        "s28_ivfpq_hybrid", "s29_maintain_mor").foreach {
+        "s28_ivfpq_hybrid", "s29_maintain_mor", "d25_index_delete").foreach {
       n => SparkEntry.queries.get(n)
         .foreach(f => try f(spark, sfDir).count() catch { case _: Throwable => })
     }

@@ -433,9 +433,11 @@ object AnnIndex {
     * the format writer, prior compactions) dispatches to
     * [[graft.sources.TxLog.compactMoR]] with the keys read from the
     * tombstone segments' own schema (a commitDeletes segment holds
-    * exactly the keys), refusing only when tombstone schemas disagree
-    * — so maintain is total over every store shape this library
-    * writes. A tombstone-masked family on a MIXED store maintain
+    * exactly the keys), refusing only when tombstone schemas disagree;
+    * a tombstoned DEDUP store (families banded/pairs/docs) dispatches
+    * to [[DedupIndex.compactStoreMoR]] — so maintain is total over
+    * every store shape this library writes. A tombstone-masked family
+    * on a MIXED store maintain
     * can't classify is skipped (never raw-compacted — the structural
     * guard). Each compaction is its own atomic commit; a crash
     * between two leaves every family readable. Single-maintainer,
@@ -466,6 +468,10 @@ object AnnIndex {
           if (TxLog.familySegments(store, "stats").nonEmpty)
             Some(fam -> TextIndex.compactIndexMoR(sp, store))
           else Some(fam -> compactPostingsMoR(sp, store))
+        } else if (fams.forall(DedupStoreFamilies)) {
+          // the dedup index's three families fold together (a pair
+          // dies with either endpoint, so they must move as one)
+          Some(fam -> DedupIndex.compactStoreMoR(sp, store))
         } else if (plainTable) {
           // whole-table fold, keys from the tombstones' own schema;
           // compactMoR is safe ONLY here — on an index store it would
@@ -486,6 +492,10 @@ object AnnIndex {
   /** The family names plain (non-index) txlog tables write — what
     * [[maintain]] uses to recognize a store it may whole-table-fold. */
   private val PlainTableFamilies = Set("batch", "write", "compact")
+
+  /** The [[DedupIndex]] store's family set — recognized by [[maintain]]
+    * so a tombstoned dedup store dispatches to its MoR compactor. */
+  private val DedupStoreFamilies = Set("banded", "pairs", "docs")
 
   // ---- PQ: build / read / encode ----
 

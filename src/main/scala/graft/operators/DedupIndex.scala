@@ -51,6 +51,49 @@ object DedupIndex {
     sp.read.parquet(segs.map(s => s"$store/$s"): _*)
   }
 
+  /** Live tombstones as (__del_id, __dv), or None when the store has
+    * never seen a delete (zero plan overhead then) — doc_id-keyed,
+    * [[AnnIndex]]'s shape. */
+  private def liveDeletes(sp: SparkSession, store: String)
+      : Option[DataFrame] = {
+    val latest = TxLog.latestVersion(store)
+      .getOrElse(sys.error(s"store $store has no commits"))
+    val segs = TxLog.liveSegmentsWithVersion(store, latest)
+      .filter(_._1.startsWith(s"${TxLog.DeletesFamily}__"))
+    if (segs.isEmpty) None
+    else Some(segs.map { case (s, v) =>
+      sp.read.parquet(s"$store/$s")
+        .select(col("doc_id").as("__del_id")).withColumn("__dv", lit(v))
+    }.reduce(_.unionByName(_)))
+  }
+
+  /** A family read with the version-aware MoR subtraction on each of
+    * `idCols`: a tombstone kills only rows from segments committed
+    * BEFORE it (re-ingested docs revive), and a PAIR dies when EITHER
+    * endpoint died — so the pairs read applies the anti-join once per
+    * id column. The tombstone side is deleted-keys-sized and
+    * broadcast; with no live tombstones this is exactly the plain
+    * family read. */
+  private def readFamilyMoR(sp: SparkSession, store: String,
+      family: String, idCols: Seq[String]): DataFrame =
+    liveDeletes(sp, store) match {
+      case None => readFamily(sp, store, family)
+      case Some(dels) =>
+        val latest = TxLog.latestVersion(store).get
+        val segs = TxLog.liveSegmentsWithVersion(store, latest)
+          .filter(_._1.startsWith(s"${family}__"))
+        require(segs.nonEmpty, s"store $store has no live '$family' segments")
+        val data = segs.map { case (s, v) =>
+          sp.read.parquet(s"$store/$s").withColumn("__v", lit(v))
+        }.reduce(_.unionByName(_))
+        idCols.foldLeft(data) { (df, c) =>
+          val d = dels.select(col("__del_id").as(s"__del_$c"),
+            col("__dv").as(s"__dv_$c"))
+          df.join(broadcast(d), df(c) === d(s"__del_$c") &&
+            d(s"__dv_$c") > df("__v"), "left_anti")
+        }.drop("__v")
+    }
+
   /** Build and persist the index for a (first or rebuilt) corpus
     * installment, committed as ONE txlog version (a rebuild on a live
     * store commits replacement segments). Returns the store path. */
@@ -71,21 +114,60 @@ object DedupIndex {
       .write.mode("overwrite").parquet(s"$store/$pSeg")
     docs.select(col(idCol).as("doc_id"))
       .write.mode("overwrite").parquet(s"$store/$dSeg")
+    // a full rebuild replaces the postings the tombstones applied to —
+    // retire them in the same commit (writeIvf's rule)
     TxLog.commit(store, adds = Seq(bSeg, pSeg, dSeg),
       removes = TxLog.familySegments(store, "banded") ++
         TxLog.familySegments(store, "pairs") ++
-        TxLog.familySegments(store, "docs"))
+        TxLog.familySegments(store, "docs") ++
+        TxLog.familySegments(store, TxLog.DeletesFamily))
     store
   }
 
   def readBanded(sp: SparkSession, store: String): DataFrame =
-    readFamily(sp, store, "banded")
+    readFamilyMoR(sp, store, "banded", Seq("doc_id"))
 
   def readPairs(sp: SparkSession, store: String): DataFrame =
-    readFamily(sp, store, "pairs")
+    readFamilyMoR(sp, store, "pairs", Seq("d1", "d2"))
 
   def readDocs(sp: SparkSession, store: String): DataFrame =
-    readFamily(sp, store, "docs")
+    readFamilyMoR(sp, store, "docs", Seq("doc_id"))
+
+  /** Tombstone-delete indexed documents by id — the dedup twin of
+    * [[AnnIndex.deleteVectors]] / [[TextIndex.deleteDocs]], completing
+    * the delete verb across ALL FOUR persisted index families: the
+    * doomed ids land as ONE keys-only segment behind one commit —
+    * O(deleted ids), zero index rows rewritten. Every read subtracts
+    * them version-aware: the doc's banded keys stop matching probes,
+    * its registry row disappears, and every CANDIDATE PAIR touching it
+    * dies (either endpoint dead kills the pair) — while a later
+    * re-ingest of the same id revives through a newer segment.
+    * `ids`: one column of doc ids. */
+  def deleteDocs(sp: SparkSession, store: String, ids: DataFrame): Unit = {
+    TxLog.commitDeletes(
+      ids.select(col(ids.columns.head).as("doc_id")).distinct(), store)
+    ()
+  }
+
+  /** Apply the tombstones physically — the store's MoR OPTIMIZE
+    * ([[AnnIndex.compactPostingsMoR]]'s discipline on all three
+    * families at once): fold the tombstone-subtracted banded / pairs /
+    * docs rows into one segment each and retire every old segment plus
+    * the tombstones in ONE atomic commit (dataChange=false — the
+    * subtracted reads are unchanged, incremental consumers step over).
+    * Prior versions stay snapshot-readable. Returns the version. */
+  def compactStoreMoR(sp: SparkSession, store: String): Int = {
+    val old = Seq("banded", "pairs", "docs", TxLog.DeletesFamily)
+      .flatMap(TxLog.familySegments(store, _))
+    val bSeg = segName(store, "banded")
+    val pSeg = segName(store, "pairs")
+    val dSeg = segName(store, "docs")
+    readBanded(sp, store).write.mode("overwrite").parquet(s"$store/$bSeg")
+    readPairs(sp, store).write.mode("overwrite").parquet(s"$store/$pSeg")
+    readDocs(sp, store).write.mode("overwrite").parquet(s"$store/$dSeg")
+    TxLog.commit(store, adds = Seq(bSeg, pSeg, dSeg), removes = old,
+      dataChange = false)
+  }
 
   /** The banded LSH keys of an arriving installment. */
   def bandNew(newDocs: DataFrame, idCol: String, textCol: String,

@@ -1332,7 +1332,65 @@ object DedupQueries {
       ORDER BY b.doc_id"""
     })
 
+  /** DELETE on the persisted dedup index — the verb that completes
+    * row-level deletes across ALL FOUR stored index families (IVF
+    * s23, text s25, IVFPQ via s23's tombstones, and now the MinHash/
+    * LSH store): [[graft.operators.DedupIndex.deleteDocs]] commits
+    * the doomed ids as ONE keys-only tombstone segment — O(deleted
+    * ids), zero index rows rewritten — and every read subtracts them
+    * with the version-aware MoR anti-join: the doc's banded keys stop
+    * matching probes, its registry row disappears, and every
+    * CANDIDATE PAIR touching it dies (either endpoint dead kills the
+    * pair — the two-sided subtraction naive MoR misses), while a
+    * later re-ingest revives through newer segments (spec-proven).
+    * The entry reads the TOMBSTONED store's pair set into per-doc
+    * partner counts over the surviving registry; the oracle
+    * recomputes the full MinHash(16)+LSH(4×4) chain from scratch and
+    * keeps only pairs whose BOTH endpoints survive — over-deletion
+    * (a one-sided subtraction) or resurrection both break the hash.
+    * Determinism: exact integer chain, counts, total ORDER BY. */
+  val d25 = QueryDef(
+    "d25_index_delete",
+    (sp, dir) => {
+      val fp = graft.sources.IngestFixtures.fingerprint(s"$dir/documents.parquet")
+      val store = graft.sources.IngestFixtures.path(s"d25_store_$fp")
+      graft.sources.IngestFixtures.once(s"d25_$fp") {
+        import scala.reflect.io.Directory
+        new Directory(new java.io.File(store)).deleteRecursively()
+        val docs = Tables(sp, dir, "documents")
+        graft.operators.DedupIndex.write(
+          docs.filter(col("doc_id") % 2 === 0), "doc_id", "text",
+          shingleN = 3, k = 16, bands = 4, rows = 4, store)
+        graft.operators.DedupIndex.installAppended(sp, store,
+          docs.filter(col("doc_id") % 2 =!= 0), "doc_id", "text",
+          shingleN = 3, k = 16, bands = 4, rows = 4)
+        graft.operators.DedupIndex.deleteDocs(sp, store,
+          docs.select("doc_id").filter(pmod(col("doc_id"), lit(7L)) === 0))
+      }
+      val cands = graft.operators.DedupIndex.readPairs(sp, store)
+      val partners = cands.select(col("d1").as("doc_id"))
+        .unionAll(cands.select(col("d2").as("doc_id")))
+        .groupBy("doc_id").agg(count(lit(1)).as("n_candidates"))
+      graft.operators.DedupIndex.readDocs(sp, store)
+        .join(partners, Seq("doc_id"), "left_outer")
+        .select(col("doc_id"),
+          coalesce(col("n_candidates"), lit(0L)).as("n_candidates"))
+        .orderBy("doc_id")
+    },
+    Some(s"""
+      WITH $shingleHashSql,
+      $minhashCandSql,
+      live AS (SELECT d1, d2 FROM cands
+               WHERE d1 % 7 <> 0 AND d2 % 7 <> 0),
+      partners AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) n FROM (
+          SELECT d1 AS doc_id FROM live UNION ALL SELECT d2 FROM live)
+        GROUP BY doc_id)
+      SELECT d.doc_id, COALESCE(p.n, 0) AS n_candidates
+      FROM documents d LEFT JOIN partners p ON d.doc_id = p.doc_id
+      WHERE d.doc_id % 7 <> 0
+      ORDER BY d.doc_id"""))
+
   val defs: Seq[QueryDef] =
     Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13,
-      d14, d15, d16, d17, d18, d19, d20, d21, d22, d23, d24)
+      d14, d15, d16, d17, d18, d19, d20, d21, d22, d23, d24, d25)
 }

@@ -124,6 +124,72 @@ class DedupIndexSpec extends SparkSpec {
       .collect().map(_.toSeq).toSet === beforeRows)
   }
 
+  test("deleteDocs: tombstones kill banded keys, registry rows, and pairs touching the doc") {
+    val store = tmpStore("del")
+    DedupIndex.write(corpus.filter(col("doc_id") % 2 === 0),
+      "doc_id", "text", 3, 16, 4, 4, store)
+    DedupIndex.installAppended(spark, store,
+      corpus.filter(col("doc_id") % 2 =!= 0), "doc_id", "text", 3, 16, 4, 4)
+    val before = DedupIndex.readPairs(spark, store)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(before.exists(p => p._1 == 1L || p._2 == 1L),
+      "fixture must give doc 1 candidate partners")
+    DedupIndex.deleteDocs(spark, store, Seq(1L).toDF("doc_id"))
+    // pairs touching doc 1 die with it; others survive untouched
+    val after = DedupIndex.readPairs(spark, store)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(after === before.filterNot(p => p._1 == 1L || p._2 == 1L))
+    assert(DedupIndex.readBanded(spark, store)
+      .filter(col("doc_id") === 1L).count() === 0L)
+    assert(DedupIndex.readDocs(spark, store)
+      .filter(col("doc_id") === 1L).count() === 0L)
+    // re-ingest revives: the new install's segments postdate the
+    // tombstone, and its probe regenerates doc 1's pairs
+    DedupIndex.installAppended(spark, store,
+      corpus.filter(col("doc_id") === 1L), "doc_id", "text", 3, 16, 4, 4)
+    val revived = DedupIndex.readPairs(spark, store)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(revived === before, "re-ingest must regenerate the doc's pairs")
+    // raw compactFamily is refused while tombstoned (structural guard)
+    DedupIndex.deleteDocs(spark, store, Seq(2L).toDF("doc_id"))
+    val guard = intercept[IllegalArgumentException] {
+      graft.operators.AnnIndex.compactFamily(spark, store, "pairs", Seq.empty)
+    }
+    assert(guard.getMessage.contains("resurrect"))
+    // the MoR compactor folds all three families + retires tombstones
+    // in ONE commit; reads are bit-identical after
+    val expect = DedupIndex.readPairs(spark, store)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val cv = DedupIndex.compactStoreMoR(spark, store)
+    val live = graft.sources.TxLog.liveSegments(store, cv)
+    assert(live.count(_.startsWith("banded__")) === 1)
+    assert(live.count(_.startsWith("pairs__")) === 1)
+    assert(live.count(_.startsWith("docs__")) === 1)
+    assert(!live.exists(_.startsWith("deletes__")))
+    assert(DedupIndex.readPairs(spark, store)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet === expect)
+  }
+
+  test("maintain dispatches a tombstoned dedup store to compactStoreMoR") {
+    val store = tmpStore("maintain")
+    DedupIndex.write(corpus.filter(col("doc_id") % 2 === 0),
+      "doc_id", "text", 3, 16, 4, 4, store)
+    DedupIndex.installAppended(spark, store,
+      corpus.filter(col("doc_id") % 2 =!= 0), "doc_id", "text", 3, 16, 4, 4)
+    DedupIndex.deleteDocs(spark, store, Seq(0L).toDF("doc_id"))
+    val expect = DedupIndex.readPairs(spark, store)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val done = graft.operators.AnnIndex.maintain(spark, store, threshold = 1)
+    assert(done.size === 1 && Set("banded", "docs", "pairs")(done.head._1),
+      s"tombstoned dedup store must fold once through compactStoreMoR, got $done")
+    assert(graft.sources.TxLog.familySegments(store,
+      graft.sources.TxLog.DeletesFamily).isEmpty)
+    assert(DedupIndex.readPairs(spark, store)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet === expect)
+    assert(graft.operators.AnnIndex.maintain(spark, store,
+      threshold = 1).isEmpty, "idempotent after the fold")
+  }
+
   test("d21 entry plan reads the store and landing file, never documents.parquet") {
     val df = Catalog.byName("d21_persisted_index")
       .build(spark, "/root/testdata/sf0.001")
