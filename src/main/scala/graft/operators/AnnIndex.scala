@@ -224,6 +224,9 @@ object AnnIndex {
     val seg = segName(store, "postings")
     readPostings(sp, store).write.mode("overwrite").partitionBy("cluster")
       .parquet(s"$store/$seg")
+    // carry any recorded stats forward (tombstone subtraction only
+    // shrinks ranges, so the union of old ranges stays sound)
+    TxLog.mergeSegmentStats(store, old, seg)
     // dataChange=false: the tombstone-subtracted snapshot is unchanged
     // (deletes were the data commits); incremental readers step over it
     TxLog.commit(store, adds = Seq(seg), removes = old, dataChange = false)
@@ -388,6 +391,10 @@ object AnnIndex {
     val w = rows.write.mode("overwrite")
     (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
       .parquet(s"$store/$seg")
+    // carry any recorded stats forward — a compacted segment must stay
+    // as prunable as the installments it folded (the merged rows are
+    // exactly their union, so the union of ranges is the true range)
+    TxLog.mergeSegmentStats(store, old, seg)
     // maintenance, not data — incremental consumers step over it
     TxLog.commit(store, adds = Seq(seg), removes = old, dataChange = false)
   }

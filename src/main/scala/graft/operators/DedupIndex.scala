@@ -165,6 +165,12 @@ object DedupIndex {
     readBanded(sp, store).write.mode("overwrite").parquet(s"$store/$bSeg")
     readPairs(sp, store).write.mode("overwrite").parquet(s"$store/$pSeg")
     readDocs(sp, store).write.mode("overwrite").parquet(s"$store/$dSeg")
+    // per-family stats carry-forward (sound: MoR subtraction only
+    // shrinks ranges; merging per family keeps ranges family-local)
+    Seq("banded" -> bSeg, "pairs" -> pSeg, "docs" -> dSeg).foreach {
+      case (fam, seg) =>
+        TxLog.mergeSegmentStats(store, TxLog.familySegments(store, fam), seg)
+    }
     TxLog.commit(store, adds = Seq(bSeg, pSeg, dSeg), removes = old,
       dataChange = false)
   }

@@ -257,6 +257,10 @@ object TextIndex {
         coalesce(sum("dl"), lit(0L)).as("tok"))
       .write.mode("overwrite").parquet(s"$store/$sSeg")
     survivors.unpersist()
+    // per-family stats carry-forward (sound: MoR subtraction only
+    // shrinks ranges; merging per family keeps ranges family-local)
+    TxLog.mergeSegmentStats(store, TxLog.familySegments(store, "postings"), pSeg)
+    TxLog.mergeSegmentStats(store, TxLog.familySegments(store, "stats"), sSeg)
     // maintenance: postings minus tombstones and the recomputed stats
     // describe the same logical index — incremental readers step over
     TxLog.commit(store, adds = Seq(pSeg, sSeg), removes = old,

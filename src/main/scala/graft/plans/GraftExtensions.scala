@@ -34,6 +34,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // HOF dot-product pattern -> native DotFold kernel (exact rewrite)
     ext.injectOptimizerRule(_ => RewriteDotFold)
 
+    // SQL DELETE FROM + VERSION AS OF on graft-txlog catalog tables
+    // (delegating parser: every other statement passes through intact)
+    ext.injectParser((session, delegate) =>
+      new GraftSqlParser(session, delegate))
+
     // custom whole-operator: logical AsOfJoinNode -> AsOfJoinExec
     ext.injectPlannerStrategy(_ => AsOfJoinStrategy)
 

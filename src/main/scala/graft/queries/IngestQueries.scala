@@ -3076,10 +3076,73 @@ object IngestQueries {
         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
       FROM fed GROUP BY 1, 2 ORDER BY batch, o_orderstatus"""))
 
+  /** Stats survive OPTIMIZE — the composition e51 (data skipping) and
+    * e49/e20 (compaction cadence) individually proved but did not yet
+    * compose: every compaction verb now CARRIES the retired segments'
+    * min/max sidecars forward as a conservative range union
+    * ([[graft.sources.TxLog.mergeSegmentStats]] — a driver-side fold
+    * over tiny JSON sidecars, no data read), so a compacted segment is
+    * exactly as prunable as the installments it folded. The fixture
+    * interleaves the verbs: two stats-tracked ingest days, an OPTIMIZE
+    * (`compactMoR`), two more stats-tracked days. The entry probes one
+    * FOLDED day (only the compacted segment may be scanned — both
+    * post-compaction segments prune) and one FRESH day (the compacted
+    * segment itself prunes: its merged range ends at day 1) — so a
+    * compactor that dropped or widened the sidecar breaks the plan
+    * audit, and one that NARROWED it wrongly breaks the hash. At
+    * 100 TB this is the difference between OPTIMIZE quietly ending
+    * data skipping on all folded history and the two features
+    * composing. Determinism: counts + decimal money sums (§4), total
+    * ORDER BY. */
+  val e54 = QueryDef(
+    "e54_compact_stats",
+    (sp, dir) => {
+      import graft.Dsl.moneySum
+      val fmt = "graft.sources.txlog"
+      val fp = IngestFixtures.fingerprint(s"$dir/orders.parquet")
+      val store = IngestFixtures.path(s"e54_store_$fp")
+      IngestFixtures.once(s"e54_$fp") {
+        import scala.reflect.io.Directory
+        new Directory(new java.io.File(store)).deleteRecursively()
+        val orders = Tables(sp, dir, "orders")
+          .select(col("o_orderkey"), col("o_orderstatus"),
+            col("o_totalprice"),
+            pmod(col("o_orderkey"), lit(4L)).as("ingest_day"))
+        def land(d: Long): Unit =
+          orders.filter(col("ingest_day") === d)
+            .write.format(fmt).option("statsCols", "ingest_day,o_orderkey")
+            .mode(org.apache.spark.sql.SaveMode.Append).save(store)
+        land(0L); land(1L)                                        // v0, v1
+        graft.sources.TxLog.compactMoR(sp, store, Seq("o_orderkey")) // v2
+        land(2L); land(3L)                                        // v3, v4
+      }
+      val t = sp.read.format(fmt).load(store)
+      def probe(d: Long, tag: String) =
+        t.filter(col("ingest_day") === d)
+          .groupBy("o_orderstatus")
+          .agg(count(lit(1)).as("n_rows"),
+            moneySum(col("o_totalprice")).as("sum_price"))
+          .withColumn("probe", lit(tag))
+      probe(1L, "folded_day").unionByName(probe(3L, "fresh_day"))
+        .select("probe", "o_orderstatus", "n_rows", "sum_price")
+        .orderBy("probe", "o_orderstatus")
+    },
+    Some("""
+      WITH probes AS (
+        SELECT 'folded_day' AS probe, o_orderstatus, o_totalprice
+        FROM orders WHERE o_orderkey % 4 = 1
+        UNION ALL
+        SELECT 'fresh_day', o_orderstatus, o_totalprice
+        FROM orders WHERE o_orderkey % 4 = 3)
+      SELECT probe, o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n_rows,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+      FROM probes GROUP BY probe, o_orderstatus
+      ORDER BY probe, o_orderstatus"""))
+
   val defs: Seq[QueryDef] =
     Seq(e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11, e12, e13,
       e14, e15, e16, e17, e18, e19, e20, e21, e22, e23, e24, e25, e26,
       e27, e28, e29, e30, e31, e32, e33, e34, e35, e36, e37, e38, e39,
       e40, e41, e42, e43, e44, e45, e46, e47, e48, e49, e50, e51, e52,
-      e53)
+      e53, e54)
 }

@@ -449,6 +449,9 @@ object TxLog {
     val seg = s"compact__seg${versions(tableDir).size}"
     snapshotMoR(spark, tableDir, latest, keyCols)
       .write.mode("overwrite").parquet(s"$tableDir/$seg")
+    // carry the retired segments' stats forward so the compacted
+    // segment stays prunable — OPTIMIZE must not end data skipping
+    mergeSegmentStats(tableDir, old, seg)
     // maintenance, not data: the before- and after-snapshots hold the
     // same rows (tombstones applied physically), so incremental
     // consumers step over this commit instead of failing
@@ -662,32 +665,131 @@ object TxLog {
         case _ => None
       }
     }
-    if (typed.isEmpty) return
+    // Crash-retry hazard: segment names derive from versions().size, so
+    // a write that crashed BETWEEN the parquet write and the commit
+    // retries under the SAME segment name with possibly different rows —
+    // the parquet is overwritten, and the sidecar must follow. Every
+    // early return therefore DELETES any stale sidecar from the crashed
+    // attempt (keeping it could prune a segment that now holds matching
+    // rows — silent wrong results), and the success path atomically
+    // REPLACES it (rename, not create-if-absent).
+    def dropStale(): Unit = {
+      Files.deleteIfExists(logDir(tableDir).resolve(s"stats-$seg.json")); ()
+    }
+    if (typed.isEmpty) { dropStale(); return }
     val row = df.agg(
       typed.flatMap { case (c, _) =>
         Seq(min(col(c)).as(s"__min_$c"), max(col(c)).as(s"__max_$c")) }.head,
       typed.flatMap { case (c, _) =>
         Seq(min(col(c)).as(s"__min_$c"), max(col(c)).as(s"__max_$c")) }.tail: _*)
       .head()
-    def esc(s: String) = s.replace("\\", "\\\\").replace("\"", "\\\"")
     val fields = typed.zipWithIndex.flatMap { case ((c, t), i) =>
       val (mn, mx) = (row.get(2 * i), row.get(2 * i + 1))
       if (mn == null || mx == null) None
-      else Some(s""""${esc(c)}":{"min":"${esc(mn.toString)}",""" +
-        s""""max":"${esc(mx.toString)}","type":"$t"}""")
+      else Some(s""""${jsonEsc(c)}":{"min":"${jsonEsc(mn.toString)}",""" +
+        s""""max":"${jsonEsc(mx.toString)}","type":"$t"}""")
     }
-    if (fields.isEmpty) return
+    if (fields.isEmpty) { dropStale(); return }
+    writeStatsSidecar(tableDir, seg, s"{${fields.mkString(",")}}")
+  }
+
+  /** Install a segment's stats sidecar ATOMICALLY, replacing any
+    * earlier one — rename, not create-if-absent: the sidecar must track
+    * the segment's LATEST parquet contents (a crashed-then-retried
+    * write reuses the segment name with different rows), and an
+    * atomic-move rename can never be observed half-written. */
+  private def writeStatsSidecar(tableDir: String, seg: String,
+      body: String): Unit = {
     val d = logDir(tableDir)
     Files.createDirectories(d)
     val tmp = d.resolve(s".tmp.stats.${java.util.UUID.randomUUID}")
     try {
-      Files.write(tmp, s"{${fields.mkString(",")}}"
-        .getBytes(StandardCharsets.UTF_8))
-      Files.createLink(d.resolve(s"stats-$seg.json"), tmp)
-    } catch {
-      case _: java.nio.file.FileAlreadyExistsException => // overwrite-safe
+      Files.write(tmp, body.getBytes(StandardCharsets.UTF_8))
+      Files.move(tmp, d.resolve(s"stats-$seg.json"),
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      ()
     } finally { Files.deleteIfExists(tmp); () }
   }
+
+  /** Unsigned-UTF-8-byte string comparison — Spark's `UTF8String`
+    * binary order, the order string min/max stats were computed under
+    * (Spark's min/max aggregate on strings). `java.lang.String
+    * .compareTo` (UTF-16 code-unit order) diverges for
+    * supplementary-plane characters (surrogate pairs sort between
+    * U+D7FF and U+E000 instead of above U+FFFF), so comparing recorded
+    * bounds with it could WRONGLY prune a segment holding matching
+    * rows. Never throws. */
+  private[graft] def statsUtf8Cmp(a: String, b: String): Int = {
+    val x = a.getBytes(StandardCharsets.UTF_8)
+    val y = b.getBytes(StandardCharsets.UTF_8)
+    val n = math.min(x.length, y.length)
+    var i = 0
+    while (i < n) {
+      val c = (x(i) & 0xff) - (y(i) & 0xff)
+      if (c != 0) return c
+      i += 1
+    }
+    x.length - y.length
+  }
+
+  /** Compare two stats literals under the sidecar's recorded type —
+    * None when either fails to parse (readers keep the segment). */
+  private[graft] def statsCmp(typ: String, a: String,
+      b: String): Option[Int] = typ match {
+    case "string" => Some(statsUtf8Cmp(a, b))
+    case _ => scala.util.Try(new java.math.BigDecimal(a)
+      .compareTo(new java.math.BigDecimal(b))).toOption
+  }
+
+  /** Carry stats THROUGH compaction: give the merged segment a sidecar
+    * built as the conservative per-column UNION of the retired data
+    * segments' recorded ranges — min of mins, max of maxes, compared
+    * under the recorded type. No data is read: the merge is a
+    * driver-side fold over tiny JSON sidecars. Sound by construction:
+    * every compaction verb writes a segment whose rows are a SUBSET of
+    * the union of the retired data segments' rows (raw compaction is
+    * exactly the union; MoR compaction subtracts tombstones, which
+    * only shrinks ranges), so the union of old ranges always contains
+    * the new segment's true range. Conservative where it must be: a
+    * column is carried only when EVERY retired data segment recorded
+    * it with one agreed type (absence anywhere means the merged range
+    * is unknowable without a scan — the column is dropped and reads
+    * simply cannot skip on it). Tombstone segments are metadata, never
+    * carry sidecars, and are ignored. Without this, one OPTIMIZE would
+    * silently end data skipping on the folded data forever — at 100 TB
+    * the whole point of stats is post-compaction scans. */
+  def mergeSegmentStats(tableDir: String, retired: Seq[String],
+      newSeg: String): Unit = {
+    val dataRetired = retired.filterNot(_.startsWith(s"${DeletesFamily}__"))
+    if (dataRetired.isEmpty) return
+    val sidecars = dataRetired.map(segmentStats(tableDir, _))
+    if (sidecars.exists(_.isEmpty)) return // untracked segment → no merge
+    val maps = sidecars.map(_.get)
+    val common = maps.map(_.keySet).reduce(_ intersect _)
+    def extreme(vals: Seq[String], t: String,
+        takeMin: Boolean): Option[String] =
+      vals.tail.foldLeft(Option(vals.head)) { (accOpt, v) =>
+        accOpt.flatMap(acc => statsCmp(t, v, acc).map(c =>
+          if ((c < 0) == takeMin) v else acc))
+      }
+    val fields = common.toSeq.sorted.flatMap { c =>
+      val entries = maps.map(_(c))
+      entries.map(_._3).distinct match {
+        case Seq(t) =>
+          for (mn <- extreme(entries.map(_._1), t, takeMin = true);
+               mx <- extreme(entries.map(_._2), t, takeMin = false))
+            yield s""""${jsonEsc(c)}":{"min":"${jsonEsc(mn)}",""" +
+              s""""max":"${jsonEsc(mx)}","type":"$t"}"""
+        case _ => None // type disagreement across sidecars — drop column
+      }
+    }
+    if (fields.nonEmpty)
+      writeStatsSidecar(tableDir, newSeg, s"{${fields.mkString(",")}}")
+  }
+
+  private def jsonEsc(s: String) =
+    s.replace("\\", "\\\\").replace("\"", "\\\"")
 
   /** A segment's recorded stats, col → (min, max, type) — None when
     * the segment has no (readable) sidecar. */

@@ -126,8 +126,16 @@ class DefaultSource extends RelationProvider
           keySets.headOption
         }
       }
-    TxLogRelation(sqlContext, dir, asOf, keyCols, mergeSchema)
+    // the table's statsCols ride the relation so SQL INSERT writes
+    // record the same skipping sidecars as the DataFrame writer path
+    TxLogRelation(sqlContext, dir, asOf, keyCols, mergeSchema,
+      statsColsOf(parameters))
   }
+
+  private def statsColsOf(parameters: Map[String, String]): Seq[String] =
+    parameters.get("statsCols")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      .getOrElse(Seq.empty)
 
   /** `df.write.format("graft.sources.txlog").mode(…).save(dir)`: the
     * batch lands as ONE segment behind one atomic manifest commit (the
@@ -149,9 +157,7 @@ class DefaultSource extends RelationProvider
     // option("statsCols", "a,b"): record per-segment min/max for these
     // columns at write time — the data-skipping sidecar a filtered
     // read prunes segments by before opening any parquet footer
-    val statsCols = parameters.get("statsCols")
-      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
-      .getOrElse(Seq.empty)
+    val statsCols = statsColsOf(parameters)
     mode match {
       case SaveMode.Append =>
         TxLogWriter.write(data, dir, overwrite = false, statsCols)
@@ -195,14 +201,12 @@ private[txlog] object TxLogWriter {
   * sidecar, unparseable literal, or untranslated filter keeps the
   * segment. */
 private[txlog] object StatsPrune {
+  // string bounds compare in unsigned UTF-8 byte order — the
+  // UTF8String order Spark's min/max computed them under; UTF-16
+  // code-unit order (String.compareTo) diverges for supplementary-
+  // plane characters and would wrongly prune matching segments
   private def cmpVals(typ: String, a: String, b: Any): Option[Int] =
-    scala.util.Try {
-      typ match {
-        case "string" => a.compareTo(b.toString)
-        case _ => new java.math.BigDecimal(a)
-          .compareTo(new java.math.BigDecimal(b.toString))
-      }
-    }.toOption
+    TxLog.statsCmp(typ, a, b.toString)
 
   def mayMatch(f: Filter,
       st: Map[String, (String, String, String)]): Boolean = {
@@ -324,7 +328,8 @@ class TxLogSource(sqlContext: SQLContext, dir: String,
   * version, as a V1 relation with column pruning + filter pushdown
   * delegated to the inner parquet scan. */
 case class TxLogRelation(sqlContext: SQLContext, dir: String, asOf: Int,
-    keyCols: Option[Seq[String]], mergeSchema: Boolean = false)
+    keyCols: Option[Seq[String]], mergeSchema: Boolean = false,
+    statsCols: Seq[String] = Seq.empty)
     extends BaseRelation with PrunedFilteredScan with InsertableRelation {
 
   /** SQL `INSERT INTO` (overwrite=false) / `INSERT OVERWRITE`
@@ -332,9 +337,11 @@ case class TxLogRelation(sqlContext: SQLContext, dir: String, asOf: Int,
     * table — the V1 InsertableRelation contract, routed to the same
     * single-segment-single-commit verb as the DataFrame writer.
     * Spark resolves the insert by position against [[schema]], so the
-    * arriving frame is already aligned. */
+    * arriving frame is already aligned. The table's `statsCols` option
+    * (carried on the relation from its creation parameters) applies
+    * here too, so SQL-written segments stay skippable. */
   override def insert(data: DataFrame, overwrite: Boolean): Unit =
-    TxLogWriter.write(data, dir, overwrite)
+    TxLogWriter.write(data, dir, overwrite, statsCols)
 
   private def snapshotDf: DataFrame = snapshotPruned(_ => true)
 

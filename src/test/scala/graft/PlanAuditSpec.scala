@@ -707,6 +707,31 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("write__seg000002"))
   }
 
+  test("e54 stats survive OPTIMIZE: the compacted segment is prunable again") {
+    import org.apache.spark.sql.sources
+    plan("e54_compact_stats") // lands the fixture
+    val fp = graft.sources.IngestFixtures.fingerprint(s"$dir/orders.parquet")
+    val store = graft.sources.IngestFixtures.path(s"e54_store_$fp")
+    // the compaction carried a merged sidecar forward
+    val st = graft.sources.TxLog.segmentStats(store, "compact__seg2")
+    assert(st.exists(_.get("ingest_day").contains(("0", "1", "long"))),
+      s"compacted segment must carry the union of retired ranges, got $st")
+    val rel = graft.sources.txlog.TxLogRelation(spark.sqlContext, store,
+      graft.sources.TxLog.latestVersion(store).get, None)
+    // a FOLDED day scans only the compacted segment
+    assert(rel.keptSegments(Array(sources.EqualTo("ingest_day", 1L))) ===
+      Seq("compact__seg2"))
+    // a FRESH day prunes the compacted segment itself
+    assert(rel.keptSegments(Array(sources.EqualTo("ingest_day", 3L))) ===
+      Seq("write__seg000004"))
+    val p = rel.scanDf(Array("o_orderstatus", "o_totalprice"),
+        Array(sources.EqualTo("ingest_day", 3L): sources.Filter))
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("compact__seg2"),
+      "the scan opened the stats-pruned compacted segment")
+    assert(p.contains("write__seg000004"))
+  }
+
   test("t18 keyness: one corpus-proportional shuffle, totals broadcast") {
     val p = plan("t18_keyness")
     assert("BroadcastHashJoin".r.findAllIn(p).length >= 2,

@@ -321,6 +321,128 @@ class TxLogFormatSpec extends SparkSpec {
       .count() === 49)
   }
 
+  test("SQL DELETE FROM commits one tombstone segment; deletes apply MoR") {
+    import spark.implicits._
+    val t = freshTable()
+    Seq((1L, "a"), (2L, "b"), (3L, "a"), (4L, "c")).toDF("id", "tag")
+      .write.format(Fmt).mode(SaveMode.Append).save(t)
+    val tbl = s"txlog_del_${System.nanoTime()}"
+    spark.sql(s"CREATE TABLE $tbl USING `graft-txlog` " +
+      s"OPTIONS (path '$t', keyCols 'id')")
+    try {
+      spark.sql(s"DELETE FROM $tbl WHERE tag = 'a'")
+      assert(spark.table(tbl).select("id").as[Long].collect().sorted.toSeq ===
+        Seq(2L, 4L))
+      // ONE tombstone commit, no data rewrite: v0 = append, v1 = delete
+      assert(TxLog.versions(t) === Seq(0, 1))
+      assert(TxLog.liveSegments(t, 1).count(_.startsWith("deletes__")) === 1)
+      // pre-delete version still time-travels
+      assert(spark.read.format(Fmt).option("asOf", 0).load(t).count() === 4)
+      // a matching-nothing predicate commits NOTHING
+      spark.sql(s"DELETE FROM $tbl WHERE tag = 'zzz'")
+      assert(TxLog.versions(t) === Seq(0, 1))
+      // re-insert of a deleted key revives it (version-aware rule)
+      spark.sql(s"INSERT INTO $tbl VALUES (1, 'back')")
+      spark.sql(s"REFRESH TABLE $tbl")
+      assert(spark.table(tbl).select("id").as[Long].collect().sorted.toSeq ===
+        Seq(1L, 2L, 4L))
+      // DELETE FROM without WHERE empties the table, history intact
+      spark.sql(s"DELETE FROM $tbl")
+      assert(spark.table(tbl).count() === 0)
+      assert(spark.read.format(Fmt).option("asOf", 0).load(t).count() === 4)
+    } finally {
+      spark.sql(s"DROP TABLE IF EXISTS $tbl"); ()
+    }
+    // a non-graft table still gets Spark's own DELETE error
+    val plain = s"plain_del_${System.nanoTime()}"
+    spark.sql(s"CREATE TABLE $plain (id BIGINT) USING parquet")
+    try intercept[Exception](spark.sql(s"DELETE FROM $plain WHERE id = 1"))
+    finally spark.sql(s"DROP TABLE IF EXISTS $plain")
+  }
+
+  test("SQL VERSION AS OF reads pinned snapshots through the catalog") {
+    import spark.implicits._
+    val t = freshTable()
+    Seq(1L, 2L).toDF("id").write.format(Fmt).mode(SaveMode.Append).save(t)
+    Seq(3L).toDF("id").write.format(Fmt).mode(SaveMode.Append).save(t)
+    val tbl = s"txlog_tt_${System.nanoTime()}"
+    spark.sql(s"CREATE TABLE $tbl USING `graft-txlog` OPTIONS (path '$t')")
+    try {
+      def ids(sql: String): Seq[Long] =
+        spark.sql(sql).as[Long].collect().sorted.toSeq
+      assert(ids(s"SELECT id FROM $tbl VERSION AS OF 0") === Seq(1L, 2L))
+      assert(ids(s"SELECT id FROM $tbl VERSION AS OF 1") === Seq(1L, 2L, 3L))
+      assert(ids(s"SELECT id FROM $tbl") === Seq(1L, 2L, 3L))
+      // qualified references resolve (the spliced relation is aliased)
+      assert(ids(s"SELECT $tbl.id FROM $tbl VERSION AS OF 0") ===
+        Seq(1L, 2L))
+      // two versions of ONE table join against each other
+      val grew = spark.sql(
+        s"""SELECT count(*) AS n FROM $tbl VERSION AS OF 1
+            WHERE id NOT IN (SELECT id FROM $tbl VERSION AS OF 0)""")
+        .collect().head.getLong(0)
+      assert(grew === 1L)
+      // deletes apply inside the pinned read too
+      TxLog.commitDeletes(Seq(1L).toDF("id"), t)
+      assert(ids(s"SELECT id FROM $tbl VERSION AS OF 2") === Seq(2L, 3L))
+      assert(ids(s"SELECT id FROM $tbl VERSION AS OF 1") === Seq(1L, 2L, 3L))
+    } finally {
+      spark.sql(s"DROP TABLE IF EXISTS $tbl"); ()
+    }
+  }
+
+  test("string stats never mis-prune across the UTF-16/UTF-8 order divergence") {
+    import spark.implicits._
+    val t = freshTable()
+    // segment range ["a", "😀"] in UTF8String order (Spark's min/max);
+    // "" sits INSIDE it in UTF-8 byte order but ABOVE the max in
+    // UTF-16 code-unit order — a String.compareTo reader would prune
+    // the segment and silently drop the matching row
+    Seq("a", "", "😀").toDF("s")
+      .write.format(Fmt).option("statsCols", "s")
+      .mode(SaveMode.Append).save(t)
+    assert(TxLog.segmentStats(t, "write__seg000000").get("s") ===
+      ("a", "😀", "string"))
+    assert(spark.read.format(Fmt).load(t)
+      .filter(col("s") === "").count() === 1,
+      "supplementary-plane max bound mis-pruned a matching segment")
+    // and genuinely-disjoint values still prune
+    import graft.sources.txlog.TxLogRelation
+    import org.apache.spark.sql.sources
+    val rel = TxLogRelation(spark.sqlContext, t,
+      TxLog.latestVersion(t).get, None)
+    assert(rel.keptSegments(
+      Array(sources.EqualTo("s", ""))).nonEmpty)
+    assert(rel.keptSegments(
+      Array(sources.EqualTo("s", ""))).isEmpty)
+  }
+
+  test("SQL INSERT INTO a statsCols table records skipping sidecars") {
+    val t = freshTable()
+    spark.range(0, 10).toDF("id")
+      .write.format(Fmt).option("statsCols", "id")
+      .mode(SaveMode.Append).save(t)
+    val tbl = s"txlog_stats_dml_${System.nanoTime()}"
+    spark.sql(s"CREATE TABLE $tbl USING `graft-txlog` " +
+      s"OPTIONS (path '$t', statsCols 'id')")
+    try {
+      spark.sql(s"INSERT INTO $tbl VALUES (100), (110)")
+      // the SQL-written segment carries the same sidecar the
+      // DataFrame-writer path records — skipping coverage must not
+      // silently degrade through the catalog surface
+      assert(TxLog.segmentStats(t, "write__seg000001").get("id") ===
+        ("100", "110", "long"))
+      import graft.sources.txlog.TxLogRelation
+      import org.apache.spark.sql.sources
+      val rel = TxLogRelation(spark.sqlContext, t,
+        TxLog.latestVersion(t).get, None)
+      assert(rel.keptSegments(Array(sources.GreaterThan("id", 50L))) ===
+        Seq("write__seg000001"))
+    } finally {
+      spark.sql(s"DROP TABLE IF EXISTS $tbl"); ()
+    }
+  }
+
   test("maxVersionsPerTrigger drains AvailableNow in capped micro-batches") {
     import spark.implicits._
     val t = freshTable()

@@ -506,4 +506,89 @@ class TxLogSpec extends SparkSpec {
       TxLog.changesCdf(spark, t, -1, 3))
     assert(e.getMessage.contains("not schema evolution"))
   }
+
+  test("writeSegmentStats replaces a stale sidecar from a crashed attempt") {
+    import spark.implicits._
+    val t = freshTable()
+    // crashed attempt: segment written + sidecar recorded, commit never
+    // landed; the retry reuses the SAME name with different rows
+    writeSeg(t, "batch__000000", Seq(1L, 2L))
+    TxLog.writeSegmentStats(spark, t, "batch__000000", Seq("id"))
+    assert(TxLog.segmentStats(t, "batch__000000").get("id") ===
+      ("1", "2", "long"))
+    writeSeg(t, "batch__000000", Seq(100L, 200L)) // the retry's rows
+    TxLog.writeSegmentStats(spark, t, "batch__000000", Seq("id"))
+    assert(TxLog.segmentStats(t, "batch__000000").get("id") ===
+      ("100", "200", "long"),
+      "a stale sidecar would prune segments that now hold matching rows")
+    // a retry whose stats come out empty (all-NULL column) must DROP
+    // the stale sidecar, not keep pruning by it
+    Seq(300L).toDF("id")
+      .select(when(col("id") < 0L, col("id")).as("id"))
+      .write.mode("overwrite").parquet(s"$t/batch__000000")
+    TxLog.writeSegmentStats(spark, t, "batch__000000", Seq("id"))
+    assert(TxLog.segmentStats(t, "batch__000000").isEmpty,
+      "stale sidecar must be deleted when the retry records no stats")
+  }
+
+  test("statsCmp orders strings by unsigned UTF-8 bytes, not UTF-16 code units") {
+    // U+E000 (private use, BMP) vs U+1F600 (emoji, supplementary):
+    // UTF-16 code units order the emoji FIRST (surrogate 0xD83D <
+    // 0xE000); UTF8String — the order Spark computed the min/max in —
+    // orders it LAST (F0 > EE). A reader comparing with String
+    // .compareTo would wrongly prune segments.
+    assert(TxLog.statsCmp("string", "😀", "").exists(_ > 0))
+    assert(TxLog.statsCmp("string", "a", "").exists(_ < 0))
+    assert(TxLog.statsCmp("string", "ab", "a").exists(_ > 0)) // prefix rule
+    assert(TxLog.statsCmp("string", "a", "a").contains(0))
+    assert(TxLog.statsCmp("long", "10", "9").exists(_ > 0)) // numeric, not lex
+    assert(TxLog.statsCmp("long", "x", "9").isEmpty) // unparseable → keep
+  }
+
+  test("mergeSegmentStats: compaction carries a conservative range union forward") {
+    import spark.implicits._
+    val t = freshTable()
+    // two stats-tracked installments with disjoint ranges + a delete
+    assert(TxLog.appendBatch(Seq((1L, "a"), (5L, "b")).toDF("id", "s"),
+      0L, t, statsCols = Seq("id", "s")))
+    assert(TxLog.appendBatch(Seq((100L, "x"), (200L, "y")).toDF("id", "s"),
+      1L, t, statsCols = Seq("id", "s")))
+    TxLog.commitDeletes(Seq(5L).toDF("id"), t)
+    TxLog.compactMoR(spark, t, Seq("id"))
+    val seg = TxLog.liveSegments(t, TxLog.latestVersion(t).get)
+    assert(seg.size === 1 && seg.head.startsWith("compact__"))
+    val st = TxLog.segmentStats(t, seg.head)
+    assert(st.isDefined, "OPTIMIZE must not end data skipping")
+    assert(st.get("id") === ("1", "200", "long"),
+      "merged range must be the union of the retired segments' ranges")
+    assert(st.get("s") === ("a", "y", "string"))
+    // one untracked retired segment → no merged sidecar (conservative)
+    val t2 = freshTable()
+    assert(TxLog.appendBatch(Seq(1L).toDF("id"), 0L, t2,
+      statsCols = Seq("id")))
+    assert(TxLog.appendBatch(Seq(9L).toDF("id"), 1L, t2)) // no stats
+    TxLog.compactMoR(spark, t2, Seq("id"))
+    val seg2 = TxLog.liveSegments(t2, TxLog.latestVersion(t2).get)
+    assert(TxLog.segmentStats(t2, seg2.head).isEmpty,
+      "an untracked input makes the merged range unknowable")
+  }
+
+  test("concurrent appendBatch writers both land; versions serialize") {
+    import spark.implicits._
+    val t = freshTable()
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+    try {
+      val futs = (0 until 4).map { i =>
+        val batch = Seq(i.toLong).toDF("id").localCheckpoint(true)
+        pool.submit(new java.util.concurrent.Callable[Boolean] {
+          def call(): Boolean = TxLog.appendBatch(batch, i.toLong, t)
+        })
+      }
+      assert(futs.forall(_.get()), "every writer must land its batch")
+      assert(TxLog.versions(t) === Seq(0, 1, 2, 3),
+        "optimistic retry must serialize to gap-free versions")
+      assert(TxLog.snapshot(spark, t, 3).select("id").collect()
+        .map(_.getLong(0)).sorted.toSeq === Seq(0L, 1L, 2L, 3L))
+    } finally pool.shutdown()
+  }
 }
