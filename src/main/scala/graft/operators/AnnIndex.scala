@@ -452,10 +452,28 @@ object AnnIndex {
     * committedVersion) per compaction performed. */
   def maintain(sp: SparkSession, store: String,
       threshold: Int = graft.sources.TxLog.CheckpointEvery)
-      : Seq[(String, Int)] = {
+      : Seq[(String, Int)] = maintainReport(sp, store, threshold).compacted
+
+  /** [[maintain]]'s result with its DEFERRALS made visible: `skipped`
+    * names every over-threshold family maintain REFUSED to touch and
+    * why — a tombstone-masked family on a store it can't classify, or
+    * a tombstoned plain table whose tombstone key schemas disagree.
+    * The refusals are correct (the structural guard prevents silent
+    * resurrection), but without this report they were invisible: a
+    * cadence that defers every fire lets segment counts grow without
+    * bound and the operator learns only from degrading probe plans.
+    * An empty `skipped` is the healthy state; a persistent entry
+    * means the store needs its family-specific MoR compactor (or
+    * explicit keyCols) invoked directly. */
+  final case class MaintainReport(compacted: Seq[(String, Int)],
+      skipped: Seq[(String, String)])
+
+  def maintainReport(sp: SparkSession, store: String,
+      threshold: Int = graft.sources.TxLog.CheckpointEvery)
+      : MaintainReport = {
     require(threshold >= 1, s"threshold must be >= 1, got $threshold")
     val latest = TxLog.latestVersion(store)
-    if (latest.isEmpty) return Seq.empty
+    if (latest.isEmpty) return MaintainReport(Seq.empty, Seq.empty)
     val fams = TxLog.liveSegments(store, latest.get)
       .map(_.split("__")(0)).distinct
       .filterNot(_ == TxLog.DeletesFamily)
@@ -463,22 +481,24 @@ object AnnIndex {
       // families compacted after it see an unmasked store
       .sortBy(f => (if (f == "postings") 0 else 1, f))
     val plainTable = fams.forall(PlainTableFamilies)
-    fams.flatMap { fam =>
+    val compacted = Seq.newBuilder[(String, Int)]
+    val skipped = Seq.newBuilder[(String, String)]
+    fams.foreach { fam =>
       // segment lists re-read FRESH per family: an earlier MoR fold in
       // this very loop may have retired tombstones or folded a sibling
       val segs = TxLog.familySegments(store, fam)
       val tombstoned =
         TxLog.familySegments(store, TxLog.DeletesFamily).nonEmpty
-      if (segs.size <= threshold) None
+      if (segs.size <= threshold) ()
       else if (tombstoned && !RawCompactSafeUnderDeletes(fam)) {
         if (fam == "postings") {
           if (TxLog.familySegments(store, "stats").nonEmpty)
-            Some(fam -> TextIndex.compactIndexMoR(sp, store))
-          else Some(fam -> compactPostingsMoR(sp, store))
+            compacted += fam -> TextIndex.compactIndexMoR(sp, store)
+          else compacted += fam -> compactPostingsMoR(sp, store)
         } else if (fams.forall(DedupStoreFamilies)) {
           // the dedup index's three families fold together (a pair
           // dies with either endpoint, so they must move as one)
-          Some(fam -> DedupIndex.compactStoreMoR(sp, store))
+          compacted += fam -> DedupIndex.compactStoreMoR(sp, store)
         } else if (plainTable) {
           // whole-table fold, keys from the tombstones' own schema;
           // compactMoR is safe ONLY here — on an index store it would
@@ -487,13 +507,24 @@ object AnnIndex {
             .familySegments(store, TxLog.DeletesFamily)
             .map(s => sp.read.parquet(s"$store/$s").schema.fieldNames.toSeq)
             .distinct
-          if (keySets.size != 1) None // ambiguous keys — operator's call
-          else Some(fam -> TxLog.compactMoR(sp, store, keySets.head))
-        } else None // mixed store, unknown family — see scaladoc
+          if (keySets.size != 1)
+            skipped += fam -> ("tombstone key schemas disagree " +
+              s"($keySets): run TxLog.compactMoR with explicit keys")
+          else compacted += fam -> TxLog.compactMoR(sp, store, keySets.head)
+        } else skipped += fam -> ("tombstone-masked family on a store " +
+          "maintain cannot classify: run its MoR-aware compactor directly")
       }
-      else Some(fam ->
-        compactFamily(sp, store, fam, partitionColsOf(store, segs.head)))
+      else compacted += fam ->
+        compactFamily(sp, store, fam, partitionColsOf(store, segs.head))
     }
+    val report = MaintainReport(compacted.result(), skipped.result())
+    // deferrals must be observable even when the caller ignores the
+    // report (the cadence trigger usually does)
+    report.skipped.foreach { case (fam, why) =>
+      System.err.println(s"[graft.maintain] $store: family '$fam' over " +
+        s"threshold but SKIPPED — $why")
+    }
+    report
   }
 
   /** The family names plain (non-index) txlog tables write — what

@@ -82,25 +82,33 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
         case Some((ti, _)) => GraftTxLogDelete(ti, PredicateHolder(cond))
         case None => plan
       }
-    case _ =>
-      // VERSION AS OF may sit anywhere in a query tree — joins, CTEs,
-      // AND subquery expressions (IN/EXISTS/scalar), which a plain
-      // transformUp never visits; the walk costs one pattern match per
-      // node and rewrites nothing unless the node is a version-pinned
-      // graft-txlog reference
-      plan.transformUpWithSubqueries {
-        case tt @ RelationTimeTravel(u: UnresolvedRelation, None, Some(v)) =>
-          graftTable(u.multipartIdentifier) match {
-            case Some((ti, meta)) =>
-              // the format's own time travel, spliced in as an
-              // already-resolved relation; aliased with the table name
-              // so qualified column references keep resolving
-              SubqueryAlias(ti.table,
-                Bridge.analyzed(GraftSqlParser.asOfRead(session, meta, v)))
-            case None => tt
-          }
-      }
+    case _ => rewriteTimeTravel(plan)
   }
+
+  /** VERSION AS OF may sit anywhere in a query tree — joins, subquery
+    * expressions (IN/EXISTS/scalar, which a plain transformUp never
+    * visits), AND CTE definitions (`UnresolvedWith.cteRelations` are
+    * innerChildren, outside every transform's walk — recursed
+    * explicitly). The walk costs one pattern match per node and
+    * rewrites nothing unless the node is a version-pinned graft-txlog
+    * reference. */
+  private def rewriteTimeTravel(plan: LogicalPlan): LogicalPlan =
+    plan.transformUpWithSubqueries {
+      case w: org.apache.spark.sql.catalyst.plans.logical.UnresolvedWith =>
+        w.copy(cteRelations = w.cteRelations.map { case (n, sa, m) =>
+          (n, rewriteTimeTravel(sa).asInstanceOf[SubqueryAlias], m)
+        })
+      case tt @ RelationTimeTravel(u: UnresolvedRelation, None, Some(v)) =>
+        graftTable(u.multipartIdentifier) match {
+          case Some((ti, meta)) =>
+            // the format's own time travel, spliced in as an
+            // already-resolved relation; aliased with the table name
+            // so qualified column references keep resolving
+            SubqueryAlias(ti.table,
+              Bridge.analyzed(GraftSqlParser.asOfRead(session, meta, v)))
+          case None => tt
+        }
+    }
 
   /** The catalog table behind a (possibly qualified) name, ONLY when
     * it exists and its provider is this library's format; None for

@@ -3139,10 +3139,191 @@ object IngestQueries {
       FROM probes GROUP BY probe, o_orderstatus
       ORDER BY probe, o_orderstatus"""))
 
+  /** SQL `DELETE FROM` on the txlog format — the keystroke a
+    * SQL-first user hits right after e50's CREATE/INSERT, which Spark
+    * reserves for v2 catalogs: [[graft.plans.GraftSqlParser]] (a
+    * delegating parser, Delta's pre-DSv2 pattern) rewrites
+    * `DeleteFromTable` over a graft-txlog catalog table into ONE
+    * predicate-matched key scan + ONE tombstone commit
+    * ([[graft.sources.TxLog.commitDeletes]]) — O(matched keys), no
+    * data rewrite, which at 100 TB is a metadata operation instead of
+    * a table rewrite; every other table's DELETE falls through to
+    * Spark untouched. The fixture composes the whole row-level story
+    * through SQL alone: INSERT all → DELETE a quarter → re-INSERT
+    * half the deleted keys (the version-aware revive rule), then
+    * DRAINS the change-data-feed STREAM across the delete-carrying
+    * span (e48's surface — where the plain stream must fail loudly)
+    * into a result table. The hash covers the survivors, the
+    * pre-delete snapshot via SQL `VERSION AS OF 0`, and the streamed
+    * CDF rows per (change type, commit version) — so a DELETE that
+    * rewrote data, missed the revive rule, or broke the feed all
+    * fail. Determinism: counts + decimal money sums (§4), NULL-free
+    * group keys (tombstone rows coalesce to '-'), total ORDER BY. */
+  val e55 = QueryDef(
+    "e55_sql_delete",
+    (sp, dir) => {
+      import graft.Dsl.moneySum
+      import graft.sources.TxLog
+      val fmt = "graft.sources.txlog"
+      val fp = IngestFixtures.fingerprint(s"$dir/orders.parquet")
+      val store = IngestFixtures.path(s"e55_store_$fp")
+      val out = IngestFixtures.path(s"e55_out_$fp")
+      val tbl = s"graft_e55_orders_$fp"
+      IngestFixtures.once(s"e55_$fp") {
+        import scala.reflect.io.Directory
+        Seq(store, out).foreach(p =>
+          new Directory(new java.io.File(p)).deleteRecursively())
+        new java.io.File(out).mkdirs()
+        val orders = Tables(sp, dir, "orders")
+          .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+        orders.createOrReplaceTempView("e55_orders_src")
+        orders.write.format(fmt)
+          .mode(org.apache.spark.sql.SaveMode.Append).save(store)  // v0
+        sp.sql(s"DROP TABLE IF EXISTS $tbl")
+        sp.sql(s"CREATE TABLE $tbl USING `graft-txlog` " +
+          s"OPTIONS (path '$store', keyCols 'o_orderkey')")
+        sp.sql(s"DELETE FROM $tbl WHERE o_orderkey % 4 = 1")       // v1
+        sp.sql(s"""INSERT INTO $tbl                                -- v2
+          SELECT o_orderkey, o_orderstatus, o_totalprice
+          FROM e55_orders_src WHERE o_orderkey % 8 = 1""")
+        sp.sql(s"REFRESH TABLE $tbl")
+        require(TxLog.versions(store) == Seq(0, 1, 2),
+          s"e55: expected exactly insert/delete/re-insert commits, got " +
+            s"${TxLog.versions(store)}")
+        // the CDF stream crosses the delete-carrying span (the plain
+        // stream must fail loudly there — spec-proven); one AvailableNow
+        // drain lands the tagged change rows in the result table
+        val q = sp.readStream.format(fmt).option("cdf", "true").load(store)
+          .writeStream
+          .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+            TxLog.appendBatch(b.localCheckpoint(true), id, out)
+            ()
+          }
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      def byStatus(df: org.apache.spark.sql.DataFrame, tag: String) =
+        df.groupBy(col("o_orderstatus"))
+          .agg(count(lit(1)).as("n_rows"),
+            coalesce(moneySum(col("o_totalprice")), lit(0.0)).as("sum_price"))
+          .withColumn("snap", lit(tag))
+      val latest = byStatus(sp.table(tbl), "latest")
+      val pre = byStatus(
+        sp.sql(s"SELECT o_orderstatus, o_totalprice FROM $tbl VERSION AS OF 0"),
+        "pre_delete")
+      val cdf = TxLog.snapshot(sp, out, TxLog.latestVersion(out).get)
+        .groupBy(concat(lit("cdf_"), col("_change_type"), lit("_v"),
+            col("_commit_version").cast("string")).as("snap"),
+          coalesce(col("o_orderstatus"), lit("-")).as("o_orderstatus"))
+        .agg(count(lit(1)).as("n_rows"),
+          coalesce(moneySum(col("o_totalprice")), lit(0.0)).as("sum_price"))
+      latest.unionByName(pre).unionByName(cdf)
+        .select("snap", "o_orderstatus", "n_rows", "sum_price")
+        .orderBy("snap", "o_orderstatus")
+    },
+    Some("""
+      WITH src AS (
+        SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders),
+      sections AS (
+        SELECT 'latest' AS snap, o_orderstatus, o_totalprice FROM src
+        WHERE o_orderkey % 4 <> 1 OR o_orderkey % 8 = 1
+        UNION ALL
+        SELECT 'pre_delete', o_orderstatus, o_totalprice FROM src
+        UNION ALL
+        SELECT 'cdf_insert_v0', o_orderstatus, o_totalprice FROM src
+        UNION ALL
+        SELECT 'cdf_delete_v1', '-', NULL FROM src WHERE o_orderkey % 4 = 1
+        UNION ALL
+        SELECT 'cdf_insert_v2', o_orderstatus, o_totalprice FROM src
+        WHERE o_orderkey % 8 = 1)
+      SELECT snap, o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n_rows,
+        CAST(COALESCE(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 0) AS DOUBLE)
+          AS sum_price
+      FROM sections GROUP BY snap, o_orderstatus
+      ORDER BY snap, o_orderstatus"""))
+
+  /** SQL time travel on the txlog format — `SELECT ... FROM t VERSION
+    * AS OF v`, the other half of the e38/e50 SQL-persona surface:
+    * [[graft.plans.GraftSqlParser]] rewrites a version-pinned
+    * `RelationTimeTravel` over a graft-txlog catalog table into the
+    * format's own `asOf` snapshot relation (any other table falls
+    * through to Spark's own TIME_TRAVEL error), including INSIDE
+    * subquery expressions — the entry is one SQL statement reading
+    * THREE versions of one table plus a cross-version NOT IN delta
+    * (v1's keys absent from v0), so a reader that pinned the wrong
+    * version, ignored the pin, or lost the pin inside the subquery
+    * breaks the hash. History: format write (v0) → SQL INSERT (v1) →
+    * SQL DELETE (v2), so 'latest' also proves time travel composes
+    * with MoR tombstones. Determinism: counts + decimal money sums
+    * (§4), total ORDER BY. */
+  val e56 = QueryDef(
+    "e56_sql_time_travel",
+    (sp, dir) => {
+      val fmt = "graft.sources.txlog"
+      val fp = IngestFixtures.fingerprint(s"$dir/orders.parquet")
+      val store = IngestFixtures.path(s"e56_store_$fp")
+      val tbl = s"graft_e56_orders_$fp"
+      IngestFixtures.once(s"e56_$fp") {
+        import scala.reflect.io.Directory
+        new Directory(new java.io.File(store)).deleteRecursively()
+        val orders = Tables(sp, dir, "orders")
+          .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+        orders.createOrReplaceTempView("e56_orders_src")
+        orders.filter(pmod(col("o_orderkey"), lit(3L)) === 0L)
+          .write.format(fmt)
+          .mode(org.apache.spark.sql.SaveMode.Append).save(store)  // v0
+        sp.sql(s"DROP TABLE IF EXISTS $tbl")
+        sp.sql(s"CREATE TABLE $tbl USING `graft-txlog` " +
+          s"OPTIONS (path '$store', keyCols 'o_orderkey')")
+        sp.sql(s"""INSERT INTO $tbl                                -- v1
+          SELECT o_orderkey, o_orderstatus, o_totalprice
+          FROM e56_orders_src WHERE o_orderkey % 3 = 1""")
+        sp.sql(s"DELETE FROM $tbl WHERE o_orderkey % 6 = 0")       // v2
+        sp.sql(s"REFRESH TABLE $tbl")
+      }
+      sp.sql(s"""
+        WITH snaps AS (
+          SELECT 'v0' AS snap, o_orderstatus, o_totalprice
+          FROM $tbl VERSION AS OF 0
+          UNION ALL
+          SELECT 'v1', o_orderstatus, o_totalprice
+          FROM $tbl VERSION AS OF 1
+          UNION ALL
+          SELECT 'latest', o_orderstatus, o_totalprice FROM $tbl
+          UNION ALL
+          SELECT 'delta_v1_minus_v0', o_orderstatus, o_totalprice
+          FROM $tbl VERSION AS OF 1
+          WHERE o_orderkey NOT IN
+            (SELECT o_orderkey FROM $tbl VERSION AS OF 0))
+        SELECT snap, o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n_rows,
+          CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+            AS sum_price
+        FROM snaps GROUP BY snap, o_orderstatus
+        ORDER BY snap, o_orderstatus""")
+    },
+    Some("""
+      WITH v0 AS (SELECT * FROM orders WHERE o_orderkey % 3 = 0),
+      v1 AS (SELECT * FROM orders WHERE o_orderkey % 3 <= 1),
+      snaps AS (
+        SELECT 'v0' AS snap, o_orderstatus, o_totalprice FROM v0
+        UNION ALL
+        SELECT 'v1', o_orderstatus, o_totalprice FROM v1
+        UNION ALL
+        SELECT 'latest', o_orderstatus, o_totalprice FROM v1
+        WHERE o_orderkey % 6 <> 0
+        UNION ALL
+        SELECT 'delta_v1_minus_v0', o_orderstatus, o_totalprice FROM orders
+        WHERE o_orderkey % 3 = 1)
+      SELECT snap, o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n_rows,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+      FROM snaps GROUP BY snap, o_orderstatus
+      ORDER BY snap, o_orderstatus"""))
+
   val defs: Seq[QueryDef] =
     Seq(e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11, e12, e13,
       e14, e15, e16, e17, e18, e19, e20, e21, e22, e23, e24, e25, e26,
       e27, e28, e29, e30, e31, e32, e33, e34, e35, e36, e37, e38, e39,
       e40, e41, e42, e43, e44, e45, e46, e47, e48, e49, e50, e51, e52,
-      e53, e54)
+      e53, e54, e55, e56)
 }

@@ -605,19 +605,29 @@ object TxLog {
     * fails on the missing dirs — time travel is bounded by the
     * vacuum horizon, exactly Delta's retention semantics).
     *
-    * Contract: a MAINTENANCE operation, single-writer — an install
-    * racing a vacuum could stage a segment that vacuum sees as an
-    * orphan. Run it where installs are quiesced (the same discipline
-    * Delta demands of VACUUM vs un-checkpointed writers).
+    * Contract: a MAINTENANCE operation, single-writer by default — an
+    * install racing a vacuum stages its segment dir BEFORE committing
+    * the manifest, and to a concurrent vacuum that staged dir is
+    * indistinguishable from a crashed install's orphan. `minAgeMs`
+    * is the defense when installs can't be quiesced: only directories
+    * whose mtime is at least that old are reclaimed (Delta's retention
+    * window reduced to its core — an in-flight install's staging is
+    * recent BY DEFINITION, while genuine orphans and retired segments
+    * age past any reasonable window). The default 0 keeps the strict
+    * single-maintainer contract with immediate reclamation.
     * Returns the deleted directory names, sorted. */
-  def vacuum(tableDir: String, keepFrom: Int): Seq[String] = {
+  def vacuum(tableDir: String, keepFrom: Int,
+      minAgeMs: Long = 0L): Seq[String] = {
     val vs = versions(tableDir)
     require(vs.contains(keepFrom), s"version $keepFrom not in $vs")
     val reachable = vs.filter(_ >= keepFrom)
       .flatMap(v => liveSegments(tableDir, v)).toSet
     val root = new java.io.File(tableDir)
+    val now = System.currentTimeMillis()
     val doomed = Option(root.listFiles()).getOrElse(Array.empty)
-      .filter(_.isDirectory).map(_.getName)
+      .filter(_.isDirectory)
+      .filter(f => now - f.lastModified() >= minAgeMs)
+      .map(_.getName)
       .filterNot(n => n == "_txlog" || n == "_meta" || reachable(n))
       .toSeq.sorted
     doomed.foreach { n =>

@@ -468,6 +468,48 @@ class AnnIndexSpec extends SparkSpec {
     after.zip(expect).foreach { case (a, b) => assert(a == b) }
   }
 
+  test("maintainReport makes deferrals visible: unclassifiable and ambiguous-key skips are named") {
+    import spark.implicits._
+    // a tombstone-masked family maintain cannot classify: the refusal
+    // is correct (structural guard) but must be OBSERVABLE — segment
+    // counts growing with no signal is how a cadence silently dies
+    val store = tmpStore("maintainSkip")
+    (0 to 3).foreach { i =>
+      Seq((i.toLong, s"x$i")).toDF("id", "x")
+        .write.parquet(s"$store/weird__seg$i")
+      TxLog.commit(store, Seq(s"weird__seg$i"))
+    }
+    TxLog.commitDeletes(Seq(1L).toDF("id"), store)
+    val rep = AnnIndex.maintainReport(spark, store, threshold = 3)
+    assert(rep.compacted.isEmpty)
+    assert(rep.skipped.map(_._1) === Seq("weird"))
+    assert(rep.skipped.head._2.contains("cannot classify"))
+    // the compat surface still returns compactions only; nothing moved
+    assert(AnnIndex.maintain(spark, store, threshold = 3).isEmpty)
+    assert(TxLog.familySegments(store, "weird").size === 4)
+    // a tombstoned PLAIN table whose tombstone key schemas disagree
+    val store2 = tmpStore("maintainKeys")
+    (0 to 3).foreach { i =>
+      Seq((i.toLong, s"x$i")).toDF("id", "x")
+        .write.parquet(s"$store2/batch__seg$i")
+      TxLog.commit(store2, Seq(s"batch__seg$i"))
+    }
+    TxLog.commitDeletes(Seq(1L).toDF("id"), store2)
+    TxLog.commitDeletes(Seq((2L, "x2")).toDF("id", "x"), store2)
+    val rep2 = AnnIndex.maintainReport(spark, store2, threshold = 3)
+    assert(rep2.compacted.isEmpty)
+    assert(rep2.skipped.map(_._1) === Seq("batch"))
+    assert(rep2.skipped.head._2.contains("disagree"))
+    // a healthy store reports no skips
+    val store3 = tmpStore("maintainClean")
+    (0 to 1).foreach { i =>
+      Seq(i.toLong).toDF("id").write.parquet(s"$store3/batch__seg$i")
+      TxLog.commit(store3, Seq(s"batch__seg$i"))
+    }
+    val rep3 = AnnIndex.maintainReport(spark, store3, threshold = 3)
+    assert(rep3.compacted.isEmpty && rep3.skipped.isEmpty)
+  }
+
   test("structural guard: tombstones refuse raw compaction of any unlisted family") {
     import spark.implicits._
     val store = tmpStore("guard")

@@ -386,6 +386,11 @@ class TxLogFormatSpec extends SparkSpec {
       TxLog.commitDeletes(Seq(1L).toDF("id"), t)
       assert(ids(s"SELECT id FROM $tbl VERSION AS OF 2") === Seq(2L, 3L))
       assert(ids(s"SELECT id FROM $tbl VERSION AS OF 1") === Seq(1L, 2L, 3L))
+      // CTE definitions are innerChildren — the rewrite must recurse
+      // into them explicitly (a plain transform walk misses them)
+      assert(ids(s"""WITH pinned AS
+          (SELECT id FROM $tbl VERSION AS OF 0)
+          SELECT id FROM pinned""") === Seq(1L, 2L))
     } finally {
       spark.sql(s"DROP TABLE IF EXISTS $tbl"); ()
     }

@@ -507,6 +507,21 @@ class TxLogSpec extends SparkSpec {
     assert(e.getMessage.contains("not schema evolution"))
   }
 
+  test("vacuum minAgeMs spares recent directories (a racing install's staging)") {
+    val t = freshTable()
+    writeSeg(t, "a", Seq(1L))
+    TxLog.commit(t, Seq("a"))
+    // simulated in-flight install: segment staged, manifest not yet
+    // committed — indistinguishable from a crashed install's orphan
+    writeSeg(t, "staged", Seq(9L))
+    assert(TxLog.vacuum(t, keepFrom = 0, minAgeMs = 3600000L) === Seq.empty,
+      "a recent staging dir must survive a windowed vacuum")
+    assert(new java.io.File(t, "staged").exists)
+    // the strict single-maintainer default reclaims it immediately
+    assert(TxLog.vacuum(t, keepFrom = 0) === Seq("staged"))
+    assert(!new java.io.File(t, "staged").exists)
+  }
+
   test("writeSegmentStats replaces a stale sidecar from a crashed attempt") {
     import spark.implicits._
     val t = freshTable()
