@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.analysis.{RelationTimeTravel, UnresolvedRel
 import org.apache.spark.sql.catalyst.catalog.CatalogTable
 import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.catalyst.parser.{ParameterContext, ParserInterface}
-import org.apache.spark.sql.catalyst.plans.logical.{DeleteFromTable, LogicalPlan, SubqueryAlias}
+import org.apache.spark.sql.catalyst.plans.logical.{DeleteFromTable, LogicalPlan, MergeIntoTable, SubqueryAlias, UpdateTable}
 import org.apache.spark.sql.catalyst.util.CaseInsensitiveMap
 import org.apache.spark.sql.execution.command.LeafRunnableCommand
 import org.apache.spark.sql.functions.col
@@ -76,13 +76,53 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
       : org.apache.spark.sql.types.StructType =
     delegate.parseRoutineParam(sqlText)
 
-  private def substitute(plan: LogicalPlan): LogicalPlan = plan match {
-    case DeleteFromTable(u: UnresolvedRelation, cond) =>
-      graftTable(u.multipartIdentifier) match {
-        case Some((ti, _)) => GraftTxLogDelete(ti, PredicateHolder(cond))
-        case None => plan
-      }
-    case _ => rewriteTimeTravel(plan)
+  private def substitute(plan0: LogicalPlan): LogicalPlan = {
+    // time travel first, so VERSION AS OF composes inside DML sources
+    // (MERGE ... USING (SELECT ... FROM t VERSION AS OF 3) s ...)
+    val plan = rewriteTimeTravel(plan0)
+    plan match {
+      case DeleteFromTable(rel, cond) =>
+        targetOf(rel) match {
+          case Some((ti, alias, _)) =>
+            GraftTxLogDelete(ti, alias, PredicateHolder(cond))
+          case None => plan
+        }
+      case u: UpdateTable =>
+        targetOf(u.table) match {
+          case Some((ti, alias, _)) =>
+            GraftTxLogUpdate(ti, alias, AssignmentsHolder(u.assignments),
+              PredicateHolder(u.condition.getOrElse(
+                org.apache.spark.sql.catalyst.expressions.Literal.TrueLiteral)))
+          case None => plan
+        }
+      case m: MergeIntoTable =>
+        targetOf(m.targetTable) match {
+          case Some((ti, alias, _)) =>
+            require(!m.withSchemaEvolution,
+              "MERGE WITH SCHEMA EVOLUTION is not supported on graft-txlog " +
+                "tables: evolve through writes (mergeSchema), then merge")
+            GraftTxLogMerge(ti, alias, MergeHolder(m.sourceTable,
+              m.mergeCondition, m.matchedActions, m.notMatchedActions,
+              m.notMatchedBySourceActions))
+          case None => plan
+        }
+      case _ => plan
+    }
+  }
+
+  /** The graft-txlog catalog table a DML statement targets, seen
+    * through its optional alias (`UPDATE t AS x ...` parses the target
+    * as SubqueryAlias(x, UnresolvedRelation(t))); None when the target
+    * is any other shape or any other provider — the statement then
+    * falls through to Spark untouched. */
+  private def targetOf(rel: LogicalPlan)
+      : Option[(TableIdentifier, Option[String], CatalogTable)] = rel match {
+    case u: UnresolvedRelation =>
+      graftTable(u.multipartIdentifier).map { case (ti, m) => (ti, None, m) }
+    case SubqueryAlias(id, u: UnresolvedRelation) =>
+      graftTable(u.multipartIdentifier).map { case (ti, m) =>
+        (ti, Some(id.name), m) }
+    case _ => None
   }
 
   /** VERSION AS OF may sit anywhere in a query tree — joins, subquery
@@ -169,33 +209,278 @@ object GraftSqlParser {
   * the same key survive (the format's version-aware rule), CDF
   * streams continue across it (e48), and compaction retires it
   * (compactMoR). */
-/** Opaque wrapper keeping the still-unresolved DELETE predicate out of
-  * TreeNode's expression collection: the command resolves it itself at
-  * run time against the table's own frame (`df.filter`), exactly where
-  * the column names are in scope — CheckAnalysis would otherwise try
-  * (and fail) to resolve it against the leaf command's empty output. */
+/** Opaque wrappers keeping still-unresolved DML expressions out of
+  * TreeNode's expression collection: each command resolves them itself
+  * at run time against the table's own frame (`df.filter`/`select`),
+  * exactly where the column names are in scope — CheckAnalysis would
+  * otherwise try (and fail) to resolve them against the leaf command's
+  * empty output. */
 case class PredicateHolder(e: Expression)
+case class AssignmentsHolder(
+    a: Seq[org.apache.spark.sql.catalyst.plans.logical.Assignment])
+case class MergeHolder(source: LogicalPlan, cond: Expression,
+    matchedActions: Seq[org.apache.spark.sql.catalyst.plans.logical.MergeAction],
+    notMatchedActions: Seq[org.apache.spark.sql.catalyst.plans.logical.MergeAction],
+    notMatchedBySourceActions: Seq[org.apache.spark.sql.catalyst.plans.logical.MergeAction])
 
-case class GraftTxLogDelete(ident: TableIdentifier,
+/** Shared row-level-DML machinery: the snapshot read, key selection,
+  * assignment resolution, and the ONE-COMMIT write protocol every verb
+  * ends in — tombstone segment (old keys) + replacement segment (new
+  * rows) installed by a single atomic manifest, so no reader ever sees
+  * the half-applied state. The version-aware MoR rule makes the single
+  * commit CORRECT, not just atomic: both segments land at the same
+  * version V, a tombstone kills only rows from segments with version
+  * < V, so the old copies die and the same-commit replacements
+  * survive. O(matched rows) at any table size — unmatched segments
+  * are never read for a rewrite. */
+private[plans] object TxLogDml {
+  import org.apache.spark.sql.DataFrame
+  import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+
+  def keyColsOf(meta: CatalogTable, table: DataFrame): Seq[String] = {
+    val props = CaseInsensitiveMap(meta.storage.properties)
+    props.get("keyCols")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      .getOrElse(table.columns.toSeq)
+  }
+
+  /** Resolve an assignment key to a real column of `cols` — simple
+    * (possibly alias-qualified) names only; nested-field updates are
+    * refused loudly (the format stores rows, not cells). */
+  def resolveAssignKey(key: Expression, cols: Seq[String]): String = {
+    val name = key match {
+      case a: UnresolvedAttribute => a.nameParts.last
+      case other => throw new IllegalArgumentException(
+        s"graft-txlog DML: unsupported assignment target ${other.sql} — " +
+          "only simple column names can be assigned")
+    }
+    cols.find(_.equalsIgnoreCase(name)).getOrElse(
+      throw new IllegalArgumentException(
+        s"graft-txlog DML: assigned column '$name' is not a column of " +
+          s"the target table (${cols.mkString(", ")})"))
+  }
+
+  /** Install one row-level change atomically: `tombKeys` (old key
+    * values; may be empty) and `newRows` (replacement/new rows; may be
+    * empty) land behind ONE manifest commit. Carries the table's
+    * statsCols sidecar for the new segment, so DML-written segments
+    * stay skippable. No-op when both sides are empty. */
+  def commitChange(session: SparkSession, meta: CatalogTable,
+      ident: TableIdentifier, tombKeys: Option[DataFrame],
+      newRows: Option[DataFrame]): Unit = {
+    val dir = GraftSqlParser.localPath(meta)
+    val v = TxLog.versions(dir).size
+    val adds = Seq.newBuilder[String]
+    tombKeys.foreach { k =>
+      val seg = s"${TxLog.DeletesFamily}__seg$v"
+      k.write.mode("overwrite").parquet(s"$dir/$seg")
+      adds += seg
+    }
+    newRows.foreach { r =>
+      val seg = f"write__seg$v%06d"
+      r.write.mode("overwrite").parquet(s"$dir/$seg")
+      val statsCols = CaseInsensitiveMap(meta.storage.properties)
+        .get("statsCols")
+        .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+        .getOrElse(Seq.empty)
+      TxLog.writeSegmentStats(session, dir, seg, statsCols)
+      adds += seg
+    }
+    val toAdd = adds.result()
+    if (toAdd.nonEmpty) {
+      TxLog.commit(dir, adds = toAdd)
+      // V1 relations pin their version at creation — drop the cached
+      // one so the next spark.table() sees the post-DML snapshot
+      session.catalog.refreshTable(ident.quotedString)
+    }
+  }
+}
+
+case class GraftTxLogDelete(ident: TableIdentifier, alias: Option[String],
     predicate: PredicateHolder) extends LeafRunnableCommand {
-  private def condition: Expression = predicate.e
   override def run(session: SparkSession): Seq[Row] = {
     val meta = session.sessionState.catalog.getTableMetadata(ident)
     val dir = GraftSqlParser.localPath(meta)
     // the MoR-by-default read: already-deleted rows can't re-match
-    val table = GraftSqlParser.asOfRead(session, meta, asOf = null)
-    val props = CaseInsensitiveMap(meta.storage.properties)
-    val keys = props.get("keyCols")
-      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
-      .getOrElse(table.columns.toSeq)
-    val matched = table.filter(Bridge.column(condition))
+    val base = GraftSqlParser.asOfRead(session, meta, asOf = null)
+    val table = alias.map(base.alias).getOrElse(base)
+    val keys = TxLogDml.keyColsOf(meta, base)
+    val matched = table.filter(Bridge.column(predicate.e))
       .select(keys.map(col): _*).distinct()
     if (!matched.isEmpty) {
       TxLog.commitDeletes(matched, dir)
-      // V1 relations pin their version at creation — drop the cached
-      // one so the next spark.table() sees the post-delete snapshot
       session.catalog.refreshTable(ident.quotedString)
     }
+    Seq.empty
+  }
+}
+
+/** `UPDATE <graft-txlog table> SET c = expr, ... [WHERE p]` — matched
+  * rows are rewritten as one scan: their OLD key values become the
+  * tombstone segment, their assigned projections the replacement
+  * segment, both behind ONE atomic commit ([[TxLogDml.commitChange]]).
+  * Assigned values cast to the column's existing type (an UPDATE must
+  * never be a covert schema change). A predicate matching nothing
+  * commits nothing. */
+case class GraftTxLogUpdate(ident: TableIdentifier, alias: Option[String],
+    assignments: AssignmentsHolder, predicate: PredicateHolder)
+    extends LeafRunnableCommand {
+  override def run(session: SparkSession): Seq[Row] = {
+    val meta = session.sessionState.catalog.getTableMetadata(ident)
+    val base = GraftSqlParser.asOfRead(session, meta, asOf = null)
+    val table = alias.map(base.alias).getOrElse(base)
+    val assigned: Map[String, Expression] = assignments.a.map(a =>
+      TxLogDml.resolveAssignKey(a.key, base.columns.toSeq) -> a.value).toMap
+    val matched = table.filter(Bridge.column(predicate.e))
+    val keys = TxLogDml.keyColsOf(meta, base)
+    // tombstone rides the PRE-assignment key values: updating a key
+    // column must kill the row under its old identity
+    val tomb = matched.select(keys.map(col): _*).distinct()
+    val updated = matched.select(base.schema.fields.map { f =>
+      assigned.get(f.name) match {
+        case Some(v) => Bridge.column(v).cast(f.dataType).as(f.name)
+        case None => col(f.name)
+      }
+    }.toSeq: _*)
+    if (!matched.isEmpty)
+      TxLogDml.commitChange(session, meta, ident, Some(tomb), Some(updated))
+    Seq.empty
+  }
+}
+
+/** `MERGE INTO <graft-txlog table> t USING <source> s ON <cond>` with
+  * `WHEN MATCHED [AND c] THEN UPDATE SET …|DELETE`, `WHEN NOT MATCHED
+  * [AND c] THEN INSERT …`, and `WHEN NOT MATCHED BY SOURCE [AND c]
+  * THEN UPDATE …|DELETE` — Delta's MERGE shape on the txlog format,
+  * first-match-wins across each clause list, `*` actions mapped by
+  * name. Execution is join-shaped and O(|target ⋈ source| + |source|):
+  * one inner join drives the matched clauses, two anti-joins the
+  * not-matched sides; every produced row casts to the target schema.
+  * The whole statement lands as ONE tombstone segment (old keys of
+  * every updated/deleted row) plus ONE data segment (updated +
+  * inserted rows) behind ONE atomic commit — a crash mid-merge leaves
+  * the table at its previous version, and no reader ever sees a
+  * half-merged state. Delta's cardinality rule is enforced: a target
+  * row matching several source rows fails loudly instead of
+  * duplicating. */
+case class GraftTxLogMerge(ident: TableIdentifier, alias: Option[String],
+    merge: MergeHolder) extends LeafRunnableCommand {
+  import org.apache.spark.sql.catalyst.plans.logical.{DeleteAction,
+    InsertAction, InsertStarAction, MergeAction, UpdateAction,
+    UpdateStarAction}
+  import org.apache.spark.sql.{Column, DataFrame}
+  import org.apache.spark.sql.functions.lit
+
+  override def run(session: SparkSession): Seq[Row] = {
+    val meta = session.sessionState.catalog.getTableMetadata(ident)
+    val base = GraftSqlParser.asOfRead(session, meta, asOf = null)
+    val tgt = alias.map(base.alias).getOrElse(base)
+    val src = Bridge.ofRows(session, merge.source)
+    val cond = Bridge.column(merge.cond)
+    val keys = TxLogDml.keyColsOf(meta, base)
+    val fields = base.schema.fields.toSeq
+
+    // ---- WHEN MATCHED: one inner join drives updates AND deletes
+    val pairs = tgt.join(src, cond, "inner")
+    def tKey(k: String): Column = tgt(k) // disambiguated via plan ids
+    def firstMatchWins(actions: Seq[MergeAction])
+        : Seq[(Column, MergeAction)] = {
+      var remaining: Column = lit(true)
+      actions.map { a =>
+        val c = a.condition.map(Bridge.column).getOrElse(lit(true))
+        val fires = remaining && c
+        remaining = remaining && !c
+        (fires, a)
+      }
+    }
+    def projected(df: DataFrame, assigned: Map[String, Expression],
+        matchedSide: Boolean): DataFrame =
+      df.select(fields.map { f =>
+        assigned.get(f.name) match {
+          case Some(v) => Bridge.column(v).cast(f.dataType).as(f.name)
+          case None =>
+            if (matchedSide) tgt(f.name).as(f.name) // unassigned: keep
+            else lit(null).cast(f.dataType).as(f.name) // insert: null-fill
+        }
+      }: _*)
+    def assignedOf(a: MergeAction): Map[String, Expression] = a match {
+      case ua: UpdateAction => ua.assignments.map(x =>
+        TxLogDml.resolveAssignKey(x.key, base.columns.toSeq) -> x.value).toMap
+      case ia: InsertAction => ia.assignments.map(x =>
+        TxLogDml.resolveAssignKey(x.key, base.columns.toSeq) -> x.value).toMap
+      case _ => Map.empty
+    }
+    // `UPDATE SET *` / `INSERT *`: every target column from the
+    // source's same-named column (the CDC upsert shorthand)
+    def starAssigned: Map[String, Expression] = fields.map(f =>
+      f.name -> Bridge.expression(src(f.name))).toMap
+
+    val matchedFired = firstMatchWins(merge.matchedActions)
+    val anyMatchedFires = matchedFired.map(_._1)
+      .foldLeft(lit(false))(_ || _)
+    // Delta's cardinality rule: an update/delete of a target row fed
+    // by TWO source rows is ambiguous — fail, never duplicate
+    if (merge.matchedActions.nonEmpty) {
+      val dup = pairs.filter(anyMatchedFires)
+        .groupBy(keys.map(tKey): _*)
+        .count().filter(col("count") > 1).limit(1)
+      require(dup.isEmpty,
+        s"MERGE into ${ident.table}: a target row matches multiple " +
+          "source rows — deduplicate the source or tighten the ON clause")
+    }
+    val tombMatched =
+      if (merge.matchedActions.isEmpty) None
+      else Some(pairs.filter(anyMatchedFires)
+        .select(keys.map(k => tKey(k).as(k)): _*))
+    val updatedRows = matchedFired.collect {
+      case (fires, ua: UpdateAction) =>
+        projected(pairs.filter(fires),
+          if (ua.fromStar) starAssigned else assignedOf(ua),
+          matchedSide = true)
+      case (fires, _: UpdateStarAction) =>
+        projected(pairs.filter(fires), starAssigned, matchedSide = true)
+      // DeleteAction contributes to the tombstone only
+    }
+
+    // ---- WHEN NOT MATCHED (by target): insert from the source side
+    val srcOnly = src.join(tgt, cond, "left_anti")
+    val insertedRows = firstMatchWins(merge.notMatchedActions).map {
+      case (fires, ia: InsertAction) =>
+        projected(srcOnly.filter(fires), assignedOf(ia), matchedSide = false)
+      case (fires, _: InsertStarAction) =>
+        projected(srcOnly.filter(fires), starAssigned, matchedSide = false)
+      case (_, other) => throw new IllegalArgumentException(
+        s"MERGE into ${ident.table}: unsupported NOT MATCHED action $other")
+    }
+
+    // ---- WHEN NOT MATCHED BY SOURCE: update/delete unmatched target
+    val nbs = firstMatchWins(merge.notMatchedBySourceActions)
+    val tgtOnly =
+      if (nbs.isEmpty) null else tgt.join(src, cond, "left_anti")
+    val anyNbsFires = nbs.map(_._1).foldLeft(lit(false))(_ || _)
+    val tombNbs =
+      if (nbs.isEmpty) None
+      else Some(tgtOnly.filter(anyNbsFires).select(keys.map(col): _*))
+    val nbsUpdatedRows = nbs.collect {
+      case (fires, ua: UpdateAction) =>
+        // no source columns in scope here — assignments must be
+        // target-only expressions, which resolve against tgtOnly
+        projected(tgtOnly.filter(fires),
+          if (ua.fromStar) throw new IllegalArgumentException(
+            "MERGE: UPDATE SET * is meaningless NOT MATCHED BY SOURCE")
+          else assignedOf(ua), matchedSide = true)
+      case (_, other) if !other.isInstanceOf[DeleteAction] =>
+        throw new IllegalArgumentException(
+          s"MERGE into ${ident.table}: unsupported NOT MATCHED BY SOURCE " +
+            s"action $other")
+    }
+
+    val tomb = (tombMatched.toSeq ++ tombNbs.toSeq)
+      .reduceOption(_ unionByName _).map(_.distinct())
+    val news = (updatedRows ++ insertedRows ++ nbsUpdatedRows)
+      .reduceOption(_ unionByName _)
+    TxLogDml.commitChange(session, meta, ident,
+      tomb.filterNot(_.isEmpty), news.filterNot(_.isEmpty))
     Seq.empty
   }
 }

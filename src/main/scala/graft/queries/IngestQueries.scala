@@ -3320,10 +3320,172 @@ object IngestQueries {
       FROM snaps GROUP BY snap, o_orderstatus
       ORDER BY snap, o_orderstatus"""))
 
+  /** SQL `UPDATE` on the txlog format — matched rows rewritten as ONE
+    * scan landing TWO segments behind ONE atomic commit
+    * ([[graft.plans.GraftTxLogUpdate]]): the old key values as a
+    * tombstone, the assigned projections as the replacement — the
+    * version-aware MoR rule makes the single commit correct, not just
+    * atomic (both segments share version V; a tombstone kills only
+    * rows from versions < V, so the old copies die and the same-commit
+    * replacements survive). O(matched rows) at any table size: no
+    * unmatched segment is read for a rewrite. Assigned values cast to
+    * the column's existing type (an UPDATE is never a covert schema
+    * change); `+ 1.00` keeps the arithmetic exact in both engines.
+    * The hash covers the post-update table AND the pre-update version
+    * via SQL `VERSION AS OF 0` — a destructive rewrite, a missed
+    * match, or a double-apply all break it. Determinism: counts +
+    * decimal money sums (§4), total ORDER BY. */
+  val e57 = QueryDef(
+    "e57_sql_update",
+    (sp, dir) => {
+      import graft.Dsl.moneySum
+      val fmt = "graft.sources.txlog"
+      val fp = IngestFixtures.fingerprint(s"$dir/orders.parquet")
+      val store = IngestFixtures.path(s"e57_store_$fp")
+      val tbl = s"graft_e57_orders_$fp"
+      IngestFixtures.once(s"e57_$fp") {
+        import scala.reflect.io.Directory
+        new Directory(new java.io.File(store)).deleteRecursively()
+        Tables(sp, dir, "orders")
+          .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+          .write.format(fmt)
+          .mode(org.apache.spark.sql.SaveMode.Append).save(store)   // v0
+        sp.sql(s"DROP TABLE IF EXISTS $tbl")
+        sp.sql(s"CREATE TABLE $tbl USING `graft-txlog` " +
+          s"OPTIONS (path '$store', keyCols 'o_orderkey')")
+        sp.sql(s"""UPDATE $tbl SET o_orderstatus = 'U',            -- v1
+          o_totalprice = o_totalprice + 1.00 WHERE o_orderkey % 5 = 0""")
+        sp.sql(s"REFRESH TABLE $tbl")
+        require(graft.sources.TxLog.versions(store) == Seq(0, 1),
+          "e57: the UPDATE must land as ONE commit, got " +
+            s"${graft.sources.TxLog.versions(store)}")
+      }
+      def byStatus(df: org.apache.spark.sql.DataFrame, tag: String) =
+        df.groupBy(col("o_orderstatus"))
+          .agg(count(lit(1)).as("n_rows"),
+            moneySum(col("o_totalprice")).as("sum_price"))
+          .withColumn("snap", lit(tag))
+      byStatus(sp.table(tbl), "updated")
+        .unionByName(byStatus(
+          sp.sql(s"SELECT * FROM $tbl VERSION AS OF 0"), "pre_update"))
+        .select("snap", "o_orderstatus", "n_rows", "sum_price")
+        .orderBy("snap", "o_orderstatus")
+    },
+    Some("""
+      WITH src AS (
+        SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders),
+      sections AS (
+        SELECT 'updated' AS snap,
+          CASE WHEN o_orderkey % 5 = 0 THEN 'U' ELSE o_orderstatus END
+            AS o_orderstatus,
+          CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice + 1.00
+            ELSE o_totalprice END AS o_totalprice
+        FROM src
+        UNION ALL
+        SELECT 'pre_update', o_orderstatus, o_totalprice FROM src)
+      SELECT snap, o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n_rows,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+          AS sum_price
+      FROM sections GROUP BY snap, o_orderstatus
+      ORDER BY snap, o_orderstatus"""))
+
+  /** SQL `MERGE INTO` on the txlog format — Delta's four-clause MERGE
+    * shape ([[graft.plans.GraftTxLogMerge]]): WHEN MATCHED
+    * (conditional DELETE + UPDATE, first-match-wins), WHEN NOT MATCHED
+    * (INSERT), WHEN NOT MATCHED BY SOURCE (conditional UPDATE/DELETE),
+    * executed as one inner join + two anti-joins — O(|target ⋈
+    * source| + |source|), never a table rewrite — and landed as ONE
+    * tombstone segment + ONE data segment behind ONE atomic commit: a
+    * crash mid-merge leaves the previous version intact, and no
+    * reader ever sees a half-merged table. Delta's cardinality rule
+    * enforced (multiple source matches fail loudly — spec-proven,
+    * with star actions). The fixture merges an overlapping slice of
+    * orders into a two-thirds subset so every clause fires; the hash
+    * covers the merged table and the pre-merge version. Determinism:
+    * integer-arithmetic clause conditions, exact double doubling,
+    * counts + decimal money sums (§4), total ORDER BY. */
+  val e58 = QueryDef(
+    "e58_sql_merge",
+    (sp, dir) => {
+      import graft.Dsl.moneySum
+      val fmt = "graft.sources.txlog"
+      val fp = IngestFixtures.fingerprint(s"$dir/orders.parquet")
+      val store = IngestFixtures.path(s"e58_store_$fp")
+      val tbl = s"graft_e58_orders_$fp"
+      IngestFixtures.once(s"e58_$fp") {
+        import scala.reflect.io.Directory
+        new Directory(new java.io.File(store)).deleteRecursively()
+        val orders = Tables(sp, dir, "orders")
+          .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+        orders.createOrReplaceTempView("e58_orders_src")
+        orders.filter(pmod(col("o_orderkey"), lit(3L)) =!= 2L)
+          .write.format(fmt)
+          .mode(org.apache.spark.sql.SaveMode.Append).save(store)   // v0
+        sp.sql(s"DROP TABLE IF EXISTS $tbl")
+        sp.sql(s"CREATE TABLE $tbl USING `graft-txlog` " +
+          s"OPTIONS (path '$store', keyCols 'o_orderkey')")
+        sp.sql(s"""
+          MERGE INTO $tbl t                                        -- v1
+          USING (SELECT * FROM e58_orders_src WHERE o_orderkey % 2 = 0) s
+          ON t.o_orderkey = s.o_orderkey
+          WHEN MATCHED AND s.o_orderkey % 4 = 0 THEN DELETE
+          WHEN MATCHED THEN UPDATE SET o_orderstatus = 'M',
+            o_totalprice = t.o_totalprice + s.o_totalprice
+          WHEN NOT MATCHED THEN INSERT (o_orderkey, o_orderstatus,
+            o_totalprice) VALUES (s.o_orderkey, s.o_orderstatus,
+            s.o_totalprice)
+          WHEN NOT MATCHED BY SOURCE AND t.o_orderkey % 3 = 1
+            THEN UPDATE SET o_orderstatus = 'S'""")
+        sp.sql(s"REFRESH TABLE $tbl")
+        require(graft.sources.TxLog.versions(store) == Seq(0, 1),
+          "e58: the MERGE must land as ONE commit, got " +
+            s"${graft.sources.TxLog.versions(store)}")
+      }
+      def byStatus(df: org.apache.spark.sql.DataFrame, tag: String) =
+        df.groupBy(col("o_orderstatus"))
+          .agg(count(lit(1)).as("n_rows"),
+            moneySum(col("o_totalprice")).as("sum_price"))
+          .withColumn("snap", lit(tag))
+      byStatus(sp.table(tbl), "merged")
+        .unionByName(byStatus(
+          sp.sql(s"SELECT * FROM $tbl VERSION AS OF 0"), "pre_merge"))
+        .select("snap", "o_orderstatus", "n_rows", "sum_price")
+        .orderBy("snap", "o_orderstatus")
+    },
+    Some("""
+      WITH src AS (
+        SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders),
+      merged AS (
+        -- survivors: target (k%3<>2) minus MATCHED deletes (k%12 in
+        -- (0,4): matched k%6 in (0,4) with source key %4=0), plus
+        -- inserts (source-only: k%6=2)
+        SELECT o_orderkey,
+          CASE
+            WHEN o_orderkey % 6 IN (0, 4) AND o_orderkey % 4 <> 0
+              THEN 'M'
+            WHEN o_orderkey % 2 = 1 AND o_orderkey % 3 = 1 THEN 'S'
+            ELSE o_orderstatus END AS o_orderstatus,
+          CASE WHEN o_orderkey % 6 IN (0, 4) AND o_orderkey % 4 <> 0
+            THEN o_totalprice + o_totalprice
+            ELSE o_totalprice END AS o_totalprice
+        FROM src
+        WHERE (o_orderkey % 3 <> 2 AND o_orderkey % 12 NOT IN (0, 4))
+           OR o_orderkey % 6 = 2),
+      sections AS (
+        SELECT 'merged' AS snap, o_orderstatus, o_totalprice FROM merged
+        UNION ALL
+        SELECT 'pre_merge', o_orderstatus, o_totalprice FROM src
+        WHERE o_orderkey % 3 <> 2)
+      SELECT snap, o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n_rows,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+          AS sum_price
+      FROM sections GROUP BY snap, o_orderstatus
+      ORDER BY snap, o_orderstatus"""))
+
   val defs: Seq[QueryDef] =
     Seq(e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11, e12, e13,
       e14, e15, e16, e17, e18, e19, e20, e21, e22, e23, e24, e25, e26,
       e27, e28, e29, e30, e31, e32, e33, e34, e35, e36, e37, e38, e39,
       e40, e41, e42, e43, e44, e45, e46, e47, e48, e49, e50, e51, e52,
-      e53, e54, e55, e56)
+      e53, e54, e55, e56, e57, e58)
 }

@@ -360,6 +360,98 @@ class TxLogFormatSpec extends SparkSpec {
     finally spark.sql(s"DROP TABLE IF EXISTS $plain")
   }
 
+  test("SQL UPDATE rewrites matched rows in ONE atomic commit") {
+    import spark.implicits._
+    val t = freshTable()
+    Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "a", 30.0))
+      .toDF("id", "tag", "x")
+      .write.format(Fmt).mode(SaveMode.Append).save(t)
+    val tbl = s"txlog_upd_${System.nanoTime()}"
+    spark.sql(s"CREATE TABLE $tbl USING `graft-txlog` " +
+      s"OPTIONS (path '$t', keyCols 'id')")
+    try {
+      spark.sql(s"UPDATE $tbl SET x = x * 2, tag = 'up' WHERE tag = 'a'")
+      val rows = spark.table(tbl).orderBy("id").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSeq
+      assert(rows === Seq((1L, "up", 20.0), (2L, "b", 20.0),
+        (3L, "up", 60.0)))
+      // ONE commit: tombstone + replacement in the same manifest
+      assert(TxLog.versions(t) === Seq(0, 1))
+      val live = TxLog.liveSegments(t, 1)
+      assert(live.count(_.startsWith("deletes__")) === 1)
+      assert(live.count(_.startsWith("write__")) === 2)
+      // pre-update version still time-travels
+      assert(spark.sql(s"SELECT x FROM $tbl VERSION AS OF 0 WHERE id = 1")
+        .as[Double].head() === 10.0)
+      // no-match UPDATE commits nothing; aliased UPDATE resolves
+      spark.sql(s"UPDATE $tbl SET x = 0 WHERE tag = 'zzz'")
+      assert(TxLog.versions(t) === Seq(0, 1))
+      spark.sql(s"UPDATE $tbl AS u SET u.x = u.x + 1 WHERE u.id = 2")
+      assert(spark.sql(s"SELECT x FROM $tbl WHERE id = 2")
+        .as[Double].head() === 21.0)
+      // updating a KEY column kills the row under its OLD identity
+      spark.sql(s"UPDATE $tbl SET id = 100 WHERE id = 1")
+      assert(spark.table(tbl).select("id").as[Long].collect().sorted.toSeq
+        === Seq(2L, 3L, 100L))
+      // assigned values cast to the column's existing type (no covert
+      // schema change: x stays DOUBLE after an integer-literal assign)
+      spark.sql(s"UPDATE $tbl SET x = 7 WHERE id = 2")
+      assert(spark.table(tbl).schema("x").dataType ===
+        org.apache.spark.sql.types.DoubleType)
+    } finally {
+      spark.sql(s"DROP TABLE IF EXISTS $tbl"); ()
+    }
+  }
+
+  test("SQL MERGE INTO: update/delete/insert + by-source in one atomic commit") {
+    import spark.implicits._
+    val t = freshTable()
+    Seq((1L, "keep", 10.0), (2L, "upd", 20.0), (3L, "del", 30.0),
+      (4L, "stale", 40.0))
+      .toDF("id", "tag", "x")
+      .write.format(Fmt).mode(SaveMode.Append).save(t)
+    val tbl = s"txlog_mrg_${System.nanoTime()}"
+    spark.sql(s"CREATE TABLE $tbl USING `graft-txlog` " +
+      s"OPTIONS (path '$t', keyCols 'id')")
+    Seq((2L, "merged", 200.0), (3L, "doomed", 0.0), (9L, "new", 90.0))
+      .toDF("id", "tag", "x").createOrReplaceTempView("mrg_src")
+    try {
+      spark.sql(s"""
+        MERGE INTO $tbl t USING mrg_src s ON t.id = s.id
+        WHEN MATCHED AND s.tag = 'doomed' THEN DELETE
+        WHEN MATCHED THEN UPDATE SET tag = s.tag, x = s.x + t.x
+        WHEN NOT MATCHED THEN INSERT (id, tag, x) VALUES (s.id, s.tag, s.x)
+        WHEN NOT MATCHED BY SOURCE AND t.tag = 'stale' THEN DELETE""")
+      val rows = spark.table(tbl).orderBy("id").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSeq
+      assert(rows === Seq((1L, "keep", 10.0), (2L, "merged", 220.0),
+        (9L, "new", 90.0)))
+      // the WHOLE merge is ONE commit: v0 = append, v1 = merge
+      assert(TxLog.versions(t) === Seq(0, 1))
+      assert(spark.read.format(Fmt).option("asOf", 0).load(t).count() === 4)
+      // star actions map by name (the CDC upsert shorthand)
+      Seq((9L, "star", 900.0), (11L, "star11", 110.0))
+        .toDF("id", "tag", "x").createOrReplaceTempView("mrg_src2")
+      spark.sql(s"""
+        MERGE INTO $tbl t USING mrg_src2 s ON t.id = s.id
+        WHEN MATCHED THEN UPDATE SET *
+        WHEN NOT MATCHED THEN INSERT *""")
+      val rows2 = spark.table(tbl).orderBy("id").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSeq
+      assert(rows2 === Seq((1L, "keep", 10.0), (2L, "merged", 220.0),
+        (9L, "star", 900.0), (11L, "star11", 110.0)))
+      // Delta's cardinality rule: multiple source matches fail loudly
+      Seq((9L, "dup1", 1.0), (9L, "dup2", 2.0)).toDF("id", "tag", "x")
+        .createOrReplaceTempView("mrg_dup")
+      val e = intercept[Exception](spark.sql(s"""
+        MERGE INTO $tbl t USING mrg_dup s ON t.id = s.id
+        WHEN MATCHED THEN UPDATE SET *"""))
+      assert(e.getMessage.contains("multiple source rows"))
+    } finally {
+      spark.sql(s"DROP TABLE IF EXISTS $tbl"); ()
+    }
+  }
+
   test("SQL VERSION AS OF reads pinned snapshots through the catalog") {
     import spark.implicits._
     val t = freshTable()
