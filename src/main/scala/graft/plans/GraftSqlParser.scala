@@ -48,11 +48,48 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
     extends ParserInterface {
 
   override def parsePlan(sqlText: String): LogicalPlan =
-    substitute(delegate.parsePlan(sqlText))
+    maintenanceVerb(sqlText)
+      .getOrElse(substitute(delegate.parsePlan(sqlText)))
 
   override def parsePlanWithParameters(sqlText: String,
       ctx: ParameterContext): LogicalPlan =
-    substitute(delegate.parsePlanWithParameters(sqlText, ctx))
+    maintenanceVerb(sqlText)
+      .getOrElse(substitute(delegate.parsePlanWithParameters(sqlText, ctx)))
+
+  // ---- maintenance keystrokes Spark's grammar does not know --------
+  //
+  // `OPTIMIZE t` / `VACUUM t [RETAIN n VERSIONS]` / `DESCRIBE HISTORY
+  // t` — Delta's maintenance surface on the txlog format. Matched
+  // BEFORE delegation (Delta's DeltaSqlParser discipline): OPTIMIZE
+  // and VACUUM are parse errors in Spark's grammar, but `DESCRIBE
+  // HISTORY t` would mis-parse as describing a table named HISTORY —
+  // so the statement is claimed only when its identifier resolves to a
+  // graft-txlog catalog table, and every other statement (including
+  // DESCRIBE over a real table named HISTORY) delegates untouched.
+
+  private val OptimizeRe =
+    """(?is)\s*OPTIMIZE\s+([\w.`]+)\s*;?\s*""".r
+  private val VacuumRe =
+    """(?is)\s*VACUUM\s+([\w.`]+?)(?:\s+RETAIN\s+(\d+)\s+VERSIONS)?\s*;?\s*""".r
+  private val HistoryRe =
+    """(?is)\s*DESCRIBE\s+HISTORY\s+([\w.`]+)\s*;?\s*""".r
+
+  private def identParts(raw: String): Seq[String] =
+    raw.split("\\.").map(_.stripPrefix("`").stripSuffix("`")).toSeq
+
+  private def maintenanceVerb(sqlText: String): Option[LogicalPlan] =
+    (sqlText match {
+      case OptimizeRe(ident) => Some((ident, (ti: TableIdentifier) =>
+        GraftTxLogOptimize(ti)))
+      case VacuumRe(ident, retain) => Some((ident,
+        (ti: TableIdentifier) => GraftTxLogVacuum(ti,
+          Option(retain).map(_.toInt))))
+      case HistoryRe(ident) => Some((ident, (ti: TableIdentifier) =>
+        GraftTxLogHistory(ti)))
+      case _ => None
+    }).flatMap { case (ident, build) =>
+      graftTable(identParts(ident)).map { case (ti, _) => build(ti) }
+    }
 
   override def parseQuery(sqlText: String): LogicalPlan =
     substitute(delegate.parseQuery(sqlText))
@@ -292,6 +329,75 @@ private[plans] object TxLogDml {
       // V1 relations pin their version at creation — drop the cached
       // one so the next spark.table() sees the post-DML snapshot
       session.catalog.refreshTable(ident.quotedString)
+    }
+  }
+}
+
+/** `OPTIMIZE <graft-txlog table>` — the maintenance cadence as a SQL
+  * keystroke: [[graft.operators.AnnIndex.maintainReport]] at
+  * threshold 1 folds every multi-segment family to one segment
+  * (MoR-dispatched under tombstones, stats sidecars carried forward —
+  * e54's contract), returning one row per compaction performed. A
+  * fully-compacted table returns no rows (idempotent). */
+case class GraftTxLogOptimize(ident: TableIdentifier)
+    extends LeafRunnableCommand {
+  import org.apache.spark.sql.catalyst.expressions.AttributeReference
+  import org.apache.spark.sql.types.{IntegerType, StringType}
+  override val output: Seq[org.apache.spark.sql.catalyst.expressions.Attribute] =
+    Seq(AttributeReference("family", StringType, nullable = false)(),
+      AttributeReference("version", IntegerType, nullable = false)())
+  override def run(session: SparkSession): Seq[Row] = {
+    val meta = session.sessionState.catalog.getTableMetadata(ident)
+    val dir = GraftSqlParser.localPath(meta)
+    val report = graft.operators.AnnIndex.maintainReport(session, dir,
+      threshold = 1)
+    if (report.compacted.nonEmpty)
+      session.catalog.refreshTable(ident.quotedString)
+    report.compacted.map { case (fam, v) => Row(fam, v) }
+  }
+}
+
+/** `VACUUM <graft-txlog table> [RETAIN n VERSIONS]` — reclaim disk
+  * from segments no retained version can reach
+  * ([[TxLog.vacuum]]); default retains only the latest version.
+  * Returns one row per reclaimed directory, sorted. */
+case class GraftTxLogVacuum(ident: TableIdentifier,
+    retainVersions: Option[Int]) extends LeafRunnableCommand {
+  import org.apache.spark.sql.catalyst.expressions.AttributeReference
+  import org.apache.spark.sql.types.StringType
+  override val output: Seq[org.apache.spark.sql.catalyst.expressions.Attribute] =
+    Seq(AttributeReference("reclaimed", StringType, nullable = false)())
+  override def run(session: SparkSession): Seq[Row] = {
+    retainVersions.foreach(n => require(n >= 1,
+      s"VACUUM ... RETAIN $n VERSIONS: must retain at least 1"))
+    val meta = session.sessionState.catalog.getTableMetadata(ident)
+    val dir = GraftSqlParser.localPath(meta)
+    val vs = TxLog.versions(dir)
+    require(vs.nonEmpty, s"VACUUM on empty table ${ident.table}")
+    val keepFrom = retainVersions
+      .map(n => vs.drop(math.max(0, vs.size - n)).head)
+      .getOrElse(vs.last)
+    TxLog.vacuum(dir, keepFrom).map(Row(_))
+  }
+}
+
+/** `DESCRIBE HISTORY <graft-txlog table>` — the commit log as rows
+  * (version, adds, removes, data_change), newest first (Delta's
+  * ordering). Segment lists are comma-joined in commit order. */
+case class GraftTxLogHistory(ident: TableIdentifier)
+    extends LeafRunnableCommand {
+  import org.apache.spark.sql.catalyst.expressions.AttributeReference
+  import org.apache.spark.sql.types.{BooleanType, IntegerType, StringType}
+  override val output: Seq[org.apache.spark.sql.catalyst.expressions.Attribute] =
+    Seq(AttributeReference("version", IntegerType, nullable = false)(),
+      AttributeReference("adds", StringType, nullable = false)(),
+      AttributeReference("removes", StringType, nullable = false)(),
+      AttributeReference("data_change", BooleanType, nullable = false)())
+  override def run(session: SparkSession): Seq[Row] = {
+    val meta = session.sessionState.catalog.getTableMetadata(ident)
+    val dir = GraftSqlParser.localPath(meta)
+    TxLog.history(dir).reverse.map { case (v, adds, removes, dc) =>
+      Row(v, adds.mkString(","), removes.mkString(","), dc)
     }
   }
 }

@@ -3482,10 +3482,211 @@ object IngestQueries {
       FROM sections GROUP BY snap, o_orderstatus
       ORDER BY snap, o_orderstatus"""))
 
+  /** SQL `OPTIMIZE` — the maintenance cadence as a keystroke
+    * ([[graft.plans.GraftTxLogOptimize]]: `AnnIndex.maintainReport`
+    * at threshold 1, returning one row per compaction): three
+    * stats-tracked ingest installments plus a SQL DELETE leave a
+    * tombstone-masked multi-segment table, and ONE `OPTIMIZE tbl`
+    * folds it through the MoR path — tombstones applied physically
+    * and retired, stats sidecars carried forward (e54's contract),
+    * dataChange=false so streams step over it. The hash covers the
+    * post-OPTIMIZE table plus three recomputed-from-disk lifecycle
+    * facts: exactly one live segment, zero live tombstones, and the
+    * merged stats sidecar present — so an OPTIMIZE that resurrected
+    * deleted rows, skipped the fold, or dropped the sidecar all
+    * fail. Determinism: counts + decimal money sums (§4), total
+    * ORDER BY. */
+  val e59 = QueryDef(
+    "e59_sql_optimize",
+    (sp, dir) => {
+      import graft.Dsl.moneySum
+      import graft.sources.TxLog
+      val fmt = "graft.sources.txlog"
+      val fp = IngestFixtures.fingerprint(s"$dir/orders.parquet")
+      val store = IngestFixtures.path(s"e59_store_$fp")
+      val tbl = s"graft_e59_orders_$fp"
+      IngestFixtures.once(s"e59_$fp") {
+        import scala.reflect.io.Directory
+        new Directory(new java.io.File(store)).deleteRecursively()
+        val orders = Tables(sp, dir, "orders")
+          .select(col("o_orderkey"), col("o_orderstatus"),
+            col("o_totalprice"),
+            pmod(col("o_orderkey"), lit(3L)).as("ingest_day"))
+        (0L until 3L).foreach { d =>                              // v0..v2
+          orders.filter(col("ingest_day") === d)
+            .write.format(fmt).option("statsCols", "ingest_day")
+            .mode(org.apache.spark.sql.SaveMode.Append).save(store)
+        }
+        sp.sql(s"DROP TABLE IF EXISTS $tbl")
+        sp.sql(s"CREATE TABLE $tbl USING `graft-txlog` " +
+          s"OPTIONS (path '$store', keyCols 'o_orderkey')")
+        sp.sql(s"DELETE FROM $tbl WHERE o_orderkey % 7 = 0")      // v3
+        val opt = sp.sql(s"OPTIMIZE $tbl").collect()              // v4
+        require(opt.map(r => (r.getString(0), r.getInt(1))).toSeq ==
+          Seq(("write", 4)),
+          s"e59: OPTIMIZE must report exactly the write-family fold, " +
+            s"got ${opt.toSeq}")
+      }
+      val live = TxLog.liveSegments(store, TxLog.latestVersion(store).get)
+      val oneSegment = live == Seq("compact__seg4")
+      val statsCarried = TxLog.segmentStats(store, "compact__seg4")
+        .exists(_.contains("ingest_day"))
+      sp.table(tbl)
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n_rows"),
+          moneySum(col("o_totalprice")).as("sum_price"))
+        .withColumn("one_segment", lit(if (oneSegment) 1L else 0L))
+        .withColumn("stats_carried", lit(if (statsCarried) 1L else 0L))
+        .orderBy("o_orderstatus")
+    },
+    Some("""
+      SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n_rows,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+          AS sum_price,
+        CAST(1 AS BIGINT) AS one_segment,
+        CAST(1 AS BIGINT) AS stats_carried
+      FROM orders WHERE o_orderkey % 7 <> 0
+      GROUP BY o_orderstatus ORDER BY o_orderstatus"""))
+
+  /** `DESCRIBE HISTORY` + SQL `VACUUM` — the audit-and-reclaim half
+    * of the SQL maintenance surface: the commit log surfaces as rows
+    * (version, adds, removes, data_change — newest first, Delta's
+    * ordering), and VACUUM reclaims every directory no retained
+    * version reaches while the manifest log stays intact (names must
+    * never recycle). The fixture drives one lifecycle through SQL
+    * alone — append, INSERT, DELETE, OPTIMIZE, VACUUM — and the entry
+    * hashes the ENTIRE history table (exact segment names, exact
+    * removes, the dataChange=false maintenance marker) plus the
+    * recomputed-from-disk reclaim facts. Every manifest byte is in
+    * the hash: a renamed segment, a missed remove, a maintenance
+    * commit marked as data, or a vacuum that touched the log all
+    * fail. Oracle is a literal VALUES table — the history of a
+    * deterministic fixture is itself deterministic. */
+  val e60 = QueryDef(
+    "e60_sql_history",
+    (sp, dir) => {
+      import graft.sources.TxLog
+      val fmt = "graft.sources.txlog"
+      val fp = IngestFixtures.fingerprint(s"$dir/orders.parquet")
+      val store = IngestFixtures.path(s"e60_store_$fp")
+      val tbl = s"graft_e60_orders_$fp"
+      IngestFixtures.once(s"e60_$fp") {
+        import scala.reflect.io.Directory
+        new Directory(new java.io.File(store)).deleteRecursively()
+        val orders = Tables(sp, dir, "orders")
+          .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+        orders.createOrReplaceTempView("e60_orders_src")
+        orders.filter(pmod(col("o_orderkey"), lit(2L)) === 0L)
+          .write.format(fmt)
+          .mode(org.apache.spark.sql.SaveMode.Append).save(store)  // v0
+        sp.sql(s"DROP TABLE IF EXISTS $tbl")
+        sp.sql(s"CREATE TABLE $tbl USING `graft-txlog` " +
+          s"OPTIONS (path '$store', keyCols 'o_orderkey')")
+        sp.sql(s"""INSERT INTO $tbl                                -- v1
+          SELECT o_orderkey, o_orderstatus, o_totalprice
+          FROM e60_orders_src WHERE o_orderkey % 2 = 1""")
+        sp.sql(s"DELETE FROM $tbl WHERE o_orderkey % 5 = 0")       // v2
+        sp.sql(s"OPTIMIZE $tbl")                                   // v3
+        val gone = sp.sql(s"VACUUM $tbl").collect().map(_.getString(0))
+        require(gone.toSeq == Seq("deletes__seg2", "write__seg000000",
+          "write__seg000001"),
+          s"e60: vacuum must reclaim exactly the retired dirs, got " +
+            s"${gone.toSeq}")
+      }
+      val dataDirs = Option(new java.io.File(store).listFiles())
+        .getOrElse(Array.empty).count(f =>
+          f.isDirectory && f.getName != "_txlog")
+      sp.sql(s"DESCRIBE HISTORY $tbl")
+        .select(col("version"), col("adds"), col("removes"),
+          col("data_change").cast("long").as("data_change"))
+        .withColumn("live_data_dirs", lit(dataDirs.toLong))
+        .orderBy(col("version").desc)
+    },
+    Some("""
+      SELECT * FROM (VALUES
+        (CAST(3 AS INTEGER), 'compact__seg3',
+         'write__seg000000,write__seg000001,deletes__seg2',
+         CAST(0 AS BIGINT), CAST(1 AS BIGINT)),
+        (CAST(2 AS INTEGER), 'deletes__seg2', '',
+         CAST(1 AS BIGINT), CAST(1 AS BIGINT)),
+        (CAST(1 AS INTEGER), 'write__seg000001', '',
+         CAST(1 AS BIGINT), CAST(1 AS BIGINT)),
+        (CAST(0 AS INTEGER), 'write__seg000000', '',
+         CAST(1 AS BIGINT), CAST(1 AS BIGINT)))
+        AS t(version, adds, removes, data_change, live_data_dirs)
+      ORDER BY version DESC"""))
+
+  /** The engine-driven streaming SINK —
+    * `writeStream.format("graft-txlog").start(dir)`
+    * ([[graft.sources.txlog.TxLogSink]]): one micro-batch = one
+    * segment = one commit through the [[graft.sources.TxLog
+    * .appendBatch]] exactly-once ledger, completing the foreachBatch
+    * pattern e28/e41 hand-roll into a first-class sink (source and
+    * sink of the same format now compose engine-to-engine). The
+    * fixture drains a three-version table through a rate-limited
+    * stream into the sink TWICE — the second drain with a FRESH
+    * checkpoint, so every batch id redelivers — and the hash carries
+    * the batch→segment mapping plus the version count: a sink that
+    * double-committed on redelivery (exactly-once held by the
+    * checkpoint alone, not the ledger), collapsed the capped drain,
+    * or dropped a batch all fail. Sink segments record statsCols
+    * sidecars like the batch writer (spec-proven). Determinism:
+    * counts + decimal money sums (§4), total ORDER BY. */
+  val e61 = QueryDef(
+    "e61_stream_sink",
+    (sp, dir) => {
+      import graft.Dsl.moneySum
+      import graft.sources.TxLog
+      val fmt = "graft.sources.txlog"
+      val fp = IngestFixtures.fingerprint(s"$dir/orders.parquet")
+      val store = IngestFixtures.path(s"e61_store_$fp")
+      val out = IngestFixtures.path(s"e61_out_$fp")
+      IngestFixtures.once(s"e61_$fp") {
+        import scala.reflect.io.Directory
+        Seq(store, out).foreach(p =>
+          new Directory(new java.io.File(p)).deleteRecursively())
+        Seq(store, out).foreach(p => new java.io.File(p).mkdirs())
+        val orders = Tables(sp, dir, "orders")
+          .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+        (0L until 3L).foreach(b => TxLog.appendBatch(
+          orders.filter(pmod(col("o_orderkey"), lit(3L)) === b), b, store))
+        def drain(ckpt: String): Unit = {
+          val q = sp.readStream.format(fmt)
+            .option("maxVersionsPerTrigger", 1).load(store)
+            .writeStream.format(fmt)
+            .option("checkpointLocation", IngestFixtures.path(ckpt))
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start(out)
+          q.awaitTermination()
+        }
+        drain(s"e61_ckpt1_$fp")
+        // checkpoint loss: every batch id redelivers; the manifest
+        // ledger must recognize them all — no new commits
+        drain(s"e61_ckpt2_$fp")
+        require(TxLog.versions(out) == Seq(0, 1, 2),
+          s"e61: redelivery must not re-commit, got ${TxLog.versions(out)}")
+      }
+      val nVersions = TxLog.versions(out).size.toLong
+      TxLog.snapshot(sp, out, TxLog.latestVersion(out).get)
+        .groupBy(pmod(col("o_orderkey"), lit(3L)).as("batch"),
+          col("o_orderstatus"))
+        .agg(count(lit(1)).as("n_rows"),
+          moneySum(col("o_totalprice")).as("sum_price"))
+        .withColumn("n_versions", lit(nVersions))
+        .orderBy("batch", "o_orderstatus")
+    },
+    Some("""
+      SELECT o_orderkey % 3 AS batch, o_orderstatus,
+        CAST(COUNT(*) AS BIGINT) AS n_rows,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+          AS sum_price,
+        CAST(3 AS BIGINT) AS n_versions
+      FROM orders GROUP BY 1, 2 ORDER BY batch, o_orderstatus"""))
+
   val defs: Seq[QueryDef] =
     Seq(e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11, e12, e13,
       e14, e15, e16, e17, e18, e19, e20, e21, e22, e23, e24, e25, e26,
       e27, e28, e29, e30, e31, e32, e33, e34, e35, e36, e37, e38, e39,
       e40, e41, e42, e43, e44, e45, e46, e47, e48, e49, e50, e51, e52,
-      e53, e54, e55, e56, e57, e58)
+      e53, e54, e55, e56, e57, e58, e59, e60, e61)
 }

@@ -327,6 +327,16 @@ object TxLog {
   def latestVersion(tableDir: String): Option[Int] =
     versions(tableDir).lastOption
 
+  /** The commit log, oldest first: (version, adds, removes,
+    * dataChange) per manifest — Delta's DESCRIBE HISTORY reduced to
+    * what the log actually records. Driver-side JSON reads; O(history
+    * length), which the manifest-per-commit design keeps tiny. */
+  def history(tableDir: String): Seq[(Int, Seq[String], Seq[String], Boolean)] =
+    versions(tableDir).map { v =>
+      val (adds, removes, dataChange) = readManifest(tableDir, v)
+      (v, adds, removes, dataChange)
+    }
+
   // ---- merge-on-read row-level deletes ----------------------------
   //
   // The Delta/Iceberg MoR discipline reduced to its core: a DELETE

@@ -45,9 +45,41 @@ import org.apache.spark.sql.types.StructType
   */
 class DefaultSource extends RelationProvider
     with CreatableRelationProvider with StreamSourceProvider
+    with org.apache.spark.sql.sources.StreamSinkProvider
     with DataSourceRegister {
 
   override def shortName(): String = "graft-txlog"
+
+  // ---- spark.writeStream.format("graft-txlog"): exactly-once sink --
+  //
+  // Each micro-batch lands as ONE segment behind one manifest commit
+  // via TxLog.appendBatch — the engine-driven surface of the
+  // foreachBatch pattern the entries e28/e41 hand-roll: the segment
+  // name derives from batchId, so a crash-after-commit redelivery is
+  // recognized against the manifest-HISTORY ledger and skipped
+  // without data writes (end-to-end exactly-once, checkpoint +
+  // manifest together). Append output mode only: the txlog is an
+  // append-only segment log; aggregations needing Update/Complete
+  // semantics belong in foreachBatch with an explicit merge verb.
+  // option("statsCols", ...) records each batch segment's skipping
+  // sidecar, the same option the batch writer takes.
+  override def createSink(sqlContext: SQLContext,
+      parameters: Map[String, String],
+      partitionColumns: Seq[String],
+      outputMode: org.apache.spark.sql.streaming.OutputMode)
+      : org.apache.spark.sql.execution.streaming.Sink = {
+    require(partitionColumns.isEmpty,
+      "graft-txlog sink does not support partitionBy (segments are " +
+        "the unit of layout; use statsCols for skipping)")
+    require(outputMode == org.apache.spark.sql.streaming.OutputMode.Append(),
+      s"graft-txlog sink is append-only (the txlog is a segment log), " +
+        s"got $outputMode")
+    val dir = path(parameters)
+    val statsCols = parameters.get("statsCols")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      .getOrElse(Seq.empty)
+    new TxLogSink(dir, statsCols)
+  }
 
   // ---- spark.readStream.format("graft-txlog"): versions as offsets --
 
@@ -322,6 +354,27 @@ class TxLogSource(sqlContext: SQLContext, dir: String,
   }
 
   override def stop(): Unit = ()
+}
+
+/** The streaming SINK half of the format: one micro-batch = one
+  * segment = one commit, exactly-once by the [[TxLog.appendBatch]]
+  * ledger (redelivered batch ids are recognized against the full
+  * manifest history and skipped). The engine hands `addBatch` a batch
+  * frame over the micro-batch's executed rows; appendBatch runs
+  * exactly ONE action on it (the segment write — stats are computed
+  * from the written parquet, never by re-executing the input), so no
+  * extra materialization is needed. */
+class TxLogSink(dir: String, statsCols: Seq[String])
+    extends org.apache.spark.sql.execution.streaming.Sink {
+  override def addBatch(batchId: Long, data: DataFrame): Unit = {
+    // the engine tags the frame isStreaming=true, which refuses every
+    // batch write verb — re-wrap its executed rows as a batch frame
+    // (ForeachBatchSink's own discipline, via the Bridge)
+    TxLog.appendBatch(org.apache.spark.sql.graft.Bridge.asBatch(data),
+      batchId, dir, statsCols)
+    ()
+  }
+  override def toString: String = s"TxLogSink[$dir]"
 }
 
 /** The snapshot (or merge-on-read snapshot) of one txlog table at one

@@ -154,6 +154,19 @@ object Bridge {
       timeoutMs: Long): Unit =
     sc.listenerBus.waitUntilEmpty(timeoutMs)
 
+  /** The inverse of [[asStreaming]]: re-wrap a V1 `Sink.addBatch`
+    * frame (tagged isStreaming=true, so every batch write verb
+    * refuses it) as a plain BATCH frame over the micro-batch's
+    * executed rows — exactly what ForeachBatchSink does internally
+    * before handing the frame to user code. One downstream action
+    * executes the rows once; no copy is taken here. */
+  def asBatch(df: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val ds = df.asInstanceOf[org.apache.spark.sql.classic.Dataset[org.apache.spark.sql.Row]]
+    ds.sparkSession.internalCreateDataFrame(
+      ds.queryExecution.toRdd, ds.schema, isStreaming = false)
+  }
+
   /** Tag a batch DataFrame as STREAMING — the V1 `Source.getBatch`
     * contract: MicroBatchExecution rejects a returned frame whose
     * plan is not streaming, and the blessed way to satisfy it is an

@@ -452,6 +452,55 @@ class TxLogFormatSpec extends SparkSpec {
     }
   }
 
+  test("SQL OPTIMIZE / VACUUM / DESCRIBE HISTORY maintenance keystrokes") {
+    import spark.implicits._
+    val t = freshTable()
+    (0 until 3).foreach { i =>
+      Seq((i * 10L + 1, i.toLong), (i * 10L + 2, i.toLong))
+        .toDF("id", "day")
+        .write.format(Fmt).option("statsCols", "day")
+        .mode(SaveMode.Append).save(t)
+    }
+    val tbl = s"txlog_opt_${System.nanoTime()}"
+    spark.sql(s"CREATE TABLE $tbl USING `graft-txlog` " +
+      s"OPTIONS (path '$t', keyCols 'id')")
+    try {
+      spark.sql(s"DELETE FROM $tbl WHERE id = 11")                 // v3
+      val hist = spark.sql(s"DESCRIBE HISTORY $tbl").collect()
+      assert(hist.map(_.getInt(0)).toSeq === Seq(3, 2, 1, 0), "newest first")
+      assert(hist.head.getString(1).startsWith("deletes__"))
+      assert(hist.forall(_.getBoolean(3)), "all data commits so far")
+      // OPTIMIZE folds the tombstoned table through the MoR path
+      val opt = spark.sql(s"OPTIMIZE $tbl").collect()
+      assert(opt.map(r => (r.getString(0), r.getInt(1))).toSeq ===
+        Seq(("write", 4)))
+      assert(spark.table(tbl).select("id").as[Long].collect().sorted.toSeq
+        === Seq(1L, 2L, 12L, 21L, 22L))
+      val live = TxLog.liveSegments(t, 4)
+      assert(live === Seq("compact__seg4"), s"got $live")
+      // stats carried through the SQL OPTIMIZE (e54's contract)
+      assert(TxLog.segmentStats(t, "compact__seg4")
+        .exists(_.get("day").contains(("0", "2", "long"))))
+      // idempotent: a compacted table returns no rows
+      assert(spark.sql(s"OPTIMIZE $tbl").collect().isEmpty)
+      // the maintenance commit is visible in history as data_change=false
+      val hist2 = spark.sql(s"DESCRIBE HISTORY $tbl").collect()
+      assert(!hist2.head.getBoolean(3) && hist2.head.getInt(0) === 4)
+      // VACUUM reclaims the four retired dirs, keeps the log
+      val gone = spark.sql(s"VACUUM $tbl").as[String].collect().toSeq
+      assert(gone === Seq("deletes__seg3", "write__seg000000",
+        "write__seg000001", "write__seg000002"))
+      assert(TxLog.versions(t) === Seq(0, 1, 2, 3, 4), "manifests kept")
+      assert(spark.table(tbl).count() === 5)
+      // RETAIN guard + non-graft fall-through (OPTIMIZE stays a parse
+      // error outside the format)
+      intercept[Exception](spark.sql(s"VACUUM $tbl RETAIN 0 VERSIONS"))
+      intercept[Exception](spark.sql("OPTIMIZE definitely_not_a_table"))
+    } finally {
+      spark.sql(s"DROP TABLE IF EXISTS $tbl"); ()
+    }
+  }
+
   test("SQL VERSION AS OF reads pinned snapshots through the catalog") {
     import spark.implicits._
     val t = freshTable()
@@ -538,6 +587,48 @@ class TxLogFormatSpec extends SparkSpec {
     } finally {
       spark.sql(s"DROP TABLE IF EXISTS $tbl"); ()
     }
+  }
+
+  test("streaming sink: one segment per batch, exactly-once across checkpoint loss") {
+    import spark.implicits._
+    val t = freshTable()
+    val out = freshTable() + "_out"
+    (0 until 3).foreach(i =>
+      TxLog.appendBatch(Seq(i.toLong * 10, i.toLong * 10 + 1).toDF("id"),
+        i.toLong, t))
+    def drain(ckpt: String): Unit = {
+      val q = spark.readStream.format(Fmt)
+        .option("maxVersionsPerTrigger", 1).load(t)
+        .writeStream.format(Fmt)
+        .option("checkpointLocation", ckpt)
+        .option("statsCols", "id")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start(out)
+      q.awaitTermination()
+    }
+    drain(s"$out-ckpt1")
+    assert(TxLog.versions(out) === Seq(0, 1, 2), "one commit per batch")
+    def ids() = spark.read.format(Fmt).load(out)
+      .as[Long].collect().sorted.toSeq
+    assert(ids() === Seq(0L, 1L, 10L, 11L, 20L, 21L))
+    // the sink records skipping sidecars like the batch writer
+    assert(TxLog.segmentStats(out, "batch__000000").get("id") ===
+      ("0", "1", "long"))
+    // checkpoint LOSS: a fresh drain redelivers every batch id — the
+    // manifest-history ledger recognizes them all; no new versions,
+    // no duplicated rows (exactly-once without the checkpoint's help)
+    drain(s"$out-ckpt2")
+    assert(TxLog.versions(out) === Seq(0, 1, 2),
+      "redelivered batches must not re-commit")
+    assert(ids() === Seq(0L, 1L, 10L, 11L, 20L, 21L))
+    // append-only contract: non-Append output modes are refused
+    val agg = spark.readStream.format(Fmt).load(t)
+      .groupBy("id").count()
+    val e = intercept[Exception] {
+      agg.writeStream.format(Fmt).outputMode("complete")
+        .option("checkpointLocation", s"$out-ckpt3").start(s"$out-bad")
+    }
+    assert(e.getMessage.contains("append-only"))
   }
 
   test("maxVersionsPerTrigger drains AvailableNow in capped micro-batches") {
