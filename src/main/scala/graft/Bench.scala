@@ -116,7 +116,10 @@ object Bench {
         "s27_ivf_maintain", "e46_txlog_cdf", "e47_txlog_evolve",
         "e48_stream_cdf", "e49_stream_optimize", "e50_txlog_sql_dml",
         "e51_txlog_skipping", "e52_txlog_vacuum", "e53_stream_rate_limit",
-        "s28_ivfpq_hybrid", "s29_maintain_mor", "d25_index_delete").foreach {
+        "s28_ivfpq_hybrid", "s29_maintain_mor", "d25_index_delete",
+        "e54_compact_stats", "e55_sql_delete", "e56_sql_time_travel",
+        "e57_sql_update", "e58_sql_merge", "e59_sql_optimize",
+        "e60_sql_history", "e61_stream_sink", "e62_sql_zorder").foreach {
       n => SparkEntry.queries.get(n)
         .foreach(f => try f(spark, sfDir).count() catch { case _: Throwable => })
     }

@@ -68,7 +68,7 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
   // DESCRIBE over a real table named HISTORY) delegates untouched.
 
   private val OptimizeRe =
-    """(?is)\s*OPTIMIZE\s+([\w.`]+)\s*;?\s*""".r
+    """(?is)\s*OPTIMIZE\s+([\w.`]+)(?:\s+ZORDER\s+BY\s*\(([^)]+)\))?\s*;?\s*""".r
   private val VacuumRe =
     """(?is)\s*VACUUM\s+([\w.`]+?)(?:\s+RETAIN\s+(\d+)\s+VERSIONS)?\s*;?\s*""".r
   private val HistoryRe =
@@ -79,8 +79,10 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
 
   private def maintenanceVerb(sqlText: String): Option[LogicalPlan] =
     (sqlText match {
-      case OptimizeRe(ident) => Some((ident, (ti: TableIdentifier) =>
-        GraftTxLogOptimize(ti)))
+      case OptimizeRe(ident, zorder) => Some((ident, (ti: TableIdentifier) =>
+        GraftTxLogOptimize(ti, Option(zorder).toSeq.flatMap(
+          _.split(",").map(_.trim.stripPrefix("`").stripSuffix("`"))
+            .filter(_.nonEmpty)))))
       case VacuumRe(ident, retain) => Some((ident,
         (ti: TableIdentifier) => GraftTxLogVacuum(ti,
           Option(retain).map(_.toInt))))
@@ -333,14 +335,20 @@ private[plans] object TxLogDml {
   }
 }
 
-/** `OPTIMIZE <graft-txlog table>` — the maintenance cadence as a SQL
-  * keystroke: [[graft.operators.AnnIndex.maintainReport]] at
-  * threshold 1 folds every multi-segment family to one segment
-  * (MoR-dispatched under tombstones, stats sidecars carried forward —
-  * e54's contract), returning one row per compaction performed. A
-  * fully-compacted table returns no rows (idempotent). */
-case class GraftTxLogOptimize(ident: TableIdentifier)
-    extends LeafRunnableCommand {
+/** `OPTIMIZE <graft-txlog table> [ZORDER BY (c1, c2, ...)]` — the
+  * maintenance cadence as a SQL keystroke. Plain form:
+  * [[graft.operators.AnnIndex.maintainReport]] at threshold 1 folds
+  * every multi-segment family to one segment (MoR-dispatched under
+  * tombstones, stats sidecars carried forward — e54's contract),
+  * returning one row per compaction; a fully-compacted table returns
+  * no rows (idempotent). ZORDER form: [[TxLog.compactZorder]] lays
+  * the whole (plain) table out on the Morton curve of the named
+  * columns — `zorderFiles` table option sets the part-file count
+  * (default 8) — so selective scans on ANY clustered column prune
+  * most row groups; always a rewrite (never a no-op), stats
+  * recomputed for tracked ∪ zorder columns. */
+case class GraftTxLogOptimize(ident: TableIdentifier,
+    zorderCols: Seq[String] = Seq.empty) extends LeafRunnableCommand {
   import org.apache.spark.sql.catalyst.expressions.AttributeReference
   import org.apache.spark.sql.types.{IntegerType, StringType}
   override val output: Seq[org.apache.spark.sql.catalyst.expressions.Attribute] =
@@ -349,11 +357,44 @@ case class GraftTxLogOptimize(ident: TableIdentifier)
   override def run(session: SparkSession): Seq[Row] = {
     val meta = session.sessionState.catalog.getTableMetadata(ident)
     val dir = GraftSqlParser.localPath(meta)
-    val report = graft.operators.AnnIndex.maintainReport(session, dir,
-      threshold = 1)
-    if (report.compacted.nonEmpty)
+    if (zorderCols.isEmpty) {
+      val report = graft.operators.AnnIndex.maintainReport(session, dir,
+        threshold = 1)
+      if (report.compacted.nonEmpty)
+        session.catalog.refreshTable(ident.quotedString)
+      report.compacted.map { case (fam, v) => Row(fam, v) }
+    } else {
+      // whole-table clustered fold — meaningful only for plain tables
+      // (an index store's families must never merge into one segment)
+      val latest = TxLog.latestVersion(dir).getOrElse(sys.error(
+        s"OPTIMIZE on empty table ${ident.table}"))
+      val fams = TxLog.liveSegments(dir, latest)
+        .map(_.split("__")(0)).distinct
+        .filterNot(_ == TxLog.DeletesFamily)
+      require(fams.forall(Set("batch", "write", "compact")),
+        s"OPTIMIZE ... ZORDER BY on ${ident.table}: the table holds " +
+          s"index-store families $fams — zorder applies to plain tables")
+      val props = CaseInsensitiveMap(meta.storage.properties)
+      val keys = props.get("keyCols")
+        .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+        .getOrElse {
+          val delSegs = TxLog.familySegments(dir, TxLog.DeletesFamily)
+          if (delSegs.isEmpty)
+            TxLog.snapshot(session, dir, latest).columns.toSeq
+          else {
+            val keySets = delSegs.map(s => session.read
+              .parquet(s"$dir/$s").schema.fieldNames.toSeq).distinct
+            require(keySets.size == 1,
+              s"OPTIMIZE ${ident.table}: tombstone key schemas disagree " +
+                s"($keySets) — set the table's keyCols option")
+            keySets.head
+          }
+        }
+      val nFiles = props.get("zorderFiles").map(_.trim.toInt).getOrElse(8)
+      val v = TxLog.compactZorder(session, dir, keys, zorderCols, nFiles)
       session.catalog.refreshTable(ident.quotedString)
-    report.compacted.map { case (fam, v) => Row(fam, v) }
+      Seq(Row("zorder", v))
+    }
   }
 }
 

@@ -3643,7 +3643,12 @@ object IngestQueries {
       val out = IngestFixtures.path(s"e61_out_$fp")
       IngestFixtures.once(s"e61_$fp") {
         import scala.reflect.io.Directory
-        Seq(store, out).foreach(p =>
+        // checkpoints must reset WITH the tables: a surviving
+        // checkpoint from an earlier JVM would tell the drain
+        // everything was already processed and the fixture would
+        // rebuild an empty result table
+        Seq(store, out, IngestFixtures.path(s"e61_ckpt1_$fp"),
+            IngestFixtures.path(s"e61_ckpt2_$fp")).foreach(p =>
           new Directory(new java.io.File(p)).deleteRecursively())
         Seq(store, out).foreach(p => new java.io.File(p).mkdirs())
         val orders = Tables(sp, dir, "orders")
@@ -3683,10 +3688,108 @@ object IngestQueries {
         CAST(3 AS BIGINT) AS n_versions
       FROM orders GROUP BY 1, 2 ORDER BY batch, o_orderstatus"""))
 
+  /** `OPTIMIZE ... ZORDER BY` — multi-dimensional clustered layout as
+    * a txlog maintenance verb ([[graft.sources.TxLog.compactZorder]] →
+    * [[graft.sources.ClusteredWriter.writeZOrdered]], e11's Morton
+    * interleave composed with the format's MoR fold): the whole table
+    * re-lands as ONE segment of `zorderFiles` range-partitioned part
+    * files, each covering a narrow z-range, so selective scans on ANY
+    * clustered dimension prune most row groups via parquet min/max —
+    * lexicographic clustering only serves the leading column, and at
+    * 100 TB multi-dim locality is what makes band-filtered scans
+    * cheap. Tombstones are applied and retired by the fold
+    * (dataChange=false); stats sidecars are RECOMPUTED for tracked ∪
+    * zorder columns (the rewrite reads every row anyway — tighter
+    * than carry-forward). The hash covers band filters on BOTH
+    * dimensions over the zordered table plus recomputed-from-disk
+    * facts (one live segment, the requested file count, both columns
+    * stats-tracked); per-file locality is spec-proven (each part
+    * file's span of EVERY dimension is a fraction of global).
+    * Determinism: layout never changes results — the oracle is the
+    * plain filtered agg. */
+  val e62 = QueryDef(
+    "e62_sql_zorder",
+    (sp, dir) => {
+      import graft.Dsl.moneySum
+      import graft.sources.TxLog
+      val fmt = "graft.sources.txlog"
+      val fp = IngestFixtures.fingerprint(s"$dir/orders.parquet")
+      val store = IngestFixtures.path(s"e62_store_$fp")
+      val tbl = s"graft_e62_orders_$fp"
+      IngestFixtures.once(s"e62_$fp") {
+        import scala.reflect.io.Directory
+        new Directory(new java.io.File(store)).deleteRecursively()
+        val orders = Tables(sp, dir, "orders")
+          .select(col("o_orderkey"), col("o_custkey"),
+            col("o_orderstatus"), col("o_totalprice"))
+        (0L until 2L).foreach { half =>                           // v0, v1
+          orders.filter(pmod(col("o_orderkey"), lit(2L)) === half)
+            .write.format(fmt)
+            .mode(org.apache.spark.sql.SaveMode.Append).save(store)
+        }
+        sp.sql(s"DROP TABLE IF EXISTS $tbl")
+        sp.sql(s"CREATE TABLE $tbl USING `graft-txlog` OPTIONS " +
+          s"(path '$store', keyCols 'o_orderkey', zorderFiles '8')")
+        sp.sql(s"DELETE FROM $tbl WHERE o_orderkey % 11 = 3")      // v2
+        val opt = sp.sql(s"OPTIMIZE $tbl ZORDER BY (o_custkey, o_orderkey)")
+          .collect()                                               // v3
+        require(opt.map(r => (r.getString(0), r.getInt(1))).toSeq ==
+          Seq(("zorder", 3)),
+          s"e62: expected one zorder fold at v3, got ${opt.toSeq}")
+      }
+      val live = TxLog.liveSegments(store, TxLog.latestVersion(store).get)
+      val oneSegment = live == Seq("compact__seg3")
+      val nParts = Option(new java.io.File(store, "compact__seg3")
+        .listFiles()).getOrElse(Array.empty)
+        .count(_.getName.endsWith(".parquet")).toLong
+      val statsBoth = TxLog.segmentStats(store, "compact__seg3")
+        .exists(st => st.contains("o_custkey") && st.contains("o_orderkey"))
+      // band filters on BOTH clustered dimensions — the scans row-group
+      // pruning serves after the fold; results must equal the plain agg
+      val zt = sp.table(tbl)
+      val byCust = zt
+        .filter(col("o_custkey") >= 100L && col("o_custkey") < 200L)
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n_rows"),
+          moneySum(col("o_totalprice")).as("sum_price"))
+        .withColumn("probe", lit("cust_band"))
+      val byKey = zt
+        .filter(col("o_orderkey") >= 1000L && col("o_orderkey") < 3000L)
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n_rows"),
+          moneySum(col("o_totalprice")).as("sum_price"))
+        .withColumn("probe", lit("key_band"))
+      byCust.unionByName(byKey)
+        .withColumn("one_segment", lit(if (oneSegment) 1L else 0L))
+        .withColumn("n_files", lit(nParts))
+        .withColumn("stats_both", lit(if (statsBoth) 1L else 0L))
+        .select("probe", "o_orderstatus", "n_rows", "sum_price",
+          "one_segment", "n_files", "stats_both")
+        .orderBy("probe", "o_orderstatus")
+    },
+    Some("""
+      WITH survivors AS (
+        SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+        FROM orders WHERE o_orderkey % 11 <> 3),
+      sections AS (
+        SELECT 'cust_band' AS probe, o_orderstatus, o_totalprice
+        FROM survivors WHERE o_custkey >= 100 AND o_custkey < 200
+        UNION ALL
+        SELECT 'key_band', o_orderstatus, o_totalprice
+        FROM survivors WHERE o_orderkey >= 1000 AND o_orderkey < 3000)
+      SELECT probe, o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n_rows,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+          AS sum_price,
+        CAST(1 AS BIGINT) AS one_segment,
+        CAST(8 AS BIGINT) AS n_files,
+        CAST(1 AS BIGINT) AS stats_both
+      FROM sections GROUP BY probe, o_orderstatus
+      ORDER BY probe, o_orderstatus"""))
+
   val defs: Seq[QueryDef] =
     Seq(e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11, e12, e13,
       e14, e15, e16, e17, e18, e19, e20, e21, e22, e23, e24, e25, e26,
       e27, e28, e29, e30, e31, e32, e33, e34, e35, e36, e37, e38, e39,
       e40, e41, e42, e43, e44, e45, e46, e47, e48, e49, e50, e51, e52,
-      e53, e54, e55, e56, e57, e58, e59, e60, e61)
+      e53, e54, e55, e56, e57, e58, e59, e60, e61, e62)
 }

@@ -468,6 +468,37 @@ object TxLog {
     commit(tableDir, adds = Seq(seg), removes = old, dataChange = false)
   }
 
+  /** The CLUSTERED MoR OPTIMIZE — `OPTIMIZE ... ZORDER BY`: fold the
+    * current merge-on-read snapshot into ONE segment laid out on the
+    * Morton curve of `zCols` ([[ClusteredWriter.writeZOrdered]]:
+    * `nFiles` range-partitioned, in-partition-sorted part files, each
+    * covering a narrow z-range), and retire every live data +
+    * tombstone segment in a single atomic commit. Same contract as
+    * [[compactMoR]] — history stays readable, dataChange=false — plus
+    * the layout work: after this, a scan filtered on ANY clustered
+    * column prunes most part files via parquet row-group min/max
+    * (pushed filters), which at 100 TB is the difference between a
+    * full-segment read and a few row groups. Stats sidecars are
+    * RECOMPUTED over the folded rows for every previously-tracked
+    * column plus `zCols` (the rewrite already reads every row, so the
+    * recompute is tighter than a carry-forward union and free by
+    * comparison). Returns the committed version. */
+  def compactZorder(spark: SparkSession, tableDir: String,
+      keyCols: Seq[String], zCols: Seq[String], nFiles: Int = 8): Int = {
+    require(zCols.nonEmpty, "compactZorder needs at least one cluster column")
+    val latest = latestVersion(tableDir)
+      .getOrElse(sys.error(s"compactZorder on empty table $tableDir"))
+    val old = liveSegments(tableDir, latest)
+    val seg = s"compact__seg${versions(tableDir).size}"
+    ClusteredWriter.writeZOrdered(
+      snapshotMoR(spark, tableDir, latest, keyCols),
+      s"$tableDir/$seg", nFiles, zCols)
+    val tracked = old.filterNot(_.startsWith(s"${DeletesFamily}__"))
+      .flatMap(s => segmentStats(tableDir, s).map(_.keySet).getOrElse(Set.empty))
+    writeSegmentStats(spark, tableDir, seg, (tracked ++ zCols).distinct)
+    commit(tableDir, adds = Seq(seg), removes = old, dataChange = false)
+  }
+
   /** Incremental-consumer read: the rows ADDED between `fromV`
     * (exclusive; −1 = since table creation) and `toV` (inclusive) —
     * the read half of the [[appendBatch]] write half, and the txlog

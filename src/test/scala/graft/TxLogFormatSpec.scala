@@ -360,6 +360,25 @@ class TxLogFormatSpec extends SparkSpec {
     finally spark.sql(s"DROP TABLE IF EXISTS $plain")
   }
 
+  test("CREATE TABLE AS SELECT lands one segment through the catalog") {
+    import spark.implicits._
+    val t = freshTable()
+    val tbl = s"txlog_ctas_${System.nanoTime()}"
+    spark.sql(s"CREATE TABLE $tbl USING `graft-txlog` " +
+      s"OPTIONS (path '$t') AS SELECT id FROM range(0, 5)")
+    try {
+      assert(spark.table(tbl).as[Long].collect().sorted.toSeq ===
+        (0L until 5L))
+      assert(TxLog.versions(t) === Seq(0), "CTAS = one segment, one commit")
+      // and the created table takes the full DML surface immediately
+      spark.sql(s"DELETE FROM $tbl WHERE id = 3")
+      assert(spark.table(tbl).as[Long].collect().sorted.toSeq ===
+        Seq(0L, 1L, 2L, 4L))
+    } finally {
+      spark.sql(s"DROP TABLE IF EXISTS $tbl"); ()
+    }
+  }
+
   test("SQL UPDATE rewrites matched rows in ONE atomic commit") {
     import spark.implicits._
     val t = freshTable()
@@ -496,6 +515,75 @@ class TxLogFormatSpec extends SparkSpec {
       // error outside the format)
       intercept[Exception](spark.sql(s"VACUUM $tbl RETAIN 0 VERSIONS"))
       intercept[Exception](spark.sql("OPTIMIZE definitely_not_a_table"))
+    } finally {
+      spark.sql(s"DROP TABLE IF EXISTS $tbl"); ()
+    }
+  }
+
+  test("SQL OPTIMIZE ZORDER BY lays the table out on the Morton curve") {
+    import spark.implicits._
+    val t = freshTable()
+    // two independent uniform dimensions, landed in insertion order
+    // (worst case for locality) across two appends + a delete
+    val rows = (0 until 8000).map(i => (i.toLong, (i % 89).toLong,
+      (i / 89).toLong))
+    rows.take(4000).toDF("id", "a", "b")
+      .write.format(Fmt).option("statsCols", "id")
+      .mode(SaveMode.Append).save(t)
+    rows.drop(4000).toDF("id", "a", "b")
+      .write.format(Fmt).option("statsCols", "id")
+      .mode(SaveMode.Append).save(t)
+    val tbl = s"txlog_zorder_${System.nanoTime()}"
+    spark.sql(s"CREATE TABLE $tbl USING `graft-txlog` " +
+      s"OPTIONS (path '$t', keyCols 'id', zorderFiles '8')")
+    try {
+      spark.sql(s"DELETE FROM $tbl WHERE id = 7")
+      val opt = spark.sql(s"OPTIMIZE $tbl ZORDER BY (a, b)").collect()
+      assert(opt.map(r => (r.getString(0), r.getInt(1))).toSeq ===
+        Seq(("zorder", 3)))
+      // one live segment, tombstones applied and retired
+      assert(TxLog.liveSegments(t, 3) === Seq("compact__seg3"))
+      assert(spark.table(tbl).count() === 7999)
+      assert(spark.table(tbl).filter(col("id") === 7L).count() === 0)
+      // stats recomputed for the zorder columns
+      val st = TxLog.segmentStats(t, "compact__seg3").get
+      assert(st.contains("a") && st.contains("b") && st.contains("id"))
+      // the MORTON layout: each part file covers a narrow range of
+      // EVERY clustered dimension (lexicographic sort would keep `b`
+      // near-global in every file)
+      val parts = new java.io.File(t, "compact__seg3").listFiles()
+        .filter(f => f.getName.endsWith(".parquet")).map(_.toString)
+      assert(parts.length === 8, s"expected 8 zorder files, got ${parts.length}")
+      def avgSpan(c: String): Double = parts.map { p =>
+        val mm = spark.read.parquet(p)
+          .agg(org.apache.spark.sql.functions.min(col(c)),
+            org.apache.spark.sql.functions.max(col(c))).head()
+        (mm.getLong(1) - mm.getLong(0)).toDouble
+      }.sum / parts.length
+      val globalA = 88.0
+      val globalB = rows.map(_._3).max.toDouble
+      assert(avgSpan("a") <= 0.75 * globalA,
+        s"a-span ${avgSpan("a")} not localized (global $globalA)")
+      assert(avgSpan("b") <= 0.75 * globalB,
+        s"b-span ${avgSpan("b")} not localized (global $globalB)")
+      // pushed filters on either dimension stay pushed (row-group
+      // pruning applies inside the single segment's scan)
+      val p = spark.table(tbl).filter(col("b") === 3L)
+        .queryExecution.executedPlan.toString
+      assert(p.contains("PushedFilters") && p.contains("EqualTo(b,3)"))
+      // an index store refuses the whole-table zorder fold
+      val store = freshTable()
+      Seq((1L, 2L)).toDF("n_id", "cluster")
+        .write.parquet(s"$store/postings__seg0")
+      TxLog.commit(store, Seq("postings__seg0"))
+      val tbl2 = s"txlog_zorder_store_${System.nanoTime()}"
+      spark.sql(s"CREATE TABLE $tbl2 USING `graft-txlog` " +
+        s"OPTIONS (path '$store')")
+      try {
+        val e = intercept[Exception](
+          spark.sql(s"OPTIMIZE $tbl2 ZORDER BY (n_id)"))
+        assert(e.getMessage.contains("plain tables"))
+      } finally spark.sql(s"DROP TABLE IF EXISTS $tbl2")
     } finally {
       spark.sql(s"DROP TABLE IF EXISTS $tbl"); ()
     }
