@@ -529,7 +529,7 @@ object AnnIndex {
 
   /** The family names plain (non-index) txlog tables write — what
     * [[maintain]] uses to recognize a store it may whole-table-fold. */
-  private val PlainTableFamilies = Set("batch", "write", "compact")
+  private val PlainTableFamilies = graft.sources.TxLog.PlainFamilies
 
   /** The [[DedupIndex]] store's family set — recognized by [[maintain]]
     * so a tombstoned dedup store dispatches to its MoR compactor. */

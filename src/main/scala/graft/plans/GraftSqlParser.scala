@@ -41,8 +41,9 @@ import org.apache.spark.sql.graft.Bridge
   *  - `RelationTimeTravel(UnresolvedRelation, _, Some(v))` over a
   *    graft-txlog table → the format's `asOf` snapshot relation —
   *    `VERSION AS OF` is the SQL spelling of `option("asOf", v)`.
-  *    `TIMESTAMP AS OF` is not supported (the manifest log records no
-  *    wall-clock) and falls through to Spark's loud error.
+  *    `TIMESTAMP AS OF ts` resolves the wall-clock to a version via
+  *    the manifest commit times ([[TxLog.versionAtTimestamp]]:
+  *    greatest commit ≤ ts, Delta's rule) and reads that snapshot.
   */
 class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
     extends ParserInterface {
@@ -73,24 +74,50 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
     """(?is)\s*VACUUM\s+([\w.`]+?)(?:\s+RETAIN\s+(\d+)\s+VERSIONS)?\s*;?\s*""".r
   private val HistoryRe =
     """(?is)\s*DESCRIBE\s+HISTORY\s+([\w.`]+)\s*;?\s*""".r
+  private val RestoreRe =
+    """(?is)\s*RESTORE\s+(?:TABLE\s+)?([\w.`]+)\s+TO\s+VERSION\s+AS\s+OF\s+(\d+)\s*;?\s*""".r
+  private val ConvertRe =
+    """(?is)\s*CONVERT\s+TO\s+GRAFT\s+parquet\s*\.\s*`([^`]+)`\s*;?\s*""".r
+  private val CloneRe =
+    ("""(?is)\s*CREATE\s+TABLE\s+([\w.`]+)\s+SHALLOW\s+CLONE\s+""" +
+      """([\w.`]+)(?:\s+LOCATION\s+'([^']+)')?\s*;?\s*""").r
 
   private def identParts(raw: String): Seq[String] =
     raw.split("\\.").map(_.stripPrefix("`").stripSuffix("`")).toSeq
 
   private def maintenanceVerb(sqlText: String): Option[LogicalPlan] =
-    (sqlText match {
-      case OptimizeRe(ident, zorder) => Some((ident, (ti: TableIdentifier) =>
-        GraftTxLogOptimize(ti, Option(zorder).toSeq.flatMap(
-          _.split(",").map(_.trim.stripPrefix("`").stripSuffix("`"))
-            .filter(_.nonEmpty)))))
-      case VacuumRe(ident, retain) => Some((ident,
-        (ti: TableIdentifier) => GraftTxLogVacuum(ti,
-          Option(retain).map(_.toInt))))
-      case HistoryRe(ident) => Some((ident, (ti: TableIdentifier) =>
-        GraftTxLogHistory(ti)))
-      case _ => None
-    }).flatMap { case (ident, build) =>
-      graftTable(identParts(ident)).map { case (ti, _) => build(ti) }
+    sqlText match {
+      // CONVERT is path-based (there is no table yet) and not Spark
+      // grammar — claimed whenever it parses
+      case ConvertRe(path) => Some(GraftTxLogConvert(path))
+      // CLONE is claimed only when the SOURCE is a graft-txlog table;
+      // any other source falls through to Spark's own parse error
+      case CloneRe(target, source, location) =>
+        graftTable(identParts(source)).flatMap { case (srcTi, _) =>
+          identParts(target) match {
+            case Seq(t) => Some(GraftTxLogClone(TableIdentifier(t), srcTi,
+              Option(location)))
+            case Seq(db, t) => Some(GraftTxLogClone(
+              TableIdentifier(t, Some(db)), srcTi, Option(location)))
+            case _ => None
+          }
+        }
+      case _ => (sqlText match {
+        case OptimizeRe(ident, zorder) => Some((ident, (ti: TableIdentifier) =>
+          GraftTxLogOptimize(ti, Option(zorder).toSeq.flatMap(
+            _.split(",").map(_.trim.stripPrefix("`").stripSuffix("`"))
+              .filter(_.nonEmpty)))))
+        case VacuumRe(ident, retain) => Some((ident,
+          (ti: TableIdentifier) => GraftTxLogVacuum(ti,
+            Option(retain).map(_.toInt))))
+        case HistoryRe(ident) => Some((ident, (ti: TableIdentifier) =>
+          GraftTxLogHistory(ti)))
+        case RestoreRe(ident, v) => Some((ident, (ti: TableIdentifier) =>
+          GraftTxLogRestore(ti, v.toInt)))
+        case _ => None
+      }).flatMap { case (ident, build) =>
+        graftTable(identParts(ident)).map { case (ti, _) => build(ti) }
+      }
     }
 
   override def parseQuery(sqlText: String): LogicalPlan =
@@ -187,7 +214,62 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
               Bridge.analyzed(GraftSqlParser.asOfRead(session, meta, v)))
           case None => tt
         }
+      case tvf: org.apache.spark.sql.catalyst.analysis.UnresolvedTableValuedFunction
+          if tvf.name.map(_.toLowerCase) == Seq("table_changes") =>
+        tableChangesPlan(tvf).getOrElse(tvf)
+      case tt @ RelationTimeTravel(u: UnresolvedRelation, Some(ts), None) =>
+        graftTable(u.multipartIdentifier) match {
+          case Some((ti, meta)) =>
+            // TIMESTAMP AS OF: resolve the wall-clock to a version via
+            // the manifest commit times (Delta's rule: greatest commit
+            // ≤ the timestamp), then read that pinned snapshot
+            val millis = GraftSqlParser.evalTimestampMillis(session, ts)
+            val v = TxLog.versionAtTimestamp(
+              GraftSqlParser.localPath(meta), millis)
+            SubqueryAlias(ti.table,
+              Bridge.analyzed(GraftSqlParser.asOfRead(session, meta,
+                v.toString)))
+          case None => tt
+        }
     }
+
+  /** `table_changes('t', startV [, endV])` — Delta's change-data-feed
+    * TVF on the txlog format: the span's changes as rows tagged
+    * `_change_type` ∈ {insert, delete} and `_commit_version`
+    * ([[TxLog.changesCdf]]; startV/endV are INCLUSIVE commit versions,
+    * Delta's contract — endV defaults to the latest). Resolved at
+    * parse time like the time-travel rewrites; any first argument
+    * that is not a graft-txlog table name falls through to Spark's
+    * own unresolved-function error. O(delta): only the span's own
+    * segments are read, at any table size. */
+  private def tableChangesPlan(
+      tvf: org.apache.spark.sql.catalyst.analysis.UnresolvedTableValuedFunction)
+      : Option[LogicalPlan] = {
+    def evalLit(e: Expression): Option[Any] =
+      if (e.foldable) Option(e.eval(null)) else None
+    for {
+      nameArg <- tvf.functionArgs.headOption
+      name <- evalLit(nameArg).map(_.toString)
+      (ti, meta) <- graftTable(identParts(name))
+    } yield {
+      require(tvf.functionArgs.size >= 2 && tvf.functionArgs.size <= 3,
+        "table_changes(table, startVersion [, endVersion]) takes 2 or 3 " +
+          s"arguments, got ${tvf.functionArgs.size}")
+      val dir = GraftSqlParser.localPath(meta)
+      val from = evalLit(tvf.functionArgs(1)).map(_.toString.toInt)
+        .getOrElse(throw new IllegalArgumentException(
+          "table_changes: startVersion must be a literal integer"))
+      val to = tvf.functionArgs.lift(2)
+        .map(e => evalLit(e).map(_.toString.toInt).getOrElse(
+          throw new IllegalArgumentException(
+            "table_changes: endVersion must be a literal integer")))
+        .orElse(TxLog.latestVersion(dir))
+        .getOrElse(throw new IllegalArgumentException(
+          s"table_changes: $name has no commits"))
+      SubqueryAlias("table_changes", Bridge.analyzed(
+        TxLog.changesCdf(session, dir, from - 1, to)))
+    }
+  }
 
   /** The catalog table behind a (possibly qualified) name, ONLY when
     * it exists and its provider is this library's format; None for
@@ -222,6 +304,24 @@ object GraftSqlParser {
   private[plans] def localPath(meta: CatalogTable): String = {
     val loc = meta.location.toString
     if (loc.startsWith("file:")) new java.net.URI(loc).getPath else loc
+  }
+
+  /** Evaluate a `TIMESTAMP AS OF` expression to epoch millis in the
+    * session timezone — literals (and foldable expressions over them)
+    * only: the version must pin at PARSE time, before any distributed
+    * execution exists. */
+  private[plans] def evalTimestampMillis(session: SparkSession,
+      e: Expression): Long = {
+    import org.apache.spark.sql.catalyst.expressions.Cast
+    import org.apache.spark.sql.types.TimestampType
+    val zone = session.sessionState.conf.sessionLocalTimeZone
+    val cast = Cast(e, TimestampType, Some(zone))
+    require(e.foldable, "TIMESTAMP AS OF over a graft-txlog table needs " +
+      s"a literal timestamp, got ${e.sql}")
+    val micros = cast.eval(null)
+    require(micros != null,
+      s"TIMESTAMP AS OF: cannot parse ${e.sql} as a timestamp")
+    Math.floorDiv(micros.asInstanceOf[Long], 1000L)
   }
 
   /** The format read of a catalog table, its stored OPTIONS (keyCols,
@@ -308,6 +408,15 @@ private[plans] object TxLogDml {
       ident: TableIdentifier, tombKeys: Option[DataFrame],
       newRows: Option[DataFrame]): Unit = {
     val dir = GraftSqlParser.localPath(meta)
+    // the table's CHECK constraints bind the DML-produced replacement
+    // rows too (an UPDATE must not smuggle in a violating value) —
+    // validated BEFORE anything lands, so a violation commits nothing
+    val checkList = CaseInsensitiveMap(meta.storage.properties)
+      .get("checks")
+      .map(_.split(";").map(_.trim).filter(_.nonEmpty).toSeq)
+      .getOrElse(Seq.empty)
+    newRows.foreach(r =>
+      graft.sources.txlog.TxLogChecks.validate(r, checkList, dir))
     val v = TxLog.versions(dir).size
     val adds = Seq.newBuilder[String]
     tombKeys.foreach { k =>
@@ -371,7 +480,7 @@ case class GraftTxLogOptimize(ident: TableIdentifier,
       val fams = TxLog.liveSegments(dir, latest)
         .map(_.split("__")(0)).distinct
         .filterNot(_ == TxLog.DeletesFamily)
-      require(fams.forall(Set("batch", "write", "compact")),
+      require(fams.forall(TxLog.PlainFamilies),
         s"OPTIMIZE ... ZORDER BY on ${ident.table}: the table holds " +
           s"index-store families $fams — zorder applies to plain tables")
       val props = CaseInsensitiveMap(meta.storage.properties)
@@ -428,9 +537,11 @@ case class GraftTxLogVacuum(ident: TableIdentifier,
 case class GraftTxLogHistory(ident: TableIdentifier)
     extends LeafRunnableCommand {
   import org.apache.spark.sql.catalyst.expressions.AttributeReference
-  import org.apache.spark.sql.types.{BooleanType, IntegerType, StringType}
+  import org.apache.spark.sql.types.{BooleanType, IntegerType, StringType,
+    TimestampType}
   override val output: Seq[org.apache.spark.sql.catalyst.expressions.Attribute] =
     Seq(AttributeReference("version", IntegerType, nullable = false)(),
+      AttributeReference("timestamp", TimestampType, nullable = false)(),
       AttributeReference("adds", StringType, nullable = false)(),
       AttributeReference("removes", StringType, nullable = false)(),
       AttributeReference("data_change", BooleanType, nullable = false)())
@@ -438,8 +549,112 @@ case class GraftTxLogHistory(ident: TableIdentifier)
     val meta = session.sessionState.catalog.getTableMetadata(ident)
     val dir = GraftSqlParser.localPath(meta)
     TxLog.history(dir).reverse.map { case (v, adds, removes, dc) =>
-      Row(v, adds.mkString(","), removes.mkString(","), dc)
+      Row(v, new java.sql.Timestamp(TxLog.commitTimeMillis(dir, v)),
+        adds.mkString(","), removes.mkString(","), dc)
     }
+  }
+}
+
+/** `RESTORE TABLE <graft-txlog table> TO VERSION AS OF n` — re-point
+  * the head at a historical state as ONE new commit, history intact
+  * ([[TxLog.restore]]): metadata-only (O(1) data work — re-add the
+  * retired segments, remove the head's extras) when the target state
+  * has no live tombstones; a materializing rewrite of the target's
+  * MoR snapshot when it does (re-adding a tombstone at the restore
+  * version would mis-order it against every data segment). Returns
+  * one row: (restored_to, committed_version, mode) with mode ∈
+  * {metadata, rewrite, noop}. Restorability is bounded by the vacuum
+  * horizon — a reclaimed target segment fails loudly (Delta's rule).
+  * The restore is a data commit that removes segments, so incremental
+  * consumers must re-snapshot across it. */
+case class GraftTxLogRestore(ident: TableIdentifier, toV: Int)
+    extends LeafRunnableCommand {
+  import org.apache.spark.sql.catalyst.expressions.AttributeReference
+  import org.apache.spark.sql.types.{IntegerType, StringType}
+  override val output: Seq[org.apache.spark.sql.catalyst.expressions.Attribute] =
+    Seq(AttributeReference("restored_to", IntegerType, nullable = false)(),
+      AttributeReference("committed_version", IntegerType, nullable = true)(),
+      AttributeReference("mode", StringType, nullable = false)())
+  override def run(session: SparkSession): Seq[Row] = {
+    val meta = session.sessionState.catalog.getTableMetadata(ident)
+    val dir = GraftSqlParser.localPath(meta)
+    // keys are needed only by the materialize path: the declared
+    // keyCols option, else the TARGET state's own tombstone schemas
+    // (a commitDeletes segment holds exactly the keys)
+    val keys = CaseInsensitiveMap(meta.storage.properties).get("keyCols")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      .getOrElse {
+        val delSegs = TxLog.liveSegments(dir, toV)
+          .filter(_.startsWith(s"${TxLog.DeletesFamily}__"))
+        val keySets = delSegs.map(s => session.read
+          .parquet(s"$dir/$s").schema.fieldNames.toSeq).distinct
+        if (keySets.size == 1) keySets.head else Seq.empty
+      }
+    val res = TxLog.restore(session, dir, toV, keys)
+    if (res.isDefined) session.catalog.refreshTable(ident.quotedString)
+    res match {
+      case Some((v, mode)) => Seq(Row(toV, v, mode))
+      case None => Seq(Row(toV, null, "noop"))
+    }
+  }
+}
+
+/** `CONVERT TO GRAFT parquet.`/path/to/dir`` — adopt an existing
+  * plain-parquet directory as a txlog table IN PLACE, zero bytes
+  * copied ([[TxLog.convertInPlace]]: the part files are hard-linked
+  * into a v0 segment — at 100 TB the only acceptable migration cost
+  * is O(files) metadata operations). Returns one row:
+  * (segment, files_linked, version). The directory can then be
+  * registered as a catalog table (`CREATE TABLE t USING graft-txlog
+  * OPTIONS (path ...)`) and used with the full SQL surface. */
+case class GraftTxLogConvert(path: String) extends LeafRunnableCommand {
+  import org.apache.spark.sql.catalyst.expressions.AttributeReference
+  import org.apache.spark.sql.types.{IntegerType, StringType}
+  override val output: Seq[org.apache.spark.sql.catalyst.expressions.Attribute] =
+    Seq(AttributeReference("segment", StringType, nullable = false)(),
+      AttributeReference("files_linked", IntegerType, nullable = false)(),
+      AttributeReference("version", IntegerType, nullable = false)())
+  override def run(session: SparkSession): Seq[Row] = {
+    val local = if (path.startsWith("file:"))
+      new java.net.URI(path).getPath else path
+    val (seg, n) = TxLog.convertInPlace(session, local)
+    Seq(Row(seg, n, 0))
+  }
+}
+
+/** `CREATE TABLE <new> SHALLOW CLONE <graft-txlog table> [LOCATION
+  * '/path']` — a new catalog table over a ZERO-COPY clone of the
+  * source's live state ([[TxLog.cloneTable]]: live segments
+  * hard-linked under fresh names, original commit order replayed so
+  * MoR tombstones keep their relative version ordering, stats
+  * sidecars carried). The clone inherits the source's table OPTIONS
+  * (keyCols, statsCols, …) and diverges freely from its first write.
+  * Location defaults to the session warehouse path for the new table
+  * name. Returns one row: (commits_replayed, location). */
+case class GraftTxLogClone(target: TableIdentifier,
+    source: TableIdentifier, location: Option[String])
+    extends LeafRunnableCommand {
+  import org.apache.spark.sql.catalyst.expressions.AttributeReference
+  import org.apache.spark.sql.types.{IntegerType, StringType}
+  override val output: Seq[org.apache.spark.sql.catalyst.expressions.Attribute] =
+    Seq(AttributeReference("commits_replayed", IntegerType, nullable = false)(),
+      AttributeReference("location", StringType, nullable = false)())
+  override def run(session: SparkSession): Seq[Row] = {
+    val catalog = session.sessionState.catalog
+    require(!catalog.tableExists(target),
+      s"SHALLOW CLONE: target table ${target.quotedString} already exists")
+    val srcMeta = catalog.getTableMetadata(source)
+    val srcDir = GraftSqlParser.localPath(srcMeta)
+    val dstDir = location.map(l => if (l.startsWith("file:"))
+      new java.net.URI(l).getPath else l)
+      .getOrElse(catalog.defaultTablePath(target).getPath)
+    val commits = TxLog.cloneTable(srcDir, dstDir)
+    val opts = (srcMeta.storage.properties - "path" - "PATH" + ("path" -> dstDir))
+      .map { case (k, v) => s"$k '${v.replace("'", "''")}'" }
+      .mkString(", ")
+    session.sql(s"CREATE TABLE ${target.quotedString} " +
+      s"USING `graft-txlog` OPTIONS ($opts)")
+    Seq(Row(commits, dstDir))
   }
 }
 

@@ -3786,10 +3786,496 @@ object IngestQueries {
       FROM sections GROUP BY probe, o_orderstatus
       ORDER BY probe, o_orderstatus"""))
 
+  /** SQL `RESTORE TABLE … TO VERSION AS OF n` — undo as one auditable
+    * commit, history never rewritten ([[graft.sources.TxLog.restore]]).
+    * The fixture drives BOTH execution modes through one lifecycle:
+    * two metadata-only restores (O(1) data work — the second one
+    * re-ADDS segments a compaction had retired, across an interleaved
+    * OPTIMIZE) and one materializing restore (the target state carries
+    * a live tombstone, whose re-add would mis-order against data under
+    * the version-aware MoR rule — so the MoR snapshot lands as one
+    * `restore__` segment with stats carried). Every restore's
+    * (committed_version, mode) pair is asserted exactly; the hash
+    * covers the final table (= the v2 post-delete state), a `VERSION
+    * AS OF 6` read of an intermediate restored state, and the
+    * recomputed-from-disk facts (one live restore segment, sidecar
+    * present). Vacuum bounds restorability (spec-proven). */
+  val e63 = QueryDef(
+    "e63_sql_restore",
+    (sp, dir) => {
+      import graft.Dsl.moneySum
+      import graft.sources.TxLog
+      val fmt = "graft.sources.txlog"
+      val fp = IngestFixtures.fingerprint(s"$dir/orders.parquet")
+      val store = IngestFixtures.path(s"e63_store_$fp")
+      val tbl = s"graft_e63_orders_$fp"
+      IngestFixtures.once(s"e63_$fp") {
+        import scala.reflect.io.Directory
+        new Directory(new java.io.File(store)).deleteRecursively()
+        val orders = Tables(sp, dir, "orders")
+          .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+        orders.createOrReplaceTempView("e63_orders_src")
+        orders.filter(pmod(col("o_orderkey"), lit(2L)) === 0L)
+          .write.format(fmt).option("statsCols", "o_orderkey")
+          .mode(org.apache.spark.sql.SaveMode.Append).save(store)   // v0
+        sp.sql(s"DROP TABLE IF EXISTS $tbl")
+        sp.sql(s"CREATE TABLE $tbl USING `graft-txlog` OPTIONS " +
+          s"(path '$store', keyCols 'o_orderkey', statsCols 'o_orderkey')")
+        sp.sql(s"""INSERT INTO $tbl                                 -- v1
+          SELECT o_orderkey, o_orderstatus, o_totalprice
+          FROM e63_orders_src WHERE o_orderkey % 2 = 1""")
+        sp.sql(s"DELETE FROM $tbl WHERE o_orderkey % 5 = 0")        // v2
+        def restore(toV: Int): (Int, Int, String) = {
+          val r = sp.sql(s"RESTORE TABLE $tbl TO VERSION AS OF $toV")
+            .collect()
+          require(r.length == 1, s"e63: one restore row, got ${r.length}")
+          (r.head.getInt(0), r.head.getInt(1), r.head.getString(2))
+        }
+        val r1 = restore(1)                                         // v3
+        require(r1 == ((1, 3, "metadata")),
+          s"e63: undoing a delete must be metadata-only, got $r1")
+        sp.sql(s"OPTIMIZE $tbl")                                    // v4
+        sp.sql(s"DELETE FROM $tbl WHERE o_orderkey % 7 = 0")        // v5
+        val r2 = restore(3)                                         // v6
+        require(r2 == ((3, 6, "metadata")),
+          s"e63: re-adding compaction-retired segments must be " +
+            s"metadata-only, got $r2")
+        val r3 = restore(2)                                         // v7
+        require(r3 == ((2, 7, "rewrite")),
+          s"e63: a tombstoned target must materialize, got $r3")
+      }
+      val live = TxLog.liveSegments(store, TxLog.latestVersion(store).get)
+      val oneRestoreSeg = live == Seq("restore__seg7")
+      val statsCarried = TxLog.segmentStats(store, "restore__seg7")
+        .exists(_.contains("o_orderkey"))
+      def agg(df: org.apache.spark.sql.DataFrame, probe: String) = df
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n_rows"),
+          moneySum(col("o_totalprice")).as("sum_price"))
+        .withColumn("probe", lit(probe))
+      agg(sp.table(tbl), "final")
+        .unionByName(agg(sp.sql(
+          s"SELECT * FROM $tbl VERSION AS OF 6"), "v6"))
+        .withColumn("one_restore_seg", lit(if (oneRestoreSeg) 1L else 0L))
+        .withColumn("stats_carried", lit(if (statsCarried) 1L else 0L))
+        .select("probe", "o_orderstatus", "n_rows", "sum_price",
+          "one_restore_seg", "stats_carried")
+        .orderBy("probe", "o_orderstatus")
+    },
+    Some("""
+      WITH sections AS (
+        SELECT 'final' AS probe, o_orderstatus, o_totalprice
+        FROM orders WHERE o_orderkey % 5 <> 0
+        UNION ALL
+        SELECT 'v6', o_orderstatus, o_totalprice FROM orders)
+      SELECT probe, o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n_rows,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+          AS sum_price,
+        CAST(1 AS BIGINT) AS one_restore_seg,
+        CAST(1 AS BIGINT) AS stats_carried
+      FROM sections GROUP BY probe, o_orderstatus
+      ORDER BY probe, o_orderstatus"""))
+
+  /** SQL `TIMESTAMP AS OF` — wall-clock time travel on the txlog
+    * format: the parser resolves the literal to a version via the
+    * manifest commit times ([[graft.sources.TxLog.versionAtTimestamp]]
+    * — greatest commit ≤ ts, Delta's rule; commit time = the manifest
+    * file's install mtime, which the log never rewrites) and reads
+    * that pinned snapshot. The fixture stamps each manifest with a
+    * deterministic commit time an hour apart, then probes FOUR
+    * boundary positions through SQL alone: exactly at a commit,
+    * strictly between two, exactly at the next, and far past the
+    * last. Timestamp literals are FORMATTED in the session timezone —
+    * the same zone the parser's cast evaluates under, so the
+    * round-trip is exact at millisecond precision. A timestamp before
+    * the first commit fails loudly (asserted in the fixture; there is
+    * no state to read). */
+  val e64 = QueryDef(
+    "e64_sql_timestamp",
+    (sp, dir) => {
+      import graft.Dsl.moneySum
+      import graft.sources.TxLog
+      val fmt = "graft.sources.txlog"
+      val fp = IngestFixtures.fingerprint(s"$dir/orders.parquet")
+      val store = IngestFixtures.path(s"e64_store_$fp")
+      val tbl = s"graft_e64_orders_$fp"
+      val baseMs = 1700000000000L // deterministic commit-clock origin
+      def tsLit(ms: Long): String = {
+        val zone = java.time.ZoneId.of(
+          sp.sessionState.conf.sessionLocalTimeZone)
+        java.time.Instant.ofEpochMilli(ms).atZone(zone).toLocalDateTime
+          .format(java.time.format.DateTimeFormatter
+            .ofPattern("yyyy-MM-dd HH:mm:ss.SSS"))
+      }
+      IngestFixtures.once(s"e64_$fp") {
+        import scala.reflect.io.Directory
+        new Directory(new java.io.File(store)).deleteRecursively()
+        val orders = Tables(sp, dir, "orders")
+          .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+        (0L until 3L).foreach { third =>                   // v0, v1, v2
+          orders.filter(pmod(col("o_orderkey"), lit(3L)) === third)
+            .write.format(fmt)
+            .mode(org.apache.spark.sql.SaveMode.Append).save(store)
+        }
+        // stamp the commit clock: one hour between commits
+        (0 to 2).foreach(v => java.nio.file.Files.setLastModifiedTime(
+          java.nio.file.Paths.get(store, "_txlog", s"v$v.json"),
+          java.nio.file.attribute.FileTime.fromMillis(
+            baseMs + v * 3600000L)))
+        sp.sql(s"DROP TABLE IF EXISTS $tbl")
+        sp.sql(s"CREATE TABLE $tbl USING `graft-txlog` " +
+          s"OPTIONS (path '$store', keyCols 'o_orderkey')")
+        // before the first commit there is no table state: loud error
+        val early = scala.util.Try(sp.sql(
+          s"SELECT * FROM $tbl TIMESTAMP AS OF '${tsLit(baseMs - 1)}'")
+          .collect())
+        require(early.isFailure &&
+          early.failed.get.getMessage.contains("predates"),
+          "e64: a timestamp before the first commit must fail loudly")
+      }
+      def probe(name: String, ms: Long) = sp.sql(
+        s"SELECT * FROM $tbl TIMESTAMP AS OF '${tsLit(ms)}'")
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n_rows"),
+          moneySum(col("o_totalprice")).as("sum_price"))
+        .withColumn("probe", lit(name))
+      probe("at_v0", baseMs)
+        .unionByName(probe("mid", baseMs + 1800000L))
+        .unionByName(probe("at_v1", baseMs + 3600000L))
+        .unionByName(probe("late", baseMs + 86400000L))
+        .select("probe", "o_orderstatus", "n_rows", "sum_price")
+        .orderBy("probe", "o_orderstatus")
+    },
+    Some("""
+      WITH sections AS (
+        SELECT 'at_v0' AS probe, o_orderstatus, o_totalprice
+        FROM orders WHERE o_orderkey % 3 = 0
+        UNION ALL
+        SELECT 'mid', o_orderstatus, o_totalprice
+        FROM orders WHERE o_orderkey % 3 = 0
+        UNION ALL
+        SELECT 'at_v1', o_orderstatus, o_totalprice
+        FROM orders WHERE o_orderkey % 3 IN (0, 1)
+        UNION ALL
+        SELECT 'late', o_orderstatus, o_totalprice FROM orders)
+      SELECT probe, o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n_rows,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+          AS sum_price
+      FROM sections GROUP BY probe, o_orderstatus
+      ORDER BY probe, o_orderstatus"""))
+
+  /** SQL `CONVERT TO GRAFT parquet.`…`` — IN-PLACE adoption of an
+    * existing plain-parquet directory as a txlog table, ZERO bytes
+    * copied ([[graft.sources.TxLog.convertInPlace]]: the part files
+    * are hard-linked into a v0 `convert__` segment — O(files) metadata
+    * operations; at 100 TB rewriting the corpus to migrate it is not
+    * an option, and this is the Delta `CONVERT TO DELTA` posture).
+    * The fixture converts a 3-part-file directory, PROVES zero-copy
+    * by inode identity of an adopted file, registers the directory as
+    * a catalog table, then exercises the full SQL surface over the
+    * adopted data (INSERT the other half, DELETE a slice) — the
+    * converted segment composes with MoR like any native write. The
+    * hash covers the final table plus the conversion facts
+    * (files_linked, version count, zero-copy). */
+  val e65 = QueryDef(
+    "e65_sql_convert",
+    (sp, dir) => {
+      import graft.Dsl.moneySum
+      import graft.sources.TxLog
+      val fp = IngestFixtures.fingerprint(s"$dir/orders.parquet")
+      val store = IngestFixtures.path(s"e65_store_$fp")
+      val tbl = s"graft_e65_orders_$fp"
+      IngestFixtures.once(s"e65_$fp") {
+        import scala.reflect.io.Directory
+        new Directory(new java.io.File(store)).deleteRecursively()
+        val orders = Tables(sp, dir, "orders")
+          .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+        orders.createOrReplaceTempView("e65_orders_src")
+        // a pre-existing PLAIN parquet directory, multiple part files
+        orders.filter(pmod(col("o_orderkey"), lit(2L)) === 0L)
+          .repartition(3)
+          .write.mode("overwrite").parquet(store)
+        val loose = new java.io.File(store).listFiles()
+          .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+        val inode = java.nio.file.Files.getAttribute(
+          loose.head.toPath, "unix:ino")
+        val looseName = loose.head.getName
+        val r = sp.sql(s"CONVERT TO GRAFT parquet.`$store`").collect()
+        require(r.length == 1 && r.head.getString(0) == "convert__seg000000"
+          && r.head.getInt(1) == loose.length && r.head.getInt(2) == 0,
+          s"e65: convert must adopt all ${loose.length} files at v0, " +
+            s"got ${r.toSeq}")
+        val adopted = new java.io.File(store, "convert__seg000000")
+          .listFiles().filter(_.getName == looseName).head
+        require(java.nio.file.Files.getAttribute(adopted.toPath,
+          "unix:ino") == inode, "e65: convert must hard-link, never copy")
+        require(!new java.io.File(store).listFiles().exists(f =>
+          f.isFile && f.getName.endsWith(".parquet")),
+          "e65: convert must take ownership of the loose originals")
+        sp.sql(s"DROP TABLE IF EXISTS $tbl")
+        sp.sql(s"CREATE TABLE $tbl USING `graft-txlog` " +
+          s"OPTIONS (path '$store', keyCols 'o_orderkey')")
+        sp.sql(s"""INSERT INTO $tbl                                 -- v1
+          SELECT o_orderkey, o_orderstatus, o_totalprice
+          FROM e65_orders_src WHERE o_orderkey % 2 = 1""")
+        sp.sql(s"DELETE FROM $tbl WHERE o_orderkey % 9 = 0")        // v2
+      }
+      // recomputed from disk: the adopted segment's part-file count
+      val filesLinked = Option(new java.io.File(store,
+        "convert__seg000000").listFiles()).getOrElse(Array.empty)
+        .count(_.getName.endsWith(".parquet")).toLong
+      val nVersions = TxLog.versions(store).size.toLong
+      sp.table(tbl)
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n_rows"),
+          moneySum(col("o_totalprice")).as("sum_price"))
+        .withColumn("files_linked", lit(filesLinked))
+        .withColumn("n_versions", lit(nVersions))
+        .orderBy("o_orderstatus")
+    },
+    Some("""
+      SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n_rows,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+          AS sum_price,
+        CAST(3 AS BIGINT) AS files_linked,
+        CAST(3 AS BIGINT) AS n_versions
+      FROM orders WHERE o_orderkey % 9 <> 0
+      GROUP BY o_orderstatus ORDER BY o_orderstatus"""))
+
+  /** SQL `CREATE TABLE … SHALLOW CLONE …` — a ZERO-COPY fork of a
+    * live table ([[graft.sources.TxLog.cloneTable]]: live segments
+    * hard-linked under fresh names; the source's commit order is
+    * REPLAYED one clone commit per original version, because the MoR
+    * rule orders tombstones against data by commit version and the
+    * clone must preserve that relative order — the fixture clones a
+    * table whose head carries a LIVE tombstone to prove it). After
+    * the clone the two tables diverge freely: the fixture re-INSERTs
+    * the deleted slice into the clone (revives there — the replayed
+    * tombstone correctly predates the new write) and DELETEs a
+    * different slice from the source; each side's hash proves the
+    * other side never moved. Zero-copy is proven by inode identity.
+    * The clone inherits the source's OPTIONS (keyCols), so the full
+    * DML surface works on it immediately. */
+  val e66 = QueryDef(
+    "e66_sql_clone",
+    (sp, dir) => {
+      import graft.Dsl.moneySum
+      import graft.sources.TxLog
+      val fmt = "graft.sources.txlog"
+      val fp = IngestFixtures.fingerprint(s"$dir/orders.parquet")
+      val srcStore = IngestFixtures.path(s"e66_src_$fp")
+      val cloneStore = IngestFixtures.path(s"e66_clone_$fp")
+      val srcTbl = s"graft_e66_src_$fp"
+      val cloneTbl = s"graft_e66_clone_$fp"
+      IngestFixtures.once(s"e66_$fp") {
+        import scala.reflect.io.Directory
+        Seq(srcStore, cloneStore).foreach(p =>
+          new Directory(new java.io.File(p)).deleteRecursively())
+        val orders = Tables(sp, dir, "orders")
+          .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+        orders.createOrReplaceTempView("e66_orders_src")
+        orders.filter(pmod(col("o_orderkey"), lit(2L)) === 0L)
+          .write.format(fmt).option("statsCols", "o_orderkey")
+          .mode(org.apache.spark.sql.SaveMode.Append).save(srcStore) // v0
+        sp.sql(s"DROP TABLE IF EXISTS $srcTbl")
+        sp.sql(s"CREATE TABLE $srcTbl USING `graft-txlog` OPTIONS " +
+          s"(path '$srcStore', keyCols 'o_orderkey', " +
+          "statsCols 'o_orderkey')")
+        sp.sql(s"""INSERT INTO $srcTbl                              -- v1
+          SELECT o_orderkey, o_orderstatus, o_totalprice
+          FROM e66_orders_src WHERE o_orderkey % 2 = 1""")
+        sp.sql(s"DELETE FROM $srcTbl WHERE o_orderkey % 6 = 0")     // v2
+        sp.sql(s"DROP TABLE IF EXISTS $cloneTbl")
+        val r = sp.sql(s"CREATE TABLE $cloneTbl SHALLOW CLONE $srcTbl " +
+          s"LOCATION '$cloneStore'").collect()
+        require(r.length == 1 && r.head.getInt(0) == 3,
+          s"e66: the 3-commit live history must replay as 3 clone " +
+            s"commits, got ${r.toSeq}")
+        // zero copy: the cloned segment shares the source's inode
+        def firstParquet(d: java.io.File) = d.listFiles()
+          .filter(_.getName.endsWith(".parquet")).sortBy(_.getName).head
+        val srcIno = java.nio.file.Files.getAttribute(firstParquet(
+          new java.io.File(srcStore, "write__seg000000")).toPath, "unix:ino")
+        val cloneIno = java.nio.file.Files.getAttribute(firstParquet(
+          new java.io.File(cloneStore, "clone__seg0")).toPath, "unix:ino")
+        require(srcIno == cloneIno, "e66: clone must hard-link, never copy")
+        // the clone carries the stats sidecars under the new names
+        require(TxLog.segmentStats(cloneStore, "clone__seg0")
+          .exists(_.contains("o_orderkey")),
+          "e66: clone must carry data-skipping sidecars")
+        // diverge both sides: revive the deleted slice in the CLONE
+        // (the replayed tombstone must predate the new write), delete
+        // a different slice from the SOURCE
+        sp.sql(s"""INSERT INTO $cloneTbl
+          SELECT o_orderkey, o_orderstatus, o_totalprice
+          FROM e66_orders_src WHERE o_orderkey % 6 = 0""")
+        sp.sql(s"DELETE FROM $srcTbl WHERE o_orderkey % 7 = 0")
+      }
+      def agg(tbl: String, probe: String) = sp.table(tbl)
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n_rows"),
+          moneySum(col("o_totalprice")).as("sum_price"))
+        .withColumn("probe", lit(probe))
+      agg(srcTbl, "source").unionByName(agg(cloneTbl, "clone"))
+        .select("probe", "o_orderstatus", "n_rows", "sum_price")
+        .orderBy("probe", "o_orderstatus")
+    },
+    Some("""
+      WITH sections AS (
+        SELECT 'source' AS probe, o_orderstatus, o_totalprice
+        FROM orders WHERE o_orderkey % 6 <> 0 AND o_orderkey % 7 <> 0
+        UNION ALL
+        SELECT 'clone', o_orderstatus, o_totalprice FROM orders)
+      SELECT probe, o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n_rows,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+          AS sum_price
+      FROM sections GROUP BY probe, o_orderstatus
+      ORDER BY probe, o_orderstatus"""))
+
+  /** Write-time CHECK constraints — Delta's table constraints on the
+    * txlog format: `OPTIONS (checks 'expr; expr')`, enforced on EVERY
+    * row-producing write path (DataFrame writer, SQL INSERT, UPDATE/
+    * MERGE replacement rows, the streaming sink) BEFORE any segment
+    * lands — a violating batch commits NOTHING, not even an orphan
+    * dir (version count asserted). SQL CHECK semantics: a row
+    * violates iff the expression is FALSE; NULL passes. Cost is one
+    * extra pass over the delta-sized batch, never the table — at
+    * 100 TB the constraint scan rides the ingest batch, not the
+    * corpus. The fixture drives a violating INSERT and a violating
+    * UPDATE (both rejected loudly, message naming the expression)
+    * between two valid writes; the hash covers the final table plus
+    * the version count proving the rejects left no trace. */
+  val e67 = QueryDef(
+    "e67_sql_constraints",
+    (sp, dir) => {
+      import graft.Dsl.moneySum
+      import graft.sources.TxLog
+      val fmt = "graft.sources.txlog"
+      val fp = IngestFixtures.fingerprint(s"$dir/orders.parquet")
+      val store = IngestFixtures.path(s"e67_store_$fp")
+      val tbl = s"graft_e67_orders_$fp"
+      IngestFixtures.once(s"e67_$fp") {
+        import scala.reflect.io.Directory
+        new Directory(new java.io.File(store)).deleteRecursively()
+        val orders = Tables(sp, dir, "orders")
+          .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+        orders.createOrReplaceTempView("e67_orders_src")
+        orders.filter(pmod(col("o_orderkey"), lit(2L)) === 0L)
+          .write.format(fmt)
+          .option("checks", "o_totalprice > 0; o_orderkey IS NOT NULL")
+          .mode(org.apache.spark.sql.SaveMode.Append).save(store)   // v0
+        sp.sql(s"DROP TABLE IF EXISTS $tbl")
+        sp.sql(s"CREATE TABLE $tbl USING `graft-txlog` OPTIONS " +
+          s"(path '$store', keyCols 'o_orderkey', " +
+          "checks 'o_totalprice > 0; o_orderkey IS NOT NULL')")
+        val badInsert = scala.util.Try(sp.sql(
+          s"INSERT INTO $tbl VALUES (999999999, 'F', -5.0)"))
+        require(badInsert.isFailure && badInsert.failed.get.getMessage
+          .contains("CHECK constraint violated"),
+          "e67: a violating INSERT must fail loudly")
+        sp.sql(s"""INSERT INTO $tbl                                 -- v1
+          SELECT o_orderkey, o_orderstatus, o_totalprice
+          FROM e67_orders_src WHERE o_orderkey % 2 = 1""")
+        val badUpdate = scala.util.Try(sp.sql(
+          s"UPDATE $tbl SET o_totalprice = -o_totalprice " +
+            "WHERE o_orderkey % 11 = 0"))
+        require(badUpdate.isFailure && badUpdate.failed.get.getMessage
+          .contains("CHECK constraint violated"),
+          "e67: an UPDATE smuggling a violating value must fail loudly")
+      }
+      val nVersions = TxLog.versions(store).size.toLong
+      sp.table(tbl)
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n_rows"),
+          moneySum(col("o_totalprice")).as("sum_price"))
+        .withColumn("n_versions", lit(nVersions))
+        .orderBy("o_orderstatus")
+    },
+    Some("""
+      SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n_rows,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+          AS sum_price,
+        CAST(2 AS BIGINT) AS n_versions
+      FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus"""))
+
+  /** `table_changes('t', startV [, endV])` — Delta's change-data-feed
+    * TVF on the txlog format: the SQL spelling of
+    * [[graft.sources.TxLog.changesCdf]] (insert rows = the span's
+    * added data segments, delete rows = its tombstone keys with
+    * non-key columns NULL, each tagged `_change_type` +
+    * `_commit_version`; start/end INCLUSIVE, end defaulting to the
+    * latest version — Delta's contract). O(delta): only the span's
+    * own segments are read, at any table size — the audit/backfill
+    * keystroke that never rescans the table. The fixture builds a
+    * three-commit history through SQL (write, INSERT, DELETE) and
+    * aggregates the feed per (change_type, commit_version) through
+    * the TVF alone, deleted-key sums coalesced (tombstones record
+    * keys, not payloads); a defaulted endVersion must equal the
+    * explicit one (asserted). */
+  val e68 = QueryDef(
+    "e68_sql_table_changes",
+    (sp, dir) => {
+      import graft.Dsl.moneySum
+      val fmt = "graft.sources.txlog"
+      val fp = IngestFixtures.fingerprint(s"$dir/orders.parquet")
+      val store = IngestFixtures.path(s"e68_store_$fp")
+      val tbl = s"graft_e68_orders_$fp"
+      IngestFixtures.once(s"e68_$fp") {
+        import scala.reflect.io.Directory
+        new Directory(new java.io.File(store)).deleteRecursively()
+        val orders = Tables(sp, dir, "orders")
+          .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+        orders.createOrReplaceTempView("e68_orders_src")
+        orders.filter(pmod(col("o_orderkey"), lit(2L)) === 0L)
+          .write.format(fmt)
+          .mode(org.apache.spark.sql.SaveMode.Append).save(store)   // v0
+        sp.sql(s"DROP TABLE IF EXISTS $tbl")
+        sp.sql(s"CREATE TABLE $tbl USING `graft-txlog` " +
+          s"OPTIONS (path '$store', keyCols 'o_orderkey')")
+        sp.sql(s"""INSERT INTO $tbl                                 -- v1
+          SELECT o_orderkey, o_orderstatus, o_totalprice
+          FROM e68_orders_src WHERE o_orderkey % 2 = 1""")
+        sp.sql(s"DELETE FROM $tbl WHERE o_orderkey % 4 = 0")        // v2
+        // a defaulted endVersion reads to the latest — same feed
+        val explicit = sp.sql(
+          s"SELECT count(*) FROM table_changes('$tbl', 0, 2)")
+          .collect().head.getLong(0)
+        val defaulted = sp.sql(
+          s"SELECT count(*) FROM table_changes('$tbl', 0)")
+          .collect().head.getLong(0)
+        require(explicit == defaulted && explicit > 0,
+          s"e68: defaulted endVersion must equal explicit " +
+            s"($explicit vs $defaulted)")
+      }
+      sp.sql(s"SELECT _change_type, _commit_version, o_orderkey, " +
+          s"o_totalprice FROM table_changes('$tbl', 0, 2)")
+        .groupBy(col("_change_type"), col("_commit_version"))
+        .agg(count(lit(1)).as("n_rows"),
+          moneySum(coalesce(col("o_totalprice"), lit(0)))
+            .as("sum_price"))
+        .orderBy("_commit_version", "_change_type")
+    },
+    Some("""
+      WITH feed AS (
+        SELECT 'insert' AS _change_type, 0 AS _commit_version,
+          o_totalprice FROM orders WHERE o_orderkey % 2 = 0
+        UNION ALL
+        SELECT 'insert', 1, o_totalprice FROM orders
+        WHERE o_orderkey % 2 = 1
+        UNION ALL
+        SELECT 'delete', 2, NULL FROM orders WHERE o_orderkey % 4 = 0)
+      SELECT _change_type, _commit_version,
+        CAST(COUNT(*) AS BIGINT) AS n_rows,
+        CAST(SUM(CAST(COALESCE(o_totalprice, 0) AS DECIMAL(18,2)))
+          AS DOUBLE) AS sum_price
+      FROM feed GROUP BY _change_type, _commit_version
+      ORDER BY _commit_version, _change_type"""))
+
   val defs: Seq[QueryDef] =
     Seq(e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11, e12, e13,
       e14, e15, e16, e17, e18, e19, e20, e21, e22, e23, e24, e25, e26,
       e27, e28, e29, e30, e31, e32, e33, e34, e35, e36, e37, e38, e39,
       e40, e41, e42, e43, e44, e45, e46, e47, e48, e49, e50, e51, e52,
-      e53, e54, e55, e56, e57, e58, e59, e60, e61, e62)
+      e53, e54, e55, e56, e57, e58, e59, e60, e61, e62, e63, e64, e65,
+      e66, e67, e68)
 }

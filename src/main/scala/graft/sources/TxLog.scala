@@ -149,7 +149,7 @@ object TxLog {
       // fold would die on "removes unknown segment". Validated against
       // the head we're about to succeed; a lost link race re-validates
       // on retry, so the install point stays the serialization point.
-      if (removes.nonEmpty) {
+      if (removes.nonEmpty || adds.nonEmpty) {
         val live =
           if (v == 0) Set.empty[String] else foldSegments(tableDir, v - 1).toSet
         val stale = removes.filterNot(live)
@@ -157,6 +157,13 @@ object TxLog {
           s"commit to $tableDir conflicts with a concurrent writer: " +
             s"removes $stale are not live at v${v - 1} — re-read the " +
             "table and retry the operation")
+        // the dual guard: re-ADDING a live segment would silently
+        // no-op in the fold (set semantics) while its data dir was
+        // already overwritten by the writer — refuse before install
+        val dup = adds.filter(live)
+        require(dup.isEmpty,
+          s"commit to $tableDir adds segments $dup that are already " +
+            s"live at v${v - 1} — segment names must never be reused")
       }
       val body =
         s"""{"version":$v,"adds":${arr(adds)},"removes":${arr(removes)}$dcField}"""
@@ -392,6 +399,27 @@ object TxLog {
 
   /** Family prefix of tombstone segments. */
   val DeletesFamily = "deletes"
+
+  /** The segment families PLAIN (non-index-store) tables write — the
+    * format writer (`write__`), the streaming ledger (`batch__`),
+    * compaction (`compact__`), [[restore]]'s materialize path
+    * (`restore__`), [[convertInPlace]] (`convert__`) and [[cloneTable]]
+    * (`clone__`). Whole-table verbs (OPTIMIZE's fold, ZORDER, RESTORE,
+    * CLONE) are safe exactly on stores whose live families all come
+    * from this set; an index store's families must never merge. */
+  val PlainFamilies: Set[String] =
+    Set("batch", "write", "compact", "restore", "convert", "clone")
+
+  /** The family names this library's INDEX stores write (IVF/PQ/LSH
+    * vector indexes, the BM25 text index, the dedup store). Their
+    * names are load-bearing — readers address families by prefix — so
+    * whole-table verbs that rename or merge segments ([[restore]]'s
+    * materialize path, [[cloneTable]]) refuse stores carrying any of
+    * them; arbitrary OTHER family names (hand-committed segments) are
+    * plain data and stay eligible. */
+  val IndexStoreFamilies: Set[String] =
+    Set("banded", "buckets", "centroids", "codebook", "codes", "docs",
+      "pairs", "postings", "pqposts", "stats")
 
   /** Commit a row-level DELETE: `keys` (the key columns only) lands as
     * one tombstone segment behind one manifest — O(deleted keys) work
@@ -679,6 +707,217 @@ object TxLog {
       del(new java.io.File(root, n))
     }
     doomed
+  }
+
+  // ---- point-in-time verbs: restore / timestamp / convert / clone --
+
+  /** A commit's wall-clock time: the manifest file's mtime — exactly
+    * Delta's commit-timestamp source (the log never re-writes a
+    * manifest, so the install mtime IS the commit time). */
+  def commitTimeMillis(tableDir: String, v: Int): Long =
+    Files.getLastModifiedTime(logDir(tableDir).resolve(s"v$v.json")).toMillis
+
+  /** `TIMESTAMP AS OF` resolution: the greatest version whose commit
+    * time is ≤ `tsMillis` — Delta's rule. Commit times are
+    * non-decreasing in version order by construction (manifests install
+    * sequentially); a log COPIED with shuffled mtimes is repaired by
+    * taking the running max (Delta's in-commit-timestamp adjustment
+    * reduced to its core), so the version→time mapping stays monotonic
+    * and the answer well-defined. A timestamp before the first commit
+    * fails loudly (there is no table state to read). */
+  def versionAtTimestamp(tableDir: String, tsMillis: Long): Int = {
+    val vs = versions(tableDir)
+    require(vs.nonEmpty, s"$tableDir has no commits")
+    var run = Long.MinValue
+    val fixed = vs.map { v =>
+      run = math.max(run, commitTimeMillis(tableDir, v)); v -> run
+    }
+    fixed.filter(_._2 <= tsMillis).lastOption.map(_._1).getOrElse(
+      throw new IllegalArgumentException(
+        s"timestamp $tsMillis predates the first commit " +
+          s"(${fixed.head._2}) of $tableDir — nothing to read"))
+  }
+
+  /** RESTORE the table's head to its state at `toV`, as ONE new commit
+    * — history is never rewritten, so every version (including the
+    * ones being undone) stays time-travelable, and the restore itself
+    * is one more auditable entry in DESCRIBE HISTORY (Delta's RESTORE
+    * semantics).
+    *
+    * Two execution modes, picked by what correctness allows:
+    *
+    *  - **metadata** (the common case — target state has no live
+    *    tombstones): the commit re-ADDS the target's retired segments
+    *    and removes the head's extra ones; O(1) data work at any table
+    *    size — at 100 TB this is the whole point. Sound because the
+    *    post-restore live set then contains no tombstone, so the MoR
+    *    version collapse of re-adding everything at one new version
+    *    cannot mis-order a delete against its data.
+    *  - **rewrite** (target state HAS live tombstones): re-adding a
+    *    tombstone at the restore version would postdate every data
+    *    segment and mis-apply (the version-aware rule orders deletes
+    *    by commit, and a restore commit is one version) — so the
+    *    target state is MATERIALIZED instead: one `restore__` segment
+    *    holding `snapshotMoR(toV)`, stats carried as the conservative
+    *    union of the target's data-segment sidecars.
+    *
+    * Restorability is bounded by the vacuum horizon, exactly Delta's
+    * rule: a target segment whose directory was reclaimed fails
+    * loudly. The commit is a DATA commit that removes segments, so
+    * incremental consumers ([[changes]]/[[changesCdf]]/streaming) fail
+    * loudly across it and must re-snapshot — a restore is a genuine
+    * history rewrite for them. Returns (committedVersion, mode), or
+    * None when the head already equals the target state. */
+  def restore(spark: SparkSession, tableDir: String, toV: Int,
+      keyCols: Seq[String] = Seq.empty): Option[(Int, String)] = {
+    val latest = latestVersion(tableDir)
+      .getOrElse(sys.error(s"restore on empty table $tableDir"))
+    val vs = versions(tableDir)
+    require(vs.contains(toV), s"version $toV not in $vs")
+    val target = liveSegments(tableDir, toV)
+    val cur = liveSegments(tableDir, latest)
+    if (target.toSet == cur.toSet) return None
+    val missing = target.filterNot(s =>
+      Files.isDirectory(Paths.get(tableDir, s)))
+    require(missing.isEmpty,
+      s"restore $tableDir to v$toV: segments $missing were vacuumed — " +
+        "the version is beyond the retention horizon")
+    val tombstoned = target.exists(_.startsWith(s"${DeletesFamily}__"))
+    if (!tombstoned) {
+      val curSet = cur.toSet
+      val targetSet = target.toSet
+      val v = commit(tableDir, adds = target.filterNot(curSet),
+        removes = cur.filterNot(targetSet))
+      Some((v, "metadata"))
+    } else {
+      require(keyCols.nonEmpty,
+        s"restore $tableDir to v$toV: the target state carries live " +
+          "row-level deletes, so the restore must materialize the MoR " +
+          "snapshot — pass the table's key columns")
+      val idx = target.map(_.split("__")(0)).distinct
+        .filter(IndexStoreFamilies)
+      require(idx.isEmpty,
+        s"restore $tableDir to v$toV: materializing a tombstoned target " +
+          s"would merge index-store families $idx into one segment — " +
+          "restore index stores only to tombstone-free versions")
+      val seg = s"restore__seg${versions(tableDir).size}"
+      snapshotMoR(spark, tableDir, toV, keyCols)
+        .write.mode("overwrite").parquet(s"$tableDir/$seg")
+      mergeSegmentStats(tableDir, target, seg)
+      Some((commit(tableDir, adds = Seq(seg), removes = cur), "rewrite"))
+    }
+  }
+
+  /** CONVERT an existing plain-parquet directory into a txlog table
+    * IN PLACE, without copying or rewriting a byte of data — Delta's
+    * `CONVERT TO DELTA` reduced to this format's invariants: the
+    * directory's top-level `*.parquet` part files are HARD-LINKED into
+    * a `convert__seg000000` segment directory (same filesystem, O(files)
+    * metadata operations, zero data movement — at 100 TB the only
+    * acceptable migration cost), the segment commits as v0, and the
+    * now-owned loose originals are unlinked (the data survives through
+    * the segment's links; a crash between commit and unlink leaves
+    * harmless top-level litter the format never reads). Optional
+    * `statsCols` records the segment's data-skipping sidecar. Flat
+    * directories only (hive-partitioned layouts have per-directory
+    * schema semantics this format does not model). Fails loudly if the
+    * directory already has a log. Returns (segmentName, filesLinked). */
+  def convertInPlace(spark: SparkSession, tableDir: String,
+      statsCols: Seq[String] = Seq.empty): (String, Int) = {
+    require(versions(tableDir).isEmpty,
+      s"$tableDir is already a txlog table — nothing to convert")
+    val root = Paths.get(tableDir)
+    require(Files.isDirectory(root), s"$tableDir is not a directory")
+    val files = {
+      val it = Files.list(root)
+      try it.iterator().asInstanceOf[java.util.Iterator[java.nio.file.Path]]
+        .asScala.filter(p => Files.isRegularFile(p) &&
+          p.getFileName.toString.endsWith(".parquet") &&
+          !p.getFileName.toString.startsWith("."))
+        .toSeq.sortBy(_.getFileName.toString)
+      finally it.close()
+    }
+    require(files.nonEmpty,
+      s"convert $tableDir: no top-level parquet files to adopt")
+    val seg = "convert__seg000000"
+    val segDir = root.resolve(seg)
+    // crash-retry idempotence: a convert that died before its commit
+    // left a half-linked segment dir — rebuild it from scratch
+    if (Files.isDirectory(segDir)) {
+      val it = Files.list(segDir)
+      try it.iterator().asInstanceOf[java.util.Iterator[java.nio.file.Path]]
+        .asScala.foreach(Files.deleteIfExists)
+      finally it.close()
+    }
+    Files.createDirectories(segDir)
+    files.foreach(f => Files.createLink(segDir.resolve(f.getFileName), f))
+    writeSegmentStats(spark, tableDir, seg, statsCols)
+    commit(tableDir, adds = Seq(seg))
+    files.foreach(Files.deleteIfExists)
+    (seg, files.size)
+  }
+
+  /** SHALLOW-CLONE a plain table: a new independent txlog table at
+    * `dstDir` whose segments HARD-LINK the source's live data — zero
+    * data copied (O(files) metadata operations), after which the two
+    * tables diverge freely: writes to either never touch the other,
+    * and a vacuum on either only unlinks its own names (the shared
+    * inodes survive until BOTH sides drop them — the local-FS
+    * equivalent of Delta's shallow-clone file sharing, minus its
+    * source-vacuum hazard).
+    *
+    * Correctness under tombstones: live segments are replayed as one
+    * clone commit PER ORIGINAL ADD VERSION, in order — the MoR rule
+    * orders tombstones against data by commit version, so the clone
+    * must preserve the source's relative commit order (and same-commit
+    * groups, e.g. an UPDATE's tombstone+replacement pair, must stay
+    * same-commit). Segments are renamed `clone__seg<i>` /
+    * `deletes__clone<i>`: clone names can never collide with any name
+    * a future write derives from the clone's own version count. Stats
+    * sidecars are carried under the new names. Plain tables only — an
+    * index store's family names are load-bearing and a rename would
+    * strand them. Returns the number of commits replayed. */
+  def cloneTable(srcDir: String, dstDir: String): Int = {
+    val latest = latestVersion(srcDir)
+      .getOrElse(sys.error(s"clone of empty table $srcDir"))
+    val live = liveSegmentsWithVersion(srcDir, latest)
+    val idx = live.map(_._1.split("__")(0)).distinct
+      .filter(IndexStoreFamilies)
+    require(idx.isEmpty,
+      s"clone of $srcDir: the table holds index-store families " +
+        s"$idx — cloning renames segments, which plain tables " +
+        "tolerate and index stores do not")
+    require(versions(dstDir).isEmpty,
+      s"clone target $dstDir already has a txlog — refuse to mix tables")
+    Files.createDirectories(Paths.get(dstDir))
+    var i = 0
+    val byVersion = live.groupBy(_._2).toSeq.sortBy(_._1)
+    byVersion.foreach { case (_, segs) =>
+      val adds = segs.map { case (orig, _) =>
+        val name =
+          if (orig.startsWith(s"${DeletesFamily}__"))
+            s"${DeletesFamily}__clone$i"
+          else s"clone__seg$i"
+        i += 1
+        val from = Paths.get(srcDir, orig)
+        val to = Paths.get(dstDir, name)
+        Files.createDirectories(to)
+        val it = Files.list(from)
+        try it.iterator().asInstanceOf[java.util.Iterator[java.nio.file.Path]]
+          .asScala.filter(p => Files.isRegularFile(p) &&
+            p.getFileName.toString.endsWith(".parquet") &&
+            !p.getFileName.toString.startsWith("."))
+          .foreach(p => Files.createLink(to.resolve(p.getFileName), p))
+        finally it.close()
+        val sidecar = logDir(srcDir).resolve(s"stats-$orig.json")
+        if (Files.isRegularFile(sidecar))
+          writeStatsSidecar(dstDir, name,
+            new String(Files.readAllBytes(sidecar), StandardCharsets.UTF_8))
+        name
+      }
+      commit(dstDir, adds = adds)
+    }
+    byVersion.size
   }
 
   // ---- segment statistics: data skipping --------------------------

@@ -78,7 +78,7 @@ class DefaultSource extends RelationProvider
     val statsCols = parameters.get("statsCols")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
       .getOrElse(Seq.empty)
-    new TxLogSink(dir, statsCols)
+    new TxLogSink(dir, statsCols, TxLogChecks.parse(parameters))
   }
 
   // ---- spark.readStream.format("graft-txlog"): versions as offsets --
@@ -125,7 +125,8 @@ class DefaultSource extends RelationProvider
   override def createRelation(sqlContext: SQLContext,
       parameters: Map[String, String]): BaseRelation = {
     val dir = path(parameters)
-    val asOf = parameters.get("asOf").map(_.trim.toInt)
+    val pinned = parameters.get("asOf").map(_.trim.toInt)
+    val asOf = pinned
       .orElse(TxLog.latestVersion(dir))
       .getOrElse(sys.error(s"txlog table $dir has no commits"))
     val mergeSchema = parameters.get("mergeSchema")
@@ -159,9 +160,14 @@ class DefaultSource extends RelationProvider
         }
       }
     // the table's statsCols ride the relation so SQL INSERT writes
-    // record the same skipping sidecars as the DataFrame writer path
-    TxLogRelation(sqlContext, dir, asOf, keyCols, mergeSchema,
-      statsColsOf(parameters))
+    // record the same skipping sidecars as the DataFrame writer path.
+    // Only an EXPLICIT asOf pins the relation: an unpinned relation
+    // re-resolves the latest version per use, so a catalog-cached
+    // relation (Spark caches data-source tables by name) sees commits
+    // that land after resolution — INSERT INTO then SELECT must show
+    // the insert without a manual REFRESH TABLE.
+    TxLogRelation(sqlContext, dir, pinned, keyCols, mergeSchema,
+      statsColsOf(parameters), TxLogChecks.parse(parameters))
   }
 
   private def statsColsOf(parameters: Map[String, String]): Seq[String] =
@@ -190,17 +196,19 @@ class DefaultSource extends RelationProvider
     // columns at write time — the data-skipping sidecar a filtered
     // read prunes segments by before opening any parquet footer
     val statsCols = statsColsOf(parameters)
+    val checks = TxLogChecks.parse(parameters)
     mode match {
       case SaveMode.Append =>
-        TxLogWriter.write(data, dir, overwrite = false, statsCols)
+        TxLogWriter.write(data, dir, overwrite = false, statsCols, checks)
       case SaveMode.Overwrite =>
-        TxLogWriter.write(data, dir, overwrite = true, statsCols)
+        TxLogWriter.write(data, dir, overwrite = true, statsCols, checks)
       case SaveMode.ErrorIfExists =>
         require(!exists, s"txlog table $dir already has commits " +
           "(SaveMode.ErrorIfExists)")
-        TxLogWriter.write(data, dir, overwrite = false, statsCols)
+        TxLogWriter.write(data, dir, overwrite = false, statsCols, checks)
       case SaveMode.Ignore =>
-        if (!exists) TxLogWriter.write(data, dir, overwrite = false, statsCols)
+        if (!exists)
+          TxLogWriter.write(data, dir, overwrite = false, statsCols, checks)
     }
     createRelation(sqlContext, parameters - "asOf")
   }
@@ -213,7 +221,9 @@ class DefaultSource extends RelationProvider
   * visible whenever the segment is. */
 private[txlog] object TxLogWriter {
   def write(data: DataFrame, dir: String, overwrite: Boolean,
-      statsCols: Seq[String] = Seq.empty): Unit = {
+      statsCols: Seq[String] = Seq.empty,
+      checks: Seq[String] = Seq.empty): Unit = {
+    TxLogChecks.validate(data, checks, dir)
     new java.io.File(dir).mkdirs()
     val seg = f"write__seg${TxLog.versions(dir).size}%06d"
     data.write.mode("overwrite").parquet(s"$dir/$seg")
@@ -224,6 +234,43 @@ private[txlog] object TxLogWriter {
         .map(v => TxLog.liveSegments(dir, v)).getOrElse(Seq.empty)
     TxLog.commit(dir, adds = Seq(seg), removes = removes)
     ()
+  }
+}
+
+/** Write-time CHECK constraints — Delta's table constraints reduced to
+  * this format's option surface: `OPTIONS (checks 'price > 0; id IS
+  * NOT NULL')`, semicolon-separated boolean SQL expressions, enforced
+  * on EVERY row-producing write path (DataFrame writer, SQL INSERT,
+  * UPDATE/MERGE replacement rows, the streaming sink) BEFORE any
+  * segment lands — a violating batch commits nothing, not even an
+  * orphan dir. SQL CHECK semantics: a row violates iff the expression
+  * evaluates to FALSE; NULL passes (the SQL standard's rule). Cost:
+  * one extra pass over the delta-sized batch, never the table. */
+private[graft] object TxLogChecks {
+  def parse(parameters: Map[String, String]): Seq[String] =
+    parameters.get("checks")
+      .map(_.split(";").map(_.trim).filter(_.nonEmpty).toSeq)
+      .getOrElse(Seq.empty)
+
+  def validate(data: DataFrame, checks: Seq[String], table: String): Unit = {
+    if (checks.isEmpty) return
+    import org.apache.spark.sql.functions.{coalesce, expr, lit, struct,
+      to_json}
+    val flags = checks.zipWithIndex.map { case (c, i) =>
+      coalesce(expr(c), lit(true)).as(s"__check_$i") }
+    val rowJson = to_json(struct(data.columns.map(col).toSeq: _*))
+    val bad = data
+      .select(flags :+ rowJson.as("__row"): _*)
+      .filter(checks.indices.map(i => !col(s"__check_$i")).reduce(_ || _))
+      .limit(1).collect()
+    if (bad.nonEmpty) {
+      val r = bad.head
+      val failed = checks.indices.filterNot(r.getBoolean).map(checks)
+      throw new IllegalArgumentException(
+        s"CHECK constraint violated on $table: " +
+          failed.mkString("(", ") AND (", ")") +
+          s" — e.g. row ${r.getString(checks.size)}; nothing was committed")
+    }
   }
 }
 
@@ -364,14 +411,16 @@ class TxLogSource(sqlContext: SQLContext, dir: String,
   * exactly ONE action on it (the segment write — stats are computed
   * from the written parquet, never by re-executing the input), so no
   * extra materialization is needed. */
-class TxLogSink(dir: String, statsCols: Seq[String])
+class TxLogSink(dir: String, statsCols: Seq[String],
+    checks: Seq[String] = Seq.empty)
     extends org.apache.spark.sql.execution.streaming.Sink {
   override def addBatch(batchId: Long, data: DataFrame): Unit = {
     // the engine tags the frame isStreaming=true, which refuses every
     // batch write verb — re-wrap its executed rows as a batch frame
     // (ForeachBatchSink's own discipline, via the Bridge)
-    TxLog.appendBatch(org.apache.spark.sql.graft.Bridge.asBatch(data),
-      batchId, dir, statsCols)
+    val batch = org.apache.spark.sql.graft.Bridge.asBatch(data)
+    TxLogChecks.validate(batch, checks, dir)
+    TxLog.appendBatch(batch, batchId, dir, statsCols)
     ()
   }
   override def toString: String = s"TxLogSink[$dir]"
@@ -380,10 +429,23 @@ class TxLogSink(dir: String, statsCols: Seq[String])
 /** The snapshot (or merge-on-read snapshot) of one txlog table at one
   * version, as a V1 relation with column pruning + filter pushdown
   * delegated to the inner parquet scan. */
-case class TxLogRelation(sqlContext: SQLContext, dir: String, asOf: Int,
-    keyCols: Option[Seq[String]], mergeSchema: Boolean = false,
-    statsCols: Seq[String] = Seq.empty)
+case class TxLogRelation(sqlContext: SQLContext, dir: String,
+    pinnedAsOf: Option[Int], keyCols: Option[Seq[String]],
+    mergeSchema: Boolean = false, statsCols: Seq[String] = Seq.empty,
+    checks: Seq[String] = Seq.empty)
     extends BaseRelation with PrunedFilteredScan with InsertableRelation {
+
+  /** The version a use of this relation reads: the pinned one (time
+    * travel — frozen forever), else the LATEST at each call. Lazy
+    * resolution is what keeps catalog-cached relations fresh: Spark
+    * caches a data-source table's resolved relation by name, so a
+    * version pinned at resolution time would make `INSERT INTO t`
+    * followed by `SELECT … FROM t` silently read the pre-insert
+    * snapshot until a manual REFRESH TABLE (Delta re-resolves its
+    * snapshot per query for exactly this reason). */
+  private def asOf: Int = pinnedAsOf.getOrElse(
+    TxLog.latestVersion(dir).getOrElse(
+      sys.error(s"txlog table $dir has no commits")))
 
   /** SQL `INSERT INTO` (overwrite=false) / `INSERT OVERWRITE`
     * (overwrite=true) against a `USING graft.sources.txlog` catalog
@@ -394,7 +456,7 @@ case class TxLogRelation(sqlContext: SQLContext, dir: String, asOf: Int,
     * (carried on the relation from its creation parameters) applies
     * here too, so SQL-written segments stay skippable. */
   override def insert(data: DataFrame, overwrite: Boolean): Unit =
-    TxLogWriter.write(data, dir, overwrite, statsCols)
+    TxLogWriter.write(data, dir, overwrite, statsCols, checks)
 
   private def snapshotDf: DataFrame = snapshotPruned(_ => true)
 

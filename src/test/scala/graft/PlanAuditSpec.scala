@@ -694,7 +694,7 @@ class PlanAuditSpec extends SparkSpec {
     val fp = graft.sources.IngestFixtures.fingerprint(s"$dir/orders.parquet")
     val store = graft.sources.IngestFixtures.path(s"e51_store_$fp")
     val rel = graft.sources.txlog.TxLogRelation(spark.sqlContext, store,
-      graft.sources.TxLog.latestVersion(store).get, None)
+      Some(graft.sources.TxLog.latestVersion(store).get), None)
     val kept = rel.keptSegments(Array(sources.EqualTo("ingest_day", 2L)))
     assert(kept === Seq("write__seg000002"),
       s"stats must prune three of four range-disjoint segments, got $kept")
@@ -717,7 +717,7 @@ class PlanAuditSpec extends SparkSpec {
     assert(st.exists(_.get("ingest_day").contains(("0", "1", "long"))),
       s"compacted segment must carry the union of retired ranges, got $st")
     val rel = graft.sources.txlog.TxLogRelation(spark.sqlContext, store,
-      graft.sources.TxLog.latestVersion(store).get, None)
+      Some(graft.sources.TxLog.latestVersion(store).get), None)
     // a FOLDED day scans only the compacted segment
     assert(rel.keptSegments(Array(sources.EqualTo("ingest_day", 1L))) ===
       Seq("compact__seg2"))

@@ -275,7 +275,7 @@ class TxLogFormatSpec extends SparkSpec {
     spark.range(200, 300).selectExpr("id", "CAST(id AS STRING) AS s")
       .write.format(Fmt).mode(SaveMode.Append).save(t)
     val rel = TxLogRelation(spark.sqlContext, t,
-      TxLog.latestVersion(t).get, None)
+      Some(TxLog.latestVersion(t).get), None)
     def kept(fs: sources.Filter*): Seq[String] =
       rel.keptSegments(fs.toArray)
     val all = Seq("write__seg000000", "write__seg000001", "write__seg000002")
@@ -487,8 +487,11 @@ class TxLogFormatSpec extends SparkSpec {
       spark.sql(s"DELETE FROM $tbl WHERE id = 11")                 // v3
       val hist = spark.sql(s"DESCRIBE HISTORY $tbl").collect()
       assert(hist.map(_.getInt(0)).toSeq === Seq(3, 2, 1, 0), "newest first")
-      assert(hist.head.getString(1).startsWith("deletes__"))
-      assert(hist.forall(_.getBoolean(3)), "all data commits so far")
+      assert(hist.head.getString(2).startsWith("deletes__"))
+      assert(hist.forall(_.getBoolean(4)), "all data commits so far")
+      // the timestamp column rides the manifest mtimes, newest first
+      assert(hist.map(_.getTimestamp(1).getTime).toSeq ===
+        (0 to 3).map(v => TxLog.commitTimeMillis(t, v)).reverse)
       // OPTIMIZE folds the tombstoned table through the MoR path
       val opt = spark.sql(s"OPTIMIZE $tbl").collect()
       assert(opt.map(r => (r.getString(0), r.getInt(1))).toSeq ===
@@ -504,7 +507,7 @@ class TxLogFormatSpec extends SparkSpec {
       assert(spark.sql(s"OPTIMIZE $tbl").collect().isEmpty)
       // the maintenance commit is visible in history as data_change=false
       val hist2 = spark.sql(s"DESCRIBE HISTORY $tbl").collect()
-      assert(!hist2.head.getBoolean(3) && hist2.head.getInt(0) === 4)
+      assert(!hist2.head.getBoolean(4) && hist2.head.getInt(0) === 4)
       // VACUUM reclaims the four retired dirs, keeps the log
       val gone = spark.sql(s"VACUUM $tbl").as[String].collect().toSeq
       assert(gone === Seq("deletes__seg3", "write__seg000000",
@@ -644,7 +647,7 @@ class TxLogFormatSpec extends SparkSpec {
     import graft.sources.txlog.TxLogRelation
     import org.apache.spark.sql.sources
     val rel = TxLogRelation(spark.sqlContext, t,
-      TxLog.latestVersion(t).get, None)
+      Some(TxLog.latestVersion(t).get), None)
     assert(rel.keptSegments(
       Array(sources.EqualTo("s", ""))).nonEmpty)
     assert(rel.keptSegments(
@@ -669,7 +672,7 @@ class TxLogFormatSpec extends SparkSpec {
       import graft.sources.txlog.TxLogRelation
       import org.apache.spark.sql.sources
       val rel = TxLogRelation(spark.sqlContext, t,
-        TxLog.latestVersion(t).get, None)
+        Some(TxLog.latestVersion(t).get), None)
       assert(rel.keptSegments(Array(sources.GreaterThan("id", 50L))) ===
         Seq("write__seg000001"))
     } finally {
@@ -767,5 +770,225 @@ class TxLogFormatSpec extends SparkSpec {
       .count() === 0)
     assert(spark.read.format(Fmt).option("raw", "true").load(t)
       .count() === 2)
+  }
+
+  test("a cached catalog relation sees later commits without REFRESH TABLE") {
+    import spark.implicits._
+    val t = freshTable()
+    Seq(1L).toDF("id").write.format(Fmt).mode(SaveMode.Append).save(t)
+    val tbl = s"txlog_fresh_${System.nanoTime()}"
+    spark.sql(s"CREATE TABLE $tbl USING `graft-txlog` OPTIONS (path '$t')")
+    try {
+      // resolve (and cache) the relation BEFORE the writes land
+      assert(spark.table(tbl).count() === 1)
+      spark.sql(s"INSERT INTO $tbl VALUES (2)")
+      // no REFRESH TABLE, no DML that would refresh as a side effect:
+      // the unpinned relation must re-resolve the latest version
+      assert(spark.table(tbl).as[Long].collect().sorted.toSeq ===
+        Seq(1L, 2L))
+      // out-of-band writers (another engine process appending to the
+      // same dir) are visible too
+      Seq(3L).toDF("id").write.format(Fmt).mode(SaveMode.Append).save(t)
+      assert(spark.table(tbl).count() === 3)
+      // while an EXPLICIT pin stays frozen forever
+      assert(spark.sql(s"SELECT id FROM $tbl VERSION AS OF 0")
+        .as[Long].collect().toSeq === Seq(1L))
+    } finally {
+      spark.sql(s"DROP TABLE IF EXISTS $tbl"); ()
+    }
+  }
+
+  test("SQL RESTORE: metadata undo, rewrite on tombstoned target, noop") {
+    import spark.implicits._
+    val t = freshTable()
+    Seq(1L, 2L).toDF("id").write.format(Fmt).mode(SaveMode.Append).save(t)
+    val tbl = s"txlog_restore_${System.nanoTime()}"
+    spark.sql(s"CREATE TABLE $tbl USING `graft-txlog` " +
+      s"OPTIONS (path '$t', keyCols 'id')")
+    try {
+      spark.sql(s"INSERT INTO $tbl VALUES (3)")                    // v1
+      spark.sql(s"DELETE FROM $tbl WHERE id = 1")                  // v2
+      def ids(): Seq[Long] =
+        spark.table(tbl).as[Long].collect().sorted.toSeq
+      assert(ids() === Seq(2L, 3L))
+      // undo the delete: the target (v1) has no tombstones → metadata
+      val r1 = spark.sql(s"RESTORE TABLE $tbl TO VERSION AS OF 1")
+        .collect().head
+      assert((r1.getInt(0), r1.getInt(1), r1.getString(2)) ===
+        ((1, 3, "metadata")))
+      assert(ids() === Seq(1L, 2L, 3L))
+      // restore TO the tombstoned state → materializing rewrite
+      val r2 = spark.sql(s"RESTORE TABLE $tbl TO VERSION AS OF 2")
+        .collect().head
+      assert(r2.getString(2) === "rewrite")
+      assert(ids() === Seq(2L, 3L))
+      // restoring to an identical live set is a noop row
+      val r3 = spark.sql(s"RESTORE TABLE $tbl TO VERSION AS OF 4")
+        .collect().head
+      assert(r3.getString(2) === "noop" && r3.isNullAt(1))
+      // RESTORE over a non-graft name falls through to Spark's parser
+      val e = intercept[Exception](spark.sql(
+        "RESTORE TABLE not_a_graft_table TO VERSION AS OF 1"))
+      assert(e.getMessage.toLowerCase.contains("syntax") ||
+        e.getMessage.contains("PARSE"))
+    } finally {
+      spark.sql(s"DROP TABLE IF EXISTS $tbl"); ()
+    }
+  }
+
+  test("SQL CONVERT TO GRAFT adopts a plain parquet dir zero-copy") {
+    import spark.implicits._
+    val t = freshTable()
+    Seq(1L, 2L, 3L).toDF("id").repartition(2)
+      .write.mode("overwrite").parquet(t)
+    val r = spark.sql(s"CONVERT TO GRAFT parquet.`$t`").collect().head
+    assert(r.getString(0) === "convert__seg000000" && r.getInt(2) === 0)
+    assert(spark.read.format(Fmt).load(t).as[Long].collect().sorted
+      .toSeq === Seq(1L, 2L, 3L))
+    // converting twice fails loudly
+    val e = intercept[Exception](spark.sql(s"CONVERT TO GRAFT parquet.`$t`"))
+    assert(e.getMessage.contains("already"))
+  }
+
+  test("SQL SHALLOW CLONE forks a table zero-copy; sides diverge") {
+    import spark.implicits._
+    val src = freshTable()
+    Seq(1L, 2L).toDF("id").write.format(Fmt).mode(SaveMode.Append).save(src)
+    val srcTbl = s"txlog_clone_src_${System.nanoTime()}"
+    val dstTbl = s"txlog_clone_dst_${System.nanoTime()}"
+    spark.sql(s"CREATE TABLE $srcTbl USING `graft-txlog` " +
+      s"OPTIONS (path '$src', keyCols 'id')")
+    try {
+      spark.sql(s"DELETE FROM $srcTbl WHERE id = 1")               // v1
+      val dst = freshTable() + "/dst"
+      val r = spark.sql(s"CREATE TABLE $dstTbl SHALLOW CLONE $srcTbl " +
+        s"LOCATION '$dst'").collect().head
+      assert(r.getInt(0) === 2 && r.getString(1) === dst)
+      def ids(tbl: String): Seq[Long] =
+        spark.table(tbl).as[Long].collect().sorted.toSeq
+      assert(ids(dstTbl) === Seq(2L))
+      // the clone inherits keyCols: DML works immediately; divergence
+      spark.sql(s"INSERT INTO $dstTbl VALUES (9)")
+      spark.sql(s"DELETE FROM $dstTbl WHERE id = 2")
+      assert(ids(dstTbl) === Seq(9L))
+      assert(ids(srcTbl) === Seq(2L))
+      // SHALLOW CLONE of a non-graft source falls through to Spark
+      val e = intercept[Exception](spark.sql(
+        s"CREATE TABLE never_made SHALLOW CLONE some_parquet_table"))
+      assert(e.getMessage.toLowerCase.contains("syntax") ||
+        e.getMessage.contains("PARSE"))
+    } finally {
+      Seq(srcTbl, dstTbl).foreach(x =>
+        spark.sql(s"DROP TABLE IF EXISTS $x"))
+    }
+  }
+
+  test("SQL TIMESTAMP AS OF resolves through manifest commit times") {
+    import spark.implicits._
+    val t = freshTable()
+    Seq(1L).toDF("id").write.format(Fmt).mode(SaveMode.Append).save(t)
+    Seq(2L).toDF("id").write.format(Fmt).mode(SaveMode.Append).save(t)
+    val log = java.nio.file.Paths.get(t, "_txlog")
+    def stamp(v: Int, ms: Long): Unit = {
+      java.nio.file.Files.setLastModifiedTime(log.resolve(s"v$v.json"),
+        java.nio.file.attribute.FileTime.fromMillis(ms)); ()
+    }
+    val base = 1700000000000L
+    stamp(0, base); stamp(1, base + 60000L)
+    val tbl = s"txlog_ts_${System.nanoTime()}"
+    spark.sql(s"CREATE TABLE $tbl USING `graft-txlog` OPTIONS (path '$t')")
+    try {
+      val zone = java.time.ZoneId.of(
+        spark.sessionState.conf.sessionLocalTimeZone)
+      def lit(ms: Long): String =
+        java.time.Instant.ofEpochMilli(ms).atZone(zone).toLocalDateTime
+          .format(java.time.format.DateTimeFormatter
+            .ofPattern("yyyy-MM-dd HH:mm:ss.SSS"))
+      def ids(ms: Long): Seq[Long] = spark.sql(
+        s"SELECT id FROM $tbl TIMESTAMP AS OF '${lit(ms)}'")
+        .as[Long].collect().sorted.toSeq
+      assert(ids(base) === Seq(1L))
+      assert(ids(base + 59999L) === Seq(1L))
+      assert(ids(base + 60000L) === Seq(1L, 2L))
+      assert(ids(base + 999999L) === Seq(1L, 2L))
+      val e = intercept[Exception](ids(base - 1))
+      assert(e.getMessage.contains("predates"))
+    } finally {
+      spark.sql(s"DROP TABLE IF EXISTS $tbl"); ()
+    }
+  }
+
+  test("CHECK constraints: violating writes commit nothing, on every path") {
+    import spark.implicits._
+    val t = freshTable()
+    val write = Seq((1L, 10.0), (2L, 20.0)).toDF("id", "price")
+      .write.format(Fmt).option("checks", "price > 0; id IS NOT NULL")
+    write.mode(SaveMode.Append).save(t)
+    // writer path: a violating batch fails BEFORE anything lands
+    val e1 = intercept[IllegalArgumentException] {
+      Seq((3L, -1.0)).toDF("id", "price")
+        .write.format(Fmt).option("checks", "price > 0")
+        .mode(SaveMode.Append).save(t)
+    }
+    assert(e1.getMessage.contains("CHECK constraint violated") &&
+      e1.getMessage.contains("price > 0"))
+    assert(TxLog.versions(t) === Seq(0), "violation must commit nothing")
+    assert(!new java.io.File(t, "write__seg000001").exists(),
+      "violation must not even stage a segment dir")
+    val tbl = s"txlog_checks_${System.nanoTime()}"
+    spark.sql(s"CREATE TABLE $tbl USING `graft-txlog` OPTIONS " +
+      s"(path '$t', keyCols 'id', checks 'price > 0')")
+    try {
+      // SQL INSERT inherits the table's checks
+      val e2 = intercept[Exception](
+        spark.sql(s"INSERT INTO $tbl VALUES (4, -5.0)"))
+      assert(e2.getMessage.contains("CHECK constraint violated"))
+      spark.sql(s"INSERT INTO $tbl VALUES (4, 5.0)")              // v1
+      // UPDATE must not smuggle in a violating value
+      val e3 = intercept[Exception](
+        spark.sql(s"UPDATE $tbl SET price = -price WHERE id = 1"))
+      assert(e3.getMessage.contains("CHECK constraint violated"))
+      assert(TxLog.versions(t) === Seq(0, 1))
+      // NULL passes — SQL CHECK semantics
+      spark.sql(s"INSERT INTO $tbl VALUES (5, NULL)")             // v2
+      assert(spark.table(tbl).count() === 4)
+    } finally {
+      spark.sql(s"DROP TABLE IF EXISTS $tbl"); ()
+    }
+  }
+
+  test("table_changes TVF reads the change feed through SQL") {
+    import spark.implicits._
+    val t = freshTable()
+    Seq(1L, 2L).toDF("id").write.format(Fmt).mode(SaveMode.Append).save(t)
+    Seq(3L).toDF("id").write.format(Fmt).mode(SaveMode.Append).save(t)
+    val tbl = s"txlog_tvf_${System.nanoTime()}"
+    spark.sql(s"CREATE TABLE $tbl USING `graft-txlog` " +
+      s"OPTIONS (path '$t', keyCols 'id')")
+    try {
+      spark.sql(s"DELETE FROM $tbl WHERE id = 1")                 // v2
+      def rows(sql: String): Seq[(Long, String, Int)] =
+        spark.sql(sql).collect()
+          .map(r => (r.getLong(0), r.getString(1), r.getInt(2)))
+          .sortBy(x => (x._3, x._2, x._1)).toSeq
+      val full = rows(s"SELECT id, _change_type, _commit_version " +
+        s"FROM table_changes('$tbl', 0, 2)")
+      assert(full === Seq((1L, "insert", 0), (2L, "insert", 0),
+        (3L, "insert", 1), (1L, "delete", 2)))
+      // endVersion defaults to latest; startVersion is inclusive
+      assert(rows(s"SELECT id, _change_type, _commit_version " +
+        s"FROM table_changes('$tbl', 1)") ===
+        Seq((3L, "insert", 1), (1L, "delete", 2)))
+      // composes with plain SQL (aggregation over the feed)
+      val n = spark.sql(s"SELECT count(*) FROM table_changes('$tbl', 0, 2) " +
+        "WHERE _change_type = 'insert'").collect().head.getLong(0)
+      assert(n === 3L)
+      // a non-graft first argument falls through to Spark's own error
+      val e = intercept[Exception](spark.sql(
+        "SELECT * FROM table_changes('no_such_graft_table', 0)").collect())
+      assert(e.getMessage.toLowerCase.contains("table_changes"))
+    } finally {
+      spark.sql(s"DROP TABLE IF EXISTS $tbl"); ()
+    }
   }
 }

@@ -606,4 +606,203 @@ class TxLogSpec extends SparkSpec {
         .map(_.getLong(0)).sorted.toSeq === Seq(0L, 1L, 2L, 3L))
     } finally pool.shutdown()
   }
+
+  test("commit refuses to re-add a live segment (name reuse guard)") {
+    val t = freshTable()
+    writeSeg(t, "a", Seq(1L))
+    writeSeg(t, "b", Seq(2L))
+    TxLog.commit(t, Seq("a"))
+    val e = intercept[IllegalArgumentException](TxLog.commit(t, Seq("a")))
+    assert(e.getMessage.contains("already"))
+    TxLog.commit(t, Seq("b"), removes = Seq("a"))
+    // once retired, a RE-ADD is legal (restore's metadata path)
+    assert(TxLog.commit(t, Seq("a")) === 2)
+  }
+
+  private def idsAt(t: String, v: Int): Seq[Long] =
+    TxLog.snapshot(spark, t, v).select("id").collect()
+      .map(_.getLong(0)).sorted.toSeq
+
+  test("restore: metadata mode re-points the head; history stays readable") {
+    import spark.implicits._
+    val t = freshTable()
+    writeSeg(t, "a", Seq(1L, 2L))
+    writeSeg(t, "b", Seq(3L))
+    TxLog.commit(t, Seq("a"))                         // v0
+    TxLog.commit(t, Seq("b"))                         // v1
+    TxLog.commitDeletes(Seq(1L).toDF("id"), t)        // v2: tombstone live
+    // target v1 has NO tombstones → metadata-only: remove the tombstone
+    val Some((v3, mode)) = TxLog.restore(spark, t, toV = 1)
+    assert(v3 === 3 && mode === "metadata")
+    assert(idsAt(t, 3) === Seq(1L, 2L, 3L))
+    assert(TxLog.liveSegments(t, 3) === Seq("a", "b"))
+    // the undone version is still time-travelable
+    assert(TxLog.snapshotMoR(spark, t, 2, Seq("id")).select("id")
+      .collect().map(_.getLong(0)).sorted.toSeq === Seq(2L, 3L))
+    // restore ACROSS a compaction re-adds retired segments
+    TxLog.compactMoR(spark, t, Seq("id"))             // v4: fold a+b
+    TxLog.commitDeletes(Seq(3L).toDF("id"), t)        // v5
+    val Some((v6, mode2)) = TxLog.restore(spark, t, toV = 3)
+    assert(v6 === 6 && mode2 === "metadata")
+    assert(TxLog.liveSegments(t, 6).toSet === Set("a", "b"))
+    assert(idsAt(t, 6) === Seq(1L, 2L, 3L))
+    // restoring to the current state is a no-op
+    assert(TxLog.restore(spark, t, toV = 6).isEmpty)
+    assert(TxLog.restore(spark, t, toV = 3).isEmpty,
+      "v3 and v6 hold the same live set — no-op")
+  }
+
+  test("restore: a tombstoned target materializes the MoR snapshot") {
+    import spark.implicits._
+    val t = freshTable()
+    writeSeg(t, "a", Seq(1L, 2L, 3L))
+    TxLog.commit(t, Seq("a"))                         // v0
+    TxLog.commitDeletes(Seq(2L).toDF("id"), t)        // v1
+    TxLog.compactMoR(spark, t, Seq("id"))             // v2
+    writeSeg(t, "late", Seq(9L))
+    TxLog.commit(t, Seq("late"))                      // v3
+    // v1's live set = {a, deletes__seg1}: metadata restore would
+    // collapse the tombstone's version ordering → must materialize
+    val e = intercept[IllegalArgumentException](
+      TxLog.restore(spark, t, toV = 1))
+    assert(e.getMessage.contains("key columns"))
+    val Some((v4, mode)) = TxLog.restore(spark, t, toV = 1, Seq("id"))
+    assert(v4 === 4 && mode === "rewrite")
+    assert(idsAt(t, 4) === Seq(1L, 3L))
+    val live = TxLog.liveSegments(t, 4)
+    assert(live.size === 1 && live.head.startsWith("restore__"))
+    // a restore is a DATA commit with removes: incremental reads fail
+    val e2 = intercept[IllegalArgumentException](
+      TxLog.changes(spark, t, fromV = 3, toV = 4))
+    assert(e2.getMessage.contains("re-snapshot"))
+  }
+
+  test("restore: stats carried on materialize; vacuumed target fails loudly") {
+    import spark.implicits._
+    val t = freshTable()
+    assert(TxLog.appendBatch(Seq(1L, 5L).toDF("id"), 0L, t,
+      statsCols = Seq("id")))                         // v0
+    assert(TxLog.appendBatch(Seq(9L).toDF("id"), 1L, t,
+      statsCols = Seq("id")))                         // v1
+    TxLog.commitDeletes(Seq(5L).toDF("id"), t)        // v2
+    assert(TxLog.appendBatch(Seq(13L).toDF("id"), 2L, t,
+      statsCols = Seq("id")))                         // v3
+    val Some((_, mode)) = TxLog.restore(spark, t, toV = 2, Seq("id"))
+    assert(mode === "rewrite")
+    assert(idsAt(t, 4) === Seq(1L, 9L))
+    val seg = TxLog.liveSegments(t, 4).head
+    assert(TxLog.segmentStats(t, seg).exists(_.contains("id")),
+      "restore's materialized segment must stay skippable")
+    // vacuum away history → restoring past the horizon fails loudly
+    TxLog.vacuum(t, keepFrom = 4)
+    val e = intercept[IllegalArgumentException](
+      TxLog.restore(spark, t, toV = 0, Seq("id")))
+    assert(e.getMessage.contains("vacuum"))
+  }
+
+  test("versionAtTimestamp: greatest commit at or below; monotonic repair") {
+    val t = freshTable()
+    (0 to 2).foreach { i => writeSeg(t, s"s$i", Seq(i.toLong)) }
+    (0 to 2).foreach(i => TxLog.commit(t, Seq(s"s$i")))
+    val log = java.nio.file.Paths.get(t, "_txlog")
+    def setMtime(v: Int, ms: Long): Unit =
+      java.nio.file.Files.setLastModifiedTime(log.resolve(s"v$v.json"),
+        java.nio.file.attribute.FileTime.fromMillis(ms))
+    setMtime(0, 1000000L); setMtime(1, 2000000L); setMtime(2, 3000000L)
+    assert(TxLog.versionAtTimestamp(t, 1000000L) === 0)
+    assert(TxLog.versionAtTimestamp(t, 1999999L) === 0)
+    assert(TxLog.versionAtTimestamp(t, 2000000L) === 1)
+    assert(TxLog.versionAtTimestamp(t, 9999999L) === 2)
+    val e = intercept[IllegalArgumentException](
+      TxLog.versionAtTimestamp(t, 999999L))
+    assert(e.getMessage.contains("predates"))
+    // a shuffled-mtime log (copied files) still maps monotonically:
+    // v1's mtime regressed below v0's → repaired by the running max
+    setMtime(1, 500000L)
+    assert(TxLog.versionAtTimestamp(t, 1000000L) === 1,
+      "running max: v1's repaired time equals v0's")
+    assert(TxLog.versionAtTimestamp(t, 2999999L) === 1)
+  }
+
+  test("convertInPlace adopts loose parquet by hard link, zero copy") {
+    import spark.implicits._
+    val t = freshTable()
+    Seq(1L, 2L, 3L, 4L).toDF("id").repartition(2)
+      .write.mode("overwrite").parquet(t)
+    val loose = new java.io.File(t).listFiles()
+      .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+    assert(loose.length >= 2)
+    val inode = java.nio.file.Files.getAttribute(
+      loose.head.toPath, "unix:ino")
+    val (seg, n) = TxLog.convertInPlace(spark, t, statsCols = Seq("id"))
+    assert(seg === "convert__seg000000" && n === loose.length)
+    assert(idsAt(t, 0) === Seq(1L, 2L, 3L, 4L))
+    // zero copy: the adopted file is the SAME inode under the segment
+    val adopted = new java.io.File(t, seg).listFiles()
+      .filter(_.getName == loose.head.getName).head
+    assert(java.nio.file.Files.getAttribute(adopted.toPath, "unix:ino")
+      === inode, "convert must hard-link, never copy")
+    // originals are owned now: no loose parquet remains
+    assert(!new java.io.File(t).listFiles().exists(f =>
+      f.isFile && f.getName.endsWith(".parquet")))
+    assert(TxLog.segmentStats(t, seg).exists(_.contains("id")))
+    // the table composes with the normal write path
+    assert(TxLog.appendBatch(Seq(9L).toDF("id"), 0L, t))
+    assert(idsAt(t, 1) === Seq(1L, 2L, 3L, 4L, 9L))
+    val e = intercept[IllegalArgumentException](
+      TxLog.convertInPlace(spark, t))
+    assert(e.getMessage.contains("already"))
+  }
+
+  test("cloneTable: zero-copy, tombstone order preserved, divergence") {
+    import spark.implicits._
+    val src = freshTable()
+    writeSeg(src, "write__seg000000", Seq(1L, 2L))
+    TxLog.commit(src, Seq("write__seg000000"))        // v0
+    writeSeg(src, "write__seg000001", Seq(2L, 3L))
+    TxLog.commit(src, Seq("write__seg000001"))        // v1: re-insert 2
+    TxLog.commitDeletes(Seq(2L).toDF("id"), src)      // v2... kills BOTH 2s
+    TxLog.commitDeletes(Seq(1L).toDF("id"), src)      // v3
+    writeSeg(src, "write__seg000004", Seq(1L))
+    TxLog.commit(src, Seq("write__seg000004"))        // v4: revive 1
+    def morIds(t: String) = TxLog.snapshotMoR(spark, t,
+      TxLog.latestVersion(t).get, Seq("id")).select("id")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(morIds(src) === Seq(1L, 3L))
+    val dst = freshTable() + "/clone"
+    val commits = TxLog.cloneTable(src, dst)
+    assert(commits === 5)
+    // the clone reproduces the source's MoR state: tombstone versions
+    // kept RELATIVE to their data (v3's delete must not kill v4's 1)
+    assert(morIds(dst) === Seq(1L, 3L))
+    // zero copy: same inode
+    val srcFile = new java.io.File(src, "write__seg000000").listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    val dstFile = new java.io.File(dst, "clone__seg0").listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    assert(java.nio.file.Files.getAttribute(srcFile.toPath, "unix:ino")
+      === java.nio.file.Files.getAttribute(dstFile.toPath, "unix:ino"))
+    // divergence: writes to the clone never touch the source
+    assert(TxLog.appendBatch(Seq(7L).toDF("id"), 0L, dst))
+    assert(morIds(dst) === Seq(1L, 3L, 7L))
+    assert(morIds(src) === Seq(1L, 3L))
+    // and vice versa
+    TxLog.commitDeletes(Seq(3L).toDF("id"), src)
+    assert(morIds(src) === Seq(1L))
+    assert(morIds(dst) === Seq(1L, 3L, 7L))
+    // a clone target with an existing log is refused
+    val e = intercept[IllegalArgumentException](TxLog.cloneTable(src, dst))
+    assert(e.getMessage.contains("already"))
+  }
+
+  test("cloneTable carries stats sidecars under the new names") {
+    import spark.implicits._
+    val src = freshTable()
+    assert(TxLog.appendBatch(Seq(10L, 20L).toDF("id"), 0L, src,
+      statsCols = Seq("id")))
+    val dst = freshTable() + "/clone"
+    TxLog.cloneTable(src, dst)
+    assert(TxLog.segmentStats(dst, "clone__seg0")
+      .exists(_.get("id").contains(("10", "20", "long"))))
+  }
 }
