@@ -427,11 +427,12 @@ private[plans] object TxLogDml {
     newRows.foreach { r =>
       val seg = f"write__seg$v%06d"
       r.write.mode("overwrite").parquet(s"$dir/$seg")
-      val statsCols = CaseInsensitiveMap(meta.storage.properties)
-        .get("statsCols")
+      val props = CaseInsensitiveMap(meta.storage.properties)
+      def colsOf(key: String) = props.get(key)
         .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
         .getOrElse(Seq.empty)
-      TxLog.writeSegmentStats(session, dir, seg, statsCols)
+      TxLog.writeSegmentStats(session, dir, seg, colsOf("statsCols"))
+      TxLog.writeSegmentBlooms(session, dir, seg, colsOf("bloomCols"))
       adds += seg
     }
     val toAdd = adds.result()

@@ -4271,11 +4271,106 @@ object IngestQueries {
       FROM feed GROUP BY _change_type, _commit_version
       ORDER BY _commit_version, _change_type"""))
 
+  /** Bloom + null-tally data skipping — the POINT-LOOKUP half of e51's
+    * range skipping: segments whose [min,max] all straddle a probed key
+    * (interleaved residue-class ingest — the worst case for ranges)
+    * are pruned by per-segment BLOOM sidecars
+    * (`option("bloomCols", ...)` → `TxLog.writeSegmentBlooms`, Spark's
+    * own sketch, bits capped so an undersized filter only raises false
+    * positives — never a wrong prune), and IS [NOT] NULL probes are
+    * pruned by the v2 sidecar's row/null tallies. At 100 TB this is
+    * the difference between "fetch one doc_id" opening one segment and
+    * opening every segment in the table. The kept-segment sets for
+    * four probe shapes (point hit → 1 of 4, point miss → 0, IS NULL →
+    * the all-null segment only, IS NOT NULL → its complement) are
+    * recomputed from the relation and folded INTO the hash, alongside
+    * the probed rows themselves. Both sidecars carry through OPTIMIZE
+    * (union merges, subset-sound — spec-proven). */
+  val e69 = QueryDef(
+    "e69_bloom_skipping",
+    (sp, dir) => {
+      import graft.Dsl.moneySum
+      import graft.sources.TxLog
+      val fmt = "graft.sources.txlog"
+      val fp = IngestFixtures.fingerprint(s"$dir/orders.parquet")
+      val store = IngestFixtures.path(s"e69_store_$fp")
+      IngestFixtures.once(s"e69_$fp") {
+        import scala.reflect.io.Directory
+        new Directory(new java.io.File(store)).deleteRecursively()
+        val orders = Tables(sp, dir, "orders")
+          .select(col("o_orderkey"), col("o_orderstatus"),
+            col("o_totalprice"),
+            // nullable derived column: NULL exactly in residue class 3,
+            // so one segment is all-NULL and the rest have no NULLs
+            when(pmod(col("o_orderkey"), lit(4L)) =!= 3L,
+              col("o_orderstatus")).as("note"))
+        (0L until 4L).foreach { r =>                  // interleaved keys:
+          orders.filter(pmod(col("o_orderkey"), lit(4L)) === r)
+            .write.format(fmt)                        // ranges all overlap
+            .option("statsCols", "o_orderkey,note")
+            .option("bloomCols", "o_orderkey")
+            .mode(org.apache.spark.sql.SaveMode.Append).save(store)
+        }
+      }
+      // deterministic probe: the smallest key of residue class 2 —
+      // present in exactly one segment, inside every segment's range
+      val probeKey = Tables(sp, dir, "orders")
+        .filter(pmod(col("o_orderkey"), lit(4L)) === 2L)
+        .agg(min(col("o_orderkey"))).head().getLong(0)
+      val rel = graft.sources.txlog.TxLogRelation(sp.sqlContext, store,
+        Some(TxLog.latestVersion(store).get), None)
+      import org.apache.spark.sql.{sources => f}
+      val pointKept = rel.keptSegments(Array(
+        f.EqualTo("o_orderkey", probeKey))).size.toLong
+      val missKept = rel.keptSegments(Array(
+        f.EqualTo("o_orderkey", -probeKey))).size.toLong
+      val isNullKept = rel.keptSegments(Array(f.IsNull("note"))).size.toLong
+      val notNullKept = rel.keptSegments(Array(
+        f.IsNotNull("note"))).size.toLong
+      val t = sp.read.format(fmt).load(store)
+      val point = t.filter(col("o_orderkey") === probeKey)
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n_rows"),
+          moneySum(col("o_totalprice")).as("sum_price"))
+        .withColumn("probe", lit("point"))
+      val nulls = t.filter(col("note").isNull)
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n_rows"),
+          moneySum(col("o_totalprice")).as("sum_price"))
+        .withColumn("probe", lit("null_notes"))
+      point.unionByName(nulls)
+        .withColumn("point_kept", lit(pointKept))
+        .withColumn("miss_kept", lit(missKept))
+        .withColumn("isnull_kept", lit(isNullKept))
+        .withColumn("notnull_kept", lit(notNullKept))
+        .select("probe", "o_orderstatus", "n_rows", "sum_price",
+          "point_kept", "miss_kept", "isnull_kept", "notnull_kept")
+        .orderBy("probe", "o_orderstatus")
+    },
+    Some("""
+      WITH probe AS (
+        SELECT MIN(o_orderkey) AS k FROM orders WHERE o_orderkey % 4 = 2),
+      sections AS (
+        SELECT 'point' AS probe, o_orderstatus, o_totalprice
+        FROM orders, probe WHERE o_orderkey = probe.k
+        UNION ALL
+        SELECT 'null_notes', o_orderstatus, o_totalprice
+        FROM orders WHERE o_orderkey % 4 = 3)
+      SELECT probe, o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n_rows,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+          AS sum_price,
+        CAST(1 AS BIGINT) AS point_kept,
+        CAST(0 AS BIGINT) AS miss_kept,
+        CAST(1 AS BIGINT) AS isnull_kept,
+        CAST(3 AS BIGINT) AS notnull_kept
+      FROM sections GROUP BY probe, o_orderstatus
+      ORDER BY probe, o_orderstatus"""))
+
   val defs: Seq[QueryDef] =
     Seq(e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11, e12, e13,
       e14, e15, e16, e17, e18, e19, e20, e21, e22, e23, e24, e25, e26,
       e27, e28, e29, e30, e31, e32, e33, e34, e35, e36, e37, e38, e39,
       e40, e41, e42, e43, e44, e45, e46, e47, e48, e49, e50, e51, e52,
       e53, e54, e55, e56, e57, e58, e59, e60, e61, e62, e63, e64, e65,
-      e66, e67, e68)
+      e66, e67, e68, e69)
 }

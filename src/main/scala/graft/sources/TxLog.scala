@@ -524,6 +524,9 @@ object TxLog {
     val tracked = old.filterNot(_.startsWith(s"${DeletesFamily}__"))
       .flatMap(s => segmentStats(tableDir, s).map(_.keySet).getOrElse(Set.empty))
     writeSegmentStats(spark, tableDir, seg, (tracked ++ zCols).distinct)
+    // blooms carry as the union of the retired filters (subset-sound)
+    mergeSegmentBlooms(tableDir,
+      old.filterNot(_.startsWith(s"${DeletesFamily}__")), seg)
     commit(tableDir, adds = Seq(seg), removes = old, dataChange = false)
   }
 
@@ -783,10 +786,19 @@ object TxLog {
       s"restore $tableDir to v$toV: segments $missing were vacuumed — " +
         "the version is beyond the retention horizon")
     val tombstoned = target.exists(_.startsWith(s"${DeletesFamily}__"))
-    if (!tombstoned) {
-      val curSet = cur.toSet
+    val curSet = cur.toSet
+    val adds = target.filterNot(curSet)
+    // Metadata mode is sound in two cases: the target state has no
+    // live tombstones (nothing to mis-order, whatever we re-add), OR
+    // the restore re-adds NOTHING (pure removal of head segments —
+    // every surviving segment keeps its original commit version, so
+    // the target's tombstone-vs-data ordering is untouched: "undo the
+    // recent appends while the deletes stay" is O(1) metadata work).
+    // Only a restore that must RE-ADD segments into a tombstoned
+    // target state materializes.
+    if (!tombstoned || adds.isEmpty) {
       val targetSet = target.toSet
-      val v = commit(tableDir, adds = target.filterNot(curSet),
+      val v = commit(tableDir, adds = adds,
         removes = cur.filterNot(targetSet))
       Some((v, "metadata"))
     } else {
@@ -939,7 +951,7 @@ object TxLog {
     * type) are omitted — readers treat absence as "cannot skip". */
   def writeSegmentStats(spark: SparkSession, tableDir: String, seg: String,
       cols: Seq[String]): Unit = {
-    import org.apache.spark.sql.functions.{col, max, min}
+    import org.apache.spark.sql.functions.{col, count, lit, max, min}
     if (cols.isEmpty) return
     val df = spark.read.parquet(s"$tableDir/$seg")
     val present = cols.filter(df.columns.contains)
@@ -967,20 +979,136 @@ object TxLog {
       Files.deleteIfExists(logDir(tableDir).resolve(s"stats-$seg.json")); ()
     }
     if (typed.isEmpty) { dropStale(); return }
-    val row = df.agg(
-      typed.flatMap { case (c, _) =>
-        Seq(min(col(c)).as(s"__min_$c"), max(col(c)).as(s"__max_$c")) }.head,
-      typed.flatMap { case (c, _) =>
-        Seq(min(col(c)).as(s"__min_$c"), max(col(c)).as(s"__max_$c")) }.tail: _*)
-      .head()
+    // one agg pass: per-column min/max + non-null count, plus the
+    // segment row count — the null tallies serve IsNull/IsNotNull
+    // pruning the same way the ranges serve comparisons
+    val aggs = typed.flatMap { case (c, _) =>
+      Seq(min(col(c)).as(s"__min_$c"), max(col(c)).as(s"__max_$c"),
+        count(col(c)).as(s"__cnt_$c")) } :+ count(lit(1)).as("__rows")
+    val row = df.agg(aggs.head, aggs.tail: _*).head()
+    val rows = row.getLong(typed.size * 3)
     val fields = typed.zipWithIndex.flatMap { case ((c, t), i) =>
-      val (mn, mx) = (row.get(2 * i), row.get(2 * i + 1))
-      if (mn == null || mx == null) None
+      val (mn, mx) = (row.get(3 * i), row.get(3 * i + 1))
+      val nulls = rows - row.getLong(3 * i + 2)
+      if (mn == null || mx == null) {
+        // an all-NULL column records no range (type "null": readers
+        // treat the range as unknowable) but its null tally still
+        // lets IsNotNull prune the whole segment
+        if (nulls == rows && rows > 0)
+          Some(s""""${jsonEsc(c)}":{"min":"","max":"",""" +
+            s""""type":"null","nulls":"$nulls"}""")
+        else None
+      }
       else Some(s""""${jsonEsc(c)}":{"min":"${jsonEsc(mn.toString)}",""" +
-        s""""max":"${jsonEsc(mx.toString)}","type":"$t"}""")
+        s""""max":"${jsonEsc(mx.toString)}","type":"$t","nulls":"$nulls"}""")
     }
     if (fields.isEmpty) { dropStale(); return }
-    writeStatsSidecar(tableDir, seg, s"{${fields.mkString(",")}}")
+    writeStatsSidecar(tableDir, seg,
+      s"""{"__rows":"$rows",${fields.mkString(",")}}""")
+  }
+
+  /** Compute and record per-column BLOOM FILTERS for a written
+    * segment — the equality/IN-probe half of data skipping: ranges
+    * prune BAND disjointness, a bloom prunes POINT lookups on
+    * high-cardinality keys where every segment's [min,max] straddles
+    * the probe (at 100 TB, "fetch one doc_id" should open one
+    * segment, not all of them). Built with Spark's own sketch
+    * (`df.stat.bloomFilter` — one delta-sized job per column),
+    * serialized into a `_txlog/bloom-<seg>.json` sidecar with the
+    * same atomic-replace discipline as the range stats. Bits are
+    * capped (`maxBits`, default 1 MiB/column): an undersized filter
+    * only raises false positives, and a bloom's "maybe present" never
+    * prunes — soundness is independent of sizing. Long/int/string
+    * columns only. */
+  def writeSegmentBlooms(spark: SparkSession, tableDir: String, seg: String,
+      cols: Seq[String], fpp: Double = 0.001,
+      maxBits: Long = 8L * 1024 * 1024): Unit = {
+    if (cols.isEmpty) return
+    val df = spark.read.parquet(s"$tableDir/$seg")
+    def dropStale(): Unit = {
+      Files.deleteIfExists(logDir(tableDir).resolve(s"bloom-$seg.json")); ()
+    }
+    val eligible = cols.filter(df.columns.contains).filter { c =>
+      df.schema(c).dataType match {
+        case org.apache.spark.sql.types.LongType |
+             org.apache.spark.sql.types.IntegerType |
+             org.apache.spark.sql.types.ShortType |
+             org.apache.spark.sql.types.StringType => true
+        case _ => false
+      }
+    }
+    if (eligible.isEmpty) { dropStale(); return }
+    val n = math.max(64L, df.count())
+    val fields = eligible.map { c =>
+      val optimalBits = math.ceil(
+        -n * math.log(fpp) / (math.log(2) * math.log(2))).toLong
+      // integral columns are built (and later probed) as LONGS so the
+      // hashes line up regardless of the column's physical width
+      val probed = df.schema(c).dataType match {
+        case org.apache.spark.sql.types.StringType => df.select(c)
+        case _ => df.select(org.apache.spark.sql.functions.col(c)
+          .cast(org.apache.spark.sql.types.LongType).as(c))
+      }
+      val bf = probed.stat.bloomFilter(c, n, math.min(optimalBits, maxBits))
+      val bos = new java.io.ByteArrayOutputStream()
+      bf.writeTo(bos)
+      val b64 = java.util.Base64.getEncoder.encodeToString(bos.toByteArray)
+      s""""${jsonEsc(c)}":"$b64""""
+    }
+    val d = logDir(tableDir)
+    Files.createDirectories(d)
+    val tmp = d.resolve(s".tmp.bloom.${java.util.UUID.randomUUID}")
+    try {
+      Files.write(tmp, s"{${fields.mkString(",")}}"
+        .getBytes(StandardCharsets.UTF_8))
+      Files.move(tmp, d.resolve(s"bloom-$seg.json"),
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      ()
+    } finally { Files.deleteIfExists(tmp); () }
+  }
+
+  /** A segment's recorded bloom filters, col → sketch — None when the
+    * segment has no (readable) bloom sidecar. */
+  def segmentBlooms(tableDir: String, seg: String)
+      : Option[Map[String, org.apache.spark.util.sketch.BloomFilter]] = {
+    val f = logDir(tableDir).resolve(s"bloom-$seg.json")
+    if (!Files.exists(f)) None
+    else scala.util.Try {
+      val body = new String(Files.readAllBytes(f), StandardCharsets.UTF_8)
+      val entry = "\"((?:[^\"\\\\]|\\\\.)*)\":\"([A-Za-z0-9+/=]+)\"".r
+      def unesc(s: String) = s.replace("\\\"", "\"").replace("\\\\", "\\")
+      entry.findAllMatchIn(body).map { m =>
+        unesc(m.group(1)) -> org.apache.spark.util.sketch.BloomFilter.readFrom(
+          new java.io.ByteArrayInputStream(
+            java.util.Base64.getDecoder.decode(m.group(2))))
+      }.toMap
+    }.toOption.filter(_.nonEmpty)
+  }
+
+  /** A segment's recorded (rowCount, col → nullCount) — None for
+    * pre-null-tally sidecars (readers then cannot null-prune; ranges
+    * still work). After a carry-forward merge the counts are UPPER
+    * bounds on the compacted segment's true tallies (MoR subtraction
+    * only removes rows), which keeps both prune rules sound:
+    * IsNull prunes on nulls == 0 (no nulls in any retired row ⇒ none
+    * in the subset), IsNotNull prunes on nulls == rows (every retired
+    * row null in the column ⇒ every surviving row null too). */
+  def segmentNullStats(tableDir: String, seg: String)
+      : Option[(Long, Map[String, Long])] = {
+    val f = logDir(tableDir).resolve(s"stats-$seg.json")
+    if (!Files.exists(f)) None
+    else scala.util.Try {
+      val body = new String(Files.readAllBytes(f), StandardCharsets.UTF_8)
+      val rows = """"__rows":"(\d+)"""".r.findFirstMatchIn(body)
+        .map(_.group(1).toLong)
+      val entry = ("\"((?:[^\"\\\\]|\\\\.)*)\":\\{\"min\":\"(?:[^\"\\\\]|\\\\.)*\"," +
+        "\"max\":\"(?:[^\"\\\\]|\\\\.)*\",\"type\":\"\\w+\"," +
+        "\"nulls\":\"(\\d+)\"\\}").r
+      def unesc(s: String) = s.replace("\\\"", "\"").replace("\\\\", "\\")
+      rows.map(r => (r, entry.findAllMatchIn(body).map(m =>
+        unesc(m.group(1)) -> m.group(2).toLong).toMap))
+    }.toOption.flatten
   }
 
   /** Install a segment's stats sidecar ATOMICALLY, replacing any
@@ -1053,10 +1181,21 @@ object TxLog {
       newSeg: String): Unit = {
     val dataRetired = retired.filterNot(_.startsWith(s"${DeletesFamily}__"))
     if (dataRetired.isEmpty) return
+    mergeSegmentBlooms(tableDir, dataRetired, newSeg)
     val sidecars = dataRetired.map(segmentStats(tableDir, _))
     if (sidecars.exists(_.isEmpty)) return // untracked segment → no merge
     val maps = sidecars.map(_.get)
     val common = maps.map(_.keySet).reduce(_ intersect _)
+    // null tallies carry as SUMS — upper bounds on the compacted
+    // segment's true counts (MoR subtraction only removes rows), which
+    // both null-prune rules stay sound under; carried only when every
+    // retired sidecar recorded them (see [[segmentNullStats]])
+    val nullTallies = dataRetired.map(segmentNullStats(tableDir, _))
+    val mergedNulls: Option[(Long, Map[String, Long])] =
+      if (nullTallies.exists(_.isEmpty)) None
+      else Some((nullTallies.map(_.get._1).sum,
+        nullTallies.map(_.get._2.keySet).reduce(_ intersect _)
+          .map(c => c -> nullTallies.map(_.get._2(c)).sum).toMap))
     def extreme(vals: Seq[String], t: String,
         takeMin: Boolean): Option[String] =
       vals.tail.foldLeft(Option(vals.head)) { (accOpt, v) =>
@@ -1065,17 +1204,62 @@ object TxLog {
       }
     val fields = common.toSeq.sorted.flatMap { c =>
       val entries = maps.map(_(c))
+      val nullsSuffix = mergedNulls.flatMap(_._2.get(c))
+        .map(n => s""","nulls":"$n"""").getOrElse("")
       entries.map(_._3).distinct match {
         case Seq(t) =>
           for (mn <- extreme(entries.map(_._1), t, takeMin = true);
                mx <- extreme(entries.map(_._2), t, takeMin = false))
             yield s""""${jsonEsc(c)}":{"min":"${jsonEsc(mn)}",""" +
-              s""""max":"${jsonEsc(mx)}","type":"$t"}"""
+              s""""max":"${jsonEsc(mx)}","type":"$t"$nullsSuffix}"""
         case _ => None // type disagreement across sidecars — drop column
       }
     }
+    val rowsPrefix = mergedNulls.map(m => s""""__rows":"${m._1}",""")
+      .getOrElse("")
     if (fields.nonEmpty)
-      writeStatsSidecar(tableDir, newSeg, s"{${fields.mkString(",")}}")
+      writeStatsSidecar(tableDir, newSeg,
+        s"{$rowsPrefix${fields.mkString(",")}}")
+  }
+
+  /** Carry bloom sidecars through compaction: the merged segment's
+    * filter for a column is the UNION (`mergeInPlace`) of the retired
+    * segments' filters — sound because the compacted rows are a subset
+    * of the retired rows' union, and a bloom union can only widen the
+    * "maybe present" set. Carried only when EVERY retired data segment
+    * has a compatible filter for the column; otherwise the column's
+    * bloom is dropped (reads then simply cannot point-prune on it). */
+  private def mergeSegmentBlooms(tableDir: String, dataRetired: Seq[String],
+      newSeg: String): Unit = {
+    def dropStale(): Unit = {
+      Files.deleteIfExists(logDir(tableDir).resolve(s"bloom-$newSeg.json"))
+      ()
+    }
+    val sidecars = dataRetired.map(segmentBlooms(tableDir, _))
+    if (sidecars.exists(_.isEmpty)) { dropStale(); return }
+    val maps = sidecars.map(_.get)
+    val common = maps.map(_.keySet).reduce(_ intersect _)
+    val fields = common.toSeq.sorted.flatMap { c =>
+      scala.util.Try {
+        val merged = maps.head(c) // readFrom returns a fresh instance
+        maps.tail.foreach(m => merged.mergeInPlace(m(c)))
+        val bos = new java.io.ByteArrayOutputStream()
+        merged.writeTo(bos)
+        s""""${jsonEsc(c)}":"${java.util.Base64.getEncoder
+          .encodeToString(bos.toByteArray)}""""
+      }.toOption // IncompatibleMergeException → drop the column
+    }
+    if (fields.isEmpty) { dropStale(); return }
+    val d = logDir(tableDir)
+    val tmp = d.resolve(s".tmp.bloom.${java.util.UUID.randomUUID}")
+    try {
+      Files.write(tmp, s"{${fields.mkString(",")}}"
+        .getBytes(StandardCharsets.UTF_8))
+      Files.move(tmp, d.resolve(s"bloom-$newSeg.json"),
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      ()
+    } finally { Files.deleteIfExists(tmp); () }
   }
 
   private def jsonEsc(s: String) =
@@ -1089,11 +1273,15 @@ object TxLog {
     if (!Files.exists(f)) None
     else scala.util.Try {
       val body = new String(Files.readAllBytes(f), StandardCharsets.UTF_8)
+      // the trailing `,"nulls":"N"` is the v2 null tally — optional,
+      // so pre-existing sidecars stay readable
       val entry = ("\"((?:[^\"\\\\]|\\\\.)*)\":\\{\"min\":\"((?:[^\"\\\\]|\\\\.)*)\"," +
-        "\"max\":\"((?:[^\"\\\\]|\\\\.)*)\",\"type\":\"(\\w+)\"\\}").r
+        "\"max\":\"((?:[^\"\\\\]|\\\\.)*)\",\"type\":\"(\\w+)\"" +
+        "(?:,\"nulls\":\"\\d+\")?\\}").r
       def unesc(s: String) = s.replace("\\\"", "\"").replace("\\\\", "\\")
       entry.findAllMatchIn(body).map(m => unesc(m.group(1)) ->
         (unesc(m.group(2)), unesc(m.group(3)), m.group(4))).toMap
+        .filter(_._2._3 != "null") // all-NULL marker: no usable range
     }.toOption.filter(_.nonEmpty)
   }
 
@@ -1118,7 +1306,8 @@ object TxLog {
     *
     * @return true if the batch was applied, false on redelivery. */
   def appendBatch(batch: org.apache.spark.sql.DataFrame, batchId: Long,
-      tableDir: String, statsCols: Seq[String] = Seq.empty): Boolean = {
+      tableDir: String, statsCols: Seq[String] = Seq.empty,
+      bloomCols: Seq[String] = Seq.empty): Boolean = {
     require(batchId >= 0, s"batchId must be >= 0, got $batchId")
     val seg = f"batch__$batchId%06d"
     // the redelivery test is "was batch__N EVER added in any
@@ -1135,6 +1324,7 @@ object TxLog {
     else {
       batch.write.mode("overwrite").parquet(s"$tableDir/$seg")
       writeSegmentStats(batch.sparkSession, tableDir, seg, statsCols)
+      writeSegmentBlooms(batch.sparkSession, tableDir, seg, bloomCols)
       commit(tableDir, adds = Seq(seg))
       true
     }

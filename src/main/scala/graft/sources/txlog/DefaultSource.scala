@@ -78,7 +78,8 @@ class DefaultSource extends RelationProvider
     val statsCols = parameters.get("statsCols")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
       .getOrElse(Seq.empty)
-    new TxLogSink(dir, statsCols, TxLogChecks.parse(parameters))
+    new TxLogSink(dir, statsCols, TxLogChecks.parse(parameters),
+      bloomColsOf(parameters))
   }
 
   // ---- spark.readStream.format("graft-txlog"): versions as offsets --
@@ -167,11 +168,17 @@ class DefaultSource extends RelationProvider
     // that land after resolution — INSERT INTO then SELECT must show
     // the insert without a manual REFRESH TABLE.
     TxLogRelation(sqlContext, dir, pinned, keyCols, mergeSchema,
-      statsColsOf(parameters), TxLogChecks.parse(parameters))
+      statsColsOf(parameters), TxLogChecks.parse(parameters),
+      bloomColsOf(parameters))
   }
 
   private def statsColsOf(parameters: Map[String, String]): Seq[String] =
     parameters.get("statsCols")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      .getOrElse(Seq.empty)
+
+  private def bloomColsOf(parameters: Map[String, String]): Seq[String] =
+    parameters.get("bloomCols")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
       .getOrElse(Seq.empty)
 
@@ -197,18 +204,23 @@ class DefaultSource extends RelationProvider
     // read prunes segments by before opening any parquet footer
     val statsCols = statsColsOf(parameters)
     val checks = TxLogChecks.parse(parameters)
+    val blooms = bloomColsOf(parameters)
     mode match {
       case SaveMode.Append =>
-        TxLogWriter.write(data, dir, overwrite = false, statsCols, checks)
+        TxLogWriter.write(data, dir, overwrite = false, statsCols, checks,
+          blooms)
       case SaveMode.Overwrite =>
-        TxLogWriter.write(data, dir, overwrite = true, statsCols, checks)
+        TxLogWriter.write(data, dir, overwrite = true, statsCols, checks,
+          blooms)
       case SaveMode.ErrorIfExists =>
         require(!exists, s"txlog table $dir already has commits " +
           "(SaveMode.ErrorIfExists)")
-        TxLogWriter.write(data, dir, overwrite = false, statsCols, checks)
+        TxLogWriter.write(data, dir, overwrite = false, statsCols, checks,
+          blooms)
       case SaveMode.Ignore =>
         if (!exists)
-          TxLogWriter.write(data, dir, overwrite = false, statsCols, checks)
+          TxLogWriter.write(data, dir, overwrite = false, statsCols, checks,
+            blooms)
     }
     createRelation(sqlContext, parameters - "asOf")
   }
@@ -222,12 +234,14 @@ class DefaultSource extends RelationProvider
 private[txlog] object TxLogWriter {
   def write(data: DataFrame, dir: String, overwrite: Boolean,
       statsCols: Seq[String] = Seq.empty,
-      checks: Seq[String] = Seq.empty): Unit = {
+      checks: Seq[String] = Seq.empty,
+      bloomCols: Seq[String] = Seq.empty): Unit = {
     TxLogChecks.validate(data, checks, dir)
     new java.io.File(dir).mkdirs()
     val seg = f"write__seg${TxLog.versions(dir).size}%06d"
     data.write.mode("overwrite").parquet(s"$dir/$seg")
     TxLog.writeSegmentStats(data.sparkSession, dir, seg, statsCols)
+    TxLog.writeSegmentBlooms(data.sparkSession, dir, seg, bloomCols)
     val removes =
       if (!overwrite) Seq.empty[String]
       else TxLog.latestVersion(dir)
@@ -280,6 +294,17 @@ private[graft] object TxLogChecks {
   * sidecar, unparseable literal, or untranslated filter keeps the
   * segment. */
 private[txlog] object StatsPrune {
+  /** Everything recorded about one segment that a prune may consult:
+    * per-column ranges (band disjointness), the row/null tallies
+    * (IsNull/IsNotNull), and the bloom filters (point lookups — at
+    * 100 TB "fetch one id" should open one segment, not every segment
+    * whose [min,max] straddles the probe). Each piece is optional and
+    * its absence only disables that prune. */
+  case class SegMeta(
+      ranges: Map[String, (String, String, String)],
+      nulls: Option[(Long, Map[String, Long])],
+      blooms: Map[String, org.apache.spark.util.sketch.BloomFilter])
+
   // string bounds compare in unsigned UTF-8 byte order — the
   // UTF8String order Spark's min/max computed them under; UTF-16
   // code-unit order (String.compareTo) diverges for supplementary-
@@ -287,15 +312,32 @@ private[txlog] object StatsPrune {
   private def cmpVals(typ: String, a: String, b: Any): Option[Int] =
     TxLog.statsCmp(typ, a, b.toString)
 
-  def mayMatch(f: Filter,
-      st: Map[String, (String, String, String)]): Boolean = {
+  /** A bloom's "definitely absent" is the only pruning answer; any
+    * type we did not index (or a null probe) keeps the segment.
+    * Integral values probe as longs — [[TxLog.writeSegmentBlooms]]
+    * builds integral columns cast to long, so the hashes line up. */
+  private def bloomMayContain(m: SegMeta, a: String, v: Any): Boolean =
+    m.blooms.get(a).forall { bf =>
+      v match {
+        case l: java.lang.Long => bf.mightContainLong(l)
+        case i: java.lang.Integer => bf.mightContainLong(i.longValue())
+        case sh: java.lang.Short => bf.mightContainLong(sh.longValue())
+        case s: String => bf.mightContainString(s)
+        case _ => true
+      }
+    }
+
+  def mayMatch(f: Filter, m: SegMeta): Boolean = {
     def test(a: String)(
         p: (String, String, String) => Option[Boolean]): Boolean =
-      st.get(a).flatMap { case (mn, mx, t) => p(mn, mx, t) }.getOrElse(true)
+      m.ranges.get(a).flatMap { case (mn, mx, t) => p(mn, mx, t) }
+        .getOrElse(true)
     f match {
       case EqualTo(a, v) => test(a) { (mn, mx, t) =>
         for (lo <- cmpVals(t, mn, v); hi <- cmpVals(t, mx, v))
-          yield lo <= 0 && hi >= 0 }
+          yield lo <= 0 && hi >= 0 } && bloomMayContain(m, a, v)
+      case EqualNullSafe(a, null) => mayMatch(IsNull(a), m)
+      case EqualNullSafe(a, v) => mayMatch(EqualTo(a, v), m)
       case GreaterThan(a, v) =>
         test(a)((_, mx, t) => cmpVals(t, mx, v).map(_ > 0))
       case GreaterThanOrEqual(a, v) =>
@@ -304,9 +346,17 @@ private[txlog] object StatsPrune {
         test(a)((mn, _, t) => cmpVals(t, mn, v).map(_ < 0))
       case LessThanOrEqual(a, v) =>
         test(a)((mn, _, t) => cmpVals(t, mn, v).map(_ <= 0))
-      case In(a, vs) => vs.exists(v => mayMatch(EqualTo(a, v), st))
-      case And(l, r) => mayMatch(l, st) && mayMatch(r, st)
-      case Or(l, r) => mayMatch(l, st) || mayMatch(r, st)
+      // null tallies (upper bounds after a carry-forward merge — both
+      // rules stay sound, see TxLog.segmentNullStats): a segment with
+      // zero nulls in the column cannot serve IS NULL; one that is
+      // all-null cannot serve IS NOT NULL
+      case IsNull(a) =>
+        m.nulls.forall { case (_, nl) => nl.get(a).forall(_ > 0) }
+      case IsNotNull(a) =>
+        m.nulls.forall { case (rows, nl) => nl.get(a).forall(_ < rows) }
+      case In(a, vs) => vs.exists(v => mayMatch(EqualTo(a, v), m))
+      case And(l, r) => mayMatch(l, m) && mayMatch(r, m)
+      case Or(l, r) => mayMatch(l, m) || mayMatch(r, m)
       case _ => true
     }
   }
@@ -412,7 +462,7 @@ class TxLogSource(sqlContext: SQLContext, dir: String,
   * from the written parquet, never by re-executing the input), so no
   * extra materialization is needed. */
 class TxLogSink(dir: String, statsCols: Seq[String],
-    checks: Seq[String] = Seq.empty)
+    checks: Seq[String] = Seq.empty, bloomCols: Seq[String] = Seq.empty)
     extends org.apache.spark.sql.execution.streaming.Sink {
   override def addBatch(batchId: Long, data: DataFrame): Unit = {
     // the engine tags the frame isStreaming=true, which refuses every
@@ -420,7 +470,7 @@ class TxLogSink(dir: String, statsCols: Seq[String],
     // (ForeachBatchSink's own discipline, via the Bridge)
     val batch = org.apache.spark.sql.graft.Bridge.asBatch(data)
     TxLogChecks.validate(batch, checks, dir)
-    TxLog.appendBatch(batch, batchId, dir, statsCols)
+    TxLog.appendBatch(batch, batchId, dir, statsCols, bloomCols)
     ()
   }
   override def toString: String = s"TxLogSink[$dir]"
@@ -432,7 +482,7 @@ class TxLogSink(dir: String, statsCols: Seq[String],
 case class TxLogRelation(sqlContext: SQLContext, dir: String,
     pinnedAsOf: Option[Int], keyCols: Option[Seq[String]],
     mergeSchema: Boolean = false, statsCols: Seq[String] = Seq.empty,
-    checks: Seq[String] = Seq.empty)
+    checks: Seq[String] = Seq.empty, bloomCols: Seq[String] = Seq.empty)
     extends BaseRelation with PrunedFilteredScan with InsertableRelation {
 
   /** The version a use of this relation reads: the pinned one (time
@@ -456,7 +506,7 @@ case class TxLogRelation(sqlContext: SQLContext, dir: String,
     * (carried on the relation from its creation parameters) applies
     * here too, so SQL-written segments stay skippable. */
   override def insert(data: DataFrame, overwrite: Boolean): Unit =
-    TxLogWriter.write(data, dir, overwrite, statsCols, checks)
+    TxLogWriter.write(data, dir, overwrite, statsCols, checks, bloomCols)
 
   private def snapshotDf: DataFrame = snapshotPruned(_ => true)
 
@@ -479,8 +529,11 @@ case class TxLogRelation(sqlContext: SQLContext, dir: String,
     TxLog.liveSegments(dir, asOf)
       .filterNot(_.startsWith(s"${TxLog.DeletesFamily}__"))
       .filter { seg =>
-        TxLog.segmentStats(dir, seg)
-          .forall(st => filters.forall(StatsPrune.mayMatch(_, st)))
+        val meta = StatsPrune.SegMeta(
+          TxLog.segmentStats(dir, seg).getOrElse(Map.empty),
+          TxLog.segmentNullStats(dir, seg),
+          TxLog.segmentBlooms(dir, seg).getOrElse(Map.empty))
+        filters.forall(StatsPrune.mayMatch(_, meta))
       }
 
   override def schema: StructType = snapshotDf.schema

@@ -918,6 +918,47 @@ class TxLogFormatSpec extends SparkSpec {
     }
   }
 
+  test("bloom and null-tally skipping prune segments before any footer opens") {
+    import graft.sources.txlog.TxLogRelation
+    import org.apache.spark.sql.sources
+    import spark.implicits._
+    val t = freshTable()
+    // three segments, ranges OVERLAPPING on purpose (every [min,max]
+    // straddles the probes) so only the bloom can point-prune
+    Seq((1L, Some("a")), (500L, Some("b")), (999L, None)).toDF("id", "s")
+      .write.format(Fmt).option("statsCols", "id,s")
+      .option("bloomCols", "id").mode(SaveMode.Append).save(t)
+    Seq((2L, Some("c")), (998L, Some("d"))).toDF("id", "s")
+      .write.format(Fmt).option("statsCols", "id,s")
+      .option("bloomCols", "id").mode(SaveMode.Append).save(t)
+    Seq((3L, None: Option[String]), (997L, None)).toDF("id", "s")
+      .write.format(Fmt).option("statsCols", "id,s")
+      .option("bloomCols", "id").mode(SaveMode.Append).save(t)
+    val rel = TxLogRelation(spark.sqlContext, t,
+      Some(TxLog.latestVersion(t).get), None)
+    def kept(fs: sources.Filter*): Seq[String] = rel.keptSegments(fs.toArray)
+    // range stats CANNOT discriminate id=500 (all ranges straddle it);
+    // the bloom keeps exactly the one holding segment
+    assert(kept(sources.EqualTo("id", 500L)) === Seq("write__seg000000"))
+    assert(kept(sources.EqualTo("id", 998L)) === Seq("write__seg000001"))
+    // IN probes keep the union of their members' segments
+    assert(kept(sources.In("id", Array[Any](500L, 997L))) ===
+      Seq("write__seg000000", "write__seg000002"))
+    // an id in no segment prunes everything
+    assert(kept(sources.EqualTo("id", 444L)).isEmpty)
+    // null tallies: segment 3 is all-NULL in s → IS NOT NULL prunes it;
+    // segment 2 has no NULL s → IS NULL prunes it
+    assert(kept(sources.IsNotNull("s")) ===
+      Seq("write__seg000000", "write__seg000001"))
+    assert(kept(sources.IsNull("s")) ===
+      Seq("write__seg000000", "write__seg000002"))
+    // the actual reads agree with the pruned plans
+    val df = spark.read.format(Fmt).load(t)
+    assert(df.filter(col("id") === 500L).count() === 1)
+    assert(df.filter(col("s").isNull).count() === 3)
+    assert(df.filter(col("s").isNotNull).count() === 4)
+  }
+
   test("CHECK constraints: violating writes commit nothing, on every path") {
     import spark.implicits._
     val t = freshTable()

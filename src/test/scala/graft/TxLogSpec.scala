@@ -652,6 +652,24 @@ class TxLogSpec extends SparkSpec {
       "v3 and v6 hold the same live set — no-op")
   }
 
+  test("restore: pure removal is metadata even when tombstones stay live") {
+    import spark.implicits._
+    val t = freshTable()
+    writeSeg(t, "a", Seq(1L, 2L))
+    TxLog.commit(t, Seq("a"))                         // v0
+    TxLog.commitDeletes(Seq(1L).toDF("id"), t)        // v1
+    writeSeg(t, "late", Seq(9L))
+    TxLog.commit(t, Seq("late"))                      // v2
+    // undo the append only: adds = ∅ (a, deletes__seg1 stay live with
+    // their ORIGINAL versions) → sound metadata restore despite the
+    // live tombstone in the target state
+    val Some((v3, mode)) = TxLog.restore(spark, t, toV = 1)
+    assert(v3 === 3 && mode === "metadata")
+    assert(TxLog.snapshotMoR(spark, t, 3, Seq("id")).select("id")
+      .collect().map(_.getLong(0)).sorted.toSeq === Seq(2L))
+    assert(TxLog.liveSegments(t, 3).toSet === Set("a", "deletes__seg1"))
+  }
+
   test("restore: a tombstoned target materializes the MoR snapshot") {
     import spark.implicits._
     val t = freshTable()
@@ -685,8 +703,9 @@ class TxLogSpec extends SparkSpec {
     assert(TxLog.appendBatch(Seq(9L).toDF("id"), 1L, t,
       statsCols = Seq("id")))                         // v1
     TxLog.commitDeletes(Seq(5L).toDF("id"), t)        // v2
-    assert(TxLog.appendBatch(Seq(13L).toDF("id"), 2L, t,
-      statsCols = Seq("id")))                         // v3
+    TxLog.compactMoR(spark, t, Seq("id"))             // v3: retires all
+    // target v2 = {batch0, batch1, deletes2}, all retired by the fold:
+    // the restore must RE-ADD into a tombstoned state → materialize
     val Some((_, mode)) = TxLog.restore(spark, t, toV = 2, Seq("id"))
     assert(mode === "rewrite")
     assert(idsAt(t, 4) === Seq(1L, 9L))
@@ -793,6 +812,60 @@ class TxLogSpec extends SparkSpec {
     // a clone target with an existing log is refused
     val e = intercept[IllegalArgumentException](TxLog.cloneTable(src, dst))
     assert(e.getMessage.contains("already"))
+  }
+
+  test("bloom sidecars: point probes prune; merge unions; undersized stays sound") {
+    import spark.implicits._
+    val t = freshTable()
+    assert(TxLog.appendBatch(Seq((1L, "a"), (2L, "b")).toDF("id", "s"),
+      0L, t, bloomCols = Seq("id", "s")))
+    assert(TxLog.appendBatch(Seq((100L, "x")).toDF("id", "s"),
+      1L, t, bloomCols = Seq("id", "s")))
+    val bf0 = TxLog.segmentBlooms(t, "batch__000000").get
+    assert(bf0("id").mightContainLong(1L) && bf0("id").mightContainLong(2L))
+    assert(!bf0("id").mightContainLong(100L),
+      "a disjoint key must be definitely-absent")
+    assert(bf0("s").mightContainString("a") &&
+      !bf0("s").mightContainString("x"))
+    // carry through compaction: union of the retired filters
+    TxLog.compactMoR(spark, t, Seq("id"))
+    val seg = TxLog.liveSegments(t, TxLog.latestVersion(t).get).head
+    val merged = TxLog.segmentBlooms(t, seg).get
+    assert(merged("id").mightContainLong(1L) &&
+      merged("id").mightContainLong(100L))
+    assert(!merged("id").mightContainLong(555L))
+    // an undersized filter (bit cap) still never false-negatives
+    val t2 = freshTable()
+    Seq.range(0L, 1000L).toDF("id").write
+      .format("graft.sources.txlog")
+      .option("bloomCols", "id")
+      .mode(org.apache.spark.sql.SaveMode.Append).save(t2)
+    val tiny = TxLog.segmentBlooms(t2, "write__seg000000").get("id")
+    assert((0L until 1000L).forall(tiny.mightContainLong),
+      "present keys must never read as absent")
+  }
+
+  test("null tallies: recorded, merged as sums, all-NULL columns tracked") {
+    import spark.implicits._
+    val t = freshTable()
+    assert(TxLog.appendBatch(
+      Seq((1L, Some("a")), (2L, None), (3L, None)).toDF("id", "s"),
+      0L, t, statsCols = Seq("id", "s")))
+    val (rows, nulls) = TxLog.segmentNullStats(t, "batch__000000").get
+    assert(rows === 3L && nulls("id") === 0L && nulls("s") === 2L)
+    // an ALL-null column records its tally with no range
+    assert(TxLog.appendBatch(
+      Seq((4L, None: Option[String])).toDF("id", "s"), 1L, t,
+      statsCols = Seq("id", "s")))
+    val (r1, n1) = TxLog.segmentNullStats(t, "batch__000001").get
+    assert(r1 === 1L && n1("s") === 1L)
+    assert(!TxLog.segmentStats(t, "batch__000001").get.contains("s"),
+      "an all-NULL column has no usable range")
+    // merge: sums carried (upper bounds — sound for both prune rules)
+    TxLog.compactMoR(spark, t, Seq("id"))
+    val seg = TxLog.liveSegments(t, TxLog.latestVersion(t).get).head
+    val (mr, mn) = TxLog.segmentNullStats(t, seg).get
+    assert(mr === 4L && mn("id") === 0L)
   }
 
   test("cloneTable carries stats sidecars under the new names") {
