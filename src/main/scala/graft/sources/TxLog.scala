@@ -1022,7 +1022,7 @@ object TxLog {
     * columns only. */
   def writeSegmentBlooms(spark: SparkSession, tableDir: String, seg: String,
       cols: Seq[String], fpp: Double = 0.001,
-      maxBits: Long = 8L * 1024 * 1024): Unit = {
+      maxBits: Long = 64L * 1024 * 1024): Unit = {
     if (cols.isEmpty) return
     val df = spark.read.parquet(s"$tableDir/$seg")
     def dropStale(): Unit = {
@@ -1042,6 +1042,13 @@ object TxLog {
     val fields = eligible.map { c =>
       val optimalBits = math.ceil(
         -n * math.log(fpp) / (math.log(2) * math.log(2))).toLong
+      if (optimalBits > maxBits)
+        // the cap must be OBSERVABLE: a silently undersized filter
+        // degrades every point probe on the segment to a full keep
+        System.err.println(s"[txlog] bloom for $seg.$c capped at " +
+          s"$maxBits bits (optimal $optimalBits for $n rows) — " +
+          "point-skipping selectivity degrades; write smaller segments " +
+          "or raise maxBits")
       // integral columns are built (and later probed) as LONGS so the
       // hashes line up regardless of the column's physical width
       val probed = df.schema(c).dataType match {
