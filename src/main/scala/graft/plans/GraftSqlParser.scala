@@ -76,8 +76,11 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
     """(?is)\s*DESCRIBE\s+HISTORY\s+([\w.`]+)\s*;?\s*""".r
   private val RestoreRe =
     """(?is)\s*RESTORE\s+(?:TABLE\s+)?([\w.`]+)\s+TO\s+VERSION\s+AS\s+OF\s+(\d+)\s*;?\s*""".r
+  private val RestoreTsRe =
+    """(?is)\s*RESTORE\s+(?:TABLE\s+)?([\w.`]+)\s+TO\s+TIMESTAMP\s+AS\s+OF\s+'([^']+)'\s*;?\s*""".r
   private val ConvertRe =
-    """(?is)\s*CONVERT\s+TO\s+GRAFT\s+parquet\s*\.\s*`([^`]+)`\s*;?\s*""".r
+    ("""(?is)\s*CONVERT\s+TO\s+GRAFT\s+parquet\s*\.\s*`([^`]+)`""" +
+      """(?:\s+PARTITIONED\s+BY\s*\(([^)]+)\))?\s*;?\s*""").r
   private val CloneRe =
     ("""(?is)\s*CREATE\s+TABLE\s+([\w.`]+)\s+SHALLOW\s+CLONE\s+""" +
       """([\w.`]+)(?:\s+LOCATION\s+'([^']+)')?\s*;?\s*""").r
@@ -89,7 +92,10 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
     sqlText match {
       // CONVERT is path-based (there is no table yet) and not Spark
       // grammar — claimed whenever it parses
-      case ConvertRe(path) => Some(GraftTxLogConvert(path))
+      case ConvertRe(path, pby) => Some(GraftTxLogConvert(path,
+        Option(pby).map(_.split(",")
+          .map(_.trim.stripPrefix("`").stripSuffix("`"))
+          .filter(_.nonEmpty).toSeq)))
       // CLONE is claimed only when the SOURCE is a graft-txlog table;
       // any other source falls through to Spark's own parse error
       case CloneRe(target, source, location) =>
@@ -113,7 +119,9 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
         case HistoryRe(ident) => Some((ident, (ti: TableIdentifier) =>
           GraftTxLogHistory(ti)))
         case RestoreRe(ident, v) => Some((ident, (ti: TableIdentifier) =>
-          GraftTxLogRestore(ti, v.toInt)))
+          GraftTxLogRestore(ti, Some(v.toInt), None)))
+        case RestoreTsRe(ident, ts) => Some((ident, (ti: TableIdentifier) =>
+          GraftTxLogRestore(ti, None, Some(ts))))
         case _ => None
       }).flatMap { case (ident, build) =>
         graftTable(identParts(ident)).map { case (ti, _) => build(ti) }
@@ -160,6 +168,35 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
               PredicateHolder(u.condition.getOrElse(
                 org.apache.spark.sql.catalyst.expressions.Literal.TrueLiteral)))
           case None => plan
+        }
+      case a: org.apache.spark.sql.catalyst.plans.logical.AddColumns =>
+        a.table match {
+          case u: org.apache.spark.sql.catalyst.analysis.UnresolvedTable =>
+            graftTable(u.multipartIdentifier) match {
+              case Some((ti, _)) => GraftTxLogAddColumns(ti,
+                a.columnsToAdd.map { c =>
+                  require(c.path.isEmpty && c.name.size == 1,
+                    s"ALTER TABLE ${ti.table} ADD COLUMNS: nested field " +
+                      s"'${c.name.mkString(".")}' — the format stores " +
+                      "rows, not cells; add top-level columns only")
+                  require(c.nullable,
+                    s"ALTER TABLE ${ti.table} ADD COLUMNS: column " +
+                      s"'${c.colName}' is NOT NULL — pre-evolution rows " +
+                      "read the added column as NULL, so it must be " +
+                      "nullable")
+                  require(c.position.isEmpty,
+                    s"ALTER TABLE ${ti.table} ADD COLUMNS: FIRST/AFTER " +
+                      "positions are not supported — added columns " +
+                      "append at the end")
+                  require(c.default.isEmpty,
+                    s"ALTER TABLE ${ti.table} ADD COLUMNS: DEFAULT " +
+                      "values are not supported — pre-evolution rows " +
+                      "read NULL")
+                  c.colName -> c.dataType
+                })
+              case None => plan
+            }
+          case _ => plan
         }
       case m: MergeIntoTable =>
         targetOf(m.targetTable) match {
@@ -256,13 +293,24 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
         "table_changes(table, startVersion [, endVersion]) takes 2 or 3 " +
           s"arguments, got ${tvf.functionArgs.size}")
       val dir = GraftSqlParser.localPath(meta)
-      val from = evalLit(tvf.functionArgs(1)).map(_.toString.toInt)
-        .getOrElse(throw new IllegalArgumentException(
-          "table_changes: startVersion must be a literal integer"))
+      // each bound is a literal VERSION (integer) or TIMESTAMP
+      // (string/timestamp literal — Delta's dual contract): the start
+      // timestamp resolves to the first commit AT OR AFTER it, the
+      // end timestamp to the last commit AT OR BEFORE it, so a
+      // clock-bounded window reads exactly the commits inside it
+      def bound(e: Expression, what: String, isStart: Boolean): Int =
+        evalLit(e).map {
+          case n: java.lang.Number => n.intValue
+          case s if s.toString.matches("-?\\d+") => s.toString.toInt
+          case _ =>
+            val millis = GraftSqlParser.evalTimestampMillis(session, e)
+            if (isStart) TxLog.versionAtOrAfterTimestamp(dir, millis)
+            else TxLog.versionAtTimestamp(dir, millis)
+        }.getOrElse(throw new IllegalArgumentException(
+          s"table_changes: $what must be a literal version or timestamp"))
+      val from = bound(tvf.functionArgs(1), "startVersion", isStart = true)
       val to = tvf.functionArgs.lift(2)
-        .map(e => evalLit(e).map(_.toString.toInt).getOrElse(
-          throw new IllegalArgumentException(
-            "table_changes: endVersion must be a literal integer")))
+        .map(e => bound(e, "endVersion", isStart = false))
         .orElse(TxLog.latestVersion(dir))
         .getOrElse(throw new IllegalArgumentException(
           s"table_changes: $name has no commits"))
@@ -410,13 +458,14 @@ private[plans] object TxLogDml {
     val dir = GraftSqlParser.localPath(meta)
     // the table's CHECK constraints bind the DML-produced replacement
     // rows too (an UPDATE must not smuggle in a violating value) —
-    // validated BEFORE anything lands, so a violation commits nothing
+    // validated against the WRITTEN replacement segment before the
+    // commit (the rows execute once, and the checked rows are the
+    // rows that would land); a violation deletes every staged
+    // segment and throws, so nothing commits — not even an orphan
     val checkList = CaseInsensitiveMap(meta.storage.properties)
       .get("checks")
       .map(_.split(";").map(_.trim).filter(_.nonEmpty).toSeq)
       .getOrElse(Seq.empty)
-    newRows.foreach(r =>
-      graft.sources.txlog.TxLogChecks.validate(r, checkList, dir))
     val v = TxLog.versions(dir).size
     val adds = Seq.newBuilder[String]
     tombKeys.foreach { k =>
@@ -427,6 +476,20 @@ private[plans] object TxLogDml {
     newRows.foreach { r =>
       val seg = f"write__seg$v%06d"
       r.write.mode("overwrite").parquet(s"$dir/$seg")
+      try graft.sources.txlog.TxLogChecks.validateWritten(
+        session, dir, Seq(seg), checkList)
+      catch {
+        case e: Throwable =>
+          // the staged tombstone must not outlive the failed change
+          adds.result().foreach { t =>
+            def rm(f: java.io.File): Unit = {
+              Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+              f.delete(); ()
+            }
+            rm(new java.io.File(dir, t))
+          }
+          throw e
+      }
       val props = CaseInsensitiveMap(meta.storage.properties)
       def colsOf(key: String) = props.get(key)
         .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
@@ -568,8 +631,8 @@ case class GraftTxLogHistory(ident: TableIdentifier)
   * horizon — a reclaimed target segment fails loudly (Delta's rule).
   * The restore is a data commit that removes segments, so incremental
   * consumers must re-snapshot across it. */
-case class GraftTxLogRestore(ident: TableIdentifier, toV: Int)
-    extends LeafRunnableCommand {
+case class GraftTxLogRestore(ident: TableIdentifier, toVOpt: Option[Int],
+    toTs: Option[String]) extends LeafRunnableCommand {
   import org.apache.spark.sql.catalyst.expressions.AttributeReference
   import org.apache.spark.sql.types.{IntegerType, StringType}
   override val output: Seq[org.apache.spark.sql.catalyst.expressions.Attribute] =
@@ -579,6 +642,15 @@ case class GraftTxLogRestore(ident: TableIdentifier, toV: Int)
   override def run(session: SparkSession): Seq[Row] = {
     val meta = session.sessionState.catalog.getTableMetadata(ident)
     val dir = GraftSqlParser.localPath(meta)
+    // `TO TIMESTAMP AS OF` resolves through the same manifest
+    // commit-time spine as SELECT's TIMESTAMP AS OF (greatest commit
+    // ≤ the clock reading — Delta's rule), then restores that version
+    val toV = toVOpt.getOrElse {
+      val lit = org.apache.spark.sql.catalyst.expressions.Literal(
+        toTs.getOrElse(sys.error("RESTORE: no version or timestamp")))
+      TxLog.versionAtTimestamp(dir,
+        GraftSqlParser.evalTimestampMillis(session, lit))
+    }
     // keys are needed only by the materialize path: the declared
     // keyCols option, else the TARGET state's own tombstone schemas
     // (a commitDeletes segment holds exactly the keys)
@@ -600,15 +672,23 @@ case class GraftTxLogRestore(ident: TableIdentifier, toV: Int)
   }
 }
 
-/** `CONVERT TO GRAFT parquet.`/path/to/dir`` — adopt an existing
-  * plain-parquet directory as a txlog table IN PLACE, zero bytes
-  * copied ([[TxLog.convertInPlace]]: the part files are hard-linked
-  * into a v0 segment — at 100 TB the only acceptable migration cost
-  * is O(files) metadata operations). Returns one row:
+/** `CONVERT TO GRAFT parquet.`/path/to/dir` [PARTITIONED BY (c, …)]`
+  * — adopt an existing plain-parquet directory as a txlog table IN
+  * PLACE, zero bytes copied ([[TxLog.convertInPlace]]: the part files
+  * are hard-linked into a v0 segment — at 100 TB the only acceptable
+  * migration cost is O(files) metadata operations). A HIVE-PARTITIONED
+  * layout (`col=value` subdirectories) adopts through
+  * [[TxLog.convertPartitionedInPlace]] — one hard-linked segment per
+  * leaf, partition values materialized as columns at read time and
+  * recorded as point ranges in the stats sidecars so partition
+  * predicates prune by segment; the layout is AUTO-DETECTED, and a
+  * `PARTITIONED BY` clause (Delta's spelling) is validated against
+  * the detected columns. Returns one row per adopted segment:
   * (segment, files_linked, version). The directory can then be
   * registered as a catalog table (`CREATE TABLE t USING graft-txlog
   * OPTIONS (path ...)`) and used with the full SQL surface. */
-case class GraftTxLogConvert(path: String) extends LeafRunnableCommand {
+case class GraftTxLogConvert(path: String,
+    partitionedBy: Option[Seq[String]] = None) extends LeafRunnableCommand {
   import org.apache.spark.sql.catalyst.expressions.AttributeReference
   import org.apache.spark.sql.types.{IntegerType, StringType}
   override val output: Seq[org.apache.spark.sql.catalyst.expressions.Attribute] =
@@ -618,8 +698,76 @@ case class GraftTxLogConvert(path: String) extends LeafRunnableCommand {
   override def run(session: SparkSession): Seq[Row] = {
     val local = if (path.startsWith("file:"))
       new java.net.URI(path).getPath else path
-    val (seg, n) = TxLog.convertInPlace(session, local)
-    Seq(Row(seg, n, 0))
+    val hasLoose = new java.io.File(local).listFiles() != null &&
+      new java.io.File(local).listFiles().exists(f =>
+        f.isFile && f.getName.endsWith(".parquet") &&
+          !f.getName.startsWith("."))
+    if (hasLoose) {
+      require(partitionedBy.isEmpty,
+        s"CONVERT $path: PARTITIONED BY given but the directory holds " +
+          "top-level parquet files (a flat layout)")
+      val (seg, n) = TxLog.convertInPlace(session, local)
+      Seq(Row(seg, n, 0))
+    } else {
+      partitionedBy.foreach { declared =>
+        val detected = TxLog.detectPartitionColumns(local)
+        require(declared == detected,
+          s"CONVERT $path: PARTITIONED BY $declared does not match the " +
+            s"detected layout $detected — nothing was converted")
+      }
+      val segs = TxLog.convertPartitionedInPlace(session, local)
+      segs.map { case (seg, n) => Row(seg, n, 0) }
+    }
+  }
+}
+
+/** `ALTER TABLE <graft-txlog table> ADD COLUMN[S] (c TYPE, …)` — the
+  * DDL spelling of the schema evolution the format reader already
+  * does (mergeSchema): the widened schema lands as TABLE METADATA
+  * (`_meta/widen.json` via [[TxLog.widenSchema]]), never a data
+  * rewrite — at 100 TB adding a column must be O(1). Pre-evolution
+  * segments read the column as a typed NULL; post-ALTER writes carry
+  * it physically (positional INSERT aligns against the widened
+  * relation schema), and the generations merge by name. Nullable,
+  * top-level, default-free columns only; adding a name the table
+  * already has — or re-declaring a widened name with a different
+  * type — fails loudly (a type change is a rewrite, not evolution).
+  * Returns one row per added column: (column, type). */
+case class GraftTxLogAddColumns(ident: TableIdentifier,
+    cols: Seq[(String, org.apache.spark.sql.types.DataType)])
+    extends LeafRunnableCommand {
+  import org.apache.spark.sql.catalyst.expressions.AttributeReference
+  import org.apache.spark.sql.types.StringType
+  override val output: Seq[org.apache.spark.sql.catalyst.expressions.Attribute] =
+    Seq(AttributeReference("column", StringType, nullable = false)(),
+      AttributeReference("type", StringType, nullable = false)())
+  override def run(session: SparkSession): Seq[Row] = {
+    require(cols.nonEmpty, s"ALTER TABLE ${ident.table}: no columns to add")
+    val meta = session.sessionState.catalog.getTableMetadata(ident)
+    val dir = GraftSqlParser.localPath(meta)
+    val existing = GraftSqlParser.asOfRead(session, meta, asOf = null)
+      .schema.fields
+    cols.foreach { case (n, dt) =>
+      existing.find(_.name.equalsIgnoreCase(n)).foreach { f =>
+        require(f.dataType == dt,
+          s"ALTER TABLE ${ident.table}: column '$n' already exists as " +
+            s"${f.dataType.sql} — a column-TYPE change is not schema " +
+            "evolution; rewrite the table")
+        throw new IllegalArgumentException(
+          s"ALTER TABLE ${ident.table}: column '$n' already exists")
+      }
+      TxLog.widenSchema(dir, n, dt.sql)
+    }
+    // the catalog stores the CREATE-time schema and Spark verifies a
+    // data-source relation against it — record the widened schema
+    // there too (what AlterTableAddColumnsCommand does natively)
+    session.sessionState.catalog.alterTableDataSchema(ident,
+      org.apache.spark.sql.types.StructType(
+        meta.dataSchema.fields ++ cols.map { case (n, dt) =>
+          org.apache.spark.sql.types.StructField(n, dt, nullable = true)
+        }))
+    session.catalog.refreshTable(ident.quotedString)
+    cols.map { case (n, dt) => Row(n, dt.sql) }
   }
 }
 

@@ -3843,6 +3843,31 @@ object IngestQueries {
         val r3 = restore(2)                                         // v7
         require(r3 == ((2, 7, "rewrite")),
           s"e63: a tombstoned target must materialize, got $r3")
+        // the TIMESTAMP spelling resolves through the same manifest
+        // commit-time spine (greatest commit ≤ ts — e64's rule):
+        // restoring to the head's own clock reading is a NOOP (the
+        // resolved target IS the current state; nothing commits), so
+        // the probe proves the parse→resolve→restore path end to end
+        // without disturbing the fixture's hashed final state
+        val zone = java.time.ZoneId.of(
+          sp.sessionState.conf.sessionLocalTimeZone)
+        val headTs = java.time.Instant
+          .ofEpochMilli(TxLog.commitTimeMillis(store, 7)).atZone(zone)
+          .toLocalDateTime.format(java.time.format.DateTimeFormatter
+            .ofPattern("yyyy-MM-dd HH:mm:ss.SSS"))
+        val r4 = sp.sql(
+          s"RESTORE TABLE $tbl TO TIMESTAMP AS OF '$headTs'").collect()
+        require(r4.length == 1 && r4.head.getString(2) == "noop" &&
+          r4.head.getInt(0) == 7,
+          s"e63: restore to the head's own timestamp must resolve to " +
+            s"v7 and noop, got ${r4.toSeq}")
+        // a timestamp before the first commit has no state to restore
+        val early = scala.util.Try(sp.sql(
+          s"RESTORE TABLE $tbl TO TIMESTAMP AS OF '1971-01-01 00:00:00'")
+          .collect())
+        require(early.isFailure &&
+          early.failed.get.getMessage.contains("predates"),
+          "e63: restore to a pre-history timestamp must fail loudly")
       }
       val live = TxLog.liveSegments(store, TxLog.latestVersion(store).get)
       val oneRestoreSeg = live == Seq("restore__seg7")
@@ -4246,6 +4271,32 @@ object IngestQueries {
         require(explicit == defaulted && explicit > 0,
           s"e68: defaulted endVersion must equal explicit " +
             s"($explicit vs $defaulted)")
+        // TIMESTAMP bounds (Delta's dual contract): start = first
+        // commit AT OR AFTER the clock reading, end = last commit AT
+        // OR BEFORE it — so the full clock window reads exactly the
+        // full version span's feed
+        import graft.sources.TxLog
+        val zone = java.time.ZoneId.of(
+          sp.sessionState.conf.sessionLocalTimeZone)
+        def tsLit(ms: Long): String = java.time.Instant.ofEpochMilli(ms)
+          .atZone(zone).toLocalDateTime
+          .format(java.time.format.DateTimeFormatter
+            .ofPattern("yyyy-MM-dd HH:mm:ss.SSS"))
+        val t0 = TxLog.commitTimeMillis(store, 0)
+        val t2 = TxLog.commitTimeMillis(store, 2)
+        val byTs = sp.sql(s"SELECT count(*) FROM table_changes('$tbl', " +
+            s"'${tsLit(t0)}', '${tsLit(t2)}')")
+          .collect().head.getLong(0)
+        require(byTs == explicit,
+          s"e68: timestamp bounds must read the same feed as versions " +
+            s"($byTs vs $explicit)")
+        // a start timestamp after the last commit has nothing to read
+        val late = scala.util.Try(sp.sql(
+          s"SELECT count(*) FROM table_changes('$tbl', " +
+            s"'${tsLit(t2 + 3600000L)}')").collect())
+        require(late.isFailure &&
+          late.failed.get.getMessage.contains("postdates"),
+          "e68: a post-history start timestamp must fail loudly")
       }
       sp.sql(s"SELECT _change_type, _commit_version, o_orderkey, " +
           s"o_totalprice FROM table_changes('$tbl', 0, 2)")
@@ -4366,11 +4417,199 @@ object IngestQueries {
       FROM sections GROUP BY probe, o_orderstatus
       ORDER BY probe, o_orderstatus"""))
 
+  /** SQL `ALTER TABLE … ADD COLUMNS` — the DDL spelling of the schema
+    * evolution the format reader already does (e47's mergeSchema,
+    * e14's read rule): the widened schema lands as TABLE METADATA
+    * (`_meta/widen.json`, [[graft.sources.TxLog.widenSchema]]) — at
+    * 100 TB adding a column must be O(1) metadata, never a rewrite.
+    * Pre-evolution segments read the column as a typed NULL;
+    * post-ALTER positional INSERTs align against the widened relation
+    * schema and carry the column physically, and the two segment
+    * generations merge by name. The fixture ALTERs between two SQL
+    * INSERT halves, proves pre-evolution rows read NULL (the hash
+    * groups on COALESCE of the added column), and asserts the two
+    * loud refusals: re-declaring the widened name with a DIFFERENT
+    * type (a type change is a rewrite, not evolution) and re-adding
+    * an existing column. DML composes: a DELETE lands after the ALTER
+    * and applies across both generations. */
+  val e70 = QueryDef(
+    "e70_sql_add_column",
+    (sp, dir) => {
+      import graft.Dsl.moneySum
+      val fmt = "graft.sources.txlog"
+      val fp = IngestFixtures.fingerprint(s"$dir/orders.parquet")
+      val store = IngestFixtures.path(s"e70_store_$fp")
+      val tbl = s"graft_e70_orders_$fp"
+      IngestFixtures.once(s"e70_$fp") {
+        import scala.reflect.io.Directory
+        new Directory(new java.io.File(store)).deleteRecursively()
+        val orders = Tables(sp, dir, "orders")
+          .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+        orders.createOrReplaceTempView("e70_orders_src")
+        orders.filter(pmod(col("o_orderkey"), lit(2L)) === 0L)
+          .write.format(fmt)
+          .mode(org.apache.spark.sql.SaveMode.Append).save(store)   // v0
+        sp.sql(s"DROP TABLE IF EXISTS $tbl")
+        sp.sql(s"CREATE TABLE $tbl USING `graft-txlog` " +
+          s"OPTIONS (path '$store', keyCols 'o_orderkey')")
+        val added = sp.sql(s"ALTER TABLE $tbl ADD COLUMNS (note STRING)")
+          .collect()
+        require(added.map(r => (r.getString(0), r.getString(1))).toSeq ==
+          Seq(("note", "STRING")), s"e70: ALTER must report the added " +
+            s"column, got ${added.toSeq}")
+        // pre-evolution rows read the added column as NULL already
+        val preNull = sp.sql(s"SELECT count(*) FROM $tbl " +
+          "WHERE note IS NOT NULL").collect().head.getLong(0)
+        require(preNull == 0L,
+          s"e70: pre-evolution rows must read note as NULL ($preNull)")
+        sp.sql(s"""INSERT INTO $tbl                                 -- v1
+          SELECT o_orderkey, o_orderstatus, o_totalprice,
+            concat('s_', o_orderstatus)
+          FROM e70_orders_src WHERE o_orderkey % 2 = 1""")
+        // a TYPE change pretending to be evolution fails loudly
+        val retype = scala.util.Try(
+          sp.sql(s"ALTER TABLE $tbl ADD COLUMNS (note INT)").collect())
+        require(retype.isFailure && retype.failed.get.getMessage
+            .toLowerCase.contains("type"),
+          "e70: re-declaring the widened column with a different type " +
+            "must fail loudly")
+        // re-adding an existing physical column fails loudly too
+        val dup = scala.util.Try(sp.sql(
+          s"ALTER TABLE $tbl ADD COLUMNS (o_totalprice STRING)").collect())
+        require(dup.isFailure,
+          "e70: adding an existing column must fail loudly")
+        // DML after the evolution applies across both generations
+        sp.sql(s"DELETE FROM $tbl WHERE o_orderkey % 9 = 0")        // v2
+      }
+      sp.table(tbl)
+        .groupBy(coalesce(col("note"), lit("pre_evolution"))
+          .as("note_val"), col("o_orderstatus"))
+        .agg(count(lit(1)).as("n_rows"),
+          moneySum(col("o_totalprice")).as("sum_price"))
+        .orderBy("note_val", "o_orderstatus")
+    },
+    Some("""
+      WITH t AS (
+        SELECT o_orderkey, o_orderstatus, o_totalprice,
+          CASE WHEN o_orderkey % 2 = 1 THEN 's_' || o_orderstatus END
+            AS note
+        FROM orders WHERE o_orderkey % 9 <> 0)
+      SELECT COALESCE(note, 'pre_evolution') AS note_val, o_orderstatus,
+        CAST(COUNT(*) AS BIGINT) AS n_rows,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+          AS sum_price
+      FROM t GROUP BY note_val, o_orderstatus
+      ORDER BY note_val, o_orderstatus"""))
+
+  /** Partitioned `CONVERT TO GRAFT … PARTITIONED BY` — zero-copy
+    * adoption of a HIVE-PARTITIONED parquet layout
+    * ([[graft.sources.TxLog.convertPartitionedInPlace]]): one
+    * hard-linked segment per `col=value` leaf (O(files) metadata, the
+    * only acceptable migration cost at 100 TB), all leaves committed
+    * as ONE atomic v0. The partition values — stored only in the
+    * directory names — are recorded per segment in a `parts-` sidecar
+    * (reads attach them as literal columns) AND as min=max point
+    * ranges in the stats sidecars, so a partition predicate prunes by
+    * SEGMENT before any parquet footer opens: the txlog spelling of
+    * hive partition pruning, plan-audited into the hash — the
+    * kept-segment counts for a status probe, a bucket probe, and
+    * their conjunction are recomputed from the relation and compared
+    * against the oracle's distinct-partition counts (so the prune is
+    * proven EXACT, not just ≤). A `PARTITIONED BY` clause mismatching
+    * the detected layout refuses before converting anything; DELETE
+    * over the adopted table composes with MoR like any native
+    * write. */
+  val e71 = QueryDef(
+    "e71_partitioned_convert",
+    (sp, dir) => {
+      import graft.Dsl.moneySum
+      import graft.sources.TxLog
+      val fmt = "graft.sources.txlog"
+      val fp = IngestFixtures.fingerprint(s"$dir/orders.parquet")
+      val store = IngestFixtures.path(s"e71_store_$fp")
+      val tbl = s"graft_e71_orders_$fp"
+      IngestFixtures.once(s"e71_$fp") {
+        import scala.reflect.io.Directory
+        new Directory(new java.io.File(store)).deleteRecursively()
+        Tables(sp, dir, "orders")
+          .select(col("o_orderkey"), col("o_orderstatus"),
+            col("o_totalprice"))
+          .withColumn("bucket", pmod(col("o_orderkey"), lit(3L)))
+          .write.partitionBy("o_orderstatus", "bucket")
+          .mode("overwrite").parquet(store)
+        // a mis-declared clause refuses BEFORE converting anything
+        val bad = scala.util.Try(sp.sql(
+          s"CONVERT TO GRAFT parquet.`$store` PARTITIONED BY (bucket)")
+          .collect())
+        require(bad.isFailure && TxLog.versions(store).isEmpty,
+          "e71: a mismatched PARTITIONED BY must refuse pre-conversion")
+        val res = sp.sql(s"CONVERT TO GRAFT parquet.`$store` " +
+          "PARTITIONED BY (o_orderstatus, bucket)").collect()
+        require(res.nonEmpty && res.forall(_.getInt(2) == 0),
+          s"e71: partitioned convert must land as one v0, got " +
+            s"${res.length} rows")
+        sp.sql(s"DROP TABLE IF EXISTS $tbl")
+        sp.sql(s"CREATE TABLE $tbl USING `graft-txlog` " +
+          s"OPTIONS (path '$store', keyCols 'o_orderkey')")
+        // DML over the adopted layout: MoR like any native write
+        sp.sql(s"DELETE FROM $tbl WHERE o_orderkey % 10 = 3")       // v1
+      }
+      // plan audit, folded into the hash: partition-predicate prunes
+      // are EXACT — each probe keeps precisely the segments whose
+      // directory said the value matches
+      val rel = graft.sources.txlog.TxLogRelation(sp.sqlContext, store,
+        Some(TxLog.latestVersion(store).get), Some(Seq("o_orderkey")))
+      import org.apache.spark.sql.{sources => f}
+      val keptAll = rel.keptSegments(Array.empty[f.Filter]).size.toLong
+      val keptF = rel.keptSegments(Array(
+        f.EqualTo("o_orderstatus", "F"))).size.toLong
+      val keptB1 = rel.keptSegments(Array(
+        f.EqualTo("bucket", 1L))).size.toLong
+      val keptFB = rel.keptSegments(Array(
+        f.EqualTo("o_orderstatus", "F"), f.EqualTo("bucket", 1L)))
+        .size.toLong
+      sp.table(tbl)
+        .groupBy(col("o_orderstatus"), col("bucket"))
+        .agg(count(lit(1)).as("n_rows"),
+          moneySum(col("o_totalprice")).as("sum_price"))
+        .withColumn("kept_all", lit(keptAll))
+        .withColumn("kept_f", lit(keptF))
+        .withColumn("kept_b1", lit(keptB1))
+        .withColumn("kept_fb", lit(keptFB))
+        .select("o_orderstatus", "bucket", "n_rows", "sum_price",
+          "kept_all", "kept_f", "kept_b1", "kept_fb")
+        .orderBy("o_orderstatus", "bucket")
+    },
+    Some("""
+      WITH parts AS (
+        SELECT o_orderstatus, o_orderkey % 3 AS bucket, o_orderkey,
+          o_totalprice
+        FROM orders),
+      counts AS (
+        SELECT CAST(COUNT(DISTINCT o_orderstatus || '#' ||
+            CAST(bucket AS VARCHAR)) AS BIGINT) AS kept_all,
+          CAST(COUNT(DISTINCT CASE WHEN o_orderstatus = 'F'
+            THEN bucket END) AS BIGINT) AS kept_f,
+          CAST(COUNT(DISTINCT CASE WHEN bucket = 1
+            THEN o_orderstatus END) AS BIGINT) AS kept_b1,
+          CAST(COUNT(DISTINCT CASE WHEN o_orderstatus = 'F' AND
+            bucket = 1 THEN 1 END) AS BIGINT) AS kept_fb
+        FROM parts)
+      SELECT o_orderstatus, bucket, CAST(COUNT(*) AS BIGINT) AS n_rows,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+          AS sum_price,
+        counts.kept_all, counts.kept_f, counts.kept_b1, counts.kept_fb
+      FROM parts, counts
+      WHERE o_orderkey % 10 <> 3
+      GROUP BY o_orderstatus, bucket, counts.kept_all, counts.kept_f,
+        counts.kept_b1, counts.kept_fb
+      ORDER BY o_orderstatus, bucket"""))
+
   val defs: Seq[QueryDef] =
     Seq(e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11, e12, e13,
       e14, e15, e16, e17, e18, e19, e20, e21, e22, e23, e24, e25, e26,
       e27, e28, e29, e30, e31, e32, e33, e34, e35, e36, e37, e38, e39,
       e40, e41, e42, e43, e44, e45, e46, e47, e48, e49, e50, e51, e52,
       e53, e54, e55, e56, e57, e58, e59, e60, e61, e62, e63, e64, e65,
-      e66, e67, e68, e69)
+      e66, e67, e68, e69, e70, e71)
 }

@@ -300,11 +300,17 @@ object TxLog {
       .filterNot(_.startsWith(s"${DeletesFamily}__"))
       .filter(keepSeg)
     require(segs.nonEmpty, s"version $asOf of $tableDir has no data segments")
-    if (!mergeSchema) spark.read.parquet(segs.map(s => s"$tableDir/$s"): _*)
+    val parts = segs.map(s => s -> segmentParts(tableDir, s))
+    if (!mergeSchema && parts.forall(_._2.isEmpty))
+      spark.read.parquet(segs.map(s => s"$tableDir/$s"): _*)
     else {
-      val dfs = segs.map(s => s -> spark.read.parquet(s"$tableDir/$s"))
+      // converted hive segments carry their partition values in a
+      // sidecar, not the data files — attach them per segment before
+      // the union so every branch exposes the full schema
+      val dfs = parts.map { case (s, p) =>
+        s -> attachParts(spark.read.parquet(s"$tableDir/$s"), p) }
       checkMergeable(tableDir, dfs.map { case (s, df) => s -> df.schema })
-      dfs.map(_._2).reduce(_.unionByName(_, allowMissingColumns = true))
+      dfs.map(_._2).reduce(_.unionByName(_, allowMissingColumns = mergeSchema))
     }
   }
 
@@ -453,7 +459,8 @@ object TxLog {
     val dataSegs = dataSegs0.filter(s => keepSeg(s._1))
     require(dataSegs.nonEmpty, s"version $asOf of $tableDir has no data segments")
     val perSeg = dataSegs.map { case (s, v) =>
-      s -> spark.read.parquet(s"$tableDir/$s").withColumn("__v", lit(v))
+      s -> attachParts(spark.read.parquet(s"$tableDir/$s"),
+        segmentParts(tableDir, s)).withColumn("__v", lit(v))
     }
     if (mergeSchema)
       checkMergeable(tableDir, perSeg.map { case (s, df) =>
@@ -569,7 +576,12 @@ object TxLog {
       s"versions ${fromV + 1}..$toV of $tableDir committed row-level " +
         "deletes: the delta is not append-only — re-snapshot (snapshotMoR) " +
         "instead of reading changes")
-    spark.read.parquet(added.map(s => s"$tableDir/$s"): _*)
+    val parts = added.map(s => s -> segmentParts(tableDir, s))
+    if (parts.forall(_._2.isEmpty))
+      spark.read.parquet(added.map(s => s"$tableDir/$s"): _*)
+    else parts.map { case (s, p) =>
+      attachParts(spark.read.parquet(s"$tableDir/$s"), p)
+    }.reduce(_.unionByName(_))
   }
 
   /** The versions in (`fromV`, `toV`] whose commits CHANGED data —
@@ -634,7 +646,8 @@ object TxLog {
     val schema =
       if (dataAdds.nonEmpty) {
         val perSeg = dataAdds.map { case (s, _) =>
-          s -> spark.read.parquet(s"$tableDir/$s").schema }
+          s -> attachParts(spark.read.parquet(s"$tableDir/$s"),
+            segmentParts(tableDir, s)).schema }
         checkMergeable(tableDir, perSeg)
         val seen = scala.collection.mutable.LinkedHashMap[String,
           org.apache.spark.sql.types.StructField]()
@@ -650,7 +663,8 @@ object TxLog {
       }.toSeq: _*)
     }
     val inserts = dataAdds.map { case (s, v) =>
-      project(spark.read.parquet(s"$tableDir/$s"))
+      project(attachParts(spark.read.parquet(s"$tableDir/$s"),
+        segmentParts(tableDir, s)))
         .withColumn("_change_type", lit("insert"))
         .withColumn("_commit_version", lit(v))
     }
@@ -717,28 +731,76 @@ object TxLog {
   /** A commit's wall-clock time: the manifest file's mtime — exactly
     * Delta's commit-timestamp source (the log never re-writes a
     * manifest, so the install mtime IS the commit time). */
-  def commitTimeMillis(tableDir: String, v: Int): Long =
+  def commitTimeMillis(tableDir: String, v: Int): Long = {
+    mtimeStatCount.incrementAndGet()
     Files.getLastModifiedTime(logDir(tableDir).resolve(s"v$v.json")).toMillis
+  }
 
-  /** `TIMESTAMP AS OF` resolution: the greatest version whose commit
-    * time is ≤ `tsMillis` — Delta's rule. Commit times are
-    * non-decreasing in version order by construction (manifests install
-    * sequentially); a log COPIED with shuffled mtimes is repaired by
-    * taking the running max (Delta's in-commit-timestamp adjustment
-    * reduced to its core), so the version→time mapping stays monotonic
-    * and the answer well-defined. A timestamp before the first commit
-    * fails loudly (there is no table state to read). */
-  def versionAtTimestamp(tableDir: String, tsMillis: Long): Int = {
+  /** Observability hook for the timestamp-spine memoization contract:
+    * counts manifest mtime stats, so a spec can assert a repeat
+    * [[versionAtTimestamp]] call stats only the versions committed
+    * since the last call (O(delta), not O(history)). */
+  private[graft] val mtimeStatCount =
+    new java.util.concurrent.atomic.AtomicLong(0L)
+
+  /** Per-table memo of the (version → running-max commit time) spine:
+    * manifests are never rewritten, so a version's repaired commit
+    * time is immutable once computed — a repeat TIMESTAMP AS OF pays
+    * one mtime stat per NEW version, not a re-walk of the whole
+    * history. Entries extend monotonically; the map is process-local
+    * (the spine rebuilds from disk in a fresh JVM). */
+  private val tsSpine =
+    new java.util.concurrent.ConcurrentHashMap[String, Vector[(Int, Long)]]()
+
+  /** The repaired (monotone) commit-time spine as of the current
+    * version list: memoized prefix + O(new versions) extension.
+    * Commit times are non-decreasing in version order by construction
+    * (manifests install sequentially); a log COPIED with shuffled
+    * mtimes is repaired by taking the running max (Delta's
+    * in-commit-timestamp adjustment reduced to its core), so the
+    * version→time mapping stays monotonic and well-defined. */
+  private def timeSpine(tableDir: String): Vector[(Int, Long)] = {
     val vs = versions(tableDir)
-    require(vs.nonEmpty, s"$tableDir has no commits")
-    var run = Long.MinValue
-    val fixed = vs.map { v =>
+    val cached = Option(tsSpine.get(tableDir)).getOrElse(Vector.empty)
+    // the cache is trusted only as a PREFIX of the current version
+    // list (versions only ever append; a mismatch means a different
+    // table was copied over this path — rebuild from scratch)
+    val prefix =
+      if (cached.map(_._1) == vs.take(cached.size)) cached else Vector.empty
+    var run = prefix.lastOption.map(_._2).getOrElse(Long.MinValue)
+    val extended = prefix ++ vs.drop(prefix.size).map { v =>
       run = math.max(run, commitTimeMillis(tableDir, v)); v -> run
     }
+    tsSpine.put(tableDir, extended)
+    extended
+  }
+
+  /** `TIMESTAMP AS OF` resolution: the greatest version whose
+    * (repaired, monotone — see [[timeSpine]]) commit time is ≤
+    * `tsMillis` — Delta's rule. A timestamp before the first commit
+    * fails loudly (there is no table state to read). */
+  def versionAtTimestamp(tableDir: String, tsMillis: Long): Int = {
+    val fixed = timeSpine(tableDir)
+    require(fixed.nonEmpty, s"$tableDir has no commits")
     fixed.filter(_._2 <= tsMillis).lastOption.map(_._1).getOrElse(
       throw new IllegalArgumentException(
         s"timestamp $tsMillis predates the first commit " +
           s"(${fixed.head._2}) of $tableDir — nothing to read"))
+  }
+
+  /** The SMALLEST version whose commit time is ≥ `tsMillis` — the
+    * START-side timestamp rule for change feeds (Delta's
+    * `startingTimestamp`: the first commit at or after the clock
+    * reading; the END side uses [[versionAtTimestamp]]'s greatest-≤
+    * rule). A timestamp after the last commit fails loudly — there is
+    * no change at or after it to read. */
+  def versionAtOrAfterTimestamp(tableDir: String, tsMillis: Long): Int = {
+    val fixed = timeSpine(tableDir)
+    require(fixed.nonEmpty, s"$tableDir has no commits")
+    fixed.find(_._2 >= tsMillis).map(_._1).getOrElse(
+      throw new IllegalArgumentException(
+        s"timestamp $tsMillis postdates the last commit " +
+          s"(${fixed.last._2}) of $tableDir — no changes at or after it"))
   }
 
   /** RESTORE the table's head to its state at `toV`, as ONE new commit
@@ -835,26 +897,144 @@ object TxLog {
     * schema semantics this format does not model). Fails loudly if the
     * directory already has a log. Returns (segmentName, filesLinked). */
   def convertInPlace(spark: SparkSession, tableDir: String,
-      statsCols: Seq[String] = Seq.empty): (String, Int) = {
+      statsCols: Seq[String] = Seq.empty,
+      bloomCols: Seq[String] = Seq.empty): (String, Int) = {
     require(versions(tableDir).isEmpty,
       s"$tableDir is already a txlog table — nothing to convert")
     val root = Paths.get(tableDir)
     require(Files.isDirectory(root), s"$tableDir is not a directory")
-    val files = {
-      val it = Files.list(root)
-      try it.iterator().asInstanceOf[java.util.Iterator[java.nio.file.Path]]
-        .asScala.filter(p => Files.isRegularFile(p) &&
-          p.getFileName.toString.endsWith(".parquet") &&
-          !p.getFileName.toString.startsWith("."))
-        .toSeq.sortBy(_.getFileName.toString)
-      finally it.close()
-    }
+    val files = listParquet(root)
     require(files.nonEmpty,
-      s"convert $tableDir: no top-level parquet files to adopt")
+      s"convert $tableDir: no top-level parquet files to adopt" +
+        (if (hiveLeaves(root).nonEmpty)
+          " (the directory is hive-partitioned — use " +
+            "convertPartitionedInPlace)" else ""))
     val seg = "convert__seg000000"
-    val segDir = root.resolve(seg)
-    // crash-retry idempotence: a convert that died before its commit
-    // left a half-linked segment dir — rebuild it from scratch
+    relinkInto(root.resolve(seg), files)
+    writeSegmentStats(spark, tableDir, seg, statsCols)
+    writeSegmentBlooms(spark, tableDir, seg, bloomCols)
+    commit(tableDir, adds = Seq(seg))
+    files.foreach(Files.deleteIfExists)
+    (seg, files.size)
+  }
+
+  /** CONVERT a HIVE-PARTITIONED parquet directory into a txlog table
+    * IN PLACE — the layout-aware sibling of [[convertInPlace]], same
+    * zero-copy contract: each `col=value/...` LEAF directory becomes
+    * one hard-linked `convert__seg<i>` segment (O(files) metadata
+    * operations, zero data movement), all leaves commit as ONE atomic
+    * v0 (no reader ever sees a half-adopted table), and the partition
+    * values — which hive stores in the DIRECTORY NAMES, not the data
+    * files — are recorded per segment in a `_txlog/parts-<seg>.json`
+    * sidecar. Reads attach them as literal columns ([[snapshot]] /
+    * [[snapshotMoR]] / [[changesCdf]]), so the adopted table reads
+    * exactly like the hive layout did; and each partition column also
+    * lands in the segment's STATS sidecar as a min=max=value range, so
+    * a partition-predicate scan prunes by SEGMENT before any footer is
+    * opened — the txlog spelling of hive partition pruning. Null
+    * partitions (`__HIVE_DEFAULT_PARTITION__`) are refused loudly.
+    * Partition value types are inferred globally (every value of a
+    * column parses as a long → long, else string), so one column
+    * carries ONE type across segments. Returns (segmentName,
+    * filesLinked) per adopted leaf, in segment order. */
+  def convertPartitionedInPlace(spark: SparkSession, tableDir: String,
+      statsCols: Seq[String] = Seq.empty,
+      bloomCols: Seq[String] = Seq.empty): Seq[(String, Int)] = {
+    require(versions(tableDir).isEmpty,
+      s"$tableDir is already a txlog table — nothing to convert")
+    val root = Paths.get(tableDir)
+    require(Files.isDirectory(root), s"$tableDir is not a directory")
+    val leaves = hiveLeaves(root)
+    require(leaves.nonEmpty,
+      s"convert $tableDir: no hive-partitioned (col=value) leaf " +
+        "directories holding parquet files" +
+        (if (listParquet(root).nonEmpty)
+          " (the directory is flat — use convertInPlace)" else ""))
+    val colSeqs = leaves.map(_._1.map(_._1)).distinct
+    require(colSeqs.size == 1,
+      s"convert $tableDir: inconsistent partition layouts across " +
+        s"leaves: $colSeqs")
+    val pcols = colSeqs.head
+    leaves.foreach { case (pvals, leaf) =>
+      pvals.foreach { case (c, v) =>
+        require(v != "__HIVE_DEFAULT_PARTITION__",
+          s"convert $tableDir: leaf $leaf has a NULL value for " +
+            s"partition column '$c' — null partitions are not " +
+            "convertible (backfill a sentinel value first)")
+      }
+    }
+    // one type per column, decided over ALL leaves — a segment-local
+    // guess would give the same column different types per segment
+    val ptype: Map[String, String] = pcols.map { c =>
+      c -> (if (leaves.forall { case (pvals, _) =>
+        scala.util.Try(pvals.find(_._1 == c).get._2.toLong).isSuccess })
+        "long" else "string")
+    }.toMap
+    val segs = leaves.sortBy(_._1.map(_._2).mkString(" "))
+      .zipWithIndex.map { case ((pvals, leaf), i) =>
+        val seg = f"convert__seg$i%06d"
+        val files = listParquet(leaf)
+        relinkInto(root.resolve(seg), files)
+        installSidecar(tableDir, s"parts-$seg.json",
+          s"""{"cols":[${pvals.map { case (c, v) =>
+            s"""{"name":"${jsonEsc(c)}","value":"${jsonEsc(v)}",""" +
+              s""""type":"${ptype(c)}"}""" }.mkString(",")}]}""")
+        writeSegmentStats(spark, tableDir, seg, statsCols)
+        writeSegmentBlooms(spark, tableDir, seg, bloomCols)
+        appendConstStats(tableDir, seg,
+          pvals.map { case (c, v) => (c, v, ptype(c)) })
+        seg -> files.size
+      }
+    commit(tableDir, adds = segs.map(_._1))
+    // the originals are now owned — unlink the partition trees (data
+    // survives through the segment links; a crash here leaves
+    // harmless `col=value` litter the format never reads and vacuum
+    // reclaims)
+    leaves.map(_._2).foreach(l => listParquet(l).foreach(Files.deleteIfExists))
+    val it = Files.list(root)
+    val topParts =
+      try it.iterator().asInstanceOf[java.util.Iterator[java.nio.file.Path]]
+        .asScala.filter(p => Files.isDirectory(p) &&
+          p.getFileName.toString.contains("=")).toSeq
+      finally it.close()
+    topParts.foreach { p =>
+      def del(f: java.io.File): Unit = {
+        Option(f.listFiles()).getOrElse(Array.empty).foreach(del)
+        f.delete(); ()
+      }
+      del(p.toFile)
+    }
+    segs
+  }
+
+  /** The hive partition columns a directory's `col=value` layout
+    * declares (root→leaf order; empty for flat layouts) — the
+    * pre-flight detection for `CONVERT … PARTITIONED BY` validation,
+    * run BEFORE any adoption so a mis-declared clause converts
+    * nothing. Fails loudly on inconsistent per-leaf layouts. */
+  def detectPartitionColumns(tableDir: String): Seq[String] = {
+    val colSeqs = hiveLeaves(Paths.get(tableDir)).map(_._1.map(_._1)).distinct
+    require(colSeqs.size <= 1,
+      s"$tableDir: inconsistent partition layouts across leaves: $colSeqs")
+    colSeqs.headOption.getOrElse(Seq.empty)
+  }
+
+  /** The non-hidden `*.parquet` part files directly under `dir`. */
+  private def listParquet(dir: java.nio.file.Path): Seq[java.nio.file.Path] = {
+    if (!Files.isDirectory(dir)) return Seq.empty
+    val it = Files.list(dir)
+    try it.iterator().asInstanceOf[java.util.Iterator[java.nio.file.Path]]
+      .asScala.filter(p => Files.isRegularFile(p) &&
+        p.getFileName.toString.endsWith(".parquet") &&
+        !p.getFileName.toString.startsWith("."))
+      .toSeq.sortBy(_.getFileName.toString)
+    finally it.close()
+  }
+
+  /** Hard-link `files` into a fresh `segDir`, rebuilding from scratch
+    * if a crashed earlier attempt left it half-linked. */
+  private def relinkInto(segDir: java.nio.file.Path,
+      files: Seq[java.nio.file.Path]): Unit = {
     if (Files.isDirectory(segDir)) {
       val it = Files.list(segDir)
       try it.iterator().asInstanceOf[java.util.Iterator[java.nio.file.Path]]
@@ -863,10 +1043,149 @@ object TxLog {
     }
     Files.createDirectories(segDir)
     files.foreach(f => Files.createLink(segDir.resolve(f.getFileName), f))
-    writeSegmentStats(spark, tableDir, seg, statsCols)
-    commit(tableDir, adds = Seq(seg))
-    files.foreach(Files.deleteIfExists)
-    (seg, files.size)
+  }
+
+  /** The `col=value` leaf directories under `root` (depth-first,
+    * name-ordered): (partition values root→leaf, leafDir) per leaf
+    * that holds at least one parquet file. Values are unescaped from
+    * hive's `%XX` path encoding (ASCII escapes — the common case;
+    * multi-byte escapes are left verbatim). */
+  private def hiveLeaves(root: java.nio.file.Path)
+      : Seq[(Seq[(String, String)], java.nio.file.Path)] = {
+    def unescape(s: String): String = {
+      val sb = new StringBuilder
+      var i = 0
+      while (i < s.length) {
+        if (s.charAt(i) == '%' && i + 2 < s.length)
+          scala.util.Try(Integer.parseInt(s.substring(i + 1, i + 3), 16))
+            .toOption match {
+            case Some(code) if code < 128 =>
+              sb.append(code.toChar); i += 3
+            case _ => sb.append(s.charAt(i)); i += 1
+          }
+        else { sb.append(s.charAt(i)); i += 1 }
+      }
+      sb.toString
+    }
+    def walk(dir: java.nio.file.Path, acc: Seq[(String, String)])
+        : Seq[(Seq[(String, String)], java.nio.file.Path)] = {
+      val it = Files.list(dir)
+      val partDirs =
+        try it.iterator().asInstanceOf[java.util.Iterator[java.nio.file.Path]]
+          .asScala.filter(p => Files.isDirectory(p) &&
+            p.getFileName.toString.contains("=") &&
+            !p.getFileName.toString.startsWith("."))
+          .toSeq.sortBy(_.getFileName.toString)
+        finally it.close()
+      if (partDirs.isEmpty) {
+        if (acc.nonEmpty && listParquet(dir).nonEmpty) Seq((acc, dir))
+        else Seq.empty
+      } else partDirs.flatMap { d =>
+        val Array(k, v) = d.getFileName.toString.split("=", 2)
+        walk(d, acc :+ (unescape(k) -> unescape(v)))
+      }
+    }
+    walk(root, Nil)
+  }
+
+  /** Append CONSTANT-column entries (min = max = value, zero nulls) to
+    * a segment's stats sidecar — how a converted hive layout's
+    * partition predicates prune by segment: the directory name said
+    * every row has this value, so the range collapses to a point. */
+  private def appendConstStats(tableDir: String, seg: String,
+      consts: Seq[(String, String, String)]): Unit = {
+    if (consts.isEmpty) return
+    val fields = consts.map { case (c, v, t) =>
+      s""""${jsonEsc(c)}":{"min":"${jsonEsc(v)}","max":"${jsonEsc(v)}",""" +
+        s""""type":"$t","nulls":"0"}"""
+    }
+    val f = logDir(tableDir).resolve(s"stats-$seg.json")
+    val body =
+      if (Files.isRegularFile(f)) {
+        val cur = new String(Files.readAllBytes(f),
+          StandardCharsets.UTF_8).trim
+        cur.dropRight(1) + "," + fields.mkString(",") + "}"
+      } else s"{${fields.mkString(",")}}"
+    writeStatsSidecar(tableDir, seg, body)
+  }
+
+  /** A segment's recorded hive-partition values, (col, value, type)
+    * in layout order — None for segments written with their columns
+    * physical (every non-converted segment). */
+  def segmentParts(tableDir: String,
+      seg: String): Option[Seq[(String, String, String)]] = {
+    val f = logDir(tableDir).resolve(s"parts-$seg.json")
+    if (!Files.exists(f)) None
+    else scala.util.Try {
+      val body = new String(Files.readAllBytes(f), StandardCharsets.UTF_8)
+      val entry = ("""\{"name":"((?:[^"\\]|\\.)*)",""" +
+        """"value":"((?:[^"\\]|\\.)*)","type":"(\w+)"\}""").r
+      def unesc(s: String) = s.replace("\\\"", "\"").replace("\\\\", "\\")
+      entry.findAllMatchIn(body).map(m =>
+        (unesc(m.group(1)), unesc(m.group(2)), m.group(3))).toSeq
+    }.toOption.filter(_.nonEmpty)
+  }
+
+  /** Attach a converted segment's recorded partition values as literal
+    * columns — a later physical materialization of the column (a
+    * compaction rewrote the rows) wins over the sidecar. */
+  private def attachParts(df: DataFrame,
+      parts: Option[Seq[(String, String, String)]]): DataFrame =
+    parts.fold(df)(_.foldLeft(df) { case (d, (c, v, t)) =>
+      if (d.columns.contains(c)) d
+      else d.withColumn(c, t match {
+        case "long" => org.apache.spark.sql.functions.lit(v.toLong)
+        case _ => org.apache.spark.sql.functions.lit(v)
+      })
+    })
+
+  // ---- schema widening: ALTER TABLE ADD COLUMN --------------------
+  //
+  // The DDL spelling of the evolution the mergeSchema reader already
+  // does: the widened schema is TABLE metadata (`_meta/widen.json` —
+  // an ordered list of added nullable columns), never a data rewrite.
+  // Readers attach absent widened columns as typed NULLs; writes that
+  // follow the ALTER carry the column physically, and the two segment
+  // generations merge by name under snapshot's evolution rule (a
+  // TYPE change still fails loudly — checkMergeable).
+
+  /** Record one widened (added, nullable) column. The caller is
+    * responsible for validating the name against the table's current
+    * schema; re-widening an already-widened name fails loudly here. */
+  def widenSchema(tableDir: String, name: String, ddlType: String): Unit = {
+    val cur = widenedColumns(tableDir)
+    require(!cur.exists(_._1.equalsIgnoreCase(name)),
+      s"ALTER TABLE on $tableDir: column '$name' was already added " +
+        s"(${cur.filter(_._1.equalsIgnoreCase(name)).map(_._2).mkString})")
+    val all = cur :+ (name -> ddlType)
+    val body = s"""{"cols":[${all.map { case (n, t) =>
+      s"""{"name":"${jsonEsc(n)}","type":"${jsonEsc(t)}"}""" }
+      .mkString(",")}]}"""
+    val d = Paths.get(tableDir, "_meta")
+    Files.createDirectories(d)
+    val tmp = d.resolve(s".tmp.widen.${java.util.UUID.randomUUID}")
+    try {
+      Files.write(tmp, body.getBytes(StandardCharsets.UTF_8))
+      Files.move(tmp, d.resolve("widen.json"),
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      ()
+    } finally { Files.deleteIfExists(tmp); () }
+  }
+
+  /** The widened columns in ALTER order, (name, DDL type string) —
+    * empty for never-altered tables. */
+  def widenedColumns(tableDir: String): Seq[(String, String)] = {
+    val f = Paths.get(tableDir, "_meta", "widen.json")
+    if (!Files.isRegularFile(f)) Seq.empty
+    else {
+      val body = new String(Files.readAllBytes(f), StandardCharsets.UTF_8)
+      val entry =
+        ("""\{"name":"((?:[^"\\]|\\.)*)","type":"((?:[^"\\]|\\.)*)"\}""").r
+      def unesc(s: String) = s.replace("\\\"", "\"").replace("\\\\", "\\")
+      entry.findAllMatchIn(body).map(m =>
+        unesc(m.group(1)) -> unesc(m.group(2))).toSeq
+    }
   }
 
   /** SHALLOW-CLONE a plain table: a new independent txlog table at
@@ -925,9 +1244,32 @@ object TxLog {
         if (Files.isRegularFile(sidecar))
           writeStatsSidecar(dstDir, name,
             new String(Files.readAllBytes(sidecar), StandardCharsets.UTF_8))
+        // bloom sidecars ride too — the clone's rows ARE the source's
+        // rows (same inodes), so the filters stay exact under the new
+        // names and the clone's point probes prune like the source's
+        val bloom = logDir(srcDir).resolve(s"bloom-$orig.json")
+        if (Files.isRegularFile(bloom))
+          installSidecar(dstDir, s"bloom-$name.json",
+            new String(Files.readAllBytes(bloom), StandardCharsets.UTF_8))
+        // partition-value sidecars (converted hive layouts) carry
+        // unchanged: the values describe the rows, not the names
+        val parts = logDir(srcDir).resolve(s"parts-$orig.json")
+        if (Files.isRegularFile(parts))
+          installSidecar(dstDir, s"parts-$name.json",
+            new String(Files.readAllBytes(parts), StandardCharsets.UTF_8))
         name
       }
       commit(dstDir, adds = adds)
+    }
+    // the widened-schema record is table metadata, not segment data —
+    // without it the clone would read pre-evolution segments under the
+    // pre-evolution schema and positional INSERTs would misalign
+    val widen = Paths.get(srcDir, "_meta", "widen.json")
+    if (Files.isRegularFile(widen)) {
+      Files.createDirectories(Paths.get(dstDir, "_meta"))
+      Files.copy(widen, Paths.get(dstDir, "_meta", "widen.json"),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      ()
     }
     byVersion.size
   }
@@ -1016,7 +1358,8 @@ object TxLog {
     * (`df.stat.bloomFilter` — one delta-sized job per column),
     * serialized into a `_txlog/bloom-<seg>.json` sidecar with the
     * same atomic-replace discipline as the range stats. Bits are
-    * capped (`maxBits`, default 1 MiB/column): an undersized filter
+    * capped (`maxBits`, default 8 MiB/column — 64M bits, sized so
+    * fpp holds through multi-million-row segments): an undersized filter
     * only raises false positives, and a bloom's "maybe present" never
     * prunes — soundness is independent of sizing. Long/int/string
     * columns only. */
@@ -1075,6 +1418,13 @@ object TxLog {
     } finally { Files.deleteIfExists(tmp); () }
   }
 
+  /** Observability hook for the lazy-bloom planning contract: counts
+    * actual sidecar DECODES ([[segmentBlooms]] reads, not memo hits),
+    * so a plan audit can assert a range-only scan never touches a
+    * bloom sidecar and a repeat point probe decodes nothing new. */
+  private[graft] val bloomDecodeCount =
+    new java.util.concurrent.atomic.AtomicLong(0L)
+
   /** A segment's recorded bloom filters, col → sketch — None when the
     * segment has no (readable) bloom sidecar. */
   def segmentBlooms(tableDir: String, seg: String)
@@ -1082,6 +1432,7 @@ object TxLog {
     val f = logDir(tableDir).resolve(s"bloom-$seg.json")
     if (!Files.exists(f)) None
     else scala.util.Try {
+      bloomDecodeCount.incrementAndGet()
       val body = new String(Files.readAllBytes(f), StandardCharsets.UTF_8)
       val entry = "\"((?:[^\"\\\\]|\\\\.)*)\":\"([A-Za-z0-9+/=]+)\"".r
       def unesc(s: String) = s.replace("\\\"", "\"").replace("\\\\", "\\")
@@ -1124,13 +1475,20 @@ object TxLog {
     * write reuses the segment name with different rows), and an
     * atomic-move rename can never be observed half-written. */
   private def writeStatsSidecar(tableDir: String, seg: String,
+      body: String): Unit = installSidecar(tableDir, s"stats-$seg.json", body)
+
+  /** Install any `_txlog/` sidecar ATOMICALLY (rename, never
+    * create-if-absent — a crashed-then-retried write reuses segment
+    * names, so the sidecar must track the LATEST contents and an
+    * atomic move can never be observed half-written). */
+  private def installSidecar(tableDir: String, fileName: String,
       body: String): Unit = {
     val d = logDir(tableDir)
     Files.createDirectories(d)
-    val tmp = d.resolve(s".tmp.stats.${java.util.UUID.randomUUID}")
+    val tmp = d.resolve(s".tmp.side.${java.util.UUID.randomUUID}")
     try {
       Files.write(tmp, body.getBytes(StandardCharsets.UTF_8))
-      Files.move(tmp, d.resolve(s"stats-$seg.json"),
+      Files.move(tmp, d.resolve(fileName),
         java.nio.file.StandardCopyOption.ATOMIC_MOVE,
         java.nio.file.StandardCopyOption.REPLACE_EXISTING)
       ()
@@ -1311,10 +1669,17 @@ object TxLog {
     * ([[writeSegmentStats]]) so filtered reads can skip it — the
     * streaming-ingest half of the format writer's `statsCols` option.
     *
+    * `checks`: CHECK constraints validated against the WRITTEN
+    * parquet segment (not the input plan — the input executes exactly
+    * once, and the validated rows are BY CONSTRUCTION the rows that
+    * would commit); a violation removes the segment and throws, so
+    * nothing lands — not even an orphan dir.
+    *
     * @return true if the batch was applied, false on redelivery. */
   def appendBatch(batch: org.apache.spark.sql.DataFrame, batchId: Long,
       tableDir: String, statsCols: Seq[String] = Seq.empty,
-      bloomCols: Seq[String] = Seq.empty): Boolean = {
+      bloomCols: Seq[String] = Seq.empty,
+      checks: Seq[String] = Seq.empty): Boolean = {
     require(batchId >= 0, s"batchId must be >= 0, got $batchId")
     val seg = f"batch__$batchId%06d"
     // the redelivery test is "was batch__N EVER added in any
@@ -1330,6 +1695,8 @@ object TxLog {
     if (everAdded) false
     else {
       batch.write.mode("overwrite").parquet(s"$tableDir/$seg")
+      graft.sources.txlog.TxLogChecks.validateWritten(
+        batch.sparkSession, tableDir, Seq(seg), checks)
       writeSegmentStats(batch.sparkSession, tableDir, seg, statsCols)
       writeSegmentBlooms(batch.sparkSession, tableDir, seg, bloomCols)
       commit(tableDir, adds = Seq(seg))

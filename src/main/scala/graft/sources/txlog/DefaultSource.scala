@@ -236,10 +236,16 @@ private[txlog] object TxLogWriter {
       statsCols: Seq[String] = Seq.empty,
       checks: Seq[String] = Seq.empty,
       bloomCols: Seq[String] = Seq.empty): Unit = {
-    TxLogChecks.validate(data, checks, dir)
     new java.io.File(dir).mkdirs()
     val seg = f"write__seg${TxLog.versions(dir).size}%06d"
     data.write.mode("overwrite").parquet(s"$dir/$seg")
+    // CHECKs validate the WRITTEN segment, not the input plan: the
+    // input executes exactly once (the write), and the validated rows
+    // are by construction the rows that would commit — a
+    // non-deterministic input (rand(), a re-executed micro-batch)
+    // can't pass validation yet write different rows. A violation
+    // removes the segment before throwing: nothing lands.
+    TxLogChecks.validateWritten(data.sparkSession, dir, Seq(seg), checks)
     TxLog.writeSegmentStats(data.sparkSession, dir, seg, statsCols)
     TxLog.writeSegmentBlooms(data.sparkSession, dir, seg, bloomCols)
     val removes =
@@ -256,15 +262,45 @@ private[txlog] object TxLogWriter {
   * NOT NULL')`, semicolon-separated boolean SQL expressions, enforced
   * on EVERY row-producing write path (DataFrame writer, SQL INSERT,
   * UPDATE/MERGE replacement rows, the streaming sink) BEFORE any
-  * segment lands — a violating batch commits nothing, not even an
-  * orphan dir. SQL CHECK semantics: a row violates iff the expression
-  * evaluates to FALSE; NULL passes (the SQL standard's rule). Cost:
-  * one extra pass over the delta-sized batch, never the table. */
+  * segment COMMITS — validation runs against the WRITTEN parquet
+  * segment (the input plan executes exactly once, for the write;
+  * the validated rows are by construction the rows that would
+  * commit), and a violation removes the staged segment before
+  * throwing, so a violating batch commits nothing — not even an
+  * orphan dir. SQL CHECK semantics: a row violates iff the
+  * expression evaluates to FALSE; NULL passes (the SQL standard's
+  * rule). Cost: one delta-sized parquet read-back, never the table. */
 private[graft] object TxLogChecks {
   def parse(parameters: Map[String, String]): Seq[String] =
     parameters.get("checks")
       .map(_.split(";").map(_.trim).filter(_.nonEmpty).toSeq)
       .getOrElse(Seq.empty)
+
+  /** Validate freshly-WRITTEN (not yet committed) segments; on a
+    * violation, delete the staged segment dirs and any sidecars a
+    * retried writer may have left, then rethrow — the commit never
+    * happens and no orphan survives the failure. */
+  def validateWritten(spark: org.apache.spark.sql.SparkSession,
+      dir: String, segs: Seq[String], checks: Seq[String]): Unit = {
+    if (checks.isEmpty || segs.isEmpty) return
+    try validate(spark.read.parquet(segs.map(s => s"$dir/$s"): _*),
+      checks, dir)
+    catch {
+      case e: Throwable =>
+        segs.foreach { s =>
+          def rm(f: java.io.File): Unit = {
+            Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+            f.delete(); ()
+          }
+          rm(new java.io.File(dir, s))
+          java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(
+            dir, "_txlog", s"stats-$s.json"))
+          java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(
+            dir, "_txlog", s"bloom-$s.json"))
+        }
+        throw e
+    }
+  }
 
   def validate(data: DataFrame, checks: Seq[String], table: String): Unit = {
     if (checks.isEmpty) return
@@ -327,6 +363,17 @@ private[txlog] object StatsPrune {
       }
     }
 
+  /** Whether a pushed filter tree contains any shape that could
+    * consult a bloom (point probes only) — the lazy-decode gate: a
+    * filter set without one never opens a bloom sidecar. */
+  def hasPointProbe(f: Filter): Boolean = f match {
+    case _: EqualTo | _: In => true
+    case EqualNullSafe(_, v) => v != null
+    case And(l, r) => hasPointProbe(l) || hasPointProbe(r)
+    case Or(l, r) => hasPointProbe(l) || hasPointProbe(r)
+    case _ => false
+  }
+
   def mayMatch(f: Filter, m: SegMeta): Boolean = {
     def test(a: String)(
         p: (String, String, String) => Option[Boolean]): Boolean =
@@ -358,6 +405,48 @@ private[txlog] object StatsPrune {
       case And(l, r) => mayMatch(l, m) && mayMatch(r, m)
       case Or(l, r) => mayMatch(l, m) || mayMatch(r, m)
       case _ => true
+    }
+  }
+}
+
+/** Process-wide memo of DECODED bloom sidecars, keyed by segment path
+  * and validated by the sidecar file's (mtime, size) — decoding is the
+  * expensive half of point-skipping (base64 + sketch deserialization
+  * of potentially-MiB filters), while the stats/null sidecars are tiny
+  * JSON reads. A committed segment's sidecar never changes (blooms are
+  * written before the commit, only ever for new names), so the stat
+  * check only exists to survive test-harness rebuilds of a store at
+  * the same path. LRU-bounded: at the default maintain cadence a
+  * table's live segment count stays far below the cap. */
+private[txlog] object BloomCache {
+  private val MaxEntries = 512
+  private case class Entry(mtime: Long, size: Long,
+      blooms: Map[String, org.apache.spark.util.sketch.BloomFilter])
+  private val cache = new java.util.LinkedHashMap[String, Entry](
+      64, 0.75f, true) {
+    override def removeEldestEntry(
+        e: java.util.Map.Entry[String, Entry]): Boolean =
+      size() > MaxEntries
+  }
+
+  def get(dir: String,
+      seg: String): Map[String, org.apache.spark.util.sketch.BloomFilter] = {
+    val f = new java.io.File(new java.io.File(dir, "_txlog"),
+      s"bloom-$seg.json")
+    val (mtime, size) =
+      if (f.isFile) (f.lastModified(), f.length()) else (-1L, -1L)
+    cache.synchronized {
+      val k = s"$dir/$seg"
+      Option(cache.get(k)).filter(e => e.mtime == mtime && e.size == size)
+        .getOrElse {
+          val m =
+            if (mtime < 0)
+              Map.empty[String, org.apache.spark.util.sketch.BloomFilter]
+            else TxLog.segmentBlooms(dir, seg).getOrElse(Map.empty)
+          val e = Entry(mtime, size, m)
+          cache.put(k, e)
+          e
+        }.blooms
     }
   }
 }
@@ -467,10 +556,11 @@ class TxLogSink(dir: String, statsCols: Seq[String],
   override def addBatch(batchId: Long, data: DataFrame): Unit = {
     // the engine tags the frame isStreaming=true, which refuses every
     // batch write verb — re-wrap its executed rows as a batch frame
-    // (ForeachBatchSink's own discipline, via the Bridge)
+    // (ForeachBatchSink's own discipline, via the Bridge). CHECKs are
+    // validated inside appendBatch against the WRITTEN segment, so
+    // the batch plan still executes exactly once.
     val batch = org.apache.spark.sql.graft.Bridge.asBatch(data)
-    TxLogChecks.validate(batch, checks, dir)
-    TxLog.appendBatch(batch, batchId, dir, statsCols, bloomCols)
+    TxLog.appendBatch(batch, batchId, dir, statsCols, bloomCols, checks)
     ()
   }
   override def toString: String = s"TxLogSink[$dir]"
@@ -508,17 +598,40 @@ case class TxLogRelation(sqlContext: SQLContext, dir: String,
   override def insert(data: DataFrame, overwrite: Boolean): Unit =
     TxLogWriter.write(data, dir, overwrite, statsCols, checks, bloomCols)
 
-  private def snapshotDf: DataFrame = snapshotPruned(_ => true)
+  private def snapshotDf: DataFrame = snapshotPruned(_ => true, asOf)
 
-  private def snapshotPruned(keepSeg: String => Boolean): DataFrame =
-    keyCols match {
+  private def snapshotPruned(keepSeg: String => Boolean,
+      at: Int): DataFrame = {
+    // ALTER TABLE ADD COLUMN metadata: widened columns force the
+    // evolution-tolerant read (post-ALTER writes carry the column
+    // physically, pre-ALTER segments don't), and any column no live
+    // segment materializes yet is attached as a typed NULL
+    val widened = TxLog.widenedColumns(dir)
+    val ms = mergeSchema || widened.nonEmpty
+    val base = keyCols match {
       case Some(keys) =>
-        TxLog.snapshotMoR(sqlContext.sparkSession, dir, asOf, keys,
-          mergeSchema, keepSeg)
-      case None =>
-        TxLog.snapshot(sqlContext.sparkSession, dir, asOf, mergeSchema,
+        TxLog.snapshotMoR(sqlContext.sparkSession, dir, at, keys, ms,
           keepSeg)
+      case None =>
+        TxLog.snapshot(sqlContext.sparkSession, dir, at, ms, keepSeg)
     }
+    widened.foldLeft(base) { case (df, (n, ddl)) =>
+      val dt = org.apache.spark.sql.types.DataType.fromDDL(ddl)
+      df.schema.fields.find(_.name.equalsIgnoreCase(n)) match {
+        case Some(f) =>
+          // the DDL records the column's declared type forever — a
+          // segment that wrote it differently is a type change
+          // pretending to be evolution, refused loudly
+          require(f.dataType == dt,
+            s"txlog table $dir: column '$n' was added as $ddl but a " +
+              s"segment wrote it as ${f.dataType.sql} — a column-TYPE " +
+              "change is not schema evolution; rewrite the table")
+          df
+        case None =>
+          df.withColumn(n, org.apache.spark.sql.functions.lit(null).cast(dt))
+      }
+    }
+  }
 
   /** The live data segments a scan with these pushed filters must
     * open: segments whose recorded min/max prove the filters can't
@@ -526,15 +639,25 @@ case class TxLogRelation(sqlContext: SQLContext, dir: String,
     * data-skipping read half of the writer's `statsCols` option.
     * Package-visible so plan audits can assert the pruned set. */
   private[graft] def keptSegments(filters: Array[Filter]): Seq[String] =
-    TxLog.liveSegments(dir, asOf)
+    keptSegments(filters, asOf)
+
+  private[graft] def keptSegments(filters: Array[Filter],
+      at: Int): Seq[String] = {
+    // blooms are decoded LAZILY: only a point probe (EqualTo / In /
+    // EqualNullSafe) can consult one, so a range-only or null-only
+    // scan never touches a bloom sidecar — and decoded sidecars are
+    // memoized ([[BloomCache]]), so repeat probes pay zero decodes
+    val pointProbed = filters.exists(StatsPrune.hasPointProbe)
+    TxLog.liveSegments(dir, at)
       .filterNot(_.startsWith(s"${TxLog.DeletesFamily}__"))
       .filter { seg =>
         val meta = StatsPrune.SegMeta(
           TxLog.segmentStats(dir, seg).getOrElse(Map.empty),
           TxLog.segmentNullStats(dir, seg),
-          TxLog.segmentBlooms(dir, seg).getOrElse(Map.empty))
+          if (pointProbed) BloomCache.get(dir, seg) else Map.empty)
         filters.forall(StatsPrune.mayMatch(_, meta))
       }
+  }
 
   override def schema: StructType = snapshotDf.schema
 
@@ -571,14 +694,20 @@ case class TxLogRelation(sqlContext: SQLContext, dir: String,
     * stats-pruned segment set, pushed filters, pruned columns. */
   private[graft] def scanDf(requiredColumns: Array[String],
       filters: Array[Filter]): DataFrame = {
-    val kept = keptSegments(filters).toSet
+    // ONE version per scan: an unpinned relation re-resolves latest
+    // per QUERY, but the prune and the read within a query must see
+    // the same snapshot — resolving asOf twice would let a commit
+    // landing between them drop segments the prune never saw
+    // (silently missing rows under a concurrent writer)
+    val v = asOf
+    val kept = keptSegments(filters, v).toSet
     val base =
       if (kept.isEmpty)
         // every segment provably filter-disjoint: an empty relation
         // (snapshot() would refuse an empty segment list)
         sqlContext.sparkSession.createDataFrame(
           sqlContext.sparkContext.emptyRDD[Row], schema)
-      else snapshotPruned(kept)
+      else snapshotPruned(kept, v)
     val filtered = filters.flatMap(translate)
       .foldLeft(base)((df, c) => df.filter(c))
     // always select exactly the required columns — V1 consumes rows

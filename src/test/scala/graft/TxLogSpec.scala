@@ -735,12 +735,43 @@ class TxLogSpec extends SparkSpec {
     val e = intercept[IllegalArgumentException](
       TxLog.versionAtTimestamp(t, 999999L))
     assert(e.getMessage.contains("predates"))
-    // a shuffled-mtime log (copied files) still maps monotonically:
-    // v1's mtime regressed below v0's → repaired by the running max
-    setMtime(1, 500000L)
-    assert(TxLog.versionAtTimestamp(t, 1000000L) === 1,
+    // a shuffled-mtime log (files COPIED to a new location — the only
+    // way manifest mtimes change, since the log never rewrites one)
+    // still maps monotonically: v1's mtime regressed below v0's →
+    // repaired by the running max
+    val t2 = freshTable()
+    val log2 = java.nio.file.Paths.get(t2, "_txlog")
+    java.nio.file.Files.createDirectories(log2)
+    (0 to 2).foreach { v =>
+      java.nio.file.Files.copy(log.resolve(s"v$v.json"),
+        log2.resolve(s"v$v.json"))
+    }
+    def setMtime2(v: Int, ms: Long): Unit =
+      java.nio.file.Files.setLastModifiedTime(log2.resolve(s"v$v.json"),
+        java.nio.file.attribute.FileTime.fromMillis(ms))
+    setMtime2(0, 1000000L); setMtime2(1, 500000L); setMtime2(2, 3000000L)
+    assert(TxLog.versionAtTimestamp(t2, 1000000L) === 1,
       "running max: v1's repaired time equals v0's")
-    assert(TxLog.versionAtTimestamp(t, 2999999L) === 1)
+    assert(TxLog.versionAtTimestamp(t2, 2999999L) === 1)
+  }
+
+  test("versionAtTimestamp memoizes the spine: one stat per NEW version") {
+    val t = freshTable()
+    (0 to 2).foreach { i => writeSeg(t, s"s$i", Seq(i.toLong)) }
+    (0 to 2).foreach(i => TxLog.commit(t, Seq(s"s$i")))
+    TxLog.versionAtTimestamp(t, System.currentTimeMillis() + 60000)
+    // repeat call: the spine is memoized — zero new mtime stats
+    val before = TxLog.mtimeStatCount.get()
+    TxLog.versionAtTimestamp(t, System.currentTimeMillis() + 60000)
+    assert(TxLog.mtimeStatCount.get() === before,
+      "a repeat TIMESTAMP AS OF must not re-stat the whole history")
+    // one new commit: exactly ONE new stat (O(delta), not O(history))
+    writeSeg(t, "s3", Seq(3L))
+    TxLog.commit(t, Seq("s3"))
+    val before2 = TxLog.mtimeStatCount.get()
+    TxLog.versionAtTimestamp(t, System.currentTimeMillis() + 60000)
+    assert(TxLog.mtimeStatCount.get() === before2 + 1,
+      "extending the spine stats only the versions committed since")
   }
 
   test("convertInPlace adopts loose parquet by hard link, zero copy") {
