@@ -474,10 +474,22 @@ private[plans] object TxLogDml {
       adds += seg
     }
     newRows.foreach { r =>
-      val seg = f"write__seg$v%06d"
-      r.write.mode("overwrite").parquet(s"$dir/$seg")
+      val base = f"write__seg$v%06d"
+      val props = CaseInsensitiveMap(meta.storage.properties)
+      def colsOf(key: String) = props.get(key)
+        .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+        .getOrElse(Seq.empty)
+      // a `partitionBy` table's replacement rows land partitioned
+      // too, so DML never degrades the layout's partition pruning
+      val parts = colsOf("partitionBy")
+      val segs =
+        if (parts.isEmpty) {
+          r.write.mode("overwrite").parquet(s"$dir/$base")
+          Seq(base)
+        } else TxLog.writePartitionedSegments(r, dir, parts, base,
+          colsOf("statsCols"), colsOf("bloomCols"))
       try graft.sources.txlog.TxLogChecks.validateWritten(
-        session, dir, Seq(seg), checkList)
+        session, dir, segs, checkList)
       catch {
         case e: Throwable =>
           // the staged tombstone must not outlive the failed change
@@ -490,13 +502,11 @@ private[plans] object TxLogDml {
           }
           throw e
       }
-      val props = CaseInsensitiveMap(meta.storage.properties)
-      def colsOf(key: String) = props.get(key)
-        .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
-        .getOrElse(Seq.empty)
-      TxLog.writeSegmentStats(session, dir, seg, colsOf("statsCols"))
-      TxLog.writeSegmentBlooms(session, dir, seg, colsOf("bloomCols"))
-      adds += seg
+      if (parts.isEmpty) {
+        TxLog.writeSegmentStats(session, dir, base, colsOf("statsCols"))
+        TxLog.writeSegmentBlooms(session, dir, base, colsOf("bloomCols"))
+      }
+      adds ++= segs
     }
     val toAdd = adds.result()
     if (toAdd.nonEmpty) {

@@ -4535,6 +4535,9 @@ object IngestQueries {
           .select(col("o_orderkey"), col("o_orderstatus"),
             col("o_totalprice"))
           .withColumn("bucket", pmod(col("o_orderkey"), lit(3L)))
+          // few writer tasks → few files per leaf: the fixture's cost
+          // is O(files), exactly what the zero-copy convert is about
+          .coalesce(4)
           .write.partitionBy("o_orderstatus", "bucket")
           .mode("overwrite").parquet(store)
         // a mis-declared clause refuses BEFORE converting anything
@@ -4605,11 +4608,112 @@ object IngestQueries {
         counts.kept_b1, counts.kept_fb
       ORDER BY o_orderstatus, bucket"""))
 
+  /** NATIVE table partitioning — the write-side counterpart of e71's
+    * adopted layouts: `option("partitionBy", …)` on the format writer
+    * (and the table's OPTIONS, so SQL INSERT and DML replacement rows
+    * inherit it) stages each batch ONCE through Spark's own
+    * partitioned write and hard-links every `col=value` leaf into its
+    * own segment — one segment per partition value per batch, ALL
+    * behind ONE atomic commit ([[graft.sources.TxLog
+    * .writePartitionedSegments]]). Partition predicates then prune by
+    * SEGMENT across every version (the `parts-` sidecar attaches the
+    * column at read time; the stats sidecar records the min=max point
+    * range), which at 100 TB turns "scan the table" into "scan the
+    * partition" for every partition-scoped query — Delta's partition
+    * columns reduced to this format's segment algebra. The fixture
+    * drives batch append → SQL INSERT → UPDATE (replacement rows
+    * re-partition, including rows MOVING partition on a partition-
+    * column update) → DELETE, requires every live data segment to
+    * carry partition metadata and a missing-value probe to prune
+    * everything, and hashes the final state. */
+  val e72 = QueryDef(
+    "e72_partitioned_write",
+    (sp, dir) => {
+      import graft.Dsl.moneySum
+      import graft.sources.TxLog
+      val fmt = "graft.sources.txlog"
+      val fp = IngestFixtures.fingerprint(s"$dir/orders.parquet")
+      val store = IngestFixtures.path(s"e72_store_$fp")
+      val tbl = s"graft_e72_orders_$fp"
+      IngestFixtures.once(s"e72_$fp") {
+        import scala.reflect.io.Directory
+        new Directory(new java.io.File(store)).deleteRecursively()
+        val orders = Tables(sp, dir, "orders")
+          .select(col("o_orderkey"), col("o_orderstatus"),
+            col("o_totalprice"))
+        orders.createOrReplaceTempView("e72_orders_src")
+        orders.filter(pmod(col("o_orderkey"), lit(2L)) === 0L)
+          .coalesce(4)
+          .write.format(fmt)
+          .option("partitionBy", "o_orderstatus")
+          .option("statsCols", "o_orderkey")
+          .mode(org.apache.spark.sql.SaveMode.Append).save(store)  // v0
+        sp.sql(s"DROP TABLE IF EXISTS $tbl")
+        sp.sql(s"CREATE TABLE $tbl USING `graft-txlog` OPTIONS " +
+          s"(path '$store', keyCols 'o_orderkey', " +
+          "partitionBy 'o_orderstatus', statsCols 'o_orderkey')")
+        // partition columns surface LAST in a partitioned table's
+        // schema (the data files physically lack them — the same
+        // convention as Spark's own hive-layout reads), so the
+        // positional INSERT lists them last
+        sp.sql(s"""INSERT INTO $tbl                                 -- v1
+          SELECT o_orderkey, o_totalprice, o_orderstatus
+          FROM e72_orders_src WHERE o_orderkey % 2 = 1""")
+        // updating the PARTITION column moves the rows' partition:
+        // the replacement segment lands under the new value
+        sp.sql(s"UPDATE $tbl SET o_orderstatus = 'X' " +
+          "WHERE o_orderkey % 11 = 5")                              // v2
+        sp.sql(s"DELETE FROM $tbl WHERE o_orderkey % 10 = 7")       // v3
+        // every live DATA segment carries partition metadata — the
+        // native writes, the SQL INSERT, and the UPDATE replacements
+        val latest = TxLog.latestVersion(store).get
+        val dataSegs = TxLog.liveSegments(store, latest)
+          .filterNot(_.startsWith(s"${TxLog.DeletesFamily}__"))
+        require(dataSegs.nonEmpty &&
+          dataSegs.forall(s => TxLog.segmentParts(store, s).isDefined),
+          s"e72: every data segment must be partitioned, got $dataSegs")
+        val xSegs = dataSegs.filter(s => TxLog.segmentParts(store, s)
+          .exists(_.exists(p => p._1 == "o_orderstatus" && p._2 == "X")))
+        require(xSegs.nonEmpty,
+          "e72: the partition-column UPDATE must land an 'X' partition")
+      }
+      // plan audit into the hash: a missing partition value prunes
+      // EVERYTHING; a real value keeps a strict subset
+      val rel = graft.sources.txlog.TxLogRelation(sp.sqlContext, store,
+        Some(TxLog.latestVersion(store).get), Some(Seq("o_orderkey")))
+      import org.apache.spark.sql.{sources => f}
+      val keptMiss = rel.keptSegments(Array(
+        f.EqualTo("o_orderstatus", "ZZZ"))).size.toLong
+      val keptAll = rel.keptSegments(Array.empty[f.Filter]).size.toLong
+      val keptX = rel.keptSegments(Array(
+        f.EqualTo("o_orderstatus", "X"))).size.toLong
+      val pruneExact = keptMiss == 0L && keptX > 0L && keptX < keptAll
+      sp.table(tbl)
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n_rows"),
+          moneySum(col("o_totalprice")).as("sum_price"))
+        .withColumn("prune_exact", lit(if (pruneExact) 1L else 0L))
+        .select("o_orderstatus", "n_rows", "sum_price", "prune_exact")
+        .orderBy("o_orderstatus")
+    },
+    Some("""
+      WITH t AS (
+        SELECT CASE WHEN o_orderkey % 11 = 5 THEN 'X'
+            ELSE o_orderstatus END AS o_orderstatus,
+          o_totalprice
+        FROM orders WHERE o_orderkey % 10 <> 7)
+      SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n_rows,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+          AS sum_price,
+        CAST(1 AS BIGINT) AS prune_exact
+      FROM t GROUP BY o_orderstatus
+      ORDER BY o_orderstatus"""))
+
   val defs: Seq[QueryDef] =
     Seq(e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11, e12, e13,
       e14, e15, e16, e17, e18, e19, e20, e21, e22, e23, e24, e25, e26,
       e27, e28, e29, e30, e31, e32, e33, e34, e35, e36, e37, e38, e39,
       e40, e41, e42, e43, e44, e45, e46, e47, e48, e49, e50, e51, e52,
       e53, e54, e55, e56, e57, e58, e59, e60, e61, e62, e63, e64, e65,
-      e66, e67, e68, e69, e70, e71)
+      e66, e67, e68, e69, e70, e71, e72)
 }

@@ -954,37 +954,9 @@ object TxLog {
     require(colSeqs.size == 1,
       s"convert $tableDir: inconsistent partition layouts across " +
         s"leaves: $colSeqs")
-    val pcols = colSeqs.head
-    leaves.foreach { case (pvals, leaf) =>
-      pvals.foreach { case (c, v) =>
-        require(v != "__HIVE_DEFAULT_PARTITION__",
-          s"convert $tableDir: leaf $leaf has a NULL value for " +
-            s"partition column '$c' — null partitions are not " +
-            "convertible (backfill a sentinel value first)")
-      }
-    }
-    // one type per column, decided over ALL leaves — a segment-local
-    // guess would give the same column different types per segment
-    val ptype: Map[String, String] = pcols.map { c =>
-      c -> (if (leaves.forall { case (pvals, _) =>
-        scala.util.Try(pvals.find(_._1 == c).get._2.toLong).isSuccess })
-        "long" else "string")
-    }.toMap
-    val segs = leaves.sortBy(_._1.map(_._2).mkString(" "))
-      .zipWithIndex.map { case ((pvals, leaf), i) =>
-        val seg = f"convert__seg$i%06d"
-        val files = listParquet(leaf)
-        relinkInto(root.resolve(seg), files)
-        installSidecar(tableDir, s"parts-$seg.json",
-          s"""{"cols":[${pvals.map { case (c, v) =>
-            s"""{"name":"${jsonEsc(c)}","value":"${jsonEsc(v)}",""" +
-              s""""type":"${ptype(c)}"}""" }.mkString(",")}]}""")
-        writeSegmentStats(spark, tableDir, seg, statsCols)
-        writeSegmentBlooms(spark, tableDir, seg, bloomCols)
-        appendConstStats(tableDir, seg,
-          pvals.map { case (c, v) => (c, v, ptype(c)) })
-        seg -> files.size
-      }
+    refuseNullPartitions(s"convert $tableDir", leaves)
+    val segs = linkLeafSegments(spark, tableDir, leaves,
+      i => f"convert__seg$i%06d", statsCols, bloomCols)
     commit(tableDir, adds = segs.map(_._1))
     // the originals are now owned — unlink the partition trees (data
     // survives through the segment links; a crash here leaves
@@ -1005,6 +977,113 @@ object TxLog {
       del(p.toFile)
     }
     segs
+  }
+
+  /** Adopt hive `col=value` LEAVES as hard-linked segments: one
+    * segment per leaf (named by `segName(i)` over the value-ordered
+    * leaves), each with a `parts-` sidecar (read-time column
+    * attachment), the partition values folded into the STATS sidecar
+    * as min=max point ranges (segment-level pruning), and optional
+    * statsCols/bloomCols sidecars over the data columns. Shared by
+    * [[convertPartitionedInPlace]] (adopting a foreign layout) and
+    * the format writer's native partitioned writes (adopting its own
+    * staged output). Does NOT commit — the caller owns the one
+    * atomic manifest. Returns (segmentName, filesLinked) per leaf. */
+  private[sources] def linkLeafSegments(spark: SparkSession,
+      tableDir: String,
+      leaves: Seq[(Seq[(String, String)], java.nio.file.Path)],
+      segName: Int => String, statsCols: Seq[String],
+      bloomCols: Seq[String]): Seq[(String, Int)] = {
+    val root = Paths.get(tableDir)
+    val pcols = leaves.head._1.map(_._1)
+    // one type per column, decided over ALL leaves — a segment-local
+    // guess would give the same column different types per segment
+    val ptype: Map[String, String] = pcols.map { c =>
+      c -> (if (leaves.forall { case (pvals, _) =>
+        scala.util.Try(pvals.find(_._1 == c).get._2.toLong).isSuccess })
+        "long" else "string")
+    }.toMap
+    leaves.sortBy(_._1.map(_._2).mkString(" "))
+      .zipWithIndex.map { case ((pvals, leaf), i) =>
+        val seg = segName(i)
+        val files = listParquet(leaf)
+        relinkInto(root.resolve(seg), files)
+        installSidecar(tableDir, s"parts-$seg.json",
+          s"""{"cols":[${pvals.map { case (c, v) =>
+            s"""{"name":"${jsonEsc(c)}","value":"${jsonEsc(v)}",""" +
+              s""""type":"${ptype(c)}"}""" }.mkString(",")}]}""")
+        writeSegmentStats(spark, tableDir, seg, statsCols)
+        writeSegmentBlooms(spark, tableDir, seg, bloomCols)
+        appendConstStats(tableDir, seg,
+          pvals.map { case (c, v) => (c, v, ptype(c)) })
+        seg -> files.size
+      }
+  }
+
+  /** Refuse `__HIVE_DEFAULT_PARTITION__` leaves loudly — a NULL
+    * partition value cannot round-trip through the directory-name
+    * encoding this format adopts. */
+  private[sources] def refuseNullPartitions(where: String,
+      leaves: Seq[(Seq[(String, String)], java.nio.file.Path)]): Unit =
+    leaves.foreach { case (pvals, leaf) =>
+      pvals.foreach { case (c, v) =>
+        require(v != "__HIVE_DEFAULT_PARTITION__",
+          s"$where: leaf $leaf has a NULL value for partition column " +
+            s"'$c' — null partitions are not supported (backfill a " +
+            "sentinel value first)")
+      }
+    }
+
+  /** NATIVE partitioned write — table partitioning for the format's
+    * own ingest, not just adopted layouts: the batch is written ONCE
+    * through Spark's planner (`partitionBy` into a dot-prefixed
+    * staging dir inside the table — one pass, however many partition
+    * values), then each staged `col=value` leaf is HARD-LINKED into
+    * its own `<baseName>p<i>` segment with the partition value in a
+    * `parts-` sidecar and as a min=max point range in the stats
+    * sidecar ([[linkLeafSegments]] — the same machinery the
+    * partitioned CONVERT uses on foreign layouts). The caller commits
+    * ALL returned segments behind ONE manifest, so a reader never
+    * sees a half-partitioned batch, and a partition-predicate scan
+    * prunes to exactly the touched values' segments before any
+    * footer opens — at 100 TB this is the difference between "scan
+    * the day" and "scan the table" for every partition-scoped query.
+    * An EMPTY batch stages no leaves and falls back to one plain
+    * `baseName` segment (schema preserved; the exactly-once ledger
+    * still records the batch). A crash before the commit leaves the
+    * staging dir and half-linked segments as orphans [[vacuum]]
+    * reclaims. NULL partition values are refused loudly. Returns the
+    * segment names to commit. */
+  def writePartitionedSegments(data: DataFrame, tableDir: String,
+      partitionCols: Seq[String], baseName: String,
+      statsCols: Seq[String] = Seq.empty,
+      bloomCols: Seq[String] = Seq.empty): Seq[String] = {
+    require(partitionCols.nonEmpty, "writePartitionedSegments needs " +
+      "at least one partition column")
+    val stage = Paths.get(tableDir, s".stage_${java.util.UUID.randomUUID}")
+    try {
+      data.write.partitionBy(partitionCols: _*).mode("overwrite")
+        .parquet(stage.toString)
+      val leaves = hiveLeaves(stage)
+      if (leaves.isEmpty) {
+        // empty batch: partitionBy wrote no part files — land one
+        // plain segment so the schema (and the batch id) still record
+        data.write.mode("overwrite").parquet(s"$tableDir/$baseName")
+        writeSegmentStats(data.sparkSession, tableDir, baseName, statsCols)
+        writeSegmentBlooms(data.sparkSession, tableDir, baseName, bloomCols)
+        Seq(baseName)
+      } else {
+        refuseNullPartitions(s"partitioned write to $tableDir", leaves)
+        linkLeafSegments(data.sparkSession, tableDir, leaves,
+          i => s"${baseName}p$i", statsCols, bloomCols).map(_._1)
+      }
+    } finally {
+      def del(f: java.io.File): Unit = {
+        Option(f.listFiles()).getOrElse(Array.empty).foreach(del)
+        f.delete(); ()
+      }
+      del(stage.toFile)
+    }
   }
 
   /** The hive partition columns a directory's `col=value` layout
@@ -1679,7 +1758,8 @@ object TxLog {
   def appendBatch(batch: org.apache.spark.sql.DataFrame, batchId: Long,
       tableDir: String, statsCols: Seq[String] = Seq.empty,
       bloomCols: Seq[String] = Seq.empty,
-      checks: Seq[String] = Seq.empty): Boolean = {
+      checks: Seq[String] = Seq.empty,
+      partitionCols: Seq[String] = Seq.empty): Boolean = {
     require(batchId >= 0, s"batchId must be >= 0, got $batchId")
     val seg = f"batch__$batchId%06d"
     // the redelivery test is "was batch__N EVER added in any
@@ -1690,16 +1770,28 @@ object TxLog {
     // from the newest checkpoint's "ever" array (foldEverAdded), so a
     // long-lived stream pays O(CheckpointEvery) manifest reads per
     // batch, not O(history).
+    // partitioned batches land as `batch__Np<i>` — the ledger test
+    // covers both spellings (exact plain name, or any `p<i>` leaf of
+    // the same batch id; the zero-padded id plus the literal 'p'
+    // keeps distinct ids from prefix-matching each other)
     val everAdded = versions(tableDir).lastOption
-      .exists(last => foldEverAdded(tableDir, last).contains(seg))
+      .exists(last => foldEverAdded(tableDir, last)
+        .exists(s => s == seg || s.startsWith(seg + "p")))
     if (everAdded) false
     else {
-      batch.write.mode("overwrite").parquet(s"$tableDir/$seg")
+      val segs =
+        if (partitionCols.isEmpty) {
+          batch.write.mode("overwrite").parquet(s"$tableDir/$seg")
+          Seq(seg)
+        } else writePartitionedSegments(batch, tableDir, partitionCols,
+          seg, statsCols, bloomCols)
       graft.sources.txlog.TxLogChecks.validateWritten(
-        batch.sparkSession, tableDir, Seq(seg), checks)
-      writeSegmentStats(batch.sparkSession, tableDir, seg, statsCols)
-      writeSegmentBlooms(batch.sparkSession, tableDir, seg, bloomCols)
-      commit(tableDir, adds = Seq(seg))
+        batch.sparkSession, tableDir, segs, checks)
+      if (partitionCols.isEmpty) {
+        writeSegmentStats(batch.sparkSession, tableDir, seg, statsCols)
+        writeSegmentBlooms(batch.sparkSession, tableDir, seg, bloomCols)
+      }
+      commit(tableDir, adds = segs)
       true
     }
   }

@@ -68,9 +68,6 @@ class DefaultSource extends RelationProvider
       partitionColumns: Seq[String],
       outputMode: org.apache.spark.sql.streaming.OutputMode)
       : org.apache.spark.sql.execution.streaming.Sink = {
-    require(partitionColumns.isEmpty,
-      "graft-txlog sink does not support partitionBy (segments are " +
-        "the unit of layout; use statsCols for skipping)")
     require(outputMode == org.apache.spark.sql.streaming.OutputMode.Append(),
       s"graft-txlog sink is append-only (the txlog is a segment log), " +
         s"got $outputMode")
@@ -78,8 +75,14 @@ class DefaultSource extends RelationProvider
     val statsCols = parameters.get("statsCols")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
       .getOrElse(Seq.empty)
+    // engine-provided partitionBy(...) and the format's own
+    // `partitionBy` option are the same request — each micro-batch
+    // lands one segment PER PARTITION VALUE behind its single commit
+    val parts =
+      if (partitionColumns.nonEmpty) partitionColumns
+      else partitionByOf(parameters)
     new TxLogSink(dir, statsCols, TxLogChecks.parse(parameters),
-      bloomColsOf(parameters))
+      bloomColsOf(parameters), parts)
   }
 
   // ---- spark.readStream.format("graft-txlog"): versions as offsets --
@@ -169,7 +172,7 @@ class DefaultSource extends RelationProvider
     // the insert without a manual REFRESH TABLE.
     TxLogRelation(sqlContext, dir, pinned, keyCols, mergeSchema,
       statsColsOf(parameters), TxLogChecks.parse(parameters),
-      bloomColsOf(parameters))
+      bloomColsOf(parameters), partitionByOf(parameters))
   }
 
   private def statsColsOf(parameters: Map[String, String]): Seq[String] =
@@ -179,6 +182,11 @@ class DefaultSource extends RelationProvider
 
   private def bloomColsOf(parameters: Map[String, String]): Seq[String] =
     parameters.get("bloomCols")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      .getOrElse(Seq.empty)
+
+  private def partitionByOf(parameters: Map[String, String]): Seq[String] =
+    parameters.get("partitionBy")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
       .getOrElse(Seq.empty)
 
@@ -205,22 +213,23 @@ class DefaultSource extends RelationProvider
     val statsCols = statsColsOf(parameters)
     val checks = TxLogChecks.parse(parameters)
     val blooms = bloomColsOf(parameters)
+    val parts = partitionByOf(parameters)
     mode match {
       case SaveMode.Append =>
         TxLogWriter.write(data, dir, overwrite = false, statsCols, checks,
-          blooms)
+          blooms, parts)
       case SaveMode.Overwrite =>
         TxLogWriter.write(data, dir, overwrite = true, statsCols, checks,
-          blooms)
+          blooms, parts)
       case SaveMode.ErrorIfExists =>
         require(!exists, s"txlog table $dir already has commits " +
           "(SaveMode.ErrorIfExists)")
         TxLogWriter.write(data, dir, overwrite = false, statsCols, checks,
-          blooms)
+          blooms, parts)
       case SaveMode.Ignore =>
         if (!exists)
           TxLogWriter.write(data, dir, overwrite = false, statsCols, checks,
-            blooms)
+            blooms, parts)
     }
     createRelation(sqlContext, parameters - "asOf")
   }
@@ -235,24 +244,37 @@ private[txlog] object TxLogWriter {
   def write(data: DataFrame, dir: String, overwrite: Boolean,
       statsCols: Seq[String] = Seq.empty,
       checks: Seq[String] = Seq.empty,
-      bloomCols: Seq[String] = Seq.empty): Unit = {
+      bloomCols: Seq[String] = Seq.empty,
+      partitionCols: Seq[String] = Seq.empty): Unit = {
     new java.io.File(dir).mkdirs()
-    val seg = f"write__seg${TxLog.versions(dir).size}%06d"
-    data.write.mode("overwrite").parquet(s"$dir/$seg")
-    // CHECKs validate the WRITTEN segment, not the input plan: the
+    val base = f"write__seg${TxLog.versions(dir).size}%06d"
+    // `partitionBy` option: NATIVE table partitioning — the batch
+    // stages once through Spark's own partitioned write and each
+    // value's leaf becomes its own segment (write__segNNNNNNp<i>),
+    // all behind the same single commit; partition-predicate scans
+    // then prune to exactly the touched values' segments
+    val segs =
+      if (partitionCols.isEmpty) {
+        data.write.mode("overwrite").parquet(s"$dir/$base")
+        Seq(base)
+      } else TxLog.writePartitionedSegments(data, dir, partitionCols,
+        base, statsCols, bloomCols)
+    // CHECKs validate the WRITTEN segment(s), not the input plan: the
     // input executes exactly once (the write), and the validated rows
     // are by construction the rows that would commit — a
     // non-deterministic input (rand(), a re-executed micro-batch)
     // can't pass validation yet write different rows. A violation
-    // removes the segment before throwing: nothing lands.
-    TxLogChecks.validateWritten(data.sparkSession, dir, Seq(seg), checks)
-    TxLog.writeSegmentStats(data.sparkSession, dir, seg, statsCols)
-    TxLog.writeSegmentBlooms(data.sparkSession, dir, seg, bloomCols)
+    // removes the segments before throwing: nothing lands.
+    TxLogChecks.validateWritten(data.sparkSession, dir, segs, checks)
+    if (partitionCols.isEmpty) {
+      TxLog.writeSegmentStats(data.sparkSession, dir, base, statsCols)
+      TxLog.writeSegmentBlooms(data.sparkSession, dir, base, bloomCols)
+    }
     val removes =
       if (!overwrite) Seq.empty[String]
       else TxLog.latestVersion(dir)
         .map(v => TxLog.liveSegments(dir, v)).getOrElse(Seq.empty)
-    TxLog.commit(dir, adds = Seq(seg), removes = removes)
+    TxLog.commit(dir, adds = segs, removes = removes)
     ()
   }
 }
@@ -297,6 +319,8 @@ private[graft] object TxLogChecks {
             dir, "_txlog", s"stats-$s.json"))
           java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(
             dir, "_txlog", s"bloom-$s.json"))
+          java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(
+            dir, "_txlog", s"parts-$s.json"))
         }
         throw e
     }
@@ -551,7 +575,8 @@ class TxLogSource(sqlContext: SQLContext, dir: String,
   * from the written parquet, never by re-executing the input), so no
   * extra materialization is needed. */
 class TxLogSink(dir: String, statsCols: Seq[String],
-    checks: Seq[String] = Seq.empty, bloomCols: Seq[String] = Seq.empty)
+    checks: Seq[String] = Seq.empty, bloomCols: Seq[String] = Seq.empty,
+    partitionCols: Seq[String] = Seq.empty)
     extends org.apache.spark.sql.execution.streaming.Sink {
   override def addBatch(batchId: Long, data: DataFrame): Unit = {
     // the engine tags the frame isStreaming=true, which refuses every
@@ -560,7 +585,8 @@ class TxLogSink(dir: String, statsCols: Seq[String],
     // validated inside appendBatch against the WRITTEN segment, so
     // the batch plan still executes exactly once.
     val batch = org.apache.spark.sql.graft.Bridge.asBatch(data)
-    TxLog.appendBatch(batch, batchId, dir, statsCols, bloomCols, checks)
+    TxLog.appendBatch(batch, batchId, dir, statsCols, bloomCols, checks,
+      partitionCols)
     ()
   }
   override def toString: String = s"TxLogSink[$dir]"
@@ -572,7 +598,8 @@ class TxLogSink(dir: String, statsCols: Seq[String],
 case class TxLogRelation(sqlContext: SQLContext, dir: String,
     pinnedAsOf: Option[Int], keyCols: Option[Seq[String]],
     mergeSchema: Boolean = false, statsCols: Seq[String] = Seq.empty,
-    checks: Seq[String] = Seq.empty, bloomCols: Seq[String] = Seq.empty)
+    checks: Seq[String] = Seq.empty, bloomCols: Seq[String] = Seq.empty,
+    partitionCols: Seq[String] = Seq.empty)
     extends BaseRelation with PrunedFilteredScan with InsertableRelation {
 
   /** The version a use of this relation reads: the pinned one (time
@@ -596,7 +623,8 @@ case class TxLogRelation(sqlContext: SQLContext, dir: String,
     * (carried on the relation from its creation parameters) applies
     * here too, so SQL-written segments stay skippable. */
   override def insert(data: DataFrame, overwrite: Boolean): Unit =
-    TxLogWriter.write(data, dir, overwrite, statsCols, checks, bloomCols)
+    TxLogWriter.write(data, dir, overwrite, statsCols, checks, bloomCols,
+      partitionCols)
 
   private def snapshotDf: DataFrame = snapshotPruned(_ => true, asOf)
 

@@ -219,6 +219,103 @@ class TxLogComposeSpec extends SparkSpec {
     assert(rel(dst).keptSegments(Array(f.EqualTo("grp", "s2"))).size === 2)
   }
 
+  test("OPTIMIZE over a converted-partitioned table: attached columns " +
+      "materialize; stats stay prunable") {
+    import spark.implicits._
+    val t = freshTable()
+    (0L until 40L).map(i => (i, s"g${i % 2}")).toDF("id", "grp")
+      .write.partitionBy("grp").mode("overwrite").parquet(t)
+    TxLog.convertPartitionedInPlace(spark, t, statsCols = Seq("id"))
+    TxLog.commitDeletes(Seq(3L).toDF("id"), t)                   // v1
+    val v = TxLog.compactMoR(spark, t, Seq("id"))                // v2
+    val live = TxLog.liveSegments(t, v)
+    assert(live.size === 1 && live.head.startsWith("compact__"))
+    // the fold read attached grp from the parts sidecars, so the
+    // compacted segment carries it PHYSICALLY — no parts sidecar
+    assert(TxLog.segmentParts(t, live.head).isEmpty)
+    val snap = TxLog.snapshot(spark, t, v)
+    assert(snap.columns.toSet === Set("id", "grp"))
+    assert(snap.count() === 39L)
+    assert(snap.filter(col("grp") === "g1").count() === 19L) // id 3 died
+    // the carried stats union collapses the per-segment points into a
+    // (sound) range: an out-of-domain probe still prunes
+    val kept = rel(t).keptSegments(Array(f.EqualTo("grp", "zzz")))
+    assert(kept.isEmpty,
+      "the compacted segment's carried grp range must still prune")
+    assert(rel(t).keptSegments(Array(f.EqualTo("grp", "g1"))).size === 1)
+  }
+
+  test("native partitioned writes: one segment per value behind one " +
+      "commit; scans prune by partition") {
+    import spark.implicits._
+    val t = freshTable()
+    val df = (0L until 30L).map(i => (i, s"g${i % 3}")).toDF("id", "grp")
+    df.write.format(fmt).option("partitionBy", "grp")
+      .option("statsCols", "id")
+      .mode(org.apache.spark.sql.SaveMode.Append).save(t)        // v0
+    assert(TxLog.versions(t) === Seq(0),
+      "all partition values land behind ONE commit")
+    val live0 = TxLog.liveSegments(t, 0)
+    assert(live0.size === 3 &&
+      live0.forall(_.matches("write__seg000000p\\d+")), s"got $live0")
+    assert(live0.forall(s => TxLog.segmentParts(t, s).isDefined))
+    // the snapshot attaches the partition column back
+    val snap = TxLog.snapshot(spark, t, 0)
+    assert(snap.columns.toSet === Set("id", "grp"))
+    assert(snap.filter(col("grp") === "g2").count() === 10L)
+    // a second append partitions independently; the probe prunes to
+    // exactly the probed value's segments ACROSS versions
+    df.filter(col("id") < 9L).write.format(fmt)
+      .option("partitionBy", "grp").option("statsCols", "id")
+      .mode(org.apache.spark.sql.SaveMode.Append).save(t)        // v1
+    val r = rel(t)
+    assert(r.keptSegments(Array(f.EqualTo("grp", "g1"))).size === 2)
+    assert(r.keptSegments(Array(f.EqualTo("grp", "zzz"))).isEmpty)
+    // data stays correct through the layout
+    assert(TxLog.snapshot(spark, t, 1).count() === 39L)
+    // overwrite = logical truncate, still partitioned
+    df.filter(col("id") < 3L).write.format(fmt)
+      .option("partitionBy", "grp")
+      .mode(org.apache.spark.sql.SaveMode.Overwrite).save(t)     // v2
+    val snap2 = TxLog.snapshot(spark, t, 2)
+    assert(snap2.count() === 3L)
+    assert(TxLog.liveSegments(t, 2)
+      .forall(_.matches("write__seg000002p\\d+")))
+  }
+
+  test("partitioned appendBatch: per-value segments, exactly-once " +
+      "redelivery, empty-batch fallback") {
+    import spark.implicits._
+    val t = freshTable()
+    val b0 = Seq((1L, "a"), (2L, "b")).toDF("id", "grp")
+    assert(TxLog.appendBatch(b0, 0L, t, partitionCols = Seq("grp")))
+    val live = TxLog.liveSegments(t, 0)
+    assert(live.sorted === Seq("batch__000000p0", "batch__000000p1"))
+    // a redelivery of the SAME batch id is recognized by the p-prefix
+    // ledger and skipped — no new version, no double rows
+    assert(!TxLog.appendBatch(b0, 0L, t, partitionCols = Seq("grp")))
+    assert(TxLog.versions(t) === Seq(0))
+    // an EMPTY batch still records its id (plain-segment fallback,
+    // schema preserved) and its redelivery is skipped too
+    assert(TxLog.appendBatch(b0.filter(col("id") < 0L), 1L, t,
+      partitionCols = Seq("grp")))
+    assert(TxLog.liveSegments(t, 1).contains("batch__000001"))
+    assert(!TxLog.appendBatch(b0.filter(col("id") < 0L), 1L, t,
+      partitionCols = Seq("grp")))
+    val snap = TxLog.snapshot(spark, t, TxLog.latestVersion(t).get)
+    assert(snap.count() === 2L)
+    assert(snap.columns.toSet === Set("id", "grp"))
+    // null partition values are refused loudly, and the failed batch
+    // commits nothing
+    val vsBefore = TxLog.versions(t)
+    val bad = intercept[IllegalArgumentException](
+      TxLog.appendBatch(Seq((9L, null: String)).toDF("id", "grp"), 2L, t,
+        partitionCols = Seq("grp")))
+    assert(bad.getMessage.contains("null partitions are not supported") ||
+      bad.getMessage.contains("NULL value"))
+    assert(TxLog.versions(t) === vsBefore)
+  }
+
   test("widened schema rides SHALLOW CLONE") {
     import spark.implicits._
     val t = freshTable()
