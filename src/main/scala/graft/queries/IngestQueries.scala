@@ -4709,11 +4709,94 @@ object IngestQueries {
       FROM t GROUP BY o_orderstatus
       ORDER BY o_orderstatus"""))
 
+  /** Dynamic partition overwrite on the txlog format — e22's
+    * partition-granular backfill re-expressed in the segment algebra
+    * and made TRANSACTIONAL: `INSERT OVERWRITE` under
+    * `partitionOverwriteMode 'dynamic'` retires ONLY the live
+    * segments whose recorded partition values the batch wrote
+    * (untouched partitions survive byte-identical — same inodes, same
+    * segment names, fixture-required) and lands the replacements in
+    * the SAME atomic commit, so no reader ever sees a half-replaced
+    * table and the pre-overwrite version stays time-travelable
+    * (plain-parquet dynamic overwrite offers neither). A live
+    * unpartitioned segment refuses the verb loudly (it could hold
+    * replaced-partition rows the overwrite would duplicate); an empty
+    * batch replaces nothing and commits nothing. At 100 TB this is
+    * THE backfill primitive: reprocess one day/source and swap it in
+    * atomically. */
+  val e73 = QueryDef(
+    "e73_partition_overwrite",
+    (sp, dir) => {
+      import graft.Dsl.moneySum
+      import graft.sources.TxLog
+      val fmt = "graft.sources.txlog"
+      val fp = IngestFixtures.fingerprint(s"$dir/orders.parquet")
+      val store = IngestFixtures.path(s"e73_store_$fp")
+      val tbl = s"graft_e73_orders_$fp"
+      IngestFixtures.once(s"e73_$fp") {
+        import scala.reflect.io.Directory
+        new Directory(new java.io.File(store)).deleteRecursively()
+        val orders = Tables(sp, dir, "orders")
+          .select(col("o_orderkey"), col("o_orderstatus"),
+            col("o_totalprice"))
+        orders.createOrReplaceTempView("e73_orders_src")
+        orders.coalesce(4).write.format(fmt)
+          .option("partitionBy", "o_orderstatus")
+          .option("statsCols", "o_orderkey")
+          .mode(org.apache.spark.sql.SaveMode.Append).save(store)  // v0
+        sp.sql(s"DROP TABLE IF EXISTS $tbl")
+        sp.sql(s"CREATE TABLE $tbl USING `graft-txlog` OPTIONS " +
+          s"(path '$store', keyCols 'o_orderkey', " +
+          "partitionBy 'o_orderstatus', " +
+          "partitionOverwriteMode 'dynamic', statsCols 'o_orderkey')")
+        val untouched = TxLog.liveSegments(store, 0).filter(s =>
+          TxLog.segmentParts(store, s)
+            .exists(_.exists(p => p._1 == "o_orderstatus" &&
+              p._2 != "F")))
+        // the backfill: partition F re-lands holding only every third
+        // key — one atomic partition swap (the 100 TB reprocess verb)
+        sp.sql(s"""INSERT OVERWRITE TABLE $tbl                      -- v1
+          SELECT o_orderkey, o_totalprice, o_orderstatus
+          FROM e73_orders_src
+          WHERE o_orderstatus = 'F' AND o_orderkey % 3 = 0""")
+        require(TxLog.versions(store) == Seq(0, 1),
+          "e73: the backfill must be ONE commit")
+        val live1 = TxLog.liveSegments(store, 1)
+        require(untouched.forall(live1.contains),
+          "e73: untouched partitions must survive under their " +
+            "original segments")
+      }
+      def agg(df: org.apache.spark.sql.DataFrame, probe: String) = df
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n_rows"),
+          moneySum(col("o_totalprice")).as("sum_price"))
+        .withColumn("probe", lit(probe))
+      agg(sp.table(tbl), "backfilled")
+        .unionByName(agg(
+          sp.sql(s"SELECT * FROM $tbl VERSION AS OF 0"), "v0"))
+        .select("probe", "o_orderstatus", "n_rows", "sum_price")
+        .orderBy("probe", "o_orderstatus")
+    },
+    Some("""
+      WITH sections AS (
+        SELECT 'backfilled' AS probe, o_orderstatus, o_totalprice
+        FROM orders WHERE o_orderstatus <> 'F'
+        UNION ALL
+        SELECT 'backfilled', o_orderstatus, o_totalprice
+        FROM orders WHERE o_orderstatus = 'F' AND o_orderkey % 3 = 0
+        UNION ALL
+        SELECT 'v0', o_orderstatus, o_totalprice FROM orders)
+      SELECT probe, o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n_rows,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+          AS sum_price
+      FROM sections GROUP BY probe, o_orderstatus
+      ORDER BY probe, o_orderstatus"""))
+
   val defs: Seq[QueryDef] =
     Seq(e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11, e12, e13,
       e14, e15, e16, e17, e18, e19, e20, e21, e22, e23, e24, e25, e26,
       e27, e28, e29, e30, e31, e32, e33, e34, e35, e36, e37, e38, e39,
       e40, e41, e42, e43, e44, e45, e46, e47, e48, e49, e50, e51, e52,
       e53, e54, e55, e56, e57, e58, e59, e60, e61, e62, e63, e64, e65,
-      e66, e67, e68, e69, e70, e71, e72)
+      e66, e67, e68, e69, e70, e71, e72, e73)
 }

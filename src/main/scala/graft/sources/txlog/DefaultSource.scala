@@ -172,7 +172,9 @@ class DefaultSource extends RelationProvider
     // the insert without a manual REFRESH TABLE.
     TxLogRelation(sqlContext, dir, pinned, keyCols, mergeSchema,
       statsColsOf(parameters), TxLogChecks.parse(parameters),
-      bloomColsOf(parameters), partitionByOf(parameters))
+      bloomColsOf(parameters), partitionByOf(parameters),
+      dynamicOpt = parameters.get("partitionOverwriteMode")
+        .map(_.trim.equalsIgnoreCase("dynamic")))
   }
 
   private def statsColsOf(parameters: Map[String, String]): Seq[String] =
@@ -189,6 +191,19 @@ class DefaultSource extends RelationProvider
     parameters.get("partitionBy")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
       .getOrElse(Seq.empty)
+
+  /** Dynamic partition overwrite opt-in: the writer/table option
+    * wins; else Spark's own session conf (the knob e22's plain-parquet
+    * flow already uses), so `INSERT OVERWRITE` under
+    * `spark.sql.sources.partitionOverwriteMode=dynamic` behaves the
+    * same against this format. */
+  private[txlog] def dynamicOverwriteOf(sqlContext: SQLContext,
+      parameters: Map[String, String]): Boolean =
+    parameters.get("partitionOverwriteMode")
+      .map(_.trim.equalsIgnoreCase("dynamic"))
+      .getOrElse(sqlContext.sparkSession.conf
+        .get("spark.sql.sources.partitionOverwriteMode", "static")
+        .equalsIgnoreCase("dynamic"))
 
   /** `df.write.format("graft.sources.txlog").mode(…).save(dir)`: the
     * batch lands as ONE segment behind one atomic manifest commit (the
@@ -214,13 +229,14 @@ class DefaultSource extends RelationProvider
     val checks = TxLogChecks.parse(parameters)
     val blooms = bloomColsOf(parameters)
     val parts = partitionByOf(parameters)
+    val dyn = dynamicOverwriteOf(sqlContext, parameters)
     mode match {
       case SaveMode.Append =>
         TxLogWriter.write(data, dir, overwrite = false, statsCols, checks,
           blooms, parts)
       case SaveMode.Overwrite =>
         TxLogWriter.write(data, dir, overwrite = true, statsCols, checks,
-          blooms, parts)
+          blooms, parts, dyn)
       case SaveMode.ErrorIfExists =>
         require(!exists, s"txlog table $dir already has commits " +
           "(SaveMode.ErrorIfExists)")
@@ -245,7 +261,8 @@ private[txlog] object TxLogWriter {
       statsCols: Seq[String] = Seq.empty,
       checks: Seq[String] = Seq.empty,
       bloomCols: Seq[String] = Seq.empty,
-      partitionCols: Seq[String] = Seq.empty): Unit = {
+      partitionCols: Seq[String] = Seq.empty,
+      dynamicOverwrite: Boolean = false): Unit = {
     new java.io.File(dir).mkdirs()
     val base = f"write__seg${TxLog.versions(dir).size}%06d"
     // `partitionBy` option: NATIVE table partitioning — the batch
@@ -270,10 +287,52 @@ private[txlog] object TxLogWriter {
       TxLog.writeSegmentStats(data.sparkSession, dir, base, statsCols)
       TxLog.writeSegmentBlooms(data.sparkSession, dir, base, bloomCols)
     }
-    val removes =
+    val dynamic =
+      overwrite && partitionCols.nonEmpty && dynamicOverwrite
+    if (dynamic && segs == Seq(base) &&
+        TxLog.segmentParts(dir, base).isEmpty) {
+      // dynamic overwrite with an EMPTY batch replaces nothing — and
+      // committing the plain fallback segment would poison the fully-
+      // partitioned invariant later overwrites rely on: remove the
+      // staged empty segment and no-op
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+        f.delete(); ()
+      }
+      rm(new java.io.File(dir, base))
+      java.nio.file.Files.deleteIfExists(
+        java.nio.file.Paths.get(dir, "_txlog", s"stats-$base.json"))
+      java.nio.file.Files.deleteIfExists(
+        java.nio.file.Paths.get(dir, "_txlog", s"bloom-$base.json"))
+      return
+    }
+    val live =
       if (!overwrite) Seq.empty[String]
       else TxLog.latestVersion(dir)
         .map(v => TxLog.liveSegments(dir, v)).getOrElse(Seq.empty)
+    val removes =
+      if (!dynamic) live // static overwrite = logical truncate
+      else {
+        // DYNAMIC partition overwrite: retire ONLY the live data
+        // segments whose recorded partition values the batch wrote —
+        // untouched partitions survive byte-identical (same inodes),
+        // and the whole replacement is one atomic commit. Every live
+        // data segment must be attributable to a partition: an
+        // unpartitioned segment could hold replaced-partition rows
+        // the overwrite would otherwise silently duplicate.
+        val written = segs.flatMap(s => TxLog.segmentParts(dir, s))
+          .map(_.map(p => (p._1, p._2)).toSet).distinct
+        val dataLive =
+          live.filterNot(_.startsWith(s"${TxLog.DeletesFamily}__"))
+        val unattributed =
+          dataLive.filter(s => TxLog.segmentParts(dir, s).isEmpty)
+        require(unattributed.isEmpty,
+          s"dynamic partition overwrite on $dir: live segments " +
+            s"$unattributed carry no partition metadata — the table " +
+            "must be fully partitioned (rewrite or OPTIMIZE first)")
+        dataLive.filter(s => written.contains(
+          TxLog.segmentParts(dir, s).get.map(p => (p._1, p._2)).toSet))
+      }
     TxLog.commit(dir, adds = segs, removes = removes)
     ()
   }
@@ -599,7 +658,8 @@ case class TxLogRelation(sqlContext: SQLContext, dir: String,
     pinnedAsOf: Option[Int], keyCols: Option[Seq[String]],
     mergeSchema: Boolean = false, statsCols: Seq[String] = Seq.empty,
     checks: Seq[String] = Seq.empty, bloomCols: Seq[String] = Seq.empty,
-    partitionCols: Seq[String] = Seq.empty)
+    partitionCols: Seq[String] = Seq.empty,
+    dynamicOpt: Option[Boolean] = None)
     extends BaseRelation with PrunedFilteredScan with InsertableRelation {
 
   /** The version a use of this relation reads: the pinned one (time
@@ -624,7 +684,12 @@ case class TxLogRelation(sqlContext: SQLContext, dir: String,
     * here too, so SQL-written segments stay skippable. */
   override def insert(data: DataFrame, overwrite: Boolean): Unit =
     TxLogWriter.write(data, dir, overwrite, statsCols, checks, bloomCols,
-      partitionCols)
+      partitionCols,
+      // table option wins; else the session conf AT WRITE TIME (the
+      // same knob Spark's own partitioned sources honor)
+      dynamicOpt.getOrElse(sqlContext.sparkSession.conf
+        .get("spark.sql.sources.partitionOverwriteMode", "static")
+        .equalsIgnoreCase("dynamic")))
 
   private def snapshotDf: DataFrame = snapshotPruned(_ => true, asOf)
 

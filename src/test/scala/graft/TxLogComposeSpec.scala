@@ -316,6 +316,55 @@ class TxLogComposeSpec extends SparkSpec {
     assert(TxLog.versions(t) === vsBefore)
   }
 
+  test("dynamic partition overwrite: only touched partitions replaced, " +
+      "atomically, history intact") {
+    import spark.implicits._
+    val t = freshTable()
+    val df = (0L until 30L).map(i => (i, s"g${i % 3}")).toDF("id", "grp")
+    df.write.format(fmt).option("partitionBy", "grp")
+      .mode(org.apache.spark.sql.SaveMode.Append).save(t)        // v0
+    val untouched0 = TxLog.liveSegments(t, 0).filter(s =>
+      TxLog.segmentParts(t, s).exists(_.exists(p => p._2 != "g1")))
+    // replace ONLY g1 with a 2-row backfill
+    Seq((100L, "g1"), (101L, "g1")).toDF("id", "grp")
+      .write.format(fmt).option("partitionBy", "grp")
+      .option("partitionOverwriteMode", "dynamic")
+      .mode(org.apache.spark.sql.SaveMode.Overwrite).save(t)     // v1
+    assert(TxLog.versions(t) === Seq(0, 1))
+    val snap = TxLog.snapshot(spark, t, 1)
+    assert(snap.count() === 22L, "20 untouched + 2 backfilled")
+    assert(snap.filter(col("grp") === "g1").collect()
+      .map(_.getLong(0)).sorted.toSeq === Seq(100L, 101L))
+    assert(snap.filter(col("grp") === "g0").count() === 10L)
+    // untouched partitions survive under their ORIGINAL segment names
+    val live1 = TxLog.liveSegments(t, 1)
+    assert(untouched0.forall(live1.contains),
+      "untouched partitions' segments must survive the overwrite")
+    // the pre-overwrite version stays readable (one atomic commit)
+    assert(TxLog.snapshot(spark, t, 0).count() === 30L)
+    // an EMPTY dynamic overwrite replaces nothing and commits nothing
+    df.filter(col("id") < 0L).write.format(fmt)
+      .option("partitionBy", "grp")
+      .option("partitionOverwriteMode", "dynamic")
+      .mode(org.apache.spark.sql.SaveMode.Overwrite).save(t)
+    assert(TxLog.versions(t) === Seq(0, 1), "empty dynamic = no-op")
+    // static overwrite stays the logical truncate
+    Seq((7L, "g0")).toDF("id", "grp").write.format(fmt)
+      .option("partitionBy", "grp")
+      .mode(org.apache.spark.sql.SaveMode.Overwrite).save(t)     // v2
+    assert(TxLog.snapshot(spark, t, 2).count() === 1L)
+    // a table holding UNPARTITIONED segments refuses dynamic overwrite
+    val t2 = freshTable()
+    Seq((1L, "g0")).toDF("id", "grp").write.format(fmt)
+      .mode(org.apache.spark.sql.SaveMode.Append).save(t2)       // plain
+    val e = intercept[IllegalArgumentException](
+      Seq((2L, "g0")).toDF("id", "grp").write.format(fmt)
+        .option("partitionBy", "grp")
+        .option("partitionOverwriteMode", "dynamic")
+        .mode(org.apache.spark.sql.SaveMode.Overwrite).save(t2))
+    assert(e.getMessage.contains("no partition metadata"))
+  }
+
   test("widened schema rides SHALLOW CLONE") {
     import spark.implicits._
     val t = freshTable()
