@@ -69,7 +69,8 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
   // DESCRIBE over a real table named HISTORY) delegates untouched.
 
   private val OptimizeRe =
-    """(?is)\s*OPTIMIZE\s+([\w.`]+)(?:\s+ZORDER\s+BY\s*\(([^)]+)\))?\s*;?\s*""".r
+    ("""(?is)\s*OPTIMIZE\s+([\w.`]+)(?:\s+WHERE\s+(.+?))?""" +
+      """(?:\s+ZORDER\s+BY\s*\(([^)]+)\))?\s*;?\s*""").r
   private val VacuumRe =
     """(?is)\s*VACUUM\s+([\w.`]+?)(?:\s+RETAIN\s+(\d+)\s+VERSIONS)?\s*;?\s*""".r
   private val HistoryRe =
@@ -109,10 +110,11 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
           }
         }
       case _ => (sqlText match {
-        case OptimizeRe(ident, zorder) => Some((ident, (ti: TableIdentifier) =>
-          GraftTxLogOptimize(ti, Option(zorder).toSeq.flatMap(
-            _.split(",").map(_.trim.stripPrefix("`").stripSuffix("`"))
-              .filter(_.nonEmpty)))))
+        case OptimizeRe(ident, where, zorder) =>
+          Some((ident, (ti: TableIdentifier) =>
+            GraftTxLogOptimize(ti, Option(zorder).toSeq.flatMap(
+              _.split(",").map(_.trim.stripPrefix("`").stripSuffix("`"))
+                .filter(_.nonEmpty)), Option(where))))
         case VacuumRe(ident, retain) => Some((ident,
           (ti: TableIdentifier) => GraftTxLogVacuum(ti,
             Option(retain).map(_.toInt))))
@@ -531,16 +533,52 @@ private[plans] object TxLogDml {
   * most row groups; always a rewrite (never a no-op), stats
   * recomputed for tracked ∪ zorder columns. */
 case class GraftTxLogOptimize(ident: TableIdentifier,
-    zorderCols: Seq[String] = Seq.empty) extends LeafRunnableCommand {
+    zorderCols: Seq[String] = Seq.empty,
+    where: Option[String] = None) extends LeafRunnableCommand {
   import org.apache.spark.sql.catalyst.expressions.AttributeReference
   import org.apache.spark.sql.types.{IntegerType, StringType}
   override val output: Seq[org.apache.spark.sql.catalyst.expressions.Attribute] =
     Seq(AttributeReference("family", StringType, nullable = false)(),
       AttributeReference("version", IntegerType, nullable = false)())
+
+  /** `WHERE` conjuncts as (partitionColumn, literal value) pairs —
+    * Delta's rule: partition predicates only, equality conjunctions,
+    * everything else refused loudly (a row predicate cannot scope a
+    * segment-granular fold). */
+  private def predPairs(session: SparkSession): Seq[(String, String)] = {
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+    import org.apache.spark.sql.catalyst.expressions.{And, EqualTo, Literal}
+    def walk(e: Expression): Seq[(String, String)] = e match {
+      case And(l, r) => walk(l) ++ walk(r)
+      case EqualTo(a: UnresolvedAttribute, l: Literal) =>
+        Seq(a.nameParts.last -> l.value.toString)
+      case EqualTo(l: Literal, a: UnresolvedAttribute) =>
+        Seq(a.nameParts.last -> l.value.toString)
+      case other => throw new IllegalArgumentException(
+        s"OPTIMIZE ${ident.table} WHERE: only conjunctions of " +
+          s"<partitionColumn> = <literal> are supported, got ${other.sql}")
+    }
+    walk(session.sessionState.sqlParser.parseExpression(where.get))
+  }
+
   override def run(session: SparkSession): Seq[Row] = {
     val meta = session.sessionState.catalog.getTableMetadata(ident)
     val dir = GraftSqlParser.localPath(meta)
-    if (zorderCols.isEmpty) {
+    if (where.isDefined) {
+      // partition-scoped maintenance: fold only the hot leaves
+      require(zorderCols.isEmpty,
+        s"OPTIMIZE ${ident.table}: ZORDER BY cannot be combined with " +
+          "WHERE — zorder is a whole-table layout")
+      val keys = TxLogDml.keyColsOf(meta,
+        GraftSqlParser.asOfRead(session, meta, asOf = null))
+      val folded = TxLog.compactPartitionsMoR(session, dir, keys,
+        predPairs(session))
+      if (folded.nonEmpty)
+        session.catalog.refreshTable(ident.quotedString)
+      folded.map { case (vals, v) =>
+        Row(vals.map(p => s"${p._1}=${p._2}").mkString("/"), v)
+      }
+    } else if (zorderCols.isEmpty) {
       val report = graft.operators.AnnIndex.maintainReport(session, dir,
         threshold = 1)
       if (report.compacted.nonEmpty)

@@ -4792,11 +4792,98 @@ object IngestQueries {
       FROM sections GROUP BY probe, o_orderstatus
       ORDER BY probe, o_orderstatus"""))
 
+  /** Partition-scoped SQL `OPTIMIZE … WHERE` — hot-leaf maintenance
+    * ([[graft.sources.TxLog.compactPartitionsMoR]]): fold ONLY the
+    * live segments whose recorded partition values satisfy the
+    * equality conjunction, per distinct value-set (one compacted
+    * segment per leaf, partition identity carried VERBATIM so dynamic
+    * overwrite's exact-value retirement keeps working), cold leaves'
+    * segments and inodes untouched. Tombstones are applied to the
+    * folded rows (version-aware MoR) but stay LIVE — they still mask
+    * the cold leaves' older segments. dataChange=false: streams step
+    * over the commit. At 100 TB the maintenance verb must be "fold
+    * the hot day", never "rewrite the table". Row predicates and
+    * ZORDER-with-WHERE are refused loudly; the verb is idempotent
+    * (a one-segment leaf folds to nothing). */
+  val e74 = QueryDef(
+    "e74_partition_optimize",
+    (sp, dir) => {
+      import graft.Dsl.moneySum
+      import graft.sources.TxLog
+      val fmt = "graft.sources.txlog"
+      val fp = IngestFixtures.fingerprint(s"$dir/orders.parquet")
+      val store = IngestFixtures.path(s"e74_store_$fp")
+      val tbl = s"graft_e74_orders_$fp"
+      IngestFixtures.once(s"e74_$fp") {
+        import scala.reflect.io.Directory
+        new Directory(new java.io.File(store)).deleteRecursively()
+        val orders = Tables(sp, dir, "orders")
+          .select(col("o_orderkey"), col("o_orderstatus"),
+            col("o_totalprice"))
+        def half(r: Long) = orders
+          .filter(pmod(col("o_orderkey"), lit(2L)) === r).coalesce(4)
+          .write.format(fmt).option("partitionBy", "o_orderstatus")
+          .option("statsCols", "o_orderkey")
+          .mode(org.apache.spark.sql.SaveMode.Append).save(store)
+        half(0L)                                                   // v0
+        half(1L)                                                   // v1
+        sp.sql(s"DROP TABLE IF EXISTS $tbl")
+        sp.sql(s"CREATE TABLE $tbl USING `graft-txlog` OPTIONS " +
+          s"(path '$store', keyCols 'o_orderkey', " +
+          "partitionBy 'o_orderstatus', statsCols 'o_orderkey')")
+        sp.sql(s"DELETE FROM $tbl WHERE o_orderkey % 6 = 2")       // v2
+        val folded = sp.sql(
+          s"OPTIMIZE $tbl WHERE o_orderstatus = 'F'").collect()   // v3
+        require(folded.map(_.getString(0)).toSeq ==
+          Seq("o_orderstatus=F"),
+          s"e74: exactly the F leaf folds, got ${folded.toSeq}")
+        // idempotent: the folded leaf is one segment already
+        require(sp.sql(s"OPTIMIZE $tbl WHERE o_orderstatus = 'F'")
+          .collect().isEmpty, "e74: re-OPTIMIZE must be a no-op")
+        // a row predicate cannot scope a segment-granular fold
+        val bad = scala.util.Try(sp.sql(
+          s"OPTIMIZE $tbl WHERE o_orderkey > 100").collect())
+        require(bad.isFailure,
+          "e74: a non-partition predicate must be refused loudly")
+      }
+      // disk facts into the hash: the hot leaf folded to ONE segment,
+      // a cold leaf still carries its two appends, tombstones live
+      val latest = TxLog.latestVersion(store).get
+      val live = TxLog.liveSegments(store, latest)
+      def leafSegs(v: String) = live.count(s =>
+        TxLog.segmentParts(store, s)
+          .exists(_.exists(p => p._1 == "o_orderstatus" && p._2 == v)))
+      val fSegs = leafSegs("F").toLong
+      val oSegs = leafSegs("O").toLong
+      val tombLive =
+        live.count(_.startsWith(s"${TxLog.DeletesFamily}__")).toLong
+      sp.table(tbl)
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n_rows"),
+          moneySum(col("o_totalprice")).as("sum_price"))
+        .withColumn("f_segs", lit(fSegs))
+        .withColumn("o_segs", lit(oSegs))
+        .withColumn("tomb_live", lit(tombLive))
+        .select("o_orderstatus", "n_rows", "sum_price", "f_segs",
+          "o_segs", "tomb_live")
+        .orderBy("o_orderstatus")
+    },
+    Some("""
+      SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n_rows,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+          AS sum_price,
+        CAST(1 AS BIGINT) AS f_segs,
+        CAST(2 AS BIGINT) AS o_segs,
+        CAST(1 AS BIGINT) AS tomb_live
+      FROM orders WHERE o_orderkey % 6 <> 2
+      GROUP BY o_orderstatus
+      ORDER BY o_orderstatus"""))
+
   val defs: Seq[QueryDef] =
     Seq(e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11, e12, e13,
       e14, e15, e16, e17, e18, e19, e20, e21, e22, e23, e24, e25, e26,
       e27, e28, e29, e30, e31, e32, e33, e34, e35, e36, e37, e38, e39,
       e40, e41, e42, e43, e44, e45, e46, e47, e48, e49, e50, e51, e52,
       e53, e54, e55, e56, e57, e58, e59, e60, e61, e62, e63, e64, e65,
-      e66, e67, e68, e69, e70, e71, e72, e73)
+      e66, e67, e68, e69, e70, e71, e72, e73, e74)
 }

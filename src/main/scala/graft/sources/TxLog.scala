@@ -537,6 +537,73 @@ object TxLog {
     commit(tableDir, adds = Seq(seg), removes = old, dataChange = false)
   }
 
+  /** PARTITION-SCOPED MoR OPTIMIZE — `OPTIMIZE t WHERE <partition
+    * predicate>`: compact only the live data segments whose recorded
+    * partition values satisfy every given (column = value) pair,
+    * leaving cold partitions' segments (and their inodes) untouched —
+    * at 100 TB the maintenance verb is "fold the hot day", never
+    * "rewrite the table". Segments fold PER DISTINCT partition
+    * value-set (one compacted segment per leaf, its `parts-` sidecar
+    * carried verbatim): folding across leaves would widen a segment's
+    * partition identity and silently break dynamic partition
+    * overwrite's exact value-set retirement. Tombstones are applied
+    * to the folded rows (version-aware MoR subtraction) but stay LIVE
+    * — they still mask every other partition's older segments; the
+    * folded segments commit at a newer version, so the applied
+    * tombstones no longer touch them. dataChange=false: the before-
+    * and after-snapshots hold the same rows, and incremental
+    * consumers step over the commit. Segments without partition
+    * metadata cannot be attributed and fail loudly. Returns one
+    * (partitionValues, committedVersion) per folded leaf — leaves
+    * already down to one segment are skipped (idempotent). */
+  def compactPartitionsMoR(spark: SparkSession, tableDir: String,
+      keyCols: Seq[String],
+      pred: Seq[(String, String)]): Seq[(Seq[(String, String)], Int)] = {
+    require(pred.nonEmpty, "compactPartitionsMoR needs at least one " +
+      "partition (column = value) pair")
+    val latest = latestVersion(tableDir)
+      .getOrElse(sys.error(s"OPTIMIZE on empty table $tableDir"))
+    val dataLive = liveSegments(tableDir, latest)
+      .filterNot(_.startsWith(s"${DeletesFamily}__"))
+    val withParts = dataLive.map(s => s -> segmentParts(tableDir, s))
+    val matched = withParts.filter { case (s, ps) =>
+      pred.forall { case (c, v) =>
+        ps.exists(_.exists(p => p._1 == c && p._2 == v)) }
+    }
+    // a predicate column missing from EVERY matched segment's
+    // metadata means the user named a non-partition column — refuse
+    // rather than silently folding nothing
+    val unattributed = withParts.collect {
+      case (s, None) => s
+    }
+    require(unattributed.isEmpty,
+      s"OPTIMIZE WHERE on $tableDir: segments $unattributed carry no " +
+        "partition metadata — partition-scoped maintenance needs a " +
+        "fully partitioned table")
+    matched.groupBy(_._2.get.map(p => (p._1, p._2)))
+      .toSeq.sortBy(_._1.map(_._2).mkString(" "))
+      .filter(_._2.size > 1) // a single-segment leaf is already folded
+      .map { case (vals, group) =>
+        val segs = group.map(_._1)
+        val seg = s"compact__seg${versions(tableDir).size}"
+        snapshotMoR(spark, tableDir, latest, keyCols,
+          keepSeg = segs.toSet)
+          .write.mode("overwrite").parquet(s"$tableDir/$seg")
+        // the leaf's partition identity carries verbatim (same values,
+        // same types — read from the first retired sidecar), and the
+        // range stats union keeps the folded segment prunable
+        val src = segmentParts(tableDir, segs.head).get
+        installSidecar(tableDir, s"parts-$seg.json",
+          s"""{"cols":[${src.map { case (c, v, t) =>
+            s"""{"name":"${jsonEsc(c)}","value":"${jsonEsc(v)}",""" +
+              s""""type":"$t"}""" }.mkString(",")}]}""")
+        mergeSegmentStats(tableDir, segs, seg)
+        val v = commit(tableDir, adds = Seq(seg), removes = segs,
+          dataChange = false)
+        (vals, v)
+      }
+  }
+
   /** Incremental-consumer read: the rows ADDED between `fromV`
     * (exclusive; −1 = since table creation) and `toV` (inclusive) —
     * the read half of the [[appendBatch]] write half, and the txlog
@@ -1209,14 +1276,26 @@ object TxLog {
     * columns — a later physical materialization of the column (a
     * compaction rewrote the rows) wins over the sidecar. */
   private def attachParts(df: DataFrame,
-      parts: Option[Seq[(String, String, String)]]): DataFrame =
+      parts: Option[Seq[(String, String, String)]]): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit, when}
     parts.fold(df)(_.foldLeft(df) { case (d, (c, v, t)) =>
       if (d.columns.contains(c)) d
-      else d.withColumn(c, t match {
-        case "long" => org.apache.spark.sql.functions.lit(v.toLong)
-        case _ => org.apache.spark.sql.functions.lit(v)
-      })
+      else {
+        // attached as NULLABLE even though the value never is: a
+        // compaction materializes the column physically (nullable,
+        // like any parquet read), and a catalog schema pinned NOT
+        // NULL at CREATE would refuse the relation after the first
+        // fold. The otherwise-less CaseWhen over a tautology is the
+        // one literal shape ANALYSIS types as nullable; the optimizer
+        // still folds it to the plain literal for execution.
+        val anchor = col(d.columns.head)
+        d.withColumn(c, when(anchor.isNotNull || anchor.isNull, t match {
+          case "long" => lit(v.toLong)
+          case _ => lit(v)
+        }))
+      }
     })
+  }
 
   // ---- schema widening: ALTER TABLE ADD COLUMN --------------------
   //

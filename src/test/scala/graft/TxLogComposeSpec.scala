@@ -365,6 +365,54 @@ class TxLogComposeSpec extends SparkSpec {
     assert(e.getMessage.contains("no partition metadata"))
   }
 
+  test("partition-scoped OPTIMIZE folds only the hot leaf; tombstones " +
+      "stay live; overwrite still retires the folded segment") {
+    import spark.implicits._
+    val t = freshTable()
+    val df = (0L until 30L).map(i => (i, s"g${i % 3}")).toDF("id", "grp")
+    df.write.format(fmt).option("partitionBy", "grp")
+      .mode(org.apache.spark.sql.SaveMode.Append).save(t)        // v0
+    df.filter(col("id") < 9L).write.format(fmt)
+      .option("partitionBy", "grp")
+      .mode(org.apache.spark.sql.SaveMode.Append).save(t)        // v1
+    TxLog.commitDeletes(Seq(4L, 10L).toDF("id"), t)              // v2
+    val coldBefore = TxLog.liveSegments(t, 2).filter(s =>
+      TxLog.segmentParts(t, s).exists(_.exists(p => p._2 == "g0")))
+    val folded = TxLog.compactPartitionsMoR(spark, t, Seq("id"),
+      Seq("grp" -> "g1"))                                        // v3
+    assert(folded.map(_._1) === Seq(Seq("grp" -> "g1")))
+    val live = TxLog.liveSegments(t, 3)
+    // cold leaves untouched, hot leaf now ONE segment, tombstone live
+    assert(coldBefore.forall(live.contains))
+    val g1Segs = live.filter(s => TxLog.segmentParts(t, s)
+      .exists(_.exists(p => p._2 == "g1")))
+    assert(g1Segs.size === 1, s"hot leaf must fold to one: $g1Segs")
+    assert(live.exists(_.startsWith("deletes__")),
+      "tombstones must stay live — they still mask the cold leaves")
+    // MoR correctness across the fold: 30 + 9 re-adds − the re-added
+    // duplicates are rows, not keys — count by data: ids 0..8 twice,
+    // 9..29 once, minus deletes (4 twice, 10 once) = 39 − 3
+    val snap = TxLog.snapshotMoR(spark, t, 3, Seq("id"))
+    assert(snap.count() === 36L)
+    assert(snap.filter(col("id").isin(4L, 10L)).isEmpty,
+      "deleted keys stay dead in folded AND unfolded leaves")
+    // idempotent: the folded leaf is one segment — nothing to do
+    assert(TxLog.compactPartitionsMoR(spark, t, Seq("id"),
+      Seq("grp" -> "g1")).isEmpty)
+    // dynamic overwrite still retires the folded leaf exactly (its
+    // partition identity survived the fold verbatim)
+    Seq((200L, "g1")).toDF("id", "grp").write.format(fmt)
+      .option("partitionBy", "grp")
+      .option("partitionOverwriteMode", "dynamic")
+      .mode(org.apache.spark.sql.SaveMode.Overwrite).save(t)
+    val after = TxLog.snapshotMoR(spark, t,
+      TxLog.latestVersion(t).get, Seq("id"))
+    assert(after.filter(col("grp") === "g1").collect()
+      .map(_.getLong(0)).toSeq === Seq(200L))
+    assert(after.filter(col("grp") === "g0").count() === 13L,
+      "cold leaf g0 (10 + 3 re-added copies) untouched by it all")
+  }
+
   test("widened schema rides SHALLOW CLONE") {
     import spark.implicits._
     val t = freshTable()
