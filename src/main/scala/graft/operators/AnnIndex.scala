@@ -483,6 +483,51 @@ object AnnIndex {
     val plainTable = fams.forall(PlainTableFamilies)
     val compacted = Seq.newBuilder[(String, Int)]
     val skipped = Seq.newBuilder[(String, String)]
+    // PARTITIONED plain tables dispatch to the partition-PRESERVING
+    // whole-table fold: compactMoR/compactFamily would merge every
+    // leaf into one unpartitioned segment, silently destroying the
+    // partition identity dynamic overwrite and OPTIMIZE … WHERE
+    // depend on — routine maintenance must not break the layout verbs.
+    val liveData = TxLog.liveSegments(store, latest.get)
+      .filterNot(_.startsWith(s"${TxLog.DeletesFamily}__"))
+    val attributed = liveData.filter(s =>
+      TxLog.segmentParts(store, s).isDefined)
+    if (plainTable && attributed.nonEmpty) {
+      if (attributed.size < liveData.size)
+        skipped += "partitioned" -> ("the table mixes partition-" +
+          "attributed and plain segments: run OPTIMIZE … REPARTITION " +
+          "BY (or TxLog.repartitionTable) to migrate the plain " +
+          "segments, then OPTIMIZE folds per leaf")
+      else {
+        val delSegs = TxLog.familySegments(store, TxLog.DeletesFamily)
+        val keySets = delSegs
+          .map(s => sp.read.parquet(s"$store/$s").schema.fieldNames.toSeq)
+          .distinct
+        if (keySets.size > 1)
+          skipped += "partitioned" -> ("tombstone key schemas disagree " +
+            s"($keySets): run TxLog.compactAllPartitionsMoR with " +
+            "explicit keys")
+        else {
+          // tombstone keys when tombstoned; else the partition columns
+          // (without tombstones the MoR fold never consults the keys)
+          val keys = keySets.headOption.getOrElse(
+            attributed.flatMap(s => TxLog.segmentParts(store, s)
+              .getOrElse(Seq.empty)).map(_._1).distinct)
+          val folded = TxLog.compactAllPartitionsMoR(sp, store, keys,
+            leafThreshold = threshold)
+          compacted ++= folded.map { case (vals, v) =>
+            (if (vals.isEmpty) "deletes"
+             else vals.map(p => s"${p._1}=${p._2}").mkString("/")) -> v
+          }
+        }
+      }
+      val report = MaintainReport(compacted.result(), skipped.result())
+      report.skipped.foreach { case (fam, why) =>
+        System.err.println(s"[graft.maintain] $store: family '$fam' " +
+          s"over threshold but SKIPPED — $why")
+      }
+      return report
+    }
     fams.foreach { fam =>
       // segment lists re-read FRESH per family: an earlier MoR fold in
       // this very loop may have retired tombstones or folded a sibling

@@ -71,6 +71,9 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
   private val OptimizeRe =
     ("""(?is)\s*OPTIMIZE\s+([\w.`]+)(?:\s+WHERE\s+(.+?))?""" +
       """(?:\s+ZORDER\s+BY\s*\(([^)]+)\))?\s*;?\s*""").r
+  private val RepartitionRe =
+    ("""(?is)\s*OPTIMIZE\s+([\w.`]+)\s+REPARTITION\s+BY""" +
+      """\s*\(([^)]+)\)\s*;?\s*""").r
   private val VacuumRe =
     """(?is)\s*VACUUM\s+([\w.`]+?)(?:\s+RETAIN\s+(\d+)\s+VERSIONS)?\s*;?\s*""".r
   private val HistoryRe =
@@ -110,6 +113,11 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
           }
         }
       case _ => (sqlText match {
+        case RepartitionRe(ident, cols) =>
+          Some((ident, (ti: TableIdentifier) =>
+            GraftTxLogRepartition(ti, cols.split(",")
+              .map(_.trim.stripPrefix("`").stripSuffix("`"))
+              .filter(_.nonEmpty).toSeq)))
         case OptimizeRe(ident, where, zorder) =>
           Some((ident, (ti: TableIdentifier) =>
             GraftTxLogOptimize(ti, Option(zorder).toSeq.flatMap(
@@ -198,6 +206,39 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
                 })
               case None => plan
             }
+          case _ => plan
+        }
+      case d: org.apache.spark.sql.catalyst.plans.logical.DropColumns =>
+        d.table match {
+          case u: org.apache.spark.sql.catalyst.analysis.UnresolvedTable =>
+            graftTable(u.multipartIdentifier) match {
+              case Some((ti, _)) => GraftTxLogDropColumns(ti,
+                d.columnsToDrop.map { c =>
+                  require(c.name.size == 1,
+                    s"ALTER TABLE ${ti.table} DROP COLUMNS: nested " +
+                      s"field '${c.name.mkString(".")}' — the format " +
+                      "stores rows, not cells; drop top-level columns " +
+                      "only")
+                  c.name.head
+                })
+              case None => plan
+            }
+          case _ => plan
+        }
+      case r: org.apache.spark.sql.catalyst.plans.logical.RenameColumn =>
+        r.table match {
+          case u: org.apache.spark.sql.catalyst.analysis.UnresolvedTable
+              if graftTable(u.multipartIdentifier).isDefined =>
+            // a graft-aware refusal naming the actual reason, instead
+            // of Spark's generic v1-table error: RENAME needs column
+            // mapping (segments store the old physical name forever),
+            // which the format does not implement
+            throw new UnsupportedOperationException(
+              "ALTER TABLE ... RENAME COLUMN is not supported on " +
+                "graft-txlog tables: committed segments store the " +
+                "column under its physical name and the format has no " +
+                "column-mapping layer — add a new column and backfill, " +
+                "or rewrite the table")
           case _ => plan
         }
       case m: MergeIntoTable =>
@@ -795,6 +836,10 @@ case class GraftTxLogAddColumns(ident: TableIdentifier,
     val dir = GraftSqlParser.localPath(meta)
     val existing = GraftSqlParser.asOfRead(session, meta, asOf = null)
       .schema.fields
+    // validate EVERY column first, then record them behind ONE atomic
+    // metadata write (widenSchemaAll) — a failure on a later column
+    // must never leave an earlier one half-recorded in widen.json
+    // while the catalog schema was never updated
     cols.foreach { case (n, dt) =>
       existing.find(_.name.equalsIgnoreCase(n)).foreach { f =>
         require(f.dataType == dt,
@@ -804,8 +849,8 @@ case class GraftTxLogAddColumns(ident: TableIdentifier,
         throw new IllegalArgumentException(
           s"ALTER TABLE ${ident.table}: column '$n' already exists")
       }
-      TxLog.widenSchema(dir, n, dt.sql)
     }
+    TxLog.widenSchemaAll(dir, cols.map { case (n, dt) => n -> dt.sql })
     // the catalog stores the CREATE-time schema and Spark verifies a
     // data-source relation against it — record the widened schema
     // there too (what AlterTableAddColumnsCommand does natively)
@@ -816,6 +861,106 @@ case class GraftTxLogAddColumns(ident: TableIdentifier,
         }))
     session.catalog.refreshTable(ident.quotedString)
     cols.map { case (n, dt) => Row(n, dt.sql) }
+  }
+}
+
+/** `ALTER TABLE <graft-txlog table> DROP COLUMN[S] (c, …)` — the O(1)
+  * reverse of ADD COLUMNS: the dropped names land as TABLE METADATA
+  * (`_meta/dropped.json` via [[TxLog.dropColumnsMeta]]), never a data
+  * rewrite — readers PROJECT the columns away after the snapshot, the
+  * bytes stay in the committed segments (reclaiming them is a rewrite
+  * plus vacuum, Delta's rule without column mapping). Re-ADDING a
+  * dropped name refuses loudly (pre-drop segments still hold the old
+  * values, which would silently resurrect). Key and partition columns
+  * refuse — the MoR anti-join and the layout verbs depend on them.
+  * Returns one row per dropped column. */
+case class GraftTxLogDropColumns(ident: TableIdentifier,
+    cols: Seq[String]) extends LeafRunnableCommand {
+  import org.apache.spark.sql.catalyst.expressions.AttributeReference
+  import org.apache.spark.sql.types.StringType
+  override val output: Seq[org.apache.spark.sql.catalyst.expressions.Attribute] =
+    Seq(AttributeReference("column", StringType, nullable = false)())
+  override def run(session: SparkSession): Seq[Row] = {
+    require(cols.nonEmpty, s"ALTER TABLE ${ident.table}: no columns to drop")
+    val meta = session.sessionState.catalog.getTableMetadata(ident)
+    val dir = GraftSqlParser.localPath(meta)
+    val rel = GraftSqlParser.asOfRead(session, meta, asOf = null)
+    val have = rel.columns.toSeq
+    val props = CaseInsensitiveMap(meta.storage.properties)
+    val keyCols = props.get("keyCols")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      .getOrElse(Seq.empty)
+    val partCols = props.get("partitionBy")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      .getOrElse(Seq.empty)
+    cols.foreach { n =>
+      require(have.exists(_.equalsIgnoreCase(n)),
+        s"ALTER TABLE ${ident.table}: column '$n' does not exist " +
+          s"(columns: ${have.mkString(", ")})")
+      require(!keyCols.exists(_.equalsIgnoreCase(n)),
+        s"ALTER TABLE ${ident.table}: column '$n' is a key column " +
+          "(keyCols option) — row-level deletes anti-join on it; " +
+          "change the table's keys before dropping it")
+      require(!partCols.exists(_.equalsIgnoreCase(n)),
+        s"ALTER TABLE ${ident.table}: column '$n' is a partition " +
+          "column — dropping it would strand the table's layout; " +
+          "repartition first")
+      require(have.count(c => !cols.exists(_.equalsIgnoreCase(c))) > 0,
+        s"ALTER TABLE ${ident.table}: cannot drop every column")
+    }
+    TxLog.dropColumnsMeta(dir, cols)
+    // alterTableSchema, not alterTableDataSchema: the latter refuses
+    // any schema that REMOVES a column (it exists for ADD), while the
+    // drop is exactly a removal (these tables carry no catalog-level
+    // partitioning, so full schema = data schema)
+    session.sessionState.catalog.alterTableSchema(ident,
+      org.apache.spark.sql.types.StructType(
+        meta.schema.fields.filterNot(f =>
+          cols.exists(_.equalsIgnoreCase(f.name)))))
+    session.catalog.refreshTable(ident.quotedString)
+    cols.map(Row(_))
+  }
+}
+
+/** `OPTIMIZE <graft-txlog table> REPARTITION BY (c1, …)` — the
+  * in-place plain→partitioned migration ([[TxLog.repartitionTable]]):
+  * every live UNATTRIBUTED data segment is rewritten into one segment
+  * per partition value behind ONE atomic dataChange=false commit, so
+  * the "fully partitioned" precondition of dynamic partition
+  * overwrite and `OPTIMIZE … WHERE` becomes reachable for adopted /
+  * legacy tables; already-attributed leaves (and their inodes) are
+  * untouched, and every pre-repartition version stays
+  * time-travelable. Returns one row per new leaf segment. */
+case class GraftTxLogRepartition(ident: TableIdentifier,
+    cols: Seq[String]) extends LeafRunnableCommand {
+  import org.apache.spark.sql.catalyst.expressions.AttributeReference
+  import org.apache.spark.sql.types.{IntegerType, StringType}
+  override val output: Seq[org.apache.spark.sql.catalyst.expressions.Attribute] =
+    Seq(AttributeReference("segment", StringType, nullable = false)(),
+      AttributeReference("partition", StringType, nullable = false)(),
+      AttributeReference("version", IntegerType, nullable = false)())
+  override def run(session: SparkSession): Seq[Row] = {
+    val meta = session.sessionState.catalog.getTableMetadata(ident)
+    val dir = GraftSqlParser.localPath(meta)
+    val keys = TxLogDml.keyColsOf(meta,
+      GraftSqlParser.asOfRead(session, meta, asOf = null))
+    TxLog.repartitionTable(session, dir, cols, keys) match {
+      case None => Seq.empty // already fully partitioned — idempotent
+      case Some((segs, v)) =>
+        // partition columns now surface LAST in the relation schema
+        // (the leaf data files physically lack them — the same
+        // convention as e72's native partitioned writes); the catalog
+        // pins the CREATE-time order and Spark verifies a data-source
+        // relation against it, so record the reordered schema
+        session.sessionState.catalog.alterTableDataSchema(ident,
+          GraftSqlParser.asOfRead(session, meta, asOf = null).schema)
+        session.catalog.refreshTable(ident.quotedString)
+        segs.map { seg =>
+          val vals = TxLog.segmentParts(dir, seg).getOrElse(Seq.empty)
+            .map(p => s"${p._1}=${p._2}").mkString("/")
+          Row(seg, vals, v)
+        }
+    }
   }
 }
 

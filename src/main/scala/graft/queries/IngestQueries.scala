@@ -4879,11 +4879,299 @@ object IngestQueries {
       GROUP BY o_orderstatus
       ORDER BY o_orderstatus"""))
 
+  /** `OPTIMIZE … REPARTITION BY` — the in-place plain→partitioned
+    * migration ([[graft.sources.TxLog.repartitionTable]]): a LEGACY
+    * table (plain appends, no partition metadata) cannot take dynamic
+    * partition overwrite — its unattributed segments could hold
+    * replaced-partition rows (e73's loud refusal). This verb rewrites
+    * exactly those segments into one segment per partition value
+    * behind ONE atomic dataChange=false commit (already-attributed
+    * leaves and their inodes untouched, every pre-migration version
+    * still time-travelable), making the fully-partitioned
+    * precondition reachable WITHOUT a table rewrite-and-reload. The
+    * fixture drives the whole story: plain appends → DELETE →
+    * refused dynamic overwrite (the refusal's hint names this verb) →
+    * REPARTITION → the same dynamic overwrite succeeds; the v0
+    * snapshot and the all-segments-attributed disk fact land in the
+    * hash. Tombstones are applied to the rewritten rows during the
+    * migration (version-aware MoR), so deleted keys stay dead. */
+  val e75 = QueryDef(
+    "e75_sql_repartition",
+    (sp, dir) => {
+      import graft.Dsl.moneySum
+      import graft.sources.TxLog
+      val fmt = "graft.sources.txlog"
+      val fp = IngestFixtures.fingerprint(s"$dir/orders.parquet")
+      val store = IngestFixtures.path(s"e75_store_$fp")
+      val tbl = s"graft_e75_orders_$fp"
+      IngestFixtures.once(s"e75_$fp") {
+        import scala.reflect.io.Directory
+        new Directory(new java.io.File(store)).deleteRecursively()
+        val orders = Tables(sp, dir, "orders")
+          .select(col("o_orderkey"), col("o_orderstatus"),
+            col("o_totalprice"))
+        orders.createOrReplaceTempView("e75_orders_src")
+        // the LEGACY shape: two plain (unattributed) appends
+        orders.filter(pmod(col("o_orderkey"), lit(2L)) === 0L)
+          .coalesce(4).write.format(fmt).option("statsCols", "o_orderkey")
+          .mode(org.apache.spark.sql.SaveMode.Append).save(store)  // v0
+        orders.filter(pmod(col("o_orderkey"), lit(2L)) === 1L)
+          .coalesce(4).write.format(fmt)
+          .mode(org.apache.spark.sql.SaveMode.Append).save(store)  // v1
+        sp.sql(s"DROP TABLE IF EXISTS $tbl")
+        sp.sql(s"CREATE TABLE $tbl USING `graft-txlog` OPTIONS " +
+          s"(path '$store', keyCols 'o_orderkey', " +
+          "partitionBy 'o_orderstatus', " +
+          "partitionOverwriteMode 'dynamic')")
+        sp.sql(s"DELETE FROM $tbl WHERE o_orderkey % 10 = 3")       // v2
+        // dynamic overwrite REFUSES the legacy layout, and the
+        // refusal names the verb that fixes it (positional columns in
+        // the PRE-migration order — the catalog still carries it)
+        val refused = scala.util.Try(sp.sql(
+          s"""INSERT OVERWRITE TABLE $tbl
+            SELECT o_orderkey, o_orderstatus, o_totalprice
+            FROM e75_orders_src
+            WHERE o_orderstatus = 'F' AND o_orderkey % 3 = 0"""))
+        require(refused.isFailure && refused.failed.get.getMessage
+            .contains("REPARTITION BY"),
+          "e75: the refusal must name the repartition verb, got " +
+            refused.failed.map(_.getMessage.take(300)).getOrElse(""))
+        val moved = sp.sql(
+          s"OPTIMIZE $tbl REPARTITION BY (o_orderstatus)").collect() // v3
+        require(moved.nonEmpty && moved.forall(_.getString(1)
+            .startsWith("o_orderstatus=")),
+          s"e75: one row per new leaf, got ${moved.toSeq}")
+        // idempotent: already fully partitioned
+        require(sp.sql(s"OPTIMIZE $tbl REPARTITION BY (o_orderstatus)")
+          .collect().isEmpty, "e75: re-REPARTITION must be a no-op")
+        // the blocked verb now works — one atomic partition swap
+        sp.sql(s"""INSERT OVERWRITE TABLE $tbl
+          SELECT o_orderkey, o_totalprice, o_orderstatus
+          FROM e75_orders_src
+          WHERE o_orderstatus = 'F' AND o_orderkey % 3 = 0""")      // v4
+      }
+      // disk fact into the hash: every live data segment attributed
+      val latest = TxLog.latestVersion(store).get
+      val attributed = TxLog.liveSegments(store, latest)
+        .filterNot(_.startsWith(s"${TxLog.DeletesFamily}__"))
+        .forall(s => TxLog.segmentParts(store, s).isDefined)
+      def agg(df: org.apache.spark.sql.DataFrame, probe: String) = df
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n_rows"),
+          moneySum(col("o_totalprice")).as("sum_price"))
+        .withColumn("probe", lit(probe))
+      agg(sp.table(tbl), "migrated")
+        .unionByName(agg(
+          sp.sql(s"SELECT * FROM $tbl VERSION AS OF 0"), "v0"))
+        .withColumn("all_attributed", lit(if (attributed) 1L else 0L))
+        .select("probe", "o_orderstatus", "n_rows", "sum_price",
+          "all_attributed")
+        .orderBy("probe", "o_orderstatus")
+    },
+    Some("""
+      WITH sections AS (
+        SELECT 'migrated' AS probe, o_orderstatus, o_totalprice
+        FROM orders
+        WHERE o_orderstatus <> 'F' AND o_orderkey % 10 <> 3
+        UNION ALL
+        SELECT 'migrated', o_orderstatus, o_totalprice
+        FROM orders
+        WHERE o_orderstatus = 'F' AND o_orderkey % 3 = 0
+        UNION ALL
+        SELECT 'v0', o_orderstatus, o_totalprice FROM orders
+        WHERE o_orderkey % 2 = 0)
+      SELECT probe, o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n_rows,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+          AS sum_price,
+        CAST(1 AS BIGINT) AS all_attributed
+      FROM sections GROUP BY probe, o_orderstatus
+      ORDER BY probe, o_orderstatus"""))
+
+  /** Byte-bounded streaming admission — `maxBytesPerTrigger`
+    * ([[graft.sources.txlog.TxLogSource]]): versions vary wildly in
+    * size, so e53's version-count cap alone cannot bound a
+    * micro-batch's memory; this caps each batch by the versions'
+    * recorded ON-DISK segment bytes (sizes memoized per immutable
+    * commit), admitting whole versions until the budget is spent —
+    * and the FIRST version always admits, so one oversized commit
+    * passes instead of stalling the stream forever (Delta's rule).
+    * The fixture writes two LARGE and two SMALL commits, sets the
+    * budget to exactly (small₁ + small₂ + 1) bytes read back from the
+    * manifest sizes, and drains under AvailableNow: the large commits
+    * each ride alone (oversized-pass), the two small ones coalesce
+    * into one batch — the batch→version mapping is INSIDE the hash.
+    * Then a checkpoint RESUME: one more commit drains as exactly one
+    * further batch, nothing replayed. */
+  val e76 = QueryDef(
+    "e76_stream_bytes_limit",
+    (sp, dir) => {
+      import graft.Dsl.moneySum
+      import graft.sources.TxLog
+      val fp = IngestFixtures.fingerprint(s"$dir/orders.parquet")
+      val store = IngestFixtures.path(s"e76_store_$fp")
+      val out = IngestFixtures.path(s"e76_out_$fp")
+      val ckpt = IngestFixtures.path(s"e76_ckpt_$fp")
+      IngestFixtures.once(s"e76_$fp") {
+        import scala.reflect.io.Directory
+        Seq(store, out, ckpt).foreach(p =>
+          new Directory(new java.io.File(p)).deleteRecursively())
+        Seq(store, out).foreach(p => new java.io.File(p).mkdirs())
+        val orders = Tables(sp, dir, "orders")
+          .select(col("o_orderkey"), col("o_orderstatus"),
+            col("o_totalprice"))
+        def part(p: org.apache.spark.sql.Column) =
+          orders.filter(p).coalesce(1)
+        val m = pmod(col("o_orderkey"), lit(8L))
+        TxLog.appendBatch(part(m < 4L), 0L, store)          // v0: LARGE
+        TxLog.appendBatch(part(m === 4L), 1L, store)        // v1: small
+        TxLog.appendBatch(part(m === 5L), 2L, store)        // v2: small
+        TxLog.appendBatch(part(m >= 6L), 3L, store)         // v3: LARGE
+        // the budget derives from the REAL manifest byte sizes: both
+        // small commits fit together, anything more does not
+        val budget = TxLog.versionAddedBytes(store, 1) +
+          TxLog.versionAddedBytes(store, 2) + 1
+        def drain(): Unit = withFewStatePartitions(sp, 8) {
+          val q = sp.readStream.format("graft.sources.txlog")
+            .option("maxBytesPerTrigger", budget.toString).load(store)
+            .writeStream
+            .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+              if (!b.isEmpty)
+                TxLog.appendBatch(
+                  b.withColumn("stream_batch", lit(id))
+                    .localCheckpoint(true), id, out)
+              ()
+            }
+            .option("checkpointLocation", ckpt)
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start()
+          q.awaitTermination()
+        }
+        drain()
+        require(TxLog.versions(out).size == 3,
+          "e76: LARGE/small+small/LARGE must drain as THREE batches, " +
+            s"got ${TxLog.versions(out).size}")
+        // checkpoint resume: one more commit, one more batch, no replay
+        TxLog.appendBatch(
+          orders.filter(pmod(col("o_orderkey"), lit(16L)) === 4L)
+            .coalesce(1), 4L, store)                        // v4
+        drain()
+        require(TxLog.versions(out).size == 4,
+          "e76: the resume must drain exactly the new commit, got " +
+            s"${TxLog.versions(out).size}")
+      }
+      val latest = TxLog.latestVersion(out)
+        .getOrElse(sys.error(s"e76: empty result table $out"))
+      TxLog.snapshot(sp, out, latest)
+        .groupBy(col("stream_batch").as("batch"), col("o_orderstatus"))
+        .agg(count(lit(1)).as("n_rows"),
+          moneySum(col("o_totalprice")).as("sum_price"))
+        .orderBy("batch", "o_orderstatus")
+    },
+    Some("""
+      WITH fed AS (
+        SELECT CASE WHEN o_orderkey % 8 < 4 THEN 0
+                 WHEN o_orderkey % 8 IN (4, 5) THEN 1
+                 ELSE 2 END AS batch,
+               o_orderstatus, o_totalprice
+        FROM orders
+        UNION ALL
+        SELECT 3, o_orderstatus, o_totalprice
+        FROM orders WHERE o_orderkey % 16 = 4)
+      SELECT CAST(batch AS BIGINT) AS batch, o_orderstatus,
+        CAST(COUNT(*) AS BIGINT) AS n_rows,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+          AS sum_price
+      FROM fed GROUP BY 1, 2 ORDER BY batch, o_orderstatus"""))
+
+  /** SQL `ALTER TABLE … DROP COLUMN` — widen.json's O(1) reverse
+    * ([[graft.sources.TxLog.dropColumnsMeta]]): the dropped names land
+    * as TABLE METADATA (`_meta/dropped.json`), never a data rewrite —
+    * readers PROJECT the column away after the snapshot (the bytes
+    * stay in the committed segments; reclaiming them is a rewrite
+    * plus vacuum, Delta's rule without column mapping). Post-drop
+    * positional INSERTs align against the narrowed schema; DML after
+    * the drop composes (DELETE across both generations); re-ADDING
+    * the dropped name refuses loudly (pre-drop segments still hold
+    * the old values, which would silently resurrect), and `RENAME
+    * COLUMN` refuses with a graft-aware message naming the missing
+    * column-mapping layer instead of Spark's generic v1 error. */
+  val e77 = QueryDef(
+    "e77_sql_drop_column",
+    (sp, dir) => {
+      import graft.Dsl.moneySum
+      val fmt = "graft.sources.txlog"
+      val fp = IngestFixtures.fingerprint(s"$dir/orders.parquet")
+      val store = IngestFixtures.path(s"e77_store_$fp")
+      val tbl = s"graft_e77_orders_$fp"
+      IngestFixtures.once(s"e77_$fp") {
+        import scala.reflect.io.Directory
+        new Directory(new java.io.File(store)).deleteRecursively()
+        val orders = Tables(sp, dir, "orders")
+          .select(col("o_orderkey"), col("o_orderstatus"),
+            col("o_totalprice"), col("o_custkey"))
+        orders.createOrReplaceTempView("e77_orders_src")
+        orders.filter(pmod(col("o_orderkey"), lit(2L)) === 0L)
+          .write.format(fmt)
+          .mode(org.apache.spark.sql.SaveMode.Append).save(store)  // v0
+        sp.sql(s"DROP TABLE IF EXISTS $tbl")
+        sp.sql(s"CREATE TABLE $tbl USING `graft-txlog` " +
+          s"OPTIONS (path '$store', keyCols 'o_orderkey')")
+        val droppedRows =
+          sp.sql(s"ALTER TABLE $tbl DROP COLUMN o_custkey").collect()
+        require(droppedRows.map(_.getString(0)).toSeq == Seq("o_custkey"),
+          s"e77: the drop must report the column, got " +
+            s"${droppedRows.toSeq}")
+        // the column is gone from reads immediately — O(1) metadata
+        require(!sp.table(tbl).columns.contains("o_custkey"),
+          "e77: the dropped column must disappear from the schema")
+        // a post-drop positional INSERT aligns against the NARROWED
+        // schema (three columns)
+        sp.sql(s"""INSERT INTO $tbl                                 -- v1
+          SELECT o_orderkey, o_orderstatus, o_totalprice
+          FROM e77_orders_src WHERE o_orderkey % 2 = 1""")
+        // DML after the drop applies across both generations
+        sp.sql(s"DELETE FROM $tbl WHERE o_orderkey % 9 = 0")        // v2
+        // re-ADDING the dropped name refuses: pre-drop segments still
+        // hold the old values, which would silently resurrect
+        val readd = scala.util.Try(sp.sql(
+          s"ALTER TABLE $tbl ADD COLUMNS (o_custkey BIGINT)").collect())
+        require(readd.isFailure && readd.failed.get.getMessage
+            .contains("DROPPED"),
+          "e77: re-adding a dropped column must refuse loudly")
+        // RENAME refuses with the graft-aware reason (column mapping)
+        val rename = scala.util.Try(sp.sql(
+          s"ALTER TABLE $tbl RENAME COLUMN o_totalprice TO price")
+          .collect())
+        require(rename.isFailure && rename.failed.get.getMessage
+            .contains("column-mapping"),
+          "e77: RENAME must refuse naming the missing column mapping")
+        // an already-dropped name refuses too
+        require(scala.util.Try(sp.sql(
+          s"ALTER TABLE $tbl DROP COLUMN o_custkey").collect()).isFailure,
+          "e77: double-drop must refuse")
+      }
+      sp.table(tbl)
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n_rows"),
+          moneySum(col("o_totalprice")).as("sum_price"))
+        .withColumn("n_cols", lit(sp.table(tbl).columns.length.toLong))
+        .select("o_orderstatus", "n_rows", "sum_price", "n_cols")
+        .orderBy("o_orderstatus")
+    },
+    Some("""
+      SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n_rows,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+          AS sum_price,
+        CAST(3 AS BIGINT) AS n_cols
+      FROM orders WHERE o_orderkey % 9 <> 0
+      GROUP BY o_orderstatus
+      ORDER BY o_orderstatus"""))
+
   val defs: Seq[QueryDef] =
     Seq(e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11, e12, e13,
       e14, e15, e16, e17, e18, e19, e20, e21, e22, e23, e24, e25, e26,
       e27, e28, e29, e30, e31, e32, e33, e34, e35, e36, e37, e38, e39,
       e40, e41, e42, e43, e44, e45, e46, e47, e48, e49, e50, e51, e52,
       e53, e54, e55, e56, e57, e58, e59, e60, e61, e62, e63, e64, e65,
-      e66, e67, e68, e69, e70, e71, e72, e73, e74)
+      e66, e67, e68, e69, e70, e71, e72, e73, e74, e75, e76, e77)
 }

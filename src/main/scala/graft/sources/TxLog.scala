@@ -497,6 +497,23 @@ object TxLog {
     // carry the retired segments' stats forward so the compacted
     // segment stays prunable — OPTIMIZE must not end data skipping
     mergeSegmentStats(tableDir, old, seg)
+    // partition attribution carries too when it is unambiguous: if
+    // EVERY folded data segment records the same partition value-set,
+    // the fold stays inside one leaf and its identity must survive
+    // (folding a single-leaf table must not demote it to
+    // unpartitioned). Mixed value-sets widen the identity and carry
+    // nothing — but whole-table folds of partitioned tables go
+    // through [[compactAllPartitionsMoR]], which never mixes leaves.
+    val oldParts = old.filterNot(_.startsWith(s"${DeletesFamily}__"))
+      .map(segmentParts(tableDir, _))
+    oldParts.filter(_.exists(_.nonEmpty)).map(_.get).distinct match {
+      case Seq(one) if oldParts.forall(_.isDefined) =>
+        installSidecar(tableDir, s"parts-$seg.json",
+          s"""{"cols":[${one.map { case (c, v, t) =>
+            s"""{"name":"${jsonEsc(c)}","value":"${jsonEsc(v)}",""" +
+              s""""type":"$t"}""" }.mkString(",")}]}""")
+      case _ => ()
+    }
     // maintenance, not data: the before- and after-snapshots hold the
     // same rows (tombstones applied physically), so incremental
     // consumers step over this commit instead of failing
@@ -570,38 +587,205 @@ object TxLog {
       pred.forall { case (c, v) =>
         ps.exists(_.exists(p => p._1 == c && p._2 == v)) }
     }
-    // a predicate column missing from EVERY matched segment's
-    // metadata means the user named a non-partition column — refuse
-    // rather than silently folding nothing
     val unattributed = withParts.collect {
       case (s, None) => s
     }
     require(unattributed.isEmpty,
       s"OPTIMIZE WHERE on $tableDir: segments $unattributed carry no " +
         "partition metadata — partition-scoped maintenance needs a " +
-        "fully partitioned table")
-    matched.groupBy(_._2.get.map(p => (p._1, p._2)))
+        "fully partitioned table (rewrite with option(partitionBy=…) " +
+        "or run OPTIMIZE … REPARTITION BY first)")
+    // a predicate naming a NON-PARTITION column would silently match
+    // nothing and return an empty fold — refuse it loudly instead:
+    // every predicate column must appear among the live segments'
+    // recorded partition columns
+    val recordedCols = withParts
+      .flatMap(_._2.toSeq.flatten.map(_._1)).toSet
+    val badCols = pred.map(_._1).filterNot(recordedCols)
+    require(badCols.isEmpty,
+      s"OPTIMIZE WHERE on $tableDir: ${badCols.distinct.mkString(", ")} " +
+        s"is not a partition column of the table (partition columns: " +
+        s"${recordedCols.toSeq.sorted.mkString(", ")}) — partition-" +
+        "scoped maintenance folds by partition value only")
+    val toFold = matched.groupBy(_._2.get.map(p => (p._1, p._2)))
       .toSeq.sortBy(_._1.map(_._2).mkString(" "))
       .filter(_._2.size > 1) // a single-segment leaf is already folded
-      .map { case (vals, group) =>
-        val segs = group.map(_._1)
-        val seg = s"compact__seg${versions(tableDir).size}"
-        snapshotMoR(spark, tableDir, latest, keyCols,
-          keepSeg = segs.toSet)
-          .write.mode("overwrite").parquet(s"$tableDir/$seg")
-        // the leaf's partition identity carries verbatim (same values,
-        // same types — read from the first retired sidecar), and the
-        // range stats union keeps the folded segment prunable
-        val src = segmentParts(tableDir, segs.head).get
-        installSidecar(tableDir, s"parts-$seg.json",
-          s"""{"cols":[${src.map { case (c, v, t) =>
-            s"""{"name":"${jsonEsc(c)}","value":"${jsonEsc(v)}",""" +
-              s""""type":"$t"}""" }.mkString(",")}]}""")
-        mergeSegmentStats(tableDir, segs, seg)
-        val v = commit(tableDir, adds = Seq(seg), removes = segs,
-          dataChange = false)
-        (vals, v)
+      .map { case (vals, group) => (vals, group.map(_._1)) }
+    // leaf folds touch DISJOINT segments, so their snapshot+write jobs
+    // submit CONCURRENTLY (a WHERE matching hundreds of leaves must
+    // not serialize hundreds of Spark jobs); the per-leaf COMMITS stay
+    // sequential in leaf order — each leaf is its own atomic manifest,
+    // a crash between two leaves the documented contract
+    val folded = foldLeavesConcurrently(spark, tableDir, latest, keyCols,
+      toFold)
+    folded.map { case (vals, seg, segs) =>
+      (vals, commit(tableDir, adds = Seq(seg), removes = segs,
+        dataChange = false))
+    }
+  }
+
+  /** Write one compacted segment PER LEAF, concurrently — the shared
+    * execution half of [[compactPartitionsMoR]] and
+    * [[compactAllPartitionsMoR]]: each leaf's merge-on-read snapshot
+    * (scoped to exactly its segments) lands as `compact__seg<base>p<i>`
+    * with the leaf's `parts-` sidecar carried VERBATIM and its range
+    * stats merged. The leaves' segment sets are disjoint by
+    * construction, so the Spark jobs are safely concurrent; nothing
+    * commits here — the caller owns the manifest(s). Returns
+    * (partitionValues, newSegment, retiredSegments) in leaf order. */
+  private def foldLeavesConcurrently(spark: SparkSession, tableDir: String,
+      latest: Int, keyCols: Seq[String],
+      leaves: Seq[(Seq[(String, String)], Seq[String])])
+      : Seq[(Seq[(String, String)], String, Seq[String])] = {
+    if (leaves.isEmpty) return Seq.empty
+    val base = versions(tableDir).size
+    val named = leaves.zipWithIndex.map { case ((vals, segs), i) =>
+      (vals, segs, s"compact__seg${base}p$i")
+    }
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.min(8, named.size))
+    try {
+      val tasks = named.map { case (vals, segs, seg) =>
+        pool.submit(new java.util.concurrent.Callable[Unit] {
+          def call(): Unit = {
+            snapshotMoR(spark, tableDir, latest, keyCols,
+              keepSeg = segs.toSet)
+              .write.mode("overwrite").parquet(s"$tableDir/$seg")
+            // the leaf's partition identity carries verbatim (same
+            // values, same types — read from the first retired
+            // sidecar), and the range stats union keeps the folded
+            // segment prunable
+            val src = segmentParts(tableDir, segs.head).get
+            installSidecar(tableDir, s"parts-$seg.json",
+              s"""{"cols":[${src.map { case (c, v, t) =>
+                s"""{"name":"${jsonEsc(c)}","value":"${jsonEsc(v)}",""" +
+                  s""""type":"$t"}""" }.mkString(",")}]}""")
+            mergeSegmentStats(tableDir, segs, seg)
+          }
+        })
       }
+      tasks.foreach(_.get()) // propagate the first failure
+    } finally pool.shutdown()
+    named.map { case (vals, segs, seg) => (vals, seg, segs) }
+  }
+
+  /** Whole-table OPTIMIZE for PARTITIONED tables — the partition-
+    * preserving fold: every leaf with more than `leafThreshold` live
+    * segments folds to ONE segment per leaf (its `parts-` sidecar
+    * carried verbatim), behind ONE atomic dataChange=false commit —
+    * never [[compactMoR]]'s single unpartitioned segment, which would
+    * destroy the partition identity dynamic overwrite and `OPTIMIZE …
+    * WHERE` depend on: routine maintenance must not break the layout
+    * verbs. Leaf folds run CONCURRENTLY (disjoint segments).
+    *
+    * Tombstones: when they apply (`leafThreshold <= 1` — an explicit
+    * OPTIMIZE — or the deletes family itself is over threshold, or
+    * some leaf folds anyway), every leaf a tombstone masks is folded
+    * too (the MoR subtraction lands physically) and the tombstones
+    * RETIRE in the same commit; unmasked-unfolded leaves are
+    * untouched, which retirement cannot affect. Zero-row empty-batch
+    * artifacts (empty `parts-` markers) retire opportunistically
+    * whenever a commit happens anyway. Unattributed segments refuse
+    * loudly, naming the repartition verb. Idempotent: a fully-folded
+    * tombstone-free table commits nothing and returns empty. Returns
+    * one (partitionValues, version) per folded leaf (all sharing the
+    * one commit's version), plus a `(Seq.empty, version)` marker when
+    * a commit happened with no leaf folds (tombstone/empty-artifact
+    * retirement only). */
+  def compactAllPartitionsMoR(spark: SparkSession, tableDir: String,
+      keyCols: Seq[String],
+      leafThreshold: Int = 1): Seq[(Seq[(String, String)], Int)] = {
+    require(leafThreshold >= 1, s"leafThreshold must be >= 1")
+    val latest = latestVersion(tableDir)
+      .getOrElse(sys.error(s"OPTIMIZE on empty table $tableDir"))
+    val (delSegs, dataSegs) = liveSegmentsWithVersion(tableDir, latest)
+      .partition(_._1.startsWith(s"${DeletesFamily}__"))
+    val withParts = dataSegs.map { case (s, v) =>
+      (s, v, segmentParts(tableDir, s)) }
+    val unattributed = withParts.collect { case (s, _, None) => s }
+    require(unattributed.isEmpty,
+      s"partitioned OPTIMIZE on $tableDir: segments $unattributed carry " +
+        "no partition metadata — rewrite with option(partitionBy=…) or " +
+        "run OPTIMIZE … REPARTITION BY first")
+    val empties = withParts.collect {
+      case (s, _, Some(ps)) if ps.isEmpty => s }
+    val groups = withParts
+      .collect { case (s, v, Some(ps)) if ps.nonEmpty => (s, v, ps) }
+      .groupBy(_._3.map(p => (p._1, p._2)))
+      .toSeq.sortBy(_._1.map(_._2).mkString(" "))
+    val over = groups.filter(_._2.size > leafThreshold).map(_._1).toSet
+    val masked = groups.filter(_._2.exists { case (_, v, _) =>
+      delSegs.exists(_._2 > v) }).map(_._1).toSet
+    val applyTomb = delSegs.nonEmpty &&
+      (leafThreshold <= 1 || delSegs.size > leafThreshold || over.nonEmpty)
+    val foldKeys = if (applyTomb) over ++ masked else over
+    val toFold = groups.filter(g => foldKeys(g._1))
+      .map { case (vals, group) => (vals, group.map(_._1)) }
+    val retiringTombs = if (applyTomb) delSegs.map(_._1) else Seq.empty
+    if (toFold.isEmpty && retiringTombs.isEmpty) return Seq.empty
+    val folded = foldLeavesConcurrently(spark, tableDir, latest, keyCols,
+      toFold)
+    val v = commit(tableDir,
+      adds = folded.map(_._2),
+      removes = folded.flatMap(_._3) ++ retiringTombs ++ empties,
+      dataChange = false)
+    if (folded.nonEmpty) folded.map { case (vals, _, _) => (vals, v) }
+    else Seq((Seq.empty, v))
+  }
+
+  /** In-place plain→partitioned migration — `OPTIMIZE … REPARTITION
+    * BY`: rewrite every live UNATTRIBUTED data segment (no `parts-`
+    * sidecar — plain writes, whole-table folds, adopted flat layouts)
+    * into one segment PER PARTITION VALUE behind ONE atomic
+    * dataChange=false commit, making the "fully partitioned"
+    * precondition of dynamic partition overwrite and `OPTIMIZE …
+    * WHERE` reachable for legacy tables. Already-attributed segments
+    * (and their inodes) are untouched — the verb rewrites exactly the
+    * segments that block the layout verbs, O(unattributed rows).
+    * Tombstones are applied to the rewritten rows (version-aware MoR —
+    * the new segments commit after every tombstone, so none can
+    * re-mask them) and stay LIVE for the untouched segments. Stats
+    * sidecars track the union of the retired segments' recorded
+    * columns plus the partition point ranges; partition column TYPES
+    * come from the data schema. Time travel to every pre-repartition
+    * version stays intact (old segments are retired, not deleted).
+    * Returns None when the table is already fully partitioned, else
+    * (newSegments, committedVersion). */
+  def repartitionTable(spark: SparkSession, tableDir: String,
+      partitionCols: Seq[String],
+      keyCols: Seq[String]): Option[(Seq[String], Int)] = {
+    require(partitionCols.nonEmpty,
+      "repartitionTable needs at least one partition column")
+    val latest = latestVersion(tableDir)
+      .getOrElse(sys.error(s"REPARTITION on empty table $tableDir"))
+    val dataLive = liveSegments(tableDir, latest)
+      .filterNot(_.startsWith(s"${DeletesFamily}__"))
+    val unattributed =
+      dataLive.filter(s => segmentParts(tableDir, s).isEmpty)
+    if (unattributed.isEmpty) return None
+    // the already-attributed leaves must agree with the requested
+    // layout — a second partitioning scheme on one table would make
+    // value-set retirement ambiguous
+    val recorded = dataLive.flatMap(s => segmentParts(tableDir, s))
+      .filter(_.nonEmpty).map(_.map(_._1)).distinct
+    require(recorded.forall(_ == partitionCols),
+      s"REPARTITION BY $partitionCols on $tableDir: live segments are " +
+        s"already partitioned by ${recorded.flatten.distinct} — one " +
+        "table, one layout")
+    val rows = snapshotMoR(spark, tableDir, latest, keyCols,
+      mergeSchema = true, keepSeg = unattributed.toSet)
+    partitionCols.foreach(c => require(rows.columns.contains(c),
+      s"REPARTITION BY on $tableDir: '$c' is not a column of the " +
+        s"table (${rows.columns.toSeq})"))
+    val tracked = unattributed
+      .flatMap(s => segmentStats(tableDir, s).map(_.keySet)
+        .getOrElse(Set.empty)).distinct
+    val segs = writePartitionedSegments(rows, tableDir, partitionCols,
+      s"compact__seg${versions(tableDir).size}r",
+      statsCols = tracked.filterNot(partitionCols.contains))
+    val v = commit(tableDir, adds = segs, removes = unattributed,
+      dataChange = false)
+    Some((segs, v))
   }
 
   /** Incremental-consumer read: the rows ADDED between `fromV`
@@ -650,6 +834,37 @@ object TxLog {
       attachParts(spark.read.parquet(s"$tableDir/$s"), p)
     }.reduce(_.unionByName(_))
   }
+
+  /** Process-local memo for [[versionAddedBytes]]: a committed
+    * version's added segments are immutable, so its byte size is
+    * computed once per (table, version) however often the streaming
+    * source's admission control consults it. */
+  private val addedBytesMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+
+  /** The on-disk bytes a version's commit ADDED — the admission unit
+    * for `maxBytesPerTrigger` (Delta's byte-based rate limit reduced
+    * to this format's ledger): the sum of the version's added
+    * segments' regular-file sizes, 0 for removes-only (maintenance)
+    * commits, memoized per (table, version). A segment already
+    * vacuumed sizes as 0 — by then the span is unreadable anyway and
+    * the stream fails on the read, not the admission. */
+  def versionAddedBytes(tableDir: String, v: Int): Long =
+    addedBytesMemo.computeIfAbsent(s"$tableDir@$v", { _ =>
+      val (adds, _, _) = readManifest(tableDir, v)
+      java.lang.Long.valueOf(adds.map { seg =>
+        val d = Paths.get(tableDir, seg)
+        if (!Files.isDirectory(d)) 0L
+        else {
+          val it = Files.list(d)
+          try it.iterator()
+            .asInstanceOf[java.util.Iterator[java.nio.file.Path]]
+            .asScala.filter(Files.isRegularFile(_))
+            .map(p => scala.util.Try(Files.size(p)).getOrElse(0L)).sum
+          finally it.close()
+        }
+      }.sum)
+    })
 
   /** The versions in (`fromV`, `toV`] whose commits CHANGED data —
     * what an incremental consumer must decide emptiness by: a span
@@ -1023,26 +1238,41 @@ object TxLog {
         s"leaves: $colSeqs")
     refuseNullPartitions(s"convert $tableDir", leaves)
     val segs = linkLeafSegments(spark, tableDir, leaves,
-      i => f"convert__seg$i%06d", statsCols, bloomCols)
+      i => f"convert__seg$i%06d", statsCols, bloomCols,
+      deferStats = true)
+    // one grouped aggregation over all adopted files computes every
+    // leaf's stats sidecar — O(1) Spark jobs however many leaves
+    writeLeafStatsOnePass(spark, tableDir,
+      leaves.sortBy(_._1.map(_._2).mkString(" ")).zip(segs.map(_._1)),
+      statsCols, leafPartTypes(leaves, Map.empty))
     commit(tableDir, adds = segs.map(_._1))
-    // the originals are now owned — unlink the partition trees (data
-    // survives through the segment links; a crash here leaves
-    // harmless `col=value` litter the format never reads and vacuum
-    // reclaims)
-    leaves.map(_._2).foreach(l => listParquet(l).foreach(Files.deleteIfExists))
+    // The originals are now owned — unlink ONLY the files that were
+    // actually hard-linked (the data survives through the segment
+    // links) plus their Hadoop `.<name>.crc` checksum shadows (they
+    // describe files we now own), then prune directories that emptied
+    // out. OTHER non-parquet files and never-adopted leaf directories
+    // are NOT ours to destroy: a foreign layout may carry _SUCCESS
+    // markers, sidecar metadata, or data the adoption never touched —
+    // conversion must leave them exactly where they were.
+    leaves.map(_._2).foreach(l => listParquet(l).foreach { p =>
+      Files.deleteIfExists(p)
+      Files.deleteIfExists(
+        p.resolveSibling(s".${p.getFileName.toString}.crc"))
+    })
     val it = Files.list(root)
     val topParts =
       try it.iterator().asInstanceOf[java.util.Iterator[java.nio.file.Path]]
         .asScala.filter(p => Files.isDirectory(p) &&
           p.getFileName.toString.contains("=")).toSeq
       finally it.close()
-    topParts.foreach { p =>
-      def del(f: java.io.File): Unit = {
-        Option(f.listFiles()).getOrElse(Array.empty).foreach(del)
+    def pruneEmpty(f: java.io.File): Unit = {
+      Option(f.listFiles()).getOrElse(Array.empty)
+        .filter(_.isDirectory).foreach(pruneEmpty)
+      if (Option(f.listFiles()).getOrElse(Array.empty).isEmpty) {
         f.delete(); ()
       }
-      del(p.toFile)
     }
+    topParts.foreach(p => pruneEmpty(p.toFile))
     segs
   }
 
@@ -1056,20 +1286,33 @@ object TxLog {
     * the format writer's native partitioned writes (adopting its own
     * staged output). Does NOT commit — the caller owns the one
     * atomic manifest. Returns (segmentName, filesLinked) per leaf. */
+  /** One sidecar type per partition column over a whole adoption. The
+    * WRITER'S declared schema wins when given (the native partitioned
+    * write knows the DataFrame's types — a StringType value '007' must
+    * come back as the string '007', never the long 7, and the type
+    * must be stable ACROSS batches, which a per-batch directory-name
+    * guess is not). String inference over all leaves is the fallback
+    * for ADOPTED foreign layouts, where the directory names are the
+    * only type evidence that exists. */
+  private[sources] def leafPartTypes(
+      leaves: Seq[(Seq[(String, String)], java.nio.file.Path)],
+      declaredTypes: Map[String, String]): Map[String, String] =
+    leaves.head._1.map(_._1).map { c =>
+      c -> declaredTypes.getOrElse(c,
+        if (leaves.forall { case (pvals, _) =>
+          scala.util.Try(pvals.find(_._1 == c).get._2.toLong).isSuccess })
+          "long" else "string")
+    }.toMap
+
   private[sources] def linkLeafSegments(spark: SparkSession,
       tableDir: String,
       leaves: Seq[(Seq[(String, String)], java.nio.file.Path)],
       segName: Int => String, statsCols: Seq[String],
-      bloomCols: Seq[String]): Seq[(String, Int)] = {
+      bloomCols: Seq[String],
+      declaredTypes: Map[String, String] = Map.empty,
+      deferStats: Boolean = false): Seq[(String, Int)] = {
     val root = Paths.get(tableDir)
-    val pcols = leaves.head._1.map(_._1)
-    // one type per column, decided over ALL leaves — a segment-local
-    // guess would give the same column different types per segment
-    val ptype: Map[String, String] = pcols.map { c =>
-      c -> (if (leaves.forall { case (pvals, _) =>
-        scala.util.Try(pvals.find(_._1 == c).get._2.toLong).isSuccess })
-        "long" else "string")
-    }.toMap
+    val ptype = leafPartTypes(leaves, declaredTypes)
     leaves.sortBy(_._1.map(_._2).mkString(" "))
       .zipWithIndex.map { case ((pvals, leaf), i) =>
         val seg = segName(i)
@@ -1079,10 +1322,15 @@ object TxLog {
           s"""{"cols":[${pvals.map { case (c, v) =>
             s"""{"name":"${jsonEsc(c)}","value":"${jsonEsc(v)}",""" +
               s""""type":"${ptype(c)}"}""" }.mkString(",")}]}""")
-        writeSegmentStats(spark, tableDir, seg, statsCols)
+        // deferStats: the caller computes EVERY leaf's stats sidecar in
+        // one grouped aggregation afterwards ([[writeLeafStatsOnePass]])
+        // instead of one Spark job per leaf here
+        if (!deferStats) {
+          writeSegmentStats(spark, tableDir, seg, statsCols)
+          appendConstStats(tableDir, seg,
+            pvals.map { case (c, v) => (c, v, ptype(c)) })
+        }
         writeSegmentBlooms(spark, tableDir, seg, bloomCols)
-        appendConstStats(tableDir, seg,
-          pvals.map { case (c, v) => (c, v, ptype(c)) })
         seg -> files.size
       }
   }
@@ -1117,16 +1365,25 @@ object TxLog {
     * the day" and "scan the table" for every partition-scoped query.
     * An EMPTY batch stages no leaves and falls back to one plain
     * `baseName` segment (schema preserved; the exactly-once ledger
-    * still records the batch). A crash before the commit leaves the
+    * still records the batch) carrying an EMPTY `parts-` sidecar
+    * (`{"cols":[]}`) — the zero-row segment belongs to no partition
+    * value, and the empty marker keeps it from poisoning the
+    * fully-partitioned invariant dynamic overwrite and `OPTIMIZE …
+    * WHERE` depend on (one empty streaming micro-batch must not make
+    * those verbs refuse forever). A crash before the commit leaves the
     * staging dir and half-linked segments as orphans [[vacuum]]
-    * reclaims. NULL partition values are refused loudly. Returns the
-    * segment names to commit. */
+    * reclaims. NULL partition values are refused loudly. Partition
+    * column TYPES are taken from `data.schema`, never inferred from
+    * the staged directory names — a StringType value '007' reads back
+    * as the string '007', and the recorded type stays stable across
+    * batches. Returns the segment names to commit. */
   def writePartitionedSegments(data: DataFrame, tableDir: String,
       partitionCols: Seq[String], baseName: String,
       statsCols: Seq[String] = Seq.empty,
       bloomCols: Seq[String] = Seq.empty): Seq[String] = {
     require(partitionCols.nonEmpty, "writePartitionedSegments needs " +
       "at least one partition column")
+    val declaredTypes = declaredPartTypes(data, tableDir, partitionCols)
     val stage = Paths.get(tableDir, s".stage_${java.util.UUID.randomUUID}")
     try {
       data.write.partitionBy(partitionCols: _*).mode("overwrite")
@@ -1138,11 +1395,18 @@ object TxLog {
         data.write.mode("overwrite").parquet(s"$tableDir/$baseName")
         writeSegmentStats(data.sparkSession, tableDir, baseName, statsCols)
         writeSegmentBlooms(data.sparkSession, tableDir, baseName, bloomCols)
+        installSidecar(tableDir, s"parts-$baseName.json", """{"cols":[]}""")
         Seq(baseName)
       } else {
         refuseNullPartitions(s"partitioned write to $tableDir", leaves)
-        linkLeafSegments(data.sparkSession, tableDir, leaves,
-          i => s"${baseName}p$i", statsCols, bloomCols).map(_._1)
+        val linked = linkLeafSegments(data.sparkSession, tableDir, leaves,
+          i => s"${baseName}p$i", statsCols, bloomCols,
+          declaredTypes, deferStats = true)
+        writeLeafStatsOnePass(data.sparkSession, tableDir,
+          leaves.sortBy(_._1.map(_._2).mkString(" "))
+            .zip(linked.map(_._1)), statsCols,
+          leafPartTypes(leaves, declaredTypes))
+        linked.map(_._1)
       }
     } finally {
       def del(f: java.io.File): Unit = {
@@ -1150,6 +1414,145 @@ object TxLog {
         f.delete(); ()
       }
       del(stage.toFile)
+    }
+  }
+
+  /** The sidecar type of each partition column, read from the
+    * writer's DECLARED schema — the native write path's type source
+    * (adopted foreign layouts fall back to directory-name inference,
+    * the only evidence they have). Integral columns record "long",
+    * strings "string"; any other partition type is refused loudly —
+    * the sidecar encoding cannot round-trip it, and a silent string
+    * fallback would change the column's read-back type. */
+  private def declaredPartTypes(data: DataFrame, tableDir: String,
+      partitionCols: Seq[String]): Map[String, String] =
+    partitionCols.map { c =>
+      require(data.columns.contains(c),
+        s"partitioned write to $tableDir: partition column '$c' is not " +
+          s"in the batch schema ${data.columns.toSeq}")
+      c -> (data.schema(c).dataType match {
+        case org.apache.spark.sql.types.LongType |
+             org.apache.spark.sql.types.IntegerType |
+             org.apache.spark.sql.types.ShortType => "long"
+        case org.apache.spark.sql.types.StringType => "string"
+        case other => throw new IllegalArgumentException(
+          s"partitioned write to $tableDir: partition column '$c' has " +
+            s"type ${other.sql} — the partition-value sidecar encodes " +
+            "integral and string columns only; cast the column or " +
+            "partition on another")
+      })
+    }.toMap
+
+  /** Observability hook for the one-pass stats contract: counts the
+    * Spark aggregation JOBS stats writes schedule, so a spec can
+    * assert a partitioned write computes every leaf's sidecar in ONE
+    * grouped aggregation regardless of leaf count. THREAD-LOCAL so a
+    * spec's count is isolated from suites running concurrently in the
+    * same JVM (the write path runs its stats job on the calling
+    * thread). */
+  private[graft] object statsJobCount {
+    private val tl = new ThreadLocal[java.lang.Long] {
+      override def initialValue(): java.lang.Long = 0L
+    }
+    def get(): Long = tl.get()
+    def incrementAndGet(): Long = { val v = tl.get() + 1; tl.set(v); v }
+  }
+
+  /** All leaves' stats sidecars in ONE grouped aggregation — the
+    * scale path for partitioned writes: the per-leaf
+    * [[writeSegmentStats]] loop schedules O(partition values)
+    * driver-sequential Spark jobs per batch, which a 1000-partition
+    * batch turns into 1000 scans; here the staged dataset is read
+    * ONCE, grouped by its leaf directory, and every leaf's
+    * min/max/count row lands driver-side in one pass (the sidecar
+    * write itself was always a driver-side JSON put). Sidecar bytes
+    * are identical to the per-leaf path: same field order, same
+    * rendering, partition-value point ranges appended last. A leaf
+    * the grouped result cannot be matched to (URI-encoding corner of
+    * its directory name) falls back to the per-leaf path — sound,
+    * just slower. */
+  private def writeLeafStatsOnePass(spark: SparkSession, tableDir: String,
+      leavesWithSegs: Seq[((Seq[(String, String)], java.nio.file.Path),
+        String)],
+      statsCols: Seq[String], ptype: Map[String, String]): Unit = {
+    import org.apache.spark.sql.functions.{col, count, expr, lit, max, min}
+    def consts(pvals: Seq[(String, String)]) =
+      pvals.map { case (c, v) => (c, v, ptype(c)) }
+    if (statsCols.isEmpty) {
+      // no tracked data columns: the sidecar is the partition-value
+      // point ranges only — a driver-side JSON put per leaf, no job
+      leavesWithSegs.foreach { case ((pvals, _), seg) =>
+        appendConstStats(tableDir, seg, consts(pvals)) }
+      return
+    }
+    val files = leavesWithSegs.flatMap(l => listParquet(l._1._2))
+    val df = spark.read.parquet(files.map(_.toString): _*)
+    val present = statsCols.filter(df.columns.contains)
+    val typed = present.flatMap { c =>
+      df.schema(c).dataType match {
+        case org.apache.spark.sql.types.LongType |
+             org.apache.spark.sql.types.IntegerType |
+             org.apache.spark.sql.types.ShortType => Some(c -> "long")
+        case org.apache.spark.sql.types.DoubleType |
+             org.apache.spark.sql.types.FloatType => Some(c -> "double")
+        case _: org.apache.spark.sql.types.DecimalType => Some(c -> "double")
+        case org.apache.spark.sql.types.StringType => Some(c -> "string")
+        case _ => None
+      }
+    }
+    if (typed.isEmpty) {
+      leavesWithSegs.foreach { case ((pvals, _), seg) =>
+        appendConstStats(tableDir, seg, consts(pvals)) }
+      return
+    }
+    val aggs = typed.flatMap { case (c, _) =>
+      Seq(min(col(c)).as(s"__min_$c"), max(col(c)).as(s"__max_$c"),
+        count(col(c)).as(s"__cnt_$c")) } :+ count(lit(1)).as("__rows")
+    statsJobCount.incrementAndGet()
+    val byLeaf = df
+      .groupBy(expr("regexp_replace(input_file_name(), '/[^/]*$', '')")
+        .as("__leaf"))
+      .agg(aggs.head, aggs.tail: _*)
+      .collect()
+      .flatMap { r =>
+        // the grouped key is the leaf dir as a Hadoop URI string;
+        // decode it back to the raw filesystem path for matching
+        scala.util.Try(new java.net.URI(r.getString(0)).getPath)
+          .toOption.map(p => Paths.get(p).toAbsolutePath.normalize -> r)
+      }.toMap
+    leavesWithSegs.foreach { case ((pvals, leaf), seg) =>
+      byLeaf.get(leaf.toAbsolutePath.normalize) match {
+        case None =>
+          // unmatched leaf (exotic directory-name encoding): the
+          // per-leaf path is the sound fallback
+          writeSegmentStats(spark, tableDir, seg, statsCols)
+          appendConstStats(tableDir, seg, consts(pvals))
+        case Some(row) =>
+          val rows = row.getLong(1 + typed.size * 3)
+          val fields = typed.zipWithIndex.flatMap { case ((c, t), i) =>
+            val (mn, mx) = (row.get(1 + 3 * i), row.get(1 + 3 * i + 1))
+            val nulls = rows - row.getLong(1 + 3 * i + 2)
+            if (mn == null || mx == null) {
+              if (nulls == rows && rows > 0)
+                Some(s""""${jsonEsc(c)}":{"min":"","max":"",""" +
+                  s""""type":"null","nulls":"$nulls"}""")
+              else None
+            }
+            else Some(
+              s""""${jsonEsc(c)}":{"min":"${jsonEsc(mn.toString)}",""" +
+                s""""max":"${jsonEsc(mx.toString)}","type":"$t",""" +
+                s""""nulls":"$nulls"}""")
+          }
+          val constFields = consts(pvals).map { case (c, v, t) =>
+            s""""${jsonEsc(c)}":{"min":"${jsonEsc(v)}",""" +
+              s""""max":"${jsonEsc(v)}","type":"$t","nulls":"0"}"""
+          }
+          val body =
+            if (fields.isEmpty) s"{${constFields.mkString(",")}}"
+            else s"""{"__rows":"$rows",${(fields ++ constFields)
+              .mkString(",")}}"""
+          writeStatsSidecar(tableDir, seg, body)
+      }
     }
   }
 
@@ -1194,8 +1597,14 @@ object TxLog {
   /** The `col=value` leaf directories under `root` (depth-first,
     * name-ordered): (partition values root→leaf, leafDir) per leaf
     * that holds at least one parquet file. Values are unescaped from
-    * hive's `%XX` path encoding (ASCII escapes — the common case;
-    * multi-byte escapes are left verbatim). */
+    * hive's `%XX` path encoding — ASCII escapes only, which is every
+    * escape Spark's and Hive's own writers emit (their escape sets are
+    * ASCII; non-ASCII characters land raw in the directory name). A
+    * MULTI-BYTE escape (`%XX` with XX ≥ 0x80 — a hand-built layout
+    * that percent-encoded raw UTF-8 bytes) is REFUSED loudly with the
+    * directory named: passing it through verbatim would round-trip a
+    * mangled partition VALUE into the sidecar, and silently wrong
+    * values are worse than a failed convert. */
   private def hiveLeaves(root: java.nio.file.Path)
       : Seq[(Seq[(String, String)], java.nio.file.Path)] = {
     def unescape(s: String): String = {
@@ -1207,7 +1616,14 @@ object TxLog {
             .toOption match {
             case Some(code) if code < 128 =>
               sb.append(code.toChar); i += 3
-            case _ => sb.append(s.charAt(i)); i += 1
+            case Some(code) =>
+              throw new IllegalArgumentException(
+                s"partition path segment '$s' under $root carries the " +
+                  f"multi-byte percent escape %%$code%02X — this " +
+                  "encoding cannot round-trip to a partition value; " +
+                  "rename the directory with the raw UTF-8 characters " +
+                  "instead of percent-encoded bytes")
+            case None => sb.append(s.charAt(i)); i += 1
           }
         else { sb.append(s.charAt(i)); i += 1 }
       }
@@ -1238,7 +1654,7 @@ object TxLog {
     * a segment's stats sidecar — how a converted hive layout's
     * partition predicates prune by segment: the directory name said
     * every row has this value, so the range collapses to a point. */
-  private def appendConstStats(tableDir: String, seg: String,
+  private[graft] def appendConstStats(tableDir: String, seg: String,
       consts: Seq[(String, String, String)]): Unit = {
     if (consts.isEmpty) return
     val fields = consts.map { case (c, v, t) =>
@@ -1257,7 +1673,12 @@ object TxLog {
 
   /** A segment's recorded hive-partition values, (col, value, type)
     * in layout order — None for segments written with their columns
-    * physical (every non-converted segment). */
+    * physical (every non-converted segment). `Some(Seq.empty)` is the
+    * EMPTY-marker sidecar (`{"cols":[]}`) a partitioned write's empty
+    * batch records: the zero-row segment belongs to no partition value
+    * but IS partition-attributed, so it never breaks the
+    * fully-partitioned invariant dynamic overwrite and `OPTIMIZE …
+    * WHERE` require. */
   def segmentParts(tableDir: String,
       seg: String): Option[Seq[(String, String, String)]] = {
     val f = logDir(tableDir).resolve(s"parts-$seg.json")
@@ -1267,9 +1688,15 @@ object TxLog {
       val entry = ("""\{"name":"((?:[^"\\]|\\.)*)",""" +
         """"value":"((?:[^"\\]|\\.)*)","type":"(\w+)"\}""").r
       def unesc(s: String) = s.replace("\\\"", "\"").replace("\\\\", "\\")
-      entry.findAllMatchIn(body).map(m =>
+      val entries = entry.findAllMatchIn(body).map(m =>
         (unesc(m.group(1)), unesc(m.group(2)), m.group(3))).toSeq
-    }.toOption.filter(_.nonEmpty)
+      if (entries.nonEmpty) Some(entries)
+      // the explicit empty marker parses strictly — a malformed
+      // sidecar must stay None (unattributed), never "empty"
+      else if (body.replaceAll("\\s", "") == """{"cols":[]}""")
+        Some(Seq.empty)
+      else None
+    }.toOption.flatten
   }
 
   /** Attach a converted segment's recorded partition values as literal
@@ -1310,21 +1737,53 @@ object TxLog {
   /** Record one widened (added, nullable) column. The caller is
     * responsible for validating the name against the table's current
     * schema; re-widening an already-widened name fails loudly here. */
-  def widenSchema(tableDir: String, name: String, ddlType: String): Unit = {
+  def widenSchema(tableDir: String, name: String, ddlType: String): Unit =
+    widenSchemaAll(tableDir, Seq(name -> ddlType))
+
+  /** Record SEVERAL widened columns behind ONE atomic metadata write —
+    * the multi-column `ALTER TABLE ADD COLUMNS (a T1, b T2, …)` must
+    * be all-or-nothing: every name is validated first (against the
+    * already-widened set AND against duplicates within the statement),
+    * and only then does widen.json replace atomically — a failing
+    * later column can never leave an earlier one half-recorded while
+    * the catalog schema was never updated. Re-adding a DROPPED name
+    * refuses too: pre-drop segments still hold the old values, which
+    * would silently resurrect under the re-added name. */
+  def widenSchemaAll(tableDir: String,
+      cols: Seq[(String, String)]): Unit = {
+    require(cols.nonEmpty, "widenSchemaAll: no columns")
     val cur = widenedColumns(tableDir)
-    require(!cur.exists(_._1.equalsIgnoreCase(name)),
-      s"ALTER TABLE on $tableDir: column '$name' was already added " +
-        s"(${cur.filter(_._1.equalsIgnoreCase(name)).map(_._2).mkString})")
-    val all = cur :+ (name -> ddlType)
+    val dropped = droppedColumns(tableDir)
+    cols.foreach { case (name, _) =>
+      require(!cur.exists(_._1.equalsIgnoreCase(name)),
+        s"ALTER TABLE on $tableDir: column '$name' was already added " +
+          s"(${cur.filter(_._1.equalsIgnoreCase(name)).map(_._2).mkString})")
+      require(!dropped.exists(_.equalsIgnoreCase(name)),
+        s"ALTER TABLE on $tableDir: column '$name' was DROPPED — " +
+          "re-adding a dropped name would resurrect the old values " +
+          "still stored in pre-drop segments; use a fresh name")
+    }
+    val dupIn = cols.groupBy(_._1.toLowerCase).filter(_._2.size > 1).keys
+    require(dupIn.isEmpty,
+      s"ALTER TABLE on $tableDir: duplicate column names in one " +
+        s"statement: ${dupIn.mkString(", ")}")
+    val all = cur ++ cols
     val body = s"""{"cols":[${all.map { case (n, t) =>
       s"""{"name":"${jsonEsc(n)}","type":"${jsonEsc(t)}"}""" }
       .mkString(",")}]}"""
+    writeMetaFile(tableDir, "widen.json", body)
+  }
+
+  /** Atomic `_meta/<name>` replace — the table-metadata twin of
+    * [[installSidecar]]. */
+  private def writeMetaFile(tableDir: String, name: String,
+      body: String): Unit = {
     val d = Paths.get(tableDir, "_meta")
     Files.createDirectories(d)
-    val tmp = d.resolve(s".tmp.widen.${java.util.UUID.randomUUID}")
+    val tmp = d.resolve(s".tmp.$name.${java.util.UUID.randomUUID}")
     try {
       Files.write(tmp, body.getBytes(StandardCharsets.UTF_8))
-      Files.move(tmp, d.resolve("widen.json"),
+      Files.move(tmp, d.resolve(name),
         java.nio.file.StandardCopyOption.ATOMIC_MOVE,
         java.nio.file.StandardCopyOption.REPLACE_EXISTING)
       ()
@@ -1343,6 +1802,60 @@ object TxLog {
       def unesc(s: String) = s.replace("\\\"", "\"").replace("\\\\", "\\")
       entry.findAllMatchIn(body).map(m =>
         unesc(m.group(1)) -> unesc(m.group(2))).toSeq
+    }
+  }
+
+  // ---- schema narrowing: ALTER TABLE DROP COLUMN -------------------
+  //
+  // widen.json's reverse: dropped column names are TABLE metadata
+  // (`_meta/dropped.json`), never a data rewrite — at 100 TB dropping
+  // a column must be O(1) exactly like adding one. Readers PROJECT
+  // the dropped names away after the snapshot (the bytes stay in the
+  // segments; vacuum-after-rewrite is the only way to reclaim them,
+  // Delta's rule without column mapping). Re-ADDING a dropped name
+  // refuses ([[widenSchemaAll]]): the old values still sit in every
+  // pre-drop segment and would silently resurrect.
+
+  /** Record dropped columns behind one atomic metadata write.
+    * Validation (the names exist, aren't key/partition columns) is the
+    * caller's job — this is the metadata primitive. Dropping an
+    * already-dropped name fails loudly. A dropped name that was a
+    * WIDENED column is also removed from widen.json (its typed-NULL
+    * attach must stop). */
+  def dropColumnsMeta(tableDir: String, names: Seq[String]): Unit = {
+    require(names.nonEmpty, "dropColumnsMeta: no columns")
+    val cur = droppedColumns(tableDir)
+    names.foreach { n =>
+      require(!cur.exists(_.equalsIgnoreCase(n)),
+        s"ALTER TABLE on $tableDir: column '$n' is already dropped")
+    }
+    val widened = widenedColumns(tableDir)
+    val stillWidened = widened.filterNot { case (w, _) =>
+      names.exists(_.equalsIgnoreCase(w)) }
+    if (stillWidened != widened)
+      writeMetaFile(tableDir, "widen.json",
+        s"""{"cols":[${stillWidened.map { case (n, t) =>
+          s"""{"name":"${jsonEsc(n)}","type":"${jsonEsc(t)}"}""" }
+          .mkString(",")}]}""")
+    val all = cur ++ names
+    writeMetaFile(tableDir, "dropped.json",
+      s"""{"cols":[${all.map(n => s""""${jsonEsc(n)}"""")
+        .mkString(",")}]}""")
+  }
+
+  /** The dropped column names in ALTER order — empty for tables that
+    * never dropped one. */
+  def droppedColumns(tableDir: String): Seq[String] = {
+    val f = Paths.get(tableDir, "_meta", "dropped.json")
+    if (!Files.isRegularFile(f)) Seq.empty
+    else {
+      val body = new String(Files.readAllBytes(f), StandardCharsets.UTF_8)
+      val m = """"cols":\[([^\]]*)\]""".r.findFirstMatchIn(body)
+      def unesc(s: String) = s.replace("\\\"", "\"").replace("\\\\", "\\")
+      m.map(_.group(1).split(",").map(_.trim)
+        .filter(_.nonEmpty)
+        .map(s => unesc(s.stripPrefix("\"").stripSuffix("\""))).toSeq)
+        .getOrElse(Seq.empty)
     }
   }
 
@@ -1419,15 +1932,18 @@ object TxLog {
       }
       commit(dstDir, adds = adds)
     }
-    // the widened-schema record is table metadata, not segment data —
-    // without it the clone would read pre-evolution segments under the
-    // pre-evolution schema and positional INSERTs would misalign
-    val widen = Paths.get(srcDir, "_meta", "widen.json")
-    if (Files.isRegularFile(widen)) {
-      Files.createDirectories(Paths.get(dstDir, "_meta"))
-      Files.copy(widen, Paths.get(dstDir, "_meta", "widen.json"),
-        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-      ()
+    // the widened/dropped-schema records are table metadata, not
+    // segment data — without them the clone would read pre-evolution
+    // segments under the wrong schema (positional INSERTs misalign,
+    // dropped columns resurrect)
+    Seq("widen.json", "dropped.json").foreach { n =>
+      val src = Paths.get(srcDir, "_meta", n)
+      if (Files.isRegularFile(src)) {
+        Files.createDirectories(Paths.get(dstDir, "_meta"))
+        Files.copy(src, Paths.get(dstDir, "_meta", n),
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        ()
+      }
     }
     byVersion.size
   }
@@ -1485,6 +2001,7 @@ object TxLog {
     val aggs = typed.flatMap { case (c, _) =>
       Seq(min(col(c)).as(s"__min_$c"), max(col(c)).as(s"__max_$c"),
         count(col(c)).as(s"__cnt_$c")) } :+ count(lit(1)).as("__rows")
+    statsJobCount.incrementAndGet()
     val row = df.agg(aggs.head, aggs.tail: _*).head()
     val rows = row.getLong(typed.size * 3)
     val fields = typed.zipWithIndex.flatMap { case ((c, t), i) =>

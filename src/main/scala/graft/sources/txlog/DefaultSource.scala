@@ -116,7 +116,9 @@ class DefaultSource extends RelationProvider
       sourceSchema(sqlContext, schema, providerName, parameters)._2,
       cdf = cdfMode(parameters),
       maxVersionsPerTrigger = parameters.get("maxVersionsPerTrigger")
-        .map(_.trim.toInt))
+        .map(_.trim.toInt),
+      maxBytesPerTrigger = parameters.get("maxBytesPerTrigger")
+        .map(TxLogSource.parseBytes))
 
   private def path(parameters: Map[String, String]): String = {
     val p = parameters.getOrElse("path",
@@ -290,7 +292,7 @@ private[txlog] object TxLogWriter {
     val dynamic =
       overwrite && partitionCols.nonEmpty && dynamicOverwrite
     if (dynamic && segs == Seq(base) &&
-        TxLog.segmentParts(dir, base).isEmpty) {
+        TxLog.segmentParts(dir, base).forall(_.isEmpty)) {
       // dynamic overwrite with an EMPTY batch replaces nothing — and
       // committing the plain fallback segment would poison the fully-
       // partitioned invariant later overwrites rely on: remove the
@@ -304,6 +306,8 @@ private[txlog] object TxLogWriter {
         java.nio.file.Paths.get(dir, "_txlog", s"stats-$base.json"))
       java.nio.file.Files.deleteIfExists(
         java.nio.file.Paths.get(dir, "_txlog", s"bloom-$base.json"))
+      java.nio.file.Files.deleteIfExists(
+        java.nio.file.Paths.get(dir, "_txlog", s"parts-$base.json"))
       return
     }
     val live =
@@ -329,7 +333,9 @@ private[txlog] object TxLogWriter {
         require(unattributed.isEmpty,
           s"dynamic partition overwrite on $dir: live segments " +
             s"$unattributed carry no partition metadata — the table " +
-            "must be fully partitioned (rewrite or OPTIMIZE first)")
+            "must be fully partitioned; run OPTIMIZE … REPARTITION BY " +
+            "(TxLog.repartitionTable) to migrate them in place, or " +
+            "rewrite with option(partitionBy=…)")
         dataLive.filter(s => written.contains(
           TxLog.segmentParts(dir, s).get.map(p => (p._1, p._2)).toSet))
       }
@@ -555,9 +561,26 @@ private[txlog] object BloomCache {
   * version-ordered reproduces snapshotMoR); compaction inside a span
   * still fails loudly in both modes — a history rewrite is not
   * expressible as change rows. */
+object TxLogSource {
+  /** Parse a byte-count option: a plain long, or with a k/m/g suffix
+    * (binary units — Delta's byte-string shape reduced to its core). */
+  private[txlog] def parseBytes(s: String): Long = {
+    val t = s.trim.toLowerCase
+    val (num, mult) =
+      if (t.endsWith("k")) (t.dropRight(1), 1024L)
+      else if (t.endsWith("m")) (t.dropRight(1), 1024L * 1024)
+      else if (t.endsWith("g")) (t.dropRight(1), 1024L * 1024 * 1024)
+      else (t, 1L)
+    val v = num.trim.toLong * mult
+    require(v >= 1, s"maxBytesPerTrigger must be >= 1 byte, got $s")
+    v
+  }
+}
+
 class TxLogSource(sqlContext: SQLContext, dir: String,
     override val schema: StructType, cdf: Boolean = false,
-    maxVersionsPerTrigger: Option[Int] = None)
+    maxVersionsPerTrigger: Option[Int] = None,
+    maxBytesPerTrigger: Option[Long] = None)
     extends org.apache.spark.sql.execution.streaming.Source
     with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
   import org.apache.spark.sql.connector.read.streaming.{
@@ -574,11 +597,17 @@ class TxLogSource(sqlContext: SQLContext, dir: String,
   // ---- admission control: rate limiting + real Trigger.AvailableNow.
   // maxVersionsPerTrigger caps each micro-batch at N manifest spans
   // (Delta's maxFilesPerTrigger shape — bounds per-batch work however
-  // far behind the consumer fell), surfaced through the engine's
-  // ReadLimit so AvailableNow DRAINS the table in capped batches
-  // instead of falling back to one unbounded batch. AvailableNow pins
-  // its target version at prepare time: commits landing mid-drain
-  // wait for the next run (the engine's contract).
+  // far behind the consumer fell), and maxBytesPerTrigger caps it by
+  // the versions' recorded ON-DISK segment bytes (Delta's
+  // maxBytesPerTrigger — versions vary wildly in size, so a count cap
+  // alone cannot bound batch memory; the byte cap is a SOFT maximum:
+  // at least one version always admits, else a single oversized
+  // commit would stall the stream forever — Delta's rule). Both are
+  // surfaced through the engine's ReadLimit so AvailableNow DRAINS
+  // the table in capped batches instead of falling back to one
+  // unbounded batch. AvailableNow pins its target version at prepare
+  // time: commits landing mid-drain wait for the next run (the
+  // engine's contract).
 
   private var availableNowTarget: Option[Int] = None
 
@@ -587,15 +616,37 @@ class TxLogSource(sqlContext: SQLContext, dir: String,
 
   override def getDefaultReadLimit: ReadLimit =
     maxVersionsPerTrigger.map(n => ReadLimit.maxFiles(n))
-      .getOrElse(ReadLimit.allAvailable())
+      .getOrElse(
+        if (maxBytesPerTrigger.isDefined)
+          // a non-allAvailable limit so the engine keeps handing the
+          // limit back per batch; the byte walk below does the capping
+          ReadLimit.maxFiles(Int.MaxValue)
+        else ReadLimit.allAvailable())
 
   override def latestOffset(start: V2Offset, limit: ReadLimit): V2Offset = {
     val startV = Option(start).map(o => o.json.trim.toInt).getOrElse(-1)
     val ceiling = availableNowTarget
       .orElse(TxLog.latestVersion(dir)).getOrElse(-1)
-    val capped = limit match {
-      case mf: ReadMaxFiles => math.min(ceiling, startV + mf.maxFiles())
+    val countCapped = limit match {
+      case mf: ReadMaxFiles => math.min(ceiling.toLong,
+        startV.toLong + math.max(1, mf.maxFiles())).toInt
       case _ => ceiling
+    }
+    val capped = maxBytesPerTrigger match {
+      case None => countCapped
+      case Some(maxBytes) =>
+        // admit whole versions until the byte budget is spent; the
+        // FIRST version always admits (an oversized commit must pass,
+        // not stall), and version sizes are memoized per commit
+        var v = startV
+        var bytes = 0L
+        var done = false
+        while (!done && v < countCapped) {
+          val next = TxLog.versionAddedBytes(dir, v + 1)
+          if (v > startV && bytes + next > maxBytes) done = true
+          else { v += 1; bytes += next }
+        }
+        v
     }
     if (capped <= startV) null else LongOffset(capped.toLong)
   }
@@ -695,19 +746,24 @@ case class TxLogRelation(sqlContext: SQLContext, dir: String,
 
   private def snapshotPruned(keepSeg: String => Boolean,
       at: Int): DataFrame = {
-    // ALTER TABLE ADD COLUMN metadata: widened columns force the
+    // ALTER TABLE ADD/DROP COLUMN metadata: widened columns force the
     // evolution-tolerant read (post-ALTER writes carry the column
     // physically, pre-ALTER segments don't), and any column no live
-    // segment materializes yet is attached as a typed NULL
+    // segment materializes yet is attached as a typed NULL; DROPPED
+    // columns force it too (post-drop writes LACK the column old
+    // segments still store) and are projected away at the end — the
+    // O(1)-metadata drop's read half
     val widened = TxLog.widenedColumns(dir)
-    val ms = mergeSchema || widened.nonEmpty
-    val base = keyCols match {
+    val dropped = TxLog.droppedColumns(dir)
+    val ms = mergeSchema || widened.nonEmpty || dropped.nonEmpty
+    val base0 = keyCols match {
       case Some(keys) =>
         TxLog.snapshotMoR(sqlContext.sparkSession, dir, at, keys, ms,
           keepSeg)
       case None =>
         TxLog.snapshot(sqlContext.sparkSession, dir, at, ms, keepSeg)
     }
+    val base = dropped.foldLeft(base0)((df, n) => df.drop(n))
     widened.foldLeft(base) { case (df, (n, ddl)) =>
       val dt = org.apache.spark.sql.types.DataType.fromDDL(ddl)
       df.schema.fields.find(_.name.equalsIgnoreCase(n)) match {
