@@ -653,9 +653,27 @@ case class GraftTxLogOptimize(ident: TableIdentifier,
           }
         }
       val nFiles = props.get("zorderFiles").map(_.trim.toInt).getOrElse(8)
-      val v = TxLog.compactZorder(session, dir, keys, zorderCols, nFiles)
-      session.catalog.refreshTable(ident.quotedString)
-      Seq(Row("zorder", v))
+      // PARTITIONED tables z-order WITHIN each leaf (Delta's
+      // zorder-within-partitions): folding leaves into one segment
+      // would destroy the partition identity dynamic overwrite and
+      // OPTIMIZE … WHERE depend on — the same hazard the plain fold
+      // dispatches around
+      val attributed = TxLog.liveSegments(dir, latest)
+        .filterNot(_.startsWith(s"${TxLog.DeletesFamily}__"))
+        .exists(s => TxLog.segmentParts(dir, s).isDefined)
+      if (attributed) {
+        val folded = TxLog.compactZorderAllPartitions(session, dir, keys,
+          zorderCols, nFiles)
+        session.catalog.refreshTable(ident.quotedString)
+        folded.map { case (vals, v) =>
+          Row("zorder " +
+            vals.map(p => s"${p._1}=${p._2}").mkString("/"), v)
+        }
+      } else {
+        val v = TxLog.compactZorder(session, dir, keys, zorderCols, nFiles)
+        session.catalog.refreshTable(ident.quotedString)
+        Seq(Row("zorder", v))
+      }
     }
   }
 }

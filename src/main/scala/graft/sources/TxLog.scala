@@ -669,6 +669,72 @@ object TxLog {
     named.map { case (vals, segs, seg) => (vals, seg, segs) }
   }
 
+  /** `OPTIMIZE … ZORDER BY` for PARTITIONED tables — Delta's
+    * zorder-within-partitions: every leaf rewrites to ONE segment laid
+    * out on the Morton curve of `zCols` ([[ClusteredWriter
+    * .writeZOrdered]] per leaf, concurrent across leaves — disjoint
+    * segments), parts sidecars carried VERBATIM, range stats carried
+    * as the subset-sound union, tombstones applied and RETIRED (a
+    * zorder is always a full rewrite of every leaf), all behind ONE
+    * atomic dataChange=false commit. The intra-segment pruning
+    * benefit needs no sidecar: the z-layout clusters rows so parquet
+    * row-group min/max serve selective scans on ANY clustered column;
+    * the segment-level sidecars keep partition pruning working
+    * exactly as before. Unattributed segments refuse loudly, naming
+    * the repartition verb. Returns one (partitionValues, version) per
+    * leaf (one shared commit version). */
+  def compactZorderAllPartitions(spark: SparkSession, tableDir: String,
+      keyCols: Seq[String], zCols: Seq[String],
+      nFiles: Int = 8): Seq[(Seq[(String, String)], Int)] = {
+    require(zCols.nonEmpty, "ZORDER BY needs at least one column")
+    val latest = latestVersion(tableDir)
+      .getOrElse(sys.error(s"OPTIMIZE on empty table $tableDir"))
+    val (delSegs, dataSegs) = liveSegmentsWithVersion(tableDir, latest)
+      .partition(_._1.startsWith(s"${DeletesFamily}__"))
+    val withParts = dataSegs.map { case (s, v) =>
+      (s, v, segmentParts(tableDir, s)) }
+    val unattributed = withParts.collect { case (s, _, None) => s }
+    require(unattributed.isEmpty,
+      s"partitioned ZORDER on $tableDir: segments $unattributed carry " +
+        "no partition metadata — run OPTIMIZE … REPARTITION BY first")
+    val empties = withParts.collect {
+      case (s, _, Some(ps)) if ps.isEmpty => s }
+    val groups = withParts
+      .collect { case (s, _, Some(ps)) if ps.nonEmpty => (s, ps) }
+      .groupBy(_._2.map(p => (p._1, p._2)))
+      .toSeq.sortBy(_._1.map(_._2).mkString(" "))
+      .map { case (vals, group) => (vals, group.map(_._1)) }
+    require(groups.nonEmpty, s"ZORDER on $tableDir: no data to lay out")
+    val base = versions(tableDir).size
+    val named = groups.zipWithIndex.map { case ((vals, segs), i) =>
+      (vals, segs, s"compact__seg${base}z$i") }
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.min(8, named.size))
+    try {
+      named.map { case (vals, segs, seg) =>
+        pool.submit(new java.util.concurrent.Callable[Unit] {
+          def call(): Unit = {
+            ClusteredWriter.writeZOrdered(
+              snapshotMoR(spark, tableDir, latest, keyCols,
+                keepSeg = segs.toSet),
+              s"$tableDir/$seg", nFiles, zCols)
+            val src = segmentParts(tableDir, segs.head).get
+            installSidecar(tableDir, s"parts-$seg.json",
+              s"""{"cols":[${src.map { case (c, v, t) =>
+                s"""{"name":"${jsonEsc(c)}","value":"${jsonEsc(v)}",""" +
+                  s""""type":"$t"}""" }.mkString(",")}]}""")
+            mergeSegmentStats(tableDir, segs, seg)
+          }
+        })
+      }.foreach(_.get())
+    } finally pool.shutdown()
+    val v = commit(tableDir,
+      adds = named.map(_._3),
+      removes = named.flatMap(_._2) ++ delSegs.map(_._1) ++ empties,
+      dataChange = false)
+    named.map { case (vals, _, _) => (vals, v) }
+  }
+
   /** Whole-table OPTIMIZE for PARTITIONED tables — the partition-
     * preserving fold: every leaf with more than `leafThreshold` live
     * segments folds to ONE segment per leaf (its `parts-` sidecar

@@ -401,6 +401,42 @@ class TxLogPartitionSpec extends SparkSpec {
     assert(TxLog.droppedColumns(dst) === Seq("x"))
   }
 
+  test("ZORDER on a partitioned table lays out WITHIN each leaf: " +
+      "partition identity survives, tombstones retire") {
+    import spark.implicits._
+    val t = freshTable()
+    val df = (0L until 80L).map(i => (i, i * 3 % 40, s"g${i % 2}"))
+      .toDF("id", "x", "grp")
+    df.write.format(fmt).option("partitionBy", "grp")
+      .option("statsCols", "id").mode(SaveMode.Append).save(t)      // v0
+    df.filter(col("id") < 10L).write.format(fmt)
+      .option("partitionBy", "grp").option("statsCols", "id")
+      .mode(SaveMode.Append).save(t)                                // v1
+    TxLog.commitDeletes(Seq(7L).toDF("id"), t)                      // v2
+    val folded = TxLog.compactZorderAllPartitions(spark, t,
+      Seq("id"), Seq("id", "x"), nFiles = 4)
+    assert(folded.map(_._1) ===
+      Seq(Seq("grp" -> "g0"), Seq("grp" -> "g1")))
+    val v = folded.head._2
+    val live = TxLog.liveSegments(t, v)
+    assert(live.size === 2 && !live.exists(_.startsWith("deletes__")),
+      s"one z-ordered segment per leaf, tombstones retired: $live")
+    live.foreach(s => assert(
+      TxLog.segmentParts(t, s).exists(_.nonEmpty),
+      s"partition identity must survive the zorder: $s"))
+    // rows: 80 + 10 re-adds − 2 copies of id 7
+    assert(TxLog.snapshot(spark, t, v, mergeSchema = true)
+      .count() === 88L)
+    // partition pruning intact; dynamic overwrite still composes
+    assert(rel(t).keptSegments(Array(f.EqualTo("grp", "g1"))).size === 1)
+    Seq((500L, 1L, "g1")).toDF("id", "x", "grp").write.format(fmt)
+      .option("partitionBy", "grp")
+      .option("partitionOverwriteMode", "dynamic")
+      .mode(SaveMode.Overwrite).save(t)
+    assert(TxLog.snapshot(spark, t, TxLog.latestVersion(t).get,
+      mergeSchema = true).filter(col("grp") === "g1").count() === 1L)
+  }
+
   test("maxBytesPerTrigger: capped drain in byte-bounded batches, " +
       "checkpoint resume, oversized commits still pass") {
     import spark.implicits._
