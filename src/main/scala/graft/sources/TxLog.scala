@@ -1222,11 +1222,42 @@ object TxLog {
         s"restore $tableDir to v$toV: materializing a tombstoned target " +
           s"would merge index-store families $idx into one segment — " +
           "restore index stores only to tombstone-free versions")
-      val seg = s"restore__seg${versions(tableDir).size}"
-      snapshotMoR(spark, tableDir, toV, keyCols)
-        .write.mode("overwrite").parquet(s"$tableDir/$seg")
-      mergeSegmentStats(tableDir, target, seg)
-      Some((commit(tableDir, adds = Seq(seg), removes = cur), "rewrite"))
+      val targetData = target.filterNot(_.startsWith(s"${DeletesFamily}__"))
+      val targetParts = targetData.map(s => s -> segmentParts(tableDir, s))
+      val base = versions(tableDir).size
+      // zero-row empty-batch markers neither materialize nor re-add —
+      // they carry no rows, and the restored state reads identically
+      val leafParts = targetParts.collect {
+        case (s, Some(ps)) if ps.nonEmpty => (s, ps) }
+      if (leafParts.nonEmpty && targetParts.forall(_._2.isDefined)) {
+        // PARTITIONED target state: materialize PER LEAF so the
+        // restored table keeps its partition identity — a restore
+        // that demoted the layout would make dynamic overwrite and
+        // OPTIMIZE … WHERE refuse on the very state it recovered
+        val groups = leafParts
+          .map { case (s, ps) => (s, ps.map(p => (p._1, p._2))) }
+          .groupBy(_._2).toSeq.sortBy(_._1.map(_._2).mkString(" "))
+        val named = groups.zipWithIndex.map { case ((_, g), i) =>
+          (g.map(_._1), s"restore__seg${base}p$i") }
+        named.foreach { case (segs, seg) =>
+          snapshotMoR(spark, tableDir, toV, keyCols, keepSeg = segs.toSet)
+            .write.mode("overwrite").parquet(s"$tableDir/$seg")
+          val src = segmentParts(tableDir, segs.head).get
+          installSidecar(tableDir, s"parts-$seg.json",
+            s"""{"cols":[${src.map { case (c, v, t) =>
+              s"""{"name":"${jsonEsc(c)}","value":"${jsonEsc(v)}",""" +
+                s""""type":"$t"}""" }.mkString(",")}]}""")
+          mergeSegmentStats(tableDir, segs, seg)
+        }
+        Some((commit(tableDir, adds = named.map(_._2), removes = cur),
+          "rewrite"))
+      } else {
+        val seg = s"restore__seg$base"
+        snapshotMoR(spark, tableDir, toV, keyCols)
+          .write.mode("overwrite").parquet(s"$tableDir/$seg")
+        mergeSegmentStats(tableDir, target, seg)
+        Some((commit(tableDir, adds = Seq(seg), removes = cur), "rewrite"))
+      }
     }
   }
 

@@ -437,6 +437,41 @@ class TxLogPartitionSpec extends SparkSpec {
       mergeSchema = true).filter(col("grp") === "g1").count() === 1L)
   }
 
+  test("RESTORE to a tombstoned partitioned state materializes PER " +
+      "LEAF: partition identity survives the recovery") {
+    import spark.implicits._
+    val t = freshTable()
+    val df = (0L until 30L).map(i => (i, s"g${i % 3}")).toDF("id", "grp")
+    df.write.format(fmt).option("partitionBy", "grp")
+      .option("statsCols", "id").mode(SaveMode.Append).save(t)      // v0
+    df.filter(col("id") < 9L).write.format(fmt)
+      .option("partitionBy", "grp").option("statsCols", "id")
+      .mode(SaveMode.Append).save(t)                                // v1
+    TxLog.commitDeletes(Seq(4L).toDF("id"), t)                      // v2
+    // the OPTIMIZE retires the v0/v1 segments + the tombstone, so a
+    // restore to v2 must RE-CREATE state (rewrite mode, not metadata)
+    TxLog.compactAllPartitionsMoR(spark, t, Seq("id"))              // v3
+    val res = TxLog.restore(spark, t, 2, keyCols = Seq("id"))
+    assert(res.exists(_._2 == "rewrite"), s"got $res")
+    val v = res.get._1
+    val live = TxLog.liveSegments(t, v)
+    assert(live.size === 3 && live.forall(_.startsWith("restore__")),
+      s"one materialized segment per leaf, got $live")
+    live.foreach(s => assert(
+      TxLog.segmentParts(t, s).exists(_.nonEmpty),
+      s"the restore must keep the partition identity: $s"))
+    // rows = the v2 MoR state: 30 + 9 re-adds − 2 copies of id 4
+    assert(TxLog.snapshot(spark, t, v, mergeSchema = true)
+      .count() === 37L)
+    // the recovered table still takes the layout verbs
+    Seq((300L, "g2")).toDF("id", "grp").write.format(fmt)
+      .option("partitionBy", "grp")
+      .option("partitionOverwriteMode", "dynamic")
+      .mode(SaveMode.Overwrite).save(t)
+    assert(TxLog.snapshot(spark, t, TxLog.latestVersion(t).get,
+      mergeSchema = true).filter(col("grp") === "g2").count() === 1L)
+  }
+
   test("maxBytesPerTrigger: capped drain in byte-bounded batches, " +
       "checkpoint resume, oversized commits still pass") {
     import spark.implicits._
