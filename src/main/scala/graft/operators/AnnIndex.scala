@@ -468,6 +468,12 @@ object AnnIndex {
   final case class MaintainReport(compacted: Seq[(String, Int)],
       skipped: Seq[(String, String)])
 
+  /** Control-flow signal for [[maintainReport]]'s lazy key resolution:
+    * tombstone key schemas disagree, so the partitioned fold cannot
+    * derive keys — surfaced as a `skipped` deferral, never a crash. */
+  private[operators] final class TombKeysDisagree(
+      val keySets: Seq[Seq[String]]) extends RuntimeException
+
   def maintainReport(sp: SparkSession, store: String,
       threshold: Int = graft.sources.TxLog.CheckpointEvery)
       : MaintainReport = {
@@ -488,37 +494,58 @@ object AnnIndex {
     // leaf into one unpartitioned segment, silently destroying the
     // partition identity dynamic overwrite and OPTIMIZE … WHERE
     // depend on — routine maintenance must not break the layout verbs.
+    // Empty-parts markers (`{"cols":[]}` — an empty partitioned
+    // batch's artifact) are NEUTRAL here: they belong to no leaf and
+    // retire opportunistically, so a stray marker neither routes an
+    // otherwise-plain table into the partitioned dispatch nor makes a
+    // fully-partitioned table count as "mixed".
     val liveData = TxLog.liveSegments(store, latest.get)
       .filterNot(_.startsWith(s"${TxLog.DeletesFamily}__"))
-    val attributed = liveData.filter(s =>
-      TxLog.segmentParts(store, s).isDefined)
-    if (plainTable && attributed.nonEmpty) {
-      if (attributed.size < liveData.size)
-        skipped += "partitioned" -> ("the table mixes partition-" +
-          "attributed and plain segments: run OPTIMIZE … REPARTITION " +
-          "BY (or TxLog.repartitionTable) to migrate the plain " +
-          "segments, then OPTIMIZE folds per leaf")
-      else {
-        val delSegs = TxLog.familySegments(store, TxLog.DeletesFamily)
-        val keySets = delSegs
-          .map(s => sp.read.parquet(s"$store/$s").schema.fieldNames.toSeq)
-          .distinct
-        if (keySets.size > 1)
-          skipped += "partitioned" -> ("tombstone key schemas disagree " +
-            s"($keySets): run TxLog.compactAllPartitionsMoR with " +
-            "explicit keys")
-        else {
-          // tombstone keys when tombstoned; else the partition columns
-          // (without tombstones the MoR fold never consults the keys)
-          val keys = keySets.headOption.getOrElse(
-            attributed.flatMap(s => TxLog.segmentParts(store, s)
-              .getOrElse(Seq.empty)).map(_._1).distinct)
-          val folded = TxLog.compactAllPartitionsMoR(sp, store, keys,
+    val segParts = liveData.map(s => s -> TxLog.segmentParts(store, s)).toMap
+    val valueAttributed = liveData.filter(s => segParts(s).exists(_.nonEmpty))
+    val plainSegs = liveData.filter(s => segParts(s).isEmpty)
+    if (plainTable && valueAttributed.nonEmpty) {
+      if (plainSegs.nonEmpty) {
+        // mixed layout — and the deferral is only WORTH REPORTING when
+        // maintenance would have fired at all (segment count over the
+        // threshold, or live tombstones awaiting retirement); a
+        // healthy under-threshold table must not log a skip
+        if (liveData.size > threshold ||
+            TxLog.familySegments(store, TxLog.DeletesFamily).nonEmpty)
+          skipped += "partitioned" -> ("the table mixes partition-" +
+            "attributed and plain segments: run OPTIMIZE … REPARTITION " +
+            "BY (or TxLog.repartitionTable) to migrate the plain " +
+            "segments, then OPTIMIZE folds per leaf")
+      } else {
+        // keys resolve LAZILY — compactAllPartitionsMoR forces them
+        // only when a fold actually runs, so a no-op maintenance pass
+        // (nothing over threshold) never pays the tombstone schema
+        // reads; a key-schema disagreement surfaces as a deferral,
+        // exactly like the eager check used to
+        def lazyKeys: Seq[String] = {
+          val delSegs = TxLog.familySegments(store, TxLog.DeletesFamily)
+          if (delSegs.isEmpty)
+            valueAttributed.flatMap(s => segParts(s).getOrElse(Seq.empty))
+              .map(_._1).distinct
+          else {
+            val keySets = delSegs.map(s =>
+              sp.read.parquet(s"$store/$s").schema.fieldNames.toSeq).distinct
+            if (keySets.size > 1) throw new AnnIndex.TombKeysDisagree(keySets)
+            keySets.head
+          }
+        }
+        try {
+          val folded = TxLog.compactAllPartitionsMoR(sp, store, lazyKeys,
             leafThreshold = threshold)
           compacted ++= folded.map { case (vals, v) =>
             (if (vals.isEmpty) "deletes"
              else vals.map(p => s"${p._1}=${p._2}").mkString("/")) -> v
           }
+        } catch {
+          case e: AnnIndex.TombKeysDisagree =>
+            skipped += "partitioned" -> ("tombstone key schemas disagree " +
+              s"(${e.keySets}): run TxLog.compactAllPartitionsMoR with " +
+              "explicit keys")
         }
       }
       val report = MaintainReport(compacted.result(), skipped.result())

@@ -75,7 +75,8 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
     ("""(?is)\s*OPTIMIZE\s+([\w.`]+)\s+REPARTITION\s+BY""" +
       """\s*\(([^)]+)\)\s*;?\s*""").r
   private val VacuumRe =
-    """(?is)\s*VACUUM\s+([\w.`]+?)(?:\s+RETAIN\s+(\d+)\s+VERSIONS)?\s*;?\s*""".r
+    ("""(?is)\s*VACUUM\s+([\w.`]+?)(?:\s+RETAIN\s+(\d+)\s+VERSIONS)?""" +
+      """(?:\s+RETAIN\s+(\d+)\s+HOURS)?(?:\s+(FORCE))?\s*;?\s*""").r
   private val HistoryRe =
     """(?is)\s*DESCRIBE\s+HISTORY\s+([\w.`]+)\s*;?\s*""".r
   private val RestoreRe =
@@ -123,9 +124,10 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
             GraftTxLogOptimize(ti, Option(zorder).toSeq.flatMap(
               _.split(",").map(_.trim.stripPrefix("`").stripSuffix("`"))
                 .filter(_.nonEmpty)), Option(where))))
-        case VacuumRe(ident, retain) => Some((ident,
+        case VacuumRe(ident, retain, hours, force) => Some((ident,
           (ti: TableIdentifier) => GraftTxLogVacuum(ti,
-            Option(retain).map(_.toInt))))
+            Option(retain).map(_.toInt), Option(hours).map(_.toInt),
+            force != null)))
         case HistoryRe(ident) => Some((ident, (ti: TableIdentifier) =>
           GraftTxLogHistory(ti)))
         case RestoreRe(ident, v) => Some((ident, (ti: TableIdentifier) =>
@@ -220,7 +222,7 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
                       "stores rows, not cells; drop top-level columns " +
                       "only")
                   c.name.head
-                })
+                }, d.ifExists)
               case None => plan
             }
           case _ => plan
@@ -678,12 +680,27 @@ case class GraftTxLogOptimize(ident: TableIdentifier,
   }
 }
 
-/** `VACUUM <graft-txlog table> [RETAIN n VERSIONS]` — reclaim disk
-  * from segments no retained version can reach
-  * ([[TxLog.vacuum]]); default retains only the latest version.
-  * Returns one row per reclaimed directory, sorted. */
+/** `VACUUM <graft-txlog table> [RETAIN n VERSIONS] [RETAIN m HOURS]
+  * [FORCE]` — reclaim disk from segments no retained version can
+  * reach ([[TxLog.vacuum]]); RETAIN VERSIONS (default: latest only)
+  * sets the version horizon, RETAIN HOURS the AGE WINDOW (Delta's
+  * retention duration reduced to its core): only directories at least
+  * that old are reclaimed, defaulting to [[GraftTxLogVacuum
+  * .DefaultRetainHours]] — the concurrency guard. A vacuum racing an
+  * in-flight writer sees the writer's staged spill (`.stage_<uuid>`)
+  * and its relinked-but-not-yet-committed segment dirs as
+  * unreachable orphans; at age 0 it would DELETE them and the
+  * writer's subsequent commit would reference vanished directories —
+  * an in-flight install's files are recent BY DEFINITION, so any
+  * nonzero window protects them while genuine orphans and retired
+  * segments age past it. `RETAIN 0 HOURS` therefore refuses unless
+  * the statement also says FORCE (the single-maintainer escape hatch
+  * — Delta's retentionDurationCheck override): immediate reclamation
+  * is only safe when no write can possibly be in flight. Returns one
+  * row per reclaimed directory, sorted. */
 case class GraftTxLogVacuum(ident: TableIdentifier,
-    retainVersions: Option[Int]) extends LeafRunnableCommand {
+    retainVersions: Option[Int], retainHours: Option[Int] = None,
+    force: Boolean = false) extends LeafRunnableCommand {
   import org.apache.spark.sql.catalyst.expressions.AttributeReference
   import org.apache.spark.sql.types.StringType
   override val output: Seq[org.apache.spark.sql.catalyst.expressions.Attribute] =
@@ -691,6 +708,13 @@ case class GraftTxLogVacuum(ident: TableIdentifier,
   override def run(session: SparkSession): Seq[Row] = {
     retainVersions.foreach(n => require(n >= 1,
       s"VACUUM ... RETAIN $n VERSIONS: must retain at least 1"))
+    val hours = retainHours.getOrElse(GraftTxLogVacuum.DefaultRetainHours)
+    require(hours > 0 || force,
+      s"VACUUM ${ident.table} RETAIN 0 HOURS: an age window of zero " +
+        "can reclaim a CONCURRENT writer's staged-but-uncommitted " +
+        "segment directories (its commit would then reference vanished " +
+        "data) — keep a nonzero window, or add FORCE if no write can " +
+        "be in flight")
     val meta = session.sessionState.catalog.getTableMetadata(ident)
     val dir = GraftSqlParser.localPath(meta)
     val vs = TxLog.versions(dir)
@@ -698,8 +722,16 @@ case class GraftTxLogVacuum(ident: TableIdentifier,
     val keepFrom = retainVersions
       .map(n => vs.drop(math.max(0, vs.size - n)).head)
       .getOrElse(vs.last)
-    TxLog.vacuum(dir, keepFrom).map(Row(_))
+    TxLog.vacuum(dir, keepFrom, minAgeMs = hours * 3600L * 1000L)
+      .map(Row(_))
   }
+}
+
+object GraftTxLogVacuum {
+  /** Default age window for SQL VACUUM — one hour: far longer than
+    * any install's stage-to-commit span, far shorter than any
+    * retention a real lake would configure. */
+  val DefaultRetainHours = 1
 }
 
 /** `DESCRIBE HISTORY <graft-txlog table>` — the commit log as rows
@@ -893,7 +925,8 @@ case class GraftTxLogAddColumns(ident: TableIdentifier,
   * refuse — the MoR anti-join and the layout verbs depend on them.
   * Returns one row per dropped column. */
 case class GraftTxLogDropColumns(ident: TableIdentifier,
-    cols: Seq[String]) extends LeafRunnableCommand {
+    cols: Seq[String], ifExists: Boolean = false)
+    extends LeafRunnableCommand {
   import org.apache.spark.sql.catalyst.expressions.AttributeReference
   import org.apache.spark.sql.types.StringType
   override val output: Seq[org.apache.spark.sql.catalyst.expressions.Attribute] =
@@ -911,7 +944,13 @@ case class GraftTxLogDropColumns(ident: TableIdentifier,
     val partCols = props.get("partitionBy")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
       .getOrElse(Seq.empty)
-    cols.foreach { n =>
+    // IF EXISTS: missing names fall out of the statement (SQL's
+    // contract); without it a missing name refuses loudly below
+    val toDrop =
+      if (!ifExists) cols
+      else cols.filter(n => have.exists(_.equalsIgnoreCase(n)))
+    if (toDrop.isEmpty) return Seq.empty
+    toDrop.foreach { n =>
       require(have.exists(_.equalsIgnoreCase(n)),
         s"ALTER TABLE ${ident.table}: column '$n' does not exist " +
           s"(columns: ${have.mkString(", ")})")
@@ -923,20 +962,49 @@ case class GraftTxLogDropColumns(ident: TableIdentifier,
         s"ALTER TABLE ${ident.table}: column '$n' is a partition " +
           "column — dropping it would strand the table's layout; " +
           "repartition first")
-      require(have.count(c => !cols.exists(_.equalsIgnoreCase(c))) > 0,
+      require(have.count(c => !toDrop.exists(_.equalsIgnoreCase(c))) > 0,
         s"ALTER TABLE ${ident.table}: cannot drop every column")
     }
-    TxLog.dropColumnsMeta(dir, cols)
-    // alterTableSchema, not alterTableDataSchema: the latter refuses
-    // any schema that REMOVES a column (it exists for ADD), while the
-    // drop is exactly a removal (these tables carry no catalog-level
-    // partitioning, so full schema = data schema)
-    session.sessionState.catalog.alterTableSchema(ident,
-      org.apache.spark.sql.types.StructType(
-        meta.schema.fields.filterNot(f =>
-          cols.exists(_.equalsIgnoreCase(f.name)))))
+    // the two mutations (dropped.json, catalog schema) must not come
+    // apart: if the catalog update throws after dropped.json landed,
+    // reads would already project the column away while the catalog
+    // still declares it — and the DDL could not be retried (double-
+    // drop refuses). Snapshot the _meta files first and roll them
+    // back on a catalog failure, so a failed ALTER leaves NOTHING
+    // half-applied and the statement stays retryable.
+    val metaDir = java.nio.file.Paths.get(dir, "_meta")
+    def readOpt(n: String): Option[Array[Byte]] = {
+      val p = metaDir.resolve(n)
+      if (java.nio.file.Files.isRegularFile(p))
+        Some(java.nio.file.Files.readAllBytes(p))
+      else None
+    }
+    val prevDropped = readOpt("dropped.json")
+    val prevWiden = readOpt("widen.json")
+    TxLog.dropColumnsMeta(dir, toDrop)
+    try {
+      // alterTableSchema, not alterTableDataSchema: the latter refuses
+      // any schema that REMOVES a column (it exists for ADD), while the
+      // drop is exactly a removal (these tables carry no catalog-level
+      // partitioning, so full schema = data schema)
+      session.sessionState.catalog.alterTableSchema(ident,
+        org.apache.spark.sql.types.StructType(
+          meta.schema.fields.filterNot(f =>
+            toDrop.exists(_.equalsIgnoreCase(f.name)))))
+    } catch {
+      case e: Throwable =>
+        def restore(n: String, prev: Option[Array[Byte]]): Unit = prev match {
+          case Some(b) =>
+            java.nio.file.Files.write(metaDir.resolve(n), b); ()
+          case None =>
+            java.nio.file.Files.deleteIfExists(metaDir.resolve(n)); ()
+        }
+        restore("dropped.json", prevDropped)
+        restore("widen.json", prevWiden)
+        throw e
+    }
     session.catalog.refreshTable(ident.quotedString)
-    cols.map(Row(_))
+    toDrop.map(Row(_))
   }
 }
 

@@ -3587,7 +3587,12 @@ object IngestQueries {
           FROM e60_orders_src WHERE o_orderkey % 2 = 1""")
         sp.sql(s"DELETE FROM $tbl WHERE o_orderkey % 5 = 0")       // v2
         sp.sql(s"OPTIMIZE $tbl")                                   // v3
-        val gone = sp.sql(s"VACUUM $tbl").collect().map(_.getString(0))
+        // the fixture's retired segments are seconds old, inside the
+        // default RETAIN-HOURS safety window (which exists to protect
+        // a concurrent writer's staged dirs) — immediate reclamation
+        // needs the explicit single-maintainer override
+        val gone = sp.sql(s"VACUUM $tbl RETAIN 0 HOURS FORCE")
+          .collect().map(_.getString(0))
         require(gone.toSeq == Seq("deletes__seg2", "write__seg000000",
           "write__seg000001"),
           s"e60: vacuum must reclaim exactly the retired dirs, got " +

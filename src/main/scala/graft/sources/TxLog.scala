@@ -759,7 +759,7 @@ object TxLog {
     * a commit happened with no leaf folds (tombstone/empty-artifact
     * retirement only). */
   def compactAllPartitionsMoR(spark: SparkSession, tableDir: String,
-      keyCols: Seq[String],
+      keyCols: => Seq[String],
       leafThreshold: Int = 1): Seq[(Seq[(String, String)], Int)] = {
     require(leafThreshold >= 1, s"leafThreshold must be >= 1")
     val latest = latestVersion(tableDir)
@@ -789,8 +789,12 @@ object TxLog {
       .map { case (vals, group) => (vals, group.map(_._1)) }
     val retiringTombs = if (applyTomb) delSegs.map(_._1) else Seq.empty
     if (toFold.isEmpty && retiringTombs.isEmpty) return Seq.empty
-    val folded = foldLeavesConcurrently(spark, tableDir, latest, keyCols,
-      toFold)
+    // keyCols is by-name and forced only HERE, when a fold actually
+    // runs — callers may derive keys from the tombstone segments'
+    // schemas, a read a no-op maintenance pass must never pay
+    val folded =
+      if (toFold.isEmpty) Seq.empty
+      else foldLeavesConcurrently(spark, tableDir, latest, keyCols, toFold)
     val v = commit(tableDir,
       adds = folded.map(_._2),
       removes = folded.flatMap(_._3) ++ retiringTombs ++ empties,
@@ -904,19 +908,38 @@ object TxLog {
   /** Process-local memo for [[versionAddedBytes]]: a committed
     * version's added segments are immutable, so its byte size is
     * computed once per (table, version) however often the streaming
-    * source's admission control consults it. */
+    * source's admission control consults it. Keyed by (path, v0
+    * manifest's filesystem fileKey — the table's creation identity):
+    * a table deleted and recreated at the SAME path gets a fresh v0
+    * inode, so its entries never collide with the dead table's (which
+    * would serve stale byte sizes to admission control). Bounded: the
+    * map clears past a cap instead of growing with every table a
+    * long-lived JVM ever streamed from — entries recompute cheaply. */
   private val addedBytesMemo =
     new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+  private val AddedBytesMemoCap = 8192
+
+  /** The table-creation identity for memo keys: v0.json's filesystem
+    * fileKey (inode) — recreating the table at the same path makes a
+    * new v0 file and therefore a new identity. */
+  private def creationMarker(tableDir: String): String =
+    scala.util.Try(Option(Files.readAttributes(
+      logDir(tableDir).resolve("v0.json"),
+      classOf[java.nio.file.attribute.BasicFileAttributes]).fileKey())
+      .map(_.toString).getOrElse("nokey"))
+      .getOrElse("nov0")
 
   /** The on-disk bytes a version's commit ADDED — the admission unit
     * for `maxBytesPerTrigger` (Delta's byte-based rate limit reduced
     * to this format's ledger): the sum of the version's added
     * segments' regular-file sizes, 0 for removes-only (maintenance)
-    * commits, memoized per (table, version). A segment already
-    * vacuumed sizes as 0 — by then the span is unreadable anyway and
-    * the stream fails on the read, not the admission. */
-  def versionAddedBytes(tableDir: String, v: Int): Long =
-    addedBytesMemo.computeIfAbsent(s"$tableDir@$v", { _ =>
+    * commits, memoized per (table identity, version). A segment
+    * already vacuumed sizes as 0 — by then the span is unreadable
+    * anyway and the stream fails on the read, not the admission. */
+  def versionAddedBytes(tableDir: String, v: Int): Long = {
+    if (addedBytesMemo.size > AddedBytesMemoCap) addedBytesMemo.clear()
+    addedBytesMemo.computeIfAbsent(
+      s"$tableDir@$v@${creationMarker(tableDir)}", { _ =>
       val (adds, _, _) = readManifest(tableDir, v)
       java.lang.Long.valueOf(adds.map { seg =>
         val d = Paths.get(tableDir, seg)
@@ -931,6 +954,7 @@ object TxLog {
         }
       }.sum)
     })
+  }
 
   /** The versions in (`fromV`, `toV`] whose commits CHANGED data —
     * what an incremental consumer must decide emptiness by: a span
@@ -1336,12 +1360,15 @@ object TxLog {
     refuseNullPartitions(s"convert $tableDir", leaves)
     val segs = linkLeafSegments(spark, tableDir, leaves,
       i => f"convert__seg$i%06d", statsCols, bloomCols,
-      deferStats = true)
+      deferStats = true, deferBlooms = true)
     // one grouped aggregation over all adopted files computes every
-    // leaf's stats sidecar — O(1) Spark jobs however many leaves
-    writeLeafStatsOnePass(spark, tableDir,
-      leaves.sortBy(_._1.map(_._2).mkString(" ")).zip(segs.map(_._1)),
+    // leaf's stats sidecar — O(1) Spark jobs however many leaves;
+    // bloom sidecars ride their own single grouped pass
+    val ordered = leaves.sortBy(_._1.map(_._2).mkString(" "))
+      .zip(segs.map(_._1))
+    writeLeafStatsOnePass(spark, tableDir, ordered,
       statsCols, leafPartTypes(leaves, Map.empty))
+    writeLeafBloomsOnePass(spark, tableDir, ordered, bloomCols)
     commit(tableDir, adds = segs.map(_._1))
     // The originals are now owned — unlink ONLY the files that were
     // actually hard-linked (the data survives through the segment
@@ -1407,7 +1434,8 @@ object TxLog {
       segName: Int => String, statsCols: Seq[String],
       bloomCols: Seq[String],
       declaredTypes: Map[String, String] = Map.empty,
-      deferStats: Boolean = false): Seq[(String, Int)] = {
+      deferStats: Boolean = false,
+      deferBlooms: Boolean = false): Seq[(String, Int)] = {
     val root = Paths.get(tableDir)
     val ptype = leafPartTypes(leaves, declaredTypes)
     leaves.sortBy(_._1.map(_._2).mkString(" "))
@@ -1419,15 +1447,16 @@ object TxLog {
           s"""{"cols":[${pvals.map { case (c, v) =>
             s"""{"name":"${jsonEsc(c)}","value":"${jsonEsc(v)}",""" +
               s""""type":"${ptype(c)}"}""" }.mkString(",")}]}""")
-        // deferStats: the caller computes EVERY leaf's stats sidecar in
-        // one grouped aggregation afterwards ([[writeLeafStatsOnePass]])
-        // instead of one Spark job per leaf here
+        // deferStats/deferBlooms: the caller computes EVERY leaf's
+        // sidecar in one grouped aggregation afterwards
+        // ([[writeLeafStatsOnePass]] / [[writeLeafBloomsOnePass]])
+        // instead of one Spark job per leaf (per column) here
         if (!deferStats) {
           writeSegmentStats(spark, tableDir, seg, statsCols)
           appendConstStats(tableDir, seg,
             pvals.map { case (c, v) => (c, v, ptype(c)) })
         }
-        writeSegmentBlooms(spark, tableDir, seg, bloomCols)
+        if (!deferBlooms) writeSegmentBlooms(spark, tableDir, seg, bloomCols)
         seg -> files.size
       }
   }
@@ -1498,11 +1527,13 @@ object TxLog {
         refuseNullPartitions(s"partitioned write to $tableDir", leaves)
         val linked = linkLeafSegments(data.sparkSession, tableDir, leaves,
           i => s"${baseName}p$i", statsCols, bloomCols,
-          declaredTypes, deferStats = true)
-        writeLeafStatsOnePass(data.sparkSession, tableDir,
-          leaves.sortBy(_._1.map(_._2).mkString(" "))
-            .zip(linked.map(_._1)), statsCols,
-          leafPartTypes(leaves, declaredTypes))
+          declaredTypes, deferStats = true, deferBlooms = true)
+        val ordered = leaves.sortBy(_._1.map(_._2).mkString(" "))
+          .zip(linked.map(_._1))
+        writeLeafStatsOnePass(data.sparkSession, tableDir, ordered,
+          statsCols, leafPartTypes(leaves, declaredTypes))
+        writeLeafBloomsOnePass(data.sparkSession, tableDir, ordered,
+          bloomCols)
         linked.map(_._1)
       }
     } finally {
@@ -1649,6 +1680,129 @@ object TxLog {
             else s"""{"__rows":"$rows",${(fields ++ constFields)
               .mkString(",")}}"""
           writeStatsSidecar(tableDir, seg, body)
+      }
+    }
+  }
+
+  /** Observability hook for the one-pass BLOOM contract — the bloom
+    * twin of [[statsJobCount]]: counts the Spark jobs bloom-sidecar
+    * writes schedule, so a spec can assert a partitioned write builds
+    * every leaf's filters in ONE grouped aggregation regardless of
+    * leaf count (vs the per-leaf path's O(leaves × columns) jobs).
+    * THREAD-LOCAL for the same isolation reason. */
+  private[graft] object bloomJobCount {
+    private val tl = new ThreadLocal[java.lang.Long] {
+      override def initialValue(): java.lang.Long = 0L
+    }
+    def get(): Long = tl.get()
+    def incrementAndGet(): Long = { val v = tl.get() + 1; tl.set(v); v }
+  }
+
+  /** All leaves' BLOOM sidecars in ONE grouped aggregation — the
+    * bloom half of [[writeLeafStatsOnePass]] and the close of the r16
+    * verdict's write-side scale item: the per-leaf
+    * [[writeSegmentBlooms]] loop schedules one count job plus one
+    * `df.stat.bloomFilter` job PER LEAF PER COLUMN (a 1000-leaf batch
+    * with two bloom columns pays ~3000 driver-sequential jobs); here
+    * the staged dataset is read ONCE, grouped by its leaf directory,
+    * and every (leaf, column) filter lands driver-side in one pass
+    * ([[graft.functions.SegmentBloomAgg]] — Spark's own sketch class
+    * with its own putLong/putString inserts, so the bytes probe
+    * exactly like the per-leaf path's: no false negatives, same
+    * `mightContainLong`/`mightContainString` convention).
+    *
+    * Sizing: per-leaf row counts come from the staged parquet FOOTERS
+    * (driver-side metadata reads, zero Spark jobs), and every leaf's
+    * filter is sized for the LARGEST leaf (one shared aggregate
+    * shape) — oversizing a small leaf's filter only lowers its fpp,
+    * and the `maxBits` cap warns exactly like the per-leaf path. A
+    * leaf the grouped result cannot be matched back to (exotic
+    * directory-name encoding) falls back to the per-leaf path —
+    * sound, just slower. Sidecar JSON shape is byte-compatible with
+    * [[writeSegmentBlooms]]'s. */
+  private[sources] def writeLeafBloomsOnePass(spark: SparkSession,
+      tableDir: String,
+      leavesWithSegs: Seq[((Seq[(String, String)], java.nio.file.Path),
+        String)],
+      bloomCols: Seq[String], fpp: Double = 0.001,
+      maxBits: Long = 64L * 1024 * 1024): Unit = {
+    import org.apache.spark.sql.functions.{col, expr}
+    if (bloomCols.isEmpty || leavesWithSegs.isEmpty) return
+    def dropStale(seg: String): Unit = {
+      Files.deleteIfExists(logDir(tableDir).resolve(s"bloom-$seg.json")); ()
+    }
+    val files = leavesWithSegs.flatMap(l => listParquet(l._1._2))
+    if (files.isEmpty) { leavesWithSegs.foreach(l => dropStale(l._2)); return }
+    val df = spark.read.parquet(files.map(_.toString): _*)
+    val eligible = bloomCols.filter(df.columns.contains).filter { c =>
+      df.schema(c).dataType match {
+        case org.apache.spark.sql.types.LongType |
+             org.apache.spark.sql.types.IntegerType |
+             org.apache.spark.sql.types.ShortType |
+             org.apache.spark.sql.types.StringType => true
+        case _ => false
+      }
+    }
+    if (eligible.isEmpty) { leavesWithSegs.foreach(l => dropStale(l._2)); return }
+    // per-leaf row counts from the staged footers — driver-side
+    // metadata, no jobs; any unreadable footer falls back to the
+    // whole batch's footer total (an upper bound: oversized filters
+    // stay sound)
+    def footerRows(p: java.nio.file.Path): Option[Long] = scala.util.Try {
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(p.toUri),
+        spark.sessionState.newHadoopConf())
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      try r.getRecordCount finally r.close()
+    }.toOption
+    val perLeaf = leavesWithSegs.map { case ((_, leaf), _) =>
+      val counts = listParquet(leaf).map(footerRows)
+      if (counts.forall(_.isDefined)) Some(counts.flatten.sum) else None
+    }
+    val n = math.max(64L,
+      if (perLeaf.forall(_.isDefined)) perLeaf.flatten.max
+      else files.map(footerRows).flatten.sum)
+    val optimalBits = math.ceil(
+      -n * math.log(fpp) / (math.log(2) * math.log(2))).toLong
+    if (optimalBits > maxBits)
+      System.err.println(s"[txlog] one-pass blooms for $tableDir capped " +
+        s"at $maxBits bits (optimal $optimalBits for $n rows) — " +
+        "point-skipping selectivity degrades; write smaller segments " +
+        "or raise maxBits")
+    val bits = math.min(optimalBits, maxBits)
+    val aggs = eligible.map { c =>
+      // integral columns build (and probe) as LONGS — the per-leaf
+      // path's convention, so the hashes line up across widths
+      val probed = df.schema(c).dataType match {
+        case org.apache.spark.sql.types.StringType => col(c)
+        case _ => col(c).cast(org.apache.spark.sql.types.LongType)
+      }
+      graft.functions.SegmentBloomAgg(probed, n, bits).as(s"__bf_$c")
+    }
+    bloomJobCount.incrementAndGet()
+    val byLeaf = df
+      .groupBy(expr("regexp_replace(input_file_name(), '/[^/]*$', '')")
+        .as("__leaf"))
+      .agg(aggs.head, aggs.tail: _*)
+      .collect()
+      .flatMap { r =>
+        scala.util.Try(new java.net.URI(r.getString(0)).getPath)
+          .toOption.map(p => Paths.get(p).toAbsolutePath.normalize -> r)
+      }.toMap
+    leavesWithSegs.foreach { case ((_, leaf), seg) =>
+      byLeaf.get(leaf.toAbsolutePath.normalize) match {
+        case None =>
+          // unmatched leaf: the per-leaf path is the sound fallback
+          writeSegmentBlooms(spark, tableDir, seg, bloomCols,
+            fpp, maxBits)
+        case Some(row) =>
+          val fields = eligible.zipWithIndex.map { case (c, i) =>
+            val b64 = java.util.Base64.getEncoder
+              .encodeToString(row.getAs[Array[Byte]](i + 1))
+            s""""${jsonEsc(c)}":"$b64""""
+          }
+          installSidecar(tableDir, s"bloom-$seg.json",
+            s"{${fields.mkString(",")}}")
       }
     }
   }
@@ -1949,9 +2103,13 @@ object TxLog {
       val body = new String(Files.readAllBytes(f), StandardCharsets.UTF_8)
       val m = """"cols":\[([^\]]*)\]""".r.findFirstMatchIn(body)
       def unesc(s: String) = s.replace("\\\"", "\"").replace("\\\\", "\\")
-      m.map(_.group(1).split(",").map(_.trim)
-        .filter(_.nonEmpty)
-        .map(s => unesc(s.stripPrefix("\"").stripSuffix("\""))).toSeq)
+      // entry-level, escape-aware parse (the segmentParts discipline):
+      // the writer jsonEsc-escapes names, so a name holding a comma or
+      // an escaped quote must round-trip — a naive split(",") would
+      // silently shear it into wrong dropped names
+      val entry = """"((?:[^"\\]|\\.)*)"""".r
+      m.map(g => entry.findAllMatchIn(g.group(1))
+        .map(x => unesc(x.group(1))).toSeq)
         .getOrElse(Seq.empty)
     }
   }
@@ -2153,6 +2311,7 @@ object TxLog {
       }
     }
     if (eligible.isEmpty) { dropStale(); return }
+    bloomJobCount.incrementAndGet() // the sizing count job
     val n = math.max(64L, df.count())
     val fields = eligible.map { c =>
       val optimalBits = math.ceil(
@@ -2171,6 +2330,7 @@ object TxLog {
         case _ => df.select(org.apache.spark.sql.functions.col(c)
           .cast(org.apache.spark.sql.types.LongType).as(c))
       }
+      bloomJobCount.incrementAndGet() // one build job per column
       val bf = probed.stat.bloomFilter(c, n, math.min(optimalBits, maxBits))
       val bos = new java.io.ByteArrayOutputStream()
       bf.writeTo(bos)

@@ -564,14 +564,19 @@ private[txlog] object BloomCache {
 object TxLogSource {
   /** Parse a byte-count option: a plain long, or with a k/m/g suffix
     * (binary units — Delta's byte-string shape reduced to its core). */
-  private[txlog] def parseBytes(s: String): Long = {
+  private[graft] def parseBytes(s: String): Long = {
     val t = s.trim.toLowerCase
     val (num, mult) =
       if (t.endsWith("k")) (t.dropRight(1), 1024L)
       else if (t.endsWith("m")) (t.dropRight(1), 1024L * 1024)
       else if (t.endsWith("g")) (t.dropRight(1), 1024L * 1024 * 1024)
       else (t, 1L)
-    val v = num.trim.toLong * mult
+    val n = scala.util.Try(num.trim.toLong).getOrElse(
+      throw new IllegalArgumentException(
+        s"maxBytesPerTrigger: cannot parse '$s' as a byte count — use a " +
+          "whole number with an optional k/m/g suffix (e.g. 512m; " +
+          "fractional sizes like '1.5g' are not supported)"))
+    val v = n * mult
     require(v >= 1, s"maxBytesPerTrigger must be >= 1 byte, got $s")
     v
   }
