@@ -229,18 +229,17 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
         }
       case r: org.apache.spark.sql.catalyst.plans.logical.RenameColumn =>
         r.table match {
-          case u: org.apache.spark.sql.catalyst.analysis.UnresolvedTable
-              if graftTable(u.multipartIdentifier).isDefined =>
-            // a graft-aware refusal naming the actual reason, instead
-            // of Spark's generic v1-table error: RENAME needs column
-            // mapping (segments store the old physical name forever),
-            // which the format does not implement
-            throw new UnsupportedOperationException(
-              "ALTER TABLE ... RENAME COLUMN is not supported on " +
-                "graft-txlog tables: committed segments store the " +
-                "column under its physical name and the format has no " +
-                "column-mapping layer — add a new column and backfill, " +
-                "or rewrite the table")
+          case u: org.apache.spark.sql.catalyst.analysis.UnresolvedTable =>
+            graftTable(u.multipartIdentifier) match {
+              case Some((ti, _)) =>
+                require(r.column.name.size == 1,
+                  s"ALTER TABLE ${ti.table} RENAME COLUMN: nested " +
+                    s"field '${r.column.name.mkString(".")}' — the " +
+                    "format stores rows, not cells; rename top-level " +
+                    "columns only")
+                GraftTxLogRenameColumn(ti, r.column.name.head, r.newName)
+              case None => plan
+            }
           case _ => plan
         }
       case m: MergeIntoTable =>
@@ -1006,6 +1005,131 @@ case class GraftTxLogDropColumns(ident: TableIdentifier,
     session.catalog.refreshTable(ident.quotedString)
     toDrop.map(Row(_))
   }
+}
+
+/** `ALTER TABLE <graft-txlog table> RENAME COLUMN a TO b` — Delta's
+  * column-mapping layer reduced to this format's core
+  * ([[TxLog.renameColumnMeta]]): the rename is TABLE METADATA
+  * (`_meta/renames.json`) anchored to a dedicated empty metadata
+  * commit, never a data rewrite — at 100 TB renaming a column must be
+  * O(1) exactly like adding or dropping one. Committed segments keep
+  * the column under its PHYSICAL (write-time) name; readers re-map
+  * per segment (renames apply to segments added before the anchor,
+  * for reads pinned at or above it), so time travel below the anchor
+  * reads the OLD name, post-rename writes carry the new name
+  * physically, and re-ADDING the old name works (old segments map
+  * their physical column away first and read the re-added one as
+  * typed NULL). Key and partition columns refuse (the MoR anti-join
+  * and the layout verbs depend on them); a name referenced by the
+  * table's CHECK constraints refuses (the checks would silently stop
+  * binding); renaming ONTO a dropped name refuses (pre-drop segments
+  * still store values under it). The table's statsCols/bloomCols
+  * option lists follow the rename so NEW segments keep recording
+  * skipping sidecars; old sidecars stay keyed physically and the
+  * pruning path re-keys them per segment. Returns one row:
+  * (column, renamed_to, version). */
+case class GraftTxLogRenameColumn(ident: TableIdentifier,
+    from: String, to: String) extends LeafRunnableCommand {
+  import org.apache.spark.sql.catalyst.expressions.AttributeReference
+  import org.apache.spark.sql.types.{IntegerType, StringType}
+  override val output: Seq[org.apache.spark.sql.catalyst.expressions.Attribute] =
+    Seq(AttributeReference("column", StringType, nullable = false)(),
+      AttributeReference("renamed_to", StringType, nullable = false)(),
+      AttributeReference("version", IntegerType, nullable = false)())
+  override def run(session: SparkSession): Seq[Row] = {
+    val meta = session.sessionState.catalog.getTableMetadata(ident)
+    val dir = GraftSqlParser.localPath(meta)
+    val rel = GraftSqlParser.asOfRead(session, meta, asOf = null)
+    val have = rel.columns.toSeq
+    val src = have.find(_.equalsIgnoreCase(from)).getOrElse(
+      throw new IllegalArgumentException(
+        s"ALTER TABLE ${ident.table}: column '$from' does not exist " +
+          s"(columns: ${have.mkString(", ")})"))
+    require(!have.exists(_.equalsIgnoreCase(to)),
+      s"ALTER TABLE ${ident.table}: column '$to' already exists")
+    require(!TxLog.droppedColumns(dir).exists(_.equalsIgnoreCase(to)),
+      s"ALTER TABLE ${ident.table}: column '$to' was DROPPED — " +
+        "pre-drop segments still store values under that physical " +
+        "name, which a rename onto it would silently resurrect; use " +
+        "a fresh name")
+    val props = CaseInsensitiveMap(meta.storage.properties)
+    def colsOf(key: String) = props.get(key)
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      .getOrElse(Seq.empty)
+    require(!colsOf("keyCols").exists(_.equalsIgnoreCase(from)),
+      s"ALTER TABLE ${ident.table}: column '$from' is a key column " +
+        "(keyCols option) — row-level deletes anti-join on it under " +
+        "its physical name; change the table's keys first")
+    require(!colsOf("partitionBy").exists(_.equalsIgnoreCase(from)),
+      s"ALTER TABLE ${ident.table}: column '$from' is a partition " +
+        "column — the layout's value sidecars record it under its " +
+        "physical name; repartition first")
+    val checksRefs = TxLogChecksNames.parse(props.get("checks"))
+      .filter(c => ("""(?i)(?<![\w`])""" +
+        java.util.regex.Pattern.quote(from) + """(?![\w`])""").r
+        .findFirstIn(c).isDefined)
+    require(checksRefs.isEmpty,
+      s"ALTER TABLE ${ident.table}: column '$from' is referenced by " +
+        s"the table's CHECK constraints (${checksRefs.mkString("; ")}) " +
+        "— the checks would silently stop binding; update the checks " +
+        "option first")
+    // metadata first, catalog second, with rollback — a catalog
+    // failure must not leave reads already re-mapping while the
+    // catalog still declares the old name (the DropColumns rule; the
+    // empty anchor commit itself is harmless to leave behind)
+    val metaDir = java.nio.file.Paths.get(dir, "_meta")
+    def readOpt(n: String): Option[Array[Byte]] = {
+      val p = metaDir.resolve(n)
+      if (java.nio.file.Files.isRegularFile(p))
+        Some(java.nio.file.Files.readAllBytes(p))
+      else None
+    }
+    val prevRenames = readOpt("renames.json")
+    val prevWiden = readOpt("widen.json")
+    val v = TxLog.renameColumnMeta(dir, src, to)
+    try {
+      session.sessionState.catalog.alterTableSchema(ident,
+        org.apache.spark.sql.types.StructType(meta.schema.fields.map(f =>
+          if (f.name.equalsIgnoreCase(from)) f.copy(name = to) else f)))
+      // statsCols/bloomCols follow the rename: new segments record
+      // their sidecars under the name the data now carries
+      val follows = Seq("statsCols", "bloomCols").flatMap { k =>
+        val cur = colsOf(k)
+        if (cur.exists(_.equalsIgnoreCase(from)))
+          Some(k -> cur.map(c =>
+            if (c.equalsIgnoreCase(from)) to else c).mkString(","))
+        else None
+      }
+      if (follows.nonEmpty) {
+        val updated = meta.storage.copy(
+          properties = meta.storage.properties ++ follows)
+        session.sessionState.catalog.alterTable(
+          session.sessionState.catalog.getTableMetadata(ident)
+            .copy(storage = updated))
+      }
+    } catch {
+      case e: Throwable =>
+        def restore(n: String, prev: Option[Array[Byte]]): Unit =
+          prev match {
+            case Some(b) =>
+              java.nio.file.Files.write(metaDir.resolve(n), b); ()
+            case None =>
+              java.nio.file.Files.deleteIfExists(metaDir.resolve(n)); ()
+          }
+        restore("renames.json", prevRenames)
+        restore("widen.json", prevWiden)
+        throw e
+    }
+    session.catalog.refreshTable(ident.quotedString)
+    Seq(Row(src, to, v))
+  }
+}
+
+/** Shared checks-option split (semicolon-separated SQL expressions). */
+private[plans] object TxLogChecksNames {
+  def parse(opt: Option[String]): Seq[String] =
+    opt.map(_.split(";").map(_.trim).filter(_.nonEmpty).toSeq)
+      .getOrElse(Seq.empty)
 }
 
 /** `OPTIMIZE <graft-txlog table> REPARTITION BY (c1, …)` — the

@@ -5098,8 +5098,9 @@ object IngestQueries {
     * the drop composes (DELETE across both generations); re-ADDING
     * the dropped name refuses loudly (pre-drop segments still hold
     * the old values, which would silently resurrect), and `RENAME
-    * COLUMN` refuses with a graft-aware message naming the missing
-    * column-mapping layer instead of Spark's generic v1 error. */
+    * COLUMN` ONTO a dropped name refuses for the same
+    * resurrection reason (renaming itself is e78's column-mapping
+    * layer). */
   val e77 = QueryDef(
     "e77_sql_drop_column",
     (sp, dir) => {
@@ -5143,13 +5144,15 @@ object IngestQueries {
         require(readd.isFailure && readd.failed.get.getMessage
             .contains("DROPPED"),
           "e77: re-adding a dropped column must refuse loudly")
-        // RENAME refuses with the graft-aware reason (column mapping)
+        // RENAME ONTO the dropped name refuses — the column-mapping
+        // layer (e78) renames freely, but a rename onto a dropped
+        // physical name would resurrect pre-drop values
         val rename = scala.util.Try(sp.sql(
-          s"ALTER TABLE $tbl RENAME COLUMN o_totalprice TO price")
+          s"ALTER TABLE $tbl RENAME COLUMN o_totalprice TO o_custkey")
           .collect())
         require(rename.isFailure && rename.failed.get.getMessage
-            .contains("column-mapping"),
-          "e77: RENAME must refuse naming the missing column mapping")
+            .contains("DROPPED"),
+          "e77: RENAME onto a dropped name must refuse loudly")
         // an already-dropped name refuses too
         require(scala.util.Try(sp.sql(
           s"ALTER TABLE $tbl DROP COLUMN o_custkey").collect()).isFailure,
@@ -5172,11 +5175,98 @@ object IngestQueries {
       GROUP BY o_orderstatus
       ORDER BY o_orderstatus"""))
 
+  /** SQL `ALTER TABLE … RENAME COLUMN` — the column-mapping layer
+    * (the last missing ALTER verb, r16 missing #3): the rename is
+    * O(1) TABLE METADATA (`_meta/renames.json` via
+    * [[graft.sources.TxLog.renameColumnMeta]]) anchored to a
+    * dedicated empty metadata commit, never a data rewrite.
+    * Committed segments keep the column under its PHYSICAL
+    * (write-time) name and readers re-map per segment, so the entry
+    * drives the full interplay the r16 verdict asked for and hashes
+    * every fact: rename → positional INSERT and UPDATE under the NEW
+    * name compose across both physical generations (`sum_price`
+    * carries the updated values), time travel BELOW the anchor reads
+    * the OLD name (`pre_rename_ok`), and the old name is re-ADDable
+    * as a fresh column that reads NULL on every pre-re-add segment
+    * (`readd_all_null` — the stale physical sidecar is re-keyed away,
+    * so the IS NULL probe cannot be wrongly pruned). Determinism:
+    * counts + decimal money sums (§4), constants as BIGINT, total
+    * ORDER BY. */
+  val e78 = QueryDef(
+    "e78_sql_rename_column",
+    (sp, dir) => {
+      import graft.Dsl.moneySum
+      val fmt = "graft.sources.txlog"
+      val fp = IngestFixtures.fingerprint(s"$dir/orders.parquet")
+      val store = IngestFixtures.path(s"e78_store_$fp")
+      val tbl = s"graft_e78_orders_$fp"
+      IngestFixtures.once(s"e78_$fp") {
+        import scala.reflect.io.Directory
+        new Directory(new java.io.File(store)).deleteRecursively()
+        val orders = Tables(sp, dir, "orders")
+          .select(col("o_orderkey"), col("o_orderstatus"),
+            col("o_totalprice"))
+        orders.createOrReplaceTempView("e78_orders_src")
+        orders.filter(pmod(col("o_orderkey"), lit(2L)) === 0L)
+          .write.format(fmt).option("statsCols", "o_totalprice")
+          .mode(org.apache.spark.sql.SaveMode.Append).save(store)  // v0
+        sp.sql(s"DROP TABLE IF EXISTS $tbl")
+        sp.sql(s"CREATE TABLE $tbl USING `graft-txlog` OPTIONS (" +
+          s"path '$store', keyCols 'o_orderkey', " +
+          s"statsCols 'o_totalprice')")
+        val ren = sp.sql(                                          // v1
+          s"ALTER TABLE $tbl RENAME COLUMN o_totalprice TO price")
+          .collect()
+        require(ren.map(r => (r.getString(0), r.getString(1))).toSeq ==
+          Seq(("o_totalprice", "price")),
+          s"e78: rename must report the mapping, got ${ren.toSeq}")
+        // positional INSERT aligns against the RENAMED schema
+        sp.sql(s"""INSERT INTO $tbl                                -- v2
+          SELECT o_orderkey, o_orderstatus, o_totalprice
+          FROM e78_orders_src WHERE o_orderkey % 2 = 1""")
+        // DML under the new name spans both physical generations
+        sp.sql(s"UPDATE $tbl SET price = price + 1 " +             // v3
+          "WHERE o_orderkey % 7 = 0")
+        // the old name is re-ADDable: a FRESH column, NULL everywhere
+        // (no post-re-add write carries it)
+        sp.sql(s"ALTER TABLE $tbl ADD COLUMNS (o_totalprice DOUBLE)")
+      }
+      // facts recomputed per run from on-disk metadata
+      val headCols = sp.table(tbl).columns.toSeq
+      val preCols = sp.sql(s"SELECT * FROM $tbl VERSION AS OF 0")
+        .columns.toSeq
+      val renamedOk = headCols.contains("price") &&
+        headCols.contains("o_totalprice")
+      val preOk = preCols.contains("o_totalprice") &&
+        !preCols.contains("price")
+      val total = sp.table(tbl).count()
+      val readdNull =
+        sp.table(tbl).filter(col("o_totalprice").isNull).count() == total
+      sp.table(tbl)
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n_rows"),
+          moneySum(col("price")).as("sum_price"))
+        .withColumn("renamed_ok", lit(if (renamedOk) 1L else 0L))
+        .withColumn("pre_rename_ok", lit(if (preOk) 1L else 0L))
+        .withColumn("readd_all_null", lit(if (readdNull) 1L else 0L))
+        .orderBy("o_orderstatus")
+    },
+    Some("""
+      SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n_rows,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)) +
+          CASE WHEN o_orderkey % 7 = 0
+            THEN CAST(1 AS DECIMAL(18,2))
+            ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS sum_price,
+        CAST(1 AS BIGINT) AS renamed_ok,
+        CAST(1 AS BIGINT) AS pre_rename_ok,
+        CAST(1 AS BIGINT) AS readd_all_null
+      FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus"""))
+
   val defs: Seq[QueryDef] =
     Seq(e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11, e12, e13,
       e14, e15, e16, e17, e18, e19, e20, e21, e22, e23, e24, e25, e26,
       e27, e28, e29, e30, e31, e32, e33, e34, e35, e36, e37, e38, e39,
       e40, e41, e42, e43, e44, e45, e46, e47, e48, e49, e50, e51, e52,
       e53, e54, e55, e56, e57, e58, e59, e60, e61, e62, e63, e64, e65,
-      e66, e67, e68, e69, e70, e71, e72, e73, e74, e75, e76, e77)
+      e66, e67, e68, e69, e70, e71, e72, e73, e74, e75, e76, e77, e78)
 }

@@ -127,7 +127,12 @@ object TxLog {
     * and still fails every incremental read loudly. */
   def commit(tableDir: String, adds: Seq[String],
       removes: Seq[String] = Seq.empty, dataChange: Boolean = true): Int = {
-    require(adds.nonEmpty || removes.nonEmpty, "empty commit")
+    // an empty MAINTENANCE manifest is a METADATA COMMIT — the version
+    // marker schema changes (RENAME COLUMN) anchor to, adding/removing
+    // no segments; an empty DATA commit stays refused (it would claim
+    // a version for nothing)
+    require(dataChange == false || adds.nonEmpty || removes.nonEmpty,
+      "empty commit")
     // '@' is reserved as the checkpoint liveV separator
     val bad = (adds ++ removes).filter(s =>
       s.contains("\"") || s.contains("/") || s.contains("@"))
@@ -296,21 +301,28 @@ object TxLog {
   def snapshot(spark: SparkSession, tableDir: String, asOf: Int,
       mergeSchema: Boolean = false,
       keepSeg: String => Boolean = _ => true): DataFrame = {
-    val segs = liveSegments(tableDir, asOf)
-      .filterNot(_.startsWith(s"${DeletesFamily}__"))
-      .filter(keepSeg)
-    require(segs.nonEmpty, s"version $asOf of $tableDir has no data segments")
-    val parts = segs.map(s => s -> segmentParts(tableDir, s))
-    if (!mergeSchema && parts.forall(_._2.isEmpty))
-      spark.read.parquet(segs.map(s => s"$tableDir/$s"): _*)
+    // column mapping: renames anchored at or below the pinned version
+    // re-map each OLDER segment's physical names to the read's logical
+    // names (a read pinned below every anchor maps nothing — time
+    // travel keeps the old names)
+    val renames = renamedColumns(tableDir).filter(_._3 <= asOf)
+    val segsV = liveSegmentsWithVersion(tableDir, asOf)
+      .filterNot(_._1.startsWith(s"${DeletesFamily}__"))
+      .filter(s => keepSeg(s._1))
+    require(segsV.nonEmpty, s"version $asOf of $tableDir has no data segments")
+    val parts = segsV.map { case (s, v) => (s, v, segmentParts(tableDir, s)) }
+    if (renames.isEmpty && !mergeSchema && parts.forall(_._3.isEmpty))
+      spark.read.parquet(segsV.map(s => s"$tableDir/${s._1}"): _*)
     else {
       // converted hive segments carry their partition values in a
       // sidecar, not the data files — attach them per segment before
       // the union so every branch exposes the full schema
-      val dfs = parts.map { case (s, p) =>
-        s -> attachParts(spark.read.parquet(s"$tableDir/$s"), p) }
+      val dfs = parts.map { case (s, v, p) =>
+        s -> applyRenames(attachParts(spark.read.parquet(s"$tableDir/$s"), p),
+          renames, v, asOf) }
       checkMergeable(tableDir, dfs.map { case (s, df) => s -> df.schema })
-      dfs.map(_._2).reduce(_.unionByName(_, allowMissingColumns = mergeSchema))
+      dfs.map(_._2).reduce(_.unionByName(_,
+        allowMissingColumns = mergeSchema))
     }
   }
 
@@ -458,9 +470,11 @@ object TxLog {
       .partition(_._1.startsWith(s"${DeletesFamily}__"))
     val dataSegs = dataSegs0.filter(s => keepSeg(s._1))
     require(dataSegs.nonEmpty, s"version $asOf of $tableDir has no data segments")
+    val renames = renamedColumns(tableDir).filter(_._3 <= asOf)
     val perSeg = dataSegs.map { case (s, v) =>
-      s -> attachParts(spark.read.parquet(s"$tableDir/$s"),
-        segmentParts(tableDir, s)).withColumn("__v", lit(v))
+      s -> applyRenames(attachParts(spark.read.parquet(s"$tableDir/$s"),
+        segmentParts(tableDir, s)), renames, v, asOf)
+        .withColumn("__v", lit(v))
     }
     if (mergeSchema)
       checkMergeable(tableDir, perSeg.map { case (s, df) =>
@@ -875,6 +889,7 @@ object TxLog {
     val vs = versions(tableDir)
     require(vs.contains(toV), s"version $toV not in $vs")
     require(fromV < 0 || vs.contains(fromV), s"version $fromV not in $vs")
+    refuseRenameInSpan(tableDir, fromV, toV)
     // per-manifest walk, maintenance commits (dataChange=false:
     // compaction/OPTIMIZE) stepped over — their rewritten rows were
     // already delivered by the data commits that first added them, so
@@ -956,6 +971,23 @@ object TxLog {
     })
   }
 
+  /** Incremental reads cannot cross a RENAME COLUMN anchor: segments
+    * added before it store the old physical name, the consumer's
+    * schema expects the head's logical one — the span's rows are not
+    * name-consistent, so refuse loudly (re-snapshot past it, the
+    * compaction rule's sibling). Anchors at or below `fromV` are fine:
+    * every span segment postdates them and carries the new name. */
+  private def refuseRenameInSpan(tableDir: String, fromV: Int,
+      toV: Int): Unit = {
+    val crossing = renamedColumns(tableDir)
+      .filter(r => r._3 > fromV && r._3 <= toV)
+    require(crossing.isEmpty,
+      s"versions ${fromV + 1}..$toV of $tableDir cross RENAME COLUMN " +
+        s"anchors ${crossing.map(r => s"${r._1}->${r._2}@v${r._3}")
+          .mkString(", ")}: the span's rows are not name-consistent — " +
+        "re-snapshot instead of reading changes")
+  }
+
   /** The versions in (`fromV`, `toV`] whose commits CHANGED data —
     * what an incremental consumer must decide emptiness by: a span
     * holding only maintenance commits (dataChange=false) carries no
@@ -991,6 +1023,7 @@ object TxLog {
     require(fromV < toV, s"need fromV < toV, got $fromV >= $toV")
     val vs = versions(tableDir)
     require(vs.contains(toV), s"version $toV not in $vs")
+    refuseRenameInSpan(tableDir, fromV, toV)
     // maintenance commits (dataChange=false) are stepped over — see
     // [[changes]]; only a DATA commit that removes segments is a
     // genuine rewrite the feed cannot express
@@ -1211,6 +1244,18 @@ object TxLog {
       .getOrElse(sys.error(s"restore on empty table $tableDir"))
     val vs = versions(tableDir)
     require(vs.contains(toV), s"version $toV not in $vs")
+    // renames are version-anchored and a restore RE-ANCHORS segments
+    // (re-added dirs take the restore commit's version, above every
+    // rename) — restoring BELOW a rename anchor would silently flip
+    // re-added segments to post-rename mapping while the target state
+    // expects pre-rename names: refuse loudly
+    val renBelow = renamedColumns(tableDir).filter(_._3 > toV)
+    require(renBelow.isEmpty,
+      s"restore $tableDir to v$toV: RENAME COLUMN anchors " +
+        s"${renBelow.map(r => s"${r._1}->${r._2}@v${r._3}").mkString(", ")} " +
+        "postdate the target — rename history cannot re-anchor below " +
+        "its commit; restore to a version at or above it, or rewrite " +
+        "the table")
     val target = liveSegments(tableDir, toV)
     val cur = liveSegments(tableDir, latest)
     if (target.toSet == cur.toSet) return None
@@ -2114,6 +2159,95 @@ object TxLog {
     }
   }
 
+  // ---- column mapping: ALTER TABLE RENAME COLUMN -------------------
+  //
+  // Delta's column-mapping layer reduced to this format's core: a
+  // rename is TABLE METADATA (`_meta/renames.json` — an ordered list
+  // of {from, to, v} entries), never a data rewrite. Committed
+  // segments keep the column under the name that was CURRENT when
+  // they were written (their physical name); post-rename writes carry
+  // the NEW name physically. Readers re-map per segment: a rename
+  // recorded at version v applies to exactly the segments ADDED
+  // before v, and only for reads pinned AT OR ABOVE v — so time
+  // travel below the rename reads the old name (the rename anchors to
+  // a dedicated empty METADATA COMMIT, which is what gives it a
+  // position in the version order). Chained renames fold in record
+  // order; re-ADDING the old name works (old segments map their
+  // physical column away to the new name first, so the re-added
+  // column reads as typed NULL there and physically thereafter).
+
+  /** Record one column rename: claims a metadata commit (the rename's
+    * version anchor), then appends the entry. Validation (the column
+    * exists, target free, not a key/partition column) is the CALLER's
+    * job — this is the metadata primitive. A WIDENED source name is
+    * re-pointed in widen.json too (its typed-NULL attach must follow
+    * the new name). Returns the anchor version. */
+  def renameColumnMeta(tableDir: String, from: String, to: String): Int = {
+    require(from.nonEmpty && to.nonEmpty && !from.equalsIgnoreCase(to),
+      s"rename on $tableDir: need two distinct names, got '$from'->'$to'")
+    val v = commit(tableDir, adds = Seq.empty, removes = Seq.empty,
+      dataChange = false)
+    val cur = renamedColumns(tableDir)
+    val all = cur :+ ((from, to, v))
+    writeMetaFile(tableDir, "renames.json",
+      s"""{"renames":[${all.map { case (f, t, rv) =>
+        s"""{"from":"${jsonEsc(f)}","to":"${jsonEsc(t)}","v":$rv}""" }
+        .mkString(",")}]}""")
+    val widened = widenedColumns(tableDir)
+    if (widened.exists(_._1.equalsIgnoreCase(from)))
+      writeMetaFile(tableDir, "widen.json",
+        s"""{"cols":[${widened.map { case (n, t) =>
+          val nn = if (n.equalsIgnoreCase(from)) to else n
+          s"""{"name":"${jsonEsc(nn)}","type":"${jsonEsc(t)}"}""" }
+          .mkString(",")}]}""")
+    v
+  }
+
+  /** The recorded renames in ALTER order, (from, to, anchorVersion) —
+    * empty for never-renamed tables. */
+  def renamedColumns(tableDir: String): Seq[(String, String, Int)] = {
+    val f = Paths.get(tableDir, "_meta", "renames.json")
+    if (!Files.isRegularFile(f)) Seq.empty
+    else {
+      val body = new String(Files.readAllBytes(f), StandardCharsets.UTF_8)
+      val entry = ("""\{"from":"((?:[^"\\]|\\.)*)",""" +
+        """"to":"((?:[^"\\]|\\.)*)","v":(\d+)\}""").r
+      def unesc(s: String) = s.replace("\\\"", "\"").replace("\\\\", "\\")
+      entry.findAllMatchIn(body).map(m =>
+        (unesc(m.group(1)), unesc(m.group(2)), m.group(3).toInt)).toSeq
+    }
+  }
+
+  /** Apply the rename mapping one SEGMENT's frame needs: every entry
+    * anchored after the segment's add version and at or below the
+    * read's pinned version, in record order (chained renames fold). */
+  private def applyRenames(df: DataFrame,
+      renames: Seq[(String, String, Int)], segV: Int,
+      readV: Int): DataFrame =
+    renames.foldLeft(df) { case (d, (from, to, v)) =>
+      if (v <= readV && v > segV && d.columns.contains(from))
+        d.withColumnRenamed(from, to)
+      else d
+    }
+
+  /** The effective (segment-local) re-keying of a sidecar map under
+    * the rename mapping — the PRUNING twin of [[applyRenames]]: a
+    * sidecar records stats/blooms under the segment's PHYSICAL names,
+    * while pushed filters name LOGICAL columns; re-keying keeps the
+    * renamed column prunable on old segments AND keeps a re-added old
+    * name from consulting the stale physical entry (which describes a
+    * DIFFERENT logical column — an `IS NULL` probe against it would
+    * wrongly prune). */
+  private[graft] def remapSidecarKeys[V](m: Map[String, V],
+      renames: Seq[(String, String, Int)], segV: Int,
+      readV: Int): Map[String, V] =
+    renames.foldLeft(m) { case (acc, (from, to, v)) =>
+      if (v <= readV && v > segV) acc.get(from) match {
+        case Some(value) => (acc - from) + (to -> value)
+        case None => acc
+      } else acc
+    }
+
   /** SHALLOW-CLONE a plain table: a new independent txlog table at
     * `dstDir` whose segments HARD-LINK the source's live data — zero
     * data copied (O(files) metadata operations), after which the two
@@ -2146,6 +2280,13 @@ object TxLog {
         "tolerate and index stores do not")
     require(versions(dstDir).isEmpty,
       s"clone target $dstDir already has a txlog — refuse to mix tables")
+    // the clone replays live segments under COMPRESSED version
+    // numbers; renames are anchored to the source's version order and
+    // cannot re-anchor — refuse instead of silently mis-mapping names
+    require(renamedColumns(srcDir).isEmpty,
+      s"clone of $srcDir: the table carries RENAME COLUMN history, " +
+        "which is version-anchored and cannot survive the clone's " +
+        "commit re-numbering — CREATE TABLE AS SELECT instead")
     Files.createDirectories(Paths.get(dstDir))
     var i = 0
     val byVersion = live.groupBy(_._2).toSeq.sortBy(_._1)

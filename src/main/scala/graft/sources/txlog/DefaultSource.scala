@@ -760,7 +760,12 @@ case class TxLogRelation(sqlContext: SQLContext, dir: String,
     // O(1)-metadata drop's read half
     val widened = TxLog.widenedColumns(dir)
     val dropped = TxLog.droppedColumns(dir)
-    val ms = mergeSchema || widened.nonEmpty || dropped.nonEmpty
+    // RENAMED columns force the evolution-tolerant read too: pre- and
+    // post-rename segments expose the same LOGICAL name after the
+    // per-segment mapping, but a rename composed with evolution
+    // (pre-widen segments) still needs union-by-name
+    val ms = mergeSchema || widened.nonEmpty || dropped.nonEmpty ||
+      TxLog.renamedColumns(dir).nonEmpty
     val base0 = keyCols match {
       case Some(keys) =>
         TxLog.snapshotMoR(sqlContext.sparkSession, dir, at, keys, ms,
@@ -802,15 +807,27 @@ case class TxLogRelation(sqlContext: SQLContext, dir: String,
     // scan never touches a bloom sidecar — and decoded sidecars are
     // memoized ([[BloomCache]]), so repeat probes pay zero decodes
     val pointProbed = filters.exists(StatsPrune.hasPointProbe)
-    TxLog.liveSegments(dir, at)
-      .filterNot(_.startsWith(s"${TxLog.DeletesFamily}__"))
-      .filter { seg =>
+    // sidecars record a segment's PHYSICAL column names; pushed
+    // filters name LOGICAL ones — re-key each older segment's maps
+    // through the rename mapping, which both keeps a renamed column
+    // prunable on pre-rename segments AND stops a re-added old name
+    // from consulting the stale physical entry (whose stats describe
+    // a DIFFERENT logical column: an IS NULL probe against it would
+    // wrongly prune matching rows)
+    val renames = TxLog.renamedColumns(dir).filter(_._3 <= at)
+    TxLog.liveSegmentsWithVersion(dir, at)
+      .filterNot(_._1.startsWith(s"${TxLog.DeletesFamily}__"))
+      .filter { case (seg, segV) =>
+        def remap[V](m: Map[String, V]): Map[String, V] =
+          TxLog.remapSidecarKeys(m, renames, segV, at)
         val meta = StatsPrune.SegMeta(
-          TxLog.segmentStats(dir, seg).getOrElse(Map.empty),
-          TxLog.segmentNullStats(dir, seg),
-          if (pointProbed) BloomCache.get(dir, seg) else Map.empty)
+          remap(TxLog.segmentStats(dir, seg).getOrElse(Map.empty)),
+          TxLog.segmentNullStats(dir, seg)
+            .map { case (rows, nulls) => (rows, remap(nulls)) },
+          if (pointProbed) remap(BloomCache.get(dir, seg)) else Map.empty)
         filters.forall(StatsPrune.mayMatch(_, meta))
       }
+      .map(_._1)
   }
 
   override def schema: StructType = snapshotDf.schema
