@@ -79,6 +79,10 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
       """(?:\s+RETAIN\s+(\d+)\s+HOURS)?(?:\s+(FORCE))?\s*;?\s*""").r
   private val HistoryRe =
     """(?is)\s*DESCRIBE\s+HISTORY\s+([\w.`]+)\s*;?\s*""".r
+  private val ShowPartitionsRe =
+    """(?is)\s*SHOW\s+PARTITIONS\s+([\w.`]+)\s*;?\s*""".r
+  private val DescribeDetailRe =
+    """(?is)\s*DESCRIBE\s+DETAIL\s+([\w.`]+)\s*;?\s*""".r
   private val RestoreRe =
     """(?is)\s*RESTORE\s+(?:TABLE\s+)?([\w.`]+)\s+TO\s+VERSION\s+AS\s+OF\s+(\d+)\s*;?\s*""".r
   private val RestoreTsRe =
@@ -130,6 +134,14 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
             force != null)))
         case HistoryRe(ident) => Some((ident, (ti: TableIdentifier) =>
           GraftTxLogHistory(ti)))
+        // claimed only for graft-txlog identifiers (the flatMap below):
+        // SHOW PARTITIONS over any other table falls through to
+        // Spark's own resolution and its own errors, and DESCRIBE
+        // DETAIL to Spark's parse of a table named DETAIL
+        case ShowPartitionsRe(ident) => Some((ident,
+          (ti: TableIdentifier) => GraftTxLogShowPartitions(ti)))
+        case DescribeDetailRe(ident) => Some((ident,
+          (ti: TableIdentifier) => GraftTxLogDescribeDetail(ti)))
         case RestoreRe(ident, v) => Some((ident, (ti: TableIdentifier) =>
           GraftTxLogRestore(ti, Some(v.toInt), None)))
         case RestoreTsRe(ident, ts) => Some((ident, (ti: TableIdentifier) =>
@@ -754,6 +766,97 @@ case class GraftTxLogHistory(ident: TableIdentifier)
       Row(v, new java.sql.Timestamp(TxLog.commitTimeMillis(dir, v)),
         adds.mkString(","), removes.mkString(","), dc)
     }
+  }
+}
+
+/** `SHOW PARTITIONS <graft-txlog table>` — partition observability
+  * from the `parts-` sidecars alone: one row per live partition
+  * value-set with its segment/file/row/byte tallies, O(metadata) at
+  * any table size (sidecar JSON reads + directory listings; row
+  * counts ride the stats sidecars' `__rows`, falling back to parquet
+  * FOOTER metadata — never a Spark job, never a data page). Rows are
+  * the STORED tallies (pre-MoR: live tombstones are not subtracted —
+  * they are listed as their own `deletes` row so the masking is
+  * visible instead of silently folded). Empty-batch markers belong to
+  * no value and are skipped. A table with no partition-attributed
+  * segments refuses, naming the repartition verb (Delta's
+  * not-partitioned error). Ordered by partition value. */
+case class GraftTxLogShowPartitions(ident: TableIdentifier)
+    extends LeafRunnableCommand {
+  import org.apache.spark.sql.catalyst.expressions.AttributeReference
+  import org.apache.spark.sql.types.{IntegerType, LongType, StringType}
+  override val output: Seq[org.apache.spark.sql.catalyst.expressions.Attribute] =
+    Seq(AttributeReference("partition", StringType, nullable = false)(),
+      AttributeReference("segments", IntegerType, nullable = false)(),
+      AttributeReference("files", IntegerType, nullable = false)(),
+      AttributeReference("rows", LongType, nullable = false)(),
+      AttributeReference("bytes", LongType, nullable = false)())
+  override def run(session: SparkSession): Seq[Row] = {
+    val meta = session.sessionState.catalog.getTableMetadata(ident)
+    val dir = GraftSqlParser.localPath(meta)
+    val latest = TxLog.latestVersion(dir).getOrElse(
+      sys.error(s"SHOW PARTITIONS on empty table ${ident.table}"))
+    val (delSegs, dataSegs) = TxLog.liveSegments(dir, latest)
+      .partition(_.startsWith(s"${TxLog.DeletesFamily}__"))
+    val withParts = dataSegs.map(s => s -> TxLog.segmentParts(dir, s))
+    val attributed = withParts.collect {
+      case (s, Some(ps)) if ps.nonEmpty => (s, ps) }
+    require(attributed.nonEmpty,
+      s"SHOW PARTITIONS ${ident.table}: the table has no partition-" +
+        "attributed segments — it is not partitioned (write with " +
+        "option(partitionBy=…) or run OPTIMIZE … REPARTITION BY)")
+    def shapeRow(name: String, segs: Seq[String]): Row = {
+      val shapes = segs.map(TxLog.segmentShape(session, dir, _))
+      Row(name, segs.size, shapes.map(_._1).sum,
+        shapes.map(_._3).sum, shapes.map(_._2).sum)
+    }
+    val leaves = attributed
+      .groupBy(_._2.map(p => s"${p._1}=${p._2}").mkString("/"))
+      .toSeq.sortBy(_._1)
+      .map { case (name, group) => shapeRow(name, group.map(_._1)) }
+    // live tombstones surface as their own row — the masking is
+    // visible, never silently folded into the per-leaf tallies
+    val dels =
+      if (delSegs.isEmpty) Seq.empty else Seq(shapeRow("deletes", delSegs))
+    leaves ++ dels
+  }
+}
+
+/** `DESCRIBE DETAIL <graft-txlog table>` — Delta's one-row table
+  * summary from the log's metadata alone: format, location, the
+  * partition layout (from the live segments' `parts-` sidecars),
+  * segment/file/row/byte tallies and the current version — all
+  * O(metadata) (sidecars + directory listings + parquet footers,
+  * never a Spark job). `num_rows` is the STORED tally (pre-MoR);
+  * `num_tombstones` makes live masking visible next to it. */
+case class GraftTxLogDescribeDetail(ident: TableIdentifier)
+    extends LeafRunnableCommand {
+  import org.apache.spark.sql.catalyst.expressions.AttributeReference
+  import org.apache.spark.sql.types.{IntegerType, LongType, StringType}
+  override val output: Seq[org.apache.spark.sql.catalyst.expressions.Attribute] =
+    Seq(AttributeReference("format", StringType, nullable = false)(),
+      AttributeReference("location", StringType, nullable = false)(),
+      AttributeReference("partition_columns", StringType, nullable = false)(),
+      AttributeReference("num_segments", IntegerType, nullable = false)(),
+      AttributeReference("num_files", IntegerType, nullable = false)(),
+      AttributeReference("num_rows", LongType, nullable = false)(),
+      AttributeReference("size_bytes", LongType, nullable = false)(),
+      AttributeReference("num_tombstones", IntegerType, nullable = false)(),
+      AttributeReference("version", IntegerType, nullable = false)())
+  override def run(session: SparkSession): Seq[Row] = {
+    val meta = session.sessionState.catalog.getTableMetadata(ident)
+    val dir = GraftSqlParser.localPath(meta)
+    val latest = TxLog.latestVersion(dir).getOrElse(
+      sys.error(s"DESCRIBE DETAIL on empty table ${ident.table}"))
+    val (delSegs, dataSegs) = TxLog.liveSegments(dir, latest)
+      .partition(_.startsWith(s"${TxLog.DeletesFamily}__"))
+    val partCols = dataSegs.flatMap(s => TxLog.segmentParts(dir, s))
+      .filter(_.nonEmpty).map(_.map(_._1)).distinct
+    val shapes = dataSegs.map(TxLog.segmentShape(session, dir, _))
+    Seq(Row("graft-txlog", dir,
+      partCols.headOption.map(_.mkString(",")).getOrElse(""),
+      dataSegs.size, shapes.map(_._1).sum, shapes.map(_._3).sum,
+      shapes.map(_._2).sum, delSegs.size, latest))
   }
 }
 

@@ -5262,11 +5262,100 @@ object IngestQueries {
         CAST(1 AS BIGINT) AS readd_all_null
       FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus"""))
 
+  /** `SHOW PARTITIONS` + `DESCRIBE DETAIL` — partition observability
+    * from the `parts-` sidecars alone (r16 missing #5): one row per
+    * live partition value-set with segment/file/row/byte tallies,
+    * O(metadata) at any table size — sidecar JSON + directory
+    * listings, row counts from the stats sidecars' `__rows` (parquet
+    * FOOTER fallback), never a Spark job over data. The fixture grows
+    * a partitioned table to TWO segments per leaf, lists it, then
+    * OPTIMIZEs (per-leaf fold) and lists AGAIN — both listings are in
+    * the hash, so the verb must show the fold exactly: segment counts
+    * fold 2→1 per leaf, values and row counts don't move. DESCRIBE
+    * DETAIL's one-row summary (format, partition columns, segment
+    * count, tombstone count, current version) rides as a recomputed
+    * fact. Determinism: counts only (bytes stay OUT of the hash —
+    * parquet encodings may drift across Spark versions), total ORDER
+    * BY. */
+  val e79 = QueryDef(
+    "e79_show_partitions",
+    (sp, dir) => {
+      val fmt = "graft.sources.txlog"
+      val fp = IngestFixtures.fingerprint(s"$dir/orders.parquet")
+      val store = IngestFixtures.path(s"e79_store_$fp")
+      val grownPath = IngestFixtures.path(s"e79_grown_$fp")
+      val tbl = s"graft_e79_orders_$fp"
+      IngestFixtures.once(s"e79_$fp") {
+        import scala.reflect.io.Directory
+        Seq(store, grownPath).foreach(p =>
+          new Directory(new java.io.File(p)).deleteRecursively())
+        val orders = Tables(sp, dir, "orders")
+          .select(col("o_orderkey"), col("o_totalprice"),
+            pmod(col("o_orderkey"), lit(4L)).as("ingest_day"))
+        // two appends, each touching EVERY day → two segments per
+        // leaf; the split rides key%8's HIGH half so it stays
+        // independent of the day column (key%4 — a key%2 split would
+        // correlate and give each append only half the days)
+        Seq(false, true).foreach { high =>
+          orders.filter(
+            if (high) pmod(col("o_orderkey"), lit(8L)) >= 4L
+            else pmod(col("o_orderkey"), lit(8L)) < 4L)
+            .write.format(fmt)
+            .option("partitionBy", "ingest_day")
+            .option("statsCols", "o_orderkey")
+            .mode(org.apache.spark.sql.SaveMode.Append).save(store)
+        }                                                          // v0,v1
+        sp.sql(s"DROP TABLE IF EXISTS $tbl")
+        sp.sql(s"CREATE TABLE $tbl USING `graft-txlog` OPTIONS (" +
+          s"path '$store', keyCols 'o_orderkey', " +
+          s"partitionBy 'ingest_day', statsCols 'o_orderkey')")
+        // the GROWN listing exists only pre-OPTIMIZE — persist it
+        sp.sql(s"SHOW PARTITIONS $tbl")
+          .select(col("partition"),
+            col("segments").cast("long").as("segments"),
+            col("rows").as("n_rows"))
+          .write.mode("overwrite").parquet(grownPath)
+        sp.sql(s"OPTIMIZE $tbl")                                   // v2
+      }
+      val det = sp.sql(s"DESCRIBE DETAIL $tbl").head
+      val detailOk = det.getAs[String]("format") == "graft-txlog" &&
+        det.getAs[String]("partition_columns") == "ingest_day" &&
+        det.getAs[Int]("num_segments") == 4 &&
+        det.getAs[Int]("num_tombstones") == 0 &&
+        det.getAs[Int]("version") == 2
+      val grown = sp.read.parquet(grownPath)
+        .withColumn("phase", lit("grown"))
+      val optimized = sp.sql(s"SHOW PARTITIONS $tbl")
+        .select(col("partition"),
+          col("segments").cast("long").as("segments"),
+          col("rows").as("n_rows"))
+        .withColumn("phase", lit("optimized"))
+      grown.unionByName(optimized)
+        .withColumn("detail_ok", lit(if (detailOk) 1L else 0L))
+        .select("phase", "partition", "segments", "n_rows", "detail_ok")
+        .orderBy("phase", "partition")
+    },
+    Some("""
+      WITH g AS (
+        SELECT o_orderkey % 4 AS day, CAST(COUNT(*) AS BIGINT) AS c
+        FROM orders GROUP BY 1)
+      SELECT phase, partition, segments, n_rows, detail_ok FROM (
+        SELECT 'grown' AS phase,
+          'ingest_day=' || CAST(day AS VARCHAR) AS partition,
+          CAST(2 AS BIGINT) AS segments, c AS n_rows,
+          CAST(1 AS BIGINT) AS detail_ok FROM g
+        UNION ALL
+        SELECT 'optimized',
+          'ingest_day=' || CAST(day AS VARCHAR),
+          CAST(1 AS BIGINT), c, CAST(1 AS BIGINT) FROM g)
+      ORDER BY phase, partition"""))
+
   val defs: Seq[QueryDef] =
     Seq(e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11, e12, e13,
       e14, e15, e16, e17, e18, e19, e20, e21, e22, e23, e24, e25, e26,
       e27, e28, e29, e30, e31, e32, e33, e34, e35, e36, e37, e38, e39,
       e40, e41, e42, e43, e44, e45, e46, e47, e48, e49, e50, e51, e52,
       e53, e54, e55, e56, e57, e58, e59, e60, e61, e62, e63, e64, e65,
-      e66, e67, e68, e69, e70, e71, e72, e73, e74, e75, e76, e77, e78)
+      e66, e67, e68, e69, e70, e71, e72, e73, e74, e75, e76, e77, e78,
+      e79)
 }

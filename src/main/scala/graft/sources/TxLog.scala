@@ -1852,6 +1852,31 @@ object TxLog {
     }
   }
 
+  /** A segment's on-disk shape for observability verbs — (parquet
+    * files, total bytes, rows), all O(metadata): file count and bytes
+    * from a directory listing, rows from the stats sidecar's `__rows`
+    * when recorded, else from the parquet FOOTERS (driver-side
+    * metadata reads — never a Spark job). `SHOW PARTITIONS` /
+    * `DESCRIBE DETAIL` list a 100 TB table from this without opening
+    * a single data page. */
+  def segmentShape(spark: SparkSession, tableDir: String,
+      seg: String): (Int, Long, Long) = {
+    val files = listParquet(Paths.get(tableDir, seg))
+    val bytes = files.map(p => scala.util.Try(Files.size(p)).getOrElse(0L)).sum
+    val rows = segmentNullStats(tableDir, seg).map(_._1).getOrElse {
+      files.map { p =>
+        scala.util.Try {
+          val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+            new org.apache.hadoop.fs.Path(p.toUri),
+            spark.sessionState.newHadoopConf())
+          val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+          try r.getRecordCount finally r.close()
+        }.getOrElse(0L)
+      }.sum
+    }
+    (files.size, bytes, rows)
+  }
+
   /** The hive partition columns a directory's `col=value` layout
     * declares (root→leaf order; empty for flat layouts) — the
     * pre-flight detection for `CONVERT … PARTITIONED BY` validation,
