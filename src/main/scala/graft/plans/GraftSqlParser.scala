@@ -1267,6 +1267,19 @@ case class GraftTxLogRepartition(ident: TableIdentifier,
         // relation against it, so record the reordered schema
         session.sessionState.catalog.alterTableDataSchema(ident,
           GraftSqlParser.asOfRead(session, meta, asOf = null).schema)
+        // a LAYOUT CHANGE must re-point the table's partitionBy
+        // option too, or every later INSERT/dynamic-overwrite would
+        // stage under the RETIRED layout and poison the one-layout
+        // invariant the migration just established
+        val declared = CaseInsensitiveMap(meta.storage.properties)
+          .get("partitionBy")
+          .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+        if (declared.exists(_ != cols)) {
+          val cur = session.sessionState.catalog.getTableMetadata(ident)
+          session.sessionState.catalog.alterTable(cur.copy(storage =
+            cur.storage.copy(properties = cur.storage.properties +
+              ("partitionBy" -> cols.mkString(",")))))
+        }
         session.catalog.refreshTable(ident.quotedString)
         segs.map { seg =>
           val vals = TxLog.segmentParts(dir, seg).getOrElse(Seq.empty)

@@ -833,8 +833,17 @@ object TxLog {
     * columns plus the partition point ranges; partition column TYPES
     * come from the data schema. Time travel to every pre-repartition
     * version stays intact (old segments are retired, not deleted).
-    * Returns None when the table is already fully partitioned, else
-    * (newSegments, committedVersion). */
+    *
+    * LAYOUT EVOLUTION: on a table whose live leaves are already laid
+    * out by DIFFERENT columns, the verb becomes the full-rewrite move
+    * `PARTITIONED BY (a)` → `(b)` — every live data segment rewrites
+    * under the new layout (leaf boundaries change; nothing cheaper is
+    * sound), tombstones apply and retire, one atomic
+    * dataChange=false commit, old versions still readable. The
+    * "one table, one layout" invariant holds through the change.
+    *
+    * Returns None when the table is already fully partitioned BY THE
+    * REQUESTED columns, else (newSegments, committedVersion). */
   def repartitionTable(spark: SparkSession, tableDir: String,
       partitionCols: Seq[String],
       keyCols: Seq[String]): Option[(Seq[String], Int)] = {
@@ -842,20 +851,39 @@ object TxLog {
       "repartitionTable needs at least one partition column")
     val latest = latestVersion(tableDir)
       .getOrElse(sys.error(s"REPARTITION on empty table $tableDir"))
-    val dataLive = liveSegments(tableDir, latest)
-      .filterNot(_.startsWith(s"${DeletesFamily}__"))
+    val allLive = liveSegments(tableDir, latest)
+    val (delSegs, dataLive) =
+      allLive.partition(_.startsWith(s"${DeletesFamily}__"))
+    val recorded = dataLive.flatMap(s => segmentParts(tableDir, s))
+      .filter(_.nonEmpty).map(_.map(_._1)).distinct
+    // LAYOUT EVOLUTION: live leaves laid out by (a), the verb asks for
+    // (b) — a FULL REWRITE of every live data segment under the new
+    // layout (there is no cheaper move: the leaf boundaries change),
+    // behind one atomic dataChange=false commit. Tombstones apply
+    // (the rewrite reads every row anyway) and retire with it; every
+    // pre-evolution version stays time-travelable. The "one table,
+    // one layout" invariant holds THROUGH the change: after the
+    // commit exactly one layout is live.
+    if (recorded.nonEmpty && !(recorded.size == 1 &&
+        recorded.head == partitionCols)) {
+      val rows = snapshotMoR(spark, tableDir, latest, keyCols,
+        mergeSchema = true)
+      partitionCols.foreach(c => require(rows.columns.contains(c),
+        s"REPARTITION BY on $tableDir: '$c' is not a column of the " +
+          s"table (${rows.columns.toSeq})"))
+      val tracked = dataLive
+        .flatMap(s => segmentStats(tableDir, s).map(_.keySet)
+          .getOrElse(Set.empty)).distinct
+      val segs = writePartitionedSegments(rows, tableDir, partitionCols,
+        s"compact__seg${versions(tableDir).size}m",
+        statsCols = tracked.filterNot(partitionCols.contains))
+      val v = commit(tableDir, adds = segs,
+        removes = dataLive ++ delSegs, dataChange = false)
+      return Some((segs, v))
+    }
     val unattributed =
       dataLive.filter(s => segmentParts(tableDir, s).isEmpty)
     if (unattributed.isEmpty) return None
-    // the already-attributed leaves must agree with the requested
-    // layout — a second partitioning scheme on one table would make
-    // value-set retirement ambiguous
-    val recorded = dataLive.flatMap(s => segmentParts(tableDir, s))
-      .filter(_.nonEmpty).map(_.map(_._1)).distinct
-    require(recorded.forall(_ == partitionCols),
-      s"REPARTITION BY $partitionCols on $tableDir: live segments are " +
-        s"already partitioned by ${recorded.flatten.distinct} — one " +
-        "table, one layout")
     val rows = snapshotMoR(spark, tableDir, latest, keyCols,
       mergeSchema = true, keepSeg = unattributed.toSet)
     partitionCols.foreach(c => require(rows.columns.contains(c),
