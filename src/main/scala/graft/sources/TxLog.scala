@@ -963,14 +963,18 @@ object TxLog {
   private val AddedBytesMemoCap = 8192
 
   /** The table-creation identity for memo keys: v0.json's filesystem
-    * fileKey (inode) — recreating the table at the same path makes a
-    * new v0 file and therefore a new identity. */
+    * fileKey (inode) PLUS its mtime — recreating the table at the
+    * same path makes a new v0 file; the mtime guards the
+    * inode-recycling corner (tmpfs hands a fresh file the dead one's
+    * inode, and the manifest bytes are identical). */
   private def creationMarker(tableDir: String): String =
-    scala.util.Try(Option(Files.readAttributes(
-      logDir(tableDir).resolve("v0.json"),
-      classOf[java.nio.file.attribute.BasicFileAttributes]).fileKey())
-      .map(_.toString).getOrElse("nokey"))
-      .getOrElse("nov0")
+    scala.util.Try {
+      val attrs = Files.readAttributes(
+        logDir(tableDir).resolve("v0.json"),
+        classOf[java.nio.file.attribute.BasicFileAttributes])
+      s"${Option(attrs.fileKey).map(_.toString).getOrElse("nokey")}:" +
+        s"${attrs.lastModifiedTime.toMillis}"
+    }.getOrElse("nov0")
 
   /** The on-disk bytes a version's commit ADDED — the admission unit
     * for `maxBytesPerTrigger` (Delta's byte-based rate limit reduced

@@ -508,8 +508,13 @@ class TxLogFormatSpec extends SparkSpec {
       // the maintenance commit is visible in history as data_change=false
       val hist2 = spark.sql(s"DESCRIBE HISTORY $tbl").collect()
       assert(!hist2.head.getBoolean(4) && hist2.head.getInt(0) === 4)
-      // VACUUM reclaims the four retired dirs, keeps the log
-      val gone = spark.sql(s"VACUUM $tbl").as[String].collect().toSeq
+      // default VACUUM reclaims nothing fresh (the RETAIN-HOURS age
+      // window protects a concurrent writer's staged dirs) …
+      assert(spark.sql(s"VACUUM $tbl").collect().isEmpty)
+      // … the single-maintainer override reclaims the four retired
+      // dirs immediately, keeps the log
+      val gone = spark.sql(s"VACUUM $tbl RETAIN 0 HOURS FORCE")
+        .as[String].collect().toSeq
       assert(gone === Seq("deletes__seg3", "write__seg000000",
         "write__seg000001", "write__seg000002"))
       assert(TxLog.versions(t) === Seq(0, 1, 2, 3, 4), "manifests kept")
