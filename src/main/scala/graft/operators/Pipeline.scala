@@ -18,14 +18,19 @@ object Pipeline {
 
   /** LCG-style id hash onto [0, P): deterministic per row, uniform
     * enough for rate sampling, trivially re-expressible in SQL.
-    * Products stay < 2^62 for ids up to ~4·10^9 (no overflow in
-    * engines that check, unlike a wrapping engine hash). pmod (not
-    * %): a negative id would otherwise hash negative, and a negative
-    * residue passes every `< threshold` sampling filter — silently
-    * keeping 100% of those rows. For non-negative ids pmod ≡ %, so
-    * the SQL oracles (which run on non-negative doc_ids) still match. */
+    * The id is reduced mod M BEFORE the multiply, so the product is
+    * bounded by M·mult < 2^62 for EVERY 64-bit id — without the
+    * reduction, ids past ~4·10^9 overflow the multiply (ANSI engines
+    * error; wrapping engines silently fork from the oracle), a bound
+    * the sf~10 gate actually crossed. The pre-reduction changes no
+    * value: (id·a + c) ≡ ((id mod M)·a + c) (mod M), and for ids
+    * below M the reduction is the identity. pmod (not %): a negative
+    * id would otherwise hash negative, and a negative residue passes
+    * every `< threshold` sampling filter — silently keeping 100% of
+    * those rows. For non-negative ids pmod ≡ %, so the SQL oracles
+    * (which run on non-negative doc_ids) still match. */
   def idHash(id: Column, mult: Long = 1103515245L, add: Long = 12345L): Column =
-    pmod(id * lit(mult) + lit(add), lit(2147483647L))
+    pmod(pmod(id, lit(2147483647L)) * lit(mult) + lit(add), lit(2147483647L))
 
   /** Per-stratum deterministic rate sampling: keep a row iff
     * `idHash(id) mod 1000` falls under its stratum's per-mille

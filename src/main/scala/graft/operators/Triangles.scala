@@ -29,20 +29,26 @@ object Triangles {
     val deg = edges.select(col("u").as("node"))
       .union(edges.select(col("v").as("node")))
       .groupBy("node").agg(count(lit(1)).as("deg"))
-    // (deg, node) packed into one BIGINT so orientation comparisons
-    // stay single-column; node ids must fit in 32 bits (guarded by
-    // the multiplication overflowing loudly past that in tests).
-    val rk = deg.select(col("node"), col("deg"),
-      (col("deg") * lit(4294967296L) + col("node")).as("rk"))
+    // the (deg, node) total order is compared LEXICOGRAPHICALLY as two
+    // columns — an earlier packing into deg·2³² + node silently
+    // collided once node ids crossed 2³² (two distinct nodes can pack
+    // equal, corrupting the orientation's antisymmetry), a bound the
+    // sf~10 key-shifted ids actually exceed
     val oriented = edges
-      .join(rk.select(col("node").as("u"), col("rk").as("rku")), "u")
-      .join(rk.select(col("node").as("v"), col("rk").as("rkv")), "v")
+      .join(deg.select(col("node").as("u"), col("deg").as("du")), "u")
+      .join(deg.select(col("node").as("v"), col("deg").as("dv")), "v")
       .select(
-        when(col("rku") < col("rkv"), col("u")).otherwise(col("v")).as("s"),
-        when(col("rku") < col("rkv"), col("v")).otherwise(col("u")).as("t"),
-        greatest(col("rku"), col("rkv")).as("tk"))
+        (col("du") < col("dv") ||
+          (col("du") === col("dv") && col("u") < col("v"))).as("uFirst"),
+        col("u"), col("v"), col("du"), col("dv"))
+      .select(
+        when(col("uFirst"), col("u")).otherwise(col("v")).as("s"),
+        when(col("uFirst"), col("v")).otherwise(col("u")).as("t"),
+        when(col("uFirst"), col("dv")).otherwise(col("du")).as("td"))
     val wedges = oriented.as("e1").join(oriented.as("e2"),
-        col("e1.s") === col("e2.s") && col("e1.tk") < col("e2.tk"))
+        col("e1.s") === col("e2.s") &&
+          (col("e1.td") < col("e2.td") ||
+            (col("e1.td") === col("e2.td") && col("e1.t") < col("e2.t"))))
       .select(col("e1.t").as("t1"), col("e2.t").as("t2"))
     val nTri = wedges.join(oriented,
         col("t1") === col("s") && col("t2") === col("t"))

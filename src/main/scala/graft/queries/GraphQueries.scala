@@ -69,9 +69,10 @@ object GraphQueries {
     * with per-order fanout bounded by order size (≤ C(items, 2));
     * every join is an equi-shuffle (no broadcast-nested-loop
     * anywhere); n_wedges is the closed-form Σ C(deg, 2), exact
-    * integers end to end. The rank key packs (deg, node) into one
-    * BIGINT (deg · 2³² + node), so orientation comparisons stay
-    * single-column.
+    * integers end to end. The (deg, node) rank is compared
+    * lexicographically as two columns — packing it into one BIGINT
+    * (deg · 2³² + node) collides for node ids past 2³², which the
+    * sf~10 key-shifted ids exceed.
     */
   val q100 = QueryDef(
     "q100_triangle_count",
@@ -91,13 +92,16 @@ object GraphQueries {
       d AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS deg FROM (
               SELECT u AS node FROM e UNION ALL SELECT v FROM e)
             GROUP BY node),
-      r AS (SELECT node, deg, deg * 4294967296 + node AS rk FROM d),
-      o AS (SELECT CASE WHEN ru.rk < rv.rk THEN e.u ELSE e.v END AS s,
-                   CASE WHEN ru.rk < rv.rk THEN e.v ELSE e.u END AS t,
-                   greatest(ru.rk, rv.rk) AS tk
-            FROM e JOIN r ru ON e.u = ru.node JOIN r rv ON e.v = rv.node),
+      o AS (SELECT CASE WHEN (ru.deg, ru.node) < (rv.deg, rv.node)
+                        THEN e.u ELSE e.v END AS s,
+                   CASE WHEN (ru.deg, ru.node) < (rv.deg, rv.node)
+                        THEN e.v ELSE e.u END AS t,
+                   CASE WHEN (ru.deg, ru.node) < (rv.deg, rv.node)
+                        THEN rv.deg ELSE ru.deg END AS td
+            FROM e JOIN d ru ON e.u = ru.node JOIN d rv ON e.v = rv.node),
       w AS (SELECT e1.t AS t1, e2.t AS t2
-            FROM o e1 JOIN o e2 ON e1.s = e2.s AND e1.tk < e2.tk),
+            FROM o e1 JOIN o e2 ON e1.s = e2.s
+              AND (e1.td, e1.t) < (e2.td, e2.t)),
       tri AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles
               FROM w JOIN o ON o.s = w.t1 AND o.t = w.t2),
       agg AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes,

@@ -1526,7 +1526,7 @@ object IngestQueries {
       val stream = Tables.eventsTs(
         sp.readStream.schema(schema).option("basePath", dir)
           .parquet(s"$dir/events.parque[t]"))
-      val lcg = pmod(col("user_id") * lit(1103515245L) + lit(12345L),
+      val lcg = pmod(pmod(col("user_id"), lit(2147483647L)) * lit(1103515245L) + lit(12345L),
         lit(2147483647L))
       val agg = stream
         .withWatermark("ts", "1 hour")
@@ -1551,7 +1551,7 @@ object IngestQueries {
     },
     Some("""
       WITH l AS (SELECT DATE_TRUNC('hour', ts) AS bucket, event_type,
-                   (user_id * 1103515245 + 12345) % 2147483647 AS l
+                   ((user_id % 2147483647) * 1103515245 + 12345) % 2147483647 AS l
                  FROM events),
       h AS (SELECT bucket, event_type, (l * l) % 2147483647 AS h FROM l),
       b AS (SELECT bucket, event_type, CAST(h % 64 AS INT) AS reg,
@@ -1860,7 +1860,7 @@ object IngestQueries {
       val stream = Tables.eventsTs(
         sp.readStream.schema(schema).option("basePath", dir)
           .parquet(s"$dir/events.parque[t]"))
-      val prio = pmod(col("event_id") * lit(1103515245L) + lit(12345L),
+      val prio = pmod(pmod(col("event_id"), lit(2147483647L)) * lit(1103515245L) + lit(12345L),
         lit(2147483647L))
       val agg = stream
         .select(col("ts"), col("event_type"), col("user_id"),
@@ -1891,7 +1891,7 @@ object IngestQueries {
     Some("""
       WITH pr AS (
         SELECT DATE_TRUNC('hour', ts) AS bucket, event_type, user_id,
-          (event_id * 1103515245 + 12345) % 2147483647 AS prio
+          ((event_id % 2147483647) * 1103515245 + 12345) % 2147483647 AS prio
         FROM events),
       mx AS (SELECT bucket, event_type, user_id, MAX(prio) AS priority
              FROM pr GROUP BY 1, 2, 3),

@@ -13,8 +13,12 @@ import org.apache.spark.sql.functions._
 object PipelineQueries {
 
   /** id-hash expression in DuckDB SQL (mirrors Pipeline.idHash). */
+  // doc_id reduced mod M before the multiply — the overflow-safe LCG
+  // [[graft.operators.Pipeline.idHash]] computes (same residues: the
+  // pre-reduction is a congruence identity, and DuckDB's HUGEINT
+  // arithmetic is exact either way)
   private def hashSql(mult: Long, add: Long): String =
-    s"(doc_id * $mult + $add) % 2147483647"
+    s"((doc_id % 2147483647) * $mult + $add) % 2147483647"
 
   private val langPerMille: Map[String, Int] =
     Map("en" -> 800, "de" -> 500, "fr" -> 300, "es" -> 200)
@@ -450,7 +454,7 @@ object PipelineQueries {
         CAST(SUM(d.n_chars) AS BIGINT) AS sum_chars,
         CAST(MAX(t.n) AS BIGINT) AS n_total
       FROM documents d JOIN t USING (lang)
-      WHERE (d.doc_id * 1103515245 + 12345) % 2147483647 % 100000 < t.thr
+      WHERE ((d.doc_id % 2147483647) * 1103515245 + 12345) % 2147483647 % 100000 < t.thr
       GROUP BY d.lang ORDER BY d.lang"""))
 
   /** The dataset card: the per-language summary a training-data
@@ -730,9 +734,9 @@ object PipelineQueries {
       canon AS (SELECT d.doc_id, COALESCE(c.comp, d.doc_id) AS canonical
                 FROM documents d LEFT JOIN comp c ON d.doc_id = c.id),
       tagged AS (SELECT doc_id, canonical,
-          CASE WHEN ((canonical * 1103515245 + 12345) % 2147483647) % 1000 < 800
+          CASE WHEN (((canonical % 2147483647) * 1103515245 + 12345) % 2147483647) % 1000 < 800
                  THEN 'train'
-               WHEN ((canonical * 1103515245 + 12345) % 2147483647) % 1000 < 900
+               WHEN (((canonical % 2147483647) * 1103515245 + 12345) % 2147483647) % 1000 < 900
                  THEN 'val'
                ELSE 'test' END AS split
         FROM canon),

@@ -733,8 +733,8 @@ object RelationalNext {
     "q104_hll_rollup",
     (sp, dir) => {
       val ev = Tables(sp, dir, "events")
-      val lcg = pmod(col("user_id") * lit(1103515245L) + lit(12345L),
-        lit(2147483647L))
+      val lcg = pmod(pmod(col("user_id"), lit(2147483647L)) * lit(1103515245L)
+        + lit(12345L), lit(2147483647L))
       val monthly = ev
         .select(col("event_type"),
           date_trunc("week", col("ts")).as("week"),
@@ -757,7 +757,7 @@ object RelationalNext {
     },
     Some("""
       WITH l AS (SELECT event_type, ts, user_id,
-                   (user_id * 1103515245 + 12345) % 2147483647 AS l
+                   ((user_id % 2147483647) * 1103515245 + 12345) % 2147483647 AS l
                  FROM events),
       h AS (SELECT event_type, (l * l) % 2147483647 AS h FROM l),
       b AS (SELECT event_type, CAST(h % 256 AS INT) AS bucket,
@@ -927,7 +927,8 @@ object RelationalNext {
     Some {
       val rows = graft.functions.BloomSketch.sqlRowParams.take(3)
       def routed(src: String, key: String): String = rows.map { case (a, b) =>
-        s"SELECT pri, $key, (($a * $key + $b) % 2147483647) % 16384 AS pos FROM $src"
+        s"SELECT pri, $key, (($a * ($key % 2147483647) + $b) % 2147483647)" +
+          s" % 16384 AS pos FROM $src"
       }.mkString("\n        UNION ALL ")
       s"""
       WITH custs AS (
@@ -1070,8 +1071,8 @@ object RelationalNext {
   val q108 = QueryDef(
     "q108_hll_setops",
     (sp, dir) => {
-      val lcg = pmod(col("user_id") * lit(1103515245L) + lit(12345L),
-        lit(2147483647L))
+      val lcg = pmod(pmod(col("user_id"), lit(2147483647L)) * lit(1103515245L)
+        + lit(12345L), lit(2147483647L))
       val ev = Tables(sp, dir, "events")
         .select(col("event_type"), col("user_id"),
           ((lcg * lcg) % lit(2147483647L)).as("h"))
@@ -1111,7 +1112,7 @@ object RelationalNext {
     },
     Some("""
       WITH l AS (SELECT event_type, user_id,
-                   (user_id * 1103515245 + 12345) % 2147483647 AS l
+                   ((user_id % 2147483647) * 1103515245 + 12345) % 2147483647 AS l
                  FROM events),
       h AS (SELECT event_type, (l * l) % 2147483647 AS h FROM l),
       b AS (SELECT event_type, CAST(h % 256 AS INT) AS bucket,
@@ -1200,8 +1201,8 @@ object RelationalNext {
   val q109 = QueryDef(
     "q109_cms_join_size",
     (sp, dir) => {
-      val lcg = pmod(col("user_id") * lit(1103515245L) + lit(12345L),
-        lit(2147483647L))
+      val lcg = pmod(pmod(col("user_id"), lit(2147483647L)) * lit(1103515245L)
+        + lit(12345L), lit(2147483647L))
       val ev = Tables(sp, dir, "events")
         .select(col("event_type"), col("user_id"),
           ((lcg * lcg) % lit(2147483647L)).as("k"))
@@ -1242,8 +1243,8 @@ object RelationalNext {
       s"""
       WITH lk AS (
         SELECT event_type, user_id,
-          (((user_id * 1103515245 + 12345) % 2147483647)
-           * ((user_id * 1103515245 + 12345) % 2147483647)) % 2147483647 AS hk
+          ((((user_id % 2147483647) * 1103515245 + 12345) % 2147483647)
+           * (((user_id % 2147483647) * 1103515245 + 12345) % 2147483647)) % 2147483647 AS hk
         FROM events),
       cu AS (
         SELECT event_type, user_id, CAST(COUNT(*) AS BIGINT) AS c
@@ -1304,8 +1305,8 @@ object RelationalNext {
   val q110 = QueryDef(
     "q110_sample_rollup",
     (sp, dir) => {
-      val prio = pmod(col("event_id") * lit(1103515245L) + lit(12345L),
-        lit(2147483647L))
+      val prio = pmod(pmod(col("event_id"), lit(2147483647L)) * lit(1103515245L)
+        + lit(12345L), lit(2147483647L))
       val ev = Tables(sp, dir, "events")
         .select(col("event_type"), date_trunc("week", col("ts")).as("week"),
           col("user_id"), prio.as("prio"))
@@ -1333,7 +1334,7 @@ object RelationalNext {
     Some("""
       WITH pr AS (
         SELECT event_type, user_id,
-          (event_id * 1103515245 + 12345) % 2147483647 AS prio
+          ((event_id % 2147483647) * 1103515245 + 12345) % 2147483647 AS prio
         FROM events),
       mx AS (SELECT event_type, user_id, MAX(prio) AS priority
              FROM pr GROUP BY 1, 2),

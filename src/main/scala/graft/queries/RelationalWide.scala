@@ -539,7 +539,7 @@ object RelationalWide {
       // aggregation instead of a second scan + 1×1 join (which
       // Catalyst constant-folds into a nested-loop join).
       val regs = Tables(sp, dir, "events")
-        .select(pmod(col("user_id") * lit(1103515245L) + lit(12345L),
+        .select(pmod(pmod(col("user_id"), lit(2147483647L)) * lit(1103515245L) + lit(12345L),
           lit(2147483647L)).as("h"))
         .select(expr("CAST(h % 64 AS INT)").as("bucket"),
           expr("h DIV 64").as("w"))
@@ -567,7 +567,7 @@ object RelationalWide {
           "exact_distinct", "rel_err")
     },
     Some("""
-      WITH h AS (SELECT (user_id * 1103515245 + 12345) % 2147483647 AS h
+      WITH h AS (SELECT ((user_id % 2147483647) * 1103515245 + 12345) % 2147483647 AS h
                  FROM events),
       b AS (SELECT CAST(h % 64 AS INT) AS bucket, h // 64 AS w FROM h),
       r AS (SELECT bucket, w,

@@ -633,7 +633,7 @@ object TextQueries {
     },
     Some(s"""
       WITH toks AS (SELECT doc_id,
-             (doc_id * 1103515245 + 12345) % 2147483647 % 1000 < 800
+             ((doc_id % 2147483647) * 1103515245 + 12345) % 2147483647 % 1000 < 800
                AS is_train,
              string_split(text, ' ') w
            FROM documents),
@@ -689,7 +689,7 @@ object TextQueries {
       val gram8 = (0 until 8).map(j => s"w[i+$j]").mkString(" || ' ' || ")
       s"""
       WITH toks AS (SELECT doc_id,
-             (doc_id * 1103515245 + 12345) % 2147483647 % 1000 < 800
+             ((doc_id % 2147483647) * 1103515245 + 12345) % 2147483647 % 1000 < 800
                AS is_train,
              string_split(text, ' ') w
            FROM documents),

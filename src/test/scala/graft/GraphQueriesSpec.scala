@@ -44,6 +44,22 @@ class GraphQueriesSpec extends SparkSpec {
     assert(r.getDouble(4) === 1.0)  // global_cc
   }
 
+  test("Triangles.stats: node ids past 2^32 orient correctly") {
+    // The regression the sf~10 key-shifted ids exposed: the old
+    // deg·2³² + node packed rank collides once ids cross 2³². Nodes
+    // a = B+3 (deg 3) and b = 2B+3 (deg 2) pack to the SAME rank
+    // (3B + a = 2B + b), so the wedge at c over {a, b} never fired
+    // (strict tk inequality on equal keys) and the {a, b, c} triangle
+    // was silently dropped. Lexicographic (deg, node) counts it.
+    val B = 1L << 32
+    val a = B + 3L; val b = 2L * B + 3L; val c = 5L; val d = 9L * B
+    val g = edgesOf(Seq((a, b), (b, c), (c, a), (a, d)))
+    val r = Triangles.stats(g).head
+    assert(r.getLong(0) === 4L)
+    assert(r.getLong(1) === 4L)
+    assert(r.getLong(3) === 1L) // the collision-straddling triangle
+  }
+
   test("Triangles.stats: star and path are triangle-free") {
     val star = edgesOf((2L to 6L).map(i => (1L, i)))
     val s = Triangles.stats(star).head

@@ -21,6 +21,23 @@ class PipelineSpec extends SparkSpec {
     assert(s1.forall(id => id % 2 == 0 || de > 0))
   }
 
+  test("idHash is overflow-safe for ids past 2^31 and unchanged below") {
+    // The sf~10 regression class: ids past ~4·10^9 overflowed the
+    // raw id·mult product (ANSI error). The pre-reduced form must
+    // (a) evaluate without error at any 64-bit id, (b) agree with
+    // exact modular arithmetic, and (c) be the identity change for
+    // ids below the modulus (every recorded gate hash rides on that).
+    val P = BigInt(2147483647L)
+    val ids = Seq(0L, 7L, 2147483646L, 2147483647L, 4294967296L + 3L,
+      10000000000L, Long.MaxValue, -5L)
+    val got = ids.toDF("id")
+      .select(Pipeline.idHash(col("id")).as("h")).as[Long].collect()
+    ids.zip(got).foreach { case (id, h) =>
+      val exact = ((BigInt(id) * 1103515245L + 12345L) mod P).toLong
+      assert(h === exact, s"id $id")
+    }
+  }
+
   test("zero default rate drops unlisted strata entirely") {
     val s = Pipeline.stratifiedSample(docs, "doc_id", "lang",
       Map("en" -> 1000), 0).select("lang").distinct().as[String].collect()
