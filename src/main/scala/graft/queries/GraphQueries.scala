@@ -138,15 +138,29 @@ object GraphQueries {
     (sp, dir) => {
       val li = Tables(sp, dir, "lineitem")
         .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-      val edges = li.as("a").join(li.as("b"),
+      val edges0 = li.as("a").join(li.as("b"),
           col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
         .select(col("a.pk").as("u"), col("b.pk").as("v"))
         .distinct()
-      val nodes = edges.select(col("u").as("node"))
-        .unionAll(edges.select(col("v").as("node"))).distinct()
+      // The edge list feeds THREE consumers (the symmetrized adjacency
+      // inside hopDistances, the node universe, and through it the seed
+      // set) across separate jobs — without truncation each consumer
+      // re-runs the lineitem self-join + distinct from parquet.
+      // Materialize it once (the Components/Bfs block discipline) and
+      // release the edge blocks as soon as the BFS rounds and the
+      // node-sized tables are materialized; only node-cardinality
+      // blocks outlive the call (the Bfs.visited precedent).
+      val (edges, _, releaseEdges) =
+        org.apache.spark.sql.graft.Bridge.truncatedAutoSum(edges0, sumIdx = 0)
+      val (nodes, _, _) = org.apache.spark.sql.graft.Bridge.truncatedAutoSum(
+        edges.select(col("u").as("node"))
+          .unionAll(edges.select(col("v").as("node"))).distinct(),
+        sumIdx = 0)
       val seeds = nodes.filter(pmod(col("node"), lit(100L)) === 0)
-      val bfs = graft.operators.Bfs.hopDistances(
-        edges, "u", "v", seeds, "node", maxHops = 6)
+      val bfs =
+        try graft.operators.Bfs.hopDistances(
+          edges, "u", "v", seeds, "node", maxHops = 6)
+        finally releaseEdges() // BFS rounds + nodes are materialized
       nodes.join(bfs, Seq("node"), "left_outer")
         .select(coalesce(col("dist"), lit(-1L)).as("dist"))
         .groupBy("dist").agg(count(lit(1)).as("n_nodes"))

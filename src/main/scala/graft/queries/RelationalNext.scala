@@ -428,10 +428,15 @@ object RelationalNext {
     "q67_pareto_abc",
     (sp, dir) => {
       import graft.Dsl.revSumDec
+      // localCheckpoint: byPart feeds BOTH the prefix-sum chain and the
+      // per-flag totals — un-truncated, the totals branch re-ran the
+      // whole lineitem aggregation a second time. The checkpointed
+      // frame is (flag, part)-cardinality, not fact-table-sized.
       val byPart = Tables(sp, dir, "lineitem")
         .groupBy(col("l_returnflag").as("flag"),
           col("l_partkey").as("part"))
         .agg(revSumDec(col("l_extendedprice"), col("l_discount")).as("rev"))
+        .localCheckpoint(true)
       val cum = graft.operators.PrefixSum.withRunningSum(byPart,
         Seq("flag"), Seq(col("rev").desc, col("part")), "rev", "cum_rev")
       val tot = byPart.groupBy("flag").agg(sum(col("rev")).as("flag_rev"))
