@@ -45,11 +45,15 @@ object ExactPercentiles {
       col(valueCol).cast("double").as("v"),
       col(weightCol).cast("long").as("w"))
       .withColumn("b", floor(col("v") / bucketWidth).cast("long"))
+    // bounded frame (buckets × groups); truncated so the target join
+    // below and pass 2's broadcast stop re-expanding it into repeated
+    // full scans + aggregations of base (see [[compute]]'s note)
     val hist = base.groupBy("g", "b").agg(sum(col("w")).as("wb"))
       .withColumn("cum_before", coalesce(
         sum(col("wb")).over(Window.partitionBy("g").orderBy("b")
           .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
       .withColumn("tot", sum(col("wb")).over(Window.partitionBy("g")))
+      .localCheckpoint(true)
     // monotone crossing: the unique first bucket where 2·cum ≥ W
     val target = hist
       .filter(lit(2) * (col("cum_before") + col("wb")) >= col("tot"))
@@ -86,11 +90,13 @@ object ExactPercentiles {
       col(valueCol).cast("double").as("v"),
       col(weightCol).cast("long").as("w"))
       .withColumn("b", floor(col("v") / bucketWidth).cast("long"))
+    // bounded frame — same truncation rationale as [[weightedMedian]]
     val hist = base.groupBy("g", "b").agg(sum(col("w")).as("wb"))
       .withColumn("cum_before", coalesce(
         sum(col("wb")).over(Window.partitionBy("g").orderBy("b")
           .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
       .withColumn("tot", sum(col("wb")).over(Window.partitionBy("g")))
+      .localCheckpoint(true)
     val ranks = hist.select(col("g"), col("b"), col("cum_before"),
         col("wb"), col("tot"),
         explode(array(qs.map { case (label, num, den) =>
@@ -152,8 +158,12 @@ object ExactPercentiles {
       roundMed: Int): DataFrame = {
     val base = df.select(col(groupCol).as("g"),
       col(valueCol).cast("double").as("v"))
+    // one row per group, consumed by every scan of the deviation pass:
+    // un-truncated, the whole inner-median plan re-expanded inside each
+    // of the outer compute()'s base references
     val med = compute(base, "g", "v", Seq(("50", 0.5)), bucketWidthV)
       .select(col("g"), round(col("p_50"), roundMed).as("med"))
+      .localCheckpoint(true)
     val dev = base.join(broadcast(med), "g")
       .withColumn("adev", abs(col("v") - col("med")))
     compute(dev, "g", "adev", Seq(("50", 0.5)), bucketWidthD)
@@ -167,12 +177,23 @@ object ExactPercentiles {
     val base = df.select(col(groupCol).as("g"),
       col(valueCol).cast("double").as("v"))
       .withColumn("b", floor(col("v") / bucketWidth).cast("long"))
+    // counts/hist are BOUNDED frames (one row per group / per (group,
+    // bucket) — never row-count-proportional), and the lazy plan below
+    // references them through located/needed/boundary/wide so many
+    // times that each reference re-expanded into its own full base
+    // scan + aggregation (q76's composed plan reached 84 parquet scans
+    // / 110 exchanges before this). localCheckpoint pins each to ONE
+    // scan + aggregation; the deliberate re-scan posture (see [[mad]]'s
+    // measured note) applies to the CORPUS-sized base, which stays
+    // uncached — pass 2 still re-scans storage.
     val counts = base.groupBy("g").agg(count(lit(1)).as("n"))
+      .localCheckpoint(true)
     // bounded frame: value-range/bucketWidth buckets per group
     val hist = base.groupBy("g", "b").agg(count(lit(1)).as("c"))
       .withColumn("cum_before", coalesce(
         sum(col("c")).over(Window.partitionBy("g").orderBy("b")
           .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .localCheckpoint(true)
     // per (group, quantile): the two boundary ranks and the fraction
     val targets = counts.select(col("g"), col("n"),
       explode(array(qs.map { case (label, q) =>
