@@ -36,12 +36,15 @@ object ExplainQ {
     names.foreach { name =>
       try {
         val df = Catalog.byName(name).build(spark, dir)
-        // SPARK_GRAFT_EXPLAIN_EXEC=1: run the query (noop sink) FIRST,
-        // so AdaptiveSparkPlan is final — join-strategy switches,
-        // AQEShuffleRead coalescing, and stage reuse are visible
-        // instead of the pre-execution estimates.
+        // SPARK_GRAFT_EXPLAIN_EXEC=1: execute THIS DataFrame's own
+        // QueryExecution first (collect — catalog outputs are oracle-
+        // sized, so small), so AdaptiveSparkPlan is final — join-
+        // strategy switches, AQEShuffleRead coalescing, and stage
+        // reuse are visible instead of the pre-execution estimates.
+        // (A noop write would plan its OWN QueryExecution and leave
+        // this one un-executed.)
         if (sys.env.get("SPARK_GRAFT_EXPLAIN_EXEC").contains("1"))
-          df.write.format("noop").mode("overwrite").save()
+          df.collect()
         // queryExecution.explainString gives the same text explain()
         // prints, without capturing stdout
         val txt = df.queryExecution.explainString(
