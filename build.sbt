@@ -34,5 +34,13 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 16g default (was 8g), still SPARK_DRIVER_MEM-overridable: local[32]
+  // runs 32 concurrent tasks in ONE JVM — at 8g the unified memory
+  // region left ~150 MB execution memory per task slot, and the bench
+  // session's accumulated fixture/stream state pushed the later timed
+  // entries into GC/eviction churn (measured: the same quiet-box run
+  // at 8g vs 16g = 337 s vs 301 s total, with q112 11.1→7.5 s,
+  // q76 4.5→2.5 s — guide §5: size memory to concurrent task count,
+  // not to a round number; the box has 128 GiB).
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
 )
