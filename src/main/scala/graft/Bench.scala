@@ -141,8 +141,29 @@ object Bench {
         "e77_sql_drop_column", "e78_sql_rename_column",
         "e79_show_partitions", "e80_partition_evolve").foreach {
       n => SparkEntry.queries.get(n)
-        .foreach(f => try f(spark, sfDir).count() catch { case _: Throwable => })
+        .foreach(f => try f(spark, sfDir).count() catch {
+          // a warm-pass failure silently shifts the fixture install
+          // back into the first timed run — name it so a broken
+          // fixture is visible in the run log, not just as a timing
+          // anomaly (the timed pass still measures + reports the
+          // entry's own failure)
+          case e: Throwable =>
+            System.err.println(s"[bench] warm-up $n failed: ${e.getMessage}")
+        })
     }
+    // Sweep the warm pass's locally-checkpointed snapshots: per-call
+    // lineage truncation (PrefixSum chunk ids, d03 fingerprints,
+    // ExactPercentiles bounded frames, Triangles blocks…) pins
+    // MEMORY_AND_DISK copies the call sites cannot release (the
+    // snapshot feeds the returned lazy plan). Once an entry's action
+    // has run they are dead weight; unreleased they accumulated into
+    // session-wide GC/eviction churn that made later (alphabetically
+    // q/s/t) entries measurably slower than fresh-session runs (r17's
+    // one-directional 70-entry slowdown). DfCache pins are plain
+    // persisted frames — not locally checkpointed — and are untouched.
+    val bridge = org.apache.spark.sql.graft.Bridge
+    bridge.unpersistIds(spark.sparkContext,
+      bridge.locallyCheckpointedIds(spark.sparkContext))
     // The shared near-dup builds (Jaccard pair set + components) are
     // cached once per (session, dir) and consumed by seven catalog
     // entries. Materialize them HERE, timed separately, so the one-off
@@ -161,6 +182,13 @@ object Bench {
     val standings = loadStandings()
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
     noiseProbe(spark) // warm the probe's own codegen, untimed
+    // Snapshot the truncated frames that must OUTLIVE entries — the
+    // shared builds' internals (canonicalDocs' component rounds were
+    // fully materialized by warmShared above). Everything locally
+    // checkpointed AFTER this point is per-entry garbage, swept
+    // between entries (outside every timed region) so entry i's
+    // snapshots stop taxing entries i+1…n.
+    val keepIds = bridge.locallyCheckpointedIds(spark.sparkContext)
     val probeStart = noiseProbe(spark)
     var probeMid = 0.0
     val retried = Seq.newBuilder[(String, Double)]
@@ -184,7 +212,7 @@ object Bench {
       // The 1 s floor keeps sub-second noise from tripling "3×".
       val blownUp = ok1 &&
         standings.get(name).exists(s => t1 > math.max(3.0 * s, 1.0))
-      if (blownUp) {
+      val out = if (blownUp) {
         val (t2, ok2) = once()
         retried += name -> t1
         // a FAILED retry must not erase a passing first measurement
@@ -192,11 +220,22 @@ object Bench {
         // and let the retried map record that the retry happened
         if (ok2) (name, math.min(t1, t2), ok1) else (name, t1, ok1)
       } else (name, t1, ok1)
+      // between-entry sweep (untimed; see keepIds above)
+      bridge.unpersistIds(spark.sparkContext,
+        bridge.locallyCheckpointedIds(spark.sparkContext) -- keepIds)
+      out
     }
     val probeEnd = noiseProbe(spark)
     val probes = Seq(probeStart, probeMid, probeEnd)
+    // Measurement environment, stamped into the artifact itself: r17
+    // proved the total moves tens of seconds on the forked JVM's heap
+    // alone (8g->16g = -36 s), and that correction lived only in round
+    // lore. One short field keeps future runs comparable at a glance.
+    val env = s"heap_mb=${Runtime.getRuntime.maxMemory() / (1024L * 1024L)}" +
+      s";cpus=$cpus"
     // Full precision + full names to a side file for humans/tooling...
-    val full = fullLine(results, sharedSec, sfDir, probes, retried.result())
+    val full = fullLine(results, sharedSec, sfDir, probes, retried.result(),
+      env)
     try {
       val out = java.nio.file.Paths.get("target", "bench_full.json")
       java.nio.file.Files.createDirectories(out.getParent)
@@ -206,7 +245,8 @@ object Bench {
       System.err.println(s"[bench] side file write failed: ${e.getMessage}")
     }
     // ...and a compact line on stdout for the driver.
-    println(compactLine(results, sharedSec, sfDir, probes, retried.result()))
+    println(compactLine(results, sharedSec, sfDir, probes, retried.result(),
+      env))
     spark.stop()
   }
 
@@ -225,7 +265,7 @@ object Bench {
       queried: Seq[(String, Double, Boolean)], sharedSec: Double,
       sfDir: String, keyOf: String => String,
       fmt: Double => String, noiseProbes: Seq[Double],
-      retried: Seq[(String, Double)]): String = {
+      retried: Seq[(String, Double)], env: String): String = {
     // total keeps its round-over-round meaning (all work done once per
     // session): per-query sum PLUS the separately-attributed shared
     // build, which previous rounds counted inside its first consumer.
@@ -264,16 +304,18 @@ object Bench {
           else s""""retries_dropped":${retried.size - MaxRetriedShown},"""
         s""""retried":$shown,$over"""
       }
-    s"""{"metric":"total","value":${fmt(total)},"unit":"sec","shared_builds":${fmt(sharedSec)},$probe$retryField"queries":$qs,$dropped$failedOver"failed":$failed,"sf":"$sfDir"}"""
+    val envF = if (env.isEmpty) "" else s""""env":"$env","""
+    s"""{"metric":"total","value":${fmt(total)},"unit":"sec","shared_builds":${fmt(sharedSec)},$envF$probe$retryField"queries":$qs,$dropped$failedOver"failed":$failed,"sf":"$sfDir"}"""
   }
 
   /** The human/tooling side-file line: full names, full precision. */
   private[graft] def fullLine(results: Seq[(String, Double, Boolean)],
       sharedSec: Double, sfDir: String,
       noiseProbes: Seq[Double] = Nil,
-      retried: Seq[(String, Double)] = Nil): String =
+      retried: Seq[(String, Double)] = Nil,
+      env: String = ""): String =
     jsonLine(results, results, sharedSec, sfDir, identity, _.toString,
-      noiseProbes, retried)
+      noiseProbes, retried, env)
 
   /** The driver-facing stdout line: short keys, degrading precision,
     * never longer than [[MaxLine]]. Tiers: per-query map at 3/2/1/0
@@ -287,7 +329,8 @@ object Bench {
   private[graft] def compactLine(results: Seq[(String, Double, Boolean)],
       sharedSec: Double, sfDir: String,
       noiseProbes: Seq[Double] = Nil,
-      retried: Seq[(String, Double)] = Nil): String = {
+      retried: Seq[(String, Double)] = Nil,
+      env: String = ""): String = {
     // Short keys unless prefixes ever collide (guarded, not assumed).
     val keys = results.map(_._1)
     val keyOf: String => String =
@@ -303,7 +346,7 @@ object Bench {
     def topLine(n: Int): String = {
       val keep = slowestFirst.take(n).map(_._1).toSet
       jsonLine(results, results.filter(r => keep(r._1)), sharedSec, sfDir,
-        keyOf, fixed(1), noiseProbes, retried)
+        keyOf, fixed(1), noiseProbes, retried, env)
     }
     // Adaptive top tier: the largest N whose line fits. Line length
     // grows ~monotonically in N and each candidate is cheap to build,
@@ -312,11 +355,11 @@ object Bench {
     val adaptiveTop = (results.size to 0 by -1).iterator.map(topLine)
       .find(_.length <= MaxLine)
     val summaryOnly = jsonLine(results, Nil, sharedSec, sfDir, keyOf,
-      fixed(1), noiseProbes, retried)
+      fixed(1), noiseProbes, retried, env)
     val candidates =
       Seq(fixed(3) _, fixed(2) _, fixed(1) _, fixed(0) _)
         .map(jsonLine(results, results, sharedSec, sfDir, keyOf, _,
-          noiseProbes, retried)) ++
+          noiseProbes, retried, env)) ++
         adaptiveTop :+ summaryOnly
     candidates.find(_.length <= MaxLine).getOrElse(summaryOnly)
   }

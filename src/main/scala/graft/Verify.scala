@@ -23,12 +23,25 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // Same session hygiene as Bench: build the shared d-family frames
+    // first (their internal truncated rounds must survive the whole
+    // run), then sweep each entry's own locally-checkpointed snapshots
+    // after its dump — unreleased they accumulate across ~300 entries
+    // into GC churn (and, at larger SFs, OOM risk) for the later ones.
+    val bridge = org.apache.spark.sql.graft.Bridge
+    try graft.queries.DedupQueries.warmShared(spark, sfDir)
+    catch { case e: Throwable =>
+      System.err.println(s"[verify] shared warm-up failed: ${e.getMessage}")
+    }
+    val keepIds = bridge.locallyCheckpointedIds(spark.sparkContext)
     SparkEntry.queries.filter(kv => keep(kv._1)).foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      bridge.unpersistIds(spark.sparkContext,
+        bridge.locallyCheckpointedIds(spark.sparkContext) -- keepIds)
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

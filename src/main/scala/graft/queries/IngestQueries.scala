@@ -137,6 +137,29 @@ object IngestQueries {
 
   private val streamRuns = new java.util.concurrent.atomic.AtomicInteger()
 
+  /** Per-run memory-sink name with the PREVIOUS generation dropped: a
+    * memory sink registers a temp view holding its full output as
+    * driver-heap rows, and a unique name per run (required — a sink
+    * table is append-frozen once its query terminates) previously left
+    * every past run's rows pinned for the session's lifetime. Across a
+    * 298-entry bench/verify session those orphaned sinks compounded
+    * into measurable GC pressure on every later entry (r17's
+    * one-directional late-alphabet slowdown). Dropping the previous
+    * generation bounds each entry to ONE live sink; the current run's
+    * view must outlive the caller's action, so it is the NEXT run that
+    * reclaims it. Keyed per (session, prefix): names are session-scoped
+    * temp views. */
+  private val lastSink =
+    new java.util.concurrent.ConcurrentHashMap[(Int, String), String]()
+  private def freshSink(sp: org.apache.spark.sql.SparkSession,
+      prefix: String): String = {
+    val name = s"${prefix}_${streamRuns.incrementAndGet()}"
+    val key = (System.identityHashCode(sp), prefix)
+    val prev = lastSink.put(key, name)
+    if (prev != null) sp.catalog.dropTempView(prev)
+    name
+  }
+
   /** Idempotent bucketed-table build (e07/e25 share these fixtures).
     * The in-memory catalog forgets tables between JVMs but their
     * warehouse directories persist; saveAsTable refuses to reuse an
@@ -197,7 +220,7 @@ object IngestQueries {
           moneySum(col("value")).as("sum_value"),
           min(col("value")).as("min_value"),
           max(col("value")).as("max_value"))
-      val sink = s"e05_windows_${streamRuns.incrementAndGet()}"
+      val sink = freshSink(sp, "e05_windows")
       withFewStatePartitions(sp, 8) {
         val q = agg.writeStream.format("memory").queryName(sink)
           .outputMode("complete")
@@ -234,7 +257,7 @@ object IngestQueries {
           .parquet(s"$dir/events.parque[t]"))
       val deduped = graft.streaming.StreamOps
         .dedupWithinWatermark(src.unionAll(src), "event_id")
-      val sink = s"e06_dedup_${streamRuns.incrementAndGet()}"
+      val sink = freshSink(sp, "e06_dedup")
       withFewStatePartitions(sp, 8) {
         val q = deduped.writeStream.format("memory").queryName(sink)
           .outputMode("append")
@@ -315,7 +338,7 @@ object IngestQueries {
         .as[graft.streaming.StreamOps.Evt]
       val sessions =
         graft.streaming.StreamOps.sessionize(stream, gapMs = 30L * 60 * 1000)
-      val sink = s"e08_sessions_${streamRuns.incrementAndGet()}"
+      val sink = freshSink(sp, "e08_sessions")
       withFewStatePartitions(sp, 8) {
         val q = sessions.toDF().writeStream.format("memory").queryName(sink)
           .outputMode("append")
@@ -471,7 +494,7 @@ object IngestQueries {
       val joined = graft.streaming.StreamOps.attributedPurchases(
         clicks = src.filter(col("event_type") === "click"),
         purchases = src.filter(col("event_type") === "purchase"))
-      val sink = s"e12_attr_${streamRuns.incrementAndGet()}"
+      val sink = freshSink(sp, "e12_attr")
       withFewStatePartitions(sp, 8) {
         val q = joined.writeStream.format("memory").queryName(sink)
           .outputMode("append")
@@ -924,7 +947,7 @@ object IngestQueries {
         .groupBy(window(col("ts"), "1 hour"), col("c_mktsegment"))
         .agg(count(lit(1)).as("n_events"),
           moneySum(col("value")).as("sum_value"))
-      val sink = s"e21_enrich_${streamRuns.incrementAndGet()}"
+      val sink = freshSink(sp, "e21_enrich")
       withFewStatePartitions(sp, 8) {
         val q = agg.writeStream.format("memory").queryName(sink)
           .outputMode("complete")
@@ -1387,7 +1410,7 @@ object IngestQueries {
         .agg(count(lit(1)).as("n_events"),
           graft.functions.TDigestQuantiles(col("value"),
             Seq(0.5, 0.9, 0.99), 100.0).as("qt"))
-      val sink = s"e30_quantiles_${streamRuns.incrementAndGet()}"
+      val sink = freshSink(sp, "e30_quantiles")
       withFewStatePartitions(sp, 8) {
         val q = agg.writeStream.format("memory").queryName(sink)
           .outputMode("complete")
@@ -1427,7 +1450,7 @@ object IngestQueries {
           graft.functions.TDigestSketch(col("value"), 100.0).as("sketch"),
           graft.functions.TDigestQuantiles(col("value"),
             Seq(0.5), 100.0).as("qt"))
-      val sink = s"e31_drift_${streamRuns.incrementAndGet()}"
+      val sink = freshSink(sp, "e31_drift")
       withFewStatePartitions(sp, 8) {
         val q = agg.writeStream.format("memory").queryName(sink)
           .outputMode("complete")
@@ -1535,7 +1558,7 @@ object IngestQueries {
         .groupBy(window(col("ts"), "1 hour"), col("event_type"))
         .agg(count(lit(1)).as("n_events"),
           graft.functions.HllSketchAgg(col("h"), 6).as("sketch"))
-      val sink = s"e33_distinct_${streamRuns.incrementAndGet()}"
+      val sink = freshSink(sp, "e33_distinct")
       withFewStatePartitions(sp, 8) {
         val q = agg.writeStream.format("memory").queryName(sink)
           .outputMode("complete")
@@ -1618,7 +1641,7 @@ object IngestQueries {
         .agg(count(lit(1)).as("n_events"),
           graft.functions.CmsSketchAgg(col("user_id").cast("long"), 64)
             .as("sketch"))
-      val sink = s"e34_topk_${streamRuns.incrementAndGet()}"
+      val sink = freshSink(sp, "e34_topk")
       withFewStatePartitions(sp, 8) {
         val q = agg.writeStream.format("memory").queryName(sink)
           .outputMode("complete")
@@ -1724,7 +1747,7 @@ object IngestQueries {
         .agg(count(lit(1)).as("n_events"),
           graft.functions.CmsSketchAgg(col("user_id").cast("long"), 64)
             .as("sketch"))
-      val sink = s"e35_freqdrift_${streamRuns.incrementAndGet()}"
+      val sink = freshSink(sp, "e35_freqdrift")
       withFewStatePartitions(sp, 8) {
         val q = agg.writeStream.format("memory").queryName(sink)
           .outputMode("complete")
@@ -1869,7 +1892,7 @@ object IngestQueries {
         .agg(count(lit(1)).as("n_events"),
           graft.functions.SampleSketchAgg(col("user_id"), col("prio"), 3)
             .as("sk"))
-      val sink = s"e36_sample_${streamRuns.incrementAndGet()}"
+      val sink = freshSink(sp, "e36_sample")
       withFewStatePartitions(sp, 8) {
         val q = agg.writeStream.format("memory").queryName(sink)
           .outputMode("complete")
@@ -1942,7 +1965,7 @@ object IngestQueries {
         .withWatermark("ts", "1 hour")
         .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
         .agg(count(lit(1)).as("n_events"))
-      val sink = s"e37_sessions_${streamRuns.incrementAndGet()}"
+      val sink = freshSink(sp, "e37_sessions")
       withFewStatePartitions(sp, 8) {
         val q = agg.writeStream.format("memory").queryName(sink)
           .outputMode("append")
@@ -2157,7 +2180,7 @@ object IngestQueries {
         .agg(count(lit(1)).as("n_events"),
           graft.functions.CmsSketchAgg(col("user_id").cast("long"), 64)
             .as("sketch"))
-      val sink = s"e40_lead_${streamRuns.incrementAndGet()}"
+      val sink = freshSink(sp, "e40_lead")
       withFewStatePartitions(sp, 8) {
         val q = agg.writeStream.format("memory").queryName(sink)
           .outputMode("complete")
@@ -2522,7 +2545,7 @@ object IngestQueries {
           ()
         }
       }
-      val sink = s"e45_totals_${streamRuns.incrementAndGet()}"
+      val sink = freshSink(sp, "e45_totals")
       val agg = sp.readStream.format("graft.sources.txlog").load(store)
         .groupBy("o_orderstatus")
         .agg(count(lit(1)).as("n_rows"),
@@ -2714,7 +2737,7 @@ object IngestQueries {
           orders.filter(pmod(col("o_orderkey"), lit(15L)) === 0L), 2L, store)
         ()
       }
-      val sink = s"e48_cdf_${streamRuns.incrementAndGet()}"
+      val sink = freshSink(sp, "e48_cdf")
       val agg = sp.readStream.format("graft.sources.txlog")
         .option("cdf", "true").load(store)
         .groupBy(col("_commit_version").as("version"),

@@ -147,6 +147,54 @@ object Bridge {
     else truncatedLocalSum(df, sumIdx)
   }
 
+  /** Lineage truncation for BOUNDED frames (cardinality ∝ groups /
+    * groups×buckets, never row count) that stay referenced by the
+    * RETURNED lazy plan — so no release handle is possible and the
+    * snapshot must survive until the consumer's action. Dispatch
+    * mirrors [[truncatedAutoSum]]: a reliable checkpoint when the
+    * context has a checkpoint dir (survives executor loss — the
+    * cluster deployment; `Dataset.checkpoint`'s files are reaped by
+    * ContextCleaner only under
+    * `spark.cleaner.referenceTracking.cleanCheckpoints`, which a
+    * deployment setting a dir should enable), executor-local blocks
+    * otherwise (local/test — identical plan to the previous bare
+    * `localCheckpoint(true)` call sites). */
+  def truncateBounded(df: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    if (df.sparkSession.sparkContext.getCheckpointDir.isDefined)
+      df.checkpoint(eager = true)
+    else df.localCheckpoint(eager = true)
+
+  /** Every persistent RDD in the context that is LOCALLY CHECKPOINTED
+    * — the executor-pinned snapshots that per-call lineage truncation
+    * ([[truncateBounded]], [[truncatedLocalSum]]) leaves behind when
+    * the call site cannot own a release (the snapshot feeds a lazy
+    * plan returned to the caller). A session-long driver (Bench,
+    * Verify) sweeps these BETWEEN entries: once an entry's action has
+    * run, its snapshots are dead weight — unreleased, they accumulate
+    * into GC/eviction churn that taxes every later entry (measured:
+    * r17's one-directional late-alphabet slowdown). Callers must NOT
+    * sweep ids created by builds that outlive an entry (DfCache pins
+    * etc.) — hence the exclude set, snapshot before the entry. */
+  def locallyCheckpointedIds(sc: org.apache.spark.SparkContext)
+      : Set[Int] =
+    sc.getPersistentRDDs.collect {
+      // RDD.isLocallyCheckpointed is private[rdd]; its implementation
+      // — checkpointData is a LocalRDDCheckpointData — is reachable
+      // from this package (both are private[spark])
+      case (id, rdd) if rdd.checkpointData.exists(
+          _.isInstanceOf[org.apache.spark.rdd.LocalRDDCheckpointData[_]]) =>
+        id
+    }.toSet
+
+  /** Unpersist (non-blocking) the given persistent RDD ids if still
+    * registered. */
+  def unpersistIds(sc: org.apache.spark.SparkContext,
+      ids: Set[Int]): Unit = {
+    val live = sc.getPersistentRDDs
+    ids.foreach(id => live.get(id).foreach(_.unpersist(blocking = false)))
+  }
+
   /** Drain the context's async listener bus — a test asserting on
     * SparkListener counters must flush pending events first;
     * `listenerBus` is `private[spark]`, reachable from this package. */
