@@ -27,6 +27,12 @@ import org.apache.spark.sql.functions._
   */
 object ExactPercentiles {
 
+  /** Checkpoint-dir-aware truncation of the operator's BOUNDED frames
+    * (counts/hist/med — state ∝ groups / groups×buckets): reliable
+    * files when a dir is set (cluster), local blocks otherwise. */
+  private def truncB(df: DataFrame): DataFrame =
+    org.apache.spark.sql.graft.Bridge.truncateBounded(df)
+
   /** Exact LOWER weighted median per group — the smallest value whose
     * cumulative weight reaches half the group's total — with the same
     * bounded two-pass shape as [[compute]]: a per-bucket weight
@@ -53,7 +59,7 @@ object ExactPercentiles {
         sum(col("wb")).over(Window.partitionBy("g").orderBy("b")
           .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
       .withColumn("tot", sum(col("wb")).over(Window.partitionBy("g")))
-      .localCheckpoint(true)
+      .transform(truncB)
     // monotone crossing: the unique first bucket where 2·cum ≥ W
     val target = hist
       .filter(lit(2) * (col("cum_before") + col("wb")) >= col("tot"))
@@ -96,7 +102,7 @@ object ExactPercentiles {
         sum(col("wb")).over(Window.partitionBy("g").orderBy("b")
           .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
       .withColumn("tot", sum(col("wb")).over(Window.partitionBy("g")))
-      .localCheckpoint(true)
+      .transform(truncB)
     val ranks = hist.select(col("g"), col("b"), col("cum_before"),
         col("wb"), col("tot"),
         explode(array(qs.map { case (label, num, den) =>
@@ -163,7 +169,7 @@ object ExactPercentiles {
     // of the outer compute()'s base references
     val med = compute(base, "g", "v", Seq(("50", 0.5)), bucketWidthV)
       .select(col("g"), round(col("p_50"), roundMed).as("med"))
-      .localCheckpoint(true)
+      .transform(truncB)
     val dev = base.join(broadcast(med), "g")
       .withColumn("adev", abs(col("v") - col("med")))
     compute(dev, "g", "adev", Seq(("50", 0.5)), bucketWidthD)
@@ -182,18 +188,18 @@ object ExactPercentiles {
     // references them through located/needed/boundary/wide so many
     // times that each reference re-expanded into its own full base
     // scan + aggregation (q76's composed plan reached 84 parquet scans
-    // / 110 exchanges before this). localCheckpoint pins each to ONE
+    // / 110 exchanges before this). truncB pins each to ONE
     // scan + aggregation; the deliberate re-scan posture (see [[mad]]'s
     // measured note) applies to the CORPUS-sized base, which stays
     // uncached — pass 2 still re-scans storage.
     val counts = base.groupBy("g").agg(count(lit(1)).as("n"))
-      .localCheckpoint(true)
+      .transform(truncB)
     // bounded frame: value-range/bucketWidth buckets per group
     val hist = base.groupBy("g", "b").agg(count(lit(1)).as("c"))
       .withColumn("cum_before", coalesce(
         sum(col("c")).over(Window.partitionBy("g").orderBy("b")
           .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-      .localCheckpoint(true)
+      .transform(truncB)
     // per (group, quantile): the two boundary ranks and the fraction
     val targets = counts.select(col("g"), col("n"),
       explode(array(qs.map { case (label, q) =>

@@ -92,7 +92,8 @@ object PrefixSum {
       if (numPartitions > 0) numPartitions
       else df.sparkSession.sessionState.conf.numShufflePartitions
     val part = partitionCols.map(col)
-    // localCheckpoint is LOAD-BEARING: the chunk id comes from a
+    // The truncation (checkpoint-dir-aware: reliable on a cluster,
+    // local blocks otherwise) is LOAD-BEARING: the chunk id comes from a
     // SAMPLING-based partitioner, and the frame below consumes it from
     // two subtrees (local sums + chunk totals). Column pruning can make
     // those subtrees structurally different, in which case ReuseExchange
@@ -105,7 +106,7 @@ object PrefixSum {
     val ranged = df
       .repartitionByRange(n, part ++ orderCols: _*)
       .withColumn("__chunk", spark_partition_id())
-      .localCheckpoint(true)
+      .transform(org.apache.spark.sql.graft.Bridge.truncateBounded)
     // local running sums: every window partition ⊆ one range chunk,
     // so no task ever sorts more than ~|df|/n rows
     val local = Window.partitionBy(part :+ col("__chunk"): _*)

@@ -167,7 +167,8 @@ object DedupQueries {
   val d03 = QueryDef(
     "d03_simhash",
     (sp, dir) => {
-      // localCheckpoint: the fingerprint table is (doc_id, simhash) —
+      // truncated (checkpoint-dir-aware): the fingerprint table is
+      // (doc_id, simhash) —
       // 16 bytes per doc — but the plan references it four times
       // (banded self-join sides, salt sizing, final left join), and
       // each reference re-ran the SimHash kernel over the full text
@@ -175,7 +176,7 @@ object DedupQueries {
       // fingerprints once, decide on the small rows (guide §8).
       val fps = Dedup.simhashFingerprints(
         Tables(sp, dir, "documents"), "doc_id", "text")
-        .localCheckpoint(true)
+        .transform(org.apache.spark.sql.graft.Bridge.truncateBounded)
       // salting engaged: template docs cluster simhashes, so a single
       // 16-bit band bucket can hold 20%+ of the corpus (1109/5000 at
       // sf0.1) — the chunk-salt spreads that bucket's pair volume

@@ -77,6 +77,32 @@ class ExactPercentilesSpec extends SparkSpec {
     }
   }
 
+  test("checkpoint dir set switches the bounded-frame truncation to the reliable path") {
+    // the operator's counts/hist truncations route through
+    // Bridge.truncateBounded: with a checkpoint dir on the context
+    // they must write reliable checkpoint FILES (executor-loss-safe on
+    // a cluster) and still compute the same percentiles; without one
+    // (the shared session default) they stay executor-local blocks.
+    val df = (1 to 2000).map(i => ("g" + (i % 3), (i % 97).toDouble))
+      .toDF("g", "v")
+    val expected = ExactPercentiles.compute(df, "g", "v",
+        Seq(("50", 0.5)), bucketWidth = 8.0)
+      .collect().map(r => r.getAs[String]("g") -> r.getAs[Double]("p_50"))
+      .toMap
+    val ckDir = java.nio.file.Files.createTempDirectory("graft_ck_ep").toString
+    val viaReliable = org.apache.spark.sql.graft.Bridge.withCheckpointDir(
+      spark.sparkContext, Some(ckDir)) {
+      ExactPercentiles.compute(df, "g", "v",
+          Seq(("50", 0.5)), bucketWidth = 8.0)
+        .collect().map(r => r.getAs[String]("g") -> r.getAs[Double]("p_50"))
+        .toMap
+    }
+    assert(viaReliable === expected)
+    // mode actually switched: reliable checkpoints leave files behind
+    assert(new java.io.File(ckDir).listFiles().nonEmpty)
+    assert(spark.sparkContext.getCheckpointDir.isEmpty)
+  }
+
   test("weighted median equals the expanded (weight-replicated) median crossing") {
     val rnd = new scala.util.Random(11)
     val rows = (1 to 4000).map { i =>
