@@ -166,19 +166,19 @@ object RelationalNext {
     (sp, dir) => {
       // event_type has cardinality 5: a window partitioned on it alone
       // sorts a fifth of all events per task, even though the frame
-      // needs only 100 rows of context. ChunkedWindow distributes it
-      // by halo-chunking: every task sees ≤ chunkRows + 99 rows.
-      // chunkRows = 8192 so even the sf0.1 bench run exercises real
-      // chunk boundaries, not just the single-chunk degenerate case.
-      graft.operators.ChunkedWindow.withRollingAggs(
+      // needs only 100 rows of context. RollingDistinct decomposes the
+      // sliding COUNT DISTINCT into ±1 difference markers + running
+      // sums (both chunk-distributed) — the previous halo-chunked
+      // `size(collect_set)` rebuilt a 100-element set PER ROW (an
+      // imperative aggregate over a sliding frame re-evaluates its
+      // whole buffer each row). Same exact semantics, same oracle.
+      graft.operators.RollingDistinct.withRollingCountDistinct(
           Tables(sp, dir, "events")
             .select(col("event_type"), col("event_id"), col("ts"),
               col("user_id")),
           Seq("event_type"), Seq(col("ts"), col("event_id")),
-          framePreceding = 99,
-          aggs = Map("rolling_users" ->
-            (w => size(collect_set(col("user_id")).over(w)).cast("long"))),
-          chunkRows = 8192)
+          valueCol = "user_id", framePreceding = 99,
+          outCol = "rolling_users")
         .select("event_type", "event_id", "ts", "rolling_users")
         .orderBy("event_type", "ts", "event_id")
     },
@@ -428,7 +428,8 @@ object RelationalNext {
     "q67_pareto_abc",
     (sp, dir) => {
       import graft.Dsl.revSumDec
-      // localCheckpoint: byPart feeds BOTH the prefix-sum chain and the
+      // truncated (checkpoint-dir-aware): byPart feeds BOTH the
+      // prefix-sum chain and the
       // per-flag totals — un-truncated, the totals branch re-ran the
       // whole lineitem aggregation a second time. The checkpointed
       // frame is (flag, part)-cardinality, not fact-table-sized.
@@ -436,7 +437,7 @@ object RelationalNext {
         .groupBy(col("l_returnflag").as("flag"),
           col("l_partkey").as("part"))
         .agg(revSumDec(col("l_extendedprice"), col("l_discount")).as("rev"))
-        .localCheckpoint(true)
+        .transform(org.apache.spark.sql.graft.Bridge.truncateBounded)
       val cum = graft.operators.PrefixSum.withRunningSum(byPart,
         Seq("flag"), Seq(col("rev").desc, col("part")), "rev", "cum_rev")
       val tot = byPart.groupBy("flag").agg(sum(col("rev")).as("flag_rev"))

@@ -75,12 +75,18 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
-  test("q60 rolling distinct windows only halo chunks, never a whole event type") {
+  test("q60 rolling distinct: no per-row set maintenance, chunked windows only") {
+    // the difference-array decomposition replaced the sliding
+    // collect_set (an imperative aggregate Spark re-evaluates O(frame)
+    // per row) with running sums — if collect_set reappears, the 100×
+    // per-row set work is back; and every remaining window must
+    // partition on a chunk id, never a whole 5-value event type
     val p = plan("q60_rolling_distinct")
-    val frameSpecs = "windowspecdefinition\\(event_type[^)]*\\)".r.findAllIn(p)
-      .toList.filter(_.contains("RowFrame, -99"))
-    assert(frameSpecs.nonEmpty && frameSpecs.forall(_.contains("__tgt")),
-      s"sliding frame must partition on (event_type, chunk):\n${frameSpecs.mkString("\n")}")
+    assert(!p.contains("collect_set"),
+      s"q60 must not rebuild a set per row:\n${p.take(2000)}")
+    val specs = "windowspecdefinition\\([^)]*\\)".r.findAllIn(p).toList
+    assert(specs.nonEmpty && specs.forall(_.contains("__chunk")),
+      s"window partitioned below shuffle parallelism:\n${specs.mkString("\n")}")
   }
 
   test("q67 cumulative share never windows a whole low-cardinality partition") {
