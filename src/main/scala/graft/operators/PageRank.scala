@@ -48,11 +48,23 @@ object PageRank {
     * @param q       fixed-point scale (rank 1.0 ≡ q)
     * @return (v, r) — node id and final fixed-point rank
     */
+  /** Max node count for which each round's rank table is BROADCAST
+    * into the edge join instead of shuffled/sorted against it. The
+    * rank row is (v: long, r: long) ≈ 16 B + framing, so the default
+    * 4M nodes is a ≤ ~128 MB broadcast relation — inside the guide's
+    * "few hundred MB is fine" band, far under the 8 GB / 512M-row hard
+    * cap. The decision is DATA-adaptive (n is already computed for the
+    * init rank), not tuned to local[32]: small-enough graphs skip the
+    * per-round edge-side sort-merge machinery everywhere; web-scale
+    * graphs keep the shuffle join unchanged. */
+  private[graft] val BroadcastNodesDefault = 4L * 1024 * 1024
+
   def fixedPoint(edges: DataFrame, srcCol: String, dstCol: String,
       iters: Int, q: Long = 1000000000000L,
-      dampNum: Int = 17, dampDen: Int = 20): DataFrame =
+      dampNum: Int = 17, dampDen: Int = 20,
+      broadcastNodes: Long = BroadcastNodesDefault): DataFrame =
     run(edges, srcCol, dstCol, iters, q, dampNum, dampDen,
-      wantDelta = false)._1
+      wantDelta = false, broadcastNodes)._1
 
   /** [[fixedPoint]] plus convergence TELEMETRY: also returns the
     * final-round L1 distance-to-fixpoint `Σ_v |r_iters(v) −
@@ -67,46 +79,75 @@ object PageRank {
     * iterations grow). */
   def fixedPointWithDelta(edges: DataFrame, srcCol: String, dstCol: String,
       iters: Int, q: Long = 1000000000000L,
-      dampNum: Int = 17, dampDen: Int = 20): (DataFrame, Long) = {
+      dampNum: Int = 17, dampDen: Int = 20,
+      broadcastNodes: Long = BroadcastNodesDefault): (DataFrame, Long) = {
     val (df, delta) = run(edges, srcCol, dstCol, iters, q, dampNum, dampDen,
-      wantDelta = true)
+      wantDelta = true, broadcastNodes)
     (df, delta.get)
   }
 
   private def run(edges: DataFrame, srcCol: String, dstCol: String,
       iters: Int, q: Long, dampNum: Int, dampDen: Int,
-      wantDelta: Boolean): (DataFrame, Option[Long]) = {
+      wantDelta: Boolean, broadcastNodes: Long): (DataFrame, Option[Long]) = {
     require(iters >= 1, s"iters must be >= 1, got $iters")
     require(dampNum > 0 && dampNum < dampDen,
       s"damping num/den must satisfy 0 < num < den, got $dampNum/$dampDen")
+    // Degree table first, NODE-sized, with the node count FUSED into
+    // its materialization (truncatedAutoSum's sum over a ones column) —
+    // the previous shape paid a separate countDistinct job over the
+    // edge snapshot AND re-shuffled the edges for the init table's
+    // distinct. The symmetrized-input contract (outdegree ≥ 1 for
+    // every node) makes the degree keys exactly the node universe, so
+    // init ranks read the degree blocks directly.
+    val e0 = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+    val (degT, nBig, releaseDeg) = org.apache.spark.sql.graft.Bridge
+      .truncatedAutoSum(
+        e0.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+          .withColumn("__one", lit(1L)),
+        sumIdx = 2)
+    val n = nBig.longValueExact()
     // Degree folds INTO the edge list once: each iteration then joins
     // one static table instead of two, and the per-edge division
-    // `r DIV deg` happens inside the aggregation projection.
-    val e0 = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
-    val degDf = e0.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    // `r DIV deg` happens inside the aggregation projection. The
+    // node-sized degree table is broadcast under the same threshold as
+    // the per-round rank broadcasts, so building the edge snapshot
+    // never shuffles the raw edges at all in that regime.
+    val bcRanks = n > 0 && n <= broadcastNodes
+    val degJ = degT.select(col("src"), col("deg"))
     val (ed, _, releaseED) = truncate(
-      e0.join(degDf, "src").select(col("src"), col("dst"), col("deg")))
+      e0.join(if (bcRanks) broadcast(degJ) else degJ, "src")
+        .select(col("src"), col("dst"), col("deg")))
     // From here the edge snapshot is on disk/blocks — any failure must
     // release it (and the current round) or the checkpoint leaks:
     // reliable-checkpoint files are never reaped by default.
     var release: () => Unit = () => ()
     try {
-      // node count over the truncated blocks — no second parquet pass
-      val n = ed.select(countDistinct(col("src"))).head().getLong(0)
       require(n > 0, "PageRank on an empty edge list")
       val init = q / n
       val base = (dampDen - dampNum) * init / dampDen
 
-      def round(r: DataFrame): DataFrame =
-        ed.join(r.withColumnRenamed("v", "src"), "src")
+      // Per-round join strategy, decided from the MEASURED node count
+      // (guide §3.1 — pick deliberately; the materialized edge blocks
+      // carry no size statistics, so the planner alone would never
+      // broadcast). Broadcasting the node-sized rank table removes the
+      // edge side's per-round exchange AND the sort-merge sorts — each
+      // round becomes one map-side hash probe plus a single node-sized
+      // exchange for the dst aggregation (partial aggregation runs
+      // map-side over the join output). Above the threshold the
+      // original shuffle join is kept: a web-scale rank table cannot
+      // ride a broadcast.
+      def round(r: DataFrame): DataFrame = {
+        val rs = r.withColumnRenamed("v", "src")
+        ed.join(if (bcRanks) broadcast(rs) else rs, "src")
           .groupBy(col("dst")).agg(sum(expr("r DIV deg")).as("sc"))
           .select(col("dst").as("v"),
             (lit(base) + expr(s"($dampNum * sc) DIV $dampDen")).as("r"))
+      }
 
-      // the init table rides inside the first chain's lineage — cheap
-      // enough that materializing it separately just costs a job
-      var ranks: DataFrame = ed.select(col("src").as("v")).distinct()
-        .select(col("v"), lit(init).as("r"))
+      // init ranks read the node-sized degree blocks — no edge-list
+      // distinct (the degree keys ARE the node universe; see above)
+      var ranks: DataFrame = degT.select(col("src").as("v"),
+        lit(init).as("r"))
       // telemetry needs r_{iters-1} materialized, so its chains stop
       // one round short and the last round runs separately below
       val chainTo = if (wantDelta) iters - 1 else iters
@@ -118,8 +159,19 @@ object PageRank {
         val step = math.min(5, chainTo - k + 1)
         var chained = ranks
         for (_ <- 1 to step) chained = round(chained)
-        val (t, _, rel) = truncate(chained)
+        // In the broadcast tier the chain has nothing for AQE to adapt
+        // — join strategy is fixed, skew rides the broadcast, and the
+        // one exchange per round is node-sized — while AQE's
+        // stage-by-stage materialization costs a driver scheduling
+        // round-trip per exchange per round (on a real cluster that
+        // barrier is dearer still). Scope it off for the chain only;
+        // the shuffle-join tier keeps AQE (skew-join handling matters
+        // there).
+        val (t, _, rel) =
+          if (bcRanks) withAqeOff(ed.sparkSession)(truncate(chained))
+          else truncate(chained)
         release()
+        if (k == 1) releaseDeg() // init consumed by the first chain
         ranks = t
         release = rel
         k += step
@@ -134,6 +186,9 @@ object PageRank {
         val delta = fin.as("a")
           .join(prev.as("b"), col("a.v") === col("b.v"))
           .agg(sum(abs(col("a.r") - col("b.r")))).head().getLong(0)
+        // iters == 1 only: `prev` IS the lazy init plan over the degree
+        // blocks, so they must survive through the delta join above
+        if (chainTo < 1) releaseDeg()
         prevRelease()
         release = relFin
         (fin, Some(delta))
@@ -141,7 +196,20 @@ object PageRank {
     } catch {
       case t: Throwable =>
         release()
+        releaseDeg() // idempotent: double-release is a no-op
         throw t
     } finally releaseED()
+  }
+
+  /** Run `body` with AQE off, restoring the session value after —
+    * scoped exactly like the streaming entries' state-partition cap.
+    * Catalog queries run sequentially (Bench/Verify; suites fork one
+    * JVM), so the scoped change is safe. */
+  private def withAqeOff[A](sp: org.apache.spark.sql.SparkSession)(
+      body: => A): A = {
+    val key = "spark.sql.adaptive.enabled"
+    val prev = sp.conf.get(key)
+    sp.conf.set(key, "false")
+    try body finally sp.conf.set(key, prev)
   }
 }
