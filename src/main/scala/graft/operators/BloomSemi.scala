@@ -26,17 +26,31 @@ object BloomSemi {
   private val masks: Column = typedlit((0 until 64).map(1L << _))
 
   private def positions(key: Column, mBits: Int, nHashes: Int): Seq[Column] =
+    positionsMulti(Seq(key), mBits, nHashes)
+
+  private def positionsMulti(keys: Seq[Column], mBits: Int,
+      nHashes: Int): Seq[Column] =
     // per-hash seed via an extra hashed column; murmur3 int → pmod to m
-    (0 until nHashes).map(i => pmod(hash(key, lit(i)), lit(mBits)))
+    (0 until nHashes).map(i => pmod(hash(keys :+ lit(i): _*), lit(mBits)))
 
   /** Distributed build: explode each key into its bit positions,
     * bit_or per 64-bit word, collect the (word, bits) pairs — at most
     * `mBits/64` rows regardless of input size. */
   def buildBits(keys: DataFrame, keyCol: String, mBits: Int,
+      nHashes: Int): Array[Long] =
+    buildBitsMulti(keys, Seq(keyCol), mBits, nHashes)
+
+  /** [[buildBits]] over a COMPOSITE key hashed field-by-field —
+    * murmur3 folds the fields with the running hash as seed, so no
+    * per-row struct is materialized on either side (the probe runs
+    * per WEDGE in Triangles: tens of millions of rows pay for any
+    * per-row allocation). Pair with [[mightContainMulti]]. */
+  def buildBitsMulti(keys: DataFrame, keyCols: Seq[String], mBits: Int,
       nHashes: Int): Array[Long] = {
     require(mBits % 64 == 0, "mBits must be a multiple of 64")
     val words = keys
-      .select(explode(array(positions(col(keyCol), mBits, nHashes): _*))
+      .select(explode(array(
+        positionsMulti(keyCols.map(col), mBits, nHashes): _*))
         .as("pos"))
       .select(shiftright(col("pos"), 6).as("w"),
         element_at(masks, pmod(col("pos"), lit(64)) + 1).as("m"))
@@ -50,9 +64,14 @@ object BloomSemi {
   /** Membership test as a pure column expression over the built bits:
     * every hash's bit must be set. */
   def mightContain(key: Column, bits: Array[Long], mBits: Int,
+      nHashes: Int): Column =
+    mightContainMulti(Seq(key), bits, mBits, nHashes)
+
+  /** [[mightContain]] for a composite key (see [[buildBitsMulti]]). */
+  def mightContainMulti(keys: Seq[Column], bits: Array[Long], mBits: Int,
       nHashes: Int): Column = {
     val bitsLit = typedlit(bits.toSeq)
-    positions(key, mBits, nHashes).map { pos =>
+    positionsMulti(keys, mBits, nHashes).map { pos =>
       element_at(bitsLit, shiftright(pos, 6) + 1)
         .bitwiseAND(element_at(masks, pmod(pos, lit(64)) + 1)) =!= 0L
     }.reduce(_ && _)

@@ -20,33 +20,60 @@ import org.apache.spark.sql.functions._
 object Triangles {
 
   /** One-row graph stats over an undirected edge list (columns u, v,
-    * long ids; each undirected edge present exactly once, u ≠ v): node
-    * count, edge count, wedge count Σ C(deg, 2) (closed form, exact),
-    * exact triangle count, and the global clustering coefficient
-    * 3·triangles / wedges (single IEEE division of exact integers).
+    * integer ids — cast to long internally; each undirected edge
+    * present exactly once, u ≠ v): node count, edge count, wedge count
+    * Σ C(deg, 2) (closed form, exact), exact triangle count, and the
+    * global clustering coefficient 3·triangles / wedges (single IEEE
+    * division of exact integers). Eager at call time: the edge /
+    * degree / oriented tables materialize during construction.
     *
     * The closure test Bloom-prefilters the wedge stream before its
     * exchange (the guide §3.2 runtime-filter move): the wedge join
     * emits O(m^1.5) candidate pairs — 41M rows / 940 MB at sf0.1,
     * by far the plan's largest shuffle — of which only the triangles
-    * survive the closure probe. A fixed-size bit set over the oriented
-    * edges' (s, t) hashes drops definitely-non-closing wedges in the
-    * wedge join's own stage; no false negatives, so the exact closure
-    * join downstream sees every triangle and the count is unchanged.
-    * Sizing is scale-adaptive: ≥8 bits per oriented edge, capped at
-    * `bloomMaxBits` (the collected word array stays ≤ 2 MiB at the
-    * default); past the cap the filter is SKIPPED entirely — a
-    * saturated Bloom would cost two hashes per wedge and prune
-    * nothing, so very large graphs fall back to the plain join.
+    * survive the closure probe. A bit set over the oriented edges'
+    * (s, t) hashes drops definitely-non-closing wedges in the wedge
+    * join's own stage; no false negatives, so the exact closure join
+    * downstream sees every triangle and the count is unchanged.
+    * Sizing is scale-adaptive at 6 bits per oriented edge (~15% fpp
+    * at one hash — wedges pruned ~85% for one murmur3 + two array
+    * lookups per row), in two tiers:
+    *
+    *   - `6·m ≤ bloomLitBits` (≤ 2 MiB of words at the default): the
+    *     word array rides the plan as a literal and the probe is pure
+    *     codegen (`element_at` + mask tests) — the fastest per-row
+    *     form, fine for the driver at this size (task binaries are
+    *     broadcast once per stage);
+    *   - larger graphs up to `6·m ≤ bloomMaxBits` (128 MiB of bits at
+    *     the default — ~180M oriented edges): the filter is built
+    *     distributed (`stat.bloomFilter` over the 64-bit (s,t) hash)
+    *     and shipped as a BROADCAST variable probed by a scalar
+    *     function — a multi-MiB literal must not ride every plan
+    *     copy / codegen unit, and a broadcast ships once per
+    *     executor. Both sides hash (s,t) with the same xxhash64, so
+    *     there are still no false negatives.
+    *
+    * Past `bloomMaxBits` the filter is SKIPPED entirely — an
+    * undersized Bloom saturates, prunes nothing, and still costs a
+    * hash per wedge, so web-scale graphs fall back to the plain join
+    * (where AQE skew handling and the O(m^1.5) bound still apply).
     */
-  def stats(edges0: DataFrame, bloomMaxBits: Int = 1 << 24): DataFrame = {
+  def stats(edges0: DataFrame, bloomLitBits: Int = 1 << 24,
+      bloomMaxBits: Long = 1L << 30): DataFrame = {
+    require(bloomLitBits > 0 && bloomLitBits <= (1 << 30),
+      s"bloomLitBits must be in (0, 2^30], got $bloomLitBits")
     // Materialize edge list → degrees → oriented list once (Components
     // block discipline): the oriented list feeds both wedge-join sides
     // AND the Bloom build, and the fused count from its
     // materialization sizes the filter without an extra pass. Raw
     // edge blocks are released as soon as the derived tables exist.
+    // (Int ids are cast up front: the truncation's fused sum reads a
+    // raw 8-byte LONG slot.)
     val (edges, _, releaseEdges) = org.apache.spark.sql.graft.Bridge
-      .truncatedAutoSum(edges0.select(col("u"), col("v")), sumIdx = 0)
+      .truncatedAutoSum(
+        edges0.select(col("u").cast("long").as("u"),
+          col("v").cast("long").as("v")),
+        sumIdx = 0)
     val (deg, _, _) = org.apache.spark.sql.graft.Bridge.truncatedAutoSum(
       edges.select(col("u").as("node"))
         .union(edges.select(col("v").as("node")))
@@ -81,17 +108,32 @@ object Triangles {
             (col("e1.td") === col("e2.td") && col("e1.t") < col("e2.t"))))
       .select(col("e1.t").as("t1"), col("e2.t").as("t2"))
     val candidates =
-      if (m > 0 && 6L * m <= bloomMaxBits.toLong) {
-        // one hash + ≥6 bits/edge: ~15% fpp — wedges are pruned ~85%
-        // for a single murmur3 + two array lookups per row, keeping
-        // the filter's CPU cost below the shuffle bytes it removes
-        var mBits = 1 << 20
-        while (mBits.toLong < 6L * m) mBits <<= 1
-        val bits = BloomSemi.buildBits(
-          oriented.select(struct(col("s"), col("t")).as("k")),
-          "k", mBits, nHashes = 1)
-        wedges.filter(BloomSemi.mightContain(
-          struct(col("t1"), col("t2")), bits, mBits, nHashes = 1))
+      if (m > 0 && 6L * m <= bloomLitBits.toLong) {
+        // literal tier: all-Long sizing (a 2^30 cap with a large m
+        // would overflow an Int shift loop — ADVICE r17), landed back
+        // into an Int only once known ≤ bloomLitBits
+        var mBits = 1L << 20
+        while (mBits < 6L * m) mBits <<= 1
+        val bitsN = math.min(mBits, bloomLitBits.toLong).toInt
+        // composite key hashed field-by-field: a struct-valued key
+        // would materialize a row PER WEDGE on the probe side
+        val bits = BloomSemi.buildBitsMulti(
+          oriented, Seq("s", "t"), bitsN, nHashes = 1)
+        wedges.filter(BloomSemi.mightContainMulti(
+          Seq(col("t1"), col("t2")), bits, bitsN, nHashes = 1))
+      } else if (m > 0 && 6L * m <= bloomMaxBits) {
+        // broadcast tier: distributed build over the 64-bit (s, t)
+        // hash, shipped once per executor. stat.bloomFilter picks its
+        // own optimal hash count for the requested bit budget; the
+        // probe hashes (t1, t2) with the SAME xxhash64, so a closing
+        // wedge can never be dropped.
+        val sp = oriented.sparkSession
+        val bf = oriented.select(xxhash64(col("s"), col("t")).as("h"))
+          .stat.bloomFilter("h", expectedNumItems = m, numBits = 6L * m)
+        val bcBf = sp.sparkContext.broadcast(bf)
+        val mightClose =
+          udf((h: Long) => bcBf.value.mightContainLong(h))
+        wedges.filter(mightClose(xxhash64(col("t1"), col("t2"))))
       } else wedges
     val nTri = candidates.join(oriented,
         col("t1") === col("s") && col("t2") === col("t"))

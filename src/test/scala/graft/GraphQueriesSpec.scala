@@ -89,6 +89,27 @@ class GraphQueriesSpec extends SparkSpec {
     assert(r.getLong(1) === pairs.size.toLong)
   }
 
+  test("Triangles.stats: broadcast Bloom tier counts identically") {
+    import spark.implicits._
+    // Same random graph; bloomLitBits = 64 forces 6·m past the literal
+    // tier, so the filter builds distributed and ships as a broadcast
+    // (the 100 TB-scale path, where a multi-MiB word array must not
+    // ride the plan as a literal). No false negatives by construction
+    // — the count must match the literal-tier default exactly.
+    val pairs = for {
+      u <- 1L until 40L; v <- (u + 1) to 40L
+      if ((u * 2654435761L + v * 40503L) % 97) < 24
+    } yield (u, v)
+    val edges = edgesOf(pairs)
+    val want = Triangles.stats(edges).head
+    val got = Triangles.stats(edges, bloomLitBits = 64).head
+    assert(got === want)
+    // and past bloomMaxBits the filter skips entirely — still exact
+    val plain = Triangles.stats(edges, bloomLitBits = 64,
+      bloomMaxBits = 64L).head
+    assert(plain === want)
+  }
+
   test("d22 nearest neighbor is the true blocked minimum") {
     val out = Catalog.byName("d22_edit_distance_nn").build(spark, dir)
       .select("doc_id", "nn_id", "nn_dist").collect()
