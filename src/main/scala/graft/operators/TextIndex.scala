@@ -272,7 +272,8 @@ object TextIndex {
     * corpus. Identical math to the s21 lexical arm over the same
     * corpus, so search-of-stored hash-matches the batch recompute. */
   def searchBm25(sp: SparkSession, store: String, queries: DataFrame,
-      k: Int, termPruneLimit: Long = TermPruneLimit): DataFrame = {
+      k: Int, termPruneLimit: Long = TermPruneLimit,
+      truncate: Boolean = true): DataFrame = {
     val qterms = queries
       .select(col("doc_id").as("q_id"),
         explode(split(col("text"), " ")).as("word"))
@@ -294,7 +295,20 @@ object TextIndex {
         postingsAll.filter(col("bucket").isin(buckets: _*) &&
           col("word").isin(words: _*))
       } else postingsAll
-    val matched = postings.join(broadcast(qterms), "word")
+    // matched is Σ df(query terms)-bounded BY CONSTRUCTION (the bucket
+    // + word pushdown above caps the scan at the query terms' postings)
+    // and the plan references it TWICE — df derivation + scoring — so
+    // un-truncated each reference re-ran the pruned postings scan.
+    // Truncation (checkpoint-dir-aware) pins it to ONE scan; at 100 TB
+    // that halves the postings I/O per probe batch.
+    // (`truncate = false` keeps the lazy single plan — the spec that
+    // audits the scan's bucket/word pushdown reads it there, since a
+    // truncated plan starts at the snapshot and hides the scan)
+    val matchedLazy = postings.join(broadcast(qterms), "word")
+    val matched =
+      if (truncate)
+        org.apache.spark.sql.graft.Bridge.truncateBounded(matchedLazy)
+      else matchedLazy
     // df re-derives additively from the matched postings themselves:
     // installments are disjoint by doc, so COUNT per word over the
     // pruned scan IS the corpus df — no stored dictionary to maintain.

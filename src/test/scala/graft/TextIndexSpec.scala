@@ -81,8 +81,12 @@ class TextIndexSpec extends SparkSpec {
     // source's absence from the plan is meaningful
     val qpath = tmpStore("prune") + "_queries"
     queries.write.mode("overwrite").parquet(qpath)
+    // truncate = false: the default truncation pins the Σ df-bounded
+    // matched frame to one scan, which also hides that scan from the
+    // FINAL plan — the pushdown contract is audited on the lazy form,
+    // and result equality with the default form is asserted below
     val res = TextIndex.searchBm25(spark, store,
-      spark.read.parquet(qpath), k = 10)
+      spark.read.parquet(qpath), k = 10, truncate = false)
     val p = res.queryExecution.executedPlan.toString
     assert(!p.contains("documents.parquet"),
       "search plan must read only the store and the query frame")
@@ -93,6 +97,12 @@ class TextIndexSpec extends SparkSpec {
     assert("PushedFilters: \\[[^\\]]*word".r.findFirstIn(p).isDefined,
       "word IN-list did not push down to the postings scan")
     assert(res.limit(1).count() === 1)
+    // the default (truncated) execution returns the identical rows
+    val want = res.collect().map(_.toString).sorted
+    val got = TextIndex.searchBm25(spark, store,
+        spark.read.parquet(qpath), k = 10)
+      .collect().map(_.toString).sorted
+    assert(got === want)
   }
 
   test("compactFamily folds grown postings to one segment; search unchanged") {
