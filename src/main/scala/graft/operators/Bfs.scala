@@ -40,8 +40,20 @@ object Bfs {
     * @return (node, dist): minimum hop count to any seed, 0 ≤ dist ≤
     *   maxHops, one row per reached node.
     */
+  /** Max visited-set row count for which each round's FRONTIER is
+    * broadcast into the adjacency join instead of shuffled against it.
+    * A visited row is (node, dist) ≈ 16 B + framing — the default 4M
+    * rows is a ≤ ~128 MB broadcast relation (the PageRank threshold's
+    * rationale). The decision is DATA-adaptive per round, read from
+    * the row count FUSED into the round's own materialization: while
+    * the reach is broadcastable, a round never exchanges the edge
+    * list; once it grows past the gate, rounds fall back to the
+    * shuffle join (web-scale frontiers cannot ride a broadcast). */
+  private[graft] val BroadcastVisitedDefault = 4L * 1024 * 1024
+
   def hopDistances(edges: DataFrame, srcCol: String, dstCol: String,
-      seeds: DataFrame, seedCol: String, maxHops: Int): DataFrame = {
+      seeds: DataFrame, seedCol: String, maxHops: Int,
+      broadcastVisited: Long = BroadcastVisitedDefault): DataFrame = {
     require(maxHops >= 0, s"maxHops must be >= 0, got $maxHops")
     // The cached edge table is the loop's big operand; each round's
     // frontier is a materialized (checkpointed) frame whose size AQE
@@ -51,12 +63,18 @@ object Bfs {
     // full extra shuffle+sort and buys nothing while the frontier
     // stays below the broadcast threshold; past it AQE falls back to
     // a shuffle join on its own.)
+    // No distinct on the symmetrized list: a contract-conforming input
+    // (each undirected edge once, u ≠ v) cannot produce duplicates by
+    // symmetrizing, so the old `.distinct()` was a full edge shuffle +
+    // dedup that bought nothing — the per-round `distinct` on the
+    // frontier expansion below already collapses whatever fan-out a
+    // non-conforming input would add, so correctness never depended on
+    // it either (BfsSpec exercises a duplicated-edges input).
     val both = edges.select(col(srcCol).as("u"), col(dstCol).as("v"))
       .unionAll(edges.select(col(dstCol).as("u"), col(srcCol).as("v")))
-      .distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    var (visited, prevSum, release) =
-      org.apache.spark.sql.graft.Bridge.truncatedAutoSum(
+    var (visited, prevSum, visitedN, release) =
+      org.apache.spark.sql.graft.Bridge.truncatedAutoSumN(
         seeds.select(col(seedCol).as("node")).distinct()
           .withColumn("dist", lit(0L)),
         sumIdx = 1)
@@ -64,16 +82,23 @@ object Bfs {
     var done = false
     while (h < maxHops && !done) {
       h += 1
+      // frontier ≤ visited rows: below the gate, broadcast it so the
+      // round scans the edge cache in place (no edge exchange at all);
+      // past the gate the plain join shuffles both sides as before
+      val frontier0 = visited.filter(col("dist") === h - 1)
+      val frontier =
+        if (visitedN <= broadcastVisited) broadcast(frontier0) else frontier0
       val newNodes = both
-        .join(visited.filter(col("dist") === h - 1), col("u") === col("node"))
+        .join(frontier, col("u") === col("node"))
         .select(col("v").as("node")).distinct()
         .join(visited, Seq("node"), "left_anti")
         .withColumn("dist", lit(h.toLong))
-      val (next, nextSum, nextRelease) =
-        org.apache.spark.sql.graft.Bridge.truncatedAutoSum(
+      val (next, nextSum, nextN, nextRelease) =
+        org.apache.spark.sql.graft.Bridge.truncatedAutoSumN(
           visited.unionAll(newNodes), sumIdx = 1)
       release()
       visited = next
+      visitedN = nextN
       release = nextRelease
       done = nextSum.compareTo(prevSum) == 0
       prevSum = nextSum

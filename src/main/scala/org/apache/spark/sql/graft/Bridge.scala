@@ -55,12 +55,14 @@ object Bridge {
     * overflow a plain long sum), order-independent. */
   private def materializeWithSum(
       rdd: org.apache.spark.rdd.RDD[org.apache.spark.sql.catalyst.InternalRow],
-      sumIdx: Int): java.math.BigInteger =
+      sumIdx: Int): (java.math.BigInteger, Long) =
     rdd.mapPartitions { it =>
       var big = java.math.BigInteger.ZERO
       var acc = 0L
+      var n = 0L
       while (it.hasNext) {
         val r = it.next()
+        n += 1
         if (!r.isNullAt(sumIdx)) {
           val v = r.getLong(sumIdx)
           if ((v > 0 && acc > Long.MaxValue - v) ||
@@ -69,8 +71,10 @@ object Bridge {
           } else acc += v
         }
       }
-      Iterator.single(big.add(java.math.BigInteger.valueOf(acc)))
-    }.fold(java.math.BigInteger.ZERO)(_.add(_))
+      Iterator.single((big.add(java.math.BigInteger.valueOf(acc)), n))
+    }.fold((java.math.BigInteger.ZERO, 0L)) { case ((s1, n1), (s2, n2)) =>
+      (s1.add(s2), n1 + n2)
+    }
 
   /** Local lineage truncation with an explicit block-release handle.
     *
@@ -86,14 +90,25 @@ object Bridge {
     * the RDD cannot be recomputed. */
   def truncatedLocalSum(df: org.apache.spark.sql.DataFrame, sumIdx: Int)
       : (org.apache.spark.sql.DataFrame, java.math.BigInteger, () => Unit) = {
+    val (out, sum, _, release) = truncatedLocalSumN(df, sumIdx)
+    (out, sum, release)
+  }
+
+  /** [[truncatedLocalSum]] plus the ROW COUNT, fused into the same
+    * materialization pass — iterative operators that gate a per-round
+    * join strategy on the frame's size (Bfs frontier broadcasts) read
+    * it for free instead of paying a count job. */
+  def truncatedLocalSumN(df: org.apache.spark.sql.DataFrame, sumIdx: Int)
+      : (org.apache.spark.sql.DataFrame, java.math.BigInteger, Long,
+        () => Unit) = {
     val ds = df.asInstanceOf[org.apache.spark.sql.classic.Dataset[org.apache.spark.sql.Row]]
     // unsafe rows are reused by the scan — copy before persisting,
     // exactly as Dataset.checkpoint does
     val rdd = ds.queryExecution.toRdd.map(_.copy())
     rdd.localCheckpoint()
-    val sum = materializeWithSum(rdd, sumIdx)
+    val (sum, n) = materializeWithSum(rdd, sumIdx)
     val out = ds.sparkSession.internalCreateDataFrame(rdd, ds.schema)
-    (out, sum, () => { rdd.unpersist(blocking = false); () })
+    (out, sum, n, () => { rdd.unpersist(blocking = false); () })
   }
 
   /** Reliable lineage truncation with an explicit file-release handle.
@@ -113,6 +128,15 @@ object Bridge {
     * on the context. */
   def truncatedReliableSum(df: org.apache.spark.sql.DataFrame, sumIdx: Int)
       : (org.apache.spark.sql.DataFrame, java.math.BigInteger, () => Unit) = {
+    val (out, sum, _, release) = truncatedReliableSumN(df, sumIdx)
+    (out, sum, release)
+  }
+
+  /** [[truncatedReliableSum]] plus the fused row count (see
+    * [[truncatedLocalSumN]]). */
+  def truncatedReliableSumN(df: org.apache.spark.sql.DataFrame, sumIdx: Int)
+      : (org.apache.spark.sql.DataFrame, java.math.BigInteger, Long,
+        () => Unit) = {
     val ds = df.asInstanceOf[org.apache.spark.sql.classic.Dataset[org.apache.spark.sql.Row]]
     val sc = ds.sparkSession.sparkContext
     require(sc.getCheckpointDir.isDefined,
@@ -120,14 +144,14 @@ object Bridge {
     val rdd = ds.queryExecution.toRdd.map(_.copy())
     rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     rdd.checkpoint()
-    val sum = materializeWithSum(rdd, sumIdx)  // also writes the checkpoint
-    rdd.unpersist(blocking = false)            // reads now hit the file
+    val (sum, n) = materializeWithSum(rdd, sumIdx) // also writes the checkpoint
     val out = ds.sparkSession.internalCreateDataFrame(rdd, ds.schema)
     val release = () => rdd.getCheckpointFile.foreach { p =>
       val path = new org.apache.hadoop.fs.Path(p)
       path.getFileSystem(sc.hadoopConfiguration).delete(path, true)
     }
-    (out, sum, release)
+    rdd.unpersist(blocking = false)            // reads now hit the file
+    (out, sum, n, release)
   }
 
   /** Checkpoint-dir dispatch shared by the iterative operators
@@ -138,13 +162,22 @@ object Bridge {
     * be misread SILENTLY, so refuse it here for every caller. */
   def truncatedAutoSum(df: org.apache.spark.sql.DataFrame, sumIdx: Int)
       : (org.apache.spark.sql.DataFrame, java.math.BigInteger, () => Unit) = {
+    val (out, sum, _, release) = truncatedAutoSumN(df, sumIdx)
+    (out, sum, release)
+  }
+
+  /** [[truncatedAutoSum]] plus the fused row count (see
+    * [[truncatedLocalSumN]]). */
+  def truncatedAutoSumN(df: org.apache.spark.sql.DataFrame, sumIdx: Int)
+      : (org.apache.spark.sql.DataFrame, java.math.BigInteger, Long,
+        () => Unit) = {
     require(df.schema(sumIdx).dataType ==
         org.apache.spark.sql.types.LongType,
       s"truncatedAutoSum needs a LONG column at $sumIdx, " +
         s"got ${df.schema(sumIdx).dataType}")
     if (df.sparkSession.sparkContext.getCheckpointDir.isDefined)
-      truncatedReliableSum(df, sumIdx)
-    else truncatedLocalSum(df, sumIdx)
+      truncatedReliableSumN(df, sumIdx)
+    else truncatedLocalSumN(df, sumIdx)
   }
 
   /** Lineage truncation for BOUNDED frames (cardinality ∝ groups /

@@ -19,6 +19,18 @@ class BfsSpec extends SparkSpec {
     assert(Bfs.lastRounds <= 5)
   }
 
+  test("duplicated / both-orientation edges change nothing") {
+    // the symmetrized adjacency is deliberately NOT deduplicated (a
+    // conforming once-per-edge input gains nothing from it, and the
+    // per-round frontier distinct absorbs non-conforming fan-out) —
+    // feed the worst case: every edge twice, plus both orientations
+    val once = (1L until 5L).map(i => (i, i + 1))
+    val edges = (once ++ once ++ once.map(_.swap)).toDF("u", "v")
+    val seeds = Seq(1L).toDF("node")
+    val out = Bfs.hopDistances(edges, "u", "v", seeds, "node", maxHops = 10)
+    assert(dists(out) === Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 3L, 5L -> 4L))
+  }
+
   test("multi-source: distance is to the NEAREST seed") {
     // path 1..7, seeds at both ends — middle node 4 is 3 from each
     val edges = (1L until 7L).map(i => (i, i + 1)).toDF("u", "v")
