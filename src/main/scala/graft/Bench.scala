@@ -162,7 +162,11 @@ object Bench {
     // one-directional 70-entry slowdown). DfCache pins are plain
     // persisted frames — not locally checkpointed — and are untouched.
     val bridge = org.apache.spark.sql.graft.Bridge
-    bridge.unpersistIds(spark.sparkContext,
+    // SPARK_GRAFT_NO_SWEEP=1 disables both sweeps — the A/B knob that
+    // isolates the hygiene's own effect from box noise (two adjacent
+    // runs, same contention regime). Default: sweep.
+    val sweep = !sys.env.get("SPARK_GRAFT_NO_SWEEP").contains("1")
+    if (sweep) bridge.unpersistIds(spark.sparkContext,
       bridge.locallyCheckpointedIds(spark.sparkContext))
     // The shared near-dup builds (Jaccard pair set + components) are
     // cached once per (session, dir) and consumed by seven catalog
@@ -221,7 +225,7 @@ object Bench {
         if (ok2) (name, math.min(t1, t2), ok1) else (name, t1, ok1)
       } else (name, t1, ok1)
       // between-entry sweep (untimed; see keepIds above)
-      bridge.unpersistIds(spark.sparkContext,
+      if (sweep) bridge.unpersistIds(spark.sparkContext,
         bridge.locallyCheckpointedIds(spark.sparkContext) -- keepIds)
       out
     }
